@@ -1,0 +1,411 @@
+"""Clustering: connected components → per-component centroid-linkage HAC → confidences.
+
+Re-creates [lib: dedupe/clustering.py] (driven by ``partition`` at
+backend/dedupe_script.py:360):
+
+- connected components over thresholded scored edges, with giant-component
+  splitting (max_component_size ≈ dedupe's max_components=30000): oversized
+  components re-threshold their weakest edges until they break up.
+- per-component hierarchical clustering, centroid linkage (fastcluster
+  ``method='centroid'`` semantics via Lance–Williams updates on squared
+  distances), flat cut at distance ``1 − threshold`` (``fcluster
+  criterion='distance'``); non-monotone merge heights are max-propagated the
+  way scipy's fcluster treats them.
+- per-record confidence = ``1 − sqrt(mean squared distance to co-members)``
+  [lib: dedupe/clustering.py confidences] — reproduces the observable
+  pattern in backend/test_response.py:1 (pair members share one confidence,
+  larger clusters differ per member).
+
+Scale design: components after thresholding are tiny (dedupe splits at 30k),
+so HAC runs inside ``groupby(component_id).map_groups`` in numpy. Connected
+components itself has two paths:
+
+- ``driver``: union-find over the collected edge list — exact and fast up to
+  ~5M edges (the edge list is orders of magnitude smaller than the input).
+- ``distributed``: alternating min-label propagation (repeated
+  groupby-min + join rounds, O(log diameter) iterations) for edge sets that
+  cannot sit on the driver. Same output, checked against the driver path in
+  tests.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+
+# ---------------------------------------------------------------------------
+# Union-find (driver path + per-component utilities)
+# ---------------------------------------------------------------------------
+
+
+class UnionFind:
+    def __init__(self) -> None:
+        self.parent: dict[str, str] = {}
+
+    def find(self, x: str) -> str:
+        p = self.parent.setdefault(x, x)
+        if p == x:
+            return x
+        root = x
+        while self.parent[root] != root:
+            root = self.parent[root]
+        while self.parent[x] != root:
+            self.parent[x], x = root, self.parent[x]
+        return root
+
+    def union(self, a: str, b: str) -> None:
+        ra, rb = self.find(a), self.find(b)
+        if ra != rb:
+            # deterministic: smaller id wins as root → component id is stable
+            if rb < ra:
+                ra, rb = rb, ra
+            self.parent[rb] = ra
+
+
+def _components_driver(edges: pa.Table) -> dict[str, str]:
+    uf = UnionFind()
+    a = edges.column("id_a").to_pylist()
+    b = edges.column("id_b").to_pylist()
+    for x, y in zip(a, b):
+        uf.union(x, y)
+    return {node: uf.find(node) for node in uf.parent}
+
+
+def connected_components(
+    edges_ds: "ray.data.Dataset",
+    driver_edge_limit: int = 5_000_000,
+    mode: str = "auto",
+) -> "ray.data.Dataset":
+    """Scored-edge Dataset (id_a,id_b[,score]) → (doc_id, component_id).
+
+    component_id is the lexicographically smallest member doc_id —
+    content-stable regardless of block order (SURVEY §7.4.3).
+    """
+    if mode == "auto":
+        n_edges = edges_ds.count()
+        mode = "driver" if n_edges <= driver_edge_limit else "distributed"
+    if mode == "driver":
+        tbl = pa.Table.from_pandas(edges_ds.select_columns(["id_a", "id_b"]).to_pandas())
+        mapping = _components_driver(tbl)
+        nodes = sorted(mapping)
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(nodes, pa.string()),
+                    "component_id": pa.array([mapping[n] for n in nodes], pa.string()),
+                }
+            )
+        )
+    return _components_distributed(edges_ds)
+
+
+def _components_distributed(edges_ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Min-label propagation: labels[v] = min(labels of neighbors ∪ self),
+    iterated to fixpoint. Each round: join(edges, labels) + groupby-min.
+    Rounds needed ≈ graph diameter (small for dedup graphs); convergence is
+    detected via a label checksum aggregate."""
+
+    def bidir(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": pa.concat_arrays(
+                    [batch.column("id_a").combine_chunks(), batch.column("id_b").combine_chunks()]
+                ),
+                "nbr": pa.concat_arrays(
+                    [batch.column("id_b").combine_chunks(), batch.column("id_a").combine_chunks()]
+                ),
+            }
+        )
+
+    edges_bidir = edges_ds.select_columns(["id_a", "id_b"]).map_batches(
+        bidir, batch_format="pyarrow"
+    ).materialize()
+
+    labels = (
+        edges_bidir.groupby("node")
+        .min("nbr")
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "node": t.column("node"),
+                    "label": pa.compute.min_element_wise(t.column("min(nbr)"), t.column("node")),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+
+    def checksum(ds: "ray.data.Dataset") -> int:
+        import zlib
+
+        def h(batch: pa.Table) -> pa.Table:
+            vals = [
+                zlib.crc32(f"{n}\x1f{l}".encode())
+                for n, l in zip(batch.column("node").to_pylist(), batch.column("label").to_pylist())
+            ]
+            return pa.table({"h": pa.array(vals, pa.int64())})
+
+        return ds.map_batches(h, batch_format="pyarrow").sum("h")
+
+    prev = checksum(labels)
+    for _ in range(64):  # diameter backstop
+        # propagate: neighbor labels flow along edges
+        msgs = edges_bidir.join(
+            labels, join_type="inner", num_partitions=16, on=("node",)
+        ).map_batches(
+            lambda t: pa.table({"node": t.column("nbr"), "label": t.column("label")}),
+            batch_format="pyarrow",
+        )
+        labels = (
+            msgs.union(labels)
+            .groupby("node")
+            .min("label")
+            .map_batches(
+                lambda t: pa.table({"node": t.column("node"), "label": t.column("min(label)")}),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+        cur = checksum(labels)
+        if cur == prev:
+            break
+        prev = cur
+    return labels.map_batches(
+        lambda t: pa.table({"doc_id": t.column("node"), "component_id": t.column("label")}),
+        batch_format="pyarrow",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Giant-component splitting ([lib] max_components semantics)
+# ---------------------------------------------------------------------------
+
+
+def split_giant_components(
+    edges: pd.DataFrame, comp_of: dict[str, str], max_size: int
+) -> dict[str, str]:
+    """Driver-side refinement: for components larger than max_size, drop the
+    weakest edges (raise the score floor to the component's score median,
+    repeatedly) and re-run union-find inside the component."""
+    from collections import Counter
+
+    sizes = Counter(comp_of.values())
+    big = {c for c, s in sizes.items() if s > max_size}
+    if not big:
+        return comp_of
+    out = dict(comp_of)
+    for comp in big:
+        sub = edges[
+            edges["id_a"].map(comp_of).eq(comp) & edges["id_b"].map(comp_of).eq(comp)
+        ].copy()
+        floor = float(np.median(sub["score"]))
+        for _ in range(20):
+            sub = sub[sub["score"] > floor]
+            uf = UnionFind()
+            for a, b in zip(sub["id_a"], sub["id_b"]):
+                uf.union(a, b)
+            local = {n: uf.find(n) for n in uf.parent}
+            c2 = Counter(local.values())
+            if not c2 or max(c2.values()) <= max_size:
+                for n in out:
+                    if out[n] == comp:
+                        out[n] = local.get(n, n)  # unmerged nodes become singletons
+                break
+            floor = float(np.median(sub["score"]))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Per-component HAC (centroid linkage) + confidences
+# ---------------------------------------------------------------------------
+
+
+def centroid_hac_cut(dist: np.ndarray, t: float) -> np.ndarray:
+    """Agglomerative clustering with centroid (Lance–Williams) updates on a
+    full squared-distance matrix; returns flat cluster labels after cutting
+    the dendrogram at height t (max-propagated heights, fcluster
+    'distance' semantics). dist is the condensed-to-square distance matrix."""
+    n = dist.shape[0]
+    if n == 1:
+        return np.zeros(1, np.int64)
+    d2 = dist.astype(np.float64) ** 2
+    np.fill_diagonal(d2, np.inf)
+    sizes = np.ones(n)
+    active = np.ones(n, bool)
+    # merge tree: node n+k = k-th merge
+    children: list[tuple[int, int]] = []
+    heights: list[float] = []
+    members: list[list[int]] = [[i] for i in range(n)]
+    idx_of = list(range(n))  # active slot → tree node id
+    for _ in range(n - 1):
+        sub = np.where(active)[0]
+        block = d2[np.ix_(sub, sub)]
+        k = np.argmin(block)
+        i_s, j_s = divmod(k, block.shape[1])
+        i, j = sub[i_s], sub[j_s]
+        if i > j:
+            i, j = j, i
+        h2 = d2[i, j]
+        h = float(np.sqrt(max(h2, 0.0)))
+        ni, nj = sizes[i], sizes[j]
+        # Lance-Williams centroid update on squared distances
+        alpha_i, alpha_j = ni / (ni + nj), nj / (ni + nj)
+        beta = -ni * nj / (ni + nj) ** 2
+        new_row = alpha_i * d2[i, :] + alpha_j * d2[j, :] + beta * h2
+        d2[i, :] = new_row
+        d2[:, i] = new_row
+        d2[i, i] = np.inf
+        d2[j, :] = np.inf
+        d2[:, j] = np.inf
+        active[j] = False
+        sizes[i] = ni + nj
+        children.append((idx_of[i], idx_of[j]))
+        heights.append(h)
+        members.append(members[idx_of[i]] + members[idx_of[j]])
+        idx_of[i] = n + len(children) - 1
+
+    # max-propagate heights (monotonize inversions)
+    mono = list(heights)
+    for k, (ci, cj) in enumerate(children):
+        for c in (ci, cj):
+            if c >= n:
+                mono[k] = max(mono[k], mono[c - n])
+
+    labels = np.full(n, -1, np.int64)
+    next_label = 0
+    # maximal subtrees with monotone height <= t, scanning from the root down
+    assigned = np.zeros(n + len(children), bool)
+    for k in range(len(children) - 1, -1, -1):
+        node = n + k
+        if assigned[node]:
+            continue
+        if mono[k] <= t:
+            for leaf in members[node]:
+                labels[leaf] = next_label
+            next_label += 1
+            stack = [node]
+            while stack:
+                cur = stack.pop()
+                assigned[cur] = True
+                if cur >= n:
+                    stack.extend(children[cur - n])
+    for i in range(n):
+        if labels[i] < 0:
+            labels[i] = next_label
+            next_label += 1
+    return labels
+
+
+def cluster_component(group: pd.DataFrame, threshold: float) -> pd.DataFrame:
+    """Edges of ONE component → (doc_id, cluster_id, confidence_score) rows.
+
+    cluster_id is the min doc_id of the flat cluster. Singletons are dropped
+    (group_size > 1 filter — backend/dedupe_script.py:365)."""
+    ids = sorted(set(group["id_a"]).union(group["id_b"]))
+    n = len(ids)
+    pos = {d: i for i, d in enumerate(ids)}
+    if n == 2:
+        score = float(group["score"].max())
+        conf = np.float32(score)
+        return pd.DataFrame(
+            {"cluster_id": [ids[0]] * 2, "doc_id": ids, "confidence_score": [conf, conf]}
+        )
+    dist = np.ones((n, n), np.float64)
+    np.fill_diagonal(dist, 0.0)
+    for a, b, s in zip(group["id_a"], group["id_b"], group["score"]):
+        d = 1.0 - float(s)
+        dist[pos[a], pos[b]] = d
+        dist[pos[b], pos[a]] = d
+    labels = centroid_hac_cut(dist, 1.0 - threshold)
+
+    out_cluster: list[str] = []
+    out_doc: list[str] = []
+    out_conf: list[float] = []
+    d2 = dist ** 2
+    for lbl in np.unique(labels):
+        m = np.where(labels == lbl)[0]
+        if len(m) < 2:
+            continue
+        cid = min(ids[i] for i in m)
+        sub = d2[np.ix_(m, m)]
+        mean_sq = sub.sum(axis=1) / (len(m) - 1)
+        conf = 1.0 - np.sqrt(mean_sq)
+        for i, c in zip(m, conf):
+            out_cluster.append(cid)
+            out_doc.append(ids[i])
+            out_conf.append(float(c))
+    return pd.DataFrame(
+        {
+            "cluster_id": out_cluster,
+            "doc_id": out_doc,
+            "confidence_score": np.asarray(out_conf, np.float32),
+        }
+    )
+
+
+def cluster_edges(
+    scored_edges: "ray.data.Dataset",
+    threshold: float,
+    driver_edge_limit: int = 5_000_000,
+    max_component_size: int = 30_000,
+    cc_mode: str = "auto",
+) -> "ray.data.Dataset":
+    """Scored, thresholded edges → cluster membership Dataset
+    (cluster_id: string, doc_id: string, confidence_score: float32).
+
+    Shuffle plan: CC (iterated groupby or driver UF) → annotate edges with
+    component_id (map-side broadcast of the node→component map when small,
+    join otherwise) → groupby(component_id).map_groups(HAC)."""
+    n_edges = scored_edges.count()
+    if n_edges == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "cluster_id": pa.array([], pa.string()),
+                    "doc_id": pa.array([], pa.string()),
+                    "confidence_score": pa.array([], pa.float32()),
+                }
+            )
+        )
+    use_driver = cc_mode == "driver" or (cc_mode == "auto" and n_edges <= driver_edge_limit)
+    if use_driver:
+        edges_pd = scored_edges.to_pandas()
+        comp_of = _components_driver(pa.Table.from_pandas(edges_pd[["id_a", "id_b"]]))
+        comp_of = split_giant_components(edges_pd, comp_of, max_component_size)
+        comp_ref = ray.put(comp_of)
+
+        def annotate(batch: pa.Table) -> pa.Table:
+            m = ray.get(comp_ref)
+            ca = [m.get(x, x) for x in batch.column("id_a").to_pylist()]
+            cb = [m.get(x, x) for x in batch.column("id_b").to_pylist()]
+            # edges straddling a giant-component split are dropped
+            keep = pa.array([x == y for x, y in zip(ca, cb)])
+            out = batch.append_column("component_id", pa.array(ca, pa.string()))
+            return out.filter(keep)
+
+        edges_with_comp = scored_edges.map_batches(annotate, batch_format="pyarrow")
+    else:
+        comp_ds = _components_distributed(scored_edges)
+        edges_with_comp = scored_edges.join(
+            comp_ds.map_batches(
+                lambda t: pa.table({"id_a": t.column("doc_id"), "component_id": t.column("component_id")}),
+                batch_format="pyarrow",
+            ),
+            join_type="inner",
+            num_partitions=32,
+            on=("id_a",),
+        )
+
+    def _per_comp(g: pd.DataFrame) -> pd.DataFrame:
+        # a component may have been split by split_giant_components: doc pairs
+        # whose endpoints now differ in component are dropped edge-wise
+        return cluster_component(g, threshold)
+
+    return edges_with_comp.groupby("component_id").map_groups(
+        _per_comp, batch_format="pandas"
+    )

@@ -57,11 +57,25 @@ def _postal(rng: np.random.RandomState, country: str) -> str:
     return f"{rng.randint(1000, 9999):04d}"
 
 
+_SYL_C = ["b", "d", "f", "g", "k", "l", "m", "n", "p", "r", "s", "t", "v", "z", "st", "tr", "pl"]
+_SYL_V = ["a", "e", "i", "o", "u", "ia", "ei"]
+
+
+def _coined_word(rng: np.random.RandomState) -> str:
+    """High-entropy pronounceable brand word — keeps distinct entities
+    separable on Name 1 (real company names rarely collide exactly; a tiny
+    stem vocabulary would make non-duplicates byte-identical on name+city,
+    which no gold standard labels 'distinct')."""
+    n = rng.randint(2, 4)
+    w = "".join(_SYL_C[rng.randint(len(_SYL_C))] + _SYL_V[rng.randint(len(_SYL_V))] for _ in range(n))
+    return w.capitalize()
+
+
 def _make_entity(rng: np.random.RandomState, entity_id: int) -> dict[str, str]:
     city, country = _CITIES[rng.randint(len(_CITIES))]
     stem = _NAME_STEMS[rng.randint(len(_NAME_STEMS))]
     suffix = _NAME_SUFFIXES[rng.randint(len(_NAME_SUFFIXES))]
-    name1 = f"{stem} {suffix}".strip()
+    name1 = f"{stem} {_coined_word(rng)} {suffix}".strip()
     name2 = "" if rng.rand() < 0.7 else f"{_NAME_STEMS[rng.randint(len(_NAME_STEMS))]} Filia"
     street = f"{_STREET_STEMS[rng.randint(len(_STREET_STEMS))]} {rng.randint(1, 200)}"
     return {
@@ -246,7 +260,26 @@ def labeled_pairs_from_truth(
     for g in dup_groups[:n_match]:
         a, b = g[0], g[1]
         pairs.append((by_doc[a], by_doc[b], "y"))
-    for _ in range(n_distinct):
+
+    # Distinct labels: half HARD negatives (same City — they share blocking
+    # keys, the class the active learner would surface as uncertain), half
+    # random. Without hard negatives the classifier never learns to reject
+    # same-area non-duplicates and precision collapses.
+    by_city: dict[str, list[str]] = {}
+    for d in singletons:
+        by_city.setdefault(by_doc[d]["City"], []).append(d)
+    hard_pool = [v for v in by_city.values() if len(v) > 1]
+    n_hard = n_distinct // 2
+    made_hard = 0
+    for v in sorted(hard_pool, key=len, reverse=True):
+        for i in range(0, len(v) - 1, 2):
+            if made_hard >= n_hard:
+                break
+            pairs.append((by_doc[v[i]], by_doc[v[i + 1]], "n"))
+            made_hard += 1
+        if made_hard >= n_hard:
+            break
+    for _ in range(n_distinct - made_hard):
         a = singletons[rng.randint(len(singletons))]
         b = singletons[rng.randint(len(singletons))]
         if a == b:

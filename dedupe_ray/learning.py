@@ -1,0 +1,268 @@
+"""Driver-side learning: pairwise classifier, blocking learner, active learner.
+
+Re-creates the reference library's training stack with pure numpy (sklearn is
+not available in this environment):
+
+- :class:`LogisticClassifier` — L2-regularized logistic regression fit by
+  Newton/IRLS; plays the role of dedupe's sklearn LogisticRegression
+  classifier [lib: dedupe/api.py ActiveMatching.classifier], trained at
+  backend/dedupe_script.py:337.
+- :func:`learn_predicates` — greedy ε-set-cover (Chvátal) over the candidate
+  predicate pool: choose predicates covering the labeled match pairs while
+  minimizing expected candidate-pair cost on the sample [lib:
+  dedupe/training.py DedupeBlockLearner].
+- :class:`ActiveLearner` — uncertainty sampling over a blocked+random
+  candidate pool, the ``uncertain_pairs()`` drain loop of
+  backend/dedupe_script.py:295-311 [lib: dedupe/labeler.py RLRLearner].
+
+All of this is deliberately driver-local: training pairs are ≤ a few hundred
+(max_training_pairs=100, backend/main.py:108) — distributing it would be pure
+overhead. The *products* (weights + predicate ids) are broadcast into Ray
+stages via closure/actor constructor args.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dc_field
+from itertools import combinations
+
+import numpy as np
+import pyarrow as pa
+
+from dedupe_ray.config import EngineConfig
+from dedupe_ray.features import pair_features
+from dedupe_ray.predicates import Predicate, default_predicate_pool
+
+
+class LogisticClassifier:
+    """L2-regularized logistic regression (bias unpenalized), Newton/IRLS."""
+
+    def __init__(self, l2_lambda: float = 1.0):
+        self.l2 = l2_lambda
+        self.weights: np.ndarray | None = None  # [d]
+        self.bias: float = 0.0
+
+    def fit(self, X: np.ndarray, y: np.ndarray, max_iter: int = 50, tol: float = 1e-8) -> None:
+        n, d = X.shape
+        Xb = np.column_stack([X, np.ones(n)])
+        w = np.zeros(d + 1)
+        reg = np.eye(d + 1) * self.l2
+        reg[d, d] = 0.0  # don't penalize bias
+        for _ in range(max_iter):
+            z = Xb @ w
+            p = 1.0 / (1.0 + np.exp(-np.clip(z, -35, 35)))
+            g = Xb.T @ (p - y) + reg @ w
+            s = np.maximum(p * (1 - p), 1e-6)
+            H = (Xb * s[:, None]).T @ Xb + reg
+            try:
+                step = np.linalg.solve(H, g)
+            except np.linalg.LinAlgError:
+                step = np.linalg.lstsq(H, g, rcond=None)[0]
+            w -= step
+            if np.abs(step).max() < tol:
+                break
+        self.weights = w[:d].astype(np.float64)
+        self.bias = float(w[d])
+
+    def predict_proba(self, X: np.ndarray) -> np.ndarray:
+        z = X @ self.weights + self.bias
+        return 1.0 / (1.0 + np.exp(-np.clip(z, -35, 35)))
+
+    def to_dict(self) -> dict:
+        return {"weights": self.weights.tolist(), "bias": self.bias, "l2": self.l2}
+
+    @staticmethod
+    def from_dict(d: dict) -> "LogisticClassifier":
+        clf = LogisticClassifier(d.get("l2", 1.0))
+        clf.weights = np.asarray(d["weights"], np.float64)
+        clf.bias = float(d["bias"])
+        return clf
+
+
+# ---------------------------------------------------------------------------
+# Blocking learner (greedy set cover)
+# ---------------------------------------------------------------------------
+
+
+def _coverage(pred: Predicate, records: dict[str, dict]) -> dict[str, set[str]]:
+    """block key → member doc_ids on the sample."""
+    blocks: dict[str, set[str]] = {}
+    for doc_id, rec in records.items():
+        for k in pred.keys(rec):
+            blocks.setdefault(k, set()).add(doc_id)
+    return blocks
+
+
+def learn_predicates(
+    match_pairs: list[tuple[dict, dict]],
+    sample_records: dict[str, dict],
+    config: EngineConfig,
+    recall: float = 1.0,
+    max_predicates: int = 6,
+    compound: bool = True,
+) -> list[str]:
+    """Greedy ε-cover: pick predicate ids covering ≥ recall of match pairs,
+    preferring low candidate-pair cost on the sample.
+
+    match_pairs are (record_a, record_b) cleaned field dicts.
+    """
+    pool = default_predicate_pool(config.field_names())
+
+    # per-predicate: which match pairs it covers + candidate pair cost
+    cover: dict[str, set[int]] = {}
+    cost: dict[str, float] = {}
+    keysets: dict[str, list[tuple[set, set]]] = {}
+    useful: list[Predicate] = []
+    for pred in pool:
+        covered = set()
+        pair_keys = []
+        for i, (a, b) in enumerate(match_pairs):
+            ka, kb = set(pred.keys(a)), set(pred.keys(b))
+            pair_keys.append((ka, kb))
+            if ka & kb:
+                covered.add(i)
+        if not covered:
+            continue
+        blocks = _coverage(pred, sample_records)
+        c = sum(len(m) * (len(m) - 1) // 2 for m in blocks.values())
+        cover[pred.pid] = covered
+        cost[pred.pid] = c + 1.0
+        keysets[pred.pid] = pair_keys
+        useful.append(pred)
+
+    # compound candidates: conjunctions of two useful simples on the same pairs
+    if compound:
+        simple_ids = sorted(cover, key=lambda p: cost[p])[:12]
+        for pa_, pb_ in combinations(simple_ids, 2):
+            covered = {
+                i
+                for i in cover[pa_] & cover[pb_]
+                if (keysets[pa_][i][0] & keysets[pa_][i][1])
+                and (keysets[pb_][i][0] & keysets[pb_][i][1])
+            }
+            if not covered:
+                continue
+            pid = f"{pa_}+{pb_}"
+            pred = Predicate.from_id(pid)
+            blocks = _coverage(pred, sample_records)
+            c = sum(len(m) * (len(m) - 1) // 2 for m in blocks.values())
+            cover[pid] = covered
+            cost[pid] = c + 1.0
+
+    total = len(match_pairs)
+    target = int(np.ceil(recall * total))
+    chosen: list[str] = []
+    covered_now: set[int] = set()
+    while len(covered_now) < target and len(chosen) < max_predicates:
+        best_pid, best_score = None, 0.0
+        for pid, cov in cover.items():
+            if pid in chosen:
+                continue
+            gain = len(cov - covered_now)
+            if gain == 0:
+                continue
+            score = gain / cost[pid]
+            if score > best_score:
+                best_pid, best_score = pid, score
+        if best_pid is None:
+            break
+        chosen.append(best_pid)
+        covered_now |= cover[best_pid]
+    if not chosen:  # degenerate: fall back to whole-field on every field
+        chosen = [f"whole|{f}" for f in config.field_names()]
+    return chosen
+
+
+# ---------------------------------------------------------------------------
+# Active learner
+# ---------------------------------------------------------------------------
+
+
+def _pairs_table(pairs: list[tuple[dict, dict]], fields: list[str]) -> pa.Table:
+    data: dict[str, list] = {}
+    for side, k in (("a", 0), ("b", 1)):
+        for f in fields:
+            data[f"{side}_{f}"] = [p[k].get(f, "") for p in pairs]
+    return pa.table(data)
+
+
+def features_for_pairs(
+    pairs: list[tuple[dict, dict]], config: EngineConfig, idf_tables=None
+) -> np.ndarray:
+    if not pairs:
+        return np.zeros((0, 1), np.float32)
+    return pair_features(_pairs_table(pairs, config.field_names()), config, idf_tables)
+
+
+@dataclass
+class ActiveLearner:
+    """Uncertainty-sampling active learner over a candidate pool.
+
+    Pool construction mirrors [lib] prepare_training: ~blocked_proportion of
+    candidates come from pairs sharing a predicate block on the sample, the
+    rest are random pairs.
+    """
+
+    config: EngineConfig
+    sample_records: dict[str, dict]
+    seed: int = 42
+    candidates: list[tuple[dict, dict]] = dc_field(default_factory=list)
+    labels: list[tuple[tuple[dict, dict], bool]] = dc_field(default_factory=list)
+
+    def __post_init__(self) -> None:
+        rng = np.random.RandomState(self.seed)
+        ids = sorted(self.sample_records)
+        pool_pairs: set[tuple[str, str]] = set()
+        # blocked candidates from cheap simple predicates
+        for pred in default_predicate_pool(self.config.field_names()):
+            blocks = _coverage(pred, self.sample_records)
+            for members in blocks.values():
+                if 1 < len(members) <= 10:
+                    for a, b in combinations(sorted(members), 2):
+                        pool_pairs.add((a, b))
+            if len(pool_pairs) > self.config.sample_size * 2:
+                break
+        blocked = sorted(pool_pairs)
+        rng.shuffle(blocked)
+        n_blocked = int(self.config.sample_size * self.config.blocked_proportion)
+        chosen = blocked[:n_blocked]
+        n_random = self.config.sample_size - len(chosen)
+        for _ in range(n_random):
+            a, b = rng.choice(len(ids), 2, replace=False)
+            chosen.append((ids[min(a, b)], ids[max(a, b)]))
+        seen = set()
+        for a, b in chosen:
+            if (a, b) not in seen:
+                seen.add((a, b))
+                self.candidates.append((self.sample_records[a], self.sample_records[b]))
+        self._X = features_for_pairs(self.candidates, self.config)
+        self._clf = LogisticClassifier(self.config.l2_lambda)
+        self._rng = rng
+
+    def _fit(self) -> None:
+        if len({lbl for _, lbl in self.labels}) < 2:
+            return
+        X = features_for_pairs([p for p, _ in self.labels], self.config)
+        y = np.array([1.0 if lbl else 0.0 for _, lbl in self.labels])
+        self._clf.fit(X, y)
+
+    def uncertain_pairs(self) -> list[tuple[dict, dict]]:
+        """Pop the most informative candidate (reference drain loop,
+        dedupe_script.py:295-304 — raises IndexError when exhausted)."""
+        if not self.candidates:
+            raise IndexError("no more candidates")
+        if self._clf.weights is None:
+            # cold start: seed with the closest pair by mean distance (likely
+            # match) — mirrors RLRLearner's bootstrapped first query
+            scores = self._X[:, : len(self.config.fields)].mean(axis=1)
+            i = int(np.argmin(scores))
+        else:
+            p = self._clf.predict_proba(self._X)
+            i = int(np.argmin(np.abs(p - 0.5)))
+        pair = self.candidates.pop(i)
+        self._X = np.delete(self._X, i, axis=0)
+        return [pair]
+
+    def mark(self, pair: tuple[dict, dict], is_match: bool) -> None:
+        self.labels.append((pair, is_match))
+        self._fit()

@@ -1,0 +1,274 @@
+"""Blocking predicates — stateless block-key extractors.
+
+Re-implements the semantics of the reference library's simple predicate pool
+([lib: dedupe/predicates.py in dedupe==3.0.3], exercised through the learned
+Fingerprinter at backend/dedupe_script.py:360): each predicate maps a cleaned
+field value to a set of string block keys. Two records sharing any key for any
+learned predicate become a candidate pair.
+
+All functions take an already-preprocessed string (lowercase, ASCII-folded,
+"N/A" sentinel for missing — see preprocess.py) and return a ``tuple[str, ...]``
+of block keys. Missing values produce no keys.
+
+The phonetic predicate uses Soundex (public-domain algorithm) standing in for
+the reference's doubleMetaphone C extension, which is not installable here;
+it fills the same role in the learner's pool (coarse phonetic blocking).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Callable
+
+from dedupe_ray.config import MISSING
+
+_WORDS = re.compile(r"[\w']+")
+_INTEGERS = re.compile(r"\d+")
+_START_WORD = re.compile(r"^([\w']+)")
+_START_TWO_WORDS = re.compile(r"^([\w']+\s+[\w']+)")
+_ALPHA_NUM = re.compile(r"\w*\d+\w*")
+
+PredicateFn = Callable[[str], tuple[str, ...]]
+
+
+def whole_field(field: str) -> tuple[str, ...]:
+    return (field,)
+
+
+def token_field(field: str) -> tuple[str, ...]:
+    return tuple(set(_WORDS.findall(field)))
+
+
+def first_token(field: str) -> tuple[str, ...]:
+    m = _START_WORD.match(field)
+    return (m.group(1),) if m else ()
+
+
+def first_two_tokens(field: str) -> tuple[str, ...]:
+    m = _START_TWO_WORDS.match(field)
+    return (m.group(1),) if m else ()
+
+
+def common_integer(field: str) -> tuple[str, ...]:
+    return tuple({str(int(i)) for i in _INTEGERS.findall(field)})
+
+
+def near_integers(field: str) -> tuple[str, ...]:
+    ints = {int(i) for i in _INTEGERS.findall(field)}
+    out: set[str] = set()
+    for i in ints:
+        out.update((str(i - 1), str(i), str(i + 1)))
+    return tuple(out)
+
+
+def hundred_integer(field: str) -> tuple[str, ...]:
+    return tuple({str((int(i) // 100) * 100) for i in _INTEGERS.findall(field)})
+
+
+def first_integer(field: str) -> tuple[str, ...]:
+    m = _INTEGERS.match(field)
+    return (m.group(),) if m else ()
+
+
+def alpha_numeric(field: str) -> tuple[str, ...]:
+    return tuple(set(_ALPHA_NUM.findall(field)))
+
+
+def _ngrams(s: str, n: int) -> tuple[str, ...]:
+    s = "".join(s.split())
+    return tuple({s[i: i + n] for i in range(max(0, len(s) - n + 1))})
+
+
+def common_four_gram(field: str) -> tuple[str, ...]:
+    return _ngrams(field, 4)
+
+
+def common_six_gram(field: str) -> tuple[str, ...]:
+    return _ngrams(field, 6)
+
+
+def _adjacent_token_grams(field: str, n: int) -> tuple[str, ...]:
+    tokens = _WORDS.findall(field)
+    return tuple({" ".join(tokens[i: i + n]) for i in range(len(tokens) - n + 1)})
+
+
+def common_two_tokens(field: str) -> tuple[str, ...]:
+    return _adjacent_token_grams(field, 2)
+
+
+def common_three_tokens(field: str) -> tuple[str, ...]:
+    return _adjacent_token_grams(field, 3)
+
+
+def fingerprint(field: str) -> tuple[str, ...]:
+    tokens = _WORDS.findall(field)
+    return ("".join(sorted(tokens)),) if tokens else ()
+
+
+def one_gram_fingerprint(field: str) -> tuple[str, ...]:
+    s = "".join(field.split())
+    return ("".join(sorted(set(s))),) if s else ()
+
+
+def two_gram_fingerprint(field: str) -> tuple[str, ...]:
+    s = "".join(field.split())
+    if len(s) < 2:
+        return ()
+    return ("".join(sorted({s[i: i + 2] for i in range(len(s) - 1)})),)
+
+
+def sorted_acronym(field: str) -> tuple[str, ...]:
+    tokens = _WORDS.findall(field)
+    return ("".join(sorted(t[0] for t in tokens)),) if tokens else ()
+
+
+def _same_start(field: str, n: int) -> tuple[str, ...]:
+    s = "".join(field.split())
+    return (s[:n],) if s else ()
+
+
+def same_three_char_start(field: str) -> tuple[str, ...]:
+    return _same_start(field, 3)
+
+
+def same_five_char_start(field: str) -> tuple[str, ...]:
+    return _same_start(field, 5)
+
+
+def same_seven_char_start(field: str) -> tuple[str, ...]:
+    return _same_start(field, 7)
+
+
+def suffix_array(field: str) -> tuple[str, ...]:
+    s = "".join(field.split())
+    if len(s) < 5:
+        return ()
+    return tuple({s[i:] for i in range(0, len(s) - 4)})
+
+
+_SOUNDEX_MAP = str.maketrans(
+    "bfpvcgjkqsxzdtlmnr", "111122222222334556"
+)
+
+
+def _soundex_one(word: str) -> str:
+    word = re.sub(r"[^a-z]", "", word)
+    if not word:
+        return ""
+    first = word[0]
+    digits = word.translate(_SOUNDEX_MAP)
+    code = first.upper()
+    prev = digits[0] if digits[0] in "123456" else ""
+    for ch, d in zip(word[1:], digits[1:]):
+        d = d if d in "123456" else ""
+        if d and d != prev:
+            code += d
+        if ch not in "hw":
+            prev = d
+        if len(code) == 4:
+            break
+    return (code + "000")[:4]
+
+
+def phonetic_token(field: str) -> tuple[str, ...]:
+    """Soundex per token (stand-in for metaphoneToken / doubleMetaphone)."""
+    return tuple({_soundex_one(t) for t in _WORDS.findall(field) if _soundex_one(t)})
+
+
+def phonetic_first_token(field: str) -> tuple[str, ...]:
+    m = _START_WORD.match(field)
+    if not m:
+        return ()
+    c = _soundex_one(m.group(1))
+    return (c,) if c else ()
+
+
+# Registry: predicate name → fn. Names are stable identifiers used in learned
+# predicate lists, checkpoints, and block keys.
+SIMPLE_PREDICATES: dict[str, PredicateFn] = {
+    "whole": whole_field,
+    "token": token_field,
+    "tok1": first_token,
+    "tok2": first_two_tokens,
+    "int": common_integer,
+    "nearint": near_integers,
+    "hundint": hundred_integer,
+    "firstint": first_integer,
+    "alphanum": alpha_numeric,
+    "4gram": common_four_gram,
+    "6gram": common_six_gram,
+    "2tok": common_two_tokens,
+    "3tok": common_three_tokens,
+    "fprint": fingerprint,
+    "1gfprint": one_gram_fingerprint,
+    "2gfprint": two_gram_fingerprint,
+    "acronym": sorted_acronym,
+    "start3": same_three_char_start,
+    "start5": same_five_char_start,
+    "start7": same_seven_char_start,
+    "suffix": suffix_array,
+    "phonetic": phonetic_token,
+    "phonetic1": phonetic_first_token,
+}
+
+
+class Predicate:
+    """A (predicate fn, field) pair with a stable id, optionally compound.
+
+    Simple: id ``"tok1|City"``. Compound (conjunction of two simples — [lib:
+    dedupe/predicates.py CompoundPredicate, compound_length=2]): id
+    ``"tok1|City+int|Postal Code"``; keys are the cartesian product joined
+    with ':'.
+    """
+
+    __slots__ = ("pid", "parts")
+
+    def __init__(self, pid: str, parts: list[tuple[str, str]]):
+        self.pid = pid
+        self.parts = [(SIMPLE_PREDICATES[p], f) for p, f in parts]
+
+    @staticmethod
+    def simple(pred_name: str, field: str) -> "Predicate":
+        return Predicate(f"{pred_name}|{field}", [(pred_name, field)])
+
+    @staticmethod
+    def compound(a: "Predicate", b: "Predicate", spec_a: tuple[str, str], spec_b: tuple[str, str]) -> "Predicate":
+        return Predicate(f"{a.pid}+{b.pid}", [spec_a, spec_b])
+
+    @staticmethod
+    def from_id(pid: str) -> "Predicate":
+        parts = []
+        for piece in pid.split("+"):
+            name, field = piece.split("|", 1)
+            parts.append((name, field))
+        return Predicate(pid, parts)
+
+    def keys(self, record: dict[str, str]) -> tuple[str, ...]:
+        out: tuple[str, ...] | None = None
+        for fn, field in self.parts:
+            value = record.get(field) or ""
+            if value == MISSING or not value:
+                return ()
+            ks = fn(value)
+            if not ks:
+                return ()
+            if out is None:
+                out = ks
+            else:
+                out = tuple(f"{x}:{y}" for x in out for y in ks)
+        return out or ()
+
+    def keys_from_value(self, value: str) -> tuple[str, ...]:
+        """Simple-predicate fast path used by vectorized explode."""
+        assert len(self.parts) == 1
+        if value == MISSING or not value:
+            return ()
+        return self.parts[0][0](value)
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return f"Predicate({self.pid})"
+
+
+def default_predicate_pool(field_names: list[str]) -> list[Predicate]:
+    """All simple predicates × fields — the learner's candidate pool."""
+    return [Predicate.simple(p, f) for f in field_names for p in SIMPLE_PREDICATES]

@@ -1,0 +1,135 @@
+"""Pair scoring: record join + actor-pool scorer.
+
+Re-creates [lib: dedupe/core.py scoreDuplicates] (the reference's
+multiprocessing pool writing a memmapped score array) as a Ray Data actor
+pool: trained weights + field config load ONCE per actor in ``__init__``;
+``__call__`` computes vectorized feature matrices per Arrow batch and emits
+``(id_a, id_b, score: float32)``.
+
+The pair→record join (needed twice, once per pair side) has two strategies:
+
+- **broadcast** (default when the record table is small enough): the flat
+  record table is ``ray.put`` ONCE and every scorer actor builds a doc_id →
+  row-index hash map in ``__init__`` — the pairs stream through map_batches
+  with zero shuffle. This is the 100 TB-friendly path whenever the *record*
+  side fits in a node's object store (pairs may be arbitrarily large).
+- **shuffle join**: two ``Dataset.join`` hash joins on doc_id for record
+  tables too large to broadcast.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from dedupe_ray.config import EngineConfig
+from dedupe_ray.features import pair_features
+from dedupe_ray.learning import LogisticClassifier
+
+
+class Scorer:
+    """Actor-pool callable: (a_*, b_*) pair batches → scored edges."""
+
+    def __init__(self, model: dict, config: EngineConfig, idf_tables: dict | None = None):
+        self.clf = LogisticClassifier.from_dict(model)
+        self.config = config
+        self.idf_tables = idf_tables or {}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        X = pair_features(batch, self.config, self.idf_tables)
+        p = self.clf.predict_proba(X).astype(np.float32)
+        return pa.table(
+            {
+                "id_a": batch.column("id_a"),
+                "id_b": batch.column("id_b"),
+                "score": pa.array(p),
+            }
+        )
+
+
+class BroadcastPairAssembler:
+    """Actor-pool callable: (id_a, id_b) pairs → (id_a, id_b, a_*, b_*) via a
+    broadcast record table (ray.put once, hash-indexed per actor)."""
+
+    def __init__(self, records_ref, fields: list[str]):
+        tbl: pa.Table = ray.get(records_ref)
+        self.fields = fields
+        self.index = {d: i for i, d in enumerate(tbl.column("doc_id").to_pylist())}
+        self.cols = {f: np.asarray(tbl.column(f).to_pylist(), dtype=object) for f in fields}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ia = np.fromiter(
+            (self.index[d] for d in batch.column("id_a").to_pylist()), np.int64, len(batch)
+        )
+        ib = np.fromiter(
+            (self.index[d] for d in batch.column("id_b").to_pylist()), np.int64, len(batch)
+        )
+        data: dict[str, pa.Array] = {
+            "id_a": batch.column("id_a"),
+            "id_b": batch.column("id_b"),
+        }
+        for f in self.fields:
+            col = self.cols[f]
+            data[f"a_{f}"] = pa.array(col[ia], pa.string())
+            data[f"b_{f}"] = pa.array(col[ib], pa.string())
+        return pa.table(data)
+
+
+def assemble_pairs(
+    pairs_ds: "ray.data.Dataset",
+    flat_records_ds: "ray.data.Dataset",
+    fields: list[str],
+    broadcast_limit: int = 500_000,
+    batch_size: int = 4096,
+    concurrency=(1, 4),
+) -> "ray.data.Dataset":
+    """Join candidate pairs back to their records (both sides)."""
+    n_records = flat_records_ds.count()
+    if n_records <= broadcast_limit:
+        cols = ["doc_id"] + fields
+        tbl = pa.concat_tables(
+            [pa.Table.from_pandas(flat_records_ds.select_columns(cols).to_pandas())]
+        )
+        ref = ray.put(tbl)
+        return pairs_ds.map_batches(
+            BroadcastPairAssembler,
+            fn_constructor_args=(ref, fields),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency,
+        )
+    # shuffle-join path: rename record columns per side, two hash joins
+    def renamer(side: str):
+        def _fn(t: pa.Table) -> pa.Table:
+            data = {f"id_{side}": t.column("doc_id")}
+            for f in fields:
+                data[f"{side}_{f}"] = t.column(f)
+            return pa.table(data)
+
+        return _fn
+
+    a_side = flat_records_ds.map_batches(renamer("a"), batch_format="pyarrow")
+    b_side = flat_records_ds.map_batches(renamer("b"), batch_format="pyarrow")
+    num_partitions = max(32, n_records // 1_000_000)
+    joined = pairs_ds.join(a_side, join_type="inner", num_partitions=num_partitions, on=("id_a",))
+    return joined.join(b_side, join_type="inner", num_partitions=num_partitions, on=("id_b",))
+
+
+def score_pairs(
+    assembled_ds: "ray.data.Dataset",
+    model: dict,
+    config: EngineConfig,
+    idf_tables: dict | None = None,
+    batch_size: int = 4096,
+    concurrency=(1, 8),
+) -> "ray.data.Dataset":
+    return assembled_ds.map_batches(
+        Scorer,
+        fn_constructor_args=(model, config, idf_tables),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
