@@ -196,48 +196,23 @@ def features_for_pairs(
 
 @dataclass
 class ActiveLearner:
-    """Uncertainty-sampling active learner over a candidate pool.
+    """Uncertainty-sampling active learner over an explicit candidate pool.
 
-    Pool construction mirrors [lib] prepare_training: ~blocked_proportion of
-    candidates come from pairs sharing a predicate block on the sample, the
-    rest are random pairs.
+    The pool is built by the caller (RayDeduper.prepare_training) mirroring
+    [lib] prepare_training: ~blocked_proportion of candidates are pairs
+    sharing a predicate block *on the full dataset* (sampled via a Ray
+    blocking pass), the rest are random pairs.
     """
 
     config: EngineConfig
-    sample_records: dict[str, dict]
+    candidates: list[tuple[dict, dict]]
     seed: int = 42
-    candidates: list[tuple[dict, dict]] = dc_field(default_factory=list)
     labels: list[tuple[tuple[dict, dict], bool]] = dc_field(default_factory=list)
 
     def __post_init__(self) -> None:
-        rng = np.random.RandomState(self.seed)
-        ids = sorted(self.sample_records)
-        pool_pairs: set[tuple[str, str]] = set()
-        # blocked candidates from cheap simple predicates
-        for pred in default_predicate_pool(self.config.field_names()):
-            blocks = _coverage(pred, self.sample_records)
-            for members in blocks.values():
-                if 1 < len(members) <= 10:
-                    for a, b in combinations(sorted(members), 2):
-                        pool_pairs.add((a, b))
-            if len(pool_pairs) > self.config.sample_size * 2:
-                break
-        blocked = sorted(pool_pairs)
-        rng.shuffle(blocked)
-        n_blocked = int(self.config.sample_size * self.config.blocked_proportion)
-        chosen = blocked[:n_blocked]
-        n_random = self.config.sample_size - len(chosen)
-        for _ in range(n_random):
-            a, b = rng.choice(len(ids), 2, replace=False)
-            chosen.append((ids[min(a, b)], ids[max(a, b)]))
-        seen = set()
-        for a, b in chosen:
-            if (a, b) not in seen:
-                seen.add((a, b))
-                self.candidates.append((self.sample_records[a], self.sample_records[b]))
         self._X = features_for_pairs(self.candidates, self.config)
         self._clf = LogisticClassifier(self.config.l2_lambda)
-        self._rng = rng
+        self._rng = np.random.RandomState(self.seed)
 
     def _fit(self) -> None:
         if len({lbl for _, lbl in self.labels}) < 2:
@@ -248,17 +223,31 @@ class ActiveLearner:
 
     def uncertain_pairs(self) -> list[tuple[dict, dict]]:
         """Pop the most informative candidate (reference drain loop,
-        dedupe_script.py:295-304 — raises IndexError when exhausted)."""
+        dedupe_script.py:295-304 — raises IndexError when exhausted).
+
+        Queries round-robin over probability targets (0.5 → 0.85 → 0.15):
+        maximum-uncertainty, probable-match, hard-negative. Pure uncertainty
+        sampling on an imbalanced pool yields a one-sided label set — the
+        predicate learner then sees too few covered matches (or the
+        classifier too few hard negatives); the rotation plays the role of
+        dedupe's DisagreementLearner mixing the RLR learner with the blocking
+        learner [lib: dedupe/labeler.py]."""
         if not self.candidates:
             raise IndexError("no more candidates")
         if self._clf.weights is None:
-            # cold start: seed with the closest pair by mean distance (likely
-            # match) — mirrors RLRLearner's bootstrapped first query
+            # cold start (classifier needs one label of each class): query by
+            # raw mean distance — closest pair while a 'y' is missing, then
+            # farthest while an 'n' is missing — mirroring RLRLearner's
+            # bootstrapped first queries
             scores = self._X[:, : len(self.config.fields)].mean(axis=1)
-            i = int(np.argmin(scores))
+            have_y = any(lbl for _, lbl in self.labels)
+            i = int(np.argmax(scores)) if have_y else int(np.argmin(scores))
         else:
             p = self._clf.predict_proba(self._X)
-            i = int(np.argmin(np.abs(p - 0.5)))
+            targets = (0.5, 0.85, 0.15)
+            self._query_i = getattr(self, "_query_i", -1) + 1
+            t = targets[self._query_i % len(targets)]
+            i = int(np.argmin(np.abs(p - t)))
         pair = self.candidates.pop(i)
         self._X = np.delete(self._X, i, axis=0)
         return [pair]

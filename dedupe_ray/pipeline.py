@@ -23,6 +23,7 @@ import os
 import numpy as np
 import pyarrow as pa
 
+import ray
 import ray.data
 
 from dedupe_ray.blocking import candidate_pairs
@@ -63,6 +64,54 @@ def _clean_pair(pair: tuple[dict, dict], fields: list[str]) -> tuple[dict, dict]
     )  # type: ignore[return-value]
 
 
+def _sample_blocked_pairs(
+    flat_ds: "ray.data.Dataset", fields: list[str], n_target: int, map_batch_size: int
+) -> list[tuple[str, str]]:
+    """Sample candidate pairs that share a cheap predicate block, from the
+    full dataset. Per block only ADJACENT sorted-id pairs (+ first/last) are
+    emitted — O(n) per block, enough for a training sample; blocks larger
+    than 100 members are skipped as non-discriminative."""
+    from dedupe_ray.blocking import make_block_explode_stage
+
+    sampling_preds = [f"tok1|{f}" for f in fields] + [f"whole|{f}" for f in fields]
+    blocked = flat_ds.map_batches(
+        make_block_explode_stage(sampling_preds),
+        batch_format="pyarrow",
+        batch_size=map_batch_size,
+    )
+
+    def emit_adjacent(group: pa.Table) -> pa.Table:
+        ids = sorted(set(group.column("doc_id").to_pylist()))
+        empty = pa.table(
+            {"id_a": pa.array([], pa.string()), "id_b": pa.array([], pa.string()),
+             "bsize": pa.array([], pa.int32())}
+        )
+        if len(ids) < 2 or len(ids) > 100:
+            return empty
+        a = list(ids[:-1]) + [ids[0]]
+        b = list(ids[1:]) + [ids[-1]]
+        return pa.table(
+            {"id_a": pa.array(a, pa.string()), "id_b": pa.array(b, pa.string()),
+             "bsize": pa.array([len(ids)] * len(a), pa.int32())}
+        )
+
+    raw = blocked.groupby("block_key").map_groups(emit_adjacent, batch_format="pyarrow")
+    # smallest blocks first: a 2-member whole-field block is the strongest
+    # duplicate signal; huge first-token blocks are mostly noise — this keeps
+    # the labeling pool rich in true matches at any corpus size
+    raw = raw.sort("bsize")
+    out: list[tuple[str, str]] = []
+    seen: set[tuple[str, str]] = set()
+    for r in raw.limit(n_target * 3).take(n_target * 3):
+        p = (r["id_a"], r["id_b"]) if r["id_a"] < r["id_b"] else (r["id_b"], r["id_a"])
+        if p not in seen:
+            seen.add(p)
+            out.append(p)
+            if len(out) >= n_target:
+                break
+    return out
+
+
 class RayDeduper:
     """Driver-side façade holding config, labels, and the trained model."""
 
@@ -77,14 +126,68 @@ class RayDeduper:
     # ---- training ---------------------------------------------------------
 
     def prepare_training(self, flat_ds: "ray.data.Dataset") -> None:
-        """Head-N sample (reference: all_data.head(400), dedupe_script.py:254)
-        → driver-side active learner over blocked+random candidates."""
+        """Build the active-learning candidate pool.
+
+        Mirrors [lib] prepare_training(sample_size≈1500, blocked_proportion=.9)
+        — ~90% of candidates are pairs sharing a cheap predicate block **on
+        the full dataset** (a Ray blocking pass; a head-N sample alone would
+        almost never contain both members of a duplicate pair once the corpus
+        outgrows the sample), ~10% are random pairs. The reference app's
+        head-400 restriction (dedupe_script.py:254) is reproduced only for
+        the uniform record sample used for predicate cost estimation."""
         fields = self.config.field_names()
-        rows = flat_ds.limit(self.config.max_training_rows).take(self.config.max_training_rows)
-        self._sample_records = {
-            r["doc_id"]: {f: (r.get(f) or "") for f in fields} for r in rows
-        }
-        self._learner = ActiveLearner(self.config, self._sample_records, seed=self.config.seed)
+        cfg = self.config
+        total = flat_ds.count()
+
+        # uniform record sample (predicate cost estimation + random pairs)
+        frac = min(1.0, (cfg.max_training_rows * 1.5) / max(total, 1))
+        rows = (
+            flat_ds.random_sample(frac, seed=cfg.seed)
+            .limit(cfg.max_training_rows)
+            .take(cfg.max_training_rows)
+        )
+        # records keep their doc_id (non-feature key) so scripted/oracle
+        # labelers can identify them; predicates/features only read config fields
+        def _rec(r: dict) -> dict:
+            return {"doc_id": r["doc_id"], **{f: (r.get(f) or "") for f in fields}}
+
+        self._sample_records = {r["doc_id"]: _rec(r) for r in rows}
+
+        # blocked pair sample over the FULL dataset
+        n_blocked = int(cfg.sample_size * cfg.blocked_proportion)
+        pair_ids = _sample_blocked_pairs(flat_ds, fields, n_blocked, cfg.map_batch_size)
+
+        # fetch the records behind the sampled pairs (bounded ≤ 2·n_blocked)
+        need = {i for p in pair_ids for i in p} - set(self._sample_records)
+        records = dict(self._sample_records)
+        if need:
+            need_ref = ray.put(need)
+
+            def pick(batch: pa.Table) -> pa.Table:
+                wanted = ray.get(need_ref)
+                mask = pa.array([d in wanted for d in batch.column("doc_id").to_pylist()])
+                return batch.filter(mask)
+
+            for r in flat_ds.map_batches(pick, batch_format="pyarrow").take_all():
+                records[r["doc_id"]] = _rec(r)
+
+        candidates = [
+            (records[a], records[b]) for a, b in pair_ids if a in records and b in records
+        ]
+        # random-pair remainder from the uniform sample
+        rng = np.random.RandomState(cfg.seed)
+        ids = sorted(self._sample_records)
+        seen = set(pair_ids)
+        n_random = max(0, cfg.sample_size - len(candidates))
+        for _ in range(n_random):
+            if len(ids) < 2:
+                break
+            i, j = rng.choice(len(ids), 2, replace=False)
+            a, b = min(ids[i], ids[j]), max(ids[i], ids[j])
+            if (a, b) not in seen:
+                seen.add((a, b))
+                candidates.append((records[a], records[b]))
+        self._learner = ActiveLearner(self.config, candidates, seed=cfg.seed)
 
     def uncertain_pairs(self) -> list[tuple[dict, dict]]:
         assert self._learner is not None, "call prepare_training first"
@@ -196,6 +299,37 @@ class RayDeduper:
         )
 
 
+def active_label_loop(
+    deduper: RayDeduper,
+    is_match,
+    max_pairs: int | None = None,
+    min_matches: int = 2,
+    min_distincts: int = 2,
+) -> int:
+    """Drain ``uncertain_pairs()`` labeling each via ``is_match(rec_a, rec_b)``
+    — the reference's active-learning protocol (dedupe_script.py:295-311 +
+    the UI gates of page.tsx:368-369: ≥2 yes, ≥2 no; pair budget
+    max_training_pairs=100, main.py:108). ``is_match`` may be a human prompt
+    or a truth oracle in tests. Returns the number of labeled pairs."""
+    if max_pairs is None:
+        max_pairs = deduper.config.max_training_pairs
+    n = n_y = n_n = 0
+    while n < max_pairs or n_y < min_matches or n_n < min_distincts:
+        try:
+            pair = deduper.uncertain_pairs()[0]
+        except IndexError:
+            break
+        lbl = bool(is_match(pair[0], pair[1]))
+        deduper._learner.mark(pair, lbl)
+        deduper.labeled.append((pair, lbl))
+        n += 1
+        n_y += int(lbl)
+        n_n += int(not lbl)
+        if n > max_pairs * 3:  # safety against an exhausted-but-one-sided pool
+            break
+    return n
+
+
 def summarize_clusters(clusters_ds: "ray.data.Dataset") -> "ray.data.Dataset":
     """Cluster stats (A15) sorted by confidence desc (A16):
     (cluster_id, group_size, confidence_score)."""
@@ -210,28 +344,36 @@ def summarize_clusters(clusters_ds: "ray.data.Dataset") -> "ray.data.Dataset":
 
 def dedupe_documents(
     docs_ds: "ray.data.Dataset",
-    labeled_pairs: list[tuple[dict, dict, str]],
+    labeled_pairs: list[tuple[dict, dict, str]] | None = None,
     threshold: float = 0.5,
     config: EngineConfig | None = None,
     field_names: list[str] | None = None,
+    label_oracle=None,
 ) -> tuple["ray.data.Dataset", RayDeduper]:
-    """One-call scripted pipeline: span docs + labeled pairs → clusters.
+    """One-call scripted pipeline: span docs + labels → clusters.
 
-    labeled_pairs entries are (record_a, record_b, 'y'|'n') — the reference
-    training format (FIXTURES.md §3); 'u' entries are dropped (page.tsx:253).
+    Labels come either as fixed ``labeled_pairs`` entries
+    (record_a, record_b, 'y'|'n') — the reference training format
+    (FIXTURES.md §3; 'u' entries dropped, page.tsx:253) — or via
+    ``label_oracle(rec_a, rec_b) → bool`` driving the active-learning drain
+    loop (the reference's interactive path, scripted).
     """
     flat, field_names = flatten_documents(docs_ds, field_names)
+    flat = flat.materialize()  # reused by the training pass and partition
     if config is None:
         config = EngineConfig.auto_detect(field_names)
         config.similarity_threshold = threshold
     deduper = RayDeduper(config)
     deduper.prepare_training(flat)
-    deduper.mark_pairs(
-        {
-            "match": [(a, b) for a, b, ans in labeled_pairs if ans == "y"],
-            "distinct": [(a, b) for a, b, ans in labeled_pairs if ans == "n"],
-        }
-    )
+    if labeled_pairs:
+        deduper.mark_pairs(
+            {
+                "match": [(a, b) for a, b, ans in labeled_pairs if ans == "y"],
+                "distinct": [(a, b) for a, b, ans in labeled_pairs if ans == "n"],
+            }
+        )
+    if label_oracle is not None:
+        active_label_loop(deduper, label_oracle)
     deduper.train()
     clusters = deduper.partition(flat, threshold)
     return clusters, deduper
