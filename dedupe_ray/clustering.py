@@ -105,40 +105,57 @@ def connected_components(
 
 def _components_distributed(edges_ds: "ray.data.Dataset") -> "ray.data.Dataset":
     """Min-label propagation: labels[v] = min(labels of neighbors ∪ self),
-    iterated to fixpoint. Each round: join(edges, labels) + groupby-min.
-    Rounds needed ≈ graph diameter (small for dedup graphs); convergence is
+    iterated to fixpoint — the "iterated union-find over scored-edge
+    partitions" path for edge sets too large for the driver.
+
+    Pure groupby message-passing (no join): each round unions the static
+    bidirectional edge list with the current label table, groups by node to
+    emit the node's label to every neighbor, then min-aggregates messages per
+    node. Two hash shuffles per round, O(graph diameter) rounds; convergence
     detected via a label checksum aggregate."""
 
     def bidir(batch: pa.Table) -> pa.Table:
+        a = batch.column("id_a").combine_chunks()
+        b = batch.column("id_b").combine_chunks()
+        n2 = len(a) * 2
         return pa.table(
             {
-                "node": pa.concat_arrays(
-                    [batch.column("id_a").combine_chunks(), batch.column("id_b").combine_chunks()]
-                ),
-                "nbr": pa.concat_arrays(
-                    [batch.column("id_b").combine_chunks(), batch.column("id_a").combine_chunks()]
-                ),
+                "node": pa.concat_arrays([a, b]),
+                "other": pa.concat_arrays([b, a]),
+                "is_label": pa.array(np.zeros(n2, np.int8)),
             }
         )
 
-    edges_bidir = edges_ds.select_columns(["id_a", "id_b"]).map_batches(
-        bidir, batch_format="pyarrow"
-    ).materialize()
-
-    labels = (
-        edges_bidir.groupby("node")
-        .min("nbr")
-        .map_batches(
-            lambda t: pa.table(
-                {
-                    "node": t.column("node"),
-                    "label": pa.compute.min_element_wise(t.column("min(nbr)"), t.column("node")),
-                }
-            ),
-            batch_format="pyarrow",
-        )
+    edges_bidir = (
+        edges_ds.select_columns(["id_a", "id_b"])
+        .map_batches(bidir, batch_format="pyarrow")
         .materialize()
     )
+
+    # initial labels: own id (the first groupby round min-folds neighbors in)
+    labels = edges_bidir.map_batches(
+        lambda t: pa.table(
+            {
+                "node": t.column("node"),
+                "other": t.column("node"),
+                "is_label": pa.array(np.ones(len(t), np.int8)),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    def propagate(group: pa.Table) -> pa.Table:
+        is_lbl = group.column("is_label").to_numpy(zero_copy_only=False)
+        others = group.column("other").to_pylist()
+        lbl = min(o for o, il in zip(others, is_lbl) if il)
+        node = group.column("node")[0].as_py()
+        out_nodes = [o for o, il in zip(others, is_lbl) if not il] + [node]
+        return pa.table(
+            {
+                "node": pa.array(out_nodes, pa.string()),
+                "cand": pa.array([lbl] * len(out_nodes), pa.string()),
+            }
+        )
 
     def checksum(ds: "ray.data.Dataset") -> int:
         import zlib
@@ -146,7 +163,9 @@ def _components_distributed(edges_ds: "ray.data.Dataset") -> "ray.data.Dataset":
         def h(batch: pa.Table) -> pa.Table:
             vals = [
                 zlib.crc32(f"{n}\x1f{l}".encode())
-                for n, l in zip(batch.column("node").to_pylist(), batch.column("label").to_pylist())
+                for n, l in zip(
+                    batch.column("node").to_pylist(), batch.column("other").to_pylist()
+                )
             ]
             return pa.table({"h": pa.array(vals, pa.int64())})
 
@@ -154,29 +173,31 @@ def _components_distributed(edges_ds: "ray.data.Dataset") -> "ray.data.Dataset":
 
     prev = checksum(labels)
     for _ in range(64):  # diameter backstop
-        # propagate: neighbor labels flow along edges
-        msgs = edges_bidir.join(
-            labels, join_type="inner", num_partitions=16, on=("node",)
-        ).map_batches(
-            lambda t: pa.table({"node": t.column("nbr"), "label": t.column("label")}),
-            batch_format="pyarrow",
-        )
-        labels = (
-            msgs.union(labels)
+        new_labels = (
+            edges_bidir.union(labels)
             .groupby("node")
-            .min("label")
+            .map_groups(propagate, batch_format="pyarrow")
+            .groupby("node")
+            .min("cand")
             .map_batches(
-                lambda t: pa.table({"node": t.column("node"), "label": t.column("min(label)")}),
+                lambda t: pa.table(
+                    {
+                        "node": t.column("node"),
+                        "other": t.column("min(cand)"),
+                        "is_label": pa.array(np.ones(len(t), np.int8)),
+                    }
+                ),
                 batch_format="pyarrow",
             )
             .materialize()
         )
+        labels = new_labels
         cur = checksum(labels)
         if cur == prev:
             break
         prev = cur
     return labels.map_batches(
-        lambda t: pa.table({"doc_id": t.column("node"), "component_id": t.column("label")}),
+        lambda t: pa.table({"doc_id": t.column("node"), "component_id": t.column("other")}),
         batch_format="pyarrow",
     )
 

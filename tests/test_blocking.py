@@ -1,0 +1,56 @@
+"""Blocking conformance: Ray candidate pairs == brute-force oracle pairs."""
+
+import pyarrow as pa
+import ray.data as rd
+
+from dedupe_ray.blocking import brute_force_pairs, candidate_pairs
+from dedupe_ray.fixtures import KNA_FIELDS
+from dedupe_ray.pipeline import flatten_documents
+
+PREDICATES = ["whole|Postal Code", "tok1|Name 1", "start3|City+firstint|Postal Code"]
+
+
+def _flat_records(small_corpus):
+    docs, _ = small_corpus
+    ds = rd.from_arrow(docs)
+    flat, _ = flatten_documents(ds, KNA_FIELDS)
+    return flat.materialize()
+
+
+def test_pairs_match_brute_force(small_corpus):
+    flat = _flat_records(small_corpus)
+    records = flat.take_all()
+    want = brute_force_pairs(records, PREDICATES)
+    pairs_ds, oversized = candidate_pairs(flat, PREDICATES, max_block_size=4096)
+    got = {(r["id_a"], r["id_b"]) for r in pairs_ds.take_all()}
+    assert got == want
+    assert oversized.count() == 0
+
+
+def test_pairs_are_canonical_and_distinct(small_corpus):
+    flat = _flat_records(small_corpus)
+    pairs_ds, _ = candidate_pairs(flat, PREDICATES, max_block_size=4096)
+    rows = pairs_ds.take_all()
+    seen = set()
+    for r in rows:
+        assert r["id_a"] < r["id_b"]
+        assert (r["id_a"], r["id_b"]) not in seen
+        seen.add((r["id_a"], r["id_b"]))
+
+
+def test_oversized_blocks_are_dropped_and_reported(small_corpus):
+    flat = _flat_records(small_corpus)
+    # Country has ~2 distinct values over 1000 rows → every block oversized at cap 50
+    pairs_ds, oversized = candidate_pairs(flat, ["whole|Country"], max_block_size=50)
+    assert pairs_ds.count() == 0
+    assert oversized.count() > 0
+
+
+def test_invariant_under_repartitioning(small_corpus):
+    flat = _flat_records(small_corpus)
+    base, _ = candidate_pairs(flat, PREDICATES, max_block_size=4096)
+    base_set = {(r["id_a"], r["id_b"]) for r in base.take_all()}
+    for k in (1, 7, 32):
+        again, _ = candidate_pairs(flat.repartition(k), PREDICATES, max_block_size=4096)
+        got = {(r["id_a"], r["id_b"]) for r in again.take_all()}
+        assert got == base_set, f"pair set changed at {k} partitions"

@@ -1,0 +1,122 @@
+"""Distance kernels: batched affine gap vs a frozen naive reference, plus
+golden values (FIXTURES.md §6) and the other comparators."""
+
+import math
+
+import numpy as np
+import pytest
+
+from dedupe_ray.distances import (
+    ABBREV_SCALE,
+    GAP_OPEN,
+    MATCH,
+    MISMATCH,
+    SPACE,
+    affine_gap,
+    affine_gap_batch,
+    datetime_distance_batch,
+    exact_distance_batch,
+    price_distance_batch,
+    tfidf_cosine_batch,
+)
+
+
+def naive_affine_gap(a: str, b: str) -> float:
+    """Frozen scalar reference of the documented spec (match=1, mismatch=11,
+    gap open=10, space=7, trailing-gap abbreviation ×0.125, normalized by
+    len(a)+len(b); identical → 0.5)."""
+    if a == b:
+        return 0.5 if a else 0.0
+    if len(a) < len(b):
+        a, b = b, a
+    la, lb = len(a), len(b)
+    if lb == 0:
+        return (GAP_OPEN + SPACE * la) / max(la, 1)
+    INF = float("inf")
+    M = [[INF] * (lb + 1) for _ in range(la + 1)]
+    I = [[INF] * (lb + 1) for _ in range(la + 1)]
+    D = [[INF] * (lb + 1) for _ in range(la + 1)]
+    M[0][0] = 0.0
+    for j in range(1, lb + 1):
+        I[0][j] = GAP_OPEN + SPACE * j
+    abbrev = INF
+    for i in range(1, la + 1):
+        bp = min(M[i - 1][lb], I[i - 1][lb], D[i - 1][lb])
+        if la > i - 1:
+            abbrev = min(abbrev, bp + GAP_OPEN + SPACE * ABBREV_SCALE * (la - (i - 1)))
+        for j in range(0, lb + 1):
+            D[i][j] = min(M[i - 1][j] + GAP_OPEN + SPACE, D[i - 1][j] + SPACE)
+            if j >= 1:
+                sub = MATCH if a[i - 1] == b[j - 1] else MISMATCH
+                M[i][j] = min(M[i - 1][j - 1], I[i - 1][j - 1], D[i - 1][j - 1]) + sub
+                I[i][j] = min(M[i][j - 1] + GAP_OPEN + SPACE, I[i][j - 1] + SPACE)
+    return min(M[la][lb], I[la][lb], D[la][lb], abbrev) / (la + lb)
+
+
+GOLDEN = [
+    ("hello", "hello", 0.5),  # identical → match·n/(2n)
+    ("", "", 0.0),
+    ("a", "a", 0.5),
+    ("ab", "ba", (MISMATCH * 2) / 4),  # two substitutions
+]
+
+
+def test_golden_values():
+    for a, b, want in GOLDEN:
+        assert affine_gap(a, b) == pytest.approx(want, abs=1e-5), (a, b)
+
+
+def test_transposition_and_abbreviation():
+    # rietz/reitz: 3 matches + 2 mismatches = 25 / 10
+    assert affine_gap("rietz", "reitz") == pytest.approx(2.5, abs=1e-5)
+    # univ vs university: 4 matches + discounted trailing gap
+    want = naive_affine_gap("univ", "university")
+    assert affine_gap("univ", "university") == pytest.approx(want, abs=1e-4)
+    # abbreviation must be cheaper than an interior gap of the same length
+    assert affine_gap("univ", "university") < affine_gap("sity", "university")
+
+
+def test_batch_matches_naive_fuzz():
+    import random
+
+    rng = random.Random(3)
+    tests = []
+    for _ in range(400):
+        a = "".join(rng.choice("abcd ef") for _ in range(rng.randint(0, 15)))
+        b = "".join(rng.choice("abcd ef") for _ in range(rng.randint(0, 15)))
+        tests.append((a, b))
+    got = affine_gap_batch([t[0] for t in tests], [t[1] for t in tests])
+    for (a, b), g in zip(tests, got):
+        assert g == pytest.approx(naive_affine_gap(a, b), abs=1e-4), (a, b)
+
+
+def test_symmetry():
+    pairs = [("kraków", "krakow"), ("abc", "xyzabc"), ("", "q")]
+    fwd = affine_gap_batch([p[0] for p in pairs], [p[1] for p in pairs])
+    rev = affine_gap_batch([p[1] for p in pairs], [p[0] for p in pairs])
+    np.testing.assert_allclose(fwd, rev, atol=1e-6)
+
+
+def test_price_distance():
+    d = price_distance_batch(["100", "10", "x"], ["1000", "10", "5"])
+    assert d[0] == pytest.approx(1.0, abs=1e-5)  # |log10 100 - log10 1000|
+    assert d[1] == pytest.approx(0.0, abs=1e-6)
+    assert math.isnan(d[2])
+
+
+def test_exact_distance():
+    d = exact_distance_batch(["a", "b"], ["a", "c"])
+    assert d.tolist() == [1.0, 0.0]
+
+
+def test_datetime_distance():
+    d = datetime_distance_batch(["2020-01-01", "01.02.2020"], ["2020-01-11", "01.02.2020"])
+    assert d[0] == pytest.approx(math.log1p(10), abs=1e-5)
+    assert d[1] == pytest.approx(0.0, abs=1e-6)
+
+
+def test_tfidf_cosine():
+    idf = {"acme": 3.0, "gmbh": 0.1}
+    sim = tfidf_cosine_batch(["acme gmbh", "acme"], ["acme", "gmbh"], idf, 1.0)
+    assert sim[0] > 0.9  # heavy shared token dominates
+    assert sim[1] == 0.0
