@@ -1,16 +1,13 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship entity-resolution pipeline on the sf0.001
+deterministic KNA span-document corpus. ``queries()`` exposes one callable
+per implemented operator family (SURVEY.md §2); ``oracle_sql()`` gives the
+DuckDB-equivalent SQL for every SQL-expressible one (same column names, so
+the driver's order-insensitive value-hash comparison can match).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in dedupe_ray) calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
@@ -18,27 +15,495 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+
+
+def _sf_of(sf_dir: str) -> float:
+    import re
+
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else 0.01
+
+
+def _corpus_size(sf_dir: str) -> int:
+    # deterministic KNA corpus sizing per scale factor
+    return {0.001: 500, 0.01: 2000, 0.1: 20000}.get(_sf_of(sf_dir), 2000)
+
+
+def _kna_dataset(sf_dir: str):
+    import ray.data as rd
+
+    from dedupe_ray.fixtures import corpus_paths
+
+    docs_path, truth_path = corpus_paths(_corpus_size(sf_dir), seed=42)
+    return rd.read_parquet(docs_path), truth_path
+
+
+def _read(sf_dir: str, table: str, columns: list[str] | None = None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: full learnable ER pipeline on the sf0.001-scale corpus —
+    span docs → preprocess/extract → active-learning training (truth oracle)
+    → blocking → scoring → clustering. Returns cluster membership."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from dedupe_ray.eval import truth_assignment
+    from dedupe_ray.fixtures import corpus_paths
+    from dedupe_ray.pipeline import dedupe_documents
+
+    docs_path, truth_path = corpus_paths(500, seed=42)
+    truth = pq.read_table(truth_path)
+    ta = truth_assignment(truth)
+    ds = rd.read_parquet(docs_path)
+    clusters, _ = dedupe_documents(
+        ds, threshold=0.25, label_oracle=lambda a, b: ta[a["doc_id"]] == ta[b["doc_id"]]
+    )
+    return clusters
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def _q_er_clusters(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    from dedupe_ray.eval import truth_assignment
+    from dedupe_ray.pipeline import dedupe_documents
+
+    ds, truth_path = _kna_dataset(sf_dir)
+    ta = truth_assignment(pq.read_table(truth_path))
+    clusters, _ = dedupe_documents(
+        ds, threshold=0.25, label_oracle=lambda a, b: ta[a["doc_id"]] == ta[b["doc_id"]]
+    )
+    return clusters
+
+
+def _q_er_summary(sf_dir: str):
+    from dedupe_ray.pipeline import summarize_clusters
+
+    return summarize_clusters(_q_er_clusters(sf_dir))
+
+
+def _q_blocking_pairs(sf_dir: str):
+    import pyarrow.compute as pc
+
+    from dedupe_ray.blocking import candidate_pairs
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey", "c_mktsegment"])
+
+    def to_flat(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pc.cast(b.column("c_custkey"), pa.string()),
+                "nation": pc.cast(b.column("c_nationkey"), pa.string()),
+                "segment": pc.cast(b.column("c_mktsegment"), pa.string()),
+            }
+        )
+
+    flat = cust.map_batches(to_flat, batch_format="pyarrow")
+    pairs, _ = candidate_pairs(
+        flat, ["whole|nation+whole|segment"], max_block_size=100_000
+    )
+    return pairs
+
+
+def _q_preprocess(sf_dir: str):
+    from dedupe_ray.preprocess import preprocess_array
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def norm(b: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": b.column("doc_id"), "clean_text": preprocess_array(b.column("text"))})
+
+    return docs.map_batches(norm, batch_format="pyarrow")
+
+
+def _q_exact_dedup(sf_dir: str):
+    from dedupe_ray.ops.dedup import exact_dedup
+
+    ev = _read(sf_dir, "events", ["event_id", "event_type", "props"])
+    deduped = exact_dedup(ev, column="props", id_column="event_id")
+    return deduped.select_columns(["event_id", "event_type", "props"])
+
+
+def _q_token_stats(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+
+    from dedupe_ray.ops.text import token_count_batch
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+    counted = docs.map_batches(lambda b: token_count_batch(b, "whitespace"), batch_format="pyarrow")
+    out = counted.groupby("lang").aggregate(
+        Count(alias_name="docs"), Sum("n_tokens", alias_name="tokens")
+    )
+    return out
+
+
+def _q_text_stats(sf_dir: str):
+    from dedupe_ray.ops.text import text_stats
+
+    docs = _read(sf_dir, "documents", ["lang", "source", "n_chars"])
+    return text_stats(docs)
+
+
+def _q_q1(sf_dir: str):
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Mean, Sum
+
+    li = _read(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def revenue(b: pa.Table) -> pa.Table:
+        keep = pc.less_equal(b.column("l_shipdate"), pa.scalar(np.datetime64("1998-09-02", "us")))
+        b = b.filter(keep)
+        rev = pc.multiply(b.column("l_extendedprice"), pc.subtract(pa.scalar(1.0), b.column("l_discount")))
+        return b.append_column("revenue", rev)
+
+    return (
+        li.map_batches(revenue, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("revenue", alias_name="sum_revenue"),
+            Mean("l_discount", alias_name="avg_disc"),
+            Count(alias_name="count_order"),
+        )
+    )
+
+
+def _q_top_orders(sf_dir: str):
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    return orders.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
+
+
+def _q_customer_order_counts(sf_dir: str):
+    """Hash join (Dataset.join) + aggregate: orders per customer with name."""
+    from ray.data.aggregate import Count, Sum
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    per_cust = orders.groupby("o_custkey").aggregate(
+        Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="total_spent")
+    )
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    joined = per_cust.join(
+        cust,
+        join_type="inner",
+        num_partitions=8,
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
+    return joined.select_columns(["c_name", "n_orders", "total_spent"])
+
+
+def _q_anti_join(sf_dir: str):
+    """Customers with no large (>400k) order — broadcast anti-join."""
+    import ray
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).filter(
+        expr="o_totalprice > 400000"
+    )
+    have = set(orders.unique("o_custkey"))
+    ref = ray.put(have)
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal"])
+
+    def anti(b: pa.Table) -> pa.Table:
+        ids = ray.get(ref)
+        mask = pa.array([v not in ids for v in b.column("c_custkey").to_pylist()])
+        return b.filter(mask)
+
+    return cust.map_batches(anti, batch_format="pyarrow")
+
+
+def _q_union_mapped(sf_dir: str):
+    """Column-mapped two-dataset union (A20 semantics) on customer+supplier."""
+    from dedupe_ray.ops.tabular import column_mapped_union
+
+    cust = _read(sf_dir, "customer", ["c_name", "c_mktsegment"])
+    supp = _read(sf_dir, "supplier", ["s_name"])
+    merged = column_mapped_union(
+        cust, supp, {"s_name": "c_name"}, ("customer", "supplier")
+    )
+    return merged
+
+
+def _q_semi_join_heavy_users(sf_dir: str):
+    """Events of users with ≥ 10 events — broadcast semi-join."""
+    import ray
+    from ray.data.aggregate import Count
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "value"])
+    counts = ev.groupby("user_id").aggregate(Count(alias_name="n"))
+    heavy = {r["user_id"] for r in counts.filter(expr="n >= 10").take_all()}
+    ref = ray.put(heavy)
+
+    def semi(b: pa.Table) -> pa.Table:
+        ids = ray.get(ref)
+        mask = pa.array([v in ids for v in b.column("user_id").to_pylist()])
+        return b.filter(mask)
+
+    return ev.map_batches(semi, batch_format="pyarrow")
+
+
+def _q_events_hourly(sf_dir: str):
+    """Tumbling-window aggregate: per (event_type, hour) count + sum(value).
+    Pre-aggregated per batch (combiner), then a small groupby."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    ev = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def partials(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        df["hour"] = df["ts"].dt.floor("h").dt.strftime("%Y-%m-%d %H:%M:%S")
+        g = df.groupby(["event_type", "hour"], as_index=False).agg(
+            n=("value", "size"), value_sum=("value", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    part = ev.map_batches(partials, batch_format="pyarrow")
+    return part.groupby(["event_type", "hour"]).aggregate(
+        Sum("n", alias_name="n"), Sum("value_sum", alias_name="value_sum")
+    )
+
+
+def _q_doc_preview(sf_dir: str):
+    docs = _read(sf_dir, "documents")
+    return docs.sort("doc_id").limit(6)
+
+
+def _q_ann_topk(sf_dir: str):
+    from dedupe_ray.ops.embedding import brute_force_topk
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qrows = emb.filter(expr="vec_id < 3").take(3)
+    queries_m = np.stack([np.asarray(r["embedding"], np.float64) for r in sorted(qrows, key=lambda r: r["vec_id"])])
+    out = brute_force_topk(emb, queries_m, k=10)
+    return out.select(["query_id", "vec_id", "rank"])
+
+
+def _q_embedding_near_dup(sf_dir: str):
+    """Plant deterministic near-duplicate vectors (tiny perturbations of the
+    first 20 embeddings, re-keyed +100000), then recover them by
+    centroid-bucketed cosine search."""
+    import ray.data as rd
+
+    from dedupe_ray.ops.embedding import embedding_near_dup_pairs
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    base = emb.filter(expr="vec_id < 20").take(20)
+    rng = np.random.RandomState(7)
+    rows = []
+    for r in base:
+        v = np.asarray(r["embedding"], np.float32)
+        v = v + rng.normal(0, 0.01 * np.abs(v).mean(), size=v.shape).astype(np.float32)
+        rows.append({"vec_id": r["vec_id"] + 100000, "embedding": v.tolist()})
+    planted = rd.from_pandas(__import__("pandas").DataFrame(rows))
+
+    def fix_types(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "vec_id": pc.cast(b.column("vec_id"), pa.int64()),
+                "embedding": pc.cast(b.column("embedding"), pa.list_(pa.float32())),
+            }
+        )
+
+    both = emb.map_batches(fix_types, batch_format="pyarrow").union(
+        planted.map_batches(fix_types, batch_format="pyarrow")
+    )
+    return embedding_near_dup_pairs(both, cosine_threshold=0.98, n_centroids=8)
+
+
+def _q_minhash_pairs(sf_dir: str):
+    from dedupe_ray.ops.dedup import minhash_lsh_pairs
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        lambda b: pa.table(
+            {"doc_id": pa.compute.cast(b.column("doc_id"), pa.string()), "text": b.column("text")}
+        ),
+        batch_format="pyarrow",
+    )
+    return minhash_lsh_pairs(docs, jaccard_threshold=0.5)
+
+
+def _q_simhash_pairs(sf_dir: str):
+    from dedupe_ray.ops.dedup import simhash_pairs
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        lambda b: pa.table(
+            {"doc_id": pa.compute.cast(b.column("doc_id"), pa.string()), "text": b.column("text")}
+        ),
+        batch_format="pyarrow",
+    )
+    return simhash_pairs(docs, max_hamming=6)
+
+
+def _q_quality_langid(sf_dir: str):
+    from dedupe_ray.ops.text import LanguageId, QualityScore
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = docs.map_batches(LanguageId, batch_format="pyarrow", concurrency=(1, 2))
+    out = out.map_batches(QualityScore, batch_format="pyarrow", concurrency=(1, 2))
+    return out.select_columns(["doc_id", "lang_pred", "q_n_words", "quality_score"])
+
+
+def _q_media_features(sf_dir: str):
+    from dedupe_ray.ops.multimodal import media_feature_pipeline
+
+    ds, _ = _kna_dataset(sf_dir)
+    return media_feature_pipeline(ds, fake_decode=True)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "er_clusters": _q_er_clusters,
+        "er_cluster_summary": _q_er_summary,
+        "blocking_pairs": _q_blocking_pairs,
+        "preprocess_normalize": _q_preprocess,
+        "exact_dedup_events": _q_exact_dedup,
+        "token_stats": _q_token_stats,
+        "text_stats": _q_text_stats,
+        "lineitem_q1": _q_q1,
+        "top_orders": _q_top_orders,
+        "customer_order_counts": _q_customer_order_counts,
+        "anti_join_customers": _q_anti_join,
+        "union_mapped": _q_union_mapped,
+        "semi_join_heavy_users": _q_semi_join_heavy_users,
+        "events_hourly": _q_events_hourly,
+        "doc_preview": _q_doc_preview,
+        "ann_topk": _q_ann_topk,
+        "embedding_near_dup": _q_embedding_near_dup,
+        "minhash_pairs": _q_minhash_pairs,
+        "simhash_pairs": _q_simhash_pairs,
+        "quality_langid": _q_quality_langid,
+        "media_features": _q_media_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    preprocess_expr = (
+        "CASE WHEN t6 = '' OR t6 = 'nan' THEN 'N/A' ELSE t6 END"
+    )
+    return {
+        "blocking_pairs": """
+            WITH c AS (
+                SELECT CAST(c_custkey AS VARCHAR) AS id,
+                       c_nationkey, c_mktsegment
+                FROM customer
+            )
+            SELECT a.id AS id_a, b.id AS id_b
+            FROM c a JOIN c b
+              ON a.c_nationkey = b.c_nationkey
+             AND a.c_mktsegment = b.c_mktsegment
+             AND a.id < b.id
+        """,
+        "preprocess_normalize": f"""
+            WITH s AS (
+                SELECT doc_id,
+                       trim(lower(trim(trim(trim(replace(regexp_replace(text, '  +', ' ', 'g'), chr(10), ' ')), '"'), ''''))) AS t6
+                FROM documents
+            )
+            SELECT doc_id, {preprocess_expr} AS clean_text FROM s
+        """,
+        "exact_dedup_events": """
+            SELECT arg_min(event_id, event_id) AS event_id,
+                   arg_min(event_type, event_id) AS event_type,
+                   props
+            FROM events GROUP BY props
+        """,
+        "token_stats": """
+            SELECT lang,
+                   count(*) AS docs,
+                   sum(len(regexp_split_to_array(text, '\\s+'))) AS tokens
+            FROM documents GROUP BY lang
+        """,
+        "text_stats": """
+            SELECT lang, source, count(*) AS docs, sum(n_chars) AS chars
+            FROM documents GROUP BY lang, source
+        """,
+        "lineitem_q1": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(l_quantity) AS sum_qty,
+                   sum(l_extendedprice * (1 - l_discount)) AS sum_revenue,
+                   avg(l_discount) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "top_orders": """
+            SELECT o_orderkey, o_custkey, o_totalprice
+            FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+        """,
+        "customer_order_counts": """
+            SELECT c.c_name AS c_name,
+                   count(*) AS n_orders,
+                   sum(o.o_totalprice) AS total_spent
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_name
+        """,
+        "anti_join_customers": """
+            SELECT c_custkey, c_name, c_acctbal
+            FROM customer
+            WHERE c_custkey NOT IN (
+                SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 400000
+            )
+        """,
+        "union_mapped": """
+            SELECT c_name, c_mktsegment, 'customer' AS source_file
+            FROM customer
+            UNION ALL
+            SELECT s_name AS c_name, '' AS c_mktsegment, 'supplier' AS source_file
+            FROM supplier
+        """,
+        "semi_join_heavy_users": """
+            SELECT event_id, user_id, event_type, value
+            FROM events
+            WHERE user_id IN (
+                SELECT user_id FROM events GROUP BY user_id HAVING count(*) >= 10
+            )
+        """,
+        "events_hourly": """
+            SELECT event_type,
+                   strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+                   count(*) AS n,
+                   sum(value) AS value_sum
+            FROM events GROUP BY event_type, hour
+        """,
+        "doc_preview": """
+            SELECT * FROM documents ORDER BY doc_id LIMIT 6
+        """,
+        "ann_topk": """
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding AS qe
+                FROM embeddings WHERE vec_id < 3
+            ),
+            scored AS (
+                SELECT q.query_id, e.vec_id,
+                       row_number() OVER (
+                           PARTITION BY q.query_id
+                           ORDER BY list_cosine_similarity(e.embedding, q.qe) DESC,
+                                    e.vec_id
+                       ) - 1 AS rank
+                FROM embeddings e CROSS JOIN q
+            )
+            SELECT query_id, vec_id, rank FROM scored WHERE rank < 10
+        """,
+    }

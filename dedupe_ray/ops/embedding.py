@@ -1,0 +1,222 @@
+"""Similarity search over an embedding column (list<float>).
+
+- brute_force_topk: baseline — per-batch numpy matmul against a broadcast
+  query matrix (``ray.put`` once, read in every task), partial top-k per
+  batch, final top-k reduce on the tiny result. Scales linearly with rows,
+  no shuffle.
+- ivf_topk: the scale path — k-means-ish coarse quantizer (trained on a
+  driver sample), rows bucketed by nearest centroid (one shuffle at build),
+  queries probe only nprobe buckets.
+- embedding_near_dup_pairs: cosine near-duplicate pairs via the same
+  centroid bucketing (groupby bucket → within-bucket pairwise cosine).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+
+def _batch_matrix(batch: pa.Table, col: str = "embedding") -> np.ndarray:
+    arr = batch.column(col)
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    flat = arr.flatten().to_numpy(zero_copy_only=False)
+    return flat.reshape(len(batch), -1).astype(np.float32)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    return m / np.maximum(n, 1e-12)
+
+
+def brute_force_topk(
+    ds: "ray.data.Dataset",
+    queries: np.ndarray,
+    k: int = 10,
+    id_column: str = "vec_id",
+) -> pa.Table:
+    """Exact cosine top-k for each query row.
+
+    Per-batch: normalized matmul [batch × dim]·[dim × nq] → per-batch top-k
+    partials; driver reduces partials (nq·k·num_batches rows — tiny).
+    Returns (query_id, vec_id, cosine, rank)."""
+    qn = _normalize(np.atleast_2d(np.asarray(queries, np.float32)))
+    qref = ray.put(qn)
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        q = ray.get(qref)
+        m = _normalize(_batch_matrix(batch))
+        sims = m @ q.T  # [n, nq]
+        n, nq = sims.shape
+        kk = min(k, n)
+        ids = np.asarray(batch.column(id_column).to_pylist())
+        top = np.argpartition(-sims, kk - 1, axis=0)[:kk]  # [kk, nq]
+        out_q, out_id, out_s = [], [], []
+        for j in range(nq):
+            sel = top[:, j]
+            out_q.extend([j] * kk)
+            out_id.extend(ids[sel].tolist())
+            out_s.extend(sims[sel, j].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int32()),
+                id_column: pa.array(out_id, type=pa.from_numpy_dtype(ids.dtype) if ids.dtype != object else pa.string()),
+                "cosine": pa.array(np.asarray(out_s, np.float32)),
+            }
+        )
+
+    partials = ds.map_batches(partial_topk, batch_format="pyarrow").to_pandas()
+    out = (
+        partials.sort_values(["query_id", "cosine"], ascending=[True, False])
+        .groupby("query_id", as_index=False)
+        .head(k)
+    )
+    out["rank"] = out.groupby("query_id").cumcount().astype("int32")
+    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+
+
+def train_centroids(
+    ds: "ray.data.Dataset", n_centroids: int = 16, sample: int = 2048, iters: int = 10, seed: int = 42
+) -> np.ndarray:
+    """Lloyd's k-means on a driver-side sample (coarse quantizer training —
+    sample fits trivially; assignment is the distributed part)."""
+    total = ds.count()
+    frac = min(1.0, sample / max(total, 1))
+    rows = ds.random_sample(frac, seed=seed).take(sample)
+    X = _normalize(
+        np.stack([np.asarray(r["embedding"], np.float32) for r in rows])
+    )
+    rng = np.random.RandomState(seed)
+    cent = X[rng.choice(len(X), min(n_centroids, len(X)), replace=False)]
+    for _ in range(iters):
+        assign = (X @ cent.T).argmax(axis=1)
+        for c in range(len(cent)):
+            members = X[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+        cent = _normalize(cent)
+    return cent
+
+
+def assign_buckets(
+    ds: "ray.data.Dataset", centroids: np.ndarray, id_column: str = "vec_id"
+) -> "ray.data.Dataset":
+    """Add ``bucket: int32`` = nearest centroid (broadcast, map-side)."""
+    cref = ray.put(_normalize(centroids.astype(np.float32)))
+
+    def _assign(batch: pa.Table) -> pa.Table:
+        cent = ray.get(cref)
+        m = _normalize(_batch_matrix(batch))
+        b = (m @ cent.T).argmax(axis=1).astype(np.int32)
+        return batch.append_column("bucket", pa.array(b))
+
+    return ds.map_batches(_assign, batch_format="pyarrow")
+
+
+def ivf_topk(
+    ds: "ray.data.Dataset",
+    queries: np.ndarray,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_column: str = "vec_id",
+) -> pa.Table:
+    """IVF approximate top-k: probe only the nprobe nearest buckets per query.
+
+    At cluster scale the bucketed table is written partitioned by bucket so
+    probes read only matching partitions; here the filter is map-side."""
+    cent = train_centroids(ds, n_centroids)
+    bucketed = assign_buckets(ds, cent, id_column)
+    qn = _normalize(np.atleast_2d(np.asarray(queries, np.float32)))
+    probes = np.argsort(-(qn @ cent.T), axis=1)[:, :nprobe]  # [nq, nprobe]
+    wanted = set(np.unique(probes).tolist())
+    filtered = bucketed.filter(
+        expr=f"bucket in ({', '.join(str(int(b)) for b in sorted(wanted))})"
+    )
+    probe_ref = ray.put(probes)
+    qref = ray.put(qn)
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        q = ray.get(qref)
+        pr = ray.get(probe_ref)
+        m = _normalize(_batch_matrix(batch))
+        bk = batch.column("bucket").to_numpy(zero_copy_only=False)
+        ids = np.asarray(batch.column(id_column).to_pylist())
+        sims = m @ q.T
+        out_q, out_id, out_s = [], [], []
+        for j in range(q.shape[0]):
+            mask = np.isin(bk, pr[j])
+            if not mask.any():
+                continue
+            s = sims[mask, j]
+            sel_ids = ids[mask]
+            kk = min(k, len(s))
+            top = np.argpartition(-s, kk - 1)[:kk]
+            out_q.extend([j] * kk)
+            out_id.extend(sel_ids[top].tolist())
+            out_s.extend(s[top].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int32()),
+                id_column: pa.array(out_id, type=pa.from_numpy_dtype(ids.dtype) if ids.dtype != object else pa.string()),
+                "cosine": pa.array(np.asarray(out_s, np.float32)),
+            }
+        )
+
+    partials = filtered.map_batches(partial_topk, batch_format="pyarrow").to_pandas()
+    out = (
+        partials.sort_values(["query_id", "cosine"], ascending=[True, False])
+        .groupby("query_id", as_index=False)
+        .head(k)
+    )
+    out["rank"] = out.groupby("query_id").cumcount().astype("int32")
+    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+
+
+def embedding_near_dup_pairs(
+    ds: "ray.data.Dataset",
+    cosine_threshold: float = 0.95,
+    n_centroids: int = 16,
+    id_column: str = "vec_id",
+    max_bucket: int = 5000,
+) -> "ray.data.Dataset":
+    """Embedding-cosine near-duplicate pairs: centroid-bucket shuffle →
+    within-bucket pairwise cosine (vectorized) → threshold.
+
+    Note candidate recall is bucket-local (pairs straddling a centroid
+    boundary are missed) — the standard IVF trade-off; raise n_centroids /
+    add multi-probe assignment for tighter recall."""
+    cent = train_centroids(ds, n_centroids)
+    bucketed = assign_buckets(ds, cent, id_column)
+
+    def within_bucket_pairs(group: pa.Table) -> pa.Table:
+        n = len(group)
+        empty = pa.table(
+            {
+                "id_a": pa.array([], pa.int64()),
+                "id_b": pa.array([], pa.int64()),
+                "cosine": pa.array([], pa.float32()),
+            }
+        )
+        if n < 2 or n > max_bucket:
+            return empty
+        m = _normalize(_batch_matrix(group))
+        ids = np.asarray(group.column(id_column).to_pylist(), np.int64)
+        sims = m @ m.T
+        iu, ju = np.triu_indices(n, k=1)
+        mask = sims[iu, ju] >= cosine_threshold
+        ia, ib = ids[iu[mask]], ids[ju[mask]]
+        lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
+        return pa.table(
+            {
+                "id_a": pa.array(lo),
+                "id_b": pa.array(hi),
+                "cosine": pa.array(sims[iu[mask], ju[mask]].astype(np.float32)),
+            }
+        )
+
+    return bucketed.groupby("bucket").map_groups(within_bucket_pairs, batch_format="pyarrow")

@@ -1,0 +1,122 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Media ride as opaque payloads: either ``media_ref: string`` pointers inside
+the span column (BASELINE.json input_hint) or a ``payload: binary`` column
+with typed metadata. The Ray-side plumbing — schemas, actor-pool stages,
+batch sizing for wide binary rows, output layout — is real and tested; the
+codec work itself is STUBBED (no image/audio libraries exist in this
+environment): ``DecodeImage`` raises ``NotImplementedError`` unless
+``fake=True``, in which case a deterministic fake decoder (seeded by the
+payload hash) produces stable pseudo-features so downstream stages are
+testable end to end.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+MEDIA_SCHEMA = pa.schema(
+    [
+        ("media_ref", pa.string()),
+        ("kind", pa.string()),  # image | audio | video
+        ("payload", pa.binary()),
+        ("width", pa.int32()),
+        ("height", pa.int32()),
+    ]
+)
+
+
+def extract_media_spans(batch: pa.Table) -> pa.Table:
+    """Span documents → one row per media span (doc_id, kind, media_ref) —
+    the fan-out side of a media-processing pipeline (vectorized flatten)."""
+    spans = batch.column("spans")
+    if isinstance(spans, pa.ChunkedArray):
+        spans = spans.combine_chunks()
+    flat = spans.flatten()
+    offsets = spans.offsets.to_numpy(zero_copy_only=False)
+    parent = np.repeat(np.arange(len(batch)), np.diff(offsets))
+    kinds = np.asarray(flat.field("kind").to_pylist(), object)
+    refs = np.asarray(flat.field("media_ref").to_pylist(), object)
+    doc_ids = np.asarray(batch.column("doc_id").to_pylist(), object)
+    mask = np.array([not k.startswith("field:") and k != "text" for k in kinds])
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_ids[parent[mask]], pa.string()),
+            "kind": pa.array(kinds[mask], pa.string()),
+            "media_ref": pa.array(refs[mask], pa.string()),
+        }
+    )
+
+
+class DecodeImage:
+    """Actor-pool stage: media_ref/payload → decoded features.
+
+    Real pipelines load the codec model once per actor here (``__init__``)
+    and decode per batch. In this sandbox there are no codecs: with
+    ``fake=True`` a deterministic stand-in emits stable (seeded by ref hash)
+    width/height/embedding so the distributed plumbing is fully exercised;
+    with ``fake=False`` the stage raises NotImplementedError, marking the
+    integration point."""
+
+    FEATURE_DIM = 8
+
+    def __init__(self, fake: bool = False):
+        self.fake = fake
+
+    def _decode_one(self, ref: str) -> tuple[int, int, np.ndarray]:
+        if not self.fake:
+            raise NotImplementedError(
+                "image decoding requires a codec library (PIL/ffmpeg) — not "
+                "available in this environment; pass fake=True for the "
+                "deterministic test decoder"
+            )
+        seed = zlib.crc32(ref.encode())
+        rng = np.random.RandomState(seed)
+        w, h = int(rng.randint(64, 1024)), int(rng.randint(64, 1024))
+        feat = rng.rand(self.FEATURE_DIM).astype(np.float32)
+        return w, h, feat
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        refs = batch.column("media_ref").to_pylist()
+        ws, hs, feats = [], [], []
+        for r in refs:
+            w, h, f = self._decode_one(r or "")
+            ws.append(w)
+            hs.append(h)
+            feats.append(f)
+        feat_arr = (
+            pa.FixedSizeListArray.from_arrays(
+                pa.array(np.concatenate(feats) if feats else np.zeros(0, np.float32)),
+                self.FEATURE_DIM,
+            )
+            if feats
+            else pa.array([], pa.list_(pa.float32(), self.FEATURE_DIM))
+        )
+        out = batch.append_column("width", pa.array(ws, pa.int32()))
+        out = out.append_column("height", pa.array(hs, pa.int32()))
+        return out.append_column("features", feat_arr)
+
+
+def media_feature_pipeline(
+    docs_ds: "ray.data.Dataset",
+    fake_decode: bool = True,
+    batch_size: int = 256,
+    concurrency=(1, 4),
+) -> "ray.data.Dataset":
+    """Span docs → media spans → decoded features.
+
+    batch_size is deliberately small: media rows are wide (binary payloads at
+    production scale), so batch × concurrency must fit worker heap."""
+    media = docs_ds.map_batches(extract_media_spans, batch_format="pyarrow")
+    return media.map_batches(
+        DecodeImage,
+        fn_constructor_args=(fake_decode,),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

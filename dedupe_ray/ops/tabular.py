@@ -1,0 +1,169 @@
+"""App-surface tabular operators (SURVEY §2.A) as Ray Data stages.
+
+Each function cites the reference behavior it re-creates. All are
+shuffle-free where the reference is row-local; joins broadcast the small side
+(ray.put once) rather than shuffling.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+from dedupe_ray.config import MISSING
+
+
+def column_mapped_union(
+    ds_target: "ray.data.Dataset",
+    ds_other: "ray.data.Dataset",
+    mapping: dict[str, str],
+    source_names: tuple[str, str] = ("file1", "file2"),
+) -> "ray.data.Dataset":
+    """Two-dataset merge with a user column mapping — the reference's
+    column-mapped CSV/XLSX merge (frontend/src/utils/fileUtils.ts:61-170:
+    header union = mapped(target) + unmapped(target) + unmapped(other);
+    other's cells remapped; missing filled with ""; `source_file` appended).
+
+    ``mapping`` maps other-column → target-column.
+    """
+    target_cols = [c for c in ds_target.schema().names if c != "source_file"]
+    other_cols = [c for c in ds_other.schema().names if c != "source_file"]
+    mapped_targets = set(mapping.values())
+    extra_other = [c for c in other_cols if c not in mapping]
+    final_cols = target_cols + [c for c in extra_other if c not in target_cols]
+
+    def shape_target(batch: pa.Table) -> pa.Table:
+        data = {}
+        for c in final_cols:
+            if c in batch.column_names:
+                data[c] = pc.cast(batch.column(c), pa.string())
+            else:
+                data[c] = pa.array([""] * len(batch), pa.string())
+        data["source_file"] = pa.array([source_names[0]] * len(batch), pa.string())
+        return pa.table(data)
+
+    inverse = {v: k for k, v in mapping.items()}
+
+    def shape_other(batch: pa.Table) -> pa.Table:
+        data = {}
+        for c in final_cols:
+            src = inverse.get(c, c if c in extra_other else None)
+            if src is not None and src in batch.column_names:
+                data[c] = pc.cast(batch.column(src), pa.string())
+            else:
+                data[c] = pa.array([""] * len(batch), pa.string())
+        data["source_file"] = pa.array([source_names[1]] * len(batch), pa.string())
+        return pa.table(data)
+
+    a = ds_target.map_batches(shape_target, batch_format="pyarrow")
+    b = ds_other.map_batches(shape_other, batch_format="pyarrow")
+    return a.union(b)
+
+
+def drop_empty_rows(ds: "ray.data.Dataset", columns: list[str] | None = None) -> "ray.data.Dataset":
+    """Reference isEmptyRow filter (fileUtils.ts:56-58): drop rows where all
+    cells are empty/null (vectorized)."""
+
+    def _filter(batch: pa.Table) -> pa.Table:
+        cols = columns or [c for c in batch.column_names if c != "source_file"]
+        keep = None
+        for c in cols:
+            col = pc.cast(batch.column(c), pa.string())
+            nonempty = pc.and_kleene(col.is_valid(), pc.not_equal(pc.utf8_trim_whitespace(pc.fill_null(col, "")), ""))
+            keep = nonempty if keep is None else pc.or_(keep, nonempty)
+        return batch.filter(pc.fill_null(keep, False))
+
+    return ds.map_batches(_filter, batch_format="pyarrow")
+
+
+def anti_join_export(
+    ds: "ray.data.Dataset",
+    remove_ids: set[str],
+    id_column: str = "doc_id",
+) -> "ray.data.Dataset":
+    """Cleansed-export anti-join (useFileProcessor.ts:163-242): drop the
+    records marked for removal. The removal set is broadcast (ray.put once),
+    filtered map-side — no shuffle."""
+    ref = ray.put(remove_ids)
+
+    def _filter(batch: pa.Table) -> pa.Table:
+        removal = ray.get(ref)
+        mask = pa.array([v not in removal for v in batch.column(id_column).to_pylist()])
+        return batch.filter(mask)
+
+    return ds.map_batches(_filter, batch_format="pyarrow")
+
+
+def attach_cluster_columns(
+    ds: "ray.data.Dataset",
+    clusters_ref,
+    id_column: str = "doc_id",
+) -> "ray.data.Dataset":
+    """Re-attach cluster_id / confidence_score to records (the cleansed
+    export's special columns, useFileProcessor.ts:188). ``clusters_ref`` is a
+    ray.put of {doc_id: (cluster_id, confidence)}."""
+
+    def _attach(batch: pa.Table) -> pa.Table:
+        lookup = ray.get(clusters_ref)
+        ids = batch.column(id_column).to_pylist()
+        cl = [lookup.get(i, ("", None))[0] for i in ids]
+        conf = [lookup.get(i, ("", None))[1] for i in ids]
+        batch = batch.append_column("cluster_id", pa.array(cl, pa.string()))
+        return batch.append_column("confidence_score", pa.array(conf, pa.float32()))
+
+    return ds.map_batches(_attach, batch_format="pyarrow")
+
+
+def semi_join_recover(
+    ds: "ray.data.Dataset",
+    pair_records: list[dict],
+    fields: list[str],
+) -> "ray.data.Dataset":
+    """Reprocessing record recovery (A8, dedupe_script.py:219-252): find the
+    dataset rows equal to the given labeled-pair records on every matching
+    field. The reference scans the whole dict per pair; here the pair-record
+    hashes are broadcast and the scan is one vectorized pass."""
+    wanted = {tuple(r.get(f, "") or "" for f in fields) for r in pair_records}
+    ref = ray.put(wanted)
+
+    def _filter(batch: pa.Table) -> pa.Table:
+        table = ray.get(ref)
+        cols = [batch.column(f).to_pylist() for f in fields]
+        mask = pa.array([tuple(c[i] or "" for c in cols) in table for i in range(len(batch))])
+        return batch.filter(mask)
+
+    return ds.map_batches(_filter, batch_format="pyarrow")
+
+
+def preview(ds: "ray.data.Dataset", id_column: str, n: int = 6) -> dict:
+    """File-preview head/tail (FilePreview.tsx:50-57): first n + last n rows
+    plus total count."""
+    total = ds.count()
+    head = ds.limit(n).take(n)
+    tail = ds.sort(id_column, descending=True).limit(n).take(n)[::-1]
+    return {"total_rows": total, "head": head, "tail": tail}
+
+
+def pair_diff(record_a: dict, record_b: dict, fields: list[str]) -> dict[str, bool]:
+    """Per-field inequality flags (RecordComparison.tsx:46-53)."""
+    return {f: (record_a.get(f) != record_b.get(f)) for f in fields}
+
+
+def missing_rate(ds: "ray.data.Dataset", columns: list[str]) -> dict[str, float]:
+    """Share of MISSING-sentinel values per column (data-quality helper)."""
+
+    def _counts(batch: pa.Table) -> pa.Table:
+        data = {}
+        for c in columns:
+            data[f"miss_{c}"] = [
+                pc.sum(pc.equal(batch.column(c), MISSING).cast(pa.int64())).as_py() or 0
+            ]
+        data["n"] = [len(batch)]
+        return pa.table(data)
+
+    parts = ds.map_batches(_counts, batch_format="pyarrow").to_pandas()
+    n = parts["n"].sum()
+    return {c: float(parts[f"miss_{c}"].sum()) / max(n, 1) for c in columns}
