@@ -1,0 +1,228 @@
+"""Benchmark harness — prints ONE JSON line with headline timings.
+
+Headline (``er_partition``): the production dedup job — read → span-extract
+→ preprocess → block → pair → score → cluster → write — over the
+deterministic KNA span-document corpus sized from $GRAFT_SF_DIR's scale
+factor, using a pre-trained settings checkpoint (the reference's
+StaticDedupe mode: train once interactively, partition many times). The
+training prologue is reported separately (``er_train``) — it is
+driver-interactive by design (active-learning loop) and not part of the
+scaling criterion's throughput job.
+
+  python bench.py             # single run at $RAY_GRAFT_CPUS (default 32)
+  python bench.py --scaling   # fresh-process runs at 8 and 32 CPUs on the
+                              # same input + same settings → throughputs +
+                              # scaling efficiency (sandbox stand-in for the
+                              # N vs 4N node criterion)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+# documents-corpus sizing per scale factor (cached generation; timed runs
+# read the cached parquet). sf0.1 is sized so parallel compute dominates
+# fixed per-stage latency. Override with GRAFT_BENCH_DOCS.
+_CORPUS = {0.001: 500, 0.01: 2000, 0.1: 800_000}
+if os.environ.get("GRAFT_BENCH_DOCS"):
+    _CORPUS[0.1] = int(os.environ["GRAFT_BENCH_DOCS"])
+
+_SETTINGS_DIR = "/tmp/dedupe_ray_bench"
+
+
+def _sf_of(sf_dir: str) -> float:
+    import re
+
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else 0.1
+
+
+def _settings_path(n_docs: int) -> str:
+    return os.path.join(_SETTINGS_DIR, f"settings_n{n_docs}_s42.json")
+
+
+def _ensure_trained(n_docs: int, docs_path: str, truth_path: str) -> float:
+    """Train once per corpus (deterministic), cache the settings checkpoint.
+    Returns training seconds (0.0 when cached)."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from dedupe_ray.config import EngineConfig
+    from dedupe_ray.eval import truth_assignment
+    from dedupe_ray.pipeline import RayDeduper, active_label_loop, flatten_documents
+
+    path = _settings_path(n_docs)
+    if os.path.exists(path):
+        return 0.0
+    os.makedirs(_SETTINGS_DIR, exist_ok=True)
+    ta = truth_assignment(pq.read_table(truth_path))
+    t0 = time.time()
+    flat, fields = flatten_documents(rd.read_parquet(docs_path, override_num_blocks=NUM_CPUS * 2))
+    flat = flat.materialize()
+    deduper = RayDeduper(EngineConfig.auto_detect(fields))
+    deduper.prepare_training(flat)
+    active_label_loop(deduper, lambda a, b: ta[a["doc_id"]] == ta[b["doc_id"]])
+    deduper.train()
+    deduper.save_settings(path)
+    return time.time() - t0
+
+
+def run_bench() -> dict:
+    import pyarrow.parquet as pq
+
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    import logging
+
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    from dedupe_ray.eval import clusters_assignment, pairwise_prf, truth_assignment
+    from dedupe_ray.fixtures import corpus_paths
+    from dedupe_ray.pipeline import RayDeduper, flatten_documents
+
+    sf = _sf_of(SF_DIR)
+    n_docs = _CORPUS.get(sf, 800_000)
+    docs_path, truth_path = corpus_paths(n_docs, seed=42)  # cached after first call
+    ta = truth_assignment(pq.read_table(truth_path))
+
+    queries: dict[str, float] = {}
+    queries["er_train"] = round(_ensure_trained(n_docs, docs_path, truth_path), 3)
+
+    # warm-up (untimed): page cache + spin up the Ray worker pool so the
+    # timed section measures compute, not process startup
+    rd.read_parquet(docs_path).map_batches(lambda b: b, batch_format="pyarrow").count()
+
+    # ---- headline: production partition job ------------------------------
+    deduper = RayDeduper.load_settings(_settings_path(n_docs))
+    threshold = 0.25
+    t0 = time.time()
+    flat, _ = flatten_documents(
+        rd.read_parquet(docs_path, override_num_blocks=NUM_CPUS * 2), deduper.config.field_names()
+    )
+    flat = flat.materialize()
+    clusters = deduper.partition(flat, threshold)
+    out_dir = f"/tmp/dedupe_ray_bench/clusters_n{n_docs}_c{NUM_CPUS}"
+    import shutil
+
+    shutil.rmtree(out_dir, ignore_errors=True)  # write_parquet appends into
+    # an existing dir; a stale part file would corrupt the output
+    clusters.write_parquet(out_dir)
+    er_sec = time.time() - t0
+    queries["er_partition"] = round(er_sec, 3)
+
+    # quality guard: the bench run must still hit the F1 target
+    got = pq.read_table(out_dir)
+    p, r, f1 = pairwise_prf(clusters_assignment(got), ta)
+
+    # ---- secondary ops ---------------------------------------------------
+    t0 = time.time()
+    from dedupe_ray.ops.dedup import minhash_lsh_pairs
+
+    docs_flat = rd.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]).map_batches(
+        lambda b: pa.table(
+            {"doc_id": pa.compute.cast(b.column("doc_id"), pa.string()), "text": b.column("text")}
+        ),
+        batch_format="pyarrow",
+    )
+    minhash_lsh_pairs(docs_flat, jaccard_threshold=0.5).count()
+    queries["minhash_pairs"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    import __ray_entry__ as entrymod
+
+    entrymod.queries()["lineitem_q1"](SF_DIR).to_pandas()
+    queries["lineitem_q1"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    entrymod.queries()["ann_topk"](SF_DIR)
+    queries["ann_topk"] = round(time.time() - t0, 3)
+
+    result = {
+        "metric": "er_partition_seconds",
+        "value": queries["er_partition"],
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "num_cpus": NUM_CPUS,
+        "docs": n_docs,
+        "docs_per_sec": round(n_docs / er_sec, 1),
+        "f1": round(f1, 4),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    # warm the fixture + settings caches so both runs use identical bytes
+    # and the identical trained model
+    import ray
+
+    from dedupe_ray.fixtures import corpus_paths
+
+    n_docs = _CORPUS.get(_sf_of(SF_DIR), 800_000)
+    docs_path, truth_path = corpus_paths(n_docs, seed=42)
+    if not os.path.exists(_settings_path(n_docs)):
+        ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+                 ignore_reinit_error=True, logging_level="ERROR")
+        from ray.data import DataContext
+
+        DataContext.get_current().enable_progress_bars = False
+        _ensure_trained(n_docs, docs_path, truth_path)
+        ray.shutdown()
+
+    lo, hi = 8, 32
+    r_lo = one(lo)
+    r_hi = one(hi)
+    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "sec_8": t_lo,
+        "sec_32": t_hi,
+        "docs_per_sec_8": r_lo["docs_per_sec"],
+        "docs_per_sec_32": r_hi["docs_per_sec"],
+        "f1_8": r_lo.get("f1"),
+        "f1_32": r_hi.get("f1"),
+        "sf": r_lo["sf"],
+        "docs": r_lo["docs"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -33,7 +33,16 @@ from dedupe_ray.config import MISSING
 from dedupe_ray.predicates import Predicate
 
 
-def make_block_explode_stage(predicate_ids: list[str]):
+# Bucketed-groupby fan-in: grouping by the raw key (block_key, pair) would
+# call a python fn once per tiny group — per-call overhead dominates at
+# millions of groups. Instead rows carry `bucket = crc32(key) % N_BUCKETS`,
+# the shuffle groups by bucket (N_BUCKETS groups total), and the per-bucket
+# fn processes all contained keys vectorized. Same exchange volume, ~100×
+# less per-group overhead; N_BUCKETS bounds reducer fan-in at any scale.
+N_BUCKETS = 1024
+
+
+def make_block_explode_stage(predicate_ids: list[str], with_bucket: bool = False):
     """Stateless map_batches fn: flat record batch → (block_key, doc_id) rows.
 
     ``block_key`` is namespaced with the predicate index so identical raw keys
@@ -83,40 +92,88 @@ def make_block_explode_stage(predicate_ids: list[str]):
                     for k in ks:
                         out_keys.append(prefix + k)
                         out_ids.append(doc_ids[j])
+        if not with_bucket:
+            return pa.table(
+                {"block_key": pa.array(out_keys, pa.string()), "doc_id": pa.array(out_ids, pa.string())}
+            )
+        import zlib
+
+        buckets = np.fromiter(
+            (zlib.crc32(k.encode()) % N_BUCKETS for k in out_keys), np.int32, len(out_keys)
+        )
         return pa.table(
-            {"block_key": pa.array(out_keys, pa.string()), "doc_id": pa.array(out_ids, pa.string())}
+            {
+                "block_key": pa.array(out_keys, pa.string()),
+                "doc_id": pa.array(out_ids, pa.string()),
+                "bucket": pa.array(buckets),
+            }
         )
 
     return _stage
 
 
-def make_pair_emit_fn(max_block_size: int):
-    """Per-block pair emitter for groupby(block_key).map_groups.
-
-    Emits canonical (id_a < id_b) unordered pairs; oversized blocks are
-    dropped (1 row in the `oversized` marker column instead) — see module doc.
-    """
+def make_bucket_pair_emit_fn(max_block_size: int):
+    """Per-BUCKET pair emitter: one call processes every block hashed into
+    the bucket — sorted run detection via numpy, pairs via combinations per
+    run. Emits canonical (id_a < id_b) pairs + a pair-hash bucket column for
+    the dedup shuffle; oversized blocks emit one marker row instead."""
+    import zlib
 
     def _emit(group: pa.Table) -> pa.Table:
-        ids = sorted(set(group.column("doc_id").to_pylist()))
-        n = len(ids)
-        if n < 2:
-            return pa.table(
-                {"id_a": pa.array([], pa.string()), "id_b": pa.array([], pa.string()),
-                 "oversized": pa.array([], pa.int8())}
-            )
-        if n > max_block_size:
-            return pa.table(
-                {"id_a": pa.array([""], pa.string()), "id_b": pa.array([""], pa.string()),
-                 "oversized": pa.array([1], pa.int8())}
-            )
-        a, b = zip(*combinations(ids, 2))
+        import pandas as pd
+
+        df = pd.DataFrame(
+            {
+                "block_key": group.column("block_key").to_pylist(),
+                "doc_id": group.column("doc_id").to_pylist(),
+            }
+        ).drop_duplicates()
+        df = df.sort_values(["block_key", "doc_id"])
+        keys = df["block_key"].to_numpy()
+        ids = df["doc_id"].to_numpy()
+        boundaries = np.nonzero(np.concatenate(([True], keys[1:] != keys[:-1], [True])))[0]
+        out_a: list[str] = []
+        out_b: list[str] = []
+        n_oversized = 0
+        for s, e in zip(boundaries[:-1], boundaries[1:]):
+            n = e - s
+            if n < 2:
+                continue
+            if n > max_block_size:
+                n_oversized += 1
+                continue
+            run = ids[s:e]
+            for i in range(n - 1):
+                a = run[i]
+                out_a.extend([a] * (n - 1 - i))
+                out_b.extend(run[i + 1:])
+        over = [1] * n_oversized
+        out_a.extend([""] * n_oversized)
+        out_b.extend([""] * n_oversized)
+        pbucket = np.fromiter(
+            (zlib.crc32(f"{a}\x1f{b}".encode()) % N_BUCKETS for a, b in zip(out_a, out_b)),
+            np.int32,
+            len(out_a),
+        )
         return pa.table(
-            {"id_a": pa.array(a, pa.string()), "id_b": pa.array(b, pa.string()),
-             "oversized": pa.array(np.zeros(len(a), np.int8))}
+            {
+                "id_a": pa.array(out_a, pa.string()),
+                "id_b": pa.array(out_b, pa.string()),
+                "oversized": pa.array(np.concatenate([np.zeros(len(out_a) - n_oversized, np.int8), np.ones(n_oversized, np.int8)]) if out_a else np.zeros(0, np.int8)),
+                "pbucket": pa.array(pbucket),
+            }
         )
 
     return _emit
+
+
+def _dedup_bucket(group: pa.Table) -> pa.Table:
+    import pandas as pd
+
+    df = pd.DataFrame(
+        {"id_a": group.column("id_a").to_pylist(), "id_b": group.column("id_b").to_pylist()}
+    ).drop_duplicates()
+    return pa.Table.from_pandas(df, preserve_index=False)
 
 
 def candidate_pairs(
@@ -127,23 +184,24 @@ def candidate_pairs(
 ) -> tuple["ray.data.Dataset", "ray.data.Dataset"]:
     """flat record Dataset → (unique candidate pair Dataset, oversized-block marker Dataset).
 
-    Pairs schema: (id_a: string, id_b: string), id_a < id_b, globally distinct.
+    Pairs schema: (id_a: string, id_b: string), id_a < id_b, globally
+    distinct. Two bucketed shuffles (see N_BUCKETS note): block-key buckets
+    → vectorized pair emission, pair-hash buckets → vectorized dedup.
     """
     blocked = flat_ds.map_batches(
-        make_block_explode_stage(predicate_ids),
+        make_block_explode_stage(predicate_ids, with_bucket=True),
         batch_format="pyarrow",
         batch_size=map_batch_size,
     )
-    raw_pairs = blocked.groupby("block_key").map_groups(
-        make_pair_emit_fn(max_block_size), batch_format="pyarrow"
+    raw_pairs = blocked.groupby("bucket").map_groups(
+        make_bucket_pair_emit_fn(max_block_size), batch_format="pyarrow"
     )
     oversized = raw_pairs.filter(expr="oversized == 1")
     pairs = (
         raw_pairs.filter(expr="oversized == 0")
         .drop_columns(["oversized"])
-        .groupby(["id_a", "id_b"])
-        .count()
-        .drop_columns(["count()"])
+        .groupby("pbucket")
+        .map_groups(_dedup_bucket, batch_format="pyarrow")
     )
     return pairs, oversized
 

@@ -382,6 +382,9 @@ def cluster_edges(
     Shuffle plan: CC (iterated groupby or driver UF) → annotate edges with
     component_id (map-side broadcast of the node→component map when small,
     join otherwise) → groupby(component_id).map_groups(HAC)."""
+    # the edge set is consumed multiple times (count, CC, annotate+HAC);
+    # pin it once so the upstream block/score DAG doesn't re-execute per use
+    scored_edges = scored_edges.materialize()
     n_edges = scored_edges.count()
     if n_edges == 0:
         return ray.data.from_arrow(
@@ -393,6 +396,10 @@ def cluster_edges(
                 }
             )
         )
+    import zlib
+
+    N_CBUCKETS = 512
+
     use_driver = cc_mode == "driver" or (cc_mode == "auto" and n_edges <= driver_edge_limit)
     if use_driver:
         edges_pd = scored_edges.to_pandas()
@@ -407,6 +414,14 @@ def cluster_edges(
             # edges straddling a giant-component split are dropped
             keep = pa.array([x == y for x, y in zip(ca, cb)])
             out = batch.append_column("component_id", pa.array(ca, pa.string()))
+            out = out.append_column(
+                "cbucket",
+                pa.array(
+                    np.fromiter(
+                        (zlib.crc32(c.encode()) % N_CBUCKETS for c in ca), np.int32, len(ca)
+                    )
+                ),
+            )
             return out.filter(keep)
 
         edges_with_comp = scored_edges.map_batches(annotate, batch_format="pyarrow")
@@ -420,13 +435,32 @@ def cluster_edges(
             join_type="inner",
             num_partitions=32,
             on=("id_a",),
+        ).map_batches(
+            lambda t: t.append_column(
+                "cbucket",
+                pa.array(
+                    np.fromiter(
+                        (zlib.crc32(c.encode()) % N_CBUCKETS for c in t.column("component_id").to_pylist()),
+                        np.int32,
+                        len(t),
+                    )
+                ),
+            ),
+            batch_format="pyarrow",
         )
 
-    def _per_comp(g: pd.DataFrame) -> pd.DataFrame:
-        # a component may have been split by split_giant_components: doc pairs
-        # whose endpoints now differ in component are dropped edge-wise
-        return cluster_component(g, threshold)
+    def _per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # one call per hash bucket of components (bucketed-groupby pattern:
+        # per-group python overhead amortized over many small components)
+        outs = [
+            cluster_component(sub, threshold)
+            for _, sub in g.groupby("component_id", sort=True)
+        ]
+        if not outs:
+            return pd.DataFrame(
+                {"cluster_id": pd.Series([], dtype=str), "doc_id": pd.Series([], dtype=str),
+                 "confidence_score": pd.Series([], dtype=np.float32)}
+            )
+        return pd.concat(outs, ignore_index=True)
 
-    return edges_with_comp.groupby("component_id").map_groups(
-        _per_comp, batch_format="pandas"
-    )
+    return edges_with_comp.groupby("cbucket").map_groups(_per_bucket, batch_format="pandas")

@@ -61,21 +61,32 @@ _SYL_C = ["b", "d", "f", "g", "k", "l", "m", "n", "p", "r", "s", "t", "v", "z", 
 _SYL_V = ["a", "e", "i", "o", "u", "ia", "ei"]
 
 
-def _coined_word(rng: np.random.RandomState) -> str:
-    """High-entropy pronounceable brand word — keeps distinct entities
-    separable on Name 1 (real company names rarely collide exactly; a tiny
-    stem vocabulary would make non-duplicates byte-identical on name+city,
-    which no gold standard labels 'distinct')."""
-    n = rng.randint(2, 4)
-    w = "".join(_SYL_C[rng.randint(len(_SYL_C))] + _SYL_V[rng.randint(len(_SYL_V))] for _ in range(n))
-    return w.capitalize()
+_SYLLABLES = [c + v for c in _SYL_C for v in _SYL_V]  # 119 distinct syllables
+
+
+def _coined_word(rng: np.random.RandomState, entity_id: int) -> str:
+    """Pronounceable brand word, UNIQUE per entity: one random syllable plus
+    a base-119 syllable encoding of entity_id. Distinct entities must stay
+    separable on Name 1 — real company names are registry-unique, and a
+    colliding fixture (same name + city for 'distinct' entities, which the
+    birthday paradox guarantees at 10⁵ entities from any finite vocabulary)
+    would cap achievable F1 below the 0.99 target for every method,
+    including the reference."""
+    word = _SYLLABLES[rng.randint(len(_SYLLABLES))]
+    n = entity_id
+    while True:
+        word += _SYLLABLES[n % len(_SYLLABLES)]
+        n //= len(_SYLLABLES)
+        if n == 0:
+            break
+    return word.capitalize()
 
 
 def _make_entity(rng: np.random.RandomState, entity_id: int) -> dict[str, str]:
     city, country = _CITIES[rng.randint(len(_CITIES))]
     stem = _NAME_STEMS[rng.randint(len(_NAME_STEMS))]
     suffix = _NAME_SUFFIXES[rng.randint(len(_NAME_SUFFIXES))]
-    name1 = f"{stem} {_coined_word(rng)} {suffix}".strip()
+    name1 = f"{stem} {_coined_word(rng, entity_id)} {suffix}".strip()
     name2 = "" if rng.rand() < 0.7 else f"{_NAME_STEMS[rng.randint(len(_NAME_STEMS))]} Filia"
     street = f"{_STREET_STEMS[rng.randint(len(_STREET_STEMS))]} {rng.randint(1, 200)}"
     return {
@@ -226,9 +237,11 @@ def corpus_paths(n_docs: int, seed: int = 42) -> tuple[str, str]:
     truth_path = os.path.join(_CACHE_DIR, f"truth_n{n_docs}_s{seed}.parquet")
     if not (os.path.exists(docs_path) and os.path.exists(truth_path)):
         docs, truth = generate_kna_corpus(n_docs, seed)
-        pq.write_table(docs, docs_path + ".tmp")
+        # small row groups so ray.data.read_parquet can split the file into
+        # parallel read tasks (one giant row group = one block = no scaling)
+        pq.write_table(docs, docs_path + ".tmp", row_group_size=8192)
         os.replace(docs_path + ".tmp", docs_path)
-        pq.write_table(truth, truth_path + ".tmp")
+        pq.write_table(truth, truth_path + ".tmp", row_group_size=65536)
         os.replace(truth_path + ".tmp", truth_path)
     return docs_path, truth_path
 

@@ -1,0 +1,207 @@
+"""IO seam + resumable stage checkpointing + metrics.
+
+- read/write behind one seam (BASELINE.json names Lance; unavailable here —
+  parquet with the identical schema, so ``read_table``/``write_table`` can
+  switch format without touching pipelines).
+- ``CheckpointManager``: per-stage resumable output. A stage's result is a
+  partitioned parquet directory plus ``_manifest.json`` recording the stage
+  fingerprint (inputs hash + code tag), row count and per-partition lineage.
+  A rerun with the same fingerprint skips the stage and re-reads its output;
+  a mid-run crash leaves no manifest (writes are tmp-dir + atomic rename),
+  so the stage recomputes — "resume mid-run reproduces single-run output".
+- ``Metrics``: a named Ray actor accumulating per-stage counters
+  (records in/out, pairs, oversized blocks), dumped to METRICS.json.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+import time
+
+import ray
+import ray.data
+
+
+def read_table(path: str, columns: list[str] | None = None) -> "ray.data.Dataset":
+    """Format seam: parquet today, lance when available (same call sites)."""
+    return ray.data.read_parquet(path, columns=columns)
+
+
+def write_table(ds: "ray.data.Dataset", path: str) -> None:
+    shutil.rmtree(path, ignore_errors=True)
+    tmp = path + ".__tmp__"
+    shutil.rmtree(tmp, ignore_errors=True)
+    ds.write_parquet(tmp)
+    os.replace(tmp, path)
+
+
+def fingerprint(*parts: object) -> str:
+    h = hashlib.sha256()
+    for p in parts:
+        h.update(repr(p).encode())
+        h.update(b"\x00")
+    return h.hexdigest()[:16]
+
+
+class CheckpointManager:
+    """Stage-level resume for a pipeline run rooted at ``root``."""
+
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def _paths(self, stage: str) -> tuple[str, str]:
+        d = os.path.join(self.root, f"stage={stage}")
+        return d, os.path.join(d, "_manifest.json")
+
+    def has(self, stage: str, fp: str) -> bool:
+        _, man = self._paths(stage)
+        if not os.path.exists(man):
+            return False
+        try:
+            with open(man) as fh:
+                m = json.load(fh)
+            return m.get("fingerprint") == fp
+        except (json.JSONDecodeError, OSError):
+            return False
+
+    def load(self, stage: str) -> "ray.data.Dataset":
+        d, _ = self._paths(stage)
+        return ray.data.read_parquet(os.path.join(d, "data"))
+
+    def run_stage(
+        self, stage: str, fp: str, compute, metrics: "Metrics | None" = None
+    ) -> "ray.data.Dataset":
+        """compute() → Dataset, checkpointed. Skips when (stage, fp) already
+        completed; otherwise executes, writes data + manifest atomically."""
+        d, man = self._paths(stage)
+        if self.has(stage, fp):
+            if metrics is not None:
+                metrics.add(stage, skipped=1)
+            return self.load(stage)
+        shutil.rmtree(d, ignore_errors=True)
+        tmp = d + ".__tmp__"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp, exist_ok=True)
+        t0 = time.time()
+        ds: "ray.data.Dataset" = compute()
+        ds.write_parquet(os.path.join(tmp, "data"))
+        out = ray.data.read_parquet(os.path.join(tmp, "data"))
+        n = out.count()
+        parts = sorted(os.listdir(os.path.join(tmp, "data")))
+        manifest = {
+            "stage": stage,
+            "fingerprint": fp,
+            "rows": n,
+            "partitions": parts,
+            "elapsed_sec": round(time.time() - t0, 3),
+            "completed_at": time.time(),
+        }
+        with open(os.path.join(tmp, "_manifest.json"), "w") as fh:
+            json.dump(manifest, fh, indent=2)
+        os.replace(tmp, d)
+        if metrics is not None:
+            metrics.add(stage, rows_out=n, elapsed_sec=manifest["elapsed_sec"])
+        return self.load(stage)
+
+
+@ray.remote
+class _MetricsActor:
+    def __init__(self) -> None:
+        self.counters: dict[str, dict[str, float]] = {}
+
+    def add(self, stage: str, **kv: float) -> None:
+        c = self.counters.setdefault(stage, {})
+        for k, v in kv.items():
+            c[k] = c.get(k, 0) + v
+
+    def snapshot(self) -> dict:
+        return self.counters
+
+
+class Metrics:
+    """Driver-side handle over the metrics actor (stages call .add remotely
+    via the handle captured in closures)."""
+
+    def __init__(self) -> None:
+        self._actor = _MetricsActor.options(name=None).remote()
+
+    def add(self, stage: str, **kv: float) -> None:
+        self._actor.add.remote(stage, **kv)
+
+    def snapshot(self) -> dict:
+        return ray.get(self._actor.snapshot.remote())
+
+    def dump(self, path: str) -> dict:
+        snap = self.snapshot()
+        with open(path, "w") as fh:
+            json.dump(snap, fh, indent=2)
+        return snap
+
+
+def run_checkpointed_dedupe(
+    docs_path: str,
+    out_root: str,
+    threshold: float = 0.25,
+    settings_path: str | None = None,
+    label_oracle=None,
+) -> "ray.data.Dataset":
+    """The flagship pipeline with per-stage checkpoints: flatten → train (or
+    load settings) → pairs → scored edges → clusters. Re-running after a
+    crash (or deleting a later stage dir) recomputes only what's missing."""
+    from dedupe_ray.blocking import candidate_pairs
+    from dedupe_ray.clustering import cluster_edges
+    from dedupe_ray.pipeline import RayDeduper, active_label_loop, flatten_documents
+    from dedupe_ray.scoring import assemble_pairs, score_pairs
+
+    ckpt = CheckpointManager(out_root)
+    metrics = Metrics()
+    src_fp = fingerprint("src", docs_path, os.stat(docs_path).st_mtime_ns)
+
+    docs = ray.data.read_parquet(docs_path)
+    flat_fp = fingerprint(src_fp, "flatten", "v1")
+    flat = ckpt.run_stage(
+        "flatten", flat_fp, lambda: flatten_documents(docs)[0], metrics
+    ).materialize()
+    fields = [c for c in flat.schema().names if c != "doc_id"]
+
+    settings_file = settings_path or os.path.join(out_root, "settings.json")
+    if os.path.exists(settings_file):
+        deduper = RayDeduper.load_settings(settings_file)
+    else:
+        from dedupe_ray.config import EngineConfig
+
+        deduper = RayDeduper(EngineConfig.auto_detect(fields))
+        deduper.prepare_training(flat)
+        if label_oracle is None:
+            raise ValueError("no settings file and no label oracle")
+        active_label_loop(deduper, label_oracle)
+        deduper.train()
+        deduper.save_settings(settings_file)
+
+    model_fp = fingerprint(flat_fp, deduper.predicate_ids, deduper.classifier.to_dict())
+    pairs = ckpt.run_stage(
+        "pairs",
+        fingerprint(model_fp, "pairs"),
+        lambda: candidate_pairs(flat, deduper.predicate_ids, deduper.config.max_block_size)[0],
+        metrics,
+    )
+    edges = ckpt.run_stage(
+        "edges",
+        fingerprint(model_fp, "edges", threshold),
+        lambda: score_pairs(
+            assemble_pairs(pairs, flat, fields), deduper.classifier.to_dict(), deduper.config
+        ).filter(expr=f"score >= {threshold}"),
+        metrics,
+    )
+    clusters = ckpt.run_stage(
+        "clusters",
+        fingerprint(model_fp, "clusters", threshold),
+        lambda: cluster_edges(edges, threshold),
+        metrics,
+    )
+    metrics.dump(os.path.join(out_root, "METRICS.json"))
+    return clusters

@@ -208,11 +208,20 @@ class ActiveLearner:
     candidates: list[tuple[dict, dict]]
     seed: int = 42
     labels: list[tuple[tuple[dict, dict], bool]] = dc_field(default_factory=list)
+    # blocking provenance per candidate (which sampling predicate surfaced
+    # it; "rand" for random pairs) — match-seeking queries stratify across
+    # these so the labeled matches span every duplicate family, not just the
+    # one whose blocks happen to rank first
+    provenance: list[str] | None = None
 
     def __post_init__(self) -> None:
         self._X = features_for_pairs(self.candidates, self.config)
         self._clf = LogisticClassifier(self.config.l2_lambda)
         self._rng = np.random.RandomState(self.seed)
+        if self.provenance is None:
+            self.provenance = ["rand"] * len(self.candidates)
+        self._prov_groups = sorted(set(self.provenance))
+        self._prov_i = 0
 
     def _fit(self) -> None:
         if len({lbl for _, lbl in self.labels}) < 2:
@@ -247,8 +256,23 @@ class ActiveLearner:
             targets = (0.5, 0.85, 0.15)
             self._query_i = getattr(self, "_query_i", -1) + 1
             t = targets[self._query_i % len(targets)]
-            i = int(np.argmin(np.abs(p - t)))
+            if t == 0.85 and self._prov_groups:
+                # stratified match query: restrict to one provenance group,
+                # rotating — so every blocking family contributes matches
+                for _ in range(len(self._prov_groups)):
+                    g = self._prov_groups[self._prov_i % len(self._prov_groups)]
+                    self._prov_i += 1
+                    idxs = [k for k, pv in enumerate(self.provenance) if pv == g]
+                    if idxs:
+                        sub = np.asarray(idxs)
+                        i = int(sub[np.argmin(np.abs(p[sub] - t))])
+                        break
+                else:
+                    i = int(np.argmin(np.abs(p - t)))
+            else:
+                i = int(np.argmin(np.abs(p - t)))
         pair = self.candidates.pop(i)
+        self.provenance.pop(i)
         self._X = np.delete(self._X, i, axis=0)
         return [pair]
 

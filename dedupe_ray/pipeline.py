@@ -41,20 +41,24 @@ from dedupe_ray.scoring import assemble_pairs, score_pairs
 
 
 def flatten_documents(
-    docs_ds: "ray.data.Dataset", field_names: list[str] | None = None, batch_size: int = 4096
+    docs_ds: "ray.data.Dataset", field_names: list[str] | None = None, batch_size: int | None = None
 ) -> tuple["ray.data.Dataset", list[str]]:
     """Span documents → preprocessed flat record Dataset (doc_id, <fields>…).
 
-    Pure projection + normalization; the source dataset (with its spans) is
-    untouched, preserving the span-sequence invariant trivially.
+    Pure projection + normalization, FUSED into one map_batches over whole
+    blocks (re-batching a nested-list column costs more than the transform).
+    The source dataset (with its spans) is untouched, preserving the
+    span-sequence invariant trivially.
     """
     if field_names is None:
         field_names = discover_field_names(docs_ds)
-    flat = docs_ds.map_batches(
-        make_extract_fields_stage(field_names), batch_format="pyarrow", batch_size=batch_size
-    ).map_batches(
-        make_preprocess_stage(field_names), batch_format="pyarrow", batch_size=batch_size
-    )
+    extract = make_extract_fields_stage(field_names)
+    prep = make_preprocess_stage(field_names)
+
+    def fused(batch: pa.Table) -> pa.Table:
+        return prep(extract(batch))
+
+    flat = docs_ds.map_batches(fused, batch_format="pyarrow", batch_size=batch_size)
     return flat, field_names
 
 
@@ -66,7 +70,7 @@ def _clean_pair(pair: tuple[dict, dict], fields: list[str]) -> tuple[dict, dict]
 
 def _sample_blocked_pairs(
     flat_ds: "ray.data.Dataset", fields: list[str], n_target: int, map_batch_size: int
-) -> list[tuple[str, str]]:
+) -> list[tuple[tuple[str, str], str]]:
     """Sample candidate pairs that share a cheap predicate block, from the
     full dataset. Per block only ADJACENT sorted-id pairs (+ first/last) are
     emitted — O(n) per block, enough for a training sample; blocks larger
@@ -80,35 +84,65 @@ def _sample_blocked_pairs(
         batch_size=map_batch_size,
     )
 
-    def emit_adjacent(group: pa.Table) -> pa.Table:
-        ids = sorted(set(group.column("doc_id").to_pylist()))
-        empty = pa.table(
-            {"id_a": pa.array([], pa.string()), "id_b": pa.array([], pa.string()),
-             "bsize": pa.array([], pa.int32())}
-        )
-        if len(ids) < 2 or len(ids) > 100:
-            return empty
-        a = list(ids[:-1]) + [ids[0]]
-        b = list(ids[1:]) + [ids[-1]]
-        return pa.table(
-            {"id_a": pa.array(a, pa.string()), "id_b": pa.array(b, pa.string()),
-             "bsize": pa.array([len(ids)] * len(a), pa.int32())}
-        )
+    # Deterministic KEY-SPACE hash sampling — no groupby, no sort: sample
+    # block keys by crc32 at a rate sized from the exploded row count, fetch
+    # the member rows of sampled keys in one map pass, and form adjacent
+    # pairs per block driver-side. A shuffle-free training sampler whose
+    # output is identical at any parallelism level; the rate doubles (rare)
+    # if the first draw surfaces too few multi-member blocks.
+    import zlib
 
-    raw = blocked.groupby("block_key").map_groups(emit_adjacent, batch_format="pyarrow")
-    # smallest blocks first: a 2-member whole-field block is the strongest
-    # duplicate signal; huge first-token blocks are mostly noise — this keeps
-    # the labeling pool rich in true matches at any corpus size
-    raw = raw.sort("bsize")
-    out: list[tuple[str, str]] = []
+    blocked = blocked.materialize()
+    total_rows = blocked.count()
+    budget_keys = n_target * 3
+    rate = min(1.0, (budget_keys * 4) / max(total_rows, 1))
+
+    by_pred: dict[str, list[tuple[str, str]]] = {}
     seen: set[tuple[str, str]] = set()
-    for r in raw.limit(n_target * 3).take(n_target * 3):
-        p = (r["id_a"], r["id_b"]) if r["id_a"] < r["id_b"] else (r["id_b"], r["id_a"])
-        if p not in seen:
-            seen.add(p)
-            out.append(p)
-            if len(out) >= n_target:
-                break
+    for _ in range(8):
+        cut = int(rate * 0xFFFFFFFF)
+
+        def key_sample(batch: pa.Table) -> pa.Table:
+            mask = pa.array(
+                [zlib.crc32(k.encode()) <= cut for k in batch.column("block_key").to_pylist()]
+            )
+            return batch.filter(mask)
+
+        members: dict[str, list[str]] = {}
+        for r in blocked.map_batches(key_sample, batch_format="pyarrow").take_all():
+            members.setdefault(r["block_key"], []).append(r["doc_id"])
+
+        by_pred.clear()
+        seen.clear()
+        n_pairs = 0
+        for key in sorted(members):
+            ids = sorted(set(members[key]))
+            if len(ids) < 2 or len(ids) > 100:
+                continue
+            pred = key.split("\x1f", 1)[0]
+            for a, b in zip(ids[:-1], ids[1:]):
+                p = (a, b)
+                if p not in seen:
+                    seen.add(p)
+                    by_pred.setdefault(pred, []).append(p)
+                    n_pairs += 1
+        if n_pairs >= n_target or rate >= 1.0:
+            break
+        rate = min(1.0, rate * 2)
+    out: list[tuple[tuple[str, str], str]] = []
+    out_seen: set[tuple[str, str]] = set()
+    keys = sorted(by_pred)
+    queues = [by_pred[k] for k in keys]
+    qi = 0
+    while len(out) < n_target and any(queues):
+        k = qi % len(queues)
+        q = queues[k]
+        qi += 1
+        if q:
+            p = q.pop(0)
+            if p not in out_seen:
+                out_seen.add(p)
+                out.append((p, keys[k]))
     return out
 
 
@@ -139,13 +173,25 @@ class RayDeduper:
         cfg = self.config
         total = flat_ds.count()
 
-        # uniform record sample (predicate cost estimation + random pairs)
+        # uniform record sample (predicate cost estimation + random pairs) —
+        # HASH-based, not random_sample: rows are chosen by crc32(doc_id) so
+        # the sample (and therefore the trained model) is identical at any
+        # parallelism level / block layout
+        import zlib
+
         frac = min(1.0, (cfg.max_training_rows * 1.5) / max(total, 1))
-        rows = (
-            flat_ds.random_sample(frac, seed=cfg.seed)
-            .limit(cfg.max_training_rows)
-            .take(cfg.max_training_rows)
-        )
+        cut = int(frac * 0xFFFFFFFF)
+
+        def hash_sample(batch: pa.Table) -> pa.Table:
+            mask = pa.array(
+                [zlib.crc32(f"{cfg.seed}:{d}".encode()) <= cut for d in batch.column("doc_id").to_pylist()]
+            )
+            return batch.filter(mask)
+
+        rows = sorted(
+            flat_ds.map_batches(hash_sample, batch_format="pyarrow").take_all(),
+            key=lambda r: r["doc_id"],
+        )[: cfg.max_training_rows]
         # records keep their doc_id (non-feature key) so scripted/oracle
         # labelers can identify them; predicates/features only read config fields
         def _rec(r: dict) -> dict:
@@ -155,7 +201,8 @@ class RayDeduper:
 
         # blocked pair sample over the FULL dataset
         n_blocked = int(cfg.sample_size * cfg.blocked_proportion)
-        pair_ids = _sample_blocked_pairs(flat_ds, fields, n_blocked, cfg.map_batch_size)
+        tagged_pairs = _sample_blocked_pairs(flat_ds, fields, n_blocked, cfg.map_batch_size)
+        pair_ids = [p for p, _ in tagged_pairs]
 
         # fetch the records behind the sampled pairs (bounded ≤ 2·n_blocked)
         need = {i for p in pair_ids for i in p} - set(self._sample_records)
@@ -171,9 +218,12 @@ class RayDeduper:
             for r in flat_ds.map_batches(pick, batch_format="pyarrow").take_all():
                 records[r["doc_id"]] = _rec(r)
 
-        candidates = [
-            (records[a], records[b]) for a, b in pair_ids if a in records and b in records
-        ]
+        candidates = []
+        provenance = []
+        for (a, b), pred in tagged_pairs:
+            if a in records and b in records:
+                candidates.append((records[a], records[b]))
+                provenance.append(pred)
         # random-pair remainder from the uniform sample
         rng = np.random.RandomState(cfg.seed)
         ids = sorted(self._sample_records)
@@ -187,7 +237,10 @@ class RayDeduper:
             if (a, b) not in seen:
                 seen.add((a, b))
                 candidates.append((records[a], records[b]))
-        self._learner = ActiveLearner(self.config, candidates, seed=cfg.seed)
+                provenance.append("rand")
+        self._learner = ActiveLearner(
+            self.config, candidates, seed=cfg.seed, provenance=provenance
+        )
 
     def uncertain_pairs(self) -> list[tuple[dict, dict]]:
         assert self._learner is not None, "call prepare_training first"
@@ -280,14 +333,12 @@ class RayDeduper:
             cfg.field_names(),
             broadcast_limit=cfg.broadcast_record_limit,
             batch_size=cfg.score_batch_size,
-            concurrency=(1, max(2, cfg.score_concurrency // 2)),
         )
         scored = score_pairs(
             assembled,
             self.classifier.to_dict(),
             cfg,
             batch_size=cfg.score_batch_size,
-            concurrency=(1, cfg.score_concurrency),
         )
         edges = scored.filter(expr=f"score >= {threshold}")
         return cluster_edges(

@@ -51,31 +51,48 @@ class Scorer:
 
 
 class BroadcastPairAssembler:
-    """Actor-pool callable: (id_a, id_b) pairs → (id_a, id_b, a_*, b_*) via a
-    broadcast record table (ray.put once, hash-indexed per actor)."""
+    """Pair→record assembly against a broadcast record table.
+
+    The table is ``ray.put`` ONCE (driver), sorted by doc_id; lookup is a
+    vectorized ``np.searchsorted`` per batch — no python dict build, so the
+    stage works equally well as a stateless task (zero-copy ray.get per
+    task) or an actor (state pinned once). Tasks are the default: the state
+    is a shared-memory Arrow table, and task workers skip actor-pool
+    startup latency."""
 
     def __init__(self, records_ref, fields: list[str]):
         tbl: pa.Table = ray.get(records_ref)
         self.fields = fields
-        self.index = {d: i for i, d in enumerate(tbl.column("doc_id").to_pylist())}
-        self.cols = {f: np.asarray(tbl.column(f).to_pylist(), dtype=object) for f in fields}
+        self.sorted_ids = np.asarray(tbl.column("doc_id").to_pylist(), dtype=object)
+        self.cols = {f: tbl.column(f) for f in fields}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ia = np.fromiter(
-            (self.index[d] for d in batch.column("id_a").to_pylist()), np.int64, len(batch)
-        )
-        ib = np.fromiter(
-            (self.index[d] for d in batch.column("id_b").to_pylist()), np.int64, len(batch)
-        )
+        ia = np.searchsorted(self.sorted_ids, np.asarray(batch.column("id_a").to_pylist(), object))
+        ib = np.searchsorted(self.sorted_ids, np.asarray(batch.column("id_b").to_pylist(), object))
+        idx_a = pa.array(ia, pa.int64())
+        idx_b = pa.array(ib, pa.int64())
         data: dict[str, pa.Array] = {
             "id_a": batch.column("id_a"),
             "id_b": batch.column("id_b"),
         }
         for f in self.fields:
             col = self.cols[f]
-            data[f"a_{f}"] = pa.array(col[ia], pa.string())
-            data[f"b_{f}"] = pa.array(col[ib], pa.string())
+            data[f"a_{f}"] = col.take(idx_a)
+            data[f"b_{f}"] = col.take(idx_b)
         return pa.table(data)
+
+
+def make_assembler_fn(records_ref, fields: list[str]):
+    """Stateless-task variant: the assembler is rebuilt per task from the
+    shared-memory table (cheap — no dict, just array handles)."""
+    holder: dict = {}
+
+    def _fn(batch: pa.Table) -> pa.Table:
+        if "a" not in holder:
+            holder["a"] = BroadcastPairAssembler(records_ref, fields)
+        return holder["a"](batch)
+
+    return _fn
 
 
 def assemble_pairs(
@@ -90,16 +107,13 @@ def assemble_pairs(
     n_records = flat_records_ds.count()
     if n_records <= broadcast_limit:
         cols = ["doc_id"] + fields
-        tbl = pa.concat_tables(
-            [pa.Table.from_pandas(flat_records_ds.select_columns(cols).to_pandas())]
-        )
-        ref = ray.put(tbl)
+        tbl = pa.Table.from_pandas(flat_records_ds.select_columns(cols).to_pandas())
+        order = pa.compute.sort_indices(tbl.column("doc_id"))
+        ref = ray.put(tbl.take(order))
         return pairs_ds.map_batches(
-            BroadcastPairAssembler,
-            fn_constructor_args=(ref, fields),
+            make_assembler_fn(ref, fields),
             batch_format="pyarrow",
             batch_size=batch_size,
-            concurrency=concurrency,
         )
     # shuffle-join path: rename record columns per side, two hash joins
     def renamer(side: str):
@@ -124,12 +138,21 @@ def score_pairs(
     config: EngineConfig,
     idf_tables: dict | None = None,
     batch_size: int = 4096,
-    concurrency=(1, 8),
+    concurrency=None,
 ) -> "ray.data.Dataset":
+    """Stateless tasks by default (the logistic weights are tiny and ship in
+    the task closure — no actor-pool startup in the critical path); pass
+    ``concurrency`` to pin an actor pool instead when the scorer state is
+    heavy (e.g. large TF-IDF tables for Text fields)."""
+    if concurrency is None and not idf_tables:
+        scorer = Scorer(model, config, idf_tables)
+        return assembled_ds.map_batches(
+            lambda b: scorer(b), batch_format="pyarrow", batch_size=batch_size
+        )
     return assembled_ds.map_batches(
         Scorer,
         fn_constructor_args=(model, config, idf_tables),
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=concurrency or (1, 8),
     )

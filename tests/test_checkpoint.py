@@ -1,0 +1,67 @@
+"""Resume-from-checkpoint: rerun after partial completion reproduces the
+single-run output (BASELINE.md resume target)."""
+
+import json
+import os
+import shutil
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from dedupe_ray.eval import clusters_assignment, truth_assignment
+from dedupe_ray.fixtures import corpus_paths
+from dedupe_ray.io_utils import CheckpointManager, fingerprint, run_checkpointed_dedupe
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    docs_path, truth_path = corpus_paths(1000, seed=42)
+    ta = truth_assignment(pq.read_table(truth_path))
+    return docs_path, ta
+
+
+def _assignment(ds):
+    return clusters_assignment(pa.Table.from_pandas(ds.to_pandas()))
+
+
+def test_checkpoint_skip_and_resume(tmp_path, corpus):
+    docs_path, ta = corpus
+    root = str(tmp_path / "run")
+    oracle = lambda a, b: ta[a["doc_id"]] == ta[b["doc_id"]]
+
+    first = _assignment(run_checkpointed_dedupe(docs_path, root, 0.25, label_oracle=oracle))
+    assert first
+
+    # stage manifests exist with lineage info
+    for stage in ("flatten", "pairs", "edges", "clusters"):
+        man = json.load(open(os.path.join(root, f"stage={stage}", "_manifest.json")))
+        assert man["rows"] >= 0 and man["partitions"], stage
+
+    # simulate a crash after 'pairs': delete later stages, rerun → same output
+    shutil.rmtree(os.path.join(root, "stage=edges"))
+    shutil.rmtree(os.path.join(root, "stage=clusters"))
+    second = _assignment(run_checkpointed_dedupe(docs_path, root, 0.25, label_oracle=oracle))
+    assert second == first
+
+    # full rerun with everything cached is also identical (and skips stages)
+    third = _assignment(run_checkpointed_dedupe(docs_path, root, 0.25, label_oracle=oracle))
+    assert third == first
+
+
+def test_fingerprint_invalidates(tmp_path):
+    ckpt = CheckpointManager(str(tmp_path / "c"))
+    import ray.data as rd
+
+    calls = {"n": 0}
+
+    def compute():
+        calls["n"] += 1
+        return rd.range(5)
+
+    fp1 = fingerprint("a", 1)
+    ckpt.run_stage("s", fp1, compute)
+    ckpt.run_stage("s", fp1, compute)
+    assert calls["n"] == 1  # second call skipped
+    ckpt.run_stage("s", fingerprint("a", 2), compute)
+    assert calls["n"] == 2  # changed fingerprint recomputes

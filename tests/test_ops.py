@@ -1,0 +1,268 @@
+"""Operator-library tests: tabular parity ops, text analysis, dedup family,
+embedding search, multimodal plumbing."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray
+import ray.data as rd
+
+
+# ---------------------------------------------------------------------------
+# tabular
+# ---------------------------------------------------------------------------
+
+
+def test_column_mapped_union():
+    from dedupe_ray.ops.tabular import column_mapped_union
+
+    a = rd.from_arrow(pa.table({"Name": ["x", "y"], "City": ["k", "w"]}))
+    b = rd.from_arrow(pa.table({"FullName": ["z"], "Extra": ["e"]}))
+    out = column_mapped_union(a, b, {"FullName": "Name"}, ("f1", "f2")).to_pandas()
+    assert list(out.columns) == ["Name", "City", "Extra", "source_file"]
+    assert out[out.source_file == "f2"]["Name"].tolist() == ["z"]
+    assert out[out.source_file == "f2"]["City"].tolist() == [""]  # fill missing
+    assert out[out.source_file == "f1"]["Extra"].tolist() == ["", ""]
+
+
+def test_drop_empty_rows():
+    from dedupe_ray.ops.tabular import drop_empty_rows
+
+    ds = rd.from_arrow(
+        pa.table({"a": ["x", "", "  ", None], "b": ["", "y", "", None]})
+    )
+    out = drop_empty_rows(ds).to_pandas()
+    assert len(out) == 2
+
+
+def test_anti_join_export_and_attach():
+    from dedupe_ray.ops.tabular import anti_join_export, attach_cluster_columns
+
+    ds = rd.from_arrow(pa.table({"doc_id": ["a", "b", "c"], "v": ["1", "2", "3"]}))
+    out = anti_join_export(ds, {"b"}).to_pandas()
+    assert sorted(out["doc_id"]) == ["a", "c"]
+
+    ref = ray.put({"a": ("c1", 0.9)})
+    out2 = attach_cluster_columns(ds, ref).to_pandas().set_index("doc_id")
+    assert out2.loc["a", "cluster_id"] == "c1"
+    assert out2.loc["b", "cluster_id"] == ""
+
+
+def test_semi_join_recover():
+    from dedupe_ray.ops.tabular import semi_join_recover
+
+    ds = rd.from_arrow(
+        pa.table({"doc_id": ["a", "b"], "Name": ["acme", "zeta"], "City": ["k", "w"]})
+    )
+    # recovery ignores extra keys on the pair record (reference drops
+    # confidence_score/source_file/record_id before comparing)
+    recs = [{"Name": "acme", "City": "k", "confidence_score": "0.9"}]
+    out = semi_join_recover(ds, recs, ["Name", "City"]).to_pandas()
+    assert out["doc_id"].tolist() == ["a"]
+
+
+def test_pair_diff():
+    from dedupe_ray.ops.tabular import pair_diff
+
+    d = pair_diff({"a": "1", "b": "2"}, {"a": "1", "b": "3"}, ["a", "b"])
+    assert d == {"a": False, "b": True}
+
+
+# ---------------------------------------------------------------------------
+# text
+# ---------------------------------------------------------------------------
+
+
+def test_language_id():
+    from dedupe_ray.ops.text import LanguageId
+
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "text": [
+                    "the cat and the dog in the house",
+                    "der Hund ist nicht mit der Katze",
+                    "el perro y la casa en la calle",
+                    "",
+                ]
+            }
+        )
+    )
+    out = ds.map_batches(LanguageId, batch_format="pyarrow", concurrency=(1, 1)).to_pandas()
+    assert out["lang_pred"].tolist() == ["en", "de", "es", "und"]
+
+
+def test_quality_score_ranges():
+    from dedupe_ray.ops.text import QualityScore
+
+    ds = rd.from_arrow(
+        pa.table({"text": ["a good long sentence with many proper words included here", "!!!", ""]})
+    )
+    out = ds.map_batches(QualityScore, batch_format="pyarrow", concurrency=(1, 1)).to_pandas()
+    assert out["quality_score"].between(0, 1).all()
+    assert out["quality_score"].iloc[0] > out["quality_score"].iloc[1]
+
+
+def test_token_count_modes():
+    from dedupe_ray.ops.text import token_count_batch
+
+    t = pa.table({"text": ["one two three", "hello, world!"]})
+    ws = token_count_batch(t, "whitespace")
+    assert ws.column("n_tokens").to_pylist() == [3, 2]
+    bp = token_count_batch(t, "bpe_ish")
+    assert bp.column("n_tokens").to_pylist()[0] == 3
+    assert bp.column("n_tokens").to_pylist()[1] >= 4  # punctuation splits
+
+
+def test_fingerprint_whitespace_insensitive():
+    from dedupe_ray.ops.text import fingerprint_batch
+
+    t = pa.table({"text": ["Hello World Example", "hello   world example", "different text"]})
+    out = fingerprint_batch(t).column("fingerprint").to_pylist()
+    assert out[0] == out[1]
+    assert out[0] != out[2]
+
+
+# ---------------------------------------------------------------------------
+# dedup family
+# ---------------------------------------------------------------------------
+
+
+def _text_ds(texts):
+    return rd.from_arrow(
+        pa.table({"doc_id": [f"d{i}" for i in range(len(texts))], "text": texts})
+    )
+
+
+def test_exact_dedup_keeps_min_id():
+    from dedupe_ray.ops.dedup import exact_dedup
+
+    ds = _text_ds(["same", "same", "unique"])
+    out = exact_dedup(ds).to_pandas()
+    assert sorted(out["doc_id"]) == ["d0", "d2"]
+
+
+def test_minhash_finds_near_dups():
+    from dedupe_ray.ops.dedup import minhash_lsh_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again in the field"
+    near = base.replace("lazy", "sleepy")
+    texts = [base, near, "completely different content about ray data pipelines and arrow"]
+    out = minhash_lsh_pairs(_text_ds(texts), jaccard_threshold=0.5, num_perm=64, bands=16).to_pandas()
+    pairs = set(zip(out["id_a"], out["id_b"]))
+    assert ("d0", "d1") in pairs
+    assert all(p == ("d0", "d1") for p in pairs)
+
+
+def test_simhash_near_dups():
+    from dedupe_ray.ops.dedup import simhash_pairs
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    near = base + " extra"
+    texts = [base, near, "unrelated words entirely about databases and query planners"]
+    out = simhash_pairs(_text_ds(texts), max_hamming=10).to_pandas()
+    pairs = set(zip(out["id_a"], out["id_b"]))
+    assert ("d0", "d1") in pairs
+
+
+def test_ngram_jaccard_verify():
+    from dedupe_ray.ops.dedup import ngram_jaccard_pairs
+
+    ds = _text_ds(["a b c d e f", "a b c d e g", "x y z w q r"])
+    cands = rd.from_arrow(
+        pa.table({"id_a": ["d0", "d0"], "id_b": ["d1", "d2"]})
+    )
+    out = ngram_jaccard_pairs(ds, cands, n=2, threshold=0.3).to_pandas()
+    assert out["id_b"].tolist() == ["d1"]
+
+
+# ---------------------------------------------------------------------------
+# embeddings
+# ---------------------------------------------------------------------------
+
+
+def _emb_ds(n=50, dim=8, seed=0):
+    rng = np.random.RandomState(seed)
+    m = rng.randn(n, dim).astype(np.float32)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+                "embedding": pa.FixedSizeListArray.from_arrays(
+                    pa.array(m.reshape(-1)), dim
+                ).cast(pa.list_(pa.float32())),
+            }
+        )
+    ), m
+
+
+def test_brute_force_topk_exact():
+    from dedupe_ray.ops.embedding import brute_force_topk
+
+    ds, m = _emb_ds()
+    q = m[:2]
+    out = brute_force_topk(ds, q, k=5).to_pandas()
+    # rank-0 hit for each query is the query vector itself (cosine 1)
+    top0 = out[out["rank"] == 0].sort_values("query_id")
+    assert top0["vec_id"].tolist() == [0, 1]
+    # verify against numpy directly
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    want = np.argsort(-(mn @ mn[0]))[:5]
+    got = out[out["query_id"] == 0].sort_values("rank")["vec_id"].tolist()
+    assert got == want.tolist()
+
+
+def test_ivf_topk_recovers_self():
+    from dedupe_ray.ops.embedding import ivf_topk
+
+    ds, m = _emb_ds(100, 8)
+    out = ivf_topk(ds, m[:3], k=3, n_centroids=4, nprobe=2).to_pandas()
+    top0 = out[out["rank"] == 0].sort_values("query_id")
+    assert top0["vec_id"].tolist() == [0, 1, 2]
+
+
+def test_embedding_near_dup_pairs_planted():
+    from dedupe_ray.ops.embedding import embedding_near_dup_pairs
+
+    rng = np.random.RandomState(1)
+    m = rng.randn(30, 8).astype(np.float32)
+    m[15] = m[0] + 0.001  # planted near-dup
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(30, dtype=np.int64)),
+                "embedding": pa.FixedSizeListArray.from_arrays(pa.array(m.reshape(-1)), 8).cast(
+                    pa.list_(pa.float32())
+                ),
+            }
+        )
+    )
+    out = embedding_near_dup_pairs(ds, cosine_threshold=0.99, n_centroids=2).to_pandas()
+    assert (0, 15) in set(zip(out["id_a"], out["id_b"]))
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+def test_media_pipeline_fake_decode(small_corpus):
+    from dedupe_ray.ops.multimodal import media_feature_pipeline
+
+    docs, _ = small_corpus
+    ds = rd.from_arrow(docs)
+    out = media_feature_pipeline(ds, fake_decode=True).to_pandas()
+    assert set(["doc_id", "kind", "media_ref", "width", "height", "features"]) <= set(out.columns)
+    assert (out["kind"] == "image").all()
+    assert out["width"].between(64, 1024).all()
+    # deterministic: same media_ref → same features
+    f = out.groupby("media_ref")["width"].nunique()
+    assert (f == 1).all()
+
+
+def test_media_decode_stub_raises():
+    from dedupe_ray.ops.multimodal import DecodeImage
+
+    with pytest.raises(NotImplementedError):
+        DecodeImage(fake=False)._decode_one("media://x")
