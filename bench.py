@@ -113,7 +113,7 @@ def run_bench() -> dict:
 
     # ---- headline: production partition job ------------------------------
     deduper = RayDeduper.load_settings(_settings_path(n_docs))
-    threshold = 0.25
+    threshold = float(os.environ.get('GRAFT_BENCH_THRESHOLD', '0.3'))
     t0 = time.time()
     flat, _ = flatten_documents(
         rd.read_parquet(docs_path, override_num_blocks=NUM_CPUS * 2), deduper.config.field_names()

@@ -264,11 +264,10 @@ def centroid_hac_cut(dist: np.ndarray, t: float) -> np.ndarray:
     members: list[list[int]] = [[i] for i in range(n)]
     idx_of = list(range(n))  # active slot → tree node id
     for _ in range(n - 1):
-        sub = np.where(active)[0]
-        block = d2[np.ix_(sub, sub)]
-        k = np.argmin(block)
-        i_s, j_s = divmod(k, block.shape[1])
-        i, j = sub[i_s], sub[j_s]
+        # argmin over the full matrix (inactive rows/cols hold inf) — no
+        # per-step submatrix copy
+        k = int(np.argmin(d2))
+        i, j = divmod(k, n)
         if i > j:
             i, j = j, i
         h2 = d2[i, j]
@@ -322,6 +321,11 @@ def centroid_hac_cut(dist: np.ndarray, t: float) -> np.ndarray:
     return labels
 
 
+_HAC_LIMIT = 1500  # full-matrix centroid HAC is O(n²) memory / O(n³) time;
+# beyond this a component is split by score before HAC (dedupe's
+# max_components edge-dropping, applied recursively in-group)
+
+
 def cluster_component(group: pd.DataFrame, threshold: float) -> pd.DataFrame:
     """Edges of ONE component → (doc_id, cluster_id, confidence_score) rows.
 
@@ -329,6 +333,37 @@ def cluster_component(group: pd.DataFrame, threshold: float) -> pd.DataFrame:
     (group_size > 1 filter — backend/dedupe_script.py:365)."""
     ids = sorted(set(group["id_a"]).union(group["id_b"]))
     n = len(ids)
+    if n > _HAC_LIMIT:
+        # recursive split: drop the weakest quartile of edges, re-component,
+        # recurse — mirrors [lib: dedupe/clustering.py] giant-component
+        # handling without materializing an n×n matrix
+        floor = float(np.quantile(group["score"], 0.25))
+        sub = group[group["score"] > floor]
+        if len(sub) == len(group):  # degenerate (all scores equal): midpoint cut
+            floor = (float(group["score"].min()) + 1.0) / 2
+            sub = group[group["score"] > floor]
+        if sub.empty:
+            return pd.DataFrame(
+                {"cluster_id": pd.Series([], dtype=str), "doc_id": pd.Series([], dtype=str),
+                 "confidence_score": pd.Series([], dtype=np.float32)}
+            )
+        uf = UnionFind()
+        for a, b in zip(sub["id_a"], sub["id_b"]):
+            uf.union(a, b)
+        comp = {x: uf.find(x) for x in uf.parent}
+        keep = sub.assign(_c=[comp[a] for a in sub["id_a"]])
+        outs = [
+            cluster_component(s.drop(columns="_c"), threshold)
+            for _, s in keep.groupby("_c", sort=True)
+        ]
+        return (
+            pd.concat(outs, ignore_index=True)
+            if outs
+            else pd.DataFrame(
+                {"cluster_id": pd.Series([], dtype=str), "doc_id": pd.Series([], dtype=str),
+                 "confidence_score": pd.Series([], dtype=np.float32)}
+            )
+        )
     pos = {d: i for i, d in enumerate(ids)}
     if n == 2:
         score = float(group["score"].max())

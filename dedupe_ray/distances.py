@@ -45,14 +45,14 @@ _MAX_LEN = 256  # strings truncated here; KNA-style fields are ≪ this
 
 
 def _encode(strings: list[str], max_len: int) -> tuple[np.ndarray, np.ndarray]:
-    """list[str] → (codes uint32 [n, max_len] padded with 0, lengths [n])."""
+    """list[str] → (codes uint32 [n, max_len] padded with 0, lengths [n]).
+
+    Vectorized: numpy U-dtype fixed-width array viewed as uint32 — no
+    per-string python encode (numpy truncates to max_len on construction)."""
     n = len(strings)
-    lens = np.fromiter((min(len(s), max_len) for s in strings), np.int32, n)
-    codes = np.zeros((n, max_len), np.uint32)
-    for i, s in enumerate(strings):
-        if s:
-            b = s[:max_len].encode("utf-32-le")
-            codes[i, : lens[i]] = np.frombuffer(b, np.uint32)
+    arr = np.array(strings, dtype=f"U{max_len}")
+    codes = arr.view(np.uint32).reshape(n, max_len)
+    lens = np.char.str_len(arr).astype(np.int32)
     return codes, lens
 
 

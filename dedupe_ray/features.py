@@ -52,26 +52,37 @@ def _field_distance(
     raise ValueError(f.type)
 
 
+def _miss_mask(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    import pyarrow.compute as pc
+
+    filled = pc.fill_null(col, MISSING)
+    m = pc.or_(pc.equal(filled, MISSING), pc.equal(filled, ""))
+    return m.to_numpy(zero_copy_only=False).astype(bool)
+
+
 def pair_features(
     batch: pa.Table, config: EngineConfig, idf_tables: dict[str, dict] | None = None
 ) -> np.ndarray:
-    """(a_*, b_*) pair batch → feature matrix [n, n_features] float32."""
+    """(a_*, b_*) pair batch → feature matrix [n, n_features] float32.
+
+    Missing detection is vectorized in pyarrow; the (expensive) distance
+    kernel only runs on rows where both sides are present."""
     n = len(batch)
     cols: list[np.ndarray] = []
     missing_cols: list[np.ndarray] = []
     for f in config.fields:
-        a = batch.column(f"a_{f.field}").to_pylist()
-        b = batch.column(f"b_{f.field}").to_pylist()
-        a = ["" if v is None else v for v in a]
-        b = ["" if v is None else v for v in b]
-        miss = np.fromiter(
-            ((x == MISSING or not x or y == MISSING or not y) for x, y in zip(a, b)),
-            bool,
-            n,
-        )
-        d = _field_distance(f, a, b, (idf_tables or {}).get(f.field))
-        d = np.where(miss, np.float32(0.0), d)
-        d = np.nan_to_num(d, nan=0.0, posinf=0.0, neginf=0.0).astype(np.float32)
+        ca = batch.column(f"a_{f.field}")
+        cb = batch.column(f"b_{f.field}")
+        miss = _miss_mask(ca) | _miss_mask(cb)
+        d = np.zeros(n, np.float32)
+        idx = np.nonzero(~miss)[0]
+        if idx.size:
+            a_all = ca.to_pylist()
+            b_all = cb.to_pylist()
+            a = [a_all[i] for i in idx]
+            b = [b_all[i] for i in idx]
+            dv = _field_distance(f, a, b, (idf_tables or {}).get(f.field))
+            d[idx] = np.nan_to_num(dv, nan=0.0, posinf=0.0, neginf=0.0).astype(np.float32)
         cols.append(d)
         if f.has_missing:
             missing_cols.append(miss.astype(np.float32))

@@ -231,19 +231,34 @@ _CACHE_DIR = "/tmp/dedupe_ray_fixtures"
 
 
 def corpus_paths(n_docs: int, seed: int = 42) -> tuple[str, str]:
-    """Generate (or reuse cached) corpus parquet files; returns (docs_path, truth_path)."""
+    """Generate (or reuse cached) corpus parquet; returns (docs_dir, truth_path).
+
+    Documents are written as a DIRECTORY of shard files — Ray assigns one
+    read task per file, so a single giant file would serialize the read
+    (and the resumable-output layout at production scale is per-shard
+    directories anyway)."""
     os.makedirs(_CACHE_DIR, exist_ok=True)
-    docs_path = os.path.join(_CACHE_DIR, f"docs_n{n_docs}_s{seed}.parquet")
+    docs_dir = os.path.join(_CACHE_DIR, f"docs_n{n_docs}_s{seed}")
     truth_path = os.path.join(_CACHE_DIR, f"truth_n{n_docs}_s{seed}.parquet")
-    if not (os.path.exists(docs_path) and os.path.exists(truth_path)):
+    if not (os.path.isdir(docs_dir) and os.path.exists(truth_path)):
         docs, truth = generate_kna_corpus(n_docs, seed)
-        # small row groups so ray.data.read_parquet can split the file into
-        # parallel read tasks (one giant row group = one block = no scaling)
-        pq.write_table(docs, docs_path + ".tmp", row_group_size=8192)
-        os.replace(docs_path + ".tmp", docs_path)
+        shard_rows = max(4096, n_docs // 64)
+        tmp = docs_dir + ".tmp"
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp, exist_ok=True)
+        for i, start in enumerate(range(0, docs.num_rows, shard_rows)):
+            pq.write_table(
+                docs.slice(start, shard_rows),
+                os.path.join(tmp, f"part-{i:05d}.parquet"),
+                row_group_size=8192,
+            )
+        shutil.rmtree(docs_dir, ignore_errors=True)
+        os.replace(tmp, docs_dir)
         pq.write_table(truth, truth_path + ".tmp", row_group_size=65536)
         os.replace(truth_path + ".tmp", truth_path)
-    return docs_path, truth_path
+    return docs_dir, truth_path
 
 
 def labeled_pairs_from_truth(

@@ -63,12 +63,21 @@ class BroadcastPairAssembler:
     def __init__(self, records_ref, fields: list[str]):
         tbl: pa.Table = ray.get(records_ref)
         self.fields = fields
-        self.sorted_ids = np.asarray(tbl.column("doc_id").to_pylist(), dtype=object)
+        # fixed-width bytes dtype → searchsorted runs in C (object-dtype
+        # string comparison would be a python call per probe)
+        ids = tbl.column("doc_id").to_pylist()
+        width = max((len(s) for s in ids), default=1)
+        self.sorted_ids = np.asarray(ids, dtype=f"S{width}")
+        self._width = width
         self.cols = {f: tbl.column(f) for f in fields}
 
+    def _lookup(self, col: pa.ChunkedArray) -> np.ndarray:
+        probe = np.asarray(col.to_pylist(), dtype=f"S{self._width}")
+        return np.searchsorted(self.sorted_ids, probe)
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ia = np.searchsorted(self.sorted_ids, np.asarray(batch.column("id_a").to_pylist(), object))
-        ib = np.searchsorted(self.sorted_ids, np.asarray(batch.column("id_b").to_pylist(), object))
+        ia = self._lookup(batch.column("id_a"))
+        ib = self._lookup(batch.column("id_b"))
         idx_a = pa.array(ia, pa.int64())
         idx_b = pa.array(ib, pa.int64())
         data: dict[str, pa.Array] = {
@@ -82,15 +91,22 @@ class BroadcastPairAssembler:
         return pa.table(data)
 
 
+_ASSEMBLER_CACHE: dict = {}  # per-WORKER-process cache: the broadcast table's
+# id-array decode happens once per worker, not once per task
+
+
 def make_assembler_fn(records_ref, fields: list[str]):
-    """Stateless-task variant: the assembler is rebuilt per task from the
-    shared-memory table (cheap — no dict, just array handles)."""
-    holder: dict = {}
+    """Stateless-task variant: the assembler builds once per worker process
+    from the shared-memory table (module-global cache keyed by object ref)."""
+    key = records_ref.hex()
 
     def _fn(batch: pa.Table) -> pa.Table:
-        if "a" not in holder:
-            holder["a"] = BroadcastPairAssembler(records_ref, fields)
-        return holder["a"](batch)
+        a = _ASSEMBLER_CACHE.get(key)
+        if a is None:
+            a = BroadcastPairAssembler(records_ref, fields)
+            _ASSEMBLER_CACHE.clear()  # one broadcast table per job generation
+            _ASSEMBLER_CACHE[key] = a
+        return a(batch)
 
     return _fn
 
@@ -99,7 +115,7 @@ def assemble_pairs(
     pairs_ds: "ray.data.Dataset",
     flat_records_ds: "ray.data.Dataset",
     fields: list[str],
-    broadcast_limit: int = 500_000,
+    broadcast_limit: int = 2_000_000,
     batch_size: int = 4096,
     concurrency=(1, 4),
 ) -> "ray.data.Dataset":
@@ -107,7 +123,9 @@ def assemble_pairs(
     n_records = flat_records_ds.count()
     if n_records <= broadcast_limit:
         cols = ["doc_id"] + fields
-        tbl = pa.Table.from_pandas(flat_records_ds.select_columns(cols).to_pandas())
+        tbl = pa.concat_tables(
+            ray.get(flat_records_ds.select_columns(cols).to_arrow_refs())
+        ).combine_chunks()
         order = pa.compute.sort_indices(tbl.column("doc_id"))
         ref = ray.put(tbl.take(order))
         return pairs_ds.map_batches(
