@@ -100,13 +100,20 @@ def learn_predicates(
     recall: float = 1.0,
     max_predicates: int = 6,
     compound: bool = True,
+    cost_records: dict[str, dict] | None = None,
 ) -> list[str]:
     """Greedy ε-cover: pick predicate ids covering ≥ recall of match pairs,
-    preferring low candidate-pair cost on the sample.
+    preferring low candidate-pair cost.
 
-    match_pairs are (record_a, record_b) cleaned field dicts.
+    match_pairs are (record_a, record_b) cleaned field dicts. Cost is the
+    within-block pair count on ``cost_records`` (a LARGE uniform sample —
+    block-size collisions are quadratic, so a few hundred rows wildly
+    underestimate a predicate's cost at 10⁶⁺ rows; the caller sizes this
+    sample with the corpus). Coverage is tested on the labeled matches
+    first so the expensive costing only touches covering predicates.
     """
     pool = default_predicate_pool(config.field_names())
+    cost_records = cost_records or sample_records
 
     # per-predicate: which match pairs it covers + candidate pair cost
     cover: dict[str, set[int]] = {}
@@ -123,7 +130,7 @@ def learn_predicates(
                 covered.add(i)
         if not covered:
             continue
-        blocks = _coverage(pred, sample_records)
+        blocks = _coverage(pred, cost_records)
         c = sum(len(m) * (len(m) - 1) // 2 for m in blocks.values())
         cover[pred.pid] = covered
         cost[pred.pid] = c + 1.0
@@ -144,7 +151,7 @@ def learn_predicates(
                 continue
             pid = f"{pa_}+{pb_}"
             pred = Predicate.from_id(pid)
-            blocks = _coverage(pred, sample_records)
+            blocks = _coverage(pred, cost_records)
             c = sum(len(m) * (len(m) - 1) // 2 for m in blocks.values())
             cover[pid] = covered
             cost[pid] = c + 1.0
@@ -152,22 +159,34 @@ def learn_predicates(
     total = len(match_pairs)
     target = int(np.ceil(recall * total))
     chosen: list[str] = []
-    covered_now: set[int] = set()
-    while len(covered_now) < target and len(chosen) < max_predicates:
-        best_pid, best_score = None, 0.0
-        for pid, cov in cover.items():
-            if pid in chosen:
-                continue
-            gain = len(cov - covered_now)
-            if gain == 0:
-                continue
-            score = gain / cost[pid]
-            if score > best_score:
-                best_pid, best_score = pid, score
-        if best_pid is None:
-            break
-        chosen.append(best_pid)
-        covered_now |= cover[best_pid]
+    counts = np.zeros(total, np.int32)  # per-match coverage multiplicity
+
+    def n_covered(k: int) -> int:
+        return int((counts >= k).sum())
+
+    # 2-cover greedy: first satisfy the recall target, then keep adding the
+    # cheapest predicates until every labeled match is covered by ≥2
+    # predicates (or the budget runs out). A single covering predicate is
+    # brittle — its blind spots (e.g. an n-gram key that emits nothing on
+    # short values) silently drop every duplicate class the labels happened
+    # not to sample; redundant coverage buys recall on unlabeled classes.
+    for required in (1, 2):
+        while n_covered(required) < target and len(chosen) < max_predicates:
+            best_pid, best_score = None, 0.0
+            for pid, cov in cover.items():
+                if pid in chosen:
+                    continue
+                gain = sum(1 for i in cov if counts[i] < required)
+                if gain == 0:
+                    continue
+                score = gain / cost[pid]
+                if score > best_score:
+                    best_pid, best_score = pid, score
+            if best_pid is None:
+                break
+            chosen.append(best_pid)
+            for i in cover[best_pid]:
+                counts[i] += 1
     if not chosen:  # degenerate: fall back to whole-field on every field
         chosen = [f"whole|{f}" for f in config.field_names()]
     return chosen

@@ -133,9 +133,12 @@ def ivf_topk(
     bucketed = assign_buckets(ds, cent, id_column)
     qn = _normalize(np.atleast_2d(np.asarray(queries, np.float32)))
     probes = np.argsort(-(qn @ cent.T), axis=1)[:, :nprobe]  # [nq, nprobe]
-    wanted = set(np.unique(probes).tolist())
-    filtered = bucketed.filter(
-        expr=f"bucket in ({', '.join(str(int(b)) for b in sorted(wanted))})"
+    wanted = sorted(int(b) for b in np.unique(probes))
+    import pyarrow.compute as pc
+
+    filtered = bucketed.map_batches(
+        lambda t: t.filter(pc.is_in(t.column("bucket"), value_set=pa.array(wanted, pa.int32()))),
+        batch_format="pyarrow",
     )
     probe_ref = ray.put(probes)
     qref = ray.put(qn)

@@ -156,6 +156,7 @@ class RayDeduper:
         self.labeled: list[tuple[tuple[dict, dict], bool]] = []
         self._learner: ActiveLearner | None = None
         self._sample_records: dict[str, dict] = {}
+        self._cost_records: dict[str, dict] = {}
 
     # ---- training ---------------------------------------------------------
 
@@ -179,7 +180,12 @@ class RayDeduper:
         # parallelism level / block layout
         import zlib
 
-        frac = min(1.0, (cfg.max_training_rows * 1.5) / max(total, 1))
+        # cost-estimation sample grows with the corpus: block collisions are
+        # quadratic, so a fixed 400-row sample wildly underestimates a
+        # predicate's pair cost at 10⁶⁺ rows and the set-cover learner picks
+        # catastrophic predicates (observed: anagram-fingerprint blocking)
+        cost_n = min(10_000, max(cfg.max_training_rows, total // 200))
+        frac = min(1.0, (cost_n * 1.3) / max(total, 1))
         cut = int(frac * 0xFFFFFFFF)
 
         def hash_sample(batch: pa.Table) -> pa.Table:
@@ -188,16 +194,18 @@ class RayDeduper:
             )
             return batch.filter(mask)
 
-        rows = sorted(
+        all_rows = sorted(
             flat_ds.map_batches(hash_sample, batch_format="pyarrow").take_all(),
             key=lambda r: r["doc_id"],
-        )[: cfg.max_training_rows]
+        )
+        rows = all_rows[: cfg.max_training_rows]
         # records keep their doc_id (non-feature key) so scripted/oracle
         # labelers can identify them; predicates/features only read config fields
         def _rec(r: dict) -> dict:
             return {"doc_id": r["doc_id"], **{f: (r.get(f) or "") for f in fields}}
 
         self._sample_records = {r["doc_id"]: _rec(r) for r in rows}
+        self._cost_records = {r["doc_id"]: _rec(r) for r in all_rows[:cost_n]}
 
         # blocked pair sample over the FULL dataset
         n_blocked = int(cfg.sample_size * cfg.blocked_proportion)
@@ -270,7 +278,11 @@ class RayDeduper:
         self.classifier.fit(X, y)
         match_pairs = [p for p, lbl in self.labeled if lbl]
         self.predicate_ids = learn_predicates(
-            match_pairs, self._sample_records, self.config, recall=recall
+            match_pairs,
+            self._sample_records,
+            self.config,
+            recall=recall,
+            cost_records=getattr(self, "_cost_records", None),
         )
 
     # ---- settings persistence ([lib] write_settings / StaticDedupe) -------

@@ -61,14 +61,15 @@ class BroadcastPairAssembler:
     startup latency."""
 
     def __init__(self, records_ref, fields: list[str]):
-        tbl: pa.Table = ray.get(records_ref)
+        # records_ref → (table sorted by doc_id, doc_id as fixed-width bytes
+        # ndarray). The bytes array is built ONCE on the driver and shipped
+        # zero-copy (fixed-width numpy shares pages via the object store);
+        # workers skip the 10⁶-string decode entirely. searchsorted on bytes
+        # runs in C.
+        tbl, ids_arr = ray.get(records_ref)
         self.fields = fields
-        # fixed-width bytes dtype → searchsorted runs in C (object-dtype
-        # string comparison would be a python call per probe)
-        ids = tbl.column("doc_id").to_pylist()
-        width = max((len(s) for s in ids), default=1)
-        self.sorted_ids = np.asarray(ids, dtype=f"S{width}")
-        self._width = width
+        self.sorted_ids = ids_arr
+        self._width = ids_arr.dtype.itemsize
         self.cols = {f: tbl.column(f) for f in fields}
 
     def _lookup(self, col: pa.ChunkedArray) -> np.ndarray:
@@ -127,7 +128,11 @@ def assemble_pairs(
             ray.get(flat_records_ds.select_columns(cols).to_arrow_refs())
         ).combine_chunks()
         order = pa.compute.sort_indices(tbl.column("doc_id"))
-        ref = ray.put(tbl.take(order))
+        tbl = tbl.take(order)
+        ids = tbl.column("doc_id").to_pylist()
+        width = max((len(s) for s in ids), default=1)
+        ids_arr = np.asarray(ids, dtype=f"S{width}")
+        ref = ray.put((tbl, ids_arr))
         return pairs_ds.map_batches(
             make_assembler_fn(ref, fields),
             batch_format="pyarrow",
