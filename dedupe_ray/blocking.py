@@ -42,13 +42,25 @@ from dedupe_ray.predicates import Predicate
 N_BUCKETS = 1024
 
 
-def make_block_explode_stage(predicate_ids: list[str], with_bucket: bool = False):
+def make_block_explode_stage(
+    predicate_ids: list[str], with_bucket: bool = False, index_tables: dict | None = None
+):
     """Stateless map_batches fn: flat record batch → (block_key, doc_id) rows.
 
     ``block_key`` is namespaced with the predicate index so identical raw keys
-    from different predicates never collide.
+    from different predicates never collide. Index predicates
+    (``canopy4|<field>``) are reconstructed from ``index_tables`` —
+    {pid: {"field", "df", "n_docs"}} — the broadcast train-time DF state.
     """
-    preds = [Predicate.from_id(p) for p in predicate_ids]
+    from dedupe_ray.predicates import NGramCanopyPredicate
+
+    preds = []
+    for p in predicate_ids:
+        if p.startswith("canopy"):
+            t = (index_tables or {})[p]
+            preds.append(NGramCanopyPredicate(t["field"], t["df"], t["n_docs"]))
+        else:
+            preds.append(Predicate.from_id(p))
 
     def _stage(batch: pa.Table) -> pa.Table:
         doc_ids = batch.column("doc_id").to_pylist()
@@ -181,6 +193,7 @@ def candidate_pairs(
     predicate_ids: list[str],
     max_block_size: int = 1024,
     map_batch_size: int = 8192,
+    index_tables: dict | None = None,
 ) -> tuple["ray.data.Dataset", "ray.data.Dataset"]:
     """flat record Dataset → (unique candidate pair Dataset, oversized-block marker Dataset).
 
@@ -189,7 +202,7 @@ def candidate_pairs(
     → vectorized pair emission, pair-hash buckets → vectorized dedup.
     """
     blocked = flat_ds.map_batches(
-        make_block_explode_stage(predicate_ids, with_bucket=True),
+        make_block_explode_stage(predicate_ids, with_bucket=True, index_tables=index_tables),
         batch_format="pyarrow",
         batch_size=map_batch_size,
     )

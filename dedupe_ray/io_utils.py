@@ -186,7 +186,10 @@ def run_checkpointed_dedupe(
     pairs = ckpt.run_stage(
         "pairs",
         fingerprint(model_fp, "pairs"),
-        lambda: candidate_pairs(flat, deduper.predicate_ids, deduper.config.max_block_size)[0],
+        lambda: candidate_pairs(
+            flat, deduper.predicate_ids, deduper.config.max_block_size,
+            index_tables=deduper.index_tables,
+        )[0],
         metrics,
     )
     edges = ckpt.run_stage(

@@ -101,7 +101,7 @@ def learn_predicates(
     max_predicates: int = 6,
     compound: bool = True,
     cost_records: dict[str, dict] | None = None,
-) -> list[str]:
+) -> tuple[list[str], dict[str, dict]]:
     """Greedy ε-cover: pick predicate ids covering ≥ recall of match pairs,
     preferring low candidate-pair cost.
 
@@ -112,8 +112,22 @@ def learn_predicates(
     sample with the corpus). Coverage is tested on the labeled matches
     first so the expensive costing only touches covering predicates.
     """
-    pool = default_predicate_pool(config.field_names())
+    pool = list(default_predicate_pool(config.field_names()))
     cost_records = cost_records or sample_records
+
+    # index predicates (L5): TF-IDF n-gram canopies, DF built from the cost
+    # sample — the learner can choose them like any other predicate
+    # ([lib] train(index_predicates=True))
+    from dedupe_ray.predicates import NGramCanopyPredicate, ngram_df
+
+    index_tables: dict[str, dict] = {}
+    for fname in config.field_names():
+        values = [r.get(fname) or "" for r in cost_records.values()]
+        df = ngram_df(values)
+        if df:
+            pred = NGramCanopyPredicate(fname, df, len(cost_records))
+            pool.append(pred)
+            index_tables[pred.pid] = {"field": fname, "df": df, "n_docs": len(cost_records)}
 
     # per-predicate: which match pairs it covers + candidate pair cost
     cover: dict[str, set[int]] = {}
@@ -139,7 +153,9 @@ def learn_predicates(
 
     # compound candidates: conjunctions of two useful simples on the same pairs
     if compound:
-        simple_ids = sorted(cover, key=lambda p: cost[p])[:12]
+        simple_ids = [
+            p for p in sorted(cover, key=lambda q: cost[q]) if not p.startswith("canopy")
+        ][:12]
         for pa_, pb_ in combinations(simple_ids, 2):
             covered = {
                 i
@@ -189,7 +205,8 @@ def learn_predicates(
                 counts[i] += 1
     if not chosen:  # degenerate: fall back to whole-field on every field
         chosen = [f"whole|{f}" for f in config.field_names()]
-    return chosen
+    chosen_tables = {pid: index_tables[pid] for pid in chosen if pid in index_tables}
+    return chosen, chosen_tables
 
 
 # ---------------------------------------------------------------------------

@@ -153,6 +153,7 @@ class RayDeduper:
         self.config = config
         self.classifier = LogisticClassifier(config.l2_lambda)
         self.predicate_ids: list[str] = []
+        self.index_tables: dict[str, dict] = {}
         self.labeled: list[tuple[tuple[dict, dict], bool]] = []
         self._learner: ActiveLearner | None = None
         self._sample_records: dict[str, dict] = {}
@@ -277,7 +278,7 @@ class RayDeduper:
             raise ValueError("need both match and distinct labels")
         self.classifier.fit(X, y)
         match_pairs = [p for p, lbl in self.labeled if lbl]
-        self.predicate_ids = learn_predicates(
+        self.predicate_ids, self.index_tables = learn_predicates(
             match_pairs,
             self._sample_records,
             self.config,
@@ -297,6 +298,7 @@ class RayDeduper:
             },
             "model": self.classifier.to_dict(),
             "predicates": self.predicate_ids,
+            "index_tables": self.index_tables,
         }
         tmp = path + ".tmp"
         with open(tmp, "w") as fh:
@@ -316,6 +318,7 @@ class RayDeduper:
         d = RayDeduper(config)
         d.classifier = LogisticClassifier.from_dict(state["model"])
         d.predicate_ids = state["predicates"]
+        d.index_tables = state.get("index_tables", {})
         return d
 
     # ---- the distributed DAG ---------------------------------------------
@@ -338,6 +341,7 @@ class RayDeduper:
             self.predicate_ids,
             max_block_size=cfg.max_block_size,
             map_batch_size=cfg.map_batch_size,
+            index_tables=self.index_tables,
         )
         assembled = assemble_pairs(
             pairs,
@@ -391,6 +395,62 @@ def active_label_loop(
         if n > max_pairs * 3:  # safety against an exhausted-but-one-sided pool
             break
     return n
+
+
+def labels_from_reviewed_clusters(
+    clusters: pa.Table,
+    records_by_id: dict[str, dict],
+    removals: set[str],
+    confirmed_clusters: set[str] | None = None,
+    max_pairs_per_cluster: int = 15,
+) -> dict[str, list[tuple[dict, dict]]]:
+    """The reprocess loop's label derivation (A25, page.tsx:611-727): for
+    each reviewed (confirmed) cluster, every pair of KEPT members is a
+    'match' label; every kept × removed pair is a 'distinct' label.
+
+    ``removals`` are doc_ids the reviewer marked as wrongly clustered.
+    ``confirmed_clusters`` limits to the clusters reviewed so far (the
+    reference's cursor); None = all. Pair counts per cluster are capped —
+    a 6-member cluster contributes C(6,2)=15 pairs, larger ones are
+    truncated deterministically."""
+    from itertools import combinations, islice
+
+    by_cluster: dict[str, list[str]] = {}
+    for cid, doc in zip(
+        clusters.column("cluster_id").to_pylist(), clusters.column("doc_id").to_pylist()
+    ):
+        by_cluster.setdefault(cid, []).append(doc)
+
+    match: list[tuple[dict, dict]] = []
+    distinct: list[tuple[dict, dict]] = []
+    for cid in sorted(by_cluster):
+        if confirmed_clusters is not None and cid not in confirmed_clusters:
+            continue
+        members = sorted(by_cluster[cid])
+        kept = [d for d in members if d not in removals]
+        deleted = [d for d in members if d in removals]
+        for a, b in islice(combinations(kept, 2), max_pairs_per_cluster):
+            if a in records_by_id and b in records_by_id:
+                match.append((records_by_id[a], records_by_id[b]))
+        for a in kept:
+            for b in deleted:
+                if a in records_by_id and b in records_by_id:
+                    distinct.append((records_by_id[a], records_by_id[b]))
+    return {"match": match, "distinct": distinct}
+
+
+def reprocess(
+    deduper: RayDeduper,
+    flat_ds: "ray.data.Dataset",
+    derived_labels: dict[str, list[tuple[dict, dict]]],
+    threshold: float | None = None,
+) -> "ray.data.Dataset":
+    """The reference's ``is_reprocessing`` path (SURVEY §3.3): fold the
+    reviewer-derived labels into the training set, retrain classifier +
+    predicates, re-partition. Returns the refined cluster membership."""
+    deduper.mark_pairs(derived_labels)
+    deduper.train()
+    return deduper.partition(flat_ds, threshold)
 
 
 def summarize_clusters(clusters_ds: "ray.data.Dataset") -> "ray.data.Dataset":

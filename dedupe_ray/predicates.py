@@ -272,3 +272,66 @@ class Predicate:
 def default_predicate_pool(field_names: list[str]) -> list[Predicate]:
     """All simple predicates × fields — the learner's candidate pool."""
     return [Predicate.simple(p, f) for f in field_names for p in SIMPLE_PREDICATES]
+
+
+# ---------------------------------------------------------------------------
+# Index predicate: TF-IDF char-n-gram canopy ([lib: dedupe/predicates.py
+# TfidfNGramCanopyPredicate / canopy_index.py], SURVEY L5)
+# ---------------------------------------------------------------------------
+
+
+class NGramCanopyPredicate:
+    """Deterministic, partition-stable reformulation of dedupe's TF-IDF
+    n-gram canopy: a record's block keys are its ``k`` RAREST character
+    n-grams (highest idf). Two values sharing any sufficiently-rare n-gram
+    land in a block — the same fuzzy-blocking effect as center-based
+    canopies, without the order-dependent center selection the reference's
+    in-memory index relies on (SURVEY §7.4.2).
+
+    State: a document-frequency table, built at train time from the cost
+    sample, persisted in the settings checkpoint and broadcast to blocking
+    tasks (char-n-gram key space is bounded ≈ alphabet^n, so the table stays
+    broadcastable at any corpus size).
+
+    Predicate id: ``canopy4|<field>`` (n is fixed at 4, k at 2).
+    """
+
+    N = 4
+    K = 2
+
+    def __init__(self, field: str, df: dict[str, int], n_docs: int):
+        self.pid = f"canopy{self.N}|{field}"
+        self.field = field
+        self.df = df
+        self.n_docs = max(n_docs, 1)
+        self.parts = [(self.keys_from_value, field)]  # explode-stage protocol
+
+    @staticmethod
+    def grams(value: str, n: int = 4) -> list[str]:
+        s = "".join(value.split())
+        return [s[i: i + n] for i in range(max(0, len(s) - n + 1))]
+
+    def keys_from_value(self, value: str) -> tuple[str, ...]:
+        if not value or value == MISSING:
+            return ()
+        gs = set(self.grams(value, self.N))
+        if not gs:
+            return ()
+        # rarest first; deterministic tiebreak on the gram itself
+        ranked = sorted(gs, key=lambda g: (self.df.get(g, 0), g))
+        return tuple(ranked[: self.K])
+
+    def keys(self, record: dict[str, str]) -> tuple[str, ...]:
+        return self.keys_from_value(record.get(self.field) or "")
+
+
+def ngram_df(values: list[str], n: int = 4) -> dict[str, int]:
+    """Document-frequency table over char n-grams (driver-side, from a
+    sample — idf RANKING is what matters, not absolute counts)."""
+    from collections import Counter
+
+    df: Counter = Counter()
+    for v in values:
+        if v and v != MISSING:
+            df.update(set(NGramCanopyPredicate.grams(v, n)))
+    return dict(df)
