@@ -175,7 +175,7 @@ def _q_q1(sf_dir: str):
         rev = pc.multiply(b.column("l_extendedprice"), pc.subtract(pa.scalar(1.0), b.column("l_discount")))
         return b.append_column("revenue", rev)
 
-    return (
+    agg = (
         li.map_batches(revenue, batch_format="pyarrow")
         .groupby(["l_returnflag", "l_linestatus"])
         .aggregate(
@@ -185,6 +185,22 @@ def _q_q1(sf_dir: str):
             Count(alias_name="count_order"),
         )
     )
+
+    def _round(b: pa.Table) -> pa.Table:
+        # double sums are order-dependent in the last bits; round both this
+        # side and the oracle side so the value hash compares stably.
+        mode = {"round_mode": "half_towards_infinity"}  # match DuckDB round()
+        # sums of ~1e9 magnitude carry ~1e-3 order-dependent error — round to
+        # integer so both sides land on the same value; avg_disc is ~0.05
+        # with ~1e-16 relative error, 6 decimals is safe.
+        for name, nd in (("sum_qty", 0), ("sum_revenue", 0), ("avg_disc", 6)):
+            b = b.set_column(
+                b.schema.get_field_index(name), name,
+                pc.round(b.column(name), ndigits=nd, **mode),
+            )
+        return b
+
+    return agg.map_batches(_round, batch_format="pyarrow")
 
 
 def _q_top_orders(sf_dir: str):
@@ -428,21 +444,27 @@ def oracle_sql() -> dict[str, str]:
                    props
             FROM events GROUP BY props
         """,
+        # DuckDB sum(BIGINT) yields HUGEINT (-> float64 in pandas); CAST to
+        # BIGINT so integer aggregates hash-match the Ray int64 output.
         "token_stats": """
             SELECT lang,
                    count(*) AS docs,
-                   sum(len(regexp_split_to_array(text, '\\s+'))) AS tokens
+                   CAST(sum(len(regexp_split_to_array(text, '\\s+'))) AS BIGINT) AS tokens
             FROM documents GROUP BY lang
         """,
         "text_stats": """
-            SELECT lang, source, count(*) AS docs, sum(n_chars) AS chars
+            SELECT lang, source, count(*) AS docs,
+                   CAST(sum(n_chars) AS BIGINT) AS chars
             FROM documents GROUP BY lang, source
         """,
+        # float sums are rounded on BOTH sides (here and in _q_q1): summation
+        # order differs between Ray partial aggregation and DuckDB, so the
+        # last bits of an unordered double sum are not comparable.
         "lineitem_q1": """
             SELECT l_returnflag, l_linestatus,
-                   sum(l_quantity) AS sum_qty,
-                   sum(l_extendedprice * (1 - l_discount)) AS sum_revenue,
-                   avg(l_discount) AS avg_disc,
+                   round(sum(l_quantity), 0) AS sum_qty,
+                   round(sum(l_extendedprice * (1 - l_discount)), 0) AS sum_revenue,
+                   round(avg(l_discount), 6) AS avg_disc,
                    count(*) AS count_order
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02'
