@@ -15,6 +15,7 @@ bytes. Large corpora are cached as parquet under /tmp/dedupe_ray_fixtures.
 from __future__ import annotations
 
 import os
+import zlib
 
 import numpy as np
 import pyarrow as pa
@@ -194,7 +195,11 @@ def generate_kna_corpus(
         ]
         for m in range(n_media[i]):
             pos = rng.randint(0, len(spans) + 1)
-            ref = f"media://{abs(hash((doc_ids[i], m))) % 10**12:012d}"
+            # stable across processes/machines (builtin hash() is
+            # PYTHONHASHSEED-randomized, breaking the "same (n_docs, seed)
+            # → identical bytes" module contract)
+            ref_h = zlib.crc32(f"{doc_ids[i]}:{m}".encode())
+            ref = f"media://{ref_h:012d}"
             spans.insert(pos, ("image", "", ref))
         lengths.append(len(spans))
         for off, (k, t, r) in enumerate(spans):
@@ -238,8 +243,8 @@ def corpus_paths(n_docs: int, seed: int = 42) -> tuple[str, str]:
     (and the resumable-output layout at production scale is per-shard
     directories anyway)."""
     os.makedirs(_CACHE_DIR, exist_ok=True)
-    docs_dir = os.path.join(_CACHE_DIR, f"docs_n{n_docs}_s{seed}")
-    truth_path = os.path.join(_CACHE_DIR, f"truth_n{n_docs}_s{seed}.parquet")
+    docs_dir = os.path.join(_CACHE_DIR, f"docs_n{n_docs}_s{seed}_v2")
+    truth_path = os.path.join(_CACHE_DIR, f"truth_n{n_docs}_s{seed}_v2.parquet")
     if not (os.path.isdir(docs_dir) and os.path.exists(truth_path)):
         docs, truth = generate_kna_corpus(n_docs, seed)
         shard_rows = max(4096, n_docs // 64)

@@ -1,20 +1,31 @@
 """Deduplication operators for training-data pipelines.
 
-- exact_dedup: content-hash → hash-partitioned keep-first (one shuffle).
+- exact_dedup: content-hash → bucketed keep-min-id (one shuffle, vectorized
+  per-bucket — no per-group python calls).
 - minhash_lsh_pairs / minhash_dedup: shingle → minhash → banded LSH buckets
-  → groupby(band, hash) candidate pairs → exact-Jaccard verify → connected
-  components (the standard MinHash-LSH near-dup pipeline; Broder '97).
-- simhash_pairs: 64-bit SimHash (Charikar '02) with Hamming-ball bucketing.
-- ngram_jaccard_pairs: exact n-gram Jaccard verification kernel.
+  → in-bucket signature-Jaccard verify → pair dedup (the standard
+  MinHash-LSH near-dup pipeline; Broder '97).
+- simhash_pairs: 64-bit SimHash (Charikar '02) with pigeonhole segment
+  bucketing (n_tables > max_hamming guaranteed) and in-bucket Hamming verify.
+- ngram_jaccard_pairs: exact n-gram Jaccard verification kernel — texts
+  reach the kernel via two hash joins, never a driver broadcast.
 
-All heavy stages are vectorized map_batches; the only shuffles are the
-bucket groupbys and the final components pass.
+Scale invariant for this module: NO stage materializes an unbounded dataset
+on the driver (no full-dataset pandas pulls on inputs) — signatures are
+carried through the band explode and verified inside the bucket group, so
+the only driver-visible data are the final thresholded pairs. Verified by
+tests/test_ops.py::test_dedup_module_has_no_driver_materialization.
+
+Group fan-in uses the bucketed-groupby pattern (see
+dedupe_ray/blocking.py N_BUCKETS): rows are grouped by crc32(key) % 1024
+and each bucket is processed vectorized, instead of one python call per
+(band, hash) group.
 """
 
 from __future__ import annotations
 
 import re
-from itertools import combinations
+import zlib
 
 import numpy as np
 import pyarrow as pa
@@ -22,12 +33,16 @@ import pyarrow.compute as pc
 
 import ray.data
 
+from dedupe_ray.blocking import N_BUCKETS
 from dedupe_ray.clustering import connected_components
 
 _WORD = re.compile(r"[\w']+", re.U)
 
 # 64-bit multiply-shift hash family (deterministic seeds)
 _MERSENNE = (1 << 61) - 1
+
+# byte-wise popcount table for vectorized Hamming distance
+_POPCNT = np.array([bin(i).count("1") for i in range(256)], np.uint8)
 
 
 def _hash_family(n: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
@@ -37,20 +52,9 @@ def _hash_family(n: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
-def _shingle_hashes(text: str, k: int) -> np.ndarray:
-    """k-word shingles → uint64 hashes (python hash of tuple is unstable
-    across processes; use FNV over the joined shingle)."""
-    toks = _WORD.findall((text or "").lower())
-    if len(toks) < k:
-        toks = toks + [""] * (k - len(toks))
-    out = np.empty(max(1, len(toks) - k + 1), np.uint64)
-    for i in range(len(out)):
-        s = " ".join(toks[i: i + k]).encode()
-        h = np.uint64(14695981039346656037)
-        for byte in s:
-            h = np.uint64((int(h) ^ byte) * 1099511628211 & 0xFFFFFFFFFFFFFFFF)
-        out[i] = h
-    return out
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount of a uint64 array via the byte table."""
+    return _POPCNT[x.view(np.uint8).reshape(len(x), 8)].sum(axis=1).astype(np.int32)
 
 
 # ---------------------------------------------------------------------------
@@ -61,8 +65,6 @@ def _shingle_hashes(text: str, k: int) -> np.ndarray:
 def add_content_hash(batch: pa.Table, column: str = "text", out: str = "content_hash") -> pa.Table:
     """Vectorized 64-bit content hash of a string column (keyed on the exact
     bytes; whitespace-sensitive — exact dedup semantics)."""
-    import zlib
-
     vals = pc.fill_null(batch.column(column), "").to_pylist()
     h = np.fromiter(
         ((zlib.crc32(v.encode()) << 32) | zlib.adler32(v.encode()) for v in vals),
@@ -75,18 +77,44 @@ def add_content_hash(batch: pa.Table, column: str = "text", out: str = "content_
 def exact_dedup(
     ds: "ray.data.Dataset", column: str = "text", id_column: str = "doc_id"
 ) -> "ray.data.Dataset":
-    """Keep the min-id row per distinct value: hash column (map_batches) →
-    ``groupby(content_hash).map_groups(first)`` — the canonical one-shuffle
-    exact dedup. Output = surviving rows (original columns)."""
-    hashed = ds.map_batches(
-        lambda b: add_content_hash(b, column), batch_format="pyarrow"
-    )
+    """Keep the min-id row per distinct value — one bucketed shuffle.
 
-    def keep_first(group: pa.Table) -> pa.Table:
-        order = pc.sort_indices(group, sort_keys=[(id_column, "ascending")])
-        return group.take(order[:1]).drop_columns(["content_hash"])
+    Rows are bucketed by crc32 of the content hash (N_BUCKETS groups total,
+    not one python call per distinct value — at corpus scale nearly every
+    value is unique, so per-group overhead would dominate). Within a bucket
+    the keep-first is a vectorized sort + run-boundary filter on the actual
+    VALUE column (hash collisions cannot merge distinct values)."""
+    def _bucketize(b: pa.Table) -> pa.Table:
+        b = add_content_hash(b, column)
+        h = b.column("content_hash").to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "hbucket", pa.array((h % np.uint64(N_BUCKETS)).astype(np.int32))
+        )
 
-    return hashed.groupby("content_hash").map_groups(keep_first, batch_format="pyarrow")
+    hashed = ds.map_batches(_bucketize, batch_format="pyarrow")
+
+    def _keep_min_id(group: pa.Table) -> pa.Table:
+        if len(group) == 0:
+            return group.drop_columns(["content_hash", "hbucket"])
+        order = pc.sort_indices(
+            group,
+            sort_keys=[("content_hash", "ascending"), (column, "ascending"), (id_column, "ascending")],
+        )
+        g = group.take(order)
+        h = g.column("content_hash").to_numpy(zero_copy_only=False)
+        keep = np.empty(len(g), bool)
+        keep[0] = True
+        keep[1:] = h[1:] != h[:-1]
+        # hash collisions: where adjacent hashes tie, fall back to comparing
+        # the actual values (python-level, but only at collision positions)
+        ties = np.nonzero(~keep[1:])[0] + 1
+        if len(ties):
+            vals = g.column(column).to_pylist()
+            for i in ties:
+                keep[i] = vals[i] != vals[i - 1]
+        return g.filter(pa.array(keep)).drop_columns(["content_hash", "hbucket"])
+
+    return hashed.groupby("hbucket").map_groups(_keep_min_id, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -95,27 +123,69 @@ def exact_dedup(
 
 
 class MinHasher:
-    """Actor-pool stage: text → num_perm minhash signature (uint64 cols as a
-    fixed-size list) — hash family built once per actor."""
+    """Actor-pool stage: text → num_perm minhash signature (uint64 fixed-size
+    list) — hash family built once per actor; the whole batch is hashed as
+    one vectorized (perm × shingle) pass with segment-min via reduceat."""
 
     def __init__(self, num_perm: int = 64, shingle_k: int = 3, seed: int = 42):
         self.a, self.b = _hash_family(num_perm, seed)
         self.k = shingle_k
         self.num_perm = num_perm
 
-    def signature(self, text: str) -> np.ndarray:
-        sh = _shingle_hashes(text, self.k)
-        # (a*x + b) mod p, min over shingles, vectorized over perms × shingles
+    def _shingle_hashes(self, texts: list) -> tuple[np.ndarray, np.ndarray]:
+        """All shingle hashes for a batch + per-doc start offsets.
+
+        Base hash = crc32 of the joined shingle (C speed; 32-bit base is the
+        standard choice — datasketch-style — collisions only perturb the
+        Jaccard estimate by ~2^-32 per shingle)."""
+        hashes: list[int] = []
+        offsets = np.empty(len(texts) + 1, np.int64)
+        offsets[0] = 0
+        k = self.k
+        for i, t in enumerate(texts):
+            toks = _WORD.findall((t or "").lower())
+            if len(toks) < k:
+                toks = toks + [""] * (k - len(toks))
+            for j in range(len(toks) - k + 1):
+                hashes.append(zlib.crc32(" ".join(toks[j: j + k]).encode()))
+            offsets[i + 1] = len(hashes)
+        return np.asarray(hashes, np.uint64), offsets
+
+    def signatures(self, texts: list) -> np.ndarray:
+        n = len(texts)
+        if n == 0:
+            return np.zeros((0, self.num_perm), np.uint64)
+        sh, offsets = self._shingle_hashes(texts)
+        # (a*x + b) mod p over every (perm, shingle), then per-doc min via
+        # reduceat on the shingle axis — no python loop over docs.
         prod = (sh[None, :] * self.a[:, None] + self.b[:, None]) % np.uint64(_MERSENNE)
-        return prod.min(axis=1)
+        mins = np.minimum.reduceat(prod, offsets[:-1], axis=1)  # [perm, doc]
+        return np.ascontiguousarray(mins.T)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column("text").to_pylist()
-        sigs = np.stack([self.signature(t) for t in texts]) if texts else np.zeros((0, self.num_perm), np.uint64)
+        sigs = self.signatures(texts)
         col = pa.FixedSizeListArray.from_arrays(
             pa.array(sigs.reshape(-1), pa.uint64()), self.num_perm
         )
         return pa.table({"doc_id": batch.column("doc_id"), "minhash": col})
+
+
+def _one_chunk(col) -> pa.Array:
+    """Table column (ChunkedArray) → single contiguous Array."""
+    if isinstance(col, pa.ChunkedArray):
+        if col.num_chunks == 0:
+            return pa.array([], col.type)
+        if col.num_chunks == 1:
+            return col.chunk(0)
+        c = col.combine_chunks()
+        return c.chunk(0) if isinstance(c, pa.ChunkedArray) else c
+    return col
+
+
+def _sig_matrix(group: pa.Table, col: str, width: int) -> np.ndarray:
+    arr = _one_chunk(group.column(col))
+    return arr.flatten().to_numpy(zero_copy_only=False).reshape(len(group), width)
 
 
 def minhash_lsh_pairs(
@@ -126,90 +196,129 @@ def minhash_lsh_pairs(
     jaccard_threshold: float = 0.7,
     concurrency=(1, 8),
     max_bucket: int = 2000,
-) -> "ray.data.Dataset":
-    """Near-duplicate candidate pairs via banded MinHash-LSH, verified by
+    return_oversized: bool = False,
+):
+    """Near-duplicate pairs via banded MinHash-LSH, verified in-bucket by
     signature-estimated Jaccard.
 
-    Stages: MinHasher actor pool → explode to (band_id, band_hash, doc_id)
-    → groupby(band) bucket pairs (size-capped) → pair dedup → Jaccard
-    verify (signature agreement). Returns (id_a, id_b, jaccard)."""
+    Stages: MinHasher actor pool → band explode CARRYING the signature
+    (bands × num_perm × 8 B per doc through shuffle #1 — the price of never
+    materializing the signature table on the driver) → bucketed groupby →
+    per-bucket run detection + vectorized pairwise agreement → threshold
+    filter map-side → pair dedup (shuffle #2). Returns (id_a, id_b,
+    jaccard); with ``return_oversized`` also a Dataset of
+    (band, n_members) rows for every size-capped bucket (no silent recall
+    loss)."""
     rows_per_band = num_perm // bands
     sigs = ds.map_batches(
         MinHasher,
         fn_constructor_args=(num_perm, shingle_k),
         batch_format="pyarrow",
         concurrency=concurrency,
-    ).materialize()
+        batch_size=2048,  # bounds the perm × shingle hash matrix per call
+    )
 
     def explode_bands(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_pylist()
-        sig = np.asarray(batch.column("minhash").combine_chunks().flatten().to_numpy(zero_copy_only=False)).reshape(len(ids), num_perm)
-        out_band, out_hash, out_id = [], [], []
+        n = len(batch)
+        sig = _sig_matrix(batch, "minhash", num_perm)
+        band_keys = np.empty((bands, n), np.uint64)
         for b in range(bands):
             seg = sig[:, b * rows_per_band: (b + 1) * rows_per_band]
-            # fold the band rows into one uint64 bucket key
             key = seg[:, 0].copy()
             for c in range(1, rows_per_band):
                 key = key * np.uint64(1099511628211) ^ seg[:, c]
-            out_band.extend([b] * len(ids))
-            out_hash.extend(key.tolist())
-            out_id.extend(ids)
+            band_keys[b] = key
+        band_col = np.repeat(np.arange(bands, dtype=np.int32), n)
+        bhash = band_keys.reshape(-1)
+        bucket = ((bhash ^ (np.uint64(0x9E3779B97F4A7C15) * band_col.astype(np.uint64))) % np.uint64(N_BUCKETS)).astype(np.int32)
+        id_arr = _one_chunk(batch.column("doc_id"))
+        ids = pa.concat_arrays([id_arr] * bands)
+        sig_rep = pa.FixedSizeListArray.from_arrays(
+            pa.array(np.tile(sig, (bands, 1)).reshape(-1), pa.uint64()), num_perm
+        )
         return pa.table(
             {
-                "band": pa.array(out_band, pa.int32()),
-                "bucket": pa.array(out_hash, pa.uint64()),
-                "doc_id": pa.array(out_id, pa.string()),
+                "band": pa.array(band_col),
+                "bhash": pa.array(bhash, pa.uint64()),
+                "bucket": pa.array(bucket),
+                "doc_id": ids,
+                "minhash": sig_rep,
             }
         )
 
-    buckets = sigs.map_batches(explode_bands, batch_format="pyarrow")
+    exploded = sigs.map_batches(explode_bands, batch_format="pyarrow")
 
-    def emit_pairs(group: pa.Table) -> pa.Table:
-        ids = sorted(set(group.column("doc_id").to_pylist()))
-        if len(ids) < 2 or len(ids) > max_bucket:
-            return pa.table({"id_a": pa.array([], pa.string()), "id_b": pa.array([], pa.string())})
-        a, b = zip(*combinations(ids, 2))
-        return pa.table({"id_a": pa.array(a, pa.string()), "id_b": pa.array(b, pa.string())})
+    def verify_bucket(group: pa.Table) -> pa.Table:
+        out_a: list[str] = []
+        out_b: list[str] = []
+        out_j: list[np.ndarray] = []
+        n_over: list[tuple[int, int]] = []
+        if len(group):
+            order = pc.sort_indices(
+                group, sort_keys=[("band", "ascending"), ("bhash", "ascending"), ("doc_id", "ascending")]
+            )
+            g = group.take(order)
+            band = g.column("band").to_numpy(zero_copy_only=False)
+            bhash = g.column("bhash").to_numpy(zero_copy_only=False)
+            ids = np.asarray(g.column("doc_id").to_pylist(), object)
+            sig = _sig_matrix(g, "minhash", num_perm)
+            change = (band[1:] != band[:-1]) | (bhash[1:] != bhash[:-1])
+            bounds = np.nonzero(np.concatenate(([True], change, [True])))[0]
+            for s, e in zip(bounds[:-1], bounds[1:]):
+                n = e - s
+                if n < 2:
+                    continue
+                if n > max_bucket:
+                    n_over.append((int(band[s]), n))
+                    continue
+                iu, ju = np.triu_indices(n, k=1)
+                jac = (sig[s + iu] == sig[s + ju]).mean(axis=1).astype(np.float32)
+                keep = jac >= jaccard_threshold
+                if keep.any():
+                    out_a.extend(ids[s + iu[keep]].tolist())
+                    out_b.extend(ids[s + ju[keep]].tolist())
+                    out_j.append(jac[keep])
+        jac_all = np.concatenate(out_j) if out_j else np.zeros(0, np.float32)
+        pbucket = np.fromiter(
+            (zlib.crc32(f"{a}\x1f{b}".encode()) % N_BUCKETS for a, b in zip(out_a, out_b)),
+            np.int32,
+            len(out_a),
+        )
+        n_pairs = len(out_a)
+        over_band = [b for b, _ in n_over]
+        over_n = [n for _, n in n_over]
+        return pa.table(
+            {
+                "id_a": pa.array(out_a + [""] * len(n_over), pa.string()),
+                "id_b": pa.array(out_b + [""] * len(n_over), pa.string()),
+                "jaccard": pa.array(np.concatenate([jac_all, np.zeros(len(n_over), np.float32)])),
+                "pbucket": pa.array(np.concatenate([pbucket, np.zeros(len(n_over), np.int32)])),
+                "oversized": pa.array(
+                    np.concatenate([np.zeros(n_pairs, np.int8), np.ones(len(n_over), np.int8)])
+                ),
+                "over_band": pa.array([-1] * n_pairs + over_band, pa.int32()),
+                "n_members": pa.array([0] * n_pairs + over_n, pa.int32()),
+            }
+        )
+
+    raw = exploded.groupby("bucket").map_groups(verify_bucket, batch_format="pyarrow")
+    oversized = raw.filter(expr="oversized == 1").select_columns(["over_band", "n_members"])
+
+    def dedup_bucket(group: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = group.select(["id_a", "id_b", "jaccard"]).to_pandas()
+        df = df.drop_duplicates(subset=["id_a", "id_b"])
+        return pa.Table.from_pandas(df, preserve_index=False)
 
     pairs = (
-        buckets.groupby(["band", "bucket"])
-        .map_groups(emit_pairs, batch_format="pyarrow")
-        .groupby(["id_a", "id_b"])
-        .count()
-        .drop_columns(["count()"])
+        raw.filter(expr="oversized == 0")
+        .groupby("pbucket")
+        .map_groups(dedup_bucket, batch_format="pyarrow")
     )
-
-    # verify: estimated Jaccard = fraction of agreeing minhash positions;
-    # signatures are broadcast (small: num_perm uint64 per doc)
-    import ray as _ray
-
-    sig_tbl = pa.Table.from_pandas(sigs.to_pandas())
-    ref = _ray.put(sig_tbl)
-
-    class Verify:
-        def __init__(self, sig_ref, num_perm):
-            t = _ray.get(sig_ref)
-            ids = t.column("doc_id").to_pylist()
-            mat = np.asarray(t.column("minhash").combine_chunks().flatten().to_numpy(zero_copy_only=False)).reshape(len(ids), num_perm)
-            self.index = {d: i for i, d in enumerate(ids)}
-            self.mat = mat
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            ia = [self.index[d] for d in batch.column("id_a").to_pylist()]
-            ib = [self.index[d] for d in batch.column("id_b").to_pylist()]
-            jac = (self.mat[ia] == self.mat[ib]).mean(axis=1).astype(np.float32)
-            return pa.table(
-                {
-                    "id_a": batch.column("id_a"),
-                    "id_b": batch.column("id_b"),
-                    "jaccard": pa.array(jac),
-                }
-            )
-
-    verified = pairs.map_batches(
-        Verify, fn_constructor_args=(ref, num_perm), batch_format="pyarrow", concurrency=concurrency
-    )
-    return verified.filter(expr=f"jaccard >= {jaccard_threshold}")
+    if return_oversized:
+        return pairs, oversized
+    return pairs
 
 
 def minhash_dedup(
@@ -229,112 +338,171 @@ def minhash_dedup(
 
 
 class SimHasher:
-    """64-bit SimHash over word features; actor-pool stage → (doc_id, simhash)."""
+    """64-bit SimHash over word features; actor-pool stage → (doc_id, simhash).
+
+    The whole batch is hashed in one vectorized pass: all tokens → 64-bit
+    crc-composed hashes, ±1 bit matrix, per-doc reduceat sum, sign-pack."""
+
+    _SHIFTS = np.arange(64, dtype=np.uint64)
 
     def __init__(self, seed: int = 42):
-        self.a, self.b = _hash_family(1, seed)
+        self.seed = seed  # kept for signature stability across actors
 
     @staticmethod
-    def _word_hash(w: str) -> int:
-        h = 14695981039346656037
-        for byte in w.encode():
-            h = (h ^ byte) * 1099511628211 & 0xFFFFFFFFFFFFFFFF
-        return h
+    def _token_hashes(texts: list) -> tuple[np.ndarray, np.ndarray]:
+        hashes: list[int] = []
+        offsets = np.empty(len(texts) + 1, np.int64)
+        offsets[0] = 0
+        for i, t in enumerate(texts):
+            for tok in _WORD.findall((t or "").lower()):
+                e = tok.encode()
+                hashes.append((zlib.crc32(b"\x01" + e) << 32) | zlib.crc32(b"\x02" + e))
+            offsets[i + 1] = len(hashes)
+        return np.asarray(hashes, np.uint64), offsets
 
-    def simhash(self, text: str) -> np.uint64:
-        toks = _WORD.findall((text or "").lower())
-        if not toks:
-            return np.uint64(0)
-        acc = np.zeros(64, np.int64)
-        shifts = np.arange(64, dtype=np.uint64)
-        for t in toks:
-            h = np.uint64(self._word_hash(t))
-            bits = (h >> shifts) & np.uint64(1)
-            acc += np.where(bits == 1, 1, -1)
-        out = np.uint64(0)
-        for i in range(64):
-            if acc[i] > 0:
-                out |= np.uint64(1) << np.uint64(i)
-        return out
+    def simhashes(self, texts: list) -> np.ndarray:
+        n = len(texts)
+        if n == 0:
+            return np.zeros(0, np.uint64)
+        h, offsets = self._token_hashes(texts)
+        if len(h) == 0:
+            return np.zeros(n, np.uint64)
+        bits = (((h[:, None] >> self._SHIFTS) & np.uint64(1)).astype(np.int32) * 2 - 1)
+        # guard empty docs: reduceat needs distinct offsets; fix up after
+        starts = np.minimum(offsets[:-1], len(h) - 1)
+        acc = np.add.reduceat(bits, starts, axis=0)
+        empty = offsets[:-1] == offsets[1:]
+        acc[empty] = 0
+        packed = ((acc > 0).astype(np.uint64) << self._SHIFTS[None, :]).sum(axis=1, dtype=np.uint64)
+        packed[empty] = 0
+        return packed
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        vals = np.array(
-            [self.simhash(t) for t in batch.column("text").to_pylist()], np.uint64
-        )
+        vals = self.simhashes(batch.column("text").to_pylist())
         return pa.table({"doc_id": batch.column("doc_id"), "simhash": pa.array(vals, pa.uint64())})
 
 
 def simhash_pairs(
     ds: "ray.data.Dataset",
     max_hamming: int = 3,
-    n_tables: int = 4,
+    n_tables: int | None = None,
     concurrency=(1, 8),
-) -> "ray.data.Dataset":
-    """Near-dup pairs by SimHash: bucket on n_tables 16-bit key segments
-    (any pair within Hamming distance ≤ 3 of a 64-bit hash agrees exactly on
-    ≥1 of 4 segments — pigeonhole), verify Hamming map-side."""
-    sigs = ds.map_batches(
-        SimHasher, batch_format="pyarrow", concurrency=concurrency
-    ).materialize()
+    max_bucket: int = 2000,
+    return_oversized: bool = False,
+):
+    """Near-dup pairs by SimHash with the pigeonhole guarantee enforced.
 
-    seg_bits = 64 // n_tables
+    The 64-bit hash is split into ``n_tables`` contiguous segments; any pair
+    with Hamming distance ≤ n_tables - 1 agrees exactly on ≥ 1 segment, so
+    candidate recall to ``max_hamming`` requires n_tables ≥ max_hamming + 1
+    — computed automatically when not given, rejected when violated.
+    Hamming is verified in-bucket from the carried simhash (no driver
+    signature table)."""
+    if n_tables is None:
+        n_tables = max_hamming + 1
+    if n_tables <= max_hamming:
+        raise ValueError(
+            f"n_tables={n_tables} cannot guarantee recall to Hamming {max_hamming}: "
+            f"need n_tables >= max_hamming + 1 (pigeonhole)"
+        )
+    sigs = ds.map_batches(SimHasher, batch_format="pyarrow", concurrency=concurrency)
+
+    # segment bit layout: as even as possible, e.g. 64/7 → [10,9,9,9,9,9,9]
+    base = 64 // n_tables
+    sizes = [base + (1 if i < 64 % n_tables else 0) for i in range(n_tables)]
+    starts = np.cumsum([0] + sizes[:-1])
 
     def explode(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_pylist()
+        n = len(batch)
         h = batch.column("simhash").to_numpy(zero_copy_only=False).astype(np.uint64)
-        out_t, out_k, out_i = [], [], []
+        seg_all = np.empty((n_tables, n), np.uint64)
         for t in range(n_tables):
-            seg = (h >> np.uint64(t * seg_bits)) & np.uint64((1 << seg_bits) - 1)
-            out_t.extend([t] * len(ids))
-            out_k.extend(seg.tolist())
-            out_i.extend(ids)
+            seg_all[t] = (h >> np.uint64(starts[t])) & np.uint64((1 << sizes[t]) - 1)
+        tbl = np.repeat(np.arange(n_tables, dtype=np.int32), n)
+        seg = seg_all.reshape(-1)
+        bucket = ((seg ^ (np.uint64(0x9E3779B97F4A7C15) * tbl.astype(np.uint64))) % np.uint64(N_BUCKETS)).astype(np.int32)
+        ids = pa.concat_arrays([_one_chunk(batch.column("doc_id"))] * n_tables)
         return pa.table(
             {
-                "tbl": pa.array(out_t, pa.int32()),
-                "seg": pa.array(out_k, pa.uint64()),
-                "doc_id": pa.array(out_i, pa.string()),
+                "tbl": pa.array(tbl),
+                "seg": pa.array(seg, pa.uint64()),
+                "bucket": pa.array(bucket),
+                "doc_id": ids,
+                "simhash": pa.array(np.tile(h, n_tables), pa.uint64()),
             }
         )
 
-    buckets = sigs.map_batches(explode, batch_format="pyarrow")
+    exploded = sigs.map_batches(explode, batch_format="pyarrow")
 
-    def emit(group: pa.Table) -> pa.Table:
-        ids = sorted(set(group.column("doc_id").to_pylist()))
-        if len(ids) < 2 or len(ids) > 2000:
-            return pa.table({"id_a": pa.array([], pa.string()), "id_b": pa.array([], pa.string())})
-        a, b = zip(*combinations(ids, 2))
-        return pa.table({"id_a": pa.array(a, pa.string()), "id_b": pa.array(b, pa.string())})
+    def verify_bucket(group: pa.Table) -> pa.Table:
+        out_a: list[str] = []
+        out_b: list[str] = []
+        out_h: list[np.ndarray] = []
+        n_over: list[tuple[int, int]] = []
+        if len(group):
+            order = pc.sort_indices(
+                group, sort_keys=[("tbl", "ascending"), ("seg", "ascending"), ("doc_id", "ascending")]
+            )
+            g = group.take(order)
+            tbl = g.column("tbl").to_numpy(zero_copy_only=False)
+            seg = g.column("seg").to_numpy(zero_copy_only=False)
+            ids = np.asarray(g.column("doc_id").to_pylist(), object)
+            sh = g.column("simhash").to_numpy(zero_copy_only=False).astype(np.uint64)
+            change = (tbl[1:] != tbl[:-1]) | (seg[1:] != seg[:-1])
+            bounds = np.nonzero(np.concatenate(([True], change, [True])))[0]
+            for s, e in zip(bounds[:-1], bounds[1:]):
+                n = e - s
+                if n < 2:
+                    continue
+                if n > max_bucket:
+                    n_over.append((int(tbl[s]), n))
+                    continue
+                iu, ju = np.triu_indices(n, k=1)
+                ham = _popcount64(sh[s + iu] ^ sh[s + ju])
+                keep = ham <= max_hamming
+                if keep.any():
+                    out_a.extend(ids[s + iu[keep]].tolist())
+                    out_b.extend(ids[s + ju[keep]].tolist())
+                    out_h.append(ham[keep])
+        ham_all = np.concatenate(out_h) if out_h else np.zeros(0, np.int32)
+        pbucket = np.fromiter(
+            (zlib.crc32(f"{a}\x1f{b}".encode()) % N_BUCKETS for a, b in zip(out_a, out_b)),
+            np.int32,
+            len(out_a),
+        )
+        n_pairs = len(out_a)
+        return pa.table(
+            {
+                "id_a": pa.array(out_a + [""] * len(n_over), pa.string()),
+                "id_b": pa.array(out_b + [""] * len(n_over), pa.string()),
+                "hamming": pa.array(np.concatenate([ham_all, np.zeros(len(n_over), np.int32)])),
+                "pbucket": pa.array(np.concatenate([pbucket, np.zeros(len(n_over), np.int32)])),
+                "oversized": pa.array(
+                    np.concatenate([np.zeros(n_pairs, np.int8), np.ones(len(n_over), np.int8)])
+                ),
+                "over_tbl": pa.array([-1] * n_pairs + [t for t, _ in n_over], pa.int32()),
+                "n_members": pa.array([0] * n_pairs + [n for _, n in n_over], pa.int32()),
+            }
+        )
+
+    raw = exploded.groupby("bucket").map_groups(verify_bucket, batch_format="pyarrow")
+    oversized = raw.filter(expr="oversized == 1").select_columns(["over_tbl", "n_members"])
+
+    def dedup_bucket(group: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = group.select(["id_a", "id_b", "hamming"]).to_pandas()
+        df = df.drop_duplicates(subset=["id_a", "id_b"])
+        return pa.Table.from_pandas(df, preserve_index=False)
 
     pairs = (
-        buckets.groupby(["tbl", "seg"])
-        .map_groups(emit, batch_format="pyarrow")
-        .groupby(["id_a", "id_b"])
-        .count()
-        .drop_columns(["count()"])
+        raw.filter(expr="oversized == 0")
+        .groupby("pbucket")
+        .map_groups(dedup_bucket, batch_format="pyarrow")
     )
-
-    import ray as _ray
-
-    lookup = dict(
-        zip(
-            sigs.to_pandas()["doc_id"],
-            sigs.to_pandas()["simhash"].astype(np.uint64),
-        )
-    )
-    ref = _ray.put(lookup)
-
-    def verify(batch: pa.Table) -> pa.Table:
-        m = _ray.get(ref)
-        ha = np.array([m[d] for d in batch.column("id_a").to_pylist()], np.uint64)
-        hb = np.array([m[d] for d in batch.column("id_b").to_pylist()], np.uint64)
-        x = ha ^ hb
-        ham = np.zeros(len(x), np.int32)
-        for i in range(64):
-            ham += ((x >> np.uint64(i)) & np.uint64(1)).astype(np.int32)
-        out = batch.append_column("hamming", pa.array(ham, pa.int32()))
-        return out.filter(pc.less_equal(out.column("hamming"), max_hamming))
-
-    return pairs.map_batches(verify, batch_format="pyarrow")
+    if return_oversized:
+        return pairs, oversized
+    return pairs
 
 
 # ---------------------------------------------------------------------------
@@ -347,26 +515,36 @@ def ngram_jaccard_pairs(
     pairs_ds: "ray.data.Dataset",
     n: int = 3,
     threshold: float = 0.5,
+    broadcast_limit: int = 2_000_000,
 ) -> "ray.data.Dataset":
-    """Exact word-n-gram Jaccard for given candidate pairs (verification
-    kernel — text broadcast, similarity computed map-side)."""
-    import ray as _ray
+    """Exact word-n-gram Jaccard for given candidate pairs.
 
-    texts = dict(zip(ds.to_pandas()["doc_id"], ds.to_pandas()["text"]))
-    ref = _ray.put(texts)
+    Texts reach the kernel via the size-guarded pair assembler
+    (dedupe_ray/scoring.py): broadcast searchsorted lookup when the corpus
+    fits the limit, two hash joins above it — never an unguarded driver
+    corpus pull. Pairs whose ids are absent from ``ds`` are dropped
+    (inner-join semantics)."""
+    from dedupe_ray.scoring import assemble_pairs
+
+    joined = assemble_pairs(
+        pairs_ds,
+        ds.select_columns(["doc_id", "text"]),
+        ["text"],
+        broadcast_limit=broadcast_limit,
+        strict=False,
+    )
 
     def verify(batch: pa.Table) -> pa.Table:
-        m = _ray.get(ref)
-
         def grams(t: str) -> set:
             toks = _WORD.findall((t or "").lower())
             return {tuple(toks[i: i + n]) for i in range(max(1, len(toks) - n + 1))}
 
         jac = []
-        for a, b in zip(batch.column("id_a").to_pylist(), batch.column("id_b").to_pylist()):
-            ga, gb = grams(m.get(a, "")), grams(m.get(b, ""))
+        for a, b in zip(batch.column("a_text").to_pylist(), batch.column("b_text").to_pylist()):
+            ga, gb = grams(a), grams(b)
             jac.append(len(ga & gb) / max(len(ga | gb), 1))
         out = batch.append_column("ngram_jaccard", pa.array(np.asarray(jac, np.float32)))
-        return out.filter(pc.greater_equal(out.column("ngram_jaccard"), threshold))
+        out = out.filter(pc.greater_equal(out.column("ngram_jaccard"), threshold))
+        return out.select([c for c in out.column_names if c not in ("a_text", "b_text")])
 
-    return pairs_ds.map_batches(verify, batch_format="pyarrow")
+    return joined.map_batches(verify, batch_format="pyarrow")

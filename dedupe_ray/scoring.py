@@ -60,25 +60,49 @@ class BroadcastPairAssembler:
     is a shared-memory Arrow table, and task workers skip actor-pool
     startup latency."""
 
-    def __init__(self, records_ref, fields: list[str]):
+    def __init__(self, records_ref, fields: list[str], strict: bool = True):
         # records_ref → (table sorted by doc_id, doc_id as fixed-width bytes
         # ndarray). The bytes array is built ONCE on the driver and shipped
         # zero-copy (fixed-width numpy shares pages via the object store);
         # workers skip the 10⁶-string decode entirely. searchsorted on bytes
-        # runs in C.
+        # runs in C. ``strict=True`` raises on a pair id absent from the
+        # record table (ER invariant); ``strict=False`` drops such pairs
+        # (inner-join semantics for ad-hoc verification kernels).
         tbl, ids_arr = ray.get(records_ref)
         self.fields = fields
+        self.strict = strict
         self.sorted_ids = ids_arr
         self._width = ids_arr.dtype.itemsize
         self.cols = {f: tbl.column(f) for f in fields}
 
-    def _lookup(self, col: pa.ChunkedArray) -> np.ndarray:
-        probe = np.asarray(col.to_pylist(), dtype=f"S{self._width}")
-        return np.searchsorted(self.sorted_ids, probe)
+    def _lookup(self, col: pa.ChunkedArray) -> tuple[np.ndarray, np.ndarray]:
+        """→ (row index, valid mask). utf-8 encode (non-ASCII safe); probes
+        longer than the stored width cannot match (S-dtype would silently
+        truncate, so they are masked invalid instead); found indices are
+        verified by equality — searchsorted alone returns an insertion
+        point, not a match."""
+        raw = [s.encode() if isinstance(s, str) else bytes(s) for s in col.to_pylist()]
+        lens_ok = np.fromiter((len(b) <= self._width for b in raw), bool, len(raw))
+        probe = np.asarray(raw, dtype=f"S{self._width}")
+        idx = np.searchsorted(self.sorted_ids, probe)
+        idx_c = np.minimum(idx, len(self.sorted_ids) - 1)
+        valid = lens_ok & (idx < len(self.sorted_ids)) & (self.sorted_ids[idx_c] == probe)
+        return idx_c, valid
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ia = self._lookup(batch.column("id_a"))
-        ib = self._lookup(batch.column("id_b"))
+        ia, va = self._lookup(batch.column("id_a"))
+        ib, vb = self._lookup(batch.column("id_b"))
+        ok = va & vb
+        if not ok.all():
+            if self.strict:
+                bad_a = batch.column("id_a").to_pylist()
+                missing = [bad_a[i] for i in np.nonzero(~ok)[0][:5]]
+                raise KeyError(
+                    f"{(~ok).sum()} pair ids absent from the broadcast record table "
+                    f"(first few pairs' id_a: {missing})"
+                )
+            batch = batch.filter(pa.array(ok))
+            ia, ib = ia[ok], ib[ok]
         idx_a = pa.array(ia, pa.int64())
         idx_b = pa.array(ib, pa.int64())
         data: dict[str, pa.Array] = {
@@ -96,7 +120,7 @@ _ASSEMBLER_CACHE: dict = {}  # per-WORKER-process cache: the broadcast table's
 # id-array decode happens once per worker, not once per task
 
 
-def make_assembler_fn(records_ref, fields: list[str]):
+def make_assembler_fn(records_ref, fields: list[str], strict: bool = True):
     """Stateless-task variant: the assembler builds once per worker process
     from the shared-memory table (module-global cache keyed by object ref)."""
     key = records_ref.hex()
@@ -104,7 +128,7 @@ def make_assembler_fn(records_ref, fields: list[str]):
     def _fn(batch: pa.Table) -> pa.Table:
         a = _ASSEMBLER_CACHE.get(key)
         if a is None:
-            a = BroadcastPairAssembler(records_ref, fields)
+            a = BroadcastPairAssembler(records_ref, fields, strict)
             _ASSEMBLER_CACHE.clear()  # one broadcast table per job generation
             _ASSEMBLER_CACHE[key] = a
         return a(batch)
@@ -119,6 +143,7 @@ def assemble_pairs(
     broadcast_limit: int = 2_000_000,
     batch_size: int = 4096,
     concurrency=(1, 4),
+    strict: bool = True,
 ) -> "ray.data.Dataset":
     """Join candidate pairs back to their records (both sides)."""
     n_records = flat_records_ds.count()
@@ -129,12 +154,12 @@ def assemble_pairs(
         ).combine_chunks()
         order = pa.compute.sort_indices(tbl.column("doc_id"))
         tbl = tbl.take(order)
-        ids = tbl.column("doc_id").to_pylist()
+        ids = [s.encode() for s in tbl.column("doc_id").to_pylist()]
         width = max((len(s) for s in ids), default=1)
         ids_arr = np.asarray(ids, dtype=f"S{width}")
         ref = ray.put((tbl, ids_arr))
         return pairs_ds.map_batches(
-            make_assembler_fn(ref, fields),
+            make_assembler_fn(ref, fields, strict),
             batch_format="pyarrow",
             batch_size=batch_size,
         )

@@ -166,6 +166,40 @@ def test_simhash_near_dups():
     assert ("d0", "d1") in pairs
 
 
+def test_dedup_module_has_no_driver_materialization():
+    """Scale seam: the near-dup family must never materialize an unbounded
+    dataset on the driver — signatures/texts travel through the shuffle or a
+    hash join, not .to_pandas()/.take_all()."""
+    import inspect
+
+    import dedupe_ray.ops.dedup as m
+
+    src = inspect.getsource(m)
+    # .to_pandas() is allowed only on a BOUNDED per-bucket group; a
+    # full-dataset driver pull (ds/sigs/texts.to_pandas, take_all) is the
+    # forbidden pattern.
+    for line in src.splitlines():
+        if ".to_pandas()" in line or "take_all" in line:
+            assert "group" in line, f"driver-side materialization: {line.strip()}"
+
+
+def test_simhash_pigeonhole_contract():
+    from dedupe_ray.ops.dedup import simhash_pairs
+
+    with pytest.raises(ValueError):
+        simhash_pairs(_text_ds(["a"]), max_hamming=6, n_tables=4)
+
+
+def test_minhash_oversized_side_channel():
+    from dedupe_ray.ops.dedup import minhash_lsh_pairs
+
+    texts = ["identical text here now"] * 5 + ["something else entirely different words"]
+    pairs, oversized = minhash_lsh_pairs(
+        _text_ds(texts), jaccard_threshold=0.5, max_bucket=3, return_oversized=True
+    )
+    assert oversized.count() > 0  # 5 identical docs exceed the bucket cap
+
+
 def test_ngram_jaccard_verify():
     from dedupe_ray.ops.dedup import ngram_jaccard_pairs
 
