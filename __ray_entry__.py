@@ -224,7 +224,22 @@ def _q_customer_order_counts(sf_dir: str):
         on=("o_custkey",),
         right_on=("c_custkey",),
     )
-    return joined.select_columns(["c_name", "n_orders", "total_spent"])
+
+    def _round(b):
+        import pyarrow.compute as pc
+
+        i = b.schema.get_field_index("total_spent")
+        # double sums are order-dependent in the last bits; round both
+        # sides; integer rounding — fractional roundings are not
+        # representable doubles and differ in the last bit across engines
+        return b.set_column(
+            i, "total_spent",
+            pc.round(b.column("total_spent"), ndigits=0, round_mode="half_towards_infinity"),
+        )
+
+    return joined.select_columns(["c_name", "n_orders", "total_spent"]).map_batches(
+        _round, batch_format="pyarrow"
+    )
 
 
 def _q_anti_join(sf_dir: str):
@@ -293,9 +308,20 @@ def _q_events_hourly(sf_dir: str):
         return pa.Table.from_pandas(g, preserve_index=False)
 
     part = ev.map_batches(partials, batch_format="pyarrow")
-    return part.groupby(["event_type", "hour"]).aggregate(
+    agg = part.groupby(["event_type", "hour"]).aggregate(
         Sum("n", alias_name="n"), Sum("value_sum", alias_name="value_sum")
     )
+
+    def _round(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        i = b.schema.get_field_index("value_sum")
+        return b.set_column(
+            i, "value_sum",
+            pc.round(b.column("value_sum"), ndigits=0, round_mode="half_towards_infinity"),
+        )
+
+    return agg.map_batches(_round, batch_format="pyarrow")
 
 
 def _q_doc_preview(sf_dir: str):
@@ -380,6 +406,43 @@ def _q_quality_langid(sf_dir: str):
     return out.select_columns(["doc_id", "lang_pred", "q_n_words", "quality_score"])
 
 
+def _q_kna2_replay(sf_dir: str):
+    """A30 golden replay: KNA2.xlsx (reference fixture) through source
+    reader → preprocess → train → partition. Result is the cluster
+    membership; conformance vs the golden 26-cluster response is asserted
+    in tests/test_golden_replay.py (recall 1.0, F1 ≥ 0.97)."""
+    from dedupe_ray.golden import kna2_replay
+
+    clusters, _f1 = kna2_replay()
+    return clusters
+
+
+def _q_export_projection(sf_dir: str):
+    """A24 export building blocks, oracle-checked: broadcast anti-join of a
+    removal set + cluster-column attach + ordered projection."""
+    import pyarrow.compute as pc
+
+    from dedupe_ray.ops.tabular import anti_join_export
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_mktsegment", "c_nationkey"])
+
+    def shape(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "cluster_id": pc.cast(pc.add(b.column("c_nationkey"), 1), pa.string()),
+                "c_mktsegment": b.column("c_mktsegment"),
+                "c_name": b.column("c_name"),
+                "doc_id": pc.cast(b.column("c_custkey"), pa.string()),
+            }
+        )
+
+    ds = cust.map_batches(shape, batch_format="pyarrow")
+    removals = {str(k) for k in cust.unique("c_custkey") if k % 97 == 0}
+    return anti_join_export(ds, removals).select_columns(
+        ["cluster_id", "c_mktsegment", "c_name", "doc_id"]
+    )
+
+
 def _q_media_features(sf_dir: str):
     from dedupe_ray.ops.multimodal import media_feature_pipeline
 
@@ -410,12 +473,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": _q_simhash_pairs,
         "quality_langid": _q_quality_langid,
         "media_features": _q_media_features,
+        "kna2_replay": _q_kna2_replay,
+        "export_projection": _q_export_projection,
     }
 
 
 def oracle_sql() -> dict[str, str]:
+    # nan check on the RAW value (pre-collapse), matching the reference's
+    # early-return semantics (dedupe_script.py:24-26)
     preprocess_expr = (
-        "CASE WHEN t6 = '' OR t6 = 'nan' THEN 'N/A' ELSE t6 END"
+        "CASE WHEN tl = 'nan' OR t6 = '' THEN 'N/A' ELSE t6 END"
     )
     return {
         "blocking_pairs": """
@@ -433,6 +500,7 @@ def oracle_sql() -> dict[str, str]:
         "preprocess_normalize": f"""
             WITH s AS (
                 SELECT doc_id,
+                       lower(text) AS tl,
                        trim(lower(trim(trim(trim(replace(regexp_replace(text, '  +', ' ', 'g'), chr(10), ' ')), '"'), ''''))) AS t6
                 FROM documents
             )
@@ -477,7 +545,7 @@ def oracle_sql() -> dict[str, str]:
         "customer_order_counts": """
             SELECT c.c_name AS c_name,
                    count(*) AS n_orders,
-                   sum(o.o_totalprice) AS total_spent
+                   round(sum(o.o_totalprice), 0) AS total_spent
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
             GROUP BY c.c_name
         """,
@@ -506,11 +574,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type,
                    strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
                    count(*) AS n,
-                   sum(value) AS value_sum
+                   round(sum(value), 0) AS value_sum
             FROM events GROUP BY event_type, hour
         """,
         "doc_preview": """
             SELECT * FROM documents ORDER BY doc_id LIMIT 6
+        """,
+        "export_projection": """
+            SELECT CAST(c_nationkey + 1 AS VARCHAR) AS cluster_id,
+                   c_mktsegment, c_name,
+                   CAST(c_custkey AS VARCHAR) AS doc_id
+            FROM customer
+            WHERE c_custkey % 97 <> 0
         """,
         "ann_topk": """
             WITH q AS (

@@ -103,101 +103,201 @@ def connected_components(
     return _components_distributed(edges_ds)
 
 
-def _components_distributed(edges_ds: "ray.data.Dataset") -> "ray.data.Dataset":
-    """Min-label propagation: labels[v] = min(labels of neighbors ∪ self),
-    iterated to fixpoint — the "iterated union-find over scored-edge
-    partitions" path for edge sets too large for the driver.
+def _components_distributed(
+    edges_ds: "ray.data.Dataset", max_rounds: int = 48
+) -> "ray.data.Dataset":
+    """Min-label propagation with pointer doubling — the "iterated
+    union-find over scored-edge partitions" path for edge sets too large
+    for the driver.
 
-    Pure groupby message-passing (no join): each round unions the static
-    bidirectional edge list with the current label table, groups by node to
-    emit the node's label to every neighbor, then min-aggregates messages per
-    node. Two hash shuffles per round, O(graph diameter) rounds; convergence
-    detected via a label checksum aggregate."""
+    Each round: (1) every node's current label is min-folded with its
+    neighbors' labels (bucketed groupby message passing — N_BUCKETS python
+    calls per shuffle, each a vectorized pandas groupby, never one call per
+    node); (2) a label-of-label shortcut round (pointer doubling) collapses
+    chains, making convergence O(log diameter) rounds instead of
+    O(diameter). Convergence is detected by label-table checksum; hitting
+    ``max_rounds`` without a fixpoint RAISES — a silently fragmented
+    component labeling is wrong clusters, not a degraded answer."""
+    from dedupe_ray.blocking import N_BUCKETS
+
+    def _bucket_col(col: pa.Array | pa.ChunkedArray) -> pa.Array:
+        h = pd.util.hash_array(np.asarray(col.to_pylist(), object))
+        return pa.array((h % N_BUCKETS).astype(np.int32))
+
+    def contract_local(batch: pa.Table) -> pa.Table:
+        """Per-block union-find contraction: the block's edges collapse to a
+        spanning forest rooted at each component's min id — connectivity is
+        preserved exactly while the edge count and the *effective graph
+        diameter* drop to roughly the number of blocks, so the propagation
+        loop needs only O(log #blocks) rounds."""
+        uf = UnionFind()
+        for x, y in zip(batch.column("id_a").to_pylist(), batch.column("id_b").to_pylist()):
+            uf.union(x, y)
+        roots = {n: uf.find(n) for n in uf.parent}
+        a = [n for n, r in roots.items() if n != r]
+        b = [roots[n] for n in a]
+        return pa.table({"id_a": pa.array(a, pa.string()), "id_b": pa.array(b, pa.string())})
 
     def bidir(batch: pa.Table) -> pa.Table:
         a = batch.column("id_a").combine_chunks()
         b = batch.column("id_b").combine_chunks()
-        n2 = len(a) * 2
-        return pa.table(
-            {
-                "node": pa.concat_arrays([a, b]),
-                "other": pa.concat_arrays([b, a]),
-                "is_label": pa.array(np.zeros(n2, np.int8)),
-            }
-        )
+        node = pa.concat_arrays([a, b])
+        other = pa.concat_arrays([b, a])
+        return pa.table({"node": node, "other": other, "bucket": _bucket_col(node)})
 
     edges_bidir = (
         edges_ds.select_columns(["id_a", "id_b"])
+        .map_batches(contract_local, batch_format="pyarrow")
         .map_batches(bidir, batch_format="pyarrow")
         .materialize()
     )
 
-    # initial labels: own id (the first groupby round min-folds neighbors in)
-    labels = edges_bidir.map_batches(
-        lambda t: pa.table(
-            {
-                "node": t.column("node"),
-                "other": t.column("node"),
-                "is_label": pa.array(np.ones(len(t), np.int8)),
-            }
-        ),
-        batch_format="pyarrow",
-    ).materialize()
+    # initial labels: own id
+    labels = (
+        edges_bidir.map_batches(
+            lambda t: pa.table({"node": t.column("node"), "lbl": t.column("node")}),
+            batch_format="pyarrow",
+        )
+        .groupby("node")
+        .min("lbl")
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "node": t.column("node"),
+                    "lbl": t.column("min(lbl)"),
+                    "bucket": _bucket_col(t.column("node")),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
 
-    def propagate(group: pa.Table) -> pa.Table:
-        is_lbl = group.column("is_label").to_numpy(zero_copy_only=False)
-        others = group.column("other").to_pylist()
-        lbl = min(o for o, il in zip(others, is_lbl) if il)
-        node = group.column("node")[0].as_py()
-        out_nodes = [o for o, il in zip(others, is_lbl) if not il] + [node]
+    def emit_messages(group: pa.Table) -> pa.Table:
+        """Bucket of edge rows (node→other) ∪ label rows (node→lbl, other
+        null-tagged via the 'is_lbl' col): per node, send its label to every
+        neighbor and itself."""
+        df = group.select(["node", "other", "is_lbl"]).to_pandas()
+        lbls = df[df.is_lbl == 1].groupby("node")["other"].min()
+        edges = df[df.is_lbl == 0]
+        node_lbl = edges["node"].map(lbls)
+        out_node = np.concatenate([edges["other"].to_numpy(object), lbls.index.to_numpy(object)])
+        out_cand = np.concatenate([node_lbl.to_numpy(object), lbls.to_numpy(object)])
+        h = pd.util.hash_array(out_node)
         return pa.table(
             {
-                "node": pa.array(out_nodes, pa.string()),
-                "cand": pa.array([lbl] * len(out_nodes), pa.string()),
+                "node": pa.array(out_node, pa.string()),
+                "cand": pa.array(out_cand, pa.string()),
+                "mbucket": pa.array((h % N_BUCKETS).astype(np.int32)),
             }
         )
 
-    def checksum(ds: "ray.data.Dataset") -> int:
-        import zlib
+    def min_per_node(group: pa.Table) -> pa.Table:
+        df = group.select(["node", "cand"]).to_pandas()
+        m = df.groupby("node", as_index=False)["cand"].min()
+        return pa.table(
+            {
+                "node": pa.array(m["node"].to_numpy(object), pa.string()),
+                "lbl": pa.array(m["cand"].to_numpy(object), pa.string()),
+            }
+        )
 
+    def shortcut(labels_ds: "ray.data.Dataset") -> "ray.data.Dataset":
+        """Pointer doubling: node→lbl becomes node→label(lbl). One bucketed
+        groupby keyed on the LABEL side."""
+
+        def explode(t: pa.Table) -> pa.Table:
+            node = t.column("node").combine_chunks()
+            lbl = t.column("lbl").combine_chunks()
+            # query rows keyed by lbl; definition rows keyed by node
+            key = pa.concat_arrays([lbl, node])
+            val = pa.concat_arrays([node, lbl])
+            is_def = np.concatenate(
+                [np.zeros(len(node), np.int8), np.ones(len(node), np.int8)]
+            )
+            h = pd.util.hash_array(np.asarray(key.to_pylist(), object))
+            return pa.table(
+                {
+                    "key": key,
+                    "val": val,
+                    "is_def": pa.array(is_def),
+                    "kbucket": pa.array((h % N_BUCKETS).astype(np.int32)),
+                }
+            )
+
+        def resolve(group: pa.Table) -> pa.Table:
+            df = group.select(["key", "val", "is_def"]).to_pandas()
+            defs = df[df.is_def == 1].groupby("key")["val"].min()
+            q = df[df.is_def == 0]
+            resolved = q["key"].map(defs).fillna(q["key"])
+            return pa.table(
+                {
+                    "node": pa.array(q["val"].to_numpy(object), pa.string()),
+                    "lbl": pa.array(resolved.to_numpy(object), pa.string()),
+                }
+            )
+
+        return (
+            labels_ds.map_batches(explode, batch_format="pyarrow")
+            .groupby("kbucket")
+            .map_groups(resolve, batch_format="pyarrow")
+            .map_batches(
+                lambda t: t.append_column("bucket", _bucket_col(t.column("node"))),
+                batch_format="pyarrow",
+            )
+        )
+
+    def checksum(ds: "ray.data.Dataset") -> int:
         def h(batch: pa.Table) -> pa.Table:
-            vals = [
-                zlib.crc32(f"{n}\x1f{l}".encode())
-                for n, l in zip(
-                    batch.column("node").to_pylist(), batch.column("other").to_pylist()
+            hv = pd.util.hash_array(
+                np.asarray(
+                    [f"{n}\x1f{l}" for n, l in zip(batch.column("node").to_pylist(), batch.column("lbl").to_pylist())],
+                    object,
                 )
-            ]
-            return pa.table({"h": pa.array(vals, pa.int64())})
+            )
+            return pa.table({"h": pa.array([int(hv.sum()) & 0x7FFFFFFFFFFFFFFF], pa.int64())})
 
         return ds.map_batches(h, batch_format="pyarrow").sum("h")
 
     prev = checksum(labels)
-    for _ in range(64):  # diameter backstop
-        new_labels = (
-            edges_bidir.union(labels)
-            .groupby("node")
-            .map_groups(propagate, batch_format="pyarrow")
-            .groupby("node")
-            .min("cand")
-            .map_batches(
-                lambda t: pa.table(
-                    {
-                        "node": t.column("node"),
-                        "other": t.column("min(cand)"),
-                        "is_label": pa.array(np.ones(len(t), np.int8)),
-                    }
-                ),
-                batch_format="pyarrow",
-            )
-            .materialize()
+    converged = False
+    for _ in range(max_rounds):
+        tagged_edges = edges_bidir.map_batches(
+            lambda t: t.append_column("is_lbl", pa.array(np.zeros(len(t), np.int8))),
+            batch_format="pyarrow",
         )
-        labels = new_labels
+        tagged_labels = labels.map_batches(
+            lambda t: pa.table(
+                {
+                    "node": t.column("node"),
+                    "other": t.column("lbl"),
+                    "bucket": t.column("bucket"),
+                    "is_lbl": pa.array(np.ones(len(t), np.int8)),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        propagated = (
+            tagged_edges.union(tagged_labels)
+            .groupby("bucket")
+            .map_groups(emit_messages, batch_format="pyarrow")
+            .groupby("mbucket")
+            .map_groups(min_per_node, batch_format="pyarrow")
+        )
+        labels = shortcut(shortcut(propagated)).materialize()  # double-hop
         cur = checksum(labels)
         if cur == prev:
+            converged = True
             break
         prev = cur
+    if not converged:
+        raise RuntimeError(
+            f"distributed connected components did not converge in {max_rounds} "
+            f"rounds — graph diameter exceeds 2^{max_rounds} after doubling, "
+            f"which indicates a bug, not a legitimate input"
+        )
     return labels.map_batches(
-        lambda t: pa.table({"doc_id": t.column("node"), "component_id": t.column("other")}),
+        lambda t: pa.table({"doc_id": t.column("node"), "component_id": t.column("lbl")}),
         batch_format="pyarrow",
     )
 

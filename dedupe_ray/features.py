@@ -87,3 +87,65 @@ def pair_features(
         if f.has_missing:
             missing_cols.append(miss.astype(np.float32))
     return np.column_stack(cols + missing_cols).astype(np.float32)
+
+
+def monotone_feature_dims(config: EngineConfig) -> tuple[list[int], list[int]]:
+    """Sign constraints for the classifier, per the pair_features layout
+    (distances first, then missing indicators): String/Price/DateTime
+    comparators are DISTANCES (weight ≤ 0), Exact/Text are SIMILARITIES
+    (weight ≥ 0). Indicators stay unconstrained."""
+    neg: list[int] = []
+    pos: list[int] = []
+    for i, f in enumerate(config.fields):
+        if f.type in ("Exact", "Text"):
+            pos.append(i)
+        else:
+            neg.append(i)
+    return neg, pos
+
+
+def compute_idf(
+    flat_ds, field: str, min_df: int = 2, max_vocab: int = 1_000_000
+) -> dict:
+    """Ray doc-frequency pass for a Text field → broadcastable idf table.
+
+    Per-batch partial: each doc contributes its UNIQUE tokens once (df, not
+    tf) pre-aggregated within the batch (combiner pattern) → one small
+    ``groupby(token).sum`` shuffle → driver table. Tokens with df < min_df
+    are left out (their idf equals ``default_idf`` = ln N anyway, and the
+    long tail is most of the vocabulary); the collected vocabulary is capped
+    at ``max_vocab`` by df so the broadcast stays bounded at any corpus
+    size."""
+    import math
+
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    from dedupe_ray.distances import _TOKEN
+
+    n_docs = flat_ds.count()
+
+    def partial_df(batch: pa.Table) -> pa.Table:
+        counts: dict[str, int] = {}
+        for v in batch.column(field).to_pylist():
+            for t in set(_TOKEN.findall(v or "")):
+                counts[t] = counts.get(t, 0) + 1
+        return pa.table(
+            {
+                "token": pa.array(list(counts.keys()), pa.string()),
+                "df": pa.array(list(counts.values()), pa.int64()),
+            }
+        )
+
+    agg = (
+        flat_ds.map_batches(partial_df, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("df", alias_name="df"))
+    )
+    kept = agg.filter(expr=f"df >= {min_df}")
+    if kept.count() > max_vocab:
+        kept = kept.sort("df", descending=True).limit(max_vocab)
+    idf = {
+        r["token"]: math.log(max(n_docs, 1) / r["df"]) for r in kept.take_all()
+    }
+    return {"idf": idf, "default_idf": math.log(max(n_docs, 1))}

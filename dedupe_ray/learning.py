@@ -35,10 +35,25 @@ from dedupe_ray.predicates import Predicate, default_predicate_pool
 
 
 class LogisticClassifier:
-    """L2-regularized logistic regression (bias unpenalized), Newton/IRLS."""
+    """L2-regularized logistic regression (bias unpenalized), Newton/IRLS.
 
-    def __init__(self, l2_lambda: float = 1.0):
+    ``monotone_dims`` marks feature columns that are DISTANCES: a larger
+    distance must never increase match probability, so their weights are
+    projected to ≤ 0 each Newton step (sign-constrained GLM). Without the
+    constraint a skewed label set can learn a positive distance weight,
+    which extrapolates catastrophically on pairs far outside the labeled
+    range (observed on the KNA2 golden replay: city-distance weight went
+    positive and glued cross-city records together)."""
+
+    def __init__(
+        self,
+        l2_lambda: float = 1.0,
+        monotone_dims: list[int] | None = None,
+        positive_dims: list[int] | None = None,
+    ):
         self.l2 = l2_lambda
+        self.monotone_dims = list(monotone_dims) if monotone_dims else []
+        self.positive_dims = list(positive_dims) if positive_dims else []
         self.weights: np.ndarray | None = None  # [d]
         self.bias: float = 0.0
 
@@ -46,20 +61,53 @@ class LogisticClassifier:
         n, d = X.shape
         Xb = np.column_stack([X, np.ones(n)])
         w = np.zeros(d + 1)
-        reg = np.eye(d + 1) * self.l2
-        reg[d, d] = 0.0  # don't penalize bias
+        reg_diag = np.full(d + 1, self.l2)
+        reg_diag[d] = 0.0  # don't penalize bias
+        reg = np.diag(reg_diag)
+        mono = [i for i in self.monotone_dims if i < d]
+        pos = [i for i in self.positive_dims if i < d]
+
+        def project(v: np.ndarray) -> np.ndarray:
+            if mono:
+                v[mono] = np.minimum(v[mono], 0.0)
+            if pos:
+                v[pos] = np.maximum(v[pos], 0.0)
+            return v
+
+        def nll(v: np.ndarray) -> float:
+            z = Xb @ v
+            # log(1 + e^z) - y·z, numerically stable
+            return float(
+                np.sum(np.logaddexp(0.0, z) - y * z) + 0.5 * np.sum(reg_diag * v * v)
+            )
+
+        # damped projected Newton: a raw Newton step followed by projection
+        # can diverge (the clipped iterate leaves the quadratic model's
+        # trust region and the unconstrained dims blow up compensating) —
+        # backtracking on the penalized NLL guarantees monotone descent.
+        cur = nll(w)
         for _ in range(max_iter):
             z = Xb @ w
             p = 1.0 / (1.0 + np.exp(-np.clip(z, -35, 35)))
-            g = Xb.T @ (p - y) + reg @ w
+            g = Xb.T @ (p - y) + reg_diag * w
             s = np.maximum(p * (1 - p), 1e-6)
             H = (Xb * s[:, None]).T @ Xb + reg
             try:
                 step = np.linalg.solve(H, g)
             except np.linalg.LinAlgError:
                 step = np.linalg.lstsq(H, g, rcond=None)[0]
-            w -= step
-            if np.abs(step).max() < tol:
+            t = 1.0
+            w_new, new = w, cur
+            for _bt in range(25):
+                cand = project(w - t * step)
+                val = nll(cand)
+                if val <= cur + 1e-12:
+                    w_new, new = cand, val
+                    break
+                t *= 0.5
+            delta = np.abs(w_new - w).max()
+            w, cur = w_new, new
+            if delta < tol:
                 break
         self.weights = w[:d].astype(np.float64)
         self.bias = float(w[d])
@@ -69,11 +117,17 @@ class LogisticClassifier:
         return 1.0 / (1.0 + np.exp(-np.clip(z, -35, 35)))
 
     def to_dict(self) -> dict:
-        return {"weights": self.weights.tolist(), "bias": self.bias, "l2": self.l2}
+        return {
+            "weights": self.weights.tolist(),
+            "bias": self.bias,
+            "l2": self.l2,
+            "monotone_dims": self.monotone_dims,
+            "positive_dims": self.positive_dims,
+        }
 
     @staticmethod
     def from_dict(d: dict) -> "LogisticClassifier":
-        clf = LogisticClassifier(d.get("l2", 1.0))
+        clf = LogisticClassifier(d.get("l2", 1.0), d.get("monotone_dims"), d.get("positive_dims"))
         clf.weights = np.asarray(d["weights"], np.float64)
         clf.bias = float(d["bias"])
         return clf
@@ -129,11 +183,19 @@ def learn_predicates(
             pool.append(pred)
             index_tables[pred.pid] = {"field": fname, "df": df, "n_docs": len(cost_records)}
 
-    # per-predicate: which match pairs it covers + candidate pair cost
+    # per-predicate: which match pairs it covers + candidate pair cost +
+    # which records it REACHES (emits ≥1 key for). A record with no key
+    # under a predicate can never pair under it, so a low reach rate is a
+    # recall hazard invisible to pair-level set cover (the labeled matches
+    # may all happen to sit in the reachable part) — the cost is divided by
+    # the reach rate so blind-spotted predicates look expensive, and the
+    # backstop below guarantees near-total record reachability.
     cover: dict[str, set[int]] = {}
     cost: dict[str, float] = {}
+    reach: dict[str, set[str]] = {}
     keysets: dict[str, list[tuple[set, set]]] = {}
     useful: list[Predicate] = []
+    n_cost = max(len(cost_records), 1)
     for pred in pool:
         covered = set()
         pair_keys = []
@@ -146,8 +208,10 @@ def learn_predicates(
             continue
         blocks = _coverage(pred, cost_records)
         c = sum(len(m) * (len(m) - 1) // 2 for m in blocks.values())
+        reached = set().union(*blocks.values()) if blocks else set()
         cover[pred.pid] = covered
-        cost[pred.pid] = c + 1.0
+        cost[pred.pid] = (c + 1.0) / max(len(reached) / n_cost, 0.01)
+        reach[pred.pid] = reached
         keysets[pred.pid] = pair_keys
         useful.append(pred)
 
@@ -169,8 +233,10 @@ def learn_predicates(
             pred = Predicate.from_id(pid)
             blocks = _coverage(pred, cost_records)
             c = sum(len(m) * (len(m) - 1) // 2 for m in blocks.values())
+            reached = set().union(*blocks.values()) if blocks else set()
             cover[pid] = covered
-            cost[pid] = c + 1.0
+            cost[pid] = (c + 1.0) / max(len(reached) / n_cost, 0.01)
+            reach[pid] = reached
 
     total = len(match_pairs)
     target = int(np.ceil(recall * total))
@@ -205,6 +271,35 @@ def learn_predicates(
                 counts[i] += 1
     if not chosen:  # degenerate: fall back to whole-field on every field
         chosen = [f"whole|{f}" for f in config.field_names()]
+
+    # reachability backstop: every cost-sample record must emit a key under
+    # ≥1 chosen predicate, else its duplicates are unreachable BY
+    # CONSTRUCTION regardless of the model (the 2M-doc recall gap: short
+    # postal codes emit no 6-grams, so `6gram|Postal`-based covers drop the
+    # whole class). Add the best-reaching predicates (canopies reach every
+    # non-empty value) until < 0.2% of records are unreached.
+    unreached = set(cost_records) - set().union(*(reach.get(p, set()) for p in chosen))
+    extra_budget = 2
+    while (
+        len(unreached) / n_cost > 0.002
+        and extra_budget > 0
+    ):
+        best_pid, best_score = None, 0.0
+        for pid, r in reach.items():
+            if pid in chosen:
+                continue
+            gain = len(r & unreached)
+            if gain == 0:
+                continue
+            score = gain / cost[pid]
+            if score > best_score:
+                best_pid, best_score = pid, score
+        if best_pid is None:
+            break
+        chosen.append(best_pid)
+        unreached -= reach[best_pid]
+        extra_budget -= 1
+
     chosen_tables = {pid: index_tables[pid] for pid in chosen if pid in index_tables}
     return chosen, chosen_tables
 
@@ -249,10 +344,15 @@ class ActiveLearner:
     # these so the labeled matches span every duplicate family, not just the
     # one whose blocks happen to rank first
     provenance: list[str] | None = None
+    # broadcast idf tables for Text-type fields ({field: {"idf", "default_idf"}})
+    idf_tables: dict | None = None
 
     def __post_init__(self) -> None:
-        self._X = features_for_pairs(self.candidates, self.config)
-        self._clf = LogisticClassifier(self.config.l2_lambda)
+        self._X = features_for_pairs(self.candidates, self.config, self.idf_tables)
+        from dedupe_ray.features import monotone_feature_dims
+
+        neg, pos = monotone_feature_dims(self.config)
+        self._clf = LogisticClassifier(self.config.l2_lambda, monotone_dims=neg, positive_dims=pos)
         self._rng = np.random.RandomState(self.seed)
         if self.provenance is None:
             self.provenance = ["rand"] * len(self.candidates)
@@ -262,7 +362,7 @@ class ActiveLearner:
     def _fit(self) -> None:
         if len({lbl for _, lbl in self.labels}) < 2:
             return
-        X = features_for_pairs([p for p, _ in self.labels], self.config)
+        X = features_for_pairs([p for p, _ in self.labels], self.config, self.idf_tables)
         y = np.array([1.0 if lbl else 0.0 for _, lbl in self.labels])
         self._clf.fit(X, y)
 

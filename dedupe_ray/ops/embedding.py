@@ -186,27 +186,42 @@ def embedding_near_dup_pairs(
     n_centroids: int = 16,
     id_column: str = "vec_id",
     max_bucket: int = 5000,
-) -> "ray.data.Dataset":
+    return_oversized: bool = False,
+):
     """Embedding-cosine near-duplicate pairs: centroid-bucket shuffle →
     within-bucket pairwise cosine (vectorized) → threshold.
 
     Note candidate recall is bucket-local (pairs straddling a centroid
     boundary are missed) — the standard IVF trade-off; raise n_centroids /
-    add multi-probe assignment for tighter recall."""
+    add multi-probe assignment for tighter recall. Buckets larger than
+    ``max_bucket`` emit no pairs but ARE counted: pass
+    ``return_oversized=True`` for a (bucket, n_members) side-channel
+    Dataset — capped recall is never silent."""
     cent = train_centroids(ds, n_centroids)
     bucketed = assign_buckets(ds, cent, id_column)
 
     def within_bucket_pairs(group: pa.Table) -> pa.Table:
         n = len(group)
-        empty = pa.table(
-            {
-                "id_a": pa.array([], pa.int64()),
-                "id_b": pa.array([], pa.int64()),
-                "cosine": pa.array([], pa.float32()),
-            }
-        )
-        if n < 2 or n > max_bucket:
-            return empty
+
+        def shaped(ids_a, ids_b, cos, over_bucket, over_n):
+            return pa.table(
+                {
+                    "id_a": pa.array(ids_a, pa.int64()),
+                    "id_b": pa.array(ids_b, pa.int64()),
+                    "cosine": pa.array(cos, pa.float32()),
+                    "oversized": pa.array(
+                        [0] * (len(ids_a) - len(over_bucket)) + [1] * len(over_bucket), pa.int8()
+                    ),
+                    "over_bucket": pa.array([-1] * (len(ids_a) - len(over_bucket)) + over_bucket, pa.int32()),
+                    "n_members": pa.array([0] * (len(ids_a) - len(over_bucket)) + over_n, pa.int32()),
+                }
+            )
+
+        if n < 2:
+            return shaped([], [], [], [], [])
+        if n > max_bucket:
+            b = int(group.column("bucket")[0].as_py())
+            return shaped([-1], [-1], [0.0], [b], [n])
         m = _normalize(_batch_matrix(group))
         ids = np.asarray(group.column(id_column).to_pylist(), np.int64)
         sims = m @ m.T
@@ -214,12 +229,13 @@ def embedding_near_dup_pairs(
         mask = sims[iu, ju] >= cosine_threshold
         ia, ib = ids[iu[mask]], ids[ju[mask]]
         lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
-        return pa.table(
-            {
-                "id_a": pa.array(lo),
-                "id_b": pa.array(hi),
-                "cosine": pa.array(sims[iu[mask], ju[mask]].astype(np.float32)),
-            }
-        )
+        return shaped(lo.tolist(), hi.tolist(), sims[iu[mask], ju[mask]].astype(np.float32).tolist(), [], [])
 
-    return bucketed.groupby("bucket").map_groups(within_bucket_pairs, batch_format="pyarrow")
+    raw = bucketed.groupby("bucket").map_groups(within_bucket_pairs, batch_format="pyarrow")
+    pairs = raw.filter(expr="oversized == 0").drop_columns(
+        ["oversized", "over_bucket", "n_members"]
+    )
+    if return_oversized:
+        oversized = raw.filter(expr="oversized == 1").select_columns(["over_bucket", "n_members"])
+        return pairs, oversized
+    return pairs

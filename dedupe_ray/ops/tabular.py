@@ -152,6 +152,20 @@ def pair_diff(record_a: dict, record_b: dict, fields: list[str]) -> dict[str, bo
     return {f: (record_a.get(f) != record_b.get(f)) for f in fields}
 
 
+def auto_column_mapping(
+    cols_a: list[str], cols_b: list[str]
+) -> tuple[dict[str, str], int]:
+    """A23 (ColumnMapper.tsx:50-98): the wider file becomes the merge target
+    (:56-68); same-named columns auto-map (:86-94). Returns
+    ({other_col: target_col}, target_file_index 0|1)."""
+    if len(cols_b) > len(cols_a):
+        target, other, t_idx = cols_b, cols_a, 1
+    else:
+        target, other, t_idx = cols_a, cols_b, 0
+    tset = set(target)
+    return {c: c for c in other if c in tset}, t_idx
+
+
 def missing_rate(ds: "ray.data.Dataset", columns: list[str]) -> dict[str, float]:
     """Share of MISSING-sentinel values per column (data-quality helper)."""
 

@@ -139,21 +139,26 @@ def fingerprint_batch(batch: pa.Table, window: int = 8) -> pa.Table:
     """Document fingerprinting via winnowed rolling hashes (Rabin-Karp over
     byte windows, min-sampled — the standard MOSS/winnowing scheme, public).
     Adds ``fingerprint: uint64`` (min-hash of windows — content-stable,
-    whitespace-insensitive)."""
+    whitespace-insensitive).
+
+    The FNV pass is vectorized across all windows of a document
+    (sliding_window_view + ``window`` fused xor-multiply vector ops) —
+    O(window) numpy kernels per doc instead of O(doc_len) python byte
+    loops."""
     texts = batch.column("text").to_pylist()
     out = np.zeros(len(texts), np.uint64)
-    for i, t in enumerate(texts):
-        s = "".join((t or "").lower().split()).encode()
-        if len(s) < window:
-            out[i] = _fnv1a(s)
-            continue
-        best = np.uint64(0xFFFFFFFFFFFFFFFF)
-        # rolling FNV over fixed windows, min-winnowed
-        for j in range(0, len(s) - window + 1):
-            h = _fnv1a(s[j: j + window])
-            if h < best:
-                best = h
-        out[i] = best
+    with np.errstate(over="ignore"):  # uint64 wraparound is the algorithm
+        for i, t in enumerate(texts):
+            s = "".join((t or "").lower().split()).encode()
+            if len(s) < window:
+                out[i] = _fnv1a(s)
+                continue
+            arr = np.frombuffer(s, np.uint8)
+            win = np.lib.stride_tricks.sliding_window_view(arr, window)
+            h = np.full(len(win), _FNV_OFFSET, np.uint64)
+            for k in range(window):
+                h = (h ^ win[:, k].astype(np.uint64)) * _FNV_PRIME
+            out[i] = h.min()
     return batch.append_column("fingerprint", pa.array(out, pa.uint64()))
 
 

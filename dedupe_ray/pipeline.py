@@ -35,6 +35,7 @@ from dedupe_ray.learning import (
     features_for_pairs,
     learn_predicates,
 )
+from dedupe_ray.features import monotone_feature_dims
 from dedupe_ray.preprocess import make_preprocess_stage, preprocess_value
 from dedupe_ray.schema import discover_field_names, make_extract_fields_stage
 from dedupe_ray.scoring import assemble_pairs, score_pairs
@@ -151,10 +152,12 @@ class RayDeduper:
 
     def __init__(self, config: EngineConfig):
         self.config = config
-        self.classifier = LogisticClassifier(config.l2_lambda)
+        neg, pos = monotone_feature_dims(config)
+        self.classifier = LogisticClassifier(config.l2_lambda, monotone_dims=neg, positive_dims=pos)
         self.predicate_ids: list[str] = []
         self.index_tables: dict[str, dict] = {}
         self.labeled: list[tuple[tuple[dict, dict], bool]] = []
+        self.idf_tables: dict[str, dict] = {}  # Text-field idf broadcasts
         self._learner: ActiveLearner | None = None
         self._sample_records: dict[str, dict] = {}
         self._cost_records: dict[str, dict] = {}
@@ -174,6 +177,15 @@ class RayDeduper:
         fields = self.config.field_names()
         cfg = self.config
         total = flat_ds.count()
+
+        # Text-type fields: one doc-frequency groupby over the flat dataset
+        # → broadcast idf tables used by training features AND the scorer
+        # (L7-Text wiring; without this, Text degrades to unweighted cosine)
+        from dedupe_ray.features import compute_idf
+
+        for f in cfg.fields:
+            if f.type == "Text" and f.field not in self.idf_tables:
+                self.idf_tables[f.field] = compute_idf(flat_ds, f.field)
 
         # uniform record sample (predicate cost estimation + random pairs) —
         # HASH-based, not random_sample: rows are chosen by crc32(doc_id) so
@@ -248,7 +260,11 @@ class RayDeduper:
                 candidates.append((records[a], records[b]))
                 provenance.append("rand")
         self._learner = ActiveLearner(
-            self.config, candidates, seed=cfg.seed, provenance=provenance
+            self.config,
+            candidates,
+            seed=cfg.seed,
+            provenance=provenance,
+            idf_tables=self.idf_tables,
         )
 
     def uncertain_pairs(self) -> list[tuple[dict, dict]]:
@@ -272,7 +288,7 @@ class RayDeduper:
     def train(self, recall: float = 1.0) -> None:
         if not self.labeled:
             raise ValueError("no labeled pairs; call mark_pairs first")
-        X = features_for_pairs([p for p, _ in self.labeled], self.config)
+        X = features_for_pairs([p for p, _ in self.labeled], self.config, self.idf_tables)
         y = np.array([1.0 if lbl else 0.0 for _, lbl in self.labeled])
         if len(set(y.tolist())) < 2:
             raise ValueError("need both match and distinct labels")
@@ -299,6 +315,7 @@ class RayDeduper:
             "model": self.classifier.to_dict(),
             "predicates": self.predicate_ids,
             "index_tables": self.index_tables,
+            "idf_tables": self.idf_tables,
         }
         tmp = path + ".tmp"
         with open(tmp, "w") as fh:
@@ -319,6 +336,7 @@ class RayDeduper:
         d.classifier = LogisticClassifier.from_dict(state["model"])
         d.predicate_ids = state["predicates"]
         d.index_tables = state.get("index_tables", {})
+        d.idf_tables = state.get("idf_tables", {})
         return d
 
     # ---- the distributed DAG ---------------------------------------------
@@ -354,6 +372,7 @@ class RayDeduper:
             assembled,
             self.classifier.to_dict(),
             cfg,
+            idf_tables=self.idf_tables or None,
             batch_size=cfg.score_batch_size,
         )
         edges = scored.filter(expr=f"score >= {threshold}")

@@ -64,14 +64,20 @@ def ascii_fold(value: str) -> str:
 
 
 def preprocess_value(value: object) -> str:
-    """Scalar reference-exact normalizer (for tests / driver-side use)."""
+    """Scalar reference-exact normalizer (for tests / driver-side use).
+
+    The 'nan' sentinel check happens on the RAW unidecoded string, BEFORE
+    whitespace collapse (backend/dedupe_script.py:24-26): "NaN" → "N/A" but
+    " NAN " survives the check and comes out as the literal "nan"."""
     s = ascii_fold(str(value) if value is not None else "")
+    if s.lower() == "nan":
+        return MISSING
     import re
 
     s = re.sub("  +", " ", s)
     s = s.replace("\n", " ")
     s = s.strip().strip('"').strip("'").lower().strip()
-    if not s or s == "nan":
+    if not s:
         return MISSING
     return s
 
@@ -98,6 +104,10 @@ def preprocess_array(arr: pa.Array | pa.ChunkedArray) -> pa.Array:
             py[i] = ascii_fold(py[i])
         arr = pa.array(py, type=pa.string())
 
+    # reference nan check: on the raw folded value, BEFORE collapse
+    # (dedupe_script.py:24-26) — " NAN " is NOT caught here and survives
+    # the pipeline as the literal "nan"
+    raw_nan = pc.equal(pc.utf8_lower(arr), "nan")
     arr = pc.replace_substring_regex(arr, "  +", " ")
     arr = pc.replace_substring(arr, "\n", " ")
     arr = pc.utf8_trim_whitespace(arr)
@@ -105,8 +115,8 @@ def preprocess_array(arr: pa.Array | pa.ChunkedArray) -> pa.Array:
     arr = pc.utf8_trim(arr, "'")
     arr = pc.utf8_lower(arr)
     arr = pc.utf8_trim_whitespace(arr)
-    empty_or_nan = pc.or_(pc.equal(arr, ""), pc.equal(arr, "nan"))
-    return pc.if_else(empty_or_nan, pa.scalar(MISSING, pa.string()), arr)
+    missing = pc.or_(raw_nan, pc.equal(arr, ""))
+    return pc.if_else(missing, pa.scalar(MISSING, pa.string()), arr)
 
 
 def preprocess_table(batch: pa.Table, columns: list[str] | None = None) -> pa.Table:

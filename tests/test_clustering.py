@@ -58,6 +58,35 @@ def test_distributed_cc_matches_driver():
     assert drv == dst
 
 
+def test_distributed_cc_long_chain_and_scale():
+    """Pointer-doubling evidence: a 3000-link chain (graph diameter 3000,
+    far beyond any per-round propagation budget) plus ~100k clustered edges
+    must converge — O(log diameter) rounds — and match the driver
+    union-find exactly."""
+    import numpy as np
+
+    rng = np.random.RandomState(0)
+    chain = [(f"c{i:05d}", f"c{i+1:05d}") for i in range(3000)]
+    # 100k edges across 5k small star components
+    stars = [
+        (f"s{g:05d}_0", f"s{g:05d}_{m}")
+        for g in range(5000)
+        for m in rng.randint(1, 21, size=20)
+    ]
+    edges = chain + stars
+    drv = {
+        r["doc_id"]: r["component_id"]
+        for r in connected_components(_edges_ds(edges), mode="driver").take_all()
+    }
+    dst = {
+        r["doc_id"]: r["component_id"]
+        for r in connected_components(_edges_ds(edges), mode="distributed").take_all()
+    }
+    assert drv == dst
+    # the whole chain collapsed to one component
+    assert len({v for k, v in dst.items() if k.startswith("c")}) == 1
+
+
 def test_hac_cut_simple():
     # two tight pairs far apart → cut at 0.5 gives 2 clusters
     d = np.array(

@@ -1,0 +1,104 @@
+"""A30 golden-response conformance (SURVEY §5.1): KNA2.xlsx through the
+engine vs the reference's captured 26-cluster response
+(/root/reference/backend/test_response.py:1), plus the A1/A2 source readers
+feeding it."""
+
+import os
+
+import pytest
+
+KNA2 = "/root/reference/KNA2.xlsx"
+GOLDEN = "/root/reference/backend/test_response.py"
+
+needs_reference = pytest.mark.skipif(
+    not (os.path.exists(KNA2) and os.path.exists(GOLDEN)),
+    reason="reference fixtures not present",
+)
+
+
+@needs_reference
+def test_xlsx_reader_shape():
+    from dedupe_ray.sources import read_excel_table
+
+    t = read_excel_table(KNA2)
+    assert t.num_rows == 410
+    assert t.column_names[:8] == [
+        "Customer", "Name 1", "Name 2", "Street", "Postal Code", "City", "Region", "Country",
+    ]
+    assert t.column("source_file")[0].as_py() == "KNA2.xlsx"
+
+
+@needs_reference
+def test_preprocess_matches_golden_records():
+    """Positional alignment + preprocess bit-parity: every field of every
+    golden record equals preprocess(raw cell at that record_id)."""
+    from dedupe_ray.golden import KNA_FIELDS, load_golden_clusters, _GOLDEN_PATH
+    from dedupe_ray.preprocess import preprocess_value
+    from dedupe_ray.sources import read_excel_table
+
+    import ast
+
+    payload = ast.literal_eval(open(_GOLDEN_PATH).read().split("=", 1)[1].strip())
+    t = read_excel_table(KNA2)
+    for d in payload["duplicates"]:
+        for r in d["records"]:
+            i = int(r["record_id"])
+            for f in KNA_FIELDS:
+                assert preprocess_value(t.column(f)[i].as_py()) == r[f], (i, f)
+
+
+@needs_reference
+def test_kna2_replay_f1(ray_session):
+    """End-to-end A30 replay: read xlsx → train (golden-derived labels) →
+    partition → pairwise comparison vs the 26 golden clusters."""
+    from dedupe_ray.golden import (
+        golden_pairs,
+        kna2_replay,
+        load_golden_clusters,
+        _predicted_pairs,
+    )
+
+    clusters, f1 = kna2_replay()
+    assert f1 >= 0.97
+    # recall must be perfect: every golden pair recovered
+    gp = golden_pairs(load_golden_clusters())
+    predicted = _predicted_pairs(clusters)
+    assert gp <= predicted
+
+
+def test_csv_reader_roundtrip(tmp_path, ray_session):
+    from dedupe_ray.sources import read_input_files
+
+    p = tmp_path / "a.csv"
+    p.write_text('Name,City\n"Acme, Inc.",K\nBeta,W\n')
+    ds = read_input_files([str(p)])
+    df = ds.to_pandas().sort_values("doc_id")
+    assert df["Name"].tolist() == ["Acme, Inc.", "Beta"]
+    assert df["doc_id"].tolist() == ["0", "1"]
+    assert (df["source_file"] == "a.csv").all()
+
+
+def test_multi_file_union_positional_ids(tmp_path, ray_session):
+    """A3: ids continue across files; schemas union with '' fill."""
+    from dedupe_ray.sources import read_input_files
+
+    (tmp_path / "a.csv").write_text("Name,City\nx,k\n")
+    (tmp_path / "b.csv").write_text("Name,Extra\ny,e\n")
+    ds = read_input_files([str(tmp_path / "a.csv"), str(tmp_path / "b.csv")])
+    df = ds.to_pandas().sort_values("doc_id").set_index("doc_id")
+    assert df.loc["1", "Name"] == "y"
+    assert df.loc["1", "City"] == ""
+    assert df.loc["0", "Extra"] == ""
+
+
+def test_detect_fields():
+    from dedupe_ray.sources import detect_fields
+
+    import pyarrow as pa
+
+    t = pa.table({"Name": ["x"], "City": ["y"], "source_file": ["f"], "doc_id": ["0"]})
+    fields = detect_fields(t)
+    assert fields == [
+        {"field": "Name", "type": "String", "has_missing": True},
+        {"field": "City", "type": "String", "has_missing": True},
+    ]

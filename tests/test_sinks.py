@@ -1,0 +1,105 @@
+"""A17 JSON report, A24 cleansed export, A11 pair re-ordering, A23 auto
+column mapping, A31 input validation."""
+
+import json
+
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+
+@pytest.fixture()
+def tiny_clusters(ray_session):
+    clusters = rd.from_arrow(
+        pa.table(
+            {
+                "cluster_id": ["cA", "cA", "cB", "cB", "cB"],
+                "doc_id": ["0", "1", "2", "3", "4"],
+                "confidence_score": pa.array([0.9, 0.9, 0.5, 0.6, 0.7], pa.float32()),
+            }
+        )
+    )
+    flat = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": ["0", "1", "2", "3", "4", "5"],
+                "Name": ["a, co", 'b "x"', "c", "d", "e", "solo"],
+                "City": ["k", "k", "N/A", "w", "w", "z"],
+                "source_file": ["f1"] * 6,
+            }
+        )
+    )
+    return clusters, flat
+
+
+def test_json_report_shape(tiny_clusters):
+    from dedupe_ray.sinks import build_report
+
+    clusters, flat = tiny_clusters
+    rep = build_report(clusters, flat, ["Name", "City"], threshold=0.4, configuration={"x": 1})
+    assert set(rep) == {
+        "total_records", "duplicate_groups_found", "duplicates", "configuration", "threshold_used",
+    }
+    assert rep["total_records"] == 6
+    assert rep["duplicate_groups_found"] == 2
+    # sorted by mean confidence desc; dense 0-based ids
+    assert [g["cluster_id"] for g in rep["duplicates"]] == [0, 1]
+    assert rep["duplicates"][0]["group_size"] == 2
+    assert rep["duplicates"][0]["confidence_score"] == pytest.approx(0.9)
+    r0 = rep["duplicates"][0]["records"][0]
+    assert set(r0) == {"Name", "City", "confidence_score", "source_file", "record_id"}
+    json.dumps(rep)  # float32 coerced — must serialize
+
+
+def test_cleansed_export_header_order_and_escaping(tiny_clusters):
+    from dedupe_ray.sinks import cleansed_export_csv
+
+    clusters, flat = tiny_clusters
+    csv_text = cleansed_export_csv(clusters, flat, ["Name", "City"], removals={"3"})
+    lines = csv_text.split("\n")
+    assert lines[0] == "cluster_id,City,Name,record_id,confidence_score,source_file"
+    # removal dropped: doc 3 absent
+    assert not any(line.split(",")[3] == "3" for line in lines[1:] if line)
+    # 1-based stringified cluster ids
+    assert lines[1].split(",")[0] == "1"
+    # comma value quoted; embedded quotes doubled; N/A → ''
+    body = "\n".join(lines[1:])
+    assert '"a, co"' in body
+    assert '"b ""x"""' in body
+    assert ",N/A," not in body
+
+
+def test_reorder_training_pairs_interleaves():
+    from dedupe_ray.sinks import reorder_training_pairs
+
+    def pair(a, b):
+        return {"0": {"Name": a, "City": "k"}, "1": {"Name": b, "City": "k"}}
+
+    m1, m2 = pair("x", "x"), pair("y", "y")         # match on both cols
+    d1 = {"0": {"Name": "a", "City": "q"}, "1": {"Name": "b", "City": "r"}}  # none
+    r1 = pair("a", "b")                              # City matches only → random
+    out = reorder_training_pairs([d1, m1, r1, m2], ["Name", "City"])
+    assert out[0] is m1 and out[1] is r1 and out[2] is d1 and out[3] is m2
+    assert len(out) == 4
+
+
+def test_auto_column_mapping():
+    from dedupe_ray.ops.tabular import auto_column_mapping
+
+    mapping, target = auto_column_mapping(["A", "B"], ["A", "C", "D"])
+    assert target == 1  # wider file is the target
+    assert mapping == {"A": "A"}
+
+
+def test_validate_inputs():
+    from dedupe_ray.sinks import validate_inputs
+
+    validate_inputs(["a.csv", "b.csv"], ["Name", "City"])
+    with pytest.raises(ValueError):
+        validate_inputs(["a.csv", "b.xlsx"], ["Name", "City"])
+    with pytest.raises(ValueError):
+        validate_inputs(["a.csv"], ["Name"])
+    with pytest.raises(ValueError):
+        validate_inputs(["a.parquet"], ["Name", "City"])
+    with pytest.raises(ValueError):
+        validate_inputs(["a.csv"] * 3, ["Name", "City"])
