@@ -70,47 +70,70 @@ def _clean_pair(pair: tuple[dict, dict], fields: list[str]) -> tuple[dict, dict]
 
 
 def _sample_blocked_pairs(
-    flat_ds: "ray.data.Dataset", fields: list[str], n_target: int, map_batch_size: int
+    flat_ds: "ray.data.Dataset",
+    fields: list[str],
+    n_target: int,
+    map_batch_size: int,
+    total_records: int | None = None,
 ) -> list[tuple[tuple[str, str], str]]:
     """Sample candidate pairs that share a cheap predicate block, from the
     full dataset. Per block only ADJACENT sorted-id pairs (+ first/last) are
     emitted — O(n) per block, enough for a training sample; blocks larger
-    than 100 members are skipped as non-discriminative."""
+    than 100 members are skipped as non-discriminative.
+
+    Deterministic KEY-SPACE hash sampling, fully STREAMING: the crc32 key
+    filter is fused into the explode pass, so the exploded dataset (5–10×
+    the input) is never materialized — only the sampled sliver reaches the
+    driver. The sampling rate is sized from a small hash-sample estimate of
+    keys-per-record; if a draw surfaces too few multi-member blocks the
+    rate doubles and the (linear, stateless) pass re-runs — trading a rare
+    extra CPU pass for zero object-store footprint, which is the right
+    trade at 10⁹ rows. Output is identical at any parallelism level."""
+    import zlib
+
     from dedupe_ray.blocking import make_block_explode_stage
 
     sampling_preds = [f"tok1|{f}" for f in fields] + [f"whole|{f}" for f in fields]
-    blocked = flat_ds.map_batches(
-        make_block_explode_stage(sampling_preds),
-        batch_format="pyarrow",
-        batch_size=map_batch_size,
+    stage = make_block_explode_stage(sampling_preds)
+    if total_records is None:
+        total_records = flat_ds.count()
+
+    # keys-per-record estimate from a deterministic ~2k-record hash sample
+    est_frac = min(1.0, 2000 / max(total_records, 1))
+    est_cut = int(est_frac * 0xFFFFFFFF)
+
+    def est_sample(batch: pa.Table) -> pa.Table:
+        mask = pa.array(
+            [zlib.crc32(f"est:{d}".encode()) <= est_cut for d in batch.column("doc_id").to_pylist()]
+        )
+        return batch.filter(mask)
+
+    sample_tbl = pa.Table.from_pylist(
+        flat_ds.map_batches(est_sample, batch_format="pyarrow").take_all()
     )
+    n_sample = max(len(sample_tbl), 1)
+    keys_per_record = max(len(stage(sample_tbl)), 1) / n_sample if len(sample_tbl) else 4.0
 
-    # Deterministic KEY-SPACE hash sampling — no groupby, no sort: sample
-    # block keys by crc32 at a rate sized from the exploded row count, fetch
-    # the member rows of sampled keys in one map pass, and form adjacent
-    # pairs per block driver-side. A shuffle-free training sampler whose
-    # output is identical at any parallelism level; the rate doubles (rare)
-    # if the first draw surfaces too few multi-member blocks.
-    import zlib
-
-    blocked = blocked.materialize()
-    total_rows = blocked.count()
+    est_rows = total_records * keys_per_record
     budget_keys = n_target * 3
-    rate = min(1.0, (budget_keys * 4) / max(total_rows, 1))
+    rate = min(1.0, (budget_keys * 4) / max(est_rows, 1))
 
     by_pred: dict[str, list[tuple[str, str]]] = {}
     seen: set[tuple[str, str]] = set()
     for _ in range(8):
         cut = int(rate * 0xFFFFFFFF)
 
-        def key_sample(batch: pa.Table) -> pa.Table:
+        def explode_and_sample(batch: pa.Table) -> pa.Table:
+            exploded = stage(batch)
             mask = pa.array(
-                [zlib.crc32(k.encode()) <= cut for k in batch.column("block_key").to_pylist()]
+                [zlib.crc32(k.encode()) <= cut for k in exploded.column("block_key").to_pylist()]
             )
-            return batch.filter(mask)
+            return exploded.filter(mask)
 
         members: dict[str, list[str]] = {}
-        for r in blocked.map_batches(key_sample, batch_format="pyarrow").take_all():
+        for r in flat_ds.map_batches(
+            explode_and_sample, batch_format="pyarrow", batch_size=map_batch_size
+        ).take_all():
             members.setdefault(r["block_key"], []).append(r["doc_id"])
 
         by_pred.clear()
@@ -222,7 +245,9 @@ class RayDeduper:
 
         # blocked pair sample over the FULL dataset
         n_blocked = int(cfg.sample_size * cfg.blocked_proportion)
-        tagged_pairs = _sample_blocked_pairs(flat_ds, fields, n_blocked, cfg.map_batch_size)
+        tagged_pairs = _sample_blocked_pairs(
+            flat_ds, fields, n_blocked, cfg.map_batch_size, total_records=total
+        )
         pair_ids = [p for p, _ in tagged_pairs]
 
         # fetch the records behind the sampled pairs (bounded ≤ 2·n_blocked)

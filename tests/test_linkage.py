@@ -1,0 +1,91 @@
+"""L20 RecordLink: two-dataset linkage over the shared block/score stages
+with per-left matching — planted cross-file matches must be recovered with
+F1 ≥ 0.99."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+
+@pytest.fixture(scope="module")
+def linked(ray_session):
+    """Split the KNA corpus's duplicate clusters across two 'files': one
+    member of each planted cluster goes to B, the rest (and singletons)
+    to A — every A↔B true link is cross-file by construction."""
+    from dedupe_ray.eval import truth_assignment
+    from dedupe_ray.fixtures import KNA_FIELDS, generate_kna_corpus
+    from dedupe_ray.linkage import link_records
+    from dedupe_ray.pipeline import RayDeduper, active_label_loop, flatten_documents
+
+    docs, truth = generate_kna_corpus(800, seed=11)
+    ta = truth_assignment(truth)
+    by_entity: dict[int, list[str]] = {}
+    for did, eid in zip(truth.column("doc_id").to_pylist(), truth.column("entity_id").to_pylist()):
+        by_entity.setdefault(eid, []).append(did)
+    b_ids = {sorted(m)[0] for m in by_entity.values() if len(m) >= 2}
+    expected = {
+        (a, sorted(m)[0])
+        for m in by_entity.values()
+        if len(m) >= 2
+        for a in sorted(m)[1:]
+    }
+
+    flat_all, fields = flatten_documents(rd.from_arrow(docs))
+    flat_all = flat_all.materialize()
+    import pyarrow.compute as pc
+
+    mask_ref = b_ids
+
+    def side(b_side: bool):
+        def _f(t: pa.Table) -> pa.Table:
+            m = pa.array([(d in mask_ref) == b_side for d in t.column("doc_id").to_pylist()])
+            return t.filter(m)
+
+        return _f
+
+    flat_a = flat_all.map_batches(side(False), batch_format="pyarrow").materialize()
+    flat_b = flat_all.map_batches(side(True), batch_format="pyarrow").materialize()
+
+    from dedupe_ray.config import EngineConfig
+
+    cfg = EngineConfig.auto_detect(fields)
+    deduper = RayDeduper(cfg)
+    deduper.prepare_training(flat_all)
+    active_label_loop(deduper, lambda a, b: ta[a["doc_id"]] == ta[b["doc_id"]])
+    deduper.train()
+    return flat_a, flat_b, deduper, expected, link_records
+
+
+def _prf(got: set, want: set) -> tuple[float, float, float]:
+    tp = len(got & want)
+    p = tp / max(len(got), 1)
+    r = tp / max(len(want), 1)
+    return p, r, 0.0 if p + r == 0 else 2 * p * r / (p + r)
+
+
+def test_many_to_one_links(linked):
+    flat_a, flat_b, deduper, expected, link_records = linked
+    out = link_records(flat_a, flat_b, deduper, threshold=0.3, match_mode="many_to_one").to_pandas()
+    got = set(zip(out["id_a"], out["id_b"]))
+    p, r, f1 = _prf(got, expected)
+    assert f1 >= 0.99, (p, r, f1)
+
+
+def test_one_to_one_is_injective(linked):
+    flat_a, flat_b, deduper, expected, link_records = linked
+    out = link_records(flat_a, flat_b, deduper, threshold=0.3, match_mode="one_to_one").to_pandas()
+    assert out["id_a"].is_unique and out["id_b"].is_unique
+    # one_to_one can keep at most one A per B; truth has several A per B
+    # (cluster sizes ≥ 2), so check precision of what it kept
+    got = set(zip(out["id_a"], out["id_b"]))
+    assert len(got & expected) / max(len(got), 1) >= 0.99
+
+
+def test_pairs_mode_cross_side_only(linked):
+    flat_a, flat_b, deduper, expected, link_records = linked
+    out = link_records(flat_a, flat_b, deduper, threshold=0.3, match_mode="pairs").to_pandas()
+    a_ids = set(flat_a.to_pandas()["doc_id"])
+    b_ids = set(flat_b.to_pandas()["doc_id"])
+    assert set(out["id_a"]) <= a_ids
+    assert set(out["id_b"]) <= b_ids
