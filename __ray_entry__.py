@@ -397,6 +397,81 @@ def _q_simhash_pairs(sf_dir: str):
     return simhash_pairs(docs, max_hamming=6)
 
 
+def _q_ngram_jaccard(sf_dir: str):
+    """Exact word-set (1-gram) Jaccard over all pairs of the first English
+    docs — oracle-checked (tokenizer [a-z0-9]+ matches the SQL regex)."""
+    import ray.data as rd
+    from itertools import combinations
+
+    import pyarrow.compute as pc
+
+    from dedupe_ray.ops.dedup import ngram_jaccard_pairs
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang", "text"]).filter(
+        expr="lang == 'en' and doc_id < 40"
+    )
+    ids = sorted(str(r["doc_id"]) for r in docs.select_columns(["doc_id"]).take_all())
+    cands = rd.from_arrow(
+        pa.table(
+            {
+                "id_a": pa.array([a for a, b in combinations(ids, 2)], pa.string()),
+                "id_b": pa.array([b for a, b in combinations(ids, 2)], pa.string()),
+            }
+        )
+    )
+    flat = docs.map_batches(
+        lambda b: pa.table(
+            {"doc_id": pa.compute.cast(b.column("doc_id"), pa.string()), "text": b.column("text")}
+        ),
+        batch_format="pyarrow",
+    )
+    out = ngram_jaccard_pairs(flat, cands, n=1, threshold=0.2, token_pattern=r"[a-z0-9]+")
+
+    def _round(t: pa.Table) -> pa.Table:
+        i = t.schema.get_field_index("ngram_jaccard")
+        return t.set_column(
+            i, "ngram_jaccard",
+            pc.round(t.column("ngram_jaccard"), ndigits=6, round_mode="half_towards_infinity"),
+        )
+
+    return out.map_batches(_round, batch_format="pyarrow")
+
+
+def _q_minhash_groups(sf_dir: str):
+    from dedupe_ray.ops.dedup import minhash_dedup
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        lambda b: pa.table(
+            {"doc_id": pa.compute.cast(b.column("doc_id"), pa.string()), "text": b.column("text")}
+        ),
+        batch_format="pyarrow",
+    )
+    return minhash_dedup(docs, jaccard_threshold=0.5)
+
+
+def _q_fingerprints(sf_dir: str):
+    from dedupe_ray.ops.text import fingerprint_batch
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return docs.map_batches(fingerprint_batch, batch_format="pyarrow").select_columns(
+        ["doc_id", "fingerprint"]
+    )
+
+
+def _q_ivf_topk_full_probe(sf_dir: str):
+    """IVF with nprobe = n_centroids scans every bucket — results must equal
+    exact brute force, so the ann_topk SQL doubles as its oracle."""
+    from dedupe_ray.ops.embedding import ivf_topk
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qrows = emb.filter(expr="vec_id < 3").take(3)
+    queries_m = np.stack(
+        [np.asarray(r["embedding"], np.float64) for r in sorted(qrows, key=lambda r: r["vec_id"])]
+    )
+    out = ivf_topk(emb, queries_m, k=10, n_centroids=8, nprobe=8)
+    return out.select(["query_id", "vec_id", "rank"])
+
+
 def _q_quality_langid(sf_dir: str):
     from dedupe_ray.ops.text import LanguageId, QualityScore
 
@@ -475,6 +550,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": _q_media_features,
         "kna2_replay": _q_kna2_replay,
         "export_projection": _q_export_projection,
+        "ngram_jaccard_verify": _q_ngram_jaccard,
+        "minhash_groups": _q_minhash_groups,
+        "fingerprints": _q_fingerprints,
+        "ivf_topk_full_probe": _q_ivf_topk_full_probe,
     }
 
 
@@ -586,6 +665,35 @@ def oracle_sql() -> dict[str, str]:
                    CAST(c_custkey AS VARCHAR) AS doc_id
             FROM customer
             WHERE c_custkey % 97 <> 0
+        """,
+        "ngram_jaccard_verify": """
+            WITH toks AS (
+                SELECT CAST(doc_id AS VARCHAR) AS id,
+                       list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')) AS s
+                FROM documents WHERE lang = 'en' AND doc_id < 40
+            )
+            SELECT a.id AS id_a, b.id AS id_b,
+                   round(len(list_intersect(a.s, b.s)) * 1.0
+                         / len(list_distinct(a.s || b.s)), 6) AS ngram_jaccard
+            FROM toks a JOIN toks b ON a.id < b.id
+            WHERE len(list_intersect(a.s, b.s)) * 1.0
+                  / len(list_distinct(a.s || b.s)) >= 0.2
+        """,
+        "ivf_topk_full_probe": """
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding AS qe
+                FROM embeddings WHERE vec_id < 3
+            ),
+            scored AS (
+                SELECT q.query_id, e.vec_id,
+                       row_number() OVER (
+                           PARTITION BY q.query_id
+                           ORDER BY list_cosine_similarity(e.embedding, q.qe) DESC,
+                                    e.vec_id
+                       ) - 1 AS rank
+                FROM embeddings e CROSS JOIN q
+            )
+            SELECT query_id, vec_id, rank FROM scored WHERE rank < 10
         """,
         "ann_topk": """
             WITH q AS (

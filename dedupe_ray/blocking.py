@@ -188,6 +188,39 @@ def _dedup_bucket(group: pa.Table) -> pa.Table:
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
+def candidate_pairs_raw(
+    flat_ds: "ray.data.Dataset",
+    predicate_ids: list[str],
+    max_block_size: int = 1024,
+    map_batch_size: int = 8192,
+    index_tables: dict | None = None,
+) -> "ray.data.Dataset":
+    """Block-key explode + per-bucket pair emission, NOT yet deduped:
+    rows (id_a, id_b, oversized, pbucket) where oversized==1 rows are
+    dropped-block markers. Checkpointable as ONE artifact so both the
+    deduped pairs and the oversized count derive from it without
+    re-running the blocking pass."""
+    blocked = flat_ds.map_batches(
+        make_block_explode_stage(predicate_ids, with_bucket=True, index_tables=index_tables),
+        batch_format="pyarrow",
+        batch_size=map_batch_size,
+    )
+    return blocked.groupby("bucket").map_groups(
+        make_bucket_pair_emit_fn(max_block_size), batch_format="pyarrow"
+    )
+
+
+def dedup_pairs(raw_pairs: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Raw emitted pairs → globally distinct canonical pairs (drops marker
+    rows; bucketed dedup shuffle)."""
+    return (
+        raw_pairs.filter(expr="oversized == 0")
+        .drop_columns(["oversized"])
+        .groupby("pbucket")
+        .map_groups(_dedup_bucket, batch_format="pyarrow")
+    )
+
+
 def candidate_pairs(
     flat_ds: "ray.data.Dataset",
     predicate_ids: list[str],
@@ -201,22 +234,11 @@ def candidate_pairs(
     distinct. Two bucketed shuffles (see N_BUCKETS note): block-key buckets
     → vectorized pair emission, pair-hash buckets → vectorized dedup.
     """
-    blocked = flat_ds.map_batches(
-        make_block_explode_stage(predicate_ids, with_bucket=True, index_tables=index_tables),
-        batch_format="pyarrow",
-        batch_size=map_batch_size,
-    )
-    raw_pairs = blocked.groupby("bucket").map_groups(
-        make_bucket_pair_emit_fn(max_block_size), batch_format="pyarrow"
+    raw_pairs = candidate_pairs_raw(
+        flat_ds, predicate_ids, max_block_size, map_batch_size, index_tables
     )
     oversized = raw_pairs.filter(expr="oversized == 1")
-    pairs = (
-        raw_pairs.filter(expr="oversized == 0")
-        .drop_columns(["oversized"])
-        .groupby("pbucket")
-        .map_groups(_dedup_bucket, batch_format="pyarrow")
-    )
-    return pairs, oversized
+    return dedup_pairs(raw_pairs), oversized
 
 
 def brute_force_pairs(flat_records: list[dict], predicate_ids: list[str]) -> set[tuple[str, str]]:

@@ -182,16 +182,23 @@ def run_checkpointed_dedupe(
         deduper.train()
         deduper.save_settings(settings_file)
 
+    from dedupe_ray.blocking import candidate_pairs_raw, dedup_pairs
+
     model_fp = fingerprint(flat_fp, deduper.predicate_ids, deduper.classifier.to_dict())
-    pairs = ckpt.run_stage(
-        "pairs",
-        fingerprint(model_fp, "pairs"),
-        lambda: candidate_pairs(
+    # raw pairs (incl. oversized-block markers) are the checkpoint artifact:
+    # the deduped pairs AND the no-silent-caps metric both derive from it
+    # without a second blocking pass
+    raw_pairs = ckpt.run_stage(
+        "pairs_raw",
+        fingerprint(model_fp, "pairs_raw"),
+        lambda: candidate_pairs_raw(
             flat, deduper.predicate_ids, deduper.config.max_block_size,
             index_tables=deduper.index_tables,
-        )[0],
+        ),
         metrics,
     )
+    metrics.add("pairs", oversized_blocks=raw_pairs.filter(expr="oversized == 1").count())
+    pairs = dedup_pairs(raw_pairs)
     edges = ckpt.run_stage(
         "edges",
         fingerprint(model_fp, "edges", threshold),

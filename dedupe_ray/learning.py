@@ -152,7 +152,7 @@ def learn_predicates(
     sample_records: dict[str, dict],
     config: EngineConfig,
     recall: float = 1.0,
-    max_predicates: int = 6,
+    max_predicates: int = 8,
     compound: bool = True,
     cost_records: dict[str, dict] | None = None,
 ) -> tuple[list[str], dict[str, dict]]:
@@ -210,16 +210,28 @@ def learn_predicates(
         c = sum(len(m) * (len(m) - 1) // 2 for m in blocks.values())
         reached = set().union(*blocks.values()) if blocks else set()
         cover[pred.pid] = covered
-        cost[pred.pid] = (c + 1.0) / max(len(reached) / n_cost, 0.01)
+        cost[pred.pid] = (c + 1.0) / max((len(reached) / n_cost) ** 2, 1e-4)
         reach[pred.pid] = reached
         keysets[pred.pid] = pair_keys
         useful.append(pred)
 
-    # compound candidates: conjunctions of two useful simples on the same pairs
+    # compound candidates: conjunctions of two useful simples on the same
+    # pairs. The pool must NOT be only the cheapest simples: the predicates
+    # that are robust to single-word corruption (any-common-token tok1|f)
+    # are expensive SOLO (a shared name stem is a huge block) but cheap and
+    # high-recall inside a conjunction (token ∧ exact postal) — exactly the
+    # cover for the transposed-name class that cheap-only compounds miss.
     if compound:
-        simple_ids = [
-            p for p in sorted(cover, key=lambda q: cost[q]) if not p.startswith("canopy")
-        ][:12]
+        by_cost = [p for p in sorted(cover, key=lambda q: cost[q]) if not p.startswith("canopy")]
+        simple_ids = by_cost[:12]
+        # force the per-field any-token and whole-field predicates into the
+        # conjunction pool (bounded: ≤ 2 per field)
+        for p in by_cost:
+            if p in simple_ids:
+                continue
+            if p.startswith(("token|", "tok1|", "whole|")):
+                simple_ids.append(p)
+        simple_ids = simple_ids[:28]
         for pa_, pb_ in combinations(simple_ids, 2):
             covered = {
                 i
@@ -235,7 +247,7 @@ def learn_predicates(
             c = sum(len(m) * (len(m) - 1) // 2 for m in blocks.values())
             reached = set().union(*blocks.values()) if blocks else set()
             cover[pid] = covered
-            cost[pid] = (c + 1.0) / max(len(reached) / n_cost, 0.01)
+            cost[pid] = (c + 1.0) / max((len(reached) / n_cost) ** 2, 1e-4)
             reach[pid] = reached
 
     total = len(match_pairs)
@@ -246,13 +258,15 @@ def learn_predicates(
     def n_covered(k: int) -> int:
         return int((counts >= k).sum())
 
-    # 2-cover greedy: first satisfy the recall target, then keep adding the
-    # cheapest predicates until every labeled match is covered by ≥2
-    # predicates (or the budget runs out). A single covering predicate is
-    # brittle — its blind spots (e.g. an n-gram key that emits nothing on
-    # short values) silently drop every duplicate class the labels happened
-    # not to sample; redundant coverage buys recall on unlabeled classes.
-    for required in (1, 2):
+    # 3-cover greedy: first satisfy the recall target, then keep adding the
+    # cheapest predicates until every labeled match is covered by ≥2, then
+    # ≥3 predicates (or the budget runs out). A single covering predicate
+    # is brittle — its blind spots (e.g. an n-gram key that emits nothing
+    # on short values) silently drop every duplicate class the labels
+    # happened not to sample; the MULTI-corruption classes (transposed name
+    # AND changed street AND postal variant) are only reachable through
+    # redundant, differently-shaped covers.
+    for required in (1, 2, 3):
         while n_covered(required) < target and len(chosen) < max_predicates:
             best_pid, best_score = None, 0.0
             for pid, cov in cover.items():

@@ -516,6 +516,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     broadcast_limit: int = 2_000_000,
+    token_pattern: str | None = None,
 ) -> "ray.data.Dataset":
     """Exact word-n-gram Jaccard for given candidate pairs.
 
@@ -534,16 +535,18 @@ def ngram_jaccard_pairs(
         strict=False,
     )
 
+    word_re = re.compile(token_pattern) if token_pattern else _WORD
+
     def verify(batch: pa.Table) -> pa.Table:
         def grams(t: str) -> set:
-            toks = _WORD.findall((t or "").lower())
+            toks = word_re.findall((t or "").lower())
             return {tuple(toks[i: i + n]) for i in range(max(1, len(toks) - n + 1))}
 
         jac = []
         for a, b in zip(batch.column("a_text").to_pylist(), batch.column("b_text").to_pylist()):
             ga, gb = grams(a), grams(b)
             jac.append(len(ga & gb) / max(len(ga | gb), 1))
-        out = batch.append_column("ngram_jaccard", pa.array(np.asarray(jac, np.float32)))
+        out = batch.append_column("ngram_jaccard", pa.array(np.asarray(jac, np.float64)))
         out = out.filter(pc.greater_equal(out.column("ngram_jaccard"), threshold))
         return out.select([c for c in out.column_names if c not in ("a_text", "b_text")])
 

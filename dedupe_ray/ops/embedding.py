@@ -180,6 +180,103 @@ def ivf_topk(
     return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
 
 
+def ivf_build(
+    ds: "ray.data.Dataset",
+    path: str,
+    n_centroids: int = 16,
+    id_column: str = "vec_id",
+) -> np.ndarray:
+    """Build a bucket-partitioned IVF index on disk: rows written as
+    parquet partitioned by nearest-centroid bucket (one directory per
+    bucket), centroids saved beside it. This is the REAL pruning layout —
+    a probe reads only the matching partition directories off storage,
+    instead of scanning every row with a map-side filter."""
+    import shutil
+
+    cent = train_centroids(ds, n_centroids)
+    bucketed = assign_buckets(ds, cent, id_column)
+    shutil.rmtree(path, ignore_errors=True)
+    bucketed.write_parquet(path, partition_cols=["bucket"])
+    np.save(path + "_centroids.npy", cent)
+    return cent
+
+
+def ivf_search(
+    path: str,
+    queries: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    id_column: str = "vec_id",
+) -> pa.Table:
+    """Query a built IVF index: only the nprobe nearest bucket PARTITIONS
+    are read (partition-pruned parquet read), then the same per-batch
+    partial top-k as brute force within them."""
+    import os
+
+    cent = np.load(path + "_centroids.npy")
+    qn = _normalize(np.atleast_2d(np.asarray(queries, np.float32)))
+    probes = np.argsort(-(qn @ cent.T), axis=1)[:, :nprobe]  # [nq, nprobe]
+    wanted = sorted({int(b) for b in probes.reshape(-1)})
+    # path-level partition pruning: only the probed bucket directories are
+    # ever opened (the bucket column is also stored in the files, so no
+    # re-tagging is needed)
+    import glob
+
+    subdirs = [
+        f
+        for b in wanted
+        for f in sorted(glob.glob(os.path.join(path, f"bucket={b}", "*.parquet")))
+    ]
+    if not subdirs:
+        return pa.table(
+            {
+                "query_id": pa.array([], pa.int32()),
+                id_column: pa.array([], pa.int64()),
+                "cosine": pa.array([], pa.float32()),
+                "rank": pa.array([], pa.int32()),
+            }
+        )
+    ds = ray.data.read_parquet(subdirs)
+    probe_ref = ray.put(probes)
+    qref = ray.put(qn)
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        q = ray.get(qref)
+        pr = ray.get(probe_ref)
+        m = _normalize(_batch_matrix(batch))
+        bk = np.asarray(batch.column("bucket").to_pylist(), np.int64)
+        ids = np.asarray(batch.column(id_column).to_pylist())
+        sims = m @ q.T
+        out_q, out_id, out_s = [], [], []
+        for j in range(q.shape[0]):
+            mask = np.isin(bk, pr[j])
+            if not mask.any():
+                continue
+            s = sims[mask, j]
+            sel_ids = ids[mask]
+            kk = min(k, len(s))
+            top = np.argpartition(-s, kk - 1)[:kk]
+            out_q.extend([j] * kk)
+            out_id.extend(sel_ids[top].tolist())
+            out_s.extend(s[top].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int32()),
+                id_column: pa.array(out_id, type=pa.from_numpy_dtype(ids.dtype) if ids.dtype != object else pa.string()),
+                "cosine": pa.array(np.asarray(out_s, np.float32)),
+            }
+        )
+
+    partials = ds.map_batches(partial_topk, batch_format="pyarrow").to_pandas()
+    out = (
+        partials.sort_values(["query_id", "cosine"], ascending=[True, False])
+        .groupby("query_id", as_index=False)
+        .head(k)
+    )
+    out["rank"] = out.groupby("query_id").cumcount().astype("int32")
+    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+
+
 def embedding_near_dup_pairs(
     ds: "ray.data.Dataset",
     cosine_threshold: float = 0.95,

@@ -149,9 +149,14 @@ def assemble_pairs(
     n_records = flat_records_ds.count()
     if n_records <= broadcast_limit:
         cols = ["doc_id"] + fields
-        tbl = pa.concat_tables(
-            ray.get(flat_records_ds.select_columns(cols).to_arrow_refs())
-        ).combine_chunks()
+        blocks = [
+            t
+            for t in ray.get(flat_records_ds.select_columns(cols).to_arrow_refs())
+            # upstream filters can emit schema-less zero-column empties that
+            # poison concat_tables — drop them (they carry no rows)
+            if t.num_columns > 0
+        ]
+        tbl = pa.concat_tables(blocks).combine_chunks()
         order = pa.compute.sort_indices(tbl.column("doc_id"))
         tbl = tbl.take(order)
         ids = [s.encode() for s in tbl.column("doc_id").to_pylist()]

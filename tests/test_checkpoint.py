@@ -34,7 +34,7 @@ def test_checkpoint_skip_and_resume(tmp_path, corpus):
     assert first
 
     # stage manifests exist with lineage info
-    for stage in ("flatten", "pairs", "edges", "clusters"):
+    for stage in ("flatten", "pairs_raw", "edges", "clusters"):
         man = json.load(open(os.path.join(root, f"stage={stage}", "_manifest.json")))
         assert man["rows"] >= 0 and man["partitions"], stage
 

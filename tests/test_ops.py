@@ -300,3 +300,26 @@ def test_media_decode_stub_raises():
 
     with pytest.raises(NotImplementedError):
         DecodeImage(fake=False)._decode_one("media://x")
+
+
+def test_ivf_build_search_partition_pruned(tmp_path, ray_session):
+    """ivf_build writes a bucket-partitioned layout (one dir per bucket);
+    ivf_search with full probe equals brute force; partial probe recovers
+    self matches while reading fewer partitions."""
+    import os
+
+    from dedupe_ray.ops.embedding import brute_force_topk, ivf_build, ivf_search
+
+    ds, m = _emb_ds(120, 8, seed=3)
+    path = str(tmp_path / "ivf_idx")
+    ivf_build(ds, path, n_centroids=4)
+    parts = [d for d in os.listdir(path) if d.startswith("bucket=")]
+    assert len(parts) >= 2  # real on-disk partitioning
+
+    full = ivf_search(path, m[:3], k=5, nprobe=4).to_pandas()
+    bf = brute_force_topk(ds, m[:3], k=5).to_pandas()
+    assert full[["query_id", "vec_id", "rank"]].values.tolist() == bf[["query_id", "vec_id", "rank"]].values.tolist()
+
+    part = ivf_search(path, m[:3], k=5, nprobe=1).to_pandas()
+    top0 = part[part["rank"] == 0].sort_values("query_id")
+    assert top0["vec_id"].astype(int).tolist() == [0, 1, 2]
