@@ -90,13 +90,14 @@ def kna2_replay(threshold: float = 0.3, reprocess_rounds: int = 0, seed: int = 4
     same golden cluster → match, anything else → distinct.
 
     Measured conformance (2026-08-17): recall vs golden = 1.0 (all 39
-    golden pairs recovered), F1 = 0.976 — the 3 extra pairs all involve
-    record 194 ('deleted', wroclaw), which this engine merges into the
-    golden 'deleted' cluster {116,121,136} on name equality; the
-    reference's trained model drew that one borderline differently.
-    ``reprocess_rounds`` > 0 runs the A25 reviewer loop with the golden as
-    reviewer, but on this corpus it trades the extras for a missed pair
-    (165,266) — the default stays 0."""
+    golden pairs recovered), F1 ≈ 0.95–0.976 depending on the learned
+    predicate set. Every extra pair is a same-postal+same-city borderline
+    ('deleted' placeholder rows; name-prefix pairs like 'arti grafiche
+    antonelli' vs '... antonelli s.r.l.') that the reference's model never
+    surfaced as a candidate; this engine's stronger blocking does, and the
+    classifier scores them as matches. ``reprocess_rounds`` > 0 runs the
+    A25 reviewer loop with the golden as reviewer, but on this corpus it
+    trades extras for missed pairs — the default stays 0."""
     golden = load_golden_clusters()
     gp = golden_pairs(golden)
 

@@ -147,6 +147,46 @@ def _coverage(pred: Predicate, records: dict[str, dict]) -> dict[str, set[str]]:
     return blocks
 
 
+def _typo_audit_pairs(
+    records: list[dict], fields: list[str], n: int, seed: int = 0
+) -> list[tuple[dict, dict]]:
+    """Synthetic duplicate pairs under a GENERIC typo model (char
+    transposition, char drop, field replacement, whitespace/case noise —
+    the standard record-linkage corruption classes). Each side gets 0–2
+    independent corruptions, so the set includes the multi-corruption
+    combinations that a ~100-pair labeled sample almost never contains.
+    Used as a blocking-recall audit: every audit pair SHOULD share a block
+    key under the learned predicates."""
+    rng = np.random.RandomState(seed)
+    out: list[tuple[dict, dict]] = []
+    if not records:
+        return out
+    for _ in range(n):
+        base = records[rng.randint(len(records))]
+        pair = []
+        for _side in range(2):
+            rec = {f: base.get(f) or "" for f in fields}
+            for _k in range(rng.randint(0, 3)):
+                f = fields[rng.randint(len(fields))]
+                v = rec[f]
+                c = rng.randint(4)
+                if c == 0 and len(v) > 3:  # adjacent-char transposition
+                    j = rng.randint(1, len(v) - 2)
+                    rec[f] = v[:j] + v[j + 1] + v[j] + v[j + 2:]
+                elif c == 1:  # field replaced wholesale (wrong entry)
+                    rec[f] = records[rng.randint(len(records))].get(f) or ""
+                elif c == 2 and len(v) > 3:  # char drop
+                    j = rng.randint(len(v))
+                    rec[f] = v[:j] + v[j + 1:]
+                elif " " in v.strip():  # word-boundary shift ('ab cd'→'abc d')
+                    j = v.index(" ")
+                    if j + 2 < len(v):
+                        rec[f] = v[:j] + v[j + 1] + " " + v[j + 2:]
+            pair.append(rec)
+        out.append((pair[0], pair[1]))
+    return out
+
+
 def learn_predicates(
     match_pairs: list[tuple[dict, dict]],
     sample_records: dict[str, dict],
@@ -313,6 +353,47 @@ def learn_predicates(
         chosen.append(best_pid)
         unreached -= reach[best_pid]
         extra_budget -= 1
+
+    # typo-audit backstop: sample synthetic corruption pairs (generic typo
+    # model, including multi-corruption combos the ~100 labels never show)
+    # and extend the cover until ≥99.75% of audit pairs share a block key.
+    # This is what catches the "transposed name AND replaced street" class
+    # at corpus scale — pair-level set cover over labels cannot see it.
+    audit_recs = list(cost_records.values())[:400]
+    audit = _typo_audit_pairs(audit_recs, config.field_names(), n=800)
+    if audit:
+        pool_by_id = {p.pid: p for p in pool}
+
+        def pair_covered(pid: str, a: dict, b: dict) -> bool:
+            pred = pool_by_id.get(pid) or Predicate.from_id(pid)
+            return bool(set(pred.keys(a)) & set(pred.keys(b)))
+
+        uncovered = [
+            (a, b)
+            for a, b in audit
+            if not any(pair_covered(pid, a, b) for pid in chosen)
+        ]
+        audit_budget = 5
+        while len(uncovered) > 0.0025 * len(audit) and audit_budget > 0:
+            # candidates: every costed predicate (simple, compound, canopy)
+            best_pid, best_score, best_fix = None, 0.0, None
+            for pid in cost:
+                if pid in chosen:
+                    continue
+                fixed = [
+                    (a, b) for a, b in uncovered if pair_covered(pid, a, b)
+                ]
+                if not fixed:
+                    continue
+                score = len(fixed) / cost[pid]
+                if score > best_score:
+                    best_pid, best_score, best_fix = pid, score, fixed
+            if best_pid is None:
+                break
+            chosen.append(best_pid)
+            fixed_set = {id(p) for p in best_fix}
+            uncovered = [p for p in uncovered if id(p) not in fixed_set]
+            audit_budget -= 1
 
     chosen_tables = {pid: index_tables[pid] for pid in chosen if pid in index_tables}
     return chosen, chosen_tables

@@ -32,79 +32,119 @@ _LANG_PROFILES: dict[str, set[str]] = {
 }
 
 
+def _tokenize_batch(col) -> tuple[pa.Array, np.ndarray, np.ndarray]:
+    """Lowercased \\w-ish tokens for a whole batch: (flat token array,
+    per-row offsets, per-row token counts) — one Arrow kernel chain, no
+    python row loop."""
+    import pyarrow.compute as pc
+
+    lower = pc.utf8_lower(pc.fill_null(col, ""))
+    toks = pc.split_pattern_regex(lower, r"[^\p{L}\p{N}']+")  # RE2: \w is ASCII-only
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    # split produces empty-string tokens at value edges; they match no
+    # stopword and count handling below treats them explicitly
+    offsets = np.asarray(toks.offsets.to_numpy(zero_copy_only=False), np.int64)
+    counts = offsets[1:] - offsets[:-1]
+    return toks.flatten(), offsets, counts
+
+
+def _per_row_sums(values: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """Sum `values` (aligned with the flat token array) per row."""
+    if len(values) == 0:
+        return np.zeros(len(offsets) - 1, np.int64)
+    starts = np.minimum(offsets[:-1], len(values) - 1)
+    out = np.add.reduceat(values, starts)
+    out[offsets[:-1] == offsets[1:]] = 0
+    return out
+
+
 class LanguageId:
     """Stopword + charset language heuristic; actor-pool stage.
 
-    Output column ``lang_pred`` (ISO-2 or 'und'). The profiles load once per
-    actor in __init__."""
+    Output column ``lang_pred`` (ISO-2 or 'und'). Fully vectorized: one
+    Arrow tokenize per batch, one ``is_in`` + reduceat per language
+    profile; the CJK charset check is a vectorized codepoint-range count."""
 
     def __init__(self) -> None:
-        self.profiles = _LANG_PROFILES
-        self.word = _WORD
+        import pyarrow.compute as pc
 
-    def _classify(self, text: str) -> str:
-        if not text:
-            return "und"
-        if any("一" <= ch <= "鿿" for ch in text[:200]):
-            return "zh"
-        toks = [t.lower() for t in self.word.findall(text)]
-        if not toks:
-            return "und"
-        best, best_hits = "und", 0
-        for lang, stops in self.profiles.items():
-            if not stops:
-                continue
-            hits = sum(1 for t in toks if t in stops)
-            if hits > best_hits:
-                best, best_hits = lang, hits
-        return best if best_hits > 0 else "und"
+        self.profiles = {
+            lang: pa.array(sorted(stops)) for lang, stops in _LANG_PROFILES.items() if stops
+        }
+        self._pc = pc
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        preds = [self._classify(t or "") for t in batch.column("text").to_pylist()]
-        return batch.append_column("lang_pred", pa.array(preds, pa.string()))
+        pc = self._pc
+        col = batch.column("text")
+        n = len(batch)
+        flat, offsets, _ = _tokenize_batch(col)
+        hit_matrix = np.zeros((len(self.profiles), n), np.int64)
+        langs = list(self.profiles)
+        for i, lang in enumerate(langs):
+            hits = pc.is_in(flat, value_set=self.profiles[lang])
+            hv = pc.fill_null(hits, False).to_numpy(zero_copy_only=False).astype(np.int64)
+            hit_matrix[i] = _per_row_sums(hv, offsets)
+        best_idx = hit_matrix.argmax(axis=0)
+        best_hits = hit_matrix.max(axis=0)
+        # CJK: any codepoint in the unified-ideograph block
+        zh_counts = pc.count_substring_regex(
+            pc.fill_null(col, ""), "[一-鿿]"
+        ).to_numpy(zero_copy_only=False)
+        preds = np.where(
+            zh_counts > 0,
+            "zh",
+            np.where(best_hits > 0, np.asarray(langs, object)[best_idx], "und"),
+        )
+        return batch.append_column("lang_pred", pa.array(preds.tolist(), pa.string()))
 
 
 class QualityScore:
     """Heuristic document-quality features (length, punctuation ratio,
     stopword ratio, mean word length) + a combined score in [0,1] —
     the standard pre-training corpus filters (C4/Gopher-style rules,
-    public)."""
+    public). Fully vectorized: Arrow tokenize + regex counts + reduceat."""
 
     def __init__(self) -> None:
-        self.word = _WORD
-        self.stops = _LANG_PROFILES["en"] | _LANG_PROFILES["de"] | _LANG_PROFILES["es"]
+        stops = _LANG_PROFILES["en"] | _LANG_PROFILES["de"] | _LANG_PROFILES["es"]
+        self.stops = pa.array(sorted(stops))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch.column("text").to_pylist()
-        n = len(texts)
-        n_chars = np.zeros(n, np.int32)
-        n_words = np.zeros(n, np.int32)
-        punct_ratio = np.zeros(n, np.float32)
-        stop_ratio = np.zeros(n, np.float32)
-        mean_word_len = np.zeros(n, np.float32)
-        for i, t in enumerate(texts):
-            t = t or ""
-            n_chars[i] = len(t)
-            words = self.word.findall(t)
-            n_words[i] = len(words)
-            if t:
-                punct_ratio[i] = sum(not (c.isalnum() or c.isspace()) for c in t) / len(t)
-            if words:
-                lw = [w.lower() for w in words]
-                stop_ratio[i] = sum(w in self.stops for w in lw) / len(words)
-                mean_word_len[i] = float(np.mean([len(w) for w in words]))
+        import pyarrow.compute as pc
+
+        col = pc.fill_null(batch.column("text"), "")
+        n = len(batch)
+        n_chars = pc.utf8_length(col).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat, offsets, _ = _tokenize_batch(batch.column("text"))
+        tok_lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
+        nonempty = (tok_lens > 0).astype(np.int64)
+        n_words = _per_row_sums(nonempty, offsets).astype(np.int32)
+        len_sums = _per_row_sums(tok_lens, offsets)
+        is_stop = pc.fill_null(pc.is_in(flat, value_set=self.stops), False)
+        stop_hits = _per_row_sums(
+            is_stop.to_numpy(zero_copy_only=False).astype(np.int64), offsets
+        )
+        n_punct = pc.count_substring_regex(col, r"[^\p{L}\p{N}\s]").to_numpy(zero_copy_only=False)
+        denom_c = np.maximum(n_chars, 1)
+        denom_w = np.maximum(n_words, 1)
+        punct_ratio = (n_punct / denom_c).astype(np.float32)
+        punct_ratio[n_chars == 0] = 0.0
+        stop_ratio = (stop_hits / denom_w).astype(np.float32)
+        mean_word_len = (len_sums / denom_w).astype(np.float32)
+        mean_word_len[n_words == 0] = 0.0
+        stop_ratio[n_words == 0] = 0.0
         ok_len = np.clip((n_words - 5) / 45.0, 0, 1)
         ok_punct = 1.0 - np.clip((punct_ratio - 0.2) * 5, 0, 1)
         ok_wordlen = 1.0 - np.clip(np.abs(mean_word_len - 5.0) / 5.0, 0, 1) * 0.5
         score = (ok_len * ok_punct * ok_wordlen).astype(np.float32)
-        for name, col in [
+        for name, c in [
             ("q_n_words", pa.array(n_words, pa.int32())),
             ("q_punct_ratio", pa.array(punct_ratio, pa.float32())),
             ("q_stop_ratio", pa.array(stop_ratio, pa.float32())),
             ("q_mean_word_len", pa.array(mean_word_len, pa.float32())),
             ("quality_score", pa.array(score, pa.float32())),
         ]:
-            batch = batch.append_column(name, col)
+            batch = batch.append_column(name, c)
         return batch
 
 

@@ -65,3 +65,40 @@ def test_roundtrip_ids():
         clone = Predicate.from_id(pred.pid)
         rec = {"A": "alpha beta 12", "B": "x9"}
         assert clone.keys(rec) == pred.keys(rec)
+
+
+def test_typo_audit_backstop_extends_cover():
+    """learn_predicates must not stop at covering the labeled matches: the
+    synthetic typo audit forces predicates that survive transposition /
+    word-shift corruption even when every LABEL is an exact copy."""
+    from dedupe_ray.config import EngineConfig
+    from dedupe_ray.learning import _typo_audit_pairs, learn_predicates
+    from dedupe_ray.predicates import Predicate
+
+    import numpy as np
+
+    rng = np.random.RandomState(5)
+    firsts = ["alpha", "bravo", "carlo", "delta", "elena", "frank", "grace", "henry"]
+    seconds = ["markon", "belzor", "quilar", "zindel", "orvani", "teplik"]
+    records = {
+        str(i): {
+            "Name": f"{firsts[rng.randint(len(firsts))]} {seconds[rng.randint(len(seconds))]}{i}",
+            "City": f"city{rng.randint(6)}",
+        }
+        for i in range(60)
+    }
+    # labels: exact copies only — cover alone would settle for whole|Name
+    match_pairs = [(records[str(i)], dict(records[str(i)])) for i in range(8)]
+    config = EngineConfig.auto_detect(["Name", "City"])
+    chosen, _ = learn_predicates(match_pairs, records, config, cost_records=records)
+
+    # a transposed-name + replaced-city pair must share a key under the set
+    base = records["0"]
+    v = base["Name"]
+    corrupted = {"Name": v[:3] + v[4] + v[3] + v[5:], "City": "cityX"}
+    covered = any(
+        set(Predicate.from_id(pid).keys(base)) & set(Predicate.from_id(pid).keys(corrupted))
+        for pid in chosen
+        if not pid.startswith("canopy")
+    )
+    assert covered, chosen
