@@ -27,6 +27,123 @@ _A = "a\x1f"
 _B = "b\x1f"
 
 
+class Gazetteer:
+    """Streaming search against an indexed canonical set
+    ([lib: dedupe/api.py Gazetteer] — index once, ``search`` repeatedly).
+
+    The canonical table and its block index are built ONCE (driver) and
+    broadcast via ``ray.put``; ``search`` is a single stateless
+    ``map_batches`` pass over the stream — explode the stream record's
+    block keys, look up canonical candidates in the broadcast index, score
+    against the broadcast canonical records, keep the per-record top-n.
+    No shuffle: the canonical side is the bounded one (a gazetteer), the
+    stream may be unbounded."""
+
+    def __init__(self, deduper: RayDeduper, canonical_flat_ds: "ray.data.Dataset"):
+        import pyarrow as _pa
+
+        from dedupe_ray.blocking import make_block_explode_stage
+
+        if not deduper.predicate_ids:
+            raise ValueError("deduper is not trained")
+        self.deduper = deduper
+        cfg = deduper.config
+        tbl = _pa.concat_tables(
+            [
+                t
+                for t in ray.get(
+                    canonical_flat_ds.select_columns(["doc_id"] + cfg.field_names()).to_arrow_refs()
+                )
+                if t.num_columns > 0
+            ]
+        ).combine_chunks()
+        explode = make_block_explode_stage(
+            deduper.predicate_ids, index_tables=deduper.index_tables
+        )
+        keyed = explode(tbl)
+        index: dict[str, list[int]] = {}
+        pos = {d: i for i, d in enumerate(tbl.column("doc_id").to_pylist())}
+        for k, d in zip(keyed.column("block_key").to_pylist(), keyed.column("doc_id").to_pylist()):
+            index.setdefault(k, []).append(pos[d])
+        self._state_ref = ray.put((tbl, index))
+
+    def search(
+        self,
+        stream_ds: "ray.data.Dataset",
+        threshold: float | None = None,
+        n_matches: int = 1,
+    ) -> "ray.data.Dataset":
+        """→ (doc_id, match_id, score) — top-n canonical matches ≥ threshold
+        per stream record."""
+        from dedupe_ray.blocking import make_block_explode_stage
+        from dedupe_ray.features import pair_features
+        from dedupe_ray.learning import LogisticClassifier
+
+        deduper = self.deduper
+        cfg = deduper.config
+        if threshold is None:
+            threshold = cfg.similarity_threshold
+        state_ref = self._state_ref
+        model = deduper.classifier.to_dict()
+        pred_ids = deduper.predicate_ids
+        index_tables = deduper.index_tables
+        fields = cfg.field_names()
+        idf = deduper.idf_tables or None
+
+        def _search(batch: pa.Table) -> pa.Table:
+            tbl, index = ray.get(state_ref)
+            explode = make_block_explode_stage(pred_ids, index_tables=index_tables)
+            clf = LogisticClassifier.from_dict(model)
+            keyed = explode(batch)
+            cand: dict[str, set[int]] = {}
+            for k, d in zip(
+                keyed.column("block_key").to_pylist(), keyed.column("doc_id").to_pylist()
+            ):
+                for i in index.get(k, ()):
+                    cand.setdefault(d, set()).add(i)
+            out_id, out_match, out_score = [], [], []
+            rows = {r["doc_id"]: r for r in batch.to_pylist()}
+            can_ids = tbl.column("doc_id").to_pylist()
+            can_cols = {f: tbl.column(f).to_pylist() for f in fields}
+            for d, idxs in cand.items():
+                rec = rows[d]
+                pairs = [
+                    (
+                        {f: rec.get(f) or "" for f in fields},
+                        {f: can_cols[f][i] or "" for f in fields},
+                    )
+                    for i in sorted(idxs)
+                ]
+                X = pair_features(_pairs_table_local(pairs, fields), cfg, idf)
+                p = clf.predict_proba(X)
+                order = np.argsort(-p)
+                kept = 0
+                for j in order:
+                    if p[j] < threshold or kept >= n_matches:
+                        break
+                    out_id.append(d)
+                    out_match.append(can_ids[sorted(idxs)[j]])
+                    out_score.append(float(p[j]))
+                    kept += 1
+            return pa.table(
+                {
+                    "doc_id": pa.array(out_id, pa.string()),
+                    "match_id": pa.array(out_match, pa.string()),
+                    "score": pa.array(np.asarray(out_score, np.float32)),
+                }
+            )
+
+        return stream_ds.map_batches(_search, batch_format="pyarrow")
+
+
+def _pairs_table_local(pairs: list[tuple[dict, dict]], fields: list[str]) -> pa.Table:
+    data: dict[str, list] = {}
+    for side, k in (("a", 0), ("b", 1)):
+        for f in fields:
+            data[f"{side}_{f}"] = [p[k].get(f, "") for p in pairs]
+    return pa.table(data)
+
+
 def _prefix(ds: "ray.data.Dataset", prefix: str) -> "ray.data.Dataset":
     def _fn(t: pa.Table) -> pa.Table:
         i = t.schema.get_field_index("doc_id")

@@ -497,6 +497,32 @@ def reprocess(
     return deduper.partition(flat_ds, threshold)
 
 
+def chunk_partition(
+    deduper: RayDeduper,
+    flat_ds: "ray.data.Dataset",
+    threshold: float | None = None,
+    chunk_size: int = 1000,
+) -> "ray.data.Dataset":
+    """A14 quirk replay (backend/dedupe_script.py:345-360): the reference
+    clusters each 1,000-row chunk of the id-ordered record dict SEPARATELY,
+    silently missing every cross-chunk duplicate. The production path
+    (``partition``) deliberately does NOT reproduce this; this shim exists
+    only for byte-level golden-output comparison against the reference.
+    Driver-side chunking is fine — the quirk is an app-scale artifact."""
+    import pandas as pd
+
+    rows = sorted(flat_ds.take_all(), key=lambda r: r["doc_id"])
+    parts = []
+    for s in range(0, len(rows), chunk_size):
+        chunk = ray.data.from_pandas(pd.DataFrame(rows[s: s + chunk_size]))
+        clusters = deduper.partition(chunk.materialize(), threshold)
+        parts.append(clusters)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out
+
+
 def summarize_clusters(clusters_ds: "ray.data.Dataset") -> "ray.data.Dataset":
     """Cluster stats (A15) sorted by confidence desc (A16):
     (cluster_id, group_size, confidence_score)."""

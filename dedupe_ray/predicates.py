@@ -183,6 +183,23 @@ def phonetic_first_token(field: str) -> tuple[str, ...]:
     return (c,) if c else ()
 
 
+def deletion_neighborhood(field: str) -> tuple[str, ...]:
+    """L6 stand-in: FastSS/SymSpell-style single-deletion neighborhood
+    (public: Bocek et al. 2007 "Fast Similarity Search in Large
+    Dictionaries"). Two values within edit distance 1 — and most adjacent
+    transpositions — share a deletion key, giving BK-tree-class recall as a
+    STATELESS predicate (no index actor needed). Whitespace is collapsed so
+    word-boundary shifts also collide; values longer than 24 chars emit only
+    the collapsed whole value (long strings are better served by n-gram/
+    token predicates, and key fan-out must stay bounded)."""
+    s = "".join(field.split())
+    if not s:
+        return ()
+    if len(s) > 24:
+        return (s,)
+    return tuple({s} | {s[:i] + s[i + 1:] for i in range(len(s))})
+
+
 # Registry: predicate name → fn. Names are stable identifiers used in learned
 # predicate lists, checkpoints, and block keys.
 SIMPLE_PREDICATES: dict[str, PredicateFn] = {
@@ -209,6 +226,7 @@ SIMPLE_PREDICATES: dict[str, PredicateFn] = {
     "suffix": suffix_array,
     "phonetic": phonetic_token,
     "phonetic1": phonetic_first_token,
+    "del1": deletion_neighborhood,
 }
 
 

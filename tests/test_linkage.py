@@ -89,3 +89,56 @@ def test_pairs_mode_cross_side_only(linked):
     b_ids = set(flat_b.to_pandas()["doc_id"])
     assert set(out["id_a"]) <= a_ids
     assert set(out["id_b"]) <= b_ids
+
+
+def test_gazetteer_streaming_search(linked):
+    """L20 Gazetteer: index the canonical (B) side once, stream A through
+    search — each true A record must retrieve its canonical match."""
+    from dedupe_ray.linkage import Gazetteer
+
+    flat_a, flat_b, deduper, expected, _ = linked
+    gaz = Gazetteer(deduper, flat_b)
+    out = gaz.search(flat_a, threshold=0.3, n_matches=1).to_pandas()
+    got = set(zip(out["doc_id"], out["match_id"]))
+    tp = len(got & expected)
+    assert tp / max(len(expected), 1) >= 0.99  # recall
+    assert tp / max(len(got), 1) >= 0.99       # precision
+
+
+def test_chunk_partition_quirk(ray_session):
+    """A14 shim: duplicates split across 1,000-row chunks are MISSED by
+    design, while in-chunk duplicates still cluster."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dedupe_ray.eval import truth_assignment
+    from dedupe_ray.fixtures import KNA_FIELDS, generate_kna_corpus
+    from dedupe_ray.pipeline import RayDeduper, active_label_loop, chunk_partition, flatten_documents
+    from dedupe_ray.config import EngineConfig
+
+    docs, truth = generate_kna_corpus(1500, seed=3)
+    ta = truth_assignment(truth)
+    flat, fields = flatten_documents(rd.from_arrow(docs))
+    flat = flat.materialize()
+    d = RayDeduper(EngineConfig.auto_detect(fields))
+    d.prepare_training(flat)
+    active_label_loop(d, lambda a, b: ta[a["doc_id"]] == ta[b["doc_id"]])
+    d.train()
+    full = d.partition(flat, 0.3).to_pandas()
+    chunked = chunk_partition(d, flat, 0.3, chunk_size=1000).to_pandas()
+
+    def pairs(df):
+        from itertools import combinations
+
+        out = set()
+        for _, g in df.groupby("cluster_id"):
+            for a, b in combinations(sorted(g["doc_id"]), 2):
+                out.add((a, b))
+        return out
+
+    pf, pc_ = pairs(full), pairs(chunked)
+    cross = {(a, b) for a, b in pf if (a < "d001000") != (b < "d001000")}
+    assert cross, "fixture must have cross-chunk duplicates for this test"
+    assert not (pc_ & cross)         # quirk: every cross-chunk pair missed
+    assert pc_ <= pf                 # and nothing new is invented
+    assert len(pc_) > 0              # in-chunk duplicates still found

@@ -102,3 +102,23 @@ def test_typo_audit_backstop_extends_cover():
         if not pid.startswith("canopy")
     )
     assert covered, chosen
+
+
+def test_deletion_neighborhood_predicate():
+    """L6 stand-in (FastSS deletion neighborhood): values within edit
+    distance 1 — and adjacent transpositions — share a key."""
+    from dedupe_ray.predicates import deletion_neighborhood as dn
+
+    def share(a, b):
+        return bool(set(dn(a)) & set(dn(b)))
+
+    assert share("12345", "12345")        # exact
+    assert share("12345", "1235")         # deletion
+    assert share("12345", "12a45")        # substitution
+    assert share("12345", "123456")       # insertion at end... same prefix key
+    assert share("kruger", "krguer")      # adjacent transposition
+    assert share("ab cd", "abc d")        # word-boundary shift (whitespace collapsed)
+    assert not share("12345", "99999")
+    # long values degrade to whole-value key (bounded fan-out)
+    long = "x" * 30
+    assert dn(long) == ("x" * 30,)
