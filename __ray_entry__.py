@@ -481,6 +481,16 @@ def _q_quality_langid(sf_dir: str):
     return out.select_columns(["doc_id", "lang_pred", "q_n_words", "quality_score"])
 
 
+def _q_sessionize(sf_dir: str):
+    """Gaps-and-islands sessionization over events (30-min gap) — the
+    streaming-window operator, oracle-checked against SQL window functions."""
+    from dedupe_ray.ops.tabular import sessionize
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    out = sessionize(ev, gap_seconds=1800)
+    return out.select_columns(["event_id", "user_id", "session_id"])
+
+
 def _q_kna2_replay(sf_dir: str):
     """A30 golden replay: KNA2.xlsx (reference fixture) through source
     reader → preprocess → train → partition. Result is the cluster
@@ -548,6 +558,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": _q_simhash_pairs,
         "quality_langid": _q_quality_langid,
         "media_features": _q_media_features,
+        "sessionize_events": _q_sessionize,
         "kna2_replay": _q_kna2_replay,
         "export_projection": _q_export_projection,
         "ngram_jaccard_verify": _q_ngram_jaccard,
@@ -658,6 +669,22 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_preview": """
             SELECT * FROM documents ORDER BY doc_id LIMIT 6
+        """,
+        "sessionize_events": """
+            WITH o AS (
+                SELECT event_id, user_id, ts,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR ts - lag(ts) OVER w > INTERVAL 1800 SECOND
+                            THEN 1 ELSE 0 END AS brk
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            )
+            SELECT event_id, user_id,
+                   CAST(user_id AS VARCHAR) || '#' ||
+                   CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) - 1 AS VARCHAR)
+                   AS session_id
+            FROM o
         """,
         "export_projection": """
             SELECT CAST(c_nationkey + 1 AS VARCHAR) AS cluster_id,

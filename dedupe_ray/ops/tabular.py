@@ -181,3 +181,63 @@ def missing_rate(ds: "ray.data.Dataset", columns: list[str]) -> dict[str, float]
     parts = ds.map_batches(_counts, batch_format="pyarrow").to_pandas()
     n = parts["n"].sum()
     return {c: float(parts[f"miss_{c}"].sum()) / max(n, 1) for c in columns}
+
+
+def sessionize(
+    ds: "ray.data.Dataset",
+    user_column: str = "user_id",
+    ts_column: str = "ts",
+    gap_seconds: int = 1800,
+) -> "ray.data.Dataset":
+    """Session assignment (gaps-and-islands): events of a user belong to the
+    same session while consecutive gaps stay ≤ ``gap_seconds``. Adds
+    ``session_id`` = "<user>#<n>" (0-based per user, time order).
+
+    Shape: ONE bucketed shuffle — users are hashed into N_BUCKETS groups
+    (never one python call per user; a bucket holds many users and is
+    processed as a single vectorized sort + diff), so the op scales to any
+    user cardinality. Events of one user must fit a bucket group — the
+    same assumption every per-user window op makes."""
+    import numpy as np
+    import zlib
+
+    from dedupe_ray.blocking import N_BUCKETS
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        h = np.fromiter(
+            (zlib.crc32(str(v).encode()) % N_BUCKETS for v in b.column(user_column).to_pylist()),
+            np.int32,
+            len(b),
+        )
+        return b.append_column("ubucket", pa.array(h))
+
+    def assign(group: pa.Table) -> pa.Table:
+        if len(group) == 0:
+            return group.drop_columns(["ubucket"])
+        order = pc.sort_indices(
+            group, sort_keys=[(user_column, "ascending"), (ts_column, "ascending")]
+        )
+        g = group.take(order)
+        users = np.asarray(g.column(user_column).to_pylist(), object)
+        ts = g.column(ts_column).to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        new_user = np.empty(len(g), bool)
+        new_user[0] = True
+        new_user[1:] = users[1:] != users[:-1]
+        gap_break = np.empty(len(g), bool)
+        gap_break[0] = True
+        gap_break[1:] = (ts[1:] - ts[:-1]) > gap_seconds * 1_000_000
+        new_session = new_user | gap_break
+        # per-user session counter: cumsum of breaks minus the cumsum value
+        # at the user's first row
+        brk = new_session.astype(np.int64).cumsum() - 1
+        first_of_user = np.where(new_user)[0]
+        base = np.repeat(brk[first_of_user], np.diff(np.append(first_of_user, len(g))))
+        sess_n = brk - base
+        sid = pa.array([f"{u}#{k}" for u, k in zip(users, sess_n)], pa.string())
+        return g.append_column("session_id", sid).drop_columns(["ubucket"])
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("ubucket")
+        .map_groups(assign, batch_format="pyarrow")
+    )

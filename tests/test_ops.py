@@ -323,3 +323,23 @@ def test_ivf_build_search_partition_pruned(tmp_path, ray_session):
     part = ivf_search(path, m[:3], k=5, nprobe=1).to_pandas()
     top0 = part[part["rank"] == 0].sort_values("query_id")
     assert top0["vec_id"].astype(int).tolist() == [0, 1, 2]
+
+
+def test_sessionize_gaps_and_islands(ray_session):
+    from datetime import datetime
+
+    from dedupe_ray.ops.tabular import sessionize
+
+    ts = [
+        datetime(2025, 1, 1, 10, 0), datetime(2025, 1, 1, 10, 10),   # u1 s0
+        datetime(2025, 1, 1, 11, 0),                                  # u1 s1 (50min gap)
+        datetime(2025, 1, 1, 10, 5),                                  # u2 s0
+    ]
+    ds = rd.from_arrow(
+        pa.table({"event_id": [1, 2, 3, 4], "user_id": ["u1", "u1", "u1", "u2"],
+                  "ts": pa.array(ts, pa.timestamp("us"))})
+    )
+    out = sessionize(ds, gap_seconds=1800).to_pandas().set_index("event_id")
+    assert out.loc[1, "session_id"] == out.loc[2, "session_id"] == "u1#0"
+    assert out.loc[3, "session_id"] == "u1#1"
+    assert out.loc[4, "session_id"] == "u2#0"
