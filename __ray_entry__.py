@@ -243,22 +243,43 @@ def _q_customer_order_counts(sf_dir: str):
 
 
 def _q_anti_join(sf_dir: str):
-    """Customers with no large (>400k) order — broadcast anti-join."""
+    """Customers with no large (>400k) order — size-guarded anti-join:
+    broadcast set below the limit, shuffle left-join + null-filter above it
+    (a broadcast of an unbounded key set would be the driver bottleneck)."""
     import ray
 
+    BROADCAST_LIMIT = 5_000_000
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).filter(
         expr="o_totalprice > 400000"
     )
-    have = set(orders.unique("o_custkey"))
-    ref = ray.put(have)
     cust = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal"])
+    n_keys = orders.count()
+    if n_keys <= BROADCAST_LIMIT:
+        have = set(orders.unique("o_custkey"))
+        ref = ray.put(have)
 
-    def anti(b: pa.Table) -> pa.Table:
-        ids = ray.get(ref)
-        mask = pa.array([v not in ids for v in b.column("c_custkey").to_pylist()])
-        return b.filter(mask)
+        def anti(b: pa.Table) -> pa.Table:
+            ids = ray.get(ref)
+            mask = pa.array([v not in ids for v in b.column("c_custkey").to_pylist()])
+            return b.filter(mask)
 
-    return cust.map_batches(anti, batch_format="pyarrow")
+        return cust.map_batches(anti, batch_format="pyarrow")
+    # scale path: distinct keys + left join, keep unmatched rows
+    keys = orders.groupby("o_custkey").count().map_batches(
+        lambda t: pa.table({"o_custkey": t.column("o_custkey"), "__hit": pa.array([1] * len(t), pa.int8())}),
+        batch_format="pyarrow",
+    )
+    joined = cust.join(
+        keys, join_type="left_outer", num_partitions=max(32, n_keys // 1_000_000),
+        on=("c_custkey",), right_on=("o_custkey",),
+    )
+
+    def keep_unmatched(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.is_null(t.column("__hit"))).drop_columns(["__hit"])
+
+    return joined.map_batches(keep_unmatched, batch_format="pyarrow")
 
 
 def _q_union_mapped(sf_dir: str):
@@ -278,9 +299,20 @@ def _q_semi_join_heavy_users(sf_dir: str):
     import ray
     from ray.data.aggregate import Count
 
+    BROADCAST_LIMIT = 5_000_000
     ev = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "value"])
     counts = ev.groupby("user_id").aggregate(Count(alias_name="n"))
-    heavy = {r["user_id"] for r in counts.filter(expr="n >= 10").take_all()}
+    heavy_ds = counts.filter(expr="n >= 10")
+    n_keys = heavy_ds.count()
+    if n_keys > BROADCAST_LIMIT:
+        # scale path: semi-join via inner hash join on the key table
+        keys = heavy_ds.map_batches(
+            lambda t: pa.table({"user_id": t.column("user_id")}), batch_format="pyarrow"
+        )
+        return ev.join(
+            keys, join_type="inner", num_partitions=max(32, n_keys // 1_000_000), on=("user_id",)
+        )
+    heavy = {r["user_id"] for r in heavy_ds.take_all()}
     ref = ray.put(heavy)
 
     def semi(b: pa.Table) -> pa.Table:
