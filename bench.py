@@ -183,8 +183,18 @@ def run_bench() -> dict:
     queries["minhash_pairs"] = round(time.time() - t0, 3)
 
     t0 = time.time()
+    from dedupe_ray.ops.dedup import simhash_pairs
+
+    simhash_pairs(docs_flat, max_hamming=3).count()
+    queries["simhash_pairs"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
     import __ray_entry__ as entrymod
 
+    entrymod.queries()["sessionize_events"](SF_DIR).to_pandas()
+    queries["sessionize"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
     entrymod.queries()["lineitem_q1"](SF_DIR).to_pandas()
     queries["lineitem_q1"] = round(time.time() - t0, 3)
 
