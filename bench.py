@@ -71,7 +71,7 @@ def _ensure_trained(n_docs: int, docs_path: str, truth_path: str) -> float:
         return 0.0
     os.makedirs(_SETTINGS_DIR, exist_ok=True)
     ta = truth_assignment(pq.read_table(truth_path))
-    threshold = float(os.environ.get("GRAFT_BENCH_THRESHOLD", "0.3"))
+    threshold = float(os.environ.get("GRAFT_BENCH_THRESHOLD", "0.25"))
     t0 = time.time()
     flat = None
     best: tuple[float, RayDeduper] | None = None
@@ -134,7 +134,7 @@ def run_bench() -> dict:
 
     # ---- headline: production partition job ------------------------------
     deduper = RayDeduper.load_settings(_settings_path(n_docs))
-    threshold = float(os.environ.get('GRAFT_BENCH_THRESHOLD', '0.3'))
+    threshold = float(os.environ.get('GRAFT_BENCH_THRESHOLD', '0.25'))
     t0 = time.time()
     flat, _ = flatten_documents(
         rd.read_parquet(docs_path, override_num_blocks=NUM_CPUS * 2), deduper.config.field_names()

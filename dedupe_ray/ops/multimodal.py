@@ -102,6 +102,58 @@ class DecodeImage:
         return out.append_column("features", feat_arr)
 
 
+class ResizeImage:
+    """Actor-pool stage: (width, height[, payload]) → resized dimensions +
+    a resize plan. The arithmetic (aspect-preserving fit into
+    ``max_side`` × ``max_side``) is real and vectorized; the pixel work is
+    the stubbed codec integration point (same contract as DecodeImage)."""
+
+    def __init__(self, max_side: int = 256, fake: bool = True):
+        self.max_side = max_side
+        if not fake:
+            raise NotImplementedError(
+                "pixel resampling requires a codec library — not available "
+                "in this environment; the stage computes target geometry only"
+            )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        w = batch.column("width").to_numpy(zero_copy_only=False).astype(np.float64)
+        h = batch.column("height").to_numpy(zero_copy_only=False).astype(np.float64)
+        scale = np.minimum(1.0, self.max_side / np.maximum(np.maximum(w, h), 1.0))
+        out = batch.append_column(
+            "resized_w", pa.array(np.maximum(1, np.round(w * scale)).astype(np.int32))
+        )
+        return out.append_column(
+            "resized_h", pa.array(np.maximum(1, np.round(h * scale)).astype(np.int32))
+        )
+
+
+class FrameSample:
+    """Actor-pool stage for video spans: pick ``n_frames`` deterministic
+    sample timestamps per clip (uniform over a fake duration seeded by the
+    ref — stable across runs). Emits one row per sampled frame
+    (doc/media fan-out #2); the actual frame grab is the codec stub."""
+
+    def __init__(self, n_frames: int = 4):
+        self.n_frames = n_frames
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        refs = batch.column("media_ref").to_pylist()
+        out_cols = {c: [] for c in batch.column_names}
+        ts = []
+        for i, r in enumerate(refs):
+            rng = np.random.RandomState(zlib.crc32((r or "").encode()) ^ 0x5EED)
+            duration = float(rng.randint(2, 600))
+            stamps = np.linspace(0.0, duration, self.n_frames + 2)[1:-1]
+            for t in stamps:
+                for c in batch.column_names:
+                    out_cols[c].append(batch.column(c)[i].as_py())
+                ts.append(round(float(t), 3))
+        data = {c: pa.array(v) for c, v in out_cols.items()}
+        data["frame_ts"] = pa.array(ts, pa.float64())
+        return pa.table(data)
+
+
 def media_feature_pipeline(
     docs_ds: "ray.data.Dataset",
     fake_decode: bool = True,

@@ -343,3 +343,27 @@ def test_sessionize_gaps_and_islands(ray_session):
     assert out.loc[1, "session_id"] == out.loc[2, "session_id"] == "u1#0"
     assert out.loc[3, "session_id"] == "u1#1"
     assert out.loc[4, "session_id"] == "u2#0"
+
+
+def test_media_resize_and_frame_sample(small_corpus, ray_session):
+    from dedupe_ray.ops.multimodal import FrameSample, ResizeImage, media_feature_pipeline
+
+    docs, _ = small_corpus
+    ds = rd.from_arrow(docs.slice(0, 200))
+    feats = media_feature_pipeline(ds, fake_decode=True)
+    resized = feats.map_batches(
+        ResizeImage, fn_constructor_args=(256, True), batch_format="pyarrow", concurrency=(1, 2)
+    ).to_pandas()
+    assert (resized["resized_w"] <= 256).all() and (resized["resized_h"] <= 256).all()
+    # aspect preserved within rounding
+    ratio = resized["width"] / resized["height"]
+    ratio2 = resized["resized_w"] / resized["resized_h"]
+    assert (abs(ratio - ratio2) / ratio < 0.05).all()
+
+    frames = feats.map_batches(
+        FrameSample, fn_constructor_args=(3,), batch_format="pyarrow", concurrency=(1, 2)
+    ).to_pandas()
+    assert len(frames) == 3 * feats.count()
+    # deterministic timestamps per ref
+    per_ref = frames.groupby("media_ref")["frame_ts"].apply(lambda s: tuple(sorted(set(s))))
+    assert per_ref.map(len).eq(3).all()
