@@ -107,3 +107,17 @@ def test_detect_fields():
         {"field": "Name", "type": "String", "has_missing": True},
         {"field": "City", "type": "String", "has_missing": True},
     ]
+
+
+def test_read_csv_stream_scale_path(tmp_path, ray_session):
+    """The streaming-parallel CSV reader (scale path): ray.data.read_csv +
+    source tag; no positional ids by design."""
+    from dedupe_ray.sources import read_csv_stream
+
+    p = tmp_path / "s.csv"
+    p.write_text("id,Name\n1,x\n2,y\n3,z\n")
+    ds = read_csv_stream(str(p), source_tag="s.csv")
+    df = ds.to_pandas()
+    assert len(df) == 3
+    assert (df["source_file"] == "s.csv").all()
+    assert "doc_id" not in df.columns  # caller supplies/derives real ids
