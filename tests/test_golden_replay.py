@@ -121,3 +121,39 @@ def test_read_csv_stream_scale_path(tmp_path, ray_session):
     assert len(df) == 3
     assert (df["source_file"] == "s.csv").all()
     assert "doc_id" not in df.columns  # caller supplies/derives real ids
+
+
+@needs_reference
+def test_kna1_full_transfer_partition(ray_session):
+    """StaticDedupe-style transfer on the second reference fixture: model
+    trained on KNA2 (410 rows) partitions KNA1_full (5,185 rows) — the
+    train-once / partition-many production mode on real data."""
+    from dedupe_ray.config import EngineConfig
+    from dedupe_ray.golden import KNA_FIELDS, kna2_flat_dataset, load_golden_clusters
+    from dedupe_ray.pipeline import RayDeduper, active_label_loop, summarize_clusters
+    from dedupe_ray.preprocess import make_preprocess_stage
+    from dedupe_ray.sources import read_input_files
+
+    golden = load_golden_clusters()
+
+    def is_match(a, b):
+        ca, cb = golden.get(str(a["doc_id"])), golden.get(str(b["doc_id"]))
+        return ca is not None and ca == cb
+
+    flat2 = kna2_flat_dataset().materialize()
+    ded = RayDeduper(EngineConfig.auto_detect(KNA_FIELDS))
+    ded.prepare_training(flat2)
+    active_label_loop(ded, is_match)
+    ded.train()
+
+    big = read_input_files(["/root/reference/KNA1_full_dedupe.XLSX.xlsx"]).map_batches(
+        make_preprocess_stage(KNA_FIELDS), batch_format="pyarrow"
+    ).materialize()
+    assert big.count() == 5185
+    clusters = ded.partition(big, 0.3)
+    summary = summarize_clusters(clusters).to_pandas()
+    # the fixture family is known to contain duplicates; clusters must be
+    # non-trivial, bounded, and confidence-scored
+    assert 100 <= len(summary) <= 2000
+    assert summary["confidence_score"].between(0, 1).all()
+    assert (summary["group_size"] >= 2).all()
