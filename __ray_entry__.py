@@ -246,40 +246,79 @@ def _q_anti_join(sf_dir: str):
     """Customers with no large (>400k) order — size-guarded anti-join:
     broadcast set below the limit, shuffle left-join + null-filter above it
     (a broadcast of an unbounded key set would be the driver bottleneck)."""
-    import ray
+    import os
 
-    BROADCAST_LIMIT = 5_000_000
+    import pyarrow.compute as pc
+    import ray
+    import ray.data
+
+    BROADCAST_LIMIT = int(os.environ.get("DEDUPE_RAY_ANTI_JOIN_BROADCAST_LIMIT", 5_000_000))
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).filter(
         expr="o_totalprice > 400000"
     )
     cust = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal"])
-    n_keys = orders.count()
+    # Decide on the DISTINCT key count (what actually gets broadcast), not
+    # the filtered row count; the key set stays a Dataset until the
+    # broadcast path is chosen.
+    keys_ds = orders.groupby("o_custkey").count().select_columns(["o_custkey"])
+    n_keys = keys_ds.count()
     if n_keys <= BROADCAST_LIMIT:
-        have = set(orders.unique("o_custkey"))
-        ref = ray.put(have)
+        distinct_keys = np.sort(keys_ds.to_pandas()["o_custkey"].to_numpy())
+        ref = ray.put(distinct_keys)
 
         def anti(b: pa.Table) -> pa.Table:
             ids = ray.get(ref)
-            mask = pa.array([v not in ids for v in b.column("c_custkey").to_pylist()])
+            mask = pc.invert(pc.is_in(b.column("c_custkey"), value_set=pa.array(ids)))
             return b.filter(mask)
 
         return cust.map_batches(anti, batch_format="pyarrow")
-    # scale path: distinct keys + left join, keep unmatched rows
-    keys = orders.groupby("o_custkey").count().map_batches(
-        lambda t: pa.table({"o_custkey": t.column("o_custkey"), "__hit": pa.array([1] * len(t), pa.int8())}),
+    # Scale path: one bucketed shuffle (crc32(key) % NB on both sides),
+    # vectorized is_in anti-filter per bucket. Ray's hash join is avoided —
+    # it stalls on empty hash partitions (NOTES_r2 landmine) and a bucketed
+    # groupby expresses the same exchange with a bounded group count.
+    import zlib
+
+    NB = 256
+
+    def _bucket_col(keys: pa.ChunkedArray) -> pa.Array:
+        vals = keys.to_numpy(zero_copy_only=False)
+        return pa.array(
+            np.fromiter(
+                (zlib.crc32(str(v).encode()) % NB for v in vals),
+                np.int32, count=len(vals),
+            )
+        )
+
+    cust_tagged = cust.map_batches(
+        lambda t: t.append_column("__bkt", _bucket_col(t.column("c_custkey"))),
         batch_format="pyarrow",
     )
-    joined = cust.join(
-        keys, join_type="left_outer", num_partitions=max(32, n_keys // 1_000_000),
-        on=("c_custkey",), right_on=("o_custkey",),
+    keys_tagged = keys_ds.map_batches(
+        lambda t: pa.table({
+            "c_custkey": t.column("o_custkey"),
+            "c_name": pa.nulls(len(t), pa.string()),
+            "c_acctbal": pa.nulls(len(t), pa.float64()),
+            "__bkt": _bucket_col(t.column("o_custkey")),
+            "__is_key": pa.array([True] * len(t)),
+        }),
+        batch_format="pyarrow",
+    )
+    cust_tagged = cust_tagged.map_batches(
+        lambda t: t.append_column("__is_key", pa.array([False] * len(t))),
+        batch_format="pyarrow",
     )
 
-    def keep_unmatched(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
+    def anti_bucket(t: pa.Table) -> pa.Table:
+        hit = t.filter(t.column("__is_key")).column("c_custkey")
+        rows = t.filter(pc.invert(t.column("__is_key")))
+        keep = pc.invert(pc.is_in(rows.column("c_custkey"), value_set=hit.combine_chunks()))
+        return rows.filter(keep).drop_columns(["__bkt", "__is_key"])
 
-        return t.filter(pc.is_null(t.column("__hit"))).drop_columns(["__hit"])
-
-    return joined.map_batches(keep_unmatched, batch_format="pyarrow")
+    return (
+        cust_tagged.union(keys_tagged)
+        .groupby("__bkt")
+        .map_groups(anti_bucket, batch_format="pyarrow")
+    )
 
 
 def _q_union_mapped(sf_dir: str):
@@ -528,8 +567,13 @@ def _q_kna2_replay(sf_dir: str):
     reader → preprocess → train → partition. Result is the cluster
     membership; conformance vs the golden 26-cluster response is asserted
     in tests/test_golden_replay.py (recall 1.0, F1 ≥ 0.97)."""
-    from dedupe_ray.golden import kna2_replay
+    from dedupe_ray.golden import golden_fixtures_available, kna2_replay
 
+    if not golden_fixtures_available():
+        raise FileNotFoundError(
+            "KNA2 golden fixtures not found (set DEDUPE_RAY_KNA2_XLSX / "
+            "DEDUPE_RAY_GOLDEN_RESPONSE); skipping the A30 conformance replay"
+        )
     clusters, _f1 = kna2_replay()
     return clusters
 

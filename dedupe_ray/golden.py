@@ -22,8 +22,15 @@ from dedupe_ray.pipeline import RayDeduper, active_label_loop
 from dedupe_ray.preprocess import make_preprocess_stage
 from dedupe_ray.sources import read_input_files
 
-KNA2_PATH = "/root/reference/KNA2.xlsx"
-_GOLDEN_PATH = "/root/reference/backend/test_response.py"
+KNA2_PATH = os.environ.get("DEDUPE_RAY_KNA2_XLSX", "/root/reference/KNA2.xlsx")
+_GOLDEN_PATH = os.environ.get(
+    "DEDUPE_RAY_GOLDEN_RESPONSE", "/root/reference/backend/test_response.py"
+)
+
+
+def golden_fixtures_available() -> bool:
+    """True when the KNA2 fixture + captured golden response are on disk."""
+    return os.path.exists(KNA2_PATH) and os.path.exists(_GOLDEN_PATH)
 
 KNA_FIELDS = ["Customer", "Name 1", "Name 2", "Street", "Postal Code", "City", "Region", "Country"]
 

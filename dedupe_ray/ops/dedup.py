@@ -540,12 +540,16 @@ def ngram_jaccard_pairs(
     def verify(batch: pa.Table) -> pa.Table:
         def grams(t: str) -> set:
             toks = word_re.findall((t or "").lower())
+            if not toks:
+                # Empty/non-tokenizable text has no n-grams; SQL's 0/0 = NULL
+                # drops such pairs, so Jaccard must be 0 here, not 1.
+                return set()
             return {tuple(toks[i: i + n]) for i in range(max(1, len(toks) - n + 1))}
 
         jac = []
         for a, b in zip(batch.column("a_text").to_pylist(), batch.column("b_text").to_pylist()):
             ga, gb = grams(a), grams(b)
-            jac.append(len(ga & gb) / max(len(ga | gb), 1))
+            jac.append(len(ga & gb) / len(ga | gb) if (ga and gb) else 0.0)
         out = batch.append_column("ngram_jaccard", pa.array(np.asarray(jac, np.float64)))
         out = out.filter(pc.greater_equal(out.column("ngram_jaccard"), threshold))
         return out.select([c for c in out.column_names if c not in ("a_text", "b_text")])

@@ -87,9 +87,11 @@ class LanguageId:
             hit_matrix[i] = _per_row_sums(hv, offsets)
         best_idx = hit_matrix.argmax(axis=0)
         best_hits = hit_matrix.max(axis=0)
-        # CJK: any codepoint in the unified-ideograph block
+        # CJK: any codepoint in the unified-ideograph block, checked over the
+        # first 200 chars only (a long Latin text quoting one CJK character
+        # must not flip to 'zh' — preserves the round-1 prefix semantics).
         zh_counts = pc.count_substring_regex(
-            pc.fill_null(col, ""), "[一-鿿]"
+            pc.utf8_slice_codeunits(pc.fill_null(col, ""), 0, 200), "[一-鿿]"
         ).to_numpy(zero_copy_only=False)
         preds = np.where(
             zh_counts > 0,

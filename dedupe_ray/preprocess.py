@@ -68,7 +68,13 @@ def preprocess_value(value: object) -> str:
 
     The 'nan' sentinel check happens on the RAW unidecoded string, BEFORE
     whitespace collapse (backend/dedupe_script.py:24-26): "NaN" → "N/A" but
-    " NAN " survives the check and comes out as the literal "nan"."""
+    " NAN " survives the check and comes out as the literal "nan".
+
+    Falsy non-string cells (0, 0.0, False, None, "") map to MISSING before
+    stringification, mirroring the reference's `if not column` guard
+    (backend/dedupe_script.py:20-22)."""
+    if not value:
+        return MISSING
     s = ascii_fold(str(value) if value is not None else "")
     if s.lower() == "nan":
         return MISSING

@@ -84,3 +84,13 @@ def test_entry_smoke():
     df = _to_pandas(entrymod.entry())
     assert len(df) > 0
     assert set(df.columns) == {"cluster_id", "doc_id", "confidence_score"}
+
+
+def test_anti_join_scale_path_matches_broadcast(monkeypatch, oracle):
+    """Force the >limit join path at small scale; it must agree with the
+    broadcast path (and with the oracle)."""
+    monkeypatch.setenv("DEDUPE_RAY_ANTI_JOIN_BROADCAST_LIMIT", "1")
+    joined = _normalize(_to_pandas(entrymod.queries()["anti_join_customers"](SF_DIR)))
+    monkeypatch.delenv("DEDUPE_RAY_ANTI_JOIN_BROADCAST_LIMIT")
+    sql_df = _normalize(oracle.sql(entrymod.oracle_sql()["anti_join_customers"]).df())
+    pd.testing.assert_frame_equal(joined, sql_df, check_dtype=False, atol=1e-5, rtol=1e-5)

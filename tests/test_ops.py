@@ -211,6 +211,17 @@ def test_ngram_jaccard_verify():
     assert out["id_b"].tolist() == ["d1"]
 
 
+def test_ngram_jaccard_empty_texts_not_perfect_match():
+    # Two empty/non-tokenizable texts have no n-grams: Jaccard is 0, not
+    # 1.0 (SQL's 0/0 = NULL drops such pairs — semantics must agree).
+    from dedupe_ray.ops.dedup import ngram_jaccard_pairs
+
+    ds = _text_ds(["", "   ", "a b c"])
+    cands = rd.from_arrow(pa.table({"id_a": ["d0", "d0"], "id_b": ["d1", "d2"]}))
+    out = ngram_jaccard_pairs(ds, cands, n=2, threshold=0.1).to_pandas()
+    assert out.empty
+
+
 # ---------------------------------------------------------------------------
 # embeddings
 # ---------------------------------------------------------------------------

@@ -42,6 +42,16 @@ def test_vectorized_matches_scalar():
     assert got == want
 
 
+def test_falsy_nonstring_cells_become_missing():
+    # Reference preprocess() starts with `if not column: return 'N/A'`
+    # (backend/dedupe_script.py:20-22): numeric zero / False / None / ""
+    # are all MISSING, while the strings "0"/"False" are kept.
+    for falsy in (0, 0.0, False, None, ""):
+        assert preprocess_value(falsy) == "N/A", falsy
+    assert preprocess_value("0") == "0"
+    assert preprocess_value("False") == "false"
+
+
 def test_newline_after_collapse_quirk():
     # '\n' → ' ' happens after '  +' collapse, so the spaces it creates survive
     assert preprocess_value("a \n b") == "a   b"
