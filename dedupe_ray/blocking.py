@@ -42,6 +42,131 @@ from dedupe_ray.predicates import Predicate
 N_BUCKETS = 1024
 
 
+# --- vectorized per-family key kernels --------------------------------------
+#
+# The explode stage is the hottest stage of the flagship at scale: every
+# record × every learned predicate. The whole/prefix/token families are pure
+# Arrow kernels (zero Python per row); everything else goes through a
+# dictionary-encode fallback (the predicate fn runs once per UNIQUE value,
+# numpy expands to rows). Key STRINGS are byte-identical to the scalar
+# ``Predicate.keys`` path (asserted by tests vs ``brute_force_pairs``).
+# Values are ASCII by the preprocess contract, so RE2's ASCII ``\w`` agrees
+# with Python's unicode ``\w`` here.
+
+_VEC_REGEX = {
+    "tok1": r"^(?P<k>[\w']+)",
+    "tok2": r"^(?P<k>[\w']+\s+[\w']+)",
+    "firstint": r"^(?P<k>[0-9]+)",
+}
+_VEC_START = {"start3": 3, "start5": 5, "start7": 7}
+
+_EMPTY_KEYS = (pa.array([], pa.string()), np.zeros(0, np.int64))
+
+
+def _valid_values(arr: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """null / "" / MISSING → "" (emits no keys); returns a plain Array."""
+    import pyarrow.compute as pc
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if not pa.types.is_string(arr.type) and not pa.types.is_large_string(arr.type):
+        arr = pc.cast(arr, pa.string())
+    arr = pc.fill_null(arr, "")
+    out = pc.if_else(pc.equal(arr, MISSING), "", arr)
+    return out.combine_chunks() if isinstance(out, pa.ChunkedArray) else out
+
+
+def _keys_single(name: str, arr: pa.Array) -> tuple[pa.Array, np.ndarray]:
+    """Families emitting ≤1 key per row, fully Arrow."""
+    import pyarrow.compute as pc
+
+    if name == "whole":
+        keys = arr
+    elif name in _VEC_START:
+        s = pc.replace_substring_regex(arr, r"\s+", "")
+        keys = pc.utf8_slice_codeunits(s, 0, _VEC_START[name])
+    else:
+        ex = pc.extract_regex(arr, _VEC_REGEX[name])
+        keys = pc.fill_null(pc.struct_field(ex, "k"), "")
+    mask = pc.not_equal(keys, "")
+    rows = np.nonzero(mask.to_numpy(zero_copy_only=False))[0]
+    return keys.filter(mask), rows
+
+
+def _keys_token(arr: pa.Array) -> tuple[pa.Array, np.ndarray]:
+    """token family: every [\\w']+ token is a key (multi-key per row).
+    Within-row duplicate tokens are emitted as-is — every consumer dedups at
+    the (key, doc) or pair level, and skipping the per-row set() keeps this
+    a pure Arrow kernel."""
+    import pyarrow.compute as pc
+
+    toks = pc.split_pattern_regex(arr, r"[^\w']+")
+    toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+    offsets = toks.offsets.to_numpy(zero_copy_only=False)
+    flat = toks.flatten()
+    rows = np.repeat(np.arange(len(arr), dtype=np.int64), np.diff(offsets))
+    mask = pc.not_equal(flat, "")
+    keep = mask.to_numpy(zero_copy_only=False)
+    return flat.filter(mask), rows[keep]
+
+
+def _keys_fallback(fn, arr: pa.Array) -> tuple[pa.Array, np.ndarray]:
+    """Python fn per UNIQUE value (dictionary-encode), numpy row expansion."""
+    import pyarrow.compute as pc
+
+    enc = pc.dictionary_encode(arr)
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    uniq = enc.dictionary.to_pylist()
+    keys_u = [fn(u) if u else () for u in uniq]
+    cnt_u = np.fromiter((len(k) for k in keys_u), np.int64, len(keys_u))
+    if not cnt_u.any():
+        return _EMPTY_KEYS
+    flat_u = np.array([k for ks in keys_u for k in ks], dtype=object)
+    off_u = np.concatenate(([0], np.cumsum(cnt_u)))[:-1]
+    c = cnt_u[idx]
+    total = int(c.sum())
+    if total == 0:
+        return _EMPTY_KEYS
+    starts = np.repeat(np.concatenate(([0], np.cumsum(c)))[:-1], c)
+    within = np.arange(total, dtype=np.int64) - starts
+    out_idx = np.repeat(off_u[idx], c) + within
+    rows = np.repeat(np.arange(len(arr), dtype=np.int64), c)
+    return pa.array(flat_u[out_idx], pa.string()), rows
+
+
+def _combine_parts(
+    a: tuple[pa.Array, np.ndarray], b: tuple[pa.Array, np.ndarray], n_rows: int
+) -> tuple[pa.Array, np.ndarray]:
+    """Per-row cartesian product of two key sets, joined with ':' —
+    the CompoundPredicate conjunction, fully vectorized."""
+    import pyarrow.compute as pc
+
+    flat_a, rows_a = a
+    flat_b, rows_b = b
+    if len(flat_a) == 0 or len(flat_b) == 0:
+        return _EMPTY_KEYS
+    c_a = np.bincount(rows_a, minlength=n_rows)
+    c_b = np.bincount(rows_b, minlength=n_rows)
+    c = c_a * c_b
+    total = int(c.sum())
+    if total == 0:
+        return _EMPTY_KEYS
+    off_a = np.concatenate(([0], np.cumsum(c_a)))[:-1]
+    off_b = np.concatenate(([0], np.cumsum(c_b)))[:-1]
+    rows = np.repeat(np.arange(n_rows, dtype=np.int64), c)
+    starts = np.repeat(np.concatenate(([0], np.cumsum(c)))[:-1], c)
+    within = np.arange(total, dtype=np.int64) - starts
+    cb_out = np.repeat(c_b, c)
+    a_idx = np.repeat(off_a, c) + within // cb_out
+    b_idx = np.repeat(off_b, c) + within % cb_out
+    keys = pc.binary_join_element_wise(
+        pc.take(flat_a, pa.array(a_idx)), pc.take(flat_b, pa.array(b_idx)), ":"
+    )
+    return keys, rows
+
+
 def make_block_explode_stage(
     predicate_ids: list[str], with_bucket: bool = False, index_tables: dict | None = None
 ):
@@ -51,127 +176,170 @@ def make_block_explode_stage(
     from different predicates never collide. Index predicates
     (``canopy4|<field>``) are reconstructed from ``index_tables`` —
     {pid: {"field", "df", "n_docs"}} — the broadcast train-time DF state.
-    """
-    from dedupe_ray.predicates import NGramCanopyPredicate
 
-    preds = []
+    Vectorized: whole/prefix/token families run as Arrow kernels, the rest
+    once per unique value via dictionary encoding; compound conjunctions are
+    a numpy cartesian expansion + one Arrow string join (see kernels above).
+    """
+    from dedupe_ray.predicates import SIMPLE_PREDICATES, NGramCanopyPredicate
+
+    # (pid, [(family_name_or_None, fallback_fn_or_None, field), ...])
+    plans: list[list[tuple[str | None, object, str]]] = []
     for p in predicate_ids:
         if p.startswith("canopy"):
             t = (index_tables or {})[p]
-            preds.append(NGramCanopyPredicate(t["field"], t["df"], t["n_docs"]))
-        else:
-            preds.append(Predicate.from_id(p))
+            cp = NGramCanopyPredicate(t["field"], t["df"], t["n_docs"])
+            plans.append([(None, cp.keys_from_value, t["field"])])
+            continue
+        parts = []
+        for piece in p.split("+"):
+            name, field = piece.split("|", 1)
+            if name == "whole" or name == "token" or name in _VEC_REGEX or name in _VEC_START:
+                parts.append((name, None, field))
+            else:
+                parts.append((None, SIMPLE_PREDICATES[name], field))
+        plans.append(parts)
 
     def _stage(batch: pa.Table) -> pa.Table:
-        doc_ids = batch.column("doc_id").to_pylist()
-        n = len(doc_ids)
-        out_keys: list[str] = []
-        out_ids: list[str] = []
-        col_cache: dict[str, list] = {}
+        import pyarrow.compute as pc
 
-        def col(f: str) -> list:
+        n = len(batch)
+        col_cache: dict[str, pa.Array] = {}
+
+        def col(f: str) -> pa.Array:
             if f not in col_cache:
-                col_cache[f] = batch.column(f).to_pylist()
+                col_cache[f] = _valid_values(batch.column(f))
             return col_cache[f]
 
-        for pi, pred in enumerate(preds):
-            prefix = f"{pi}\x1f"
-            if len(pred.parts) == 1:
-                fn, field = pred.parts[0]
-                values = col(field)
-                cache: dict[str, tuple[str, ...]] = {}
-                for j in range(n):
-                    v = values[j]
-                    if not v or v == MISSING:
-                        continue
-                    ks = cache.get(v)
-                    if ks is None:
-                        ks = fn(v)
-                        cache[v] = ks
-                    for k in ks:
-                        out_keys.append(prefix + k)
-                        out_ids.append(doc_ids[j])
-            else:
-                fields = [f for _, f in pred.parts]
-                cols = [col(f) for f in fields]
-                cache2: dict[tuple, tuple[str, ...]] = {}
-                for j in range(n):
-                    vals = tuple(c[j] for c in cols)
-                    ks = cache2.get(vals)
-                    if ks is None:
-                        ks = pred.keys(dict(zip(fields, vals)))
-                        cache2[vals] = ks
-                    for k in ks:
-                        out_keys.append(prefix + k)
-                        out_ids.append(doc_ids[j])
-        if not with_bucket:
-            return pa.table(
-                {"block_key": pa.array(out_keys, pa.string()), "doc_id": pa.array(out_ids, pa.string())}
+        key_chunks: list[pa.Array] = []
+        row_chunks: list[np.ndarray] = []
+        for pi, parts in enumerate(plans):
+            result: tuple[pa.Array, np.ndarray] | None = None
+            for name, fb_fn, field in parts:
+                if name == "token":
+                    part = _keys_token(col(field))
+                elif name is not None:
+                    part = _keys_single(name, col(field))
+                else:
+                    part = _keys_fallback(fb_fn, col(field))
+                result = part if result is None else _combine_parts(result, part, n)
+                if len(result[0]) == 0:
+                    break
+            keys, rows = result if result is not None else _EMPTY_KEYS
+            if len(keys) == 0:
+                continue
+            key_chunks.append(
+                pc.binary_join_element_wise(pa.scalar(f"{pi}\x1f"), keys, "")
             )
-        import zlib
+            row_chunks.append(rows)
 
-        buckets = np.fromiter(
-            (zlib.crc32(k.encode()) % N_BUCKETS for k in out_keys), np.int32, len(out_keys)
-        )
+        if key_chunks:
+            all_keys = pa.concat_arrays([k.combine_chunks() if isinstance(k, pa.ChunkedArray) else k for k in key_chunks])
+            all_rows = np.concatenate(row_chunks)
+            out_ids = pc.take(
+                _valid_values(batch.column("doc_id")), pa.array(all_rows)
+            )
+        else:
+            all_keys = pa.array([], pa.string())
+            out_ids = pa.array([], pa.string())
+        if not with_bucket:
+            return pa.table({"block_key": all_keys, "doc_id": out_ids})
+        import pandas as pd
+
+        # grouping-only hash (cross-process deterministic — fixed-key
+        # siphash); bucket choice never affects output content
+        buckets = (
+            pd.util.hash_array(all_keys.to_numpy(zero_copy_only=False)) % N_BUCKETS
+        ).astype(np.int32)
         return pa.table(
-            {
-                "block_key": pa.array(out_keys, pa.string()),
-                "doc_id": pa.array(out_ids, pa.string()),
-                "bucket": pa.array(buckets),
-            }
+            {"block_key": all_keys, "doc_id": out_ids, "bucket": pa.array(buckets)}
         )
 
     return _stage
 
 
+def _neighbor_neq(arr: pa.Array) -> np.ndarray:
+    """Boolean[n-1]: arr[i+1] != arr[i] — zero-copy Arrow slice compare."""
+    import pyarrow.compute as pc
+
+    n = len(arr)
+    return pc.not_equal(arr.slice(1), arr.slice(0, n - 1)).to_numpy(
+        zero_copy_only=False
+    )
+
+
 def make_bucket_pair_emit_fn(max_block_size: int):
     """Per-BUCKET pair emitter: one call processes every block hashed into
-    the bucket — sorted run detection via numpy, pairs via combinations per
-    run. Emits canonical (id_a < id_b) pairs + a pair-hash bucket column for
-    the dedup shuffle; oversized blocks emit one marker row instead."""
-    import zlib
+    the bucket. Fully vectorized: Arrow sort_by + neighbor-compare dedup of
+    (key, doc), then a numpy triangular expansion emits every within-run
+    C(n,2) pair at once. Emits canonical (id_a < id_b) pairs + a pair-hash
+    bucket column for the dedup shuffle; oversized blocks emit one marker
+    row instead."""
 
     def _emit(group: pa.Table) -> pa.Table:
         import pandas as pd
+        import pyarrow.compute as pc
 
-        df = pd.DataFrame(
-            {
-                "block_key": group.column("block_key").to_pylist(),
-                "doc_id": group.column("doc_id").to_pylist(),
-            }
-        ).drop_duplicates()
-        df = df.sort_values(["block_key", "doc_id"])
-        keys = df["block_key"].to_numpy()
-        ids = df["doc_id"].to_numpy()
-        boundaries = np.nonzero(np.concatenate(([True], keys[1:] != keys[:-1], [True])))[0]
-        out_a: list[str] = []
-        out_b: list[str] = []
-        n_oversized = 0
-        for s, e in zip(boundaries[:-1], boundaries[1:]):
-            n = e - s
-            if n < 2:
-                continue
-            if n > max_block_size:
-                n_oversized += 1
-                continue
-            run = ids[s:e]
-            for i in range(n - 1):
-                a = run[i]
-                out_a.extend([a] * (n - 1 - i))
-                out_b.extend(run[i + 1:])
-        over = [1] * n_oversized
-        out_a.extend([""] * n_oversized)
-        out_b.extend([""] * n_oversized)
-        pbucket = np.fromiter(
-            (zlib.crc32(f"{a}\x1f{b}".encode()) % N_BUCKETS for a, b in zip(out_a, out_b)),
-            np.int32,
-            len(out_a),
+        t = group.select(["block_key", "doc_id"]).sort_by(
+            [("block_key", "ascending"), ("doc_id", "ascending")]
         )
+        keys = t.column("block_key").combine_chunks()
+        ids = t.column("doc_id").combine_chunks()
+        n = len(t)
+        if n > 1:
+            dup = ~(_neighbor_neq(keys) | _neighbor_neq(ids))
+            if dup.any():
+                keep = np.concatenate(([True], ~dup))
+                sel = pa.array(np.nonzero(keep)[0])
+                keys = pc.take(keys, sel)
+                ids = pc.take(ids, sel)
+                n = len(keys)
+        empty = pa.table(
+            {
+                "id_a": pa.array([], pa.string()),
+                "id_b": pa.array([], pa.string()),
+                "oversized": pa.array([], pa.int8()),
+                "pbucket": pa.array([], pa.int32()),
+            }
+        )
+        if n == 0:
+            return empty
+        # runs of equal block_key
+        new_run = np.concatenate(([True], _neighbor_neq(keys))) if n > 1 else np.array([True])
+        run_starts = np.nonzero(new_run)[0]
+        run_lengths = np.diff(np.append(run_starts, n))
+        m_per_elem = np.repeat(run_lengths, run_lengths)
+        pos_in_run = np.arange(n) - np.repeat(run_starts, run_lengths)
+        ok = m_per_elem <= max_block_size
+        counts = np.where(ok, m_per_elem - 1 - pos_in_run, 0)
+        total = int(counts.sum())
+        n_oversized = int((run_lengths > max_block_size).sum())
+        if total == 0 and n_oversized == 0:
+            return empty
+        a_idx = np.repeat(np.arange(n), counts)
+        cum = np.concatenate(([0], np.cumsum(counts)))[:-1]
+        off = np.arange(total, dtype=np.int64) - np.repeat(cum, counts)
+        b_idx = a_idx + 1 + off
+        out_a = pc.take(ids, pa.array(a_idx))
+        out_b = pc.take(ids, pa.array(b_idx))
+        # pair-hash bucket for the dedup shuffle (grouping-only; fixed-key
+        # siphash via pandas — cross-process deterministic)
+        ha = pd.util.hash_array(out_a.to_numpy(zero_copy_only=False))
+        hb = pd.util.hash_array(out_b.to_numpy(zero_copy_only=False))
+        pbucket = ((ha * np.uint64(31) + hb) % np.uint64(N_BUCKETS)).astype(np.int32)
+        if n_oversized:
+            out_a = pa.concat_arrays([out_a, pa.array([""] * n_oversized, pa.string())])
+            out_b = pa.concat_arrays([out_b, pa.array([""] * n_oversized, pa.string())])
+            pbucket = np.concatenate([pbucket, np.zeros(n_oversized, np.int32)])
         return pa.table(
             {
-                "id_a": pa.array(out_a, pa.string()),
-                "id_b": pa.array(out_b, pa.string()),
-                "oversized": pa.array(np.concatenate([np.zeros(len(out_a) - n_oversized, np.int8), np.ones(n_oversized, np.int8)]) if out_a else np.zeros(0, np.int8)),
+                "id_a": out_a,
+                "id_b": out_b,
+                "oversized": pa.array(
+                    np.concatenate(
+                        [np.zeros(total, np.int8), np.ones(n_oversized, np.int8)]
+                    )
+                ),
                 "pbucket": pa.array(pbucket),
             }
         )
@@ -180,12 +348,22 @@ def make_bucket_pair_emit_fn(max_block_size: int):
 
 
 def _dedup_bucket(group: pa.Table) -> pa.Table:
-    import pandas as pd
+    """Distinct (id_a, id_b) within a pair-hash bucket: Arrow sort +
+    neighbor compare (no pandas round-trip)."""
+    import pyarrow.compute as pc
 
-    df = pd.DataFrame(
-        {"id_a": group.column("id_a").to_pylist(), "id_b": group.column("id_b").to_pylist()}
-    ).drop_duplicates()
-    return pa.Table.from_pandas(df, preserve_index=False)
+    t = group.select(["id_a", "id_b"]).sort_by(
+        [("id_a", "ascending"), ("id_b", "ascending")]
+    )
+    n = len(t)
+    if n < 2:
+        return t
+    a = t.column("id_a").combine_chunks()
+    b = t.column("id_b").combine_chunks()
+    keep = np.concatenate(([True], _neighbor_neq(a) | _neighbor_neq(b)))
+    if keep.all():
+        return t
+    return t.take(pa.array(np.nonzero(keep)[0]))
 
 
 def candidate_pairs_raw(
