@@ -91,45 +91,63 @@ class Gazetteer:
         idf = deduper.idf_tables or None
 
         def _search(batch: pa.Table) -> pa.Table:
+            empty = pa.table(
+                {
+                    "doc_id": pa.array([], pa.string()),
+                    "match_id": pa.array([], pa.string()),
+                    "score": pa.array([], pa.float32()),
+                }
+            )
             tbl, index = ray.get(state_ref)
             explode = make_block_explode_stage(pred_ids, index_tables=index_tables)
             clf = LogisticClassifier.from_dict(model)
             keyed = explode(batch)
-            cand: dict[str, set[int]] = {}
+            # candidate (stream row, canonical pos) pairs — the index lookup
+            # is the one per-key Python step; everything after is batched
+            pos = {d: i for i, d in enumerate(batch.column("doc_id").to_pylist())}
+            rows_l: list[int] = []
+            cans_l: list[int] = []
             for k, d in zip(
                 keyed.column("block_key").to_pylist(), keyed.column("doc_id").to_pylist()
             ):
-                for i in index.get(k, ()):
-                    cand.setdefault(d, set()).add(i)
-            out_id, out_match, out_score = [], [], []
-            rows = {r["doc_id"]: r for r in batch.to_pylist()}
-            can_ids = tbl.column("doc_id").to_pylist()
-            can_cols = {f: tbl.column(f).to_pylist() for f in fields}
-            for d, idxs in cand.items():
-                rec = rows[d]
-                pairs = [
-                    (
-                        {f: rec.get(f) or "" for f in fields},
-                        {f: can_cols[f][i] or "" for f in fields},
-                    )
-                    for i in sorted(idxs)
-                ]
-                X = pair_features(_pairs_table_local(pairs, fields), cfg, idf)
-                p = clf.predict_proba(X)
-                order = np.argsort(-p)
-                kept = 0
-                for j in order:
-                    if p[j] < threshold or kept >= n_matches:
-                        break
-                    out_id.append(d)
-                    out_match.append(can_ids[sorted(idxs)[j]])
-                    out_score.append(float(p[j]))
-                    kept += 1
+                hits = index.get(k)
+                if hits:
+                    rows_l.extend([pos[d]] * len(hits))
+                    cans_l.extend(hits)
+            if not rows_l:
+                return empty
+            n_can = len(tbl)
+            codes = np.unique(
+                np.asarray(rows_l, np.int64) * n_can + np.asarray(cans_l, np.int64)
+            )
+            row_idx = codes // n_can
+            can_idx = codes % n_can
+            # ONE feature matrix + ONE classifier pass for the whole batch
+            data = {}
+            for f in fields:
+                data[f"a_{f}"] = pc.fill_null(
+                    pc.take(batch.column(f), pa.array(row_idx)), ""
+                )
+                data[f"b_{f}"] = pc.fill_null(pc.take(tbl.column(f), pa.array(can_idx)), "")
+            p = clf.predict_proba(pair_features(pa.table(data), cfg, idf))
+            ok = p >= threshold
+            if not ok.any():
+                return empty
+            row_idx, can_idx, p = row_idx[ok], can_idx[ok], p[ok]
+            # per-stream-record top-n: stable lexsort (row, -score, canonical
+            # pos) — same tie order as the former per-record argsort
+            order = np.lexsort((can_idx, -p, row_idx))
+            r_s, c_s, p_s = row_idx[order], can_idx[order], p[order]
+            new = np.concatenate(([True], r_s[1:] != r_s[:-1]))
+            starts = np.nonzero(new)[0]
+            lens = np.diff(np.append(starts, len(r_s)))
+            rank = np.arange(len(r_s)) - np.repeat(starts, lens)
+            keep = rank < n_matches
             return pa.table(
                 {
-                    "doc_id": pa.array(out_id, pa.string()),
-                    "match_id": pa.array(out_match, pa.string()),
-                    "score": pa.array(np.asarray(out_score, np.float32)),
+                    "doc_id": pc.take(batch.column("doc_id"), pa.array(r_s[keep])),
+                    "match_id": pc.take(tbl.column("doc_id"), pa.array(c_s[keep])),
+                    "score": pa.array(p_s[keep].astype(np.float32)),
                 }
             )
 
@@ -264,19 +282,23 @@ def link_records(
             f"one_to_one match list has {n} rows (> {one_to_one_limit}); "
             f"use many_to_one or raise the limit"
         )
-    df = best.to_pandas().sort_values(["score", "id_a", "id_b"], ascending=[False, True, True])
-    used_a: set[str] = set()
-    used_b: set[str] = set()
-    keep = []
-    for _, row in df.iterrows():
-        if row["id_a"] in used_a or row["id_b"] in used_b:
-            continue
-        used_a.add(row["id_a"])
-        used_b.add(row["id_b"])
-        keep.append(row)
     import pandas as pd
 
-    out = pd.DataFrame(keep, columns=["id_a", "id_b", "score"]).reset_index(drop=True)
+    df = best.to_pandas().sort_values(["score", "id_a", "id_b"], ascending=[False, True, True])
+    # greedy highest-score-first assignment over factorized int codes —
+    # sequential by nature (a skipped row must NOT claim its ids), but the
+    # loop body is two array reads + two writes, not an iterrows row object
+    code_a, _ = pd.factorize(df["id_a"], sort=False)
+    code_b, _ = pd.factorize(df["id_b"], sort=False)
+    used_a = np.zeros(code_a.max() + 1 if len(code_a) else 0, bool)
+    used_b = np.zeros(code_b.max() + 1 if len(code_b) else 0, bool)
+    keep = np.zeros(len(df), bool)
+    for i in range(len(df)):
+        a, b = code_a[i], code_b[i]
+        if not used_a[a] and not used_b[b]:
+            keep[i] = True
+            used_a[a] = used_b[b] = True
+    out = df.loc[keep, ["id_a", "id_b", "score"]].reset_index(drop=True)
     out["id_a"] = out["id_a"].str[2:]
     out["id_b"] = out["id_b"].str[2:]
     return ray.data.from_pandas(out)

@@ -105,6 +105,28 @@ def test_gazetteer_streaming_search(linked):
     assert tp / max(len(got), 1) >= 0.99       # precision
 
 
+def test_gazetteer_search_batched_throughput(linked):
+    """The search stage must score a batch with ONE feature-matrix pass
+    (round-2 scored per stream record); a 20k-record stream through a
+    ~300-entry gazetteer finishes in well under a minute."""
+    import time
+
+    from dedupe_ray.fixtures import generate_kna_corpus
+    from dedupe_ray.linkage import Gazetteer
+    from dedupe_ray.pipeline import flatten_documents
+    import ray.data as rd
+
+    flat_a, flat_b, deduper, expected, _ = linked
+    docs, _truth = generate_kna_corpus(20_000, seed=7)
+    stream, _ = flatten_documents(rd.from_arrow(docs))
+    gaz = Gazetteer(deduper, flat_b)
+    t0 = time.time()
+    n = gaz.search(stream.materialize(), threshold=0.3, n_matches=1).count()
+    dt = time.time() - t0
+    assert n >= 0
+    assert dt < 60, f"gazetteer search took {dt:.1f}s for 20k stream records"
+
+
 def test_chunk_partition_quirk(ray_session):
     """A14 shim: duplicates split across 1,000-row chunks are MISSED by
     design, while in-chunk duplicates still cluster."""
