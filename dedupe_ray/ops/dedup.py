@@ -197,18 +197,25 @@ def minhash_lsh_pairs(
     concurrency=(1, 8),
     max_bucket: int = 2000,
     return_oversized: bool = False,
+    broadcast_limit: int = 2_000_000,
 ):
-    """Near-duplicate pairs via banded MinHash-LSH, verified in-bucket by
+    """Near-duplicate pairs via banded MinHash-LSH, verified by
     signature-estimated Jaccard.
 
-    Stages: MinHasher actor pool → band explode CARRYING the signature
-    (bands × num_perm × 8 B per doc through shuffle #1 — the price of never
-    materializing the signature table on the driver) → bucketed groupby →
-    per-bucket run detection + vectorized pairwise agreement → threshold
-    filter map-side → pair dedup (shuffle #2). Returns (id_a, id_b,
-    jaccard); with ``return_oversized`` also a Dataset of
-    (band, n_members) rows for every size-capped bucket (no silent recall
-    loss)."""
+    Stages: MinHasher actor pool → materialized signature table →
+    LIGHT band explode (band, bhash, bucket, doc_id — ~28 B/row, no
+    signature carry; round-2 tiled the full num_perm×8 B signature through
+    every band row, ~16× the shuffle bytes) → bucketed groupby → candidate
+    pair emission (triangular expansion) → pair dedup (shuffle #2) →
+    signatures joined back through the size-guarded assembler (broadcast
+    ≤ limit, hash join above) → one vectorized agreement pass over all
+    pairs. Returns (id_a, id_b, jaccard); with ``return_oversized`` also a
+    Dataset of (band, n_members) rows for every size-capped bucket (no
+    silent recall loss)."""
+    import pandas as pd
+
+    from dedupe_ray.scoring import assemble_pairs
+
     rows_per_band = num_perm // bands
     sigs = ds.map_batches(
         MinHasher,
@@ -216,7 +223,7 @@ def minhash_lsh_pairs(
         batch_format="pyarrow",
         concurrency=concurrency,
         batch_size=2048,  # bounds the perm × shingle hash matrix per call
-    )
+    ).materialize()  # consumed twice: band explode + verify join-back
 
     def explode_bands(batch: pa.Table) -> pa.Table:
         n = len(batch)
@@ -233,89 +240,134 @@ def minhash_lsh_pairs(
         bucket = ((bhash ^ (np.uint64(0x9E3779B97F4A7C15) * band_col.astype(np.uint64))) % np.uint64(N_BUCKETS)).astype(np.int32)
         id_arr = _one_chunk(batch.column("doc_id"))
         ids = pa.concat_arrays([id_arr] * bands)
-        sig_rep = pa.FixedSizeListArray.from_arrays(
-            pa.array(np.tile(sig, (bands, 1)).reshape(-1), pa.uint64()), num_perm
-        )
         return pa.table(
             {
                 "band": pa.array(band_col),
                 "bhash": pa.array(bhash, pa.uint64()),
                 "bucket": pa.array(bucket),
                 "doc_id": ids,
-                "minhash": sig_rep,
             }
         )
 
     exploded = sigs.map_batches(explode_bands, batch_format="pyarrow")
 
-    def verify_bucket(group: pa.Table) -> pa.Table:
-        out_a: list[str] = []
-        out_b: list[str] = []
-        out_j: list[np.ndarray] = []
-        n_over: list[tuple[int, int]] = []
-        if len(group):
-            order = pc.sort_indices(
-                group, sort_keys=[("band", "ascending"), ("bhash", "ascending"), ("doc_id", "ascending")]
-            )
-            g = group.take(order)
-            band = g.column("band").to_numpy(zero_copy_only=False)
-            bhash = g.column("bhash").to_numpy(zero_copy_only=False)
-            ids = np.asarray(g.column("doc_id").to_pylist(), object)
-            sig = _sig_matrix(g, "minhash", num_perm)
-            change = (band[1:] != band[:-1]) | (bhash[1:] != bhash[:-1])
-            bounds = np.nonzero(np.concatenate(([True], change, [True])))[0]
-            for s, e in zip(bounds[:-1], bounds[1:]):
-                n = e - s
-                if n < 2:
-                    continue
-                if n > max_bucket:
-                    n_over.append((int(band[s]), n))
-                    continue
-                iu, ju = np.triu_indices(n, k=1)
-                jac = (sig[s + iu] == sig[s + ju]).mean(axis=1).astype(np.float32)
-                keep = jac >= jaccard_threshold
-                if keep.any():
-                    out_a.extend(ids[s + iu[keep]].tolist())
-                    out_b.extend(ids[s + ju[keep]].tolist())
-                    out_j.append(jac[keep])
-        jac_all = np.concatenate(out_j) if out_j else np.zeros(0, np.float32)
-        pbucket = np.fromiter(
-            (zlib.crc32(f"{a}\x1f{b}".encode()) % N_BUCKETS for a, b in zip(out_a, out_b)),
-            np.int32,
-            len(out_a),
+    def emit_bucket(group: pa.Table) -> pa.Table:
+        """Runs of equal (band, bhash) → all C(n,2) candidate pairs,
+        vectorized triangular expansion; oversized runs emit markers."""
+        empty = pa.table(
+            {
+                "id_a": pa.array([], pa.string()),
+                "id_b": pa.array([], pa.string()),
+                "pbucket": pa.array([], pa.int32()),
+                "oversized": pa.array([], pa.int8()),
+                "over_band": pa.array([], pa.int32()),
+                "n_members": pa.array([], pa.int32()),
+            }
         )
-        n_pairs = len(out_a)
-        over_band = [b for b, _ in n_over]
-        over_n = [n for _, n in n_over]
+        if not len(group):
+            return empty
+        order = pc.sort_indices(
+            group,
+            sort_keys=[("band", "ascending"), ("bhash", "ascending"), ("doc_id", "ascending")],
+        )
+        g = group.take(order)
+        band = g.column("band").to_numpy(zero_copy_only=False)
+        bhash = g.column("bhash").to_numpy(zero_copy_only=False)
+        ids = _one_chunk(g.column("doc_id"))
+        n = len(g)
+        change = (band[1:] != band[:-1]) | (bhash[1:] != bhash[:-1]) if n > 1 else np.zeros(0, bool)
+        run_starts = np.nonzero(np.concatenate(([True], change)))[0]
+        run_lengths = np.diff(np.append(run_starts, n))
+        m_per_elem = np.repeat(run_lengths, run_lengths)
+        pos_in_run = np.arange(n) - np.repeat(run_starts, run_lengths)
+        ok = m_per_elem <= max_bucket
+        counts = np.where(ok, m_per_elem - 1 - pos_in_run, 0)
+        total = int(counts.sum())
+        over_runs = run_lengths > max_bucket
+        n_over = int(over_runs.sum())
+        if total == 0 and n_over == 0:
+            return empty
+        a_idx = np.repeat(np.arange(n), counts)
+        cum = np.concatenate(([0], np.cumsum(counts)))[:-1]
+        off = np.arange(total, dtype=np.int64) - np.repeat(cum, counts)
+        out_a = pc.take(ids, pa.array(a_idx))
+        out_b = pc.take(ids, pa.array(a_idx + 1 + off))
+        ha = pd.util.hash_array(out_a.to_numpy(zero_copy_only=False))
+        hb = pd.util.hash_array(out_b.to_numpy(zero_copy_only=False))
+        pbucket = ((ha * np.uint64(31) + hb) % np.uint64(N_BUCKETS)).astype(np.int32)
+        over_band = band[run_starts[over_runs]].astype(np.int32)
+        over_n = run_lengths[over_runs].astype(np.int32)
+        if n_over:
+            out_a = pa.concat_arrays([out_a, pa.array([""] * n_over, pa.string())])
+            out_b = pa.concat_arrays([out_b, pa.array([""] * n_over, pa.string())])
+            pbucket = np.concatenate([pbucket, np.zeros(n_over, np.int32)])
         return pa.table(
             {
-                "id_a": pa.array(out_a + [""] * len(n_over), pa.string()),
-                "id_b": pa.array(out_b + [""] * len(n_over), pa.string()),
-                "jaccard": pa.array(np.concatenate([jac_all, np.zeros(len(n_over), np.float32)])),
-                "pbucket": pa.array(np.concatenate([pbucket, np.zeros(len(n_over), np.int32)])),
+                "id_a": out_a,
+                "id_b": out_b,
+                "pbucket": pa.array(pbucket),
                 "oversized": pa.array(
-                    np.concatenate([np.zeros(n_pairs, np.int8), np.ones(len(n_over), np.int8)])
+                    np.concatenate([np.zeros(total, np.int8), np.ones(n_over, np.int8)])
                 ),
-                "over_band": pa.array([-1] * n_pairs + over_band, pa.int32()),
-                "n_members": pa.array([0] * n_pairs + over_n, pa.int32()),
+                "over_band": pa.array(np.concatenate([np.full(total, -1, np.int32), over_band])),
+                "n_members": pa.array(np.concatenate([np.zeros(total, np.int32), over_n])),
             }
         )
 
-    raw = exploded.groupby("bucket").map_groups(verify_bucket, batch_format="pyarrow")
+    raw = exploded.groupby("bucket").map_groups(emit_bucket, batch_format="pyarrow")
     oversized = raw.filter(expr="oversized == 1").select_columns(["over_band", "n_members"])
 
     def dedup_bucket(group: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        df = group.select(["id_a", "id_b", "jaccard"]).to_pandas()
-        df = df.drop_duplicates(subset=["id_a", "id_b"])
-        return pa.Table.from_pandas(df, preserve_index=False)
+        t = group.select(["id_a", "id_b"]).sort_by(
+            [("id_a", "ascending"), ("id_b", "ascending")]
+        )
+        if len(t) < 2:
+            return t
+        a = _one_chunk(t.column("id_a"))
+        b = _one_chunk(t.column("id_b"))
+        neq = pc.not_equal(a.slice(1), a.slice(0, len(a) - 1)).to_numpy(zero_copy_only=False) | \
+            pc.not_equal(b.slice(1), b.slice(0, len(b) - 1)).to_numpy(zero_copy_only=False)
+        keep = np.concatenate(([True], neq))
+        return t if keep.all() else t.take(pa.array(np.nonzero(keep)[0]))
 
     pairs = (
         raw.filter(expr="oversized == 0")
         .groupby("pbucket")
         .map_groups(dedup_bucket, batch_format="pyarrow")
     )
+
+    # signature join-back + ONE vectorized agreement pass over all pairs
+    assembled = assemble_pairs(
+        pairs,
+        sigs.select_columns(["doc_id", "minhash"]),
+        ["minhash"],
+        broadcast_limit=broadcast_limit,
+        strict=False,
+    )
+
+    def verify(batch: pa.Table) -> pa.Table:
+        if not len(batch):
+            return pa.table(
+                {
+                    "id_a": pa.array([], pa.string()),
+                    "id_b": pa.array([], pa.string()),
+                    "jaccard": pa.array([], pa.float32()),
+                }
+            )
+        sa = _sig_matrix(batch, "a_minhash", num_perm)
+        sb = _sig_matrix(batch, "b_minhash", num_perm)
+        jac = (sa == sb).mean(axis=1).astype(np.float32)
+        keep = jac >= jaccard_threshold
+        out = pa.table(
+            {
+                "id_a": batch.column("id_a"),
+                "id_b": batch.column("id_b"),
+                "jaccard": pa.array(jac),
+            }
+        )
+        return out.filter(pa.array(keep))
+
+    pairs = assembled.map_batches(verify, batch_format="pyarrow")
     if return_oversized:
         return pairs, oversized
     return pairs
