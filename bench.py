@@ -47,7 +47,7 @@ def _sf_of(sf_dir: str) -> float:
 def _settings_path(n_docs: int) -> str:
     # v2: sign-constrained classifier + reachability-backstopped predicate
     # cover (round 2) — stale v1 checkpoints must not be reused
-    return os.path.join(_SETTINGS_DIR, f"settings_n{n_docs}_s42_v2.json")
+    return os.path.join(_SETTINGS_DIR, f"settings_n{n_docs}_s42_v3.json")
 
 
 def _ensure_trained(n_docs: int, docs_path: str, truth_path: str) -> float:

@@ -181,7 +181,11 @@ def make_block_explode_stage(
     once per unique value via dictionary encoding; compound conjunctions are
     a numpy cartesian expansion + one Arrow string join (see kernels above).
     """
-    from dedupe_ray.predicates import SIMPLE_PREDICATES, NGramCanopyPredicate
+    from dedupe_ray.predicates import (
+        SIMPLE_PREDICATES,
+        NGramCanopyPredicate,
+        TfidfTokenCanopyPredicate,
+    )
 
     # (pid, [(family_name_or_None, fallback_fn_or_None, field), ...])
     plans: list[list[tuple[str | None, object, str]]] = []
@@ -190,6 +194,13 @@ def make_block_explode_stage(
             t = (index_tables or {})[p]
             cp = NGramCanopyPredicate(t["field"], t["df"], t["n_docs"])
             plans.append([(None, cp.keys_from_value, t["field"])])
+            continue
+        if p.startswith("tcanopy"):
+            t = (index_tables or {})[p]
+            tp = TfidfTokenCanopyPredicate(
+                t["field"], t["df"], t["n_docs"], t["threshold"]
+            )
+            plans.append([(None, tp.keys_from_value, t["field"])])
             continue
         parts = []
         for piece in p.split("+"):

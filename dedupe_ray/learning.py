@@ -209,10 +209,16 @@ def learn_predicates(
     pool = list(default_predicate_pool(config.field_names()))
     cost_records = cost_records or sample_records
 
-    # index predicates (L5): TF-IDF n-gram canopies, DF built from the cost
-    # sample — the learner can choose them like any other predicate
+    # index predicates (L5): TF-IDF n-gram canopies + token canopies at the
+    # reference thresholds {.2,.4,.6,.8}, DF built from the cost sample —
+    # the learner can choose them like any other predicate
     # ([lib] train(index_predicates=True))
-    from dedupe_ray.predicates import NGramCanopyPredicate, ngram_df
+    from dedupe_ray.predicates import (
+        NGramCanopyPredicate,
+        TfidfTokenCanopyPredicate,
+        ngram_df,
+        token_df,
+    )
 
     index_tables: dict[str, dict] = {}
     for fname in config.field_names():
@@ -222,6 +228,14 @@ def learn_predicates(
             pred = NGramCanopyPredicate(fname, df, len(cost_records))
             pool.append(pred)
             index_tables[pred.pid] = {"field": fname, "df": df, "n_docs": len(cost_records)}
+        tdf = token_df(values)
+        if tdf:
+            for thr in TfidfTokenCanopyPredicate.THRESHOLDS:
+                tp = TfidfTokenCanopyPredicate(fname, tdf, len(cost_records), thr)
+                pool.append(tp)
+                index_tables[tp.pid] = {
+                    "field": fname, "df": tdf, "n_docs": len(cost_records), "threshold": thr,
+                }
 
     # per-predicate: which match pairs it covers + candidate pair cost +
     # which records it REACHES (emits ≥1 key for). A record with no key
@@ -262,7 +276,10 @@ def learn_predicates(
     # high-recall inside a conjunction (token ∧ exact postal) — exactly the
     # cover for the transposed-name class that cheap-only compounds miss.
     if compound:
-        by_cost = [p for p in sorted(cover, key=lambda q: cost[q]) if not p.startswith("canopy")]
+        by_cost = [
+            p for p in sorted(cover, key=lambda q: cost[q])
+            if not p.startswith(("canopy", "tcanopy"))
+        ]
         simple_ids = by_cost[:12]
         # force the per-field any-token and whole-field predicates into the
         # conjunction pool (bounded: ≤ 2 per field)

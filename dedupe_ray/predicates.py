@@ -343,6 +343,70 @@ class NGramCanopyPredicate:
         return self.keys_from_value(record.get(self.field) or "")
 
 
+class TfidfTokenCanopyPredicate:
+    """L5 token TF-IDF canopy ([lib: dedupe/tfidf.py, canopy_index.py],
+    thresholds {.2,.4,.6,.8}) — deterministic, partition-stable
+    reformulation.
+
+    The reference builds an in-memory inverted index and assigns records to
+    sequentially-chosen canopy centers (order-dependent, unshardable). Here
+    a record's block keys at threshold ``t`` are its tokens whose L2-
+    normalized TF-IDF weight is ≥ √t: two records sharing such a token have
+    TF-IDF cosine ≥ t — the canopy membership guarantee — and weight² sums
+    to 1, so fan-out is bounded by ⌊1/t⌋ keys per record at any corpus
+    size. Unlike ``token|field`` (a key per token — huge blocks on common
+    tokens), only DOMINANT rare tokens emit keys, which is the whole point
+    of TF-IDF canopies on long text fields.
+
+    State: a token document-frequency table from the cost sample, persisted
+    in the settings checkpoint like the n-gram canopy DF."""
+
+    THRESHOLDS = (0.2, 0.4, 0.6, 0.8)
+
+    def __init__(self, field: str, df: dict[str, int], n_docs: int, threshold: float):
+        self.pid = f"tcanopy{threshold}|{field}"
+        self.field = field
+        self.df = df
+        self.n_docs = max(n_docs, 1)
+        self.threshold = threshold
+        self.parts = [(self.keys_from_value, field)]  # explode-stage protocol
+
+    def _idf(self, tok: str) -> float:
+        import math
+
+        return max(math.log(self.n_docs / (1 + self.df.get(tok, 0))) + 1.0, 0.01)
+
+    def keys_from_value(self, value: str) -> tuple[str, ...]:
+        import math
+
+        if not value or value == MISSING:
+            return ()
+        toks = _WORDS.findall(value)
+        if not toks:
+            return ()
+        tf: dict[str, int] = {}
+        for t in toks:
+            tf[t] = tf.get(t, 0) + 1
+        w = {t: c * self._idf(t) for t, c in tf.items()}
+        norm = math.sqrt(sum(v * v for v in w.values()))
+        cut = math.sqrt(self.threshold) * norm
+        return tuple(sorted(t for t, v in w.items() if v >= cut))
+
+    def keys(self, record: dict[str, str]) -> tuple[str, ...]:
+        return self.keys_from_value(record.get(self.field) or "")
+
+
+def token_df(values: list[str]) -> dict[str, int]:
+    """Token document-frequency table (driver-side, from a sample)."""
+    from collections import Counter
+
+    df: Counter = Counter()
+    for v in values:
+        if v and v != MISSING:
+            df.update(set(_WORDS.findall(v)))
+    return dict(df)
+
+
 def ngram_df(values: list[str], n: int = 4) -> dict[str, int]:
     """Document-frequency table over char n-grams (driver-side, from a
     sample — idf RANKING is what matters, not absolute counts)."""

@@ -122,3 +122,75 @@ def test_deletion_neighborhood_predicate():
     # long values degrade to whole-value key (bounded fan-out)
     long = "x" * 30
     assert dn(long) == ("x" * 30,)
+
+
+def test_tfidf_token_canopy_semantics():
+    """L5 token canopy: keys are tokens with normalized TF-IDF weight >=
+    sqrt(threshold) — dominant RARE tokens collide, common tokens don't."""
+    from dedupe_ray.predicates import TfidfTokenCanopyPredicate, token_df
+
+    corpus = ["the quick fox"] * 50 + ["the slow dog"] * 49 + ["the zyzzyva special"]
+    df = token_df(corpus)
+    p02 = TfidfTokenCanopyPredicate("F", df, len(corpus), 0.2)
+    p08 = TfidfTokenCanopyPredicate("F", df, len(corpus), 0.8)
+
+    # a rare token dominating the value is a key at every threshold
+    assert "zyzzyva" in p02.keys_from_value("the zyzzyva special")
+    # 'the' appears in every doc: tiny idf, never a key
+    assert "the" not in p02.keys_from_value("the quick fox")
+    # two long values sharing only the dominant rare token collide at 0.2
+    ka = set(p02.keys_from_value("zyzzyva import export gmbh"))
+    kb = set(p02.keys_from_value("trading house zyzzyva warsaw"))
+    assert ka & kb
+    # at 0.8 the shared token must dominate BOTH values — these don't collide
+    ka8 = set(p08.keys_from_value("zyzzyva import export gmbh"))
+    kb8 = set(p08.keys_from_value("trading house zyzzyva warsaw"))
+    assert not (ka8 & kb8)
+    # fan-out bound: <= floor(1/t) keys
+    for val in corpus:
+        assert len(p02.keys_from_value(val)) <= 5
+        assert len(p08.keys_from_value(val)) <= 1
+    # missing/empty emit nothing
+    assert p02.keys_from_value("N/A") == ()
+    assert p02.keys_from_value("") == ()
+
+
+def test_tfidf_token_canopy_in_learner_pool_and_explode(ray_session):
+    """The learner pool contains tcanopy predicates; a planted long-text
+    duplicate pair sharing only a dominant rare token is covered by one,
+    and the explode stage reconstructs it from persisted index tables."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dedupe_ray.blocking import make_block_explode_stage
+    from dedupe_ray.learning import learn_predicates
+    from dedupe_ray.config import EngineConfig
+    from dedupe_ray.predicates import TfidfTokenCanopyPredicate, token_df
+
+    common = [f"acme logistics warehouse unit {i}" for i in range(60)]
+    a = "zyzzyva import export gmbh"
+    b = "zyzzyva trading house warsaw"
+    records = {str(i): {"doc_id": str(i), "Name": v} for i, v in enumerate(common + [a, b])}
+    config = EngineConfig.auto_detect(["Name"])
+    chosen, tables = learn_predicates(
+        [({"Name": a}, {"Name": b})], records, config, compound=False
+    )
+    # some canopy (token or n-gram) family must cover the planted pair
+    df = token_df([r["Name"] for r in records.values()])
+    tp = TfidfTokenCanopyPredicate("Name", df, len(records), 0.2)
+    assert set(tp.keys_from_value(a)) & set(tp.keys_from_value(b))
+
+    # explode roundtrip from index tables (as persisted settings would)
+    pid = tp.pid
+    tables = {pid: {"field": "Name", "df": df, "n_docs": len(records), "threshold": 0.2}}
+    stage = make_block_explode_stage([pid], index_tables=tables)
+    tbl = pa.table({"doc_id": ["x", "y"], "Name": [a, b]})
+    out = stage(tbl)
+    keys = out.column("block_key").to_pylist()
+    assert len(keys) >= 2 and len(set(keys)) < len(keys) or (
+        sorted(out.column("doc_id").to_pylist()) == ["x", "y"]
+    )
+    by_doc = {}
+    for k, d in zip(keys, out.column("doc_id").to_pylist()):
+        by_doc.setdefault(d, set()).add(k)
+    assert by_doc["x"] & by_doc["y"]
