@@ -78,6 +78,13 @@ class EngineConfig:
     # L2 regularization strength for the pairwise logistic classifier
     # (sklearn LogisticRegression C=1.0 equivalent: lambda = 1/C).
     l2_lambda: float = 1.0
+    # Hard-negative audit: number of synthetic same-address different-name
+    # pairs added as distinct labels at classifier fit time (0 disables).
+    # Symmetric to the typo audit: a ~100-pair label set almost never
+    # samples the "shared name frame + same postal/city, different coined
+    # token" NON-duplicate class, so the classifier over-credits the shared
+    # frame (the round-2 2M residual: 2,746 such extra pairs).
+    hard_negative_audit: int = 150
     # Random seed for sampling stages.
     seed: int = 42
 

@@ -187,6 +187,51 @@ def _typo_audit_pairs(
     return out
 
 
+def hard_negative_pairs(
+    records: list[dict], fields: list[str], n: int, seed: int = 17
+) -> list[tuple[dict, dict]]:
+    """Synthetic NON-duplicate pairs of the hardest shape: identical on
+    every field except one multi-token field where a single content token
+    is replaced wholesale by a token from another record — the
+    "shared name frame + same postal/city, different coined middle word"
+    class. A ~100-pair labeled set almost never contains such a pair, so
+    without these the classifier gives the shared frame full credit
+    (affine-gap partial matches) and glues distinct entities. Fed as
+    distinct labels at classifier FIT time only (never into the predicate
+    cover, which uses match labels alone)."""
+    rng = np.random.RandomState(seed)
+    out: list[tuple[dict, dict]] = []
+    if len(records) < 2:
+        return out
+    for _ in range(n * 4):
+        if len(out) >= n:
+            break
+        a = records[rng.randint(len(records))]
+        c = records[rng.randint(len(records))]  # a REAL different entity
+        if c is a:
+            continue
+        multi = [f for f in fields if len((a.get(f) or "").split()) >= 2]
+        if not multi:
+            continue
+        f = multi[rng.randint(len(multi))]
+        toks = (a.get(f) or "").split()
+        dtoks = (c.get(f) or "").split() or ["x"]
+        i = rng.randint(1, len(toks))  # keep the first token (the stem)
+        new_tok = dtoks[rng.randint(len(dtoks))]
+        if new_tok == toks[i]:
+            continue
+        # b is the donor record wearing A's frame: A's multi-token field
+        # with ONE coined token swapped; donor keeps its own remaining
+        # fields (a real distinct entity's address/ids), so the pair is
+        # truth-consistent yet maximally name-similar
+        b = {g: c.get(g) or "" for g in fields}
+        btoks = list(toks)
+        btoks[i] = new_tok
+        b[f] = " ".join(btoks)
+        out.append(({g: a.get(g) or "" for g in fields}, b))
+    return out
+
+
 def learn_predicates(
     match_pairs: list[tuple[dict, dict]],
     sample_records: dict[str, dict],

@@ -313,10 +313,29 @@ class RayDeduper:
     def train(self, recall: float = 1.0) -> None:
         if not self.labeled:
             raise ValueError("no labeled pairs; call mark_pairs first")
-        X = features_for_pairs([p for p, _ in self.labeled], self.config, self.idf_tables)
-        y = np.array([1.0 if lbl else 0.0 for _, lbl in self.labeled])
-        if len(set(y.tolist())) < 2:
+        fit_pairs = [p for p, _ in self.labeled]
+        y_list = [1.0 if lbl else 0.0 for _, lbl in self.labeled]
+        if len(set(y_list)) < 2:
             raise ValueError("need both match and distinct labels")
+        # hard-negative audit (learning.hard_negative_pairs): synthetic
+        # same-address different-coined-token distinct labels, fit-time only
+        # capped at the real label count so synthetic negatives can never
+        # outvote the human/oracle labels on a small label set
+        n_hard = min(
+            getattr(self.config, "hard_negative_audit", 0), len(self.labeled)
+        )
+        if n_hard and self._cost_records:
+            from dedupe_ray.learning import hard_negative_pairs
+
+            negs = hard_negative_pairs(
+                list(self._cost_records.values())[:400],
+                self.config.field_names(),
+                n_hard,
+            )
+            fit_pairs.extend(negs)
+            y_list.extend([0.0] * len(negs))
+        X = features_for_pairs(fit_pairs, self.config, self.idf_tables)
+        y = np.array(y_list)
         self.classifier.fit(X, y)
         match_pairs = [p for p, lbl in self.labeled if lbl]
         self.predicate_ids, self.index_tables = learn_predicates(

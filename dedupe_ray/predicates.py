@@ -200,6 +200,27 @@ def deletion_neighborhood(field: str) -> tuple[str, ...]:
     return tuple({s} | {s[:i] + s[i + 1:] for i in range(len(s))})
 
 
+def deletion_neighborhood2(field: str) -> tuple[str, ...]:
+    """L6 full-strength stand-in at radius 2: SymSpell/FastSS deletion
+    neighborhood of depth ≤2 (public: Bocek et al. 2007; Garbe's SymSpell).
+    Any two values within edit distance 2 (including multi-substitution
+    short-field typos — the postal-code class the BK-tree radius search
+    catches in [lib] dedupe/levenshtein.py) share a deletion key. Fan-out
+    is O(len²/2), so only values ≤12 chars (whitespace collapsed) get the
+    depth-2 expansion; longer values degrade to the depth-1 neighborhood
+    (long strings are better served by n-gram/token predicates)."""
+    s = "".join(field.split())
+    if not s:
+        return ()
+    if len(s) > 12:
+        return deletion_neighborhood(field)
+    d1 = {s[:i] + s[i + 1:] for i in range(len(s))}
+    keys = {s} | d1
+    for t in d1:
+        keys.update(t[:i] + t[i + 1:] for i in range(len(t)))
+    return tuple(keys)
+
+
 # Registry: predicate name → fn. Names are stable identifiers used in learned
 # predicate lists, checkpoints, and block keys.
 SIMPLE_PREDICATES: dict[str, PredicateFn] = {
@@ -227,6 +248,7 @@ SIMPLE_PREDICATES: dict[str, PredicateFn] = {
     "phonetic": phonetic_token,
     "phonetic1": phonetic_first_token,
     "del1": deletion_neighborhood,
+    "del2": deletion_neighborhood2,
 }
 
 

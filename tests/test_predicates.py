@@ -194,3 +194,21 @@ def test_tfidf_token_canopy_in_learner_pool_and_explode(ray_session):
     for k, d in zip(keys, out.column("doc_id").to_pylist()):
         by_doc.setdefault(d, set()).add(k)
     assert by_doc["x"] & by_doc["y"]
+
+
+def test_deletion_neighborhood2_distance2():
+    """L6 radius-2: short-field values within edit distance 2 share a key."""
+    from dedupe_ray.predicates import deletion_neighborhood2 as dn2
+
+    def share(a, b):
+        return bool(set(dn2(a)) & set(dn2(b)))
+
+    assert share("60-171", "60-171")   # exact
+    assert share("60-171", "63-271")   # two substitutions
+    assert share("60-171", "6-17")     # two deletions
+    assert share("60-171", "061-171")  # insertion + transposition
+    assert share("907 01", "90701x")   # whitespace collapse + insertion
+    assert not share("60-171", "99-999")
+    # long values degrade to the depth-1 neighborhood (bounded fan-out)
+    long = "abcdefghijklmnop"
+    assert len(dn2(long)) <= len(long) + 1

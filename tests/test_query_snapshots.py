@@ -1,0 +1,68 @@
+"""Exact-output checks for the deterministic queries that have no SQL
+oracle (VERDICT r2 item #3): frozen value-hash snapshots at sf0.001.
+
+Every op here is deterministic given its seeds (minhash/simhash hash
+families, winnowing window, language profiles, the fake media decoder) and
+parallelism-invariant (verified at num_cpus 4 and 8 before freezing). A
+hash change therefore means the op's OUTPUT changed — if intentional
+(e.g. new constants), regenerate with the recipe below; if not, it's a
+regression.
+
+Regenerate: run each query at /root/testdata/sf0.001, normalize exactly as
+test_entry._normalize (sorted columns, floats rounded to 6, int64 casts,
+rows sorted), then ``int(pd.util.hash_pandas_object(df, index=False).sum())``
+(fixed-key siphash — machine-stable).
+"""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import __ray_entry__ as entrymod
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# (row_count, value_hash) — frozen 2026-08-17 (round 3)
+SNAPSHOTS = {
+    "minhash_pairs": (28, 18086921363269322730),
+    "simhash_pairs": (434, 7456101814729597156),
+    "minhash_groups": (45, 17142152284950016802),
+    "fingerprints": (500, 15585968352776156831),
+    "quality_langid": (500, 16382963264162671266),
+    "media_features": (696, 12115332766548111239),
+    "embedding_near_dup": (20, 12731899540696061886),
+}
+
+
+def _to_pandas(result):
+    import ray.data
+
+    if isinstance(result, ray.data.Dataset):
+        return result.to_pandas()
+    if isinstance(result, pa.Table):
+        return result.to_pandas()
+    return result
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].astype(np.float64).round(6)
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype(np.int64)
+        elif df[c].dtype == object:
+            df[c] = df[c].apply(
+                lambda v: str(v) if isinstance(v, (list, np.ndarray, dict)) else v
+            )
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+@pytest.mark.parametrize("name", sorted(SNAPSHOTS))
+def test_query_snapshot(name, ray_session):
+    df = _normalize(_to_pandas(entrymod.queries()[name](SF_DIR)))
+    want_rows, want_hash = SNAPSHOTS[name]
+    assert len(df) == want_rows, f"{name}: {len(df)} rows != frozen {want_rows}"
+    got = int(pd.util.hash_pandas_object(df, index=False).sum())
+    assert got == want_hash, f"{name}: value hash drifted from frozen snapshot"
