@@ -64,13 +64,13 @@ def _popcount64(x: np.ndarray) -> np.ndarray:
 
 def add_content_hash(batch: pa.Table, column: str = "text", out: str = "content_hash") -> pa.Table:
     """Vectorized 64-bit content hash of a string column (keyed on the exact
-    bytes; whitespace-sensitive — exact dedup semantics)."""
-    vals = pc.fill_null(batch.column(column), "").to_pylist()
-    h = np.fromiter(
-        ((zlib.crc32(v.encode()) << 32) | zlib.adler32(v.encode()) for v in vals),
-        np.uint64,
-        len(vals),
-    )
+    bytes; whitespace-sensitive — exact dedup semantics). Fixed-key siphash
+    via pandas (C per-string, cross-process deterministic); collisions are
+    handled downstream by comparing the actual values."""
+    import pandas as pd
+
+    vals = pc.fill_null(batch.column(column), "").to_numpy(zero_copy_only=False)
+    h = pd.util.hash_array(vals)
     return batch.append_column(out, pa.array(h, pa.uint64()))
 
 
@@ -109,9 +109,9 @@ def exact_dedup(
         # the actual values (python-level, but only at collision positions)
         ties = np.nonzero(~keep[1:])[0] + 1
         if len(ties):
-            vals = g.column(column).to_pylist()
+            vcol = g.column(column)
             for i in ties:
-                keep[i] = vals[i] != vals[i - 1]
+                keep[i] = vcol[int(i)].as_py() != vcol[int(i) - 1].as_py()
         return g.filter(pa.array(keep)).drop_columns(["content_hash", "hbucket"])
 
     return hashed.groupby("hbucket").map_groups(_keep_min_id, batch_format="pyarrow")
@@ -516,12 +516,15 @@ def simhash_pairs(
                     out_a.extend(ids[s + iu[keep]].tolist())
                     out_b.extend(ids[s + ju[keep]].tolist())
                     out_h.append(ham[keep])
+        import pandas as pd
+
         ham_all = np.concatenate(out_h) if out_h else np.zeros(0, np.int32)
-        pbucket = np.fromiter(
-            (zlib.crc32(f"{a}\x1f{b}".encode()) % N_BUCKETS for a, b in zip(out_a, out_b)),
-            np.int32,
-            len(out_a),
-        )
+        if out_a:
+            ha = pd.util.hash_array(np.asarray(out_a, object))
+            hb = pd.util.hash_array(np.asarray(out_b, object))
+            pbucket = ((ha * np.uint64(31) + hb) % np.uint64(N_BUCKETS)).astype(np.int32)
+        else:
+            pbucket = np.zeros(0, np.int32)
         n_pairs = len(out_a)
         return pa.table(
             {
@@ -541,11 +544,17 @@ def simhash_pairs(
     oversized = raw.filter(expr="oversized == 1").select_columns(["over_tbl", "n_members"])
 
     def dedup_bucket(group: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        df = group.select(["id_a", "id_b", "hamming"]).to_pandas()
-        df = df.drop_duplicates(subset=["id_a", "id_b"])
-        return pa.Table.from_pandas(df, preserve_index=False)
+        t = group.select(["id_a", "id_b", "hamming"]).sort_by(
+            [("id_a", "ascending"), ("id_b", "ascending")]
+        )
+        if len(t) < 2:
+            return t
+        a = _one_chunk(t.column("id_a"))
+        b = _one_chunk(t.column("id_b"))
+        neq = pc.not_equal(a.slice(1), a.slice(0, len(a) - 1)).to_numpy(zero_copy_only=False) | \
+            pc.not_equal(b.slice(1), b.slice(0, len(b) - 1)).to_numpy(zero_copy_only=False)
+        keep = np.concatenate(([True], neq))
+        return t if keep.all() else t.take(pa.array(np.nonzero(keep)[0]))
 
     pairs = (
         raw.filter(expr="oversized == 0")

@@ -139,19 +139,20 @@ class FrameSample:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         refs = batch.column("media_ref").to_pylist()
-        out_cols = {c: [] for c in batch.column_names}
-        ts = []
+        n = len(refs)
+        k = self.n_frames
+        # per-row seeded duration: only the scalar rng runs per row; the
+        # row fan-out itself is one vectorized take (no as_py copies)
+        durations = np.empty(n, np.float64)
         for i, r in enumerate(refs):
             rng = np.random.RandomState(zlib.crc32((r or "").encode()) ^ 0x5EED)
-            duration = float(rng.randint(2, 600))
-            stamps = np.linspace(0.0, duration, self.n_frames + 2)[1:-1]
-            for t in stamps:
-                for c in batch.column_names:
-                    out_cols[c].append(batch.column(c)[i].as_py())
-                ts.append(round(float(t), 3))
-        data = {c: pa.array(v) for c, v in out_cols.items()}
-        data["frame_ts"] = pa.array(ts, pa.float64())
-        return pa.table(data)
+            durations[i] = float(rng.randint(2, 600))
+        stamps = np.stack(
+            [np.linspace(0.0, d, k + 2)[1:-1] for d in durations]
+        ) if n else np.zeros((0, k))
+        ts = np.round(stamps.reshape(-1), 3)
+        out = batch.take(pa.array(np.repeat(np.arange(n, dtype=np.int64), k)))
+        return out.append_column("frame_ts", pa.array(ts, pa.float64()))
 
 
 def media_feature_pipeline(
