@@ -15,20 +15,42 @@ from dataclasses import dataclass, field as dc_field
 # output semantics, so kept verbatim.
 MISSING = "N/A"
 
-FIELD_TYPES = ("String", "Text", "Price", "DateTime", "Exact")
+FIELD_TYPES = (
+    # call-site types (dedupe_script.py:273-286)
+    "String", "Text", "Price", "DateTime", "Exact",
+    # library-only variable types ([lib: dedupe/variables/*], SURVEY §1.2)
+    "ShortString", "Categorical", "LatLong", "Set", "Interaction", "Exists",
+)
 
 
 @dataclass(frozen=True)
 class FieldConfig:
-    """One matching field (reference variable definition, dedupe_script.py:266-286)."""
+    """One matching field (reference variable definition, dedupe_script.py:266-286).
+
+    ``categories`` is required for Categorical (the declared category list,
+    [lib: dedupe/variables/categorical_type.py]); ``interaction_fields``
+    names the member fields of an Interaction variable ([lib:
+    dedupe/variables/interaction.py] — the feature is the product of the
+    members' primary features)."""
 
     field: str
     type: str = "String"
     has_missing: bool = True
+    categories: tuple[str, ...] | None = None
+    interaction_fields: tuple[str, ...] | None = None
 
     def __post_init__(self) -> None:
         if self.type not in FIELD_TYPES:
             raise ValueError(f"unknown field type {self.type!r}; one of {FIELD_TYPES}")
+        if self.type == "Categorical" and not self.categories:
+            raise ValueError("Categorical fields require a declared category list")
+        if self.type == "Interaction" and not self.interaction_fields:
+            raise ValueError("Interaction fields require interaction_fields")
+        # JSON round-trips lists; dataclass equality/persistence want tuples
+        if self.categories is not None and not isinstance(self.categories, tuple):
+            object.__setattr__(self, "categories", tuple(self.categories))
+        if self.interaction_fields is not None and not isinstance(self.interaction_fields, tuple):
+            object.__setattr__(self, "interaction_fields", tuple(self.interaction_fields))
 
 
 @dataclass
@@ -78,13 +100,14 @@ class EngineConfig:
     # L2 regularization strength for the pairwise logistic classifier
     # (sklearn LogisticRegression C=1.0 equivalent: lambda = 1/C).
     l2_lambda: float = 1.0
-    # Hard-negative audit: number of synthetic same-address different-name
-    # pairs added as distinct labels at classifier fit time (0 disables).
-    # Symmetric to the typo audit: a ~100-pair label set almost never
-    # samples the "shared name frame + same postal/city, different coined
-    # token" NON-duplicate class, so the classifier over-credits the shared
-    # frame (the round-2 2M residual: 2,746 such extra pairs).
-    hard_negative_audit: int = 150
+    # Hard-negative audit: number of synthetic name-frame-swap distinct
+    # pairs added at classifier fit time (0 disables). Measured at 2M docs
+    # (round 3): precision 0.9939 → 0.9892 with the audit ON — the
+    # negatives teach "name match alone is insufficient", shifting weight
+    # onto address agreement, but the residual extra-pair class SHARES
+    # postal+city, so it scores even higher. Default stays 0; the
+    # mechanism is kept for corpora where name-only collisions dominate.
+    hard_negative_audit: int = 0
     # Random seed for sampling stages.
     seed: int = 42
 

@@ -252,3 +252,45 @@ def tfidf_cosine_batch(a: list[str], b: list[str], idf: dict[str, float], defaul
         if na > 0 and nb > 0:
             out[i] = num / math.sqrt(na * nb)
     return out
+
+
+def haversine_batch(a: list[str], b: list[str]) -> np.ndarray:
+    """LatLong distance ([lib: dedupe/variables/latlong.py], which uses the
+    haversine formula): values are "lat,lon" strings (this engine's cells
+    are strings by the preprocess contract); output is great-circle
+    distance in units of earth radii (same monotone shape as the
+    reference's km — the classifier rescales via its weight). Unparseable
+    values yield NaN (masked to 0 + missing indicator upstream)."""
+
+    def parse(vals: list[str]) -> np.ndarray:
+        out = np.full((len(vals), 2), np.nan)
+        for i, v in enumerate(vals):
+            try:
+                lat, lon = (v or "").split(",", 1)
+                out[i, 0] = float(lat)
+                out[i, 1] = float(lon)
+            except (ValueError, AttributeError):
+                pass
+        return np.radians(out)
+
+    pa_ = parse(a)
+    pb_ = parse(b)
+    dlat = pb_[:, 0] - pa_[:, 0]
+    dlon = pb_[:, 1] - pa_[:, 1]
+    h = np.sin(dlat / 2) ** 2 + np.cos(pa_[:, 0]) * np.cos(pb_[:, 0]) * np.sin(dlon / 2) ** 2
+    return 2 * np.arcsin(np.sqrt(np.clip(h, 0, 1)))
+
+
+def jaccard_set_batch(a: list[str], b: list[str]) -> np.ndarray:
+    """Set similarity ([lib: dedupe/variables/set.py] — the reference uses a
+    TF-IDF-weighted set cosine; plain Jaccard over whitespace/comma-split
+    elements is the documented unweighted stand-in): |A∩B| / |A∪B| in
+    [0, 1], a SIMILARITY (positive classifier weight)."""
+    out = np.zeros(len(a), np.float64)
+    split = re.compile(r"[,\s]+")
+    for i, (x, y) in enumerate(zip(a, b)):
+        sx = {t for t in split.split((x or "").strip()) if t}
+        sy = {t for t in split.split((y or "").strip()) if t}
+        if sx and sy:
+            out[i] = len(sx & sy) / len(sx | sy)
+    return out

@@ -20,25 +20,58 @@ from dedupe_ray.distances import (
     affine_gap_batch,
     datetime_distance_batch,
     exact_distance_batch,
+    haversine_batch,
+    jaccard_set_batch,
     price_distance_batch,
     tfidf_cosine_batch,
 )
 
 
+def _cat_pairs(cats: tuple[str, ...]) -> list[tuple[str, str]]:
+    out = []
+    for i in range(len(cats)):
+        for j in range(i + 1, len(cats)):
+            out.append((cats[i], cats[j]))
+    return out
+
+
+def field_feature_names(f: FieldConfig) -> list[str]:
+    """Feature columns contributed by one field (in layout order)."""
+    if f.type == "Categorical":
+        return [f"cat_{f.field}_same"] + [
+            f"cat_{f.field}_{a}|{b}" for a, b in _cat_pairs(f.categories or ())
+        ]
+    if f.type == "Exists":
+        return [f"ex_{f.field}_both", f"ex_{f.field}_one"]
+    if f.type == "Interaction":
+        return [f"inter_{f.field}"]
+    return [f"d_{f.field}"]
+
+
+def _indicator_fields(config: EngineConfig) -> list[FieldConfig]:
+    """Fields that get a missing-indicator column: has_missing, except
+    Exists (missing IS its feature) and Interaction (no own value)."""
+    return [
+        f for f in config.fields
+        if f.has_missing and f.type not in ("Exists", "Interaction")
+    ]
+
+
 def feature_names(config: EngineConfig) -> list[str]:
     names = []
     for f in config.fields:
-        names.append(f"d_{f.field}")
-    for f in config.fields:
-        if f.has_missing:
-            names.append(f"miss_{f.field}")
+        names.extend(field_feature_names(f))
+    for f in _indicator_fields(config):
+        names.append(f"miss_{f.field}")
     return names
 
 
 def _field_distance(
     f: FieldConfig, a: list[str], b: list[str], idf: dict | None
 ) -> np.ndarray:
-    if f.type == "String":
+    if f.type in ("String", "ShortString"):
+        # [lib] ShortString shares the affine-gap comparator; it differs in
+        # predicate eligibility (no canopy indexes), not in the distance
         return affine_gap_batch(a, b)
     if f.type == "Exact":
         return exact_distance_batch(a, b)
@@ -46,10 +79,42 @@ def _field_distance(
         return price_distance_batch(a, b)
     if f.type == "DateTime":
         return datetime_distance_batch(a, b)
+    if f.type == "LatLong":
+        return haversine_batch(a, b)
+    if f.type == "Set":
+        return jaccard_set_batch(a, b)
     if f.type == "Text":
         table = idf or {}
         return tfidf_cosine_batch(a, b, table.get("idf", {}), table.get("default_idf", 1.0))
     raise ValueError(f.type)
+
+
+def _categorical_block(
+    f: FieldConfig, ca, cb, miss: np.ndarray
+) -> np.ndarray:
+    """[lib: dedupe/variables/categorical_type.py] dummy expansion: one
+    'same category' column + one column per unordered category pair.
+    Vectorized via searchsorted over the declared categories; values
+    outside the declared set (or missing) leave every dummy at 0."""
+    cats = np.array(sorted(f.categories or ()), object)
+    pairs = _cat_pairs(f.categories or ())
+    pair_idx = {frozenset(p): i for i, p in enumerate(pairs)}
+    n = len(miss)
+    out = np.zeros((n, 1 + len(pairs)), np.float32)
+    a_vals = np.asarray(ca.to_pylist(), object)
+    b_vals = np.asarray(cb.to_pylist(), object)
+    ia = np.searchsorted(cats, a_vals)
+    ib = np.searchsorted(cats, b_vals)
+    ia_c = np.minimum(ia, len(cats) - 1)
+    ib_c = np.minimum(ib, len(cats) - 1)
+    va = (ia < len(cats)) & (cats[ia_c] == a_vals) & ~miss
+    vb = (ib < len(cats)) & (cats[ib_c] == b_vals) & ~miss
+    ok = va & vb
+    same = ok & (a_vals == b_vals)
+    out[same, 0] = 1.0
+    for r in np.nonzero(ok & ~same)[0]:
+        out[r, 1 + pair_idx[frozenset((a_vals[r], b_vals[r]))]] = 1.0
+    return out
 
 
 def _miss_mask(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
@@ -68,39 +133,72 @@ def pair_features(
     Missing detection is vectorized in pyarrow; the (expensive) distance
     kernel only runs on rows where both sides are present."""
     n = len(batch)
-    cols: list[np.ndarray] = []
+    blocks: list[np.ndarray] = []
     missing_cols: list[np.ndarray] = []
+    primary: dict[str, np.ndarray] = {}  # field → its first feature column
+    miss_by_field: dict[str, np.ndarray] = {}
+    interactions: list[tuple[int, FieldConfig]] = []
     for f in config.fields:
+        if f.type == "Interaction":
+            blocks.append(np.zeros((n, 1), np.float32))  # filled below
+            interactions.append((len(blocks) - 1, f))
+            continue
         ca = batch.column(f"a_{f.field}")
         cb = batch.column(f"b_{f.field}")
         miss = _miss_mask(ca) | _miss_mask(cb)
-        d = np.zeros(n, np.float32)
-        idx = np.nonzero(~miss)[0]
-        if idx.size:
-            a_all = ca.to_pylist()
-            b_all = cb.to_pylist()
-            a = [a_all[i] for i in idx]
-            b = [b_all[i] for i in idx]
-            dv = _field_distance(f, a, b, (idf_tables or {}).get(f.field))
-            d[idx] = np.nan_to_num(dv, nan=0.0, posinf=0.0, neginf=0.0).astype(np.float32)
-        cols.append(d)
-        if f.has_missing:
-            missing_cols.append(miss.astype(np.float32))
-    return np.column_stack(cols + missing_cols).astype(np.float32)
+        miss_by_field[f.field] = miss
+        if f.type == "Exists":
+            # [lib: dedupe/variables/exists.py]: presence-pattern dummies;
+            # both-missing is the reference level
+            ma = _miss_mask(ca)
+            mb = _miss_mask(cb)
+            block = np.column_stack(
+                [(~ma & ~mb).astype(np.float32), (ma ^ mb).astype(np.float32)]
+            )
+        elif f.type == "Categorical":
+            block = _categorical_block(f, ca, cb, miss)
+        else:
+            d = np.zeros(n, np.float32)
+            idx = np.nonzero(~miss)[0]
+            if idx.size:
+                a_all = ca.to_pylist()
+                b_all = cb.to_pylist()
+                a = [a_all[i] for i in idx]
+                b = [b_all[i] for i in idx]
+                dv = _field_distance(f, a, b, (idf_tables or {}).get(f.field))
+                d[idx] = np.nan_to_num(dv, nan=0.0, posinf=0.0, neginf=0.0).astype(np.float32)
+            block = d.reshape(-1, 1)
+        blocks.append(block.astype(np.float32))
+        primary[f.field] = blocks[-1][:, 0]
+    # Interaction = product of the member fields' primary features
+    # ([lib: dedupe/variables/interaction.py])
+    for bi, f in interactions:
+        prod = np.ones(n, np.float32)
+        for g in f.interaction_fields or ():
+            prod = prod * primary.get(g, np.zeros(n, np.float32))
+        blocks[bi] = prod.reshape(-1, 1)
+    for f in _indicator_fields(config):
+        missing_cols.append(miss_by_field[f.field].astype(np.float32).reshape(-1, 1))
+    return np.column_stack([b for b in blocks + missing_cols]).astype(np.float32)
 
 
 def monotone_feature_dims(config: EngineConfig) -> tuple[list[int], list[int]]:
     """Sign constraints for the classifier, per the pair_features layout
-    (distances first, then missing indicators): String/Price/DateTime
-    comparators are DISTANCES (weight ≤ 0), Exact/Text are SIMILARITIES
-    (weight ≥ 0). Indicators stay unconstrained."""
+    (field feature blocks in field order, then missing indicators):
+    String/ShortString/Price/DateTime/LatLong comparators are DISTANCES
+    (weight ≤ 0), Exact/Text/Set are SIMILARITIES (weight ≥ 0);
+    Categorical/Exists/Interaction dummies and the indicators stay
+    unconstrained."""
     neg: list[int] = []
     pos: list[int] = []
-    for i, f in enumerate(config.fields):
-        if f.type in ("Exact", "Text"):
+    i = 0
+    for f in config.fields:
+        k = len(field_feature_names(f))
+        if f.type in ("Exact", "Text", "Set"):
             pos.append(i)
-        else:
+        elif f.type in ("String", "ShortString", "Price", "DateTime", "LatLong"):
             neg.append(i)
+        i += k
     return neg, pos
 
 

@@ -352,7 +352,17 @@ class RayDeduper:
         state = {
             "config": {
                 "fields": [
-                    {"field": f.field, "type": f.type, "has_missing": f.has_missing}
+                    {
+                        "field": f.field,
+                        "type": f.type,
+                        "has_missing": f.has_missing,
+                        **({"categories": list(f.categories)} if f.categories else {}),
+                        **(
+                            {"interaction_fields": list(f.interaction_fields)}
+                            if f.interaction_fields
+                            else {}
+                        ),
+                    }
                     for f in self.config.fields
                 ],
             },

@@ -126,3 +126,22 @@ def test_active_learner_protocol(small_corpus):
     ys = sum(1 for _, l in deduper.labeled if l)
     ns = sum(1 for _, l in deduper.labeled if not l)
     assert n >= 15 and ys >= 2 and ns >= 2
+
+
+def test_hard_negative_audit_mechanism(small_corpus):
+    """The hard-negative generator produces truth-consistent frame-swap
+    pairs and train() folds them in when enabled (default is 0 — measured
+    at 2M it LOWERS precision on this corpus family; see config.py)."""
+    from dedupe_ray.learning import hard_negative_pairs
+
+    docs, truth = small_corpus
+    recs = [
+        {"Name 1": f"vogel {w} sp. z o.o.", "City": "warsaw", "Postal Code": f"0{i}-100"}
+        for i, w in enumerate(["alfa", "beta", "gamma", "delta"])
+    ]
+    negs = hard_negative_pairs(recs, ["Name 1", "City", "Postal Code"], 10)
+    assert negs
+    for a, b in negs:
+        # same first name token (the frame stem), different full name
+        assert a["Name 1"].split()[0] == b["Name 1"].split()[0]
+        assert a["Name 1"] != b["Name 1"]
