@@ -183,6 +183,141 @@ def phonetic_first_token(field: str) -> tuple[str, ...]:
     return (c,) if c else ()
 
 
+_VOWELS = "aeiou"
+
+
+def _metaphone_one(word: str) -> str:
+    """Classic Metaphone (Lawrence Philips 1990 — public algorithm),
+    standing in for the reference's doubleMetaphone C extension
+    ([lib: dedupe/predicates.py metaphoneToken]; not installable here).
+    Catches the consonant-class conflations Soundex misses (PH→F, GH
+    silences, soft C/G, SH/TIA→X, TH→0)."""
+    w = re.sub(r"[^a-z]", "", word.lower())
+    if not w:
+        return ""
+    # initial-cluster transforms
+    for pre, rep in (("ae", "e"), ("gn", "n"), ("kn", "n"), ("pn", "n"),
+                     ("wr", "r"), ("wh", "w")):
+        if w.startswith(pre):
+            w = rep + w[len(pre):]
+            break
+    if w[0] == "x":
+        w = "s" + w[1:]
+    out = []
+    n = len(w)
+    i = 0
+    while i < n:
+        c = w[i]
+        # drop duplicate adjacent letters except c
+        if c != "c" and i > 0 and w[i - 1] == c:
+            i += 1
+            continue
+        nxt = w[i + 1] if i + 1 < n else ""
+        nxt2 = w[i + 2] if i + 2 < n else ""
+        if c in _VOWELS:
+            if i == 0:
+                out.append(c.upper())
+        elif c == "b":
+            if not (i == n - 1 and i > 0 and w[i - 1] == "m"):
+                out.append("B")
+        elif c == "c":
+            if nxt == "i" and nxt2 == "a":
+                out.append("X")
+            elif nxt == "h":
+                out.append("K" if i > 0 and w[i - 1] == "s" else "X")
+                i += 1
+            elif nxt in "iey":
+                out.append("S")
+            else:
+                out.append("K")
+        elif c == "d":
+            if nxt == "g" and nxt2 in "eiy":
+                out.append("J")
+                i += 2
+            else:
+                out.append("T")
+        elif c == "g":
+            if nxt == "h":
+                if i + 2 < n and w[i + 2] in _VOWELS:
+                    out.append("K")
+                i += 1  # else silent (gh at end / before consonant)
+            elif nxt == "n":
+                pass  # silent (gn, gned)
+            elif nxt in "iey":
+                out.append("J")
+            else:
+                out.append("K")
+        elif c == "h":
+            if i > 0 and w[i - 1] in _VOWELS and nxt not in _VOWELS:
+                pass  # silent
+            else:
+                out.append("H")
+        elif c == "k":
+            if not (i > 0 and w[i - 1] == "c"):
+                out.append("K")
+        elif c == "p":
+            if nxt == "h":
+                out.append("F")
+                i += 1
+            else:
+                out.append("P")
+        elif c == "q":
+            out.append("K")
+        elif c == "s":
+            if nxt == "h":
+                out.append("X")
+                i += 1
+            elif nxt == "i" and nxt2 in "oa":
+                out.append("X")
+            else:
+                out.append("S")
+        elif c == "t":
+            if nxt == "i" and nxt2 in "oa":
+                out.append("X")
+            elif nxt == "h":
+                out.append("0")
+                i += 1
+            elif nxt == "c" and nxt2 == "h":
+                pass  # silent in -tch-
+            else:
+                out.append("T")
+        elif c == "v":
+            out.append("F")
+        elif c == "w":
+            if nxt in _VOWELS:
+                out.append("W")
+        elif c == "x":
+            out.append("KS")
+        elif c == "y":
+            if nxt in _VOWELS:
+                out.append("Y")
+        elif c == "z":
+            out.append("S")
+        elif c in "flmnr":
+            out.append(c.upper())
+        elif c == "j":
+            out.append("J")
+        i += 1
+    # collapse equal adjacent output codes (dt → TT → T etc.) — input-level
+    # dedup alone misses clusters that map to the same code
+    code = "".join(out)
+    return re.sub(r"(.)\1+", r"\1", code)
+
+
+def metaphone_token(field: str) -> tuple[str, ...]:
+    """Metaphone per token (closer stand-in for metaphoneToken than the
+    Soundex 'phonetic' predicate, which is kept for settings compat)."""
+    return tuple({_metaphone_one(t) for t in _WORDS.findall(field) if _metaphone_one(t)})
+
+
+def metaphone_first_token(field: str) -> tuple[str, ...]:
+    m = _START_WORD.match(field)
+    if not m:
+        return ()
+    c = _metaphone_one(m.group(1))
+    return (c,) if c else ()
+
+
 def deletion_neighborhood(field: str) -> tuple[str, ...]:
     """L6 stand-in: FastSS/SymSpell-style single-deletion neighborhood
     (public: Bocek et al. 2007 "Fast Similarity Search in Large
@@ -249,6 +384,8 @@ SIMPLE_PREDICATES: dict[str, PredicateFn] = {
     "phonetic1": phonetic_first_token,
     "del1": deletion_neighborhood,
     "del2": deletion_neighborhood2,
+    "mphone": metaphone_token,
+    "mphone1": metaphone_first_token,
 }
 
 

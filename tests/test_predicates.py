@@ -212,3 +212,26 @@ def test_deletion_neighborhood2_distance2():
     # long values degrade to the depth-1 neighborhood (bounded fan-out)
     long = "abcdefghijklmnop"
     assert len(dn2(long)) <= len(long) + 1
+
+
+def test_metaphone_conflations():
+    """Metaphone (Philips 1990) catches consonant-class variants Soundex
+    misses or mis-groups."""
+    from dedupe_ray.predicates import _metaphone_one as m
+
+    assert m("philip") == m("filip")          # PH -> F
+    assert m("night") == m("nite")            # GH silent
+    assert m("schmidt") == m("schmitt")       # D/T conflate
+    assert m("wright") == m("rite")           # WR -> R, GH silent
+    assert m("catherine") == m("katherine")   # hard C/K
+    assert m("xavier")[0] == "S"              # initial X -> S
+    assert m("knight") == m("night")          # KN -> N
+    assert m("smith") != m("smid")            # TH (0) vs D (T) differ
+    assert m("") == ""
+
+
+def test_metaphone_token_predicate():
+    from dedupe_ray.predicates import metaphone_token
+
+    assert set(metaphone_token("philip morris")) & set(metaphone_token("filip morys"))
+    assert metaphone_token("") == ()
