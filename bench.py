@@ -45,9 +45,12 @@ def _sf_of(sf_dir: str) -> float:
 
 
 def _settings_path(n_docs: int) -> str:
-    # v2: sign-constrained classifier + reachability-backstopped predicate
-    # cover (round 2) — stale v1 checkpoints must not be reused
-    return os.path.join(_SETTINGS_DIR, f"settings_n{n_docs}_s42_v3.json")
+    # Suffix bumps whenever the predicate pool or classifier/feature
+    # semantics change (a cached file would load but encode a model a cold
+    # run can no longer learn): v2 sign-constrained classifier + cover
+    # backstop; v3 mphone/del2/token-canopy pool; v4 token-alignment
+    # feature column on auto-detected String fields.
+    return os.path.join(_SETTINGS_DIR, f"settings_n{n_docs}_s42_v4.json")
 
 
 def _ensure_trained(n_docs: int, docs_path: str, truth_path: str) -> float:

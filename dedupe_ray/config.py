@@ -38,10 +38,17 @@ class FieldConfig:
     has_missing: bool = True
     categories: tuple[str, ...] | None = None
     interaction_fields: tuple[str, ...] | None = None
+    # Adds a second feature column (`ta_<field>`): worst-token alignment
+    # distance (distances.token_align_batch) — separates "a token was
+    # corrupted" (duplicate) from "a token was replaced" (distinct entity
+    # sharing the surrounding name frame). String-family fields only.
+    token_align: bool = False
 
     def __post_init__(self) -> None:
         if self.type not in FIELD_TYPES:
             raise ValueError(f"unknown field type {self.type!r}; one of {FIELD_TYPES}")
+        if self.token_align and self.type not in ("String", "ShortString", "Text"):
+            raise ValueError("token_align applies to String/ShortString/Text fields")
         if self.type == "Categorical" and not self.categories:
             raise ValueError("Categorical fields require a declared category list")
         if self.type == "Interaction" and not self.interaction_fields:
@@ -117,7 +124,13 @@ class EngineConfig:
     @staticmethod
     def auto_detect(columns: list[str]) -> "EngineConfig":
         """Reference field auto-detection: every column becomes a String field
-        with has_missing=True (backend/dedupe_script.py:159-162)."""
+        with has_missing=True (backend/dedupe_script.py:159-162). This engine
+        additionally enables the token-alignment feature column on every
+        auto-detected String field (no reference counterpart; see
+        FieldConfig.token_align)."""
         return EngineConfig(
-            fields=[FieldConfig(field=c, type="String", has_missing=True) for c in columns]
+            fields=[
+                FieldConfig(field=c, type="String", has_missing=True, token_align=True)
+                for c in columns
+            ]
         )

@@ -24,6 +24,7 @@ from dedupe_ray.distances import (
     jaccard_set_batch,
     price_distance_batch,
     tfidf_cosine_batch,
+    token_align_batch,
 )
 
 
@@ -45,6 +46,8 @@ def field_feature_names(f: FieldConfig) -> list[str]:
         return [f"ex_{f.field}_both", f"ex_{f.field}_one"]
     if f.type == "Interaction":
         return [f"inter_{f.field}"]
+    if f.token_align:
+        return [f"d_{f.field}", f"ta_{f.field}"]
     return [f"d_{f.field}"]
 
 
@@ -159,6 +162,7 @@ def pair_features(
             block = _categorical_block(f, ca, cb, miss)
         else:
             d = np.zeros(n, np.float32)
+            ta_col = np.zeros(n, np.float32) if f.token_align else None
             idx = np.nonzero(~miss)[0]
             if idx.size:
                 a_all = ca.to_pylist()
@@ -167,7 +171,11 @@ def pair_features(
                 b = [b_all[i] for i in idx]
                 dv = _field_distance(f, a, b, (idf_tables or {}).get(f.field))
                 d[idx] = np.nan_to_num(dv, nan=0.0, posinf=0.0, neginf=0.0).astype(np.float32)
-            block = d.reshape(-1, 1)
+                if ta_col is not None:
+                    ta_col[idx] = token_align_batch(a, b)
+            block = (
+                np.column_stack([d, ta_col]) if ta_col is not None else d.reshape(-1, 1)
+            )
         blocks.append(block.astype(np.float32))
         primary[f.field] = blocks[-1][:, 0]
     # Interaction = product of the member fields' primary features
@@ -198,6 +206,8 @@ def monotone_feature_dims(config: EngineConfig) -> tuple[list[int], list[int]]:
             pos.append(i)
         elif f.type in ("String", "ShortString", "Price", "DateTime", "LatLong"):
             neg.append(i)
+        if f.token_align:
+            neg.append(i + 1)  # ta_<field> sits right after the primary; a DISTANCE
         i += k
     return neg, pos
 

@@ -362,6 +362,7 @@ class RayDeduper:
                             if f.interaction_fields
                             else {}
                         ),
+                        **({"token_align": True} if f.token_align else {}),
                     }
                     for f in self.config.fields
                 ],

@@ -120,3 +120,78 @@ def test_tfidf_cosine():
     sim = tfidf_cosine_batch(["acme gmbh", "acme"], ["acme", "gmbh"], idf, 1.0)
     assert sim[0] > 0.9  # heavy shared token dominates
     assert sim[1] == 0.0
+
+
+# ---- levenshtein_batch / token_align_batch --------------------------------
+
+
+def naive_lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[len(b)]
+
+
+def test_levenshtein_batch_matches_naive():
+    from dedupe_ray.distances import levenshtein_batch
+
+    rng = np.random.RandomState(7)
+    alpha = "abcde "
+    pairs = [
+        ("", ""), ("", "abc"), ("abc", ""), ("abc", "abc"),
+        ("kitten", "sitting"), ("flaw", "lawn"), ("gumbo", "gambol"),
+    ]
+    for _ in range(200):
+        a = "".join(rng.choice(list(alpha), rng.randint(0, 12)))
+        b = "".join(rng.choice(list(alpha), rng.randint(0, 12)))
+        pairs.append((a, b))
+    got = levenshtein_batch([p[0] for p in pairs], [p[1] for p in pairs])
+    want = [naive_lev(a, b) for a, b in pairs]
+    assert got.tolist() == want
+
+
+def test_token_align_separates_replacement_from_corruption():
+    from dedupe_ray.distances import token_align_batch
+
+    a = [
+        "zaklad marbenkor sp z o o",   # typo: transposed coined word
+        "zaklad marbenkro sp z o o",   # vs itself below
+        "zaklad marbenkor sp z o o",   # REPLACED coined word (distinct entity)
+        "przedsiebiorstwo handlowe kowalski",
+        "",                            # empty side
+        "sp z o o",                    # only short tokens on one side
+    ]
+    b = [
+        "zaklad marbenkro sp z o o",
+        "zaklad marbenkro sp z o o",
+        "zaklad tovertis sp z o o",
+        "przedsiebiorstwo handlowe kowalski gmbh",
+        "anything",
+        "sp z oo",
+    ]
+    d = token_align_batch(a, b)
+    # corruption: every token has a close counterpart
+    assert 0 < d[0] < 0.35
+    assert d[1] == 0.0
+    # replacement: the coined token has no counterpart → large distance
+    assert d[2] > 0.6
+    # extra legal-suffix token on one side is itself unmatched (gmbh)
+    assert d[3] > 0.6
+    assert d[4] == 0.0
+    # short-token fallback still yields a small distance for oo vs o
+    assert 0 < d[5] <= 0.5
+
+
+def test_token_align_symmetry_and_order_invariance():
+    from dedupe_ray.distances import token_align_batch
+
+    a = ["alpha beta gamma", "rotho GmbH"]
+    b = ["gamma alpha betta", "gmbh rotha"]
+    d1 = token_align_batch(a, b)
+    d2 = token_align_batch(b, a)
+    assert np.allclose(d1, d2)
+    # token order must not matter
+    assert np.isclose(d1[0], token_align_batch(["beta gamma alpha"], ["betta gamma alpha"])[0])

@@ -149,3 +149,55 @@ def test_settings_roundtrip_with_extended_types(tmp_path):
     loaded = RayDeduper.load_settings(path)
     assert [f.type for f in loaded.config.fields] == ["ShortString", "Categorical", "LatLong"]
     assert loaded.config.fields[1].categories == ("a", "b")
+
+
+def test_token_align_layout_and_constraints():
+    from dedupe_ray.config import EngineConfig, FieldConfig
+
+    cfg = EngineConfig(
+        fields=[
+            FieldConfig(field="name", type="String", token_align=True),
+            FieldConfig(field="city", type="String"),
+        ]
+    )
+    assert feature_names(cfg) == ["d_name", "ta_name", "d_city", "miss_name", "miss_city"]
+    neg, pos = monotone_feature_dims(cfg)
+    assert neg == [0, 1, 2] and pos == []
+    batch = pa.table(
+        {
+            "a_name": ["zaklad marbenkor", "zaklad marbenkor"],
+            "b_name": ["zaklad marbenkro", "zaklad tovertis"],
+            "a_city": ["krakow", "krakow"],
+            "b_city": ["krakow", "krakow"],
+        }
+    )
+    X = pair_features(batch, cfg)
+    assert X.shape == (2, 5)
+    assert 0 < X[0, 1] < 0.35 < 0.6 < X[1, 1]  # corruption vs replacement
+
+
+def test_token_align_settings_roundtrip(tmp_path):
+    import numpy as np
+
+    from dedupe_ray.config import EngineConfig, FieldConfig
+    from dedupe_ray.pipeline import RayDeduper
+
+    cfg = EngineConfig(fields=[FieldConfig(field="name", type="String", token_align=True)])
+    d = RayDeduper(cfg)
+    d.classifier.weights = np.zeros(len(feature_names(cfg)) + 1)
+    d.predicate_ids = ["whole|name"]
+    p = str(tmp_path / "s.json")
+    d.save_settings(p)
+    d2 = RayDeduper.load_settings(p)
+    assert d2.config.fields[0].token_align is True
+    assert feature_names(d2.config) == feature_names(cfg)
+
+
+def test_auto_detect_enables_token_align():
+    from dedupe_ray.config import EngineConfig
+
+    cfg = EngineConfig.auto_detect(["Name 1", "City"])
+    assert all(f.token_align for f in cfg.fields)
+    assert feature_names(cfg) == [
+        "d_Name 1", "ta_Name 1", "d_City", "ta_City", "miss_Name 1", "miss_City",
+    ]
