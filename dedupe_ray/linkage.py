@@ -31,13 +31,20 @@ class Gazetteer:
     """Streaming search against an indexed canonical set
     ([lib: dedupe/api.py Gazetteer] — index once, ``search`` repeatedly).
 
-    The canonical table and its block index are built ONCE (driver) and
-    broadcast via ``ray.put``; ``search`` is a single stateless
-    ``map_batches`` pass over the stream — explode the stream record's
-    block keys, look up canonical candidates in the broadcast index, score
-    against the broadcast canonical records, keep the per-record top-n.
-    No shuffle: the canonical side is the bounded one (a gazetteer), the
-    stream may be unbounded."""
+    The canonical table and its block index are broadcast ONCE via
+    ``ray.put``; ``search`` is a single stateless ``map_batches`` pass over
+    the stream — explode the stream record's block keys, look up canonical
+    candidates in the broadcast index, score against the broadcast
+    canonical records, keep the per-record top-n. No shuffle: the canonical
+    side is the bounded one (a gazetteer), the stream may be unbounded.
+
+    The index build itself is DISTRIBUTED: the block-key computation
+    (regex / phonetic / canopy predicates — the expensive part) fans out as
+    a ``map_batches`` pass over the canonical dataset; only the
+    (block_key, doc_id) edge list returns to the driver, where the index is
+    assembled as sorted fixed-width byte arrays (key array + offsets +
+    row positions) — ~10× smaller to broadcast than a dict-of-lists and
+    probed by vectorized ``np.searchsorted`` in ``search``."""
 
     def __init__(self, deduper: RayDeduper, canonical_flat_ds: "ray.data.Dataset"):
         import pyarrow as _pa
@@ -48,24 +55,49 @@ class Gazetteer:
             raise ValueError("deduper is not trained")
         self.deduper = deduper
         cfg = deduper.config
-        tbl = _pa.concat_tables(
-            [
-                t
-                for t in ray.get(
-                    canonical_flat_ds.select_columns(["doc_id"] + cfg.field_names()).to_arrow_refs()
-                )
-                if t.num_columns > 0
-            ]
-        ).combine_chunks()
+        sel = canonical_flat_ds.select_columns(["doc_id"] + cfg.field_names()).materialize()
         explode = make_block_explode_stage(
             deduper.predicate_ids, index_tables=deduper.index_tables
         )
-        keyed = explode(tbl)
-        index: dict[str, list[int]] = {}
-        pos = {d: i for i, d in enumerate(tbl.column("doc_id").to_pylist())}
-        for k, d in zip(keyed.column("block_key").to_pylist(), keyed.column("doc_id").to_pylist()):
-            index.setdefault(k, []).append(pos[d])
-        self._state_ref = ray.put((tbl, index))
+        keyed = _pa.concat_tables(
+            [
+                t
+                for t in ray.get(
+                    sel.map_batches(explode, batch_format="pyarrow").to_arrow_refs()
+                )
+                if t.num_columns > 0
+            ]
+        )
+        tbl = _pa.concat_tables(
+            [t for t in ray.get(sel.to_arrow_refs()) if t.num_columns > 0]
+        ).combine_chunks()
+
+        # sort records by encoded doc_id so (block_key, doc_id) edges map to
+        # row positions with one searchsorted — no per-row dict build
+        ids_raw = [s.encode() for s in tbl.column("doc_id").to_pylist()]
+        idw = max((len(b) for b in ids_raw), default=1) or 1
+        ids = np.asarray(ids_raw, dtype=f"S{idw}") if ids_raw else np.empty(0, "S1")
+        order = np.argsort(ids, kind="stable")
+        tbl = tbl.take(pa.array(order)).combine_chunks()
+        ids = ids[order]
+
+        kd_raw = [s.encode() for s in keyed.column("doc_id").to_pylist()]
+        kb_raw = [k.encode() for k in keyed.column("block_key").to_pylist()]
+        if kd_raw:
+            pos = np.searchsorted(ids, np.asarray(kd_raw, dtype=f"S{idw}")).astype(np.int32)
+            kw = max(len(b) for b in kb_raw) or 1
+            keys = np.asarray(kb_raw, dtype=f"S{kw}")
+            korder = np.argsort(keys, kind="stable")
+            keys_s, pos_s = keys[korder], pos[korder]
+            new = np.concatenate(([True], keys_s[1:] != keys_s[:-1]))
+            uniq_keys = keys_s[new]
+            starts = np.nonzero(new)[0]
+            offsets = np.append(starts, len(keys_s)).astype(np.int64)
+        else:
+            uniq_keys = np.empty(0, "S1")
+            offsets = np.zeros(1, np.int64)
+            pos_s = np.empty(0, np.int32)
+        self._state_ref = ray.put((tbl, uniq_keys, offsets, pos_s))
 
     def search(
         self,
@@ -98,27 +130,41 @@ class Gazetteer:
                     "score": pa.array([], pa.float32()),
                 }
             )
-            tbl, index = ray.get(state_ref)
+            tbl, uniq_keys, offsets, pos_s = ray.get(state_ref)
             explode = make_block_explode_stage(pred_ids, index_tables=index_tables)
             clf = LogisticClassifier.from_dict(model)
             keyed = explode(batch)
-            # candidate (stream row, canonical pos) pairs — the index lookup
-            # is the one per-key Python step; everything after is batched
+            if len(keyed) == 0 or len(uniq_keys) == 0:
+                return empty
+            # candidate (stream row, canonical pos) pairs — vectorized probe
+            # of the sorted broadcast key array, then a ragged gather of each
+            # hit key's canonical positions
+            kw = uniq_keys.dtype.itemsize
+            kb_raw = [k.encode() for k in keyed.column("block_key").to_pylist()]
+            # probes longer than the stored width cannot match (S-dtype would
+            # silently truncate, so mask them invalid instead)
+            lens_ok = np.fromiter((len(b) <= kw for b in kb_raw), bool, len(kb_raw))
+            probe = np.asarray(kb_raw, dtype=f"S{kw}")
+            ki = np.searchsorted(uniq_keys, probe)
+            ki_c = np.minimum(ki, len(uniq_keys) - 1)
+            valid = lens_ok & (ki < len(uniq_keys)) & (uniq_keys[ki_c] == probe)
             pos = {d: i for i, d in enumerate(batch.column("doc_id").to_pylist())}
-            rows_l: list[int] = []
-            cans_l: list[int] = []
-            for k, d in zip(
-                keyed.column("block_key").to_pylist(), keyed.column("doc_id").to_pylist()
-            ):
-                hits = index.get(k)
-                if hits:
-                    rows_l.extend([pos[d]] * len(hits))
-                    cans_l.extend(hits)
-            if not rows_l:
+            row_ids = np.fromiter(
+                (pos[d] for d in keyed.column("doc_id").to_pylist()), np.int64, len(keyed)
+            )
+            ki_v, row_v = ki_c[valid], row_ids[valid]
+            if not len(ki_v):
+                return empty
+            counts = offsets[ki_v + 1] - offsets[ki_v]
+            rows_l = np.repeat(row_v, counts)
+            csum = np.cumsum(counts)
+            ragged = np.arange(csum[-1]) - np.repeat(csum - counts, counts)
+            cans_l = pos_s[np.repeat(offsets[ki_v], counts) + ragged]
+            if not len(rows_l):
                 return empty
             n_can = len(tbl)
             codes = np.unique(
-                np.asarray(rows_l, np.int64) * n_can + np.asarray(cans_l, np.int64)
+                rows_l.astype(np.int64) * n_can + cans_l.astype(np.int64)
             )
             row_idx = codes // n_can
             can_idx = codes % n_can
