@@ -611,6 +611,86 @@ def _q_media_features(sf_dir: str):
     return media_feature_pipeline(ds, fake_decode=True)
 
 
+def _exact_link_deduper():
+    """Hand-weighted deduper over two Exact fields — score is a closed-form
+    function of field equality, so the L20 linkage machinery (blocking →
+    assembly → scoring → reduction) gets a REAL DuckDB oracle through the
+    driver contract. The learned-model linkage paths are covered by
+    tests/test_linkage.py; this pins the distributed plumbing."""
+    from dedupe_ray.config import EngineConfig, FieldConfig
+    from dedupe_ray.pipeline import RayDeduper
+
+    cfg = EngineConfig(
+        fields=[
+            FieldConfig("custkey", "Exact", has_missing=False),
+            FieldConfig("priority", "Exact", has_missing=False),
+        ]
+    )
+    ded = RayDeduper(cfg)
+    ded.predicate_ids = ["whole|custkey"]
+    ded.classifier.weights = np.array([4.0, 1.0])
+    ded.classifier.bias = -2.0
+    return ded
+
+
+def _link_sides(sf_dir: str):
+    """Stream side = orders (doc_id=o_orderkey), canonical side = customer
+    (doc_id=c_custkey). Shared fields: custkey (always equal inside a
+    block) and a derived single-char 'priority' that matches ~1/5 of the
+    time, so scores vary per pair."""
+    import pyarrow.compute as pc
+
+    def shape_orders(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pc.cast(b.column("o_orderkey"), pa.string()),
+                "custkey": pc.cast(b.column("o_custkey"), pa.string()),
+                "priority": pc.utf8_slice_codeunits(b.column("o_orderpriority"), 0, 1),
+            }
+        )
+
+    def shape_customer(b: pa.Table) -> pa.Table:
+        nk = b.column("c_nationkey").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": pc.cast(b.column("c_custkey"), pa.string()),
+                "custkey": pc.cast(b.column("c_custkey"), pa.string()),
+                "priority": pa.array((nk % 5).astype(str)),
+            }
+        )
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderpriority"]).map_batches(
+        shape_orders, batch_format="pyarrow"
+    )
+    customer = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
+        shape_customer, batch_format="pyarrow"
+    )
+    return orders, customer
+
+
+def _q_gazetteer_link(sf_dir: str):
+    """L20 Gazetteer: index the customer table once (distributed block-key
+    pass + broadcast), stream orders through ``search`` — best canonical
+    match per stream record."""
+    from dedupe_ray.linkage import Gazetteer
+
+    orders, customer = _link_sides(sf_dir)
+    gaz = Gazetteer(_exact_link_deduper(), customer)
+    return gaz.search(orders, threshold=0.5, n_matches=1)
+
+
+def _q_record_link(sf_dir: str):
+    """L20 RecordLink one_to_one: greedy highest-score-first mutual
+    assignment orders↔customer (each order has exactly one candidate, so
+    the greedy result is the per-customer argmax — SQL-expressible)."""
+    from dedupe_ray.linkage import link_records
+
+    orders, customer = _link_sides(sf_dir)
+    return link_records(
+        orders, customer, _exact_link_deduper(), threshold=0.5, match_mode="one_to_one"
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "er_clusters": _q_er_clusters,
@@ -641,6 +721,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_groups": _q_minhash_groups,
         "fingerprints": _q_fingerprints,
         "ivf_topk_full_probe": _q_ivf_topk_full_probe,
+        "gazetteer_link": _q_gazetteer_link,
+        "record_link_one_to_one": _q_record_link,
     }
 
 
@@ -813,5 +895,34 @@ def oracle_sql() -> dict[str, str]:
                 FROM embeddings e CROSS JOIN q
             )
             SELECT query_id, vec_id, rank FROM scored WHERE rank < 10
+        """,
+        # Exact-field linkage (closed-form score = sigmoid(-2 + 4*[custkey
+        # eq] + 1*[priority eq]); inside a custkey block the key term is
+        # always 4). Scores are float32 on the Ray side → CAST AS REAL.
+        "gazetteer_link": """
+            SELECT CAST(o_orderkey AS VARCHAR) AS doc_id,
+                   CAST(c_custkey AS VARCHAR) AS match_id,
+                   CAST(1/(1+exp(-(2.0 + CASE
+                       WHEN substr(o_orderpriority, 1, 1) = CAST(c_nationkey % 5 AS VARCHAR)
+                       THEN 1.0 ELSE 0.0 END))) AS REAL) AS score
+            FROM orders JOIN customer ON o_custkey = c_custkey
+        """,
+        # one_to_one greedy: each order has exactly one candidate customer,
+        # so the highest-score-first assignment reduces to the per-customer
+        # argmax (ties to the smallest order id, string order).
+        "record_link_one_to_one": """
+            WITH scored AS (
+                SELECT CAST(o_orderkey AS VARCHAR) AS id_a,
+                       CAST(c_custkey AS VARCHAR) AS id_b,
+                       CAST(1/(1+exp(-(2.0 + CASE
+                           WHEN substr(o_orderpriority, 1, 1) = CAST(c_nationkey % 5 AS VARCHAR)
+                           THEN 1.0 ELSE 0.0 END))) AS REAL) AS score
+                FROM orders JOIN customer ON o_custkey = c_custkey
+            )
+            SELECT id_a, id_b, score FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY id_b ORDER BY score DESC, id_a ASC
+                ) AS rn FROM scored
+            ) WHERE rn = 1
         """,
     }
