@@ -334,23 +334,29 @@ def _q_union_mapped(sf_dir: str):
 
 
 def _q_semi_join_heavy_users(sf_dir: str):
-    """Events of users with ≥ 10 events — broadcast semi-join."""
+    """Events of users with ≥ 10 events — broadcast semi-join below the
+    key limit, one bucketed shuffle above it."""
+    import os
+
     import ray
     from ray.data.aggregate import Count
 
-    BROADCAST_LIMIT = 5_000_000
+    BROADCAST_LIMIT = int(
+        os.environ.get("DEDUPE_RAY_SEMI_JOIN_BROADCAST_LIMIT", 5_000_000)
+    )
     ev = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "value"])
     counts = ev.groupby("user_id").aggregate(Count(alias_name="n"))
     heavy_ds = counts.filter(expr="n >= 10")
     n_keys = heavy_ds.count()
     if n_keys > BROADCAST_LIMIT:
-        # scale path: semi-join via inner hash join on the key table
+        # scale path: semi-join = bucketed lookup join appending no columns
+        # (Dataset.join stalls on empty hash partitions — NOTES_r2 landmine)
+        from dedupe_ray.joins import bucketed_lookup_join
+
         keys = heavy_ds.map_batches(
             lambda t: pa.table({"user_id": t.column("user_id")}), batch_format="pyarrow"
         )
-        return ev.join(
-            keys, join_type="inner", num_partitions=max(32, n_keys // 1_000_000), on=("user_id",)
-        )
+        return bucketed_lookup_join(ev, keys, "user_id", "user_id", [])
     heavy = {r["user_id"] for r in heavy_ds.take_all()}
     ref = ray.put(heavy)
 

@@ -531,8 +531,6 @@ def cluster_edges(
                 }
             )
         )
-    import zlib
-
     N_CBUCKETS = 512
 
     use_driver = cc_mode == "driver" or (cc_mode == "auto" and n_edges <= driver_edge_limit)
@@ -552,33 +550,35 @@ def cluster_edges(
             out = out.append_column(
                 "cbucket",
                 pa.array(
-                    np.fromiter(
-                        (zlib.crc32(c.encode()) % N_CBUCKETS for c in ca), np.int32, len(ca)
-                    )
+                    (pd.util.hash_array(np.asarray(ca, object)) % N_CBUCKETS).astype(np.int32)
                 ),
             )
             return out.filter(keep)
 
         edges_with_comp = scored_edges.map_batches(annotate, batch_format="pyarrow")
     else:
+        from dedupe_ray.joins import bucketed_lookup_join
+
         comp_ds = _components_distributed(scored_edges)
-        edges_with_comp = scored_edges.join(
+        edges_with_comp = bucketed_lookup_join(
+            scored_edges,
             comp_ds.map_batches(
                 lambda t: pa.table({"id_a": t.column("doc_id"), "component_id": t.column("component_id")}),
                 batch_format="pyarrow",
             ),
-            join_type="inner",
-            num_partitions=32,
-            on=("id_a",),
+            "id_a",
+            "id_a",
+            ["component_id"],
         ).map_batches(
             lambda t: t.append_column(
                 "cbucket",
                 pa.array(
-                    np.fromiter(
-                        (zlib.crc32(c.encode()) % N_CBUCKETS for c in t.column("component_id").to_pylist()),
-                        np.int32,
-                        len(t),
-                    )
+                    (
+                        pd.util.hash_array(
+                            t.column("component_id").to_numpy(zero_copy_only=False)
+                        )
+                        % N_CBUCKETS
+                    ).astype(np.int32)
                 ),
             ),
             batch_format="pyarrow",

@@ -292,13 +292,11 @@ def link_records(
     from dedupe_ray.blocking import N_BUCKETS
 
     def bucketize(t: pa.Table) -> pa.Table:
-        import zlib
+        import pandas as pd
 
-        h = np.fromiter(
-            (zlib.crc32(v.encode()) % N_BUCKETS for v in t.column("id_a").to_pylist()),
-            np.int32,
-            len(t),
-        )
+        h = (
+            pd.util.hash_array(t.column("id_a").to_numpy(zero_copy_only=False)) % N_BUCKETS
+        ).astype(np.int32)
         return t.append_column("abucket", pa.array(h))
 
     top_k = 1 if match_mode == "many_to_one" else 3

@@ -168,7 +168,13 @@ def assemble_pairs(
             batch_format="pyarrow",
             batch_size=batch_size,
         )
-    # shuffle-join path: rename record columns per side, two hash joins
+    # shuffle-join path: rename record columns per side, two bucketed
+    # lookup joins (Dataset.join stalls on empty hash partitions — the
+    # NOTES_r2 landmine; the bucketed groupby expresses the same exchange
+    # with a bounded group count). Inner semantics: pairs whose ids are
+    # absent from the record table are dropped.
+    from dedupe_ray.joins import bucketed_lookup_join
+
     def renamer(side: str):
         def _fn(t: pa.Table) -> pa.Table:
             data = {f"id_{side}": t.column("doc_id")}
@@ -180,9 +186,12 @@ def assemble_pairs(
 
     a_side = flat_records_ds.map_batches(renamer("a"), batch_format="pyarrow")
     b_side = flat_records_ds.map_batches(renamer("b"), batch_format="pyarrow")
-    num_partitions = max(32, n_records // 1_000_000)
-    joined = pairs_ds.join(a_side, join_type="inner", num_partitions=num_partitions, on=("id_a",))
-    return joined.join(b_side, join_type="inner", num_partitions=num_partitions, on=("id_b",))
+    joined = bucketed_lookup_join(
+        pairs_ds, a_side, "id_a", "id_a", [f"a_{f}" for f in fields]
+    )
+    return bucketed_lookup_join(
+        joined, b_side, "id_b", "id_b", [f"b_{f}" for f in fields]
+    )
 
 
 def score_pairs(

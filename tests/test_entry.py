@@ -94,3 +94,13 @@ def test_anti_join_scale_path_matches_broadcast(monkeypatch, oracle):
     monkeypatch.delenv("DEDUPE_RAY_ANTI_JOIN_BROADCAST_LIMIT")
     sql_df = _normalize(oracle.sql(entrymod.oracle_sql()["anti_join_customers"]).df())
     pd.testing.assert_frame_equal(joined, sql_df, check_dtype=False, atol=1e-5, rtol=1e-5)
+
+
+def test_semi_join_scale_path_matches_broadcast(monkeypatch, oracle):
+    """Force the bucketed semi-join (>limit) path; must agree with the
+    oracle like the default broadcast path does."""
+    monkeypatch.setenv("DEDUPE_RAY_SEMI_JOIN_BROADCAST_LIMIT", "1")
+    joined = _normalize(_to_pandas(entrymod.queries()["semi_join_heavy_users"](SF_DIR)))
+    monkeypatch.delenv("DEDUPE_RAY_SEMI_JOIN_BROADCAST_LIMIT")
+    sql_df = _normalize(oracle.sql(entrymod.oracle_sql()["semi_join_heavy_users"]).df())
+    pd.testing.assert_frame_equal(joined, sql_df, check_dtype=False, atol=1e-5, rtol=1e-5)

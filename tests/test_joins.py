@@ -1,0 +1,145 @@
+"""bucketed_lookup_join correctness + the forced scale paths that
+previously rode Ray's hash join (which stalls on empty hash partitions at
+small scale — the NOTES_r2/r3 landmine)."""
+
+import pathlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from dedupe_ray.joins import bucketed_lookup_join
+
+
+def test_bucketed_lookup_join_matches_pandas_merge():
+    rng = np.random.default_rng(7)
+    left = pd.DataFrame(
+        {
+            "k": [f"k{i}" for i in rng.integers(0, 50, 300)],
+            "x": rng.integers(0, 1000, 300),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "rk": [f"k{i}" for i in range(0, 60, 2)],  # half the keys match
+            "v": [f"v{i}" for i in range(0, 60, 2)],
+            "w": np.arange(30) * 1.5,
+        }
+    )
+    got = (
+        bucketed_lookup_join(
+            rd.from_pandas(left), rd.from_pandas(right), "k", "rk", ["v", "w"], n_buckets=8
+        )
+        .to_pandas()
+        .sort_values(["k", "x"])
+        .reset_index(drop=True)
+    )
+    want = (
+        left.merge(right, left_on="k", right_on="rk", how="inner")
+        .drop(columns=["rk"])
+        .sort_values(["k", "x"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_bucketed_lookup_join_sparse_buckets_and_no_match():
+    # 64 buckets for 3 keys: most buckets are empty or one-sided — the
+    # exact condition that stalls Ray's hash join
+    left = pd.DataFrame({"k": ["a", "b", "zz"], "x": [1, 2, 3]})
+    right = pd.DataFrame({"k": ["a", "b", "c"], "v": ["A", "B", "C"]})
+    got = (
+        bucketed_lookup_join(
+            rd.from_pandas(left), rd.from_pandas(right), "k", "k", ["v"], n_buckets=64
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert list(got["k"]) == ["a", "b"]
+    assert list(got["v"]) == ["A", "B"]
+
+
+def test_bucketed_lookup_join_semi_join_no_value_cols():
+    left = pd.DataFrame({"k": ["a", "b", "c", "a"], "x": [1, 2, 3, 4]})
+    right = pd.DataFrame({"k": ["a", "c"]})
+    got = (
+        bucketed_lookup_join(rd.from_pandas(left), rd.from_pandas(right), "k", "k", [])
+        .to_pandas()
+        .sort_values("x")
+        .reset_index(drop=True)
+    )
+    assert list(got["x"]) == [1, 3, 4]
+    assert list(got.columns) == ["k", "x"]
+
+
+def test_assemble_pairs_shuffle_path_matches_broadcast():
+    from dedupe_ray.scoring import assemble_pairs
+
+    records = pd.DataFrame(
+        {
+            "doc_id": [f"d{i}" for i in range(20)],
+            "name": [f"n{i % 7}" for i in range(20)],
+            "city": [f"c{i % 3}" for i in range(20)],
+        }
+    )
+    pairs = pd.DataFrame(
+        {
+            "id_a": [f"d{i}" for i in range(0, 18, 2)],
+            "id_b": [f"d{i + 1}" for i in range(0, 18, 2)],
+        }
+    )
+    flat = rd.from_pandas(records)
+    broadcast = (
+        assemble_pairs(rd.from_pandas(pairs), flat, ["name", "city"])
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    shuffled = (
+        assemble_pairs(rd.from_pandas(pairs), flat, ["name", "city"], broadcast_limit=0)
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)[list(broadcast.columns)]
+    )
+    pd.testing.assert_frame_equal(broadcast, shuffled, check_dtype=False)
+
+
+def test_cluster_edges_distributed_annotate_matches_driver():
+    from dedupe_ray.clustering import cluster_edges
+
+    edges = [("a", "b"), ("b", "c"), ("d", "e"), ("f", "g"), ("g", "h"), ("h", "f")]
+    scores = [0.9, 0.8, 0.95, 0.7, 0.85, 0.75]
+    a, b = zip(*edges)
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "id_a": pa.array(a, pa.string()),
+                "id_b": pa.array(b, pa.string()),
+                "score": pa.array(np.asarray(scores, np.float32)),
+            }
+        )
+    )
+
+    def groups(df):
+        out = {}
+        for cid, g in df.groupby("cluster_id"):
+            out[tuple(sorted(g["doc_id"]))] = dict(
+                zip(g["doc_id"], g["confidence_score"].round(5))
+            )
+        return out
+
+    drv = groups(cluster_edges(ds, threshold=0.5, cc_mode="driver").to_pandas())
+    # driver_edge_limit=0 forces the distributed CC + bucketed annotate join
+    dst = groups(cluster_edges(ds, threshold=0.5, driver_edge_limit=0).to_pandas())
+    assert drv == dst
+
+
+def test_no_ray_hash_join_in_library():
+    """Dataset.join must not reappear inside dedupe_ray (landmine: stalls
+    on empty hash partitions). join_type= only occurs at Dataset.join call
+    sites."""
+    root = pathlib.Path(__file__).resolve().parent.parent / "dedupe_ray"
+    offenders = [str(p) for p in root.rglob("*.py") if "join_type=" in p.read_text()]
+    assert offenders == []
