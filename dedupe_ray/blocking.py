@@ -168,7 +168,10 @@ def _combine_parts(
 
 
 def make_block_explode_stage(
-    predicate_ids: list[str], with_bucket: bool = False, index_tables: dict | None = None
+    predicate_ids: list[str],
+    with_bucket: bool = False,
+    index_tables: dict | None = None,
+    key_hash: bool = False,
 ):
     """Stateless map_batches fn: flat record batch → (block_key, doc_id) rows.
 
@@ -176,6 +179,13 @@ def make_block_explode_stage(
     from different predicates never collide. Index predicates
     (``canopy4|<field>``) are reconstructed from ``index_tables`` —
     {pid: {"field", "df", "n_docs"}} — the broadcast train-time DF state.
+
+    ``key_hash=True`` (requires ``with_bucket``) replaces the key string
+    with its fixed-key 64-bit siphash (``key_hash: uint64``) — blocking
+    only needs key EQUALITY downstream, and the hash roughly halves the
+    bytes through the pair-emission shuffle. A collision merges two blocks,
+    which adds (benign, scored-then-rejected) candidate pairs and can never
+    drop one; at 2⁶⁴ the expected collision count is ~0 below 10⁹ keys.
 
     Vectorized: whole/prefix/token families run as Arrow kernels, the rest
     once per unique value via dictionary encoding; compound conjunctions are
@@ -259,9 +269,12 @@ def make_block_explode_stage(
 
         # grouping-only hash (cross-process deterministic — fixed-key
         # siphash); bucket choice never affects output content
-        buckets = (
-            pd.util.hash_array(all_keys.to_numpy(zero_copy_only=False)) % N_BUCKETS
-        ).astype(np.int32)
+        h = pd.util.hash_array(all_keys.to_numpy(zero_copy_only=False))
+        buckets = (h % N_BUCKETS).astype(np.int32)
+        if key_hash:
+            return pa.table(
+                {"key_hash": pa.array(h), "doc_id": out_ids, "bucket": pa.array(buckets)}
+            )
         return pa.table(
             {"block_key": all_keys, "doc_id": out_ids, "bucket": pa.array(buckets)}
         )
@@ -279,22 +292,23 @@ def _neighbor_neq(arr: pa.Array) -> np.ndarray:
     )
 
 
-def make_bucket_pair_emit_fn(max_block_size: int):
+def make_bucket_pair_emit_fn(max_block_size: int, key_col: str = "block_key"):
     """Per-BUCKET pair emitter: one call processes every block hashed into
     the bucket. Fully vectorized: Arrow sort_by + neighbor-compare dedup of
     (key, doc), then a numpy triangular expansion emits every within-run
     C(n,2) pair at once. Emits canonical (id_a < id_b) pairs + a pair-hash
     bucket column for the dedup shuffle; oversized blocks emit one marker
-    row instead."""
+    row instead. ``key_col`` may be the key string or its uint64 hash —
+    only run boundaries (key equality) are consumed."""
 
     def _emit(group: pa.Table) -> pa.Table:
         import pandas as pd
         import pyarrow.compute as pc
 
-        t = group.select(["block_key", "doc_id"]).sort_by(
-            [("block_key", "ascending"), ("doc_id", "ascending")]
+        t = group.select([key_col, "doc_id"]).sort_by(
+            [(key_col, "ascending"), ("doc_id", "ascending")]
         )
-        keys = t.column("block_key").combine_chunks()
+        keys = t.column(key_col).combine_chunks()
         ids = t.column("doc_id").combine_chunks()
         n = len(t)
         if n > 1:
@@ -390,12 +404,15 @@ def candidate_pairs_raw(
     deduped pairs and the oversized count derive from it without
     re-running the blocking pass."""
     blocked = flat_ds.map_batches(
-        make_block_explode_stage(predicate_ids, with_bucket=True, index_tables=index_tables),
+        make_block_explode_stage(
+            predicate_ids, with_bucket=True, index_tables=index_tables, key_hash=True
+        ),
         batch_format="pyarrow",
         batch_size=map_batch_size,
     )
     return blocked.groupby("bucket").map_groups(
-        make_bucket_pair_emit_fn(max_block_size), batch_format="pyarrow"
+        make_bucket_pair_emit_fn(max_block_size, key_col="key_hash"),
+        batch_format="pyarrow",
     )
 
 
