@@ -255,6 +255,17 @@ def token_align_batch(a: list[str], b: list[str]) -> np.ndarray:
     out = np.zeros(n, np.float32)
     if n == 0:
         return out
+    # equal-string fast path: alignment distance is 0 by definition, and
+    # equal fields dominate candidate pairs blocked on whole|<field> —
+    # skip tokenization + combo build entirely for them
+    neq = [i for i in range(n) if (a[i] or "") != (b[i] or "")]
+    if not neq:
+        return out
+    if len(neq) < n:
+        out[np.asarray(neq)] = token_align_batch(
+            [a[i] for i in neq], [b[i] for i in neq]
+        )
+        return out
     toks_a = [_align_tokens(s) for s in a]
     toks_b = [_align_tokens(s) for s in b]
 
