@@ -32,6 +32,10 @@ SNAPSHOTS = {
     "quality_langid": (500, 16382963264162671266),
     "media_features": (696, 12115332766548111239),
     "embedding_near_dup": (20, 12731899540696061886),
+    # full trained ER pipeline (training loop + partition): deterministic
+    # end-to-end (content-keyed sampling/ordering), frozen round 3
+    "er_clusters": (80, 10588439961658689406),
+    "er_cluster_summary": (19, 10691316933216537584),
 }
 
 
