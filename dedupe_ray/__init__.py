@@ -13,6 +13,7 @@ Nothing in this package calls ``ray.init()`` — the driver owns the session.
 """
 
 from dedupe_ray.config import EngineConfig, FieldConfig
+from dedupe_ray.predicates import register_predicate
 
-__all__ = ["EngineConfig", "FieldConfig"]
+__all__ = ["EngineConfig", "FieldConfig", "register_predicate"]
 __version__ = "0.1.0"

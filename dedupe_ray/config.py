@@ -20,6 +20,9 @@ FIELD_TYPES = (
     "String", "Text", "Price", "DateTime", "Exact",
     # library-only variable types ([lib: dedupe/variables/*], SURVEY §1.2)
     "ShortString", "Categorical", "LatLong", "Set", "Interaction", "Exists",
+    # user-extension surface ([lib: dedupe/variables/base.py custom
+    # Variable subclasses]: user supplies comparator + predicates)
+    "Custom",
 )
 
 
@@ -43,10 +46,21 @@ class FieldConfig:
     # corrupted" (duplicate) from "a token was replaced" (distinct entity
     # sharing the surrounding name frame). String-family fields only.
     token_align: bool = False
+    # Custom type only: dotted "module:attr" path to a BATCH comparator
+    # (list[str], list[str]) -> array-like of float32. A path (not a
+    # callable) so settings JSON round-trips and Ray workers resolve it by
+    # import — the reference pickles custom Variable comparators into its
+    # settings file; an import path is the JSON-safe equivalent.
+    comparator: str | None = None
+    # Custom type only: True if the comparator returns a SIMILARITY
+    # (classifier weight constrained ≥ 0); False for a distance (≤ 0).
+    similarity: bool = False
 
     def __post_init__(self) -> None:
         if self.type not in FIELD_TYPES:
             raise ValueError(f"unknown field type {self.type!r}; one of {FIELD_TYPES}")
+        if self.type == "Custom" and not self.comparator:
+            raise ValueError('Custom fields require comparator="module:attr"')
         if self.token_align and self.type not in ("String", "ShortString", "Text"):
             raise ValueError("token_align applies to String/ShortString/Text fields")
         if self.type == "Categorical" and not self.categories:

@@ -89,7 +89,28 @@ def _field_distance(
     if f.type == "Text":
         table = idf or {}
         return tfidf_cosine_batch(a, b, table.get("idf", {}), table.get("default_idf", 1.0))
+    if f.type == "Custom":
+        return np.asarray(_resolve_comparator(f.comparator)(a, b), np.float32)
     raise ValueError(f.type)
+
+
+_COMPARATOR_CACHE: dict[str, object] = {}
+
+
+def _resolve_comparator(path: str):
+    """"module:attr" → callable; cached per worker process. An import path
+    (not a pickled callable) keeps settings JSON round-trippable — the
+    user's module must be importable on every Ray worker."""
+    fn = _COMPARATOR_CACHE.get(path)
+    if fn is None:
+        import importlib
+
+        mod, _, attr = path.partition(":")
+        if not attr:
+            raise ValueError(f'comparator must be "module:attr", got {path!r}')
+        fn = getattr(importlib.import_module(mod), attr)
+        _COMPARATOR_CACHE[path] = fn
+    return fn
 
 
 def _categorical_block(
@@ -202,9 +223,9 @@ def monotone_feature_dims(config: EngineConfig) -> tuple[list[int], list[int]]:
     i = 0
     for f in config.fields:
         k = len(field_feature_names(f))
-        if f.type in ("Exact", "Text", "Set"):
+        if f.type in ("Exact", "Text", "Set") or (f.type == "Custom" and f.similarity):
             pos.append(i)
-        elif f.type in ("String", "ShortString", "Price", "DateTime", "LatLong"):
+        elif f.type in ("String", "ShortString", "Price", "DateTime", "LatLong", "Custom"):
             neg.append(i)
         if f.token_align:
             neg.append(i + 1)  # ta_<field> sits right after the primary; a DISTANCE

@@ -363,6 +363,8 @@ class RayDeduper:
                             else {}
                         ),
                         **({"token_align": True} if f.token_align else {}),
+                        **({"comparator": f.comparator} if f.comparator else {}),
+                        **({"similarity": True} if f.similarity else {}),
                     }
                     for f in self.config.fields
                 ],

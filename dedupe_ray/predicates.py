@@ -389,6 +389,22 @@ SIMPLE_PREDICATES: dict[str, PredicateFn] = {
 }
 
 
+def register_predicate(name: str, fn: PredicateFn, overwrite: bool = False) -> None:
+    """User-extension surface ([lib: dedupe/variables/base.py] custom
+    Variable ``predicates``): add a simple predicate family usable in
+    predicate ids (``"<name>|<field>"``), compounds, and the blocking
+    explode. ``fn(value) -> tuple[str, ...]`` must be a pure function of
+    the cell value; it ships to Ray workers inside task closures, so it
+    must be cloudpickle-able (a module-level function from an importable
+    module, or a self-contained nested function shipped by value — not a
+    method bound to unpicklable state)."""
+    if not overwrite and name in SIMPLE_PREDICATES:
+        raise ValueError(f"predicate {name!r} already registered")
+    if "|" in name or "+" in name:
+        raise ValueError("predicate names must not contain '|' or '+'")
+    SIMPLE_PREDICATES[name] = fn
+
+
 class Predicate:
     """A (predicate fn, field) pair with a stable id, optionally compound.
 
