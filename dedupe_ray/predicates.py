@@ -318,6 +318,32 @@ def metaphone_first_token(field: str) -> tuple[str, ...]:
     return (c,) if c else ()
 
 
+def double_metaphone_token(field: str) -> tuple[str, ...]:
+    """Double Metaphone per token, emitting BOTH primary and alternate
+    codes — the reference's metaphoneToken semantics ([lib:
+    dedupe/predicates.py], which unions every non-empty code from
+    doublemetaphone(token)). Two records block together when ANY token's
+    primary or alternate code matches, so Slavic/Germanic/Romance spelling
+    variants (Smith↔Schmidt) land in one block."""
+    from dedupe_ray.phonetic import double_metaphone
+
+    out: set[str] = set()
+    for t in _WORDS.findall(field):
+        for code in double_metaphone(t):
+            if code:
+                out.add(code)
+    return tuple(out)
+
+
+def double_metaphone_first_token(field: str) -> tuple[str, ...]:
+    from dedupe_ray.phonetic import double_metaphone
+
+    m = _START_WORD.match(field)
+    if not m:
+        return ()
+    return tuple(c for c in double_metaphone(m.group(1)) if c)
+
+
 def deletion_neighborhood(field: str) -> tuple[str, ...]:
     """L6 stand-in: FastSS/SymSpell-style single-deletion neighborhood
     (public: Bocek et al. 2007 "Fast Similarity Search in Large
@@ -386,6 +412,8 @@ SIMPLE_PREDICATES: dict[str, PredicateFn] = {
     "del2": deletion_neighborhood2,
     "mphone": metaphone_token,
     "mphone1": metaphone_first_token,
+    "dmphone": double_metaphone_token,
+    "dmphone1": double_metaphone_first_token,
 }
 
 

@@ -235,3 +235,62 @@ def test_metaphone_token_predicate():
 
     assert set(metaphone_token("philip morris")) & set(metaphone_token("filip morys"))
     assert metaphone_token("") == ()
+
+
+def test_double_metaphone_vectors():
+    """Canonical Double Metaphone vectors (Philips, DDJ June 2000) —
+    exercises the Germanic/Slavic/Romance branch rules the single-code
+    Metaphone lacks."""
+    from dedupe_ray.phonetic import double_metaphone as dm
+
+    assert dm("smith") == ("SM0", "XMT")
+    assert dm("schmidt") == ("XMT", "SMT")
+    assert dm("snider") == ("SNTR", "XNTR")
+    assert dm("schneider") == ("XNTR", "SNTR")
+    assert dm("wasserman") == ("ASRMN", "FSRMN")
+    assert dm("vasserman") == ("FSRMN", "FSRMN")
+    assert dm("filipowicz") == ("FLPTS", "FLPFX")
+    assert dm("michael") == ("MKL", "MXL")
+    assert dm("thomas") == ("TMS", "TMS")
+    assert dm("school") == ("SKL", "SKL")
+    assert dm("ghislane") == ("JLN", "JLN")
+    assert dm("ghost") == ("KST", "KST")
+    assert dm("hugh") == ("H", "H")
+    assert dm("jose") == ("HS", "HS")
+    assert dm("caesar") == ("SSR", "SSR")
+    assert dm("chianti") == ("KNT", "KNT")
+    assert dm("accident") == ("AKSTNT", "AKSTNT")
+    assert dm("edgar") == ("ATKR", "ATKR")
+    assert dm("edge") == ("AJ", "AJ")
+    assert dm("cabrillo") == ("KPRL", "KPR")
+    assert dm("zhao") == ("J", "J")
+    assert dm("xavier") == ("SF", "SFR")
+    assert dm("knight") == ("NT", "NT")
+    assert dm("aubrey") == ("APR", "APR")
+    assert dm("") == ("", "")
+    assert dm("123") == ("", "")
+
+
+def test_double_metaphone_predicate_cross_spelling_blocks():
+    """dmphone blocks cross-language spelling variants together via the
+    alternate code — the collisions that motivate doubleMetaphone over
+    Metaphone/Soundex in the reference's predicate pool."""
+    from dedupe_ray.predicates import (
+        SIMPLE_PREDICATES,
+        double_metaphone_token,
+        double_metaphone_first_token,
+    )
+
+    assert "dmphone" in SIMPLE_PREDICATES and "dmphone1" in SIMPLE_PREDICATES
+    for a, b in [
+        ("smith gmbh", "schmidt gmbh"),
+        ("wasserman", "vasserman"),
+        ("jan filipowicz", "jan filipowitz"),
+        ("snider co", "schneider co"),
+    ]:
+        assert set(double_metaphone_token(a)) & set(double_metaphone_token(b)), (a, b)
+    assert set(double_metaphone_first_token("smith co")) & set(
+        double_metaphone_first_token("schmidt ag")
+    )
+    assert double_metaphone_token("") == ()
+    assert double_metaphone_first_token("") == ()
