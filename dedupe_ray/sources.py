@@ -19,6 +19,7 @@ from __future__ import annotations
 import os
 import re
 import zipfile
+from datetime import datetime, timedelta
 from xml.etree import ElementTree
 
 import numpy as np
@@ -52,13 +53,119 @@ def _format_number(text: str) -> str:
     return text
 
 
-def read_excel_table(path: str) -> pa.Table:
-    """Parse the first worksheet of an .xlsx into an all-string Arrow table
+# Builtin OOXML number-format ids that render as dates / times (ECMA-376
+# §18.8.30): 14-17/22 date(+time), 27-31/35/36/50-58 East-Asian dates,
+# 18-21/32-34/45-47 times.
+_BUILTIN_DATE_FMT = frozenset({14, 15, 16, 17, 22, 27, 28, 29, 30, 31,
+                               35, 36, 50, 51, 52, 53, 54, 55, 56, 57, 58})
+_BUILTIN_TIME_FMT = frozenset({18, 19, 20, 21, 32, 33, 34, 45, 46, 47})
+_FMT_NOISE = re.compile(r'"[^"]*"|\[[^\]]*\]|\\.')
+
+
+def _custom_fmt_kind(code: str) -> str | None:
+    """Classify a custom number-format code as 'date', 'time', or None,
+    after stripping quoted literals / [bracket] sections / escapes (the
+    same token test openpyxl's is_date_format applies)."""
+    c = _FMT_NOISE.sub("", code or "")
+    if re.search(r"[dyDY]", c):
+        return "date"
+    if re.search(r"[hsHS]", c):
+        return "time"
+    if re.search(r"[mM]", c):  # month-only codes like mmm (minutes need h/s)
+        return "date"
+    return None
+
+
+def _style_date_kinds(z: zipfile.ZipFile, names: set[str]) -> list[str | None]:
+    """Per-cellXf-index date classification from xl/styles.xml."""
+    if "xl/styles.xml" not in names:
+        return []
+    root = ElementTree.fromstring(z.read("xl/styles.xml"))
+    custom = {
+        int(nf.get("numFmtId")): nf.get("formatCode") or ""
+        for nf in root.iter(f"{_SSML}numFmt")
+    }
+    cellxfs = root.find(f"{_SSML}cellXfs")
+    if cellxfs is None:
+        return []
+    kinds: list[str | None] = []
+    for xf in cellxfs.findall(f"{_SSML}xf"):
+        fid = int(xf.get("numFmtId") or 0)
+        if fid in _BUILTIN_DATE_FMT:
+            kinds.append("date")
+        elif fid in _BUILTIN_TIME_FMT:
+            kinds.append("time")
+        elif fid in custom:
+            kinds.append(_custom_fmt_kind(custom[fid]))
+        else:
+            kinds.append(None)
+    return kinds
+
+
+def _serial_to_text(serial: float, kind: str, date1904: bool) -> str:
+    """Excel date serial → the string str(pandas-read cell) would produce:
+    'YYYY-MM-DD HH:MM:SS' for dates, 'HH:MM:SS' for sub-day time values.
+    Epoch 1899-12-30 (or 1904-01-01 for Mac workbooks); serials rounded to
+    whole seconds, matching openpyxl's sub-second clamp. Serials below 61
+    in 1900 mode predate Excel's phantom 1900-02-29 and shift one day —
+    dates before 1900-03-01 don't occur in tabular business data."""
+    base = datetime(1904, 1, 1) if date1904 else datetime(1899, 12, 30)
+    dt = base + timedelta(seconds=round(serial * 86400))
+    if kind == "time" and 0 <= serial < 1:
+        return dt.strftime("%H:%M:%S")
+    return dt.strftime("%Y-%m-%d %H:%M:%S")
+
+
+def _workbook_sheets(z: zipfile.ZipFile, names: set[str]) -> list[tuple[str, str]]:
+    """[(sheet name, zip path)] in workbook order, targets resolved via the
+    workbook relationship part when present."""
+    if "xl/workbook.xml" not in names:
+        return [("Sheet1", "xl/worksheets/sheet1.xml")]
+    wb = ElementTree.fromstring(z.read("xl/workbook.xml"))
+    targets: dict[str, str] = {}
+    if "xl/_rels/workbook.xml.rels" in names:
+        rels = ElementTree.fromstring(z.read("xl/_rels/workbook.xml.rels"))
+        rel_ns = "{http://schemas.openxmlformats.org/package/2006/relationships}"
+        targets = {
+            r.get("Id"): r.get("Target") for r in rels.iter(f"{rel_ns}Relationship")
+        }
+    rid_ns = "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}id"
+    out = []
+    for i, s in enumerate(wb.iter(f"{_SSML}sheet")):
+        t = targets.get(s.get(rid_ns), f"worksheets/sheet{i + 1}.xml")
+        if t.startswith("/"):
+            t = t[1:]
+        out.append((s.get("name") or f"Sheet{i + 1}",
+                    t if t.startswith("xl/") else f"xl/{t}"))
+    return out or [("Sheet1", "xl/worksheets/sheet1.xml")]
+
+
+def excel_sheet_names(path: str) -> list[str]:
+    """Worksheet names in workbook order (pandas ExcelFile.sheet_names)."""
+    with zipfile.ZipFile(path) as z:
+        return [n for n, _ in _workbook_sheets(z, set(z.namelist()))]
+
+
+def _workbook_date1904(z: zipfile.ZipFile, names: set[str]) -> bool:
+    if "xl/workbook.xml" not in names:
+        return False
+    wb = ElementTree.fromstring(z.read("xl/workbook.xml"))
+    pr = wb.find(f"{_SSML}workbookPr")
+    return pr is not None and (pr.get("date1904") or "").lower() in ("1", "true")
+
+
+def read_excel_table(path: str, sheet: int | str = 0) -> pa.Table:
+    """Parse one worksheet of an .xlsx into an all-string Arrow table
     (header row = column names) + ``source_file`` column.
 
-    Minimal OOXML reader: sharedStrings + first sheet, cells positioned by
-    their r= reference (gaps become empty strings). Covers the reference's
-    shipped fixtures (KNA2.xlsx family); no formulas/dates/styles."""
+    Minimal OOXML reader (openpyxl is not available in this environment):
+    sharedStrings / inline strings, cells positioned by their r= reference
+    (gaps become empty strings), formula cells read through their cached
+    ``<v>`` result, booleans → 'True'/'False', and date/time-styled numeric
+    cells rendered via styles.xml the way the reference's pandas+str()
+    round-trip would (dedupe_script.py reads with read_excel then
+    stringifies every cell). ``sheet`` selects a worksheet by 0-based
+    index or by name (default: first sheet, pandas' default)."""
     with zipfile.ZipFile(path) as z:
         names = set(z.namelist())
         shared: list[str] = []
@@ -67,25 +174,25 @@ def read_excel_table(path: str) -> pa.Table:
             for si in root.iter(f"{_SSML}si"):
                 # concatenate all <t> runs (rich text splits into runs)
                 shared.append("".join(t.text or "" for t in si.iter(f"{_SSML}t")))
-        # first sheet: workbook order; target resolved via rels when present
-        sheet_path = "xl/worksheets/sheet1.xml"
-        if "xl/_rels/workbook.xml.rels" in names:
-            wb = ElementTree.fromstring(z.read("xl/workbook.xml"))
-            rels = ElementTree.fromstring(z.read("xl/_rels/workbook.xml.rels"))
-            rel_ns = "{http://schemas.openxmlformats.org/package/2006/relationships}"
-            rid_ns = "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}id"
-            targets = {
-                r.get("Id"): r.get("Target")
-                for r in rels.iter(f"{rel_ns}Relationship")
-            }
-            first_sheet = next(wb.iter(f"{_SSML}sheet"), None)
-            if first_sheet is not None:
-                t = targets.get(first_sheet.get(rid_ns), "worksheets/sheet1.xml")
-                sheet_path = t if t.startswith("xl/") else f"xl/{t}"
+        sheets = _workbook_sheets(z, names)
+        if isinstance(sheet, str):
+            matches = [p for n, p in sheets if n == sheet]
+            if not matches:
+                raise ValueError(
+                    f"no sheet named {sheet!r} in {path} "
+                    f"(have: {[n for n, _ in sheets]})"
+                )
+            sheet_path = matches[0]
+        else:
+            if not 0 <= sheet < len(sheets):
+                raise ValueError(f"sheet index {sheet} out of range in {path}")
+            sheet_path = sheets[sheet][1]
+        date_kinds = _style_date_kinds(z, names)
+        date1904 = _workbook_date1904(z, names)
         rows: list[dict[int, str]] = []
         max_col = 0
-        sheet = ElementTree.fromstring(z.read(sheet_path))
-        for row in sheet.iter(f"{_SSML}row"):
+        sheet_root = ElementTree.fromstring(z.read(sheet_path))
+        for row in sheet_root.iter(f"{_SSML}row"):
             cells: dict[int, str] = {}
             auto_col = 0
             for c in row.iter(f"{_SSML}c"):
@@ -99,10 +206,25 @@ def read_excel_table(path: str) -> pa.Table:
                 elif t == "inlineStr":
                     is_el = c.find(f"{_SSML}is")
                     val = "".join(x.text or "" for x in is_el.iter(f"{_SSML}t")) if is_el is not None else ""
-                elif t in ("str", "b", "e"):
+                elif t == "b":
+                    val = ("True" if v.text.strip() == "1" else "False") if v is not None and v.text else ""
+                elif t in ("str", "e"):
                     val = v.text or "" if v is not None else ""
-                else:  # numeric
-                    val = _format_number(v.text) if v is not None and v.text else ""
+                else:  # numeric (plain or formula-cached value)
+                    if v is not None and v.text:
+                        s_attr = c.get("s")
+                        kind = None
+                        if s_attr and s_attr.isdigit() and int(s_attr) < len(date_kinds):
+                            kind = date_kinds[int(s_attr)]
+                        if kind is not None:
+                            try:
+                                val = _serial_to_text(float(v.text), kind, date1904)
+                            except (ValueError, OverflowError):
+                                val = _format_number(v.text)
+                        else:
+                            val = _format_number(v.text)
+                    else:
+                        val = ""
                 cells[col] = val
                 max_col = max(max_col, col + 1)
             rows.append(cells)
