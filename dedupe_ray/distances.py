@@ -121,12 +121,17 @@ def affine_gap_batch(a_strings: list[str], b_strings: list[str]) -> np.ndarray:
     abbrev_best = np.full(m, _INF, np.float32)
     bmat = bc[:, :lb_max]  # [m, lb_max]
 
+    # abbreviation discount exists only when the strings differ in length:
+    # the original affinegap activates it in rows i > len(shorter) only,
+    # which for equal-length pairs is never — and that is what keeps the
+    # distance symmetric for equal-length inputs (either string may be "A")
+    strictly_longer = la > lb
     for i in range(1, la_max + 1):
         best_prev = np.minimum(np.minimum(Mm, Ii), Dd)
         # snapshot abbreviation candidates at row i-1: trailing gap deleting
         # a[i-1:la] at discounted extension cost (the affinegap abbreviation
         # semantics: gaps running to the end of the longer string are cheap)
-        active = la >= i  # row i-1 exists meaningfully for these pairs
+        active = strictly_longer & (la >= i)
         b_end = best_prev[rows, lb]
         cand = b_end + GAP_OPEN + SPACE * ABBREV_SCALE * (la - (i - 1)).astype(np.float32)
         abbrev_best = np.where(active & (la > (i - 1)), np.minimum(abbrev_best, cand), abbrev_best)

@@ -42,7 +42,10 @@ def naive_affine_gap(a: str, b: str) -> float:
     abbrev = INF
     for i in range(1, la + 1):
         bp = min(M[i - 1][lb], I[i - 1][lb], D[i - 1][lb])
-        if la > i - 1:
+        # discount only when lengths differ (affinegap activates it in rows
+        # beyond the shorter string, impossible for equal lengths) — this is
+        # also what makes the distance symmetric for equal-length inputs
+        if la > lb and la > i - 1:
             abbrev = min(abbrev, bp + GAP_OPEN + SPACE * ABBREV_SCALE * (la - (i - 1)))
         for j in range(0, lb + 1):
             D[i][j] = min(M[i - 1][j] + GAP_OPEN + SPACE, D[i - 1][j] + SPACE)
@@ -91,7 +94,15 @@ def test_batch_matches_naive_fuzz():
 
 
 def test_symmetry():
-    pairs = [("kraków", "krakow"), ("abc", "xyzabc"), ("", "q")]
+    # includes equal-length pairs with long differing tails — the case where
+    # an unconditional abbreviation discount would break symmetry
+    pairs = [
+        ("kraków", "krakow"),
+        ("abc", "xyzabc"),
+        ("", "q"),
+        ("aaaaaaaaaa'", "aaaaaa----a"),
+        ("prefix-aaaaaaaa", "prefix-bbbbbbbb"),
+    ]
     fwd = affine_gap_batch([p[0] for p in pairs], [p[1] for p in pairs])
     rev = affine_gap_batch([p[1] for p in pairs], [p[0] for p in pairs])
     np.testing.assert_allclose(fwd, rev, atol=1e-6)

@@ -33,9 +33,11 @@ SNAPSHOTS = {
     "media_features": (696, 12115332766548111239),
     "embedding_near_dup": (20, 12731899540696061886),
     # full trained ER pipeline (training loop + partition): deterministic
-    # end-to-end (content-keyed sampling/ordering), frozen round 3
-    "er_clusters": (80, 10588439961658689406),
-    "er_cluster_summary": (19, 10691316933216537584),
+    # end-to-end (content-keyed sampling/ordering); re-frozen after the
+    # equal-length affine-gap symmetry fix (one borderline pair dropped),
+    # verified identical at num_cpus 4 and 8
+    "er_clusters": (79, 8492769270338936534),
+    "er_cluster_summary": (19, 9362016833877420128),
 }
 
 
