@@ -568,6 +568,53 @@ def _q_sessionize(sf_dir: str):
     return out.select_columns(["event_id", "user_id", "session_id"])
 
 
+def _q_asof_purchase(sf_dir: str):
+    """As-of join (the wide temporal-join operator Ray Data lacks,
+    oracle-checked against DuckDB ASOF JOIN): each 'error' event matched
+    to the same user's most recent prior-or-equal 'purchase' event.
+    One bucketed shuffle per stage — right side pre-aggregated to unique
+    (user_id, ts) so the match is deterministic."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from dedupe_ray.joins import bucketed_asof_join
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+    left = ev.filter(expr="event_type == 'error'").drop_columns(["event_type"])
+    purch = ev.filter(expr="event_type == 'purchase'").drop_columns(["event_type"])
+
+    def tag(b: pa.Table) -> pa.Table:
+        u = b.column("user_id").to_numpy(zero_copy_only=False)
+        bkt = (pd.util.hash_array(u) % 256).astype(np.int32)
+        return b.append_column("bucket", pa.array(bkt))
+
+    def uniq(g: pa.Table) -> pa.Table:
+        agg = g.group_by(["user_id", "ts"]).aggregate([("event_id", "max")])
+        return pa.table(
+            {
+                "user_id": agg.column("user_id"),
+                "purchase_ts": agg.column("ts"),
+                "purchase_event_id": agg.column("event_id_max"),
+            }
+        )
+
+    right = (
+        purch.map_batches(tag, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(uniq, batch_format="pyarrow")
+    )
+    return bucketed_asof_join(
+        left,
+        right,
+        left_key="user_id",
+        right_key="user_id",
+        left_ts="ts",
+        right_ts="purchase_ts",
+        right_value_cols=["purchase_event_id", "purchase_ts"],
+    )
+
+
 def _q_kna2_replay(sf_dir: str):
     """A30 golden replay: KNA2.xlsx (reference fixture) through source
     reader → preprocess → train → partition. Result is the cluster
@@ -721,6 +768,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_langid": _q_quality_langid,
         "media_features": _q_media_features,
         "sessionize_events": _q_sessionize,
+        "asof_last_purchase": _q_asof_purchase,
         "kna2_replay": _q_kna2_replay,
         "export_projection": _q_export_projection,
         "ngram_jaccard_verify": _q_ngram_jaccard,
@@ -849,6 +897,21 @@ def oracle_sql() -> dict[str, str]:
                                        ROWS UNBOUNDED PRECEDING) - 1 AS VARCHAR)
                    AS session_id
             FROM o
+        """,
+        "asof_last_purchase": """
+            WITH p AS (
+                SELECT user_id, ts,
+                       CAST(max(event_id) AS BIGINT) AS purchase_event_id
+                FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+            ),
+            e AS (
+                SELECT event_id, user_id, ts FROM events
+                WHERE event_type = 'error'
+            )
+            SELECT e.event_id, e.user_id, e.ts,
+                   p.purchase_event_id, p.ts AS purchase_ts
+            FROM e ASOF JOIN p
+              ON e.user_id = p.user_id AND e.ts >= p.ts
         """,
         "export_projection": """
             SELECT CAST(c_nationkey + 1 AS VARCHAR) AS cluster_id,

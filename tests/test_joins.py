@@ -143,3 +143,78 @@ def test_no_ray_hash_join_in_library():
     root = pathlib.Path(__file__).resolve().parent.parent / "dedupe_ray"
     offenders = [str(p) for p in root.rglob("*.py") if "join_type=" in p.read_text()]
     assert offenders == []
+
+
+def _naive_asof(left, right, key, lts, rts, vcols):
+    """Per-left-row scan oracle: greatest right ts <= left ts, same key."""
+    out = []
+    for _, lrow in left.iterrows():
+        cand = right[(right[key] == lrow[key]) & (right[rts] <= lrow[lts])]
+        if len(cand):
+            best = cand.sort_values(rts).iloc[-1]
+            rec = dict(lrow)
+            for c in vcols:
+                rec[c] = best[c]
+            out.append(rec)
+    return pd.DataFrame(out)
+
+
+def test_bucketed_asof_join_matches_naive():
+    from dedupe_ray.joins import bucketed_asof_join
+
+    rng = np.random.default_rng(11)
+    base = pd.Timestamp("2024-01-01")
+    left = pd.DataFrame(
+        {
+            "k": [f"u{i}" for i in rng.integers(0, 12, 200)],
+            "ts": base + pd.to_timedelta(rng.integers(0, 10_000, 200), unit="s"),
+            "x": np.arange(200),
+        }
+    )
+    # unique (key, ts) right side; includes keys absent from left and a key
+    # ("u0") whose rows all come AFTER every left row (never matches)
+    rts = base + pd.to_timedelta(np.arange(0, 9_000, 37), unit="s")
+    right = pd.DataFrame(
+        {
+            "rk": [f"u{i % 15}" for i in range(len(rts))],
+            "rts": rts,
+            "v": np.arange(len(rts)) * 10,
+        }
+    )
+    right.loc[right.rk == "u0", "rts"] += pd.Timedelta(days=30)
+    right = right.drop_duplicates(["rk", "rts"])
+    # exact-tie case: one left row ts equals a right row ts (inclusive match)
+    left.loc[0, "k"] = "u1"
+    left.loc[0, "ts"] = right[right.rk == "u1"].iloc[0]["rts"]
+
+    got = (
+        bucketed_asof_join(
+            rd.from_pandas(left), rd.from_pandas(right),
+            "k", "rk", "ts", "rts", ["v"], n_buckets=8,
+        )
+        .to_pandas()
+        .sort_values(["k", "ts", "x"])
+        .reset_index(drop=True)
+    )
+    want = (
+        _naive_asof(left, right.rename(columns={"rk": "k"}), "k", "ts", "rts", ["v"])
+        .sort_values(["k", "ts", "x"])
+        .reset_index(drop=True)[got.columns]
+    )
+    pd.testing.assert_frame_equal(got, want)
+    # the exact-tie row matched inclusively
+    assert (got["x"] == 0).any()
+
+
+def test_bucketed_asof_join_empty_sides():
+    from dedupe_ray.joins import bucketed_asof_join
+
+    left = pd.DataFrame({"k": ["a"], "ts": [pd.Timestamp("2024-01-01")], "x": [1]})
+    right = pd.DataFrame(
+        {"rk": ["b"], "rts": [pd.Timestamp("2023-01-01")], "v": [5]}
+    )
+    got = bucketed_asof_join(
+        rd.from_pandas(left), rd.from_pandas(right), "k", "rk", "ts", "rts", ["v"],
+        n_buckets=4,
+    ).to_pandas()
+    assert len(got) == 0  # no shared key → inner join drops everything
