@@ -615,6 +615,53 @@ def _q_asof_purchase(sf_dir: str):
     )
 
 
+def _q_range_join_purchases(sf_dir: str):
+    """Range join (row-multiplying temporal join): every purchase of the
+    same user within the hour preceding each 'error' event — the SQL
+    inequality join, oracle-checked. One bucketed shuffle; per bucket one
+    lexsort + marker-cumsum probe (joins.range_match_counts)."""
+    import numpy as np
+
+    from dedupe_ray.joins import bucketed_range_join
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+    left = ev.filter(expr="event_type == 'error'").drop_columns(["event_type"])
+
+    def shape_right(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": b.column("user_id"),
+                "purchase_event_id": b.column("event_id"),
+                "purchase_ts": b.column("ts"),
+            }
+        )
+
+    right = ev.filter(expr="event_type == 'purchase'").map_batches(
+        shape_right, batch_format="pyarrow"
+    )
+    return bucketed_range_join(
+        left,
+        right,
+        left_key="user_id",
+        right_key="user_id",
+        left_ts="ts",
+        right_ts="purchase_ts",
+        right_value_cols=["purchase_event_id", "purchase_ts"],
+        lower_offset=np.timedelta64(-3600, "s"),
+        upper_offset=np.timedelta64(0, "s"),
+    )
+
+
+def _q_window_count(sf_dir: str):
+    """Sliding windowed aggregate: per event, how many events the same user
+    produced in the preceding 10 minutes (inclusive) — oracle-checked
+    against the SQL RANGE window frame."""
+    from dedupe_ray.ops.tabular import sliding_window_count
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    return sliding_window_count(ev, "user_id", "ts", window_seconds=600)
+
+
 def _q_kna2_replay(sf_dir: str):
     """A30 golden replay: KNA2.xlsx (reference fixture) through source
     reader → preprocess → train → partition. Result is the cluster
@@ -769,6 +816,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": _q_media_features,
         "sessionize_events": _q_sessionize,
         "asof_last_purchase": _q_asof_purchase,
+        "range_join_purchases": _q_range_join_purchases,
+        "events_window_count": _q_window_count,
         "kna2_replay": _q_kna2_replay,
         "export_projection": _q_export_projection,
         "ngram_jaccard_verify": _q_ngram_jaccard,
@@ -912,6 +961,22 @@ def oracle_sql() -> dict[str, str]:
                    p.purchase_event_id, p.ts AS purchase_ts
             FROM e ASOF JOIN p
               ON e.user_id = p.user_id AND e.ts >= p.ts
+        """,
+        "range_join_purchases": """
+            SELECT e.event_id, e.user_id, e.ts,
+                   p.event_id AS purchase_event_id, p.ts AS purchase_ts
+            FROM events e JOIN events p
+              ON e.user_id = p.user_id
+             AND e.event_type = 'error' AND p.event_type = 'purchase'
+             AND p.ts >= e.ts - INTERVAL 3600 SECOND AND p.ts <= e.ts
+        """,
+        "events_window_count": """
+            SELECT event_id, user_id, ts,
+                   CAST(count(*) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       RANGE BETWEEN INTERVAL 600 SECOND PRECEDING
+                             AND CURRENT ROW) AS BIGINT) AS window_count
+            FROM events
         """,
         "export_projection": """
             SELECT CAST(c_nationkey + 1 AS VARCHAR) AS cluster_id,

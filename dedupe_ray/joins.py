@@ -113,6 +113,153 @@ def bucketed_lookup_join(
     return both.groupby(_BKT).map_groups(resolve, batch_format="pyarrow")
 
 
+def range_match_counts(
+    l_codes: np.ndarray,
+    l_lo: np.ndarray,
+    l_hi: np.ndarray,
+    r_codes: np.ndarray,
+    r_ts: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized per-key interval probe: for each left row i, the slice
+    [lo_idx[i], lo_idx[i]+counts[i]) of the RETURNED right sort order
+    contains exactly the right rows with r_code == l_codes[i] and
+    l_lo[i] <= r_ts <= l_hi[i] (closed interval).
+
+    Returns (r_order, lo_idx, counts). Implementation: one lexsort of the
+    union of right rows and two boundary markers per left row on
+    (code, ts, tier) with tier lo-marker < right-row < hi-marker, then a
+    cumulative count of right rows positions every boundary — the standard
+    merge trick, no per-key loop.
+    """
+    n_l, n_r = len(l_codes), len(r_codes)
+    codes = np.concatenate([r_codes, l_codes, l_codes])
+    ts = np.concatenate([r_ts, l_lo, l_hi])
+    tier = np.concatenate(
+        [np.ones(n_r, np.int8), np.zeros(n_l, np.int8), np.full(n_l, 2, np.int8)]
+    )
+    order = np.lexsort((tier, ts, codes))
+    is_right = order < n_r
+    cum_right = np.cumsum(is_right)
+    # sorted position → count of right rows at-or-before it
+    marker_count = cum_right[np.argsort(order, kind="stable")]
+    lo_idx = marker_count[n_r : n_r + n_l] - 0  # lo marker sorts before peers
+    hi_idx = marker_count[n_r + n_l :]  # hi marker sorts after peers
+    # lo marker's own cum includes only right rows strictly before it;
+    # clip guards an inverted interval (lower > upper) from negative counts
+    counts = np.maximum(hi_idx - lo_idx, 0)
+    r_order = order[is_right]  # right original indices in (code, ts) order
+    return r_order, lo_idx, counts
+
+
+def bucketed_range_join(
+    left_ds: "ray.data.Dataset",
+    right_ds: "ray.data.Dataset",
+    left_key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    right_value_cols: list[str],
+    lower_offset,
+    upper_offset,
+    n_buckets: int = 256,
+) -> "ray.data.Dataset":
+    """Distributed inner range join: emit one row per (left, right) pair
+    with equal keys and ``left_ts + lower_offset <= right_ts <=
+    left_ts + upper_offset`` (closed interval; offsets are
+    ``np.timedelta64``-compatible for timestamp columns, plain numbers for
+    numeric ones). Row-multiplying — the SQL
+    ``JOIN ... ON l.k = r.k AND r.ts BETWEEN l.ts + lo AND l.ts + hi``.
+
+    Same single-shuffle bucketed shape as the other joins here; per bucket
+    the probe is :func:`range_match_counts` + a repeat/cumsum expansion
+    (the candidate-pair emission trick), all numpy.
+    """
+    left_schema = left_ds.schema()
+    left_names = list(left_schema.names)
+    left_types = {n: _pa_type(t) for n, t in zip(left_schema.names, left_schema.types)}
+    right_schema = right_ds.schema()
+    right_types = {n: _pa_type(t) for n, t in zip(right_schema.names, right_schema.types)}
+    overlap = set(right_value_cols) & set(left_names)
+    if overlap:
+        raise ValueError(f"right_value_cols collide with left columns: {sorted(overlap)}")
+    key_type = left_types[left_key]
+    ts_type = left_types[left_ts]
+    out_names = left_names + list(right_value_cols)
+    rv_types = {c: right_types[c] for c in right_value_cols}
+
+    def _empty() -> pa.Table:
+        return pa.table(
+            {n: pa.array([], left_types.get(n) or rv_types[n]) for n in out_names}
+        )
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        mask = pc.and_(pc.is_valid(t.column(left_key)), pc.is_valid(t.column(left_ts)))
+        t = t.filter(mask)
+        data = {n: t.column(n) for n in left_names}
+        for c in right_value_cols:
+            data[c] = pa.nulls(len(t), rv_types[c])
+        data[_BKT] = _bucket_col(t.column(left_key), n_buckets)
+        data[_SIDE] = pa.array(np.zeros(len(t), bool))
+        return pa.table(data)
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        mask = pc.and_(pc.is_valid(t.column(right_key)), pc.is_valid(t.column(right_ts)))
+        t = t.filter(mask)
+        key = pc.cast(t.column(right_key), key_type)
+        ts = pc.cast(t.column(right_ts), ts_type)
+        data: dict = {}
+        for n in left_names:
+            if n == left_key:
+                data[n] = key
+            elif n == left_ts:
+                data[n] = ts
+            else:
+                data[n] = pa.nulls(len(t), left_types[n])
+        for c in right_value_cols:
+            data[c] = t.column(c)
+        data[_BKT] = _bucket_col(key, n_buckets)
+        data[_SIDE] = pa.array(np.ones(len(t), bool))
+        return pa.table(data)
+
+    def resolve(t: pa.Table) -> pa.Table:
+        side = t.column(_SIDE).to_numpy(zero_copy_only=False)
+        rhs = t.filter(pa.array(side))
+        lhs = t.filter(pa.array(~side))
+        n_l, n_r = len(lhs), len(rhs)
+        if n_l == 0 or n_r == 0:
+            return _empty()
+        keys = np.concatenate(
+            [
+                lhs.column(left_key).to_numpy(zero_copy_only=False),
+                rhs.column(left_key).to_numpy(zero_copy_only=False),
+            ]
+        )
+        codes, _ = pd.factorize(keys)
+        l_ts = lhs.column(left_ts).to_numpy(zero_copy_only=False)
+        r_ts = rhs.column(left_ts).to_numpy(zero_copy_only=False)
+        r_order, lo_idx, counts = range_match_counts(
+            codes[:n_l], l_ts + lower_offset, l_ts + upper_offset, codes[n_l:], r_ts
+        )
+        total = int(counts.sum())
+        if total == 0:
+            return _empty()
+        a_idx = np.repeat(np.arange(n_l), counts)
+        cum = np.concatenate(([0], np.cumsum(counts)))[:-1]
+        off = np.arange(total, dtype=np.int64) - np.repeat(cum, counts)
+        b_pos = np.repeat(lo_idx, counts) + off
+        b_idx = r_order[b_pos]
+        hit = lhs.take(pa.array(a_idx))
+        data = {nm: hit.column(nm) for nm in left_names}
+        for c in right_value_cols:
+            data[c] = pc.take(rhs.column(c), pa.array(b_idx))
+        return pa.table(data)
+
+    both = left_ds.map_batches(tag_left, batch_format="pyarrow").union(
+        right_ds.map_batches(tag_right, batch_format="pyarrow")
+    )
+    return both.groupby(_BKT).map_groups(resolve, batch_format="pyarrow")
+
+
 def bucketed_asof_join(
     left_ds: "ray.data.Dataset",
     right_ds: "ray.data.Dataset",

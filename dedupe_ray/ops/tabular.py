@@ -241,3 +241,50 @@ def sessionize(
         .groupby("ubucket")
         .map_groups(assign, batch_format="pyarrow")
     )
+
+
+def sliding_window_count(
+    ds: "ray.data.Dataset",
+    key_column: str = "user_id",
+    ts_column: str = "ts",
+    window_seconds: int = 600,
+    n_buckets: int = 256,
+) -> "ray.data.Dataset":
+    """Per-row sliding-window aggregate: adds ``window_count`` = number of
+    rows with the same key whose timestamp lies in ``[ts - window, ts]``
+    (closed interval — SQL ``count(*) OVER (PARTITION BY key ORDER BY ts
+    RANGE BETWEEN <window> PRECEDING AND CURRENT ROW)``, equal-timestamp
+    peers included, self included).
+
+    Shape: ONE bucketed shuffle (keys hashed into ``n_buckets`` groups);
+    per bucket the probe is ``range_match_counts`` with the rows as their
+    own queries — one lexsort + cumsum, no per-key loop.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from dedupe_ray.joins import range_match_counts
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        vals = b.column(key_column).to_numpy(zero_copy_only=False)
+        bkt = (pd.util.hash_array(vals) % n_buckets).astype(np.int32)
+        return b.append_column("__wbkt", pa.array(bkt))
+
+    def count_windows(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["__wbkt"])
+        keys = g.column(key_column).to_numpy(zero_copy_only=False)
+        codes, _ = pd.factorize(keys)
+        ts = g.column(ts_column).to_numpy(zero_copy_only=False)
+        w = (
+            np.timedelta64(window_seconds, "s")
+            if np.issubdtype(ts.dtype, np.datetime64)
+            else window_seconds
+        )
+        _, _, counts = range_match_counts(codes, ts - w, ts, codes, ts)
+        return g.append_column("window_count", pa.array(counts.astype(np.int64)))
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("__wbkt")
+        .map_groups(count_windows, batch_format="pyarrow")
+    )

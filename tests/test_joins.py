@@ -218,3 +218,65 @@ def test_bucketed_asof_join_empty_sides():
         n_buckets=4,
     ).to_pandas()
     assert len(got) == 0  # no shared key → inner join drops everything
+
+
+def test_bucketed_range_join_matches_naive():
+    from dedupe_ray.joins import bucketed_range_join
+
+    rng = np.random.default_rng(23)
+    base = pd.Timestamp("2024-01-01")
+    left = pd.DataFrame(
+        {
+            "k": [f"u{i}" for i in rng.integers(0, 10, 120)],
+            "ts": base + pd.to_timedelta(rng.integers(0, 5_000, 120), unit="s"),
+            "x": np.arange(120),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "rk": [f"u{i % 13}" for i in range(400)],
+            "rts": base + pd.to_timedelta(rng.integers(0, 5_000, 400), unit="s"),
+            "v": np.arange(400),
+        }
+    )
+    lo, hi = np.timedelta64(-600, "s"), np.timedelta64(300, "s")
+    got = (
+        bucketed_range_join(
+            rd.from_pandas(left), rd.from_pandas(right),
+            "k", "rk", "ts", "rts", ["v"], lo, hi, n_buckets=8,
+        )
+        .to_pandas()
+        .sort_values(["x", "v"])
+        .reset_index(drop=True)
+    )
+    rows = []
+    for _, l in left.iterrows():
+        cand = right[
+            (right.rk == l.k)
+            & (right.rts >= l.ts + lo)
+            & (right.rts <= l.ts + hi)
+        ]
+        for _, r in cand.iterrows():
+            rows.append({"k": l.k, "ts": l.ts, "x": l.x, "v": r.v})
+    want = (
+        pd.DataFrame(rows)
+        .sort_values(["x", "v"])
+        .reset_index(drop=True)[got.columns]
+    )
+    assert len(got) == len(want) and len(got) > 0
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_range_match_counts_boundaries_inclusive():
+    from dedupe_ray.joins import range_match_counts
+
+    r_codes = np.array([0, 0, 0, 1])
+    r_ts = np.array([10, 20, 30, 20])
+    # query [10, 30] on key 0 includes both endpoints; key 1 separate
+    r_order, lo, cnt = range_match_counts(
+        np.array([0, 1]), np.array([10, 0]), np.array([30, 100]), r_codes, r_ts
+    )
+    assert cnt.tolist() == [3, 1]
+    got0 = sorted(r_order[lo[0] : lo[0] + cnt[0]].tolist())
+    assert got0 == [0, 1, 2]
+    assert r_order[lo[1] : lo[1] + cnt[1]].tolist() == [3]

@@ -378,3 +378,39 @@ def test_media_resize_and_frame_sample(small_corpus, ray_session):
     # deterministic timestamps per ref
     per_ref = frames.groupby("media_ref")["frame_ts"].apply(lambda s: tuple(sorted(set(s))))
     assert per_ref.map(len).eq(3).all()
+
+
+def test_sliding_window_count_matches_naive(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from dedupe_ray.ops.tabular import sliding_window_count
+
+    rng = np.random.default_rng(5)
+    base = pd.Timestamp("2024-01-01")
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(300),
+            "user_id": rng.integers(0, 9, 300),
+            "ts": base + pd.to_timedelta(rng.integers(0, 3_000, 300), unit="s"),
+        }
+    )
+    got = (
+        sliding_window_count(rd.from_pandas(df), "user_id", "ts", window_seconds=120, n_buckets=8)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    naive = [
+        int(
+            (
+                (df.user_id == r.user_id)
+                & (df.ts >= r.ts - pd.Timedelta(seconds=120))
+                & (df.ts <= r.ts)
+            ).sum()
+        )
+        for r in df.itertuples()
+    ]
+    assert got["window_count"].tolist() == naive
+    assert (got["window_count"] >= 1).all()  # self always counted
