@@ -240,3 +240,85 @@ def validate_inputs(paths: list[str], selected_columns: list[str]) -> None:
         raise ValueError("all input files must share the same format family")
     if len(selected_columns) < 2:
         raise ValueError("select at least 2 match columns")
+
+
+def write_excel_table(table, path: str, sheet_name: str = "Sheet1") -> None:
+    """A21 sink counterpart: write an Arrow table (or pandas DataFrame) as
+    a minimal valid .xlsx — the reference's merged-file download is an
+    xlsx produced client-side (frontend/src/utils/fileUtils.ts:183-312).
+    Inline strings only (no sharedStrings/styles): every cell is written
+    as text, matching the all-string data model of the merge path. Bounded
+    app-layer output (the reference caps inputs at 100 MB), assembled
+    driver-side like the other A-layer sinks.
+
+    Round-trips through :func:`dedupe_ray.sources.read_excel_table`.
+    """
+    import zipfile
+    from xml.sax.saxutils import escape
+
+    import pyarrow as pa
+
+    if hasattr(table, "to_pandas") and not isinstance(table, pa.Table):
+        table = pa.Table.from_pandas(table.to_pandas())
+    elif not isinstance(table, pa.Table):
+        table = pa.Table.from_pandas(table)
+
+    def col_ref(i: int) -> str:
+        s = ""
+        i += 1
+        while i:
+            i, r = divmod(i - 1, 26)
+            s = chr(65 + r) + s
+        return s
+
+    names = table.column_names
+    cols = [table.column(n).to_pylist() for n in names]
+
+    def row_xml(r_idx: int, values) -> str:
+        cells = []
+        for c_idx, v in enumerate(values):
+            if v is None:
+                continue
+            ref = f"{col_ref(c_idx)}{r_idx}"
+            cells.append(
+                f'<c r="{ref}" t="inlineStr"><is><t xml:space="preserve">'
+                f"{escape(str(v))}</t></is></c>"
+            )
+        return f'<row r="{r_idx}">' + "".join(cells) + "</row>"
+
+    ns = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    rows = [row_xml(1, names)]
+    for i in range(table.num_rows):
+        rows.append(row_xml(i + 2, [col[i] for col in cols]))
+    sheet = f'<worksheet xmlns="{ns}"><sheetData>' + "".join(rows) + "</sheetData></worksheet>"
+    rns = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+    workbook = (
+        f'<workbook xmlns="{ns}" xmlns:r="{rns}"><sheets>'
+        f'<sheet name="{escape(sheet_name)}" sheetId="1" r:id="rId1"/>'
+        "</sheets></workbook>"
+    )
+    pk = "http://schemas.openxmlformats.org/package/2006"
+    rels = (
+        f'<Relationships xmlns="{pk}/relationships">'
+        f'<Relationship Id="rId1" Type="{rns}/worksheet" Target="worksheets/sheet1.xml"/>'
+        "</Relationships>"
+    )
+    root_rels = (
+        f'<Relationships xmlns="{pk}/relationships">'
+        f'<Relationship Id="rId1" Type="{rns}/officeDocument" Target="xl/workbook.xml"/>'
+        "</Relationships>"
+    )
+    ctypes = (
+        f'<Types xmlns="{pk}/content-types">'
+        '<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>'
+        '<Default Extension="xml" ContentType="application/xml"/>'
+        '<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
+        '<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>'
+        "</Types>"
+    )
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr("[Content_Types].xml", ctypes)
+        z.writestr("_rels/.rels", root_rels)
+        z.writestr("xl/workbook.xml", workbook)
+        z.writestr("xl/_rels/workbook.xml.rels", rels)
+        z.writestr("xl/worksheets/sheet1.xml", sheet)

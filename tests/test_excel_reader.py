@@ -105,3 +105,24 @@ def test_multi_sheet_selection(workbook_path):
         read_excel_table(workbook_path, sheet="Missing")
     with pytest.raises(ValueError, match="out of range"):
         read_excel_table(workbook_path, sheet=2)
+
+
+def test_write_excel_roundtrip(tmp_path):
+    import pyarrow as pa
+
+    from dedupe_ray.sinks import write_excel_table
+    from dedupe_ray.sources import read_excel_table, excel_sheet_names
+
+    t = pa.table(
+        {
+            "Name 1": ["acme <&> gmbh", "bob's \"shop\"", ""],
+            "City": ["kraków", "line\nbreak", "  spaced  "],
+            "n": ["1", "2.5", ""],
+        }
+    )
+    p = str(tmp_path / "out.xlsx")
+    write_excel_table(t, p, sheet_name="Merged")
+    assert excel_sheet_names(p) == ["Merged"]
+    back = read_excel_table(p)
+    for col in t.column_names:
+        assert back.column(col).to_pylist() == t.column(col).to_pylist(), col
