@@ -662,6 +662,31 @@ def _q_window_count(sf_dir: str):
     return sliding_window_count(ev, "user_id", "ts", window_seconds=600)
 
 
+def _q_top_orders_per_customer(sf_dir: str):
+    """Grouped top-k (the per-key limit every ranking pipeline needs):
+    each customer's 3 largest orders by price, orderkey tiebreak —
+    oracle-checked against the SQL row_number window."""
+    from dedupe_ray.ops.tabular import grouped_top_k
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+    return grouped_top_k(
+        orders, "o_custkey", "o_totalprice", 3,
+        descending=True, tiebreak_column="o_orderkey",
+    )
+
+
+def _q_median_order_price(sf_dir: str):
+    """Grouped discrete quantile (median order price per customer) —
+    quantile_disc semantics return an actual element, so the comparison
+    against DuckDB is bit-exact with no interpolation ulp hazard."""
+    from dedupe_ray.ops.tabular import grouped_quantile_disc
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    return grouped_quantile_disc(
+        orders, "o_custkey", "o_totalprice", 0.5, out_column="median_price"
+    )
+
+
 def _q_kna2_replay(sf_dir: str):
     """A30 golden replay: KNA2.xlsx (reference fixture) through source
     reader → preprocess → train → partition. Result is the cluster
@@ -818,6 +843,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_last_purchase": _q_asof_purchase,
         "range_join_purchases": _q_range_join_purchases,
         "events_window_count": _q_window_count,
+        "top_orders_per_customer": _q_top_orders_per_customer,
+        "median_order_price": _q_median_order_price,
         "kna2_replay": _q_kna2_replay,
         "export_projection": _q_export_projection,
         "ngram_jaccard_verify": _q_ngram_jaccard,
@@ -977,6 +1004,18 @@ def oracle_sql() -> dict[str, str]:
                        RANGE BETWEEN INTERVAL 600 SECOND PRECEDING
                              AND CURRENT ROW) AS BIGINT) AS window_count
             FROM events
+        """,
+        "top_orders_per_customer": """
+            SELECT o_custkey, o_orderkey, o_totalprice FROM (
+                SELECT o_custkey, o_orderkey, o_totalprice,
+                       row_number() OVER (PARTITION BY o_custkey
+                           ORDER BY o_totalprice DESC, o_orderkey) AS rn
+                FROM orders
+            ) WHERE rn <= 3
+        """,
+        "median_order_price": """
+            SELECT o_custkey, quantile_disc(o_totalprice, 0.5) AS median_price
+            FROM orders GROUP BY o_custkey
         """,
         "export_projection": """
             SELECT CAST(c_nationkey + 1 AS VARCHAR) AS cluster_id,

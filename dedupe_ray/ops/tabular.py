@@ -288,3 +288,117 @@ def sliding_window_count(
         .groupby("__wbkt")
         .map_groups(count_windows, batch_format="pyarrow")
     )
+
+
+def grouped_top_k(
+    ds: "ray.data.Dataset",
+    key_column: str,
+    order_column: str,
+    k: int,
+    descending: bool = True,
+    tiebreak_column: str | None = None,
+    n_buckets: int = 256,
+) -> "ray.data.Dataset":
+    """Per-key top-k: keep the k rows with the largest (or smallest)
+    ``order_column`` per key — the SQL
+    ``row_number() OVER (PARTITION BY key ORDER BY v [DESC], tie) <= k``.
+    Ties beyond ``order_column`` resolve by ``tiebreak_column`` ascending
+    (required for deterministic output when order values repeat).
+
+    ONE bucketed shuffle; per bucket a single lexsort + run-relative rank
+    (arange minus run starts) — no per-key loop, any key cardinality.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        vals = b.column(key_column).to_numpy(zero_copy_only=False)
+        bkt = (pd.util.hash_array(vals) % n_buckets).astype(np.int32)
+        return b.append_column("__tbkt", pa.array(bkt))
+
+    def head_k(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["__tbkt"])
+        keys = g.column(key_column).to_numpy(zero_copy_only=False)
+        codes, _ = pd.factorize(keys)
+        order_vals = g.column(order_column).to_numpy(zero_copy_only=False)
+        sort_keys = [order_vals if not descending else _descending_key(order_vals)]
+        if tiebreak_column is not None:
+            sort_keys.insert(0, g.column(tiebreak_column).to_numpy(zero_copy_only=False))
+        order = np.lexsort(tuple(sort_keys) + (codes,))
+        s_codes = codes[order]
+        pos = np.arange(len(order), dtype=np.int64)
+        new_run = np.concatenate(([True], s_codes[1:] != s_codes[:-1]))
+        run_start = np.maximum.accumulate(np.where(new_run, pos, -1))
+        keep = (pos - run_start) < k
+        return g.take(pa.array(np.sort(order[keep])))
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("__tbkt")
+        .map_groups(head_k, batch_format="pyarrow")
+    )
+
+
+def _descending_key(vals):
+    """Sort key that orders ``vals`` descending under an ascending sort:
+    negation for numerics, DENSE-rank inversion for everything else (equal
+    values must stay equal so the tiebreak column — not input order —
+    resolves ties)."""
+    import numpy as np
+
+    if np.issubdtype(vals.dtype, np.number):
+        return -vals
+    if np.issubdtype(vals.dtype, np.datetime64):
+        return -vals.astype(np.int64)
+    _, inverse = np.unique(vals, return_inverse=True)
+    return -inverse
+
+
+def grouped_quantile_disc(
+    ds: "ray.data.Dataset",
+    key_column: str,
+    value_column: str,
+    q: float = 0.5,
+    out_column: str = "quantile",
+    n_buckets: int = 256,
+) -> "ray.data.Dataset":
+    """Per-key discrete quantile: the element at 0-based sorted position
+    ``floor((n - 1) * q)`` within each key — SQL ``quantile_disc(v, q)``
+    semantics (an ACTUAL element is returned, so the result is bit-exact
+    against the oracle; interpolated medians differ in the last ulp
+    depending on the interpolation formula).
+
+    ONE bucketed shuffle; per bucket one lexsort + run-length arithmetic.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        vals = b.column(key_column).to_numpy(zero_copy_only=False)
+        bkt = (pd.util.hash_array(vals) % n_buckets).astype(np.int32)
+        return b.append_column("__qbkt", pa.array(bkt))
+
+    def quantiles(g: pa.Table) -> pa.Table:
+        keys = g.column(key_column).to_numpy(zero_copy_only=False)
+        codes, _ = pd.factorize(keys)
+        vals = g.column(value_column).to_numpy(zero_copy_only=False)
+        order = np.lexsort((vals, codes))
+        s_codes = codes[order]
+        n = len(order)
+        new_run = np.concatenate(([True], s_codes[1:] != s_codes[:-1]))
+        starts = np.nonzero(new_run)[0]
+        lengths = np.diff(np.append(starts, n))
+        pick = starts + np.floor((lengths - 1) * q).astype(np.int64)
+        sel = order[pick]
+        return pa.table(
+            {
+                key_column: pa.compute.take(g.column(key_column), pa.array(sel)),
+                out_column: pa.compute.take(g.column(value_column), pa.array(sel)),
+            }
+        )
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("__qbkt")
+        .map_groups(quantiles, batch_format="pyarrow")
+    )

@@ -414,3 +414,84 @@ def test_sliding_window_count_matches_naive(ray_session):
     ]
     assert got["window_count"].tolist() == naive
     assert (got["window_count"] >= 1).all()  # self always counted
+
+
+def test_grouped_top_k_matches_pandas(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from dedupe_ray.ops.tabular import grouped_top_k
+
+    rng = np.random.default_rng(9)
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 20, 500),
+            "v": rng.integers(0, 40, 500).astype(float),  # many ties
+            "id": np.arange(500),
+        }
+    )
+    got = (
+        grouped_top_k(rd.from_pandas(df), "k", "v", 3, descending=True,
+                      tiebreak_column="id", n_buckets=8)
+        .to_pandas()
+        .sort_values(["k", "id"])
+        .reset_index(drop=True)
+    )
+    want = (
+        df.sort_values(["v", "id"], ascending=[False, True])
+        .groupby("k")
+        .head(3)
+        .sort_values(["k", "id"])
+        .reset_index(drop=True)[got.columns]
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_grouped_top_k_string_order_dense_ranks(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from dedupe_ray.ops.tabular import grouped_top_k
+
+    # equal string order values must fall through to the tiebreak column
+    df = pd.DataFrame(
+        {"k": ["a"] * 4, "v": ["mid", "top", "mid", "low"], "id": [3, 0, 1, 2]}
+    )
+    got = (
+        grouped_top_k(rd.from_pandas(df), "k", "v", 2, descending=True,
+                      tiebreak_column="id", n_buckets=2)
+        .to_pandas()
+        .sort_values("id")
+    )
+    assert got["v"].tolist() == ["top", "mid"]
+    assert got["id"].tolist() == [0, 1]  # the lower id among the two 'mid's
+
+
+def test_grouped_quantile_disc_matches_duckdb(ray_session):
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from dedupe_ray.ops.tabular import grouped_quantile_disc
+
+    rng = np.random.default_rng(13)
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 15, 400),
+            "v": np.round(rng.normal(100, 20, 400), 2),
+        }
+    )
+    got = (
+        grouped_quantile_disc(rd.from_pandas(df), "k", "v", 0.5, "med", n_buckets=8)
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    want = (
+        duckdb.connect()
+        .execute("SELECT k, quantile_disc(v, 0.5) AS med FROM df GROUP BY k ORDER BY k")
+        .df()
+    )
+    pd.testing.assert_frame_equal(got.astype({"k": np.int64}), want.astype({"k": np.int64}))
