@@ -3,12 +3,17 @@
 Media ride as opaque payloads: either ``media_ref: string`` pointers inside
 the span column (BASELINE.json input_hint) or a ``payload: binary`` column
 with typed metadata. The Ray-side plumbing — schemas, actor-pool stages,
-batch sizing for wide binary rows, output layout — is real and tested; the
-codec work itself is STUBBED (no image/audio libraries exist in this
-environment): ``DecodeImage`` raises ``NotImplementedError`` unless
-``fake=True``, in which case a deterministic fake decoder (seeded by the
-payload hash) produces stable pseudo-features so downstream stages are
-testable end to end.
+batch sizing for wide binary rows, output layout — is real and tested.
+
+Codecs: UNCOMPRESSED formats decode for real (pure numpy, no libraries):
+PPM/PGM (P6/P5 binary) and 24-bit BI_RGB BMP via :func:`decode_ppm` /
+:func:`decode_bmp`, plus nearest-neighbor pixel resampling
+(:func:`resize_nearest`). Compressed codecs (JPEG/PNG/ffmpeg audio/video)
+are STUBBED — no codec libraries exist in this environment:
+``DecodeImage`` decodes recognized payloads, falls back to the
+deterministic fake decoder when ``fake=True`` (stable pseudo-features
+seeded by the ref hash so downstream stages are testable end to end), and
+raises ``NotImplementedError`` otherwise, marking the integration point.
 """
 
 from __future__ import annotations
@@ -53,27 +58,125 @@ def extract_media_spans(batch: pa.Table) -> pa.Table:
     )
 
 
-class DecodeImage:
-    """Actor-pool stage: media_ref/payload → decoded features.
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary PPM/PGM (P6/P5) → uint8 array [h, w, 3] or [h, w].
 
-    Real pipelines load the codec model once per actor here (``__init__``)
-    and decode per batch. In this sandbox there are no codecs: with
-    ``fake=True`` a deterministic stand-in emits stable (seeded by ref hash)
-    width/height/embedding so the distributed plumbing is fully exercised;
-    with ``fake=False`` the stage raises NotImplementedError, marking the
-    integration point."""
+    Pure-python header tokenizer (whitespace + ``#`` comments per the
+    Netpbm spec), numpy frombuffer for the raster. maxval ≤ 255 only."""
+    magic = payload[:2]
+    if magic not in (b"P6", b"P5"):
+        raise ValueError(f"not a binary PPM/PGM payload: {magic!r}")
+    # tokenize header: magic, width, height, maxval; comments run to EOL
+    pos, tokens = 2, []
+    n = len(payload)
+    while len(tokens) < 3 and pos < n:
+        c = payload[pos : pos + 1]
+        if c in b" \t\r\n":
+            pos += 1
+        elif c == b"#":
+            while pos < n and payload[pos : pos + 1] not in b"\r\n":
+                pos += 1
+        else:
+            start = pos
+            while pos < n and payload[pos : pos + 1] not in b" \t\r\n#":
+                pos += 1
+            tokens.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval, then raster
+    w, h, maxval = tokens
+    if maxval > 255:
+        raise ValueError("16-bit Netpbm rasters not supported")
+    ch = 3 if magic == b"P6" else 1
+    raster = np.frombuffer(payload, np.uint8, count=w * h * ch, offset=pos)
+    return raster.reshape(h, w, 3) if ch == 3 else raster.reshape(h, w)
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Uncompressed 24-bit BI_RGB BMP → uint8 array [h, w, 3] (RGB).
+
+    BITMAPINFOHEADER only; handles 4-byte row padding and bottom-up rows
+    (positive height) per the format spec."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = int.from_bytes(payload[10:14], "little")
+    w = int.from_bytes(payload[18:22], "little", signed=True)
+    h = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    compression = int.from_bytes(payload[30:34], "little")
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"only 24-bit BI_RGB supported (bpp={bpp}, comp={compression})")
+    stride = ((w * 3 + 3) // 4) * 4
+    rows = np.frombuffer(payload, np.uint8, count=stride * abs(h), offset=data_off)
+    img = rows.reshape(abs(h), stride)[:, : w * 3].reshape(abs(h), w, 3)
+    img = img[:, :, ::-1]  # BGR → RGB
+    return img[::-1] if h > 0 else img  # positive height = bottom-up
+
+
+def resize_nearest(img: np.ndarray, max_side: int) -> np.ndarray:
+    """Aspect-preserving nearest-neighbor downsample to fit
+    ``max_side`` × ``max_side`` (no-op when already within bounds) —
+    real pixel resampling, pure numpy index arithmetic."""
+    h, w = img.shape[:2]
+    scale = min(1.0, max_side / max(h, w, 1))
+    nh, nw = max(1, round(h * scale)), max(1, round(w * scale))
+    if (nh, nw) == (h, w):
+        return img
+    yi = np.minimum((np.arange(nh) * (h / nh)).astype(np.int64), h - 1)
+    xi = np.minimum((np.arange(nw) * (w / nw)).astype(np.int64), w - 1)
+    return img[yi][:, xi]
+
+
+def _pixel_features(img: np.ndarray, dim: int = 8) -> np.ndarray:
+    """Deterministic content features: mean R/G/B + a 4-bin luma histogram
+    + aspect ratio — the cheap embedding a real pipeline would replace
+    with a model forward pass."""
+    if img.ndim == 2:
+        img = np.repeat(img[:, :, None], 3, axis=2)
+    rgb = img.reshape(-1, 3).astype(np.float32)
+    mean = rgb.mean(axis=0) / 255.0
+    luma = rgb @ np.array([0.299, 0.587, 0.114], np.float32)
+    hist = np.histogram(luma, bins=4, range=(0.0, 255.0))[0].astype(np.float32)
+    hist /= max(len(luma), 1)
+    aspect = np.float32(img.shape[1] / max(img.shape[0], 1))
+    return np.concatenate([mean, hist, [aspect]]).astype(np.float32)[:dim]
+
+
+class DecodeImage:
+    """Actor-pool stage: media_ref/payload → width/height/features.
+
+    Decode state lives per actor (``__init__`` — a real pipeline loads
+    its codec/model once here). Payloads in uncompressed formats decode
+    for REAL (:func:`decode_ppm` / :func:`decode_bmp` + pixel features);
+    unrecognized payloads (JPEG/PNG need codec libraries this environment
+    lacks) fall back to the deterministic fake decoder when ``fake=True``
+    (stable pseudo-features seeded by the ref hash) and raise
+    ``NotImplementedError`` otherwise."""
 
     FEATURE_DIM = 8
 
     def __init__(self, fake: bool = False):
         self.fake = fake
 
-    def _decode_one(self, ref: str) -> tuple[int, int, np.ndarray]:
+    def _decode_payload(self, payload: bytes) -> tuple[int, int, np.ndarray] | None:
+        if payload[:2] in (b"P6", b"P5"):
+            img = decode_ppm(payload)
+        elif payload[:2] == b"BM":
+            img = decode_bmp(payload)
+        else:
+            return None
+        h, w = img.shape[:2]
+        return w, h, _pixel_features(img, self.FEATURE_DIM)
+
+    def _decode_one(self, ref: str, payload: bytes | None = None) -> tuple[int, int, np.ndarray]:
+        if payload:
+            real = self._decode_payload(payload)
+            if real is not None:
+                return real
         if not self.fake:
             raise NotImplementedError(
-                "image decoding requires a codec library (PIL/ffmpeg) — not "
-                "available in this environment; pass fake=True for the "
-                "deterministic test decoder"
+                "compressed image decoding requires a codec library "
+                "(PIL/ffmpeg) — not available in this environment; supply "
+                "PPM/BMP payloads or pass fake=True for the deterministic "
+                "test decoder"
             )
         seed = zlib.crc32(ref.encode())
         rng = np.random.RandomState(seed)
@@ -83,9 +186,14 @@ class DecodeImage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         refs = batch.column("media_ref").to_pylist()
+        payloads = (
+            batch.column("payload").to_pylist()
+            if "payload" in batch.column_names
+            else [None] * len(refs)
+        )
         ws, hs, feats = [], [], []
-        for r in refs:
-            w, h, f = self._decode_one(r or "")
+        for r, p in zip(refs, payloads):
+            w, h, f = self._decode_one(r or "", p)
             ws.append(w)
             hs.append(h)
             feats.append(f)
@@ -104,9 +212,10 @@ class DecodeImage:
 
 class ResizeImage:
     """Actor-pool stage: (width, height[, payload]) → resized dimensions +
-    a resize plan. The arithmetic (aspect-preserving fit into
-    ``max_side`` × ``max_side``) is real and vectorized; the pixel work is
-    the stubbed codec integration point (same contract as DecodeImage)."""
+    a resize plan. The geometry (aspect-preserving fit into
+    ``max_side`` × ``max_side``) is vectorized here; actual pixel
+    resampling for decoded arrays is :func:`resize_nearest` (pure numpy —
+    real, not stubbed)."""
 
     def __init__(self, max_side: int = 256, fake: bool = True):
         self.max_side = max_side

@@ -495,3 +495,104 @@ def test_grouped_quantile_disc_matches_duckdb(ray_session):
         .df()
     )
     pd.testing.assert_frame_equal(got.astype({"k": np.int64}), want.astype({"k": np.int64}))
+
+
+def _ppm_bytes(w, h, pixel_fn):
+    import numpy as np
+
+    img = np.zeros((h, w, 3), np.uint8)
+    for y in range(h):
+        for x in range(w):
+            img[y, x] = pixel_fn(x, y)
+    return b"P6\n# test comment\n%d %d\n255\n" % (w, h) + img.tobytes(), img
+
+
+def _bmp_bytes(img):
+    """24-bit BI_RGB bottom-up BMP from an RGB uint8 array."""
+    import numpy as np
+
+    h, w = img.shape[:2]
+    stride = ((w * 3 + 3) // 4) * 4
+    rows = np.zeros((h, stride), np.uint8)
+    rows[:, : w * 3] = img[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up BGR
+    raster = rows.tobytes()
+    off = 14 + 40
+    header = (
+        b"BM"
+        + (off + len(raster)).to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + off.to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + len(raster).to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    return header + raster
+
+
+def test_decode_ppm_bmp_real():
+    import numpy as np
+
+    from dedupe_ray.ops.multimodal import decode_bmp, decode_ppm, resize_nearest
+
+    payload, img = _ppm_bytes(5, 3, lambda x, y: (x * 40, y * 80, 7))
+    got = decode_ppm(payload)
+    np.testing.assert_array_equal(got, img)
+
+    bmp = _bmp_bytes(img)
+    np.testing.assert_array_equal(decode_bmp(bmp), img)
+
+    # grayscale PGM
+    g = b"P5\n4 2\n255\n" + bytes(range(8))
+    np.testing.assert_array_equal(
+        decode_ppm(g), np.arange(8, dtype=np.uint8).reshape(2, 4)
+    )
+
+    big = np.arange(40 * 20 * 3, dtype=np.uint8).reshape(20, 40, 3)
+    small = resize_nearest(big, 10)
+    assert small.shape == (5, 10, 3)
+    assert resize_nearest(small, 10).shape == small.shape  # within bounds → no-op
+    # nearest-neighbor picks actual source pixels
+    assert all(v in big.reshape(-1, 3).tolist() for v in small.reshape(-1, 3).tolist()[:5])
+
+
+def test_decode_image_stage_real_payloads(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dedupe_ray.ops.multimodal import DecodeImage
+
+    payload, img = _ppm_bytes(6, 4, lambda x, y: (200, x * 30, y * 50))
+    bmp = _bmp_bytes(img)
+    tbl = pa.table(
+        {
+            "media_ref": ["m1", "m2", "m3"],
+            "payload": pa.array([payload, bmp, b"\xff\xd8fakejpeg"], pa.binary()),
+        }
+    )
+    out = (
+        rd.from_arrow(tbl)
+        .map_batches(DecodeImage, fn_constructor_kwargs={"fake": True},
+                     concurrency=1, batch_format="pyarrow")
+        .to_pandas()
+        .set_index("media_ref")
+    )
+    assert out.loc["m1", "width"] == 6 and out.loc["m1", "height"] == 4
+    # PPM and BMP of the same pixels produce identical features
+    np.testing.assert_allclose(
+        np.asarray(out.loc["m1", "features"]), np.asarray(out.loc["m2", "features"])
+    )
+    # unrecognized payload fell back to the deterministic fake
+    assert out.loc["m3", "width"] >= 64
+    import pytest
+
+    with pytest.raises(Exception):  # fake=False + compressed payload → stub raises
+        rd.from_arrow(tbl).map_batches(
+            DecodeImage, fn_constructor_kwargs={"fake": False},
+            concurrency=1, batch_format="pyarrow",
+        ).materialize()
