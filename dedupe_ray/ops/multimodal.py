@@ -7,13 +7,14 @@ batch sizing for wide binary rows, output layout — is real and tested.
 
 Codecs: UNCOMPRESSED formats decode for real (pure numpy, no libraries):
 PPM/PGM (P6/P5 binary) and 24-bit BI_RGB BMP via :func:`decode_ppm` /
-:func:`decode_bmp`, plus nearest-neighbor pixel resampling
-(:func:`resize_nearest`). Compressed codecs (JPEG/PNG/ffmpeg audio/video)
-are STUBBED — no codec libraries exist in this environment:
-``DecodeImage`` decodes recognized payloads, falls back to the
-deterministic fake decoder when ``fake=True`` (stable pseudo-features
-seeded by the ref hash so downstream stages are testable end to end), and
-raises ``NotImplementedError`` otherwise, marking the integration point.
+:func:`decode_bmp`, PCM RIFF/WAVE via :func:`decode_wav`, plus
+nearest-neighbor pixel resampling (:func:`resize_nearest`). Compressed
+codecs (JPEG/PNG/ffmpeg audio/video) are STUBBED — no codec libraries
+exist in this environment: ``DecodeImage``/``DecodeAudio`` decode
+recognized payloads, fall back to the deterministic fake decoder when
+``fake=True`` (stable pseudo-features seeded by the ref hash so
+downstream stages are testable end to end), and raise
+``NotImplementedError`` otherwise, marking the integration point.
 """
 
 from __future__ import annotations
@@ -282,3 +283,106 @@ def media_feature_pipeline(
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """Uncompressed RIFF/WAVE → (samples float32 [n, channels], rate).
+
+    Pure-numpy PCM decode: walks the chunk list (fmt / data; other chunks
+    skipped per the RIFF spec), supports 8/16/32-bit integer PCM
+    (format 1) and 32-bit float (format 3). Compressed codecs raise."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, n = 12, len(payload)
+    fmt = None
+    data = None
+    while pos + 8 <= n:
+        cid = payload[pos : pos + 4]
+        size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = (
+                int.from_bytes(body[0:2], "little"),   # audio format
+                int.from_bytes(body[2:4], "little"),   # channels
+                int.from_bytes(body[4:8], "little"),   # sample rate
+                int.from_bytes(body[14:16], "little"), # bits per sample
+            )
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_format, channels, rate, bits = fmt
+    if audio_format == 1 and bits == 16:
+        x = np.frombuffer(data, np.int16).astype(np.float32) / 32768.0
+    elif audio_format == 1 and bits == 8:
+        x = (np.frombuffer(data, np.uint8).astype(np.float32) - 128.0) / 128.0
+    elif audio_format == 1 and bits == 32:
+        x = np.frombuffer(data, np.int32).astype(np.float32) / 2147483648.0
+    elif audio_format == 3 and bits == 32:
+        x = np.frombuffer(data, np.float32).copy()
+    else:
+        raise ValueError(f"unsupported WAV encoding (format={audio_format}, bits={bits})")
+    if channels > 1:
+        x = x[: len(x) - len(x) % channels].reshape(-1, channels)
+    else:
+        x = x.reshape(-1, 1)
+    return x, rate
+
+
+class DecodeAudio:
+    """Actor-pool stage: audio payload → (duration_sec, sample_rate,
+    channels, rms, zero_cross_rate). Uncompressed WAV decodes for REAL
+    (:func:`decode_wav`); other payloads fall back to the deterministic
+    fake when ``fake=True``, else raise (codec integration point, same
+    contract as DecodeImage)."""
+
+    def __init__(self, fake: bool = False):
+        self.fake = fake
+
+    def _one(self, ref: str, payload: bytes | None) -> tuple[float, int, int, float, float]:
+        if payload and payload[:4] == b"RIFF":
+            x, rate = decode_wav(payload)
+            mono = x.mean(axis=1)
+            dur = len(mono) / max(rate, 1)
+            rms = float(np.sqrt(np.mean(mono**2))) if len(mono) else 0.0
+            zc = (
+                float(np.mean(np.signbit(mono[1:]) != np.signbit(mono[:-1])))
+                if len(mono) > 1
+                else 0.0
+            )
+            return round(dur, 6), rate, x.shape[1], rms, zc
+        if not self.fake:
+            raise NotImplementedError(
+                "compressed audio decoding requires ffmpeg-class codecs — "
+                "supply PCM WAV payloads or pass fake=True"
+            )
+        rng = np.random.RandomState(zlib.crc32(ref.encode()) ^ 0xA0D10)
+        return (
+            round(float(rng.randint(1, 600)), 6),
+            int(rng.choice([16000, 44100, 48000])),
+            int(rng.choice([1, 2])),
+            float(rng.rand()),
+            float(rng.rand()),
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        refs = batch.column("media_ref").to_pylist()
+        payloads = (
+            batch.column("payload").to_pylist()
+            if "payload" in batch.column_names
+            else [None] * len(refs)
+        )
+        rows = [self._one(r or "", p) for r, p in zip(refs, payloads)]
+        out = batch
+        for i, (name, typ) in enumerate(
+            [
+                ("duration_sec", pa.float64()),
+                ("sample_rate", pa.int32()),
+                ("channels", pa.int32()),
+                ("rms", pa.float32()),
+                ("zero_cross_rate", pa.float32()),
+            ]
+        ):
+            out = out.append_column(name, pa.array([r[i] for r in rows], typ))
+        return out

@@ -596,3 +596,40 @@ def test_decode_image_stage_real_payloads(ray_session):
             DecodeImage, fn_constructor_kwargs={"fake": False},
             concurrency=1, batch_format="pyarrow",
         ).materialize()
+
+
+def test_decode_wav_real(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dedupe_ray.ops.multimodal import DecodeAudio, decode_wav
+
+    rate = 8000
+    t = np.arange(rate) / rate  # 1 second
+    tone = (np.sin(2 * np.pi * 440 * t) * 0.5 * 32767).astype(np.int16)
+    data = tone.tobytes()
+    fmt = (
+        b"fmt " + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+        + rate.to_bytes(4, "little") + (rate * 2).to_bytes(4, "little")
+        + (2).to_bytes(2, "little") + (16).to_bytes(2, "little")
+    )
+    chunks = fmt + b"data" + len(data).to_bytes(4, "little") + data
+    wav = b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WAVE" + chunks
+
+    x, r = decode_wav(wav)
+    assert r == rate and x.shape == (rate, 1)
+    assert abs(float(np.sqrt((x**2).mean())) - 0.5 / np.sqrt(2)) < 0.01
+
+    out = (
+        rd.from_arrow(pa.table({"media_ref": ["a1"], "payload": pa.array([wav], pa.binary())}))
+        .map_batches(DecodeAudio, fn_constructor_kwargs={"fake": False},
+                     concurrency=1, batch_format="pyarrow")
+        .to_pandas()
+        .iloc[0]
+    )
+    assert out["duration_sec"] == 1.0 and out["sample_rate"] == rate
+    assert out["channels"] == 1
+    # a 440 Hz tone crosses zero ~880 times/sec
+    assert 0.09 < out["zero_cross_rate"] < 0.13
