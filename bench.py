@@ -291,8 +291,50 @@ def run_scaling() -> dict:
     }
 
 
+def _run_with_watchdog() -> None:
+    """Re-exec the bench in a child with a hard timeout and ONE retry.
+
+    Guards against an observed environment flake (NOTES_r3): a Ray worker
+    can segfault in _raylet.so during worker-pool startup and the job then
+    hangs forever with every worker idle. A hung bench would otherwise
+    stall the whole harness run. Disable with GRAFT_BENCH_WATCHDOG=0."""
+    import shutil
+
+    default_limit = "2400" if "--scaling" in sys.argv else "900"
+    limit = int(os.environ.get("GRAFT_BENCH_TIMEOUT_SEC", default_limit))
+    env = dict(os.environ, GRAFT_BENCH_CHILD="1")
+    for attempt in (1, 2):
+        try:
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)] + sys.argv[1:],
+                env=env,
+                capture_output=True,
+                text=True,
+                timeout=limit,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+        except subprocess.TimeoutExpired:
+            sys.stderr.write(
+                f"bench watchdog: child exceeded {limit}s on attempt "
+                f"{attempt} (likely the Ray worker-startup hang); "
+                f"{'retrying' if attempt == 1 else 'giving up'}\n"
+            )
+            subprocess.run(["ray", "stop", "--force"], capture_output=True)
+            shutil.rmtree("/tmp/ray/ray", ignore_errors=True)
+            continue
+        sys.stderr.write(out.stderr)
+        print(out.stdout, end="")
+        sys.exit(out.returncode)
+    sys.exit(1)
+
+
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
+    if (
+        os.environ.get("GRAFT_BENCH_WATCHDOG", "1") != "0"
+        and not os.environ.get("GRAFT_BENCH_CHILD")
+    ):
+        _run_with_watchdog()
+    elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     else:
         print(json.dumps(run_bench()))
