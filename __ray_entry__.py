@@ -662,6 +662,37 @@ def _q_window_count(sf_dir: str):
     return sliding_window_count(ev, "user_id", "ts", window_seconds=600)
 
 
+def _q_scrub_pii(sf_dir: str):
+    """PII scrubbing (training-data hygiene op): emails/URLs/IPs replaced
+    with typed placeholders + per-category match counts. The input text is
+    constructed deterministically from customer columns (the synthetic
+    corpus contains no organic PII), identically on both sides, so the
+    oracle exercises real matches. pyarrow and DuckDB both run RE2 — the
+    same pattern strings match identically."""
+    import pyarrow.compute as pc
+
+    from dedupe_ray.ops.text import scrub_text_batch
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_nationkey"])
+
+    def build_and_scrub(b: pa.Table) -> pa.Table:
+        text = pc.binary_join_element_wise(
+            pa.scalar("contact "),
+            pc.utf8_lower(b.column("c_name").combine_chunks() if isinstance(b.column("c_name"), pa.ChunkedArray) else b.column("c_name")),
+            pa.scalar("@example.com or https://shop.example/c/"),
+            pc.cast(b.column("c_custkey"), pa.string()),
+            pa.scalar(" from 10.0."),
+            pc.cast(b.column("c_nationkey"), pa.string()),
+            pa.scalar(".7"),
+            "",
+        )
+        t = pa.table({"c_custkey": b.column("c_custkey"), "text": text})
+        out = scrub_text_batch(t, "text")
+        return out.drop_columns(["text"])
+
+    return cust.map_batches(build_and_scrub, batch_format="pyarrow")
+
+
 def _q_top_orders_per_customer(sf_dir: str):
     """Grouped top-k (the per-key limit every ranking pipeline needs):
     each customer's 3 largest orders by price, orderkey tiebreak —
@@ -845,6 +876,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window_count": _q_window_count,
         "top_orders_per_customer": _q_top_orders_per_customer,
         "median_order_price": _q_median_order_price,
+        "scrub_pii": _q_scrub_pii,
         "kna2_replay": _q_kna2_replay,
         "export_projection": _q_export_projection,
         "ngram_jaccard_verify": _q_ngram_jaccard,
@@ -1016,6 +1048,27 @@ def oracle_sql() -> dict[str, str]:
         "median_order_price": """
             SELECT o_custkey, quantile_disc(o_totalprice, 0.5) AS median_price
             FROM orders GROUP BY o_custkey
+        """,
+        "scrub_pii": r"""
+            WITH t AS (
+                SELECT c_custkey,
+                       'contact ' || lower(c_name) ||
+                       '@example.com or https://shop.example/c/' ||
+                       CAST(c_custkey AS VARCHAR) || ' from 10.0.' ||
+                       CAST(c_nationkey AS VARCHAR) || '.7' AS text
+                FROM customer
+            )
+            SELECT c_custkey,
+                   CAST(len(regexp_extract_all(text,
+                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+                   CAST(len(regexp_extract_all(text, 'https?://[^\s]+')) AS BIGINT) AS n_url,
+                   CAST(len(regexp_extract_all(text,
+                        '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ipv4,
+                   regexp_replace(regexp_replace(regexp_replace(text,
+                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                        'https?://[^\s]+', '<URL>', 'g'),
+                        '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS scrubbed
+            FROM t
         """,
         "export_projection": """
             SELECT CAST(c_nationkey + 1 AS VARCHAR) AS cluster_id,

@@ -221,3 +221,44 @@ def text_stats(ds: "ray.data.Dataset") -> "ray.data.Dataset":
     return part.groupby(["lang", "source"]).aggregate(
         Sum("docs", alias_name="docs"), Sum("chars", alias_name="chars")
     )
+
+
+# PII/noise scrub presets — RE2 syntax (pyarrow.compute and DuckDB both run
+# RE2, so the same pattern string behaves identically on both sides of the
+# oracle). Applied sequentially in list order.
+PII_RULES: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("url", r"https?://[^\s]+", "<URL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+]
+
+
+def scrub_text_batch(
+    batch: pa.Table,
+    column: str = "text",
+    rules: list[tuple[str, str, str]] | None = None,
+    out_column: str = "scrubbed",
+    with_counts: bool = True,
+) -> pa.Table:
+    """Training-data hygiene: replace PII/noise spans (emails, URLs, IPs by
+    default) with typed placeholders — fully vectorized
+    ``pc.replace_substring_regex`` per rule, no Python row loop. When
+    ``with_counts``, also emits ``n_<rule>`` match counts measured on the
+    ORIGINAL text (so counts are rule-order independent); replacements
+    apply sequentially in rule order."""
+    import pyarrow.compute as pc
+
+    rules = PII_RULES if rules is None else rules
+    col = batch.column(column)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    out = batch
+    scrubbed = col
+    for name, pattern, replacement in rules:
+        if with_counts:
+            out = out.append_column(
+                f"n_{name}",
+                pc.cast(pc.count_substring_regex(col, pattern), pa.int64()),
+            )
+        scrubbed = pc.replace_substring_regex(scrubbed, pattern, replacement)
+    return out.append_column(out_column, scrubbed)

@@ -633,3 +633,28 @@ def test_decode_wav_real(ray_session):
     assert out["channels"] == 1
     # a 440 Hz tone crosses zero ~880 times/sec
     assert 0.09 < out["zero_cross_rate"] < 0.13
+
+
+def test_scrub_text_batch():
+    import pyarrow as pa
+
+    from dedupe_ray.ops.text import scrub_text_batch
+
+    t = pa.table(
+        {
+            "text": [
+                "mail a.b+c@x-corp.io or see https://x.io/p?q=1 now",
+                "server at 10.0.255.1 and 192.168.0.7 replied",
+                "nothing to scrub here",
+                None,
+            ]
+        }
+    )
+    out = scrub_text_batch(t)
+    s = out.column("scrubbed").to_pylist()
+    assert s[0] == "mail <EMAIL> or see <URL> now"
+    assert s[1] == "server at <IP> and <IP> replied"
+    assert s[2] == "nothing to scrub here"
+    assert s[3] is None
+    assert out.column("n_email").to_pylist() == [1, 0, 0, None]
+    assert out.column("n_ipv4").to_pylist() == [0, 2, 0, None]
