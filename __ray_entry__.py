@@ -718,6 +718,50 @@ def _q_median_order_price(sf_dir: str):
     )
 
 
+def _q_knn_join(sf_dir: str):
+    """Exact cosine k-NN self-join over the embeddings table (the near-dup
+    / retrieval workhorse): every vector's 5 nearest other vectors, final
+    per-batch against a broadcast id-sorted index — oracle is the DuckDB
+    cross-join window over list_cosine_similarity in DOUBLE."""
+    from dedupe_ray.ops.embedding import knn_join
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return knn_join(emb, k=5)
+
+
+def _q_stratified_orders(sf_dir: str):
+    """Deterministic stratified sample: every 10th order per priority
+    stratum in orderkey order (rank % 10 == 0) — every stratum keeps its
+    first row, unlike a Bernoulli sample."""
+    from dedupe_ray.ops.tabular import grouped_sample_nth
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority", "o_totalprice"])
+    return grouped_sample_nth(orders, "o_orderpriority", "o_orderkey", 10)
+
+
+def _q_normalize_text(sf_dir: str):
+    """Canonical text normalization (NFC → lower → whitespace collapse →
+    trim) over documents — the standard pre-dedup key transform; pyarrow
+    utf8proc/RE2 kernels vs DuckDB nfc_normalize/lower/regexp_replace."""
+    from dedupe_ray.ops.text import normalize_text_batch
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return docs.map_batches(
+        lambda b: normalize_text_batch(b, "text").drop_columns(["text"]),
+        batch_format="pyarrow",
+    )
+
+
+def _q_pack_documents(sf_dir: str):
+    """Sequence packing for LLM training: documents laid head-to-tail per
+    language (doc_id order), pack_id = exclusive-prefix-chars // 4000 —
+    integer math, bit-exact vs the SQL running-sum window."""
+    from dedupe_ray.ops.tabular import pack_documents
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    return pack_documents(docs, "lang", "doc_id", "n_chars", 4000)
+
+
 def _q_kna2_replay(sf_dir: str):
     """A30 golden replay: KNA2.xlsx (reference fixture) through source
     reader → preprocess → train → partition. Result is the cluster
@@ -877,6 +921,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders_per_customer": _q_top_orders_per_customer,
         "median_order_price": _q_median_order_price,
         "scrub_pii": _q_scrub_pii,
+        "knn_join": _q_knn_join,
+        "stratified_orders": _q_stratified_orders,
+        "normalize_text": _q_normalize_text,
+        "pack_documents": _q_pack_documents,
         "kna2_replay": _q_kna2_replay,
         "export_projection": _q_export_projection,
         "ngram_jaccard_verify": _q_ngram_jaccard,
@@ -1048,6 +1096,43 @@ def oracle_sql() -> dict[str, str]:
         "median_order_price": """
             SELECT o_custkey, quantile_disc(o_totalprice, 0.5) AS median_price
             FROM orders GROUP BY o_custkey
+        """,
+        "knn_join": """
+            WITH scored AS (
+                SELECT a.vec_id, b.vec_id AS neighbor_id,
+                       row_number() OVER (
+                           PARTITION BY a.vec_id
+                           ORDER BY list_cosine_similarity(
+                                        CAST(b.embedding AS DOUBLE[]),
+                                        CAST(a.embedding AS DOUBLE[])) DESC,
+                                    b.vec_id
+                       ) - 1 AS rank
+                FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+            )
+            SELECT vec_id, neighbor_id, rank FROM scored WHERE rank < 5
+        """,
+        "stratified_orders": """
+            SELECT o_orderkey, o_orderpriority, o_totalprice FROM (
+                SELECT o_orderkey, o_orderpriority, o_totalprice,
+                       row_number() OVER (
+                           PARTITION BY o_orderpriority ORDER BY o_orderkey
+                       ) - 1 AS rnk
+                FROM orders
+            ) WHERE rnk % 10 = 0
+        """,
+        "normalize_text": r"""
+            SELECT doc_id,
+                   trim(regexp_replace(lower(nfc_normalize(coalesce(text, ''))),
+                        '\s+', ' ', 'g')) AS norm_text
+            FROM documents
+        """,
+        "pack_documents": """
+            SELECT doc_id, lang, n_chars,
+                   CAST(coalesce(sum(n_chars) OVER (
+                       PARTITION BY lang ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) // 4000 AS BIGINT) AS pack_id
+            FROM documents
         """,
         "scrub_pii": r"""
             WITH t AS (

@@ -79,6 +79,93 @@ def brute_force_topk(
     return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
 
 
+def knn_join(
+    ds: "ray.data.Dataset",
+    k: int = 5,
+    id_column: str = "vec_id",
+    index_limit: int = 4_000_000,
+) -> "ray.data.Dataset":
+    """Exact cosine k-nearest-neighbor SELF-join: for every vector, its k
+    most-similar other vectors (self excluded), ties on cosine broken by
+    ascending neighbor id.
+
+    Broadcast-index design: the id-sorted normalized corpus matrix is
+    assembled once on the driver (float64, explicitly bounded by
+    ``index_limit`` — beyond that use ``ivf_build``/``ivf_search`` or the
+    bucketed ``embedding_near_dup_pairs``), ``ray.put`` once, and the SAME
+    dataset streams through ``map_batches``: one [B×dim]·[dim×N] matmul per
+    batch. Because the index side is complete, each batch's top-k rows are
+    FINAL — the output streams with no driver reduce.
+
+    Returns a Dataset of (``id_column``, neighbor_id, rank)."""
+    n_total = ds.count()
+    if n_total > index_limit:
+        raise ValueError(
+            f"knn_join index side has {n_total} rows > index_limit={index_limit}; "
+            "use ivf_build/ivf_search or embedding_near_dup_pairs at this scale"
+        )
+    ids_parts: list[np.ndarray] = []
+    mat_parts: list[np.ndarray] = []
+    for batch in ds.select_columns([id_column, "embedding"]).iter_batches(
+        batch_format="pyarrow"
+    ):
+        ids_parts.append(
+            np.asarray(batch.column(id_column).to_pylist(), np.int64)
+        )
+        mat_parts.append(_batch_matrix(batch).astype(np.float64))
+    ids_all = np.concatenate(ids_parts) if ids_parts else np.empty(0, np.int64)
+    mat = (
+        np.concatenate(mat_parts)
+        if mat_parts
+        else np.empty((0, 0), np.float64)
+    )
+    order = np.argsort(ids_all, kind="stable")
+    ids_sorted = ids_all[order]
+    mat_sorted = _normalize(mat[order])
+    iref = ray.put((ids_sorted, mat_sorted))
+    kk = min(k, max(len(ids_sorted) - 1, 0))
+
+    def topk_batch(batch: pa.Table) -> pa.Table:
+        ids_idx, m_idx = ray.get(iref)
+        if len(batch) == 0 or kk == 0:
+            return pa.table(
+                {
+                    id_column: pa.array([], pa.int64()),
+                    "neighbor_id": pa.array([], pa.int64()),
+                    "rank": pa.array([], pa.int32()),
+                }
+            )
+        q = _normalize(_batch_matrix(batch).astype(np.float64))
+        qids = np.asarray(batch.column(id_column).to_pylist(), np.int64)
+        sims = q @ m_idx.T  # [B, N]
+        # exclude self (id equality, not position — ds may be reordered)
+        pos = np.searchsorted(ids_idx, qids)
+        pos = np.minimum(pos, len(ids_idx) - 1)
+        self_rows = np.nonzero(ids_idx[pos] == qids)[0]
+        sims[self_rows, pos[self_rows]] = -np.inf
+        cand = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]  # [B, kk]
+        rows = np.arange(len(q))[:, None]
+        c_sims = sims[rows, cand]
+        c_ids = ids_idx[cand]
+        # within-row order: cosine desc, neighbor id asc (two stable passes)
+        by_id = np.argsort(c_ids, axis=1, kind="stable")
+        c_sims = np.take_along_axis(c_sims, by_id, axis=1)
+        c_ids = np.take_along_axis(c_ids, by_id, axis=1)
+        by_sim = np.argsort(-c_sims, axis=1, kind="stable")
+        c_ids = np.take_along_axis(c_ids, by_sim, axis=1)
+        return pa.table(
+            {
+                id_column: pa.array(np.repeat(qids, kk)),
+                "neighbor_id": pa.array(c_ids.reshape(-1)),
+                "rank": pa.array(
+                    np.tile(np.arange(kk, dtype=np.int32), len(q))
+                ),
+            }
+        )
+
+    return ds.map_batches(topk_batch, batch_format="pyarrow")
+
+
 def train_centroids(
     ds: "ray.data.Dataset", n_centroids: int = 16, sample: int = 2048, iters: int = 10, seed: int = 42
 ) -> np.ndarray:

@@ -354,6 +354,112 @@ def _descending_key(vals):
     return -inverse
 
 
+def grouped_sample_nth(
+    ds: "ray.data.Dataset",
+    key_column: str,
+    order_column: str,
+    n: int,
+    n_buckets: int = 256,
+) -> "ray.data.Dataset":
+    """Deterministic stratified sample: keep every ``n``-th row per key in
+    ``order_column`` order (rows at 0-based per-key rank ``r`` with
+    ``r % n == 0``) — SQL ``(row_number() OVER (PARTITION BY key ORDER BY
+    ord) - 1) % n = 0``. Every key keeps ≥1 row (its first), so small strata
+    survive — unlike a Bernoulli sample.
+
+    ONE bucketed shuffle; per bucket a single lexsort + run-relative rank,
+    no per-key loop — any key cardinality.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        vals = b.column(key_column).to_numpy(zero_copy_only=False)
+        bkt = (pd.util.hash_array(vals) % n_buckets).astype(np.int32)
+        return b.append_column("__sbkt", pa.array(bkt))
+
+    def pick_nth(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["__sbkt"])
+        keys = g.column(key_column).to_numpy(zero_copy_only=False)
+        codes, _ = pd.factorize(keys)
+        order_vals = g.column(order_column).to_numpy(zero_copy_only=False)
+        order = np.lexsort((order_vals, codes))
+        s_codes = codes[order]
+        pos = np.arange(len(order), dtype=np.int64)
+        new_run = np.concatenate(([True], s_codes[1:] != s_codes[:-1]))
+        run_start = np.maximum.accumulate(np.where(new_run, pos, -1))
+        keep = (pos - run_start) % n == 0
+        return g.take(pa.array(np.sort(order[keep])))
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("__sbkt")
+        .map_groups(pick_nth, batch_format="pyarrow")
+    )
+
+
+def pack_documents(
+    ds: "ray.data.Dataset",
+    group_column: str,
+    order_column: str,
+    length_column: str,
+    capacity: int,
+    out_column: str = "pack_id",
+    n_buckets: int = 256,
+) -> "ray.data.Dataset":
+    """Contiguous sequence packing for LLM training batches: within each
+    group (ordered by ``order_column``) documents are laid head-to-tail and
+    ``out_column`` = exclusive-prefix-length // capacity — the pack a
+    document STARTS in when packs are cut every ``capacity`` length units
+    (a document overflowing a boundary spills into the next pack, the
+    standard concat-then-chunk layout, cf. GPT-2/T5 packing). Integer math
+    throughout, so the assignment is bit-exact against the SQL window
+    ``sum(len) OVER (... ROWS UNBOUNDED PRECEDING AND 1 PRECEDING) //
+    capacity``.
+
+    ONE bucketed shuffle (groups hashed into ``n_buckets``); per bucket a
+    lexsort + cumsum with per-group base subtraction — no per-group loop.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        vals = b.column(group_column).to_numpy(zero_copy_only=False)
+        bkt = (pd.util.hash_array(vals) % n_buckets).astype(np.int32)
+        return b.append_column("__pbkt", pa.array(bkt))
+
+    def assign_packs(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["__pbkt"])
+        if len(g) == 0:
+            return g.append_column(out_column, pa.array([], pa.int64()))
+        keys = g.column(group_column).to_numpy(zero_copy_only=False)
+        codes, _ = pd.factorize(keys)
+        order_vals = g.column(order_column).to_numpy(zero_copy_only=False)
+        order = np.lexsort((order_vals, codes))
+        lengths = (
+            g.column(length_column).to_numpy(zero_copy_only=False).astype(np.int64)[order]
+        )
+        s_codes = codes[order]
+        cs = np.cumsum(lengths)
+        exclusive = cs - lengths
+        new_run = np.concatenate(([True], s_codes[1:] != s_codes[:-1]))
+        first_of_run = np.where(new_run)[0]
+        base = np.repeat(
+            exclusive[first_of_run],
+            np.diff(np.append(first_of_run, len(order))),
+        )
+        pack = (exclusive - base) // capacity
+        inv = np.empty_like(order)
+        inv[order] = np.arange(len(order))
+        return g.append_column(out_column, pa.array(pack[inv]))
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("__pbkt")
+        .map_groups(assign_packs, batch_format="pyarrow")
+    )
+
+
 def grouped_quantile_disc(
     ds: "ray.data.Dataset",
     key_column: str,

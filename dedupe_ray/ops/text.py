@@ -262,3 +262,43 @@ def scrub_text_batch(
             )
         scrubbed = pc.replace_substring_regex(scrubbed, pattern, replacement)
     return out.append_column(out_column, scrubbed)
+
+
+def normalize_text_batch(
+    batch: pa.Table,
+    column: str = "text",
+    out_column: str = "norm_text",
+) -> pa.Table:
+    """Canonical text normalization for dedup keys / training corpora:
+    Unicode NFC → lowercase → collapse whitespace runs to one space → trim.
+    Lower/collapse/trim are Arrow kernels (RE2, matching DuckDB's
+    ``lower``/``regexp_replace`` bit-for-bit). NFC runs as ONE
+    ``unicodedata.normalize`` C call per batch via the NUL-join trick —
+    pyarrow 16's ``utf8_normalize(form="NFC")`` does NOT compose (measured:
+    ``e+U+0301`` stays decomposed), so it can't match DuckDB's
+    ``nfc_normalize``. NUL is a ccc=0 starter, i.e. a normalization
+    barrier, so joining on it cannot merge or reorder across rows; rows
+    that themselves contain NUL fall back to per-row normalize.
+    Row-local — compose with ``exact_dedup`` on the output for normalized
+    exact dedup."""
+    import unicodedata
+
+    import pyarrow.compute as pc
+
+    col = batch.column(column)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    vals = pc.fill_null(col, "").to_pylist()
+    joined = "\x00".join(vals)
+    if joined.count("\x00") == max(len(vals) - 1, 0):
+        parts = unicodedata.normalize("NFC", joined).split("\x00")
+        if len(parts) != len(vals):  # normalization never changes NUL count,
+            parts = [unicodedata.normalize("NFC", v) for v in vals]  # but belt+braces
+    else:
+        parts = [unicodedata.normalize("NFC", v) for v in vals]
+    norm = pc.utf8_lower(pa.array(parts, pa.string()))
+    norm = pc.replace_substring_regex(norm, r"\s+", " ")
+    # trim ASCII space only — RE2 \s is ASCII, so edges are plain spaces
+    # after the collapse, and DuckDB's trim() is space-only too
+    norm = pc.utf8_trim(norm, " ")
+    return batch.append_column(out_column, norm)

@@ -658,3 +658,95 @@ def test_scrub_text_batch():
     assert s[3] is None
     assert out.column("n_email").to_pylist() == [1, 0, 0, None]
     assert out.column("n_ipv4").to_pylist() == [0, 2, 0, None]
+
+
+def test_knn_join_matches_numpy_brute_force(ray_session):
+    from dedupe_ray.ops.embedding import knn_join
+
+    rng = np.random.RandomState(3)
+    n, dim, k = 60, 8, 4
+    X = rng.normal(size=(n, dim)).astype(np.float32)
+    ids = np.arange(100, 100 + n)  # non-contiguous ids
+    ds = rd.from_arrow(
+        pa.table({"vec_id": ids, "embedding": [row.tolist() for row in X]})
+    )
+    out = (
+        knn_join(ds, k=k)
+        .to_pandas()
+        .sort_values(["vec_id", "rank"])
+        .reset_index(drop=True)
+    )
+    Xn = X.astype(np.float64)
+    Xn /= np.linalg.norm(Xn, axis=1, keepdims=True)
+    sims = Xn @ Xn.T
+    np.fill_diagonal(sims, -np.inf)
+    for i in range(n):
+        # expected: cosine desc, id asc tiebreak
+        exp = sorted(range(n), key=lambda j: (-sims[i, j], ids[j]))[:k]
+        got = out[out.vec_id == ids[i]].neighbor_id.tolist()
+        assert got == [ids[j] for j in exp], i
+    assert all(
+        v == list(range(k)) for v in out.groupby("vec_id")["rank"].apply(list)
+    )
+    assert not (out.vec_id == out.neighbor_id).any()
+
+
+def test_knn_join_index_limit_raises(ray_session):
+    from dedupe_ray.ops.embedding import knn_join
+
+    ds = rd.from_arrow(
+        pa.table({"vec_id": [1, 2, 3], "embedding": [[1.0], [2.0], [3.0]]})
+    )
+    with pytest.raises(ValueError, match="index_limit"):
+        knn_join(ds, k=1, index_limit=2)
+
+
+def test_grouped_sample_nth(ray_session):
+    from dedupe_ray.ops.tabular import grouped_sample_nth
+
+    df = pd.DataFrame(
+        {
+            "g": ["a"] * 25 + ["b"] * 7 + ["c"] * 1,
+            "ord": list(range(25)) + list(range(7)) + [0],
+        }
+    )
+    out = grouped_sample_nth(rd.from_pandas(df), "g", "ord", 10).to_pandas()
+    by_g = out.sort_values(["g", "ord"]).groupby("g")["ord"].apply(list).to_dict()
+    assert by_g == {"a": [0, 10, 20], "b": [0], "c": [0]}  # every stratum kept
+
+
+def test_normalize_text_batch():
+    from dedupe_ray.ops.text import normalize_text_batch
+
+    t = pa.table(
+        {
+            "text": [
+                "  Hello\t\tWORLD \n",
+                "Cafe\u0301 au Lait",  # decomposed: e + combining acute
+                None,
+                "",
+            ]
+        }
+    )
+    out = normalize_text_batch(t)["norm_text"].to_pylist()
+    assert out == ["hello world", "caf\u00e9 au lait", "", ""]
+
+
+def test_pack_documents_boundaries(ray_session):
+    from dedupe_ray.ops.tabular import pack_documents
+
+    df = pd.DataFrame(
+        {
+            "g": ["x"] * 4 + ["y"] * 2,
+            "doc": [0, 1, 2, 3, 0, 1],
+            "length": [60, 60, 60, 10, 150, 1],
+        }
+    )
+    out = pack_documents(
+        rd.from_pandas(df), "g", "doc", "length", 100
+    ).to_pandas().sort_values(["g", "doc"])
+    # x: exclusive prefixes 0,60,120,180 // 100 -> 0,0,1,1 (doc 1 straddles
+    # the boundary but is assigned to the pack it STARTS in)
+    assert out[out.g == "x"].pack_id.tolist() == [0, 0, 1, 1]
+    # y: 0,150 // 100 -> 0,1 ; packing restarts per group
+    assert out[out.g == "y"].pack_id.tolist() == [0, 1]
