@@ -762,6 +762,30 @@ def _q_pack_documents(sf_dir: str):
     return pack_documents(docs, "lang", "doc_id", "n_chars", 4000)
 
 
+def _q_repetition_stats(sf_dir: str):
+    """Gopher-style repetition quality signals (token granularity):
+    duplicate-token fraction + top-token fraction per document. Integer
+    counts and IEEE double divisions of the same integers on both sides —
+    bit-exact vs the SQL group-by."""
+    from dedupe_ray.ops.text import repetition_stats_batch
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return docs.map_batches(
+        lambda b: repetition_stats_batch(b).drop_columns(["text"]),
+        batch_format="pyarrow",
+    )
+
+
+def _q_term_counts(sf_dir: str):
+    """Corpus-wide top-50 term frequencies (the wordcount showcase with the
+    combiner pattern: per-batch partial counts → vocab-sized groupby →
+    sort+limit on the aggregate, never the corpus)."""
+    from dedupe_ray.ops.text import term_counts
+
+    docs = _read(sf_dir, "documents", ["text"])
+    return term_counts(docs, top_n=50)
+
+
 def _q_kna2_replay(sf_dir: str):
     """A30 golden replay: KNA2.xlsx (reference fixture) through source
     reader → preprocess → train → partition. Result is the cluster
@@ -925,6 +949,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_orders": _q_stratified_orders,
         "normalize_text": _q_normalize_text,
         "pack_documents": _q_pack_documents,
+        "repetition_stats": _q_repetition_stats,
+        "term_counts": _q_term_counts,
         "kna2_replay": _q_kna2_replay,
         "export_projection": _q_export_projection,
         "ngram_jaccard_verify": _q_ngram_jaccard,
@@ -1133,6 +1159,47 @@ def oracle_sql() -> dict[str, str]:
                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
                    ), 0) // 4000 AS BIGINT) AS pack_id
             FROM documents
+        """,
+        "repetition_stats": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(lower(coalesce(text, '')),
+                              '[^\p{L}\p{N}'']+')) AS token
+                FROM documents
+            ),
+            t AS (SELECT doc_id, token FROM toks WHERE token <> ''),
+            per AS (
+                SELECT doc_id, token, count(*) AS c
+                FROM t GROUP BY doc_id, token
+            ),
+            agg AS (
+                SELECT doc_id,
+                       CAST(sum(c) AS BIGINT) AS n_tokens,
+                       CAST(count(*) AS BIGINT) AS n_distinct,
+                       CAST(max(c) AS BIGINT) AS max_c
+                FROM per GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(a.n_tokens, 0) AS n_tokens,
+                   coalesce(a.n_distinct, 0) AS n_distinct,
+                   coalesce(CAST(a.n_tokens - a.n_distinct AS DOUBLE) / a.n_tokens,
+                            0.0) AS dup_token_frac,
+                   coalesce(CAST(a.max_c AS DOUBLE) / a.n_tokens, 0.0) AS top_token_frac
+            FROM documents d LEFT JOIN agg a USING (doc_id)
+        """,
+        "term_counts": r"""
+            WITH toks AS (
+                SELECT unnest(regexp_split_to_array(lower(coalesce(text, '')),
+                              '[^\p{L}\p{N}'']+')) AS token
+                FROM documents
+            ),
+            counted AS (
+                SELECT token, CAST(count(*) AS BIGINT) AS cnt
+                FROM toks WHERE token <> '' GROUP BY token
+            )
+            SELECT token, cnt FROM counted
+            ORDER BY cnt DESC, token
+            LIMIT 50
         """,
         "scrub_pii": r"""
             WITH t AS (

@@ -302,3 +302,65 @@ def normalize_text_batch(
     # after the collapse, and DuckDB's trim() is space-only too
     norm = pc.utf8_trim(norm, " ")
     return batch.append_column(out_column, norm)
+
+
+def repetition_stats_batch(batch: pa.Table, column: str = "text") -> pa.Table:
+    """Gopher-style repetition signals per document (Rae et al. 2021 §A1.1,
+    adapted to token granularity — this corpus has no line breaks):
+    ``dup_token_frac`` = (n_tokens − n_distinct)/n_tokens and
+    ``top_token_frac`` = count(most frequent token)/n_tokens. Zero-token
+    docs emit zeros. Row-local, fully vectorized (one factorize + bincounts
+    per batch, no Python row loop)."""
+    ids = np.arange(len(batch), dtype=np.int64)
+    flat, offsets, counts = _tokenize_batch(batch.column(column))
+    row_ids = np.repeat(ids, counts)
+    toks = np.asarray(flat.to_pylist(), object)
+    mask = toks != ""
+    rows = row_ids[mask]
+    codes = pd.factorize(toks[mask])[0].astype(np.int64)
+    n_tokens = np.bincount(rows, minlength=len(batch)).astype(np.int64)
+    vocab = int(codes.max()) + 1 if len(codes) else 1
+    pair_keys, pair_counts = np.unique(rows * vocab + codes, return_counts=True)
+    pair_rows = pair_keys // vocab
+    n_distinct = np.bincount(pair_rows, minlength=len(batch)).astype(np.int64)
+    max_c = np.zeros(len(batch), np.int64)
+    np.maximum.at(max_c, pair_rows, pair_counts)
+    denom = np.maximum(n_tokens, 1).astype(np.float64)
+    dup = (n_tokens - n_distinct) / denom
+    top = max_c / denom
+    return (
+        batch.append_column("n_tokens", pa.array(n_tokens))
+        .append_column("n_distinct", pa.array(n_distinct))
+        .append_column("dup_token_frac", pa.array(dup))
+        .append_column("top_token_frac", pa.array(top))
+    )
+
+
+def term_counts(
+    ds: "ray.data.Dataset",
+    column: str = "text",
+    top_n: int = 50,
+) -> "ray.data.Dataset":
+    """Corpus-wide term frequencies, top-``top_n`` (count desc, token asc —
+    fully deterministic at the cut). The combiner pattern: per-batch partial
+    counts (one factorize per batch) shrink the shuffle to vocab-sized
+    partials, the groupby sums them, and the final sort+limit runs on the
+    aggregated vocabulary — never on the corpus."""
+    from ray.data.aggregate import Sum
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        flat, _, _ = _tokenize_batch(batch.column(column))
+        toks = np.asarray(flat.to_pylist(), object)
+        toks = toks[toks != ""]
+        codes, uniques = pd.factorize(toks)
+        cnt = np.bincount(codes, minlength=len(uniques)).astype(np.int64)
+        return pa.table(
+            {"token": pa.array(uniques, pa.string()), "cnt": pa.array(cnt)}
+        )
+
+    agg = (
+        ds.map_batches(partial_counts, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+    return agg.sort(["cnt", "token"], descending=[True, False]).limit(top_n)

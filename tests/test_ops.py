@@ -750,3 +750,30 @@ def test_pack_documents_boundaries(ray_session):
     assert out[out.g == "x"].pack_id.tolist() == [0, 0, 1, 1]
     # y: 0,150 // 100 -> 0,1 ; packing restarts per group
     assert out[out.g == "y"].pack_id.tolist() == [0, 1]
+
+
+def test_repetition_stats_batch():
+    from dedupe_ray.ops.text import repetition_stats_batch
+
+    t = pa.table(
+        {
+            "doc_id": [0, 1, 2],
+            "text": ["a a a b", "all unique words here", ""],
+        }
+    )
+    out = repetition_stats_batch(t)
+    assert out.column("n_tokens").to_pylist() == [4, 4, 0]
+    assert out.column("n_distinct").to_pylist() == [2, 4, 0]
+    assert out.column("dup_token_frac").to_pylist() == [0.5, 0.0, 0.0]
+    assert out.column("top_token_frac").to_pylist() == [0.75, 0.25, 0.0]
+
+
+def test_term_counts_top_n(ray_session):
+    from dedupe_ray.ops.text import term_counts
+
+    ds = rd.from_arrow(
+        pa.table({"text": ["b b b a a c", "a, b! z", None]})
+    )
+    out = term_counts(ds, top_n=3).to_pandas()
+    # counts: b=4 a=3 c=1 z=1 -> top3 with token-asc tiebreak at the cut
+    assert list(zip(out.token, out.cnt)) == [("b", 4), ("a", 3), ("c", 1)]
