@@ -662,6 +662,26 @@ def _q_window_count(sf_dir: str):
     return sliding_window_count(ev, "user_id", "ts", window_seconds=600)
 
 
+def _q_window_sum(sf_dir: str):
+    """Sliding windowed SUM: per event, the sum of integerized values the
+    same user produced in the preceding 10 minutes (inclusive) — exact
+    int64 prefix-sum arithmetic against the SQL RANGE frame."""
+    import pyarrow.compute as pc
+
+    from dedupe_ray.ops.tabular import sliding_window_sum
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def integerize(b: pa.Table) -> pa.Table:
+        iv = pc.cast(pc.floor(b.column("value")), pa.int64())
+        return b.drop_columns(["value"]).append_column("ivalue", iv)
+
+    ev = ev.map_batches(integerize, batch_format="pyarrow")
+    return sliding_window_sum(
+        ev, "user_id", "ts", "ivalue", window_seconds=600
+    )
+
+
 def _q_scrub_pii(sf_dir: str):
     """PII scrubbing (training-data hygiene op): emails/URLs/IPs replaced
     with typed placeholders + per-category match counts. The input text is
@@ -942,6 +962,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_last_purchase": _q_asof_purchase,
         "range_join_purchases": _q_range_join_purchases,
         "events_window_count": _q_window_count,
+        "events_window_sum": _q_window_sum,
         "top_orders_per_customer": _q_top_orders_per_customer,
         "median_order_price": _q_median_order_price,
         "scrub_pii": _q_scrub_pii,
@@ -1109,6 +1130,15 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY user_id ORDER BY ts
                        RANGE BETWEEN INTERVAL 600 SECOND PRECEDING
                              AND CURRENT ROW) AS BIGINT) AS window_count
+            FROM events
+        """,
+        "events_window_sum": """
+            SELECT event_id, user_id, ts,
+                   CAST(floor(value) AS BIGINT) AS ivalue,
+                   CAST(sum(CAST(floor(value) AS BIGINT)) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       RANGE BETWEEN INTERVAL 600 SECOND PRECEDING
+                             AND CURRENT ROW) AS BIGINT) AS window_sum
             FROM events
         """,
         "top_orders_per_customer": """

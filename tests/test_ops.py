@@ -777,3 +777,27 @@ def test_term_counts_top_n(ray_session):
     out = term_counts(ds, top_n=3).to_pandas()
     # counts: b=4 a=3 c=1 z=1 -> top3 with token-asc tiebreak at the cut
     assert list(zip(out.token, out.cnt)) == [("b", 4), ("a", 3), ("c", 1)]
+
+
+def test_sliding_window_sum_matches_naive(ray_session):
+    from dedupe_ray.ops.tabular import sliding_window_sum
+
+    rng = np.random.RandomState(5)
+    n = 300
+    df = pd.DataFrame(
+        {
+            "user_id": rng.randint(0, 7, n),
+            "ts": rng.randint(0, 500, n).astype(np.int64),
+            "value": rng.randint(-10, 10, n).astype(np.int64),
+            "row": np.arange(n),
+        }
+    )
+    out = (
+        sliding_window_sum(rd.from_pandas(df), "user_id", "ts", "value", 60)
+        .to_pandas()
+        .sort_values("row")
+        .reset_index(drop=True)
+    )
+    for _, r in out.iterrows():
+        m = df[(df.user_id == r.user_id) & (df.ts >= r.ts - 60) & (df.ts <= r.ts)]
+        assert r.window_sum == m.value.sum(), r.row
