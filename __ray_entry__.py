@@ -682,6 +682,17 @@ def _q_window_sum(sf_dir: str):
     )
 
 
+def _q_approx_distinct_users(sf_dir: str):
+    """HyperLogLog approximate distinct users per event type (p=12, ~1.6%
+    rel. error) — the constant-memory scale path for COUNT(DISTINCT). No
+    SQL oracle (DuckDB's approx_count_distinct uses a different sketch);
+    deterministic (fixed-key siphash), frozen snapshot + accuracy tests."""
+    from dedupe_ray.ops.sketch import hll_approx_distinct
+
+    ev = _read(sf_dir, "events", ["event_type", "user_id"])
+    return hll_approx_distinct(ev, "event_type", "user_id")
+
+
 def _q_scrub_pii(sf_dir: str):
     """PII scrubbing (training-data hygiene op): emails/URLs/IPs replaced
     with typed placeholders + per-category match counts. The input text is
@@ -963,6 +974,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_join_purchases": _q_range_join_purchases,
         "events_window_count": _q_window_count,
         "events_window_sum": _q_window_sum,
+        "approx_distinct_users": _q_approx_distinct_users,
         "top_orders_per_customer": _q_top_orders_per_customer,
         "median_order_price": _q_median_order_price,
         "scrub_pii": _q_scrub_pii,

@@ -1,0 +1,120 @@
+"""Distributed cardinality sketches.
+
+HyperLogLog (Flajolet, Fusy, Gandouet, Meunier 2007 — public algorithm)
+as a Ray Data aggregation: per-batch vectorized register partials shrink
+the shuffle to ≤(groups × 2^p) sparse rows, a groupby-max merges them
+(register max is associative/commutative — the canonical distributed
+sketch merge), and a tiny per-group finalize produces the estimate.
+Deterministic: values are hashed with pandas' fixed-key siphash
+(cross-process stable), so the estimate is a pure function of the value
+set — parallelism- and partitioning-invariant.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+_M1 = np.uint64(0x5555555555555555)
+_M2 = np.uint64(0x3333333333333333)
+_M4 = np.uint64(0x0F0F0F0F0F0F0F0F)
+_H01 = np.uint64(0x0101010101010101)
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized SWAR popcount for uint64 (numpy<2 has no bitwise_count)."""
+    x = x - ((x >> np.uint64(1)) & _M1)
+    x = (x & _M2) + ((x >> np.uint64(2)) & _M2)
+    x = (x + (x >> np.uint64(4))) & _M4
+    return ((x * _H01) >> np.uint64(56)).astype(np.int64)
+
+
+def _leading_zeros64(x: np.ndarray) -> np.ndarray:
+    """Vectorized count-leading-zeros via OR-propagation + popcount."""
+    x = x.copy()
+    for s in (1, 2, 4, 8, 16, 32):
+        x |= x >> np.uint64(s)
+    return 64 - _popcount64(x)
+
+
+def hll_ranks(values: np.ndarray, precision: int) -> tuple[np.ndarray, np.ndarray]:
+    """(register index, rank) per value: index = top ``precision`` hash
+    bits, rank = 1 + leading zeros of the remaining bits (capped at
+    65 - precision)."""
+    h = pd.util.hash_array(values).astype(np.uint64)
+    idx = (h >> np.uint64(64 - precision)).astype(np.int32)
+    rest = (h << np.uint64(precision)).astype(np.uint64)
+    rank = np.minimum(_leading_zeros64(rest) + 1, 65 - precision).astype(np.int8)
+    return idx, rank
+
+
+def hll_estimate(registers: np.ndarray) -> float:
+    """Classic HLL estimator with the small-range (linear counting)
+    correction; no large-range correction is needed with 64-bit hashes."""
+    m = len(registers)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.exp2(-registers.astype(np.float64)))
+    zeros = int(np.count_nonzero(registers == 0))
+    if est <= 2.5 * m and zeros > 0:
+        est = m * np.log(m / zeros)
+    return float(est)
+
+
+def hll_approx_distinct(
+    ds: "ray.data.Dataset",
+    group_column: str,
+    value_column: str,
+    precision: int = 12,
+    out_column: str = "approx_distinct",
+) -> "ray.data.Dataset":
+    """Approximate COUNT(DISTINCT value) per group at ~1.04/√(2^p) relative
+    error (~1.6% at p=12) in constant memory per group — the scale path
+    where an exact distinct would shuffle every value.
+
+    Shape: map_batches partial (hash + per-batch (group, register) max —
+    ≤ groups×2^p rows per batch regardless of batch size) → groupby
+    (group, register) Max — the sketch merge — → per-group finalize.
+    """
+    from ray.data.aggregate import Max
+
+    def partials(batch: pa.Table) -> pa.Table:
+        vals = batch.column(value_column).to_numpy(zero_copy_only=False)
+        groups = batch.column(group_column).to_numpy(zero_copy_only=False)
+        idx, rank = hll_ranks(vals, precision)
+        gcodes, guniques = pd.factorize(groups)
+        key = gcodes.astype(np.int64) * (1 << precision) + idx
+        order = np.lexsort((rank, key))
+        k_sorted, r_sorted = key[order], rank.astype(np.int64)[order]
+        last = np.concatenate((k_sorted[1:] != k_sorted[:-1], [True]))
+        kk, rr = k_sorted[last], r_sorted[last]  # per-(group,reg) max rank
+        return pa.table(
+            {
+                group_column: pa.array(np.asarray(guniques)[kk >> precision]),
+                "reg": pa.array((kk & ((1 << precision) - 1)).astype(np.int32)),
+                "rank": pa.array(rr),
+            }
+        )
+
+    merged = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby([group_column, "reg"])
+        .aggregate(Max("rank", alias_name="rank"))
+    )
+
+    def finalize(g: pa.Table) -> pa.Table:
+        regs = np.zeros(1 << precision, np.int64)
+        regs[g.column("reg").to_numpy(zero_copy_only=False)] = g.column(
+            "rank"
+        ).to_numpy(zero_copy_only=False)
+        est = hll_estimate(regs)
+        return pa.table(
+            {
+                group_column: g.column(group_column).slice(0, 1),
+                out_column: pa.array([int(round(est))], pa.int64()),
+            }
+        )
+
+    return merged.groupby(group_column).map_groups(finalize, batch_format="pyarrow")

@@ -801,3 +801,38 @@ def test_sliding_window_sum_matches_naive(ray_session):
     for _, r in out.iterrows():
         m = df[(df.user_id == r.user_id) & (df.ts >= r.ts - 60) & (df.ts <= r.ts)]
         assert r.window_sum == m.value.sum(), r.row
+
+
+def test_hll_primitives():
+    from dedupe_ray.ops.sketch import _leading_zeros64, _popcount64
+
+    x = np.array([0, 1, 0xFFFFFFFFFFFFFFFF, 1 << 63, 0x8000000000000001], np.uint64)
+    assert _popcount64(x).tolist() == [0, 1, 64, 1, 2]
+    assert _leading_zeros64(x).tolist() == [64, 63, 0, 0, 0]
+
+
+def test_hll_approx_distinct_accuracy(ray_session):
+    from dedupe_ray.ops.sketch import hll_approx_distinct
+
+    rng = np.random.RandomState(11)
+    rows = []
+    truth = {"small": 37, "mid": 2000, "big": 50000}
+    for g, n in truth.items():
+        vals = rng.choice(n * 3, n, replace=False).astype(np.int64) + hash(g) % 7
+        # repeat some values: distinct count must ignore multiplicity
+        rows.append(pd.DataFrame({"g": g, "v": np.concatenate([vals, vals[: n // 2]])}))
+    df = pd.concat(rows, ignore_index=True)
+    out = (
+        hll_approx_distinct(rd.from_pandas(df), "g", "v")
+        .to_pandas()
+        .set_index("g")["approx_distinct"]
+    )
+    for g, n in truth.items():
+        assert abs(out[g] - n) / n < 0.05, (g, out[g], n)
+    # determinism: same input -> identical estimates
+    out2 = (
+        hll_approx_distinct(rd.from_pandas(df), "g", "v")
+        .to_pandas()
+        .set_index("g")["approx_distinct"]
+    )
+    assert out.to_dict() == out2.to_dict()

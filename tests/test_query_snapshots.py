@@ -32,6 +32,9 @@ SNAPSHOTS = {
     "quality_langid": (500, 16382963264162671266),
     "media_features": (696, 12115332766548111239),
     "embedding_near_dup": (20, 12731899540696061886),
+    # HLL p=12 approximate distinct; at this scale the linear-counting
+    # regime returns the exact per-type user counts (15 each)
+    "approx_distinct_users": (5, 9732546478658035194),
     # full trained ER pipeline (training loop + partition): deterministic
     # end-to-end (content-keyed sampling/ordering); re-frozen after the
     # equal-length affine-gap symmetry fix (one borderline pair dropped),
