@@ -693,6 +693,38 @@ def _q_approx_distinct_users(sf_dir: str):
     return hll_approx_distinct(ev, "event_type", "user_id")
 
 
+def _q_distinct_users_exact(sf_dir: str):
+    """Exact grouped COUNT(DISTINCT) (the exact counterpart of the HLL
+    sketch query): per-batch pair pre-dedup combiner → (group,value)
+    groupby → per-group count."""
+    from dedupe_ray.ops.tabular import grouped_count_distinct
+
+    ev = _read(sf_dir, "events", ["event_type", "user_id"])
+    return grouped_count_distinct(ev, "event_type", "user_id")
+
+
+def _q_customer_order_keys(sf_dir: str):
+    """Per-key ordered string aggregation (string_agg): each customer's
+    order keys joined by ',' in key order — run-length list array + one
+    binary_join per bucket."""
+    from dedupe_ray.ops.tabular import grouped_concat
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderkey"])
+    return grouped_concat(orders, "o_custkey", "o_orderkey", "o_orderkey", out_column="order_keys")
+
+
+def _q_user_event_type_counts(sf_dir: str):
+    """Pivoted categorical counts: events per (user, type) widened to one
+    column per type — count(*) FILTER equivalents via the per-batch
+    bincount combiner."""
+    from dedupe_ray.ops.tabular import pivot_counts
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+    return pivot_counts(
+        ev, "user_id", "event_type", ["click", "view", "purchase", "signup", "error"]
+    )
+
+
 def _q_scrub_pii(sf_dir: str):
     """PII scrubbing (training-data hygiene op): emails/URLs/IPs replaced
     with typed placeholders + per-category match counts. The input text is
@@ -975,6 +1007,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window_count": _q_window_count,
         "events_window_sum": _q_window_sum,
         "approx_distinct_users": _q_approx_distinct_users,
+        "distinct_users_exact": _q_distinct_users_exact,
+        "customer_order_keys": _q_customer_order_keys,
+        "user_event_type_counts": _q_user_event_type_counts,
         "top_orders_per_customer": _q_top_orders_per_customer,
         "median_order_price": _q_median_order_price,
         "scrub_pii": _q_scrub_pii,
@@ -1143,6 +1178,25 @@ def oracle_sql() -> dict[str, str]:
                        RANGE BETWEEN INTERVAL 600 SECOND PRECEDING
                              AND CURRENT ROW) AS BIGINT) AS window_count
             FROM events
+        """,
+        "distinct_users_exact": """
+            SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
+            FROM events GROUP BY event_type
+        """,
+        "customer_order_keys": """
+            SELECT o_custkey,
+                   string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey)
+                       AS order_keys
+            FROM orders GROUP BY o_custkey
+        """,
+        "user_event_type_counts": """
+            SELECT user_id,
+                   CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n_click,
+                   CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS n_view,
+                   CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchase,
+                   CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS n_signup,
+                   CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS n_error
+            FROM events GROUP BY user_id
         """,
         "events_window_sum": """
             SELECT event_id, user_id, ts,

@@ -561,3 +561,140 @@ def grouped_quantile_disc(
         .groupby("__qbkt")
         .map_groups(quantiles, batch_format="pyarrow")
     )
+
+
+def grouped_count_distinct(
+    ds: "ray.data.Dataset",
+    group_column: str,
+    value_column: str,
+    out_column: str = "n_distinct",
+) -> "ray.data.Dataset":
+    """Exact COUNT(DISTINCT value) per group — the exact counterpart of
+    ``ops.sketch.hll_approx_distinct`` (use the sketch when the distinct
+    pair set itself is too large to shuffle).
+
+    Shape: per-batch (group, value) pre-dedup (the combiner — a batch with
+    a million repeats of one value ships ONE row) → groupby(group, value)
+    count to finish the dedup → per-batch re-count partials → a tiny
+    groupby(group) sum.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    def dedup_batch(b: pa.Table) -> pa.Table:
+        g = b.column(group_column).to_numpy(zero_copy_only=False)
+        v = b.column(value_column).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({group_column: g, value_column: v}).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    pairs = (
+        ds.map_batches(dedup_batch, batch_format="pyarrow")
+        .groupby([group_column, value_column])
+        .count()
+    )
+
+    def count_partials(b: pa.Table) -> pa.Table:
+        g = b.column(group_column).to_numpy(zero_copy_only=False)
+        codes, uniques = pd.factorize(g)
+        cnt = np.bincount(codes, minlength=len(uniques)).astype(np.int64)
+        return pa.table({group_column: pa.array(np.asarray(uniques)), out_column: pa.array(cnt)})
+
+    return (
+        pairs.map_batches(count_partials, batch_format="pyarrow")
+        .groupby(group_column)
+        .aggregate(Sum(out_column, alias_name=out_column))
+    )
+
+
+def grouped_concat(
+    ds: "ray.data.Dataset",
+    key_column: str,
+    value_column: str,
+    order_column: str,
+    sep: str = ",",
+    out_column: str = "agg",
+    n_buckets: int = 256,
+) -> "ray.data.Dataset":
+    """Per-key ordered string aggregation — SQL ``string_agg(value, sep
+    ORDER BY ord)``. ONE bucketed shuffle; per bucket a lexsort builds a
+    run-length list array and a single ``pc.binary_join`` concatenates —
+    no per-key loop. A key's values must fit one group (the same
+    assumption the SQL aggregate makes of its hash table)."""
+    import numpy as np
+    import pandas as pd
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        vals = b.column(key_column).to_numpy(zero_copy_only=False)
+        bkt = (pd.util.hash_array(vals) % n_buckets).astype(np.int32)
+        return b.append_column("__cbkt", pa.array(bkt))
+
+    def concat(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["__cbkt"])
+        keys = g.column(key_column).to_numpy(zero_copy_only=False)
+        codes, _ = pd.factorize(keys)
+        order_vals = g.column(order_column).to_numpy(zero_copy_only=False)
+        order = np.lexsort((order_vals, codes))
+        s_codes = codes[order]
+        vals = pc.cast(pc.take(g.column(value_column), pa.array(order)), pa.string())
+        new_run = np.concatenate(([True], s_codes[1:] != s_codes[:-1]))
+        starts = np.nonzero(new_run)[0]
+        offsets = np.append(starts, len(order)).astype(np.int32)
+        lists = pa.ListArray.from_arrays(pa.array(offsets), vals.combine_chunks() if isinstance(vals, pa.ChunkedArray) else vals)
+        joined = pc.binary_join(lists, sep)
+        sel = pa.array(order[starts])
+        return pa.table(
+            {
+                key_column: pc.take(g.column(key_column), sel),
+                out_column: joined,
+            }
+        )
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("__cbkt")
+        .map_groups(concat, batch_format="pyarrow")
+    )
+
+
+def pivot_counts(
+    ds: "ray.data.Dataset",
+    key_column: str,
+    pivot_column: str,
+    categories: list[str],
+    prefix: str = "n_",
+) -> "ray.data.Dataset":
+    """Pivot categorical counts into columns: one row per key with
+    ``<prefix><cat>`` = count of rows where ``pivot_column == cat`` — SQL
+    ``count(*) FILTER (WHERE ...)`` per category. ``categories`` is
+    explicit so the output schema is static (a distributed discovery pass
+    would make the schema data-dependent — the scale-correct API).
+
+    Combiner pattern: per-batch vectorized category counts per key, then
+    one tiny groupby-sum per column.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    def partials(b: pa.Table) -> pa.Table:
+        keys = b.column(key_column).to_numpy(zero_copy_only=False)
+        piv = b.column(pivot_column).to_numpy(zero_copy_only=False)
+        codes, uniques = pd.factorize(keys)
+        data = {key_column: pa.array(np.asarray(uniques))}
+        for cat in categories:
+            hits = np.bincount(
+                codes[piv == cat], minlength=len(uniques)
+            ).astype(np.int64)
+            data[f"{prefix}{cat}"] = pa.array(hits)
+        return pa.table(data)
+
+    return (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby(key_column)
+        .aggregate(
+            *[Sum(f"{prefix}{c}", alias_name=f"{prefix}{c}") for c in categories]
+        )
+    )

@@ -836,3 +836,49 @@ def test_hll_approx_distinct_accuracy(ray_session):
         .set_index("g")["approx_distinct"]
     )
     assert out.to_dict() == out2.to_dict()
+
+
+def test_grouped_count_distinct(ray_session):
+    from dedupe_ray.ops.tabular import grouped_count_distinct
+
+    df = pd.DataFrame(
+        {"g": ["a"] * 6 + ["b"] * 3, "v": [1, 1, 2, 3, 3, 3, 9, 9, 9]}
+    )
+    out = (
+        grouped_count_distinct(rd.from_pandas(df), "g", "v")
+        .to_pandas()
+        .set_index("g")["n_distinct"]
+        .to_dict()
+    )
+    assert out == {"a": 3, "b": 1}
+
+
+def test_grouped_concat_ordered(ray_session):
+    from dedupe_ray.ops.tabular import grouped_concat
+
+    df = pd.DataFrame(
+        {"k": ["x", "y", "x", "x"], "v": [3, 7, 1, 2], "ord": [3, 7, 1, 2]}
+    )
+    out = (
+        grouped_concat(rd.from_pandas(df), "k", "v", "ord")
+        .to_pandas()
+        .set_index("k")["agg"]
+        .to_dict()
+    )
+    assert out == {"x": "1,2,3", "y": "7"}
+
+
+def test_pivot_counts(ray_session):
+    from dedupe_ray.ops.tabular import pivot_counts
+
+    df = pd.DataFrame(
+        {"u": [1, 1, 1, 2], "t": ["click", "click", "view", "other"]}
+    )
+    out = (
+        pivot_counts(rd.from_pandas(df), "u", "t", ["click", "view"])
+        .to_pandas()
+        .set_index("u")
+        .sort_index()
+    )
+    assert out.loc[1, "n_click"] == 2 and out.loc[1, "n_view"] == 1
+    assert out.loc[2, "n_click"] == 0 and out.loc[2, "n_view"] == 0  # 'other' not counted
