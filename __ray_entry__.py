@@ -849,6 +849,44 @@ def _q_term_counts(sf_dir: str):
     return term_counts(docs, top_n=50)
 
 
+def _q_dup_ngram_docs(sf_dir: str):
+    """Exact duplicated-n-gram detection (the per-doc signal behind
+    suffix-array exact-substring dedup, Lee et al. 2022): count each
+    document's distinct 8-grams shared with at least one other document.
+    Gram hashes shuffle, never text; one bucketed groupby + one tiny
+    doc-id groupby."""
+    from dedupe_ray.ops.dedup import dup_ngram_docs
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return dup_ngram_docs(docs, n=8)
+
+
+def _q_contaminated_docs(sf_dir: str):
+    """Benchmark decontamination (GPT-3 appx-C style): tag training docs
+    sharing any 5-gram with the 'benchmark' subset (doc_id % 97 == 0 —
+    a deterministic stand-in eval set drawn from the same table). The
+    benchmark gram-hash set broadcasts once via ray.put; the scan side is
+    a shuffle-free vectorized searchsorted membership per batch."""
+    import numpy as np
+
+    from dedupe_ray.ops.text import decontaminate
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _part(bench: bool):
+        def f(b: pa.Table) -> pa.Table:
+            ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+            return b.filter(pa.array((ids % 97 == 0) == bench))
+
+        return f
+
+    return decontaminate(
+        docs.map_batches(_part(False), batch_format="pyarrow"),
+        docs.map_batches(_part(True), batch_format="pyarrow"),
+        n=5,
+    )
+
+
 def _q_kna2_replay(sf_dir: str):
     """A30 golden replay: KNA2.xlsx (reference fixture) through source
     reader → preprocess → train → partition. Result is the cluster
@@ -1019,6 +1057,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_documents": _q_pack_documents,
         "repetition_stats": _q_repetition_stats,
         "term_counts": _q_term_counts,
+        "dup_ngram_docs": _q_dup_ngram_docs,
+        "contaminated_docs": _q_contaminated_docs,
         "kna2_replay": _q_kna2_replay,
         "export_projection": _q_export_projection,
         "ngram_jaccard_verify": _q_ngram_jaccard,
@@ -1282,6 +1322,45 @@ def oracle_sql() -> dict[str, str]:
                             0.0) AS dup_token_frac,
                    coalesce(CAST(a.max_c AS DOUBLE) / a.n_tokens, 0.0) AS top_token_frac
             FROM documents d LEFT JOIN agg a USING (doc_id)
+        """,
+        "dup_ngram_docs": """
+            WITH toks AS (
+                SELECT doc_id, string_split(coalesce(text, ''), ' ') AS ts
+                FROM documents
+            ),
+            gi AS (
+                SELECT doc_id, ts,
+                       unnest(generate_series(1, greatest(len(ts) - 7, 0))) AS i
+                FROM toks
+            ),
+            grams AS (
+                SELECT DISTINCT doc_id, array_to_string(ts[i:i+7], ' ') AS g
+                FROM gi
+            ),
+            dup AS (SELECT g FROM grams GROUP BY g HAVING count(*) > 1)
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS dup_ngrams
+            FROM grams WHERE g IN (SELECT g FROM dup)
+            GROUP BY doc_id
+        """,
+        "contaminated_docs": """
+            WITH toks AS (
+                SELECT doc_id, string_split(coalesce(text, ''), ' ') AS ts
+                FROM documents
+            ),
+            gi AS (
+                SELECT doc_id, ts,
+                       unnest(generate_series(1, greatest(len(ts) - 4, 0))) AS i
+                FROM toks
+            ),
+            grams AS (
+                SELECT DISTINCT doc_id, array_to_string(ts[i:i+4], ' ') AS g
+                FROM gi
+            ),
+            bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0)
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS matched_ngrams
+            FROM grams
+            WHERE doc_id % 97 <> 0 AND g IN (SELECT g FROM bench)
+            GROUP BY doc_id
         """,
         "term_counts": r"""
             WITH toks AS (

@@ -616,3 +616,82 @@ def ngram_jaccard_pairs(
         return out.select([c for c in out.column_names if c not in ("a_text", "b_text")])
 
     return joined.map_batches(verify, batch_format="pyarrow")
+
+
+def dup_ngram_docs(
+    ds: "ray.data.Dataset",
+    n: int = 8,
+    column: str = "text",
+    id_column: str = "doc_id",
+) -> "ray.data.Dataset":
+    """Exact duplicated-n-gram detection: for every document, count its
+    DISTINCT space-delimited ``n``-grams that also occur in at least one
+    OTHER document — the per-doc signal behind suffix-array exact-substring
+    dedup (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better", the n-gram-granular formulation).
+
+    Shape: map_batches emits per-doc distinct gram hashes (already deduped
+    inside the batch kernel, so a gram repeated within one doc costs one
+    row), bucketed by gram hash → ONE groupby over N_BUCKETS gram buckets
+    finds cross-doc runs and pre-aggregates (doc, count) partials inside
+    the bucket → one tiny groupby over doc ids sums the partials. Shuffle
+    rows are (id, uint64, int32) — no text ever moves.
+
+    Returns (id_column, dup_ngrams) for docs with ≥1 shared gram.
+    """
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    from dedupe_ray.ops.text import _space_gram_hashes
+
+    def grams_partial(batch: pa.Table) -> pa.Table:
+        rid, gh = _space_gram_hashes(batch.column(column), n)
+        ids = _one_chunk(batch.column(id_column))
+        return pa.table(
+            {
+                id_column: pc.take(ids, pa.array(rid)),
+                "ghash": pa.array(gh, pa.uint64()),
+                "gbucket": pa.array((gh % np.uint64(N_BUCKETS)).astype(np.int32)),
+            }
+        )
+
+    exploded = ds.map_batches(grams_partial, batch_format="pyarrow")
+
+    def dup_partial(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                id_column: pa.array([], group.column(id_column).type),
+                "cnt": pa.array([], pa.int64()),
+            }
+        )
+        if not len(group):
+            return empty
+        t = group.sort_by([("ghash", "ascending")])
+        gh = t.column("ghash").to_numpy(zero_copy_only=False)
+        change = gh[1:] != gh[:-1]
+        run_starts = np.nonzero(np.concatenate(([True], change)))[0]
+        run_lengths = np.diff(np.append(run_starts, len(gh)))
+        # per-doc-distinct upstream ⇒ run length == number of docs holding
+        # the gram; runs of length ≥2 are the duplicated grams
+        dup_members = np.repeat(run_lengths >= 2, run_lengths)
+        if not dup_members.any():
+            return empty
+        ids = _one_chunk(t.column(id_column)).take(
+            pa.array(np.nonzero(dup_members)[0])
+        )
+        codes, uniques = pd.factorize(ids.to_numpy(zero_copy_only=False))
+        cnt = np.bincount(codes, minlength=len(uniques)).astype(np.int64)
+        return pa.table(
+            {
+                id_column: pa.array(uniques, group.column(id_column).type),
+                "cnt": pa.array(cnt),
+            }
+        )
+
+    return (
+        exploded.groupby("gbucket")
+        .map_groups(dup_partial, batch_format="pyarrow")
+        .groupby(id_column)
+        .aggregate(Sum("cnt", alias_name="dup_ngrams"))
+    )

@@ -12,6 +12,7 @@ import re
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 
@@ -364,3 +365,111 @@ def term_counts(
         .aggregate(Sum("cnt", alias_name="cnt"))
     )
     return agg.sort(["cnt", "token"], descending=[True, False]).limit(top_n)
+
+
+def _space_gram_hashes(col, n: int) -> tuple[np.ndarray, np.ndarray]:
+    """Per-row DISTINCT space-delimited n-gram hashes for a whole batch.
+
+    Tokenization is a plain split on a single space (DuckDB
+    ``string_split(text, ' ')`` semantics — empty tokens from consecutive
+    spaces are kept, no lowercasing), so an oracle can rebuild the exact
+    same gram set with ``array_to_string(ts[i:i+n-1], ' ')``. Grams are
+    64-bit hashes (fixed-key siphash per token via ``pd.util.hash_array``,
+    FNV-style window combine): tokens contain no spaces, so token-sequence
+    equality ≡ joined-string equality, and 64-bit collisions are
+    negligible at any realistic corpus size.
+
+    Returns ``(row_ids, ghash)`` — one entry per distinct gram per row,
+    grouped by row. Fully vectorized: one Arrow split, one hash_array,
+    ``n`` shifted combine ops, one lexsort.
+    """
+    toks = pc.split_pattern(pc.fill_null(col, ""), " ")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    offsets = np.asarray(toks.offsets.to_numpy(zero_copy_only=False), np.int64)
+    counts = offsets[1:] - offsets[:-1]
+    flat = toks.flatten()
+    if len(flat) == 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.uint64)
+    h = pd.util.hash_array(np.asarray(flat.to_pylist(), object))
+    nw = np.maximum(counts - (n - 1), 0)
+    total = int(nw.sum())
+    if total == 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.uint64)
+    row_ids = np.repeat(np.arange(len(counts), dtype=np.int64), nw)
+    starts = np.repeat(offsets[:-1], nw)
+    cum = np.concatenate(([0], np.cumsum(nw)))[:-1]
+    pos = np.arange(total, dtype=np.int64) - np.repeat(cum, nw)
+    s = starts + pos
+    acc = np.zeros(total, np.uint64)
+    C = np.uint64(1099511628211)
+    for k in range(n):
+        acc = (acc * C) ^ h[s + k]
+    # distinct grams per row: lexsort by (row, hash), keep run heads
+    order = np.lexsort((acc, row_ids))
+    r, g = row_ids[order], acc[order]
+    keep = np.concatenate(([True], (r[1:] != r[:-1]) | (g[1:] != g[:-1])))
+    return r[keep], g[keep]
+
+
+def decontaminate(
+    ds: "ray.data.Dataset",
+    benchmark: "ray.data.Dataset",
+    n: int = 13,
+    column: str = "text",
+    id_column: str = "doc_id",
+    bench_gram_limit: int = 50_000_000,
+) -> "ray.data.Dataset":
+    """Benchmark-contamination tagging (the GPT-3/PaLM decontamination
+    check, Brown et al. 2020 appx. C): a document is contaminated if it
+    shares any space-delimited ``n``-gram with the benchmark corpus.
+
+    Shape: the benchmark side is SMALL by definition (eval sets), so its
+    distinct gram-hash set is reduced per-batch, pulled once, sorted, and
+    broadcast via ``ray.put`` — every scoring task then does a vectorized
+    ``searchsorted`` membership test per batch. No shuffle at any scale;
+    the guard raises if the benchmark gram set exceeds
+    ``bench_gram_limit`` (at which point this op is the wrong tool and a
+    hash join on gram hashes is the scale path).
+
+    Returns (id_column, matched_ngrams) for documents with ≥1 shared
+    n-gram; callers exclude benchmark members themselves.
+    """
+    import ray
+
+    def bench_partial(batch: pa.Table) -> pa.Table:
+        _, gh = _space_gram_hashes(batch.column(column), n)
+        return pa.table({"ghash": pa.array(np.unique(gh), pa.uint64())})
+
+    parts = benchmark.map_batches(bench_partial, batch_format="pyarrow").to_pandas()
+    bench_hashes = np.unique(parts["ghash"].to_numpy(dtype=np.uint64))
+    if len(bench_hashes) > bench_gram_limit:
+        raise ValueError(
+            f"benchmark gram set ({len(bench_hashes)}) exceeds broadcast "
+            f"limit {bench_gram_limit}; use a distributed hash join instead"
+        )
+    ref = ray.put(bench_hashes)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        bench_sorted = ray.get(ref)
+        rid, gh = _space_gram_hashes(batch.column(column), n)
+        ids = batch.column(id_column)
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        if len(gh) == 0:
+            hit = np.zeros(0, bool)
+        else:
+            idx = np.searchsorted(bench_sorted, gh)
+            idx[idx >= len(bench_sorted)] = 0
+            hit = len(bench_sorted) > 0
+            hit = bench_sorted[idx] == gh if hit else np.zeros(len(gh), bool)
+        matched = np.bincount(rid[hit], minlength=len(batch)).astype(np.int64)
+        rows = np.nonzero(matched > 0)[0]
+        return pa.table(
+            {
+                id_column: ids.take(pa.array(rows)),
+                "matched_ngrams": pa.array(matched[rows]),
+            }
+        )
+
+    return ds.map_batches(tag, batch_format="pyarrow")

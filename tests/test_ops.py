@@ -882,3 +882,92 @@ def test_pivot_counts(ray_session):
     )
     assert out.loc[1, "n_click"] == 2 and out.loc[1, "n_view"] == 1
     assert out.loc[2, "n_click"] == 0 and out.loc[2, "n_view"] == 0  # 'other' not counted
+
+
+def _brute_space_grams(text: str, n: int) -> set:
+    toks = (text or "").split(" ")
+    return {tuple(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+
+def test_space_gram_hashes_kernel():
+    from dedupe_ray.ops.text import _space_gram_hashes
+
+    texts = [
+        "a b c d a b c d",       # 8 tokens, dup grams within row
+        "a b c",                 # too short for n=4
+        "",                      # empty
+        "x  y z w",              # consecutive spaces keep an empty token
+        None,                    # null → ''
+        "a b c d a b c d",       # identical to row 0
+    ]
+    rid, gh = _space_gram_hashes(pa.array(texts, pa.string()), 4)
+    # per-row distinct gram counts must match a brute-force set build
+    got = np.bincount(rid, minlength=len(texts)).tolist()
+    want = [len(_brute_space_grams(t, 4)) for t in texts]
+    assert got == want
+    # identical rows produce identical hash sets, disjoint rows disjoint
+    set0 = set(gh[rid == 0].tolist())
+    assert set0 == set(gh[rid == 5].tolist())
+    assert not set0 & set(gh[rid == 3].tolist())
+
+
+def test_dup_ngram_docs_matches_brute_force(ray_session):
+    from dedupe_ray.ops.dedup import dup_ngram_docs
+
+    texts = {
+        1: "the quick brown fox jumps over the lazy dog tonight",
+        2: "a quick brown fox jumps over the lazy dog today",
+        3: "completely unrelated text with no shared spans at all",
+        4: "the quick brown fox jumps over the lazy dog tonight",  # exact dup of 1
+        5: "short doc",
+    }
+    n = 4
+    ds = rd.from_arrow(
+        pa.table({"doc_id": list(texts), "text": list(texts.values())})
+    )
+    out = dup_ngram_docs(ds, n=n).to_pandas().set_index("doc_id")["dup_ngrams"]
+
+    grams = {d: _brute_space_grams(t, n) for d, t in texts.items()}
+    want = {}
+    for d, gs in grams.items():
+        others = set().union(*(g for dd, g in grams.items() if dd != d))
+        c = len(gs & others)
+        if c:
+            want[d] = c
+    assert dict(out) == want
+
+
+def test_decontaminate_broadcast_membership(ray_session):
+    from dedupe_ray.ops.text import decontaminate
+
+    bench = rd.from_arrow(
+        pa.table({"doc_id": [100], "text": ["alpha beta gamma delta epsilon"]})
+    )
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    "x alpha beta gamma delta y",   # shares 2 distinct 4-grams? see below
+                    "alpha beta gamma zeta",        # no full 4-gram shared? a b g z no
+                    "no overlap here at all",
+                ],
+            }
+        )
+    )
+    out = decontaminate(ds, bench, n=4).to_pandas().set_index("doc_id")[
+        "matched_ngrams"
+    ]
+    # doc 1 contains 'alpha beta gamma delta' (1 shared 4-gram); docs 2,3 none
+    assert dict(out) == {1: 1}
+
+
+def test_decontaminate_bench_limit_guard(ray_session):
+    from dedupe_ray.ops.text import decontaminate
+
+    bench = rd.from_arrow(
+        pa.table({"doc_id": [1], "text": ["a b c d e f g h i j"]})
+    )
+    ds = rd.from_arrow(pa.table({"doc_id": [2], "text": ["a b c d e"]}))
+    with pytest.raises(ValueError, match="broadcast limit"):
+        decontaminate(ds, bench, n=4, bench_gram_limit=2)
