@@ -887,6 +887,42 @@ def _q_contaminated_docs(sf_dir: str):
     )
 
 
+def _q_bloom_new_events(sf_dir: str):
+    """Incremental exact dedup (bloom-prefiltered anti-join): events with
+    event_id % 7 == 0 play 'today's batch', the rest the already-ingested
+    corpus; keep new events whose (props, user) key never occurred in
+    the corpus. Zero shuffle: streamed bitmap OR + broadcast candidate
+    verify — exact semantics regardless of Bloom false positives."""
+    import pyarrow.compute as pc
+
+    from dedupe_ray.ops.dedup import bloom_anti_join
+
+    ev = _read(sf_dir, "events", ["event_id", "props", "user_id"])
+
+    def _part(new: bool):
+        def f(b: pa.Table) -> pa.Table:
+            ids = b.column("event_id").to_numpy(zero_copy_only=False)
+            t = b.filter(pa.array((ids % 7 == 0) == new))
+            ukey = pc.binary_join_element_wise(
+                t.column("props").combine_chunks()
+                if isinstance(t.column("props"), pa.ChunkedArray)
+                else t.column("props"),
+                pc.cast(t.column("user_id"), pa.string()),
+                "|",
+            )
+            return pa.table(
+                {"event_id": t.column("event_id"), "ukey": ukey}
+            )
+
+        return f
+
+    return bloom_anti_join(
+        ev.map_batches(_part(True), batch_format="pyarrow"),
+        ev.map_batches(_part(False), batch_format="pyarrow"),
+        "ukey",
+    )
+
+
 def _q_kna2_replay(sf_dir: str):
     """A30 golden replay: KNA2.xlsx (reference fixture) through source
     reader → preprocess → train → partition. Result is the cluster
@@ -1059,6 +1095,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_counts": _q_term_counts,
         "dup_ngram_docs": _q_dup_ngram_docs,
         "contaminated_docs": _q_contaminated_docs,
+        "bloom_new_events": _q_bloom_new_events,
         "kna2_replay": _q_kna2_replay,
         "export_projection": _q_export_projection,
         "ngram_jaccard_verify": _q_ngram_jaccard,
@@ -1361,6 +1398,16 @@ def oracle_sql() -> dict[str, str]:
             FROM grams
             WHERE doc_id % 97 <> 0 AND g IN (SELECT g FROM bench)
             GROUP BY doc_id
+        """,
+        "bloom_new_events": """
+            WITH e AS (
+                SELECT event_id,
+                       props || '|' || CAST(user_id AS VARCHAR) AS ukey
+                FROM events
+            )
+            SELECT event_id, ukey FROM e
+            WHERE event_id % 7 = 0
+              AND ukey NOT IN (SELECT ukey FROM e WHERE event_id % 7 <> 0)
         """,
         "term_counts": r"""
             WITH toks AS (

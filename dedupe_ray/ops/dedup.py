@@ -695,3 +695,127 @@ def dup_ngram_docs(
         .groupby(id_column)
         .aggregate(Sum("cnt", alias_name="dup_ngrams"))
     )
+
+
+def _bloom_hash_pair(vals: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Two independent 64-bit hash streams per value (fixed-key siphash via
+    pandas, cross-process deterministic); h2 forced odd so the
+    Kirsch-Mitzenmacher double-hashing probe sequence h1 + i*h2 never
+    degenerates."""
+    import pandas as pd
+
+    h1 = pd.util.hash_array(vals)
+    h2 = pd.util.hash_array(vals, hash_key="dedupe_ray_bloom") | np.uint64(1)
+    return h1, h2
+
+
+def bloom_anti_join(
+    new_ds: "ray.data.Dataset",
+    corpus_ds: "ray.data.Dataset",
+    key_column: str,
+    n_bits: int = 1 << 24,
+    k: int = 7,
+    candidate_limit: int = 5_000_000,
+) -> "ray.data.Dataset":
+    """Incremental exact dedup: rows of ``new_ds`` whose ``key_column``
+    value does NOT occur anywhere in ``corpus_ds`` — the "dedupe today's
+    crawl against the 100-TB corpus already ingested" step, with EXACT
+    anti-join semantics and ZERO shuffle.
+
+    The Bloom filter is a prefilter, not the answer: (1) corpus scan
+    builds per-block bitmap partials (one packed ``n_bits``-bit row per
+    block) that OR-merge streamed on the driver — constant driver memory,
+    one bitmap live at a time; (2) new-side probe pass collects the
+    bloom-POSITIVE keys (true dups + FP-rate·|new| stragglers — tiny,
+    guarded by ``candidate_limit``); (3) one corpus scan confirms which
+    candidates really occur (broadcast candidate set, C-speed hash-table
+    ``isin`` per batch — string equality, so a Bloom or 64-bit-hash
+    collision can never leak a wrong row); (4) new side streams through a
+    final broadcast filter. Both sides only ever move (small) key sets to
+    the driver; no all-to-all exchange at any scale. Sizing: FP rate ≈
+    (1-e^{-kn/m})^k — default 16 Mbit / k=7 is <1% up to ~2M corpus keys;
+    size ``n_bits`` ~10 bits per corpus key.
+    """
+    import pandas as pd
+
+    import ray
+
+    if n_bits % 64:
+        raise ValueError("n_bits must be a multiple of 64")
+    words = n_bits // 64
+    nb = np.uint64(n_bits)
+
+    def bloom_partial(batch: pa.Table) -> pa.Table:
+        vals = pc.fill_null(batch.column(key_column), "").to_numpy(
+            zero_copy_only=False
+        )
+        bm = np.zeros(words, np.uint64)
+        h1, h2 = _bloom_hash_pair(vals)
+        for i in range(k):
+            pos = (h1 + np.uint64(i) * h2) % nb
+            np.bitwise_or.at(
+                bm, (pos >> np.uint64(6)).astype(np.int64),
+                np.uint64(1) << (pos & np.uint64(63)),
+            )
+        return pa.table({"bitmap": pa.array([bm.tobytes()], pa.large_binary())})
+
+    parts = corpus_ds.map_batches(
+        bloom_partial, batch_format="pyarrow", batch_size=65536
+    )
+    bloom = np.zeros(words, np.uint64)
+    for b in parts.iter_batches(batch_format="pyarrow"):
+        col = b.column("bitmap")
+        for buf in col:
+            bloom |= np.frombuffer(buf.as_py(), np.uint64)
+    bloom_ref = ray.put(bloom)
+
+    def probe(batch: pa.Table) -> pa.Table:
+        bm = ray.get(bloom_ref)
+        col = pc.fill_null(batch.column(key_column), "")
+        vals = col.to_numpy(zero_copy_only=False)
+        h1, h2 = _bloom_hash_pair(vals)
+        hit = np.ones(len(vals), np.uint64)
+        for i in range(k):
+            pos = (h1 + np.uint64(i) * h2) % nb
+            hit &= (bm[(pos >> np.uint64(6)).astype(np.int64)]
+                    >> (pos & np.uint64(63))) & np.uint64(1)
+        cand = np.unique(vals[hit.astype(bool)])
+        return pa.table({key_column: pa.array(cand, batch.column(key_column).type)})
+
+    cand = np.unique(
+        new_ds.map_batches(probe, batch_format="pyarrow")
+        .to_pandas()[key_column]
+        .to_numpy()
+    )
+    if len(cand) > candidate_limit:
+        raise ValueError(
+            f"bloom-positive candidate set ({len(cand)}) exceeds "
+            f"{candidate_limit}; raise n_bits (FP rate too high for this "
+            "corpus) or candidate_limit"
+        )
+    cand_ref = ray.put(cand)
+
+    def confirm(batch: pa.Table) -> pa.Table:
+        cands = ray.get(cand_ref)
+        vals = pc.fill_null(batch.column(key_column), "").to_numpy(
+            zero_copy_only=False
+        )
+        mask = pd.Series(vals).isin(cands).to_numpy()
+        found = np.unique(vals[mask])
+        return pa.table({key_column: pa.array(found, batch.column(key_column).type)})
+
+    found = np.unique(
+        corpus_ds.map_batches(confirm, batch_format="pyarrow")
+        .to_pandas()[key_column]
+        .to_numpy()
+    )
+    found_ref = ray.put(found)
+
+    def final_filter(batch: pa.Table) -> pa.Table:
+        dups = ray.get(found_ref)
+        vals = pc.fill_null(batch.column(key_column), "").to_numpy(
+            zero_copy_only=False
+        )
+        return batch.filter(pa.array(~pd.Series(vals).isin(dups).to_numpy()))
+
+    return new_ds.map_batches(final_filter, batch_format="pyarrow")

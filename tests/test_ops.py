@@ -971,3 +971,30 @@ def test_decontaminate_bench_limit_guard(ray_session):
     ds = rd.from_arrow(pa.table({"doc_id": [2], "text": ["a b c d e"]}))
     with pytest.raises(ValueError, match="broadcast limit"):
         decontaminate(ds, bench, n=4, bench_gram_limit=2)
+
+
+def test_bloom_anti_join_exact_even_with_forced_fps(ray_session):
+    from dedupe_ray.ops.dedup import bloom_anti_join
+
+    corpus_keys = [f"k{i}" for i in range(200)]
+    new_keys = [f"k{i}" for i in range(150, 250)] + ["zzz", "yyy"]
+    corpus = rd.from_arrow(pa.table({"key": corpus_keys}))
+    new = rd.from_arrow(
+        pa.table({"rid": list(range(len(new_keys))), "key": new_keys})
+    )
+    want = sorted(k for k in new_keys if k not in set(corpus_keys))
+    # a 64-bit filter with k=1 saturates → nearly every probe is a false
+    # positive; the exact verify pass must still produce the exact answer
+    out = bloom_anti_join(new, corpus, "key", n_bits=64, k=1)
+    assert sorted(out.to_pandas()["key"]) == want
+    # sane sizing gives the same exact answer
+    out2 = bloom_anti_join(new, corpus, "key", n_bits=1 << 16, k=7)
+    assert sorted(out2.to_pandas()["key"]) == want
+
+
+def test_bloom_anti_join_candidate_limit(ray_session):
+    from dedupe_ray.ops.dedup import bloom_anti_join
+
+    ds = rd.from_arrow(pa.table({"key": [f"a{i}" for i in range(50)]}))
+    with pytest.raises(ValueError, match="candidate set"):
+        bloom_anti_join(ds, ds, "key", n_bits=64, k=1, candidate_limit=10)
