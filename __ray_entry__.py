@@ -887,6 +887,22 @@ def _q_contaminated_docs(sf_dir: str):
     )
 
 
+def _q_lineitem_p99(sf_dir: str):
+    """Global discrete p99 without a sort or shuffle: iterative
+    histogram-refine (exact counts re-anchor the rank each round; only
+    (bin,count) partials leave the workers). Forces the multi-round path
+    with a small collect_limit so the refinement is what's tested."""
+    import pandas as pd
+
+    from dedupe_ray.ops.tabular import global_quantile_disc
+
+    li = _read(sf_dir, "lineitem", ["l_extendedprice"])
+    v = global_quantile_disc(
+        li, "l_extendedprice", 0.99, bins=1024, collect_limit=1000
+    )
+    return pd.DataFrame({"p99": [v]})
+
+
 def _q_bloom_new_events(sf_dir: str):
     """Incremental exact dedup (bloom-prefiltered anti-join): events with
     event_id % 7 == 0 play 'today's batch', the rest the already-ingested
@@ -1096,6 +1112,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_ngram_docs": _q_dup_ngram_docs,
         "contaminated_docs": _q_contaminated_docs,
         "bloom_new_events": _q_bloom_new_events,
+        "lineitem_p99": _q_lineitem_p99,
         "kna2_replay": _q_kna2_replay,
         "export_projection": _q_export_projection,
         "ngram_jaccard_verify": _q_ngram_jaccard,
@@ -1398,6 +1415,9 @@ def oracle_sql() -> dict[str, str]:
             FROM grams
             WHERE doc_id % 97 <> 0 AND g IN (SELECT g FROM bench)
             GROUP BY doc_id
+        """,
+        "lineitem_p99": """
+            SELECT quantile_disc(l_extendedprice, 0.99) AS p99 FROM lineitem
         """,
         "bloom_new_events": """
             WITH e AS (

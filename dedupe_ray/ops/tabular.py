@@ -698,3 +698,110 @@ def pivot_counts(
             *[Sum(f"{prefix}{c}", alias_name=f"{prefix}{c}") for c in categories]
         )
     )
+
+
+def global_quantile_disc(
+    ds: "ray.data.Dataset",
+    column: str,
+    q: float = 0.5,
+    bins: int = 1 << 16,
+    collect_limit: int = 2_000_000,
+    max_rounds: int = 64,
+):
+    """Global discrete quantile (SQL ``quantile_disc(v, q)``: the ACTUAL
+    element at 0-based sorted position ``floor((n-1)*q)``) computed
+    WITHOUT a global sort or any shuffle — the scale path for "p99 over
+    100 TB".
+
+    Iterative histogram refinement: each round runs two streaming passes
+    over the column — (A) exact counts below/inside the current closed
+    candidate range plus its true min/max, (B) a ``bins``-bucket histogram
+    of the in-range values whose cumulative counts pick the bucket holding
+    the target rank. The range shrinks ~``bins``× per round (float edges
+    are widened by one ulp; the next round's exact pass A re-anchors the
+    rank, so rounding can only widen, never lose, the candidate set).
+    Terminates when the in-range population fits ``collect_limit`` (one
+    small driver sort of actual elements) or collapses to a single value.
+    Doubles need ~4 rounds; nothing but (bin, count) partials ever leaves
+    the workers. Nulls are ignored (SQL semantics); returns None on an
+    empty column.
+    """
+    import math
+
+    import numpy as np
+
+    def _col(b: pa.Table) -> np.ndarray:
+        return pc.drop_null(b.column(column)).to_numpy(zero_copy_only=False)
+
+    def stats_pass(lo: float, hi: float):
+        def f(b: pa.Table) -> pa.Table:
+            v = _col(b).astype(np.float64, copy=False)
+            inside = (v >= lo) & (v <= hi)
+            vin = v[inside]
+            return pa.table(
+                {
+                    "below": pa.array([int((v < lo).sum())], pa.int64()),
+                    "cnt": pa.array([len(vin)], pa.int64()),
+                    "mn": pa.array([float(vin.min()) if len(vin) else math.inf]),
+                    "mx": pa.array([float(vin.max()) if len(vin) else -math.inf]),
+                }
+            )
+
+        p = ds.map_batches(f, batch_format="pyarrow").to_pandas()
+        return (
+            int(p["below"].sum()),
+            int(p["cnt"].sum()),
+            float(p["mn"].min()),
+            float(p["mx"].max()),
+        )
+
+    def hist_pass(lo: float, hi: float) -> np.ndarray:
+        scale = bins / (hi - lo)
+
+        def f(b: pa.Table) -> pa.Table:
+            v = _col(b).astype(np.float64, copy=False)
+            v = v[(v >= lo) & (v <= hi)]
+            idx = np.minimum((v - lo) * scale, bins - 1).astype(np.int64)
+            idx = np.maximum(idx, 0)
+            cnt = np.bincount(idx, minlength=bins)
+            nz = np.nonzero(cnt)[0]
+            return pa.table(
+                {"bin": pa.array(nz), "c": pa.array(cnt[nz], pa.int64())}
+            )
+
+        p = ds.map_batches(f, batch_format="pyarrow").to_pandas()
+        h = np.zeros(bins, np.int64)
+        np.add.at(h, p["bin"].to_numpy(), p["c"].to_numpy())
+        return h
+
+    below, n, lo, hi = stats_pass(-math.inf, math.inf)
+    if n == 0:
+        return None
+    rank = int(math.floor((n - 1) * q))
+
+    for _ in range(max_rounds):
+        r = rank - below  # 0-based rank within the in-range population
+        if lo == hi:
+            return lo
+        if n <= collect_limit:
+            vals = np.sort(
+                np.concatenate(
+                    [
+                        v[(v >= lo) & (v <= hi)]
+                        for b in ds.iter_batches(batch_format="pyarrow")
+                        for v in [_col(b).astype(np.float64, copy=False)]
+                    ]
+                    or [np.zeros(0)]
+                )
+            )
+            return float(vals[r])
+        h = hist_pass(lo, hi)
+        cum = np.cumsum(h)
+        b = int(np.searchsorted(cum, r + 1))
+        width = (hi - lo) / bins
+        new_lo = np.nextafter(lo + b * width, -math.inf)
+        new_hi = np.nextafter(lo + (b + 1) * width, math.inf)
+        # pass A counts strictly-below GLOBALLY, so this re-anchors the rank
+        # exactly regardless of the widened float edges
+        below, n, lo, hi = stats_pass(new_lo, new_hi)
+    raise RuntimeError(f"global_quantile_disc did not converge in {max_rounds} rounds")

@@ -998,3 +998,24 @@ def test_bloom_anti_join_candidate_limit(ray_session):
     ds = rd.from_arrow(pa.table({"key": [f"a{i}" for i in range(50)]}))
     with pytest.raises(ValueError, match="candidate set"):
         bloom_anti_join(ds, ds, "key", n_bits=64, k=1, candidate_limit=10)
+
+
+def test_global_quantile_disc_multi_round(ray_session):
+    import math
+
+    from dedupe_ray.ops.tabular import global_quantile_disc
+
+    rng = np.random.RandomState(3)
+    vals = np.concatenate(
+        [rng.normal(0, 1, 5000), np.full(800, 42.0), rng.normal(9e6, 1, 200)]
+    )
+    ds = rd.from_arrow(pa.table({"v": vals}))
+    srt = np.sort(vals)
+    for q in (0.0, 0.13, 0.5, 0.97, 1.0):
+        got = global_quantile_disc(ds, "v", q, bins=64, collect_limit=100)
+        assert got == float(srt[int(math.floor((len(vals) - 1) * q))])
+    # plateau collapses via min==max, empty returns None
+    flat = rd.from_arrow(pa.table({"v": np.full(500, 7.5)}))
+    assert global_quantile_disc(flat, "v", 0.5, bins=8, collect_limit=10) == 7.5
+    empty = rd.from_arrow(pa.table({"v": pa.array([None, None], pa.float64())}))
+    assert global_quantile_disc(empty, "v", 0.5) is None
