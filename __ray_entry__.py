@@ -887,6 +887,26 @@ def _q_contaminated_docs(sf_dir: str):
     )
 
 
+def _q_train_val_split(sf_dir: str):
+    """Leakage-safe train/val split: near-dup clusters (MinHash-LSH → CC)
+    never straddle the boundary; unclustered docs split by their own id.
+    Deterministic fixed-key hash assignment — no SQL oracle (connected
+    components); the no-straddle property and determinism are asserted in
+    tests/test_ops.py."""
+    from dedupe_ray.ops.dedup import leakage_safe_split
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": pa.compute.cast(b.column("doc_id"), pa.string()),
+                "text": b.column("text"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return leakage_safe_split(docs, val_frac=0.1, jaccard_threshold=0.5)
+
+
 def _q_lineitem_p99(sf_dir: str):
     """Global discrete p99 without a sort or shuffle: iterative
     histogram-refine (exact counts re-anchor the rank each round; only
@@ -1113,6 +1133,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contaminated_docs": _q_contaminated_docs,
         "bloom_new_events": _q_bloom_new_events,
         "lineitem_p99": _q_lineitem_p99,
+        "train_val_split": _q_train_val_split,
         "kna2_replay": _q_kna2_replay,
         "export_projection": _q_export_projection,
         "ngram_jaccard_verify": _q_ngram_jaccard,

@@ -85,10 +85,22 @@ def connected_components(
     component_id is the lexicographically smallest member doc_id —
     content-stable regardless of block order (SURVEY §7.4.3).
     """
+    n_edges = None
     if mode == "auto":
         n_edges = edges_ds.count()
         mode = "driver" if n_edges <= driver_edge_limit else "distributed"
     if mode == "driver":
+        if n_edges == 0 or (n_edges is None and edges_ds.count() == 0):
+            # an empty pair set has no schema to select from — return the
+            # typed empty membership the near-dup family expects
+            return ray.data.from_arrow(
+                pa.table(
+                    {
+                        "doc_id": pa.array([], pa.string()),
+                        "component_id": pa.array([], pa.string()),
+                    }
+                )
+            )
         tbl = pa.Table.from_pandas(edges_ds.select_columns(["id_a", "id_b"]).to_pandas())
         mapping = _components_driver(tbl)
         nodes = sorted(mapping)

@@ -819,3 +819,80 @@ def bloom_anti_join(
         return batch.filter(pa.array(~pd.Series(vals).isin(dups).to_numpy()))
 
     return new_ds.map_batches(final_filter, batch_format="pyarrow")
+
+
+def leakage_safe_split(
+    ds: "ray.data.Dataset",
+    val_frac: float = 0.1,
+    jaccard_threshold: float = 0.7,
+    **lsh_kwargs,
+) -> "ray.data.Dataset":
+    """Cluster-aware train/validation split: near-duplicate documents NEVER
+    straddle the split boundary (the train→eval leakage guard every LLM
+    data pipeline needs — a val doc whose near-copy sits in train measures
+    memorization, not generalization).
+
+    Composition: MinHash-LSH groups → each doc's effective split key is
+    its component id (lexicographically-smallest member, content-stable)
+    or its own id when unclustered; assignment is a fixed-key hash of the
+    key against ``val_frac`` — deterministic, parallelism-invariant, and
+    stable under corpus growth (adding docs never moves an existing
+    cluster). One extra bucketed shuffle over (id, id) rows on top of the
+    LSH pipeline; expects the near-dup family's string ``doc_id``.
+
+    Returns (doc_id, split) with split ∈ {'train', 'val'} for every input
+    doc.
+    """
+    import pandas as pd
+
+    groups = minhash_dedup(ds, jaccard_threshold=jaccard_threshold, **lsh_kwargs)
+    threshold = np.uint64(int(val_frac * 1_000_000))
+
+    def self_rows(b: pa.Table) -> pa.Table:
+        ids = _one_chunk(b.column("doc_id"))
+        return pa.table(
+            {
+                "doc_id": ids,
+                "component_id": ids,
+                "prio": pa.array(np.ones(len(b), np.int8)),
+            }
+        )
+
+    def group_rows(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "component_id": b.column("component_id"),
+                "prio": pa.array(np.zeros(len(b), np.int8)),
+            }
+        )
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        bkt = (pd.util.hash_array(ids) % np.uint64(N_BUCKETS)).astype(np.int32)
+        return b.append_column("sbucket", pa.array(bkt))
+
+    def resolve(g: pa.Table) -> pa.Table:
+        t = g.sort_by([("doc_id", "ascending"), ("prio", "ascending")])
+        ids = _one_chunk(t.column("doc_id"))
+        keep = np.ones(len(t), bool)
+        if len(t) > 1:
+            same = pc.equal(ids.slice(1), ids.slice(0, len(ids) - 1))
+            keep[1:] = ~same.to_numpy(zero_copy_only=False)
+        rows = np.nonzero(keep)[0]
+        comp = _one_chunk(t.column("component_id")).take(pa.array(rows))
+        h = pd.util.hash_array(comp.to_numpy(zero_copy_only=False))
+        split = np.where(h % np.uint64(1_000_000) < threshold, "val", "train")
+        return pa.table(
+            {
+                "doc_id": ids.take(pa.array(rows)),
+                "split": pa.array(split, pa.string()),
+            }
+        )
+
+    unioned = (
+        ds.map_batches(self_rows, batch_format="pyarrow")
+        .union(groups.map_batches(group_rows, batch_format="pyarrow"))
+        .map_batches(bucketize, batch_format="pyarrow")
+    )
+    return unioned.groupby("sbucket").map_groups(resolve, batch_format="pyarrow")

@@ -1019,3 +1019,47 @@ def test_global_quantile_disc_multi_round(ray_session):
     assert global_quantile_disc(flat, "v", 0.5, bins=8, collect_limit=10) == 7.5
     empty = rd.from_arrow(pa.table({"v": pa.array([None, None], pa.float64())}))
     assert global_quantile_disc(empty, "v", 0.5) is None
+
+
+def test_leakage_safe_split_groups_never_straddle(ray_session):
+    from dedupe_ray.ops.dedup import leakage_safe_split, minhash_lsh_pairs
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the band plays "
+        "a long tune about distributed systems and data pipelines tonight"
+    )
+    texts, ids = [], []
+    for i in range(30):
+        ids.append(f"d{i:03d}")
+        if i % 3 == 0:
+            texts.append(base)                     # exact dup family
+        elif i % 3 == 1:
+            texts.append(base.replace("fox", f"fox{i}"))  # near dup of base
+        else:
+            texts.append(f"totally unrelated document number {i} " * 4)
+    ds = rd.from_arrow(pa.table({"doc_id": ids, "text": texts}))
+    out = leakage_safe_split(ds, val_frac=0.4, jaccard_threshold=0.5).to_pandas()
+    assert sorted(out.doc_id) == sorted(ids)          # every doc exactly once
+    split = dict(zip(out.doc_id, out.split))
+    pairs = minhash_lsh_pairs(ds, jaccard_threshold=0.5).to_pandas()
+    assert len(pairs) > 0
+    for a, b in zip(pairs.id_a, pairs.id_b):
+        assert split[a] == split[b], (a, b)
+    assert set(out.split) <= {"train", "val"}
+
+
+def test_leakage_safe_split_deterministic(ray_session):
+    from dedupe_ray.ops.dedup import leakage_safe_split
+
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": [f"x{i}" for i in range(40)],
+                "text": [f"unique text number {i} with several words" for i in range(40)],
+            }
+        )
+    )
+    a = leakage_safe_split(ds, val_frac=0.25).to_pandas().sort_values("doc_id")
+    b = leakage_safe_split(ds, val_frac=0.25).to_pandas().sort_values("doc_id")
+    assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
+    assert 1 <= (a.split == "val").sum() <= 20  # ~25% of 40, loose bounds

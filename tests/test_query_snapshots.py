@@ -39,6 +39,9 @@ SNAPSHOTS = {
     # end-to-end (content-keyed sampling/ordering); re-frozen after the
     # equal-length affine-gap symmetry fix (one borderline pair dropped),
     # verified identical at num_cpus 4 and 8
+    # leakage-safe split: LSH groups + fixed-key hash assignment,
+    # verified identical at num_cpus 4 and 8
+    "train_val_split": (500, 4355390011842793953),
     "er_clusters": (79, 8492769270338936534),
     "er_cluster_summary": (19, 9362016833877420128),
 }
