@@ -887,6 +887,16 @@ def _q_contaminated_docs(sf_dir: str):
     )
 
 
+def _q_profile_documents(sf_dir: str):
+    """Single-pass column profile of the documents table (row/null counts,
+    numeric min/max, total string codepoints): one combiner map_batches →
+    a column-name groupby whose shuffle carries n_columns × n_blocks rows
+    regardless of data size."""
+    from dedupe_ray.ops.tabular import profile_columns
+
+    return profile_columns(_read(sf_dir, "documents"))
+
+
 def _q_train_val_split(sf_dir: str):
     """Leakage-safe train/val split: near-dup clusters (MinHash-LSH → CC)
     never straddle the boundary; unclustered docs split by their own id.
@@ -1134,6 +1144,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_new_events": _q_bloom_new_events,
         "lineitem_p99": _q_lineitem_p99,
         "train_val_split": _q_train_val_split,
+        "profile_documents": _q_profile_documents,
         "kna2_replay": _q_kna2_replay,
         "export_projection": _q_export_projection,
         "ngram_jaccard_verify": _q_ngram_jaccard,
@@ -1436,6 +1447,28 @@ def oracle_sql() -> dict[str, str]:
             FROM grams
             WHERE doc_id % 97 <> 0 AND g IN (SELECT g FROM bench)
             GROUP BY doc_id
+        """,
+        "profile_documents": """
+            SELECT 'doc_id' AS column_name, CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(count(*) - count(doc_id) AS BIGINT) AS n_nulls,
+                   CAST(min(doc_id) AS DOUBLE) AS min_num,
+                   CAST(max(doc_id) AS DOUBLE) AS max_num,
+                   CAST(NULL AS BIGINT) AS total_len
+            FROM documents
+            UNION ALL
+            SELECT 'text', count(*), count(*) - count(text), NULL, NULL,
+                   CAST(sum(len(text)) AS BIGINT) FROM documents
+            UNION ALL
+            SELECT 'lang', count(*), count(*) - count(lang), NULL, NULL,
+                   CAST(sum(len(lang)) AS BIGINT) FROM documents
+            UNION ALL
+            SELECT 'source', count(*), count(*) - count(source), NULL, NULL,
+                   CAST(sum(len(source)) AS BIGINT) FROM documents
+            UNION ALL
+            SELECT 'n_chars', count(*), count(*) - count(n_chars),
+                   CAST(min(n_chars) AS DOUBLE), CAST(max(n_chars) AS DOUBLE),
+                   NULL
+            FROM documents
         """,
         "lineitem_p99": """
             SELECT quantile_disc(l_extendedprice, 0.99) AS p99 FROM lineitem

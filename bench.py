@@ -207,6 +207,14 @@ def run_bench() -> dict:
     entrymod.queries()["ann_topk"](SF_DIR)
     queries["ann_topk"] = round(time.time() - t0, 3)
 
+    t0 = time.time()
+    entrymod.queries()["dup_ngram_docs"](SF_DIR).to_pandas()
+    queries["dup_ngram_docs"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    entrymod.queries()["bloom_new_events"](SF_DIR).count()
+    queries["bloom_new_events"] = round(time.time() - t0, 3)
+
     result = {
         "metric": "er_partition_seconds",
         "value": queries["er_partition"],

@@ -784,7 +784,7 @@ def bloom_anti_join(
 
     cand = np.unique(
         new_ds.map_batches(probe, batch_format="pyarrow")
-        .to_pandas()[key_column]
+        .to_pandas()[key_column]  # bounded: bloom-positives, guarded by candidate_limit below
         .to_numpy()
     )
     if len(cand) > candidate_limit:
@@ -806,7 +806,7 @@ def bloom_anti_join(
 
     found = np.unique(
         corpus_ds.map_batches(confirm, batch_format="pyarrow")
-        .to_pandas()[key_column]
+        .to_pandas()[key_column]  # bounded: subset of the guarded candidate set
         .to_numpy()
     )
     found_ref = ray.put(found)

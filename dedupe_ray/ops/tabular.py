@@ -805,3 +805,109 @@ def global_quantile_disc(
         # exactly regardless of the widened float edges
         below, n, lo, hi = stats_pass(new_lo, new_hi)
     raise RuntimeError(f"global_quantile_disc did not converge in {max_rounds} rounds")
+
+
+def profile_columns(
+    ds: "ray.data.Dataset",
+    columns: list[str] | None = None,
+) -> "ray.data.Dataset":
+    """Single-pass table profile — the "look before you process 100 TB"
+    data-quality op: one output row per column with row/null counts,
+    numeric min/max (as double) and total string length (codepoints,
+    SQL ``len()`` semantics).
+
+    Shape: one map_batches partial emits a fixed ``n_columns``-row table
+    per batch; a groupby over the (tiny) column-name key merges partials
+    with Sum/Min/Max — the shuffle carries ``n_columns × n_blocks``
+    rows regardless of data size. String min/max VALUES are deliberately
+    omitted (bytewise vs collation ordering is engine-specific); lengths
+    are collation-free.
+    """
+    import numpy as np
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    names = list(columns) if columns is not None else list(ds.schema().names)
+
+    def partial(b: pa.Table) -> pa.Table:
+        rows = []
+        for name in names:
+            col = b.column(name)
+            n = len(col)
+            nulls = col.null_count
+            typ = col.type
+            min_num = max_num = None
+            total_len = None
+            if pa.types.is_integer(typ) or pa.types.is_floating(typ):
+                if n - nulls > 0:
+                    mm = pc.min_max(col)
+                    min_num = float(mm["min"].as_py())
+                    max_num = float(mm["max"].as_py())
+            elif pa.types.is_string(typ) or pa.types.is_large_string(typ):
+                total_len = int(
+                    pc.sum(pc.utf8_length(pc.drop_null(col))).as_py() or 0
+                )
+            rows.append((name, n, nulls, min_num, max_num, total_len))
+        return pa.table(
+            {
+                "column_name": pa.array([r[0] for r in rows], pa.string()),
+                "n_rows": pa.array([r[1] for r in rows], pa.int64()),
+                "n_nulls": pa.array([r[2] for r in rows], pa.int64()),
+                # per-partial identity elements keep Min/Max/Sum merges
+                # closed; the final pass restores NULL for absent stats
+                "min_num": pa.array(
+                    [r[3] if r[3] is not None else np.inf for r in rows]
+                ),
+                "max_num": pa.array(
+                    [r[4] if r[4] is not None else -np.inf for r in rows]
+                ),
+                "total_len": pa.array(
+                    [r[5] if r[5] is not None else -1 for r in rows], pa.int64()
+                ),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("column_name")
+        .aggregate(
+            Sum("n_rows", alias_name="n_rows"),
+            Sum("n_nulls", alias_name="n_nulls"),
+            Min("min_num", alias_name="min_num"),
+            Max("max_num", alias_name="max_num"),
+            Max("total_len", alias_name="has_len"),
+            Sum("total_len", alias_name="len_sum"),
+        )
+    )
+
+    def finalize(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        mn = b.column("min_num").to_numpy(zero_copy_only=False)
+        mx = b.column("max_num").to_numpy(zero_copy_only=False)
+        # a column's Arrow type is block-invariant, so string columns'
+        # length partials are all ≥ 0 (len_sum is the exact total) and
+        # numeric columns' are all -1 (max is -1 → NULL)
+        is_str = b.column("has_len").to_numpy(zero_copy_only=False) >= 0
+        len_sum = b.column("len_sum").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "column_name": b.column("column_name"),
+                "n_rows": b.column("n_rows"),
+                "n_nulls": b.column("n_nulls"),
+                "min_num": pa.array(
+                    [float(v) if np.isfinite(v) else None for v in mn],
+                    pa.float64(),
+                ),
+                "max_num": pa.array(
+                    [float(v) if np.isfinite(v) else None for v in mx],
+                    pa.float64(),
+                ),
+                "total_len": pa.array(
+                    [int(s) if ok else None for s, ok in zip(len_sum, is_str)],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")

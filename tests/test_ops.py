@@ -175,12 +175,15 @@ def test_dedup_module_has_no_driver_materialization():
     import dedupe_ray.ops.dedup as m
 
     src = inspect.getsource(m)
-    # .to_pandas() is allowed only on a BOUNDED per-bucket group; a
-    # full-dataset driver pull (ds/sigs/texts.to_pandas, take_all) is the
-    # forbidden pattern.
+    # .to_pandas() is allowed only on a BOUNDED per-bucket group or a pull
+    # explicitly annotated '# bounded:' with a size guard (bloom candidate
+    # sets); a full-dataset driver pull (ds/sigs/texts.to_pandas,
+    # take_all) is the forbidden pattern.
     for line in src.splitlines():
         if ".to_pandas()" in line or "take_all" in line:
-            assert "group" in line, f"driver-side materialization: {line.strip()}"
+            assert "group" in line or "# bounded:" in line, (
+                f"driver-side materialization: {line.strip()}"
+            )
 
 
 def test_simhash_pigeonhole_contract():
@@ -1063,3 +1066,29 @@ def test_leakage_safe_split_deterministic(ray_session):
     b = leakage_safe_split(ds, val_frac=0.25).to_pandas().sort_values("doc_id")
     assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
     assert 1 <= (a.split == "val").sum() <= 20  # ~25% of 40, loose bounds
+
+
+def test_profile_columns_nulls_and_types(ray_session):
+    from dedupe_ray.ops.tabular import profile_columns
+
+    t = pa.table(
+        {
+            "k": pa.array([1, None, 3, None], pa.int64()),
+            "s": pa.array(["ab", None, "", "ü"], pa.string()),
+            "f": pa.array([None, None, None, None], pa.float64()),
+        }
+    )
+    out = (
+        profile_columns(rd.from_arrow(t))
+        .to_pandas()
+        .set_index("column_name")
+        .sort_index()
+    )
+    assert out.loc["k", "n_rows"] == 4 and out.loc["k", "n_nulls"] == 2
+    assert out.loc["k", "min_num"] == 1.0 and out.loc["k", "max_num"] == 3.0
+    assert pd.isna(out.loc["k", "total_len"])
+    # 'ü' is ONE codepoint (len() semantics), total = 2 + 0 + 1
+    assert out.loc["s", "total_len"] == 3
+    assert pd.isna(out.loc["s", "min_num"])
+    # all-null float column: counts still exact, min/max NULL
+    assert out.loc["f", "n_nulls"] == 4 and pd.isna(out.loc["f", "min_num"])
