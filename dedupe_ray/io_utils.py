@@ -215,3 +215,69 @@ def run_checkpointed_dedupe(
     )
     metrics.dump(os.path.join(out_root, "METRICS.json"))
     return clusters
+
+
+def write_partitioned_resumable(
+    ds: "ray.data.Dataset",
+    path: str,
+    partition_column: str,
+) -> dict:
+    """Resumable partitioned parquet sink: one ``<partition_column>=v/``
+    directory per key value, each stamped with a ``_SUCCESS`` marker when
+    its data is complete — a failed 100-TB run reruns with the SAME call
+    and only the unfinished partitions are (re)written.
+
+    Protocol: (1) finished partitions (marker present) are excluded from
+    the input with a broadcast filter — their bytes are never re-read or
+    re-shuffled; (2) unfinished partition dirs left by a crash are wiped
+    before writing (Ray writes uuid-named fragments, so append-after-crash
+    would duplicate rows); (3) the pending partition values are computed
+    from a streaming distinct, the write runs with Ray's hive-style
+    ``partition_cols``, and markers land only after the write returns.
+    Returns {"written": [...], "skipped": [...]}.
+    """
+    import urllib.parse
+
+    import pyarrow.compute as pc
+
+    os.makedirs(path, exist_ok=True)
+    prefix = f"{partition_column}="
+
+    def _dir_value(name: str) -> str:
+        return urllib.parse.unquote(name[len(prefix):])
+
+    finished, stale = [], []
+    for name in os.listdir(path):
+        if not name.startswith(prefix):
+            continue
+        if os.path.exists(os.path.join(path, name, "_SUCCESS")):
+            finished.append(_dir_value(name))
+        else:
+            stale.append(name)
+    for name in stale:  # crash leftovers: uuid fragments would duplicate
+        shutil.rmtree(os.path.join(path, name), ignore_errors=True)
+
+    fin_ref = ray.put(set(finished))
+
+    def drop_finished(b):
+        import pyarrow as pa
+
+        done = ray.get(fin_ref)
+        if not done:
+            return b
+        vals = [str(v) for v in b.column(partition_column).to_pylist()]
+        return b.filter(pa.array([v not in done for v in vals]))
+
+    pending = ds.map_batches(drop_finished, batch_format="pyarrow")
+    uniq = pending.select_columns([partition_column]).unique(partition_column)
+    todo = sorted(str(v) for v in (uniq or []))  # unique() -> None when empty
+    if todo:
+        pending.write_parquet(path, partition_cols=[partition_column])
+        for v in todo:
+            part_dir = os.path.join(
+                path, prefix + urllib.parse.quote(str(v), safe="")
+            )
+            if os.path.isdir(part_dir):
+                with open(os.path.join(part_dir, "_SUCCESS"), "w") as f:
+                    f.write("")
+    return {"written": todo, "skipped": sorted(finished)}

@@ -65,3 +65,31 @@ def test_fingerprint_invalidates(tmp_path):
     assert calls["n"] == 1  # second call skipped
     ckpt.run_stage("s", fingerprint("a", 2), compute)
     assert calls["n"] == 2  # changed fingerprint recomputes
+
+
+def test_write_partitioned_resumable(tmp_path, ray_session):
+    import os
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dedupe_ray.io_utils import write_partitioned_resumable
+
+    out = str(tmp_path / "parts")
+    ds = rd.from_arrow(
+        pa.table({"k": ["a", "a", "b", "b", "c"], "v": [1, 2, 3, 4, 5]})
+    )
+    r1 = write_partitioned_resumable(ds, out, "k")
+    assert r1 == {"written": ["a", "b", "c"], "skipped": []}
+
+    # crash simulation: partition b unfinished (marker gone, stale fragment
+    # on disk) — the rerun must rewrite ONLY b and never duplicate rows
+    os.remove(os.path.join(out, "k=b", "_SUCCESS"))
+    r2 = write_partitioned_resumable(ds, out, "k")
+    assert r2 == {"written": ["b"], "skipped": ["a", "c"]}
+    back = rd.read_parquet(out).to_pandas()
+    assert sorted(back["v"].tolist()) == [1, 2, 3, 4, 5]
+
+    # clean rerun: everything skipped, nothing rewritten
+    r3 = write_partitioned_resumable(ds, out, "k")
+    assert r3 == {"written": [], "skipped": ["a", "b", "c"]}

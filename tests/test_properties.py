@@ -137,3 +137,31 @@ def test_token_align_bounds_and_symmetry(pairs):
             assert abs(fwd[i] - rev[i]) < 1e-9
         if x == y and x.strip():
             assert fwd[i] == 0.0 or fwd[i] != fwd[i]
+
+
+_doc = st.text(alphabet=" abcx", max_size=40)
+
+
+@given(st.lists(_doc, max_size=12), st.integers(min_value=1, max_value=5))
+@settings(max_examples=60, deadline=None)
+def test_space_gram_hashes_match_brute_force(texts, n):
+    """Per-row distinct-gram counts and cross-row hash-set equality match a
+    brute-force tuple-set build (split on single space, window of n)."""
+    from dedupe_ray.ops.text import _space_gram_hashes
+
+    import numpy as np
+
+    rid, gh = _space_gram_hashes(pa.array(texts, pa.string()), n)
+
+    def brute(t):
+        toks = t.split(" ")
+        return {tuple(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+    sets = [brute(t) for t in texts]
+    counts = np.bincount(rid, minlength=len(texts)).tolist() if len(rid) else [0] * len(texts)
+    assert counts == [len(s) for s in sets]
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            hi = set(gh[rid == i].tolist())
+            hj = set(gh[rid == j].tolist())
+            assert (len(hi & hj) > 0) == (len(sets[i] & sets[j]) > 0)
