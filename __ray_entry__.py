@@ -887,6 +887,60 @@ def _q_contaminated_docs(sf_dir: str):
     )
 
 
+def _q_props_k_by_type(sf_dir: str):
+    """JSON metric extraction + aggregate: pull the numeric 'k' field out
+    of the props JSON blob (vectorized RE2 extract_regex, no per-row json
+    parse) and reduce per event type with the per-batch combiner pattern
+    (shuffle carries n_types × n_blocks partial rows)."""
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    from dedupe_ray.ops.tabular import json_number_field
+
+    ev = _read(sf_dir, "events", ["event_type", "props"])
+    ex = json_number_field(ev, "props", "k")
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        types = b.column("event_type").to_numpy(zero_copy_only=False)
+        k = b.column("k").to_numpy(zero_copy_only=False)
+        valid = ~np.isnan(k)
+        codes, uniq = pd.factorize(types)
+        n_k = np.bincount(codes[valid], minlength=len(uniq)).astype(np.int64)
+        sum_k = np.zeros(len(uniq), np.int64)
+        np.add.at(sum_k, codes[valid], k[valid].astype(np.int64))
+        return pa.table(
+            {
+                "event_type": pa.array(uniq, pa.string()),
+                "n_k": pa.array(n_k),
+                "sum_k": pa.array(sum_k),
+            }
+        )
+
+    agg = (
+        ex.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("n_k", alias_name="n_k"), Sum("sum_k", alias_name="sum_k"))
+    )
+
+    def finalize(b: pa.Table) -> pa.Table:
+        n = b.column("n_k").to_numpy(zero_copy_only=False).astype(np.int64)
+        s = b.column("sum_k").to_numpy(zero_copy_only=False).astype(np.int64)
+        avg = s.astype(np.float64) / np.maximum(n, 1)
+        return pa.table(
+            {
+                "event_type": b.column("event_type"),
+                "n_k": pa.array(n),
+                "sum_k": pa.array(s),
+                "avg_k": pa.array(avg),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
 def _q_profile_documents(sf_dir: str):
     """Single-pass column profile of the documents table (row/null counts,
     numeric min/max, total string codepoints): one combiner map_batches →
@@ -1145,6 +1199,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_p99": _q_lineitem_p99,
         "train_val_split": _q_train_val_split,
         "profile_documents": _q_profile_documents,
+        "props_k_by_type": _q_props_k_by_type,
         "kna2_replay": _q_kna2_replay,
         "export_projection": _q_export_projection,
         "ngram_jaccard_verify": _q_ngram_jaccard,
@@ -1447,6 +1502,18 @@ def oracle_sql() -> dict[str, str]:
             FROM grams
             WHERE doc_id % 97 <> 0 AND g IN (SELECT g FROM bench)
             GROUP BY doc_id
+        """,
+        "props_k_by_type": """
+            WITH e AS (
+                SELECT event_type,
+                       CAST(json_extract(props, '$.k') AS BIGINT) AS k
+                FROM events
+            )
+            SELECT event_type,
+                   CAST(count(k) AS BIGINT) AS n_k,
+                   CAST(sum(k) AS BIGINT) AS sum_k,
+                   CAST(sum(k) AS DOUBLE) / count(k) AS avg_k
+            FROM e GROUP BY event_type
         """,
         "profile_documents": """
             SELECT 'doc_id' AS column_name, CAST(count(*) AS BIGINT) AS n_rows,

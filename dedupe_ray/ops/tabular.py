@@ -911,3 +911,35 @@ def profile_columns(
         )
 
     return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def json_number_field(
+    ds: "ray.data.Dataset",
+    column: str,
+    key: str,
+    out_column: str | None = None,
+) -> "ray.data.Dataset":
+    """Extract a NUMERIC field from a flat-JSON string column, fully
+    vectorized (one RE2 ``extract_regex`` per batch — no per-row json
+    parse): the event-stream "pull one metric out of the props blob"
+    step. Handles integer/float/negative/exponent literals per the JSON
+    grammar; a missing key or non-numeric value yields NULL (SQL
+    ``json_extract`` semantics). Keys are matched literally (regex
+    metacharacters escaped); nested objects with the same key at deeper
+    levels are out of scope — documented flat-JSON contract.
+    """
+    import re as _re
+
+    out = out_column or key
+    pat = (
+        '"' + _re.escape(key) + '"\\s*:\\s*'
+        "(?P<num>-?(?:0|[1-9][0-9]*)(?:\\.[0-9]+)?(?:[eE][+-][0-9]+|[eE][0-9]+)?)"
+    )
+
+    def extract(b: pa.Table) -> pa.Table:
+        col = pc.fill_null(b.column(column), "")
+        m = pc.extract_regex(col, pat)
+        num = pc.struct_field(m, "num")  # null where the pattern missed
+        return b.append_column(out, pc.cast(num, pa.float64()))
+
+    return ds.map_batches(extract, batch_format="pyarrow")

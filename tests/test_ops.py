@@ -1092,3 +1092,25 @@ def test_profile_columns_nulls_and_types(ray_session):
     assert pd.isna(out.loc["s", "min_num"])
     # all-null float column: counts still exact, min/max NULL
     assert out.loc["f", "n_nulls"] == 4 and pd.isna(out.loc["f", "min_num"])
+
+
+def test_json_number_field_grammar(ray_session):
+    from dedupe_ray.ops.tabular import json_number_field
+
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "j": [
+                    '{"k": 69}',
+                    '{"a": 1, "k": -2.5e3}',
+                    '{"k": "not a number"}',
+                    '{"other": 3}',
+                    None,
+                    '{"kk": 7, "k": 0}',
+                ]
+            }
+        )
+    )
+    out = json_number_field(ds, "j", "k").to_pandas()["k"]
+    assert out.iloc[0] == 69.0 and out.iloc[1] == -2500.0 and out.iloc[5] == 0.0
+    assert out.iloc[2:5].isna().all()
