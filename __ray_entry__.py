@@ -887,6 +887,22 @@ def _q_contaminated_docs(sf_dir: str):
     )
 
 
+def _q_jsonl_roundtrip(sf_dir: str):
+    """JSONL source/sink fidelity: the full documents table written as
+    line-delimited JSON shards and read back must be value-identical to
+    the parquet original (string escaping, int64 width, null handling).
+    Scratch dir is per-sf under /tmp; the sink's tmp-dir rename keeps a
+    crashed write from leaving a half-readable directory."""
+    import hashlib
+
+    from dedupe_ray.sources import read_jsonl, write_jsonl
+
+    docs = _read(sf_dir, "documents")
+    out = "/tmp/dedupe_ray_jsonl_" + hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    write_jsonl(docs, out)
+    return read_jsonl(out)
+
+
 def _q_props_k_by_type(sf_dir: str):
     """JSON metric extraction + aggregate: pull the numeric 'k' field out
     of the props JSON blob (vectorized RE2 extract_regex, no per-row json
@@ -1200,6 +1216,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "train_val_split": _q_train_val_split,
         "profile_documents": _q_profile_documents,
         "props_k_by_type": _q_props_k_by_type,
+        "jsonl_roundtrip": _q_jsonl_roundtrip,
         "kna2_replay": _q_kna2_replay,
         "export_projection": _q_export_projection,
         "ngram_jaccard_verify": _q_ngram_jaccard,
@@ -1502,6 +1519,9 @@ def oracle_sql() -> dict[str, str]:
             FROM grams
             WHERE doc_id % 97 <> 0 AND g IN (SELECT g FROM bench)
             GROUP BY doc_id
+        """,
+        "jsonl_roundtrip": """
+            SELECT doc_id, text, lang, source, n_chars FROM documents
         """,
         "props_k_by_type": """
             WITH e AS (

@@ -332,3 +332,28 @@ def detect_fields(ds_or_table) -> list[dict]:
         for n in names
         if n not in ("source_file", "doc_id", "spans")
     ]
+
+
+def read_jsonl(path: str, **kwargs) -> "ray.data.Dataset":
+    """JSONL source (one JSON object per line — the interchange format of
+    LLM training-data pipelines). Thin seam over ``ray.data.read_json``
+    (pyarrow JSON reader: parallel per-file tasks, schema unified across
+    files); the seam exists so call sites survive a reader swap the same
+    way ``io_utils.read_table`` isolates parquet."""
+    import ray.data
+
+    return ray.data.read_json(path, **kwargs)
+
+
+def write_jsonl(ds: "ray.data.Dataset", path: str) -> None:
+    """JSONL sink: one ``.json`` shard per block (line-delimited objects),
+    written atomically into ``path`` via a tmp-dir rename so a crashed
+    write never leaves a half-readable directory."""
+    import os
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
+    tmp = path + ".__tmp__"
+    shutil.rmtree(tmp, ignore_errors=True)
+    ds.write_json(tmp)
+    os.replace(tmp, path)

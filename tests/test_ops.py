@@ -1114,3 +1114,21 @@ def test_json_number_field_grammar(ray_session):
     out = json_number_field(ds, "j", "k").to_pandas()["k"]
     assert out.iloc[0] == 69.0 and out.iloc[1] == -2500.0 and out.iloc[5] == 0.0
     assert out.iloc[2:5].isna().all()
+
+
+def test_jsonl_roundtrip_special_chars(tmp_path, ray_session):
+    from dedupe_ray.sources import read_jsonl, write_jsonl
+
+    t = pa.table(
+        {
+            "id": [1, 2, 3],
+            "s": ['he said "hi"\tand left', "unicode: üñî ✓", "back\\slash"],
+        }
+    )
+    out = str(tmp_path / "jl")
+    write_jsonl(rd.from_arrow(t), out)
+    back = read_jsonl(out).to_pandas().sort_values("id").reset_index(drop=True)
+    assert back["s"].tolist() == t.column("s").to_pylist()
+    # overwrite semantics: second write replaces, never appends
+    write_jsonl(rd.from_arrow(t.slice(0, 1)), out)
+    assert read_jsonl(out).count() == 1
