@@ -887,6 +887,19 @@ def _q_contaminated_docs(sf_dir: str):
     )
 
 
+def _q_compression_ratios(sf_dir: str):
+    """Per-document zlib compression ratio — the redundancy quality
+    signal (Gopher-family filters drop text compressing far below ~0.4).
+    No SQL oracle (no zlib in DuckDB); deterministic at fixed level,
+    frozen snapshot at sf0.001."""
+    from dedupe_ray.ops.text import compression_ratio_batch
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return docs.map_batches(
+        compression_ratio_batch, batch_format="pyarrow"
+    ).select_columns(["doc_id", "compression_ratio"])
+
+
 def _q_jsonl_roundtrip(sf_dir: str):
     """JSONL source/sink fidelity: the full documents table written as
     line-delimited JSON shards and read back must be value-identical to
@@ -1217,6 +1230,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "profile_documents": _q_profile_documents,
         "props_k_by_type": _q_props_k_by_type,
         "jsonl_roundtrip": _q_jsonl_roundtrip,
+        "compression_ratios": _q_compression_ratios,
         "kna2_replay": _q_kna2_replay,
         "export_projection": _q_export_projection,
         "ngram_jaccard_verify": _q_ngram_jaccard,

@@ -473,3 +473,26 @@ def decontaminate(
         )
 
     return ds.map_batches(tag, batch_format="pyarrow")
+
+
+def compression_ratio_batch(
+    batch: pa.Table, column: str = "text", level: int = 6
+) -> pa.Table:
+    """Per-document zlib compression ratio (compressed/raw bytes) — the
+    classic redundancy quality signal (highly repetitive or generated
+    text compresses far below ~0.4; Gopher-family pipelines filter on
+    it). One C zlib call per document (the work is inherently per-doc,
+    like hashing); empty docs get ratio 1.0. Deterministic: fixed level,
+    raw deflate stream, no timestamps (zlib format carries none).
+    """
+    import zlib
+
+    col = pc.fill_null(batch.column(column), "")
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    ratios = np.ones(len(col), np.float64)
+    for i, buf in enumerate(col):
+        raw = buf.as_py().encode("utf-8")
+        if raw:
+            ratios[i] = len(zlib.compress(raw, level)) / len(raw)
+    return batch.append_column("compression_ratio", pa.array(ratios))

@@ -1132,3 +1132,17 @@ def test_jsonl_roundtrip_special_chars(tmp_path, ray_session):
     # overwrite semantics: second write replaces, never appends
     write_jsonl(rd.from_arrow(t.slice(0, 1)), out)
     assert read_jsonl(out).count() == 1
+
+
+def test_compression_ratio_batch():
+    from dedupe_ray.ops.text import compression_ratio_batch
+
+    t = pa.table(
+        {
+            "doc_id": [0, 1, 2],
+            "text": ["abc " * 500, "", None],
+        }
+    )
+    out = compression_ratio_batch(t).column("compression_ratio").to_pylist()
+    assert out[0] < 0.05          # highly repetitive → tiny ratio
+    assert out[1] == 1.0 and out[2] == 1.0

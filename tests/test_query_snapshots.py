@@ -42,6 +42,9 @@ SNAPSHOTS = {
     # leakage-safe split: LSH groups + fixed-key hash assignment,
     # verified identical at num_cpus 4 and 8
     "train_val_split": (500, 4355390011842793953),
+    # zlib level-6 ratios (this container's zlib; a zlib swap would
+    # legitimately re-freeze), identical at num_cpus 4 and 8
+    "compression_ratios": (500, 17283051347077179173),
     "er_clusters": (79, 8492769270338936534),
     "er_cluster_summary": (19, 9362016833877420128),
 }
