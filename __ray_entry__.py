@@ -97,6 +97,27 @@ def _q_er_summary(sf_dir: str):
     return summarize_clusters(_q_er_clusters(sf_dir))
 
 
+def _q_er_canonical(sf_dir: str):
+    """Canonical representative record per ER cluster ([lib:
+    dedupe/canonical.py getCanonicalRep] — min-mean-affine-gap centroid
+    per field, ties to longest then lexicographic). No SQL oracle (needs
+    the trained pipeline); frozen snapshot + centroid unit tests."""
+    import pyarrow.parquet as pq
+
+    from dedupe_ray.clustering import canonical_reps
+    from dedupe_ray.eval import truth_assignment
+    from dedupe_ray.pipeline import dedupe_documents, flatten_documents
+
+    ds, truth_path = _kna_dataset(sf_dir)
+    ta = truth_assignment(pq.read_table(truth_path))
+    clusters, deduper = dedupe_documents(
+        ds, threshold=0.25, label_oracle=lambda a, b: ta[a["doc_id"]] == ta[b["doc_id"]]
+    )
+    fields = deduper.config.field_names()
+    flat, _ = flatten_documents(_kna_dataset(sf_dir)[0], fields)
+    return canonical_reps(clusters, flat, fields)
+
+
 def _q_blocking_pairs(sf_dir: str):
     import pyarrow.compute as pc
 
@@ -1231,6 +1252,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "props_k_by_type": _q_props_k_by_type,
         "jsonl_roundtrip": _q_jsonl_roundtrip,
         "compression_ratios": _q_compression_ratios,
+        "er_canonical": _q_er_canonical,
         "kna2_replay": _q_kna2_replay,
         "export_projection": _q_export_projection,
         "ngram_jaccard_verify": _q_ngram_jaccard,

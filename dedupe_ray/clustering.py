@@ -611,3 +611,77 @@ def cluster_edges(
         return pd.concat(outs, ignore_index=True)
 
     return edges_with_comp.groupby("cbucket").map_groups(_per_bucket, batch_format="pandas")
+
+
+def canonical_reps(
+    clusters_ds: "ray.data.Dataset",
+    flat_ds: "ray.data.Dataset",
+    fields: list[str],
+    sample_limit: int = 100,
+) -> "ray.data.Dataset":
+    """Canonical representative record per cluster — the dedupe library's
+    ``canonicalize`` API ([lib: dedupe/canonical.py getCanonicalRep /
+    getCentroid], called by users after ``partition`` to pick the "best"
+    surviving value per field): for each field, the member value with the
+    minimum mean affine-gap distance to all values in the cluster (self
+    included, zero — the library's ``dist_matrix.mean(0)`` semantics);
+    ties break to the LONGEST value ([lib] breakCentroidTie), then
+    lexicographically smallest for full determinism (the library's
+    residual tie order is record-iteration order, which is not
+    parallelism-stable — documented deviation).
+
+    Shape: one bucketed lookup join attaches field values to memberships,
+    then a cluster-id groupby computes centroids per group (clusters are
+    small by construction; ``sample_limit`` caps the O(n²) distance
+    matrix for degenerate giant clusters — capped clusters use the first
+    ``sample_limit`` members in doc_id order, deterministic).
+
+    Returns (cluster_id, group_size, <field>...).
+    """
+    from dedupe_ray.config import MISSING
+    from dedupe_ray.distances import affine_gap_batch
+    from dedupe_ray.joins import bucketed_lookup_join
+
+    joined = bucketed_lookup_join(
+        clusters_ds.select_columns(["cluster_id", "doc_id"]),
+        flat_ds,
+        "doc_id",
+        "doc_id",
+        list(fields),
+    )
+
+    def _centroid(vals: list[str]) -> str:
+        vals = [v for v in vals if v and v != MISSING]
+        if not vals:
+            return ""
+        if len(vals) > sample_limit:
+            vals = vals[:sample_limit]
+        uniq = set(vals)
+        if len(uniq) == 1:
+            return vals[0]
+        n = len(vals)
+        iu, ju = np.triu_indices(n, k=1)
+        d = affine_gap_batch([vals[i] for i in iu], [vals[j] for j in ju])
+        m = np.zeros((n, n), np.float64)
+        m[iu, ju] = d
+        m[ju, iu] = d
+        avg = m.mean(axis=0)
+        best = np.nonzero(avg == avg.min())[0]
+        cands = [vals[i] for i in best]
+        max_len = max(len(c) for c in cands)
+        return min(c for c in cands if len(c) == max_len)
+
+    def per_cluster(g: pa.Table) -> pa.Table:
+        t = g.sort_by([("doc_id", "ascending")])
+        data: dict = {
+            "cluster_id": pa.array([t.column("cluster_id")[0].as_py()], pa.string()),
+            "group_size": pa.array([len(t)], pa.int64()),
+        }
+        for f in fields:
+            col = [v if v is not None else "" for v in t.column(f).to_pylist()]
+            data[f] = pa.array([_centroid(col)], pa.string())
+        return pa.table(data)
+
+    return joined.groupby("cluster_id").map_groups(
+        per_cluster, batch_format="pyarrow"
+    )

@@ -183,3 +183,40 @@ def test_empty_edges():
     ds = _edges_ds([("x", "y")], [0.9]).filter(expr="score > 2.0")
     out = cluster_edges(ds, threshold=0.5)
     assert out.count() == 0
+
+
+def test_canonical_reps_centroid_and_ties(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dedupe_ray.clustering import canonical_reps
+
+    clusters = rd.from_arrow(
+        pa.table(
+            {
+                "cluster_id": ["c1", "c1", "c1", "c2", "c2"],
+                "doc_id": ["a", "b", "c", "d", "e"],
+            }
+        )
+    )
+    flat = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": ["a", "b", "c", "d", "e"],
+                # c1: two exact copies + one variant → the copy is centroid
+                "name": ["acme corp", "acme corp", "acme korp", "zeta", "zeta"],
+                # c1: all-missing field → empty rep; c2: single value wins
+                "city": ["", "N/A", "", "warsaw", ""],
+            }
+        )
+    )
+    out = (
+        canonical_reps(clusters, flat, ["name", "city"])
+        .to_pandas()
+        .set_index("cluster_id")
+        .sort_index()
+    )
+    assert out.loc["c1", "name"] == "acme corp"
+    assert out.loc["c1", "city"] == ""
+    assert out.loc["c1", "group_size"] == 3
+    assert out.loc["c2", "name"] == "zeta" and out.loc["c2", "city"] == "warsaw"

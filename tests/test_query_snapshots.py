@@ -46,6 +46,9 @@ SNAPSHOTS = {
     # legitimately re-freeze), identical at num_cpus 4 and 8
     "compression_ratios": (500, 17283051347077179173),
     "er_clusters": (79, 8492769270338936534),
+    # per-cluster canonical records (min-mean-affine-gap centroid per
+    # field), identical at num_cpus 4 and 8
+    "er_canonical": (19, 3585206592379217455),
     "er_cluster_summary": (19, 9362016833877420128),
 }
 
