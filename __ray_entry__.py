@@ -908,6 +908,49 @@ def _q_contaminated_docs(sf_dir: str):
     )
 
 
+def _q_docs_except_all(sf_dir: str):
+    """Bag difference (SQL EXCEPT ALL) over a duplicate-heavy projection:
+    (lang, source) of all documents minus the same multiset restricted to
+    doc_id % 3 != 0 — surplus COUNTS, not distinct rows, must survive.
+    One bucketed full-row-hash shuffle; per-bucket vectorized multiset
+    diff."""
+    from dedupe_ray.ops.tabular import except_all
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang", "source"])
+
+    def part(pred):
+        def f(b: pa.Table) -> pa.Table:
+            ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+            return b.filter(pa.array(pred(ids))).select(["lang", "source"])
+
+        return f
+
+    a = docs.map_batches(part(lambda i: i >= 0), batch_format="pyarrow")
+    b = docs.map_batches(part(lambda i: i % 3 != 0), batch_format="pyarrow")
+    return except_all(a, b)
+
+
+def _q_docs_intersect_all(sf_dir: str):
+    """Bag intersection (SQL INTERSECT ALL): (lang, source) multisets of
+    two overlapping document subsets (doc_id % 2 == 0 vs doc_id % 3 == 0)
+    — min-count copies survive. Same kernel as EXCEPT ALL."""
+    from dedupe_ray.ops.tabular import intersect_all
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang", "source"])
+
+    def part(mod):
+        def f(b: pa.Table) -> pa.Table:
+            ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+            return b.filter(pa.array(ids % mod == 0)).select(["lang", "source"])
+
+        return f
+
+    return intersect_all(
+        docs.map_batches(part(2), batch_format="pyarrow"),
+        docs.map_batches(part(3), batch_format="pyarrow"),
+    )
+
+
 def _q_compression_ratios(sf_dir: str):
     """Per-document zlib compression ratio — the redundancy quality
     signal (Gopher-family filters drop text compressing far below ~0.4).
@@ -1253,6 +1296,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jsonl_roundtrip": _q_jsonl_roundtrip,
         "compression_ratios": _q_compression_ratios,
         "er_canonical": _q_er_canonical,
+        "docs_except_all": _q_docs_except_all,
+        "docs_intersect_all": _q_docs_intersect_all,
         "kna2_replay": _q_kna2_replay,
         "export_projection": _q_export_projection,
         "ngram_jaccard_verify": _q_ngram_jaccard,
@@ -1555,6 +1600,16 @@ def oracle_sql() -> dict[str, str]:
             FROM grams
             WHERE doc_id % 97 <> 0 AND g IN (SELECT g FROM bench)
             GROUP BY doc_id
+        """,
+        "docs_except_all": """
+            SELECT lang, source FROM documents
+            EXCEPT ALL
+            SELECT lang, source FROM documents WHERE doc_id % 3 <> 0
+        """,
+        "docs_intersect_all": """
+            SELECT lang, source FROM documents WHERE doc_id % 2 = 0
+            INTERSECT ALL
+            SELECT lang, source FROM documents WHERE doc_id % 3 = 0
         """,
         "jsonl_roundtrip": """
             SELECT doc_id, text, lang, source, n_chars FROM documents

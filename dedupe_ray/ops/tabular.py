@@ -943,3 +943,86 @@ def json_number_field(
         return b.append_column(out, pc.cast(num, pa.float64()))
 
     return ds.map_batches(extract, batch_format="pyarrow")
+
+
+def _multiset_compare(
+    a_ds: "ray.data.Dataset",
+    b_ds: "ray.data.Dataset",
+    keep: str,
+    n_buckets: int = 256,
+) -> "ray.data.Dataset":
+    """Shared kernel for EXCEPT ALL / INTERSECT ALL: rows co-locate by a
+    full-row hash (one bucketed shuffle carrying the rows once), then each
+    bucket diffs the two sides' multisets with one vectorized pandas
+    groupby over all columns. Column sets must match; output rows come
+    from the ``a`` side (surplus or overlap count copies)."""
+    import numpy as np
+    import pandas as pd
+
+    cols = list(a_ds.schema().names)
+    if list(b_ds.schema().names) != cols:
+        raise ValueError(
+            f"schema mismatch: {cols} vs {list(b_ds.schema().names)}"
+        )
+
+    def tag(side: int):
+        def f(b: pa.Table) -> pa.Table:
+            df = b.to_pandas()
+            h = np.zeros(len(df), np.uint64)
+            for c in cols:
+                h = h * np.uint64(1099511628211) ^ pd.util.hash_array(
+                    df[c].to_numpy()
+                )
+            df["__side"] = np.int8(side)
+            df["__mbkt"] = (h % np.uint64(n_buckets)).astype(np.int32)
+            return pa.Table.from_pandas(df, preserve_index=False)
+
+        return f
+
+    both = a_ds.map_batches(tag(0), batch_format="pyarrow").union(
+        b_ds.map_batches(tag(1), batch_format="pyarrow")
+    )
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        empty = g.select(cols).slice(0, 0)
+        if not len(g):
+            return empty
+        df = g.to_pandas()
+        counts = (
+            df.groupby(cols + ["__side"], sort=True, dropna=False)
+            .size()
+            .unstack("__side", fill_value=0)
+        )
+        cnt_a = counts[0] if 0 in counts.columns else 0
+        cnt_b = counts[1] if 1 in counts.columns else 0
+        if keep == "except":
+            reps = np.maximum(np.asarray(cnt_a) - np.asarray(cnt_b), 0)
+        else:  # intersect
+            reps = np.minimum(np.asarray(cnt_a), np.asarray(cnt_b))
+        rows = counts.index.to_frame(index=False)
+        out = rows.loc[np.repeat(np.arange(len(rows)), reps)]
+        if not len(out):
+            return empty
+        return pa.Table.from_pandas(
+            out.reset_index(drop=True), preserve_index=False
+        ).cast(empty.schema)
+
+    return (
+        both.groupby("__mbkt")
+        .map_groups(per_bucket, batch_format="pyarrow")
+        .select_columns(cols)
+    )
+
+
+def except_all(a_ds: "ray.data.Dataset", b_ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """SQL ``EXCEPT ALL`` (bag difference): each row of ``a`` survives
+    ``max(count_a - count_b, 0)`` times — the data-validation primitive
+    ("what changed between yesterday's table and today's"). One bucketed
+    shuffle; see :func:`_multiset_compare`."""
+    return _multiset_compare(a_ds, b_ds, "except")
+
+
+def intersect_all(a_ds: "ray.data.Dataset", b_ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """SQL ``INTERSECT ALL`` (bag intersection): ``min(count_a, count_b)``
+    copies of each common row. Same kernel as :func:`except_all`."""
+    return _multiset_compare(a_ds, b_ds, "intersect")

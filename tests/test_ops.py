@@ -1146,3 +1146,32 @@ def test_compression_ratio_batch():
     out = compression_ratio_batch(t).column("compression_ratio").to_pylist()
     assert out[0] < 0.05          # highly repetitive → tiny ratio
     assert out[1] == 1.0 and out[2] == 1.0
+
+
+def test_except_intersect_all_multiset_semantics(ray_session):
+    import duckdb
+
+    from dedupe_ray.ops.tabular import except_all, intersect_all
+
+    a = pa.table({"k": ["x", "x", "x", "y", "z"], "v": [1, 1, 2, 3, 4]})
+    b = pa.table({"k": ["x", "x", "w"], "v": [1, 2, 9]})
+    con = duckdb.connect()
+    con.register("ta", a.to_pandas())
+    con.register("tb", b.to_pandas())
+    for op, fn in (("EXCEPT ALL", except_all), ("INTERSECT ALL", intersect_all)):
+        got = (
+            fn(rd.from_arrow(a), rd.from_arrow(b))
+            .to_pandas()
+            .sort_values(["k", "v"])
+            .reset_index(drop=True)
+        )
+        want = (
+            con.execute(f"SELECT * FROM ta {op} SELECT * FROM tb")
+            .df()
+            .sort_values(["k", "v"])
+            .reset_index(drop=True)
+        )
+        assert got.equals(want), op
+    # schema mismatch guard
+    with pytest.raises(ValueError, match="schema mismatch"):
+        except_all(rd.from_arrow(a), rd.from_arrow(pa.table({"k": ["x"]})))
