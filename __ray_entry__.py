@@ -908,6 +908,24 @@ def _q_contaminated_docs(sf_dir: str):
     )
 
 
+def _q_events_lag(sf_dir: str):
+    """SQL LAG per key (previous event id per user in time order, unique
+    tiebreak) — one bucketed shuffle, vectorized shift per bucket."""
+    from dedupe_ray.ops.tabular import grouped_lag
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    return grouped_lag(ev, "user_id", ["ts", "event_id"], "event_id", "prev_event")
+
+
+def _q_events_running_total(sf_dir: str):
+    """SQL running total per key (SUM ... ROWS UNBOUNDED PRECEDING):
+    global cumsum minus per-key base — no per-key python loop."""
+    from dedupe_ray.ops.tabular import grouped_cumsum
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    return grouped_cumsum(ev, "user_id", ["ts", "event_id"], "event_id", "run_sum")
+
+
 def _q_docs_except_all(sf_dir: str):
     """Bag difference (SQL EXCEPT ALL) over a duplicate-heavy projection:
     (lang, source) of all documents minus the same multiset restricted to
@@ -1297,6 +1315,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "compression_ratios": _q_compression_ratios,
         "er_canonical": _q_er_canonical,
         "docs_except_all": _q_docs_except_all,
+        "events_lag": _q_events_lag,
+        "events_running_total": _q_events_running_total,
         "docs_intersect_all": _q_docs_intersect_all,
         "kna2_replay": _q_kna2_replay,
         "export_projection": _q_export_projection,
@@ -1600,6 +1620,21 @@ def oracle_sql() -> dict[str, str]:
             FROM grams
             WHERE doc_id % 97 <> 0 AND g IN (SELECT g FROM bench)
             GROUP BY doc_id
+        """,
+        "events_lag": """
+            SELECT event_id, user_id, ts,
+                   LAG(event_id) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS prev_event
+            FROM events
+        """,
+        "events_running_total": """
+            SELECT event_id, user_id, ts,
+                   CAST(SUM(event_id) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS BIGINT) AS run_sum
+            FROM events
         """,
         "docs_except_all": """
             SELECT lang, source FROM documents

@@ -1026,3 +1026,107 @@ def intersect_all(a_ds: "ray.data.Dataset", b_ds: "ray.data.Dataset") -> "ray.da
     """SQL ``INTERSECT ALL`` (bag intersection): ``min(count_a, count_b)``
     copies of each common row. Same kernel as :func:`except_all`."""
     return _multiset_compare(a_ds, b_ds, "intersect")
+
+
+def _grouped_window(
+    ds: "ray.data.Dataset",
+    key_column: str,
+    order_columns: list[str],
+    kernel,
+    n_buckets: int | None = None,
+) -> "ray.data.Dataset":
+    """Shared shape for per-key ordered window ops (LAG/LEAD, running
+    totals): ONE bucketed shuffle (keys hashed into N_BUCKETS groups, a
+    bucket holds many keys), one vectorized sort per bucket, then
+    ``kernel(sorted_table, new_key_mask)`` appends the window columns.
+    Ties in ``order_columns`` must be broken by a unique column for a
+    deterministic result — callers include one."""
+    import zlib
+
+    import numpy as np
+
+    from dedupe_ray.blocking import N_BUCKETS
+
+    nb = n_buckets or N_BUCKETS
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        h = np.fromiter(
+            (
+                zlib.crc32(str(v).encode()) % nb
+                for v in b.column(key_column).to_pylist()
+            ),
+            np.int32,
+            len(b),
+        )
+        return b.append_column("__wbkt", pa.array(h))
+
+    sort_keys = [(key_column, "ascending")] + [
+        (c, "ascending") for c in order_columns
+    ]
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        if len(group) == 0:
+            return group.drop_columns(["__wbkt"])
+        g = group.take(pc.sort_indices(group, sort_keys=sort_keys))
+        keys = np.asarray(g.column(key_column).to_pylist(), object)
+        new_key = np.empty(len(g), bool)
+        new_key[0] = True
+        new_key[1:] = keys[1:] != keys[:-1]
+        return kernel(g, new_key).drop_columns(["__wbkt"])
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("__wbkt")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+
+
+def grouped_lag(
+    ds: "ray.data.Dataset",
+    key_column: str,
+    order_columns: list[str],
+    value_column: str,
+    out_column: str = "lag_value",
+) -> "ray.data.Dataset":
+    """SQL ``LAG(value) OVER (PARTITION BY key ORDER BY ...)``: each row
+    gets the previous row's value within its key (NULL at key heads).
+    One bucketed shuffle + a vectorized shift per bucket."""
+    import numpy as np
+
+    def kernel(g: pa.Table, new_key: np.ndarray) -> pa.Table:
+        col = g.column(value_column)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        n = len(g)
+        idx = np.arange(n) - 1
+        take = pa.array(
+            np.where(new_key, -1, idx), pa.int64()
+        )  # -1 index → null via take on masked positions
+        shifted = col.take(pc.if_else(pc.less(take, 0), pa.scalar(None, pa.int64()), take))
+        return g.append_column(out_column, shifted)
+
+    return _grouped_window(ds, key_column, order_columns, kernel)
+
+
+def grouped_cumsum(
+    ds: "ray.data.Dataset",
+    key_column: str,
+    order_columns: list[str],
+    value_column: str,
+    out_column: str = "running_total",
+) -> "ray.data.Dataset":
+    """SQL ``SUM(value) OVER (PARTITION BY key ORDER BY ... ROWS
+    UNBOUNDED PRECEDING)``: per-key running total, computed as one
+    global cumsum minus each key's base — no per-key python loop."""
+    import numpy as np
+
+    def kernel(g: pa.Table, new_key: np.ndarray) -> pa.Table:
+        v = g.column(value_column).to_numpy(zero_copy_only=False).astype(np.int64)
+        cs = v.cumsum()
+        heads = np.where(new_key)[0]
+        base = np.repeat(
+            cs[heads] - v[heads], np.diff(np.append(heads, len(v)))
+        )
+        return g.append_column(out_column, pa.array(cs - base, pa.int64()))
+
+    return _grouped_window(ds, key_column, order_columns, kernel)

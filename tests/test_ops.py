@@ -1175,3 +1175,30 @@ def test_except_intersect_all_multiset_semantics(ray_session):
     # schema mismatch guard
     with pytest.raises(ValueError, match="schema mismatch"):
         except_all(rd.from_arrow(a), rd.from_arrow(pa.table({"k": ["x"]})))
+
+
+def test_grouped_lag_and_cumsum(ray_session):
+    from dedupe_ray.ops.tabular import grouped_cumsum, grouped_lag
+
+    t = pa.table(
+        {
+            "k": ["a", "a", "a", "b", "b"],
+            "o": [3, 1, 2, 1, 2],
+            "rid": [0, 1, 2, 3, 4],
+            "v": [10, 20, 30, 5, 7],
+        }
+    )
+    ds = rd.from_arrow(t)
+    lag = (
+        grouped_lag(ds, "k", ["o", "rid"], "v", "prev")
+        .to_pandas()
+        .sort_values(["k", "o"])
+    )
+    assert lag["prev"].tolist()[0] != lag["prev"].tolist()[0]  # NaN at head
+    assert lag["prev"].tolist()[1:3] == [20.0, 30.0]  # order by o: 20,30,10
+    cs = (
+        grouped_cumsum(ds, "k", ["o", "rid"], "v", "rt")
+        .to_pandas()
+        .sort_values(["k", "o"])
+    )
+    assert cs["rt"].tolist() == [20, 50, 60, 5, 12]
