@@ -908,6 +908,27 @@ def _q_contaminated_docs(sf_dir: str):
     )
 
 
+def _q_docs_unpivot(sf_dir: str):
+    """UNPIVOT/melt (wide → long): row-local per-batch concat of column
+    slices, no shuffle; branch values unified to string like SQL
+    UNPIVOT."""
+    from dedupe_ray.ops.tabular import unpivot
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang", "source"])
+    return unpivot(docs, ["doc_id"], ["lang", "source"])
+
+
+def _q_price_histogram(sf_dir: str):
+    """Fixed-bin histogram of l_extendedprice over its min/max range:
+    two streaming passes, bin-count partials through one tiny groupby.
+    The bin expression tree matches the SQL oracle's exactly, so float
+    edges compare bit-for-bit."""
+    from dedupe_ray.ops.tabular import value_histogram
+
+    li = _read(sf_dir, "lineitem", ["l_extendedprice"])
+    return value_histogram(li, "l_extendedprice", 64)
+
+
 def _q_events_lag(sf_dir: str):
     """SQL LAG per key (previous event id per user in time order, unique
     tiebreak) — one bucketed shuffle, vectorized shift per bucket."""
@@ -1316,6 +1337,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "er_canonical": _q_er_canonical,
         "docs_except_all": _q_docs_except_all,
         "events_lag": _q_events_lag,
+        "docs_unpivot": _q_docs_unpivot,
+        "price_histogram": _q_price_histogram,
         "events_running_total": _q_events_running_total,
         "docs_intersect_all": _q_docs_intersect_all,
         "kna2_replay": _q_kna2_replay,
@@ -1620,6 +1643,28 @@ def oracle_sql() -> dict[str, str]:
             FROM grams
             WHERE doc_id % 97 <> 0 AND g IN (SELECT g FROM bench)
             GROUP BY doc_id
+        """,
+        "docs_unpivot": """
+            SELECT doc_id, 'lang' AS name, lang AS value FROM documents
+            UNION ALL
+            SELECT doc_id, 'source' AS name, source AS value FROM documents
+        """,
+        "price_histogram": """
+            WITH mm AS (
+                SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
+                FROM lineitem
+            ),
+            b AS (
+                SELECT CAST(least(floor(
+                           (l_extendedprice - mm.lo) * (64 / (mm.hi - mm.lo))
+                       ), 63) AS BIGINT) AS bin
+                FROM lineitem, mm
+            )
+            SELECT bin,
+                   mm.lo + bin * ((mm.hi - mm.lo) / 64) AS bin_lo,
+                   mm.lo + (bin + 1.0) * ((mm.hi - mm.lo) / 64) AS bin_hi,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM b, mm GROUP BY bin, mm.lo, mm.hi
         """,
         "events_lag": """
             SELECT event_id, user_id, ts,

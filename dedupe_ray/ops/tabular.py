@@ -1130,3 +1130,100 @@ def grouped_cumsum(
         return g.append_column(out_column, pa.array(cs - base, pa.int64()))
 
     return _grouped_window(ds, key_column, order_columns, kernel)
+
+
+def unpivot(
+    ds: "ray.data.Dataset",
+    id_columns: list[str],
+    value_columns: list[str],
+    name_column: str = "name",
+    value_column: str = "value",
+) -> "ray.data.Dataset":
+    """UNPIVOT / melt: wide → long, one output row per (row,
+    value_column). Row-local (a per-batch concat of column slices — no
+    shuffle); value columns are cast to a common string type the way SQL
+    UNPIVOT unifies branch types."""
+
+    def melt(b: pa.Table) -> pa.Table:
+        parts = []
+        for vc in value_columns:
+            data = {c: b.column(c) for c in id_columns}
+            data[name_column] = pa.array([vc] * len(b), pa.string())
+            data[value_column] = pc.cast(b.column(vc), pa.string())
+            parts.append(pa.table(data))
+        return pa.concat_tables(parts)
+
+    return ds.map_batches(melt, batch_format="pyarrow")
+
+
+def value_histogram(
+    ds: "ray.data.Dataset",
+    column: str,
+    bins: int = 64,
+) -> "ray.data.Dataset":
+    """Fixed-bin histogram of a numeric column over its [min, max] range —
+    the distribution-profiling pass. Two streaming passes (min/max, then
+    per-batch bincount partials summed through one tiny groupby); bin
+    index = ``min(floor((v - lo) * (bins / (hi - lo))), bins - 1)`` in
+    double precision — reproducible in SQL with the same expression tree,
+    so the result is oracle-comparable bit-for-bit. Nulls ignored;
+    single-valued/empty columns land in bin 0.
+
+    Returns (bin, bin_lo, bin_hi, n) for non-empty bins.
+    """
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    def mm_partial(b: pa.Table) -> pa.Table:
+        col = pc.drop_null(b.column(column))
+        if len(col) == 0:
+            return pa.table({"mn": pa.array([], pa.float64()), "mx": pa.array([], pa.float64())})
+        mm = pc.min_max(col)
+        return pa.table(
+            {
+                "mn": pa.array([float(mm["min"].as_py())]),
+                "mx": pa.array([float(mm["max"].as_py())]),
+            }
+        )
+
+    p = ds.map_batches(mm_partial, batch_format="pyarrow").to_pandas()
+    if len(p) == 0:
+        lo, hi = 0.0, 0.0
+    else:
+        lo, hi = float(p["mn"].min()), float(p["mx"].max())
+    width_scale = (bins / (hi - lo)) if hi > lo else 0.0
+
+    def hist_partial(b: pa.Table) -> pa.Table:
+        v = pc.drop_null(b.column(column)).to_numpy(zero_copy_only=False).astype(np.float64)
+        if width_scale == 0.0:
+            idx = np.zeros(len(v), np.int64)
+        else:
+            idx = np.minimum(
+                np.floor((v - lo) * width_scale), bins - 1
+            ).astype(np.int64)
+        cnt = np.bincount(idx, minlength=bins)
+        nz = np.nonzero(cnt)[0]
+        return pa.table({"bin": pa.array(nz), "n": pa.array(cnt[nz], pa.int64())})
+
+    agg = (
+        ds.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby("bin")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def edges(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        bn = b.column("bin").to_numpy(zero_copy_only=False).astype(np.float64)
+        w = (hi - lo) / bins if hi > lo else 0.0
+        return pa.table(
+            {
+                "bin": b.column("bin"),
+                "bin_lo": pa.array(lo + bn * w),
+                "bin_hi": pa.array(lo + (bn + 1.0) * w),
+                "n": b.column("n"),
+            }
+        )
+
+    return agg.map_batches(edges, batch_format="pyarrow")

@@ -1202,3 +1202,31 @@ def test_grouped_lag_and_cumsum(ray_session):
         .sort_values(["k", "o"])
     )
     assert cs["rt"].tolist() == [20, 50, 60, 5, 12]
+
+
+def test_unpivot_and_histogram(ray_session):
+    from dedupe_ray.ops.tabular import unpivot, value_histogram
+
+    t = pa.table({"id": [1, 2], "a": [10, 20], "b": ["x", "y"]})
+    out = (
+        unpivot(rd.from_arrow(t), ["id"], ["a", "b"])
+        .to_pandas()
+        .sort_values(["id", "name"])
+        .reset_index(drop=True)
+    )
+    assert out.value.tolist() == ["10", "x", "20", "y"]
+
+    vals = np.array([0.0, 0.5, 1.0, 1.0, 10.0])
+    h = (
+        value_histogram(rd.from_arrow(pa.table({"v": vals})), "v", 5)
+        .to_pandas()
+        .set_index("bin")["n"]
+    )
+    # range [0,10], width 2: bin0 holds {0,0.5,1,1}, bin4 holds {10 (clipped)}
+    assert h.to_dict() == {0: 4, 4: 1}
+    # single-valued column collapses to bin 0
+    h2 = (
+        value_histogram(rd.from_arrow(pa.table({"v": [3.0, 3.0]})), "v", 4)
+        .to_pandas()
+    )
+    assert h2.n.tolist() == [2] and h2.bin.tolist() == [0]
