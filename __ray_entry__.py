@@ -908,6 +908,38 @@ def _q_contaminated_docs(sf_dir: str):
     )
 
 
+def _q_customer_left_join_orders(sf_dir: str):
+    """LEFT OUTER JOIN against a unique-keyed lookup (customers ← their
+    order counts; ~13% of customers have no orders and must survive with
+    NULL): one bucketed shuffle, per-bucket vectorized index_in — Ray's
+    native hash join stays banned (NOTES: empty-partition hang)."""
+    from ray.data.aggregate import Sum
+
+    from dedupe_ray.joins import bucketed_lookup_join
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    orders = _read(sf_dir, "orders", ["o_custkey"])
+
+    def ones(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        return pa.table(
+            {
+                "o_custkey": b.column("o_custkey"),
+                "n_orders": pa.array(np.ones(len(b), np.int64)),
+            }
+        )
+
+    counts = (
+        orders.map_batches(ones, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Sum("n_orders", alias_name="n_orders"))
+    )
+    return bucketed_lookup_join(
+        cust, counts, "c_custkey", "o_custkey", ["n_orders"], how="left"
+    )
+
+
 def _q_docs_unpivot(sf_dir: str):
     """UNPIVOT/melt (wide → long): row-local per-batch concat of column
     slices, no shuffle; branch values unified to string like SQL
@@ -1338,6 +1370,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_except_all": _q_docs_except_all,
         "events_lag": _q_events_lag,
         "docs_unpivot": _q_docs_unpivot,
+        "customer_left_join_orders": _q_customer_left_join_orders,
         "price_histogram": _q_price_histogram,
         "events_running_total": _q_events_running_total,
         "docs_intersect_all": _q_docs_intersect_all,
@@ -1643,6 +1676,14 @@ def oracle_sql() -> dict[str, str]:
             FROM grams
             WHERE doc_id % 97 <> 0 AND g IN (SELECT g FROM bench)
             GROUP BY doc_id
+        """,
+        "customer_left_join_orders": """
+            SELECT c.c_custkey, c.c_mktsegment, o.n_orders
+            FROM customer c
+            LEFT JOIN (
+                SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
+                FROM orders GROUP BY o_custkey
+            ) o ON c.c_custkey = o.o_custkey
         """,
         "docs_unpivot": """
             SELECT doc_id, 'lang' AS name, lang AS value FROM documents

@@ -49,15 +49,20 @@ def bucketed_lookup_join(
     right_key: str,
     right_value_cols: list[str],
     n_buckets: int = 256,
+    how: str = "inner",
 ) -> "ray.data.Dataset":
-    """Distributed inner equi-join against a UNIQUE-keyed lookup side.
+    """Distributed equi-join against a UNIQUE-keyed lookup side.
 
-    Every left column is kept and ``right_value_cols`` are appended; left
-    rows with no right match are dropped (inner semantics). The right
-    side's keys must be unique (records by doc_id, node→component, …) —
-    with duplicate right keys the first occurrence wins (``index_in``
-    semantics); rows are never multiplied.
+    Every left column is kept and ``right_value_cols`` are appended; with
+    ``how="inner"`` left rows with no right match are dropped, with
+    ``how="left"`` they survive with NULL right values (SQL LEFT OUTER
+    JOIN against a unique key). The right side's keys must be unique
+    (records by doc_id, node→component, …) — with duplicate right keys
+    the first occurrence wins (``index_in`` semantics); rows are never
+    multiplied.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
     left_schema = left_ds.schema()
     left_names = list(left_schema.names)
     left_types = {n: _pa_type(t) for n, t in zip(left_schema.names, left_schema.types)}
@@ -91,14 +96,23 @@ def bucketed_lookup_join(
     def resolve(t: pa.Table) -> pa.Table:
         rhs = t.filter(t.column(_SIDE))
         lhs = t.filter(pc.invert(t.column(_SIDE)))
-        if len(lhs) == 0 or len(rhs) == 0:
-            return pa.table(
-                {
-                    n: pa.array([], left_types.get(n) or right_types[n])
-                    for n in out_names
-                }
-            )
+        empty = pa.table(
+            {n: pa.array([], left_types.get(n) or right_types[n]) for n in out_names}
+        )
+        if len(lhs) == 0:
+            return empty
+        if len(rhs) == 0:
+            if how == "inner":
+                return empty
+            # left rows already carry typed nulls for the right columns
+            return lhs.select(out_names)
         idx = pc.index_in(lhs.column(left_key), value_set=rhs.column(left_key).combine_chunks())
+        if how == "left":
+            data = {n: lhs.column(n) for n in left_names}
+            for c in right_value_cols:
+                # take with a null index yields null — misses stay NULL
+                data[c] = pc.take(rhs.column(c), idx)
+            return pa.table(data)
         valid = pc.is_valid(idx)
         hit = lhs.filter(valid)
         idx_v = idx.filter(valid)

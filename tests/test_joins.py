@@ -280,3 +280,31 @@ def test_range_match_counts_boundaries_inclusive():
     got0 = sorted(r_order[lo[0] : lo[0] + cnt[0]].tolist())
     assert got0 == [0, 1, 2]
     assert r_order[lo[1] : lo[1] + cnt[1]].tolist() == [3]
+
+
+def test_bucketed_left_join(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dedupe_ray.joins import bucketed_lookup_join
+
+    left = rd.from_arrow(
+        pa.table({"k": [1, 2, 3, 4], "x": ["a", "b", "c", "d"]})
+    )
+    right = rd.from_arrow(pa.table({"rk": [2, 4], "v": [20, 40]}))
+    out = (
+        bucketed_lookup_join(left, right, "k", "rk", ["v"], how="left")
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert out["k"].tolist() == [1, 2, 3, 4]
+    assert out["v"].tolist()[1] == 20 and out["v"].tolist()[3] == 40
+    assert pd.isna(out["v"][0]) and pd.isna(out["v"][2])
+    # inner still drops misses
+    inner = bucketed_lookup_join(left, right, "k", "rk", ["v"]).to_pandas()
+    assert sorted(inner["k"]) == [2, 4]
+    import pytest
+
+    with pytest.raises(ValueError, match="how must be"):
+        bucketed_lookup_join(left, right, "k", "rk", ["v"], how="full")
