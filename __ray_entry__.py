@@ -908,6 +908,17 @@ def _q_contaminated_docs(sf_dir: str):
     )
 
 
+def _q_chunk_docs(sf_dir: str):
+    """Token-window chunking (embedding/RAG segmentation): 64-token
+    windows, 16-token overlap. Fully vectorized (one split + numpy
+    gather-index arithmetic + one binary_join per batch); row-local, no
+    shuffle."""
+    from dedupe_ray.ops.text import chunk_documents
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return chunk_documents(docs, chunk_tokens=64, overlap=16)
+
+
 def _q_customer_left_join_orders(sf_dir: str):
     """LEFT OUTER JOIN against a unique-keyed lookup (customers ← their
     order counts; ~13% of customers have no orders and must survive with
@@ -1371,6 +1382,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_lag": _q_events_lag,
         "docs_unpivot": _q_docs_unpivot,
         "customer_left_join_orders": _q_customer_left_join_orders,
+        "chunk_docs": _q_chunk_docs,
         "price_histogram": _q_price_histogram,
         "events_running_total": _q_events_running_total,
         "docs_intersect_all": _q_docs_intersect_all,
@@ -1676,6 +1688,26 @@ def oracle_sql() -> dict[str, str]:
             FROM grams
             WHERE doc_id % 97 <> 0 AND g IN (SELECT g FROM bench)
             GROUP BY doc_id
+        """,
+        "chunk_docs": """
+            WITH toks AS (
+                SELECT doc_id, string_split(coalesce(text, ''), ' ') AS ts
+                FROM documents WHERE coalesce(text, '') <> ''
+            ),
+            k AS (
+                SELECT doc_id, ts,
+                       unnest(generate_series(0,
+                           CAST(floor((len(ts) - 1) / 48) AS BIGINT))) AS chunk_id
+                FROM toks
+            )
+            SELECT doc_id, chunk_id,
+                   array_to_string(
+                       ts[chunk_id * 48 + 1 : least(chunk_id * 48 + 64, len(ts))],
+                       ' '
+                   ) AS chunk_text,
+                   CAST(least(chunk_id * 48 + 64, len(ts)) - chunk_id * 48
+                        AS BIGINT) AS chunk_n_tokens
+            FROM k
         """,
         "customer_left_join_orders": """
             SELECT c.c_custkey, c.c_mktsegment, o.n_orders

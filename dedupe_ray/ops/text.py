@@ -496,3 +496,80 @@ def compression_ratio_batch(
         if raw:
             ratios[i] = len(zlib.compress(raw, level)) / len(raw)
     return batch.append_column("compression_ratio", pa.array(ratios))
+
+
+def chunk_documents(
+    ds: "ray.data.Dataset",
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    column: str = "text",
+    id_column: str = "doc_id",
+) -> "ray.data.Dataset":
+    """Token-window chunking — the embedding/RAG segmentation step:
+    space-delimited tokens sliced into windows of ``chunk_tokens`` with
+    ``overlap`` tokens carried between consecutive chunks (stride =
+    chunk_tokens − overlap; last window may be shorter; empty docs emit
+    nothing). Chunk starts are ``k·stride`` for k = 0..floor((n−1)/stride)
+    — well-defined on both sides of the oracle, including the short-tail
+    windows.
+
+    Fully vectorized per batch: one Arrow split, numpy offset arithmetic
+    to build the gather indices, one ``take`` + ListArray rebuild + one
+    ``binary_join`` — no Python loop over rows or chunks.
+
+    Returns (id_column, chunk_id, chunk_text, chunk_n_tokens).
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+
+    def chunk(batch: pa.Table) -> pa.Table:
+        col = pc.fill_null(batch.column(column), "")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        toks = pc.split_pattern(col, " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        offsets = np.asarray(toks.offsets.to_numpy(zero_copy_only=False), np.int64)
+        counts = offsets[1:] - offsets[:-1]
+        flat = toks.flatten()
+        # a fully-empty string is an empty doc (split('') yields [''])
+        empty_doc = pc.equal(col, "").to_numpy(zero_copy_only=False)
+        n_chunks = np.where(empty_doc, 0, (np.maximum(counts, 1) - 1) // stride + 1)
+        total = int(n_chunks.sum())
+        ids = batch.column(id_column)
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        if total == 0:
+            return pa.table(
+                {
+                    id_column: ids.slice(0, 0),
+                    "chunk_id": pa.array([], pa.int64()),
+                    "chunk_text": pa.array([], pa.string()),
+                    "chunk_n_tokens": pa.array([], pa.int64()),
+                }
+            )
+        row_of_chunk = np.repeat(np.arange(len(counts)), n_chunks)
+        cum = np.concatenate(([0], np.cumsum(n_chunks)))[:-1]
+        chunk_id = np.arange(total, dtype=np.int64) - np.repeat(cum, n_chunks)
+        start = chunk_id * stride
+        end = np.minimum(start + chunk_tokens, counts[row_of_chunk])
+        lens = end - start
+        # gather indices: for each chunk, flat[row_start + start : row_start + end]
+        g_starts = offsets[:-1][row_of_chunk] + start
+        gcum = np.concatenate(([0], np.cumsum(lens)))
+        pos = np.arange(int(lens.sum()), dtype=np.int64) - np.repeat(gcum[:-1], lens)
+        gather = np.repeat(g_starts, lens) + pos
+        gathered = flat.take(pa.array(gather))
+        chunks_list = pa.LargeListArray.from_arrays(pa.array(gcum, pa.int64()), gathered)
+        text_out = pc.binary_join(chunks_list, " ")
+        return pa.table(
+            {
+                id_column: ids.take(pa.array(row_of_chunk)),
+                "chunk_id": pa.array(chunk_id),
+                "chunk_text": text_out,
+                "chunk_n_tokens": pa.array(lens),
+            }
+        )
+
+    return ds.map_batches(chunk, batch_format="pyarrow")

@@ -1230,3 +1230,24 @@ def test_unpivot_and_histogram(ray_session):
         .to_pandas()
     )
     assert h2.n.tolist() == [2] and h2.bin.tolist() == [0]
+
+
+def test_chunk_documents_windows(ray_session):
+    from dedupe_ray.ops.text import chunk_documents
+
+    ds = rd.from_arrow(
+        pa.table(
+            {"doc_id": [1, 2, 3], "text": ["a b c d e f g", "", "x y"]}
+        )
+    )
+    out = (
+        chunk_documents(ds, chunk_tokens=4, overlap=1)
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_id"])
+        .reset_index(drop=True)
+    )
+    # stride 3: starts 0,3,6 → 'a b c d', 'd e f g', 'g'; empty doc drops
+    assert out.chunk_text.tolist() == ["a b c d", "d e f g", "g", "x y"]
+    assert out.chunk_n_tokens.tolist() == [4, 4, 1, 2]
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(ds, chunk_tokens=4, overlap=4)
