@@ -181,8 +181,17 @@ def _q_text_stats(sf_dir: str):
 
 
 def _q_q1(sf_dir: str):
+    """TPC-H Q1 shape with EXACT integer aggregation: quantities cast to
+    int64, revenue quantized per element to 1e-4 units (2-dp price ×
+    2-dp discount factor is 4-dp decimal; round(x*10000) is the same
+    IEEE op chain on both engines), discounts to 1e-2 units — sums are
+    exact int64 and avg_disc is a deterministic division of exact ints.
+    (The earlier rounded double sums were order-dependent in the last
+    bit — the flake class fixed across this module at sf0.1.) Per-batch
+    combiner shrinks the shuffle to 6 partial rows per block."""
     import pyarrow.compute as pc
-    from ray.data.aggregate import Count, Mean, Sum
+
+    from ray.data.aggregate import Sum
 
     li = _read(
         sf_dir,
@@ -190,38 +199,61 @@ def _q_q1(sf_dir: str):
         ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount", "l_shipdate"],
     )
 
-    def revenue(b: pa.Table) -> pa.Table:
+    def partials(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
         keep = pc.less_equal(b.column("l_shipdate"), pa.scalar(np.datetime64("1998-09-02", "us")))
         b = b.filter(keep)
-        rev = pc.multiply(b.column("l_extendedprice"), pc.subtract(pa.scalar(1.0), b.column("l_discount")))
-        return b.append_column("revenue", rev)
+        rev = pc.multiply(
+            b.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), b.column("l_discount")),
+        )
+        df = pd.DataFrame(
+            {
+                "l_returnflag": b.column("l_returnflag").to_pandas(),
+                "l_linestatus": b.column("l_linestatus").to_pandas(),
+                "qty": b.column("l_quantity").to_numpy(zero_copy_only=False).astype(np.int64),
+                "rev_e4": np.round(rev.to_numpy(zero_copy_only=False) * 10000.0).astype(np.int64),
+                "disc_e2": np.round(
+                    b.column("l_discount").to_numpy(zero_copy_only=False) * 100.0
+                ).astype(np.int64),
+            }
+        )
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty=("qty", "sum"),
+            sum_revenue_e4=("rev_e4", "sum"),
+            disc_e2=("disc_e2", "sum"),
+            count_order=("qty", "size"),
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
 
     agg = (
-        li.map_batches(revenue, batch_format="pyarrow")
+        li.map_batches(partials, batch_format="pyarrow")
         .groupby(["l_returnflag", "l_linestatus"])
         .aggregate(
-            Sum("l_quantity", alias_name="sum_qty"),
-            Sum("revenue", alias_name="sum_revenue"),
-            Mean("l_discount", alias_name="avg_disc"),
-            Count(alias_name="count_order"),
+            Sum("sum_qty", alias_name="sum_qty"),
+            Sum("sum_revenue_e4", alias_name="sum_revenue_e4"),
+            Sum("disc_e2", alias_name="disc_e2"),
+            Sum("count_order", alias_name="count_order"),
         )
     )
 
-    def _round(b: pa.Table) -> pa.Table:
-        # double sums are order-dependent in the last bits; round both this
-        # side and the oracle side so the value hash compares stably.
-        mode = {"round_mode": "half_towards_infinity"}  # match DuckDB round()
-        # sums of ~1e9 magnitude carry ~1e-3 order-dependent error — round to
-        # integer so both sides land on the same value; avg_disc is ~0.05
-        # with ~1e-16 relative error, 6 decimals is safe.
-        for name, nd in (("sum_qty", 0), ("sum_revenue", 0), ("avg_disc", 6)):
-            b = b.set_column(
-                b.schema.get_field_index(name), name,
-                pc.round(b.column(name), ndigits=nd, **mode),
-            )
-        return b
+    def finalize(b: pa.Table) -> pa.Table:
+        d = b.column("disc_e2").to_numpy(zero_copy_only=False).astype(np.float64)
+        n = b.column("count_order").to_numpy(zero_copy_only=False).astype(np.int64)
+        avg = d / 100.0 / n
+        return pa.table(
+            {
+                "l_returnflag": b.column("l_returnflag"),
+                "l_linestatus": b.column("l_linestatus"),
+                "sum_qty": b.column("sum_qty"),
+                "sum_revenue_e4": b.column("sum_revenue_e4"),
+                "avg_disc": pa.array(avg),
+                "count_order": b.column("count_order"),
+            }
+        )
 
-    return agg.map_batches(_round, batch_format="pyarrow")
+    return agg.map_batches(finalize, batch_format="pyarrow")
 
 
 def _q_top_orders(sf_dir: str):
@@ -230,12 +262,29 @@ def _q_top_orders(sf_dir: str):
 
 
 def _q_customer_order_counts(sf_dir: str):
-    """Hash join (Dataset.join) + aggregate: orders per customer with name."""
+    """Hash join (Dataset.join) + aggregate: orders per customer with name.
+
+    Money is integerized to cents PER ELEMENT before the sum (prices are
+    2-decimal; round(x*100) is the same IEEE op chain on both engines),
+    so the aggregate is an exact int64 — post-hoc rounding of a double
+    sum was order-dependent in the last bit and flaked at sf0.1."""
+    import pyarrow.compute as pc
+
     from ray.data.aggregate import Count, Sum
 
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-    per_cust = orders.groupby("o_custkey").aggregate(
-        Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="total_spent")
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(b.column("o_totalprice"), 100.0), ndigits=0),
+            pa.int64(),
+        )
+        return pa.table({"o_custkey": b.column("o_custkey"), "cents": cents})
+
+    per_cust = (
+        orders.map_batches(to_cents, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Count(alias_name="n_orders"), Sum("cents", alias_name="total_cents"))
     )
     cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
     joined = per_cust.join(
@@ -245,22 +294,7 @@ def _q_customer_order_counts(sf_dir: str):
         on=("o_custkey",),
         right_on=("c_custkey",),
     )
-
-    def _round(b):
-        import pyarrow.compute as pc
-
-        i = b.schema.get_field_index("total_spent")
-        # double sums are order-dependent in the last bits; round both
-        # sides; integer rounding — fractional roundings are not
-        # representable doubles and differ in the last bit across engines
-        return b.set_column(
-            i, "total_spent",
-            pc.round(b.column("total_spent"), ndigits=0, round_mode="half_towards_infinity"),
-        )
-
-    return joined.select_columns(["c_name", "n_orders", "total_spent"]).map_batches(
-        _round, batch_format="pyarrow"
-    )
+    return joined.select_columns(["c_name", "n_orders", "total_cents"])
 
 
 def _q_anti_join(sf_dir: str):
@@ -398,28 +432,26 @@ def _q_events_hourly(sf_dir: str):
     ev = _read(sf_dir, "events", ["ts", "event_type", "value"])
 
     def partials(b: pa.Table) -> pa.Table:
+        import numpy as np
+
         df = b.to_pandas()
         df["hour"] = df["ts"].dt.floor("h").dt.strftime("%Y-%m-%d %H:%M:%S")
+        # integerize to millis PER ELEMENT (values are ≤3-decimal;
+        # round(x*1000) is the same IEEE op chain on both engines) so the
+        # sum is exact int64 — a rounded double sum was order-dependent
+        # in the last bit and flaked at sf0.1
+        df["value_millis"] = (
+            np.round(df["value"].to_numpy() * 1000.0).astype(np.int64)
+        )
         g = df.groupby(["event_type", "hour"], as_index=False).agg(
-            n=("value", "size"), value_sum=("value", "sum")
+            n=("value_millis", "size"), value_millis=("value_millis", "sum")
         )
         return pa.Table.from_pandas(g, preserve_index=False)
 
     part = ev.map_batches(partials, batch_format="pyarrow")
-    agg = part.groupby(["event_type", "hour"]).aggregate(
-        Sum("n", alias_name="n"), Sum("value_sum", alias_name="value_sum")
+    return part.groupby(["event_type", "hour"]).aggregate(
+        Sum("n", alias_name="n"), Sum("value_millis", alias_name="value_millis")
     )
-
-    def _round(b: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        i = b.schema.get_field_index("value_sum")
-        return b.set_column(
-            i, "value_sum",
-            pc.round(b.column("value_sum"), ndigits=0, round_mode="half_towards_infinity"),
-        )
-
-    return agg.map_batches(_round, batch_format="pyarrow")
 
 
 def _q_doc_preview(sf_dir: str):
@@ -1449,9 +1481,11 @@ def oracle_sql() -> dict[str, str]:
         # last bits of an unordered double sum are not comparable.
         "lineitem_q1": """
             SELECT l_returnflag, l_linestatus,
-                   round(sum(l_quantity), 0) AS sum_qty,
-                   round(sum(l_extendedprice * (1 - l_discount)), 0) AS sum_revenue,
-                   round(avg(l_discount), 6) AS avg_disc,
+                   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+                   CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000)
+                                 AS BIGINT)) AS BIGINT) AS sum_revenue_e4,
+                   CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE)
+                       / 100.0 / count(*) AS avg_disc,
                    count(*) AS count_order
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -1464,7 +1498,8 @@ def oracle_sql() -> dict[str, str]:
         "customer_order_counts": """
             SELECT c.c_name AS c_name,
                    count(*) AS n_orders,
-                   round(sum(o.o_totalprice), 0) AS total_spent
+                   CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS total_cents
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
             GROUP BY c.c_name
         """,
@@ -1493,7 +1528,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type,
                    strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
                    count(*) AS n,
-                   round(sum(value), 0) AS value_sum
+                   CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT)
+                       AS value_millis
             FROM events GROUP BY event_type, hour
         """,
         "doc_preview": """
