@@ -709,6 +709,71 @@ def _bloom_hash_pair(vals: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return h1, h2
 
 
+def build_bloom(
+    corpus_ds: "ray.data.Dataset",
+    key_column: str,
+    n_bits: int = 1 << 24,
+    k: int = 7,
+) -> np.ndarray:
+    """One corpus scan -> packed Bloom bitmap (uint64[n_bits/64]) for
+    ``key_column``. Per-block bitmap partials OR-merge streamed on the
+    driver (constant memory). Persist with :func:`save_bloom` and reuse
+    across runs — the "dedupe every day's crawl against everything seen
+    so far" filter is built ONCE per corpus growth step, not per batch."""
+    import pyarrow.compute as _pc
+
+    if n_bits % 64:
+        raise ValueError("n_bits must be a multiple of 64")
+    words = n_bits // 64
+    nb = np.uint64(n_bits)
+
+    def bloom_partial(batch: pa.Table) -> pa.Table:
+        vals = pc.fill_null(batch.column(key_column), "").to_numpy(
+            zero_copy_only=False
+        )
+        bm = np.zeros(words, np.uint64)
+        h1, h2 = _bloom_hash_pair(vals)
+        for i in range(k):
+            pos = (h1 + np.uint64(i) * h2) % nb
+            np.bitwise_or.at(
+                bm, (pos >> np.uint64(6)).astype(np.int64),
+                np.uint64(1) << (pos & np.uint64(63)),
+            )
+        return pa.table({"bitmap": pa.array([bm.tobytes()], pa.large_binary())})
+
+    parts = corpus_ds.map_batches(
+        bloom_partial, batch_format="pyarrow", batch_size=65536
+    )
+    bloom = np.zeros(words, np.uint64)
+    for b in parts.iter_batches(batch_format="pyarrow"):
+        for buf in b.column("bitmap"):
+            bloom |= np.frombuffer(buf.as_py(), np.uint64)
+    return bloom
+
+
+def save_bloom(bloom: np.ndarray, path: str, key_column: str, k: int) -> None:
+    """Persist a Bloom bitmap + its parameters (npz); atomic replace."""
+    import os
+
+    tmp = path + ".__tmp__.npz"
+    np.savez_compressed(
+        tmp[:-4], bloom=bloom, n_bits=np.int64(len(bloom) * 64),
+        k=np.int64(k), key_column=np.array(key_column),
+    )
+    os.replace(tmp, path)
+
+
+def load_bloom(path: str) -> tuple[np.ndarray, int, int, str]:
+    """Load (bitmap, n_bits, k, key_column) saved by :func:`save_bloom`."""
+    z = np.load(path, allow_pickle=False)
+    return (
+        z["bloom"].astype(np.uint64),
+        int(z["n_bits"]),
+        int(z["k"]),
+        str(z["key_column"]),
+    )
+
+
 def bloom_anti_join(
     new_ds: "ray.data.Dataset",
     corpus_ds: "ray.data.Dataset",
@@ -716,6 +781,7 @@ def bloom_anti_join(
     n_bits: int = 1 << 24,
     k: int = 7,
     candidate_limit: int = 5_000_000,
+    bloom: np.ndarray | None = None,
 ) -> "ray.data.Dataset":
     """Incremental exact dedup: rows of ``new_ds`` whose ``key_column``
     value does NOT occur anywhere in ``corpus_ds`` — the "dedupe today's
@@ -742,32 +808,14 @@ def bloom_anti_join(
 
     if n_bits % 64:
         raise ValueError("n_bits must be a multiple of 64")
-    words = n_bits // 64
     nb = np.uint64(n_bits)
-
-    def bloom_partial(batch: pa.Table) -> pa.Table:
-        vals = pc.fill_null(batch.column(key_column), "").to_numpy(
-            zero_copy_only=False
+    if bloom is None:
+        bloom = build_bloom(corpus_ds, key_column, n_bits=n_bits, k=k)
+    elif len(bloom) * 64 != n_bits:
+        raise ValueError(
+            f"provided bloom has {len(bloom) * 64} bits, expected {n_bits}"
         )
-        bm = np.zeros(words, np.uint64)
-        h1, h2 = _bloom_hash_pair(vals)
-        for i in range(k):
-            pos = (h1 + np.uint64(i) * h2) % nb
-            np.bitwise_or.at(
-                bm, (pos >> np.uint64(6)).astype(np.int64),
-                np.uint64(1) << (pos & np.uint64(63)),
-            )
-        return pa.table({"bitmap": pa.array([bm.tobytes()], pa.large_binary())})
-
-    parts = corpus_ds.map_batches(
-        bloom_partial, batch_format="pyarrow", batch_size=65536
-    )
-    bloom = np.zeros(words, np.uint64)
-    for b in parts.iter_batches(batch_format="pyarrow"):
-        col = b.column("bitmap")
-        for buf in col:
-            bloom |= np.frombuffer(buf.as_py(), np.uint64)
-    bloom_ref = ray.put(bloom)
+    bloom_ref = ray.put(np.ascontiguousarray(bloom, np.uint64))
 
     def probe(batch: pa.Table) -> pa.Table:
         bm = ray.get(bloom_ref)

@@ -1251,3 +1251,33 @@ def test_chunk_documents_windows(ray_session):
     assert out.chunk_n_tokens.tolist() == [4, 4, 1, 2]
     with pytest.raises(ValueError, match="overlap"):
         chunk_documents(ds, chunk_tokens=4, overlap=4)
+
+
+def test_bloom_persistence_roundtrip(tmp_path, ray_session):
+    from dedupe_ray.ops.dedup import (
+        bloom_anti_join,
+        build_bloom,
+        load_bloom,
+        save_bloom,
+    )
+
+    corpus = rd.from_arrow(pa.table({"key": [f"k{i}" for i in range(300)]}))
+    new = rd.from_arrow(
+        pa.table({"key": [f"k{i}" for i in range(250, 320)] + ["fresh"]})
+    )
+    want = sorted(f"k{i}" for i in range(300, 320)) + ["fresh"]
+    want.sort()
+
+    bm = build_bloom(corpus, "key", n_bits=1 << 14, k=5)
+    p = str(tmp_path / "corpus.bloom")
+    save_bloom(bm, p, "key", 5)
+    bm2, n_bits, k, keycol = load_bloom(p)
+    assert (bm2 == bm).all() and n_bits == 1 << 14 and k == 5 and keycol == "key"
+
+    # reuse the persisted filter: same exact result, no rebuild pass
+    out = bloom_anti_join(
+        new, corpus, "key", n_bits=n_bits, k=k, bloom=bm2
+    ).to_pandas()
+    assert sorted(out["key"]) == want
+    with pytest.raises(ValueError, match="expected"):
+        bloom_anti_join(new, corpus, "key", n_bits=1 << 15, k=k, bloom=bm2)
