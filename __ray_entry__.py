@@ -940,6 +940,62 @@ def _q_contaminated_docs(sf_dir: str):
     )
 
 
+def _q_latest_event_per_user(sf_dir: str):
+    """Latest-row-per-key compaction (the upsert/CDC 'keep newest'
+    step): grouped_top_k with k=1 on the int64 timestamp, event_id
+    tiebreak — one bucketed shuffle."""
+    from dedupe_ray.ops.tabular import grouped_top_k
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    def to_int_ts(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "tsu", pa.compute.cast(b.column("ts"), pa.int64())
+        )
+
+    keyed = ev.map_batches(to_int_ts, batch_format="pyarrow")
+    top = grouped_top_k(
+        keyed, "user_id", "tsu", 1, descending=True, tiebreak_column="event_id"
+    )
+    return top.select_columns(["user_id", "event_id", "event_type"])
+
+
+def _q_orders_nation(sf_dir: str):
+    """Star-join enrichment via a broadcast lookup CHAIN (orders →
+    customer → nation): both dimension maps ship once with ray.put and
+    every task resolves them map-side with vectorized searchsorted — the
+    canonical no-shuffle dimension join at fact-table scale."""
+    import numpy as np
+
+    import ray
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+
+    ck = np.sort(cust["c_custkey"].to_numpy())
+    order_ck = np.argsort(cust["c_custkey"].to_numpy(), kind="stable")
+    cnk = cust["c_nationkey"].to_numpy()[order_ck]
+    nk = np.sort(nation["n_nationkey"].to_numpy())
+    order_nk = np.argsort(nation["n_nationkey"].to_numpy(), kind="stable")
+    nname = nation["n_name"].to_numpy(object)[order_nk]
+    ref = ray.put((ck, cnk, nk, nname))
+
+    def enrich(b: pa.Table) -> pa.Table:
+        ck_, cnk_, nk_, nname_ = ray.get(ref)
+        keys = b.column("o_custkey").to_numpy(zero_copy_only=False)
+        nat = cnk_[np.searchsorted(ck_, keys)]  # FK: always present
+        names = nname_[np.searchsorted(nk_, nat)]
+        return pa.table(
+            {
+                "o_orderkey": b.column("o_orderkey"),
+                "n_name": pa.array(names, pa.string()),
+            }
+        )
+
+    return orders.map_batches(enrich, batch_format="pyarrow")
+
+
 def _q_chunk_docs(sf_dir: str):
     """Token-window chunking (embedding/RAG segmentation): 64-token
     windows, 16-token overlap. Fully vectorized (one split + numpy
@@ -1415,6 +1471,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_unpivot": _q_docs_unpivot,
         "customer_left_join_orders": _q_customer_left_join_orders,
         "chunk_docs": _q_chunk_docs,
+        "latest_event_per_user": _q_latest_event_per_user,
+        "orders_nation": _q_orders_nation,
         "price_histogram": _q_price_histogram,
         "events_running_total": _q_events_running_total,
         "docs_intersect_all": _q_docs_intersect_all,
@@ -1724,6 +1782,21 @@ def oracle_sql() -> dict[str, str]:
             FROM grams
             WHERE doc_id % 97 <> 0 AND g IN (SELECT g FROM bench)
             GROUP BY doc_id
+        """,
+        "latest_event_per_user": """
+            SELECT user_id, event_id, event_type FROM (
+                SELECT user_id, event_id, event_type,
+                       row_number() OVER (
+                           PARTITION BY user_id ORDER BY ts DESC, event_id ASC
+                       ) AS rn
+                FROM events
+            ) WHERE rn = 1
+        """,
+        "orders_nation": """
+            SELECT o.o_orderkey, n.n_name
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
         """,
         "chunk_docs": """
             WITH toks AS (
