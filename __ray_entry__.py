@@ -940,6 +940,18 @@ def _q_contaminated_docs(sf_dir: str):
     )
 
 
+def _q_order_price_rank(sf_dir: str):
+    """SQL dense_rank per key (each order's price rank within its
+    customer, ties share ranks): the one-shuffle bucketed window shape,
+    rank = cumulative value-change count per key run."""
+    from dedupe_ray.ops.tabular import grouped_dense_rank
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    return grouped_dense_rank(
+        orders, "o_custkey", "o_totalprice", "rnk", descending=True
+    )
+
+
 def _q_latest_event_per_user(sf_dir: str):
     """Latest-row-per-key compaction (the upsert/CDC 'keep newest'
     step): grouped_top_k with k=1 on the int64 timestamp, event_id
@@ -1472,6 +1484,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_left_join_orders": _q_customer_left_join_orders,
         "chunk_docs": _q_chunk_docs,
         "latest_event_per_user": _q_latest_event_per_user,
+        "order_price_rank": _q_order_price_rank,
         "orders_nation": _q_orders_nation,
         "price_histogram": _q_price_histogram,
         "events_running_total": _q_events_running_total,
@@ -1782,6 +1795,13 @@ def oracle_sql() -> dict[str, str]:
             FROM grams
             WHERE doc_id % 97 <> 0 AND g IN (SELECT g FROM bench)
             GROUP BY doc_id
+        """,
+        "order_price_rank": """
+            SELECT o_orderkey, o_custkey, o_totalprice,
+                   CAST(dense_rank() OVER (
+                       PARTITION BY o_custkey ORDER BY o_totalprice DESC
+                   ) AS BIGINT) AS rnk
+            FROM orders
         """,
         "latest_event_per_user": """
             SELECT user_id, event_id, event_type FROM (

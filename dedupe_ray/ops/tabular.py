@@ -1227,3 +1227,66 @@ def value_histogram(
         )
 
     return agg.map_batches(edges, batch_format="pyarrow")
+
+
+def grouped_dense_rank(
+    ds: "ray.data.Dataset",
+    key_column: str,
+    order_column: str,
+    out_column: str = "dense_rank",
+    descending: bool = False,
+) -> "ray.data.Dataset":
+    """SQL ``dense_rank() OVER (PARTITION BY key ORDER BY v [DESC])``:
+    ties share a rank, ranks have no gaps. Same one-shuffle bucketed
+    window shape as LAG/cumsum; per bucket the rank is a cumulative
+    count of value changes within each key run — no per-key loop."""
+    import numpy as np
+
+    def kernel(g: pa.Table, new_key: np.ndarray) -> pa.Table:
+        v = g.column(order_column).to_numpy(zero_copy_only=False)
+        changed = np.empty(len(v), bool)
+        changed[0] = True
+        changed[1:] = (v[1:] != v[:-1]) | new_key[1:]
+        steps = changed.astype(np.int64).cumsum()
+        heads = np.where(new_key)[0]
+        base = np.repeat(
+            steps[heads] - 1, np.diff(np.append(heads, len(v)))
+        )
+        return g.append_column(out_column, pa.array(steps - base, pa.int64()))
+
+    order = [(order_column, "descending" if descending else "ascending")]
+
+    # reuse the shared bucketed-window shape but with a custom sort
+    # direction on the order column
+    import zlib
+
+    from dedupe_ray.blocking import N_BUCKETS
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        h = np.fromiter(
+            (
+                zlib.crc32(str(x).encode()) % N_BUCKETS
+                for x in b.column(key_column).to_pylist()
+            ),
+            np.int32,
+            len(b),
+        )
+        return b.append_column("__wbkt", pa.array(h))
+
+    sort_keys = [(key_column, "ascending")] + order
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        if len(group) == 0:
+            return group.drop_columns(["__wbkt"])
+        g = group.take(pc.sort_indices(group, sort_keys=sort_keys))
+        keys = np.asarray(g.column(key_column).to_pylist(), object)
+        new_key = np.empty(len(g), bool)
+        new_key[0] = True
+        new_key[1:] = keys[1:] != keys[:-1]
+        return kernel(g, new_key).drop_columns(["__wbkt"])
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("__wbkt")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )

@@ -1281,3 +1281,22 @@ def test_bloom_persistence_roundtrip(tmp_path, ray_session):
     assert sorted(out["key"]) == want
     with pytest.raises(ValueError, match="expected"):
         bloom_anti_join(new, corpus, "key", n_bits=1 << 15, k=k, bloom=bm2)
+
+
+def test_grouped_dense_rank_ties(ray_session):
+    from dedupe_ray.ops.tabular import grouped_dense_rank
+
+    t = pa.table(
+        {
+            "k": ["a", "a", "a", "a", "b"],
+            "v": [10, 20, 20, 30, 5],
+            "rid": [0, 1, 2, 3, 4],
+        }
+    )
+    out = (
+        grouped_dense_rank(rd.from_arrow(t), "k", "v", "r", descending=True)
+        .to_pandas()
+        .sort_values("rid")
+    )
+    # desc: 30→1, 20→2 (both ties), 10→3; b: 5→1
+    assert out.r.tolist() == [3, 2, 2, 1, 1]
