@@ -63,20 +63,21 @@ def hll_estimate(registers: np.ndarray) -> float:
     return float(est)
 
 
-def hll_approx_distinct(
+def hll_sketch_table(
     ds: "ray.data.Dataset",
     group_column: str,
     value_column: str,
     precision: int = 12,
-    out_column: str = "approx_distinct",
 ) -> "ray.data.Dataset":
-    """Approximate COUNT(DISTINCT value) per group at ~1.04/√(2^p) relative
-    error (~1.6% at p=12) in constant memory per group — the scale path
-    where an exact distinct would shuffle every value.
+    """Per-group HLL sketch as a sparse (group, reg, rank) TABLE — the
+    mergeable, persistable form: ``write_parquet`` it after each
+    ingestion batch and :func:`hll_merge` yesterday's sketch with
+    today's — distinct counts over the union of any number of runs
+    without ever re-reading their raw values.
 
     Shape: map_batches partial (hash + per-batch (group, register) max —
     ≤ groups×2^p rows per batch regardless of batch size) → groupby
-    (group, register) Max — the sketch merge — → per-group finalize.
+    (group, register) Max — the sketch merge.
     """
     from ray.data.aggregate import Max
 
@@ -98,11 +99,39 @@ def hll_approx_distinct(
             }
         )
 
-    merged = (
+    return (
         ds.map_batches(partials, batch_format="pyarrow")
         .groupby([group_column, "reg"])
         .aggregate(Max("rank", alias_name="rank"))
     )
+
+
+def hll_merge(
+    *sketches: "ray.data.Dataset", group_column: str = "group"
+) -> "ray.data.Dataset":
+    """Merge any number of sparse HLL sketch tables (same group column
+    and precision): union → (group, reg) Max. Register max is the exact
+    HLL union — merging sketches of two corpora equals sketching their
+    concatenation."""
+    from ray.data.aggregate import Max
+
+    if not sketches:
+        raise ValueError("need at least one sketch table")
+    ds = sketches[0]
+    for other in sketches[1:]:
+        ds = ds.union(other)
+    return (
+        ds.groupby([group_column, "reg"]).aggregate(Max("rank", alias_name="rank"))
+    )
+
+
+def hll_finalize(
+    sketch_ds: "ray.data.Dataset",
+    group_column: str,
+    precision: int = 12,
+    out_column: str = "approx_distinct",
+) -> "ray.data.Dataset":
+    """Sparse sketch table → per-group approximate distinct counts."""
 
     def finalize(g: pa.Table) -> pa.Table:
         regs = np.zeros(1 << precision, np.int64)
@@ -117,4 +146,26 @@ def hll_approx_distinct(
             }
         )
 
-    return merged.groupby(group_column).map_groups(finalize, batch_format="pyarrow")
+    return sketch_ds.groupby(group_column).map_groups(
+        finalize, batch_format="pyarrow"
+    )
+
+
+def hll_approx_distinct(
+    ds: "ray.data.Dataset",
+    group_column: str,
+    value_column: str,
+    precision: int = 12,
+    out_column: str = "approx_distinct",
+) -> "ray.data.Dataset":
+    """Approximate COUNT(DISTINCT value) per group at ~1.04/√(2^p) relative
+    error (~1.6% at p=12) in constant memory per group — the scale path
+    where an exact distinct would shuffle every value. Composition of
+    :func:`hll_sketch_table` (mergeable/persistable sparse sketch) and
+    :func:`hll_finalize`."""
+    return hll_finalize(
+        hll_sketch_table(ds, group_column, value_column, precision),
+        group_column,
+        precision,
+        out_column,
+    )

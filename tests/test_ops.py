@@ -1300,3 +1300,43 @@ def test_grouped_dense_rank_ties(ray_session):
     )
     # desc: 30→1, 20→2 (both ties), 10→3; b: 5→1
     assert out.r.tolist() == [3, 2, 2, 1, 1]
+
+
+def test_hll_merge_equals_union_sketch(tmp_path, ray_session):
+    from dedupe_ray.ops.sketch import (
+        hll_approx_distinct,
+        hll_finalize,
+        hll_merge,
+        hll_sketch_table,
+    )
+
+    a = pa.table(
+        {"g": ["x"] * 400 + ["y"] * 100, "v": [f"a{i}" for i in range(400)] + [f"b{i}" for i in range(100)]}
+    )
+    b = pa.table(
+        {"g": ["x"] * 300, "v": [f"a{i}" for i in range(200, 500)]}  # overlaps a
+    )
+    da, db = rd.from_arrow(a), rd.from_arrow(b)
+    p = 10
+
+    # sketch(a) persisted, reloaded, merged with sketch(b) == sketch(a ∪ b)
+    sa = hll_sketch_table(da, "g", "v", precision=p)
+    path = str(tmp_path / "sketch_a")
+    sa.write_parquet(path)
+    sa_back = rd.read_parquet(path)
+    merged = hll_merge(sa_back, hll_sketch_table(db, "g", "v", precision=p), group_column="g")
+    got = (
+        hll_finalize(merged, "g", precision=p)
+        .to_pandas()
+        .set_index("g")["approx_distinct"]
+        .sort_index()
+    )
+    want = (
+        hll_approx_distinct(da.union(db), "g", "v", precision=p)
+        .to_pandas()
+        .set_index("g")["approx_distinct"]
+        .sort_index()
+    )
+    assert got.equals(want)  # register-max merge == sketch of concatenation
+    # sanity: estimates in a plausible band (true x=500, y=100)
+    assert 400 <= got["x"] <= 600 and 80 <= got["y"] <= 120
