@@ -701,7 +701,45 @@ def test_knn_join_index_limit_raises(ray_session):
         pa.table({"vec_id": [1, 2, 3], "embedding": [[1.0], [2.0], [3.0]]})
     )
     with pytest.raises(ValueError, match="index_limit"):
-        knn_join(ds, k=1, index_limit=2)
+        knn_join(ds, k=1, index_limit=2, on_overflow="raise")
+
+
+def test_knn_join_overflow_routes_to_ivf(ray_session):
+    """Above index_limit, knn_join must route to the bucketed IVF path and
+    return the same schema with high recall vs the exact result."""
+    from dedupe_ray.ops.embedding import knn_join
+
+    rng = np.random.RandomState(7)
+    n, dim, k = 300, 8, 5
+    # clustered data so IVF buckets are meaningful
+    centers = rng.normal(size=(6, dim)) * 4
+    X = (centers[rng.randint(0, 6, n)] + rng.normal(size=(n, dim))).astype(
+        np.float32
+    )
+    ids = np.arange(n, dtype=np.int64)
+    ds = rd.from_arrow(
+        pa.table({"vec_id": ids, "embedding": [r.tolist() for r in X]})
+    )
+    exact = (
+        knn_join(ds, k=k)
+        .to_pandas()
+        .sort_values(["vec_id", "rank"])
+        .reset_index(drop=True)
+    )
+    approx = (
+        knn_join(ds, k=k, index_limit=10)  # force the IVF route
+        .to_pandas()
+        .sort_values(["vec_id", "rank"])
+        .reset_index(drop=True)
+    )
+    assert list(approx.columns) == ["vec_id", "neighbor_id", "rank"]
+    assert set(approx.vec_id) == set(ids)  # every vector got neighbors
+    assert not (approx.vec_id == approx.neighbor_id).any()
+    assert approx.groupby("vec_id").size().max() <= k
+    got = set(zip(approx.vec_id, approx.neighbor_id))
+    want = set(zip(exact.vec_id, exact.neighbor_id))
+    recall = len(got & want) / len(want)
+    assert recall >= 0.8, recall
 
 
 def test_grouped_sample_nth(ray_session):
