@@ -41,6 +41,28 @@ from dedupe_ray.schema import discover_field_names, make_extract_fields_stage
 from dedupe_ray.scoring import assemble_pairs, score_pairs
 
 
+def _keyspace_mask(
+    col: "pa.ChunkedArray | pa.Array", prefix: str, frac: float
+) -> pa.Array:
+    """Vectorized deterministic key-space sampling mask: fixed-key siphash
+    (``pd.util.hash_array``, cross-process / cross-parallelism stable) of
+    ``prefix + value`` against a ``frac`` cut of the uint64 space. C-speed
+    replacement for the per-row ``zlib.crc32`` loops the samplers used
+    through round 3 — same sampling semantics (stable at any parallelism /
+    block layout), different key stream, so trained-settings caches were
+    bumped (bench settings v7)."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    vals = pc.binary_join_element_wise(
+        prefix, col.cast(pa.string()), ""
+    ).to_numpy(zero_copy_only=False)
+    h = pd.util.hash_array(vals)
+    return pa.array(h <= int(frac * 0xFFFFFFFFFFFFFFFF))
+
+
 def flatten_documents(
     docs_ds: "ray.data.Dataset", field_names: list[str] | None = None, batch_size: int | None = None
 ) -> tuple["ray.data.Dataset", list[str]]:
@@ -81,7 +103,7 @@ def _sample_blocked_pairs(
     emitted — O(n) per block, enough for a training sample; blocks larger
     than 100 members are skipped as non-discriminative.
 
-    Deterministic KEY-SPACE hash sampling, fully STREAMING: the crc32 key
+    Deterministic KEY-SPACE hash sampling, fully STREAMING: the hash key
     filter is fused into the explode pass, so the exploded dataset (5–10×
     the input) is never materialized — only the sampled sliver reaches the
     driver. The sampling rate is sized from a small hash-sample estimate of
@@ -89,8 +111,6 @@ def _sample_blocked_pairs(
     rate doubles and the (linear, stateless) pass re-runs — trading a rare
     extra CPU pass for zero object-store footprint, which is the right
     trade at 10⁹ rows. Output is identical at any parallelism level."""
-    import zlib
-
     from dedupe_ray.blocking import make_block_explode_stage
 
     sampling_preds = [f"tok1|{f}" for f in fields] + [f"whole|{f}" for f in fields]
@@ -100,13 +120,9 @@ def _sample_blocked_pairs(
 
     # keys-per-record estimate from a deterministic ~2k-record hash sample
     est_frac = min(1.0, 2000 / max(total_records, 1))
-    est_cut = int(est_frac * 0xFFFFFFFF)
 
     def est_sample(batch: pa.Table) -> pa.Table:
-        mask = pa.array(
-            [zlib.crc32(f"est:{d}".encode()) <= est_cut for d in batch.column("doc_id").to_pylist()]
-        )
-        return batch.filter(mask)
+        return batch.filter(_keyspace_mask(batch.column("doc_id"), "est:", est_frac))
 
     sample_tbl = pa.Table.from_pylist(
         flat_ds.map_batches(est_sample, batch_format="pyarrow").take_all()
@@ -121,14 +137,12 @@ def _sample_blocked_pairs(
     by_pred: dict[str, list[tuple[str, str]]] = {}
     seen: set[tuple[str, str]] = set()
     for _ in range(8):
-        cut = int(rate * 0xFFFFFFFF)
 
-        def explode_and_sample(batch: pa.Table) -> pa.Table:
+        def explode_and_sample(batch: pa.Table, _rate: float = rate) -> pa.Table:
             exploded = stage(batch)
-            mask = pa.array(
-                [zlib.crc32(k.encode()) <= cut for k in exploded.column("block_key").to_pylist()]
+            return exploded.filter(
+                _keyspace_mask(exploded.column("block_key"), "", _rate)
             )
-            return exploded.filter(mask)
 
         members: dict[str, list[str]] = {}
         for r in flat_ds.map_batches(
@@ -211,24 +225,21 @@ class RayDeduper:
                 self.idf_tables[f.field] = compute_idf(flat_ds, f.field)
 
         # uniform record sample (predicate cost estimation + random pairs) —
-        # HASH-based, not random_sample: rows are chosen by crc32(doc_id) so
-        # the sample (and therefore the trained model) is identical at any
-        # parallelism level / block layout
-        import zlib
-
+        # HASH-based, not random_sample: rows are chosen by a fixed-key hash
+        # of doc_id so the sample (and therefore the trained model) is
+        # identical at any parallelism level / block layout
         # cost-estimation sample grows with the corpus: block collisions are
         # quadratic, so a fixed 400-row sample wildly underestimates a
         # predicate's pair cost at 10⁶⁺ rows and the set-cover learner picks
         # catastrophic predicates (observed: anagram-fingerprint blocking)
         cost_n = min(10_000, max(cfg.max_training_rows, total // 200))
         frac = min(1.0, (cost_n * 1.3) / max(total, 1))
-        cut = int(frac * 0xFFFFFFFF)
+        seed_prefix = f"{cfg.seed}:"
 
         def hash_sample(batch: pa.Table) -> pa.Table:
-            mask = pa.array(
-                [zlib.crc32(f"{cfg.seed}:{d}".encode()) <= cut for d in batch.column("doc_id").to_pylist()]
+            return batch.filter(
+                _keyspace_mask(batch.column("doc_id"), seed_prefix, frac)
             )
-            return batch.filter(mask)
 
         all_rows = sorted(
             flat_ds.map_batches(hash_sample, batch_format="pyarrow").take_all(),
@@ -254,12 +265,15 @@ class RayDeduper:
         need = {i for p in pair_ids for i in p} - set(self._sample_records)
         records = dict(self._sample_records)
         if need:
-            need_ref = ray.put(need)
+            need_ref = ray.put(pa.array(sorted(need), pa.string()))
 
             def pick(batch: pa.Table) -> pa.Table:
+                import pyarrow.compute as pc
+
                 wanted = ray.get(need_ref)
-                mask = pa.array([d in wanted for d in batch.column("doc_id").to_pylist()])
-                return batch.filter(mask)
+                return batch.filter(
+                    pc.is_in(batch.column("doc_id"), value_set=wanted)
+                )
 
             for r in flat_ds.map_batches(pick, batch_format="pyarrow").take_all():
                 records[r["doc_id"]] = _rec(r)
