@@ -5,16 +5,17 @@ the span column (BASELINE.json input_hint) or a ``payload: binary`` column
 with typed metadata. The Ray-side plumbing — schemas, actor-pool stages,
 batch sizing for wide binary rows, output layout — is real and tested.
 
-Codecs: UNCOMPRESSED formats decode for real (pure numpy, no libraries):
-PPM/PGM (P6/P5 binary) and 24-bit BI_RGB BMP via :func:`decode_ppm` /
-:func:`decode_bmp`, PCM RIFF/WAVE via :func:`decode_wav`, plus
-nearest-neighbor pixel resampling (:func:`resize_nearest`). Compressed
-codecs (JPEG/PNG/ffmpeg audio/video) are STUBBED — no codec libraries
-exist in this environment: ``DecodeImage``/``DecodeAudio`` decode
-recognized payloads, fall back to the deterministic fake decoder when
-``fake=True`` (stable pseudo-features seeded by the ref hash so
-downstream stages are testable end to end), and raise
-``NotImplementedError`` otherwise, marking the integration point.
+Codecs: PPM/PGM (P6/P5 binary), 24-bit BI_RGB BMP, and 8-bit PNG (all
+color types, zlib inflate + per-row unfilter — :func:`decode_png`)
+decode for REAL in pure numpy+zlib, as does PCM RIFF/WAVE
+(:func:`decode_wav`), plus nearest-neighbor pixel resampling
+(:func:`resize_nearest`). Remaining compressed codecs (JPEG/ffmpeg
+audio/video) are STUBBED — no codec libraries exist in this
+environment: ``DecodeImage``/``DecodeAudio`` decode recognized
+payloads, fall back to the deterministic fake decoder when ``fake=True``
+(stable pseudo-features seeded by the ref hash so downstream stages are
+testable end to end), and raise ``NotImplementedError`` otherwise,
+marking the integration point.
 """
 
 from __future__ import annotations
@@ -112,6 +113,105 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     return img[::-1] if h > 0 else img  # positive height = bottom-up
 
 
+def _png_unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Reverse PNG per-row filtering (spec §9, filters 0–4) on the inflated
+    byte stream. ``raw`` is h rows of (1 filter byte + stride data bytes).
+    Vectorized where the data dependency allows (None/Up elementwise, Sub
+    via per-lane modular cumsum); Average/Paeth carry a true sequential
+    dependency along the row and scan in Python — still O(bytes), and rows
+    using them are rare in practice."""
+    raw = raw.reshape(h, stride + 1)
+    filters = raw[:, 0]
+    data = raw[:, 1:].astype(np.int64)
+    out = np.zeros((h, stride), np.int64)
+    prev = np.zeros(stride, np.int64)
+    for y in range(h):
+        f, row = int(filters[y]), data[y]
+        if f == 0:  # None
+            rec = row
+        elif f == 1:  # Sub: per-lane modular prefix sum
+            rec = row.copy()
+            for lane in range(bpp):
+                rec[lane::bpp] = np.cumsum(rec[lane::bpp]) % 256
+        elif f == 2:  # Up
+            rec = (row + prev) % 256
+        elif f == 3:  # Average
+            rec = row.copy()
+            for x in range(stride):
+                left = rec[x - bpp] if x >= bpp else 0
+                rec[x] = (rec[x] + (left + prev[x]) // 2) % 256
+        elif f == 4:  # Paeth
+            rec = row.copy()
+            for x in range(stride):
+                a = rec[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                p = a + b - c
+                pa_, pb, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa_ <= pb and pa_ <= pc_) else (b if pb <= pc_ else c)
+                rec[x] = (rec[x] + pred) % 256
+        else:
+            raise ValueError(f"unknown PNG filter type {f}")
+        out[y] = rec
+        prev = rec
+    return out.astype(np.uint8)
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Pure numpy+zlib PNG decoder → uint8 array [h, w] (gray) or
+    [h, w, 3]/[h, w, 4] (RGB/RGBA). No codec library: chunk walk per the
+    PNG spec, zlib inflate of the concatenated IDAT stream, per-row
+    unfiltering (:func:`_png_unfilter`), palette expansion from PLTE.
+
+    Supported: bit depth 8, color types 0/2/3/4/6, non-interlaced.
+    (16-bit and Adam7 interlacing raise — not needed by any pipeline
+    here and easy to bolt on.)"""
+    SIG = b"\x89PNG\r\n\x1a\n"
+    if payload[:8] != SIG:
+        raise ValueError("not a PNG payload")
+    pos, n = 8, len(payload)
+    idat = bytearray()
+    plte: bytes | None = None
+    w = h = depth = ctype = interlace = None
+    while pos + 8 <= n:
+        clen = int.from_bytes(payload[pos : pos + 4], "big")
+        ctag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + clen]
+        pos += 12 + clen  # len + tag + body + crc
+        if ctag == b"IHDR":
+            w = int.from_bytes(body[0:4], "big")
+            h = int.from_bytes(body[4:8], "big")
+            depth, ctype = body[8], body[9]
+            interlace = body[12]
+        elif ctag == b"PLTE":
+            plte = bytes(body)
+        elif ctag == b"IDAT":
+            idat += body
+        elif ctag == b"IEND":
+            break
+    if w is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    if depth != 8:
+        raise ValueError(f"only 8-bit PNG supported (depth={depth})")
+    if interlace != 0:
+        raise ValueError("Adam7-interlaced PNG not supported")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+    if channels is None:
+        raise ValueError(f"unknown PNG color type {ctype}")
+    stride = w * channels
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), np.uint8)
+    if len(raw) < h * (stride + 1):
+        raise ValueError("PNG IDAT stream truncated")
+    img = _png_unfilter(raw[: h * (stride + 1)], h, stride, channels)
+    if ctype == 3:  # palette → RGB
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE")
+        pal = np.frombuffer(plte, np.uint8).reshape(-1, 3)
+        return pal[img.reshape(h, w)]
+    img = img.reshape(h, w, channels)
+    return img[:, :, 0] if channels == 1 else img
+
+
 def resize_nearest(img: np.ndarray, max_side: int) -> np.ndarray:
     """Aspect-preserving nearest-neighbor downsample to fit
     ``max_side`` × ``max_side`` (no-op when already within bounds) —
@@ -145,10 +245,11 @@ class DecodeImage:
     """Actor-pool stage: media_ref/payload → width/height/features.
 
     Decode state lives per actor (``__init__`` — a real pipeline loads
-    its codec/model once here). Payloads in uncompressed formats decode
-    for REAL (:func:`decode_ppm` / :func:`decode_bmp` + pixel features);
-    unrecognized payloads (JPEG/PNG need codec libraries this environment
-    lacks) fall back to the deterministic fake decoder when ``fake=True``
+    its codec/model once here). PPM/PGM, BMP, and PNG payloads decode
+    for REAL (:func:`decode_ppm` / :func:`decode_bmp` / :func:`decode_png`
+    + pixel features); unrecognized payloads (JPEG needs a codec library
+    this environment lacks) fall back to the deterministic fake decoder
+    when ``fake=True``
     (stable pseudo-features seeded by the ref hash) and raise
     ``NotImplementedError`` otherwise."""
 
@@ -162,6 +263,12 @@ class DecodeImage:
             img = decode_ppm(payload)
         elif payload[:2] == b"BM":
             img = decode_bmp(payload)
+        elif payload[:8] == b"\x89PNG\r\n\x1a\n":
+            img = decode_png(payload)
+            if img.ndim == 3 and img.shape[2] == 4:
+                img = img[:, :, :3]  # drop alpha
+            elif img.ndim == 3 and img.shape[2] == 2:
+                img = img[:, :, 0]  # gray+alpha → gray
         else:
             return None
         h, w = img.shape[:2]
@@ -174,9 +281,9 @@ class DecodeImage:
                 return real
         if not self.fake:
             raise NotImplementedError(
-                "compressed image decoding requires a codec library "
-                "(PIL/ffmpeg) — not available in this environment; supply "
-                "PPM/BMP payloads or pass fake=True for the deterministic "
+                "JPEG decoding requires a codec library (PIL/ffmpeg) — "
+                "not available in this environment; supply PPM/BMP/PNG "
+                "payloads or pass fake=True for the deterministic "
                 "test decoder"
             )
         seed = zlib.crc32(ref.encode())

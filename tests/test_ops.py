@@ -563,6 +563,119 @@ def test_decode_ppm_bmp_real():
     assert all(v in big.reshape(-1, 3).tolist() for v in small.reshape(-1, 3).tolist()[:5])
 
 
+def _png_bytes(img, ctype, filters, palette=None):
+    """Hand-built PNG encoder (test-side only): applies the given per-row
+    filter types (spec §9) so the decoder's unfilter paths are all hit."""
+    import struct
+    import zlib as _z
+
+    import numpy as np
+
+    def chunk(tag, body):
+        c = struct.pack(">I", len(body)) + tag + body
+        return c + struct.pack(">I", _z.crc32(tag + body))
+
+    h, w = img.shape[:2]
+    ch = 1 if img.ndim == 2 else img.shape[2]
+    data = img.reshape(h, w * ch).astype(np.int64)
+    bpp = ch
+    raw = bytearray()
+    prev = np.zeros(w * ch, np.int64)
+    for y in range(h):
+        f = filters[y % len(filters)]
+        rec = data[y]
+        if f == 0:
+            filt = rec
+        elif f == 1:
+            left = np.concatenate([np.zeros(bpp, np.int64), rec[:-bpp]])
+            filt = (rec - left) % 256
+        elif f == 2:
+            filt = (rec - prev) % 256
+        elif f == 3:
+            left = np.concatenate([np.zeros(bpp, np.int64), rec[:-bpp]])
+            filt = (rec - (left + prev) // 2) % 256
+        elif f == 4:
+            left = np.concatenate([np.zeros(bpp, np.int64), rec[:-bpp]])
+            upleft = np.concatenate([np.zeros(bpp, np.int64), prev[:-bpp]])
+            p = left + prev - upleft
+            pa_, pb, pc_ = np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
+            pred = np.where(
+                (pa_ <= pb) & (pa_ <= pc_), left, np.where(pb <= pc_, prev, upleft)
+            )
+            filt = (rec - pred) % 256
+        raw += bytes([f]) + bytes(filt.astype(np.uint8))
+        prev = rec
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if palette is not None:
+        out += chunk(b"PLTE", bytes(palette.astype(np.uint8).reshape(-1)))
+    out += chunk(b"IDAT", _z.compress(bytes(raw))) + chunk(b"IEND", b"")
+    return out
+
+
+def test_decode_png_all_filters_and_color_types():
+    import numpy as np
+
+    from dedupe_ray.ops.multimodal import decode_png
+
+    rng = np.random.RandomState(11)
+    # RGB, every filter type exercised
+    img = rng.randint(0, 256, (10, 7, 3), dtype=np.uint8)
+    for filters in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+        np.testing.assert_array_equal(
+            decode_png(_png_bytes(img, 2, filters)), img, err_msg=str(filters)
+        )
+    # grayscale
+    g = rng.randint(0, 256, (5, 9), dtype=np.uint8)
+    np.testing.assert_array_equal(decode_png(_png_bytes(g, 0, [0, 1, 2, 3, 4])), g)
+    # RGBA
+    a = rng.randint(0, 256, (4, 4, 4), dtype=np.uint8)
+    np.testing.assert_array_equal(decode_png(_png_bytes(a, 6, [4, 3, 2, 1])), a)
+    # palette
+    pal = rng.randint(0, 256, (16, 3), dtype=np.uint8)
+    idx = rng.randint(0, 16, (6, 5), dtype=np.uint8)
+    np.testing.assert_array_equal(
+        decode_png(_png_bytes(idx, 3, [0, 1], palette=pal)), pal[idx]
+    )
+    # guards
+    import pytest
+
+    with pytest.raises(ValueError, match="not a PNG"):
+        decode_png(b"BMnope")
+
+
+def test_decode_image_stage_png_payload(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dedupe_ray.ops.multimodal import DecodeImage
+
+    # same pixels as PPM vs PNG must give identical width/height/features
+    payload, img = _ppm_bytes(6, 4, lambda x, y: (200, x * 30, y * 50))
+    png = _png_bytes(img, 2, [0, 1, 2, 3, 4])
+    rgba = np.dstack([img, np.full(img.shape[:2], 255, np.uint8)])
+    tbl = pa.table(
+        {
+            "media_ref": ["ppm", "png", "png_rgba"],
+            "payload": pa.array([payload, png, _png_bytes(rgba, 6, [4])], pa.binary()),
+        }
+    )
+    out = (
+        rd.from_arrow(tbl)
+        .map_batches(DecodeImage, fn_constructor_kwargs={"fake": False},
+                     concurrency=1, batch_format="pyarrow")
+        .to_pandas()
+        .set_index("media_ref")
+    )
+    assert out.loc["png", "width"] == 6 and out.loc["png", "height"] == 4
+    for other in ("png", "png_rgba"):  # alpha dropped → same features
+        np.testing.assert_allclose(
+            np.asarray(out.loc["ppm", "features"]),
+            np.asarray(out.loc[other, "features"]),
+        )
+
+
 def test_decode_image_stage_real_payloads(ray_session):
     import numpy as np
     import pyarrow as pa
