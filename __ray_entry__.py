@@ -1427,6 +1427,83 @@ def _q_record_link(sf_dir: str):
     )
 
 
+# ---------------------------------------------------------------------------
+# flagship ER partition path under a closed-form model (real DuckDB oracles)
+# ---------------------------------------------------------------------------
+
+
+def _er_closed_form_deduper():
+    """Hand-weighted deduper whose SELF-dedup partition is SQL-expressible,
+    so the flagship cluster path (blocking → pair assembly → scoring →
+    threshold → connected components → HAC → confidences → summary →
+    canonicalize) gets REAL DuckDB oracles — the gazetteer_link trick
+    applied to A15/A16/L17/L18/L19. score = sigmoid(-2 + 4·eq(grp) +
+    1·eq(seg)); blocking on grp makes the grp term always 4 inside a
+    candidate pair, so at threshold 0.9 the edge set is exactly the
+    same-seg pairs within a grp block (sigmoid(3) ≈ 0.9526 ≥ 0.9 >
+    sigmoid(2) ≈ 0.8808). Equality is transitive, so every component is a
+    COMPLETE graph with ONE uniform score: the HAC cut keeps each
+    component whole, cluster_id = min member doc_id (string order), and
+    every member's confidence = 1 − sqrt(mean (1−s)²) = s in closed
+    form."""
+    from dedupe_ray.config import EngineConfig, FieldConfig
+    from dedupe_ray.pipeline import RayDeduper
+
+    cfg = EngineConfig(
+        fields=[
+            FieldConfig("grp", "Exact", has_missing=False),
+            FieldConfig("seg", "Exact", has_missing=False),
+        ]
+    )
+    ded = RayDeduper(cfg)
+    ded.predicate_ids = ["whole|grp"]
+    ded.classifier.weights = np.array([4.0, 1.0])
+    ded.classifier.bias = -2.0
+    return ded
+
+
+def _er_closed_form_records(sf_dir: str):
+    """customer → flat ER records: doc_id = custkey, grp = custkey // 4
+    (blocks of ≤4 consecutive keys), seg = mktsegment (varies inside a
+    block → clusters of size 1–4 with plenty of 2s/3s/4s at every sf)."""
+
+    def shape(b: pa.Table) -> pa.Table:
+        ck = b.column("c_custkey").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": pa.array(ck.astype(str)),
+                "grp": pa.array((ck // 4).astype(str)),
+                "seg": b.column("c_mktsegment"),
+            }
+        )
+
+    return _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
+        shape, batch_format="pyarrow"
+    )
+
+
+def _q_er_clusters_exact(sf_dir: str):
+    """Flagship partition machinery under the closed-form model — every
+    stage is the production code path; only the weights are pinned."""
+    return _er_closed_form_deduper().partition(
+        _er_closed_form_records(sf_dir), threshold=0.9
+    )
+
+
+def _q_er_summary_exact(sf_dir: str):
+    from dedupe_ray.pipeline import summarize_clusters
+
+    return summarize_clusters(_q_er_clusters_exact(sf_dir))
+
+
+def _q_er_canonical_exact(sf_dir: str):
+    from dedupe_ray.clustering import canonical_reps
+
+    return canonical_reps(
+        _q_er_clusters_exact(sf_dir), _er_closed_form_records(sf_dir), ["grp", "seg"]
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "er_clusters": _q_er_clusters,
@@ -1497,6 +1574,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_topk_full_probe": _q_ivf_topk_full_probe,
         "gazetteer_link": _q_gazetteer_link,
         "record_link_one_to_one": _q_record_link,
+        "er_clusters_exact": _q_er_clusters_exact,
+        "er_cluster_summary_exact": _q_er_summary_exact,
+        "er_canonical_exact": _q_er_canonical_exact,
     }
 
 
@@ -2058,5 +2138,58 @@ def oracle_sql() -> dict[str, str]:
                     PARTITION BY id_b ORDER BY score DESC, id_a ASC
                 ) AS rn FROM scored
             ) WHERE rn = 1
+        """,
+        # Closed-form flagship partition (see _er_closed_form_deduper): at
+        # threshold 0.9 edges are exactly the same-seg pairs inside a
+        # grp = custkey//4 block; components are complete uniform-score
+        # graphs, so cluster_id = min(doc_id) (VARCHAR order) and every
+        # member's confidence = sigmoid(-2+4+1), float32 on the Ray side.
+        "er_clusters_exact": """
+            WITH recs AS (
+                SELECT CAST(c_custkey AS VARCHAR) AS doc_id,
+                       CAST(c_custkey // 4 AS VARCHAR) AS grp,
+                       c_mktsegment AS seg
+                FROM customer
+            ), grps AS (
+                SELECT grp, seg, min(doc_id) AS cluster_id, count(*) AS n
+                FROM recs GROUP BY grp, seg
+            )
+            SELECT g.cluster_id, r.doc_id,
+                   CAST(1/(1+exp(-3.0)) AS REAL) AS confidence_score
+            FROM recs r JOIN grps g ON r.grp = g.grp AND r.seg = g.seg
+            WHERE g.n >= 2
+        """,
+        # summarize_clusters = Count + Mean(confidence) per cluster; member
+        # confidences are all the same float32, so the float64 mean is
+        # order-independent (partial sums of ≤4 equal values are exact).
+        "er_cluster_summary_exact": """
+            WITH recs AS (
+                SELECT CAST(c_custkey AS VARCHAR) AS doc_id,
+                       CAST(c_custkey // 4 AS VARCHAR) AS grp,
+                       c_mktsegment AS seg
+                FROM customer
+            ), grps AS (
+                SELECT grp, seg, min(doc_id) AS cluster_id, count(*) AS n
+                FROM recs GROUP BY grp, seg HAVING count(*) >= 2
+            )
+            SELECT cluster_id,
+                   CAST(n AS BIGINT) AS group_size,
+                   avg(CAST(CAST(1/(1+exp(-3.0)) AS REAL) AS DOUBLE))
+                       AS confidence_score
+            FROM grps GROUP BY cluster_id, n
+        """,
+        # canonical_reps: members of a cluster share grp and seg by
+        # construction, so the min-mean-affine-gap centroid is that value.
+        "er_canonical_exact": """
+            WITH recs AS (
+                SELECT CAST(c_custkey AS VARCHAR) AS doc_id,
+                       CAST(c_custkey // 4 AS VARCHAR) AS grp,
+                       c_mktsegment AS seg
+                FROM customer
+            )
+            SELECT min(doc_id) AS cluster_id,
+                   CAST(count(*) AS BIGINT) AS group_size,
+                   grp, seg
+            FROM recs GROUP BY grp, seg HAVING count(*) >= 2
         """,
     }
