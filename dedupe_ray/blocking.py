@@ -197,28 +197,32 @@ def make_block_explode_stage(
         TfidfTokenCanopyPredicate,
     )
 
-    # (pid, [(family_name_or_None, fallback_fn_or_None, field), ...])
-    plans: list[list[tuple[str | None, object, str]]] = []
+    # (pid, [(family_name_or_None, fallback_fn_or_None, field, piece_id), ...])
+    # piece_id keys a per-batch memo: compound predicates reuse pieces
+    # (e.g. six learned conjunctions sharing `2gfprint|Name 1`), and the
+    # piece transforms dominate explode CPU — computing each distinct
+    # piece once per batch cut the 800k explode stage ~2× (measured).
+    plans: list[list[tuple[str | None, object, str, str]]] = []
     for p in predicate_ids:
         if p.startswith("canopy"):
             t = (index_tables or {})[p]
             cp = NGramCanopyPredicate(t["field"], t["df"], t["n_docs"])
-            plans.append([(None, cp.keys_from_value, t["field"])])
+            plans.append([(None, cp.keys_from_value, t["field"], p)])
             continue
         if p.startswith("tcanopy"):
             t = (index_tables or {})[p]
             tp = TfidfTokenCanopyPredicate(
                 t["field"], t["df"], t["n_docs"], t["threshold"]
             )
-            plans.append([(None, tp.keys_from_value, t["field"])])
+            plans.append([(None, tp.keys_from_value, t["field"], p)])
             continue
         parts = []
         for piece in p.split("+"):
             name, field = piece.split("|", 1)
             if name == "whole" or name == "token" or name in _VEC_REGEX or name in _VEC_START:
-                parts.append((name, None, field))
+                parts.append((name, None, field, piece))
             else:
-                parts.append((None, SIMPLE_PREDICATES[name], field))
+                parts.append((None, SIMPLE_PREDICATES[name], field, piece))
         plans.append(parts)
 
     def _stage(batch: pa.Table) -> pa.Table:
@@ -232,17 +236,25 @@ def make_block_explode_stage(
                 col_cache[f] = _valid_values(batch.column(f))
             return col_cache[f]
 
-        key_chunks: list[pa.Array] = []
-        row_chunks: list[np.ndarray] = []
-        for pi, parts in enumerate(plans):
-            result: tuple[pa.Array, np.ndarray] | None = None
-            for name, fb_fn, field in parts:
+        part_cache: dict[str, tuple[pa.Array, np.ndarray]] = {}
+
+        def piece_keys(name, fb_fn, field, piece_id):
+            if piece_id not in part_cache:
                 if name == "token":
                     part = _keys_token(col(field))
                 elif name is not None:
                     part = _keys_single(name, col(field))
                 else:
                     part = _keys_fallback(fb_fn, col(field))
+                part_cache[piece_id] = part
+            return part_cache[piece_id]
+
+        key_chunks: list[pa.Array] = []
+        row_chunks: list[np.ndarray] = []
+        for pi, parts in enumerate(plans):
+            result: tuple[pa.Array, np.ndarray] | None = None
+            for name, fb_fn, field, piece_id in parts:
+                part = piece_keys(name, fb_fn, field, piece_id)
                 result = part if result is None else _combine_parts(result, part, n)
                 if len(result[0]) == 0:
                     break
@@ -391,18 +403,94 @@ def _dedup_bucket(group: pa.Table) -> pa.Table:
     return t.take(pa.array(np.nonzero(keep)[0]))
 
 
+def _multikey_bitmap_agg(log2_bits: int):
+    """Global AggregateFn building a counting-bloom over ``key_hash``: the
+    finalized bitmap has a bit set for every key that MAY occur ≥2 times.
+
+    Soundness (the direction that matters): a key occurring ≥2 times ALWAYS
+    sets its multi bit — its second insert finds the seen bit already set
+    (same block: unique-counts ≥2; across blocks: the merge ORs in
+    ``seen_a & seen_b``). False positives (a singleton sharing a bit with
+    another key) only pass extra 1-member runs through the shuffle, which
+    emit no pairs — the candidate-pair output is bit-identical with or
+    without the filter. Accumulators are two fixed-size byte arrays
+    (2^log2_bits bits each), merged associatively (saturating-2-counter
+    semiring), so the aggregate is a map-side fold + small tree reduce —
+    no shuffle, no driver row pull."""
+    from ray.data.aggregate import AggregateFn
+
+    m = 1 << log2_bits
+    nbytes = m >> 3
+
+    # accumulators travel as (bytes, bytes) — Ray round-trips AggregateFn
+    # state through Arrow blocks, which would explode a numpy array into a
+    # Python list; binary scalars stay zero-copy-ish
+    def init(_k):
+        z = bytes(nbytes)
+        return (z, z)
+
+    def fold(acc, block: pa.Table):
+        seen = np.frombuffer(acc[0], np.uint8).copy()
+        multi = np.frombuffer(acc[1], np.uint8).copy()
+        kh = block.column("key_hash").to_numpy(zero_copy_only=False)
+        idx = (kh.astype(np.uint64, copy=False) & np.uint64(m - 1)).astype(np.int64)
+        u, cnt = np.unique(idx, return_counts=True)
+        byte = u >> 3
+        bit = np.left_shift(np.uint8(1), (u & 7).astype(np.uint8), dtype=np.uint8)
+        dup = ((seen[byte] & bit) != 0) | (cnt >= 2)
+        np.bitwise_or.at(multi, byte[dup], bit[dup])
+        np.bitwise_or.at(seen, byte, bit)
+        return (seen.tobytes(), multi.tobytes())
+
+    def merge(a, b):
+        sa = np.frombuffer(a[0], np.uint8)
+        sb = np.frombuffer(b[0], np.uint8)
+        ma = np.frombuffer(a[1], np.uint8)
+        mb = np.frombuffer(b[1], np.uint8)
+        return ((sa | sb).tobytes(), (ma | mb | (sa & sb)).tobytes())
+
+    return AggregateFn(
+        init=init,
+        merge=merge,
+        accumulate_block=fold,
+        finalize=lambda a: a[1],  # only the multi bitmap leaves the reduce
+        name="multikey_bitmap",
+    )
+
+
 def candidate_pairs_raw(
     flat_ds: "ray.data.Dataset",
     predicate_ids: list[str],
     max_block_size: int = 1024,
     map_batch_size: int = 8192,
     index_tables: dict | None = None,
+    singleton_filter: bool = False,
+    bitmap_log2_bits: int = 27,
 ) -> "ray.data.Dataset":
     """Block-key explode + per-bucket pair emission, NOT yet deduped:
     rows (id_a, id_b, oversized, pbucket) where oversized==1 rows are
     dropped-block markers. Checkpointable as ONE artifact so both the
     deduped pairs and the oversized count derive from it without
-    re-running the blocking pass."""
+    re-running the blocking pass.
+
+    ``singleton_filter``: most exploded rows carry a block key that occurs
+    exactly once in the whole corpus (measured 84% on the 800k bench
+    corpus) and can never produce a pair. A counting-bloom pass
+    (:func:`_multikey_bitmap_agg`) marks possibly-repeated keys, and only
+    those rows enter the all-to-all groupby — a ~5× cut of the sort input
+    (the exploded dataset is materialized once so the explode kernels run
+    once, not twice; the pair output is bit-identical either way — bloom
+    false positives keep extra singleton rows, which emit nothing).
+
+    Default OFF because it does not pay on a single node: measured at 800k
+    docs / 32 CPUs the full pair path is 13.3 s without vs 27.7 s with
+    (the sort's remote work is ~1 s here — in-memory shuffles are cheap,
+    while the bitmap partials cost n_blocks × 32 MiB of memcpy). It is a
+    SHUFFLE-BYTE lever: turn it on when the exploded set exceeds object
+    store memory and the sort spills to disk, where cutting sort
+    write+read amplification ~5× dominates a sequential rescan. Size
+    ``bitmap_log2_bits`` to ~16× the expected distinct-key count (2^27
+    bits = 16 MiB handles ~10⁷ keys at <10% false-positive rate)."""
     blocked = flat_ds.map_batches(
         make_block_explode_stage(
             predicate_ids, with_bucket=True, index_tables=index_tables, key_hash=True
@@ -410,6 +498,23 @@ def candidate_pairs_raw(
         batch_format="pyarrow",
         batch_size=map_batch_size,
     )
+    if singleton_filter:
+        blocked = blocked.materialize()
+        multi = blocked.aggregate(_multikey_bitmap_agg(bitmap_log2_bits))[
+            "multikey_bitmap"
+        ]
+        if multi is not None:
+            mref = ray.put(np.frombuffer(multi, np.uint8))
+            mask64 = np.uint64((1 << bitmap_log2_bits) - 1)
+
+            def _keep_multi(batch: pa.Table) -> pa.Table:
+                bm = ray.get(mref)
+                kh = batch.column("key_hash").to_numpy(zero_copy_only=False)
+                idx = (kh.astype(np.uint64, copy=False) & mask64).astype(np.int64)
+                keep = (bm[idx >> 3] >> (idx & 7).astype(np.uint8)) & 1
+                return batch.filter(pa.array(keep.astype(bool)))
+
+            blocked = blocked.map_batches(_keep_multi, batch_format="pyarrow")
     return blocked.groupby("bucket").map_groups(
         make_bucket_pair_emit_fn(max_block_size, key_col="key_hash"),
         batch_format="pyarrow",
