@@ -51,11 +51,12 @@ def _settings_path(n_docs: int) -> str:
     # backstop; v3 mphone/del2/token-canopy pool; v4 token-alignment
     # feature column on auto-detected String fields; v5 dmphone (Double
     # Metaphone) predicates in the pool; v6 equal-length affine-gap
-    # symmetry fix (no abbreviation discount when lengths match). The
-    # round-4 sampler vectorization kept v6: _crc32_vec is bit-identical
-    # to the old per-row zlib.crc32 loop, so samples and models are
-    # unchanged (the transient v7 siphash keying was reverted).
-    return os.path.join(_SETTINGS_DIR, f"settings_n{n_docs}_s42_v6.json")
+    # symmetry fix (no abbreviation discount when lengths match); v7
+    # lcanopy (BK-tree Levenshtein radius canopy) predicates in the pool.
+    # (The round-4 sampler vectorization did NOT bump: _crc32_vec is
+    # bit-identical to the old per-row zlib.crc32 loop, so samples and
+    # models are unchanged by it.)
+    return os.path.join(_SETTINGS_DIR, f"settings_n{n_docs}_s42_v7.json")
 
 
 def _ensure_trained(n_docs: int, docs_path: str, truth_path: str) -> float:

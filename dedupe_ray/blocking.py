@@ -204,6 +204,13 @@ def make_block_explode_stage(
     # piece once per batch cut the 800k explode stage ~2× (measured).
     plans: list[list[tuple[str | None, object, str, str]]] = []
     for p in predicate_ids:
+        if p.startswith("lcanopy"):
+            from dedupe_ray.predicates import LevenshteinCanopyPredicate
+
+            t = (index_tables or {})[p]
+            lp = LevenshteinCanopyPredicate(t["field"], t["values"], t["radius"])
+            plans.append([(None, lp.keys_from_value, t["field"], p)])
+            continue
         if p.startswith("canopy"):
             t = (index_tables or {})[p]
             cp = NGramCanopyPredicate(t["field"], t["df"], t["n_docs"])

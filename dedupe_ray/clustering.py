@@ -550,19 +550,25 @@ def cluster_edges(
         edges_pd = scored_edges.to_pandas()
         comp_of = _components_driver(pa.Table.from_pandas(edges_pd[["id_a", "id_b"]]))
         comp_of = split_giant_components(edges_pd, comp_of, max_component_size)
-        comp_ref = ray.put(comp_of)
+        # broadcast as a Series so annotate's lookup is a vectorized hash
+        # join (Series.map), not a per-row dict loop
+        comp_ref = ray.put(pd.Series(comp_of, dtype=object))
 
         def annotate(batch: pa.Table) -> pa.Table:
-            m = ray.get(comp_ref)
-            ca = [m.get(x, x) for x in batch.column("id_a").to_pylist()]
-            cb = [m.get(x, x) for x in batch.column("id_b").to_pylist()]
+            mser = ray.get(comp_ref)
+            a = pd.Series(batch.column("id_a").to_numpy(zero_copy_only=False))
+            b = pd.Series(batch.column("id_b").to_numpy(zero_copy_only=False))
+            ca = a.map(mser).where(lambda s: s.notna(), a)
+            cb = b.map(mser).where(lambda s: s.notna(), b)
             # edges straddling a giant-component split are dropped
-            keep = pa.array([x == y for x, y in zip(ca, cb)])
-            out = batch.append_column("component_id", pa.array(ca, pa.string()))
+            keep = pa.array((ca.to_numpy(object) == cb.to_numpy(object)))
+            out = batch.append_column(
+                "component_id", pa.array(ca.to_numpy(object), pa.string())
+            )
             out = out.append_column(
                 "cbucket",
                 pa.array(
-                    (pd.util.hash_array(np.asarray(ca, object)) % N_CBUCKETS).astype(np.int32)
+                    (pd.util.hash_array(ca.to_numpy(object)) % N_CBUCKETS).astype(np.int32)
                 ),
             )
             return out.filter(keep)

@@ -281,6 +281,18 @@ def learn_predicates(
                 index_tables[tp.pid] = {
                     "field": fname, "df": tdf, "n_docs": len(cost_records), "threshold": thr,
                 }
+        # L6: true BK-tree Levenshtein radius canopies (radii 1, 2), indexed
+        # on the cost-sample's distinct values like the canopy DF tables
+        from dedupe_ray.predicates import LevenshteinCanopyPredicate
+
+        uniq_vals = sorted({v for v in values if v})
+        if uniq_vals:
+            for rad in LevenshteinCanopyPredicate.RADII:
+                lp = LevenshteinCanopyPredicate(fname, uniq_vals, rad)
+                pool.append(lp)
+                index_tables[lp.pid] = {
+                    "field": fname, "values": lp.values, "radius": rad,
+                }
 
     # per-predicate: which match pairs it covers + candidate pair cost +
     # which records it REACHES (emits ≥1 key for). A record with no key
@@ -323,7 +335,7 @@ def learn_predicates(
     if compound:
         by_cost = [
             p for p in sorted(cover, key=lambda q: cost[q])
-            if not p.startswith(("canopy", "tcanopy"))
+            if not p.startswith(("canopy", "tcanopy", "lcanopy"))
         ]
         simple_ids = by_cost[:12]
         # force the per-field any-token and whole-field predicates into the

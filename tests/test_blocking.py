@@ -90,3 +90,30 @@ def test_compound_piece_memo_matches_brute_force(small_corpus):
     pairs_ds, _ = candidate_pairs(flat, preds, max_block_size=4096)
     got = {(r["id_a"], r["id_b"]) for r in pairs_ds.take_all()}
     assert got == want
+
+
+def test_lcanopy_explode_path(small_corpus):
+    """lcanopy predicate ids rebuild their SymSpell index from index_tables
+    inside the explode stage and co-block values within the radius."""
+    from dedupe_ray.blocking import candidate_pairs
+
+    flat = _flat_records(small_corpus)
+    records = flat.take_all()
+    vals = sorted({r.get("Name 1") or "" for r in records} - {""})
+    tables = {"lcanopy1|Name 1": {"field": "Name 1", "values": vals, "radius": 1}}
+    pairs_ds, _ = candidate_pairs(
+        flat, ["lcanopy1|Name 1"], max_block_size=4096, index_tables=tables
+    )
+    got = {(r["id_a"], r["id_b"]) for r in pairs_ds.take_all()}
+    # oracle: pairs sharing an indexed value within radius 1 of both sides
+    from dedupe_ray.predicates import LevenshteinCanopyPredicate
+
+    pred = LevenshteinCanopyPredicate("Name 1", vals, 1)
+    keys = {r["doc_id"]: set(pred.keys(r)) for r in records}
+    want = {
+        (a, b)
+        for i, a in enumerate(sorted(keys))
+        for b in sorted(keys)[i + 1 :]
+        if keys[a] & keys[b]
+    }
+    assert got == want and got  # non-trivial: corpus has near-identical names

@@ -186,3 +186,37 @@ def test_crc32_vec_matches_zlib(values, prefix):
         [zlib.crc32(f"{prefix}{v}".encode()) for v in values], np.uint32
     )
     assert got.shape == want.shape and (got == want).all()
+
+
+@given(
+    st.lists(st.text(alphabet=st.sampled_from("abcdef"), max_size=8), min_size=1, max_size=60),
+    st.text(alphabet=st.sampled_from("abcdef"), max_size=8),
+    st.sampled_from([1, 2]),
+)
+@settings(max_examples=80, deadline=None)
+def test_bktree_and_symspell_match_brute_force(values, query, radius):
+    """Both L6 radius-search structures must return EXACTLY the indexed
+    values within the radius (sorted) — the small alphabet forces dense
+    near-neighborhoods, the worst case for pruning bugs."""
+    from dedupe_ray.distances import levenshtein
+    from dedupe_ray.predicates import BKTree, SymSpellIndex
+
+    vals = sorted({v for v in values if v})
+    want = sorted(v for v in vals if levenshtein(query, v) <= radius)
+    assert BKTree(vals).search(query, radius) == want
+    assert sorted(SymSpellIndex(vals, radius).search(query)) == want
+
+
+@given(st.text(alphabet=st.sampled_from("abcd"), min_size=1, max_size=6))
+@settings(max_examples=40, deadline=None)
+def test_lcanopy_pairs_within_radius_coblock(s):
+    """Any two indexed values within the radius share a block key under the
+    lcanopy predicate (the L6 recall contract)."""
+    from dedupe_ray.distances import levenshtein
+    from dedupe_ray.predicates import LevenshteinCanopyPredicate
+
+    # neighbor by one substitution (distance ≤ 1)
+    t = ("z" + s[1:]) if len(s) > 1 else "z"
+    pred = LevenshteinCanopyPredicate("f", [s, t, "unrelatedlongvalue"], 1)
+    if levenshtein(s, t) <= 1:
+        assert set(pred.keys({"f": s})) & set(pred.keys({"f": t}))
