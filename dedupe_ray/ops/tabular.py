@@ -16,6 +16,22 @@ import ray.data
 from dedupe_ray.config import MISSING
 
 
+def _bucket_hash_col(col: "pa.Array | pa.ChunkedArray", nb: int) -> pa.Array:
+    """Grouping-only bucket hash of a key column: fixed-key siphash
+    (``pd.util.hash_array``, cross-process deterministic) of the stringified
+    values, mod ``nb``, vectorized. Bucket choice only co-locates keys — it
+    never affects output content — so parity with the per-row crc32 loops
+    this replaces is not required."""
+    import numpy as np
+    import pandas as pd
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    s = col.cast(pa.string()).fill_null("\x00null")
+    h = pd.util.hash_array(s.to_numpy(zero_copy_only=False))
+    return pa.array((h % np.uint64(nb)).astype(np.int32))
+
+
 def column_mapped_union(
     ds_target: "ray.data.Dataset",
     ds_other: "ray.data.Dataset",
@@ -199,17 +215,13 @@ def sessionize(
     user cardinality. Events of one user must fit a bucket group — the
     same assumption every per-user window op makes."""
     import numpy as np
-    import zlib
 
     from dedupe_ray.blocking import N_BUCKETS
 
     def bucketize(b: pa.Table) -> pa.Table:
-        h = np.fromiter(
-            (zlib.crc32(str(v).encode()) % N_BUCKETS for v in b.column(user_column).to_pylist()),
-            np.int32,
-            len(b),
+        return b.append_column(
+            "ubucket", _bucket_hash_col(b.column(user_column), N_BUCKETS)
         )
-        return b.append_column("ubucket", pa.array(h))
 
     def assign(group: pa.Table) -> pa.Table:
         if len(group) == 0:
@@ -1041,8 +1053,6 @@ def _grouped_window(
     ``kernel(sorted_table, new_key_mask)`` appends the window columns.
     Ties in ``order_columns`` must be broken by a unique column for a
     deterministic result — callers include one."""
-    import zlib
-
     import numpy as np
 
     from dedupe_ray.blocking import N_BUCKETS
@@ -1050,15 +1060,9 @@ def _grouped_window(
     nb = n_buckets or N_BUCKETS
 
     def bucketize(b: pa.Table) -> pa.Table:
-        h = np.fromiter(
-            (
-                zlib.crc32(str(v).encode()) % nb
-                for v in b.column(key_column).to_pylist()
-            ),
-            np.int32,
-            len(b),
+        return b.append_column(
+            "__wbkt", _bucket_hash_col(b.column(key_column), nb)
         )
-        return b.append_column("__wbkt", pa.array(h))
 
     sort_keys = [(key_column, "ascending")] + [
         (c, "ascending") for c in order_columns
@@ -1258,20 +1262,12 @@ def grouped_dense_rank(
 
     # reuse the shared bucketed-window shape but with a custom sort
     # direction on the order column
-    import zlib
-
     from dedupe_ray.blocking import N_BUCKETS
 
     def bucketize(b: pa.Table) -> pa.Table:
-        h = np.fromiter(
-            (
-                zlib.crc32(str(x).encode()) % N_BUCKETS
-                for x in b.column(key_column).to_pylist()
-            ),
-            np.int32,
-            len(b),
+        return b.append_column(
+            "__wbkt", _bucket_hash_col(b.column(key_column), N_BUCKETS)
         )
-        return b.append_column("__wbkt", pa.array(h))
 
     sort_keys = [(key_column, "ascending")] + order
 
