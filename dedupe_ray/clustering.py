@@ -604,11 +604,35 @@ def cluster_edges(
 
     def _per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         # one call per hash bucket of components (bucketed-groupby pattern:
-        # per-group python overhead amortized over many small components)
-        outs = [
+        # per-group python overhead amortized over many small components).
+        # Single-EDGE components are 2-member clusters (pairs are globally
+        # deduped, so exactly one edge per member pair) and dominate real
+        # partitions — they are emitted WHOLESALE here (cluster_id = min id,
+        # confidence = the edge score, matching cluster_component's n==2
+        # branch bit for bit), so the per-component python loop only runs
+        # for components with ≥2 edges.
+        sizes = g.groupby("component_id")["component_id"].transform("size")
+        singles = g[sizes == 1]
+        outs = []
+        if len(singles):
+            a = singles["id_a"].to_numpy(object)
+            b = singles["id_b"].to_numpy(object)
+            lo = np.where(a < b, a, b)
+            conf = singles["score"].to_numpy(np.float32)
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "cluster_id": np.repeat(lo, 2),
+                        "doc_id": np.stack([a, b], axis=1).reshape(-1),
+                        "confidence_score": np.repeat(conf, 2),
+                    }
+                )
+            )
+        rest = g[sizes > 1]
+        outs.extend(
             cluster_component(sub, threshold)
-            for _, sub in g.groupby("component_id", sort=True)
-        ]
+            for _, sub in rest.groupby("component_id", sort=True)
+        )
         if not outs:
             return pd.DataFrame(
                 {"cluster_id": pd.Series([], dtype=str), "doc_id": pd.Series([], dtype=str),
