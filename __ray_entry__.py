@@ -1504,6 +1504,19 @@ def _q_er_canonical_exact(sf_dir: str):
     )
 
 
+def _q_heavy_hitters_nation(sf_dir: str):
+    """Misra–Gries heavy hitters over customer nations — exact in this
+    regime (25 distinct values ≪ capacity, so no per-batch truncation
+    happens and err == 0; the mergeable-summary path is still the code
+    that runs)."""
+    from dedupe_ray.ops.sketch import heavy_hitters
+
+    cust = _read(sf_dir, "customer", ["c_nationkey"])
+    top, err = heavy_hitters(cust, "c_nationkey", k=10, capacity=256)
+    assert err == 0  # exact regime — the oracle depends on it
+    return top
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "er_clusters": _q_er_clusters,
@@ -1577,6 +1590,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "er_clusters_exact": _q_er_clusters_exact,
         "er_cluster_summary_exact": _q_er_summary_exact,
         "er_canonical_exact": _q_er_canonical_exact,
+        "heavy_hitters_nation": _q_heavy_hitters_nation,
     }
 
 
@@ -2191,5 +2205,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS group_size,
                    grp, seg
             FROM recs GROUP BY grp, seg HAVING count(*) >= 2
+        """,
+        # Misra–Gries summary in the exact regime (distinct ≪ capacity):
+        # both sides order by (n desc, value asc) so the top-10 SET is
+        # deterministic across tie boundaries.
+        "heavy_hitters_nation": """
+            SELECT CAST(c_nationkey AS VARCHAR) AS value,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM customer GROUP BY c_nationkey
+            ORDER BY n DESC, value ASC LIMIT 10
         """,
     }

@@ -169,3 +169,84 @@ def hll_approx_distinct(
         precision,
         out_column,
     )
+
+
+# ---------------------------------------------------------------------------
+# Heavy hitters (Misra–Gries / mergeable truncated-counts summary)
+# ---------------------------------------------------------------------------
+
+
+def heavy_hitters(
+    ds: "ray.data.Dataset",
+    column: str,
+    k: int = 10,
+    capacity: int = 256,
+) -> tuple[pa.Table, int]:
+    """Top-``k`` most frequent values of ``column`` with lower-bound counts
+    and a global error bound — the Misra–Gries frequency summary (Misra &
+    Gries 1982) in its mergeable form (Agarwal et al. 2013, "Mergeable
+    Summaries"), shaped for Ray Data:
+
+    1. per-BATCH combiner: exact vectorized value counts, truncated to the
+       ``capacity`` most frequent (ties broken by value for determinism);
+       the batch's max dropped count rides along as the partial's error
+       contribution (0 when the batch has ≤ capacity distinct values),
+    2. a groupby("value") SUM over the partials — the shuffle carries at
+       most n_batches × capacity rows regardless of corpus size,
+    3. a tiny driver top-k on the summed lower bounds.
+
+    Guarantee: for every value, ``true − est ≤ err`` where ``err`` is the
+    returned sum of per-batch max-dropped counts, itself ≤ N/(capacity+1)
+    (the (capacity+1)-th largest count in a batch of n rows is ≤
+    n/(capacity+1)). When every batch sees ≤ ``capacity`` distinct values
+    the result is EXACT (err == 0) — the regime the DuckDB oracle pins.
+
+    Returns ``(table(value, n), err)`` with rows ordered by n desc then
+    value asc — deterministic at any parallelism."""
+    import pyarrow.compute as pc
+
+    def partial(batch: pa.Table) -> pa.Table:
+        col = batch.column(column)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        vc = col.cast(pa.string()).fill_null("\x00null").value_counts()
+        vals = vc.field("values")
+        cnts = vc.field("counts").to_numpy(zero_copy_only=False)
+        if len(vals) > capacity:
+            import numpy as np
+
+            order = pc.sort_indices(
+                pa.table({"v": vals, "c": pa.array(cnts)}),
+                sort_keys=[("c", "descending"), ("v", "ascending")],
+            ).to_numpy(zero_copy_only=False)
+            keep = order[:capacity]
+            dropped_max = int(cnts[order[capacity]])
+            vals = pc.take(vals, pa.array(keep))
+            cnts = cnts[keep]
+        else:
+            dropped_max = 0
+        out = pa.table(
+            {
+                "value": vals,
+                "n": pa.array(cnts, pa.int64()),
+                "err": pa.array([dropped_max] + [0] * (len(vals) - 1), pa.int64())
+                if len(vals)
+                else pa.array([], pa.int64()),
+            }
+        )
+        return out
+
+    from ray.data.aggregate import Sum
+
+    summed = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("value")
+        .aggregate(Sum("n", alias_name="n"), Sum("err", alias_name="err"))
+    )
+    merged = pa.Table.from_pandas(summed.to_pandas(), preserve_index=False)
+    # bounded: ≤ n_batches × capacity distinct values reach the driver
+    err = int(pc.sum(merged.column("err")).as_py() or 0)
+    top = merged.select(["value", "n"]).sort_by(
+        [("n", "descending"), ("value", "ascending")]
+    )
+    return top.slice(0, k), err

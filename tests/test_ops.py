@@ -1491,3 +1491,37 @@ def test_hll_merge_equals_union_sketch(tmp_path, ray_session):
     assert got.equals(want)  # register-max merge == sketch of concatenation
     # sanity: estimates in a plausible band (true x=500, y=100)
     assert 400 <= got["x"] <= 600 and 80 <= got["y"] <= 120
+
+
+def test_heavy_hitters_exact_and_bounded(ray_session):
+    from collections import Counter
+
+    from dedupe_ray.ops.sketch import heavy_hitters
+
+    rng = np.random.RandomState(13)
+    # zipf-ish: value i appears ~ N/i times
+    vals = [f"v{i:03d}" for i in range(1, 60) for _ in range(600 // i)]
+    rng.shuffle(vals)
+    truth = Counter(vals)
+    ds = rd.from_arrow(pa.table({"w": vals})).repartition(8)
+
+    # exact regime: capacity above distinct count → err 0, counts exact
+    top, err = heavy_hitters(ds, "w", k=5, capacity=256)
+    assert err == 0
+    got = list(zip(top.column("value").to_pylist(), top.column("n").to_pylist()))
+    want = sorted(truth.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert got == want
+
+    # tight capacity: lower-bound counts within the reported error
+    top2, err2 = heavy_hitters(ds, "w", k=5, capacity=8)
+    assert err2 > 0
+    for v, n in zip(top2.column("value").to_pylist(), top2.column("n").to_pylist()):
+        assert n <= truth[v] <= n + err2, (v, n, truth[v], err2)
+    # the undisputed heaviest value survives truncation
+    assert top2.column("value")[0].as_py() == "v001"
+
+    # parallelism invariance in the exact regime
+    top3, _ = heavy_hitters(
+        rd.from_arrow(pa.table({"w": vals})).repartition(2), "w", k=5, capacity=256
+    )
+    assert top3.equals(top)
