@@ -1517,6 +1517,46 @@ def _q_heavy_hitters_nation(sf_dir: str):
     return top
 
 
+def _q_cap_per_source(sf_dir: str):
+    """Per-source quota cap (Common-Crawl-style domain quota): each source
+    keeps its 8 smallest doc_ids."""
+    from dedupe_ray.ops.tabular import cap_per_key
+
+    docs = _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+    return cap_per_key(docs, "source", "doc_id", 8)
+
+
+def _q_mix_corpora(sf_dir: str):
+    """Weighted two-source corpus mix over documents split by source
+    parity ('even' sources at 0.3, 'odd' at 0.9), modulo strategy on
+    doc_id so the mix is ANSI-SQL-expressible; the default hash strategy
+    is property-tested instead."""
+    import pyarrow.compute as pc
+
+    from dedupe_ray.ops.tabular import mix_corpora
+
+    docs = _read(sf_dir, "documents", ["doc_id", "source"])
+
+    def side(parity: int):
+        def _f(b: pa.Table) -> pa.Table:
+            idx = pc.cast(
+                pc.utf8_slice_codeunits(b.column("source"), 3, 99), pa.int64()
+            )
+            import numpy as np
+
+            m = (idx.to_numpy(zero_copy_only=False) % 2) == parity
+            return b.filter(pa.array(m))
+
+        return docs.map_batches(_f, batch_format="pyarrow")
+
+    return mix_corpora(
+        {"even": side(0), "odd": side(1)},
+        {"even": 0.3, "odd": 0.9},
+        "doc_id",
+        strategy="modulo",
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "er_clusters": _q_er_clusters,
@@ -1591,6 +1631,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "er_cluster_summary_exact": _q_er_summary_exact,
         "er_canonical_exact": _q_er_canonical_exact,
         "heavy_hitters_nation": _q_heavy_hitters_nation,
+        "cap_per_source": _q_cap_per_source,
+        "mix_corpora_modulo": _q_mix_corpora,
     }
 
 
@@ -2214,5 +2256,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n
             FROM customer GROUP BY c_nationkey
             ORDER BY n DESC, value ASC LIMIT 10
+        """,
+        "cap_per_source": """
+            SELECT doc_id, source, n_chars FROM (
+                SELECT doc_id, source, n_chars,
+                       row_number() OVER (PARTITION BY source ORDER BY doc_id)
+                           AS rn
+                FROM documents
+            ) WHERE rn <= 8
+        """,
+        # modulo-strategy mix: 'even' sources at 0.3, 'odd' at 0.9
+        "mix_corpora_modulo": """
+            WITH tagged AS (
+                SELECT doc_id, source,
+                       CASE WHEN CAST(substr(source, 4) AS BIGINT) % 2 = 0
+                            THEN 'even' ELSE 'odd' END AS mix_source
+                FROM documents
+            )
+            SELECT doc_id, source, mix_source FROM tagged
+            WHERE doc_id % 1000 <
+                  CASE mix_source WHEN 'even' THEN 300 ELSE 900 END
         """,
     }

@@ -463,6 +463,112 @@ def grouped_sample_nth(
     )
 
 
+def cap_per_key(
+    ds: "ray.data.Dataset",
+    key_column: str,
+    order_column: str,
+    n: int,
+    n_buckets: int = 256,
+) -> "ray.data.Dataset":
+    """Per-key quota cap: keep each key's first ``n`` rows in
+    ``order_column`` order (the Common-Crawl-style per-domain/source quota
+    that stops one giant source from dominating a training mix) — SQL
+    ``row_number() OVER (PARTITION BY key ORDER BY ord) <= n``.
+    ``order_column`` must be a unique tiebreaker (an id) for a
+    deterministic result.
+
+    Same shape as :func:`grouped_sample_nth`: ONE bucketed shuffle, one
+    vectorized lexsort + run-relative rank per bucket, any key
+    cardinality."""
+    import numpy as np
+    import pandas as pd
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        vals = b.column(key_column).to_numpy(zero_copy_only=False)
+        bkt = (pd.util.hash_array(vals) % n_buckets).astype(np.int32)
+        return b.append_column("__cbkt", pa.array(bkt))
+
+    def cap(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["__cbkt"])
+        keys = g.column(key_column).to_numpy(zero_copy_only=False)
+        codes, _ = pd.factorize(keys)
+        order_vals = g.column(order_column).to_numpy(zero_copy_only=False)
+        order = np.lexsort((order_vals, codes))
+        s_codes = codes[order]
+        pos = np.arange(len(order), dtype=np.int64)
+        new_run = np.concatenate(([True], s_codes[1:] != s_codes[:-1]))
+        run_start = np.maximum.accumulate(np.where(new_run, pos, -1))
+        keep = (pos - run_start) < n
+        return g.take(pa.array(np.sort(order[keep])))
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("__cbkt")
+        .map_groups(cap, batch_format="pyarrow")
+    )
+
+
+def mix_corpora(
+    sources: dict[str, "ray.data.Dataset"],
+    weights: dict[str, float],
+    key_column: str,
+    strategy: str = "hash",
+    seed: str = "mix",
+) -> "ray.data.Dataset":
+    """Deterministic weighted corpus mixing (the LLM-training data-mix
+    step): every source keeps a weight-sized, per-row-deterministic slice
+    of its rows, tagged ``mix_source``, and the slices union into one
+    stream. Down-sampling only (0 ≤ w ≤ 1) — up-weighting is explicit
+    epoch repetition at the trainer, never silent row duplication.
+
+    ``strategy="hash"`` (default): a row survives iff
+    ``crc32(f"{seed}:{name}:{key}") ≤ w·2³²`` — independent of row order,
+    partitioning, and the other sources (the same vectorized keyspace
+    machinery the training samplers use); rate accuracy is
+    property-tested. ``strategy="modulo"``: survives iff
+    ``(key % 1000) < round(w·1000)`` for integer keys — weaker mixing
+    (assumes keys uniform mod 1000) but ANSI-SQL-expressible, which is
+    what the driver oracle pins."""
+    import numpy as np
+
+    if set(sources) != set(weights):
+        raise ValueError("sources and weights must share keys")
+    outs = []
+    for name in sorted(sources):
+        w = float(weights[name])
+        if not 0.0 <= w <= 1.0:
+            raise ValueError(f"weight for {name!r} must be in [0, 1], got {w}")
+        if w == 0.0:
+            continue
+        if strategy == "hash":
+            from dedupe_ray.pipeline import _keyspace_mask
+
+            def _stage(b: pa.Table, _w=w, _name=name) -> pa.Table:
+                kept = b.filter(
+                    _keyspace_mask(b.column(key_column), f"{seed}:{_name}:", _w)
+                )
+                return kept.append_column(
+                    "mix_source", pa.array([_name] * len(kept), pa.string())
+                )
+
+        elif strategy == "modulo":
+            cut = int(round(w * 1000))
+
+            def _stage(b: pa.Table, _cut=cut, _name=name) -> pa.Table:
+                k = b.column(key_column).to_numpy(zero_copy_only=False)
+                kept = b.filter(pa.array((k % 1000) < _cut))
+                return kept.append_column(
+                    "mix_source", pa.array([_name] * len(kept), pa.string())
+                )
+
+        else:
+            raise ValueError(f"unknown strategy {strategy!r}")
+        outs.append(sources[name].map_batches(_stage, batch_format="pyarrow"))
+    if not outs:
+        raise ValueError("all weights are zero")
+    return outs[0].union(*outs[1:]) if len(outs) > 1 else outs[0]
+
+
 def pack_documents(
     ds: "ray.data.Dataset",
     group_column: str,

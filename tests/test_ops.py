@@ -1525,3 +1525,46 @@ def test_heavy_hitters_exact_and_bounded(ray_session):
         rd.from_arrow(pa.table({"w": vals})).repartition(2), "w", k=5, capacity=256
     )
     assert top3.equals(top)
+
+
+def test_cap_per_key(ray_session):
+    from dedupe_ray.ops.tabular import cap_per_key
+
+    rows = [
+        {"k": k, "id": i, "v": f"{k}{i}"}
+        for k in ("a", "b", "c")
+        for i in range(5 if k != "c" else 2)
+    ]
+    ds = rd.from_items(rows).repartition(4)
+    out = cap_per_key(ds, "k", "id", 3).to_pandas().sort_values(["k", "id"])
+    assert out.groupby("k").size().to_dict() == {"a": 3, "b": 3, "c": 2}
+    assert out[out.k == "a"]["id"].tolist() == [0, 1, 2]  # smallest ids kept
+
+
+def test_mix_corpora_hash_rates_and_determinism(ray_session):
+    from dedupe_ray.ops.tabular import mix_corpora
+
+    n = 4000
+    a = rd.from_arrow(pa.table({"doc_id": list(range(n))}))
+    b = rd.from_arrow(pa.table({"doc_id": list(range(n))}))
+    mixed = mix_corpora(
+        {"big": a, "small": b}, {"big": 0.8, "small": 0.2}, "doc_id"
+    ).to_pandas()
+    counts = mixed.groupby("mix_source").size()
+    assert abs(counts["big"] / n - 0.8) < 0.03
+    assert abs(counts["small"] / n - 0.2) < 0.03
+    # per-row deterministic: same input partitioned differently → same rows
+    again = mix_corpora(
+        {"big": a.repartition(7), "small": b.repartition(3)},
+        {"big": 0.8, "small": 0.2},
+        "doc_id",
+    ).to_pandas()
+    key = lambda df: sorted(zip(df.mix_source, df.doc_id))
+    assert key(again) == key(mixed)
+    # zero-weight source vanishes; bad weight raises
+    only = mix_corpora(
+        {"big": a, "small": b}, {"big": 0.5, "small": 0.0}, "doc_id"
+    ).to_pandas()
+    assert set(only.mix_source) == {"big"}
+    with pytest.raises(ValueError):
+        mix_corpora({"big": a}, {"big": 1.5}, "doc_id")
