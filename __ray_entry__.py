@@ -1557,6 +1557,17 @@ def _q_mix_corpora(sf_dir: str):
     )
 
 
+def _q_embedding_centroids(sf_dir: str):
+    """Per-label mean embedding in exploded (label, dim, centroid) rows —
+    reduction-order-free by per-element floor-quantized int64 sums, so the
+    float result is bit-identical at any parallelism AND replayable in
+    ANSI SQL."""
+    from dedupe_ray.ops.embedding import embedding_centroids
+
+    emb = _read(sf_dir, "embeddings", ["label", "embedding"])
+    return embedding_centroids(emb, "label")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "er_clusters": _q_er_clusters,
@@ -1633,6 +1644,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters_nation": _q_heavy_hitters_nation,
         "cap_per_source": _q_cap_per_source,
         "mix_corpora_modulo": _q_mix_corpora,
+        "embedding_centroids": _q_embedding_centroids,
     }
 
 
@@ -2276,5 +2288,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, source, mix_source FROM tagged
             WHERE doc_id % 1000 <
                   CASE mix_source WHEN 'even' THEN 300 ELSE 900 END
+        """,
+        # per-element floor-quantized int64 sums → exact, order-free float
+        # mean (the stable form per the float-sum flake rule); parallel
+        # UNNESTs zip in DuckDB
+        "embedding_centroids": """
+            WITH ex AS (
+                SELECT label,
+                       UNNEST(range(len(embedding))) AS dim,
+                       UNNEST(embedding) AS val
+                FROM embeddings
+            )
+            SELECT label, CAST(dim AS INTEGER) AS dim,
+                   (CAST(sum(CAST(floor(CAST(val AS DOUBLE) * 1000000) AS BIGINT)) AS DOUBLE)
+                        / 1000000) / count(*) AS centroid
+            FROM ex GROUP BY label, dim
         """,
     }

@@ -560,3 +560,161 @@ def embedding_near_dup_pairs(
         oversized = raw.filter(expr="oversized == 1").select_columns(["over_bucket", "n_members"])
         return pairs, oversized
     return pairs
+
+
+# ---------------------------------------------------------------------------
+# Vector aggregates: per-label centroids + distributed k-means
+# ---------------------------------------------------------------------------
+
+
+def embedding_centroids(
+    ds: "ray.data.Dataset",
+    label_column: str = "label",
+    quantize: int = 1_000_000,
+) -> pa.Table:
+    """Mean embedding per label, REDUCTION-ORDER-FREE: each vector element
+    is quantized to ``round(v·quantize)`` int64 units per batch, partial
+    (int-sum-per-dim, count) rows shuffle through a tiny label groupby,
+    and the mean is the exact integer sum divided by the count. Summing
+    floats across Ray's nondeterministic batch order drifts in the last
+    bit (the round-3 flake class); integer sums of per-element-quantized
+    values are associative, so the result is bit-identical at any
+    parallelism — and expressible in ANSI SQL for the driver oracle.
+
+    Returns (``label_column``, dim: int32, centroid: float64) in exploded
+    per-dimension rows (list columns hash poorly in oracle compares)."""
+    import pandas as pd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = _batch_matrix(batch).astype(np.float64)
+        q = np.floor(m * quantize).astype(np.int64)
+        labels = batch.column(label_column).to_numpy(zero_copy_only=False)
+        codes, uniq = pd.factorize(labels)
+        dim = q.shape[1] if len(q) else 0
+        sums = np.zeros((len(uniq), dim), np.int64)
+        np.add.at(sums, codes, q)
+        counts = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+        return pa.table(
+            {
+                label_column: pa.array(np.repeat(uniq, dim)),
+                "dim": pa.array(np.tile(np.arange(dim, dtype=np.int32), len(uniq))),
+                "qsum": pa.array(sums.reshape(-1)),
+                "cnt": pa.array(np.repeat(counts, dim)),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby([label_column, "dim"])
+        .aggregate(Sum("qsum", alias_name="qsum"), Sum("cnt", alias_name="cnt"))
+        .to_pandas()  # bounded: n_labels × dim rows
+    )
+    merged["centroid"] = (merged["qsum"] / quantize) / merged["cnt"]
+    out = merged[[label_column, "dim", "centroid"]].sort_values(
+        [label_column, "dim"]
+    )
+    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+
+
+def kmeans_fit(
+    ds: "ray.data.Dataset",
+    k: int = 8,
+    iters: int = 10,
+    quantize: int = 1_000_000,
+    seed: int = 42,
+    id_column: str = "vec_id",
+) -> np.ndarray:
+    """Distributed Lloyd's k-means over the FULL dataset (not the
+    driver-sample coarse quantizer of :func:`train_centroids`): per
+    iteration, one map pass assigns every vector to its nearest centroid
+    and emits per-centroid (quantized int64 sum-per-dim, count) partials;
+    a global aggregate merges them and the driver recomputes centroids —
+    O(k·dim) driver state, zero shuffle of vectors.
+
+    Deterministic at ANY parallelism: init centroids are the k smallest
+    ``crc32(f"{seed}:{id}")`` rows (keyspace choice, not row order), and
+    the quantized integer partials make every iteration's sums exact and
+    associative (float accumulation across Ray's nondeterministic batch
+    order drifts in the last bit and diverges after a few iterations).
+    Empty clusters keep their previous centroid. Returns [k, dim]
+    float64."""
+    import zlib
+
+    # deterministic seed rows: k smallest hash values (two passes: a cheap
+    # hash-min aggregate would need the vectors anyway, so one partial
+    # top-k per batch + tiny driver reduce)
+    def seed_partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_column).to_numpy(zero_copy_only=False)
+        h = np.array(
+            [zlib.crc32(f"{seed}:{i}".encode()) for i in ids], np.uint64
+        )
+        kk = min(k, len(h))
+        top = np.argpartition(h, kk - 1)[:kk] if kk and kk < len(h) else np.arange(len(h))
+        m = _batch_matrix(batch).astype(np.float64)
+        dim = m.shape[1] if len(m) else 0
+        return pa.table(
+            {
+                "h": pa.array(h[top]),
+                "vec": pa.FixedSizeListArray.from_arrays(
+                    pa.array(m[top].reshape(-1)), dim or 1
+                ),
+            }
+        )
+
+    seeds = (
+        ds.map_batches(seed_partial, batch_format="pyarrow").to_pandas()
+    )  # bounded: ≤ k rows per batch
+    seeds = seeds.sort_values("h").head(k)
+    cent = np.stack([np.asarray(v, np.float64) for v in seeds["vec"]])
+
+    from ray.data.aggregate import Sum
+
+    for _ in range(iters):
+        cref = ray.put(cent)
+
+        def assign_partial(batch: pa.Table) -> pa.Table:
+            c = ray.get(cref)
+            m = _batch_matrix(batch).astype(np.float64)
+            if not len(m):
+                return pa.table(
+                    {
+                        "c": pa.array([], pa.int32()),
+                        "dim": pa.array([], pa.int32()),
+                        "qsum": pa.array([], pa.int64()),
+                        "cnt": pa.array([], pa.int64()),
+                    }
+                )
+            d2 = ((m * m).sum(axis=1)[:, None] - 2.0 * (m @ c.T)
+                  + (c * c).sum(axis=1)[None, :])
+            a = d2.argmin(axis=1)
+            q = np.floor(m * quantize).astype(np.int64)
+            sums = np.zeros((len(c), m.shape[1]), np.int64)
+            np.add.at(sums, a, q)
+            counts = np.bincount(a, minlength=len(c)).astype(np.int64)
+            dim = m.shape[1]
+            return pa.table(
+                {
+                    "c": pa.array(np.repeat(np.arange(len(c), dtype=np.int32), dim)),
+                    "dim": pa.array(np.tile(np.arange(dim, dtype=np.int32), len(c))),
+                    "qsum": pa.array(sums.reshape(-1)),
+                    "cnt": pa.array(np.repeat(counts, dim)),
+                }
+            )
+
+        merged = (
+            ds.map_batches(assign_partial, batch_format="pyarrow")
+            .groupby(["c", "dim"])
+            .aggregate(Sum("qsum", alias_name="qsum"), Sum("cnt", alias_name="cnt"))
+            .to_pandas()  # bounded: k × dim rows
+        )
+        merged = merged.sort_values(["c", "dim"])
+        dim = cent.shape[1]
+        new = cent.copy()
+        for ci, grp in merged.groupby("c"):
+            n = int(grp["cnt"].iloc[0])
+            if n > 0:
+                new[int(ci)] = (grp["qsum"].to_numpy(np.float64) / quantize) / n
+        cent = new
+    return cent

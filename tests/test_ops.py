@@ -1568,3 +1568,44 @@ def test_mix_corpora_hash_rates_and_determinism(ray_session):
     assert set(only.mix_source) == {"big"}
     with pytest.raises(ValueError):
         mix_corpora({"big": a}, {"big": 1.5}, "doc_id")
+
+
+def test_embedding_centroids_exact_and_invariant(ray_session):
+    from dedupe_ray.ops.embedding import embedding_centroids
+
+    rng = np.random.RandomState(17)
+    X = rng.normal(size=(300, 4)).astype(np.float32)
+    labels = rng.randint(0, 3, 300)
+    tbl = pa.table({"label": labels, "embedding": [r.tolist() for r in X]})
+    out = embedding_centroids(rd.from_arrow(tbl), "label").to_pandas()
+    # matches the quantized mean computed directly
+    q = np.floor(X.astype(np.float64) * 1_000_000)
+    for lbl in range(3):
+        m = (q[labels == lbl].sum(axis=0) / 1_000_000) / (labels == lbl).sum()
+        got = out[out.label == lbl].sort_values("dim")["centroid"].to_numpy()
+        np.testing.assert_array_equal(got, m)
+    # bit-identical at a different partitioning
+    out2 = embedding_centroids(
+        rd.from_arrow(tbl).repartition(7), "label"
+    ).to_pandas()
+    assert out.equals(out2)
+
+
+def test_kmeans_fit_converges_and_is_parallelism_invariant(ray_session):
+    from dedupe_ray.ops.embedding import kmeans_fit
+
+    rng = np.random.RandomState(23)
+    centers = np.array([[5, 5, 5], [-5, -5, 5], [0, 0, -8]], np.float64)
+    X = (centers[rng.randint(0, 3, 600)] + rng.normal(size=(600, 3))).astype(
+        np.float32
+    )
+    tbl = pa.table(
+        {"vec_id": np.arange(600, dtype=np.int64), "embedding": [r.tolist() for r in X]}
+    )
+    c1 = kmeans_fit(rd.from_arrow(tbl), k=3, iters=8)
+    # every true center has a learned centroid within 1.0
+    for ctr in centers:
+        assert np.linalg.norm(c1 - ctr, axis=1).min() < 1.0
+    # bit-identical across partitionings (quantized integer partials)
+    c2 = kmeans_fit(rd.from_arrow(tbl).repartition(9), k=3, iters=8)
+    np.testing.assert_array_equal(c1, c2)
