@@ -1568,6 +1568,50 @@ def _q_embedding_centroids(sf_dir: str):
     return embedding_centroids(emb, "label")
 
 
+def _q_full_outer_join(sf_dir: str):
+    """FULL OUTER equi-join via the bucketed lookup join: even-keyed
+    customers × per-customer order counts for keys divisible by 3 —
+    both sides have guaranteed unmatched keys."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+
+    from dedupe_ray.joins import bucketed_lookup_join
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+
+    def even(b: pa.Table) -> pa.Table:
+        k = b.column("c_custkey")
+        t = b.filter(pc.equal(pc.bit_wise_and(k, 1), 0))
+        return pa.table({"k": t.column("c_custkey"), "c_mktsegment": t.column("c_mktsegment")})
+
+    left = cust.map_batches(even, batch_format="pyarrow")
+
+    orders = _read(sf_dir, "orders", ["o_custkey"])
+
+    def div3(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        k = b.column("o_custkey").to_numpy(zero_copy_only=False)
+        t = b.filter(pa.array(k % 3 == 0))
+        return t
+
+    filtered = orders.map_batches(div3, batch_format="pyarrow")
+    counts = (
+        filtered.groupby("o_custkey")
+        .aggregate(Count(alias_name="n_orders"))
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "k": b.column("o_custkey"),
+                    "n_orders": pc.cast(b.column("n_orders"), pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    return bucketed_lookup_join(left, counts, "k", "k", ["n_orders"], how="full")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "er_clusters": _q_er_clusters,
@@ -1645,6 +1689,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cap_per_source": _q_cap_per_source,
         "mix_corpora_modulo": _q_mix_corpora,
         "embedding_centroids": _q_embedding_centroids,
+        "full_outer_join": _q_full_outer_join,
     }
 
 
@@ -2303,5 +2348,16 @@ def oracle_sql() -> dict[str, str]:
                    (CAST(sum(CAST(floor(CAST(val AS DOUBLE) * 1000000) AS BIGINT)) AS DOUBLE)
                         / 1000000) / count(*) AS centroid
             FROM ex GROUP BY label, dim
+        """,
+        "full_outer_join": """
+            WITH l AS (
+                SELECT c_custkey AS k, c_mktsegment FROM customer
+                WHERE c_custkey % 2 = 0
+            ), r AS (
+                SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS n_orders
+                FROM orders WHERE o_custkey % 3 = 0 GROUP BY o_custkey
+            )
+            SELECT COALESCE(l.k, r.k) AS k, l.c_mktsegment, r.n_orders
+            FROM l FULL OUTER JOIN r ON l.k = r.k
         """,
     }

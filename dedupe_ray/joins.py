@@ -56,13 +56,15 @@ def bucketed_lookup_join(
     Every left column is kept and ``right_value_cols`` are appended; with
     ``how="inner"`` left rows with no right match are dropped, with
     ``how="left"`` they survive with NULL right values (SQL LEFT OUTER
-    JOIN against a unique key). The right side's keys must be unique
-    (records by doc_id, node→component, …) — with duplicate right keys
-    the first occurrence wins (``index_in`` semantics); rows are never
-    multiplied.
+    JOIN against a unique key), and with ``how="full"`` unmatched RIGHT
+    keys additionally surface as rows whose left columns are NULL except
+    the key (SQL FULL OUTER JOIN with ``COALESCE(l.key, r.key)`` as the
+    key). The right side's keys must be unique (records by doc_id,
+    node→component, …) — with duplicate right keys the first occurrence
+    wins (``index_in`` semantics); rows are never multiplied.
     """
-    if how not in ("inner", "left"):
-        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    if how not in ("inner", "left", "full"):
+        raise ValueError(f"how must be 'inner', 'left' or 'full', got {how!r}")
     left_schema = left_ds.schema()
     left_names = list(left_schema.names)
     left_types = {n: _pa_type(t) for n, t in zip(left_schema.names, left_schema.types)}
@@ -100,19 +102,27 @@ def bucketed_lookup_join(
             {n: pa.array([], left_types.get(n) or right_types[n]) for n in out_names}
         )
         if len(lhs) == 0:
-            return empty
+            return rhs.select(out_names) if how == "full" else empty
         if len(rhs) == 0:
             if how == "inner":
                 return empty
             # left rows already carry typed nulls for the right columns
             return lhs.select(out_names)
         idx = pc.index_in(lhs.column(left_key), value_set=rhs.column(left_key).combine_chunks())
-        if how == "left":
+        if how in ("left", "full"):
             data = {n: lhs.column(n) for n in left_names}
             for c in right_value_cols:
                 # take with a null index yields null — misses stay NULL
                 data[c] = pc.take(rhs.column(c), idx)
-            return pa.table(data)
+            out = pa.table(data)
+            if how == "left":
+                return out
+            # full: append right rows whose key matched no left row
+            ridx = pc.index_in(
+                rhs.column(left_key), value_set=lhs.column(left_key).combine_chunks()
+            )
+            r_only = rhs.filter(pc.is_null(ridx)).select(out_names)
+            return pa.concat_tables([out.select(out_names), r_only])
         valid = pc.is_valid(idx)
         hit = lhs.filter(valid)
         idx_v = idx.filter(valid)

@@ -308,3 +308,29 @@ def test_bucketed_left_join(ray_session):
 
     with pytest.raises(ValueError, match="how must be"):
         bucketed_lookup_join(left, right, "k", "rk", ["v"], how="full")
+
+
+def test_bucketed_lookup_join_full_outer(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dedupe_ray.joins import bucketed_lookup_join
+
+    left = rd.from_arrow(
+        pa.table({"k": [1, 2, 3, 4], "lv": ["a", "b", "c", "d"]})
+    )
+    right = rd.from_arrow(pa.table({"rk": [3, 4, 5, 6], "rv": [30, 40, 50, 60]}))
+    out = (
+        bucketed_lookup_join(left, right, "k", "rk", ["rv"], how="full")
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    import pandas as pd
+
+    assert out["k"].tolist() == [1, 2, 3, 4, 5, 6]
+    assert out["rv"].isna().tolist() == [True, True, False, False, False, False]
+    assert out.loc[2, "rv"] == 30 and out.loc[3, "rv"] == 40
+    # right-only rows carry null left values except the key
+    assert pd.isna(out.loc[4, "lv"]) and pd.isna(out.loc[5, "lv"])
+    assert out.loc[4, "rv"] == 50 and out.loc[5, "rv"] == 60
