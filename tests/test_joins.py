@@ -307,7 +307,7 @@ def test_bucketed_left_join(ray_session):
     import pytest
 
     with pytest.raises(ValueError, match="how must be"):
-        bucketed_lookup_join(left, right, "k", "rk", ["v"], how="full")
+        bucketed_lookup_join(left, right, "k", "rk", ["v"], how="cross")
 
 
 def test_bucketed_lookup_join_full_outer(ray_session):
