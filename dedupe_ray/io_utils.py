@@ -25,8 +25,29 @@ import ray
 import ray.data
 
 
-def read_table(path: str, columns: list[str] | None = None) -> "ray.data.Dataset":
-    """Format seam: parquet today, lance when available (same call sites)."""
+def read_table(
+    path: str, columns: list[str] | None = None, format: str | None = None
+) -> "ray.data.Dataset":
+    """Format seam: one call site for every pipeline read.
+
+    ``format`` is inferred from the path (``.lance`` → Lance, else
+    parquet) or forced explicitly. Lance (the BASELINE.json input format)
+    routes through ``ray.data.read_lance`` when the ``lance`` package is
+    importable — this sandbox doesn't ship it, so the route is exercised
+    by a stub-injected unit test and fails with a clear error otherwise;
+    parquet carries the identical schema either way, so pipelines never
+    see the difference."""
+    fmt = format or ("lance" if path.rstrip("/").endswith(".lance") else "parquet")
+    if fmt == "lance":
+        try:
+            import lance  # noqa: F401
+        except ImportError as e:
+            raise ImportError(
+                "reading a Lance table requires the 'lance' package, which "
+                "is not installed in this environment; re-materialize the "
+                "table as parquet (same schema) or install pylance"
+            ) from e
+        return ray.data.read_lance(path, columns=columns)
     return ray.data.read_parquet(path, columns=columns)
 
 

@@ -93,3 +93,52 @@ def test_write_partitioned_resumable(tmp_path, ray_session):
     # clean rerun: everything skipped, nothing rewritten
     r3 = write_partitioned_resumable(ds, out, "k")
     assert r3 == {"written": [], "skipped": ["a", "b", "c"]}
+
+
+def test_read_table_lance_route(ray_session, tmp_path, monkeypatch):
+    """The Lance seam: .lance paths route to ray.data.read_lance when the
+    package imports (stub-injected here — the sandbox has no pylance), and
+    raise a clear ImportError when it doesn't."""
+    import sys
+    import types
+
+    import pytest
+    import ray.data as rd
+
+    from dedupe_ray.io_utils import read_table
+
+    calls = {}
+
+    def fake_read_lance(path, columns=None):
+        calls["path"], calls["columns"] = path, columns
+        import pyarrow as pa
+
+        return rd.from_arrow(pa.table({"doc_id": ["x"]}))
+
+    monkeypatch.setitem(sys.modules, "lance", types.ModuleType("lance"))
+    monkeypatch.setattr(rd, "read_lance", fake_read_lance)
+    out = read_table("/data/corpus.lance", columns=["doc_id"])
+    assert out.take_all() == [{"doc_id": "x"}]
+    assert calls == {"path": "/data/corpus.lance", "columns": ["doc_id"]}
+
+    monkeypatch.delitem(sys.modules, "lance")
+    import builtins
+
+    real_import = builtins.__import__
+
+    def no_lance(name, *a, **kw):
+        if name == "lance":
+            raise ImportError("no lance")
+        return real_import(name, *a, **kw)
+
+    monkeypatch.setattr(builtins, "__import__", no_lance)
+    with pytest.raises(ImportError, match="parquet"):
+        read_table("/data/corpus.lance")
+
+    # parquet default unaffected
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+
+    p = tmp_path / "t.parquet"
+    pq.write_table(pa.table({"a": [1, 2]}), p)
+    assert read_table(str(p)).count() == 2
