@@ -41,9 +41,11 @@ def _kna_dataset(sf_dir: str):
 
 
 def _read(sf_dir: str, table: str, columns: list[str] | None = None):
-    import ray.data as rd
+    # every driver query reads through the io_utils format seam (parquet
+    # here; a .lance path would route to ray.data.read_lance)
+    from dedupe_ray.io_utils import read_table
 
-    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    return read_table(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
 # ---------------------------------------------------------------------------
