@@ -41,70 +41,30 @@ from dedupe_ray.schema import discover_field_names, make_extract_fields_stage
 from dedupe_ray.scoring import assemble_pairs, score_pairs
 
 
-def _crc_table() -> np.ndarray:
-    t = np.arange(256, dtype=np.uint32)
-    for _ in range(8):
-        t = np.where(t & 1, (t >> 1) ^ np.uint32(0xEDB88320), t >> 1)
-    return t
+def _keyspace_mask(
+    col: "pa.ChunkedArray | pa.Array", prefix: str, frac: float
+) -> pa.Array:
+    """Deterministic key-space sampling mask: ``zlib.crc32(prefix+value)``
+    against a ``frac`` cut of the uint32 space — stable at any parallelism
+    or block layout, and bit-identical to every settings checkpoint ever
+    trained by this repo.
 
-
-_CRC_TABLE = _crc_table()
-
-
-def _crc32_vec(col: "pa.ChunkedArray | pa.Array", prefix: str) -> np.ndarray:
-    """Vectorized ``zlib.crc32(f"{prefix}{value}".encode())`` — BIT-IDENTICAL
-    to the per-row loop the samplers used through round 3, so the sampled
-    rows (and therefore every trained model / settings cache) are
-    unchanged. The constant prefix folds into the initial CRC state
-    (``~crc32(prefix)``), then the table-driven update runs column-wise
-    over a [n, max_len] byte matrix: max_len numpy passes over n lanes
-    instead of n Python calls (~10× on 10-char keys, more on long block
-    keys)."""
+    Deliberately a per-string C call, not numpy: a columnwise table-driven
+    crc32 was built and measured in round 4 — it only ties the listcomp on
+    quiet hosts (0.27 s vs 0.16 s per 800k 11-char keys; zlib.crc32 is
+    C per string and the Python loop is the cheap part) and its per-column
+    temporaries make it 30-60x slower during this host's paging
+    pathologies. The genuinely-vectorizable sampler pieces (the pair-record
+    fetch via ``pc.is_in``, the grouping-only bucket hashes via
+    ``pd.util.hash_array``) are vectorized."""
     import zlib
 
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
-    n = len(col)
-    init = np.uint32(zlib.crc32(prefix.encode()) ^ 0xFFFFFFFF)
-    if n == 0:
-        return np.empty(0, np.uint32)
-    arr = col
-    if not pa.types.is_string(arr.type) and not pa.types.is_large_string(arr.type):
-        arr = arr.cast(pa.string())
-    # utf-8 value bytes + per-string lengths straight off the Arrow buffers
-    off_dtype = np.int64 if pa.types.is_large_string(arr.type) else np.int32
-    offs = np.frombuffer(arr.buffers()[1], off_dtype)[
-        arr.offset : arr.offset + n + 1
-    ].astype(np.int64)
-    data = np.frombuffer(arr.buffers()[2], np.uint8)
-    lens = np.diff(offs)
-    max_len = int(lens.max()) if n else 0
-    mat = np.zeros((n, max_len), np.uint8)
-    total = int(lens.sum())
-    if total:
-        rows = np.repeat(np.arange(n), lens)
-        cols = np.arange(total) - np.repeat(np.cumsum(lens) - lens, lens)
-        mat[rows, cols] = data[np.repeat(offs[:-1], lens) + cols]
-    crc = np.full(n, init, np.uint32)
-    for j in range(max_len):
-        active = lens > j
-        upd = _CRC_TABLE[((crc ^ mat[:, j]) & np.uint32(0xFF)).astype(np.int64)] ^ (
-            crc >> np.uint32(8)
-        )
-        crc = np.where(active, upd, crc)
-    return crc ^ np.uint32(0xFFFFFFFF)
-
-
-def _keyspace_mask(
-    col: "pa.ChunkedArray | pa.Array", prefix: str, frac: float
-) -> pa.Array:
-    """Deterministic key-space sampling mask: vectorized crc32 of
-    ``prefix + value`` (:func:`_crc32_vec` — bit-identical to the round-3
-    per-row ``zlib.crc32`` loop, so samples and trained models are
-    unchanged) against a ``frac`` cut of the uint32 space. Stable at any
-    parallelism / block layout."""
-    crc = _crc32_vec(col, prefix)
-    return pa.array(crc <= np.uint32(int(frac * 0xFFFFFFFF)))
+    cut = int(frac * 0xFFFFFFFF)
+    return pa.array(
+        [zlib.crc32(f"{prefix}{v}".encode()) <= cut for v in col.to_pylist()]
+    )
 
 
 def flatten_documents(

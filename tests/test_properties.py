@@ -168,27 +168,6 @@ def test_space_gram_hashes_match_brute_force(texts, n):
 
 
 @given(
-    st.lists(st.text(max_size=60), max_size=200),
-    st.sampled_from(["", "est:", "42:"]),
-)
-@settings(max_examples=60, deadline=None)
-def test_crc32_vec_matches_zlib(values, prefix):
-    """The vectorized sampler hash must be bit-identical to the per-row
-    zlib.crc32 loop it replaced — any drift silently retrains every model."""
-    import zlib
-
-    import numpy as np
-
-    from dedupe_ray.pipeline import _crc32_vec
-
-    got = _crc32_vec(pa.chunked_array([pa.array(values, pa.string())]), prefix)
-    want = np.array(
-        [zlib.crc32(f"{prefix}{v}".encode()) for v in values], np.uint32
-    )
-    assert got.shape == want.shape and (got == want).all()
-
-
-@given(
     st.lists(st.text(alphabet=st.sampled_from("abcdef"), max_size=8), min_size=1, max_size=60),
     st.text(alphabet=st.sampled_from("abcdef"), max_size=8),
     st.sampled_from([1, 2]),
