@@ -1614,6 +1614,12 @@ def _q_full_outer_join(sf_dir: str):
     return bucketed_lookup_join(left, counts, "k", "k", ["n_orders"], how="full")
 
 
+def _q_split_sentences(sf_dir: str):
+    from dedupe_ray.ops.text import split_sentences
+
+    return split_sentences(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "er_clusters": _q_er_clusters,
@@ -1692,6 +1698,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mix_corpora_modulo": _q_mix_corpora,
         "embedding_centroids": _q_embedding_centroids,
         "full_outer_join": _q_full_outer_join,
+        "split_sentences": _q_split_sentences,
     }
 
 
@@ -2361,5 +2368,22 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT COALESCE(l.k, r.k) AS k, l.c_mktsegment, r.n_orders
             FROM l FULL OUTER JOIN r ON l.k = r.k
+        """,
+        # identical RE2 op chain as the Ray op (mark boundaries with a
+        # capture backreference, split on the record separator) — RE2 has
+        # no lookbehind in either engine
+        "split_sentences": """
+            WITH s AS (
+                SELECT doc_id,
+                       string_split(
+                           regexp_replace(text, '([.!?]) +', '\\1' || chr(30), 'g'),
+                           chr(30)
+                       ) AS sents
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(UNNEST(range(len(sents))) AS INTEGER) AS sent_idx,
+                   UNNEST(sents) AS sentence
+            FROM s
         """,
     }

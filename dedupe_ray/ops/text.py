@@ -573,3 +573,50 @@ def chunk_documents(
         )
 
     return ds.map_batches(chunk, batch_format="pyarrow")
+
+
+def split_sentences(
+    ds: "ray.data.Dataset",
+    column: str = "text",
+    id_column: str = "doc_id",
+) -> "ray.data.Dataset":
+    """Sentence segmentation: one row per sentence (``id, sent_idx,
+    sentence``), terminal punctuation PRESERVED.
+
+    The boundary rule is deliberately a two-step RE2-compatible op chain —
+    mark boundaries with ``regexp_replace('([.!?]) +', '\\1<RS>')``, then
+    split on the record separator — because RE2 (pyarrow AND DuckDB) has
+    no lookbehind; running the identical chain in both engines is what
+    lets the driver oracle pin this op exactly. Fully vectorized: one
+    regex pass + one split + offset flatten per batch."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    RS = "\x1e"
+
+    def split(batch: pa.Table) -> pa.Table:
+        txt = pc.fill_null(batch.column(column), "")
+        marked = pc.replace_substring_regex(
+            txt, pattern=r"([.!?]) +", replacement=r"\1" + RS
+        )
+        parts = pc.split_pattern(marked, pattern=RS)
+        if isinstance(parts, pa.ChunkedArray):
+            parts = parts.combine_chunks()
+        offsets = parts.offsets.to_numpy(zero_copy_only=False)
+        counts = np.diff(offsets)
+        ids = batch.column(id_column)
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        parent = np.repeat(np.arange(len(batch)), counts)
+        idx = np.arange(int(counts.sum()), dtype=np.int64) - np.repeat(
+            np.cumsum(counts) - counts, counts
+        )
+        return pa.table(
+            {
+                id_column: pc.take(ids, pa.array(parent)),
+                "sent_idx": pa.array(idx.astype(np.int32)),
+                "sentence": parts.flatten(),
+            }
+        )
+
+    return ds.map_batches(split, batch_format="pyarrow")

@@ -1609,3 +1609,26 @@ def test_kmeans_fit_converges_and_is_parallelism_invariant(ray_session):
     # bit-identical across partitionings (quantized integer partials)
     c2 = kmeans_fit(rd.from_arrow(tbl).repartition(9), k=3, iters=8)
     np.testing.assert_array_equal(c1, c2)
+
+
+def test_split_sentences(ray_session):
+    from dedupe_ray.ops.text import split_sentences
+
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": ["a", "b", "c"],
+                "text": [
+                    "First one. Second two! Third three? Done",
+                    "No boundary here",
+                    "",
+                ],
+            }
+        )
+    )
+    out = split_sentences(ds).to_pandas().sort_values(["doc_id", "sent_idx"])
+    a = out[out.doc_id == "a"]["sentence"].tolist()
+    assert a == ["First one.", "Second two!", "Third three?", "Done"]
+    assert out[out.doc_id == "a"]["sent_idx"].tolist() == [0, 1, 2, 3]
+    assert out[out.doc_id == "b"]["sentence"].tolist() == ["No boundary here"]
+    assert out[out.doc_id == "c"]["sentence"].tolist() == [""]
