@@ -1614,6 +1614,15 @@ def _q_full_outer_join(sf_dir: str):
     return bucketed_lookup_join(left, counts, "k", "k", ["n_orders"], how="full")
 
 
+def _q_top_quarter_docs(sf_dir: str):
+    """Quality pruning: keep documents in the top 25% by n_chars (exact
+    shuffle-free quantile cutoff + one streamed filter)."""
+    from dedupe_ray.ops.tabular import filter_top_fraction
+
+    docs = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    return filter_top_fraction(docs, "n_chars", 0.25)
+
+
 def _q_split_sentences(sf_dir: str):
     from dedupe_ray.ops.text import split_sentences
 
@@ -1699,6 +1708,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_centroids": _q_embedding_centroids,
         "full_outer_join": _q_full_outer_join,
         "split_sentences": _q_split_sentences,
+        "top_quarter_docs": _q_top_quarter_docs,
     }
 
 
@@ -2385,5 +2395,9 @@ def oracle_sql() -> dict[str, str]:
                    CAST(UNNEST(range(len(sents))) AS INTEGER) AS sent_idx,
                    UNNEST(sents) AS sentence
             FROM s
+        """,
+        "top_quarter_docs": """
+            SELECT doc_id, n_chars FROM documents
+            WHERE n_chars >= (SELECT quantile_disc(n_chars, 0.75) FROM documents)
         """,
     }

@@ -818,6 +818,28 @@ def pivot_counts(
     )
 
 
+def filter_top_fraction(
+    ds: "ray.data.Dataset",
+    column: str,
+    fraction: float,
+) -> "ray.data.Dataset":
+    """Quality-threshold pruning: keep the rows whose ``column`` value is
+    in the top ``fraction`` of the corpus — SQL ``WHERE v >= (SELECT
+    quantile_disc(v, 1-fraction) ...)``. The cutoff comes from
+    :func:`global_quantile_disc` (exact, shuffle-free at any scale), then
+    one streamed filter pass — the standard "keep the best X% by quality
+    score" step of a training-data pipeline. Ties at the cutoff are kept
+    (≥), so the result can exceed ``fraction`` exactly as the SQL does."""
+    if not 0.0 < fraction <= 1.0:
+        raise ValueError(f"fraction must be in (0, 1], got {fraction}")
+    cutoff = global_quantile_disc(ds, column, q=1.0 - fraction)
+
+    def keep(b: pa.Table) -> pa.Table:
+        return b.filter(pc.greater_equal(b.column(column), cutoff))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
 def global_quantile_disc(
     ds: "ray.data.Dataset",
     column: str,

@@ -1632,3 +1632,15 @@ def test_split_sentences(ray_session):
     assert out[out.doc_id == "a"]["sent_idx"].tolist() == [0, 1, 2, 3]
     assert out[out.doc_id == "b"]["sentence"].tolist() == ["No boundary here"]
     assert out[out.doc_id == "c"]["sentence"].tolist() == [""]
+
+
+def test_filter_top_fraction(ray_session):
+    from dedupe_ray.ops.tabular import filter_top_fraction
+
+    vals = list(range(100))
+    ds = rd.from_arrow(pa.table({"id": vals, "v": vals})).repartition(5)
+    out = filter_top_fraction(ds, "v", 0.25).to_pandas()
+    # quantile_disc(v, 0.75) over 0..99 = element at floor(99*0.75)=74 → v>=74
+    assert sorted(out["v"]) == list(range(74, 100))
+    with pytest.raises(ValueError):
+        filter_top_fraction(ds, "v", 0.0)
