@@ -56,8 +56,53 @@ def _encode(strings: list[str], max_len: int) -> tuple[np.ndarray, np.ndarray]:
     return codes, lens
 
 
+def _factorize_pairs(
+    a: list[str], b: list[str]
+) -> tuple[list[str], list[str], np.ndarray]:
+    """Canonical unique-pair dedup: (a, b) pair lists → (ua, ub, inv) where
+    kernel(a, b) == kernel(ua, ub)[inv] for any SYMMETRIC elementwise kernel.
+
+    Candidate-pair batches repeat the same field-value pair heavily for
+    low-cardinality fields (measured on the 800k flagship: City 9.5×,
+    Region 86×, Country 156× duplication per 4096-pair batch) — computing
+    each distinct (value, value) pair once and scattering is exact and
+    collapses that work. None is normalized to "" (the kernels' own
+    convention) BEFORE factorizing, since pd.factorize would code None as -1.
+    """
+    import pandas as pd
+
+    n = len(a)
+    both = np.array([(s or "") for s in a] + [(s or "") for s in b], object)
+    codes, uniques = pd.factorize(both)
+    ca, cb = codes[:n], codes[n:]
+    lo = np.minimum(ca, cb).astype(np.int64)
+    hi = np.maximum(ca, cb).astype(np.int64)
+    key = lo * len(uniques) + hi
+    ukey, inv = np.unique(key, return_inverse=True)
+    ulo = ukey // len(uniques)
+    uhi = ukey % len(uniques)
+    return list(uniques[ulo]), list(uniques[uhi]), inv
+
+
 def affine_gap_batch(a_strings: list[str], b_strings: list[str]) -> np.ndarray:
-    """Normalized affine-gap distance for each pair; float32 [n]."""
+    """Normalized affine-gap distance for each pair; float32 [n].
+
+    Memoized over distinct canonical pairs (the kernel is symmetric — the
+    core orders each pair longer-first itself, and equal-length pairs are
+    symmetric because the abbreviation discount needs a strictly longer
+    side); the DP runs once per distinct (a, b) value pair."""
+    n = len(a_strings)
+    if n <= 8:
+        return _affine_gap_core(a_strings, b_strings)
+    ua, ub, inv = _factorize_pairs(a_strings, b_strings)
+    if len(ua) == n:  # no duplication — skip the scatter copy
+        return _affine_gap_core(
+            [s or "" for s in a_strings], [s or "" for s in b_strings]
+        )
+    return _affine_gap_core(ua, ub)[inv]
+
+
+def _affine_gap_core(a_strings: list[str], b_strings: list[str]) -> np.ndarray:
     n = len(a_strings)
     out = np.empty(n, np.float32)
     if n == 0:
@@ -99,7 +144,6 @@ def affine_gap_batch(a_strings: list[str], b_strings: list[str]) -> np.ndarray:
     ac, la = _encode(sa, la_max)
     bc, lb = _encode(sb, max(lb_max, 1))
     m = len(idx)
-    rows = np.arange(m)
 
     if lb_max == 0:
         # one side empty: pure gap
@@ -108,56 +152,87 @@ def affine_gap_batch(a_strings: list[str], b_strings: list[str]) -> np.ndarray:
         out[idx] = (dist / norm).astype(np.float32)
         return out
 
-    # DP state over j = 0..lb_max (cost of aligning a[:i] with b[:j])
-    Mm = np.full((m, lb_max + 1), _INF, np.float32)  # ends in (mis)match
-    Ii = np.full((m, lb_max + 1), _INF, np.float32)  # ends in gap in A (consume b)
-    Dd = np.full((m, lb_max + 1), _INF, np.float32)  # ends in gap in B (consume a)
+    # Sort by the longer side's length so finished pairs fall off the FRONT
+    # of the DP state: row i only needs pairs with la >= i, which after the
+    # sort is a suffix. Cost drops from la_max·m row-updates to sum(la) —
+    # ~2× on skewed name fields. Row ops are independent across pairs, so
+    # reordering + slicing is exact.
+    order = np.argsort(la, kind="stable")
+    la_s = la[order]
+    lb_s = lb[order]
+    ac_s = ac[order]
+    bmat = bc[order][:, :lb_max]  # [m, lb_max]
+    out_idx = idx[order]
+
+    width = lb_max
+    # DP state over j = 0..width (cost of aligning a[:i] with b[:j])
+    Mm = np.full((m, width + 1), _INF, np.float32)  # ends in (mis)match
+    Ii = np.full((m, width + 1), _INF, np.float32)  # ends in gap in A (consume b)
+    Dd = np.full((m, width + 1), _INF, np.float32)  # ends in gap in B (consume a)
     Mm[:, 0] = 0.0
-    j_arr = np.arange(1, lb_max + 1, dtype=np.float32)
+    j_arr = np.arange(1, width + 1, dtype=np.float32)
     Ii[:, 1:] = GAP_OPEN + SPACE * j_arr
 
-    jspace = SPACE * np.arange(lb_max + 1, dtype=np.float32)
+    jspace = SPACE * np.arange(width + 1, dtype=np.float32)
     final = np.full(m, _INF, np.float32)
     abbrev_best = np.full(m, _INF, np.float32)
-    bmat = bc[:, :lb_max]  # [m, lb_max]
 
     # abbreviation discount exists only when the strings differ in length:
     # the original affinegap activates it in rows i > len(shorter) only,
     # which for equal-length pairs is never — and that is what keeps the
     # distance symmetric for equal-length inputs (either string may be "A")
-    strictly_longer = la > lb
+    strictly_longer = (la_s > lb_s)
+    start = 0
     for i in range(1, la_max + 1):
+        ns = int(np.searchsorted(la_s, i))  # first pair with la >= i
+        if ns > start:
+            d = ns - start
+            Mm, Ii, Dd, bmat = Mm[d:], Ii[d:], Dd[d:], bmat[d:]
+            start = ns
+            if start >= m:
+                break
+            w2 = int(lb_s[start:].max())
+            if w2 < width:  # live maximum b-length dropped: shed columns
+                width = w2
+                Mm, Ii, Dd = Mm[:, : width + 1], Ii[:, : width + 1], Dd[:, : width + 1]
+                bmat = bmat[:, :width]
+                jspace = jspace[: width + 1]
+        la_a = la_s[start:]
+        lb_a = lb_s[start:]
+        rows_a = np.arange(m - start)
         best_prev = np.minimum(np.minimum(Mm, Ii), Dd)
         # snapshot abbreviation candidates at row i-1: trailing gap deleting
         # a[i-1:la] at discounted extension cost (the affinegap abbreviation
         # semantics: gaps running to the end of the longer string are cheap)
-        active = strictly_longer & (la >= i)
-        b_end = best_prev[rows, lb]
-        cand = b_end + GAP_OPEN + SPACE * ABBREV_SCALE * (la - (i - 1)).astype(np.float32)
-        abbrev_best = np.where(active & (la > (i - 1)), np.minimum(abbrev_best, cand), abbrev_best)
+        b_end = best_prev[rows_a, lb_a]
+        cand = b_end + GAP_OPEN + SPACE * ABBREV_SCALE * (la_a - (i - 1)).astype(np.float32)
+        seg = abbrev_best[start:]
+        np.minimum(seg, np.where(strictly_longer[start:], cand, _INF), out=seg)
 
         # D: gap in B consuming a[i-1] (vector over j)
         Dd = np.minimum(Mm + (GAP_OPEN + SPACE), Dd + SPACE)
         # M: substitution of a[i-1] vs b[j-1]
-        achar = ac[:, i - 1: i]  # [m,1]
+        achar = ac_s[start:, i - 1: i]  # [act,1]
         sub = np.where(bmat == achar, np.float32(MATCH), np.float32(MISMATCH))
-        newM = np.full((m, lb_max + 1), _INF, np.float32)
+        newM = np.full((m - start, width + 1), _INF, np.float32)
         newM[:, 1:] = best_prev[:, :-1] + sub
         Mm = newM
         # I: gap in A, prefix-min over k<j of M[i,k] + open + space*(j-k)
         g = Mm + GAP_OPEN - jspace
         pm = np.minimum.accumulate(g, axis=1)
-        Ii = np.full((m, lb_max + 1), _INF, np.float32)
+        Ii = np.full((m - start, width + 1), _INF, np.float32)
         Ii[:, 1:] = jspace[1:] + pm[:, :-1]
 
-        done = la == i
+        done = la_a == i
         if done.any():
             best_cur = np.minimum(np.minimum(Mm, Ii), Dd)
-            final = np.where(done, best_cur[rows, lb], final)
+            fseg = final[start:]
+            vals = best_cur[rows_a, lb_a]
+            fseg[done] = vals[done]
 
     dist = np.minimum(final, abbrev_best)
-    norm = (la + lb).astype(np.float32)
-    out[idx] = dist / np.maximum(norm, 1.0)
+    norm = (la_s + lb_s).astype(np.float32)
+    out[out_idx] = dist / np.maximum(norm, 1.0)
     return out
 
 
@@ -201,22 +276,47 @@ def levenshtein_batch(a_strings: list[str], b_strings: list[str]) -> np.ndarray:
     ac, la = _encode(sa, la_max)
     bc, lb = _encode(sb, max(lb_max, 1))
     m = len(idx)
-    rows = np.arange(m)
-    jidx = np.arange(lb_max + 1, dtype=np.float32)
+
+    # same suffix-slicing as the affine-gap DP: sort by la so row i only
+    # touches the still-active suffix (pairs with la >= i)
+    order = np.argsort(la, kind="stable")
+    la_s = la[order]
+    lb_s = lb[order]
+    ac_s = ac[order]
+    bmat = bc[order][:, :lb_max]
+    out_idx = idx[order]
+
+    width = lb_max
+    jidx = np.arange(width + 1, dtype=np.float32)
     prev = np.tile(jidx, (m, 1))
     final = np.zeros(m, np.float32)
-    bmat = bc[:, :lb_max]
-    tmp = np.empty_like(prev)
+    start = 0
     for i in range(1, la_max + 1):
-        cost = (bmat != ac[:, i - 1 : i]).astype(np.float32)
+        ns = int(np.searchsorted(la_s, i))
+        if ns > start:
+            d = ns - start
+            prev, bmat = prev[d:], bmat[d:]
+            start = ns
+            if start >= m:
+                break
+            w2 = int(lb_s[start:].max())
+            if w2 < width:
+                width = w2
+                prev = prev[:, : width + 1]
+                bmat = bmat[:, :width]
+                jidx = jidx[: width + 1]
+        cost = (bmat != ac_s[start:, i - 1 : i]).astype(np.float32)
+        tmp = np.empty((m - start, width + 1), np.float32)
         tmp[:, 0] = i
         np.minimum(prev[:, 1:] + 1.0, prev[:, :-1] + cost, out=tmp[:, 1:])
         cur = np.minimum.accumulate(tmp - jidx, axis=1) + jidx
-        done = la == i
+        done = la_s[start:] == i
         if done.any():
-            final = np.where(done, cur[rows, lb], final)
+            fseg = final[start:]
+            vals = cur[np.arange(m - start), lb_s[start:]]
+            fseg[done] = vals[done]
         prev = cur
-    out[idx] = final.astype(np.int32)
+    out[out_idx] = final.astype(np.int32)
     return out
 
 
@@ -230,12 +330,26 @@ _ALIGN_MAX_TOKS = 10
 _ALIGN_TOK_LEN = 24
 
 
+_TOK_CACHE: dict[str, list[str]] = {}
+_TOK_CACHE_MAX = 262_144  # ≈25 MB worst case per worker; cleared when full
+
+
 def _align_tokens(s: str) -> list[str]:
+    """Tokenize for alignment; memoized per worker process (pure function of
+    the string — candidate pairs repeat each record's value many times)."""
+    got = _TOK_CACHE.get(s)
+    if got is not None:
+        return got
     toks = _TOKEN.findall(s or "")
     kept = [t[:_ALIGN_TOK_LEN] for t in toks if len(t) >= _ALIGN_MIN_TOK]
     if not kept:
         kept = [t[:_ALIGN_TOK_LEN] for t in toks]
-    return kept[:_ALIGN_MAX_TOKS]
+    kept = kept[:_ALIGN_MAX_TOKS]
+    if len(_TOK_CACHE) >= _TOK_CACHE_MAX:
+        _TOK_CACHE.clear()
+    if isinstance(s, str):
+        _TOK_CACHE[s] = kept
+    return kept
 
 
 def token_align_batch(a: list[str], b: list[str]) -> np.ndarray:
@@ -255,7 +369,19 @@ def token_align_batch(a: list[str], b: list[str]) -> np.ndarray:
     sharpened from avg-of-max to max-of-min so one replaced token dominates.
     All token-vs-token DPs across the batch run as ONE vectorized
     levenshtein_batch call over the deduplicated cross-product.
+
+    Memoized over distinct canonical pairs (symmetric by construction —
+    max over BOTH directions), same rationale as affine_gap_batch.
     """
+    n = len(a)
+    if n > 8:
+        ua, ub, inv = _factorize_pairs(a, b)
+        if len(ua) < n:
+            return _token_align_core(ua, ub)[inv]
+    return _token_align_core(a, b)
+
+
+def _token_align_core(a: list[str], b: list[str]) -> np.ndarray:
     n = len(a)
     out = np.zeros(n, np.float32)
     if n == 0:
@@ -267,71 +393,79 @@ def token_align_batch(a: list[str], b: list[str]) -> np.ndarray:
     if not neq:
         return out
     if len(neq) < n:
-        out[np.asarray(neq)] = token_align_batch(
+        out[np.asarray(neq)] = _token_align_core(
             [a[i] for i in neq], [b[i] for i in neq]
         )
         return out
+    import pandas as pd
+
     toks_a = [_align_tokens(s) for s in a]
     toks_b = [_align_tokens(s) for s in b]
 
-    # flattened per-token bookkeeping (both directions share the combo list)
-    combo_u: list[str] = []
-    combo_v: list[str] = []
-    uniq: dict[tuple[str, str], int] = {}
-    combo_uid: list[int] = []  # unique string-pair id per combo (-1 ⇒ equal)
-    combo_ai: list[int] = []  # flat a-token slot per combo
-    combo_bi: list[int] = []  # flat b-token slot per combo
-    a_tok_pair: list[int] = []  # pair id per flat a-token slot
-    b_tok_pair: list[int] = []
-    for p in range(n):
-        ta, tb = toks_a[p], toks_b[p]
-        if not ta or not tb:
-            continue
-        a_off = len(a_tok_pair)
-        b_off = len(b_tok_pair)
-        a_tok_pair.extend([p] * len(ta))
-        b_tok_pair.extend([p] * len(tb))
-        for i, u in enumerate(ta):
-            for j, v in enumerate(tb):
-                if u == v:
-                    uid = -1
-                else:
-                    key = (u, v) if u <= v else (v, u)
-                    uid = uniq.get(key)
-                    if uid is None:
-                        uid = len(combo_u)
-                        uniq[key] = uid
-                        combo_u.append(key[0])
-                        combo_v.append(key[1])
-                combo_uid.append(uid)
-                combo_ai.append(a_off + i)
-                combo_bi.append(b_off + j)
-    if not combo_uid:
+    # Vectorized combo construction. Tokens are factorized to int ids; the
+    # per-pair cross-product (combo) index arrays are pure cumsum/repeat
+    # arithmetic; within a pair the combos are laid out a-token-major, so
+    # per-a-slot minima and per-pair maxima reduce over CONTIGUOUS runs
+    # (np.minimum.reduceat) — only the b-side min needs a scatter (ufunc.at).
+    na = np.fromiter((len(t) for t in toks_a), np.int64, n)
+    nb = np.fromiter((len(t) for t in toks_b), np.int64, n)
+    valid = (na > 0) & (nb > 0)
+    if not valid.any():
         return out
+    vidx = np.nonzero(valid)[0]
+    na_v = na[vidx]
+    nb_v = nb[vidx]
+    flat_a = [t for p in vidx for t in toks_a[p]]
+    flat_b = [t for p in vidx for t in toks_b[p]]
+    codes, uniq_tokens = pd.factorize(np.array(flat_a + flat_b, object))
+    ta_ids = codes[: len(flat_a)]
+    tb_ids = codes[len(flat_a):]
 
-    if combo_u:
-        lev = levenshtein_batch(combo_u, combo_v).astype(np.float32)
+    a_end = np.cumsum(na_v)
+    b_end = np.cumsum(nb_v)
+    a_off = a_end - na_v
+    b_off = b_end - nb_v
+    c_per = na_v * nb_v
+    seg_end = np.cumsum(c_per)
+    seg_start = seg_end - c_per
+    C = int(seg_end[-1])
+    pair_of_combo = np.repeat(np.arange(len(vidx)), c_per)
+    local = np.arange(C, dtype=np.int64) - seg_start[pair_of_combo]
+    nb_c = nb_v[pair_of_combo]
+    ai = a_off[pair_of_combo] + local // nb_c  # flat a-token slot per combo
+    bi = b_off[pair_of_combo] + local % nb_c
+    u = ta_ids[ai]
+    v = tb_ids[bi]
+
+    neq_c = u != v
+    d_combo = np.zeros(C, np.float32)
+    if neq_c.any():
+        V = np.int64(len(uniq_tokens))
+        key = np.minimum(u, v).astype(np.int64) * V + np.maximum(u, v)
+        ukey, uinv = np.unique(key[neq_c], return_inverse=True)
+        uu = uniq_tokens[ukey // V]
+        vv = uniq_tokens[ukey % V]
+        lev = levenshtein_batch(list(uu), list(vv)).astype(np.float32)
         denom = np.maximum(
-            np.char.str_len(np.array(combo_u, dtype=f"U{_ALIGN_TOK_LEN}")),
-            np.char.str_len(np.array(combo_v, dtype=f"U{_ALIGN_TOK_LEN}")),
+            np.char.str_len(np.asarray(uu, dtype=f"U{_ALIGN_TOK_LEN}")),
+            np.char.str_len(np.asarray(vv, dtype=f"U{_ALIGN_TOK_LEN}")),
         ).astype(np.float32)
-        d_uniq = lev / np.maximum(denom, 1.0)
-    else:
-        d_uniq = np.empty(0, np.float32)
-    uid_arr = np.asarray(combo_uid, np.int64)
-    if len(d_uniq):
-        d_combo = np.where(uid_arr >= 0, d_uniq[np.maximum(uid_arr, 0)], 0.0).astype(
-            np.float32
-        )
-    else:  # every combo was an exact token match
-        d_combo = np.zeros(len(uid_arr), np.float32)
+        d_combo[neq_c] = (lev / np.maximum(denom, 1.0))[uinv]
 
-    min_a = np.full(len(a_tok_pair), np.float32(2.0))
-    min_b = np.full(len(b_tok_pair), np.float32(2.0))
-    np.minimum.at(min_a, np.asarray(combo_ai, np.int64), d_combo)
-    np.minimum.at(min_b, np.asarray(combo_bi, np.int64), d_combo)
-    np.maximum.at(out, np.asarray(a_tok_pair, np.int64), min_a)
-    np.maximum.at(out, np.asarray(b_tok_pair, np.int64), min_b)
+    # per-a-slot min over its nb contiguous combos, then per-pair max over
+    # its contiguous a-slots; b side: scatter-min, then contiguous max
+    slot_in_pair = np.arange(len(flat_a), dtype=np.int64) - a_off[
+        np.repeat(np.arange(len(vidx)), na_v)
+    ]
+    a_runstarts = seg_start[np.repeat(np.arange(len(vidx)), na_v)] + slot_in_pair * nb_v[
+        np.repeat(np.arange(len(vidx)), na_v)
+    ]
+    min_a = np.minimum.reduceat(d_combo, a_runstarts)
+    min_b = np.full(len(flat_b), np.float32(2.0))
+    np.minimum.at(min_b, bi, d_combo)
+    worst_a = np.maximum.reduceat(min_a, a_off)
+    worst_b = np.maximum.reduceat(min_b, b_off)
+    out[vidx] = np.maximum(worst_a, worst_b).astype(np.float32)
     return out
 
 
