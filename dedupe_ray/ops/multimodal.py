@@ -5,17 +5,18 @@ the span column (BASELINE.json input_hint) or a ``payload: binary`` column
 with typed metadata. The Ray-side plumbing — schemas, actor-pool stages,
 batch sizing for wide binary rows, output layout — is real and tested.
 
-Codecs: PPM/PGM (P6/P5 binary), 24-bit BI_RGB BMP, and 8-bit PNG (all
-color types, zlib inflate + per-row unfilter — :func:`decode_png`)
-decode for REAL in pure numpy+zlib, as does PCM RIFF/WAVE
-(:func:`decode_wav`), plus nearest-neighbor pixel resampling
-(:func:`resize_nearest`). Remaining compressed codecs (JPEG/ffmpeg
-audio/video) are STUBBED — no codec libraries exist in this
-environment: ``DecodeImage``/``DecodeAudio`` decode recognized
-payloads, fall back to the deterministic fake decoder when ``fake=True``
-(stable pseudo-features seeded by the ref hash so downstream stages are
-testable end to end), and raise ``NotImplementedError`` otherwise,
-marking the integration point.
+Codecs: PPM/PGM (P6/P5 binary), 24-bit BI_RGB BMP, 8-bit PNG (all color
+types, zlib inflate + per-row unfilter — :func:`decode_png`), and
+baseline-DCT JPEG (Huffman entropy decode + matrix IDCT + chroma
+upsampling — :func:`decode_jpeg`) decode for REAL in pure numpy+zlib,
+as does PCM RIFF/WAVE (:func:`decode_wav`), plus nearest-neighbor pixel
+resampling (:func:`resize_nearest`). Remaining compressed codecs
+(progressive JPEG, ffmpeg-class audio/video) are STUBBED — no codec
+libraries exist in this environment: ``DecodeImage``/``DecodeAudio``
+decode recognized payloads, fall back to the deterministic fake decoder
+when ``fake=True`` (stable pseudo-features seeded by the ref hash so
+downstream stages are testable end to end), and raise
+``NotImplementedError`` otherwise, marking the integration point.
 """
 
 from __future__ import annotations
@@ -212,6 +213,280 @@ def decode_png(payload: bytes) -> np.ndarray:
     return img[:, :, 0] if channels == 1 else img
 
 
+def _zigzag_order() -> np.ndarray:
+    """Raster index of each zigzag position (JPEG T.81 Figure 5)."""
+    idx: list[int] = []
+    for d in range(15):
+        cells = [(r, d - r) for r in range(max(0, d - 7), min(d, 7) + 1)]
+        if d % 2 == 0:
+            cells.reverse()
+        idx.extend(r * 8 + c for r, c in cells)
+    return np.array(idx, np.int64)
+
+
+_JPEG_ZIGZAG = _zigzag_order()
+
+# Orthonormal 8-point DCT-II basis: A[u, x] = c(u)/2 · cos((2x+1)uπ/16).
+# Inverse 2-D transform of a frequency block F is  A.T @ F @ A.
+_DCT_BASIS = np.array(
+    [
+        [
+            (np.sqrt(0.125) if u == 0 else 0.5)
+            * np.cos((2 * x + 1) * u * np.pi / 16.0)
+            for x in range(8)
+        ]
+        for u in range(8)
+    ],
+    np.float64,
+)
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over an entropy-coded segment (byte stuffing
+    already removed)."""
+
+    __slots__ = ("data", "pos", "acc", "nbits")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def receive(self, n: int) -> int:
+        while self.nbits < n:
+            if self.pos >= len(self.data):
+                # T.81 F.2.2.5: pad with 1-bits past the end of the segment
+                self.acc = (self.acc << 8) | 0xFF
+            else:
+                self.acc = (self.acc << 8) | self.data[self.pos]
+                self.pos += 1
+            self.nbits += 8
+        self.nbits -= n
+        out = (self.acc >> self.nbits) & ((1 << n) - 1)
+        self.acc &= (1 << self.nbits) - 1
+        return out
+
+
+def _build_huffman(bits: bytes, values: bytes) -> dict[tuple[int, int], int]:
+    """Canonical JPEG Huffman table → {(code_length, code): symbol}."""
+    table: dict[tuple[int, int], int] = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = values[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _huff_decode(reader: _JpegBitReader, table: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | reader.receive(1)
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def _extend(value: int, size: int) -> int:
+    """T.81 F.12: map a SIZE-bit magnitude to its signed coefficient."""
+    if size == 0:
+        return 0
+    return value if value >= (1 << (size - 1)) else value - (1 << size) + 1
+
+
+def _jpeg_scan_segments(payload: bytes, pos: int) -> list[bytes]:
+    """Entropy-coded data from ``pos``: strip 0xFF00 byte stuffing, split at
+    restart markers (RST0–7), stop at any other marker."""
+    segments: list[bytes] = []
+    cur = bytearray()
+    n = len(payload)
+    while pos < n:
+        b = payload[pos]
+        if b != 0xFF:
+            cur.append(b)
+            pos += 1
+            continue
+        nxt = payload[pos + 1] if pos + 1 < n else 0xD9
+        if nxt == 0x00:
+            cur.append(0xFF)
+            pos += 2
+        elif 0xD0 <= nxt <= 0xD7:
+            segments.append(bytes(cur))
+            cur = bytearray()
+            pos += 2
+        else:
+            break
+    segments.append(bytes(cur))
+    return segments
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Pure numpy baseline-DCT JPEG decoder → uint8 [h, w] (grayscale) or
+    [h, w, 3] (RGB). No codec library: segment walk, canonical Huffman
+    entropy decode, dequantize + inverse zigzag, matrix IDCT
+    (``A.T @ F @ A`` with the orthonormal DCT-II basis), nearest-neighbor
+    chroma upsampling, BT.601 YCbCr→RGB.
+
+    Supported: baseline and extended-sequential Huffman (SOF0/SOF1), 8-bit,
+    1 or 3 components, any integer-ratio sampling factors (4:4:4, 4:2:2,
+    4:2:0, …), restart markers. Progressive (SOF2) and arithmetic coding
+    raise ``ValueError`` — the streaming web formats this engine ingests
+    are overwhelmingly baseline."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    pos, n = 2, len(payload)
+    qtables: dict[int, np.ndarray] = {}  # id → 64 values in zigzag order
+    htables: dict[tuple[int, int], dict] = {}  # (class, id) → decode map
+    frame = None  # (H, W, [(comp_id, h, v, tq), ...])
+    restart_interval = 0
+    scan = None  # ([(comp_idx, dc_id, ac_id), ...], segments)
+    while pos + 2 <= n:
+        if payload[pos] != 0xFF:
+            pos += 1  # tolerate fill garbage between segments
+            continue
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xFF:  # fill byte
+            pos -= 1
+            continue
+        if marker in (0xD9, 0x01) or 0xD0 <= marker <= 0xD7:
+            if marker == 0xD9:
+                break
+            continue
+        seg_len = int.from_bytes(payload[pos : pos + 2], "big")
+        body = payload[pos + 2 : pos + seg_len]
+        pos += seg_len
+        if marker == 0xDB:  # DQT — possibly several tables per segment
+            i = 0
+            while i < len(body):
+                precision, tq = body[i] >> 4, body[i] & 15
+                i += 1
+                if precision == 0:
+                    qtables[tq] = np.frombuffer(
+                        body[i : i + 64], np.uint8
+                    ).astype(np.float64)
+                    i += 64
+                else:
+                    qtables[tq] = np.frombuffer(
+                        body[i : i + 128], ">u2"
+                    ).astype(np.float64)
+                    i += 128
+        elif marker in (0xC0, 0xC1):  # SOF0/SOF1 — Huffman sequential
+            if body[0] != 8:
+                raise ValueError("only 8-bit JPEG supported")
+            height = int.from_bytes(body[1:3], "big")
+            width = int.from_bytes(body[3:5], "big")
+            ncomp = body[5]
+            comps = []
+            for c in range(ncomp):
+                cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 15, tq))
+            frame = (height, width, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                f"unsupported JPEG coding process (SOF marker 0x{marker:02X}); "
+                "only baseline/extended-sequential Huffman is implemented"
+            )
+        elif marker == 0xC4:  # DHT — possibly several tables per segment
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 15
+                bits = body[i + 1 : i + 17]
+                nvals = sum(bits)
+                values = body[i + 17 : i + 17 + nvals]
+                htables[(tc, th)] = _build_huffman(bits, values)
+                i += 17 + nvals
+        elif marker == 0xDD:  # DRI
+            restart_interval = int.from_bytes(body[0:2], "big")
+        elif marker == 0xDA:  # SOS — entropy-coded data follows
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
+            ns = body[0]
+            sel = []
+            comp_ids = [c[0] for c in frame[2]]
+            for s in range(ns):
+                cs, tables = body[1 + 2 * s : 3 + 2 * s]
+                sel.append((comp_ids.index(cs), tables >> 4, tables & 15))
+            scan = (sel, _jpeg_scan_segments(payload, pos))
+            break
+        # other segments (APPn, COM) are skipped
+    if frame is None or scan is None:
+        raise ValueError("JPEG missing SOF/SOS")
+    height, width, comps = frame
+    sel, segments = scan
+    if len(sel) != len(comps):
+        raise ValueError("non-interleaved JPEG scans not supported")
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = -(-width // (8 * hmax))
+    mcus_y = -(-height // (8 * vmax))
+    planes = [
+        np.zeros((mcus_y * v * 8, mcus_x * h * 8), np.float64)
+        for (_, h, v, _) in comps
+    ]
+    basis = _DCT_BASIS
+    zz = _JPEG_ZIGZAG
+    mcu_per_seg = restart_interval or mcus_x * mcus_y
+    mcu_index = 0
+    for segment in segments:
+        reader = _JpegBitReader(segment)
+        pred = [0] * len(comps)
+        for _ in range(min(mcu_per_seg, mcus_x * mcus_y - mcu_index)):
+            my, mx = divmod(mcu_index, mcus_x)
+            for ci, dc_id, ac_id in sel:
+                _, ch, cv, tq = comps[ci]
+                dc_tab = htables[(0, dc_id)]
+                ac_tab = htables[(1, ac_id)]
+                quant = qtables[tq]
+                for by in range(cv):
+                    for bx in range(ch):
+                        size = _huff_decode(reader, dc_tab)
+                        pred[ci] += _extend(reader.receive(size), size)
+                        coef = np.zeros(64, np.float64)
+                        coef[0] = pred[ci]
+                        k = 1
+                        while k < 64:
+                            rs = _huff_decode(reader, ac_tab)
+                            run, size = rs >> 4, rs & 15
+                            if size == 0:
+                                if run == 15:
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += run
+                            if k > 63:
+                                raise ValueError("JPEG AC run past block end")
+                            coef[k] = _extend(reader.receive(size), size)
+                            k += 1
+                        raster = np.zeros(64, np.float64)
+                        raster[zz] = coef * quant
+                        block = basis.T @ raster.reshape(8, 8) @ basis + 128.0
+                        y0 = (my * cv + by) * 8
+                        x0 = (mx * ch + bx) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
+            mcu_index += 1
+    out_planes = []
+    for (_, ch, cv, _), plane in zip(comps, planes):
+        ry, rx = vmax // cv, hmax // ch
+        if ry * cv != vmax or rx * ch != hmax:
+            raise ValueError("non-integer JPEG sampling ratio")
+        if ry > 1 or rx > 1:
+            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+        out_planes.append(plane[:height, :width])
+    if len(out_planes) == 1:
+        return np.clip(np.round(out_planes[0]), 0, 255).astype(np.uint8)
+    y, cb, cr = out_planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=2)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
 def resize_nearest(img: np.ndarray, max_side: int) -> np.ndarray:
     """Aspect-preserving nearest-neighbor downsample to fit
     ``max_side`` × ``max_side`` (no-op when already within bounds) —
@@ -245,13 +520,12 @@ class DecodeImage:
     """Actor-pool stage: media_ref/payload → width/height/features.
 
     Decode state lives per actor (``__init__`` — a real pipeline loads
-    its codec/model once here). PPM/PGM, BMP, and PNG payloads decode
-    for REAL (:func:`decode_ppm` / :func:`decode_bmp` / :func:`decode_png`
-    + pixel features); unrecognized payloads (JPEG needs a codec library
-    this environment lacks) fall back to the deterministic fake decoder
-    when ``fake=True``
-    (stable pseudo-features seeded by the ref hash) and raise
-    ``NotImplementedError`` otherwise."""
+    its codec/model once here). PPM/PGM, BMP, PNG, and baseline JPEG
+    payloads decode for REAL (:func:`decode_ppm` / :func:`decode_bmp` /
+    :func:`decode_png` / :func:`decode_jpeg` + pixel features);
+    unrecognized payloads fall back to the deterministic fake decoder
+    when ``fake=True`` (stable pseudo-features seeded by the ref hash)
+    and raise ``NotImplementedError`` otherwise."""
 
     FEATURE_DIM = 8
 
@@ -269,6 +543,8 @@ class DecodeImage:
                 img = img[:, :, :3]  # drop alpha
             elif img.ndim == 3 and img.shape[2] == 2:
                 img = img[:, :, 0]  # gray+alpha → gray
+        elif payload[:2] == b"\xff\xd8":
+            img = decode_jpeg(payload)
         else:
             return None
         h, w = img.shape[:2]
@@ -276,15 +552,21 @@ class DecodeImage:
 
     def _decode_one(self, ref: str, payload: bytes | None = None) -> tuple[int, int, np.ndarray]:
         if payload:
-            real = self._decode_payload(payload)
+            try:
+                real = self._decode_payload(payload)
+            except ValueError:
+                # corrupt/unsupported payload: real error unless the
+                # deterministic fake decoder is standing in
+                if not self.fake:
+                    raise
+                real = None
             if real is not None:
                 return real
         if not self.fake:
             raise NotImplementedError(
-                "JPEG decoding requires a codec library (PIL/ffmpeg) — "
-                "not available in this environment; supply PPM/BMP/PNG "
-                "payloads or pass fake=True for the deterministic "
-                "test decoder"
+                "unrecognized image payload (supported: PPM/PGM, BMP, "
+                "PNG, baseline JPEG) — pass fake=True for the "
+                "deterministic test decoder"
             )
         seed = zlib.crc32(ref.encode())
         rng = np.random.RandomState(seed)

@@ -676,6 +676,247 @@ def test_decode_image_stage_png_payload(ray_session):
         )
 
 
+def _jpeg_bytes(img, sampling=(1, 1), quant=1, restart=0):
+    """Hand-built baseline JPEG encoder (test-side only): BT.601 RGB→YCbCr,
+    box-filter chroma downsampling per ``sampling`` (Y factors; chroma is
+    1×1), FDCT + flat ``quant`` tables, canonical Huffman tables built from
+    the symbols actually emitted (all codes length 12), optional restart
+    markers every ``restart`` MCUs — exercising every decoder path."""
+    import struct
+
+    import numpy as np
+
+    from dedupe_ray.ops.multimodal import _DCT_BASIS, _JPEG_ZIGZAG
+
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    if gray:
+        planes = [img.astype(np.float64)]
+        samp = [(1, 1)]
+    else:
+        rgb = img.astype(np.float64)
+        r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+        planes = [y, cb, cr]
+        samp = [sampling, (1, 1), (1, 1)]
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcus_x, mcus_y = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+
+    def prep(plane, sh, sv):
+        # box-downsample by integer factors, pad (edge) to the MCU grid
+        fy, fx = vmax // sv, hmax // sh
+        ph, pw = -(-plane.shape[0] // fy) * fy, -(-plane.shape[1] // fx) * fx
+        plane = np.pad(plane, ((0, ph - plane.shape[0]), (0, pw - plane.shape[1])), "edge")
+        if fy > 1 or fx > 1:
+            plane = plane.reshape(ph // fy, fy, pw // fx, fx).mean(axis=(1, 3))
+        th, tw = mcus_y * sv * 8, mcus_x * sh * 8
+        return np.pad(
+            plane,
+            ((0, th - plane.shape[0]), (0, tw - plane.shape[1])),
+            "edge",
+        )
+
+    prepped = [prep(p, sh, sv) for p, (sh, sv) in zip(planes, samp)]
+    A, zz = _DCT_BASIS, _JPEG_ZIGZAG
+
+    def encode_block(plane, y0, x0, pred):
+        block = plane[y0 : y0 + 8, x0 : x0 + 8] - 128.0
+        coef = np.round((A @ block @ A.T).reshape(64)[zz] / quant).astype(np.int64)
+        syms = []  # (dc?, huff_symbol, extra_value, extra_nbits)
+        diff = int(coef[0]) - pred
+        size = int(diff).bit_length() if diff else 0
+        extra = diff if diff >= 0 else diff + (1 << size) - 1
+        syms.append((0, size, extra, size))
+        k, run = 1, 0
+        while k < 64:
+            v = int(coef[k])
+            if v == 0:
+                run += 1
+            else:
+                while run > 15:
+                    syms.append((1, 0xF0, 0, 0))
+                    run -= 16
+                s = abs(v).bit_length()
+                extra = v if v >= 0 else v + (1 << s) - 1
+                syms.append((1, (run << 4) | s, extra, s))
+                run = 0
+            k += 1
+        if run:
+            syms.append((1, 0x00, 0, 0))  # EOB
+        return int(coef[0]), syms
+
+    # pass 1: collect symbols per (class, table_id); table 0 = Y, 1 = chroma
+    ncomp = len(planes)
+    table_of = [0] + [1] * (ncomp - 1)
+    used = {}  # (tc, th) -> set of symbols
+    mcu_syms = []  # per MCU: list of symbol tuples tagged with (tc, th)
+    preds = [0] * ncomp
+    ri = restart or mcus_x * mcus_y
+    for mi in range(mcus_x * mcus_y):
+        if restart and mi and mi % restart == 0:
+            preds = [0] * ncomp
+        my, mx = divmod(mi, mcus_x)
+        cur = []
+        for ci in range(ncomp):
+            sh, sv = samp[ci]
+            for by in range(sv):
+                for bx in range(sh):
+                    preds[ci], syms = encode_block(
+                        prepped[ci], (my * sv + by) * 8, (mx * sh + bx) * 8, preds[ci]
+                    )
+                    for tc, sym, extra, nbits in syms:
+                        used.setdefault((tc, table_of[ci]), set()).add(sym)
+                        cur.append(((tc, table_of[ci]), sym, extra, nbits))
+        mcu_syms.append(cur)
+    # canonical tables: every used symbol gets a length-12 code
+    codes, dht = {}, b""
+    for key in sorted(used):
+        vals = sorted(used[key])
+        assert len(vals) < (1 << 12)
+        for i, sym in enumerate(vals):
+            codes[(key, sym)] = (12, i)
+        bits = [0] * 16
+        bits[11] = len(vals)
+        dht += bytes([(key[0] << 4) | key[1]]) + bytes(bits) + bytes(vals)
+
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker, body):
+        out.extend(bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body)
+
+    qz = np.full(64, quant, np.uint8)
+    seg(0xDB, b"\x00" + bytes(qz))
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, (samp[ci][0] << 4) | samp[ci][1], 0])
+    seg(0xC0, sof)
+    seg(0xC4, dht)
+    if restart:
+        seg(0xDD, struct.pack(">H", restart))
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        sos += bytes([ci + 1, (table_of[ci] << 4) | table_of[ci]])
+    sos += b"\x00\x3f\x00"
+    seg(0xDA, sos)
+    # entropy-coded data with byte stuffing + restart markers
+    acc, nbits = 0, 0
+    scan = bytearray()
+
+    def put(value, n):
+        nonlocal acc, nbits
+        acc = (acc << n) | (value & ((1 << n) - 1))
+        nbits += n
+        while nbits >= 8:
+            nbits -= 8
+            byte = (acc >> nbits) & 0xFF
+            scan.append(byte)
+            if byte == 0xFF:
+                scan.append(0x00)
+        acc &= (1 << nbits) - 1
+
+    def flush():
+        nonlocal acc, nbits
+        if nbits:
+            put(0xFF, 8 - nbits)  # pad with 1-bits to the byte boundary
+
+    for mi, cur in enumerate(mcu_syms):
+        if restart and mi and mi % restart == 0:
+            flush()
+            scan += bytes([0xFF, 0xD0 + ((mi // restart - 1) % 8)])
+        for key, sym, extra, xbits in cur:
+            clen, code = codes[(key, sym)]
+            put(code, clen)
+            if xbits:
+                put(extra, xbits)
+    flush()
+    out.extend(scan)
+    out.extend(b"\xff\xd9")
+    return bytes(out)
+
+
+def test_decode_jpeg_roundtrip():
+    import numpy as np
+    import pytest
+
+    from dedupe_ray.ops.multimodal import decode_jpeg
+
+    rng = np.random.RandomState(7)
+    # smooth RGB gradient: flat quant=1 tables → only DCT rounding error
+    yy, xx = np.mgrid[0:24, 0:17]
+    img = np.stack(
+        [(yy * 5 + xx * 3) % 200 + 20, (xx * 7) % 180 + 30, (yy * 4) % 160 + 40],
+        axis=2,
+    ).astype(np.uint8)
+    dec = decode_jpeg(_jpeg_bytes(img, sampling=(1, 1)))
+    assert dec.shape == img.shape
+    # 4:4:4 quant=1: error budget = DCT round-trip + colorspace rounding
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= 4
+
+    # grayscale exact-ish
+    g = ((yy * 9 + xx * 2) % 230 + 10).astype(np.uint8)
+    dg = decode_jpeg(_jpeg_bytes(g))
+    assert dg.shape == g.shape
+    assert np.abs(dg.astype(int) - g.astype(int)).max() <= 2
+
+    # 4:2:0 subsampling on a chroma-flat image: Y survives, shape right
+    flat = np.empty((21, 14, 3), np.uint8)
+    flat[:, :, 0] = (yy[:21, :14] * 6) % 240
+    flat[:, :, 1] = flat[:, :, 0]
+    flat[:, :, 2] = flat[:, :, 0]  # gray content → chroma ≡ 128
+    d420 = decode_jpeg(_jpeg_bytes(flat, sampling=(2, 2)))
+    assert d420.shape == flat.shape
+    assert np.abs(d420.astype(int) - flat.astype(int)).max() <= 4
+
+    # 4:2:2 + restart markers + coarse quant: decodes, stays close
+    noisy = rng.randint(0, 256, (18, 26, 3), dtype=np.uint8)
+    d = decode_jpeg(_jpeg_bytes(noisy, sampling=(2, 1), quant=16, restart=1))
+    assert d.shape == noisy.shape
+
+    # quantization-error bound scales with quant table
+    q8 = decode_jpeg(_jpeg_bytes(img, quant=8))
+    assert np.abs(q8.astype(int) - img.astype(int)).mean() < 16
+
+    # guards
+    with pytest.raises(ValueError, match="not a JPEG"):
+        decode_jpeg(b"\x89PNG....")
+    with pytest.raises(ValueError, match="missing SOF"):
+        decode_jpeg(b"\xff\xd8fakejpeg")
+
+
+def test_decode_image_stage_jpeg_payload(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dedupe_ray.ops.multimodal import DecodeImage
+
+    # same pixels as PPM vs JPEG(quant=1): features must be ~identical
+    payload, img = _ppm_bytes(16, 16, lambda x, y: (x * 12, y * 12, 128))
+    jpg = _jpeg_bytes(img, sampling=(1, 1))
+    tbl = pa.table(
+        {
+            "media_ref": ["ppm", "jpg"],
+            "payload": pa.array([payload, jpg], pa.binary()),
+        }
+    )
+    out = (
+        rd.from_arrow(tbl)
+        .map_batches(DecodeImage, fn_constructor_kwargs={"fake": False},
+                     concurrency=1, batch_format="pyarrow")
+        .to_pandas()
+        .set_index("media_ref")
+    )
+    assert out.loc["jpg", "width"] == 16 and out.loc["jpg", "height"] == 16
+    np.testing.assert_allclose(
+        np.asarray(out.loc["ppm", "features"]),
+        np.asarray(out.loc["jpg", "features"]),
+        atol=0.02,
+    )
+
+
 def test_decode_image_stage_real_payloads(ray_session):
     import numpy as np
     import pyarrow as pa
