@@ -1629,6 +1629,58 @@ def _q_split_sentences(sf_dir: str):
     return split_sentences(_read(sf_dir, "documents", ["doc_id", "text"]))
 
 
+def _q_events_lead(sf_dir: str):
+    """SQL LEAD per key (next event id per user in time order, unique
+    tiebreak) — grouped_lag's mirror, same single bucketed shuffle."""
+    from dedupe_ray.ops.tabular import grouped_lead
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    return grouped_lead(ev, "user_id", ["ts", "event_id"], "event_id", "next_event")
+
+
+def _q_events_ntile(sf_dir: str):
+    """SQL NTILE(4) per key: quartile bucket of each user's events in
+    time order — numpy segment arithmetic per bucket."""
+    from dedupe_ray.ops.tabular import grouped_ntile
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    return grouped_ntile(ev, "user_id", ["ts", "event_id"], 4, "quartile")
+
+
+def _q_lineitem_rollup(sf_dir: str):
+    """GROUP BY ROLLUP(l_returnflag, l_linestatus): count + integer
+    quantity sum at every prefix level, subtotals labeled '(all)' —
+    finest-level combiner shuffle, coarser levels derived driver-side."""
+    from dedupe_ray.ops.tabular import rollup_aggregate
+
+    li = _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity"])
+
+    def as_int(b):
+        import pyarrow.compute as _pc
+
+        return b.set_column(
+            b.column_names.index("l_quantity"),
+            "l_quantity",
+            _pc.cast(b.column("l_quantity"), pa.int64()),
+        )
+
+    return rollup_aggregate(
+        li.map_batches(as_int, batch_format="pyarrow"),
+        ["l_returnflag", "l_linestatus"],
+        "l_quantity",
+    )
+
+
+def _q_tfidf_keywords(sf_dir: str):
+    """Per-document top-5 TF-IDF keywords: broadcast idf table, shuffle-
+    free scoring pass, float-stable rank order (same IEEE expression as
+    the oracle)."""
+    from dedupe_ray.ops.text import tfidf_top_terms
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return tfidf_top_terms(docs, "text", "doc_id", k=5)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "er_clusters": _q_er_clusters,
@@ -1709,6 +1761,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "full_outer_join": _q_full_outer_join,
         "split_sentences": _q_split_sentences,
         "top_quarter_docs": _q_top_quarter_docs,
+        "events_lead": _q_events_lead,
+        "events_ntile": _q_events_ntile,
+        "lineitem_rollup": _q_lineitem_rollup,
+        "tfidf_keywords": _q_tfidf_keywords,
     }
 
 
@@ -2399,5 +2455,55 @@ def oracle_sql() -> dict[str, str]:
         "top_quarter_docs": """
             SELECT doc_id, n_chars FROM documents
             WHERE n_chars >= (SELECT quantile_disc(n_chars, 0.75) FROM documents)
+        """,
+        "events_lead": """
+            SELECT event_id, user_id, ts,
+                   LEAD(event_id) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS next_event
+            FROM events
+        """,
+        "events_ntile": """
+            SELECT event_id, user_id, ts,
+                   CAST(NTILE(4) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS BIGINT) AS quartile
+            FROM events
+        """,
+        "lineitem_rollup": """
+            SELECT COALESCE(l_returnflag, '(all)') AS l_returnflag,
+                   COALESCE(l_linestatus, '(all)') AS l_linestatus,
+                   CAST(count(*) AS BIGINT) AS cnt,
+                   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS val
+            FROM lineitem
+            GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        """,
+        # same tokenizer as term_counts; the rank order is float-stable
+        # because both engines evaluate tf * ln((N+1)/(df+1)) in IEEE
+        # doubles with identical association
+        "tfidf_keywords": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(lower(coalesce(text, '')),
+                              '[^\p{L}\p{N}'']+')) AS token
+                FROM documents
+            ),
+            tf AS (
+                SELECT doc_id, token, count(*) AS tf
+                FROM toks WHERE token <> '' GROUP BY doc_id, token
+            ),
+            df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+            n AS (SELECT count(*) AS n FROM documents),
+            ranked AS (
+                SELECT tf.doc_id, tf.token,
+                       row_number() OVER (
+                           PARTITION BY tf.doc_id
+                           ORDER BY tf.tf * ln((n.n + 1.0) / (df.df + 1.0)) DESC,
+                                    tf.token
+                       ) AS rnk
+                FROM tf JOIN df ON tf.token = df.token CROSS JOIN n
+            )
+            SELECT doc_id, token, CAST(rnk AS BIGINT) AS rnk
+            FROM ranked WHERE rnk <= 5
         """,
     }

@@ -1240,6 +1240,121 @@ def grouped_lag(
     return _grouped_window(ds, key_column, order_columns, kernel)
 
 
+def grouped_lead(
+    ds: "ray.data.Dataset",
+    key_column: str,
+    order_columns: list[str],
+    value_column: str,
+    out_column: str = "lead_value",
+) -> "ray.data.Dataset":
+    """SQL ``LEAD(value) OVER (PARTITION BY key ORDER BY ...)``: each row
+    gets the next row's value within its key (NULL at key tails) —
+    :func:`grouped_lag`'s mirror, same single bucketed shuffle."""
+    import numpy as np
+
+    def kernel(g: pa.Table, new_key: np.ndarray) -> pa.Table:
+        col = g.column(value_column)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        n = len(g)
+        tail = np.empty(n, bool)
+        tail[:-1] = new_key[1:]
+        tail[-1] = True
+        take = pa.array(np.where(tail, -1, np.arange(n) + 1), pa.int64())
+        shifted = col.take(
+            pc.if_else(pc.less(take, 0), pa.scalar(None, pa.int64()), take)
+        )
+        return g.append_column(out_column, shifted)
+
+    return _grouped_window(ds, key_column, order_columns, kernel)
+
+
+def grouped_ntile(
+    ds: "ray.data.Dataset",
+    key_column: str,
+    order_columns: list[str],
+    tiles: int,
+    out_column: str = "tile",
+) -> "ray.data.Dataset":
+    """SQL ``NTILE(tiles) OVER (PARTITION BY key ORDER BY ...)``: rows of
+    each key split into ``tiles`` buckets, the first ``count % tiles``
+    buckets one row larger (T-SQL/DuckDB semantics). Same single bucketed
+    shuffle as the other window ops; the tile assignment is pure numpy
+    segment arithmetic."""
+    import numpy as np
+
+    def kernel(g: pa.Table, new_key: np.ndarray) -> pa.Table:
+        n = len(g)
+        heads = np.flatnonzero(new_key)
+        sizes = np.diff(np.append(heads, n))
+        c = np.repeat(sizes, sizes)  # key size, per row
+        p = np.arange(n) - np.repeat(heads, sizes)  # 0-based pos in key
+        small = c // tiles
+        nbig = c % tiles
+        cut = nbig * (small + 1)
+        tile = np.where(
+            p < cut,
+            p // (small + 1),
+            nbig + (p - cut) // np.maximum(small, 1),
+        )
+        return g.append_column(out_column, pa.array(tile + 1, pa.int64()))
+
+    return _grouped_window(ds, key_column, order_columns, kernel)
+
+
+def rollup_aggregate(
+    ds: "ray.data.Dataset",
+    group_columns: list[str],
+    value_column: str,
+    all_label: str = "(all)",
+) -> "ray.data.Dataset":
+    """``GROUP BY ROLLUP(a, b, …)``: count + integer sum at every prefix
+    level of ``group_columns``, subtotal rows carrying ``all_label`` in
+    the rolled-up key slots (instead of SQL's NULL, so results sort and
+    hash cleanly).
+
+    Shape: per-batch partial aggregation at the FINEST level shrinks the
+    shuffle to group-cardinality partials, one small groupby, then every
+    coarser level derives exactly from the finest aggregate driver-side
+    (counts and integer sums compose) — the raw data is never re-read or
+    re-shuffled per level."""
+    import numpy as np
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = b.select(group_columns + [value_column]).to_pandas()
+        df[value_column] = df[value_column].astype(np.int64)
+        g = (
+            df.groupby(group_columns, dropna=False, sort=False)
+            .agg(cnt=(value_column, "size"), val=(value_column, "sum"))
+            .reset_index()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    finest = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(group_columns)
+        .aggregate(Sum("cnt", alias_name="cnt"), Sum("val", alias_name="val"))
+        .to_pandas()  # bounded: finest-level group cardinality
+    )
+    levels = [finest]
+    for depth in range(len(group_columns) - 1, -1, -1):
+        keys = group_columns[:depth]
+        if keys:
+            lvl = finest.groupby(keys, sort=False, as_index=False)[["cnt", "val"]].sum()
+        else:
+            lvl = finest[["cnt", "val"]].sum().to_frame().T
+        for c in group_columns[depth:]:
+            lvl[c] = all_label
+        levels.append(lvl[group_columns + ["cnt", "val"]])
+    out = pd.concat(levels, ignore_index=True)
+    out["cnt"] = out["cnt"].astype(np.int64)
+    out["val"] = out["val"].astype(np.int64)
+    return ray.data.from_pandas(out)
+
+
 def grouped_cumsum(
     ds: "ray.data.Dataset",
     key_column: str,

@@ -367,6 +367,109 @@ def term_counts(
     return agg.sort(["cnt", "token"], descending=[True, False]).limit(top_n)
 
 
+def tfidf_top_terms(
+    ds: "ray.data.Dataset",
+    column: str = "text",
+    id_column: str = "doc_id",
+    k: int = 5,
+    n_docs: int | None = None,
+    vocab_limit: int = 50_000_000,
+) -> "ray.data.Dataset":
+    """Per-document top-``k`` TF-IDF keywords (keyword extraction — the
+    classic training-data tagging/retrieval feature).
+
+    Shape: document frequencies reduce per batch (distinct doc-token
+    pairs → vocab-sized partials), one small groupby, and the resulting
+    idf table is broadcast once via ``ray.put`` — the scoring pass is
+    then shuffle-free: per batch, tf per (row, token) via one factorize +
+    ``np.unique``, score ``tf · ln((N+1)/(df+1))``, top-k per row at
+    (score desc, token asc). The guard raises above ``vocab_limit``
+    (beyond that a hash join on tokens is the scale path).
+
+    Output: (id_column, token, rnk) — scores are float and deliberately
+    not emitted so the result hashes exactly against a SQL oracle; the
+    ORDER itself is float-stable because both engines compute the same
+    IEEE double expression."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    if n_docs is None:
+        n_docs = ds.count()
+
+    def _batch_pairs(batch: pa.Table):
+        """(row_id, unique_tokens, pair_row, pair_code, pair_tf) for a batch."""
+        flat, offsets, _ = _tokenize_batch(batch.column(column))
+        toks = np.asarray(flat.to_pylist(), object)
+        rid = np.repeat(np.arange(len(batch), dtype=np.int64), np.diff(offsets))
+        keep = toks != ""
+        toks, rid = toks[keep], rid[keep]
+        codes, uniques = pd.factorize(toks)
+        if len(uniques) == 0:
+            z = np.zeros(0, np.int64)
+            return uniques, z, z, z
+        pair = rid * len(uniques) + codes
+        upair, tf = np.unique(pair, return_counts=True)
+        return uniques, upair // len(uniques), upair % len(uniques), tf.astype(np.int64)
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        uniques, _, ucode, _ = _batch_pairs(batch)
+        cnt = np.bincount(ucode, minlength=len(uniques)).astype(np.int64)
+        return pa.table(
+            {"token": pa.array(uniques, pa.string()), "df": pa.array(cnt)}
+        )
+
+    df_tbl = (
+        ds.map_batches(df_partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("df", alias_name="df"))
+        .to_pandas()  # bounded: vocab-sized, guarded below
+    )
+    if len(df_tbl) > vocab_limit:
+        raise ValueError(
+            f"vocabulary ({len(df_tbl)}) exceeds broadcast limit "
+            f"{vocab_limit}; use a distributed token hash join instead"
+        )
+    vocab = df_tbl["token"].to_numpy(dtype=object)
+    order = np.argsort(vocab)
+    ref = ray.put((vocab[order], df_tbl["df"].to_numpy(np.int64)[order]))
+
+    def topk(batch: pa.Table) -> pa.Table:
+        vocab_sorted, dfs = ray.get(ref)
+        uniques, urow, ucode, tf = _batch_pairs(batch)
+        ids = batch.column(id_column)
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        if len(uniques) == 0:
+            return pa.table(
+                {
+                    id_column: ids.take(pa.array([], pa.int64())),
+                    "token": pa.array([], pa.string()),
+                    "rnk": pa.array([], pa.int64()),
+                }
+            )
+        idf = np.log((n_docs + 1.0) / (dfs[np.searchsorted(vocab_sorted, uniques)] + 1.0))
+        sdf = pd.DataFrame(
+            {
+                "row": urow,
+                "token": uniques[ucode],
+                "score": tf.astype(np.float64) * idf[ucode],
+            }
+        ).sort_values(["row", "score", "token"], ascending=[True, False, True])
+        row = sdf["row"].to_numpy()
+        heads = np.flatnonzero(np.r_[True, row[1:] != row[:-1]])
+        rnk = np.arange(len(row)) - np.repeat(heads, np.diff(np.append(heads, len(row)))) + 1
+        keep = rnk <= k
+        return pa.table(
+            {
+                id_column: ids.take(pa.array(row[keep])),
+                "token": pa.array(sdf["token"].to_numpy()[keep], pa.string()),
+                "rnk": pa.array(rnk[keep], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(topk, batch_format="pyarrow")
+
+
 def _space_gram_hashes(col, n: int) -> tuple[np.ndarray, np.ndarray]:
     """Per-row DISTINCT space-delimited n-gram hashes for a whole batch.
 

@@ -1596,6 +1596,114 @@ def test_grouped_lag_and_cumsum(ray_session):
     assert cs["rt"].tolist() == [20, 50, 60, 5, 12]
 
 
+def test_grouped_lead_and_ntile(ray_session):
+    from dedupe_ray.ops.tabular import grouped_lead, grouped_ntile
+
+    t = pa.table(
+        {
+            "k": ["a", "a", "a", "b", "b", "c"],
+            "o": [3, 1, 2, 1, 2, 1],
+            "rid": [0, 1, 2, 3, 4, 5],
+            "v": [10, 20, 30, 5, 7, 9],
+        }
+    )
+    ds = rd.from_arrow(t)
+    lead = (
+        grouped_lead(ds, "k", ["o", "rid"], "v", "nxt")
+        .to_pandas()
+        .sort_values(["k", "o"])
+    )
+    # a ordered by o: v = 20, 30, 10 → lead = 30, 10, NaN
+    assert lead["nxt"].tolist()[:2] == [30.0, 10.0]
+    assert lead["nxt"].isna().tolist() == [False, False, True, False, True, True]
+
+    # NTILE semantics: first (n % tiles) buckets get the extra row
+    t2 = pa.table(
+        {
+            "k": ["a"] * 7 + ["b"] * 2,
+            "o": list(range(7)) + [0, 1],
+            "rid": list(range(9)),
+            "v": [0] * 9,
+        }
+    )
+    nt = (
+        grouped_ntile(rd.from_arrow(t2), "k", ["o", "rid"], 3, "tile")
+        .to_pandas()
+        .sort_values(["k", "o"])
+    )
+    assert nt["tile"].tolist() == [1, 1, 1, 2, 2, 3, 3, 1, 2]  # 7 rows → 3,2,2
+    # more tiles than rows: each row its own tile, no division blowup
+    nt2 = (
+        grouped_ntile(rd.from_arrow(t2), "k", ["o", "rid"], 5, "tile")
+        .to_pandas()
+        .sort_values(["k", "o"])
+    )
+    assert nt2[nt2.k == "b"]["tile"].tolist() == [1, 2]
+
+
+def test_rollup_aggregate_matches_pandas(ray_session):
+    from dedupe_ray.ops.tabular import rollup_aggregate
+
+    rng = np.random.RandomState(3)
+    t = pa.table(
+        {
+            "a": rng.choice(["x", "y"], 50).tolist(),
+            "b": rng.choice(["p", "q", "r"], 50).tolist(),
+            "v": rng.randint(0, 100, 50),
+        }
+    )
+    out = (
+        rollup_aggregate(rd.from_arrow(t), ["a", "b"], "v")
+        .to_pandas()
+        .set_index(["a", "b"])
+        .sort_index()
+    )
+    df = t.to_pandas()
+    # finest level
+    for (a, b), g in df.groupby(["a", "b"]):
+        assert out.loc[(a, b), "cnt"] == len(g)
+        assert out.loc[(a, b), "val"] == g.v.sum()
+    # subtotal + grand total
+    for a, g in df.groupby("a"):
+        assert out.loc[(a, "(all)"), "cnt"] == len(g)
+        assert out.loc[(a, "(all)"), "val"] == g.v.sum()
+    assert out.loc[("(all)", "(all)"), "cnt"] == 50
+    assert out.loc[("(all)", "(all)"), "val"] == df.v.sum()
+    assert len(out) == df.groupby(["a", "b"]).ngroups + df.a.nunique() + 1
+
+
+def test_tfidf_top_terms(ray_session):
+    from dedupe_ray.ops.text import tfidf_top_terms
+
+    docs = pa.table(
+        {
+            "doc_id": ["d1", "d2", "d3", "d4"],
+            "text": [
+                "apple banana apple cherry",
+                "banana banana date",
+                "apple date date date",
+                "",
+            ],
+        }
+    )
+    out = (
+        tfidf_top_terms(rd.from_arrow(docs), "text", "doc_id", k=2)
+        .to_pandas()
+        .sort_values(["doc_id", "rnk"])
+        .reset_index(drop=True)
+    )
+    # empty doc emits nothing; others emit ≤ k rows
+    assert set(out.doc_id) == {"d1", "d2", "d3"}
+    assert out.groupby("doc_id").size().max() <= 2
+    # d1: apple tf=2 (df=2), cherry tf=1 (df=1) → apple 2·ln(5/3)=1.02,
+    # cherry 1·ln(5/2)=0.92, banana 1·ln(5/3)=0.51 → top2 = apple, cherry
+    assert out[out.doc_id == "d1"].token.tolist() == ["apple", "cherry"]
+    # d2: banana tf=2 beats date tf=1
+    assert out[out.doc_id == "d2"].token.tolist()[0] == "banana"
+    # d3: date tf=3 df=2 dominates
+    assert out[out.doc_id == "d3"].token.tolist()[0] == "date"
+
+
 def test_unpivot_and_histogram(ray_session):
     from dedupe_ray.ops.tabular import unpivot, value_histogram
 
