@@ -1671,6 +1671,16 @@ def _q_lineitem_rollup(sf_dir: str):
     )
 
 
+def _q_scrub_repeated_ngrams(sf_dir: str):
+    """Repeated-substring scrub (Lee et al. 2022): drop every token
+    covered by a 5-gram occurring ≥2 times in the corpus — hot gram-hash
+    set broadcast, shuffle-free cover pass."""
+    from dedupe_ray.ops.dedup import scrub_repeated_ngrams
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return scrub_repeated_ngrams(docs, n=5, min_count=2)
+
+
 def _q_tfidf_keywords(sf_dir: str):
     """Per-document top-5 TF-IDF keywords: broadcast idf table, shuffle-
     free scoring pass, float-stable rank order (same IEEE expression as
@@ -1765,6 +1775,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_ntile": _q_events_ntile,
         "lineitem_rollup": _q_lineitem_rollup,
         "tfidf_keywords": _q_tfidf_keywords,
+        "scrub_repeated_ngrams": _q_scrub_repeated_ngrams,
     }
 
 
@@ -2505,5 +2516,44 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, token, CAST(rnk AS BIGINT) AS rnk
             FROM ranked WHERE rnk <= 5
+        """,
+        # same split-on-single-space gram contract as dup_ngram_docs;
+        # subtotal of covered token positions via an offset cross join
+        "scrub_repeated_ngrams": """
+            WITH toks AS (
+                SELECT doc_id, string_split(coalesce(text, ''), ' ') AS ts
+                FROM documents
+            ),
+            gi AS (
+                SELECT doc_id, ts,
+                       unnest(generate_series(1, greatest(len(ts) - 4, 0))) AS i
+                FROM toks
+            ),
+            grams AS (
+                SELECT doc_id, i, array_to_string(ts[i:i+4], ' ') AS g FROM gi
+            ),
+            hot AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
+            cover AS (
+                SELECT DISTINCT grams.doc_id, grams.i + u.o AS p
+                FROM grams JOIN hot USING (g)
+                CROSS JOIN (SELECT unnest(generate_series(0, 4)) AS o) u
+            ),
+            tok_pos AS (
+                SELECT doc_id,
+                       unnest(ts) AS tok,
+                       unnest(generate_series(1, len(ts))) AS p
+                FROM toks
+            ),
+            kept AS (
+                SELECT t.doc_id, t.tok, t.p
+                FROM tok_pos t
+                LEFT JOIN cover c ON c.doc_id = t.doc_id AND c.p = t.p
+                WHERE c.p IS NULL
+            )
+            SELECT toks.doc_id,
+                   coalesce(string_agg(k.tok, ' ' ORDER BY k.p), '') AS text_clean,
+                   CAST(len(toks.ts) - count(k.p) AS BIGINT) AS n_removed
+            FROM toks LEFT JOIN kept k ON k.doc_id = toks.doc_id
+            GROUP BY toks.doc_id, len(toks.ts)
         """,
     }

@@ -697,6 +697,104 @@ def dup_ngram_docs(
     )
 
 
+def scrub_repeated_ngrams(
+    ds: "ray.data.Dataset",
+    n: int = 5,
+    min_count: int = 2,
+    column: str = "text",
+    id_column: str = "doc_id",
+    hot_limit: int = 50_000_000,
+) -> "ray.data.Dataset":
+    """Exact repeated-substring REMOVAL (the scrub half of Lee et al.
+    2022's suffix-array dedup, n-gram-granular): every token covered by a
+    space-delimited ``n``-gram occurring ≥ ``min_count`` times in the
+    corpus is dropped, and each document's survivors are re-joined with
+    single spaces.
+
+    Shape: pass 1 counts gram-hash instances — per-batch partials
+    (factorize + bincount) bucketed by hash → per-bucket run-sum keeps
+    only hashes at ≥ ``min_count`` → the HOT set (bounded by actual
+    corpus repetition, guarded at ``hot_limit``) broadcasts once via
+    ``ray.put``. Pass 2 is shuffle-free: vectorized interval cover over
+    the flat token array (delta + cumsum), one Arrow take + binary_join
+    to reassemble. Gram identity is 64-bit hashed — collisions are
+    negligible and no text ever shuffles.
+
+    Returns (id_column, text_clean, n_removed) for every document."""
+    import ray
+
+    from dedupe_ray.ops.text import _space_gram_all
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        _, _, gh, _, _ = _space_gram_all(batch.column(column), n)
+        uh, cnt = np.unique(gh, return_counts=True)
+        return pa.table(
+            {
+                "ghash": pa.array(uh, pa.uint64()),
+                "cnt": pa.array(cnt.astype(np.int64)),
+                "gbucket": pa.array((uh % np.uint64(N_BUCKETS)).astype(np.int32)),
+            }
+        )
+
+    def hot_in_bucket(group: pa.Table) -> pa.Table:
+        if not len(group):
+            return pa.table({"ghash": pa.array([], pa.uint64())})
+        t = group.sort_by([("ghash", "ascending")])
+        gh = t.column("ghash").to_numpy(zero_copy_only=False)
+        cnt = t.column("cnt").to_numpy(zero_copy_only=False)
+        heads = np.flatnonzero(np.r_[True, gh[1:] != gh[:-1]])
+        totals = np.add.reduceat(cnt, heads)
+        return pa.table({"ghash": pa.array(gh[heads][totals >= min_count], pa.uint64())})
+
+    hot_df = (
+        ds.map_batches(count_partial, batch_format="pyarrow")
+        .groupby("gbucket")
+        .map_groups(hot_in_bucket, batch_format="pyarrow")
+        .to_pandas()  # bounded: repeated grams only, guarded below
+    )
+    if len(hot_df) > hot_limit:
+        raise ValueError(
+            f"hot gram set ({len(hot_df)}) exceeds broadcast limit "
+            f"{hot_limit}; shard the scrub by gram-hash range instead"
+        )
+    hot_ref = ray.put(np.sort(hot_df["ghash"].to_numpy(np.uint64)))
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        hot = ray.get(hot_ref)
+        rid, pos, gh, flat, offsets = _space_gram_all(batch.column(column), n)
+        nrows = len(batch)
+        counts = np.diff(offsets)
+        covered = np.zeros(len(flat), bool)
+        if len(gh) and len(hot):
+            idx = np.searchsorted(hot, gh)
+            idx[idx >= len(hot)] = 0
+            hit = hot[idx] == gh
+            if hit.any():
+                starts_flat = offsets[:-1][rid[hit]] + pos[hit]
+                delta = np.zeros(len(flat) + 1, np.int64)
+                np.add.at(delta, starts_flat, 1)
+                np.add.at(delta, starts_flat + n, -1)  # gram fits its row
+                covered = np.cumsum(delta[:-1]) > 0
+        keep = ~covered
+        row_of_flat = np.repeat(np.arange(nrows, dtype=np.int64), counts)
+        kept_per_row = np.bincount(row_of_flat[keep], minlength=nrows)
+        new_offsets = np.concatenate(([0], np.cumsum(kept_per_row)))
+        kept_tokens = flat.take(pa.array(np.flatnonzero(keep)))
+        lists = pa.ListArray.from_arrays(
+            pa.array(new_offsets, pa.int32()), kept_tokens
+        )
+        ids = _one_chunk(batch.column(id_column))
+        return pa.table(
+            {
+                id_column: ids,
+                "text_clean": pc.binary_join(lists, " "),
+                "n_removed": pa.array(counts - kept_per_row, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(scrub, batch_format="pyarrow")
+
+
 def _bloom_hash_pair(vals: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Two independent 64-bit hash streams per value (fixed-key siphash via
     pandas, cross-process deterministic); h2 forced odd so the

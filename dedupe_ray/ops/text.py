@@ -486,19 +486,37 @@ def _space_gram_hashes(col, n: int) -> tuple[np.ndarray, np.ndarray]:
     grouped by row. Fully vectorized: one Arrow split, one hash_array,
     ``n`` shifted combine ops, one lexsort.
     """
+    row_ids, _, acc, _, _ = _space_gram_all(col, n)
+    if len(acc) == 0:
+        return row_ids, acc
+    # distinct grams per row: lexsort by (row, hash), keep run heads
+    order = np.lexsort((acc, row_ids))
+    r, g = row_ids[order], acc[order]
+    keep = np.concatenate(([True], (r[1:] != r[:-1]) | (g[1:] != g[:-1])))
+    return r[keep], g[keep]
+
+
+def _space_gram_all(
+    col, n: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, "pa.Array", np.ndarray]:
+    """ALL space-delimited n-gram instances for a batch (not per-row
+    distinct): ``(row_ids, start_pos_in_row, ghash, flat_tokens,
+    token_offsets)`` — same tokenizer/hash contract as
+    :func:`_space_gram_hashes`."""
     toks = pc.split_pattern(pc.fill_null(col, ""), " ")
     if isinstance(toks, pa.ChunkedArray):
         toks = toks.combine_chunks()
     offsets = np.asarray(toks.offsets.to_numpy(zero_copy_only=False), np.int64)
     counts = offsets[1:] - offsets[:-1]
     flat = toks.flatten()
+    z64, zu64 = np.zeros(0, np.int64), np.zeros(0, np.uint64)
     if len(flat) == 0:
-        return np.zeros(0, np.int64), np.zeros(0, np.uint64)
+        return z64, z64, zu64, flat, offsets
     h = pd.util.hash_array(np.asarray(flat.to_pylist(), object))
     nw = np.maximum(counts - (n - 1), 0)
     total = int(nw.sum())
     if total == 0:
-        return np.zeros(0, np.int64), np.zeros(0, np.uint64)
+        return z64, z64, zu64, flat, offsets
     row_ids = np.repeat(np.arange(len(counts), dtype=np.int64), nw)
     starts = np.repeat(offsets[:-1], nw)
     cum = np.concatenate(([0], np.cumsum(nw)))[:-1]
@@ -508,11 +526,7 @@ def _space_gram_hashes(col, n: int) -> tuple[np.ndarray, np.ndarray]:
     C = np.uint64(1099511628211)
     for k in range(n):
         acc = (acc * C) ^ h[s + k]
-    # distinct grams per row: lexsort by (row, hash), keep run heads
-    order = np.lexsort((acc, row_ids))
-    r, g = row_ids[order], acc[order]
-    keep = np.concatenate(([True], (r[1:] != r[:-1]) | (g[1:] != g[:-1])))
-    return r[keep], g[keep]
+    return row_ids, pos, acc, flat, offsets
 
 
 def decontaminate(

@@ -1704,6 +1704,55 @@ def test_tfidf_top_terms(ray_session):
     assert out[out.doc_id == "d3"].token.tolist()[0] == "date"
 
 
+def test_scrub_repeated_ngrams(ray_session):
+    from dedupe_ray.ops.dedup import scrub_repeated_ngrams
+
+    boiler = "all rights reserved contact us today"
+    docs = pa.table(
+        {
+            "doc_id": ["a", "b", "c", "d"],
+            "text": [
+                f"alpha beta {boiler} gamma",
+                f"delta {boiler} epsilon zeta",
+                "unique words only in this document here",
+                "",
+            ],
+        }
+    )
+    out = (
+        scrub_repeated_ngrams(rd.from_arrow(docs), n=6, min_count=2)
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    # the shared 6-token boilerplate is covered in both docs; survivors
+    # re-join with single spaces
+    assert out.loc["a", "text_clean"] == "alpha beta gamma"
+    assert out.loc["a", "n_removed"] == 6
+    assert out.loc["b", "text_clean"] == "delta epsilon zeta"
+    assert out.loc["b", "n_removed"] == 6
+    # untouched and empty docs pass through whole
+    assert out.loc["c", "text_clean"] == "unique words only in this document here"
+    assert out.loc["c", "n_removed"] == 0
+    assert out.loc["d", "text_clean"] == "" and out.loc["d", "n_removed"] == 0
+
+    # overlapping hot grams merge their cover (no double-removal):
+    # 'x1..x7' twice → three hot 6-grams each doc, cover = all 7 tokens
+    rep = " ".join(f"x{i}" for i in range(7))
+    out2 = (
+        scrub_repeated_ngrams(
+            rd.from_arrow(
+                pa.table({"doc_id": ["p", "q"], "text": [f"pre {rep}", f"{rep} post"]})
+            ),
+            n=6,
+            min_count=2,
+        )
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    assert out2.loc["p", "text_clean"] == "pre" and out2.loc["p", "n_removed"] == 7
+    assert out2.loc["q", "text_clean"] == "post" and out2.loc["q", "n_removed"] == 7
+
+
 def test_unpivot_and_histogram(ray_session):
     from dedupe_ray.ops.tabular import unpivot, value_histogram
 
