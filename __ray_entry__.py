@@ -1671,6 +1671,15 @@ def _q_lineitem_rollup(sf_dir: str):
     )
 
 
+def _q_events_rank_stats(sf_dir: str):
+    """SQL PERCENT_RANK + CUME_DIST per user over value (tie-aware ranks,
+    numpy segment arithmetic, one bucketed shuffle)."""
+    from dedupe_ray.ops.tabular import grouped_rank_stats
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+    return grouped_rank_stats(ev, "user_id", "value", ["event_id"])
+
+
 def _q_scrub_repeated_ngrams(sf_dir: str):
     """Repeated-substring scrub (Lee et al. 2022): drop every token
     covered by a 5-gram occurring ≥2 times in the corpus — hot gram-hash
@@ -1776,6 +1785,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_rollup": _q_lineitem_rollup,
         "tfidf_keywords": _q_tfidf_keywords,
         "scrub_repeated_ngrams": _q_scrub_repeated_ngrams,
+        "events_rank_stats": _q_events_rank_stats,
     }
 
 
@@ -2555,5 +2565,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(toks.ts) - count(k.p) AS BIGINT) AS n_removed
             FROM toks LEFT JOIN kept k ON k.doc_id = toks.doc_id
             GROUP BY toks.doc_id, len(toks.ts)
+        """,
+        "events_rank_stats": """
+            SELECT event_id, user_id, value,
+                   PERCENT_RANK() OVER (
+                       PARTITION BY user_id ORDER BY value
+                   ) AS pct_rank,
+                   CUME_DIST() OVER (
+                       PARTITION BY user_id ORDER BY value
+                   ) AS cume_dist
+            FROM events
         """,
     }

@@ -1302,6 +1302,46 @@ def grouped_ntile(
     return _grouped_window(ds, key_column, order_columns, kernel)
 
 
+def grouped_rank_stats(
+    ds: "ray.data.Dataset",
+    key_column: str,
+    rank_column: str,
+    tiebreak_columns: list[str],
+    pct_column: str = "pct_rank",
+    cume_column: str = "cume_dist",
+) -> "ray.data.Dataset":
+    """SQL ``PERCENT_RANK()`` and ``CUME_DIST()`` over ``(PARTITION BY key
+    ORDER BY rank_column)`` in one pass: rank ties share the tie run's
+    head rank (percent_rank) and its tail position (cume_dist), computed
+    with numpy segment arithmetic — same single bucketed shuffle as the
+    other window ops. ``tiebreak_columns`` only make the within-run sort
+    deterministic; they do not affect the (tie-aware) statistics.
+    Nulls in ``rank_column`` are not supported."""
+    import numpy as np
+
+    def kernel(g: pa.Table, new_key: np.ndarray) -> pa.Table:
+        n = len(g)
+        v = g.column(rank_column).to_numpy(zero_copy_only=False)
+        kheads = np.flatnonzero(new_key)
+        sizes = np.diff(np.append(kheads, n))
+        c = np.repeat(sizes, sizes).astype(np.float64)  # key size per row
+        khead_of = np.repeat(kheads, sizes)
+        new_run = new_key.copy()
+        new_run[1:] |= v[1:] != v[:-1]
+        rheads = np.flatnonzero(new_run)
+        rlens = np.diff(np.append(rheads, n))
+        run_head = np.repeat(rheads, rlens)
+        run_tail = np.repeat(rheads + rlens - 1, rlens)
+        rank = (run_head - khead_of + 1).astype(np.float64)
+        pct = np.where(c > 1, (rank - 1.0) / (c - 1.0), 0.0)
+        cume = (run_tail - khead_of + 1).astype(np.float64) / c
+        return g.append_column(pct_column, pa.array(pct, pa.float64())).append_column(
+            cume_column, pa.array(cume, pa.float64())
+        )
+
+    return _grouped_window(ds, key_column, [rank_column] + tiebreak_columns, kernel)
+
+
 def rollup_aggregate(
     ds: "ray.data.Dataset",
     group_columns: list[str],

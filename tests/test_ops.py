@@ -1641,6 +1641,27 @@ def test_grouped_lead_and_ntile(ray_session):
     assert nt2[nt2.k == "b"]["tile"].tolist() == [1, 2]
 
 
+def test_grouped_rank_stats_ties(ray_session):
+    from dedupe_ray.ops.tabular import grouped_rank_stats
+
+    t = pa.table(
+        {
+            "k": ["a"] * 5 + ["b"],
+            "rid": [0, 1, 2, 3, 4, 5],
+            "v": [10.0, 10.0, 20.0, 20.0, 30.0, 7.0],
+        }
+    )
+    out = (
+        grouped_rank_stats(rd.from_arrow(t), "k", "v", ["rid"])
+        .to_pandas()
+        .sort_values(["k", "v", "rid"])
+        .reset_index(drop=True)
+    )
+    # ranks with ties: 1,1,3,3,5 → pct = (r-1)/4; cume = tail/5
+    assert out.pct_rank.tolist() == [0.0, 0.0, 0.5, 0.5, 1.0, 0.0]
+    assert out.cume_dist.tolist() == [0.4, 0.4, 0.8, 0.8, 1.0, 1.0]
+
+
 def test_rollup_aggregate_matches_pandas(ray_session):
     from dedupe_ray.ops.tabular import rollup_aggregate
 
