@@ -438,82 +438,96 @@ _HAC_LIMIT = 1500  # full-matrix centroid HAC is O(n²) memory / O(n³) time;
 # max_components edge-dropping, applied recursively in-group)
 
 
-def cluster_component(group: pd.DataFrame, threshold: float) -> pd.DataFrame:
-    """Edges of ONE component → (doc_id, cluster_id, confidence_score) rows.
-
-    cluster_id is the min doc_id of the flat cluster. Singletons are dropped
-    (group_size > 1 filter — backend/dedupe_script.py:365)."""
-    ids = sorted(set(group["id_a"]).union(group["id_b"]))
+def _cluster_component_arrays(
+    ia: np.ndarray,
+    ib: np.ndarray,
+    sc: np.ndarray,
+    threshold: float,
+    out: list,
+) -> None:
+    """Array core of :func:`cluster_component`: edges of ONE component →
+    (cluster_id, doc_id, confidence) array triples appended to ``out``.
+    Bit-identical to the historical pandas version (same quantile dtype,
+    same edge-write order, same float32 cast points) — the golden-replay
+    byte-determinism test pins this."""
+    ids = np.unique(np.concatenate([ia, ib]))
     n = len(ids)
     if n > _HAC_LIMIT:
         # recursive split: drop the weakest quartile of edges, re-component,
         # recurse — mirrors [lib: dedupe/clustering.py] giant-component
         # handling without materializing an n×n matrix
-        floor = float(np.quantile(group["score"], 0.25))
-        sub = group[group["score"] > floor]
-        if len(sub) == len(group):  # degenerate (all scores equal): midpoint cut
-            floor = (float(group["score"].min()) + 1.0) / 2
-            sub = group[group["score"] > floor]
-        if sub.empty:
-            return pd.DataFrame(
-                {"cluster_id": pd.Series([], dtype=str), "doc_id": pd.Series([], dtype=str),
-                 "confidence_score": pd.Series([], dtype=np.float32)}
-            )
+        floor = float(np.quantile(sc, 0.25))
+        keep = sc > floor
+        if keep.all():  # degenerate (all scores equal): midpoint cut
+            floor = (float(sc.min()) + 1.0) / 2
+            keep = sc > floor
+        if not keep.any():
+            return
+        ka, kb, ks = ia[keep], ib[keep], sc[keep]
         uf = UnionFind()
-        for a, b in zip(sub["id_a"], sub["id_b"]):
+        for a, b in zip(ka, kb):
             uf.union(a, b)
-        comp = {x: uf.find(x) for x in uf.parent}
-        keep = sub.assign(_c=[comp[a] for a in sub["id_a"]])
-        outs = [
-            cluster_component(s.drop(columns="_c"), threshold)
-            for _, s in keep.groupby("_c", sort=True)
-        ]
-        return (
-            pd.concat(outs, ignore_index=True)
-            if outs
-            else pd.DataFrame(
-                {"cluster_id": pd.Series([], dtype=str), "doc_id": pd.Series([], dtype=str),
-                 "confidence_score": pd.Series([], dtype=np.float32)}
-            )
-        )
-    pos = {d: i for i, d in enumerate(ids)}
+        roots = np.asarray([uf.find(a) for a in ka], object)
+        order = np.argsort(roots, kind="stable")  # sorted roots, stable within
+        ra, rb, rs, rr = ka[order], kb[order], ks[order], roots[order]
+        heads = np.flatnonzero(np.r_[True, rr[1:] != rr[:-1]])
+        for s0, s1 in zip(heads, np.append(heads[1:], len(rr))):
+            _cluster_component_arrays(ra[s0:s1], rb[s0:s1], rs[s0:s1], threshold, out)
+        return
     if n == 2:
-        score = float(group["score"].max())
-        conf = np.float32(score)
-        return pd.DataFrame(
-            {"cluster_id": [ids[0]] * 2, "doc_id": ids, "confidence_score": [conf, conf]}
+        conf = np.float32(float(sc.max()))
+        out.append(
+            (np.full(2, ids[0], object), ids, np.array([conf, conf], np.float32))
         )
+        return
     dist = np.ones((n, n), np.float64)
     np.fill_diagonal(dist, 0.0)
-    for a, b, s in zip(group["id_a"], group["id_b"], group["score"]):
-        d = 1.0 - float(s)
-        dist[pos[a], pos[b]] = d
-        dist[pos[b], pos[a]] = d
+    pos_a = np.searchsorted(ids, ia)
+    pos_b = np.searchsorted(ids, ib)
+    d = 1.0 - sc.astype(np.float64)
+    dist[pos_a, pos_b] = d
+    dist[pos_b, pos_a] = d
     labels = centroid_hac_cut(dist, 1.0 - threshold)
-
-    out_cluster: list[str] = []
-    out_doc: list[str] = []
-    out_conf: list[float] = []
     d2 = dist ** 2
     for lbl in np.unique(labels):
-        m = np.where(labels == lbl)[0]
+        m = np.flatnonzero(labels == lbl)
         if len(m) < 2:
             continue
-        cid = min(ids[i] for i in m)
         sub = d2[np.ix_(m, m)]
         mean_sq = sub.sum(axis=1) / (len(m) - 1)
-        conf = 1.0 - np.sqrt(mean_sq)
-        for i, c in zip(m, conf):
-            out_cluster.append(cid)
-            out_doc.append(ids[i])
-            out_conf.append(float(c))
+        conf = (1.0 - np.sqrt(mean_sq)).astype(np.float32)
+        out.append((np.full(len(m), ids[m[0]], object), ids[m], conf))
+
+
+def _assemble_cluster_frames(out: list) -> pd.DataFrame:
+    if not out:
+        return pd.DataFrame(
+            {"cluster_id": pd.Series([], dtype=str), "doc_id": pd.Series([], dtype=str),
+             "confidence_score": pd.Series([], dtype=np.float32)}
+        )
     return pd.DataFrame(
         {
-            "cluster_id": out_cluster,
-            "doc_id": out_doc,
-            "confidence_score": np.asarray(out_conf, np.float32),
+            "cluster_id": np.concatenate([c for c, _, _ in out]),
+            "doc_id": np.concatenate([d for _, d, _ in out]),
+            "confidence_score": np.concatenate([f for _, _, f in out]),
         }
     )
+
+
+def cluster_component(group: pd.DataFrame, threshold: float) -> pd.DataFrame:
+    """Edges of ONE component → (doc_id, cluster_id, confidence_score) rows.
+
+    cluster_id is the min doc_id of the flat cluster. Singletons are dropped
+    (group_size > 1 filter — backend/dedupe_script.py:365)."""
+    out: list = []
+    _cluster_component_arrays(
+        group["id_a"].to_numpy(object),
+        group["id_b"].to_numpy(object),
+        group["score"].to_numpy(),
+        threshold,
+        out,
+    )
+    return _assemble_cluster_frames(out)
 
 
 def cluster_edges(
@@ -629,10 +643,23 @@ def cluster_edges(
                 )
             )
         rest = g[sizes > 1]
-        outs.extend(
-            cluster_component(sub, threshold)
-            for _, sub in rest.groupby("component_id", sort=True)
-        )
+        if len(rest):
+            # component_id-sorted run slicing + the array core: no per-
+            # component DataFrame construction (the old groupby loop was
+            # the bucket's CPU hot spot)
+            comp = rest["component_id"].to_numpy(object)
+            order = np.argsort(comp, kind="stable")
+            ia = rest["id_a"].to_numpy(object)[order]
+            ib = rest["id_b"].to_numpy(object)[order]
+            sc = rest["score"].to_numpy()[order]
+            oc = comp[order]
+            heads = np.flatnonzero(np.r_[True, oc[1:] != oc[:-1]])
+            triples: list = []
+            for s0, s1 in zip(heads, np.append(heads[1:], len(oc))):
+                _cluster_component_arrays(
+                    ia[s0:s1], ib[s0:s1], sc[s0:s1], threshold, triples
+                )
+            outs.append(_assemble_cluster_frames(triples))
         if not outs:
             return pd.DataFrame(
                 {"cluster_id": pd.Series([], dtype=str), "doc_id": pd.Series([], dtype=str),
