@@ -575,11 +575,25 @@ def chunk_partition(
 
 def summarize_clusters(clusters_ds: "ray.data.Dataset") -> "ray.data.Dataset":
     """Cluster stats (A15) sorted by confidence desc (A16):
-    (cluster_id, group_size, confidence_score)."""
+    (cluster_id, group_size, confidence_score).
+
+    Confidence is upcast to float64 BEFORE the Mean so partial sums
+    accumulate at double precision — float32 partials round at a
+    block-layout-sensitive point (a 3-member cluster split 2|1 vs 1|2
+    summed to different ulps), making the output parallelism-dependent."""
+    import pyarrow.compute as pc
+
     from ray.data.aggregate import Count, Mean
 
+    def upcast(b: pa.Table) -> pa.Table:
+        i = b.column_names.index("confidence_score")
+        return b.set_column(
+            i, "confidence_score", pc.cast(b.column("confidence_score"), pa.float64())
+        )
+
     return (
-        clusters_ds.groupby("cluster_id")
+        clusters_ds.map_batches(upcast, batch_format="pyarrow")
+        .groupby("cluster_id")
         .aggregate(Count(alias_name="group_size"), Mean("confidence_score", alias_name="confidence_score"))
         .sort("confidence_score", descending=True)
     )
