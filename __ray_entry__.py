@@ -1671,6 +1671,39 @@ def _q_lineitem_rollup(sf_dir: str):
     )
 
 
+def _q_modal_event_type(sf_dir: str):
+    """Most frequent event_type per user (ties to the smallest value) —
+    two combiner-sized shuffles, deterministic argmax."""
+    from dedupe_ray.ops.tabular import grouped_mode
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+    return grouped_mode(ev, "user_id", "event_type", "mode_value")
+
+
+def _q_lineitem_cube(sf_dir: str):
+    """GROUP BY CUBE(l_returnflag, l_linestatus): every key-subset level
+    derived driver-side from one finest-level combiner shuffle."""
+    from dedupe_ray.ops.tabular import rollup_aggregate
+
+    li = _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity"])
+
+    def as_int(b):
+        import pyarrow.compute as _pc
+
+        return b.set_column(
+            b.column_names.index("l_quantity"),
+            "l_quantity",
+            _pc.cast(b.column("l_quantity"), pa.int64()),
+        )
+
+    return rollup_aggregate(
+        li.map_batches(as_int, batch_format="pyarrow"),
+        ["l_returnflag", "l_linestatus"],
+        "l_quantity",
+        cube=True,
+    )
+
+
 def _q_events_rank_stats(sf_dir: str):
     """SQL PERCENT_RANK + CUME_DIST per user over value (tie-aware ranks,
     numpy segment arithmetic, one bucketed shuffle)."""
@@ -1786,6 +1819,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_keywords": _q_tfidf_keywords,
         "scrub_repeated_ngrams": _q_scrub_repeated_ngrams,
         "events_rank_stats": _q_events_rank_stats,
+        "modal_event_type": _q_modal_event_type,
+        "lineitem_cube": _q_lineitem_cube,
     }
 
 
@@ -2575,5 +2610,25 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY user_id ORDER BY value
                    ) AS cume_dist
             FROM events
+        """,
+        "modal_event_type": """
+            SELECT user_id, event_type AS mode_value,
+                   CAST(cnt AS BIGINT) AS mode_count
+            FROM (
+                SELECT user_id, event_type, count(*) AS cnt,
+                       row_number() OVER (
+                           PARTITION BY user_id
+                           ORDER BY count(*) DESC, event_type ASC
+                       ) AS rn
+                FROM events GROUP BY user_id, event_type
+            ) WHERE rn = 1
+        """,
+        "lineitem_cube": """
+            SELECT COALESCE(l_returnflag, '(all)') AS l_returnflag,
+                   COALESCE(l_linestatus, '(all)') AS l_linestatus,
+                   CAST(count(*) AS BIGINT) AS cnt,
+                   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS val
+            FROM lineitem
+            GROUP BY CUBE(l_returnflag, l_linestatus)
         """,
     }

@@ -726,6 +726,66 @@ def grouped_count_distinct(
     )
 
 
+def grouped_mode(
+    ds: "ray.data.Dataset",
+    group_column: str,
+    value_column: str,
+    out_column: str = "mode_value",
+) -> "ray.data.Dataset":
+    """Most frequent value per group, ties broken to the SMALLEST value —
+    fully deterministic (SQL: row_number over count desc, value asc).
+
+    Shape: per-batch (group, value) partial counts (one factorize) →
+    groupby(group, value) sum finishes the counts → per-batch argmax
+    partials (each batch keeps one candidate per group) → a final tiny
+    per-group argmax. All shuffles carry combiner-sized partials."""
+    import numpy as np
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    def partial_counts(b: pa.Table) -> pa.Table:
+        df = b.select([group_column, value_column]).to_pandas()
+        g = (
+            df.groupby([group_column, value_column], sort=False)
+            .size()
+            .rename("cnt")
+            .reset_index()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    counts = (
+        ds.map_batches(partial_counts, batch_format="pyarrow")
+        .groupby([group_column, value_column])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+
+    def argmax_partial(b: pa.Table) -> pa.Table:
+        df = b.to_pandas().sort_values(
+            [group_column, "cnt", value_column], ascending=[True, False, True]
+        )
+        return pa.Table.from_pandas(
+            df.drop_duplicates(subset=[group_column], keep="first"),
+            preserve_index=False,
+        )
+
+    def argmax_final(g: pa.Table) -> pa.Table:
+        t = argmax_partial(g)
+        return pa.table(
+            {
+                group_column: t.column(group_column),
+                out_column: t.column(value_column),
+                "mode_count": t.column("cnt"),
+            }
+        )
+
+    return (
+        counts.map_batches(argmax_partial, batch_format="pyarrow")
+        .groupby(group_column)
+        .map_groups(argmax_final, batch_format="pyarrow")
+    )
+
+
 def grouped_concat(
     ds: "ray.data.Dataset",
     key_column: str,
@@ -1347,17 +1407,20 @@ def rollup_aggregate(
     group_columns: list[str],
     value_column: str,
     all_label: str = "(all)",
+    cube: bool = False,
 ) -> "ray.data.Dataset":
-    """``GROUP BY ROLLUP(a, b, …)``: count + integer sum at every prefix
-    level of ``group_columns``, subtotal rows carrying ``all_label`` in
-    the rolled-up key slots (instead of SQL's NULL, so results sort and
-    hash cleanly).
+    """``GROUP BY ROLLUP(a, b, …)`` (or ``CUBE`` with ``cube=True``):
+    count + integer sum at every prefix level (rollup) or every key
+    subset (cube), subtotal rows carrying ``all_label`` in the rolled-up
+    key slots (instead of SQL's NULL, so results sort and hash cleanly).
 
     Shape: per-batch partial aggregation at the FINEST level shrinks the
     shuffle to group-cardinality partials, one small groupby, then every
     coarser level derives exactly from the finest aggregate driver-side
     (counts and integer sums compose) — the raw data is never re-read or
     re-shuffled per level."""
+    import itertools
+
     import numpy as np
     import pandas as pd
 
@@ -1379,15 +1442,23 @@ def rollup_aggregate(
         .aggregate(Sum("cnt", alias_name="cnt"), Sum("val", alias_name="val"))
         .to_pandas()  # bounded: finest-level group cardinality
     )
+    if cube:
+        key_sets = [
+            list(c)
+            for r in range(len(group_columns) - 1, -1, -1)
+            for c in itertools.combinations(group_columns, r)
+        ]
+    else:
+        key_sets = [group_columns[:d] for d in range(len(group_columns) - 1, -1, -1)]
     levels = [finest]
-    for depth in range(len(group_columns) - 1, -1, -1):
-        keys = group_columns[:depth]
+    for keys in key_sets:
         if keys:
             lvl = finest.groupby(keys, sort=False, as_index=False)[["cnt", "val"]].sum()
         else:
             lvl = finest[["cnt", "val"]].sum().to_frame().T
-        for c in group_columns[depth:]:
-            lvl[c] = all_label
+        for c in group_columns:
+            if c not in keys:
+                lvl[c] = all_label
         levels.append(lvl[group_columns + ["cnt", "val"]])
     out = pd.concat(levels, ignore_index=True)
     out["cnt"] = out["cnt"].astype(np.int64)

@@ -1641,6 +1641,33 @@ def test_grouped_lead_and_ntile(ray_session):
     assert nt2[nt2.k == "b"]["tile"].tolist() == [1, 2]
 
 
+def test_grouped_mode_and_cube(ray_session):
+    from dedupe_ray.ops.tabular import grouped_mode, rollup_aggregate
+
+    t = pa.table(
+        {
+            "k": ["a", "a", "a", "b", "b", "b", "b"],
+            "v": ["x", "y", "x", "p", "q", "q", "p"],
+            "n": [1, 2, 3, 4, 5, 6, 7],
+        }
+    )
+    mode = grouped_mode(rd.from_arrow(t), "k", "v").to_pandas().set_index("k")
+    assert mode.loc["a", "mode_value"] == "x" and mode.loc["a", "mode_count"] == 2
+    # b: p and q tie at 2 → smallest value wins
+    assert mode.loc["b", "mode_value"] == "p" and mode.loc["b", "mode_count"] == 2
+
+    cube = (
+        rollup_aggregate(rd.from_arrow(t), ["k", "v"], "n", cube=True)
+        .to_pandas()
+        .set_index(["k", "v"])
+    )
+    # cube adds the (v)-only level that rollup lacks
+    assert cube.loc[("(all)", "q"), "cnt"] == 2
+    assert cube.loc[("(all)", "q"), "val"] == 11
+    assert cube.loc[("(all)", "(all)"), "val"] == 28
+    assert len(cube) == 4 + 2 + 4 + 1  # finest + k-levels + v-levels + total
+
+
 def test_grouped_rank_stats_ties(ray_session):
     from dedupe_ray.ops.tabular import grouped_rank_stats
 
