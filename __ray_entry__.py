@@ -1671,6 +1671,32 @@ def _q_lineitem_rollup(sf_dir: str):
     )
 
 
+def _q_debounce_events(sf_dir: str):
+    """Debounce: drop events closer than 1h to the previous event of the
+    same user (LAG-gap rule) — one bucketed window shuffle."""
+    from dedupe_ray.ops.tabular import debounce_rows
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    return debounce_rows(ev, "user_id", "ts", 3_600_000_000, ["event_id"])
+
+
+def _q_csv_roundtrip(sf_dir: str):
+    """CSV sink/source fidelity: events (int + string columns) written as
+    CSV shards and re-read must be value-identical to the parquet
+    original."""
+    import hashlib
+
+    from dedupe_ray.sources import read_csv_stream
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "event_type"])
+    out = "/tmp/dedupe_ray_csv_" + hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)
+    ev.write_csv(out)
+    return read_csv_stream(out)
+
+
 def _q_modal_event_type(sf_dir: str):
     """Most frequent event_type per user (ties to the smallest value) —
     two combiner-sized shuffles, deterministic argmax."""
@@ -1821,6 +1847,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rank_stats": _q_events_rank_stats,
         "modal_event_type": _q_modal_event_type,
         "lineitem_cube": _q_lineitem_cube,
+        "debounce_events": _q_debounce_events,
+        "csv_roundtrip": _q_csv_roundtrip,
     }
 
 
@@ -2630,5 +2658,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS val
             FROM lineitem
             GROUP BY CUBE(l_returnflag, l_linestatus)
+        """,
+        "debounce_events": """
+            WITH l AS (
+                SELECT event_id, user_id, ts,
+                       lag(ts) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS prev
+                FROM events
+            )
+            SELECT event_id, user_id, ts FROM l
+            WHERE prev IS NULL
+               OR epoch_us(ts) - epoch_us(prev) >= 3600000000
+        """,
+        "csv_roundtrip": """
+            SELECT event_id, user_id, event_type FROM events
         """,
     }

@@ -1466,6 +1466,36 @@ def rollup_aggregate(
     return ray.data.from_pandas(out)
 
 
+def debounce_rows(
+    ds: "ray.data.Dataset",
+    key_column: str,
+    ts_column: str,
+    min_gap_us: int,
+    tiebreak_columns: list[str] | None = None,
+) -> "ray.data.Dataset":
+    """Debounce: drop every row whose PREDECESSOR in (key, ts) order is
+    closer than ``min_gap_us`` microseconds (LAG-based — the gap is to the
+    previous raw row, not the previous survivor, which keeps the op
+    SQL-expressible and shuffle-parallel). Key heads always survive.
+    One bucketed shuffle on the shared window shape."""
+    import numpy as np
+
+    def kernel(g: pa.Table, new_key: np.ndarray) -> pa.Table:
+        ts = g.column(ts_column)
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        t = ts.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        gap = np.empty(len(t), np.int64)
+        gap[0] = min_gap_us
+        gap[1:] = t[1:] - t[:-1]
+        keep = new_key | (gap >= min_gap_us)
+        return g.filter(pa.array(keep))
+
+    return _grouped_window(
+        ds, key_column, [ts_column] + (tiebreak_columns or []), kernel
+    )
+
+
 def grouped_cumsum(
     ds: "ray.data.Dataset",
     key_column: str,

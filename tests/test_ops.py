@@ -1641,6 +1641,26 @@ def test_grouped_lead_and_ntile(ray_session):
     assert nt2[nt2.k == "b"]["tile"].tolist() == [1, 2]
 
 
+def test_debounce_rows(ray_session):
+    from dedupe_ray.ops.tabular import debounce_rows
+
+    ts = pa.array([0, 500, 1500, 1600, 3000, 100], pa.timestamp("us"))
+    t = pa.table(
+        {
+            "k": ["a", "a", "a", "a", "a", "b"],
+            "rid": [0, 1, 2, 3, 4, 5],
+            "ts": ts,
+        }
+    )
+    out = (
+        debounce_rows(rd.from_arrow(t), "k", "ts", 1000, ["rid"])
+        .to_pandas()
+        .sort_values("rid")
+    )
+    # gaps to previous RAW row: head, 500, 1000, 100, 1400 → keep 0,2,4; b head
+    assert out.rid.tolist() == [0, 2, 4, 5]
+
+
 def test_grouped_mode_and_cube(ray_session):
     from dedupe_ray.ops.tabular import grouped_mode, rollup_aggregate
 
