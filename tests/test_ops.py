@@ -1641,6 +1641,49 @@ def test_grouped_lead_and_ntile(ray_session):
     assert nt2[nt2.k == "b"]["tile"].tolist() == [1, 2]
 
 
+def test_scrub_repeated_ngrams_bruteforce_parity(ray_session):
+    """Randomized corpora from a tiny vocabulary (heavy gram collisions)
+    vs a pure-python reference implementation of the same semantics."""
+    from collections import Counter
+
+    from dedupe_ray.ops.dedup import scrub_repeated_ngrams
+
+    rng = np.random.RandomState(17)
+    vocab = ["aa", "bb", "cc", "dd"]
+    for trial in range(6):
+        n, t = rng.choice([2, 3]), rng.choice([2, 3])
+        docs = [
+            " ".join(rng.choice(vocab, rng.randint(0, 9)))
+            for _ in range(25)
+        ]
+        # brute force: count gram instances, cover, rebuild
+        grams = Counter()
+        for d in docs:
+            toks = d.split(" ")
+            for i in range(len(toks) - n + 1):
+                grams[tuple(toks[i : i + n])] += 1
+        hot = {g for g, c in grams.items() if c >= t}
+        want_clean, want_removed = [], []
+        for d in docs:
+            toks = d.split(" ")
+            cov = [False] * len(toks)
+            for i in range(len(toks) - n + 1):
+                if tuple(toks[i : i + n]) in hot:
+                    for j in range(i, i + n):
+                        cov[j] = True
+            want_clean.append(" ".join(tok for tok, c in zip(toks, cov) if not c))
+            want_removed.append(sum(cov))
+        tbl = pa.table({"doc_id": [str(i) for i in range(len(docs))], "text": docs})
+        out = (
+            scrub_repeated_ngrams(rd.from_arrow(tbl), n=int(n), min_count=int(t))
+            .to_pandas()
+            .set_index("doc_id")
+        )
+        for i in range(len(docs)):
+            assert out.loc[str(i), "text_clean"] == want_clean[i], (trial, n, t, docs[i])
+            assert out.loc[str(i), "n_removed"] == want_removed[i]
+
+
 def test_debounce_rows(ray_session):
     from dedupe_ray.ops.tabular import debounce_rows
 
