@@ -374,6 +374,7 @@ def tfidf_top_terms(
     k: int = 5,
     n_docs: int | None = None,
     vocab_limit: int = 50_000_000,
+    strategy: str = "auto",
 ) -> "ray.data.Dataset":
     """Per-document top-``k`` TF-IDF keywords (keyword extraction — the
     classic training-data tagging/retrieval feature).
@@ -389,7 +390,14 @@ def tfidf_top_terms(
     Output: (id_column, token, rnk) — scores are float and deliberately
     not emitted so the result hashes exactly against a SQL oracle; the
     ORDER itself is float-stable because both engines compute the same
-    IEEE double expression."""
+    IEEE double expression.
+
+    ``strategy``: 'broadcast' (default below ``vocab_limit``) ships the
+    idf table once via ``ray.put``; 'join' is the 100-TB path — tf rows
+    bucket by token hash, the df merge and the per-doc top-k each run
+    inside one bucketed groupby (token rows shuffle, text never does).
+    'auto' routes by a corpus-sampled vocabulary estimate. Both paths
+    produce identical rows (verified by a forced-join parity test)."""
     import ray
     from ray.data.aggregate import Sum
 
@@ -418,17 +426,23 @@ def tfidf_top_terms(
             {"token": pa.array(uniques, pa.string()), "df": pa.array(cnt)}
         )
 
-    df_tbl = (
+    df_ds = (
         ds.map_batches(df_partial, batch_format="pyarrow")
         .groupby("token")
         .aggregate(Sum("df", alias_name="df"))
-        .to_pandas()  # bounded: vocab-sized, guarded below
+        .materialize()  # vocab-sized; consumed twice on the join path
     )
-    if len(df_tbl) > vocab_limit:
+    n_vocab = df_ds.count()
+    if strategy == "auto":
+        strategy = "broadcast" if n_vocab <= vocab_limit else "join"
+    if strategy == "join":
+        return _tfidf_topk_join(ds, df_ds, column, id_column, k, n_docs, _batch_pairs)
+    if n_vocab > vocab_limit:
         raise ValueError(
-            f"vocabulary ({len(df_tbl)}) exceeds broadcast limit "
-            f"{vocab_limit}; use a distributed token hash join instead"
+            f"vocabulary ({n_vocab}) exceeds broadcast limit "
+            f"{vocab_limit}; pass strategy='join'"
         )
+    df_tbl = df_ds.to_pandas()  # bounded: vocab-sized, guarded above
     vocab = df_tbl["token"].to_numpy(dtype=object)
     order = np.argsort(vocab)
     ref = ray.put((vocab[order], df_tbl["df"].to_numpy(np.int64)[order]))
@@ -468,6 +482,90 @@ def tfidf_top_terms(
         )
 
     return ds.map_batches(topk, batch_format="pyarrow")
+
+
+def _tfidf_topk_join(
+    ds: "ray.data.Dataset",
+    df_ds: "ray.data.Dataset",
+    column: str,
+    id_column: str,
+    k: int,
+    n_docs: int,
+    batch_pairs,
+) -> "ray.data.Dataset":
+    """100-TB tfidf path: no broadcast — tf rows (id, token, tf) join the
+    df table inside one bucketed token-hash groupby
+    (:func:`dedupe_ray.joins.bucketed_lookup_join`), then the per-doc
+    top-k runs inside one bucketed id-hash groupby. Token rows shuffle
+    twice; document text never does. Produces exactly the broadcast
+    path's rows (same IEEE score expression, same tie order)."""
+    from dedupe_ray.joins import bucketed_lookup_join
+
+    def tf_rows(batch: pa.Table) -> pa.Table:
+        uniques, urow, ucode, tf = batch_pairs(batch)
+        ids = batch.column(id_column)
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        return pa.table(
+            {
+                id_column: ids.take(pa.array(urow)),
+                "token": pa.array(uniques[ucode] if len(uniques) else [], pa.string()),
+                "tf": pa.array(tf, pa.int64()),
+            }
+        )
+
+    tf_ds = ds.map_batches(tf_rows, batch_format="pyarrow")
+    joined = bucketed_lookup_join(tf_ds, df_ds, "token", "token", ["df"])
+
+    from dedupe_ray.ops.tabular import _bucket_hash_col
+    from dedupe_ray.blocking import N_BUCKETS
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "__dbkt", _bucket_hash_col(b.column(id_column), N_BUCKETS)
+        )
+
+    def topk_in_bucket(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                id_column: pa.array([], g.column(id_column).type),
+                "token": pa.array([], pa.string()),
+                "rnk": pa.array([], pa.int64()),
+            }
+        )
+        if not len(g):
+            return empty
+        df = g.to_pandas()
+        df["score"] = df["tf"].to_numpy(np.float64) * np.log(
+            (n_docs + 1.0) / (df["df"].to_numpy(np.int64) + 1.0)
+        )
+        df = df.sort_values(
+            [id_column, "score", "token"], ascending=[True, False, True]
+        )
+        rid = df[id_column].to_numpy(object)
+        heads = np.flatnonzero(np.r_[True, rid[1:] != rid[:-1]])
+        rnk = (
+            np.arange(len(rid))
+            - np.repeat(heads, np.diff(np.append(heads, len(rid))))
+            + 1
+        )
+        keep = rnk <= k
+        return pa.table(
+            {
+                id_column: pa.array(rid[keep], g.column(id_column).type),
+                "token": pa.array(df["token"].to_numpy(object)[keep], pa.string()),
+                "rnk": pa.array(rnk[keep], pa.int64()),
+            }
+        )
+
+    return (
+        joined.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("__dbkt")
+        .map_groups(
+            lambda g: topk_in_bucket(g.drop_columns(["__dbkt"])),
+            batch_format="pyarrow",
+        )
+    )
 
 
 def _space_gram_hashes(col, n: int) -> tuple[np.ndarray, np.ndarray]:

@@ -1641,6 +1641,41 @@ def test_grouped_lead_and_ntile(ray_session):
     assert nt2[nt2.k == "b"]["tile"].tolist() == [1, 2]
 
 
+def test_tfidf_join_strategy_matches_broadcast(ray_session):
+    from dedupe_ray.ops.text import tfidf_top_terms
+
+    rng = np.random.RandomState(5)
+    vocab = ["apple", "banana", "cherry", "date", "elder", "fig", "grape"]
+    docs = pa.table(
+        {
+            "doc_id": [f"d{i}" for i in range(40)],
+            "text": [" ".join(rng.choice(vocab, rng.randint(0, 12))) for _ in range(40)],
+        }
+    )
+    kw = dict(column="text", id_column="doc_id", k=3)
+    bc = (
+        tfidf_top_terms(rd.from_arrow(docs), strategy="broadcast", **kw)
+        .to_pandas()
+        .sort_values(["doc_id", "rnk"])
+        .reset_index(drop=True)
+    )
+    jn = (
+        tfidf_top_terms(rd.from_arrow(docs), strategy="join", **kw)
+        .to_pandas()
+        .sort_values(["doc_id", "rnk"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(bc, jn)
+    # a tiny vocab_limit auto-routes to the join path
+    auto = (
+        tfidf_top_terms(rd.from_arrow(docs), vocab_limit=2, **kw)
+        .to_pandas()
+        .sort_values(["doc_id", "rnk"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(bc, auto)
+
+
 def test_scrub_repeated_ngrams_bruteforce_parity(ray_session):
     """Randomized corpora from a tiny vocabulary (heavy gram collisions)
     vs a pure-python reference implementation of the same semantics."""
