@@ -697,6 +697,33 @@ def dup_ngram_docs(
     )
 
 
+def _emit_scrubbed(
+    batch: pa.Table,
+    flat: "pa.Array",
+    offsets: np.ndarray,
+    covered: np.ndarray,
+    id_column: str,
+) -> pa.Table:
+    """Shared scrub tail: covered-token mask → (id, text_clean, n_removed)
+    via one Arrow take + binary_join."""
+    nrows = len(batch)
+    counts = np.diff(offsets)
+    keep = ~covered
+    row_of_flat = np.repeat(np.arange(nrows, dtype=np.int64), counts)
+    kept_per_row = np.bincount(row_of_flat[keep], minlength=nrows)
+    new_offsets = np.concatenate(([0], np.cumsum(kept_per_row)))
+    kept_tokens = flat.take(pa.array(np.flatnonzero(keep)))
+    lists = pa.ListArray.from_arrays(pa.array(new_offsets, pa.int32()), kept_tokens)
+    ids = _one_chunk(batch.column(id_column))
+    return pa.table(
+        {
+            id_column: ids,
+            "text_clean": pc.binary_join(lists, " "),
+            "n_removed": pa.array(counts - kept_per_row, pa.int64()),
+        }
+    )
+
+
 def scrub_repeated_ngrams(
     ds: "ray.data.Dataset",
     n: int = 5,
@@ -704,6 +731,7 @@ def scrub_repeated_ngrams(
     column: str = "text",
     id_column: str = "doc_id",
     hot_limit: int = 50_000_000,
+    strategy: str = "auto",
 ) -> "ray.data.Dataset":
     """Exact repeated-substring REMOVAL (the scrub half of Lee et al.
     2022's suffix-array dedup, n-gram-granular): every token covered by a
@@ -713,12 +741,17 @@ def scrub_repeated_ngrams(
 
     Shape: pass 1 counts gram-hash instances — per-batch partials
     (factorize + bincount) bucketed by hash → per-bucket run-sum keeps
-    only hashes at ≥ ``min_count`` → the HOT set (bounded by actual
-    corpus repetition, guarded at ``hot_limit``) broadcasts once via
-    ``ray.put``. Pass 2 is shuffle-free: vectorized interval cover over
-    the flat token array (delta + cumsum), one Arrow take + binary_join
-    to reassemble. Gram identity is 64-bit hashed — collisions are
-    negligible and no text ever shuffles.
+    only hashes at ≥ ``min_count``. With ``strategy='broadcast'`` (auto
+    below ``hot_limit``) the HOT set ships once via ``ray.put`` and
+    pass 2 is shuffle-free: vectorized interval cover over the flat
+    token array (delta + cumsum), one Arrow take + binary_join to
+    reassemble. ``strategy='join'`` is the 100-TB path: gram-instance
+    rows join the hot table in a bucketed token-hash groupby, covered
+    starts aggregate per doc (ordered string_agg), and a bucketed id
+    join brings them back — gram hashes shuffle, text never does, and
+    nothing vocabulary-sized ever reaches one process. Both paths emit
+    identical rows. Gram identity is 64-bit hashed — collisions are
+    negligible at any realistic corpus size.
 
     Returns (id_column, text_clean, n_removed) for every document."""
     import ray
@@ -746,24 +779,28 @@ def scrub_repeated_ngrams(
         totals = np.add.reduceat(cnt, heads)
         return pa.table({"ghash": pa.array(gh[heads][totals >= min_count], pa.uint64())})
 
-    hot_df = (
+    hot_ds = (
         ds.map_batches(count_partial, batch_format="pyarrow")
         .groupby("gbucket")
         .map_groups(hot_in_bucket, batch_format="pyarrow")
-        .to_pandas()  # bounded: repeated grams only, guarded below
+        .materialize()  # hot-gram-sized; consumed once per path
     )
-    if len(hot_df) > hot_limit:
+    n_hot = hot_ds.count()
+    if strategy == "auto":
+        strategy = "broadcast" if n_hot <= hot_limit else "join"
+    if strategy == "join":
+        return _scrub_join(ds, hot_ds, n, column, id_column)
+    if n_hot > hot_limit:
         raise ValueError(
-            f"hot gram set ({len(hot_df)}) exceeds broadcast limit "
-            f"{hot_limit}; shard the scrub by gram-hash range instead"
+            f"hot gram set ({n_hot}) exceeds broadcast limit "
+            f"{hot_limit}; pass strategy='join'"
         )
+    hot_df = hot_ds.to_pandas()  # bounded: guarded above
     hot_ref = ray.put(np.sort(hot_df["ghash"].to_numpy(np.uint64)))
 
     def scrub(batch: pa.Table) -> pa.Table:
         hot = ray.get(hot_ref)
         rid, pos, gh, flat, offsets = _space_gram_all(batch.column(column), n)
-        nrows = len(batch)
-        counts = np.diff(offsets)
         covered = np.zeros(len(flat), bool)
         if len(gh) and len(hot):
             idx = np.searchsorted(hot, gh)
@@ -775,24 +812,72 @@ def scrub_repeated_ngrams(
                 np.add.at(delta, starts_flat, 1)
                 np.add.at(delta, starts_flat + n, -1)  # gram fits its row
                 covered = np.cumsum(delta[:-1]) > 0
-        keep = ~covered
-        row_of_flat = np.repeat(np.arange(nrows, dtype=np.int64), counts)
-        kept_per_row = np.bincount(row_of_flat[keep], minlength=nrows)
-        new_offsets = np.concatenate(([0], np.cumsum(kept_per_row)))
-        kept_tokens = flat.take(pa.array(np.flatnonzero(keep)))
-        lists = pa.ListArray.from_arrays(
-            pa.array(new_offsets, pa.int32()), kept_tokens
-        )
+        return _emit_scrubbed(batch, flat, offsets, covered, id_column)
+
+    return ds.map_batches(scrub, batch_format="pyarrow")
+
+
+def _scrub_join(
+    ds: "ray.data.Dataset",
+    hot_ds: "ray.data.Dataset",
+    n: int,
+    column: str,
+    id_column: str,
+) -> "ray.data.Dataset":
+    """100-TB scrub path: gram-instance rows (id, start, ghash) inner-join
+    the hot table inside one bucketed gram-hash groupby, covered starts
+    aggregate per doc (ordered string_agg), one bucketed id join brings
+    the start list back to each document, and the cover/rebuild runs
+    map-side."""
+    from dedupe_ray.joins import bucketed_lookup_join
+    from dedupe_ray.ops.tabular import grouped_concat
+    from dedupe_ray.ops.text import _space_gram_all
+
+    def gram_rows(batch: pa.Table) -> pa.Table:
+        rid, pos, gh, _, _ = _space_gram_all(batch.column(column), n)
         ids = _one_chunk(batch.column(id_column))
         return pa.table(
             {
-                id_column: ids,
-                "text_clean": pc.binary_join(lists, " "),
-                "n_removed": pa.array(counts - kept_per_row, pa.int64()),
+                id_column: ids.take(pa.array(rid)),
+                "start": pa.array(pos, pa.int64()),
+                "ghash": pa.array(gh, pa.uint64()),
             }
         )
 
-    return ds.map_batches(scrub, batch_format="pyarrow")
+    def mark(b: pa.Table) -> pa.Table:
+        return b.append_column("hot", pa.array(np.ones(len(b), np.int8)))
+
+    hits = bucketed_lookup_join(
+        ds.map_batches(gram_rows, batch_format="pyarrow"),
+        hot_ds.map_batches(mark, batch_format="pyarrow"),
+        "ghash",
+        "ghash",
+        ["hot"],
+        how="inner",
+    )
+    cov = grouped_concat(hits, id_column, "start", "start", sep=",", out_column="cov")
+    docs = bucketed_lookup_join(ds, cov, id_column, id_column, ["cov"], how="left")
+
+    def rebuild(batch: pa.Table) -> pa.Table:
+        _, _, _, flat, offsets = _space_gram_all(batch.column(column), n)
+        covered = np.zeros(len(flat), bool)
+        cov_col = batch.column("cov").to_pylist()
+        deltas = []
+        for row, s in enumerate(cov_col):
+            if s:
+                starts = np.array(s.split(","), np.int64) + offsets[row]
+                deltas.append(starts)
+        if deltas:
+            starts_flat = np.concatenate(deltas)
+            delta = np.zeros(len(flat) + 1, np.int64)
+            np.add.at(delta, starts_flat, 1)
+            np.add.at(delta, starts_flat + n, -1)
+            covered = np.cumsum(delta[:-1]) > 0
+        return _emit_scrubbed(
+            batch.drop_columns(["cov"]), flat, offsets, covered, id_column
+        )
+
+    return docs.map_batches(rebuild, batch_format="pyarrow")
 
 
 def _bloom_hash_pair(vals: np.ndarray) -> tuple[np.ndarray, np.ndarray]:

@@ -1719,6 +1719,42 @@ def test_scrub_repeated_ngrams_bruteforce_parity(ray_session):
             assert out.loc[str(i), "n_removed"] == want_removed[i]
 
 
+def test_scrub_join_strategy_matches_broadcast(ray_session):
+    from dedupe_ray.ops.dedup import scrub_repeated_ngrams
+
+    rng = np.random.RandomState(23)
+    vocab = ["aa", "bb", "cc", "dd", "ee"]
+    docs = pa.table(
+        {
+            "doc_id": [str(i) for i in range(30)],
+            "text": [" ".join(rng.choice(vocab, rng.randint(0, 10))) for _ in range(30)],
+        }
+    )
+    kw = dict(n=3, min_count=2)
+    bc = (
+        scrub_repeated_ngrams(rd.from_arrow(docs), strategy="broadcast", **kw)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert bc.n_removed.sum() > 0  # the corpus must actually exercise covers
+    jn = (
+        scrub_repeated_ngrams(rd.from_arrow(docs), strategy="join", **kw)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(bc, jn)
+    # a tiny hot_limit auto-routes to the join path
+    auto = (
+        scrub_repeated_ngrams(rd.from_arrow(docs), hot_limit=1, **kw)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(bc, auto)
+
+
 def test_debounce_rows(ray_session):
     from dedupe_ray.ops.tabular import debounce_rows
 
