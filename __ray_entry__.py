@@ -1671,6 +1671,75 @@ def _q_lineitem_rollup(sf_dir: str):
     )
 
 
+def _q_langid_counts(sf_dir: str):
+    """Corpus language distribution through the REAL LanguageId actor
+    stage (stopword-profile argmax + CJK prefix override) — the profile
+    tables are inlined into the oracle SQL from the same source dict."""
+    from ray.data.aggregate import Count
+
+    from dedupe_ray.ops.text import LanguageId
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = docs.map_batches(LanguageId, batch_format="pyarrow", concurrency=(1, 2))
+    return (
+        out.groupby("lang_pred")
+        .aggregate(Count(alias_name="n"))
+        .map_batches(
+            lambda b: b.set_column(
+                b.column_names.index("n"),
+                "n",
+                b.column("n").cast(pa.int64()),
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def _langid_oracle_sql() -> str:
+    from dedupe_ray.ops.text import _LANG_PROFILES
+
+    rows = ", ".join(
+        f"('{lang}', '{w}', {pri})"
+        for pri, (lang, stops) in enumerate(
+            (l, s) for l, s in _LANG_PROFILES.items() if s
+        )
+        for w in sorted(stops)
+    )
+    return rf"""
+        WITH profiles(lang, word, pri) AS (VALUES {rows}),
+        toks AS (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(lower(coalesce(text, '')),
+                          '[^\p{{L}}\p{{N}}'']+')) AS token
+            FROM documents
+        ),
+        hits AS (
+            SELECT t.doc_id, p.lang, p.pri, count(*) AS h
+            FROM toks t JOIN profiles p ON t.token = p.word
+            GROUP BY t.doc_id, p.lang, p.pri
+        ),
+        best AS (
+            SELECT doc_id, lang,
+                   row_number() OVER (
+                       PARTITION BY doc_id ORDER BY h DESC, pri ASC
+                   ) AS rn
+            FROM hits
+        ),
+        pred AS (
+            SELECT d.doc_id,
+                   CASE WHEN regexp_matches(
+                            substr(coalesce(d.text, ''), 1, 200), '[一-鿿]')
+                        THEN 'zh'
+                        WHEN b.lang IS NOT NULL THEN b.lang
+                        ELSE 'und' END AS lang_pred
+            FROM documents d
+            LEFT JOIN best b ON b.doc_id = d.doc_id AND b.rn = 1
+        )
+        SELECT lang_pred, CAST(count(*) AS BIGINT) AS n
+        FROM pred GROUP BY lang_pred
+    """
+
+
 def _q_debounce_events(sf_dir: str):
     """Debounce: drop events closer than 1h to the previous event of the
     same user (LAG-gap rule) — one bucketed window shuffle."""
@@ -1849,6 +1918,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_cube": _q_lineitem_cube,
         "debounce_events": _q_debounce_events,
         "csv_roundtrip": _q_csv_roundtrip,
+        "langid_counts": _q_langid_counts,
     }
 
 
@@ -2674,4 +2744,5 @@ def oracle_sql() -> dict[str, str]:
         "csv_roundtrip": """
             SELECT event_id, user_id, event_type FROM events
         """,
+        "langid_counts": _langid_oracle_sql(),
     }
