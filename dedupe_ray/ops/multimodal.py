@@ -9,9 +9,10 @@ Codecs: PPM/PGM (P6/P5 binary), 24-bit BI_RGB BMP, 8-bit PNG (all color
 types, zlib inflate + per-row unfilter — :func:`decode_png`), and
 baseline-DCT JPEG (Huffman entropy decode + matrix IDCT + chroma
 upsampling — :func:`decode_jpeg`) decode for REAL in pure numpy+zlib,
-as does PCM RIFF/WAVE (:func:`decode_wav`), plus nearest-neighbor pixel
-resampling (:func:`resize_nearest`). Remaining compressed codecs
-(progressive JPEG, ffmpeg-class audio/video) are STUBBED — no codec
+as does RIFF/WAVE — integer/float PCM plus the classic compressed WAV
+codecs G.711 A-law/μ-law and IMA/DVI ADPCM (:func:`decode_wav`) — plus
+nearest-neighbor pixel resampling (:func:`resize_nearest`). Remaining
+compressed codecs (progressive JPEG, ffmpeg-class audio/video) are STUBBED — no codec
 libraries exist in this environment: ``DecodeImage``/``DecodeAudio``
 decode recognized payloads, fall back to the deterministic fake decoder
 when ``fake=True`` (stable pseudo-features seeded by the ref hash so
@@ -674,12 +675,112 @@ def media_feature_pipeline(
     )
 
 
-def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
-    """Uncompressed RIFF/WAVE → (samples float32 [n, channels], rate).
+def _mulaw_decode(data: bytes) -> np.ndarray:
+    """G.711 μ-law (WAV format 7) → int16-range float32 in [-1, 1).
 
-    Pure-numpy PCM decode: walks the chunk list (fmt / data; other chunks
-    skipped per the RIFF spec), supports 8/16/32-bit integer PCM
-    (format 1) and 32-bit float (format 3). Compressed codecs raise."""
+    Standard ITU-T G.711 expansion (the 8-bit code is the bitwise
+    complement of sign|exponent|mantissa; magnitude = ((m·8+0x84) << e)
+    − 0x84, peak 32124). Fully vectorized via a 256-entry lookup table."""
+    u = ~np.arange(256, dtype=np.uint8)
+    sign = (u & 0x80) != 0
+    exp = (u >> 4) & 0x07
+    mant = (u & 0x0F).astype(np.int32)
+    mag = (((mant << 3) + 0x84) << exp) - 0x84
+    table = np.where(sign, -mag, mag).astype(np.float32) / 32768.0
+    return table[np.frombuffer(data, np.uint8)]
+
+
+def _alaw_decode(data: bytes) -> np.ndarray:
+    """G.711 A-law (WAV format 6) → float32 in [-1, 1).
+
+    ITU-T G.711 expansion (code XOR 0x55; segment 0 is linear
+    magnitude = m·16 + 8, segments ≥ 1 are (m·16 + 0x108) << (seg−1),
+    peak 32256; the sign bit SET means positive — opposite of μ-law).
+    256-entry lookup table."""
+    a = np.arange(256, dtype=np.uint8) ^ 0x55
+    positive = (a & 0x80) != 0
+    seg = ((a >> 4) & 0x07).astype(np.int32)
+    mant = (a & 0x0F).astype(np.int32)
+    mag = np.where(seg == 0, (mant << 4) + 8, ((mant << 4) + 0x108) << np.maximum(seg - 1, 0))
+    table = np.where(positive, mag, -mag).astype(np.float32) / 32768.0
+    return table[np.frombuffer(data, np.uint8)]
+
+
+_IMA_INDEX_TABLE = np.array([-1, -1, -1, -1, 2, 4, 6, 8], np.int32)
+_IMA_STEP_TABLE = np.array(
+    [7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37, 41,
+     45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173, 190,
+     209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658, 724,
+     796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066, 2272,
+     2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894, 6484, 7132,
+     7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289, 16818, 18500,
+     20350, 22385, 24623, 27086, 29794, 32767], np.int32)
+
+
+def _ima_adpcm_decode(data: bytes, channels: int, block_align: int) -> np.ndarray:
+    """IMA/DVI ADPCM (WAV format 0x11) → float32 [n_samples, channels].
+
+    Block layout per the Microsoft WAVE spec: each ``block_align``-byte
+    block opens with a 4-byte header per channel (int16 predictor, uint8
+    step index, reserved byte) followed by interleaved 4-byte channel
+    words, each holding eight 4-bit codes (low nibble first). The
+    predictor recurrence is sequential WITHIN a block but blocks are
+    independent, so the decoder is vectorized ACROSS blocks: the Python
+    loop runs samples-per-block times (a format constant, ~505 for the
+    common 2048-byte mono block) over numpy state arrays covering every
+    block at once. diff = (step·(2m+1)) >> 3 computed exactly via the
+    shift-add identity used by the reference IMA decoder."""
+    if block_align < 4 * channels or block_align % 4:
+        raise ValueError(f"bad IMA ADPCM block_align {block_align}")
+    n_blocks = len(data) // block_align
+    if n_blocks == 0:
+        return np.zeros((0, channels), np.float32)
+    raw = np.frombuffer(data[: n_blocks * block_align], np.uint8).reshape(
+        n_blocks, block_align
+    )
+    # headers: 4 bytes per channel
+    hdr = raw[:, : 4 * channels].reshape(n_blocks, channels, 4).astype(np.int32)
+    pred = (hdr[:, :, 0] | (hdr[:, :, 1] << 8)).astype(np.int16).astype(np.int32)
+    index = np.clip(hdr[:, :, 2], 0, 88)
+    # body: interleaved per-channel 4-byte words → nibble stream per channel
+    body = raw[:, 4 * channels :]
+    words_per_chunk = channels  # one 4-byte word per channel, repeating
+    n_words = body.shape[1] // 4
+    words = body[:, : n_words * 4].reshape(n_blocks, n_words // words_per_chunk,
+                                           channels, 4)
+    lo = words & 0x0F
+    hi = words >> 4
+    # nibble order within a word: byte0 low, byte0 high, byte1 low, ...
+    nibbles = np.empty(words.shape[:3] + (8,), np.uint8)
+    nibbles[..., 0::2] = lo
+    nibbles[..., 1::2] = hi
+    # [n_blocks, samples_per_block-1, channels]
+    codes = nibbles.transpose(0, 1, 3, 2).reshape(n_blocks, -1, channels)
+    spb = codes.shape[1] + 1  # header carries sample 0
+    out = np.empty((n_blocks, spb, channels), np.int32)
+    out[:, 0, :] = pred
+    step = _IMA_STEP_TABLE[index]
+    for t in range(codes.shape[1]):
+        code = codes[:, t, :].astype(np.int32)
+        delta = code & 7
+        diff = (step >> 3) + np.where(delta & 4, step, 0) + np.where(
+            delta & 2, step >> 1, 0
+        ) + np.where(delta & 1, step >> 2, 0)
+        pred = np.clip(pred + np.where(code & 8, -diff, diff), -32768, 32767)
+        index = np.clip(index + _IMA_INDEX_TABLE[delta], 0, 88)
+        step = _IMA_STEP_TABLE[index]
+        out[:, t + 1, :] = pred
+    return out.reshape(-1, channels).astype(np.float32) / 32768.0
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE → (samples float32 [n, channels], rate).
+
+    Pure-numpy decode: walks the chunk list (fmt / data; other chunks
+    skipped per the RIFF spec). Supports 8/16/32-bit integer PCM
+    (format 1), 32-bit float (format 3), G.711 A-law (6) and μ-law (7),
+    and IMA/DVI ADPCM (0x11, vectorized across blocks). Other codecs
+    (MP3-in-WAV etc.) raise."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
     pos, n = 12, len(payload)
@@ -695,13 +796,14 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
                 int.from_bytes(body[2:4], "little"),   # channels
                 int.from_bytes(body[4:8], "little"),   # sample rate
                 int.from_bytes(body[14:16], "little"), # bits per sample
+                int.from_bytes(body[12:14], "little"), # block align
             )
         elif cid == b"data":
             data = body
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
-    audio_format, channels, rate, bits = fmt
+    audio_format, channels, rate, bits, block_align = fmt
     if audio_format == 1 and bits == 16:
         x = np.frombuffer(data, np.int16).astype(np.float32) / 32768.0
     elif audio_format == 1 and bits == 8:
@@ -710,6 +812,12 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
         x = np.frombuffer(data, np.int32).astype(np.float32) / 2147483648.0
     elif audio_format == 3 and bits == 32:
         x = np.frombuffer(data, np.float32).copy()
+    elif audio_format == 6 and bits == 8:
+        x = _alaw_decode(data)
+    elif audio_format == 7 and bits == 8:
+        x = _mulaw_decode(data)
+    elif audio_format == 0x11 and bits == 4:
+        return _ima_adpcm_decode(data, max(channels, 1), block_align), rate
     else:
         raise ValueError(f"unsupported WAV encoding (format={audio_format}, bits={bits})")
     if channels > 1:
@@ -721,8 +829,9 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
 
 class DecodeAudio:
     """Actor-pool stage: audio payload → (duration_sec, sample_rate,
-    channels, rms, zero_cross_rate). Uncompressed WAV decodes for REAL
-    (:func:`decode_wav`); other payloads fall back to the deterministic
+    channels, rms, zero_cross_rate). WAV decodes for REAL — PCM and the
+    A-law/μ-law/IMA-ADPCM compressed codecs (:func:`decode_wav`); other
+    payloads fall back to the deterministic
     fake when ``fake=True``, else raise (codec integration point, same
     contract as DecodeImage)."""
 

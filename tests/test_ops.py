@@ -992,6 +992,167 @@ def test_decode_wav_real(ray_session):
     assert 0.09 < out["zero_cross_rate"] < 0.13
 
 
+def _wav_bytes(fmt_code, channels, rate, bits, block_align, data, extra=b""):
+    fmt_body = (
+        fmt_code.to_bytes(2, "little") + channels.to_bytes(2, "little")
+        + rate.to_bytes(4, "little")
+        + (rate * max(block_align, 1)).to_bytes(4, "little")
+        + block_align.to_bytes(2, "little") + bits.to_bytes(2, "little")
+        + extra
+    )
+    chunks = (
+        b"fmt " + len(fmt_body).to_bytes(4, "little") + fmt_body
+        + b"data" + len(data).to_bytes(4, "little") + data
+    )
+    return b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WAVE" + chunks
+
+
+def _ulaw2linear_ref(code):
+    """Scalar reference μ-law expansion (Sun g711.c ulaw2linear) —
+    independent of the vectorized decoder under test."""
+    u = ~code & 0xFF
+    t = (((u & 0x0F) << 3) + 0x84) << ((u & 0x70) >> 4)
+    return (0x84 - t) if (u & 0x80) else (t - 0x84)
+
+
+def _alaw2linear_ref(code):
+    """Scalar reference A-law expansion (Sun g711.c alaw2linear)."""
+    a = code ^ 0x55
+    t = (a & 0x0F) << 4
+    seg = (a & 0x70) >> 4
+    if seg == 0:
+        t += 8
+    elif seg == 1:
+        t += 0x108
+    else:
+        t = (t + 0x108) << (seg - 1)
+    return t if (a & 0x80) else -t
+
+
+def test_decode_wav_g711():
+    import numpy as np
+
+    from dedupe_ray.ops.multimodal import decode_wav
+
+    # pinned ITU vectors: μ-law 0x00 → -32124 (peak), 0xFF → 0;
+    # A-law 0x55 → -8, 0xD5 → +8, 0x2A/0xAA → ∓32256 (peak)
+    x, _ = decode_wav(_wav_bytes(7, 1, 8000, 8, 1, bytes([0x00, 0x80, 0xFF])))
+    np.testing.assert_array_equal(
+        (x[:, 0] * 32768).astype(int), [-32124, 32124, 0]
+    )
+    x, _ = decode_wav(_wav_bytes(6, 1, 8000, 8, 1, bytes([0x55, 0xD5, 0x2A, 0xAA])))
+    np.testing.assert_array_equal(
+        (x[:, 0] * 32768).astype(int), [-8, 8, -32256, 32256]
+    )
+    # ALL 256 codes must match the scalar reference expansion exactly
+    all_codes = bytes(range(256))
+    for code, ref in ((7, _ulaw2linear_ref), (6, _alaw2linear_ref)):
+        x, r = decode_wav(_wav_bytes(code, 1, 8000, 8, 1, all_codes))
+        got = np.round(x[:, 0] * 32768).astype(np.int64)
+        want = np.array([ref(c) for c in range(256)], np.int64)
+        assert r == 8000
+        np.testing.assert_array_equal(got, want)
+        # nearest-codeword round-trip: arbitrary samples decode back to
+        # the closest representable codeword value (real-codec sanity)
+        rng = np.random.RandomState(7)
+        samples = np.concatenate(
+            [rng.randint(-32768, 32768, 200), [-32768, -1, 0, 1, 32767]]
+        )
+        enc = bytes(int(np.argmin(np.abs(want - s))) for s in samples)
+        x2, _ = decode_wav(_wav_bytes(code, 1, 8000, 8, 1, enc))
+        dec = np.round(x2[:, 0] * 32768).astype(np.int64)
+        nearest = want[np.argmin(np.abs(want[None, :] - samples[:, None]), axis=1)]
+        np.testing.assert_array_equal(dec, nearest)
+
+
+def _ima_encode_decode_scalar(samples, channels, block_align):
+    """Scalar reference IMA ADPCM codec (spec recurrence, one sample at a
+    time) → (encoded bytes, reference-decoded int16 list)."""
+    from dedupe_ray.ops.multimodal import _IMA_INDEX_TABLE, _IMA_STEP_TABLE
+
+    spb = (block_align - 4 * channels) * 2 // channels + 1
+    n = len(samples) // channels
+    blocks = bytearray()
+    ref_out = []
+    pos = 0
+    while pos + spb <= n:
+        pred = [int(samples[pos * channels + c]) for c in range(channels)]
+        index = [0] * channels
+        for c in range(channels):
+            blocks += int(pred[c] & 0xFFFF).to_bytes(2, "little")
+            blocks += bytes([index[c], 0])
+        ref_out.extend(pred)
+        nibbles = [[] for _ in range(channels)]
+        for t in range(1, spb):
+            for c in range(channels):
+                s = int(samples[(pos + t) * channels + c])
+                step = int(_IMA_STEP_TABLE[index[c]])
+                diff = s - pred[c]
+                code = 0
+                if diff < 0:
+                    code = 8
+                    diff = -diff
+                if diff >= step:
+                    code |= 4
+                    diff -= step
+                if diff >= step >> 1:
+                    code |= 2
+                    diff -= step >> 1
+                if diff >= step >> 2:
+                    code |= 1
+                # reference decode of this code (exact spec recurrence)
+                delta = code & 7
+                d = (step >> 3) + (step if delta & 4 else 0) + (
+                    (step >> 1) if delta & 2 else 0
+                ) + ((step >> 2) if delta & 1 else 0)
+                pred[c] = max(-32768, min(32767, pred[c] + (-d if code & 8 else d)))
+                index[c] = max(0, min(88, index[c] + int(_IMA_INDEX_TABLE[delta])))
+                nibbles[c].append(code)
+                ref_out.append(pred[c])
+        # pack: per 8-sample run, one 4-byte word per channel interleaved
+        for w in range(len(nibbles[0]) // 8):
+            for c in range(channels):
+                grp = nibbles[c][w * 8 : w * 8 + 8]
+                word = bytes(
+                    [grp[0] | (grp[1] << 4), grp[2] | (grp[3] << 4),
+                     grp[4] | (grp[5] << 4), grp[6] | (grp[7] << 4)]
+                )
+                blocks += word
+        pos += spb
+    return bytes(blocks), ref_out
+
+
+def test_decode_wav_ima_adpcm():
+    import numpy as np
+
+    from dedupe_ray.ops.multimodal import decode_wav
+
+    rng = np.random.RandomState(11)
+    for channels in (1, 2):
+        block_align = 32 * channels  # spb = 57
+        spb = (block_align - 4 * channels) * 2 // channels + 1
+        n = spb * 3 * channels  # three full blocks
+        t = np.arange(n // channels)
+        sig = (np.sin(t / 9.0) * 12000 + rng.randint(-500, 500, len(t))).astype(int)
+        interleaved = np.repeat(sig, channels) + np.tile(
+            np.arange(channels) * 100, len(sig)
+        )
+        interleaved = np.clip(interleaved, -32768, 32767)
+        data, ref = _ima_encode_decode_scalar(interleaved, channels, block_align)
+        wav = _wav_bytes(
+            0x11, channels, 8000, 4, block_align, data,
+            extra=(2).to_bytes(2, "little") + spb.to_bytes(2, "little"),
+        )
+        x, r = decode_wav(wav)
+        assert r == 8000 and x.shape == (spb * 3, channels)
+        got = np.round(x * 32768).astype(int).reshape(-1)
+        # vectorized decoder must be EXACTLY the scalar spec recurrence
+        np.testing.assert_array_equal(got, np.asarray(ref))
+        # and ADPCM is a real codec: reconstruction tracks the waveform
+        err = np.abs(got - interleaved[: len(got)])
+        assert float(np.median(err)) < 1500
+
+
 def test_scrub_text_batch():
     import pyarrow as pa
 
