@@ -1828,6 +1828,20 @@ def _q_tfidf_keywords(sf_dir: str):
     return tfidf_top_terms(docs, "text", "doc_id", k=5)
 
 
+_BM25_TERMS = ("spark", "window", "merge")
+
+
+def _q_bm25_search(sf_dir: str):
+    """Okapi BM25 top-20 retrieval for a fixed 3-term query: two
+    shuffle-free passes (combiner stats reduce, broadcast-constant
+    scoring with per-batch top-k pre-trim); rank order is float-stable
+    because both engines evaluate the identical IEEE-double expression."""
+    from dedupe_ray.ops.text import bm25_topk
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return bm25_topk(docs, list(_BM25_TERMS), "text", "doc_id", top_n=20)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "er_clusters": _q_er_clusters,
@@ -1919,6 +1933,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "debounce_events": _q_debounce_events,
         "csv_roundtrip": _q_csv_roundtrip,
         "langid_counts": _q_langid_counts,
+        "bm25_search": _q_bm25_search,
     }
 
 
@@ -2745,4 +2760,49 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, user_id, event_type FROM events
         """,
         "langid_counts": _langid_oracle_sql(),
+        # same tokenizer as term_counts; every float subexpression is
+        # written with the same literals and association the Ray kernel
+        # uses (see ops/text.py bm25_topk), so the rank order hashes exactly
+        "bm25_search": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(lower(coalesce(text, '')),
+                              '[^\p{L}\p{N}'']+')) AS token
+                FROM documents
+            ),
+            tf AS (
+                SELECT d.doc_id,
+                       CAST(count(*) FILTER (WHERE t.token <> '') AS BIGINT) AS dl,
+                       CAST(count(*) FILTER (WHERE t.token = 'spark') AS BIGINT) AS tf0,
+                       CAST(count(*) FILTER (WHERE t.token = 'window') AS BIGINT) AS tf1,
+                       CAST(count(*) FILTER (WHERE t.token = 'merge') AS BIGINT) AS tf2
+                FROM documents d LEFT JOIN toks t USING (doc_id)
+                GROUP BY d.doc_id
+            ),
+            st AS (
+                SELECT CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(dl) AS BIGINT) AS dlsum,
+                       CAST(count(*) FILTER (WHERE tf0 > 0) AS BIGINT) AS df0,
+                       CAST(count(*) FILTER (WHERE tf1 > 0) AS BIGINT) AS df1,
+                       CAST(count(*) FILTER (WHERE tf2 > 0) AS BIGINT) AS df2
+                FROM tf
+            ),
+            scored AS (
+                SELECT tf.doc_id,
+                       ln(1.0 + (st.n - st.df0 + 0.5) / (st.df0 + 0.5))
+                         * ((1.2 + 1.0) * tf0 / (tf0 + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / (CAST(st.dlsum AS DOUBLE) / st.n))))
+                     + ln(1.0 + (st.n - st.df1 + 0.5) / (st.df1 + 0.5))
+                         * ((1.2 + 1.0) * tf1 / (tf1 + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / (CAST(st.dlsum AS DOUBLE) / st.n))))
+                     + ln(1.0 + (st.n - st.df2 + 0.5) / (st.df2 + 0.5))
+                         * ((1.2 + 1.0) * tf2 / (tf2 + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / (CAST(st.dlsum AS DOUBLE) / st.n))))
+                       AS score
+                FROM tf CROSS JOIN st
+            )
+            SELECT doc_id,
+                   CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rnk
+            FROM scored
+            WHERE score > 0.0
+            ORDER BY rnk
+            LIMIT 20
+        """,
     }

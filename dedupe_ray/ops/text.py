@@ -835,3 +835,115 @@ def split_sentences(
         )
 
     return ds.map_batches(split, batch_format="pyarrow")
+
+
+def bm25_topk(
+    ds: "ray.data.Dataset",
+    query_terms: list[str],
+    column: str = "text",
+    id_column: str = "doc_id",
+    top_n: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> "ray.data.Dataset":
+    """Okapi BM25 retrieval: rank every document against a fixed bag of
+    query terms, return the ``top_n`` ids as (id, rnk) — the classic
+    lexical-retrieval scorer (Robertson & Walker 1994; the Lucene
+    ``k1=1.2, b=0.75`` defaults and its +1-inside-the-log idf variant,
+    which keeps idf positive for df > n/2).
+
+    Two shuffle-free passes over the corpus, scale-ready by shape:
+
+    1. **stats** — per-batch combiner partials (doc count, total token
+       length, per-query-term document frequency) reduced by one bounded
+       ``Dataset.aggregate``; nothing corpus-sized moves.
+    2. **score** — the handful of (N, avgdl, df_t) scalars ride the task
+       closure; tf per term per row is one vectorized reduceat over the
+       batch token stream; only rows matching ≥1 term are emitted, each
+       batch pre-trims to its local top-``top_n``, and the global sort
+       runs over ≤ top_n·n_batches rows.
+
+    Scores are float64 but deliberately NOT emitted: the output is the
+    RANK order (score desc, id asc), which hashes exactly against a SQL
+    oracle because both engines evaluate the same IEEE-double expression
+    with the same association (see oracle_sql()['bm25_search'])."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    terms = [str(t) for t in query_terms]
+
+    def _tf_matrix(batch: pa.Table):
+        flat, offsets, _ = _tokenize_batch(batch.column(column))
+        toks = np.asarray(flat.to_pylist(), object)
+        dl = _per_row_sums((toks != "").astype(np.int64), offsets)
+        tfs = [
+            _per_row_sums((toks == t).astype(np.int64), offsets) for t in terms
+        ]
+        return dl, tfs
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        dl, tfs = _tf_matrix(batch)
+        row: dict = {
+            "n": [len(batch)],
+            "dlsum": [int(dl.sum())],
+        }
+        for i, tf in enumerate(tfs):
+            row[f"df{i}"] = [int((tf > 0).sum())]
+        return pa.table(row)
+
+    aggs = [Sum("n", alias_name="n"), Sum("dlsum", alias_name="dlsum")] + [
+        Sum(f"df{i}", alias_name=f"df{i}") for i in range(len(terms))
+    ]
+    st = ds.map_batches(stats_partial, batch_format="pyarrow").aggregate(*aggs)
+    n_docs = int(st["n"])
+    avgdl = int(st["dlsum"]) / n_docs  # exact-int operands → identical double
+    dfs = [int(st[f"df{i}"]) for i in range(len(terms))]
+    # idf per term: python doubles, same expression the oracle evaluates
+    idfs = [math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5)) for df in dfs]
+
+    def score_batch(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        dl_i, tfs = _tf_matrix(batch)
+        dl = dl_i.astype(np.float64)
+        dbase = 1.0 - b + b * dl / avgdl
+        score = np.zeros(len(batch), np.float64)
+        for idf, tf_i in zip(idfs, tfs):
+            tf = tf_i.astype(np.float64)
+            score = score + idf * ((k1 + 1.0) * tf / (tf + k1 * dbase))
+        keep = score > 0.0
+        sdf = pd.DataFrame(
+            {
+                id_column: np.asarray(
+                    batch.column(id_column).to_pylist(), object
+                )[keep],
+                "score": score[keep],
+            }
+        ).sort_values(
+            ["score", id_column], ascending=[False, True], kind="mergesort"
+        ).head(top_n)
+        return pa.Table.from_pandas(sdf, preserve_index=False)
+
+    hits = (
+        ds.map_batches(score_batch, batch_format="pyarrow")
+        .sort(["score", id_column], descending=[True, False])
+        .limit(top_n)
+    )
+    top = hits.to_pandas()  # bounded: ≤ top_n rows by construction
+    import ray.data as rd
+
+    if id_column not in top.columns:  # zero hits: Ray loses the empty schema
+        id_type = ds.schema().base_schema.field(id_column).type
+        return rd.from_arrow(
+            pa.table({id_column: pa.array([], id_type),
+                      "rnk": pa.array([], pa.int64())})
+        )
+    return rd.from_arrow(
+        pa.table(
+            {
+                id_column: pa.array(top[id_column]),
+                "rnk": pa.array(np.arange(1, len(top) + 1, dtype=np.int64)),
+            }
+        )
+    )

@@ -2385,3 +2385,60 @@ def test_filter_top_fraction(ray_session):
     assert sorted(out["v"]) == list(range(74, 100))
     with pytest.raises(ValueError):
         filter_top_fraction(ds, "v", 0.0)
+
+
+def test_bm25_topk(ray_session):
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dedupe_ray.ops.text import bm25_topk
+
+    docs = [
+        "spark window merge spark",     # hits all three, spark twice
+        "spark join",                   # one hit, short doc
+        "merge merge merge merge merge merge merge merge",  # long, one term
+        "filter scan table",            # no hits
+        "window",                       # single-token doc
+        "",                             # empty
+    ]
+    tbl = pa.table({"doc_id": list(range(6)), "text": docs})
+    out = (
+        bm25_topk(rd.from_arrow(tbl), ["spark", "window", "merge"], top_n=4)
+        .to_pandas()
+        .sort_values("rnk")
+    )
+
+    # brute-force reference: same formula, scalar python
+    terms = ["spark", "window", "merge"]
+    toks = [d.split() for d in docs]
+    dls = [len(t) for t in toks]
+    n = len(docs)
+    avgdl = sum(dls) / n
+    scores = []
+    for i, t in enumerate(toks):
+        s = 0.0
+        for q in terms:
+            tf = t.count(q)
+            df = sum(1 for tt in toks if q in tt)
+            idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+            s = s + idf * ((1.2 + 1.0) * tf / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dls[i] / avgdl)))
+        scores.append((i, s))
+    want = [i for i, s in sorted(scores, key=lambda p: (-p[1], p[0])) if s > 0][:4]
+    assert list(out["doc_id"]) == want
+    assert list(out["rnk"]) == [1, 2, 3, 4]
+    # the no-hit and empty docs never appear
+    assert 3 not in set(out["doc_id"]) and 5 not in set(out["doc_id"])
+
+
+def test_bm25_topk_no_hits(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dedupe_ray.ops.text import bm25_topk
+
+    tbl = pa.table({"doc_id": [1, 2], "text": ["alpha beta", "gamma"]})
+    out = bm25_topk(rd.from_arrow(tbl), ["zzz"], top_n=5).to_pandas()
+    assert len(out) == 0
