@@ -1828,6 +1828,17 @@ def _q_tfidf_keywords(sf_dir: str):
     return tfidf_top_terms(docs, "text", "doc_id", k=5)
 
 
+def _q_dedup_keep_best(sf_dir: str):
+    """Canonical-pick dedup: one row per distinct props value — the
+    highest-value copy (ties → min event_id). Bucketed key-hash shuffle,
+    vectorized within-bucket argmax."""
+    from dedupe_ray.ops.dedup import dedup_keep_best
+
+    ev = _read(sf_dir, "events", ["event_id", "props", "value"])
+    out = dedup_keep_best(ev, "props", "value", "event_id")
+    return out.select_columns(["event_id", "props", "value"])
+
+
 _BM25_TERMS = ("spark", "window", "merge")
 
 
@@ -1934,6 +1945,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "csv_roundtrip": _q_csv_roundtrip,
         "langid_counts": _q_langid_counts,
         "bm25_search": _q_bm25_search,
+        "dedup_keep_best": _q_dedup_keep_best,
     }
 
 
@@ -2804,5 +2816,15 @@ def oracle_sql() -> dict[str, str]:
             WHERE score > 0.0
             ORDER BY rnk
             LIMIT 20
+        """,
+        "dedup_keep_best": """
+            SELECT event_id, props, value FROM (
+                SELECT event_id, props, value,
+                       row_number() OVER (
+                           PARTITION BY props
+                           ORDER BY value DESC, event_id
+                       ) AS rn
+                FROM events
+            ) WHERE rn = 1
         """,
     }

@@ -117,6 +117,62 @@ def exact_dedup(
     return hashed.groupby("hbucket").map_groups(_keep_min_id, batch_format="pyarrow")
 
 
+def dedup_keep_best(
+    ds: "ray.data.Dataset",
+    key_column: str,
+    quality_column: str,
+    id_column: str,
+) -> "ray.data.Dataset":
+    """Canonical-pick dedup: keep the single highest-``quality_column`` row
+    per distinct ``key_column`` value (ties broken by min ``id_column``) —
+    the training-data variant of exact dedup where duplicate groups keep
+    their BEST copy (longest / highest-scoring) instead of an arbitrary
+    first.
+
+    Same bucketed shape as :func:`exact_dedup`: rows shuffle once by a
+    crc32 bucket of the key hash (N_BUCKETS groups — per-group python
+    overhead never scales with distinct-key count), and the within-bucket
+    argmax is a vectorized sort + run-boundary filter on (key hash, key,
+    quality desc, id). Hash collisions cannot merge distinct keys: the
+    actual key value is a sort key, and run boundaries compare values at
+    colliding positions."""
+
+    def _bucketize(b: pa.Table) -> pa.Table:
+        b = add_content_hash(b, key_column, out="__key_hash")
+        h = b.column("__key_hash").to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "__kbucket", pa.array((h % np.uint64(N_BUCKETS)).astype(np.int32))
+        )
+
+    hashed = ds.map_batches(_bucketize, batch_format="pyarrow")
+
+    def _keep_best(group: pa.Table) -> pa.Table:
+        if len(group) == 0:
+            return group.drop_columns(["__key_hash", "__kbucket"])
+        order = pc.sort_indices(
+            group,
+            sort_keys=[
+                ("__key_hash", "ascending"),
+                (key_column, "ascending"),
+                (quality_column, "descending"),
+                (id_column, "ascending"),
+            ],
+        )
+        g = group.take(order)
+        h = g.column("__key_hash").to_numpy(zero_copy_only=False)
+        keep = np.empty(len(g), bool)
+        keep[0] = True
+        keep[1:] = h[1:] != h[:-1]
+        ties = np.nonzero(~keep[1:])[0] + 1
+        if len(ties):
+            vcol = g.column(key_column)
+            for i in ties:
+                keep[i] = vcol[int(i)].as_py() != vcol[int(i) - 1].as_py()
+        return g.filter(pa.array(keep)).drop_columns(["__key_hash", "__kbucket"])
+
+    return hashed.groupby("__kbucket").map_groups(_keep_best, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

@@ -2442,3 +2442,26 @@ def test_bm25_topk_no_hits(ray_session):
     tbl = pa.table({"doc_id": [1, 2], "text": ["alpha beta", "gamma"]})
     out = bm25_topk(rd.from_arrow(tbl), ["zzz"], top_n=5).to_pandas()
     assert len(out) == 0
+
+
+def test_dedup_keep_best(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dedupe_ray.ops.dedup import dedup_keep_best
+
+    tbl = pa.table(
+        {
+            "id": [1, 2, 3, 4, 5, 6, 7],
+            "key": ["a", "a", "a", "b", "b", "c", None],
+            "q": [1.0, 5.0, 5.0, 2.0, 2.0, 0.0, 9.0],
+        }
+    )
+    out = (
+        dedup_keep_best(rd.from_arrow(tbl), "key", "q", "id")
+        .to_pandas()
+        .sort_values("id")
+    )
+    # a → max q 5.0, tie (ids 2,3) → min id 2; b → tie → id 4; c → id 6;
+    # None normalizes to "" (its own group) → id 7
+    assert list(out["id"]) == [2, 4, 6, 7]
