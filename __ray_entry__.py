@@ -1839,6 +1839,22 @@ def _q_dedup_keep_best(sf_dir: str):
     return out.select_columns(["event_id", "props", "value"])
 
 
+def _q_value_quantile_sketch(sf_dir: str):
+    """DDSketch mergeable-quantile sketch over events.value: combiner
+    bucket partials → tiny groupby Sum → driver rank-select on the
+    bounded bucket table. Output is (q, sign, bucket) — integer bucket
+    coordinates, engine-exact against the SQL mirror of the same
+    ceil(ln(v)/ln(gamma)) bucket function."""
+    import ray.data as rd
+
+    from dedupe_ray.ops.sketch import ddsketch_quantiles, ddsketch_table
+
+    ev = _read(sf_dir, "events", ["value"])
+    sk = ddsketch_table(ev, "value", gamma=1.02)
+    tbl = ddsketch_quantiles(sk, [0.5, 0.95, 0.99], gamma=1.02)
+    return rd.from_arrow(tbl.drop_columns(["estimate"]))
+
+
 _BM25_TERMS = ("spark", "window", "merge")
 
 
@@ -1946,6 +1962,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid_counts": _q_langid_counts,
         "bm25_search": _q_bm25_search,
         "dedup_keep_best": _q_dedup_keep_best,
+        "value_quantile_sketch": _q_value_quantile_sketch,
     }
 
 
@@ -2826,5 +2843,40 @@ def oracle_sql() -> dict[str, str]:
                        ) AS rn
                 FROM events
             ) WHERE rn = 1
+        """,
+        # SQL mirror of the DDSketch bucket function (same libm expression
+        # ceil(ln(v)/ln(1.02))) and the rank-select at ceil(q*n) over the
+        # (sign, sign*bucket) bucket order
+        "value_quantile_sketch": """
+            WITH b AS (
+                SELECT CASE WHEN value > 0 THEN 1
+                            WHEN value < 0 THEN -1 ELSE 0 END AS sign,
+                       CASE WHEN value > 0 THEN CAST(ceil(ln(value) / ln(1.02)) AS BIGINT)
+                            WHEN value < 0 THEN CAST(ceil(ln(-value) / ln(1.02)) AS BIGINT)
+                            ELSE 0 END AS bucket
+                FROM events WHERE value IS NOT NULL
+            ),
+            cnt AS (
+                SELECT sign, bucket, CAST(count(*) AS BIGINT) AS c
+                FROM b GROUP BY sign, bucket
+            ),
+            tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM b),
+            cum AS (
+                SELECT sign, bucket,
+                       sum(c) OVER (ORDER BY sign, sign * bucket) AS cum
+                FROM cnt
+            ),
+            qs AS (SELECT unnest([0.5, 0.95, 0.99]) AS q),
+            sel AS (
+                SELECT qs.q, cum.sign, cum.bucket,
+                       row_number() OVER (
+                           PARTITION BY qs.q
+                           ORDER BY cum.sign, cum.sign * cum.bucket
+                       ) AS rn
+                FROM qs JOIN cum
+                  ON cum.cum >= greatest(CAST(ceil(qs.q * (SELECT n FROM tot)) AS BIGINT), 1)
+            )
+            SELECT q, CAST(sign AS BIGINT) AS sign, bucket
+            FROM sel WHERE rn = 1
         """,
     }

@@ -250,3 +250,129 @@ def heavy_hitters(
         [("n", "descending"), ("value", "ascending")]
     )
     return top.slice(0, k), err
+
+
+# ---------------------------------------------------------------------------
+# DDSketch — mergeable quantile sketch (Masson, Rim & Lee, VLDB 2019)
+# ---------------------------------------------------------------------------
+#
+# Bucket function: for v > 0, bucket = ceil(ln(v) / ln(gamma)); zero and
+# negative values get their own sign stores ((sign, bucket) keys). Counts
+# are plain integers, so the sketch is DETERMINISTIC and merge-order-
+# invariant (unlike KLL's randomized compaction — parallelism would change
+# a KLL sketch's output, which this engine forbids). Relative-error
+# guarantee: alpha = (gamma - 1) / (gamma + 1) for any quantile, any
+# distribution. The sketch table is (sign, bucket, c) rows — persistable
+# via write_parquet and mergeable by a (sign, bucket) Sum, the same
+# contract as hll_sketch_table.
+
+
+def dd_bucket(values: np.ndarray, gamma: float) -> tuple[np.ndarray, np.ndarray]:
+    """values (float64) → (sign int64 in {-1,0,1}, bucket int64).
+
+    ceil(ln(|v|)/ln(gamma)) evaluated with the same libm expression a SQL
+    oracle evaluates (`ceil(ln(v)/ln(gamma))`), so bucket assignment is
+    engine-exact."""
+    v = np.asarray(values, np.float64)
+    sign = np.sign(v).astype(np.int64)
+    bucket = np.zeros(len(v), np.int64)
+    nz = sign != 0
+    with np.errstate(divide="ignore"):
+        bucket[nz] = np.ceil(np.log(np.abs(v[nz])) / np.log(gamma)).astype(np.int64)
+    return sign, bucket
+
+
+def ddsketch_table(
+    ds: "ray.data.Dataset",
+    value_column: str,
+    gamma: float = 1.02,
+) -> "ray.data.Dataset":
+    """Corpus → DDSketch bucket table (sign, bucket, c). Per-batch
+    combiner partials (≤ distinct-buckets rows per batch — the bucket
+    count is O(log(value range)/log(gamma)), a few hundred for any real
+    metric) then one tiny groupby Sum: nothing corpus-sized shuffles.
+    Null values are dropped (SQL aggregate semantics)."""
+    from ray.data.aggregate import Sum
+
+    def partials(batch: pa.Table) -> pa.Table:
+        col = batch.column(value_column)
+        v = col.to_numpy(zero_copy_only=False).astype(np.float64)
+        keep = ~np.isnan(v)
+        sign, bucket = dd_bucket(v[keep], gamma)
+        key = sign * np.int64(1 << 40) + bucket  # |bucket| < 2^40 always
+        ukey, cnt = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "sign": pa.array(
+                    np.where(ukey >= (1 << 39), 1, np.where(ukey <= -(1 << 39), -1, 0))
+                ),
+                "bucket": pa.array(
+                    ukey - np.where(ukey >= (1 << 39), 1 << 40, 0)
+                    + np.where(ukey <= -(1 << 39), 1 << 40, 0)
+                ),
+                "c": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    return (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby(["sign", "bucket"])
+        .aggregate(Sum("c", alias_name="c"))
+    )
+
+
+def ddsketch_merge(*sketches: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Union any number of DDSketch tables → one (sign, bucket) Sum.
+    Merging sketches of two corpora equals sketching their concatenation
+    exactly (integer counts — no approximation added by the merge)."""
+    from ray.data.aggregate import Sum
+
+    if not sketches:
+        raise ValueError("need at least one sketch table")
+    ds = sketches[0]
+    for other in sketches[1:]:
+        ds = ds.union(other)
+    return ds.groupby(["sign", "bucket"]).aggregate(Sum("c", alias_name="c"))
+
+
+def ddsketch_quantiles(
+    sketch_ds: "ray.data.Dataset",
+    qs: list[float],
+    gamma: float = 1.02,
+) -> pa.Table:
+    """Sketch table → per-quantile (q, sign, bucket, estimate).
+
+    Rank semantics: the value at rank ceil(q·n) (1-based, min rank 1) in
+    sorted order — negatives ascend by -bucket, then zeros, then
+    positives ascend by bucket (the (sign, sign·bucket) order a SQL
+    oracle can mirror). ``estimate`` is the bucket midpoint
+    ±2·gamma^b/(gamma+1); sign and bucket are the engine-exact outputs.
+    The bucket table is bounded (O(log range)), so this reduce is
+    driver-side by design."""
+    t = sketch_ds.to_pandas()  # bounded: bucket-count rows, not corpus rows
+    sign = t["sign"].to_numpy(np.int64)
+    bucket = t["bucket"].to_numpy(np.int64)
+    c = t["c"].to_numpy(np.int64)
+    order = np.lexsort((sign * bucket, sign))
+    sign, bucket, c = sign[order], bucket[order], c[order]
+    cum = np.cumsum(c)
+    n = int(cum[-1]) if len(cum) else 0
+    out_q, out_s, out_b, out_e = [], [], [], []
+    for q in qs:
+        rank = max(int(np.ceil(q * n)), 1)
+        i = int(np.searchsorted(cum, rank))
+        i = min(i, len(cum) - 1)
+        s, b = int(sign[i]), int(bucket[i])
+        est = 0.0 if s == 0 else s * 2.0 * gamma**b / (gamma + 1.0)
+        out_q.append(float(q))
+        out_s.append(s)
+        out_b.append(b)
+        out_e.append(est)
+    return pa.table(
+        {
+            "q": pa.array(out_q, pa.float64()),
+            "sign": pa.array(out_s, pa.int64()),
+            "bucket": pa.array(out_b, pa.int64()),
+            "estimate": pa.array(out_e, pa.float64()),
+        }
+    )

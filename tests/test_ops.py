@@ -2465,3 +2465,59 @@ def test_dedup_keep_best(ray_session):
     # a → max q 5.0, tie (ids 2,3) → min id 2; b → tie → id 4; c → id 6;
     # None normalizes to "" (its own group) → id 7
     assert list(out["id"]) == [2, 4, 6, 7]
+
+
+def test_ddsketch_quantiles_guarantee(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dedupe_ray.ops.sketch import (
+        dd_bucket,
+        ddsketch_merge,
+        ddsketch_quantiles,
+        ddsketch_table,
+    )
+
+    rng = np.random.RandomState(3)
+    vals = np.concatenate(
+        [
+            np.exp(rng.randn(5000) * 2.0),      # lognormal positives
+            -np.exp(rng.randn(500)),            # negatives
+            np.zeros(100),
+        ]
+    )
+    rng.shuffle(vals)
+    gamma = 1.02
+    alpha = (gamma - 1.0) / (gamma + 1.0)
+    ds = rd.from_arrow(pa.table({"value": vals})).repartition(7)
+    sk = ddsketch_table(ds, "value", gamma=gamma)
+    got = ddsketch_quantiles(sk, [0.01, 0.25, 0.5, 0.9, 0.99], gamma=gamma).to_pandas()
+
+    srt = np.sort(vals)
+    n = len(vals)
+    for _, row in got.iterrows():
+        exact = srt[max(int(np.ceil(row["q"] * n)), 1) - 1]
+        est = row["estimate"]
+        if exact == 0:
+            assert est == 0.0
+        else:
+            # DDSketch guarantee: relative error ≤ alpha
+            assert abs(est - exact) <= alpha * abs(exact) * 1.0000001, (
+                row["q"], est, exact,
+            )
+
+    # merge(sketch(half1), sketch(half2)) == sketch(all), exactly
+    h1 = rd.from_arrow(pa.table({"value": vals[:2000]}))
+    h2 = rd.from_arrow(pa.table({"value": vals[2000:]}))
+    merged = ddsketch_merge(
+        ddsketch_table(h1, "value", gamma=gamma),
+        ddsketch_table(h2, "value", gamma=gamma),
+    ).to_pandas().sort_values(["sign", "bucket"]).reset_index(drop=True)
+    whole = sk.to_pandas().sort_values(["sign", "bucket"]).reset_index(drop=True)
+    assert merged.equals(whole)
+
+    # bucket function is the documented closed form
+    s, b = dd_bucket(np.array([1.0, gamma**3 * 0.999, -2.5, 0.0]), gamma)
+    assert list(s) == [1, 1, -1, 0]
+    assert b[0] == 0 and b[1] == 3 and b[3] == 0
