@@ -1855,6 +1855,42 @@ def _q_value_quantile_sketch(sf_dir: str):
     return rd.from_arrow(tbl.drop_columns(["estimate"]))
 
 
+def _q_semantic_dedup(sf_dir: str):
+    """SemDeDup-style pruning over the same planted-near-dup corpus as
+    embedding_near_dup: cluster-bucketed cosine pairs → connected
+    components → keep the min-id representative per component, drop the
+    rest via a distributed anti-join. Returns surviving vec_ids."""
+    import ray.data as rd
+
+    from dedupe_ray.ops.embedding import semantic_dedup
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    base = emb.filter(expr="vec_id < 20").take(20)
+    rng = np.random.RandomState(7)
+    rows = []
+    for r in base:
+        v = np.asarray(r["embedding"], np.float32)
+        v = v + rng.normal(0, 0.01 * np.abs(v).mean(), size=v.shape).astype(np.float32)
+        rows.append({"vec_id": r["vec_id"] + 100000, "embedding": v.tolist()})
+    planted = rd.from_pandas(__import__("pandas").DataFrame(rows))
+
+    def fix_types(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "vec_id": pc.cast(b.column("vec_id"), pa.int64()),
+                "embedding": pc.cast(b.column("embedding"), pa.list_(pa.float32())),
+            }
+        )
+
+    both = emb.map_batches(fix_types, batch_format="pyarrow").union(
+        planted.map_batches(fix_types, batch_format="pyarrow")
+    )
+    pruned = semantic_dedup(both, cosine_threshold=0.98, n_centroids=8)
+    return pruned.select_columns(["vec_id"]).sort("vec_id")
+
+
 _BM25_TERMS = ("spark", "window", "merge")
 
 
@@ -1963,6 +1999,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_search": _q_bm25_search,
         "dedup_keep_best": _q_dedup_keep_best,
         "value_quantile_sketch": _q_value_quantile_sketch,
+        "semantic_dedup": _q_semantic_dedup,
     }
 
 

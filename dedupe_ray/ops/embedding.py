@@ -718,3 +718,81 @@ def kmeans_fit(
                 new[int(ci)] = (grp["qsum"].to_numpy(np.float64) / quantize) / n
         cent = new
     return cent
+
+
+def semantic_dedup(
+    ds: "ray.data.Dataset",
+    cosine_threshold: float = 0.95,
+    n_centroids: int = 16,
+    id_column: str = "vec_id",
+    max_bucket: int = 5000,
+) -> "ray.data.Dataset":
+    """SemDeDup-style semantic pruning (Abbas et al. 2023): cluster the
+    embedding space, mark within-cluster cosine near-duplicates, keep ONE
+    representative per near-dup component, return the surviving rows.
+
+    Composition of existing scale shapes — nothing new materializes:
+
+    1. :func:`embedding_near_dup_pairs` (centroid-bucket shuffle +
+       within-bucket vectorized cosine; oversized buckets surface on a
+       side channel rather than silently losing recall),
+    2. :func:`dedupe_ray.clustering.connected_components` over the pair
+       edges (driver union-find under the edge limit, bucketed iteration
+       above it),
+    3. the kept id per component is its component_id (the minimum member
+       id — content-stable), and losers drop via one
+       :func:`dedupe_ray.joins.bucketed_lookup_join` LEFT anti-join —
+       the drop table shuffles, the corpus streams.
+
+    The representative choice (min id) matches the SQL a reviewer would
+    write, and the whole path is parallelism-invariant: centroids are
+    deterministic (quantized k-means), pair emission is order-free, and
+    component ids are content-stable."""
+    import pyarrow.compute as pc
+
+    from dedupe_ray.clustering import connected_components
+    from dedupe_ray.joins import bucketed_lookup_join
+
+    pairs = embedding_near_dup_pairs(
+        ds,
+        cosine_threshold=cosine_threshold,
+        n_centroids=n_centroids,
+        id_column=id_column,
+        max_bucket=max_bucket,
+    )
+    def edge_ids_to_str(batch: pa.Table) -> pa.Table:
+        # connected_components speaks string ids and picks the LEXICO-min
+        # member as component_id; zero-padding keeps lexicographic order
+        # == numeric order, so the representative is the numeric-min id
+        return pa.table(
+            {
+                "id_a": pc.utf8_lpad(pc.cast(batch.column("id_a"), pa.string()), 20, "0"),
+                "id_b": pc.utf8_lpad(pc.cast(batch.column("id_b"), pa.string()), 20, "0"),
+            }
+        )
+
+    edges = pairs.select_columns(["id_a", "id_b"]).map_batches(
+        edge_ids_to_str, batch_format="pyarrow"
+    )
+    cc = connected_components(edges)
+
+    def losers(batch: pa.Table) -> pa.Table:
+        keep = pc.not_equal(batch.column("doc_id"), batch.column("component_id"))
+        t = batch.filter(keep)
+        return pa.table(
+            {
+                "__drop_id": pc.cast(t.column("doc_id"), pa.int64()),
+                "__dropped": pa.array(np.ones(len(t), bool)),
+            }
+        )
+
+    drop = cc.map_batches(losers, batch_format="pyarrow")
+    joined = bucketed_lookup_join(
+        ds, drop, id_column, "__drop_id", ["__dropped"], how="left"
+    )
+    def keep_survivors(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_null(batch.column("__dropped"))).drop_columns(
+            ["__dropped"]
+        )
+
+    return joined.map_batches(keep_survivors, batch_format="pyarrow")

@@ -2521,3 +2521,62 @@ def test_ddsketch_quantiles_guarantee(ray_session):
     s, b = dd_bucket(np.array([1.0, gamma**3 * 0.999, -2.5, 0.0]), gamma)
     assert list(s) == [1, 1, -1, 0]
     assert b[0] == 0 and b[1] == 3 and b[3] == 0
+
+
+def test_semantic_dedup_brute_force(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dedupe_ray.ops.embedding import semantic_dedup
+
+    rng = np.random.RandomState(5)
+    dim = 16
+    base = rng.randn(30, dim).astype(np.float32)
+    # plant near-dups: rows 30..39 are tiny perturbations of rows 0..9
+    dups = base[:10] + rng.normal(0, 0.001, (10, dim)).astype(np.float32)
+    vecs = np.vstack([base, dups])
+    ids = np.arange(40, dtype=np.int64)
+    tbl = pa.table(
+        {
+            "vec_id": ids,
+            "embedding": pa.array(
+                [v.tolist() for v in vecs], pa.list_(pa.float32())
+            ),
+        }
+    )
+    thr = 0.98
+    # brute-force reference: full cosine matrix + union-find, keep min id
+    vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = vn @ vn.T
+    parent = list(range(40))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i in range(40):
+        for j in range(i + 1, 40):
+            if sims[i, j] >= thr:
+                parent[find(j)] = find(i)
+    roots = {}
+    for i in range(40):
+        roots.setdefault(find(i), []).append(i)
+    want = sorted(min(m) for m in roots.values())
+
+    # n_centroids=1 → single bucket → no IVF recall loss: exact parity
+    out = (
+        semantic_dedup(
+            rd.from_arrow(tbl).repartition(4),
+            cosine_threshold=thr,
+            n_centroids=1,
+            id_column="vec_id",
+        )
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    assert list(out["vec_id"]) == want
+    # every planted dup (30..39) must be gone, all non-dup bases kept
+    assert all(v < 30 for v in out["vec_id"])

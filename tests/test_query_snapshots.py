@@ -50,6 +50,9 @@ SNAPSHOTS = {
     # field), identical at num_cpus 4 and 8
     "er_canonical": (19, 3585206592379217455),
     "er_cluster_summary": (19, 9362016833877420128),
+    # SemDeDup pruning over the planted-near-dup corpus: all 20 planted
+    # dups drop, every original survives; identical at num_cpus 4 and 8
+    "semantic_dedup": (500, 15208159019661972216),
 }
 
 
