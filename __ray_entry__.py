@@ -1891,6 +1891,16 @@ def _q_semantic_dedup(sf_dir: str):
     return pruned.select_columns(["vec_id"]).sort("vec_id")
 
 
+def _q_value_p95_by_type(sf_dir: str):
+    """Per-event-type p95 via grouped DDSketch: combiner bucket partials →
+    (group, sign, bucket) Sum → per-group rank-select map_groups."""
+    from dedupe_ray.ops.sketch import ddsketch_group_quantile, ddsketch_group_table
+
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+    sk = ddsketch_group_table(ev, "event_type", "value", gamma=1.02)
+    return ddsketch_group_quantile(sk, "event_type", 0.95, gamma=1.02)
+
+
 _BM25_TERMS = ("spark", "window", "merge")
 
 
@@ -2000,6 +2010,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_keep_best": _q_dedup_keep_best,
         "value_quantile_sketch": _q_value_quantile_sketch,
         "semantic_dedup": _q_semantic_dedup,
+        "value_p95_by_type": _q_value_p95_by_type,
     }
 
 
@@ -2914,6 +2925,39 @@ def oracle_sql() -> dict[str, str]:
                   ON cum.cum >= greatest(CAST(ceil(qs.q * (SELECT n FROM tot)) AS BIGINT), 1)
             )
             SELECT q, CAST(sign AS BIGINT) AS sign, bucket
+            FROM sel WHERE rn = 1
+        """,
+        "value_p95_by_type": """
+            WITH b AS (
+                SELECT event_type,
+                       CASE WHEN value > 0 THEN 1
+                            WHEN value < 0 THEN -1 ELSE 0 END AS sign,
+                       CASE WHEN value > 0 THEN CAST(ceil(ln(value) / ln(1.02)) AS BIGINT)
+                            WHEN value < 0 THEN CAST(ceil(ln(-value) / ln(1.02)) AS BIGINT)
+                            ELSE 0 END AS bucket
+                FROM events WHERE value IS NOT NULL
+            ),
+            cnt AS (
+                SELECT event_type, sign, bucket, CAST(count(*) AS BIGINT) AS c
+                FROM b GROUP BY event_type, sign, bucket
+            ),
+            cum AS (
+                SELECT event_type, sign, bucket,
+                       sum(c) OVER (PARTITION BY event_type
+                                    ORDER BY sign, sign * bucket) AS cum,
+                       sum(c) OVER (PARTITION BY event_type) AS n
+                FROM cnt
+            ),
+            sel AS (
+                SELECT event_type, sign, bucket,
+                       row_number() OVER (
+                           PARTITION BY event_type
+                           ORDER BY sign, sign * bucket
+                       ) AS rn
+                FROM cum
+                WHERE cum >= greatest(CAST(ceil(0.95 * n) AS BIGINT), 1)
+            )
+            SELECT event_type, CAST(sign AS BIGINT) AS sign, bucket
             FROM sel WHERE rn = 1
         """,
     }

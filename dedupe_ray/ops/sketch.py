@@ -376,3 +376,80 @@ def ddsketch_quantiles(
             "estimate": pa.array(out_e, pa.float64()),
         }
     )
+
+
+def ddsketch_group_table(
+    ds: "ray.data.Dataset",
+    group_column: str,
+    value_column: str,
+    gamma: float = 1.02,
+) -> "ray.data.Dataset":
+    """Per-group DDSketch bucket table (group, sign, bucket, c) — same
+    combiner-partial shape as :func:`ddsketch_table` with the group key
+    folded into the partial, so the shuffle stays buckets×groups-sized."""
+    from ray.data.aggregate import Sum
+
+    def partials(batch: pa.Table) -> pa.Table:
+        v = batch.column(value_column).to_numpy(zero_copy_only=False).astype(np.float64)
+        g = batch.column(group_column).to_numpy(zero_copy_only=False)
+        keep = ~np.isnan(v)
+        v, g = v[keep], g[keep]
+        sign, bucket = dd_bucket(v, gamma)
+        gcodes, guniques = pd.factorize(g)
+        # inner key biased by +2^41 so it is always positive — without the
+        # bias a negative sign store would floor the group shift off by one
+        inner = sign * np.int64(1 << 40) + bucket + np.int64(1 << 41)
+        key = gcodes.astype(np.int64) * np.int64(1 << 42) + inner
+        ukey, cnt = np.unique(key, return_counts=True)
+        gi = ukey >> 42
+        rem = (ukey - (gi << 42)) - np.int64(1 << 41)
+        s = np.where(rem >= (1 << 39), 1, np.where(rem <= -(1 << 39), -1, 0))
+        b = rem - np.where(rem >= (1 << 39), 1 << 40, 0) + np.where(
+            rem <= -(1 << 39), 1 << 40, 0
+        )
+        return pa.table(
+            {
+                group_column: pa.array(np.asarray(guniques)[gi]),
+                "sign": pa.array(s.astype(np.int64)),
+                "bucket": pa.array(b.astype(np.int64)),
+                "c": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    return (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby([group_column, "sign", "bucket"])
+        .aggregate(Sum("c", alias_name="c"))
+    )
+
+
+def ddsketch_group_quantile(
+    sketch_ds: "ray.data.Dataset",
+    group_column: str,
+    q: float,
+    gamma: float = 1.02,
+) -> "ray.data.Dataset":
+    """Grouped sketch table → one (group, sign, bucket) row per group: the
+    rank-ceil(q·n_group) bucket in (sign, sign·bucket) order. The per-group
+    finalize is a map_groups over the (bounded) per-group bucket rows."""
+
+    def finalize(g: pa.Table) -> pa.Table:
+        sign = g.column("sign").to_numpy(zero_copy_only=False)
+        bucket = g.column("bucket").to_numpy(zero_copy_only=False)
+        c = g.column("c").to_numpy(zero_copy_only=False)
+        order = np.lexsort((sign * bucket, sign))
+        sign, bucket, c = sign[order], bucket[order], c[order]
+        cum = np.cumsum(c)
+        rank = max(int(np.ceil(q * int(cum[-1]))), 1)
+        i = min(int(np.searchsorted(cum, rank)), len(cum) - 1)
+        return pa.table(
+            {
+                group_column: g.column(group_column).slice(0, 1),
+                "sign": pa.array([int(sign[i])], pa.int64()),
+                "bucket": pa.array([int(bucket[i])], pa.int64()),
+            }
+        )
+
+    return sketch_ds.groupby(group_column).map_groups(
+        finalize, batch_format="pyarrow"
+    )

@@ -2580,3 +2580,40 @@ def test_semantic_dedup_brute_force(ray_session):
     assert list(out["vec_id"]) == want
     # every planted dup (30..39) must be gone, all non-dup bases kept
     assert all(v < 30 for v in out["vec_id"])
+
+
+def test_ddsketch_grouped(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dedupe_ray.ops.sketch import (
+        dd_bucket,
+        ddsketch_group_quantile,
+        ddsketch_group_table,
+    )
+
+    rng = np.random.RandomState(9)
+    # group "neg" exercises the negative store (the packing-bias edge)
+    vals = {
+        "small": rng.uniform(0.001, 0.01, 300),
+        "big": rng.uniform(100, 10000, 300),
+        "neg": -rng.uniform(1, 50, 300),
+    }
+    g = np.concatenate([[k] * len(v) for k, v in vals.items()])
+    v = np.concatenate(list(vals.values()))
+    ds = rd.from_arrow(pa.table({"grp": g, "value": v})).repartition(5)
+    sk = ddsketch_group_table(ds, "grp", "value", gamma=1.05)
+    out = (
+        ddsketch_group_quantile(sk, "grp", 0.5, gamma=1.05)
+        .to_pandas()
+        .set_index("grp")
+    )
+    for k, arr in vals.items():
+        srt = np.sort(arr)
+        exact = srt[max(int(np.ceil(0.5 * len(arr))), 1) - 1]
+        s, b = dd_bucket(np.array([exact]), 1.05)
+        # the sketch's selected bucket must contain a value within one
+        # bucket of the exact rank-median's bucket (rank falls inside it)
+        assert out.loc[k, "sign"] == s[0]
+        assert abs(out.loc[k, "bucket"] - b[0]) <= 1, (k, out.loc[k, "bucket"], b[0])
