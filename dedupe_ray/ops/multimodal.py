@@ -6,13 +6,15 @@ with typed metadata. The Ray-side plumbing — schemas, actor-pool stages,
 batch sizing for wide binary rows, output layout — is real and tested.
 
 Codecs: PPM/PGM (P6/P5 binary), 24-bit BI_RGB BMP, 8-bit PNG (all color
-types, zlib inflate + per-row unfilter — :func:`decode_png`), and
-baseline-DCT JPEG (Huffman entropy decode + matrix IDCT + chroma
-upsampling — :func:`decode_jpeg`) decode for REAL in pure numpy+zlib,
-as does RIFF/WAVE — integer/float PCM plus the classic compressed WAV
-codecs G.711 A-law/μ-law and IMA/DVI ADPCM (:func:`decode_wav`) — plus
+types, zlib inflate + per-row unfilter — :func:`decode_png`), and JPEG —
+baseline, extended-sequential AND progressive Huffman (T.81 §G: spectral
+selection, successive approximation, EOB-run coding; Huffman entropy
+decode + one vectorized einsum IDCT + chroma upsampling —
+:func:`decode_jpeg`) — decode for REAL in pure numpy+zlib, as does
+RIFF/WAVE — integer/float PCM plus the classic compressed WAV codecs
+G.711 A-law/μ-law and IMA/DVI ADPCM (:func:`decode_wav`) — plus
 nearest-neighbor pixel resampling (:func:`resize_nearest`). Remaining
-compressed codecs (progressive JPEG, ffmpeg-class audio/video) are STUBBED — no codec
+compressed codecs (arithmetic-coded JPEG, ffmpeg-class audio/video) are STUBBED — no codec
 libraries exist in this environment: ``DecodeImage``/``DecodeAudio``
 decode recognized payloads, fall back to the deterministic fake decoder
 when ``fake=True`` (stable pseudo-features seeded by the ref hash so
@@ -299,9 +301,11 @@ def _extend(value: int, size: int) -> int:
     return value if value >= (1 << (size - 1)) else value - (1 << size) + 1
 
 
-def _jpeg_scan_segments(payload: bytes, pos: int) -> list[bytes]:
+def _jpeg_scan_segments(payload: bytes, pos: int) -> tuple[list[bytes], int]:
     """Entropy-coded data from ``pos``: strip 0xFF00 byte stuffing, split at
-    restart markers (RST0–7), stop at any other marker."""
+    restart markers (RST0–7), stop at any other marker. Returns the
+    segments AND the offset of the terminating marker (so a multi-scan
+    walk — progressive or sequential-per-component — can continue)."""
     segments: list[bytes] = []
     cur = bytearray()
     n = len(payload)
@@ -322,29 +326,203 @@ def _jpeg_scan_segments(payload: bytes, pos: int) -> list[bytes]:
         else:
             break
     segments.append(bytes(cur))
-    return segments
+    return segments, pos
+
+
+def _decode_scan_sequential(scan, comps, coefs, grid):
+    """Sequential Huffman scan (DC+AC in one pass) into the coefficient
+    arrays. Handles interleaved (MCU) and single-component scans and
+    restart intervals (T.81 F.2)."""
+    sel, _, _, _, _, segments, ht, ri = scan
+    units, walk = _scan_units(sel, comps, grid)
+    per_seg = ri or len(units)
+    ui = 0
+    for segment in segments:
+        reader = _JpegBitReader(segment)
+        pred = {ci: 0 for ci, _, _ in sel}
+        for _ in range(min(per_seg, len(units) - ui)):
+            for ci, dc_id, ac_id, by, bx in walk(units[ui]):
+                dc_tab = ht[(0, dc_id)]
+                ac_tab = ht[(1, ac_id)]
+                block = coefs[ci][by, bx]
+                size = _huff_decode(reader, dc_tab)
+                pred[ci] += _extend(reader.receive(size), size)
+                block[0] = pred[ci]
+                k = 1
+                while k < 64:
+                    rs = _huff_decode(reader, ac_tab)
+                    run, size = rs >> 4, rs & 15
+                    if size == 0:
+                        if run == 15:
+                            k += 16
+                            continue
+                        break  # EOB
+                    k += run
+                    if k > 63:
+                        raise ValueError("JPEG AC run past block end")
+                    block[k] = _extend(reader.receive(size), size)
+                    k += 1
+            ui += 1
+
+
+def _scan_units(sel, comps, grid):
+    """→ (units, walk): the scan's MCU list and a function yielding the
+    (comp_idx, dc_id, ac_id, block_y, block_x) visits inside one unit.
+
+    Interleaved scans walk h×v blocks per component per MCU over the
+    frame MCU grid; a single-component scan's unit is ONE block, rastered
+    over that component's own (non-padded) block dimensions (T.81 A.2)."""
+    mcus_x, mcus_y, hmax, vmax, height, width = grid
+    if len(sel) > 1:
+        units = list(range(mcus_x * mcus_y))
+
+        def walk(u):
+            my, mx = divmod(u, mcus_x)
+            for ci, dc_id, ac_id in sel:
+                _, ch, cv, _ = comps[ci]
+                for by in range(cv):
+                    for bx in range(ch):
+                        yield ci, dc_id, ac_id, my * cv + by, mx * ch + bx
+
+        return units, walk
+    ci, dc_id, ac_id = sel[0]
+    _, ch, cv, _ = comps[ci]
+    cw = -(-(width * ch) // hmax)
+    chh = -(-(height * cv) // vmax)
+    bw = -(-cw // 8)
+    bh = -(-chh // 8)
+    units = list(range(bw * bh))
+
+    def walk1(u):
+        yield ci, dc_id, ac_id, u // bw, u % bw
+
+    return units, walk1
+
+
+def _decode_scan_progressive(scan, comps, coefs, grid):
+    """One progressive scan (T.81 §G.1.2) into the coefficient arrays.
+
+    Four cases: DC first (DPCM of value>>Al, interleaved allowed), DC
+    refinement (one bit per block), AC first (run/size with EOB-run
+    coding, single component only), AC refinement (correction bits —
+    every already-nonzero coefficient in the band consumes one bit as
+    the scan passes it; newly nonzero coefficients appear as ±1<<Al)."""
+    sel, ss, se, ah, al, segments, ht, ri = scan
+    units, walk = _scan_units(sel, comps, grid)
+    per_seg = ri or len(units)
+    ui = 0
+    if ss == 0:
+        if se != 0:
+            raise ValueError("progressive DC scan with Se != 0")
+        for segment in segments:
+            reader = _JpegBitReader(segment)
+            pred = {ci: 0 for ci, _, _ in sel}
+            for _ in range(min(per_seg, len(units) - ui)):
+                for ci, dc_id, _, by, bx in walk(units[ui]):
+                    block = coefs[ci][by, bx]
+                    if ah == 0:
+                        size = _huff_decode(reader, ht[(0, dc_id)])
+                        pred[ci] += _extend(reader.receive(size), size)
+                        block[0] = pred[ci] << al
+                    elif reader.receive(1):
+                        block[0] |= 1 << al
+                ui += 1
+        return
+    if len(sel) != 1:
+        raise ValueError("progressive AC scan must be single-component")
+    p1 = 1 << al
+    m1 = -1 << al
+    for segment in segments:
+        reader = _JpegBitReader(segment)
+        eobrun = 0
+        for _ in range(min(per_seg, len(units) - ui)):
+            (ci, _, ac_id, by, bx), = walk(units[ui])
+            ac_tab = ht[(1, ac_id)]
+            block = coefs[ci][by, bx]
+            if ah == 0:  # AC first pass
+                if eobrun > 0:
+                    eobrun -= 1
+                else:
+                    k = ss
+                    while k <= se:
+                        rs = _huff_decode(reader, ac_tab)
+                        run, size = rs >> 4, rs & 15
+                        if size == 0:
+                            if run < 15:
+                                eobrun = (1 << run) - 1
+                                if run:
+                                    eobrun += reader.receive(run)
+                                break
+                            k += 16
+                            continue
+                        k += run
+                        if k > se:
+                            raise ValueError("JPEG AC run past band end")
+                        block[k] = _extend(reader.receive(size), size) << al
+                        k += 1
+            else:  # AC refinement pass (T.81 G.1.2.3)
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        rs = _huff_decode(reader, ac_tab)
+                        run, size = rs >> 4, rs & 15
+                        newval = 0
+                        if size == 0:
+                            if run < 15:
+                                eobrun = (1 << run)
+                                if run:
+                                    eobrun += reader.receive(run)
+                                break
+                            # run == 15: pass over 16 zero-history coeffs
+                        else:
+                            if size != 1:
+                                raise ValueError("JPEG AC refine size != 1")
+                            newval = p1 if reader.receive(1) else m1
+                        while k <= se:
+                            if block[k] != 0:
+                                if reader.receive(1) and (block[k] & p1) == 0:
+                                    block[k] += p1 if block[k] > 0 else m1
+                            else:
+                                if run == 0:
+                                    break
+                                run -= 1
+                            k += 1
+                        if newval and k <= se:
+                            block[k] = newval
+                        k += 1
+                if eobrun > 0:
+                    while k <= se:
+                        if block[k] != 0:
+                            if reader.receive(1) and (block[k] & p1) == 0:
+                                block[k] += p1 if block[k] > 0 else m1
+                        k += 1
+                    eobrun -= 1
+            ui += 1
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Pure numpy baseline-DCT JPEG decoder → uint8 [h, w] (grayscale) or
-    [h, w, 3] (RGB). No codec library: segment walk, canonical Huffman
-    entropy decode, dequantize + inverse zigzag, matrix IDCT
-    (``A.T @ F @ A`` with the orthonormal DCT-II basis), nearest-neighbor
-    chroma upsampling, BT.601 YCbCr→RGB.
+    """Pure numpy JPEG decoder → uint8 [h, w] (grayscale) or [h, w, 3]
+    (RGB). No codec library: segment walk, canonical Huffman entropy
+    decode into per-component coefficient arrays (scans accumulate —
+    sequential, multi-scan sequential, and progressive all share the
+    store), dequantize + inverse zigzag, one vectorized einsum IDCT over
+    every block (``A.T @ F @ A`` with the orthonormal DCT-II basis),
+    nearest-neighbor chroma upsampling, BT.601 YCbCr→RGB.
 
-    Supported: baseline and extended-sequential Huffman (SOF0/SOF1), 8-bit,
-    1 or 3 components, any integer-ratio sampling factors (4:4:4, 4:2:2,
-    4:2:0, …), restart markers. Progressive (SOF2) and arithmetic coding
-    raise ``ValueError`` — the streaming web formats this engine ingests
-    are overwhelmingly baseline."""
+    Supported: baseline/extended-sequential Huffman (SOF0/SOF1) AND
+    progressive Huffman (SOF2: spectral selection, successive
+    approximation, EOB-run coding, DC/AC refinement passes — T.81 §G),
+    8-bit, 1 or 3 components, any integer-ratio sampling factors,
+    restart markers, tables redefined between scans. Arithmetic coding
+    and hierarchical (SOF9+) raise ``ValueError``."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
     pos, n = 2, len(payload)
     qtables: dict[int, np.ndarray] = {}  # id → 64 values in zigzag order
     htables: dict[tuple[int, int], dict] = {}  # (class, id) → decode map
-    frame = None  # (H, W, [(comp_id, h, v, tq), ...])
+    frame = None  # (H, W, [(comp_id, h, v, tq), ...], progressive?)
     restart_interval = 0
-    scan = None  # ([(comp_idx, dc_id, ac_id), ...], segments)
+    scans: list = []  # (sel, Ss, Se, Ah, Al, segments, tables, ri)
     while pos + 2 <= n:
         if payload[pos] != 0xFF:
             pos += 1  # tolerate fill garbage between segments
@@ -376,7 +554,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                         body[i : i + 128], ">u2"
                     ).astype(np.float64)
                     i += 128
-        elif marker in (0xC0, 0xC1):  # SOF0/SOF1 — Huffman sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/SOF1/SOF2 — Huffman
             if body[0] != 8:
                 raise ValueError("only 8-bit JPEG supported")
             height = int.from_bytes(body[1:3], "big")
@@ -386,11 +564,11 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             for c in range(ncomp):
                 cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 15, tq))
-            frame = (height, width, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            frame = (height, width, comps, marker == 0xC2)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
                 f"unsupported JPEG coding process (SOF marker 0x{marker:02X}); "
-                "only baseline/extended-sequential Huffman is implemented"
+                "sequential and progressive Huffman are implemented"
             )
         elif marker == 0xC4:  # DHT — possibly several tables per segment
             i = 0
@@ -412,66 +590,45 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             for s in range(ns):
                 cs, tables = body[1 + 2 * s : 3 + 2 * s]
                 sel.append((comp_ids.index(cs), tables >> 4, tables & 15))
-            scan = (sel, _jpeg_scan_segments(payload, pos))
-            break
+            ss_, se_, a = body[1 + 2 * ns : 4 + 2 * ns]
+            segments, pos = _jpeg_scan_segments(payload, pos)
+            scans.append(
+                (sel, ss_, se_, a >> 4, a & 15, segments, dict(htables),
+                 restart_interval)
+            )
         # other segments (APPn, COM) are skipped
-    if frame is None or scan is None:
+    if frame is None or not scans:
         raise ValueError("JPEG missing SOF/SOS")
-    height, width, comps = frame
-    sel, segments = scan
-    if len(sel) != len(comps):
-        raise ValueError("non-interleaved JPEG scans not supported")
+    height, width, comps, progressive = frame
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     mcus_x = -(-width // (8 * hmax))
     mcus_y = -(-height // (8 * vmax))
-    planes = [
-        np.zeros((mcus_y * v * 8, mcus_x * h * 8), np.float64)
+    grid = (mcus_x, mcus_y, hmax, vmax, height, width)
+    coefs = [
+        np.zeros((mcus_y * v, mcus_x * h, 64), np.int32)
         for (_, h, v, _) in comps
     ]
+    for scan in scans:
+        if progressive:
+            _decode_scan_progressive(scan, comps, coefs, grid)
+        else:
+            _decode_scan_sequential(scan, comps, coefs, grid)
+
     basis = _DCT_BASIS
     zz = _JPEG_ZIGZAG
-    mcu_per_seg = restart_interval or mcus_x * mcus_y
-    mcu_index = 0
-    for segment in segments:
-        reader = _JpegBitReader(segment)
-        pred = [0] * len(comps)
-        for _ in range(min(mcu_per_seg, mcus_x * mcus_y - mcu_index)):
-            my, mx = divmod(mcu_index, mcus_x)
-            for ci, dc_id, ac_id in sel:
-                _, ch, cv, tq = comps[ci]
-                dc_tab = htables[(0, dc_id)]
-                ac_tab = htables[(1, ac_id)]
-                quant = qtables[tq]
-                for by in range(cv):
-                    for bx in range(ch):
-                        size = _huff_decode(reader, dc_tab)
-                        pred[ci] += _extend(reader.receive(size), size)
-                        coef = np.zeros(64, np.float64)
-                        coef[0] = pred[ci]
-                        k = 1
-                        while k < 64:
-                            rs = _huff_decode(reader, ac_tab)
-                            run, size = rs >> 4, rs & 15
-                            if size == 0:
-                                if run == 15:
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += run
-                            if k > 63:
-                                raise ValueError("JPEG AC run past block end")
-                            coef[k] = _extend(reader.receive(size), size)
-                            k += 1
-                        raster = np.zeros(64, np.float64)
-                        raster[zz] = coef * quant
-                        block = basis.T @ raster.reshape(8, 8) @ basis + 128.0
-                        y0 = (my * cv + by) * 8
-                        x0 = (mx * ch + bx) * 8
-                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
-            mcu_index += 1
     out_planes = []
-    for (_, ch, cv, _), plane in zip(comps, planes):
+    for (_, ch, cv, tq), carr in zip(comps, coefs):
+        bh, bw, _ = carr.shape
+        raster = np.zeros((bh * bw, 64), np.float64)
+        raster[:, zz] = carr.reshape(-1, 64) * qtables[tq]
+        blocks = raster.reshape(-1, 8, 8)
+        pix = np.einsum("ij,njk,kl->nil", basis.T, blocks, basis) + 128.0
+        plane = (
+            pix.reshape(bh, bw, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(bh * 8, bw * 8)
+        )
         ry, rx = vmax // cv, hmax // ch
         if ry * cv != vmax or rx * ch != hmax:
             raise ValueError("non-integer JPEG sampling ratio")

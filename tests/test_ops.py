@@ -837,6 +837,316 @@ def _jpeg_bytes(img, sampling=(1, 1), quant=1, restart=0):
     return bytes(out)
 
 
+def _jpeg_progressive_bytes(img, sampling=(1, 1), quant=1, restart=0,
+                            dc_al=1, ac_al=2, split=5):
+    """Hand-built PROGRESSIVE JPEG encoder (test-side only): same color /
+    sampling / FDCT / flat-quant front end as ``_jpeg_bytes``, then a
+    libjpeg-style scan script — interleaved DC first at Al=dc_al, per-
+    component spectral-selection AC first scans (1..split, split+1..63)
+    at Al=ac_al, AC refinement passes down to 0 (EOB-run coding +
+    buffered correction bits per T.81 §G.1.2.3), and a final DC
+    refinement. Huffman tables are rebuilt and re-emitted before every
+    scan (all codes length 12), exercising table redefinition."""
+    import struct
+
+    import numpy as np
+
+    from dedupe_ray.ops.multimodal import _DCT_BASIS, _JPEG_ZIGZAG
+
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    if gray:
+        planes = [img.astype(np.float64)]
+        samp = [(1, 1)]
+    else:
+        rgb = img.astype(np.float64)
+        r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+        planes = [y, cb, cr]
+        samp = [sampling, (1, 1), (1, 1)]
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcus_x, mcus_y = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+    A, zz = _DCT_BASIS, _JPEG_ZIGZAG
+
+    def prep(plane, sh, sv):
+        fy, fx = vmax // sv, hmax // sh
+        ph, pw = -(-plane.shape[0] // fy) * fy, -(-plane.shape[1] // fx) * fx
+        plane = np.pad(plane, ((0, ph - plane.shape[0]), (0, pw - plane.shape[1])), "edge")
+        if fy > 1 or fx > 1:
+            plane = plane.reshape(ph // fy, fy, pw // fx, fx).mean(axis=(1, 3))
+        th, tw = mcus_y * sv * 8, mcus_x * sh * 8
+        return np.pad(plane, ((0, th - plane.shape[0]), (0, tw - plane.shape[1])), "edge")
+
+    ncomp = len(planes)
+    coefs = []  # per comp: [bh, bw, 64] int (zigzag order)
+    for ci in range(ncomp):
+        sh, sv = samp[ci]
+        p = prep(planes[ci], sh, sv)
+        bh, bw = mcus_y * sv, mcus_x * sh
+        arr = np.zeros((bh, bw, 64), np.int64)
+        for by in range(bh):
+            for bx in range(bw):
+                blk = p[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+                arr[by, bx] = np.round((A @ blk @ A.T).reshape(64)[zz] / quant)
+        coefs.append(arr)
+
+    def comp_blocks(ci):
+        sh, sv = samp[ci]
+        cw = -(-(w * sh) // hmax)
+        chh = -(-(h * sv) // vmax)
+        return -(-chh // 8), -(-cw // 8)
+
+    # ---- scan encoders: produce op lists [("h", sym) | ("b", v, n) | ("rst",)]
+    def dc_first_scan(al):
+        ops, used = [], set()
+        preds = [0] * ncomp
+        mi = 0
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if restart and mi and mi % restart == 0:
+                    ops.append(("rst",))
+                    preds = [0] * ncomp
+                for ci in range(ncomp):
+                    sh, sv = samp[ci]
+                    for by in range(sv):
+                        for bx in range(sh):
+                            v = int(coefs[ci][my * sv + by, mx * sh + bx, 0]) >> al
+                            diff = v - preds[ci]
+                            preds[ci] = v
+                            size = abs(diff).bit_length()
+                            extra = diff if diff >= 0 else diff + (1 << size) - 1
+                            ops.append(("h", size))
+                            used.add(size)
+                            if size:
+                                ops.append(("b", extra, size))
+                mi += 1
+        return ops, {(0, 0): used}
+
+    def dc_refine_scan(al):
+        ops = []
+        mi = 0
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if restart and mi and mi % restart == 0:
+                    ops.append(("rst",))
+                for ci in range(ncomp):
+                    sh, sv = samp[ci]
+                    for by in range(sv):
+                        for bx in range(sh):
+                            v = int(coefs[ci][my * sv + by, mx * sh + bx, 0])
+                            ops.append(("b", (v >> al) & 1, 1))
+                mi += 1
+        return ops, {}
+
+    def ac_first_scan(ci, ss, se, al):
+        ops, used = [], set()
+        eobrun = 0
+
+        def flush_eob():
+            nonlocal eobrun
+            if eobrun > 0:
+                nbits = eobrun.bit_length() - 1
+                ops.append(("h", nbits << 4))
+                used.add(nbits << 4)
+                if nbits:
+                    ops.append(("b", eobrun - (1 << nbits), nbits))
+                eobrun = 0
+
+        bh, bw = comp_blocks(ci)
+        ui = 0
+        for by in range(bh):
+            for bx in range(bw):
+                if restart and ui and ui % restart == 0:
+                    flush_eob()
+                    ops.append(("rst",))
+                blk = coefs[ci][by, bx]
+                run = 0
+                wrote = False
+                for k in range(ss, se + 1):
+                    v = int(blk[k])
+                    t = (v >> al) if v >= 0 else -((-v) >> al)
+                    if t == 0:
+                        run += 1
+                        continue
+                    flush_eob()
+                    while run > 15:
+                        ops.append(("h", 0xF0))
+                        used.add(0xF0)
+                        run -= 16
+                    s = abs(t).bit_length()
+                    extra = t if t >= 0 else t + (1 << s) - 1
+                    ops.append(("h", (run << 4) | s))
+                    used.add((run << 4) | s)
+                    ops.append(("b", extra, s))
+                    run = 0
+                    wrote = True
+                if run or not wrote:
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        flush_eob()
+                ui += 1
+        flush_eob()
+        return ops, {(1, 0): used}
+
+    def ac_refine_scan(ci, ss, se, ah, al):
+        ops, used = [], set()
+        eobrun = 0
+        pend = []  # correction bits owed to the next eobrun flush
+
+        def flush_eob():
+            nonlocal eobrun, pend
+            if eobrun > 0:
+                nbits = eobrun.bit_length() - 1
+                ops.append(("h", nbits << 4))
+                used.add(nbits << 4)
+                if nbits:
+                    ops.append(("b", eobrun - (1 << nbits), nbits))
+                for bval in pend:
+                    ops.append(("b", bval, 1))
+                pend.clear()
+                eobrun = 0
+
+        bh, bw = comp_blocks(ci)
+        ui = 0
+        for by in range(bh):
+            for bx in range(bw):
+                if restart and ui and ui % restart == 0:
+                    flush_eob()
+                    for bval in pend:
+                        ops.append(("b", bval, 1))
+                    pend.clear()
+                    ops.append(("rst",))
+                blk = coefs[ci][by, bx]
+                absv = [
+                    (abs(int(blk[k])) >> al) for k in range(ss, se + 1)
+                ]
+                eob = 0  # index AFTER last newly-nonzero coefficient
+                for i, t in enumerate(absv):
+                    if t == 1:
+                        eob = i + 1
+                r = 0
+                br = []  # correction bits buffered for the next symbol
+                for i, t in enumerate(absv):
+                    if t == 0:
+                        r += 1
+                        continue
+                    while r > 15 and i < eob:
+                        flush_eob()
+                        ops.append(("h", 0xF0))
+                        used.add(0xF0)
+                        r -= 16
+                        for bval in br:
+                            ops.append(("b", bval, 1))
+                        br = []
+                    if t > 1:
+                        br.append(t & 1)
+                        continue
+                    flush_eob()
+                    ops.append(("h", (r << 4) | 1))
+                    used.add((r << 4) | 1)
+                    ops.append(("b", 0 if int(blk[ss + i]) < 0 else 1, 1))
+                    for bval in br:
+                        ops.append(("b", bval, 1))
+                    br = []
+                    r = 0
+                if r > 0 or br:
+                    eobrun += 1
+                    pend.extend(br)
+                    if eobrun == 0x7FFF or len(pend) > 900:
+                        flush_eob()
+                ui += 1
+        flush_eob()
+        return ops, {(1, 0): used}
+
+    # ---- scan script
+    scans = []  # (sel bytes, Ss, Se, Ah, Al, ops, used)
+    all_sel = [(ci, 0, 0) for ci in range(ncomp)]
+    ops, used = dc_first_scan(dc_al)
+    scans.append((all_sel, 0, 0, 0, dc_al, ops, used))
+    for ci in range(ncomp):
+        ops, used = ac_first_scan(ci, 1, split, ac_al)
+        scans.append(([(ci, 0, 0)], 1, split, 0, ac_al, ops, used))
+        ops, used = ac_first_scan(ci, split + 1, 63, ac_al)
+        scans.append(([(ci, 0, 0)], split + 1, 63, 0, ac_al, ops, used))
+    for al in range(ac_al - 1, -1, -1):
+        for ci in range(ncomp):
+            ops, used = ac_refine_scan(ci, 1, 63, al + 1, al)
+            scans.append(([(ci, 0, 0)], 1, 63, al + 1, al, ops, used))
+    for al in range(dc_al - 1, -1, -1):
+        ops, used = dc_refine_scan(al)
+        scans.append((all_sel, 0, 0, al + 1, al, ops, used))
+
+    # ---- serialize
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker, body):
+        out.extend(bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body)
+
+    seg(0xDB, b"\x00" + bytes(np.full(64, quant, np.uint8)))
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, (samp[ci][0] << 4) | samp[ci][1], 0])
+    seg(0xC2, sof)
+    if restart:
+        seg(0xDD, struct.pack(">H", restart))
+    for sel, ss, se, ah, al, ops, used in scans:
+        codes, dht = {}, b""
+        for key in sorted(used):
+            vals = sorted(used[key])
+            assert len(vals) < (1 << 12)
+            for i, sym in enumerate(vals):
+                codes[(key, sym)] = (12, i)
+            bits = [0] * 16
+            bits[11] = len(vals)
+            dht += bytes([(key[0] << 4) | key[1]]) + bytes(bits) + bytes(vals)
+        if dht:
+            seg(0xC4, dht)
+        sos = bytes([len(sel)])
+        for ci, dc_id, ac_id in sel:
+            sos += bytes([ci + 1, (dc_id << 4) | ac_id])
+        sos += bytes([ss, se, (ah << 4) | al])
+        seg(0xDA, sos)
+        acc, nbits = 0, 0
+        scan_bytes = bytearray()
+        rst_i = 0
+
+        def put(value, n):
+            nonlocal acc, nbits
+            acc = (acc << n) | (value & ((1 << n) - 1))
+            nbits += n
+            while nbits >= 8:
+                nbits -= 8
+                byte = (acc >> nbits) & 0xFF
+                scan_bytes.append(byte)
+                if byte == 0xFF:
+                    scan_bytes.append(0x00)
+            acc &= (1 << nbits) - 1
+
+        def flushbits():
+            nonlocal nbits
+            if nbits:
+                put(0xFF, 8 - nbits)
+
+        for op in ops:
+            if op[0] == "rst":
+                flushbits()
+                scan_bytes += bytes([0xFF, 0xD0 + (rst_i % 8)])
+                rst_i += 1
+            elif op[0] == "h":
+                key = (0, 0) if ss == 0 else (1, 0)
+                clen, code = codes[(key, op[1])]
+                put(code, clen)
+            else:
+                put(op[1], op[2])
+        flushbits()
+        out.extend(scan_bytes)
+    out.extend(b"\xff\xd9")
+    return bytes(out)
+
+
 def test_decode_jpeg_roundtrip():
     import numpy as np
     import pytest
@@ -2617,3 +2927,44 @@ def test_ddsketch_grouped(ray_session):
         # bucket of the exact rank-median's bucket (rank falls inside it)
         assert out.loc[k, "sign"] == s[0]
         assert abs(out.loc[k, "bucket"] - b[0]) <= 1, (k, out.loc[k, "bucket"], b[0])
+
+
+def test_decode_jpeg_progressive():
+    import numpy as np
+
+    from dedupe_ray.ops.multimodal import decode_jpeg
+
+    rng = np.random.RandomState(21)
+    img = rng.randint(0, 256, (21, 18, 3), dtype=np.uint8)
+
+    # progressive and baseline encode the SAME quantized coefficients, so
+    # the decoded pixels must be bit-identical
+    for kwargs in (
+        dict(sampling=(1, 1), quant=4),                       # 4:4:4
+        dict(sampling=(2, 2), quant=4),                       # 4:2:0
+        dict(sampling=(2, 1), quant=8, restart=3),            # 4:2:2 + RST
+        dict(sampling=(1, 1), quant=4, dc_al=2, ac_al=3),     # deeper SA
+        dict(sampling=(1, 1), quant=4, dc_al=0, ac_al=0),     # spectral only
+        dict(sampling=(1, 1), quant=4, split=1),              # narrow band 1
+    ):
+        base_kwargs = {k: v for k, v in kwargs.items()
+                       if k in ("sampling", "quant", "restart")}
+        want = decode_jpeg(_jpeg_bytes(img, **base_kwargs))
+        got = decode_jpeg(_jpeg_progressive_bytes(img, **kwargs))
+        np.testing.assert_array_equal(got, want, err_msg=str(kwargs))
+
+    # grayscale
+    g = rng.randint(0, 256, (9, 13), dtype=np.uint8)
+    np.testing.assert_array_equal(
+        decode_jpeg(_jpeg_progressive_bytes(g, quant=2)),
+        decode_jpeg(_jpeg_bytes(g, quant=2)),
+    )
+
+    # smooth gradient → long EOB runs across blocks (exercises EOBRUN
+    # accumulation + its correction-bit buffering)
+    yy, xx = np.mgrid[0:32, 0:40]
+    smooth = ((yy * 3 + xx * 2) % 256).astype(np.uint8)
+    np.testing.assert_array_equal(
+        decode_jpeg(_jpeg_progressive_bytes(smooth, quant=16)),
+        decode_jpeg(_jpeg_bytes(smooth, quant=16)),
+    )
