@@ -812,6 +812,125 @@ class FrameSample:
         return out.append_column("frame_ts", pa.array(ts, pa.float64()))
 
 
+def demux_avi(payload: bytes) -> tuple[list[bytes], float, int, int]:
+    """RIFF/AVI demuxer → (frame payloads, fps, width, height).
+
+    Pure chunk walk (no codec library): LIST hdrl → avih header
+    (µs/frame, dimensions), LIST movi → '..dc'/'..db' stream chunks in
+    presentation order. Only the container is interpreted here — frame
+    payloads are handed to :func:`decode_jpeg` ('dc', MJPEG) or decoded
+    as bottom-up BGR DIBs ('db', uncompressed) by the caller."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+    fps, width, height = 0.0, 0, 0
+    frames: list[bytes] = []
+
+    def walk(pos: int, end: int) -> None:
+        nonlocal fps, width, height
+        while pos + 8 <= end:
+            cid = payload[pos : pos + 4]
+            size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+            body_start = pos + 8
+            if cid == b"LIST":
+                walk(body_start + 4, body_start + size)  # skip list type
+            elif cid == b"avih":
+                us_per_frame = int.from_bytes(
+                    payload[body_start : body_start + 4], "little"
+                )
+                fps = 1e6 / us_per_frame if us_per_frame else 0.0
+                width = int.from_bytes(payload[body_start + 32 : body_start + 36], "little")
+                height = int.from_bytes(payload[body_start + 36 : body_start + 40], "little")
+            elif cid[2:4] in (b"dc", b"db") and cid[:2].isdigit():
+                frames.append(payload[body_start : body_start + size])
+            pos = body_start + size + (size & 1)  # chunks are word-aligned
+
+    walk(12, len(payload))
+    return frames, fps, width, height
+
+
+def _decode_dib_frame(data: bytes, width: int, height: int) -> np.ndarray:
+    """Uncompressed AVI '..db' frame: bottom-up BGR rows, 4-byte-aligned
+    stride (the BMP pixel-array layout without the file header)."""
+    stride = (width * 3 + 3) & ~3
+    rows = np.frombuffer(data[: stride * height], np.uint8).reshape(height, stride)
+    bgr = rows[:, : width * 3].reshape(height, width, 3)
+    return bgr[::-1, :, ::-1].copy()  # bottom-up → top-down, BGR → RGB
+
+
+class DecodeVideo:
+    """Actor-pool stage: video payload → ``n_frames`` rows per clip of
+    (frame_ts, width, height, features). MJPEG/DIB-in-AVI decodes for
+    REAL (:func:`demux_avi` + :func:`decode_jpeg` per sampled frame —
+    frames are decoded only at the sampled indices, never the whole
+    clip); other containers fall back to the deterministic fake when
+    ``fake=True``, else raise (ffmpeg-class codec integration point)."""
+
+    def __init__(self, n_frames: int = 4, fake: bool = False):
+        self.n_frames = n_frames
+        self.fake = fake
+
+    def _clip(self, ref: str, payload: bytes | None):
+        k = self.n_frames
+        if payload and payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+            frames, fps, w, h = demux_avi(payload)
+            if not frames:
+                raise ValueError("AVI with no frames")
+            idx = np.unique(
+                np.linspace(0, len(frames) - 1, min(k, len(frames))).round().astype(int)
+            )
+            rows = []
+            for i in idx:
+                f = frames[int(i)]
+                if f[:2] == b"\xff\xd8":
+                    img = decode_jpeg(f)
+                else:
+                    img = _decode_dib_frame(f, w, h)
+                ts = float(i) / fps if fps else float(i)
+                rows.append(
+                    (round(ts, 3), img.shape[1], img.shape[0], _pixel_features(img))
+                )
+            return rows
+        if not self.fake:
+            raise NotImplementedError(
+                "only MJPEG/DIB-in-AVI video decodes natively — other "
+                "containers need ffmpeg-class codecs; pass fake=True"
+            )
+        rng = np.random.RandomState(zlib.crc32((ref or "").encode()) ^ 0x51DE0)
+        dur = float(rng.randint(2, 600))
+        return [
+            (round(t, 3), int(rng.randint(64, 1920)), int(rng.randint(64, 1080)),
+             rng.rand(8).astype(np.float32))
+            for t in np.linspace(0.0, dur, k + 2)[1:-1]
+        ]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        refs = batch.column("media_ref").to_pylist()
+        payloads = (
+            batch.column("payload").to_pylist()
+            if "payload" in batch.column_names
+            else [None] * len(refs)
+        )
+        out_ref, out_ts, out_w, out_h, out_f = [], [], [], [], []
+        for ref, p in zip(refs, payloads):
+            for ts, w, h, feat in self._clip(ref, p):
+                out_ref.append(ref)
+                out_ts.append(ts)
+                out_w.append(w)
+                out_h.append(h)
+                out_f.append(feat)
+        return pa.table(
+            {
+                "media_ref": pa.array(out_ref, pa.string()),
+                "frame_ts": pa.array(out_ts, pa.float64()),
+                "width": pa.array(out_w, pa.int32()),
+                "height": pa.array(out_h, pa.int32()),
+                "features": pa.array(
+                    [f.tolist() for f in out_f], pa.list_(pa.float32())
+                ),
+            }
+        )
+
+
 def media_feature_pipeline(
     docs_ds: "ray.data.Dataset",
     fake_decode: bool = True,

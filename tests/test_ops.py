@@ -2968,3 +2968,87 @@ def test_decode_jpeg_progressive():
         decode_jpeg(_jpeg_progressive_bytes(smooth, quant=16)),
         decode_jpeg(_jpeg_bytes(smooth, quant=16)),
     )
+
+
+def _avi_bytes(frames, fps=10, width=16, height=8):
+    """Minimal AVI container: LIST hdrl(avih) + LIST movi with
+    ('dc', jpeg_bytes) / ('db', dib_bytes) frame chunks."""
+    import struct
+
+    def chunk(cid, body):
+        pad = b"\x00" if len(body) & 1 else b""
+        return cid + struct.pack("<I", len(body)) + body + pad
+
+    avih = struct.pack(
+        "<IIIIIIIIII", int(1e6 / fps), 0, 0, 0, len(frames), 0, 1, 0,
+        width, height
+    ) + b"\x00" * 16
+    hdrl = b"LIST" + struct.pack("<I", 4 + 8 + len(avih)) + b"hdrl" + chunk(b"avih", avih)
+    movi_body = b"".join(
+        chunk(b"00dc" if kind == "dc" else b"00db", data) for kind, data in frames
+    )
+    movi = b"LIST" + struct.pack("<I", 4 + len(movi_body)) + b"movi" + movi_body
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_decode_video_avi(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dedupe_ray.ops.multimodal import (
+        DecodeVideo,
+        _pixel_features,
+        decode_jpeg,
+        demux_avi,
+    )
+
+    rng = np.random.RandomState(31)
+    w, h = 16, 8
+    imgs = [rng.randint(0, 256, (h, w, 3), dtype=np.uint8) for _ in range(3)]
+    jpegs = [_jpeg_bytes(im, quant=4) for im in imgs]
+    # DIB frame: bottom-up BGR with 4-byte row stride
+    dib_img = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), np.uint8)
+    rows[:, : w * 3] = dib_img[::-1, :, ::-1].reshape(h, w * 3)
+    avi = _avi_bytes(
+        [("dc", j) for j in jpegs] + [("db", rows.tobytes())],
+        fps=10, width=w, height=h,
+    )
+
+    frames, fps, aw, ah = demux_avi(avi)
+    assert len(frames) == 4 and fps == 10.0 and (aw, ah) == (w, h)
+
+    out = (
+        rd.from_arrow(
+            pa.table({"media_ref": ["clip1"], "payload": pa.array([avi], pa.binary())})
+        )
+        .map_batches(DecodeVideo, fn_constructor_kwargs={"n_frames": 4, "fake": False},
+                     concurrency=1, batch_format="pyarrow")
+        .to_pandas()
+    )
+    assert len(out) == 4
+    assert list(out["frame_ts"]) == [0.0, 0.1, 0.2, 0.3]
+    assert set(out["width"]) == {w} and set(out["height"]) == {h}
+    # frame features == features of the independently decoded frame images
+    for i, jpg in enumerate(jpegs):
+        np.testing.assert_allclose(
+            np.asarray(out.iloc[i]["features"]),
+            _pixel_features(decode_jpeg(jpg)),
+        )
+    # DIB frame round-trips exactly
+    np.testing.assert_allclose(
+        np.asarray(out.iloc[3]["features"]), _pixel_features(dib_img)
+    )
+    # non-AVI + fake=False raises through the stage
+    import pytest
+
+    with pytest.raises(Exception):
+        rd.from_arrow(
+            pa.table({"media_ref": ["x"], "payload": pa.array([b"\x00\x01"], pa.binary())})
+        ).map_batches(
+            DecodeVideo, fn_constructor_kwargs={"fake": False},
+            concurrency=1, batch_format="pyarrow",
+        ).materialize()
