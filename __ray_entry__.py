@@ -1264,6 +1264,22 @@ def _q_lineitem_p99(sf_dir: str):
     return pd.DataFrame({"p99": [v]})
 
 
+def _q_lineitem_p90_cont(sf_dir: str):
+    """Global INTERPOLATED p90 (percentile_cont semantics): the lerp
+    between the two exact neighboring order statistics, each found by
+    the zero-shuffle histogram-refine engine; the lerp expression is
+    written identically in the SQL oracle, so the float hashes exact."""
+    import pandas as pd
+
+    from dedupe_ray.ops.tabular import global_quantile_cont
+
+    li = _read(sf_dir, "lineitem", ["l_extendedprice"])
+    v = global_quantile_cont(
+        li, "l_extendedprice", 0.9, bins=1024, collect_limit=1000
+    )
+    return pd.DataFrame({"p90": [v]})
+
+
 def _q_bloom_new_events(sf_dir: str):
     """Incremental exact dedup (bloom-prefiltered anti-join): events with
     event_id % 7 == 0 play 'today's batch', the rest the already-ingested
@@ -2011,6 +2027,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_quantile_sketch": _q_value_quantile_sketch,
         "semantic_dedup": _q_semantic_dedup,
         "value_p95_by_type": _q_value_p95_by_type,
+        "lineitem_p90_cont": _q_lineitem_p90_cont,
     }
 
 
@@ -2922,7 +2939,8 @@ def oracle_sql() -> dict[str, str]:
                            ORDER BY cum.sign, cum.sign * cum.bucket
                        ) AS rn
                 FROM qs JOIN cum
-                  ON cum.cum >= greatest(CAST(ceil(qs.q * (SELECT n FROM tot)) AS BIGINT), 1)
+                  ON cum.cum >= greatest(CAST(ceil(CAST(qs.q AS DOUBLE)
+                         * CAST((SELECT n FROM tot) AS DOUBLE)) AS BIGINT), 1)
             )
             SELECT q, CAST(sign AS BIGINT) AS sign, bucket
             FROM sel WHERE rn = 1
@@ -2955,9 +2973,37 @@ def oracle_sql() -> dict[str, str]:
                            ORDER BY sign, sign * bucket
                        ) AS rn
                 FROM cum
-                WHERE cum >= greatest(CAST(ceil(0.95 * n) AS BIGINT), 1)
+                WHERE cum >= greatest(CAST(ceil(CAST(0.95 AS DOUBLE)
+                         * CAST(n AS DOUBLE)) AS BIGINT), 1)
             )
             SELECT event_type, CAST(sign AS BIGINT) AS sign, bucket
             FROM sel WHERE rn = 1
+        """,
+        # explicit lerp between the two exact order statistics (NOT the
+        # quantile_cont builtin — its internal rounding is engine-private);
+        # same literals/association as ops/tabular.py global_quantile_cont
+        "lineitem_p90_cont": """
+            WITH v AS (
+                SELECT l_extendedprice AS x FROM lineitem
+                WHERE l_extendedprice IS NOT NULL
+            ),
+            st AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
+            r AS (
+                SELECT x, row_number() OVER (ORDER BY x) - 1 AS rk FROM v
+            ),
+            k AS (
+                -- CAST(... AS DOUBLE): a bare 0.9 literal is DECIMAL in
+                -- DuckDB and would make (n-1)*0.9 exact-decimal, diverging
+                -- from the engine's IEEE-double arithmetic
+                SELECT CAST(floor(CAST(n - 1 AS DOUBLE) * CAST(0.9 AS DOUBLE)) AS BIGINT) AS k1,
+                       CAST(ceil(CAST(n - 1 AS DOUBLE) * CAST(0.9 AS DOUBLE)) AS BIGINT) AS k2,
+                       CAST(n - 1 AS DOUBLE) * CAST(0.9 AS DOUBLE)
+                         - floor(CAST(n - 1 AS DOUBLE) * CAST(0.9 AS DOUBLE)) AS frac
+                FROM st
+            )
+            SELECT v1.x + (v2.x - v1.x) * k.frac AS p90
+            FROM k
+            JOIN r v1 ON v1.rk = k.k1
+            JOIN r v2 ON v2.rk = k.k2
         """,
     }

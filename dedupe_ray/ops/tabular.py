@@ -907,6 +907,7 @@ def global_quantile_disc(
     bins: int = 1 << 16,
     collect_limit: int = 2_000_000,
     max_rounds: int = 64,
+    rank: int | None = None,
 ):
     """Global discrete quantile (SQL ``quantile_disc(v, q)``: the ACTUAL
     element at 0-based sorted position ``floor((n-1)*q)``) computed
@@ -977,7 +978,9 @@ def global_quantile_disc(
     below, n, lo, hi = stats_pass(-math.inf, math.inf)
     if n == 0:
         return None
-    rank = int(math.floor((n - 1) * q))
+    # an explicit 0-based order-statistic rank overrides q (the
+    # interpolated-quantile caller needs the two NEIGHBORING ranks)
+    rank = int(math.floor((n - 1) * q)) if rank is None else int(rank)
 
     for _ in range(max_rounds):
         r = rank - below  # 0-based rank within the in-range population
@@ -1005,6 +1008,41 @@ def global_quantile_disc(
         # exactly regardless of the widened float edges
         below, n, lo, hi = stats_pass(new_lo, new_hi)
     raise RuntimeError(f"global_quantile_disc did not converge in {max_rounds} rounds")
+
+
+def global_quantile_cont(
+    ds: "ray.data.Dataset",
+    column: str,
+    q: float = 0.5,
+    **kw,
+):
+    """Global INTERPOLATED quantile (SQL ``percentile_cont``: linear
+    interpolation between the order statistics at floor((n−1)q) and
+    ceil((n−1)q)) — same zero-shuffle iterative-histogram engine as
+    :func:`global_quantile_disc`, run once per neighboring rank.
+
+    The lerp ``v1 + (v2 − v1)·frac`` with ``frac = (n−1)q − floor((n−1)q)``
+    is written with the exact literals/association a SQL oracle mirrors,
+    so the float result is engine-exact (both sides evaluate the same
+    IEEE-double expression on the same exact order statistics)."""
+    import math
+
+    def _count(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"n": pa.array([len(pc.drop_null(b.column(column)))], pa.int64())}
+        )
+
+    from ray.data.aggregate import Sum
+
+    n = int(ds.map_batches(_count, batch_format="pyarrow").aggregate(Sum("n", alias_name="n"))["n"] or 0)
+    if n == 0:
+        return None
+    pos = (n - 1) * q
+    k1 = int(math.floor(pos))
+    k2 = int(math.ceil(pos))
+    v1 = global_quantile_disc(ds, column, rank=k1, **kw)
+    v2 = v1 if k2 == k1 else global_quantile_disc(ds, column, rank=k2, **kw)
+    return v1 + (v2 - v1) * (pos - k1)
 
 
 def profile_columns(

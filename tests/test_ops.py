@@ -3052,3 +3052,28 @@ def test_decode_video_avi(ray_session):
             DecodeVideo, fn_constructor_kwargs={"fake": False},
             concurrency=1, batch_format="pyarrow",
         ).materialize()
+
+
+def test_global_quantile_cont(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dedupe_ray.ops.tabular import global_quantile_cont
+
+    rng = np.random.RandomState(13)
+    vals = rng.uniform(0, 1000, 2001)
+    ds = rd.from_arrow(pa.table({"v": vals})).repartition(6)
+    for q in (0.0, 0.25, 0.5, 0.9, 1.0):
+        got = global_quantile_cont(ds, "v", q, bins=64, collect_limit=50)
+        srt = np.sort(vals)
+        pos = (len(vals) - 1) * q
+        k1 = int(np.floor(pos))
+        k2 = int(np.ceil(pos))
+        want = srt[k1] + (srt[k2] - srt[k1]) * (pos - k1)
+        assert got == want, (q, got, want)
+    # nulls ignored; empty → None
+    with_null = rd.from_arrow(pa.table({"v": pa.array([None, 5.0, 1.0], pa.float64())}))
+    assert global_quantile_cont(with_null, "v", 0.5) == 3.0
+    empty = rd.from_arrow(pa.table({"v": pa.array([], pa.float64())}))
+    assert global_quantile_cont(empty, "v", 0.5) is None
