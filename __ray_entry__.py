@@ -1931,6 +1931,155 @@ def _q_bm25_search(sf_dir: str):
     return bm25_topk(docs, list(_BM25_TERMS), "text", "doc_id", top_n=20)
 
 
+def _q_fuzzy_name_pairs(sf_dir: str):
+    """Edit-distance-threshold self-join (the distributed form of the
+    reference's L6 Levenshtein canopy [lib: dedupe/levenshtein.py]):
+    customer-name pairs within Levenshtein distance 2 via SymSpell
+    deletion-neighborhood blocking (explode → 2 bucketed shuffles → exact
+    vectorized verify). Bounded to the first 1000 custkeys so the O(n²)
+    SQL oracle stays tractable — the Ray path is the real scale path."""
+    import pyarrow.compute as pc
+
+    from dedupe_ray.ops.dedup import fuzzy_levenshtein_join
+
+    cust = (
+        _read(sf_dir, "customer", ["c_custkey", "c_name"])
+        .filter(expr="c_custkey <= 1000")
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "cid": pc.cast(b.column("c_custkey"), pa.int64()),
+                    "name": b.column("c_name"),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    return fuzzy_levenshtein_join(
+        cust, id_column="cid", value_column="name", max_distance=2
+    )
+
+
+def _q_lineitem_corr(sf_dir: str):
+    """Pearson correlation of (quantity, discount%) per return flag via
+    exact int64 moment partials — one 6-number-per-block combiner shuffle;
+    the final double expression is evaluated from exact BIGINT moments
+    identically on both engines (a streaming CORR() would differ in the
+    last ulp)."""
+    import ray.data as rd
+
+    from dedupe_ray.ops.tabular import grouped_corr
+
+    def quantize(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "l_returnflag": b.column("l_returnflag"),
+                "qty": pc.cast(b.column("l_quantity"), pa.int64()),
+                "disc_e2": pc.cast(
+                    pc.round(pc.multiply(b.column("l_discount"), pa.scalar(100.0))),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    li = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity", "l_discount"])
+    tbl = grouped_corr(
+        li.map_batches(quantize, batch_format="pyarrow"),
+        ["l_returnflag"],
+        "qty",
+        "disc_e2",
+        out_column="corr_qty_disc",
+    )
+    return rd.from_arrow(tbl)
+
+
+def _q_price_mad(sf_dir: str):
+    """Median absolute deviation of extended price: two passes of the
+    zero-shuffle iterative-histogram interpolated quantile (median of x,
+    then median of |x − med|) — the robust-spread statistic computed
+    without any global sort. The SQL oracle mirrors the explicit
+    row_number lerp (NOT the engine-private quantile_cont builtin)."""
+    from dedupe_ray.ops.tabular import global_quantile_cont
+
+    li = _read(sf_dir, "lineitem", ["l_extendedprice"])
+    med = global_quantile_cont(li, "l_extendedprice", 0.5)
+
+    def absdev(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "adev": pc.abs(
+                    pc.subtract(b.column("l_extendedprice"), pa.scalar(float(med)))
+                )
+            }
+        )
+
+    dev = li.map_batches(absdev, batch_format="pyarrow")
+    mad = global_quantile_cont(dev, "adev", 0.5)
+    return pa.table(
+        {"med": pa.array([med], pa.float64()), "mad": pa.array([mad], pa.float64())}
+    )
+
+
+def _q_shuffled_customers(sf_dir: str):
+    """Deterministic corpus shuffle (the training-order primitive: a
+    reproducible, engine-portable permutation): Knuth multiplicative hash
+    of the key, global sort on it, first 100 rows. Pure int64 arithmetic —
+    identical on both engines; custkey tiebreak makes the total order
+    unique."""
+    import pyarrow.compute as pc
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+
+    def key(b: pa.Table) -> pa.Table:
+        k = pc.bit_wise_and(
+            pc.multiply(
+                pc.cast(b.column("c_custkey"), pa.int64()),
+                pa.scalar(2654435761, pa.int64()),
+            ),
+            pa.scalar((1 << 32) - 1, pa.int64()),
+        )
+        return b.append_column("shuffle_key", k)
+
+    return (
+        cust.map_batches(key, batch_format="pyarrow")
+        .sort(["shuffle_key", "c_custkey"])
+        .limit(100)
+    )
+
+
+def _q_strip_markup_docs(sf_dir: str):
+    """Markup strip + entity decode (boilerplate removal): documents are
+    wrapped in deterministic per-row HTML (tag with attribute + entity
+    suffix — the fixture text itself contains no markup, so the wrap gives
+    the kernel real work) and cleaned by the one-regex-pass-then-entity-
+    chain stage; both engines build and strip the identical string."""
+    import pyarrow.compute as pc
+
+    from dedupe_ray.ops.text import strip_markup
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def wrap(b: pa.Table) -> pa.Table:
+        did = pc.cast(b.column("doc_id"), pa.string())
+        html = pc.binary_join_element_wise(
+            pa.scalar('<p id="'),
+            did,
+            pa.scalar('">'),
+            b.column("text"),
+            pa.scalar(" &amp;co &lt;EOF&gt;</p>"),
+            pa.scalar(""),
+        )
+        return pa.table({"doc_id": b.column("doc_id"), "text": html})
+
+    return strip_markup(
+        docs.map_batches(wrap, batch_format="pyarrow"), "text", "clean"
+    ).select_columns(["doc_id", "clean"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "er_clusters": _q_er_clusters,
@@ -2028,6 +2177,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semantic_dedup": _q_semantic_dedup,
         "value_p95_by_type": _q_value_p95_by_type,
         "lineitem_p90_cont": _q_lineitem_p90_cont,
+        "fuzzy_name_pairs": _q_fuzzy_name_pairs,
+        "lineitem_corr": _q_lineitem_corr,
+        "price_mad": _q_price_mad,
+        "shuffled_customers": _q_shuffled_customers,
+        "strip_markup_docs": _q_strip_markup_docs,
     }
 
 
@@ -3005,5 +3159,90 @@ def oracle_sql() -> dict[str, str]:
             FROM k
             JOIN r v1 ON v1.rk = k.k1
             JOIN r v2 ON v2.rk = k.k2
+        """,
+        "fuzzy_name_pairs": """
+            SELECT CAST(a.c_custkey AS BIGINT) AS id_a,
+                   CAST(b.c_custkey AS BIGINT) AS id_b,
+                   CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+            FROM customer a, customer b
+            WHERE a.c_custkey <= 1000 AND b.c_custkey <= 1000
+              AND a.c_custkey < b.c_custkey
+              AND levenshtein(a.c_name, b.c_name) <= 2
+        """,
+        # moments as exact BIGINTs, final expression as the identical
+        # double chain grouped_corr evaluates (CAST of exact ints, one
+        # multiply under one sqrt, one divide)
+        "lineitem_corr": """
+            WITH q AS (
+                SELECT l_returnflag,
+                       CAST(l_quantity AS BIGINT) AS x,
+                       CAST(round(l_discount * 100.0) AS BIGINT) AS y
+                FROM lineitem
+            ),
+            m AS (
+                SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+                       sum(x) AS sx, sum(y) AS sy,
+                       sum(x * x) AS sxx, sum(y * y) AS syy,
+                       sum(x * y) AS sxy
+                FROM q GROUP BY l_returnflag
+            )
+            SELECT l_returnflag,
+                   CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0
+                        THEN NULL
+                        ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+                             / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                                    * CAST(n * syy - sy * sy AS DOUBLE))
+                   END AS corr_qty_disc
+            FROM m
+        """,
+        # both medians as the explicit row_number lerp (the engine-private
+        # quantile_cont builtin is avoided — same policy as lineitem_p90_cont)
+        "price_mad": """
+            WITH v AS (
+                SELECT l_extendedprice AS x FROM lineitem
+                WHERE l_extendedprice IS NOT NULL
+            ),
+            st AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
+            r AS (SELECT x, row_number() OVER (ORDER BY x) - 1 AS rk FROM v),
+            k AS (
+                SELECT CAST(floor(CAST(n - 1 AS DOUBLE) * CAST(0.5 AS DOUBLE)) AS BIGINT) AS k1,
+                       CAST(ceil(CAST(n - 1 AS DOUBLE) * CAST(0.5 AS DOUBLE)) AS BIGINT) AS k2,
+                       CAST(n - 1 AS DOUBLE) * CAST(0.5 AS DOUBLE)
+                         - floor(CAST(n - 1 AS DOUBLE) * CAST(0.5 AS DOUBLE)) AS frac
+                FROM st
+            ),
+            med AS (
+                SELECT v1.x + (v2.x - v1.x) * k.frac AS m
+                FROM k JOIN r v1 ON v1.rk = k.k1 JOIN r v2 ON v2.rk = k.k2
+            ),
+            d AS (SELECT abs(x - (SELECT m FROM med)) AS y FROM v),
+            rd AS (SELECT y, row_number() OVER (ORDER BY y) - 1 AS rk FROM d),
+            madv AS (
+                SELECT d1.y + (d2.y - d1.y) * k.frac AS mad
+                FROM k JOIN rd d1 ON d1.rk = k.k1 JOIN rd d2 ON d2.rk = k.k2
+            )
+            SELECT (SELECT m FROM med) AS med, (SELECT mad FROM madv) AS mad
+        """,
+        "shuffled_customers": """
+            SELECT c_custkey, c_name,
+                   (CAST(c_custkey AS BIGINT) * 2654435761) % 4294967296
+                       AS shuffle_key
+            FROM customer
+            ORDER BY shuffle_key, c_custkey
+            LIMIT 100
+        """,
+        "strip_markup_docs": """
+            WITH h AS (
+                SELECT doc_id,
+                       '<p id="' || CAST(doc_id AS VARCHAR) || '">' || text
+                           || ' &amp;co &lt;EOF&gt;</p>' AS html
+                FROM documents
+            )
+            SELECT doc_id,
+                   replace(replace(replace(replace(replace(replace(
+                       regexp_replace(html, '<[^>]*>', '', 'g'),
+                       '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                       '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&') AS clean
+            FROM h
         """,
     }

@@ -1183,3 +1183,161 @@ def leakage_safe_split(
         .map_batches(bucketize, batch_format="pyarrow")
     )
     return unioned.groupby("sbucket").map_groups(resolve, batch_format="pyarrow")
+
+
+def fuzzy_levenshtein_join(
+    ds: "ray.data.Dataset",
+    id_column: str = "doc_id",
+    value_column: str = "value",
+    max_distance: int = 2,
+    max_bucket: int = 20_000,
+) -> "ray.data.Dataset":
+    """Edit-distance-threshold SELF-JOIN: every unordered pair of rows whose
+    ``value_column`` strings are within Levenshtein distance ``max_distance``
+    → ``(id_a, id_b, dist)`` with ``id_a < id_b`` — the distributed form of
+    the reference library's Levenshtein canopy (L6, [lib:
+    dedupe/levenshtein.py]) expressed as a join instead of an index probe.
+
+    Blocking is the SymSpell/FastSS deletion-neighborhood property (public:
+    Bocek et al. 2007; Garbe's SymSpell): if ``lev(u, v) <= r`` then deleting
+    ``<= r`` characters from each reaches a COMMON string, so rows sharing a
+    depth-``r`` deletion variant form a complete candidate set. Stages:
+
+    1. explode — each row emits one row per distinct deletion variant,
+       carrying only ``(hash64(variant), id, value)`` (the variant string
+       itself never shuffles; a 64-bit collision can only ADD a candidate,
+       which the exact verify removes — recall is unaffected because equal
+       variants always hash equal);
+    2. bucketed groupby on the variant hash — runs of equal hash expand
+       triangularly into candidate pairs (vectorized, same shape as the
+       MinHash band-bucket emitter), re-keyed by a pair-id hash;
+    3. pair-bucket groupby — global pair dedup (the same pair arises once
+       per shared variant; its pair hash lands it in ONE bucket), then one
+       vectorized ``levenshtein_batch`` verify and the threshold filter.
+
+    Fan-out is ``O(len^r)`` variants per row — the standard SymSpell cost
+    (~190 variants for an 18-char value at r=2); values should be near-
+    distinct. A value duplicated m times shares ALL its variants, so runs
+    grow O(m) and pairs O(m²): dedup to distinct values first (exact_dedup)
+    and join ids back if your column repeats. Runs longer than
+    ``max_bucket`` raise (explicit, never silent recall loss) — raise the
+    cap or pre-dedup. Output dist is int64 (SQL ``levenshtein`` parity).
+    """
+    import pandas as pd
+
+    from dedupe_ray.distances import levenshtein_batch
+    from dedupe_ray.predicates import _deletions
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = _one_chunk(batch.column(id_column))
+        vals_arr = _one_chunk(batch.column(value_column))
+        vals = vals_arr.to_pylist()
+        variants: list[str] = []
+        counts = np.empty(len(vals), np.int64)
+        for i, v in enumerate(vals):
+            d = _deletions(v or "", max_distance)
+            counts[i] = len(d)
+            variants.extend(d)
+        h = pd.util.hash_array(np.asarray(variants, dtype=object))
+        parent = pa.array(np.repeat(np.arange(len(vals), dtype=np.int64), counts))
+        return pa.table(
+            {
+                "dhash": pa.array(h, pa.uint64()),
+                "vbucket": pa.array((h % np.uint64(N_BUCKETS)).astype(np.int32)),
+                "rid": ids.take(parent),
+                "val": vals_arr.take(parent),
+            }
+        )
+
+    def emit_pairs(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "id_a": pa.array([], group.column("rid").type),
+                "id_b": pa.array([], group.column("rid").type),
+                "val_a": pa.array([], pa.string()),
+                "val_b": pa.array([], pa.string()),
+                "pbucket": pa.array([], pa.int32()),
+            }
+        )
+        if not len(group):
+            return empty
+        g = group.take(
+            pc.sort_indices(
+                group, sort_keys=[("dhash", "ascending"), ("rid", "ascending")]
+            )
+        )
+        h = g.column("dhash").to_numpy(zero_copy_only=False)
+        n = len(g)
+        change = h[1:] != h[:-1] if n > 1 else np.zeros(0, bool)
+        run_starts = np.nonzero(np.concatenate(([True], change)))[0]
+        run_lengths = np.diff(np.append(run_starts, n))
+        if int(run_lengths.max()) > max_bucket:
+            raise ValueError(
+                f"deletion-variant run of {int(run_lengths.max())} rows exceeds "
+                f"max_bucket={max_bucket}; dedup {value_column!r} to distinct "
+                "values first or raise the cap"
+            )
+        m_per_elem = np.repeat(run_lengths, run_lengths)
+        pos_in_run = np.arange(n) - np.repeat(run_starts, run_lengths)
+        counts = m_per_elem - 1 - pos_in_run
+        total = int(counts.sum())
+        if total == 0:
+            return empty
+        a_idx = np.repeat(np.arange(n), counts)
+        cum = np.concatenate(([0], np.cumsum(counts)))[:-1]
+        b_idx = a_idx + 1 + (np.arange(total, dtype=np.int64) - np.repeat(cum, counts))
+        ids = _one_chunk(g.column("rid"))
+        vals = _one_chunk(g.column("val"))
+        out_a = ids.take(pa.array(a_idx))
+        out_b = ids.take(pa.array(b_idx))
+        ha = pd.util.hash_array(out_a.to_numpy(zero_copy_only=False))
+        hb = pd.util.hash_array(out_b.to_numpy(zero_copy_only=False))
+        pbucket = ((ha * np.uint64(31) + hb) % np.uint64(N_BUCKETS)).astype(np.int32)
+        return pa.table(
+            {
+                "id_a": out_a,
+                "id_b": out_b,
+                "val_a": vals.take(pa.array(a_idx)),
+                "val_b": vals.take(pa.array(b_idx)),
+                "pbucket": pa.array(pbucket),
+            }
+        )
+
+    def dedup_verify(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "id_a": pa.array([], group.column("id_a").type),
+                "id_b": pa.array([], group.column("id_b").type),
+                "dist": pa.array([], pa.int64()),
+            }
+        )
+        if not len(group):
+            return empty
+        t = group.sort_by([("id_a", "ascending"), ("id_b", "ascending")])
+        a = _one_chunk(t.column("id_a"))
+        b = _one_chunk(t.column("id_b"))
+        keep = np.ones(len(t), bool)
+        if len(t) > 1:
+            same = pc.and_(
+                pc.equal(a.slice(1), a.slice(0, len(a) - 1)),
+                pc.equal(b.slice(1), b.slice(0, len(b) - 1)),
+            )
+            keep[1:] = ~same.to_numpy(zero_copy_only=False)
+        rows = pa.array(np.nonzero(keep)[0])
+        t = t.take(rows)
+        dist = levenshtein_batch(
+            t.column("val_a").to_pylist(), t.column("val_b").to_pylist()
+        )
+        ok = dist <= max_distance
+        sel = pa.array(np.nonzero(ok)[0])
+        return pa.table(
+            {
+                "id_a": _one_chunk(t.column("id_a")).take(sel),
+                "id_b": _one_chunk(t.column("id_b")).take(sel),
+                "dist": pa.array(dist[ok].astype(np.int64)),
+            }
+        )
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow")
+    raw = exploded.groupby("vbucket").map_groups(emit_pairs, batch_format="pyarrow")
+    return raw.groupby("pbucket").map_groups(dedup_verify, batch_format="pyarrow")

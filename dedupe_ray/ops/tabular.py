@@ -1708,3 +1708,80 @@ def grouped_dense_rank(
         .groupby("__wbkt")
         .map_groups(per_bucket, batch_format="pyarrow")
     )
+
+
+def grouped_corr(
+    ds: "ray.data.Dataset",
+    group_columns: list[str],
+    x_column: str,
+    y_column: str,
+    out_column: str = "corr",
+) -> pa.Table:
+    """Pearson correlation per group over INTEGER-valued columns, exactly.
+
+    One combiner shuffle: each batch emits per-group int64 moment partials
+    (n, Σx, Σy, Σx², Σy², Σxy) — 6 numbers per (group, block) — merged by a
+    tiny groupby-Sum; the final ``corr = (nΣxy − ΣxΣy) /
+    sqrt((nΣx² − (Σx)²) · (nΣy² − (Σy)²))`` is evaluated driver-side from
+    the EXACT integer moments with arbitrary-precision Python ints, so the
+    result is order/parallelism-invariant and a SQL oracle mirroring the
+    same BIGINT-moments expression is hash-exact (a streaming CORR() or a
+    naive double Σ would differ in the last ulp per summation order).
+
+    Caller contract: x/y must already be integers (fixed-point-quantize
+    floats upstream — the same ``round(x·10^k)`` chain on both engines);
+    per-batch partial magnitudes are checked against int64 and raise on
+    overflow risk instead of wrapping. Returns a driver-side pa.Table
+    (one row per group; ``corr`` NULL when either variance is zero).
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    def partials(b: pa.Table) -> pa.Table:
+        x = b.column(x_column).to_numpy(zero_copy_only=False).astype(np.int64)
+        y = b.column(y_column).to_numpy(zero_copy_only=False).astype(np.int64)
+        mx = int(np.abs(x).max(initial=0))
+        my = int(np.abs(y).max(initial=0))
+        if max(mx * mx, my * my, mx * my) * max(len(x), 1) >= (1 << 62):
+            raise OverflowError(
+                f"grouped_corr partial moments may exceed int64 "
+                f"(max|x|={mx}, max|y|={my}, n={len(x)}); quantize to a "
+                "coarser fixed point"
+            )
+        df = pd.DataFrame({g: b.column(g).to_pandas() for g in group_columns})
+        df["__x"], df["__y"] = x, y
+        df["__xx"], df["__yy"], df["__xy"] = x * x, y * y, x * y
+        g = df.groupby(group_columns, as_index=False).agg(
+            n=("__x", "size"), sx=("__x", "sum"), sy=("__y", "sum"),
+            sxx=("__xx", "sum"), syy=("__yy", "sum"), sxy=("__xy", "sum"),
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby(group_columns)
+        .aggregate(
+            Sum("n", alias_name="n"), Sum("sx", alias_name="sx"),
+            Sum("sy", alias_name="sy"), Sum("sxx", alias_name="sxx"),
+            Sum("syy", alias_name="syy"), Sum("sxy", alias_name="sxy"),
+        )
+        .to_pandas()  # bounded: one row per group
+    )
+    out: list = []
+    for _, r in agg.iterrows():
+        n, sx, sy = int(r["n"]), int(r["sx"]), int(r["sy"])
+        sxx, syy, sxy = int(r["sxx"]), int(r["syy"]), int(r["sxy"])
+        vx, vy = n * sxx - sx * sx, n * syy - sy * sy
+        if vx == 0 or vy == 0:
+            out.append(None)
+        else:
+            # float(int) conversions + one multiply/sqrt/divide — the same
+            # IEEE chain as the SQL mirror's CAST(... AS DOUBLE) expression
+            out.append(float(n * sxy - sx * sy) / math.sqrt(float(vx) * float(vy)))
+    cols = {g: pa.array(agg[g]) for g in group_columns}
+    cols[out_column] = pa.array(out, pa.float64())
+    return pa.table(cols)

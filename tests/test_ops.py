@@ -3077,3 +3077,110 @@ def test_global_quantile_cont(ray_session):
     assert global_quantile_cont(with_null, "v", 0.5) == 3.0
     empty = rd.from_arrow(pa.table({"v": pa.array([], pa.float64())}))
     assert global_quantile_cont(empty, "v", 0.5) is None
+
+
+def test_fuzzy_levenshtein_join_brute_force(ray_session):
+    """SymSpell-blocked distributed join == brute-force O(n²) edit-distance
+    scan (completeness is the Bocek/Garbe deletion-neighborhood theorem;
+    this exercises it through the full explode→bucket→verify pipeline,
+    including pair dedup across shared variants)."""
+    from dedupe_ray.distances import levenshtein_batch
+    from dedupe_ray.ops.dedup import fuzzy_levenshtein_join
+
+    rng = np.random.RandomState(11)
+    alphabet = list("abcd")
+    vals = []
+    for i in range(120):
+        base = "".join(rng.choice(alphabet, size=rng.randint(0, 7)))
+        vals.append(base)
+    # force duplicates-adjacent-by-edits structure and some empties
+    ds = rd.from_arrow(
+        pa.table({"doc_id": [f"r{i:03d}" for i in range(len(vals))], "value": vals})
+    )
+    got = (
+        fuzzy_levenshtein_join(ds, "doc_id", "value", max_distance=2)
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    ids = [f"r{i:03d}" for i in range(len(vals))]
+    exp_rows = []
+    a_list, b_list, pairs = [], [], []
+    for i in range(len(vals)):
+        for j in range(i + 1, len(vals)):
+            a_list.append(vals[i])
+            b_list.append(vals[j])
+            pairs.append((ids[i], ids[j]))
+    dist = levenshtein_batch(a_list, b_list)
+    for (pa_, pb_), d in zip(pairs, dist):
+        if d <= 2:
+            exp_rows.append((pa_, pb_, int(d)))
+    exp = pd.DataFrame(exp_rows, columns=["id_a", "id_b", "dist"]).sort_values(
+        ["id_a", "id_b"]
+    ).reset_index(drop=True)
+    assert len(got) == len(exp)
+    assert got["id_a"].tolist() == exp["id_a"].tolist()
+    assert got["id_b"].tolist() == exp["id_b"].tolist()
+    assert got["dist"].tolist() == exp["dist"].tolist()
+
+
+def test_fuzzy_levenshtein_join_oversized_run_raises(ray_session):
+    from dedupe_ray.ops.dedup import fuzzy_levenshtein_join
+
+    ds = rd.from_arrow(
+        pa.table({"doc_id": [str(i) for i in range(30)], "value": ["same"] * 30})
+    )
+    with pytest.raises(Exception, match="max_bucket"):
+        fuzzy_levenshtein_join(ds, "doc_id", "value", max_distance=1, max_bucket=10).count()
+
+
+def test_grouped_corr_matches_numpy(ray_session):
+    from dedupe_ray.ops.tabular import grouped_corr
+
+    rng = np.random.RandomState(3)
+    g = rng.choice(["a", "b"], size=400)
+    x = rng.randint(0, 50, size=400)
+    y = (x * 2 + rng.randint(-10, 10, size=400)).astype(np.int64)
+    ds = rd.from_arrow(pa.table({"g": g, "x": x.astype(np.int64), "y": y}))
+    out = grouped_corr(ds, ["g"], "x", "y").to_pandas().set_index("g")["corr"]
+    for key in ("a", "b"):
+        m = g == key
+        expect = np.corrcoef(x[m].astype(float), y[m].astype(float))[0, 1]
+        assert abs(out[key] - expect) < 1e-9
+
+
+def test_grouped_corr_degenerate_and_overflow(ray_session):
+    from dedupe_ray.ops.tabular import grouped_corr
+
+    ds = rd.from_arrow(
+        pa.table({"g": ["z"] * 5, "x": [7] * 5, "y": [1, 2, 3, 4, 5]})
+    )
+    out = grouped_corr(ds, ["g"], "x", "y").to_pandas()
+    assert out["corr"].isna().all()  # zero variance in x → NULL
+
+    big = rd.from_arrow(
+        pa.table({"g": ["z"] * 4, "x": [2**31] * 4, "y": [1, 2, 3, 4]})
+    )
+    with pytest.raises(Exception, match="int64"):
+        grouped_corr(big, ["g"], "x", "y")
+
+
+def test_strip_markup(ray_session):
+    from dedupe_ray.ops.text import strip_markup
+
+    raw = [
+        '<div class="x">hello <b>world</b></div>',
+        "a &lt;tag&gt; &amp;amp; stays: &amp;lt;",  # double-escape safety
+        "no markup at all",
+        "<p>q&quot;d&#39;s&nbsp;end</p>",
+        "",
+    ]
+    ds = rd.from_arrow(pa.table({"text": raw}))
+    out = strip_markup(ds, "text", "clean").to_pandas()["clean"].tolist()
+    assert out == [
+        "hello world",
+        "a <tag> &amp; stays: &lt;",
+        "no markup at all",
+        'q"d\'s end',
+        "",
+    ]
