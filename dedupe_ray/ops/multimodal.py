@@ -5,8 +5,11 @@ the span column (BASELINE.json input_hint) or a ``payload: binary`` column
 with typed metadata. The Ray-side plumbing — schemas, actor-pool stages,
 batch sizing for wide binary rows, output layout — is real and tested.
 
-Codecs: PPM/PGM (P6/P5 binary), 24-bit BI_RGB BMP, 8-bit PNG (all color
-types, zlib inflate + per-row unfilter — :func:`decode_png`), and JPEG —
+Codecs: PPM/PGM (P6/P5 binary), 24-bit BI_RGB BMP, PNG — 8/16-bit, all
+color types, non-interlaced AND Adam7 (zlib inflate + per-row unfilter —
+:func:`decode_png`), GIF87a/89a (variable-width LZW raster decode,
+global/local color tables, 4-pass de-interlacing — :func:`decode_gif`),
+and JPEG —
 baseline, extended-sequential AND progressive Huffman (T.81 §G: spectral
 selection, successive approximation, EOB-run coding; Huffman entropy
 decode + one vectorized einsum IDCT + chroma upsampling —
@@ -161,15 +164,25 @@ def _png_unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
     return out.astype(np.uint8)
 
 
+# Adam7 pass grid: (x_start, y_start, x_step, y_step), PNG spec §8.2
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
 def decode_png(payload: bytes) -> np.ndarray:
     """Pure numpy+zlib PNG decoder → uint8 array [h, w] (gray) or
     [h, w, 3]/[h, w, 4] (RGB/RGBA). No codec library: chunk walk per the
     PNG spec, zlib inflate of the concatenated IDAT stream, per-row
     unfiltering (:func:`_png_unfilter`), palette expansion from PLTE.
 
-    Supported: bit depth 8, color types 0/2/3/4/6, non-interlaced.
-    (16-bit and Adam7 interlacing raise — not needed by any pipeline
-    here and easy to bolt on.)"""
+    Supported: bit depths 8 and 16 (16-bit samples are reduced to their
+    high byte — the standard 8-bit view; filters operate on BYTES per
+    spec §9, so unfiltering happens before the reduction), color types
+    0/2/3/4/6, both non-interlaced and Adam7-interlaced images (each of
+    the seven passes is an independently-filtered sub-image scattered
+    into the output grid)."""
     SIG = b"\x89PNG\r\n\x1a\n"
     if payload[:8] != SIG:
         raise ValueError("not a PNG payload")
@@ -195,25 +208,158 @@ def decode_png(payload: bytes) -> np.ndarray:
             break
     if w is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
-    if depth != 8:
-        raise ValueError(f"only 8-bit PNG supported (depth={depth})")
-    if interlace != 0:
-        raise ValueError("Adam7-interlaced PNG not supported")
+    if depth not in (8, 16):
+        raise ValueError(f"only 8/16-bit PNG supported (depth={depth})")
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
     if channels is None:
         raise ValueError(f"unknown PNG color type {ctype}")
-    stride = w * channels
+    if depth == 16 and ctype == 3:
+        raise ValueError("16-bit palette PNG is not a legal combination")
+    bpp = channels * (depth // 8)
     raw = np.frombuffer(zlib.decompress(bytes(idat)), np.uint8)
-    if len(raw) < h * (stride + 1):
-        raise ValueError("PNG IDAT stream truncated")
-    img = _png_unfilter(raw[: h * (stride + 1)], h, stride, channels)
+
+    def recon(buf: np.ndarray, wp: int, hp: int) -> tuple[np.ndarray, int]:
+        """Unfilter one (sub)image → ([hp, wp, channels] uint8, bytes used)."""
+        stride = wp * bpp
+        need = hp * (stride + 1)
+        if len(buf) < need:
+            raise ValueError("PNG IDAT stream truncated")
+        sub = _png_unfilter(buf[:need], hp, stride, bpp)
+        if depth == 16:
+            sub = sub.reshape(hp, wp * channels, 2)[:, :, 0]  # high byte
+        return sub.reshape(hp, wp, channels), need
+
+    if interlace == 0:
+        img, _ = recon(raw, w, h)
+    elif interlace == 1:
+        img = np.zeros((h, w, channels), np.uint8)
+        off = 0
+        for x0, y0, xs, ys in _ADAM7:
+            wp = (w - x0 + xs - 1) // xs
+            hp = (h - y0 + ys - 1) // ys
+            if wp <= 0 or hp <= 0:
+                continue
+            sub, used = recon(raw[off:], wp, hp)
+            off += used
+            img[y0::ys, x0::xs] = sub
+    else:
+        raise ValueError(f"unknown PNG interlace method {interlace}")
     if ctype == 3:  # palette → RGB
         if plte is None:
             raise ValueError("palette PNG missing PLTE")
         pal = np.frombuffer(plte, np.uint8).reshape(-1, 3)
-        return pal[img.reshape(h, w)]
-    img = img.reshape(h, w, channels)
+        return pal[img[:, :, 0]]
     return img[:, :, 0] if channels == 1 else img
+
+
+def _gif_lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> np.ndarray:
+    """GIF variable-width LZW decode (spec Appendix F) → uint8 palette
+    indices [n_pixels]. LSB-first bit packing; code width starts at
+    ``min_code_size + 1`` and grows when the table reaches 2^width, capped
+    at 12 bits (a full table stays at 12 until a CLEAR resets it)."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    base: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    out = np.empty(n_pixels, np.uint8)
+    n_out = 0
+    pos_bits = 0
+    total_bits = len(data) * 8
+    table = list(base)
+    width = min_code_size + 1
+    prev: bytes | None = None
+    while n_out < n_pixels:
+        if pos_bits + width > total_bits:
+            raise ValueError("GIF LZW stream ended before raster complete")
+        byte_i = pos_bits >> 3
+        code = (
+            int.from_bytes(data[byte_i : byte_i + 3], "little") >> (pos_bits & 7)
+        ) & ((1 << width) - 1)
+        pos_bits += width
+        if code == end:
+            break
+        if code == clear:
+            table = list(base)
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]  # the KwKwK case
+        else:
+            raise ValueError(f"corrupt GIF LZW stream (code {code})")
+        take = min(len(entry), n_pixels - n_out)
+        out[n_out : n_out + take] = np.frombuffer(entry, np.uint8)[:take]
+        n_out += len(entry)
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    if n_out < n_pixels:
+        raise ValueError("GIF raster shorter than image dimensions")
+    return out
+
+
+def decode_gif(payload: bytes) -> np.ndarray:
+    """Pure-python/numpy GIF87a/89a decoder → uint8 [h, w, 3] RGB of the
+    FIRST image frame (feature extraction wants one representative frame;
+    multi-frame animation sampling is the video stage's job). Full format
+    walk: logical screen descriptor, global/local color tables, extension
+    blocks skipped by sub-block length, variable-width LZW raster decode
+    (:func:`_gif_lzw_decode`), 4-pass row de-interlacing."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    packed = payload[10]
+    gct: np.ndarray | None = None
+    pos = 13
+    if packed & 0x80:
+        sz = 2 << (packed & 7)
+        gct = np.frombuffer(payload, np.uint8, 3 * sz, pos).reshape(-1, 3)
+        pos += 3 * sz
+    while pos < len(payload):
+        b0 = payload[pos]
+        if b0 == 0x3B:  # trailer
+            break
+        if b0 == 0x21:  # extension: label byte then length-prefixed sub-blocks
+            pos += 2
+            while payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if b0 != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{b0:02x}")
+        iw = int.from_bytes(payload[pos + 5 : pos + 7], "little")
+        ih = int.from_bytes(payload[pos + 7 : pos + 9], "little")
+        ipacked = payload[pos + 9]
+        pos += 10
+        lct: np.ndarray | None = None
+        if ipacked & 0x80:
+            sz = 2 << (ipacked & 7)
+            lct = np.frombuffer(payload, np.uint8, 3 * sz, pos).reshape(-1, 3)
+            pos += 3 * sz
+        min_code = payload[pos]
+        pos += 1
+        data = bytearray()
+        while payload[pos] != 0:
+            ln = payload[pos]
+            data += payload[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+        idx = _gif_lzw_decode(bytes(data), min_code, iw * ih).reshape(ih, iw)
+        if ipacked & 0x40:  # interlaced: stored row order is the 4 passes
+            order = np.concatenate(
+                [np.arange(0, ih, 8), np.arange(4, ih, 8),
+                 np.arange(2, ih, 4), np.arange(1, ih, 2)]
+            )
+            img = np.empty_like(idx)
+            img[order] = idx
+            idx = img
+        pal = lct if lct is not None else gct
+        if pal is None:
+            raise ValueError("GIF image has no color table")
+        return pal[np.minimum(idx, len(pal) - 1)]
+    raise ValueError("GIF has no image descriptor")
 
 
 def _zigzag_order() -> np.ndarray:
@@ -703,6 +849,8 @@ class DecodeImage:
                 img = img[:, :, 0]  # gray+alpha → gray
         elif payload[:2] == b"\xff\xd8":
             img = decode_jpeg(payload)
+        elif payload[:6] in (b"GIF87a", b"GIF89a"):
+            img = decode_gif(payload)
         else:
             return None
         h, w = img.shape[:2]
@@ -723,7 +871,7 @@ class DecodeImage:
         if not self.fake:
             raise NotImplementedError(
                 "unrecognized image payload (supported: PPM/PGM, BMP, "
-                "PNG, baseline JPEG) — pass fake=True for the "
+                "PNG, JPEG, GIF) — pass fake=True for the "
                 "deterministic test decoder"
             )
         seed = zlib.crc32(ref.encode())

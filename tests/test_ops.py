@@ -563,9 +563,11 @@ def test_decode_ppm_bmp_real():
     assert all(v in big.reshape(-1, 3).tolist() for v in small.reshape(-1, 3).tolist()[:5])
 
 
-def _png_bytes(img, ctype, filters, palette=None):
+def _png_bytes(img, ctype, filters, palette=None, depth=8, interlace=0):
     """Hand-built PNG encoder (test-side only): applies the given per-row
-    filter types (spec §9) so the decoder's unfilter paths are all hit."""
+    filter types (spec §9) so the decoder's unfilter paths are all hit;
+    supports 16-bit samples (big-endian byte expansion, filters over
+    BYTES) and Adam7 interlacing (each pass filtered independently)."""
     import struct
     import zlib as _z
 
@@ -577,35 +579,58 @@ def _png_bytes(img, ctype, filters, palette=None):
 
     h, w = img.shape[:2]
     ch = 1 if img.ndim == 2 else img.shape[2]
-    data = img.reshape(h, w * ch).astype(np.int64)
-    bpp = ch
-    raw = bytearray()
-    prev = np.zeros(w * ch, np.int64)
-    for y in range(h):
-        f = filters[y % len(filters)]
-        rec = data[y]
-        if f == 0:
-            filt = rec
-        elif f == 1:
-            left = np.concatenate([np.zeros(bpp, np.int64), rec[:-bpp]])
-            filt = (rec - left) % 256
-        elif f == 2:
-            filt = (rec - prev) % 256
-        elif f == 3:
-            left = np.concatenate([np.zeros(bpp, np.int64), rec[:-bpp]])
-            filt = (rec - (left + prev) // 2) % 256
-        elif f == 4:
-            left = np.concatenate([np.zeros(bpp, np.int64), rec[:-bpp]])
-            upleft = np.concatenate([np.zeros(bpp, np.int64), prev[:-bpp]])
-            p = left + prev - upleft
-            pa_, pb, pc_ = np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
-            pred = np.where(
-                (pa_ <= pb) & (pa_ <= pc_), left, np.where(pb <= pc_, prev, upleft)
-            )
-            filt = (rec - pred) % 256
-        raw += bytes([f]) + bytes(filt.astype(np.uint8))
-        prev = rec
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    arr = img.reshape(h, w, ch)
+    bpp = ch * (2 if depth == 16 else 1)
+
+    def encode_sub(sub):
+        hp, wp = sub.shape[:2]
+        flat = sub.reshape(hp, wp * ch).astype(np.int64)
+        if depth == 16:
+            by = np.empty((hp, wp * ch * 2), np.int64)
+            by[:, 0::2] = flat >> 8
+            by[:, 1::2] = flat & 255
+        else:
+            by = flat
+        raw = bytearray()
+        prev = np.zeros(by.shape[1], np.int64)
+        for y in range(hp):
+            f = filters[y % len(filters)]
+            rec = by[y]
+            if f == 0:
+                filt = rec
+            elif f == 1:
+                left = np.concatenate([np.zeros(bpp, np.int64), rec[:-bpp]])
+                filt = (rec - left) % 256
+            elif f == 2:
+                filt = (rec - prev) % 256
+            elif f == 3:
+                left = np.concatenate([np.zeros(bpp, np.int64), rec[:-bpp]])
+                filt = (rec - (left + prev) // 2) % 256
+            elif f == 4:
+                left = np.concatenate([np.zeros(bpp, np.int64), rec[:-bpp]])
+                upleft = np.concatenate([np.zeros(bpp, np.int64), prev[:-bpp]])
+                p = left + prev - upleft
+                pa_, pb, pc_ = np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
+                pred = np.where(
+                    (pa_ <= pb) & (pa_ <= pc_), left, np.where(pb <= pc_, prev, upleft)
+                )
+                filt = (rec - pred) % 256
+            raw += bytes([f]) + bytes(filt.astype(np.uint8))
+            prev = rec
+        return raw
+
+    if interlace == 0:
+        raw = encode_sub(arr)
+    else:
+        raw = bytearray()
+        for x0, y0, xs, ys in (
+            (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+            (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+        ):
+            sub = arr[y0::ys, x0::xs]
+            if sub.shape[0] and sub.shape[1]:
+                raw += encode_sub(sub)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, interlace)
     out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
     if palette is not None:
         out += chunk(b"PLTE", bytes(palette.astype(np.uint8).reshape(-1)))
@@ -3184,3 +3209,190 @@ def test_strip_markup(ray_session):
         'q"d\'s end',
         "",
     ]
+
+
+def _gif_lzw_encode(indices, min_code_size):
+    """Test-side GIF LZW encoder (variable width, LSB-first; emits CLEAR
+    when the table fills so the decoder's reset path gets exercised)."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code, width):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 255)
+            acc >>= 8
+            nbits -= 8
+
+    def fresh():
+        return {bytes([i]): i for i in range(clear)}, end + 1, min_code_size + 1
+
+    table, next_code, width = fresh()
+    emit(clear, width)
+    cur = b""
+    for p in indices:
+        nxt = cur + bytes([int(p)])
+        if nxt in table:
+            cur = nxt
+            continue
+        emit(table[cur], width)
+        if next_code < 4096:
+            table[nxt] = next_code
+            next_code += 1
+            # encoder bumps ONE code later than the decoder's
+            # len(table)==2^width rule: the decoder's table lags the
+            # encoder's by one entry (it adds on the NEXT code), so the
+            # giflib convention is ">" (here: == 2^width + 1)
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
+        else:
+            emit(clear, width)
+            table, next_code, width = fresh()
+        cur = nxt[-1:]
+    if cur:
+        emit(table[cur], width)
+    emit(end, width)
+    if nbits:
+        out.append(acc & 255)
+    return bytes(out)
+
+
+def _gif_bytes(idx, palette, interlace=False, local=False, extension=False):
+    """Hand-built GIF89a encoder (test-side only)."""
+    import struct
+
+    import numpy as np
+
+    h, w = idx.shape
+    bits = max(1, (len(palette) - 1).bit_length())
+    size_field = bits - 1
+    tbl_n = 2 << size_field
+    pal = np.zeros((tbl_n, 3), np.uint8)
+    pal[: len(palette)] = palette
+    min_code_size = max(2, bits)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    if local:
+        out += bytes([0, 0, 0])
+    else:
+        out += bytes([0x80 | size_field, 0, 0]) + bytes(pal.reshape(-1))
+    if extension:  # graphic-control extension → decoder's skip path
+        out += b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    rows = idx
+    if interlace:
+        order = np.concatenate(
+            [np.arange(0, h, 8), np.arange(4, h, 8),
+             np.arange(2, h, 4), np.arange(1, h, 2)]
+        )
+        rows = idx[order]
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h)
+    packed = (0x80 | size_field) if local else 0
+    if interlace:
+        packed |= 0x40
+    out += bytes([packed])
+    if local:
+        out += bytes(pal.reshape(-1))
+    out += bytes([min_code_size])
+    data = _gif_lzw_encode(rows.reshape(-1), min_code_size)
+    for i in range(0, len(data), 255):
+        out += bytes([len(data[i : i + 255])]) + data[i : i + 255]
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def test_gif_lzw_pinned_bytes():
+    """Hand-computed 2-pixel stream pins the LSB-first packing and the
+    CLEAR/END conventions on BOTH test encoder and library decoder
+    (guards against a symmetric bug cancelling in round-trip tests)."""
+    from dedupe_ray.ops.multimodal import _gif_lzw_decode
+
+    enc = _gif_lzw_encode(np.array([0, 0]), 2)
+    assert enc == b"\x04\x0a"
+    np.testing.assert_array_equal(_gif_lzw_decode(b"\x04\x0a", 2, 2), [0, 0])
+
+
+def test_decode_gif_round_trip():
+    from dedupe_ray.ops.multimodal import decode_gif
+
+    rng = np.random.RandomState(5)
+    # 256-color random: dictionary fills to 4096 → encoder emits CLEAR →
+    # decoder reset path; also 9→12-bit width growth
+    pal = rng.randint(0, 256, (256, 3)).astype(np.uint8)
+    idx = rng.randint(0, 256, (60, 80)).astype(np.uint8)
+    np.testing.assert_array_equal(decode_gif(_gif_bytes(idx, pal)), pal[idx])
+    # 4-color, KwKwK-prone repetitive data
+    pal4 = np.array([[0, 0, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255]], np.uint8)
+    rep = np.tile(np.array([0, 0, 1, 1, 2, 2, 3, 3, 0, 0, 0], np.uint8), 40)[:440]
+    idx4 = rep.reshape(20, 22)
+    np.testing.assert_array_equal(decode_gif(_gif_bytes(idx4, pal4)), pal4[idx4])
+    # interlaced + local color table + extension block in front
+    idx2 = rng.randint(0, 4, (13, 9)).astype(np.uint8)
+    np.testing.assert_array_equal(
+        decode_gif(_gif_bytes(idx2, pal4, interlace=True, local=True, extension=True)),
+        pal4[idx2],
+    )
+    with pytest.raises(ValueError, match="not a GIF"):
+        decode_gif(b"PNGnope")
+
+
+def test_decode_png_16bit_and_adam7():
+    from dedupe_ray.ops.multimodal import decode_png
+
+    rng = np.random.RandomState(7)
+    # 16-bit gray + RGB: decoder returns the high byte
+    g16 = rng.randint(0, 1 << 16, (9, 6)).astype(np.uint16)
+    np.testing.assert_array_equal(
+        decode_png(_png_bytes(g16, 0, [0, 1, 2, 3, 4], depth=16)), (g16 >> 8).astype(np.uint8)
+    )
+    rgb16 = rng.randint(0, 1 << 16, (5, 7, 3)).astype(np.uint16)
+    np.testing.assert_array_equal(
+        decode_png(_png_bytes(rgb16, 2, [4, 3, 2, 1, 0], depth=16)),
+        (rgb16 >> 8).astype(np.uint8),
+    )
+    # Adam7 interlaced RGB, dims chosen to make some passes ragged/empty
+    for shape in ((13, 11, 3), (3, 2, 3), (1, 1, 3), (8, 8, 3)):
+        img = rng.randint(0, 256, shape).astype(np.uint8)
+        np.testing.assert_array_equal(
+            decode_png(_png_bytes(img, 2, [0, 1, 2, 3, 4], interlace=1)), img,
+            err_msg=str(shape),
+        )
+    # Adam7 × 16-bit together
+    g = rng.randint(0, 1 << 16, (10, 9)).astype(np.uint16)
+    np.testing.assert_array_equal(
+        decode_png(_png_bytes(g, 0, [2, 4], depth=16, interlace=1)),
+        (g >> 8).astype(np.uint8),
+    )
+
+
+def test_decode_image_stage_gif_payload(ray_session):
+    import ray.data as rd
+
+    from dedupe_ray.ops.multimodal import DecodeImage
+
+    rng = np.random.RandomState(9)
+    pal = rng.randint(0, 256, (8, 3)).astype(np.uint8)
+    idx = rng.randint(0, 8, (4, 6)).astype(np.uint8)
+    gif = _gif_bytes(idx, pal)
+    png = _png_bytes(pal[idx], 2, [0])  # same pixels via PNG
+    tbl = pa.table(
+        {
+            "media_ref": ["gif", "png"],
+            "payload": pa.array([gif, png], pa.binary()),
+        }
+    )
+    out = (
+        rd.from_arrow(tbl)
+        .map_batches(DecodeImage, fn_constructor_kwargs={"fake": False},
+                     concurrency=1, batch_format="pyarrow")
+        .to_pandas()
+        .set_index("media_ref")
+    )
+    assert out.loc["gif", "width"] == 6 and out.loc["gif", "height"] == 4
+    np.testing.assert_allclose(
+        np.asarray(out.loc["gif", "features"]), np.asarray(out.loc["png", "features"])
+    )
