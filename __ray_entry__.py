@@ -2080,6 +2080,61 @@ def _q_strip_markup_docs(sf_dir: str):
     ).select_columns(["doc_id", "clean"])
 
 
+def _q_snm_customer_pairs(sf_dir: str):
+    """Sorted-neighborhood blocking (Hernández–Stolfo): customer pairs
+    within 5 positions of each other in (acctbal, custkey) order — range-
+    partitioned with exact cross-boundary reconstruction, NO global sort;
+    oracle is the SQL row_number window self-join."""
+    import pyarrow.compute as pc
+
+    from dedupe_ray.ops.dedup import sorted_neighborhood_pairs
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"]).map_batches(
+        lambda b: pa.table(
+            {
+                "cid": pc.cast(b.column("c_custkey"), pa.int64()),
+                "bal": b.column("c_acctbal"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return sorted_neighborhood_pairs(cust, "cid", "bal", window=5, n_buckets=16)
+
+
+def _q_lineitem_regression(sf_dir: str):
+    """Grouped OLS (discount% on quantity per line status) from exact
+    int64 moment partials — one combiner shuffle; slope/intercept are the
+    identical double expressions over exact BIGINT moments on both
+    engines."""
+    import ray.data as rd
+
+    from dedupe_ray.ops.tabular import grouped_linregress
+
+    def quantize(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "l_linestatus": b.column("l_linestatus"),
+                "qty": pc.cast(b.column("l_quantity"), pa.int64()),
+                "disc_e2": pc.cast(
+                    pc.round(pc.multiply(b.column("l_discount"), pa.scalar(100.0))),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    li = _read(sf_dir, "lineitem", ["l_linestatus", "l_quantity", "l_discount"])
+    return rd.from_arrow(
+        grouped_linregress(
+            li.map_batches(quantize, batch_format="pyarrow"),
+            ["l_linestatus"],
+            "qty",
+            "disc_e2",
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "er_clusters": _q_er_clusters,
@@ -2182,6 +2237,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_mad": _q_price_mad,
         "shuffled_customers": _q_shuffled_customers,
         "strip_markup_docs": _q_strip_markup_docs,
+        "snm_customer_pairs": _q_snm_customer_pairs,
+        "lineitem_regression": _q_lineitem_regression,
     }
 
 
@@ -3244,5 +3301,44 @@ def oracle_sql() -> dict[str, str]:
                        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
                        '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&') AS clean
             FROM h
+        """,
+        "snm_customer_pairs": """
+            WITH r AS (
+                SELECT CAST(c_custkey AS BIGINT) AS id,
+                       row_number() OVER (ORDER BY c_acctbal, c_custkey) AS rk
+                FROM customer
+            )
+            SELECT a.id AS id_a, b.id AS id_b
+            FROM r a JOIN r b ON b.rk > a.rk AND b.rk <= a.rk + 5
+        """,
+        # OLS from exact BIGINT moments; slope/intercept are the same
+        # double chain grouped_linregress evaluates (regr_slope internals
+        # are engine-private, so they are not used)
+        "lineitem_regression": """
+            WITH q AS (
+                SELECT l_linestatus,
+                       CAST(l_quantity AS BIGINT) AS x,
+                       CAST(round(l_discount * 100.0) AS BIGINT) AS y
+                FROM lineitem
+            ),
+            m AS (
+                SELECT l_linestatus, CAST(count(*) AS BIGINT) AS n,
+                       sum(x) AS sx, sum(y) AS sy,
+                       sum(x * x) AS sxx, sum(x * y) AS sxy
+                FROM q GROUP BY l_linestatus
+            )
+            SELECT l_linestatus,
+                   CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+                        ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+                             / CAST(n * sxx - sx * sx AS DOUBLE)
+                   END AS slope,
+                   CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+                        ELSE (CAST(sy AS DOUBLE)
+                              - (CAST(n * sxy - sx * sy AS DOUBLE)
+                                 / CAST(n * sxx - sx * sx AS DOUBLE))
+                                * CAST(sx AS DOUBLE))
+                             / CAST(n AS DOUBLE)
+                   END AS intercept
+            FROM m
         """,
     }

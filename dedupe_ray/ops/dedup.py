@@ -1341,3 +1341,212 @@ def fuzzy_levenshtein_join(
     exploded = ds.map_batches(explode, batch_format="pyarrow")
     raw = exploded.groupby("vbucket").map_groups(emit_pairs, batch_format="pyarrow")
     return raw.groupby("pbucket").map_groups(dedup_verify, batch_format="pyarrow")
+
+
+def sorted_neighborhood_pairs(
+    ds: "ray.data.Dataset",
+    id_column: str = "doc_id",
+    key_column: str = "sort_key",
+    window: int = 5,
+    n_buckets: int | None = None,
+    sample_cap: int = 20_000,
+) -> "ray.data.Dataset":
+    """Sorted-neighborhood blocking (Hernández & Stolfo 1995 — the classic
+    ER alternative to key-equality blocking): every pair of rows within
+    ``window`` positions of each other in the GLOBAL (key, id) order →
+    ``(id_a, id_b)`` with ``id_a`` preceding ``id_b`` in that order.
+
+    Scale shape — NO global sort: the key space is range-partitioned on
+    deterministically hash-sampled split points (the OUTPUT is
+    split-invariant, so sampling quality only affects balance, never
+    correctness); each bucket sorts locally and emits its window pairs
+    vectorized (one slice join per offset 1..w). Cross-boundary pairs:
+    only a bucket's first/last ``window`` rows can reach another bucket
+    (an interior row is > w positions from any bucket edge), so those
+    rows — tagged with their bucket, offset-from-edge and the bucket's
+    total count — converge on ONE small group (≤ 2·w·n_buckets rows)
+    where exact global rank gaps are reconstructed from the per-bucket
+    counts (empty buckets contribute zero rows and zero gap). In-bucket
+    pairs and cross-bucket pairs are disjoint by construction, so no
+    dedup shuffle is needed.
+
+    Rows with equal keys always land in one bucket (range assignment
+    compares keys only), so a heavily repeated key value skews its bucket
+    — same caveat as any range partitioner; the (key, id) tiebreak makes
+    the total order (and therefore the pair set) unique and engine-exact
+    against a SQL ``row_number`` window oracle.
+    """
+    import pandas as pd
+
+    n = ds.count()
+    if n == 0:
+        return ds.map_batches(
+            lambda b: pa.table(
+                {"id_a": pa.array([], pa.string()), "id_b": pa.array([], pa.string())}
+            ),
+            batch_format="pyarrow",
+        )
+    if n_buckets is None:
+        n_buckets = max(1, min(N_BUCKETS, n // max(window * 64, 512)))
+
+    # deterministic hash-sample of keys → driver-sorted split points.
+    # bounded: expected sample ≤ sample_cap regardless of n.
+    rate = min(1.0, sample_cap / max(n, 1))
+    mod = np.uint64(max(1, int(1 / max(rate, 1e-9))))
+
+    def sample_keys(b: pa.Table) -> pa.Table:
+        ids = b.column(id_column).to_numpy(zero_copy_only=False)
+        h = pd.util.hash_array(np.asarray(ids, dtype=object if ids.dtype == object else ids.dtype))
+        keep = (h % mod) == 0
+        return pa.table({"k": pc.array_filter(b.column(key_column), pa.array(keep))})
+
+    sampled = (
+        ds.map_batches(sample_keys, batch_format="pyarrow").to_pandas()["k"].to_numpy()
+    )
+    if len(sampled) and n_buckets > 1:
+        s = np.sort(sampled)
+        qpos = (np.linspace(0, 1, n_buckets + 1)[1:-1] * (len(s) - 1)).astype(np.int64)
+        splits_arr = np.asarray(sorted(set(s[qpos].tolist())))
+    else:
+        splits_arr = np.asarray([])
+
+    def assign(b: pa.Table) -> pa.Table:
+        keys = b.column(key_column).to_numpy(zero_copy_only=False)
+        bkt = (
+            np.searchsorted(splits_arr, keys, side="right").astype(np.int32)
+            if len(splits_arr)
+            else np.zeros(len(b), np.int32)
+        )
+        return pa.table(
+            {
+                "rid": b.column(id_column),
+                "key": b.column(key_column),
+                "bkt": pa.array(bkt),
+            }
+        )
+
+    sch = ds.schema()
+    id_type = dict(zip(sch.names, sch.types))[id_column]
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "kind": pa.array([], pa.int8()),
+                "id_a": pa.array([], id_type),
+                "id_b": pa.array([], id_type),
+                "bkt": pa.array([], pa.int32()),
+                "pos": pa.array([], pa.int32()),
+                "cnt": pa.array([], pa.int64()),
+                "bid": pa.array([], id_type),
+                "bkey": pa.array([], group.column("key").type),
+            }
+        )
+        m = len(group)
+        if m == 0:
+            return empty
+        g = group.take(
+            pc.sort_indices(
+                group, sort_keys=[("key", "ascending"), ("rid", "ascending")]
+            )
+        )
+        ids = _one_chunk(g.column("rid"))
+        parts = [empty]
+        for d in range(1, min(window, m - 1) + 1):
+            a = ids.slice(0, m - d)
+            b = ids.slice(d)
+            parts.append(
+                pa.table(
+                    {
+                        "kind": pa.array(np.zeros(m - d, np.int8)),
+                        "id_a": a,
+                        "id_b": b,
+                        "bkt": pa.array(np.zeros(m - d, np.int32)),
+                        "pos": pa.array(np.zeros(m - d, np.int32)),
+                        "cnt": pa.array(np.zeros(m - d, np.int64)),
+                        "bid": pa.nulls(m - d, id_type),
+                        "bkey": pa.nulls(m - d, group.column("key").type),
+                    }
+                )
+            )
+        # boundary rows: positions 0..w-1 and m-w..m-1 (deduped when m<2w)
+        bpos = sorted(set(range(min(window, m))) | set(range(max(0, m - window), m)))
+        bkt_val = int(g.column("bkt")[0].as_py())
+        take = pa.array(np.asarray(bpos, np.int64))
+        parts.append(
+            pa.table(
+                {
+                    "kind": pa.array(np.ones(len(bpos), np.int8)),
+                    "id_a": pa.nulls(len(bpos), id_type),
+                    "id_b": pa.nulls(len(bpos), id_type),
+                    "bkt": pa.array(np.full(len(bpos), bkt_val, np.int32)),
+                    "pos": pa.array(np.asarray(bpos, np.int32)),
+                    "cnt": pa.array(np.full(len(bpos), m, np.int64)),
+                    "bid": ids.take(take),
+                    "bkey": _one_chunk(g.column("key")).take(take),
+                }
+            )
+        )
+        return pa.concat_tables(parts)
+
+    mixed = (
+        ds.map_batches(assign, batch_format="pyarrow")
+        .groupby("bkt")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+    pairs = mixed.filter(expr="kind == 0").select_columns(["id_a", "id_b"])
+
+    def cross_pairs(group: pa.Table) -> pa.Table:
+        """All boundary rows in one group: reconstruct exact global rank
+        gaps from per-bucket counts and emit the ≤ window cross pairs."""
+        empty = pa.table({"id_a": pa.array([], id_type), "id_b": pa.array([], id_type)})
+        if len(group) == 0:
+            return empty
+        g = group.take(
+            pc.sort_indices(
+                group,
+                sort_keys=[("bkt", "ascending"), ("pos", "ascending")],
+            )
+        )
+        bkt = g.column("bkt").to_numpy(zero_copy_only=False)
+        pos = g.column("pos").to_numpy(zero_copy_only=False).astype(np.int64)
+        cnt = g.column("cnt").to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = _one_chunk(g.column("bid"))
+        counts = {int(b): int(c) for b, c in zip(bkt, cnt)}
+        # cumulative rows before each bucket (buckets absent = 0 rows)
+        uniq = sorted(counts)
+        before = {}
+        run = 0
+        for u in uniq:
+            before[u] = run
+            run += counts[u]
+        grank = np.asarray([before[int(b)] + p for b, p in zip(bkt, pos)], np.int64)
+        out_a, out_b = [], []
+        m = len(g)
+        for i in range(m):
+            j = i + 1
+            while j < m and grank[j] - grank[i] <= window:
+                if bkt[j] != bkt[i]:  # same-bucket pairs already emitted
+                    out_a.append(i)
+                    out_b.append(j)
+                j += 1
+        if not out_a:
+            return empty
+        return pa.table(
+            {
+                "id_a": ids.take(pa.array(np.asarray(out_a, np.int64))),
+                "id_b": ids.take(pa.array(np.asarray(out_b, np.int64))),
+            }
+        )
+
+    boundary = (
+        mixed.filter(expr="kind == 1")
+        .map_batches(
+            lambda b: b.select(["bkt", "pos", "cnt", "bid"]).append_column(
+                "one", pa.array(np.zeros(len(b), np.int8))
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("one")
+        .map_groups(cross_pairs, batch_format="pyarrow")
+    )
+    return pairs.union(boundary)

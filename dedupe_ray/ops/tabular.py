@@ -1736,41 +1736,7 @@ def grouped_corr(
     """
     import math
 
-    import numpy as np
-    import pandas as pd
-
-    from ray.data.aggregate import Sum
-
-    def partials(b: pa.Table) -> pa.Table:
-        x = b.column(x_column).to_numpy(zero_copy_only=False).astype(np.int64)
-        y = b.column(y_column).to_numpy(zero_copy_only=False).astype(np.int64)
-        mx = int(np.abs(x).max(initial=0))
-        my = int(np.abs(y).max(initial=0))
-        if max(mx * mx, my * my, mx * my) * max(len(x), 1) >= (1 << 62):
-            raise OverflowError(
-                f"grouped_corr partial moments may exceed int64 "
-                f"(max|x|={mx}, max|y|={my}, n={len(x)}); quantize to a "
-                "coarser fixed point"
-            )
-        df = pd.DataFrame({g: b.column(g).to_pandas() for g in group_columns})
-        df["__x"], df["__y"] = x, y
-        df["__xx"], df["__yy"], df["__xy"] = x * x, y * y, x * y
-        g = df.groupby(group_columns, as_index=False).agg(
-            n=("__x", "size"), sx=("__x", "sum"), sy=("__y", "sum"),
-            sxx=("__xx", "sum"), syy=("__yy", "sum"), sxy=("__xy", "sum"),
-        )
-        return pa.Table.from_pandas(g, preserve_index=False)
-
-    agg = (
-        ds.map_batches(partials, batch_format="pyarrow")
-        .groupby(group_columns)
-        .aggregate(
-            Sum("n", alias_name="n"), Sum("sx", alias_name="sx"),
-            Sum("sy", alias_name="sy"), Sum("sxx", alias_name="sxx"),
-            Sum("syy", alias_name="syy"), Sum("sxy", alias_name="sxy"),
-        )
-        .to_pandas()  # bounded: one row per group
-    )
+    agg = _grouped_int_moments(ds, group_columns, x_column, y_column)
     out: list = []
     for _, r in agg.iterrows():
         n, sx, sy = int(r["n"]), int(r["sx"]), int(r["sy"])
@@ -1784,4 +1750,85 @@ def grouped_corr(
             out.append(float(n * sxy - sx * sy) / math.sqrt(float(vx) * float(vy)))
     cols = {g: pa.array(agg[g]) for g in group_columns}
     cols[out_column] = pa.array(out, pa.float64())
+    return pa.table(cols)
+
+
+def _grouped_int_moments(
+    ds: "ray.data.Dataset",
+    group_columns: list[str],
+    x_column: str,
+    y_column: str,
+):
+    """Shared combiner for the exact-integer bivariate statistics family
+    (corr / linregress): per-batch int64 moment partials
+    (n, Σx, Σy, Σx², Σy², Σxy) per group, merged by a tiny groupby-Sum.
+    Returns the bounded driver-side pandas frame of exact moments."""
+    import numpy as np
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    def partials(b: pa.Table) -> pa.Table:
+        x = b.column(x_column).to_numpy(zero_copy_only=False).astype(np.int64)
+        y = b.column(y_column).to_numpy(zero_copy_only=False).astype(np.int64)
+        mx = int(np.abs(x).max(initial=0))
+        my = int(np.abs(y).max(initial=0))
+        if max(mx * mx, my * my, mx * my) * max(len(x), 1) >= (1 << 62):
+            raise OverflowError(
+                f"integer moment partials may exceed int64 "
+                f"(max|x|={mx}, max|y|={my}, n={len(x)}); quantize to a "
+                "coarser fixed point"
+            )
+        df = pd.DataFrame({g: b.column(g).to_pandas() for g in group_columns})
+        df["__x"], df["__y"] = x, y
+        df["__xx"], df["__yy"], df["__xy"] = x * x, y * y, x * y
+        g = df.groupby(group_columns, as_index=False).agg(
+            n=("__x", "size"), sx=("__x", "sum"), sy=("__y", "sum"),
+            sxx=("__xx", "sum"), syy=("__yy", "sum"), sxy=("__xy", "sum"),
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby(group_columns)
+        .aggregate(
+            Sum("n", alias_name="n"), Sum("sx", alias_name="sx"),
+            Sum("sy", alias_name="sy"), Sum("sxx", alias_name="sxx"),
+            Sum("syy", alias_name="syy"), Sum("sxy", alias_name="sxy"),
+        )
+        .to_pandas()  # bounded: one row per group
+    )
+
+
+def grouped_linregress(
+    ds: "ray.data.Dataset",
+    group_columns: list[str],
+    x_column: str,
+    y_column: str,
+) -> pa.Table:
+    """Ordinary-least-squares ``y = slope·x + intercept`` per group over
+    INTEGER-valued columns — same exact-int64-moments engine as
+    :func:`grouped_corr` (one combiner shuffle), finishing with the
+    closed-form OLS expressions evaluated from exact BIGINT moments:
+    ``slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²)`` and
+    ``intercept = (Σy − slope·Σx) / n`` — the identical IEEE-double chain
+    a SQL mirror of the moment sums evaluates (``regr_slope`` internals
+    are engine-private). slope/intercept are NULL for zero x-variance."""
+    agg = _grouped_int_moments(ds, group_columns, x_column, y_column)
+    slopes: list = []
+    intercepts: list = []
+    for _, r in agg.iterrows():
+        n, sx, sy = int(r["n"]), int(r["sx"]), int(r["sy"])
+        sxx, sxy = int(r["sxx"]), int(r["sxy"])
+        vx = n * sxx - sx * sx
+        if vx == 0:
+            slopes.append(None)
+            intercepts.append(None)
+        else:
+            slope = float(n * sxy - sx * sy) / float(vx)
+            slopes.append(slope)
+            intercepts.append((float(sy) - slope * float(sx)) / float(n))
+    cols = {g: pa.array(agg[g]) for g in group_columns}
+    cols["slope"] = pa.array(slopes, pa.float64())
+    cols["intercept"] = pa.array(intercepts, pa.float64())
     return pa.table(cols)

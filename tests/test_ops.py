@@ -3396,3 +3396,67 @@ def test_decode_image_stage_gif_payload(ray_session):
     np.testing.assert_allclose(
         np.asarray(out.loc["gif", "features"]), np.asarray(out.loc["png", "features"])
     )
+
+
+def _snm_brute(keys, ids, window):
+    order = sorted(range(len(ids)), key=lambda i: (keys[i], ids[i]))
+    out = set()
+    for r, i in enumerate(order):
+        for d in range(1, window + 1):
+            if r + d < len(order):
+                out.add((ids[i], ids[order[r + d]]))
+    return out
+
+
+def test_sorted_neighborhood_pairs_brute_force(ray_session):
+    """Range-partitioned SNM == the global-sort window definition, across
+    forced tiny buckets (cross-boundary reconstruction), equal keys, and
+    buckets smaller than the window."""
+    from dedupe_ray.ops.dedup import sorted_neighborhood_pairs
+
+    rng = np.random.RandomState(17)
+    n = 300
+    keys = rng.randint(0, 40, size=n).astype(np.int64)  # heavy key ties
+    ids = [f"r{i:04d}" for i in range(n)]
+    ds = rd.from_arrow(pa.table({"doc_id": ids, "k": keys}))
+    for w, nb in ((3, 1), (3, 8), (5, 64), (1, 16)):
+        got = sorted_neighborhood_pairs(
+            ds, "doc_id", "k", window=w, n_buckets=nb
+        ).to_pandas()
+        got_set = set(zip(got["id_a"], got["id_b"]))
+        exp = _snm_brute(keys.tolist(), ids, w)
+        assert got_set == exp, (w, nb, len(got_set), len(exp))
+        assert len(got) == len(got_set)  # no duplicate pairs
+
+
+def test_sorted_neighborhood_pairs_string_keys_int_ids(ray_session):
+    from dedupe_ray.ops.dedup import sorted_neighborhood_pairs
+
+    rng = np.random.RandomState(23)
+    n = 120
+    keys = ["k" + "abcde"[rng.randint(5)] * rng.randint(1, 4) for _ in range(n)]
+    ids = np.arange(n, dtype=np.int64)
+    ds = rd.from_arrow(pa.table({"doc_id": ids, "k": keys}))
+    got = sorted_neighborhood_pairs(ds, "doc_id", "k", window=4, n_buckets=6).to_pandas()
+    got_set = set(zip(got["id_a"], got["id_b"]))
+    exp = _snm_brute(keys, ids.tolist(), 4)
+    assert got_set == exp
+
+
+def test_grouped_linregress_matches_numpy(ray_session):
+    from dedupe_ray.ops.tabular import grouped_linregress
+
+    rng = np.random.RandomState(6)
+    g = rng.choice(["p", "q"], size=300)
+    x = rng.randint(0, 40, size=300).astype(np.int64)
+    y = (3 * x + 7 + rng.randint(-5, 5, size=300)).astype(np.int64)
+    ds = rd.from_arrow(pa.table({"g": g, "x": x, "y": y}))
+    out = grouped_linregress(ds, ["g"], "x", "y").to_pandas().set_index("g")
+    for key in ("p", "q"):
+        m = g == key
+        slope, intercept = np.polyfit(x[m].astype(float), y[m].astype(float), 1)
+        assert abs(out.loc[key, "slope"] - slope) < 1e-8
+        assert abs(out.loc[key, "intercept"] - intercept) < 1e-7
+    flat = rd.from_arrow(pa.table({"g": ["z"] * 4, "x": [5] * 4, "y": [1, 2, 3, 4]}))
+    res = grouped_linregress(flat, ["g"], "x", "y").to_pandas()
+    assert res["slope"].isna().all() and res["intercept"].isna().all()
