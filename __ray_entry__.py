@@ -2135,6 +2135,30 @@ def _q_lineitem_regression(sf_dir: str):
     )
 
 
+def _q_jaccard_join_docs(sf_dir: str):
+    """EXACT 3-gram-shingle Jaccard self-join at 0.5 over the whole
+    documents table (the deterministic near-dup join — no LSH recall
+    loss): prefix-filtered candidate generation (lossless pigeonhole
+    filter under the token-hash order), bucketed dedup, exact verify.
+    Oracle is the full O(n²)-capable SQL shingle join."""
+    import pyarrow.compute as pc
+
+    from dedupe_ray.ops.dedup import jaccard_similarity_join
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": pc.cast(b.column("doc_id"), pa.string()),
+                "text": b.column("text"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return jaccard_similarity_join(
+        docs, 0.5, n=3, token_pattern="[a-z0-9]+"
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "er_clusters": _q_er_clusters,
@@ -2239,6 +2263,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "strip_markup_docs": _q_strip_markup_docs,
         "snm_customer_pairs": _q_snm_customer_pairs,
         "lineitem_regression": _q_lineitem_regression,
+        "jaccard_join_docs": _q_jaccard_join_docs,
     }
 
 
@@ -3340,5 +3365,39 @@ def oracle_sql() -> dict[str, str]:
                              / CAST(n AS DOUBLE)
                    END AS intercept
             FROM m
+        """,
+        # pair orientation matches the engine's string-id ordering (ids are
+        # VARCHAR in the Ray path, so comparisons here are on VARCHAR too);
+        # docs with <= 3 tokens contribute ONE short gram (the kernel's
+        # max(1, len-n+1) rule)
+        "jaccard_join_docs": """
+            WITH t AS (
+                SELECT CAST(doc_id AS VARCHAR) AS vid,
+                       regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+                FROM documents
+            ),
+            g AS (
+                SELECT vid, unnest(list_distinct(
+                    CASE WHEN len(toks) <= 3
+                         THEN [array_to_string(toks, ' ')]
+                         ELSE list_transform(
+                                  generate_series(1, len(toks) - 2),
+                                  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                    END)) AS gram
+                FROM t WHERE len(toks) > 0
+            ),
+            sz AS (SELECT vid, count(*) AS n FROM g GROUP BY vid),
+            inter AS (
+                SELECT a.vid AS id_a, b.vid AS id_b, count(*) AS c
+                FROM g a JOIN g b ON a.gram = b.gram AND a.vid < b.vid
+                GROUP BY a.vid, b.vid
+            )
+            SELECT id_a, id_b,
+                   CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE)
+                       AS ngram_jaccard
+            FROM inter
+            JOIN sz sa ON sa.vid = id_a
+            JOIN sz sb ON sb.vid = id_b
+            WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.5
         """,
     }

@@ -1550,3 +1550,170 @@ def sorted_neighborhood_pairs(
         .map_groups(cross_pairs, batch_format="pyarrow")
     )
     return pairs.union(boundary)
+
+
+def jaccard_similarity_join(
+    ds: "ray.data.Dataset",
+    threshold: float,
+    id_column: str = "doc_id",
+    text_column: str = "text",
+    n: int = 1,
+    token_pattern: str | None = None,
+    max_bucket: int = 50_000,
+    broadcast_limit: int = 2_000_000,
+) -> "ray.data.Dataset":
+    """EXACT Jaccard-threshold self-join over word-``n``-gram shingle SETS — all pairs with
+    ``|A∩B|/|A∪B| >= threshold`` → (id_a, id_b, ngram_jaccard) — the
+    deterministic companion to MinHash-LSH (no probabilistic recall loss;
+    the filter is lossless, so the output is exactly the brute-force set).
+
+    Prefix filtering (SSJoin/PPJoin family — Chaudhuri et al. 2006, Xiao
+    et al. 2008): under ANY global total order on tokens, two sets with
+    overlap ≥ α must share a token inside both of their first
+    ``|set| − α + 1`` tokens (pigeonhole); with α = ⌈t·|set|⌉ (valid since
+    Jaccard ≥ t forces overlap ≥ t·max(|A|,|B|)), only each doc's PREFIX
+    tokens are exploded — the shuffle carries ``(1−t)·|set|+1`` rows per
+    doc instead of the full set. The order used is the 64-bit token hash:
+    computable per batch with NO token-frequency pass or rank join (a
+    frequency-ascending order would shrink candidate buckets further — a
+    perf lever, never a correctness one — at the cost of a df aggregate
+    plus a rank join back; wire it here if candidate volume ever
+    dominates). Stages: prefix explode → token-bucket groupby (pairs
+    within equal-hash runs + the ``|B| ≥ t·|A|`` length filter) →
+    pair-bucket dedup → exact verify via :func:`ngram_jaccard_pairs`
+    (n=1; texts join back through the size-guarded assembler). A 64-bit
+    hash collision merges two tokens (could, with ~2⁻⁶⁴ probability per
+    token pair, shorten a prefix below the bound) — the same negligible-
+    collision stance as the MinHash family. Oversized token runs raise
+    (never silent loss)."""
+    import pandas as pd
+
+    word_re = re.compile(token_pattern) if token_pattern else _WORD
+    t = float(threshold)
+
+    def explode_prefix(batch: pa.Table) -> pa.Table:
+        ids = _one_chunk(batch.column(id_column))
+        texts = batch.column(text_column).to_pylist()
+        all_hashes: list[np.ndarray] = []
+        counts = np.zeros(len(texts), np.int64)
+        sizes = np.zeros(len(texts), np.int64)
+        for i, txt in enumerate(texts):
+            toks = word_re.findall((txt or "").lower())
+            if not toks:
+                all_hashes.append(np.zeros(0, np.uint64))
+                continue
+            # word-n-gram shingle SET, space-joined — the same universe the
+            # verify kernel's tuple grams span (tokens contain no spaces,
+            # so the join is injective and set sizes agree)
+            grams = {
+                " ".join(toks[j: j + n]) for j in range(max(1, len(toks) - n + 1))
+            }
+            h = np.sort(pd.util.hash_array(np.asarray(sorted(grams), dtype=object)))
+            size = len(h)
+            alpha = int(np.ceil(t * size))
+            L = max(1, size - alpha + 1)
+            all_hashes.append(h[:L])
+            counts[i] = L
+            sizes[i] = size
+        flat = (
+            np.concatenate(all_hashes) if all_hashes else np.zeros(0, np.uint64)
+        )
+        parent = pa.array(np.repeat(np.arange(len(texts), dtype=np.int64), counts))
+        return pa.table(
+            {
+                "thash": pa.array(flat, pa.uint64()),
+                "tbucket": pa.array((flat % np.uint64(N_BUCKETS)).astype(np.int32)),
+                "rid": ids.take(parent),
+                "size": pa.array(np.repeat(sizes, counts)),
+            }
+        )
+
+    def emit_candidates(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "id_a": pa.array([], group.column("rid").type),
+                "id_b": pa.array([], group.column("rid").type),
+                "pbucket": pa.array([], pa.int32()),
+            }
+        )
+        if not len(group):
+            return empty
+        g = group.take(
+            pc.sort_indices(
+                group, sort_keys=[("thash", "ascending"), ("rid", "ascending")]
+            )
+        )
+        h = g.column("thash").to_numpy(zero_copy_only=False)
+        n = len(g)
+        change = h[1:] != h[:-1] if n > 1 else np.zeros(0, bool)
+        run_starts = np.nonzero(np.concatenate(([True], change)))[0]
+        run_lengths = np.diff(np.append(run_starts, n))
+        if int(run_lengths.max()) > max_bucket:
+            raise ValueError(
+                f"prefix-token run of {int(run_lengths.max())} rows exceeds "
+                f"max_bucket={max_bucket}; raise the cap or switch the token "
+                "order to document frequency"
+            )
+        m_per_elem = np.repeat(run_lengths, run_lengths)
+        pos_in_run = np.arange(n) - np.repeat(run_starts, run_lengths)
+        counts = m_per_elem - 1 - pos_in_run
+        total = int(counts.sum())
+        if total == 0:
+            return empty
+        a_idx = np.repeat(np.arange(n), counts)
+        cum = np.concatenate(([0], np.cumsum(counts)))[:-1]
+        b_idx = a_idx + 1 + (np.arange(total, dtype=np.int64) - np.repeat(cum, counts))
+        sizes = g.column("size").to_numpy(zero_copy_only=False)
+        sa, sb = sizes[a_idx], sizes[b_idx]
+        # Jaccard >= t forces overlap >= t*max(|A|,|B|), so min >= t*max
+        ok = np.minimum(sa, sb) >= t * np.maximum(sa, sb)
+        a_idx, b_idx = a_idx[ok], b_idx[ok]
+        if not len(a_idx):
+            return empty
+        ids = _one_chunk(g.column("rid"))
+        out_a = ids.take(pa.array(a_idx))
+        out_b = ids.take(pa.array(b_idx))
+        ha = pd.util.hash_array(out_a.to_numpy(zero_copy_only=False))
+        hb = pd.util.hash_array(out_b.to_numpy(zero_copy_only=False))
+        pbucket = ((ha * np.uint64(31) + hb) % np.uint64(N_BUCKETS)).astype(np.int32)
+        return pa.table({"id_a": out_a, "id_b": out_b, "pbucket": pa.array(pbucket)})
+
+    def dedup(group: pa.Table) -> pa.Table:
+        t2 = group.select(["id_a", "id_b"]).sort_by(
+            [("id_a", "ascending"), ("id_b", "ascending")]
+        )
+        if len(t2) < 2:
+            return t2
+        a = _one_chunk(t2.column("id_a"))
+        b = _one_chunk(t2.column("id_b"))
+        neq = pc.not_equal(a.slice(1), a.slice(0, len(a) - 1)).to_numpy(
+            zero_copy_only=False
+        ) | pc.not_equal(b.slice(1), b.slice(0, len(b) - 1)).to_numpy(
+            zero_copy_only=False
+        )
+        keep = np.concatenate(([True], neq))
+        return t2 if keep.all() else t2.take(pa.array(np.nonzero(keep)[0]))
+
+    cands = (
+        ds.map_batches(explode_prefix, batch_format="pyarrow")
+        .groupby("tbucket")
+        .map_groups(emit_candidates, batch_format="pyarrow")
+        .groupby("pbucket")
+        .map_groups(dedup, batch_format="pyarrow")
+    )
+    # the verify kernel's assembler speaks (doc_id: string, text) — rename;
+    # string ids are this family's contract (like the MinHash pipeline)
+    flat = ds.map_batches(
+        lambda b: pa.table(
+            {"doc_id": b.column(id_column), "text": b.column(text_column)}
+        ),
+        batch_format="pyarrow",
+    )
+    return ngram_jaccard_pairs(
+        flat,
+        cands,
+        n=n,
+        threshold=t,
+        broadcast_limit=broadcast_limit,
+        token_pattern=token_pattern,
+    )

@@ -3460,3 +3460,81 @@ def test_grouped_linregress_matches_numpy(ray_session):
     flat = rd.from_arrow(pa.table({"g": ["z"] * 4, "x": [5] * 4, "y": [1, 2, 3, 4]}))
     res = grouped_linregress(flat, ["g"], "x", "y").to_pandas()
     assert res["slope"].isna().all() and res["intercept"].isna().all()
+
+
+def test_jaccard_similarity_join_brute_force(ray_session):
+    """Prefix-filtered exact Jaccard self-join == brute-force over all
+    pairs (the filter is lossless; exercises length filter, dedup across
+    shared prefix tokens, empty texts, exact duplicates)."""
+    import itertools
+    import re as _re
+
+    from dedupe_ray.ops.dedup import jaccard_similarity_join
+
+    rng = np.random.RandomState(19)
+    vocab = [f"w{i}" for i in range(30)]
+    ids, texts = [], []
+    for i in range(80):
+        k = rng.randint(1, 12)
+        ids.append(f"d{i:03d}")
+        texts.append(" ".join(rng.choice(vocab, size=k)))
+    ids += ["dup0", "dup1", "zempty"]
+    texts += [texts[0], texts[1] + " w0", ""]
+    ds = rd.from_arrow(pa.table({"doc_id": ids, "text": texts}))
+    sets = {i: set(_re.findall(r"[\w']+", x.lower())) for i, x in zip(ids, texts)}
+    for t in (0.9, 0.6, 0.34):
+        got = jaccard_similarity_join(ds, t).to_pandas()
+        got_pairs = {
+            (a, b): j for a, b, j in zip(got.id_a, got.id_b, got.ngram_jaccard)
+        }
+        exp = {}
+        for a, b in itertools.combinations(sorted(ids), 2):
+            sa, sb = sets[a], sets[b]
+            if not sa or not sb:
+                continue
+            j = len(sa & sb) / len(sa | sb)
+            if j >= t:
+                exp[(a, b)] = j
+        assert set(got_pairs) == set(exp), (t, len(got_pairs), len(exp))
+        for k in exp:
+            assert abs(got_pairs[k] - exp[k]) < 1e-12
+    assert ("d000", "dup0") in got_pairs or any(
+        k in got_pairs for k in [("d000", "dup0")]
+    )
+
+
+def test_jaccard_similarity_join_shingles(ray_session):
+    """n=3 shingle variant against the kernel-identical brute force."""
+    import itertools
+    import re as _re
+
+    from dedupe_ray.ops.dedup import jaccard_similarity_join
+
+    rng = np.random.RandomState(29)
+    vocab = [f"t{i}" for i in range(12)]
+    ids, texts = [], []
+    for i in range(50):
+        k = rng.randint(1, 20)
+        ids.append(f"s{i:03d}")
+        texts.append(" ".join(rng.choice(vocab, size=k)))
+    texts[10] = texts[0] + " extra"
+    ds = rd.from_arrow(pa.table({"doc_id": ids, "text": texts}))
+
+    def grams(x, nn):
+        toks = _re.findall(r"[\w']+", x.lower())
+        if not toks:
+            return set()
+        return {tuple(toks[i: i + nn]) for i in range(max(1, len(toks) - nn + 1))}
+
+    got = jaccard_similarity_join(ds, 0.4, n=3).to_pandas()
+    got_pairs = {(a, b): j for a, b, j in zip(got.id_a, got.id_b, got.ngram_jaccard)}
+    exp = {}
+    for a, b in itertools.combinations(sorted(ids), 2):
+        ga, gb = grams(texts[ids.index(a)], 3), grams(texts[ids.index(b)], 3)
+        if ga and gb:
+            j = len(ga & gb) / len(ga | gb)
+            if j >= 0.4:
+                exp[(a, b)] = j
+    assert set(got_pairs) == set(exp)
+    for k in exp:
+        assert abs(got_pairs[k] - exp[k]) < 1e-12
