@@ -2159,6 +2159,18 @@ def _q_jaccard_join_docs(sf_dir: str):
     )
 
 
+def _q_acctbal_p60_by_segment(sf_dir: str):
+    """Per-group interpolated quantile (percentile_cont 0.6 of account
+    balance per market segment) — one bucketed shuffle, engine-exact lerp
+    against the SQL row_number mirror."""
+    from dedupe_ray.ops.tabular import grouped_quantile_cont
+
+    cust = _read(sf_dir, "customer", ["c_mktsegment", "c_acctbal"])
+    return grouped_quantile_cont(
+        cust, "c_mktsegment", "c_acctbal", q=0.6, out_column="p60"
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "er_clusters": _q_er_clusters,
@@ -2264,6 +2276,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snm_customer_pairs": _q_snm_customer_pairs,
         "lineitem_regression": _q_lineitem_regression,
         "jaccard_join_docs": _q_jaccard_join_docs,
+        "acctbal_p60_by_segment": _q_acctbal_p60_by_segment,
     }
 
 
@@ -3399,5 +3412,33 @@ def oracle_sql() -> dict[str, str]:
             JOIN sz sa ON sa.vid = id_a
             JOIN sz sb ON sb.vid = id_b
             WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.5
+        """,
+        # per-group percentile_cont as the explicit row_number lerp (the
+        # quantile_cont builtin's rounding is engine-private); 0.6 exercises
+        # a non-trivial frac
+        "acctbal_p60_by_segment": """
+            WITH v AS (
+                SELECT c_mktsegment AS seg, c_acctbal AS x FROM customer
+                WHERE c_acctbal IS NOT NULL
+            ),
+            r AS (
+                SELECT seg, x,
+                       row_number() OVER (PARTITION BY seg ORDER BY x) - 1 AS rk,
+                       count(*) OVER (PARTITION BY seg) AS n
+                FROM v
+            ),
+            k AS (
+                SELECT DISTINCT seg,
+                       CAST(floor(CAST(n - 1 AS DOUBLE) * CAST(0.6 AS DOUBLE)) AS BIGINT) AS k1,
+                       CAST(ceil(CAST(n - 1 AS DOUBLE) * CAST(0.6 AS DOUBLE)) AS BIGINT) AS k2,
+                       CAST(n - 1 AS DOUBLE) * CAST(0.6 AS DOUBLE)
+                         - floor(CAST(n - 1 AS DOUBLE) * CAST(0.6 AS DOUBLE)) AS frac
+                FROM r
+            )
+            SELECT k.seg AS c_mktsegment,
+                   v1.x + (v2.x - v1.x) * k.frac AS p60
+            FROM k
+            JOIN r v1 ON v1.seg = k.seg AND v1.rk = k.k1
+            JOIN r v2 ON v2.seg = k.seg AND v2.rk = k.k2
         """,
     }

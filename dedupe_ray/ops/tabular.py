@@ -681,6 +681,71 @@ def grouped_quantile_disc(
     )
 
 
+def grouped_quantile_cont(
+    ds: "ray.data.Dataset",
+    key_column: str,
+    value_column: str,
+    q: float = 0.5,
+    out_column: str = "quantile",
+    n_buckets: int = 256,
+) -> "ray.data.Dataset":
+    """Per-key INTERPOLATED quantile (SQL ``percentile_cont`` semantics:
+    lerp between the order statistics at floor((n−1)q) and ceil((n−1)q))
+    — same one-shuffle bucketed shape as :func:`grouped_quantile_disc`;
+    the lerp ``v1 + (v2 − v1)·frac`` with ``frac = (n−1)·q − floor(...)``
+    is written as the exact IEEE chain a SQL row_number mirror evaluates,
+    so float results are engine-exact. Nulls are dropped (SQL
+    aggregate-null semantics)."""
+    import numpy as np
+    import pandas as pd
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b.column(value_column)))
+        vals = b.column(key_column).to_numpy(zero_copy_only=False)
+        bkt = (pd.util.hash_array(vals) % n_buckets).astype(np.int32)
+        return b.append_column("__qbkt", pa.array(bkt))
+
+    def quantiles(g: pa.Table) -> pa.Table:
+        if len(g) == 0:
+            return pa.table(
+                {
+                    key_column: pa.array([], g.column(key_column).type),
+                    out_column: pa.array([], pa.float64()),
+                }
+            )
+        keys = g.column(key_column).to_numpy(zero_copy_only=False)
+        codes, _ = pd.factorize(keys)
+        vals = g.column(value_column).to_numpy(zero_copy_only=False)
+        order = np.lexsort((vals, codes))
+        s_codes = codes[order]
+        s_vals = vals[order].astype(np.float64)
+        n = len(order)
+        new_run = np.concatenate(([True], s_codes[1:] != s_codes[:-1]))
+        starts = np.nonzero(new_run)[0]
+        lengths = np.diff(np.append(starts, n))
+        # CAST(n - 1 AS DOUBLE) * q — the same literal chain as the oracle
+        pos = (lengths - 1).astype(np.float64) * q
+        k1 = np.floor(pos).astype(np.int64)
+        k2 = np.ceil(pos).astype(np.int64)
+        frac = pos - np.floor(pos)
+        v1 = s_vals[starts + k1]
+        v2 = s_vals[starts + k2]
+        out = v1 + (v2 - v1) * frac
+        sel = pa.array(order[starts])
+        return pa.table(
+            {
+                key_column: pa.compute.take(g.column(key_column), sel),
+                out_column: pa.array(out, pa.float64()),
+            }
+        )
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("__qbkt")
+        .map_groups(quantiles, batch_format="pyarrow")
+    )
+
+
 def grouped_count_distinct(
     ds: "ray.data.Dataset",
     group_column: str,

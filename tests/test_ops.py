@@ -3538,3 +3538,33 @@ def test_jaccard_similarity_join_shingles(ray_session):
     assert set(got_pairs) == set(exp)
     for k in exp:
         assert abs(got_pairs[k] - exp[k]) < 1e-12
+
+
+def test_grouped_quantile_cont(ray_session):
+    from dedupe_ray.ops.tabular import grouped_quantile_cont
+
+    rng = np.random.RandomState(31)
+    keys = rng.choice(["a", "b", "c"], size=200)
+    vals = rng.rand(200) * 100
+    mask = np.ones(200, bool)
+    mask[5] = False  # a true SQL NULL, dropped by the op
+    varr = pa.array(
+        [float(v) if m else None for v, m in zip(vals, mask)], pa.float64()
+    )
+    tbl = pa.table({"k": keys, "v": varr})
+    ds = rd.from_arrow(tbl.filter(pa.compute.is_valid(tbl.column("v"))))
+    # also route the null through the op itself
+    ds_null = rd.from_arrow(tbl)
+    for d in (ds, ds_null):
+        out = (
+            grouped_quantile_cont(d, "k", "v", q=0.6, out_column="p60")
+            .to_pandas()
+            .set_index("k")["p60"]
+        )
+        for key in ("a", "b", "c"):
+            m = (keys == key) & mask
+            s = np.sort(vals[m])
+            pos = (len(s) - 1) * 0.6
+            k1, k2 = int(np.floor(pos)), int(np.ceil(pos))
+            expect = s[k1] + (s[k2] - s[k1]) * (pos - np.floor(pos))
+            assert out[key] == expect  # exact, not approx
