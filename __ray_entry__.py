@@ -2171,6 +2171,21 @@ def _q_acctbal_p60_by_segment(sf_dir: str):
     )
 
 
+def _q_partition_agreement(sf_dir: str):
+    """Distributed pairwise partition-agreement metrics (the ER evaluation
+    op at scale): precision/recall/F1 of the nationkey partition of
+    customers against the mktsegment partition — three counting combiners,
+    nine integers on the driver, ratios engine-exact vs the SQL mirror."""
+    import ray.data as rd
+
+    from dedupe_ray.eval import pairwise_cluster_metrics
+
+    cust = _read(sf_dir, "customer", ["c_nationkey", "c_mktsegment"])
+    return rd.from_arrow(
+        pairwise_cluster_metrics(cust, "c_nationkey", "c_mktsegment")
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "er_clusters": _q_er_clusters,
@@ -2277,6 +2292,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_regression": _q_lineitem_regression,
         "jaccard_join_docs": _q_jaccard_join_docs,
         "acctbal_p60_by_segment": _q_acctbal_p60_by_segment,
+        "partition_agreement": _q_partition_agreement,
     }
 
 
@@ -3440,5 +3456,30 @@ def oracle_sql() -> dict[str, str]:
             FROM k
             JOIN r v1 ON v1.seg = k.seg AND v1.rk = k.k1
             JOIN r v2 ON v2.seg = k.seg AND v2.rk = k.k2
+        """,
+        # pairwise partition agreement from exact BIGINT pair counts
+        # (n*(n-1)//2 stays integer; '/' would go DOUBLE in DuckDB)
+        "partition_agreement": """
+            WITH pp AS (
+                SELECT CAST(sum((n * (n - 1)) // 2) AS BIGINT) AS v
+                FROM (SELECT count(*) AS n FROM customer GROUP BY c_nationkey)
+            ),
+            tp AS (
+                SELECT CAST(sum((n * (n - 1)) // 2) AS BIGINT) AS v
+                FROM (SELECT count(*) AS n FROM customer GROUP BY c_mktsegment)
+            ),
+            bp AS (
+                SELECT CAST(sum((n * (n - 1)) // 2) AS BIGINT) AS v
+                FROM (SELECT count(*) AS n FROM customer
+                      GROUP BY c_nationkey, c_mktsegment)
+            )
+            SELECT pp.v AS pred_pairs, tp.v AS true_pairs, bp.v AS both_pairs,
+                   CAST(bp.v AS DOUBLE) / CAST(pp.v AS DOUBLE) AS prec,
+                   CAST(bp.v AS DOUBLE) / CAST(tp.v AS DOUBLE) AS rec,
+                   2.0 * (CAST(bp.v AS DOUBLE) / CAST(pp.v AS DOUBLE))
+                       * (CAST(bp.v AS DOUBLE) / CAST(tp.v AS DOUBLE))
+                       / ((CAST(bp.v AS DOUBLE) / CAST(pp.v AS DOUBLE))
+                          + (CAST(bp.v AS DOUBLE) / CAST(tp.v AS DOUBLE))) AS f1
+            FROM pp, tp, bp
         """,
     }

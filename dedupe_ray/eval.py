@@ -46,3 +46,67 @@ def clusters_assignment(clusters: pa.Table) -> dict[str, str]:
             clusters.column("doc_id").to_pylist(), clusters.column("cluster_id").to_pylist()
         )
     }
+
+
+def pairwise_cluster_metrics(
+    ds,
+    pred_column: str,
+    true_column: str,
+) -> pa.Table:
+    """DISTRIBUTED pairwise partition-agreement metrics — the scale form of
+    :func:`pairwise_prf` (which materializes every within-cluster pair on
+    the driver and is quadratic in cluster size): pairwise precision /
+    recall / F1 of the ``pred_column`` partition against ``true_column``,
+    computed from three counting combiners only.
+
+    Identity: the within-pair sets intersect exactly on pairs co-clustered
+    in BOTH partitions, so tp = Σ C(n_ct, 2) over the contingency cells,
+    pred_pairs = Σ C(n_c, 2), true_pairs = Σ C(n_t, 2) — each a per-batch
+    count partial → tiny groupby Sum → streamed Σ n(n−1)/2 (int64 partials;
+    exact up to ~4·10⁹-row clusters). Nothing driver-side but nine
+    integers. Ratios are evaluated with the literal double chain a SQL
+    mirror uses, so the output is oracle-hash-exact.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    def sum_c2(cols: list[str]) -> int:
+        def partial(b: pa.Table) -> pa.Table:
+            df = pd.DataFrame({c: b.column(c).to_pandas() for c in cols})
+            g = df.groupby(cols, as_index=False).size()
+            g = g.rename(columns={"size": "n"})
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        counts = (
+            ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(cols)
+            .aggregate(Sum("n", alias_name="n"))
+        )
+
+        def c2(b: pa.Table) -> pa.Table:
+            n = b.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table({"p": pa.array([int((n * (n - 1) // 2).sum())], pa.int64())})
+
+        agg = counts.map_batches(c2, batch_format="pyarrow").aggregate(
+            Sum("p", alias_name="p")
+        )
+        return int(agg["p"] or 0)
+
+    pred_pairs = sum_c2([pred_column])
+    true_pairs = sum_c2([true_column])
+    both_pairs = sum_c2([pred_column, true_column])
+    prec = float(both_pairs) / float(pred_pairs) if pred_pairs else 1.0
+    rec = float(both_pairs) / float(true_pairs) if true_pairs else 1.0
+    f1 = 2.0 * prec * rec / (prec + rec) if (prec + rec) > 0.0 else 0.0
+    return pa.table(
+        {
+            "pred_pairs": pa.array([pred_pairs], pa.int64()),
+            "true_pairs": pa.array([true_pairs], pa.int64()),
+            "both_pairs": pa.array([both_pairs], pa.int64()),
+            "prec": pa.array([prec], pa.float64()),
+            "rec": pa.array([rec], pa.float64()),
+            "f1": pa.array([f1], pa.float64()),
+        }
+    )

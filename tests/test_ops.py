@@ -3568,3 +3568,23 @@ def test_grouped_quantile_cont(ray_session):
             k1, k2 = int(np.floor(pos)), int(np.ceil(pos))
             expect = s[k1] + (s[k2] - s[k1]) * (pos - np.floor(pos))
             assert out[key] == expect  # exact, not approx
+
+
+def test_pairwise_cluster_metrics_matches_driver(ray_session):
+    """Distributed counting metrics == the quadratic driver-side
+    pairwise_prf on the same assignments."""
+    from dedupe_ray.eval import pairwise_cluster_metrics, pairwise_prf
+
+    rng = np.random.RandomState(13)
+    n = 500
+    pred = rng.randint(0, 30, size=n)
+    true = (pred + (rng.rand(n) < 0.2) * rng.randint(1, 5, size=n)) % 30
+    ids = [str(i) for i in range(n)]
+    ds = rd.from_arrow(
+        pa.table({"pred": pred.astype(np.int64), "truth": true.astype(np.int64)})
+    )
+    got = pairwise_cluster_metrics(ds, "pred", "truth").to_pandas().iloc[0]
+    p, r, f1 = pairwise_prf(
+        dict(zip(ids, pred.tolist())), dict(zip(ids, true.tolist()))
+    )
+    assert got["prec"] == p and got["rec"] == r and abs(got["f1"] - f1) < 1e-15
