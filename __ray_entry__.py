@@ -2186,6 +2186,50 @@ def _q_partition_agreement(sf_dir: str):
     )
 
 
+def _q_lineitem_outliers(sf_dir: str):
+    """Per-group z-score outlier gate: lineitems whose (dollar-quantized)
+    price deviates more than 1.5σ from their return flag's mean — two
+    streaming passes (exact int64 moments → broadcast μ/σ filter); the
+    kept-row SET is engine-exact against the SQL moment mirror."""
+    from dedupe_ray.ops.tabular import filter_outliers_zscore
+
+    def quantize(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "l_orderkey": b.column("l_orderkey"),
+                "l_linenumber": b.column("l_linenumber"),
+                "l_returnflag": b.column("l_returnflag"),
+                # floor(x + 0.5), NOT round(): 2-dp prices land exactly on
+                # .5 dollars, where pyarrow rounds half-to-even and DuckDB
+                # half-away — floor of the same double add is tie-free
+                "price_usd": pc.cast(
+                    pc.floor(pc.add(b.column("l_extendedprice"), pa.scalar(0.5))),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    li = _read(
+        sf_dir,
+        "lineitem",
+        ["l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice"],
+    ).map_batches(quantize, batch_format="pyarrow")
+    return filter_outliers_zscore(li, ["l_returnflag"], "price_usd", k=1.5)
+
+
+def _q_customer_row_numbers(sf_dir: str):
+    """Global row numbers in (acctbal, custkey) order WITHOUT a global
+    sort — range partition + count-offset broadcast + per-bucket local
+    rank (the distributed zip-with-index); engine-exact vs the SQL
+    row_number window."""
+    from dedupe_ray.ops.tabular import assign_row_numbers
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+    return assign_row_numbers(cust, "c_acctbal", "c_custkey", out_column="row_num")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "er_clusters": _q_er_clusters,
@@ -2293,6 +2337,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_join_docs": _q_jaccard_join_docs,
         "acctbal_p60_by_segment": _q_acctbal_p60_by_segment,
         "partition_agreement": _q_partition_agreement,
+        "lineitem_outliers": _q_lineitem_outliers,
+        "customer_row_numbers": _q_customer_row_numbers,
     }
 
 
@@ -3481,5 +3527,33 @@ def oracle_sql() -> dict[str, str]:
                        / ((CAST(bp.v AS DOUBLE) / CAST(pp.v AS DOUBLE))
                           + (CAST(bp.v AS DOUBLE) / CAST(tp.v AS DOUBLE))) AS f1
             FROM pp, tp, bp
+        """,
+        # z-score gate from exact BIGINT moments; dollar quantization is
+        # floor(x + 0.5) on BOTH engines (round() would tie-break .5
+        # differently: half-to-even in pyarrow, half-away in DuckDB)
+        "lineitem_outliers": """
+            WITH q AS (
+                SELECT l_orderkey, l_linenumber, l_returnflag,
+                       CAST(floor(l_extendedprice + 0.5) AS BIGINT) AS price_usd
+                FROM lineitem
+            ),
+            m AS (
+                SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+                       sum(price_usd) AS sx,
+                       sum(price_usd * price_usd) AS sxx
+                FROM q GROUP BY l_returnflag
+            )
+            SELECT q.l_orderkey, q.l_linenumber, q.l_returnflag, q.price_usd
+            FROM q JOIN m USING (l_returnflag)
+            WHERE abs(CAST(price_usd AS DOUBLE)
+                      - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                  > 1.5 * sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                               / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+        """,
+        "customer_row_numbers": """
+            SELECT c_custkey, c_acctbal,
+                   row_number() OVER (ORDER BY c_acctbal, c_custkey) AS row_num
+            FROM customer
         """,
     }

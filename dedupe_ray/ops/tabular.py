@@ -1897,3 +1897,137 @@ def grouped_linregress(
     cols["slope"] = pa.array(slopes, pa.float64())
     cols["intercept"] = pa.array(intercepts, pa.float64())
     return pa.table(cols)
+
+
+def filter_outliers_zscore(
+    ds: "ray.data.Dataset",
+    group_columns: list[str],
+    int_column: str,
+    k: float = 3.0,
+) -> "ray.data.Dataset":
+    """Per-group z-score outlier filter (the data-quality gate before a
+    model ever sees a row): keep rows with ``|x − μ_g| > k·σ_g`` where
+    μ/σ are the group's population mean/stddev — computed in TWO streaming
+    passes: exact int64 moment partials (one combiner shuffle, same engine
+    as :func:`grouped_corr`) → a tiny per-group (μ, σ) table broadcast
+    into a vectorized filter pass. ``int_column`` must be integer
+    (fixed-point-quantize floats upstream); μ/σ/thresholds are evaluated
+    with the identical IEEE chain a SQL mirror of the BIGINT moments uses
+    (int64→double conversions round identically on both engines even past
+    2⁵³), so the kept-row SET is engine-exact."""
+    import numpy as np
+
+    agg = _grouped_int_moments(ds, group_columns, int_column, int_column)
+    stats: dict[tuple, tuple[float, float]] = {}
+    for _, r in agg.iterrows():
+        n, sx, sxx = int(r["n"]), int(r["sx"]), int(r["sxx"])
+        mu = float(sx) / float(n)
+        var = (float(n) * float(sxx) - float(sx) * float(sx)) / (
+            float(n) * float(n)
+        )
+        key = tuple(r[g] for g in group_columns)
+        stats[key] = (mu, np.sqrt(var))
+
+    kf = float(k)
+
+    def flag(b: pa.Table) -> pa.Table:
+        x = b.column(int_column).to_numpy(zero_copy_only=False).astype(np.float64)
+        keys = list(zip(*(b.column(g).to_pylist() for g in group_columns)))
+        mu = np.fromiter((stats[kk][0] for kk in keys), np.float64, len(keys))
+        sd = np.fromiter((stats[kk][1] for kk in keys), np.float64, len(keys))
+        return b.filter(pa.array(np.abs(x - mu) > kf * sd))
+
+    return ds.map_batches(flag, batch_format="pyarrow")
+
+
+def assign_row_numbers(
+    ds: "ray.data.Dataset",
+    key_column: str,
+    id_column: str,
+    out_column: str = "row_num",
+    n_buckets: int = 256,
+    sample_cap: int = 20_000,
+) -> "ray.data.Dataset":
+    """Global 1-based row numbers in (key, id) order — SQL ``row_number()
+    OVER (ORDER BY key, id)`` — WITHOUT a global sort: the distributed
+    zip-with-index Ray Data lacks. Range partition on deterministically
+    hash-sampled split points (equal keys always co-locate; split quality
+    affects balance, never the output), then two streaming passes: a
+    per-bucket COUNT combiner whose cumulative offsets (≤ n_buckets
+    integers) broadcast in a closure, and a per-bucket local sort that
+    adds ``offset + local position``. The id tiebreak makes the order —
+    and therefore every assigned number — unique and engine-exact."""
+    import numpy as np
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    rate = min(1.0, sample_cap / max(ds.count(), 1))
+    mod = np.uint64(max(1, int(1 / max(rate, 1e-9))))
+
+    def sample_keys(b: pa.Table) -> pa.Table:
+        ids = b.column(id_column).to_numpy(zero_copy_only=False)
+        h = pd.util.hash_array(
+            np.asarray(ids, dtype=object if ids.dtype == object else ids.dtype)
+        )
+        keep = (h % mod) == 0
+        return pa.table({"k": b.column(key_column).filter(pa.array(keep))})
+
+    sampled = (
+        ds.map_batches(sample_keys, batch_format="pyarrow").to_pandas()["k"].to_numpy()
+    )
+    if len(sampled) and n_buckets > 1:
+        s = np.sort(sampled)
+        qpos = (np.linspace(0, 1, n_buckets + 1)[1:-1] * (len(s) - 1)).astype(np.int64)
+        splits_arr = np.asarray(sorted(set(s[qpos].tolist())))
+    else:
+        splits_arr = np.asarray([])
+
+    def assign(b: pa.Table) -> pa.Table:
+        keys = b.column(key_column).to_numpy(zero_copy_only=False)
+        bkt = (
+            np.searchsorted(splits_arr, keys, side="right").astype(np.int32)
+            if len(splits_arr)
+            else np.zeros(len(b), np.int32)
+        )
+        return b.append_column("__rnbkt", pa.array(bkt))
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        bkt = b.column("__rnbkt").to_numpy(zero_copy_only=False)
+        u, c = np.unique(bkt, return_counts=True)
+        return pa.table(
+            {"__rnbkt": pa.array(u), "c": pa.array(c.astype(np.int64))}
+        )
+
+    assigned = ds.map_batches(assign, batch_format="pyarrow")
+    counts = (
+        assigned.map_batches(count_partial, batch_format="pyarrow")
+        .groupby("__rnbkt")
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()  # bounded: one row per bucket
+        .sort_values("__rnbkt")
+    )
+    offsets: dict[int, int] = {}
+    run = 0
+    for _, r in counts.iterrows():
+        offsets[int(r["__rnbkt"])] = run
+        run += int(r["c"])
+
+    def number(group: pa.Table) -> pa.Table:
+        if len(group) == 0:
+            return group.drop_columns(["__rnbkt"]).append_column(
+                out_column, pa.array([], pa.int64())
+            )
+        g = group.take(
+            pc.sort_indices(
+                group,
+                sort_keys=[(key_column, "ascending"), (id_column, "ascending")],
+            )
+        )
+        off = offsets[int(g.column("__rnbkt")[0].as_py())]
+        nums = off + 1 + np.arange(len(g), dtype=np.int64)
+        return g.drop_columns(["__rnbkt"]).append_column(
+            out_column, pa.array(nums)
+        )
+
+    return assigned.groupby("__rnbkt").map_groups(number, batch_format="pyarrow")

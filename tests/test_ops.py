@@ -3588,3 +3588,43 @@ def test_pairwise_cluster_metrics_matches_driver(ray_session):
         dict(zip(ids, pred.tolist())), dict(zip(ids, true.tolist()))
     )
     assert got["prec"] == p and got["rec"] == r and abs(got["f1"] - f1) < 1e-15
+
+
+def test_filter_outliers_zscore(ray_session):
+    from dedupe_ray.ops.tabular import filter_outliers_zscore
+
+    rng = np.random.RandomState(41)
+    g = rng.choice(["a", "b"], size=400)
+    x = rng.randint(90, 111, size=400).astype(np.int64)
+    x[::97] += 500  # planted outliers
+    ds = rd.from_arrow(pa.table({"g": g, "x": x, "rid": np.arange(400)}))
+    got = filter_outliers_zscore(ds, ["g"], "x", k=3.0).to_pandas()
+    exp_rows = set()
+    for key in ("a", "b"):
+        m = g == key
+        mu, sd = x[m].astype(float).mean(), x[m].astype(float).std()
+        for i in np.nonzero(m)[0]:
+            if abs(float(x[i]) - mu) > 3.0 * sd:
+                exp_rows.add(i)
+    assert set(got["rid"]) == exp_rows
+    assert len(exp_rows) > 0
+
+
+def test_assign_row_numbers(ray_session):
+    from dedupe_ray.ops.tabular import assign_row_numbers
+
+    rng = np.random.RandomState(43)
+    n = 700
+    keys = rng.randint(0, 50, size=n).astype(np.int64)  # heavy ties
+    ids = np.arange(n, dtype=np.int64)
+    rng.shuffle(ids)
+    ds = rd.from_arrow(pa.table({"id": ids, "k": keys}))
+    for nb in (1, 4, 64):
+        got = (
+            assign_row_numbers(ds, "k", "id", n_buckets=nb)
+            .to_pandas()
+            .sort_values("row_num")
+        )
+        order = sorted(range(n), key=lambda i: (keys[i], ids[i]))
+        assert got["row_num"].tolist() == list(range(1, n + 1))
+        assert got["id"].tolist() == [int(ids[i]) for i in order]
