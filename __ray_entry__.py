@@ -2230,6 +2230,39 @@ def _q_customer_row_numbers(sf_dir: str):
     return assign_row_numbers(cust, "c_acctbal", "c_custkey", out_column="row_num")
 
 
+def _q_near_dup_join(sf_dir: str):
+    """Cross-corpus near-dup join (decontamination at near-dup level): a
+    15-doc 'benchmark' built from the corpus itself joined back against
+    the full documents table — every benchmark doc must rediscover its
+    source (jaccard 1.0 agrees on every LSH band), plus whatever true
+    near-dup families it belongs to. No SQL oracle (probabilistic
+    banding); deterministic and parallelism-invariant by construction."""
+    import pyarrow.compute as pc
+
+    from dedupe_ray.ops.dedup import minhash_lsh_join
+
+    raw = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def to_str(prefix: str):
+        def f(b: pa.Table) -> pa.Table:
+            did = pc.cast(b.column("doc_id"), pa.string())
+            if prefix:
+                did = pc.binary_join_element_wise(
+                    pa.scalar(prefix), did, pa.scalar("")
+                )
+            return pa.table({"doc_id": did, "text": b.column("text")})
+
+        return f
+
+    docs = raw.map_batches(to_str(""), batch_format="pyarrow")
+    bench = raw.filter(expr="doc_id < 15").map_batches(
+        to_str("bench_"), batch_format="pyarrow"
+    )
+    return minhash_lsh_join(bench, docs, jaccard_threshold=0.8).sort(
+        ["query_id", "corpus_id"]
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "er_clusters": _q_er_clusters,
@@ -2339,6 +2372,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "partition_agreement": _q_partition_agreement,
         "lineitem_outliers": _q_lineitem_outliers,
         "customer_row_numbers": _q_customer_row_numbers,
+        "near_dup_join_docs": _q_near_dup_join,
     }
 
 

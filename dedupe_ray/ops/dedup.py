@@ -440,6 +440,68 @@ def minhash_dedup(
     return connected_components(pairs)
 
 
+def minhash_lsh_join(
+    queries_ds: "ray.data.Dataset",
+    corpus_ds: "ray.data.Dataset",
+    jaccard_threshold: float = 0.7,
+    **kwargs,
+) -> "ray.data.Dataset":
+    """Near-duplicate JOIN across two corpora → (query_id, corpus_id,
+    jaccard) — the third rung of the cross-corpus decontamination ladder
+    (exact content hash: :func:`bloom_anti_join`; exact benchmark n-grams:
+    ``ops.text.decontaminate``; NEAR-dup: this). A training shard streams
+    through as the query side; any row whose shingle-set MinHash estimate
+    against a benchmark/reference doc clears the threshold is a leak
+    candidate.
+
+    Reuses the banded self-join pipeline verbatim over the side-prefixed
+    union (``q:``/``c:`` first bytes keep ids unique and encode the side);
+    pairs are filtered to cross-side after the cheap vectorized signature
+    verify and the prefixes stripped. In-side candidate pairs do ride the
+    candidate shuffle — if the corpus side carries heavy internal
+    duplication, dedup it first (its own pairs, not the join's, dominate
+    the bucket work then). Both inputs need string ``doc_id`` + ``text``;
+    ids may repeat ACROSS sides but must be unique within each."""
+
+    def tag(prefix: str):
+        def f(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "doc_id": pc.binary_join_element_wise(
+                        pa.scalar(prefix),
+                        pc.cast(b.column("doc_id"), pa.string()),
+                        pa.scalar(""),
+                    ),
+                    "text": b.column("text"),
+                }
+            )
+
+        return f
+
+    union = queries_ds.map_batches(tag("q:"), batch_format="pyarrow").union(
+        corpus_ds.map_batches(tag("c:"), batch_format="pyarrow")
+    )
+    pairs = minhash_lsh_pairs(union, jaccard_threshold=jaccard_threshold, **kwargs)
+
+    def split(b: pa.Table) -> pa.Table:
+        # pair order is lexicographic on the prefixed ids: "c:" < "q:", so
+        # a cross-side pair always has the corpus doc in id_a
+        cross = pc.and_(
+            pc.starts_with(b.column("id_a"), pattern="c:"),
+            pc.starts_with(b.column("id_b"), pattern="q:"),
+        )
+        t = b.filter(cross)
+        return pa.table(
+            {
+                "query_id": pc.utf8_slice_codeunits(t.column("id_b"), 2),
+                "corpus_id": pc.utf8_slice_codeunits(t.column("id_a"), 2),
+                "jaccard": t.column("jaccard"),
+            }
+        )
+
+    return pairs.map_batches(split, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

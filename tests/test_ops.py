@@ -3628,3 +3628,34 @@ def test_assign_row_numbers(ray_session):
         order = sorted(range(n), key=lambda i: (keys[i], ids[i]))
         assert got["row_num"].tolist() == list(range(1, n + 1))
         assert got["id"].tolist() == [int(ids[i]) for i in order]
+
+
+def test_minhash_lsh_join_cross_corpus(ray_session):
+    from dedupe_ray.ops.dedup import minhash_lsh_join
+
+    rng = np.random.RandomState(47)
+    vocab = [f"tok{i}" for i in range(200)]
+    corpus_texts = [
+        " ".join(rng.choice(vocab, size=60)) for _ in range(40)
+    ]
+    corpus = rd.from_arrow(
+        pa.table(
+            {"doc_id": [f"c{i}" for i in range(40)], "text": corpus_texts}
+        )
+    )
+    # queries: 5 verbatim leaks (guaranteed found: jaccard 1.0 agrees on
+    # every band), plus 5 unrelated
+    q_texts = corpus_texts[:5] + [
+        " ".join(rng.choice(vocab, size=60)) for _ in range(5)
+    ]
+    queries = rd.from_arrow(
+        pa.table({"doc_id": [f"q{i}" for i in range(10)], "text": q_texts})
+    )
+    got = minhash_lsh_join(queries, corpus, jaccard_threshold=0.7).to_pandas()
+    found = set(zip(got["query_id"], got["corpus_id"]))
+    for i in range(5):
+        assert (f"q{i}", f"c{i}") in found
+    # every reported pair is cross-side with a verified estimate
+    assert (got["jaccard"] >= 0.7).all()
+    assert got["query_id"].str.startswith("q").all()
+    assert got["corpus_id"].str.startswith("c").all()
