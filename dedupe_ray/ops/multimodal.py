@@ -5,7 +5,9 @@ the span column (BASELINE.json input_hint) or a ``payload: binary`` column
 with typed metadata. The Ray-side plumbing — schemas, actor-pool stages,
 batch sizing for wide binary rows, output layout — is real and tested.
 
-Codecs: PPM/PGM (P6/P5 binary), 24-bit BI_RGB BMP, PNG — 8/16-bit, all
+Codecs: PPM/PGM (P6/P5 binary), 24-bit BI_RGB BMP, uncompressed TIFF
+(both byte orders, strips, gray/RGB(A), MinIsWhite — :func:`decode_tiff`),
+PNG — 8/16-bit, all
 color types, non-interlaced AND Adam7 (zlib inflate + per-row unfilter —
 :func:`decode_png`), GIF87a/89a (variable-width LZW raster decode,
 global/local color tables, 4-pass de-interlacing — :func:`decode_gif`),
@@ -250,6 +252,76 @@ def decode_png(payload: bytes) -> np.ndarray:
         pal = np.frombuffer(plte, np.uint8).reshape(-1, 3)
         return pal[img[:, :, 0]]
     return img[:, :, 0] if channels == 1 else img
+
+
+def decode_tiff(payload: bytes) -> np.ndarray:
+    """Baseline uncompressed TIFF decoder → uint8 [h, w] or [h, w, ch]:
+    header + IFD walk (both byte orders), strip assembly, 8-bit grayscale
+    (PhotometricInterpretation 0/1, MinIsBlack/MinIsWhite) and RGB(A).
+    Compression 1 (none) only — LZW/JPEG-in-TIFF raise (codec-library
+    territory; PackBits would be a small follow-on)."""
+    if payload[:2] == b"II":
+        bo = "little"
+    elif payload[:2] == b"MM":
+        bo = "big"
+    else:
+        raise ValueError("not a TIFF payload")
+
+    def u16(off: int) -> int:
+        return int.from_bytes(payload[off : off + 2], bo)
+
+    def u32(off: int) -> int:
+        return int.from_bytes(payload[off : off + 4], bo)
+
+    if u16(2) != 42:
+        raise ValueError("bad TIFF magic")
+    ifd = u32(4)
+    n_entries = u16(ifd)
+    tags: dict[int, list[int]] = {}
+    _SIZES = {1: 1, 2: 1, 3: 2, 4: 4}
+    for i in range(n_entries):
+        e = ifd + 2 + i * 12
+        tag, typ, count = u16(e), u16(e + 2), u32(e + 4)
+        if typ not in _SIZES:
+            continue
+        sz = _SIZES[typ] * count
+        off = e + 8 if sz <= 4 else u32(e + 8)
+        step = _SIZES[typ]
+        tags[tag] = [
+            int.from_bytes(payload[off + j * step : off + (j + 1) * step], bo)
+            for j in range(count)
+        ]
+    w = tags.get(256, [0])[0]
+    h = tags.get(257, [0])[0]
+    if not w or not h:
+        raise ValueError("TIFF missing dimensions")
+    compression = tags.get(259, [1])[0]
+    if compression != 1:
+        raise ValueError(f"only uncompressed TIFF supported (compression={compression})")
+    bits = tags.get(258, [8])
+    if any(b != 8 for b in bits):
+        raise ValueError(f"only 8-bit TIFF samples supported (bits={bits})")
+    spp = tags.get(277, [1])[0]
+    photometric = tags.get(262, [1])[0]
+    strip_offsets = tags.get(273)
+    if strip_offsets is None:
+        raise ValueError("TIFF missing strip offsets")
+    rows_per_strip = tags.get(278, [h])[0]
+    strip_counts = tags.get(
+        279,
+        [min(rows_per_strip, h - i * rows_per_strip) * w * spp
+         for i in range(len(strip_offsets))],
+    )
+    data = b"".join(
+        payload[o : o + c] for o, c in zip(strip_offsets, strip_counts)
+    )
+    arr = np.frombuffer(data, np.uint8, count=h * w * spp)
+    img = arr.reshape(h, w, spp)
+    if photometric == 0:  # MinIsWhite → invert to the usual scale
+        img = 255 - img
+    if spp == 1:
+        return img[:, :, 0]
+    return img[:, :, :3] if spp >= 3 else img
 
 
 def _gif_lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> np.ndarray:
@@ -851,6 +923,10 @@ class DecodeImage:
             img = decode_jpeg(payload)
         elif payload[:6] in (b"GIF87a", b"GIF89a"):
             img = decode_gif(payload)
+        elif payload[:2] in (b"II", b"MM") and len(payload) > 3 and payload[2:4] in (
+            b"\x2a\x00", b"\x00\x2a"
+        ):
+            img = decode_tiff(payload)
         else:
             return None
         h, w = img.shape[:2]

@@ -3659,3 +3659,105 @@ def test_minhash_lsh_join_cross_corpus(ray_session):
     assert (got["jaccard"] >= 0.7).all()
     assert got["query_id"].str.startswith("q").all()
     assert got["corpus_id"].str.startswith("c").all()
+
+
+def _tiff_bytes(img, byte_order="II", rows_per_strip=None, min_is_white=False):
+    """Hand-built uncompressed TIFF encoder (test-side only), both byte
+    orders, multi-strip layout."""
+    import struct
+
+    import numpy as np
+
+    bo = "little" if byte_order == "II" else "big"
+    h, w = img.shape[:2]
+    spp = 1 if img.ndim == 2 else img.shape[2]
+    arr = img.reshape(h, w * spp)
+    if min_is_white:
+        arr = 255 - arr.astype(np.int64)
+    rps = rows_per_strip or h
+    strips = [bytes(arr[y: y + rps].astype(np.uint8).reshape(-1)) for y in range(0, h, rps)]
+
+    def pk(v, n):
+        return int(v).to_bytes(n, bo)
+
+    entries = []
+    extra = bytearray()
+    header_len = 8
+    n_tags = 9
+    ifd_len = 2 + n_tags * 12 + 4
+    data_base = header_len + ifd_len
+
+    def entry(tag, typ, count, values, size_each):
+        nonlocal extra
+        raw = b"".join(pk(v, size_each) for v in values)
+        if len(raw) <= 4:
+            entries.append((tag, typ, count, raw + b"\x00" * (4 - len(raw))))
+        else:
+            off = data_base + len(extra)
+            extra += raw
+            entries.append((tag, typ, count, pk(off, 4)))
+
+    # strip data appended after the extra-values area — two passes to know
+    # offsets: reserve extra first
+    entry(256, 3, 1, [w], 2)
+    entry(257, 3, 1, [h], 2)
+    entry(258, 3, spp, [8] * spp, 2)
+    entry(259, 3, 1, [1], 2)
+    entry(262, 3, 1, [0 if min_is_white else 1], 2)
+    entry(277, 3, 1, [spp], 2)
+    entry(278, 3, 1, [rps], 2)
+    # placeholders for strip offsets/counts — compute after extra is final
+    counts = [len(s) for s in strips]
+    entry(279, 4, len(strips), counts, 4)
+    # strip offsets come last so every other extra block is already sized
+    strips_area_start = None
+    raw_off = b""
+    if len(strips) * 4 <= 4:
+        strips_area_start = data_base + len(extra)
+        raw_off = pk(strips_area_start, 4)
+    else:
+        # offsets array itself lives in extra; strips follow it
+        arr_off = data_base + len(extra)
+        strips_area_start = arr_off + 4 * len(strips)
+        offs = []
+        run = strips_area_start
+        for c in counts:
+            offs.append(run)
+            run += c
+        extra += b"".join(pk(o, 4) for o in offs)
+        raw_off = pk(arr_off, 4)
+    entries.append((273, 4, len(strips), raw_off))
+    entries.sort(key=lambda e: e[0])
+
+    out = bytearray()
+    out += (b"II" if bo == "little" else b"MM") + pk(42, 2) + pk(8, 4)
+    out += pk(n_tags, 2)
+    for tag, typ, count, val4 in entries:
+        out += pk(tag, 2) + pk(typ, 2) + pk(count, 4) + val4
+    out += pk(0, 4)  # next IFD
+    out += extra
+    assert len(out) == strips_area_start
+    for s in strips:
+        out += s
+    return bytes(out)
+
+
+def test_decode_tiff_round_trip():
+    from dedupe_ray.ops.multimodal import decode_tiff
+
+    rng = np.random.RandomState(53)
+    rgb = rng.randint(0, 256, (11, 7, 3), dtype=np.uint8)
+    for bo in ("II", "MM"):
+        np.testing.assert_array_equal(decode_tiff(_tiff_bytes(rgb, bo)), rgb)
+        # multi-strip
+        np.testing.assert_array_equal(
+            decode_tiff(_tiff_bytes(rgb, bo, rows_per_strip=4)), rgb
+        )
+    g = rng.randint(0, 256, (6, 9), dtype=np.uint8)
+    np.testing.assert_array_equal(decode_tiff(_tiff_bytes(g, "II")), g)
+    # MinIsWhite inverts back to the usual scale
+    np.testing.assert_array_equal(
+        decode_tiff(_tiff_bytes(g, "MM", min_is_white=True)), g
+    )
+    with pytest.raises(ValueError, match="not a TIFF"):
+        decode_tiff(b"GIF89a")
