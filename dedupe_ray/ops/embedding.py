@@ -796,3 +796,59 @@ def semantic_dedup(
         )
 
     return joined.map_batches(keep_survivors, batch_format="pyarrow")
+
+
+class RandomProjector:
+    """Actor-pool stage: Johnson–Lindenstrauss random projection of the
+    embedding column to ``out_dim`` — the cheap, data-independent
+    dimensionality reduction every billion-vector pipeline runs before an
+    index build (pairwise distances preserved within (1±ε) w.h.p.,
+    ε² ≳ 8·ln(n)/out_dim). The seeded N(0, 1/out_dim) matrix is built ONCE
+    per actor on the first batch (input dim read from the data), so the
+    projection is deterministic and identical across actors/parallelism;
+    per batch it is one float32 matmul."""
+
+    def __init__(self, out_dim: int = 16, seed: int = 42,
+                 embedding_column: str = "embedding",
+                 out_column: str = "projected"):
+        self.out_dim = out_dim
+        self.seed = seed
+        self.col = embedding_column
+        self.out = out_column
+        self._mat: np.ndarray | None = None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return batch.append_column(
+                self.out, pa.array([], pa.list_(pa.float32(), self.out_dim))
+            )
+        m = _batch_matrix(batch, self.col)
+        if self._mat is None:
+            rng = np.random.RandomState(self.seed)
+            self._mat = (
+                rng.standard_normal((m.shape[1], self.out_dim))
+                / np.sqrt(self.out_dim)
+            ).astype(np.float32)
+        proj = m @ self._mat
+        col = pa.FixedSizeListArray.from_arrays(
+            pa.array(proj.reshape(-1), pa.float32()), self.out_dim
+        )
+        return batch.append_column(self.out, col)
+
+
+def random_projection(
+    ds: "ray.data.Dataset",
+    out_dim: int = 16,
+    seed: int = 42,
+    embedding_column: str = "embedding",
+    out_column: str = "projected",
+    concurrency=(1, 8),
+) -> "ray.data.Dataset":
+    """Project the embedding column to ``out_dim`` dims (see
+    :class:`RandomProjector`); zero shuffle, one matmul per batch."""
+    return ds.map_batches(
+        RandomProjector,
+        fn_constructor_args=(out_dim, seed, embedding_column, out_column),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )

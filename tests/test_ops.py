@@ -3761,3 +3761,36 @@ def test_decode_tiff_round_trip():
     )
     with pytest.raises(ValueError, match="not a TIFF"):
         decode_tiff(b"GIF89a")
+
+
+def test_random_projection(ray_session):
+    from dedupe_ray.ops.embedding import random_projection
+
+    rng = np.random.RandomState(59)
+    n, d = 300, 64
+    vecs = rng.randn(n, d).astype(np.float32)
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": np.arange(n, dtype=np.int64),
+                "embedding": pa.FixedSizeListArray.from_arrays(
+                    pa.array(vecs.reshape(-1), pa.float32()), d
+                ),
+            }
+        )
+    )
+    out = random_projection(ds, out_dim=32).to_pandas().sort_values("vec_id")
+    proj = np.stack(out["projected"].to_numpy())
+    assert proj.shape == (n, 32)
+    # deterministic across runs/actors
+    out2 = random_projection(ds, out_dim=32).to_pandas().sort_values("vec_id")
+    np.testing.assert_array_equal(proj, np.stack(out2["projected"].to_numpy()))
+    # JL property: pairwise distances roughly preserved (loose bound)
+    idx = rng.randint(0, n, size=(200, 2))
+    keep = idx[:, 0] != idx[:, 1]
+    a, b = idx[keep, 0], idx[keep, 1]
+    d_orig = np.linalg.norm(vecs[a] - vecs[b], axis=1)
+    d_proj = np.linalg.norm(proj[a] - proj[b], axis=1)
+    ratio = d_proj / d_orig
+    assert 0.55 < ratio.min() and ratio.max() < 1.6
+    assert abs(ratio.mean() - 1.0) < 0.1
