@@ -142,3 +142,29 @@ def test_read_table_lance_route(ray_session, tmp_path, monkeypatch):
     p = tmp_path / "t.parquet"
     pq.write_table(pa.table({"a": [1, 2]}), p)
     assert read_table(str(p)).count() == 2
+
+
+def test_job_entrypoint(ray_session, tmp_path):
+    """The ray-job-submit CLI surface: runs the checkpointed flagship on the
+    fixture corpus inside the existing session (guarded init), prints the
+    success response shape, and resumes from checkpoints on re-run."""
+    import json
+
+    import job as jobmod
+    from dedupe_ray.fixtures import corpus_paths
+
+    docs_path, truth_path = corpus_paths(500, seed=42)
+    ta = truth_assignment(pq.read_table(truth_path))
+    out = str(tmp_path / "jobrun")
+    # train once via the library path (the CLI is the StaticDedupe surface:
+    # a settings checkpoint exists before jobs get submitted) — this also
+    # drops out/settings.json where the job picks it up
+    run_checkpointed_dedupe(
+        docs_path, out, 0.25,
+        label_oracle=lambda a, b: ta[a["doc_id"]] == ta[b["doc_id"]],
+    )
+    s1 = jobmod.main(["--docs", docs_path, "--out", out, "--threshold", "0.25"])
+    assert s1["success"] and s1["docs"] > 0 and s1["clusters"] > 0
+    # second submit resumes from checkpoints — same output, much less work
+    s2 = jobmod.main(["--docs", docs_path, "--out", out, "--threshold", "0.25"])
+    assert (s2["docs"], s2["clusters"]) == (s1["docs"], s1["clusters"])
