@@ -3794,3 +3794,32 @@ def test_random_projection(ray_session):
     ratio = d_proj / d_orig
     assert 0.55 < ratio.min() and ratio.max() < 1.6
     assert abs(ratio.mean() - 1.0) < 0.1
+
+
+def test_jaccard_similarity_join_df_order_same_output(ray_session):
+    """The prefix ORDER is a pruning lever, never a correctness one:
+    df-ascending (PPJoin) and hash orders produce the identical pair set."""
+    from dedupe_ray.ops.dedup import jaccard_similarity_join
+
+    rng = np.random.RandomState(61)
+    vocab = [f"w{i}" for i in range(25)]
+    ids = [f"d{i:03d}" for i in range(70)]
+    texts = [" ".join(rng.choice(vocab, size=rng.randint(1, 15))) for _ in ids]
+    texts[7] = texts[3]
+    ds = rd.from_arrow(pa.table({"doc_id": ids, "text": texts}))
+    a = (
+        jaccard_similarity_join(ds, 0.5, order="hash")
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    b = (
+        jaccard_similarity_join(ds, 0.5, order="df", df_table_size=10)
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    assert a.equals(b)
+    assert len(a) > 0
+    with pytest.raises(ValueError, match="unknown prefix order"):
+        jaccard_similarity_join(ds, 0.5, order="bogus")
