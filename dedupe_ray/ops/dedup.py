@@ -1463,7 +1463,8 @@ def sorted_neighborhood_pairs(
         return pa.table({"k": pc.array_filter(b.column(key_column), pa.array(keep))})
 
     sampled = (
-        ds.map_batches(sample_keys, batch_format="pyarrow").to_pandas()["k"].to_numpy()
+        # bounded: hash-sampled keys, expected <= sample_cap regardless of n
+        ds.map_batches(sample_keys, batch_format="pyarrow").to_pandas()["k"].to_numpy()  # bounded: sample_cap
     )
     if len(sampled) and n_buckets > 1:
         s = np.sort(sampled)
@@ -1715,8 +1716,8 @@ def jaccard_similarity_join(
 
         dft = topk_partial(
             pa.Table.from_pandas(
-                agg.map_batches(topk_partial, batch_format="pyarrow").to_pandas()
-            )  # bounded: <= df_table_size rows per aggregate block
+                agg.map_batches(topk_partial, batch_format="pyarrow").to_pandas()  # bounded: df_table_size per block
+            )
         )
         hh = dft.column("ghash").to_numpy(zero_copy_only=False).astype(np.int64)
         hh = hh.astype(np.uint64) ^ np.uint64(1 << 63)  # undo the shift
