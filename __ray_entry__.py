@@ -2263,6 +2263,29 @@ def _q_near_dup_join(sf_dir: str):
     )
 
 
+def _q_jw_name_pairs(sf_dir: str):
+    """The classic blocking→verify ER dataflow end to end: sorted-
+    neighborhood blocking (window 10 over name order) feeding the
+    Jaro-Winkler verify kernel at 0.96 — the kernel is bit-exact to
+    DuckDB's jaro_winkler_similarity, so the whole composition carries a
+    hash-exact SQL oracle (row_number window join + JW filter)."""
+    import pyarrow.compute as pc
+
+    from dedupe_ray.ops.dedup import sorted_neighborhood_pairs, string_sim_pairs
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"]).map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": pc.cast(b.column("c_custkey"), pa.string()),
+                "name": b.column("c_name"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    pairs = sorted_neighborhood_pairs(cust, "doc_id", "name", window=10)
+    return string_sim_pairs(cust, pairs, "name", 0.96, metric="jaro_winkler")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "er_clusters": _q_er_clusters,
@@ -2373,6 +2396,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_outliers": _q_lineitem_outliers,
         "customer_row_numbers": _q_customer_row_numbers,
         "near_dup_join_docs": _q_near_dup_join,
+        "jw_name_pairs": _q_jw_name_pairs,
     }
 
 
@@ -3589,5 +3613,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey, c_acctbal,
                    row_number() OVER (ORDER BY c_acctbal, c_custkey) AS row_num
             FROM customer
+        """,
+        # SNM window blocking + Jaro-Winkler verify; the engine kernel is
+        # bit-exact to DuckDB's jaro_winkler_similarity (boost > 0.7,
+        # 4-char prefix, empty -> 0), so sim itself hash-compares
+        "jw_name_pairs": """
+            WITH r AS (
+                SELECT CAST(c_custkey AS VARCHAR) AS id, c_name AS name,
+                       row_number() OVER (
+                           ORDER BY c_name, CAST(c_custkey AS VARCHAR)
+                       ) AS rk
+                FROM customer
+            )
+            SELECT a.id AS id_a, b.id AS id_b,
+                   jaro_winkler_similarity(a.name, b.name) AS sim
+            FROM r a JOIN r b ON b.rk > a.rk AND b.rk <= a.rk + 10
+            WHERE jaro_winkler_similarity(a.name, b.name) >= 0.96
         """,
     }

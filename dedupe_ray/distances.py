@@ -602,3 +602,60 @@ def jaccard_set_batch(a: list[str], b: list[str]) -> np.ndarray:
         if sx and sy:
             out[i] = len(sx & sy) / len(sx | sy)
     return out
+
+
+def jaro_winkler_batch(a_strings: list, b_strings: list) -> np.ndarray:
+    """Jaro–Winkler similarity per pair, float64 [n] — the DuckDB-variant
+    semantics bit-for-bit (verified on 4.5k random probes): boost applied
+    only when jaro > 0.7, prefix bonus capped at 4 chars with p = 0.1,
+    ANY empty side → 0.0 (including both empty), and the exact IEEE
+    chain ``(m/la + m/lb + (m−t)/m) / 3.0`` then ``j + l·0.1·(1−j)``.
+    A short-field verification kernel (pairs come from a blocking stage
+    — SNM / deletion-neighborhood / prefix-filter); per-pair scan is
+    O(len·window) on codepoints."""
+    n = len(a_strings)
+    out = np.zeros(n, np.float64)
+    for i in range(n):
+        a, b = a_strings[i] or "", b_strings[i] or ""
+        la, lb = len(a), len(b)
+        if la == 0 or lb == 0:
+            continue
+        if a == b:
+            out[i] = 1.0
+            continue
+        window = max(la, lb) // 2 - 1
+        if window < 0:
+            window = 0
+        ma = [False] * la
+        mb = [False] * lb
+        m = 0
+        for x in range(la):
+            lo, hi = max(0, x - window), min(lb, x + window + 1)
+            ax = a[x]
+            for y in range(lo, hi):
+                if not mb[y] and ax == b[y]:
+                    ma[x] = mb[y] = True
+                    m += 1
+                    break
+        if m == 0:
+            continue
+        t = 0
+        k = 0
+        for x in range(la):
+            if ma[x]:
+                while not mb[k]:
+                    k += 1
+                if a[x] != b[k]:
+                    t += 1
+                k += 1
+        t //= 2
+        j = (m / la + m / lb + (m - t) / m) / 3.0
+        if j > 0.7:
+            l = 0
+            for x, y in zip(a[:4], b[:4]):
+                if x != y:
+                    break
+                l += 1
+            j = j + l * 0.1 * (1 - j)
+        out[i] = j
+    return out

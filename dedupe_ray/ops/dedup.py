@@ -1857,3 +1857,68 @@ def jaccard_similarity_join(
         broadcast_limit=broadcast_limit,
         token_pattern=token_pattern,
     )
+
+
+def string_sim_pairs(
+    ds: "ray.data.Dataset",
+    pairs_ds: "ray.data.Dataset",
+    value_column: str,
+    threshold: float,
+    metric: str = "jaro_winkler",
+    broadcast_limit: int = 2_000_000,
+) -> "ray.data.Dataset":
+    """Verify candidate pairs with a string-similarity kernel — the second
+    half of the classic blocking→verify ER dataflow (pair any blocking
+    generator here: :func:`sorted_neighborhood_pairs`, the deletion-
+    neighborhood join, predicate blocking). Values reach the kernel
+    through the size-guarded pair assembler (broadcast under the limit,
+    hash joins above); string ``doc_id`` ids are this family's contract.
+    Returns (id_a, id_b, sim ≥ threshold); ``metric``: ``jaro_winkler``
+    (DuckDB-bit-exact, see distances.jaro_winkler_batch) or
+    ``levenshtein`` (unit-cost distance turned into a normalized
+    similarity ``1 − d/max_len``)."""
+    from dedupe_ray.distances import jaro_winkler_batch, levenshtein_batch
+    from dedupe_ray.scoring import assemble_pairs
+
+    if metric not in ("jaro_winkler", "levenshtein"):
+        raise ValueError(f"unknown metric {metric!r}")
+    joined = assemble_pairs(
+        pairs_ds.select_columns(["id_a", "id_b"]),
+        ds.select_columns(["doc_id", value_column]),
+        [value_column],
+        broadcast_limit=broadcast_limit,
+        strict=False,
+    )
+    t = float(threshold)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        if not len(batch):
+            return pa.table(
+                {
+                    "id_a": pa.array([], pa.string()),
+                    "id_b": pa.array([], pa.string()),
+                    "sim": pa.array([], pa.float64()),
+                }
+            )
+        va = batch.column(f"a_{value_column}").to_pylist()
+        vb = batch.column(f"b_{value_column}").to_pylist()
+        if metric == "jaro_winkler":
+            sim = jaro_winkler_batch(va, vb)
+        else:
+            d = levenshtein_batch(va, vb).astype(np.float64)
+            mx = np.fromiter(
+                (max(len(x or ""), len(y or ""), 1) for x, y in zip(va, vb)),
+                np.float64,
+                len(va),
+            )
+            sim = 1.0 - d / mx
+        out = pa.table(
+            {
+                "id_a": batch.column("id_a"),
+                "id_b": batch.column("id_b"),
+                "sim": pa.array(sim),
+            }
+        )
+        return out.filter(pc.greater_equal(out.column("sim"), t))
+
+    return joined.map_batches(verify, batch_format="pyarrow")

@@ -206,3 +206,42 @@ def test_token_align_symmetry_and_order_invariance():
     assert np.allclose(d1, d2)
     # token order must not matter
     assert np.isclose(d1[0], token_align_batch(["beta gamma alpha"], ["betta gamma alpha"])[0])
+
+
+def test_jaro_winkler_batch_duckdb_parity():
+    """Random-probe bit-parity with DuckDB's jaro_winkler_similarity —
+    the property that lets jw verify stages carry hash-exact SQL oracles."""
+    import duckdb
+
+    from dedupe_ray.distances import jaro_winkler_batch
+
+    rng = np.random.RandomState(41)
+    alpha = "abcdef #-"
+    a, b = [], []
+    for _ in range(400):
+        la, lb = rng.randint(0, 12), rng.randint(0, 12)
+        s = "".join(alpha[i] for i in rng.randint(0, len(alpha), la))
+        t = "".join(alpha[i] for i in rng.randint(0, len(alpha), lb))
+        a.append(s)
+        b.append(t)
+    # pinned structural cases: equal, prefix boost, transposition, empties
+    a += ["martha", "dixon", "jellyfish", "abcde", "", "x", "dwayne"]
+    b += ["marhta", "dicksonx", "smellyfish", "abcde", "", "", "duane"]
+    got = jaro_winkler_batch(a, b)
+    con = duckdb.connect()
+    exp = con.execute(
+        "SELECT jaro_winkler_similarity(s, t) FROM "
+        "(SELECT unnest($1::VARCHAR[]) s, unnest($2::VARCHAR[]) t)",
+        [a, b],
+    ).fetchnumpy()
+    con.close()
+    assert np.array_equal(got, next(iter(exp.values())))
+
+
+def test_jaro_winkler_batch_goldens():
+    from dedupe_ray.distances import jaro_winkler_batch
+
+    got = jaro_winkler_batch(["martha", "abcde"], ["marhta", "abcde"])
+    # classic Winkler example: jaro 0.944..., prefix 3 → 0.9611...
+    assert math.isclose(got[0], 0.9611111111111111)
+    assert got[1] == 1.0

@@ -3823,3 +3823,34 @@ def test_jaccard_similarity_join_df_order_same_output(ray_session):
     assert len(a) > 0
     with pytest.raises(ValueError, match="unknown prefix order"):
         jaccard_similarity_join(ds, 0.5, order="bogus")
+
+
+def test_string_sim_pairs_both_metrics(ray_session):
+    """string_sim_pairs verifies candidates with either kernel; levenshtein
+    similarity is 1 - d/max_len; sub-threshold pairs are dropped."""
+    from dedupe_ray.ops.dedup import string_sim_pairs
+
+    names = {"1": "martha", "2": "marhta", "3": "zzzzzz", "4": ""}
+    ds = rd.from_arrow(
+        pa.table({"doc_id": list(names), "name": list(names.values())})
+    )
+    pairs = rd.from_arrow(
+        pa.table({"id_a": ["1", "1", "1"], "id_b": ["2", "3", "4"]})
+    )
+    jw = (
+        string_sim_pairs(ds, pairs, "name", 0.9, metric="jaro_winkler")
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+    )
+    assert list(zip(jw["id_a"], jw["id_b"])) == [("1", "2")]
+    assert np.isclose(jw["sim"].iloc[0], 0.9611111111111111)
+    lev = (
+        string_sim_pairs(ds, pairs, "name", 0.5, metric="levenshtein")
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+    )
+    # d(martha, marhta)=2, len 6 → sim 2/3; zzzzzz → 0; empty → 0
+    assert list(zip(lev["id_a"], lev["id_b"])) == [("1", "2")]
+    assert np.isclose(lev["sim"].iloc[0], 1 - 2 / 6)
+    with pytest.raises(ValueError):
+        string_sim_pairs(ds, pairs, "name", 0.5, metric="cosine")
