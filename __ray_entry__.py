@@ -2286,6 +2286,33 @@ def _q_jw_name_pairs(sf_dir: str):
     return string_sim_pairs(cust, pairs, "name", 0.96, metric="jaro_winkler")
 
 
+def _q_orc_roundtrip(sf_dir: str):
+    """ORC sink/source fidelity: orders key columns written as ORC shards
+    (one per block, atomic tmp-dir publish) and re-read must be
+    value-identical to the parquet original."""
+    import hashlib
+
+    from dedupe_ray.sources import read_orc, write_orc
+
+    o = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderstatus"])
+    out = "/tmp/dedupe_ray_orc_" + hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    write_orc(o, out)
+    return read_orc(out)
+
+
+def _q_feather_roundtrip(sf_dir: str):
+    """Arrow IPC (Feather V2) sink/source fidelity on part, with column
+    pruning exercised at the re-read."""
+    import hashlib
+
+    from dedupe_ray.sources import read_feather, write_feather
+
+    p = _read(sf_dir, "part", ["p_partkey", "p_name", "p_retailprice"])
+    out = "/tmp/dedupe_ray_fea_" + hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    write_feather(p, out)
+    return read_feather(out, columns=["p_partkey", "p_name"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "er_clusters": _q_er_clusters,
@@ -2397,6 +2424,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_row_numbers": _q_customer_row_numbers,
         "near_dup_join_docs": _q_near_dup_join,
         "jw_name_pairs": _q_jw_name_pairs,
+        "orc_roundtrip": _q_orc_roundtrip,
+        "feather_roundtrip": _q_feather_roundtrip,
     }
 
 
@@ -3629,5 +3658,11 @@ def oracle_sql() -> dict[str, str]:
                    jaro_winkler_similarity(a.name, b.name) AS sim
             FROM r a JOIN r b ON b.rk > a.rk AND b.rk <= a.rk + 10
             WHERE jaro_winkler_similarity(a.name, b.name) >= 0.96
+        """,
+        "orc_roundtrip": """
+            SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+        """,
+        "feather_roundtrip": """
+            SELECT p_partkey, p_name FROM part
         """,
     }

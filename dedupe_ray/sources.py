@@ -357,3 +357,89 @@ def write_jsonl(ds: "ray.data.Dataset", path: str) -> None:
     shutil.rmtree(tmp, ignore_errors=True)
     ds.write_json(tmp)
     os.replace(tmp, path)
+
+
+def read_orc(paths: list[str] | str, columns: list[str] | None = None) -> "ray.data.Dataset":
+    """Distributed ORC source: one decode task per file over
+    ``ray.data.read_binary_files`` (streaming, parallel) → ``pyarrow.orc``
+    per file. Shard layout is one file per written block (see
+    :func:`write_orc`), so per-file task granularity IS the shard
+    granularity; a per-stripe split would drop in here if single files
+    outgrew a task. ``columns`` prunes at the decode (ORC is columnar —
+    only requested column streams are materialized)."""
+    ds = ray.data.read_binary_files(paths)
+
+    def decode(b: pa.Table) -> pa.Table:
+        from pyarrow import orc
+
+        tables = []
+        for buf in b.column("bytes"):
+            f = orc.ORCFile(pa.BufferReader(buf.as_py()))
+            tables.append(f.read(columns=columns))
+        return pa.concat_tables(tables)
+
+    return ds.map_batches(decode, batch_format="pyarrow")
+
+
+def read_feather(paths: list[str] | str, columns: list[str] | None = None) -> "ray.data.Dataset":
+    """Arrow IPC (Feather V2) source — same per-file decode shape as
+    :func:`read_orc`; IPC is the zero-copy interchange format, so the
+    decode is a buffer walk, not a parse."""
+    ds = ray.data.read_binary_files(paths)
+
+    def decode(b: pa.Table) -> pa.Table:
+        tables = []
+        for buf in b.column("bytes"):
+            t = pa.ipc.open_file(pa.BufferReader(buf.as_py())).read_all()
+            if columns is not None:
+                t = t.select(columns)
+            tables.append(t)
+        return pa.concat_tables(tables)
+
+    return ds.map_batches(decode, batch_format="pyarrow")
+
+
+def _write_sharded(ds: "ray.data.Dataset", path: str, ext: str, write_shard) -> None:
+    """Shared sharded-sink shape: each block writes its own ``shard-*.{ext}``
+    into a tmp dir (uuid names — Ray may retry a task; the count() barrier
+    ensures every retry's winner is complete before the atomic rename
+    publishes the directory)."""
+    import shutil
+    import uuid
+
+    shutil.rmtree(path, ignore_errors=True)
+    tmp = path + ".__tmp__"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+
+    def sink(t: pa.Table) -> pa.Table:
+        if len(t):
+            write_shard(t, os.path.join(tmp, f"shard-{uuid.uuid4().hex}.{ext}"))
+        return pa.table({"rows": pa.array([len(t)], pa.int64())})
+
+    ds.map_batches(sink, batch_format="pyarrow").count()
+    os.replace(tmp, path)
+
+
+def write_orc(ds: "ray.data.Dataset", path: str) -> None:
+    """ORC sink: one ``.orc`` shard per block, tmp-dir + atomic rename (a
+    crashed write never leaves a half-readable directory — the same
+    resumable-output contract as the parquet/JSONL sinks)."""
+
+    def shard(t: pa.Table, p: str) -> None:
+        from pyarrow import orc
+
+        orc.write_table(t, p)
+
+    _write_sharded(ds, path, "orc", shard)
+
+
+def write_feather(ds: "ray.data.Dataset", path: str) -> None:
+    """Arrow IPC (Feather V2) sink — same sharded atomic layout as
+    :func:`write_orc`."""
+
+    def shard(t: pa.Table, p: str) -> None:
+        with pa.ipc.new_file(p, t.schema) as w:
+            w.write_table(t)
+
+    _write_sharded(ds, path, "feather", shard)

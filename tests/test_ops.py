@@ -3854,3 +3854,31 @@ def test_string_sim_pairs_both_metrics(ray_session):
     assert np.isclose(lev["sim"].iloc[0], 1 - 2 / 6)
     with pytest.raises(ValueError):
         string_sim_pairs(ds, pairs, "name", 0.5, metric="cosine")
+
+
+@pytest.mark.parametrize("fmt", ["orc", "feather"])
+def test_orc_feather_roundtrip(tmp_path, ray_session, fmt):
+    """Sharded columnar sinks round-trip values, types, nulls and unicode;
+    re-read with column pruning; overwrite of an existing dir is clean."""
+    from dedupe_ray import sources
+
+    write = getattr(sources, f"write_{fmt}")
+    read = getattr(sources, f"read_{fmt}")
+    t = pa.table(
+        {
+            "id": pa.array([1, 2, 3, 4], pa.int64()),
+            "s": pa.array(["a,b\n", 'q"u', "żółć", None], pa.string()),
+            "f": pa.array([0.5, None, -1.25, 3.0], pa.float64()),
+        }
+    )
+    out = str(tmp_path / f"rt.{fmt}")
+    write(rd.from_arrow(t).repartition(3), out)
+    back = read(out).to_pandas().sort_values("id").reset_index(drop=True)
+    assert back["s"].tolist()[:3] == ["a,b\n", 'q"u', "żółć"]
+    assert back["s"].isna().tolist() == [False, False, False, True]
+    assert back["f"].tolist()[0] == 0.5 and np.isnan(back["f"][1])
+    pruned = read(out, columns=["id"]).to_pandas()
+    assert list(pruned.columns) == ["id"] and len(pruned) == 4
+    # overwrite: old shards must not leak into the re-read
+    write(rd.from_arrow(t.slice(0, 2)), out)
+    assert len(read(out).to_pandas()) == 2
