@@ -2313,6 +2313,21 @@ def _q_feather_roundtrip(sf_dir: str):
     return read_feather(out, columns=["p_partkey", "p_name"])
 
 
+def _q_cms_user_counts(sf_dir: str):
+    """Count-Min sketch frequency estimation over events.user_id: bounded
+    cell-table build (per-batch combiner partials → depth×width groupby
+    Sum) then a broadcast probe of every distinct key. width=256 is
+    deliberately small so collisions occur and est > true for some keys —
+    the oracle mirrors the exact integer hash/min expression, so the
+    estimates (not just the true counts) hash-compare."""
+    from dedupe_ray.ops.sketch import cms_point_estimates, cms_table
+
+    ev = _read(sf_dir, "events", ["user_id"])
+    sk = cms_table(ev, "user_id", width=256, depth=3)
+    probe = ev.groupby("user_id").count().drop_columns(["count()"])
+    return cms_point_estimates(sk, probe, "user_id", width=256, depth=3)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "er_clusters": _q_er_clusters,
@@ -2426,6 +2441,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jw_name_pairs": _q_jw_name_pairs,
         "orc_roundtrip": _q_orc_roundtrip,
         "feather_roundtrip": _q_feather_roundtrip,
+        "cms_user_counts": _q_cms_user_counts,
     }
 
 
@@ -3664,5 +3680,30 @@ def oracle_sql() -> dict[str, str]:
         """,
         "feather_roundtrip": """
             SELECT p_partkey, p_name FROM part
+        """,
+        # Count-Min: every arithmetic step is exact int64 (a < 2^31,
+        # v mod p < 2^31 => products < 2^62), so both engines land on the
+        # same cells and the collision-inflated estimates hash-compare
+        "cms_user_counts": """
+            WITH hp(r, a, b) AS (VALUES
+                (0, 1103515245, 12345),
+                (1, 1229782938, 1013904223),
+                (2, 1815976680, 1442695040)),
+            k AS (SELECT user_id FROM events WHERE user_id IS NOT NULL),
+            cells AS (
+                SELECT hp.r AS r,
+                       ((hp.a * (k.user_id % 2147483647) + hp.b)
+                        % 2147483647) % 256 AS c,
+                       COUNT(*) AS cnt
+                FROM k CROSS JOIN hp GROUP BY 1, 2
+            )
+            SELECT p.user_id,
+                   MIN(cells.cnt) AS est
+            FROM (SELECT DISTINCT user_id FROM k) p
+            CROSS JOIN hp
+            JOIN cells ON cells.r = hp.r
+                      AND cells.c = ((hp.a * (p.user_id % 2147483647)
+                                      + hp.b) % 2147483647) % 256
+            GROUP BY 1
         """,
     }

@@ -453,3 +453,115 @@ def ddsketch_group_quantile(
     return sketch_ds.groupby(group_column).map_groups(
         finalize, batch_format="pyarrow"
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan 2005) — mergeable frequency table
+# ---------------------------------------------------------------------------
+#
+# d universal hash rows h_i(v) = ((a_i·(v mod p) + b_i) mod p) mod w over the
+# Mersenne prime p = 2^31 − 1 with pinned constants — every step is exact
+# int64 arithmetic (a_i < 2^31 and (v mod p) < 2^31 ⇒ products < 2^62), so a
+# SQL oracle evaluating the same expression lands on the same cells and the
+# whole sketch is engine-exact, deterministic, and merge-order-invariant
+# (integer counts, cell-wise Sum). Estimates are upper bounds:
+# true ≤ est ≤ true + εN with ε = e/w at failure prob e^−d per key.
+
+_CMS_P = (1 << 31) - 1
+_CMS_A = (1103515245, 1229782938, 1815976680, 1664525, 22695477, 1566083941)
+_CMS_B = (12345, 1013904223, 1442695040, 1203793, 7919, 104729)
+
+
+def _cms_cols(values: np.ndarray, width: int, depth: int) -> np.ndarray:
+    """values (non-negative int64 [n]) → column index int64 [depth, n]."""
+    if depth > len(_CMS_A):
+        raise ValueError(f"depth > {len(_CMS_A)} not supported")
+    v = np.asarray(values, np.int64)
+    if len(v) and int(v.min()) < 0:
+        raise ValueError("count-min keys must be non-negative integers")
+    u = v % _CMS_P
+    return np.stack(
+        [(_CMS_A[i] * u + _CMS_B[i]) % _CMS_P % width for i in range(depth)]
+    )
+
+
+def cms_table(
+    ds: "ray.data.Dataset",
+    value_column: str,
+    width: int = 1024,
+    depth: int = 3,
+) -> "ray.data.Dataset":
+    """Corpus → Count-Min cell table (row, col, c) — the mergeable,
+    persistable form (same contract as hll_sketch_table/ddsketch_table:
+    ``write_parquet`` per ingestion run, :func:`cms_merge` across runs).
+    Per-batch combiner partials (≤ depth × min(distinct, width) rows per
+    batch) then one depth×width-bounded groupby Sum — nothing corpus-sized
+    shuffles. Null keys are dropped (SQL aggregate semantics)."""
+    from ray.data.aggregate import Sum
+
+    def partials(batch: pa.Table) -> pa.Table:
+        col = batch.column(value_column)
+        v = col.to_numpy(zero_copy_only=False)
+        if col.null_count:
+            v = v[pa.compute.is_valid(col.combine_chunks()).to_numpy(zero_copy_only=False)]
+        cols = _cms_cols(v, width, depth)
+        key = (np.arange(depth, dtype=np.int64)[:, None] * width + cols).ravel()
+        ukey, cnt = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "row": pa.array(ukey // width),
+                "col": pa.array(ukey % width),
+                "c": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    return (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby(["row", "col"])
+        .aggregate(Sum("c", alias_name="c"))
+    )
+
+
+def cms_merge(*sketches: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Union any number of CMS cell tables (same width/depth) → cell-wise
+    Sum; merging sketches of two corpora equals sketching their
+    concatenation exactly."""
+    from ray.data.aggregate import Sum
+
+    if not sketches:
+        raise ValueError("need at least one sketch table")
+    ds = sketches[0]
+    for other in sketches[1:]:
+        ds = ds.union(other)
+    return ds.groupby(["row", "col"]).aggregate(Sum("c", alias_name="c"))
+
+
+def cms_point_estimates(
+    sketch_ds: "ray.data.Dataset",
+    keys_ds: "ray.data.Dataset",
+    key_column: str,
+    width: int = 1024,
+    depth: int = 3,
+    out_column: str = "est",
+) -> "ray.data.Dataset":
+    """Estimate the frequency of every key in ``keys_ds``: est(v) =
+    min_i cell[i, h_i(v)]. The cell table is ≤ depth×width rows by
+    construction, so it is collected once and broadcast (``ray.put``);
+    the keys side streams through one map_batches — no shuffle."""
+    import ray
+
+    cells = sketch_ds.to_pandas()  # bounded: ≤ depth × width rows
+    grid = np.zeros((depth, width), np.int64)
+    grid[cells["row"].to_numpy(np.int64), cells["col"].to_numpy(np.int64)] = (
+        cells["c"].to_numpy(np.int64)
+    )
+    grid_ref = ray.put(grid)
+
+    def probe(batch: pa.Table) -> pa.Table:
+        g = ray.get(grid_ref)
+        v = batch.column(key_column).to_numpy(zero_copy_only=False)
+        cols = _cms_cols(v, width, depth)
+        est = g[np.arange(depth)[:, None], cols].min(axis=0)
+        return batch.append_column(out_column, pa.array(est.astype(np.int64)))
+
+    return keys_ds.map_batches(probe, batch_format="pyarrow")

@@ -3882,3 +3882,87 @@ def test_orc_feather_roundtrip(tmp_path, ray_session, fmt):
     # overwrite: old shards must not leak into the re-read
     write(rd.from_arrow(t.slice(0, 2)), out)
     assert len(read(out).to_pandas()) == 2
+
+
+def test_count_min_sketch(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from dedupe_ray.ops.sketch import (
+        _cms_cols,
+        cms_merge,
+        cms_point_estimates,
+        cms_table,
+    )
+
+    rng = np.random.RandomState(11)
+    # zipf-ish skew with a guaranteed hot key, plus nulls (dropped)
+    keys = np.concatenate(
+        [
+            rng.zipf(1.5, 4000) % 5000,
+            np.full(500, 42),
+        ]
+    ).astype(np.int64)
+    width, depth = 64, 3
+    df = pd.DataFrame({"k": keys})
+    ds = rd.from_pandas(df).repartition(7)
+    sk = cms_table(ds, "k", width=width, depth=depth).to_pandas()
+    assert len(sk) <= width * depth
+
+    # reference grid built scalar-style from the same hash family
+    grid = np.zeros((depth, width), np.int64)
+    cols = _cms_cols(keys, width, depth)
+    for r in range(depth):
+        np.add.at(grid[r], cols[r], 1)
+    got = np.zeros((depth, width), np.int64)
+    got[sk["row"].to_numpy(), sk["col"].to_numpy()] = sk["c"].to_numpy()
+    assert np.array_equal(got, grid)
+
+    # point estimates: upper bound always holds; hot key is near-exact
+    probe_keys = np.unique(keys)
+    probe = rd.from_pandas(pd.DataFrame({"k": probe_keys}))
+    est = (
+        cms_point_estimates(
+            cms_table(ds, "k", width=width, depth=depth),
+            probe,
+            "k",
+            width=width,
+            depth=depth,
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    true = pd.Series(keys).value_counts().sort_index()
+    assert (est["est"].to_numpy() >= true.to_numpy()).all()
+    # CMS overestimate for the hot key is bounded by the colliding tail
+    hot_est = int(est.loc[est["k"] == 42, "est"].iloc[0])
+    hot_true = int(true[42])
+    assert hot_true <= hot_est <= hot_true + len(keys) // width
+
+    # merge(two halves) == sketch(whole), cell-exact
+    da = rd.from_pandas(pd.DataFrame({"k": keys[:2000]})).repartition(3)
+    db = rd.from_pandas(pd.DataFrame({"k": keys[2000:]})).repartition(4)
+    merged = cms_merge(
+        cms_table(da, "k", width=width, depth=depth),
+        cms_table(db, "k", width=width, depth=depth),
+    ).to_pandas()
+    m = np.zeros((depth, width), np.int64)
+    m[merged["row"].to_numpy(), merged["col"].to_numpy()] = merged["c"].to_numpy()
+    assert np.array_equal(m, grid)
+
+
+def test_count_min_nulls_and_negatives(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from dedupe_ray.ops.sketch import cms_table
+
+    ds = rd.from_pandas(pd.DataFrame({"k": pd.array([1, None, 1, 7], dtype="Int64")}))
+    sk = cms_table(ds, "k", width=16, depth=2).to_pandas()
+    assert sk["c"].sum() == 3 * 2  # nulls dropped, 3 valid keys x depth
+
+    with pytest.raises(Exception, match="non-negative"):
+        cms_table(
+            rd.from_pandas(pd.DataFrame({"k": [-1, 2]})), "k", width=16, depth=2
+        ).materialize()
