@@ -2328,6 +2328,34 @@ def _q_cms_user_counts(sf_dir: str):
     return cms_point_estimates(sk, probe, "user_id", width=256, depth=3)
 
 
+def _q_part_supplier_components(sf_dir: str):
+    """Multi-hop connected components over the sparse part–supplier
+    bipartite graph (edges = distinct lineitem (partkey, suppkey) on a
+    1/997 order slice). Forces the DISTRIBUTED min-label-propagation /
+    pointer-doubling path (`mode="distributed"`) so the scale
+    implementation itself — not the driver union-find — is what the
+    recursive-CTE oracle checks. The ER oracles only cover complete-graph
+    (single-hop) components; this one has real chains."""
+    import pyarrow.compute as pc
+
+    from dedupe_ray.clustering import connected_components
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey", "l_suppkey"])
+
+    def edges(b: pa.Table) -> pa.Table:
+        ok = b.column("l_orderkey").to_numpy(zero_copy_only=False) % 997 == 0
+        t = b.filter(pa.array(ok))
+        to_s = lambda col, pfx: pc.binary_join_element_wise(  # noqa: E731
+            pfx, pc.cast(t.column(col), pa.string()), ""
+        )
+        return pa.table(
+            {"id_a": to_s("l_partkey", "P"), "id_b": to_s("l_suppkey", "S")}
+        )
+
+    e = li.map_batches(edges, batch_format="pyarrow")
+    return connected_components(e, mode="distributed")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "er_clusters": _q_er_clusters,
@@ -2442,6 +2470,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orc_roundtrip": _q_orc_roundtrip,
         "feather_roundtrip": _q_feather_roundtrip,
         "cms_user_counts": _q_cms_user_counts,
+        "part_supplier_components": _q_part_supplier_components,
     }
 
 
@@ -3705,5 +3734,22 @@ def oracle_sql() -> dict[str, str]:
                       AND cells.c = ((hp.a * (p.user_id % 2147483647)
                                       + hp.b) % 2147483647) % 256
             GROUP BY 1
+        """,
+        # multi-hop CC: min reachable label via transitive closure; the
+        # graph is sparse (1/997 order slice) so the closure is bounded
+        "part_supplier_components": """
+            WITH RECURSIVE e AS (
+                SELECT DISTINCT 'P' || CAST(l_partkey AS VARCHAR) AS a,
+                                'S' || CAST(l_suppkey AS VARCHAR) AS b
+                FROM lineitem WHERE l_orderkey % 997 = 0
+            ),
+            ed AS (SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e),
+            reach(node, r) AS (
+                SELECT a, a FROM ed
+                UNION
+                SELECT ed.a, reach.r FROM ed JOIN reach ON ed.b = reach.node
+            )
+            SELECT node AS doc_id, MIN(r) AS component_id
+            FROM reach GROUP BY node
         """,
     }

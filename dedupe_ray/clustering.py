@@ -260,6 +260,13 @@ def _components_distributed(
         )
 
     def checksum(ds: "ray.data.Dataset") -> int:
+        # per-row hash, wrap-sum mod 2^64: commutative/associative, so the
+        # total is exactly BLOCK-LAYOUT-INVARIANT. The old per-batch int63
+        # masking made the checksum depend on batch boundaries — converged
+        # label CONTENT with a drifting layout never reached a checksum
+        # fixpoint and the loop burned all max_rounds (seen on the sparse
+        # part–supplier graph). Partials ride as int64 two's-complement
+        # reinterpretations; the driver folds them back mod 2^64.
         def h(batch: pa.Table) -> pa.Table:
             hv = pd.util.hash_array(
                 np.asarray(
@@ -267,9 +274,13 @@ def _components_distributed(
                     object,
                 )
             )
-            return pa.table({"h": pa.array([int(hv.sum()) & 0x7FFFFFFFFFFFFFFF], pa.int64())})
+            part = int(hv.sum().astype(np.int64)) if len(hv) else 0
+            return pa.table({"h": pa.array([part], pa.int64())})
 
-        return ds.map_batches(h, batch_format="pyarrow").sum("h")
+        # final reduce driver-side (bounded: one row per block); Ray's Sum
+        # would overflow int64 on the partials
+        parts = ds.map_batches(h, batch_format="pyarrow").to_pandas()["h"]
+        return sum(int(v) & 0xFFFFFFFFFFFFFFFF for v in parts) & 0xFFFFFFFFFFFFFFFF
 
     prev = checksum(labels)
     converged = False
