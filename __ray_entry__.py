@@ -2356,6 +2356,18 @@ def _q_part_supplier_components(sf_dir: str):
     return connected_components(e, mode="distributed")
 
 
+def _q_lm_doc_scores(sf_dir: str):
+    """CCNet-style corpus-LM quality signal: add-one-smoothed bigram model
+    (vocab capped at 256, trained on the corpus in two bounded count
+    passes, broadcast once) scores every document in integer micro-nats —
+    per-doc sums are exact int64, so the whole model + scoring pipeline
+    hash-compares against the SQL mirror."""
+    from dedupe_ray.ops.text import lm_bigram_scores
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return lm_bigram_scores(docs, "text", "doc_id", vocab_size=256)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "er_clusters": _q_er_clusters,
@@ -2471,6 +2483,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "feather_roundtrip": _q_feather_roundtrip,
         "cms_user_counts": _q_cms_user_counts,
         "part_supplier_components": _q_part_supplier_components,
+        "lm_doc_scores": _q_lm_doc_scores,
     }
 
 
@@ -3751,5 +3764,52 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node AS doc_id, MIN(r) AS component_id
             FROM reach GROUP BY node
+        """,
+        # bigram LM scoring: V=256, ids 1..256 by (count desc, token asc),
+        # 0 = unk, 257 = BOS; logp quantized to micro-nats so SUM is exact
+        # integer arithmetic. Literals must match the Ray kernel verbatim.
+        "lm_doc_scores": """
+            WITH tok AS (
+                SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS pos
+                FROM (SELECT doc_id,
+                             regexp_extract_all(lower(text), '[a-z]+') AS l
+                      FROM documents)
+            ),
+            vocab AS (
+                SELECT tok, id FROM (
+                    SELECT tok,
+                           row_number() OVER (ORDER BY cnt DESC, tok) AS id
+                    FROM (SELECT tok, COUNT(*) AS cnt FROM tok GROUP BY tok)
+                ) WHERE id <= 256
+            ),
+            ids AS (
+                SELECT t.doc_id, t.pos, COALESCE(v.id, 0) AS id
+                FROM tok t LEFT JOIN vocab v ON v.tok = t.tok
+            ),
+            big AS (
+                SELECT doc_id, pos, id AS cur,
+                       COALESCE(LAG(id) OVER (PARTITION BY doc_id
+                                              ORDER BY pos), 257) AS prev
+                FROM ids
+            ),
+            cb AS (SELECT prev, cur, COUNT(*) AS c FROM big GROUP BY prev, cur),
+            ctx AS (SELECT prev, CAST(SUM(c) AS BIGINT) AS n FROM cb GROUP BY prev),
+            scored AS (
+                SELECT b.doc_id,
+                       CAST(floor(1000000.0 * ln((cb.c + 1.0)
+                                                 / (ctx.n + 257.0)))
+                            AS BIGINT) AS lp
+                FROM big b
+                JOIN cb ON cb.prev = b.prev AND cb.cur = b.cur
+                JOIN ctx ON ctx.prev = b.prev
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(t.n, 0) AS BIGINT) AS n_tokens,
+                   CAST(COALESCE(s.lp, 0) AS BIGINT) AS logprob_micro
+            FROM documents d
+            LEFT JOIN (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id) t
+                   USING (doc_id)
+            LEFT JOIN (SELECT doc_id, CAST(SUM(lp) AS BIGINT) AS lp
+                       FROM scored GROUP BY doc_id) s USING (doc_id)
         """,
     }

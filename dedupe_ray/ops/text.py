@@ -984,3 +984,160 @@ def strip_markup(
         return b.append_column(out_column, col)
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Bigram language-model scoring (CCNet-style perplexity filter)
+# ---------------------------------------------------------------------------
+#
+# Wikipedia-LM perplexity filtering (CCNet, Wenzek et al. 2020) is the
+# classic corpus quality gate. This is the shuffle-light Ray shape: the
+# model is TRAINED on the corpus itself in two bounded count passes and
+# BROADCAST once; scoring is a third streaming pass. Log-probs are
+# quantized to integer micro-nats (floor(1e6·ln p)) so per-document sums
+# are exact integer arithmetic — order-free, parallelism-invariant, and
+# engine-exact against a SQL oracle evaluating the same IEEE expression.
+
+
+def _lm_tokens(col) -> tuple[np.ndarray, np.ndarray]:
+    """lower → [a-z]+ runs (== regexp_extract_all(lower(x),'[a-z]+') in
+    SQL) → (flat object array of tokens, per-row token counts)."""
+    lower = pc.utf8_lower(pc.fill_null(col, ""))
+    toks = pc.split_pattern_regex(lower, "[^a-z]+")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    offsets = np.asarray(toks.offsets.to_numpy(zero_copy_only=False), np.int64)
+    flat = np.asarray(toks.flatten().to_pylist(), object)
+    keep = flat != ""
+    counts = _per_row_sums(keep.astype(np.int64), offsets)
+    return flat[keep], counts
+
+
+def lm_bigram_scores(
+    ds: "ray.data.Dataset",
+    column: str = "text",
+    id_column: str = "doc_id",
+    vocab_size: int = 1024,
+) -> "ray.data.Dataset":
+    """Per-document corpus-LM log-probability (add-one-smoothed bigram
+    model over a capped vocabulary) → (id, n_tokens, logprob_micro).
+
+    Three streaming passes, no corpus-sized shuffle:
+
+    1. unigram counts (per-batch combiner partials → vocab-sized groupby
+       Sum) → top-``vocab_size`` tokens by (count desc, token asc); the
+       sort/limit runs on the DISTINCT-token table only. ids: 1..V by
+       rank, 0 = <unk>, V+1 = BOS.
+    2. bigram counts over the id space (combiner partials → ≤(V+2)·(V+1)
+       groupby Sum), collected driver-side (bounded by the id-space
+       square, asserted) and broadcast via ``ray.put`` together with the
+       derived context totals ctx[prev] = Σ_cur cb[prev,cur].
+    3. score: every position i contributes
+       floor(1e6 · ln((cb[prev,cur]+1.0)/(ctx[prev]+(V+1.0)))) micro-nats
+       (V+1 = the id-space outcomes 0..V; BOS is context-only)
+       (prev of the first token is BOS); per-doc integer sum. Perplexity
+       = exp(-logprob_micro / 1e6 / n_tokens).
+
+    At 100 TB the broadcast model stays ≤ (V+2)² cells by construction;
+    raise ``vocab_size`` consciously — the shuffle cost is unchanged (the
+    count tables shuffle partials, never documents)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    V = int(vocab_size)
+    BOS = V + 1
+    WIDTH = V + 2  # id-space stride for packed bigram keys
+
+    def uni_partials(batch: pa.Table) -> pa.Table:
+        flat, _ = _lm_tokens(batch.column(column))
+        codes, uniques = pd.factorize(flat)
+        cnt = np.bincount(codes, minlength=len(uniques)).astype(np.int64)
+        return pa.table({"token": pa.array(uniques, pa.string()), "cnt": pa.array(cnt)})
+
+    vocab_rows = (
+        ds.map_batches(uni_partials, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .sort(["cnt", "token"], descending=[True, False])
+        .limit(V)
+        .take_all()  # bounded: ≤ V rows
+    )
+    vtok = np.asarray([r["token"] for r in vocab_rows], object)
+    vid = np.arange(1, len(vtok) + 1, dtype=np.int64)  # rank order = id order
+    order = np.argsort(vtok)
+    vtok_sorted, vid_sorted = vtok[order], vid[order]
+    vocab_ref = ray.put((vtok_sorted, vid_sorted))
+
+    def _ids_and_prev(batch: pa.Table):
+        vt, vi = ray.get(vocab_ref)
+        flat, counts = _lm_tokens(batch.column(column))
+        if len(flat) == 0:
+            return np.empty(0, np.int64), np.empty(0, np.int64), counts
+        pos = np.searchsorted(vt, flat)
+        pos_c = np.minimum(pos, len(vt) - 1) if len(vt) else np.zeros(len(flat), np.int64)
+        hit = (vt[pos_c] == flat) if len(vt) else np.zeros(len(flat), bool)
+        ids = np.where(hit, vi[pos_c] if len(vt) else 0, 0).astype(np.int64)
+        prev = np.empty_like(ids)
+        prev[1:] = ids[:-1]
+        starts = np.zeros(len(counts) + 1, np.int64)
+        np.cumsum(counts, out=starts[1:])
+        prev[starts[:-1][counts > 0]] = BOS
+        return ids, prev, counts
+
+    def bigram_partials(batch: pa.Table) -> pa.Table:
+        ids, prev, _ = _ids_and_prev(batch)
+        key = prev * WIDTH + ids
+        ukey, cnt = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "prev": pa.array(ukey // WIDTH),
+                "cur": pa.array(ukey % WIDTH),
+                "c": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    cb_rows = (
+        ds.map_batches(bigram_partials, batch_format="pyarrow")
+        .groupby(["prev", "cur"])
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()  # bounded: ≤ (V+2)·(V+1) cells
+    )
+    assert len(cb_rows) <= WIDTH * (V + 1)
+    cb_key = (cb_rows["prev"].to_numpy(np.int64) * WIDTH + cb_rows["cur"].to_numpy(np.int64))
+    cb_cnt = cb_rows["c"].to_numpy(np.int64)
+    ctx = np.zeros(WIDTH, np.int64)
+    np.add.at(ctx, cb_rows["prev"].to_numpy(np.int64), cb_cnt)
+    k_order = np.argsort(cb_key)
+    cb_key, cb_cnt = cb_key[k_order], cb_cnt[k_order]
+    model_ref = ray.put((cb_key, cb_cnt, ctx))
+
+    def score(batch: pa.Table) -> pa.Table:
+        cbk, cbc, ctxv = ray.get(model_ref)
+        ids, prev, counts = _ids_and_prev(batch)
+        if len(ids):
+            key = prev * WIDTH + ids
+            p = np.searchsorted(cbk, key)
+            cb = cbc[np.minimum(p, len(cbk) - 1)]
+            cb = np.where(cbk[np.minimum(p, len(cbk) - 1)] == key, cb, 0)
+            # identical literals/association to the SQL oracle — do not
+            # constant-fold or reorder
+            lp = np.floor(
+                1000000.0 * np.log((cb + 1.0) / (ctxv[prev] + (V + 1.0)))
+            ).astype(np.int64)
+            starts = np.zeros(len(counts) + 1, np.int64)
+            np.cumsum(counts, out=starts[1:])
+            doc_lp = np.zeros(len(counts), np.int64)
+            nz = counts > 0
+            if nz.any():
+                doc_lp[nz] = np.add.reduceat(lp, starts[:-1][nz])
+        else:
+            doc_lp = np.zeros(len(counts), np.int64)
+        return pa.table(
+            {
+                id_column: batch.column(id_column),
+                "n_tokens": pa.array(counts),
+                "logprob_micro": pa.array(doc_lp),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")

@@ -3966,3 +3966,60 @@ def test_count_min_nulls_and_negatives(ray_session):
         cms_table(
             rd.from_pandas(pd.DataFrame({"k": [-1, 2]})), "k", width=16, depth=2
         ).materialize()
+
+
+def test_lm_bigram_scores_brute_force(ray_session):
+    import math
+
+    import pandas as pd
+    import ray.data as rd
+
+    from dedupe_ray.ops.text import lm_bigram_scores
+
+    docs = [
+        "the cat sat on the mat",
+        "the dog sat on the log",
+        "the cat and the dog",
+        "",            # zero tokens -> (0, 0)
+        "zzz qqq zzz"  # mostly-unk garbage
+    ]
+    V = 4
+    ds = rd.from_pandas(
+        pd.DataFrame({"doc_id": [f"d{i}" for i in range(len(docs))], "text": docs})
+    ).repartition(3)
+    out = (
+        lm_bigram_scores(ds, "text", "doc_id", vocab_size=V)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+
+    # brute-force reference model
+    toks = [[t for t in d.lower().split() if t] for d in docs]
+    from collections import Counter
+
+    uni = Counter(t for d in toks for t in d)
+    ranked = sorted(uni, key=lambda t: (-uni[t], t))[:V]
+    vid = {t: i + 1 for i, t in enumerate(ranked)}
+    BOS = V + 1
+    cb, ctx = Counter(), Counter()
+    for d in toks:
+        ids = [vid.get(t, 0) for t in d]
+        for p, c in zip([BOS] + ids[:-1], ids):
+            cb[(p, c)] += 1
+            ctx[p] += 1
+    for i, d in enumerate(toks):
+        ids = [vid.get(t, 0) for t in d]
+        lp = sum(
+            math.floor(
+                1000000.0 * math.log((cb[(p, c)] + 1.0) / (ctx[p] + (V + 1.0)))
+            )
+            for p, c in zip([BOS] + ids[:-1], ids)
+        )
+        row = out.loc[f"d{i}"]
+        assert row["n_tokens"] == len(d)
+        assert row["logprob_micro"] == lp
+
+    # quality signal: per-token logprob of garbage < in-distribution text
+    per_tok = out["logprob_micro"] / out["n_tokens"].clip(lower=1)
+    assert per_tok.loc["d4"] < per_tok.loc["d0"]
