@@ -2368,6 +2368,85 @@ def _q_lm_doc_scores(sf_dir: str):
     return lm_bigram_scores(docs, "text", "doc_id", vocab_size=256)
 
 
+def _q_tpch_q3(sf_dir: str):
+    """TPC-H Q3 shape (shipping-priority revenue top-10) as the multi-way
+    join showcase: lineitem revenue is PRE-AGGREGATED per order before any
+    join (combiner groupby — the corpus-sized table never shuffles twice),
+    then two bucketed unique-key joins (orders, then the BUILDING-segment
+    customer semi-join). Revenue is exact integer cents·(100−disc), so the
+    sum is order-free and the top-10 cut (revenue desc, orderkey asc) is
+    deterministic."""
+    from ray.data.aggregate import Sum
+
+    from dedupe_ray.joins import bucketed_lookup_join
+
+    cut = np.datetime64("1998-06-01")
+
+    li = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"]
+    )
+
+    def rev(b: pa.Table) -> pa.Table:
+        ship = b.column("l_shipdate").to_numpy(zero_copy_only=False)
+        t = b.filter(pa.array(ship > cut))
+        cents = np.floor(
+            t.column("l_extendedprice").to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        disc = np.floor(
+            t.column("l_discount").to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {"l_orderkey": t.column("l_orderkey"), "rev_c": pa.array(cents * (100 - disc))}
+        )
+
+    li_rev = (
+        li.map_batches(rev, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Sum("rev_c", alias_name="revenue_c"))
+    )
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"])
+
+    def ofilt(b: pa.Table) -> pa.Table:
+        d = b.column("o_orderdate").to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(d < cut))
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).filter(
+        expr="c_mktsegment == 'BUILDING'"
+    )
+    o_building = bucketed_lookup_join(
+        orders.map_batches(ofilt, batch_format="pyarrow"),
+        cust,
+        "o_custkey",
+        "c_custkey",
+        ["c_mktsegment"],
+        how="inner",
+    ).drop_columns(["c_mktsegment", "o_custkey"])
+    out = bucketed_lookup_join(
+        li_rev, o_building, "l_orderkey", "o_orderkey",
+        ["o_orderdate", "o_orderpriority"], how="inner",
+    )
+    return out.sort(["revenue_c", "l_orderkey"], descending=[True, False]).limit(10)
+
+
+def _q_upsample_quality(sf_dir: str):
+    """Static mixture upsampling (per-bucket epoch counts): docs repeat
+    3×/2×/1× by n_chars band; replicate_rows is a zero-shuffle per-batch
+    gather. Output one row per COPY with its copy index."""
+    from dedupe_ray.ops.tabular import replicate_rows
+
+    docs = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def band(b: pa.Table) -> pa.Table:
+        n = b.column("n_chars").to_numpy(zero_copy_only=False)
+        times = np.where(n >= 800, 3, np.where(n >= 400, 2, 1)).astype(np.int64)
+        return b.append_column("times", pa.array(times))
+
+    return replicate_rows(
+        docs.map_batches(band, batch_format="pyarrow"), "times"
+    ).select_columns(["doc_id", "times", "copy_idx"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "er_clusters": _q_er_clusters,
@@ -2484,6 +2563,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_user_counts": _q_cms_user_counts,
         "part_supplier_components": _q_part_supplier_components,
         "lm_doc_scores": _q_lm_doc_scores,
+        "tpch_q3": _q_tpch_q3,
+        "upsample_quality": _q_upsample_quality,
     }
 
 
@@ -3811,5 +3892,29 @@ def oracle_sql() -> dict[str, str]:
                    USING (doc_id)
             LEFT JOIN (SELECT doc_id, CAST(SUM(lp) AS BIGINT) AS lp
                        FROM scored GROUP BY doc_id) s USING (doc_id)
+        """,
+        "tpch_q3": """
+            SELECT l.l_orderkey,
+                   CAST(SUM(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)
+                            * (100 - CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT)))
+                        AS BIGINT) AS revenue_c,
+                   o.o_orderdate, o.o_orderpriority
+            FROM lineitem l
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            WHERE c.c_mktsegment = 'BUILDING'
+              AND o.o_orderdate < TIMESTAMP '1998-06-01'
+              AND l.l_shipdate > TIMESTAMP '1998-06-01'
+            GROUP BY 1, 3, 4
+            ORDER BY revenue_c DESC, l.l_orderkey
+            LIMIT 10
+        """,
+        "upsample_quality": """
+            SELECT doc_id, times, unnest(range(times)) AS copy_idx
+            FROM (SELECT doc_id,
+                         CASE WHEN n_chars >= 800 THEN 3
+                              WHEN n_chars >= 400 THEN 2
+                              ELSE 1 END AS times
+                  FROM documents)
         """,
     }

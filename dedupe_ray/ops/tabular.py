@@ -2031,3 +2031,39 @@ def assign_row_numbers(
         )
 
     return assigned.groupby("__rnbkt").map_groups(number, batch_format="pyarrow")
+
+
+def replicate_rows(
+    ds: "ray.data.Dataset",
+    times_column: str,
+    copy_column: str = "copy_idx",
+    max_times: int = 1_000_000,
+) -> "ray.data.Dataset":
+    """Emit each row ``times_column`` times with ``copy_column`` = 0..n-1 —
+    the static data-mixing primitive (per-bucket epoch counts / upsampling
+    weights à la DoReMi mixtures). Pure per-batch gather (np.repeat index
+    + Table.take), zero shuffle, streaming; a row's copies stay in its
+    batch so the blowup is bounded per task, and ``max_times`` guards a
+    poisoned multiplier from OOMing a worker. n ≤ 0 drops the row (that IS
+    downsampling); nulls are an error."""
+
+    import numpy as np
+
+    def rep(t: pa.Table) -> pa.Table:
+        col = t.column(times_column)
+        if col.null_count:
+            raise ValueError(f"{times_column} contains nulls")
+        n = np.maximum(col.to_numpy(zero_copy_only=False).astype(np.int64), 0)
+        if len(n) and int(n.max()) > max_times:
+            raise ValueError(
+                f"{times_column} exceeds max_times={max_times}: {int(n.max())}"
+            )
+        idx = np.repeat(np.arange(len(t), dtype=np.int64), n)
+        out = t.take(pa.array(idx))
+        ends = np.cumsum(n)
+        copy_idx = np.arange(int(ends[-1]) if len(ends) else 0, dtype=np.int64) - np.repeat(
+            ends - n, n
+        )
+        return out.append_column(copy_column, pa.array(copy_idx))
+
+    return ds.map_batches(rep, batch_format="pyarrow")

@@ -4023,3 +4023,33 @@ def test_lm_bigram_scores_brute_force(ray_session):
     # quality signal: per-token logprob of garbage < in-distribution text
     per_tok = out["logprob_micro"] / out["n_tokens"].clip(lower=1)
     assert per_tok.loc["d4"] < per_tok.loc["d0"]
+
+
+def test_replicate_rows(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from dedupe_ray.ops.tabular import replicate_rows
+
+    ds = rd.from_pandas(
+        pd.DataFrame({"id": ["a", "b", "c", "d"], "n": [2, 0, 3, 1]})
+    ).repartition(2)
+    out = (
+        replicate_rows(ds, "n")
+        .to_pandas()
+        .sort_values(["id", "copy_idx"])
+        .reset_index(drop=True)
+    )
+    assert out["id"].tolist() == ["a", "a", "c", "c", "c", "d"]  # n=0 dropped
+    assert out["copy_idx"].tolist() == [0, 1, 0, 1, 2, 0]
+
+    with pytest.raises(Exception, match="max_times"):
+        replicate_rows(
+            rd.from_pandas(pd.DataFrame({"id": [1], "n": [10]})), "n", max_times=5
+        ).materialize()
+
+    with pytest.raises(Exception, match="nulls"):
+        replicate_rows(
+            rd.from_pandas(pd.DataFrame({"id": [1], "n": pd.array([None], dtype="Int64")})),
+            "n",
+        ).materialize()
