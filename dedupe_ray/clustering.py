@@ -115,6 +115,36 @@ def connected_components(
     return _components_distributed(edges_ds)
 
 
+def _labels_checksum(ds: "ray.data.Dataset") -> int:
+    """Content checksum of a (node, lbl) table: per-row hash, wrap-sum mod
+    2^64 — commutative/associative, so the total is exactly
+    BLOCK-LAYOUT-INVARIANT. The previous per-batch int63 masking made the
+    checksum depend on batch boundaries: converged label CONTENT with a
+    round-over-round drifting layout never reached a checksum fixpoint and
+    the propagation loop burned all max_rounds (seen on the sparse
+    part–supplier graph at sf0.1). Partials ride as int64 two's-complement
+    reinterpretations; the driver folds them back mod 2^64 (Ray's Sum
+    would overflow int64 on the partials — bounded: one row per block)."""
+
+    def h(batch: pa.Table) -> pa.Table:
+        hv = pd.util.hash_array(
+            np.asarray(
+                [
+                    f"{n}\x1f{l}"
+                    for n, l in zip(
+                        batch.column("node").to_pylist(), batch.column("lbl").to_pylist()
+                    )
+                ],
+                object,
+            )
+        )
+        part = int(hv.sum().astype(np.int64)) if len(hv) else 0
+        return pa.table({"h": pa.array([part], pa.int64())})
+
+    parts = ds.map_batches(h, batch_format="pyarrow").to_pandas()["h"]
+    return sum(int(v) & 0xFFFFFFFFFFFFFFFF for v in parts) & 0xFFFFFFFFFFFFFFFF
+
+
 def _components_distributed(
     edges_ds: "ray.data.Dataset", max_rounds: int = 48
 ) -> "ray.data.Dataset":
@@ -259,30 +289,7 @@ def _components_distributed(
             )
         )
 
-    def checksum(ds: "ray.data.Dataset") -> int:
-        # per-row hash, wrap-sum mod 2^64: commutative/associative, so the
-        # total is exactly BLOCK-LAYOUT-INVARIANT. The old per-batch int63
-        # masking made the checksum depend on batch boundaries — converged
-        # label CONTENT with a drifting layout never reached a checksum
-        # fixpoint and the loop burned all max_rounds (seen on the sparse
-        # part–supplier graph). Partials ride as int64 two's-complement
-        # reinterpretations; the driver folds them back mod 2^64.
-        def h(batch: pa.Table) -> pa.Table:
-            hv = pd.util.hash_array(
-                np.asarray(
-                    [f"{n}\x1f{l}" for n, l in zip(batch.column("node").to_pylist(), batch.column("lbl").to_pylist())],
-                    object,
-                )
-            )
-            part = int(hv.sum().astype(np.int64)) if len(hv) else 0
-            return pa.table({"h": pa.array([part], pa.int64())})
-
-        # final reduce driver-side (bounded: one row per block); Ray's Sum
-        # would overflow int64 on the partials
-        parts = ds.map_batches(h, batch_format="pyarrow").to_pandas()["h"]
-        return sum(int(v) & 0xFFFFFFFFFFFFFFFF for v in parts) & 0xFFFFFFFFFFFFFFFF
-
-    prev = checksum(labels)
+    prev = _labels_checksum(labels)
     converged = False
     for _ in range(max_rounds):
         tagged_edges = edges_bidir.map_batches(
@@ -308,7 +315,7 @@ def _components_distributed(
             .map_groups(min_per_node, batch_format="pyarrow")
         )
         labels = shortcut(shortcut(propagated)).materialize()  # double-hop
-        cur = checksum(labels)
+        cur = _labels_checksum(labels)
         if cur == prev:
             converged = True
             break

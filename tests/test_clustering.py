@@ -220,3 +220,25 @@ def test_canonical_reps_centroid_and_ties(ray_session):
     assert out.loc["c1", "city"] == ""
     assert out.loc["c1", "group_size"] == 3
     assert out.loc["c2", "name"] == "zeta" and out.loc["c2", "city"] == "warsaw"
+
+
+def test_labels_checksum_layout_invariant(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from dedupe_ray.clustering import _labels_checksum
+
+    df = pd.DataFrame(
+        {
+            "node": [f"n{i}" for i in range(997)],
+            "lbl": [f"n{i % 13}" for i in range(997)],
+        }
+    )
+    sums = {
+        _labels_checksum(rd.from_pandas(df).repartition(n)) for n in (1, 3, 17, 64)
+    }
+    assert len(sums) == 1  # identical content, any block layout
+
+    df2 = df.copy()
+    df2.loc[5, "lbl"] = "n999"
+    assert _labels_checksum(rd.from_pandas(df2)) not in sums
