@@ -2447,6 +2447,17 @@ def _q_upsample_quality(sf_dir: str):
     ).select_columns(["doc_id", "times", "copy_idx"])
 
 
+def _q_inverted_index(sf_dir: str):
+    """Token → ordered posting-list index over documents (min_df=3):
+    per-batch distinct-pair combiner, one groupby-token assembly. The
+    postings string is the full ordered posting list, so the oracle hash
+    checks index CONTENT, not just counts."""
+    from dedupe_ray.ops.text import inverted_index
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return inverted_index(docs, "text", "doc_id", min_df=3)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "er_clusters": _q_er_clusters,
@@ -2565,6 +2576,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_doc_scores": _q_lm_doc_scores,
         "tpch_q3": _q_tpch_q3,
         "upsample_quality": _q_upsample_quality,
+        "inverted_index": _q_inverted_index,
     }
 
 
@@ -3916,5 +3928,17 @@ def oracle_sql() -> dict[str, str]:
                               WHEN n_chars >= 400 THEN 2
                               ELSE 1 END AS times
                   FROM documents)
+        """,
+        "inverted_index": """
+            WITH pairs AS (
+                SELECT DISTINCT u.tok AS token, CAST(doc_id AS VARCHAR) AS id
+                FROM (SELECT doc_id,
+                             regexp_extract_all(lower(text), '[a-z]+') AS l
+                      FROM documents), unnest(l) AS u(tok)
+            )
+            SELECT token,
+                   CAST(COUNT(*) AS BIGINT) AS df,
+                   string_agg(id, ',' ORDER BY id) AS postings
+            FROM pairs GROUP BY token HAVING COUNT(*) >= 3
         """,
     }

@@ -1141,3 +1141,60 @@ def lm_bigram_scores(
         )
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+def inverted_index(
+    ds: "ray.data.Dataset",
+    column: str = "text",
+    id_column: str = "doc_id",
+    min_df: int = 1,
+) -> "ray.data.Dataset":
+    """Token → posting-list index (the retrieval primitive):
+    (token, df, postings) with postings = comma-joined STRING doc ids in
+    ascending lexicographic order. One shuffle: per-batch DISTINCT
+    (token, id) pairs (pandas drop_duplicates combiner — document text
+    never leaves the map task), then a single groupby-token assembly that
+    dedups across batches and sorts in-group, so the output is
+    deterministic under any block layout. At corpus scale, write the
+    result partitioned by token-hash prefix (write_partitioned_resumable)
+    instead of collecting it; df-filtering happens before the string
+    join, so hot tokens cost one group each."""
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        flat, counts = _lm_tokens(batch.column(column))
+        ids = np.repeat(
+            np.asarray(
+                pc.cast(batch.column(id_column), pa.string()).to_pylist(), object
+            ),
+            counts,
+        )
+        df = pd.DataFrame({"token": flat, "id": ids}).drop_duplicates()
+        return pa.table(
+            {
+                "token": pa.array(df["token"].to_numpy(object), pa.string()),
+                "id": pa.array(df["id"].to_numpy(object), pa.string()),
+            }
+        )
+
+    def assemble(group: pa.Table) -> pa.Table:
+        ids = sorted(set(group.column("id").to_pylist()))
+        if len(ids) < min_df:
+            return pa.table(
+                {
+                    "token": pa.array([], pa.string()),
+                    "df": pa.array([], pa.int64()),
+                    "postings": pa.array([], pa.string()),
+                }
+            )
+        return pa.table(
+            {
+                "token": pa.array([group.column("token")[0].as_py()], pa.string()),
+                "df": pa.array([len(ids)], pa.int64()),
+                "postings": pa.array([",".join(ids)], pa.string()),
+            }
+        )
+
+    return (
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .groupby("token")
+        .map_groups(assemble, batch_format="pyarrow")
+    )

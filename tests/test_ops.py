@@ -4053,3 +4053,29 @@ def test_replicate_rows(ray_session):
             rd.from_pandas(pd.DataFrame({"id": [1], "n": pd.array([None], dtype="Int64")})),
             "n",
         ).materialize()
+
+
+def test_inverted_index(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from dedupe_ray.ops.text import inverted_index
+
+    ds = rd.from_pandas(
+        pd.DataFrame(
+            {
+                # ids 2 and 10: lexicographic order ("10" < "2") must hold
+                "doc_id": [2, 10, 7],
+                "text": ["cat cat dog", "Cat bird", "dog bird bird"],
+            }
+        )
+    ).repartition(3)
+    out = (
+        inverted_index(ds, "text", "doc_id", min_df=2)
+        .to_pandas()
+        .sort_values("token")
+        .reset_index(drop=True)
+    )
+    assert out["token"].tolist() == ["bird", "cat", "dog"]
+    assert out["df"].tolist() == [2, 2, 2]
+    assert out["postings"].tolist() == ["10,7", "10,2", "2,7"]
