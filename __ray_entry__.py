@@ -2458,6 +2458,25 @@ def _q_inverted_index(sf_dir: str):
     return inverted_index(docs, "text", "doc_id", min_df=3)
 
 
+def _q_funnel_conversions(sf_dir: str):
+    """Greedy-earliest view→click→purchase funnel over events: one
+    bucketed shuffle, k vectorized in-bucket groupby-mins."""
+    from dedupe_ray.ops.tabular import funnel_steps
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    return funnel_steps(ev, ["view", "click", "purchase"])
+
+
+def _q_winsorized_prices(sf_dir: str):
+    """Winsorize l_extendedprice at the global [p05, p95] discrete
+    quantiles — both bounds from the shuffle-free histogram-refinement
+    engine, then one streaming clip pass."""
+    from dedupe_ray.ops.tabular import winsorize
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_extendedprice"])
+    return winsorize(li, "l_extendedprice", lo_q=0.05, hi_q=0.95)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "er_clusters": _q_er_clusters,
@@ -2577,6 +2596,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q3": _q_tpch_q3,
         "upsample_quality": _q_upsample_quality,
         "inverted_index": _q_inverted_index,
+        "funnel_conversions": _q_funnel_conversions,
+        "winsorized_prices": _q_winsorized_prices,
     }
 
 
@@ -3940,5 +3961,36 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS df,
                    string_agg(id, ',' ORDER BY id) AS postings
             FROM pairs GROUP BY token HAVING COUNT(*) >= 3
+        """,
+        # greedy-earliest funnel: each stage is the MIN ts strictly after
+        # the previous stage's per-user timestamp
+        "funnel_conversions": """
+            WITH s1 AS (
+                SELECT user_id, MIN(ts) AS ts_view FROM events
+                WHERE event_type = 'view' GROUP BY 1
+            ),
+            s2 AS (
+                SELECT e.user_id, MIN(e.ts) AS ts_click FROM events e
+                JOIN s1 ON s1.user_id = e.user_id AND e.ts > s1.ts_view
+                WHERE e.event_type = 'click' GROUP BY 1
+            ),
+            s3 AS (
+                SELECT e.user_id, MIN(e.ts) AS ts_purchase FROM events e
+                JOIN s2 ON s2.user_id = e.user_id AND e.ts > s2.ts_click
+                WHERE e.event_type = 'purchase' GROUP BY 1
+            )
+            SELECT user_id, ts_view, ts_click, ts_purchase
+            FROM s1 JOIN s2 USING (user_id) JOIN s3 USING (user_id)
+        """,
+        "winsorized_prices": """
+            WITH q AS (
+                SELECT quantile_disc(l_extendedprice, 0.05) AS lo,
+                       quantile_disc(l_extendedprice, 0.95) AS hi
+                FROM lineitem
+            )
+            SELECT l_orderkey, l_linenumber, l_extendedprice,
+                   LEAST(GREATEST(l_extendedprice, q.lo), q.hi)
+                       AS l_extendedprice_w
+            FROM lineitem, q
         """,
     }

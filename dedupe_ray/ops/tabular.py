@@ -2067,3 +2067,87 @@ def replicate_rows(
         return out.append_column(copy_column, pa.array(copy_idx))
 
     return ds.map_batches(rep, batch_format="pyarrow")
+
+
+def funnel_steps(
+    ds: "ray.data.Dataset",
+    steps: list[str],
+    user_column: str = "user_id",
+    ts_column: str = "ts",
+    type_column: str = "event_type",
+) -> "ray.data.Dataset":
+    """Greedy-earliest funnel (the product-analytics sequential-pattern
+    op): per user, t_1 = earliest ``steps[0]`` event; t_k = earliest
+    ``steps[k]`` event STRICTLY after t_{k-1}. Returns one row per user
+    who completed every step, with ``ts_<step>`` timestamp columns.
+
+    Shape: ONE bucketed shuffle of (user, ts, type) rows — users hash into
+    N_BUCKETS groups and each bucket resolves all its users with k
+    vectorized pandas groupby-mins (k = len(steps), never one python call
+    per user). Same-timestamp step events do NOT advance the funnel
+    (strict >), matching the SQL mirror."""
+    import numpy as np
+
+    from dedupe_ray.blocking import N_BUCKETS
+
+    if len(steps) < 2:
+        raise ValueError("a funnel needs at least two steps")
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        t = b.select([user_column, ts_column, type_column])
+        return t.append_column(
+            "ubucket", _bucket_hash_col(t.column(user_column), N_BUCKETS)
+        )
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        ut = group.schema.field(user_column).type
+        tt = group.schema.field(ts_column).type
+        df = group.select([user_column, ts_column, type_column]).to_pandas()
+        prev = None
+        outs = []
+        for s in steps:
+            sub = df[df[type_column] == s]
+            if prev is not None:
+                sub = sub.assign(_lim=sub[user_column].map(prev))
+                sub = sub[sub["_lim"].notna() & (sub[ts_column] > sub["_lim"])]
+            g = sub.groupby(user_column)[ts_column].min()
+            outs.append(g)
+            prev = g
+        done = sorted(outs[-1].index.tolist())
+        cols = {user_column: pa.array(done, type=ut)}
+        for s, o in zip(steps, outs):
+            vals = o.loc[done].to_numpy() if done else np.array([], "datetime64[us]")
+            cols[f"ts_{s}"] = pa.array(vals).cast(tt) if len(vals) else pa.array([], type=tt)
+        return pa.table(cols)
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("ubucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+
+
+def winsorize(
+    ds: "ray.data.Dataset",
+    column: str,
+    lo_q: float = 0.01,
+    hi_q: float = 0.99,
+    out_column: str | None = None,
+    **quantile_kwargs,
+) -> "ray.data.Dataset":
+    """Clip ``column`` to its global [lo_q, hi_q] discrete quantiles (the
+    outlier-robust preprocessing standard). Both bounds come from the
+    shuffle-free histogram-refinement quantile engine — ACTUAL data
+    elements, so the clip is value-exact against a SQL
+    ``quantile_disc`` mirror — then one streaming clip pass."""
+    import numpy as np
+
+    lo = global_quantile_disc(ds, column, q=lo_q, **quantile_kwargs)
+    hi = global_quantile_disc(ds, column, q=hi_q, **quantile_kwargs)
+    out = out_column or f"{column}_w"
+
+    def clip(b: pa.Table) -> pa.Table:
+        v = b.column(column).to_numpy(zero_copy_only=False)
+        return b.append_column(out, pa.array(np.minimum(np.maximum(v, lo), hi)))
+
+    return ds.map_batches(clip, batch_format="pyarrow")

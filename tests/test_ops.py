@@ -4079,3 +4079,33 @@ def test_inverted_index(ray_session):
     assert out["token"].tolist() == ["bird", "cat", "dog"]
     assert out["df"].tolist() == [2, 2, 2]
     assert out["postings"].tolist() == ["10,7", "10,2", "2,7"]
+
+
+def test_funnel_steps_strict_order(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from dedupe_ray.ops.tabular import funnel_steps
+
+    T = pd.Timestamp
+    rows = [
+        # u1 completes: view@1, click@2 (the click@0 BEFORE view must not count), purchase@3
+        (1, T("2024-01-01 00:00"), "click"),
+        (1, T("2024-01-01 01:00"), "view"),
+        (1, T("2024-01-01 02:00"), "click"),
+        (1, T("2024-01-01 03:00"), "purchase"),
+        # u2: click at the SAME ts as view — strict > blocks the funnel
+        (2, T("2024-01-01 01:00"), "view"),
+        (2, T("2024-01-01 01:00"), "click"),
+        (2, T("2024-01-01 02:00"), "purchase"),
+        # u3: never purchases
+        (3, T("2024-01-01 01:00"), "view"),
+        (3, T("2024-01-01 02:00"), "click"),
+    ]
+    df = pd.DataFrame(rows, columns=["user_id", "ts", "event_type"])
+    ds = rd.from_pandas(df).repartition(3)
+    out = funnel_steps(ds, ["view", "click", "purchase"]).to_pandas()
+    assert out["user_id"].tolist() == [1]
+    assert out["ts_view"].iloc[0] == T("2024-01-01 01:00")
+    assert out["ts_click"].iloc[0] == T("2024-01-01 02:00")
+    assert out["ts_purchase"].iloc[0] == T("2024-01-01 03:00")
