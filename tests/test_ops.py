@@ -4109,3 +4109,47 @@ def test_funnel_steps_strict_order(ray_session):
     assert out["ts_view"].iloc[0] == T("2024-01-01 01:00")
     assert out["ts_click"].iloc[0] == T("2024-01-01 02:00")
     assert out["ts_purchase"].iloc[0] == T("2024-01-01 03:00")
+
+
+def test_funnel_steps_brute_force_random(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from dedupe_ray.ops.tabular import funnel_steps
+
+    rng = np.random.RandomState(1234)
+    n = 3000
+    df = pd.DataFrame(
+        {
+            "user_id": rng.randint(0, 200, n),
+            "ts": pd.Timestamp("2024-01-01")
+            + pd.to_timedelta(rng.randint(0, 10_000, n), unit="s"),
+            "event_type": rng.choice(["view", "click", "purchase", "other"], n),
+        }
+    )
+    steps = ["view", "click", "purchase"]
+    out = (
+        funnel_steps(rd.from_pandas(df).repartition(7), steps)
+        .to_pandas()
+        .set_index("user_id")
+        .sort_index()
+    )
+
+    # brute force: greedy-earliest per user over the time-sorted stream
+    expect = {}
+    for uid, g in df.sort_values("ts").groupby("user_id"):
+        t_prev, stamps = None, []
+        ok = True
+        for s in steps:
+            sub = g[(g.event_type == s) & ((g.ts > t_prev) if t_prev is not None else True)]
+            if len(sub) == 0:
+                ok = False
+                break
+            t_prev = sub["ts"].iloc[0]
+            stamps.append(t_prev)
+        if ok:
+            expect[uid] = stamps
+    assert sorted(expect) == out.index.tolist()
+    for uid, (tv, tc, tp) in expect.items():
+        row = out.loc[uid]
+        assert (row["ts_view"], row["ts_click"], row["ts_purchase"]) == (tv, tc, tp)

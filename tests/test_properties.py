@@ -199,3 +199,22 @@ def test_lcanopy_pairs_within_radius_coblock(s):
     pred = LevenshteinCanopyPredicate("f", [s, t, "unrelatedlongvalue"], 1)
     if levenshtein(s, t) <= 1:
         assert set(pred.keys({"f": s})) & set(pred.keys({"f": t}))
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=2**62), min_size=1, max_size=50),
+    st.integers(min_value=1, max_value=4096),
+    st.integers(min_value=1, max_value=6),
+)
+def test_cms_cols_range_and_determinism(vals, width, depth):
+    import numpy as np
+
+    from dedupe_ray.ops.sketch import _cms_cols
+
+    v = np.asarray(vals, np.int64)
+    a = _cms_cols(v, width, depth)
+    b = _cms_cols(v, width, depth)
+    assert a.shape == (depth, len(vals))
+    assert (a >= 0).all() and (a < width).all()
+    assert (a == b).all()
