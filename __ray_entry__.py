@@ -2477,6 +2477,38 @@ def _q_winsorized_prices(sf_dir: str):
     return winsorize(li, "l_extendedprice", lo_q=0.05, hi_q=0.95)
 
 
+def _q_snapshot_diff(sf_dir: str):
+    """Corpus-snapshot diff: the 'new' snapshot is a deterministic mutation
+    of documents (drop %7 keys, edit text of %11 keys, add %13 keys under
+    +1000000 ids) built identically in both engines; one bucketed
+    full-outer join classifies every key."""
+    import pyarrow.compute as pc
+
+    from dedupe_ray.ops.tabular import diff_snapshots
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def mutate(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        keep = b.filter(pa.array(ids % 7 != 0))
+        kid = keep.column("doc_id").to_numpy(zero_copy_only=False)
+        text = keep.column("text")
+        edited = pc.binary_join_element_wise(text, "!", "")
+        new_text = pc.if_else(pa.array(kid % 11 == 0), edited, text)
+        base = pa.table({"doc_id": keep.column("doc_id"), "text": new_text})
+        adds = b.filter(pa.array(ids % 13 == 0))
+        added = pa.table(
+            {
+                "doc_id": pc.add(adds.column("doc_id"), 1000000),
+                "text": pa.array(["new doc"] * len(adds), pa.string()),
+            }
+        )
+        return pa.concat_tables([base, added])
+
+    new_ds = docs.map_batches(mutate, batch_format="pyarrow")
+    return diff_snapshots(docs, new_ds, "doc_id", ["text"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "er_clusters": _q_er_clusters,
@@ -2598,6 +2630,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "inverted_index": _q_inverted_index,
         "funnel_conversions": _q_funnel_conversions,
         "winsorized_prices": _q_winsorized_prices,
+        "snapshot_diff": _q_snapshot_diff,
     }
 
 
@@ -3992,5 +4025,22 @@ def oracle_sql() -> dict[str, str]:
                    LEAST(GREATEST(l_extendedprice, q.lo), q.hi)
                        AS l_extendedprice_w
             FROM lineitem, q
+        """,
+        "snapshot_diff": """
+            WITH newt AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 11 = 0 THEN text || '!'
+                            ELSE text END AS text
+                FROM documents WHERE doc_id % 7 <> 0
+                UNION ALL
+                SELECT doc_id + 1000000 AS doc_id, 'new doc' AS text
+                FROM documents WHERE doc_id % 13 = 0
+            )
+            SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+                   CASE WHEN o.doc_id IS NULL THEN 'added'
+                        WHEN n.doc_id IS NULL THEN 'removed'
+                        WHEN o.text IS DISTINCT FROM n.text THEN 'changed'
+                        ELSE 'unchanged' END AS status
+            FROM documents o FULL OUTER JOIN newt n ON n.doc_id = o.doc_id
         """,
     }

@@ -226,6 +226,14 @@ def run_bench() -> dict:
     entrymod.queries()["bloom_new_events"](SF_DIR).count()
     queries["bloom_new_events"] = round(time.time() - t0, 3)
 
+    t0 = time.time()
+    entrymod.queries()["lm_doc_scores"](SF_DIR).to_pandas()
+    queries["lm_doc_scores"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    entrymod.queries()["tpch_q3"](SF_DIR).to_pandas()
+    queries["tpch_q3"] = round(time.time() - t0, 3)
+
     result = {
         "metric": "er_partition_seconds",
         "value": queries["er_partition"],

@@ -2151,3 +2151,69 @@ def winsorize(
         return b.append_column(out, pa.array(np.minimum(np.maximum(v, lo), hi)))
 
     return ds.map_batches(clip, batch_format="pyarrow")
+
+
+def diff_snapshots(
+    old_ds: "ray.data.Dataset",
+    new_ds: "ray.data.Dataset",
+    key_column: str,
+    compare_columns: list[str],
+    status_column: str = "status",
+) -> "ray.data.Dataset":
+    """Corpus-snapshot diff (the data-ops audit primitive): one row per
+    key with status ∈ {added, removed, changed, unchanged}. Built on the
+    bucketed full-outer join (unique keys both sides), with explicit
+    presence markers so rows whose compare columns are all-NULL still
+    classify correctly; the value compare is vectorized and null-aware
+    (both-NULL counts as equal; float NaN is a VALUE and NaN≠NaN flags
+    'changed' — document values, not IEEE identity, are what a diff
+    audits). Nothing corpus-sized is collected; the join shuffles rows
+    once by key hash."""
+    import numpy as np
+
+    from dedupe_ray.joins import bucketed_lookup_join
+
+    new_cols = [f"__new_{c}" for c in compare_columns]
+
+    def tag_old(t: pa.Table) -> pa.Table:
+        return t.select([key_column, *compare_columns]).append_column(
+            "__old_present", pa.array(np.ones(len(t), np.int8))
+        )
+
+    def tag_new(t: pa.Table) -> pa.Table:
+        out = {key_column: t.column(key_column)}
+        for c, nc in zip(compare_columns, new_cols):
+            out[nc] = t.column(c)
+        out["__new_present"] = pa.array(np.ones(len(t), np.int8))
+        return pa.table(out)
+
+    joined = bucketed_lookup_join(
+        old_ds.map_batches(tag_old, batch_format="pyarrow"),
+        new_ds.map_batches(tag_new, batch_format="pyarrow"),
+        key_column,
+        key_column,
+        [*new_cols, "__new_present"],
+        how="full",
+    )
+
+    def classify(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        added = df["__old_present"].isna().to_numpy()
+        removed = df["__new_present"].isna().to_numpy()
+        changed = np.zeros(len(df), bool)
+        for c, nc in zip(compare_columns, new_cols):
+            a, b = df[c], df[nc]
+            changed |= ((a != b) & ~(a.isna() & b.isna())).to_numpy()
+        status = np.where(
+            added, "added", np.where(removed, "removed", np.where(changed, "changed", "unchanged"))
+        )
+        return pa.table(
+            {
+                key_column: pa.Array.from_pandas(df[key_column]).cast(
+                    t.schema.field(key_column).type
+                ),
+                status_column: pa.array(status.tolist(), pa.string()),
+            }
+        )
+
+    return joined.map_batches(classify, batch_format="pyarrow")

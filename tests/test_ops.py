@@ -4153,3 +4153,42 @@ def test_funnel_steps_brute_force_random(ray_session):
     for uid, (tv, tc, tp) in expect.items():
         row = out.loc[uid]
         assert (row["ts_view"], row["ts_click"], row["ts_purchase"]) == (tv, tc, tp)
+
+
+def test_diff_snapshots(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from dedupe_ray.ops.tabular import diff_snapshots
+
+    old = rd.from_pandas(
+        pd.DataFrame(
+            {
+                "k": [1, 2, 3, 4, 5],
+                "v": ["a", "b", None, None, "e"],
+            }
+        )
+    ).repartition(2)
+    new = rd.from_pandas(
+        pd.DataFrame(
+            {
+                "k": [1, 3, 4, 5, 6],
+                "v": ["a", None, "now-set", "E", None],
+            }
+        )
+    ).repartition(3)
+    out = (
+        diff_snapshots(old, new, "k", ["v"])
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert out["k"].tolist() == [1, 2, 3, 4, 5, 6]
+    assert out["status"].tolist() == [
+        "unchanged",  # same value
+        "removed",
+        "unchanged",  # both NULL counts as equal
+        "changed",    # NULL -> value
+        "changed",    # value edit
+        "added",
+    ]
