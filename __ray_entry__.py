@@ -2509,6 +2509,18 @@ def _q_snapshot_diff(sf_dir: str):
     return diff_snapshots(docs, new_ds, "doc_id", ["text"])
 
 
+def _q_bpe_token_counts(sf_dir: str):
+    """BPE tokenizer workflow (no SQL oracle — the merge loop is
+    iterative): train 50 merges on the corpus (deterministic,
+    layout-invariant; see test_bpe_train_and_tokenize), broadcast the
+    merge table, count BPE tokens per document in one streaming pass."""
+    from dedupe_ray.ops.text import bpe_tokenize, bpe_train
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    merges = bpe_train(docs, n_merges=50)
+    return bpe_tokenize(docs, merges).select_columns(["doc_id", "n_bpe_tokens"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "er_clusters": _q_er_clusters,
@@ -2631,6 +2643,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_conversions": _q_funnel_conversions,
         "winsorized_prices": _q_winsorized_prices,
         "snapshot_diff": _q_snapshot_diff,
+        "bpe_token_counts": _q_bpe_token_counts,
     }
 
 

@@ -1198,3 +1198,127 @@ def inverted_index(
         .groupby("token")
         .map_groups(assemble, batch_format="pyarrow")
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer: sample-train (driver, bounded) + broadcast-apply (streaming)
+# ---------------------------------------------------------------------------
+
+
+def bpe_train(
+    ds: "ray.data.Dataset",
+    column: str = "text",
+    id_column: str = "doc_id",
+    n_merges: int = 200,
+    sample_mod: int = 1,
+    max_words: int = 50_000,
+) -> list[tuple[str, str]]:
+    """Train byte-pair-encoding merges (Sennrich et al. 2016) the way
+    production tokenizers are built at corpus scale: word frequencies come
+    from a DETERMINISTIC hash-sample of documents (``sample_mod``: keep
+    ids with siphash(id) % mod == 0; 1 = whole corpus) reduced with the
+    combiner/groupby pattern, the merge loop itself runs driver-side over
+    the bounded top-``max_words`` word-frequency table. Ties on pair
+    frequency break lexicographically — the merge list is parallelism-
+    and layout-invariant. Returns the ordered merge list for
+    :func:`bpe_tokenize`."""
+    from ray.data.aggregate import Sum
+
+    def word_partials(batch: pa.Table) -> pa.Table:
+        keep = pd.util.hash_array(
+            np.asarray(
+                pc.cast(batch.column(id_column), pa.string()).to_pylist(), object
+            )
+        ) % sample_mod == 0
+        flat, counts = _lm_tokens(batch.column(column))
+        mask = np.repeat(keep, counts)
+        codes, uniques = pd.factorize(flat[mask])
+        cnt = np.bincount(codes, minlength=len(uniques)).astype(np.int64)
+        return pa.table({"word": pa.array(uniques, pa.string()), "cnt": pa.array(cnt)})
+
+    rows = (
+        ds.map_batches(word_partials, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .sort(["cnt", "word"], descending=[True, False])
+        .limit(max_words)
+        .take_all()  # bounded: ≤ max_words rows
+    )
+    vocab: dict[tuple[str, ...], int] = {
+        (*r["word"], "</w>"): int(r["cnt"]) for r in rows
+    }
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs: dict[tuple[str, str], int] = {}
+        for sym, c in vocab.items():
+            for a, b in zip(sym, sym[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + c
+        if not pairs:
+            break
+        # deterministic argmax: max count, then lexicographically SMALLEST
+        top = max(pairs.values())
+        best = min(p for p, c in pairs.items() if c == top)
+        if pairs[best] < 2:
+            break
+        merges.append(best)
+        merged = best[0] + best[1]
+        new_vocab: dict[tuple[str, ...], int] = {}
+        for sym, c in vocab.items():
+            out, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == best[0] and sym[i + 1] == best[1]:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + c
+        vocab = new_vocab
+    return merges
+
+
+def bpe_tokenize(
+    ds: "ray.data.Dataset",
+    merges: list[tuple[str, str]],
+    column: str = "text",
+    out_column: str = "n_bpe_tokens",
+) -> "ray.data.Dataset":
+    """Apply a trained merge list: per-batch, each DISTINCT word is
+    segmented once (memo over the batch's unique words — web text repeats
+    words heavily) and per-document BPE token counts come from a reduceat
+    over the word→length map. The merge table broadcasts once via
+    ``ray.put``; the pass is a single streaming map_batches."""
+    import ray
+
+    ranks_ref = ray.put({m: i for i, m in enumerate(merges)})
+
+    def seg_len(word: str, ranks: dict) -> int:
+        sym = [*word, "</w>"]
+        while len(sym) > 1:
+            best_rank, best_i = None, -1
+            for i, pair in enumerate(zip(sym, sym[1:])):
+                r = ranks.get(pair)
+                if r is not None and (best_rank is None or r < best_rank):
+                    best_rank, best_i = r, i
+            if best_rank is None:
+                break
+            sym[best_i : best_i + 2] = [sym[best_i] + sym[best_i + 1]]
+        return len(sym)
+
+    def apply(batch: pa.Table) -> pa.Table:
+        ranks = ray.get(ranks_ref)
+        flat, counts = _lm_tokens(batch.column(column))
+        codes, uniques = pd.factorize(flat)
+        lens = np.fromiter(
+            (seg_len(w, ranks) for w in uniques), np.int64, count=len(uniques)
+        )
+        per_tok = lens[codes] if len(codes) else np.zeros(0, np.int64)
+        starts = np.zeros(len(counts) + 1, np.int64)
+        np.cumsum(counts, out=starts[1:])
+        out = np.zeros(len(counts), np.int64)
+        nz = counts > 0
+        if nz.any():
+            out[nz] = np.add.reduceat(per_tok, starts[:-1][nz])
+        return batch.append_column(out_column, pa.array(out))
+
+    return ds.map_batches(apply, batch_format="pyarrow")

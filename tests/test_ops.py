@@ -4192,3 +4192,46 @@ def test_diff_snapshots(ray_session):
         "changed",    # value edit
         "added",
     ]
+
+
+def test_bpe_train_and_tokenize(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from dedupe_ray.ops.text import bpe_tokenize, bpe_train
+
+    # classic Sennrich toy corpus: "est</w>" becomes an early merge
+    docs = ["low low low lower lower", "newest newest widest widest", "low"]
+    ds = rd.from_pandas(
+        pd.DataFrame({"doc_id": [1, 2, 3], "text": docs})
+    ).repartition(2)
+    merges = bpe_train(ds, n_merges=10, id_column="doc_id")
+    assert merges, "expected at least one merge"
+    assert ("e", "s") in merges and ("es", "t") in merges
+    assert ("l", "o") in merges and ("lo", "w") in merges
+
+    # layout invariance: merges identical under a different partitioning
+    merges2 = bpe_train(ds.repartition(5), n_merges=10, id_column="doc_id")
+    assert merges == merges2
+
+    out = (
+        bpe_tokenize(ds, merges)
+        .to_pandas()
+        .set_index("doc_id")["n_bpe_tokens"]
+        .sort_index()
+    )
+    # with full merges "low</w>" collapses to 1 token; brute-check doc 3
+    def brute(word, merges):
+        sym = [*word, "</w>"]
+        ranks = {m: i for i, m in enumerate(merges)}
+        while len(sym) > 1:
+            cands = [(ranks[p], i) for i, p in enumerate(zip(sym, sym[1:])) if p in ranks]
+            if not cands:
+                break
+            _, i = min(cands)
+            sym[i : i + 2] = [sym[i] + sym[i + 1]]
+        return len(sym)
+
+    assert out.loc[3] == brute("low", merges)
+    exp1 = 3 * brute("low", merges) + 2 * brute("lower", merges)
+    assert out.loc[1] == exp1
