@@ -2521,6 +2521,16 @@ def _q_bpe_token_counts(sf_dir: str):
     return bpe_tokenize(docs, merges).select_columns(["doc_id", "n_bpe_tokens"])
 
 
+def _q_event_cooccurrence(sf_dir: str):
+    """Market-basket pairwise co-occurrence: event types co-appearing for
+    the same user (distinct-combiner → bucketed per-group triu pair
+    emission → bounded pair count)."""
+    from dedupe_ray.ops.tabular import cooccurrence_pairs
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+    return cooccurrence_pairs(ev, "user_id", "event_type")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "er_clusters": _q_er_clusters,
@@ -2644,6 +2654,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winsorized_prices": _q_winsorized_prices,
         "snapshot_diff": _q_snapshot_diff,
         "bpe_token_counts": _q_bpe_token_counts,
+        "event_cooccurrence": _q_event_cooccurrence,
     }
 
 
@@ -4055,5 +4066,13 @@ def oracle_sql() -> dict[str, str]:
                         WHEN o.text IS DISTINCT FROM n.text THEN 'changed'
                         ELSE 'unchanged' END AS status
             FROM documents o FULL OUTER JOIN newt n ON n.doc_id = o.doc_id
+        """,
+        "event_cooccurrence": """
+            WITH d AS (SELECT DISTINCT user_id, event_type FROM events)
+            SELECT a.event_type AS item_a, b.event_type AS item_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_groups
+            FROM d a JOIN d b
+              ON a.user_id = b.user_id AND a.event_type < b.event_type
+            GROUP BY 1, 2
         """,
     }

@@ -2217,3 +2217,95 @@ def diff_snapshots(
         )
 
     return joined.map_batches(classify, batch_format="pyarrow")
+
+
+def cooccurrence_pairs(
+    ds: "ray.data.Dataset",
+    group_column: str,
+    item_column: str,
+) -> "ray.data.Dataset":
+    """Pairwise co-occurrence counts (the a-priori/market-basket first
+    step): (item_a, item_b, n_groups) with item_a < item_b, counting
+    groups in which BOTH items occur. Per-batch distinct-(group,item)
+    combiner shrinks the shuffle, groups hash into N_BUCKETS so each
+    bucket dedups and emits its groups' pairs with numpy triu gathers
+    batched BY GROUP SIZE (one gather per distinct size, never one python
+    call per group), then a bounded groupby-count over the item-pair
+    space. Groups with very many distinct items blow up quadratically by
+    definition of the op — cap upstream (``cap_per_key``) for basket-like
+    data."""
+    import numpy as np
+
+    from dedupe_ray.blocking import N_BUCKETS
+
+    def distinct_partial(b: pa.Table) -> pa.Table:
+        df = (
+            b.select([group_column, item_column])
+            .to_pandas()
+            .drop_duplicates()
+        )
+        t = pa.Table.from_pandas(df, preserve_index=False)
+        return t.append_column(
+            "__gbkt", _bucket_hash_col(t.column(group_column), N_BUCKETS)
+        )
+
+    def emit_pairs(group: pa.Table) -> pa.Table:
+        df = (
+            group.select([group_column, item_column])
+            .to_pandas()
+            .drop_duplicates()
+            .sort_values([group_column, item_column], kind="mergesort")
+        )
+        items = df[item_column].to_numpy(object)
+        gvals = df[group_column].to_numpy(object)
+        new_g = np.empty(len(df), bool)
+        if len(df) == 0:
+            return pa.table(
+                {
+                    "item_a": pa.array([], pa.string()),
+                    "item_b": pa.array([], pa.string()),
+                }
+            )
+        new_g[0] = True
+        new_g[1:] = gvals[1:] != gvals[:-1]
+        starts = np.flatnonzero(new_g)
+        ks = np.diff(np.append(starts, len(df)))
+        out_a, out_b = [], []
+        for k in np.unique(ks):
+            if k < 2:
+                continue
+            iu, ju = np.triu_indices(int(k), 1)
+            s = starts[ks == k]  # all groups of this size, one gather
+            out_a.append((s[:, None] + iu[None, :]).ravel())
+            out_b.append((s[:, None] + ju[None, :]).ravel())
+        if not out_a:
+            return pa.table(
+                {
+                    "item_a": pa.array([], pa.string()),
+                    "item_b": pa.array([], pa.string()),
+                }
+            )
+        ia = np.concatenate(out_a)
+        ib = np.concatenate(out_b)
+        return pa.table(
+            {
+                "item_a": pa.array(items[ia], pa.string()),
+                "item_b": pa.array(items[ib], pa.string()),
+            }
+        )
+
+    pairs = (
+        ds.map_batches(distinct_partial, batch_format="pyarrow")
+        .groupby("__gbkt")
+        .map_groups(emit_pairs, batch_format="pyarrow")
+    )
+    return pairs.groupby(["item_a", "item_b"]).count().map_batches(
+        lambda t: pa.table(
+            {
+                "item_a": t.column("item_a"),
+                "item_b": t.column("item_b"),
+                "n_groups": pc.cast(t.column("count()"), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )

@@ -4235,3 +4235,32 @@ def test_bpe_train_and_tokenize(ray_session):
     assert out.loc[3] == brute("low", merges)
     exp1 = 3 * brute("low", merges) + 2 * brute("lower", merges)
     assert out.loc[1] == exp1
+
+
+def test_cooccurrence_pairs(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from dedupe_ray.ops.tabular import cooccurrence_pairs
+
+    df = pd.DataFrame(
+        {
+            "g": [1, 1, 1, 1, 2, 2, 3, 3, 3, 4],
+            #      duplicates within a group must not double-count
+            "item": ["a", "b", "c", "a", "a", "b", "b", "c", "d", "a"],
+        }
+    )
+    out = (
+        cooccurrence_pairs(rd.from_pandas(df).repartition(4), "g", "item")
+        .to_pandas()
+        .sort_values(["item_a", "item_b"])
+        .reset_index(drop=True)
+    )
+    got = {(r.item_a, r.item_b): r.n_groups for r in out.itertuples()}
+    assert got == {
+        ("a", "b"): 2,   # groups 1 and 2
+        ("a", "c"): 1,   # group 1
+        ("b", "c"): 2,   # groups 1 and 3
+        ("b", "d"): 1,
+        ("c", "d"): 1,
+    }
