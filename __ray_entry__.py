@@ -2531,6 +2531,40 @@ def _q_event_cooccurrence(sf_dir: str):
     return cooccurrence_pairs(ev, "user_id", "event_type")
 
 
+def _q_pagerank_parts(sf_dir: str):
+    """Integer micro-PageRank (3 iterations, d=0.85) over the same sparse
+    part–supplier bipartite graph as part_supplier_components,
+    bidirectional edges. Exact int64 floor arithmetic end to end, so the
+    iterative graph computation hash-compares against a 3×-unrolled SQL
+    mirror."""
+    import pyarrow.compute as pc
+
+    from dedupe_ray.ops.graph import pagerank_micro
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey", "l_suppkey"])
+
+    def edges(b: pa.Table) -> pa.Table:
+        ok = b.column("l_orderkey").to_numpy(zero_copy_only=False) % 997 == 0
+        t = b.filter(pa.array(ok))
+        p = pc.binary_join_element_wise(
+            "P", pc.cast(t.column("l_partkey"), pa.string()), ""
+        )
+        s = pc.binary_join_element_wise(
+            "S", pc.cast(t.column("l_suppkey"), pa.string()), ""
+        )
+        if isinstance(p, pa.ChunkedArray):
+            p, s = p.combine_chunks(), s.combine_chunks()
+        return pa.table(
+            {
+                "src": pa.concat_arrays([p, s]),
+                "dst": pa.concat_arrays([s, p]),
+            }
+        )
+
+    e = li.map_batches(edges, batch_format="pyarrow")
+    return pagerank_micro(e, iters=3)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "er_clusters": _q_er_clusters,
@@ -2655,6 +2689,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snapshot_diff": _q_snapshot_diff,
         "bpe_token_counts": _q_bpe_token_counts,
         "event_cooccurrence": _q_event_cooccurrence,
+        "pagerank_parts": _q_pagerank_parts,
     }
 
 
@@ -4074,5 +4109,50 @@ def oracle_sql() -> dict[str, str]:
             FROM d a JOIN d b
               ON a.user_id = b.user_id AND a.event_type < b.event_type
             GROUP BY 1, 2
+        """,
+        # 3 unrolled iterations of exact-int64 PageRank; same graph as
+        # part_supplier_components, edges deduped then bidirected
+        "pagerank_parts": """
+            WITH e0 AS (
+                SELECT DISTINCT 'P' || CAST(l_partkey AS VARCHAR) AS a,
+                                'S' || CAST(l_suppkey AS VARCHAR) AS b
+                FROM lineitem WHERE l_orderkey % 997 = 0
+            ),
+            e AS (SELECT a AS src, b AS dst FROM e0
+                  UNION ALL SELECT b AS src, a AS dst FROM e0),
+            nodes AS (SELECT DISTINCT src AS node FROM e),
+            od AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY 1),
+            pr0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS pr FROM nodes),
+            pr1 AS (
+                SELECT n.node,
+                       CAST(150000000000 + (85 * COALESCE(s.m, 0)) // 100
+                            AS BIGINT) AS pr
+                FROM nodes n LEFT JOIN (
+                    SELECT e.dst, SUM(p.pr // od.d) AS m
+                    FROM e JOIN pr0 p ON p.node = e.src
+                           JOIN od ON od.src = e.src
+                    GROUP BY 1) s ON s.dst = n.node
+            ),
+            pr2 AS (
+                SELECT n.node,
+                       CAST(150000000000 + (85 * COALESCE(s.m, 0)) // 100
+                            AS BIGINT) AS pr
+                FROM nodes n LEFT JOIN (
+                    SELECT e.dst, SUM(p.pr // od.d) AS m
+                    FROM e JOIN pr1 p ON p.node = e.src
+                           JOIN od ON od.src = e.src
+                    GROUP BY 1) s ON s.dst = n.node
+            ),
+            pr3 AS (
+                SELECT n.node,
+                       CAST(150000000000 + (85 * COALESCE(s.m, 0)) // 100
+                            AS BIGINT) AS pr
+                FROM nodes n LEFT JOIN (
+                    SELECT e.dst, SUM(p.pr // od.d) AS m
+                    FROM e JOIN pr2 p ON p.node = e.src
+                           JOIN od ON od.src = e.src
+                    GROUP BY 1) s ON s.dst = n.node
+            )
+            SELECT node, pr FROM pr3
         """,
     }
