@@ -2565,6 +2565,16 @@ def _q_pagerank_parts(sf_dir: str):
     return pagerank_micro(e, iters=3)
 
 
+def _q_events_resampled(sf_dir: str):
+    """Time-series gap fill: per-user 6-hour epoch-aligned grid carrying
+    the latest observation at or before each grid point (one bucketed
+    shuffle, composite-key searchsorted per bucket)."""
+    from dedupe_ray.ops.tabular import resample_ffill
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "value"])
+    return resample_ffill(ev, "user_id", "ts", "value", every_seconds=21600)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "er_clusters": _q_er_clusters,
@@ -2690,6 +2700,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_token_counts": _q_bpe_token_counts,
         "event_cooccurrence": _q_event_cooccurrence,
         "pagerank_parts": _q_pagerank_parts,
+        "events_resampled": _q_events_resampled,
     }
 
 
@@ -4154,5 +4165,29 @@ def oracle_sql() -> dict[str, str]:
                     GROUP BY 1) s ON s.dst = n.node
             )
             SELECT node, pr FROM pr3
+        """,
+        # 6h-grid forward fill; exact-ts dups collapse to MAX(value) first
+        # (the deterministic tie rule the engine applies too)
+        "events_resampled": """
+            WITH d AS (
+                SELECT user_id, ts, MAX(value) AS value
+                FROM events GROUP BY 1, 2
+            ),
+            b AS (SELECT user_id, MIN(ts) mn, MAX(ts) mx FROM d GROUP BY 1),
+            grid AS (
+                SELECT user_id,
+                       unnest(generate_series(
+                           ((epoch_us(mn) + 21599999999) // 21600000000)
+                               * 21600000000,
+                           (epoch_us(mx) // 21600000000) * 21600000000,
+                           21600000000)) AS ts_us
+                FROM b
+            )
+            SELECT grid.user_id AS user_id,
+                   make_timestamp(grid.ts_us) AS ts,
+                   d.value AS value
+            FROM grid ASOF JOIN d
+              ON grid.user_id = d.user_id
+             AND make_timestamp(grid.ts_us) >= d.ts
         """,
     }

@@ -2309,3 +2309,103 @@ def cooccurrence_pairs(
         ),
         batch_format="pyarrow",
     )
+
+
+def resample_ffill(
+    ds: "ray.data.Dataset",
+    user_column: str = "user_id",
+    ts_column: str = "ts",
+    value_column: str = "value",
+    every_seconds: int = 3600,
+) -> "ray.data.Dataset":
+    """Time-series resampling with forward fill (gap filling): for each
+    key, emit one row per ``every_seconds`` grid point (epoch-aligned,
+    spanning [first, last] observation) carrying the latest observation at
+    or before the grid point. Exact-duplicate timestamps within a key
+    collapse to their MAX value first (a deterministic tie rule both the
+    engine and the SQL mirror apply).
+
+    Shape: ONE bucketed shuffle (the standard per-key window layout); the
+    whole bucket resolves with a single composite-key searchsorted — no
+    python loop over keys. Composite key = key-ordinal << 48 | (ts − base)
+    µs, so a bucket's time span must stay under 2^48 µs ≈ 8.9 years
+    (asserted); beyond that, pre-split by epoch range."""
+    import numpy as np
+
+    from dedupe_ray.blocking import N_BUCKETS
+
+    step = int(every_seconds) * 1_000_000
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        t = b.select([user_column, ts_column, value_column])
+        return t.append_column(
+            "__rbkt", _bucket_hash_col(t.column(user_column), N_BUCKETS)
+        )
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        ut = group.schema.field(user_column).type
+        tt = group.schema.field(ts_column).type
+        vt = group.schema.field(value_column).type
+        df = group.select([user_column, ts_column, value_column]).to_pandas()
+        if len(df) == 0:
+            return pa.table(
+                {
+                    user_column: pa.array([], ut),
+                    ts_column: pa.array([], tt),
+                    value_column: pa.array([], vt),
+                }
+            )
+        # collapse exact-ts duplicates to MAX value, then sort
+        df = (
+            df.groupby([user_column, ts_column], as_index=False)[value_column]
+            .max()
+            .sort_values([user_column, ts_column], kind="mergesort")
+        )
+        ts = df[ts_column].to_numpy().astype("datetime64[us]").astype(np.int64)
+        vals = df[value_column].to_numpy()
+        users = df[user_column].to_numpy(object)
+        new_u = np.empty(len(df), bool)
+        new_u[0] = True
+        new_u[1:] = users[1:] != users[:-1]
+        starts = np.flatnonzero(new_u)
+        ends = np.append(starts[1:], len(df)) - 1
+        mn, mx = ts[starts], ts[ends]
+        g0 = -(-mn // step) * step          # ceil to grid
+        g1 = (mx // step) * step            # floor to grid
+        n = np.maximum((g1 - g0) // step + 1, 0)
+        total = int(n.sum())
+        if total == 0:
+            return pa.table(
+                {
+                    user_column: pa.array([], ut),
+                    ts_column: pa.array([], tt),
+                    value_column: pa.array([], vt),
+                }
+            )
+        base = int(ts.min())
+        span = int(ts.max()) - base
+        assert span < (1 << 48), "bucket time span exceeds the composite-key range"
+        ordinals = np.cumsum(new_u) - 1  # per-row key ordinal
+        uid_of_seg = np.arange(len(starts))
+        excl = np.zeros(len(n) + 1, np.int64)
+        np.cumsum(n, out=excl[1:])
+        local = np.arange(total, dtype=np.int64) - np.repeat(excl[:-1], n)
+        grid_ts = np.repeat(g0, n) + local * step
+        grid_ord = np.repeat(uid_of_seg, n)
+        key_ev = (ordinals.astype(np.int64) << 48) | (ts - base)
+        key_gr = (grid_ord << 48) | (grid_ts - base)
+        idx = np.searchsorted(key_ev, key_gr, side="right") - 1
+        out_users = users[starts][grid_ord]
+        return pa.table(
+            {
+                user_column: pa.array(out_users.tolist(), ut),
+                ts_column: pa.array(grid_ts.astype("datetime64[us]")).cast(tt),
+                value_column: pa.array(vals[idx], vt),
+            }
+        )
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("__rbkt")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )

@@ -4304,3 +4304,44 @@ def test_pagerank_micro_brute_force(ray_session):
     # layout invariance is by construction (exact int64 sums) and is
     # additionally evidenced by the pagerank_parts oracle hash-matching
     # at three scales under different block layouts
+
+
+def test_resample_ffill(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from dedupe_ray.ops.tabular import resample_ffill
+
+    T = pd.Timestamp
+    df = pd.DataFrame(
+        [
+            # u1: events at 00:30 and 03:10 -> hourly grid 01:00..03:00
+            (1, T("2024-01-01 00:30:00"), 10.0),
+            (1, T("2024-01-01 03:10:00"), 20.0),
+            # u1 duplicate-ts pair collapses to MAX before the fill
+            (1, T("2024-01-01 00:30:00"), 7.0),
+            # u2: single event EXACTLY on the grid -> one row, own value
+            (2, T("2024-01-01 05:00:00"), 99.0),
+            # u3: events within one step and not straddling a grid point
+            (3, T("2024-01-01 06:10:00"), 1.0),
+            (3, T("2024-01-01 06:50:00"), 2.0),
+        ],
+        columns=["user_id", "ts", "value"],
+    )
+    out = (
+        resample_ffill(rd.from_pandas(df).repartition(3), every_seconds=3600)
+        .to_pandas()
+        .sort_values(["user_id", "ts"])
+        .reset_index(drop=True)
+    )
+    u1 = out[out.user_id == 1]
+    assert u1["ts"].tolist() == [
+        T("2024-01-01 01:00:00"),
+        T("2024-01-01 02:00:00"),
+        T("2024-01-01 03:00:00"),
+    ]
+    assert u1["value"].tolist() == [10.0, 10.0, 10.0]
+    u2 = out[out.user_id == 2]
+    assert u2["ts"].tolist() == [T("2024-01-01 05:00:00")]
+    assert u2["value"].tolist() == [99.0]
+    assert len(out[out.user_id == 3]) == 0  # no grid point inside the span
