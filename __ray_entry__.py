@@ -2575,6 +2575,21 @@ def _q_events_resampled(sf_dir: str):
     return resample_ffill(ev, "user_id", "ts", "value", every_seconds=21600)
 
 
+def _q_weighted_sample_orders(sf_dir: str):
+    """Deterministic weighted sampling without replacement (A-Res with
+    pinned-hash randomness): 100 orders by o_totalprice weight; per-batch
+    top-k pre-trim, tiny final sort."""
+    from dedupe_ray.ops.tabular import weighted_sample
+
+    o = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    # the float priority column stays internal: DuckDB's ln() and numpy's
+    # log() disagree in the last ulp on some inputs, so only the SELECTED
+    # ROWS (the actual sample) are the comparable output
+    return weighted_sample(o, "o_orderkey", "o_totalprice", k=100).select_columns(
+        ["o_orderkey", "o_totalprice"]
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "er_clusters": _q_er_clusters,
@@ -2701,6 +2716,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_cooccurrence": _q_event_cooccurrence,
         "pagerank_parts": _q_pagerank_parts,
         "events_resampled": _q_events_resampled,
+        "weighted_sample_orders": _q_weighted_sample_orders,
     }
 
 
@@ -4189,5 +4205,19 @@ def oracle_sql() -> dict[str, str]:
             FROM grid ASOF JOIN d
               ON grid.user_id = d.user_id
              AND make_timestamp(grid.ts_us) >= d.ts
+        """,
+        # A-Res weighted sample: priority = ln((h+1)/2^31)/w with the
+        # pinned universal hash — identical IEEE expression both engines
+        "weighted_sample_orders": """
+            SELECT o_orderkey, o_totalprice FROM (
+                SELECT o_orderkey, o_totalprice,
+                       ln(((1103515245 * (o_orderkey % 2147483647) + 12345)
+                           % 2147483647 + 1.0) / 2147483648.0)
+                           / o_totalprice AS priority
+                FROM orders
+                WHERE o_totalprice > 0
+                ORDER BY priority DESC, o_orderkey
+                LIMIT 100
+            )
         """,
     }

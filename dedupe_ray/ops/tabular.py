@@ -2409,3 +2409,46 @@ def resample_ffill(
         .groupby("__rbkt")
         .map_groups(per_bucket, batch_format="pyarrow")
     )
+
+
+def weighted_sample(
+    ds: "ray.data.Dataset",
+    key_column: str,
+    weight_column: str,
+    k: int,
+) -> "ray.data.Dataset":
+    """Weighted sampling WITHOUT replacement, k items (Efraimidis &
+    Spirakis 2006 A-Res), with DETERMINISTIC pseudo-randomness: the
+    uniform draw comes from the same pinned universal hash family as the
+    Count-Min sketch (u = (h+1)/2^31 ∈ (0,1], exact integer → float64),
+    so the sample is reproducible, parallelism-invariant, and
+    engine-exact against a SQL mirror of priority = ln(u)/w. Per-batch
+    top-k pre-trim keeps the final sort tiny (≤ k rows per block leave
+    the workers); weights must be > 0 (rows with w ≤ 0 or NULL are
+    excluded, standard semantics)."""
+    import numpy as np
+
+    from dedupe_ray.ops.sketch import _CMS_A, _CMS_B, _CMS_P
+
+    a, b = _CMS_A[0], _CMS_B[0]
+
+    def prio(batch: pa.Table) -> pa.Table:
+        key = batch.column(key_column).to_numpy(zero_copy_only=False)
+        w = batch.column(weight_column).to_numpy(zero_copy_only=False)
+        ok = np.isfinite(w) & (w > 0)
+        t = batch.filter(pa.array(ok))
+        key, w = key[ok], w[ok]
+        h = (a * (key.astype(np.int64) % _CMS_P) + b) % _CMS_P
+        u = (h + 1.0) / 2147483648.0
+        pri = np.log(u) / w
+        t = t.append_column("priority", pa.array(pri))
+        if len(t) > k:  # per-batch pre-trim: only each block's top-k travel
+            order = np.lexsort((key, -pri))[:k]
+            t = t.take(pa.array(np.sort(order)))
+        return t
+
+    return (
+        ds.map_batches(prio, batch_format="pyarrow")
+        .sort(["priority", key_column], descending=[True, False])
+        .limit(k)
+    )

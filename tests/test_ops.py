@@ -4345,3 +4345,51 @@ def test_resample_ffill(ray_session):
     assert u2["ts"].tolist() == [T("2024-01-01 05:00:00")]
     assert u2["value"].tolist() == [99.0]
     assert len(out[out.user_id == 3]) == 0  # no grid point inside the span
+
+
+def test_weighted_sample(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from dedupe_ray.ops.sketch import _CMS_A, _CMS_B, _CMS_P
+    from dedupe_ray.ops.tabular import weighted_sample
+
+    rng = np.random.RandomState(5)
+    df = pd.DataFrame(
+        {
+            "k": np.arange(2000, dtype=np.int64),
+            "w": np.concatenate([rng.uniform(0.1, 1, 1000), rng.uniform(50, 100, 1000)]),
+        }
+    )
+    df.loc[5, "w"] = 0.0      # excluded
+    df.loc[6, "w"] = -3.0     # excluded
+    out = (
+        weighted_sample(rd.from_pandas(df).repartition(7), "k", "w", k=50)
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert len(out) == 50
+    assert not {5, 6} & set(out["k"])
+
+    # reference: full A-Res scan with the same pinned hash
+    w = df["w"].to_numpy()
+    keep = w > 0
+    kk = df["k"].to_numpy()[keep]
+    ww = w[keep]
+    h = (_CMS_A[0] * (kk % _CMS_P) + _CMS_B[0]) % _CMS_P
+    pri = np.log((h + 1.0) / 2147483648.0) / ww
+    ref = kk[np.lexsort((kk, -pri))[:50]]
+    assert sorted(ref.tolist()) == out["k"].tolist()
+
+    # high-weight half should dominate the sample
+    assert (out["k"] >= 1000).mean() > 0.9
+
+    # parallelism invariance
+    out2 = (
+        weighted_sample(rd.from_pandas(df).repartition(1), "k", "w", k=50)
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert out2["k"].tolist() == out["k"].tolist()
