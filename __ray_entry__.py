@@ -2590,6 +2590,33 @@ def _q_weighted_sample_orders(sf_dir: str):
     )
 
 
+def _q_part_triangles(sf_dir: str):
+    """Per-node triangle counts over the part co-purchase graph (parts
+    sharing an order, 1/97 order slice): wedge emission + closing-edge
+    join, checked against a three-way self-join oracle."""
+    from dedupe_ray.ops.graph import triangle_counts
+    from dedupe_ray.ops.tabular import cooccurrence_pairs
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def slice_orders(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ok = b.column("l_orderkey").to_numpy(zero_copy_only=False) % 97 == 0
+        t = b.filter(pa.array(ok))
+        return pa.table(
+            {
+                "l_orderkey": t.column("l_orderkey"),
+                "part": pc.cast(t.column("l_partkey"), pa.string()),
+            }
+        )
+
+    pairs = cooccurrence_pairs(
+        li.map_batches(slice_orders, batch_format="pyarrow"), "l_orderkey", "part"
+    )
+    return triangle_counts(pairs, "item_a", "item_b")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "er_clusters": _q_er_clusters,
@@ -2717,6 +2744,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_parts": _q_pagerank_parts,
         "events_resampled": _q_events_resampled,
         "weighted_sample_orders": _q_weighted_sample_orders,
+        "part_triangles": _q_part_triangles,
     }
 
 
@@ -4219,5 +4247,29 @@ def oracle_sql() -> dict[str, str]:
                 ORDER BY priority DESC, o_orderkey
                 LIMIT 100
             )
+        """,
+        # triangles a<b<c once via three-edge join; per-vertex counts by
+        # unioning the three corners
+        "part_triangles": """
+            WITH li AS (
+                SELECT DISTINCT l_orderkey, CAST(l_partkey AS VARCHAR) AS part
+                FROM lineitem WHERE l_orderkey % 97 = 0
+            ),
+            e AS (
+                SELECT DISTINCT a.part AS u, b.part AS w
+                FROM li a JOIN li b
+                  ON a.l_orderkey = b.l_orderkey AND a.part < b.part
+            ),
+            tri AS (
+                SELECT e1.u AS a, e1.w AS b, e2.w AS c
+                FROM e e1
+                JOIN e e2 ON e2.u = e1.w
+                JOIN e e3 ON e3.u = e1.u AND e3.w = e2.w
+            )
+            SELECT v AS node, CAST(COUNT(*) AS BIGINT) AS n_tri FROM (
+                SELECT a AS v FROM tri
+                UNION ALL SELECT b AS v FROM tri
+                UNION ALL SELECT c AS v FROM tri
+            ) GROUP BY 1
         """,
     }

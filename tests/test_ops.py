@@ -4393,3 +4393,26 @@ def test_weighted_sample(ray_session):
         .reset_index(drop=True)
     )
     assert out2["k"].tolist() == out["k"].tolist()
+
+
+def test_triangle_counts(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from dedupe_ray.ops.graph import triangle_counts
+
+    # K4 on a,b,c,d (every vertex in C(3,2)=3 triangles) plus a pendant
+    # edge d-e and a disconnected pair f-g; duplicate + reversed edges
+    # must collapse; self-loop must be ignored
+    edges = [
+        ("a", "b"), ("b", "a"),      # dup reversed
+        ("a", "c"), ("a", "d"),
+        ("b", "c"), ("b", "d"),
+        ("c", "d"), ("c", "d"),      # dup
+        ("d", "e"),
+        ("f", "g"),
+        ("e", "e"),                  # self-loop
+    ]
+    ds = rd.from_pandas(pd.DataFrame(edges, columns=["src", "dst"])).repartition(3)
+    out = triangle_counts(ds).to_pandas().set_index("node")["n_tri"].sort_index()
+    assert out.to_dict() == {"a": 3, "b": 3, "c": 3, "d": 3}
