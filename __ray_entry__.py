@@ -2617,6 +2617,21 @@ def _q_part_triangles(sf_dir: str):
     return triangle_counts(pairs, "item_a", "item_b")
 
 
+def _q_avro_roundtrip(sf_dir: str):
+    """Avro OCF sink/source fidelity (pure-python codec, deflate blocks):
+    events key columns — long, timestamp-micros, string, double — written
+    as one container per block and re-read must be value-identical to the
+    parquet original."""
+    import hashlib
+
+    from dedupe_ray.sources import read_avro, write_avro
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "event_type", "value"])
+    out = "/tmp/dedupe_ray_avro_" + hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    write_avro(ev, out)
+    return read_avro(out)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "er_clusters": _q_er_clusters,
@@ -2745,6 +2760,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_resampled": _q_events_resampled,
         "weighted_sample_orders": _q_weighted_sample_orders,
         "part_triangles": _q_part_triangles,
+        "avro_roundtrip": _q_avro_roundtrip,
     }
 
 
@@ -3983,6 +3999,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "feather_roundtrip": """
             SELECT p_partkey, p_name FROM part
+        """,
+        "avro_roundtrip": """
+            SELECT event_id, ts, event_type, value FROM events
         """,
         # Count-Min: every arithmetic step is exact int64 (a < 2^31,
         # v mod p < 2^31 => products < 2^62), so both engines land on the

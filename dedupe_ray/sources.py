@@ -443,3 +443,35 @@ def write_feather(ds: "ray.data.Dataset", path: str) -> None:
             w.write_table(t)
 
     _write_sharded(ds, path, "feather", shard)
+
+def read_avro(paths: list[str] | str, columns: list[str] | None = None) -> "ray.data.Dataset":
+    """Avro Object Container File source (flat null-union records; see
+    :mod:`dedupe_ray.avro_codec`): one decode task per file over
+    ``ray.data.read_binary_files`` — the same per-file shard granularity
+    as :func:`read_orc`. Avro is row-major, so ``columns`` prunes after
+    the row walk (decode cost is per-row regardless; the projection
+    saves shuffle/heap bytes downstream, not parse time)."""
+    ds = ray.data.read_binary_files(paths)
+
+    def decode(b: pa.Table) -> pa.Table:
+        from dedupe_ray.avro_codec import decode_file
+
+        tables = [
+            decode_file(buf.as_py(), columns=columns) for buf in b.column("bytes")
+        ]
+        return pa.concat_tables(tables)
+
+    return ds.map_batches(decode, batch_format="pyarrow")
+
+
+def write_avro(ds: "ray.data.Dataset", path: str, codec: str = "deflate") -> None:
+    """Avro sink: one ``.avro`` container per block (deflate blocks),
+    tmp-dir + atomic rename — the standard resumable-output contract."""
+
+    def shard(t: pa.Table, p: str) -> None:
+        from dedupe_ray.avro_codec import encode_table
+
+        with open(p, "wb") as f:
+            f.write(encode_table(t, codec=codec))
+
+    _write_sharded(ds, path, "avro", shard)

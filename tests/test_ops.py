@@ -3856,7 +3856,7 @@ def test_string_sim_pairs_both_metrics(ray_session):
         string_sim_pairs(ds, pairs, "name", 0.5, metric="cosine")
 
 
-@pytest.mark.parametrize("fmt", ["orc", "feather"])
+@pytest.mark.parametrize("fmt", ["orc", "feather", "avro"])
 def test_orc_feather_roundtrip(tmp_path, ray_session, fmt):
     """Sharded columnar sinks round-trip values, types, nulls and unicode;
     re-read with column pruning; overwrite of an existing dir is clean."""
@@ -4416,3 +4416,60 @@ def test_triangle_counts(ray_session):
     ds = rd.from_pandas(pd.DataFrame(edges, columns=["src", "dst"])).repartition(3)
     out = triangle_counts(ds).to_pandas().set_index("node")["n_tri"].sort_index()
     assert out.to_dict() == {"a": 3, "b": 3, "c": 3, "d": 3}
+
+
+def test_avro_codec_pinned_bytes():
+    """Hand-assembled Avro OCF decodes correctly (writer/reader bugs can't
+    cancel), and the writer reproduces the hand bytes for the same rows."""
+    import hashlib
+    import json
+
+    from dedupe_ray.avro_codec import decode_file, encode_table
+
+    schema = json.dumps(
+        {
+            "type": "record",
+            "name": "row",
+            "fields": [
+                {"name": "id", "type": ["null", "long"]},
+                {"name": "s", "type": ["null", "string"]},
+            ],
+        },
+        sort_keys=True,
+    )
+    sync = hashlib.md5(schema.encode()).digest()
+
+    def vlong(n):  # zigzag varint, hand-rolled independently
+        z = (n << 1) ^ (n >> 63) if n >= 0 else ((-n - 1) << 1 | 1)
+        out = b""
+        while True:
+            b7 = z & 0x7F
+            z >>= 7
+            if z:
+                out += bytes([b7 | 0x80])
+            else:
+                return out + bytes([b7])
+
+    body = (
+        vlong(1) + vlong(5)          # id = 5
+        + vlong(1) + vlong(2) + "hi".encode()  # s = "hi"
+        + vlong(1) + vlong(-3)       # id = -3 (zigzag negative)
+        + vlong(0)                   # s = null
+    )
+    hand = (
+        b"Obj\x01"
+        + vlong(2)
+        + vlong(len(b"avro.codec")) + b"avro.codec"
+        + vlong(len(b"null")) + b"null"
+        + vlong(len(b"avro.schema")) + b"avro.schema"
+        + vlong(len(schema.encode())) + schema.encode()
+        + vlong(0)
+        + sync
+        + vlong(2) + vlong(len(body)) + body + sync
+    )
+    t = decode_file(hand)
+    assert t.column("id").to_pylist() == [5, -3]
+    assert t.column("s").to_pylist() == ["hi", None]
+
+    back = encode_table(t, codec="null")
+    assert back == hand  # byte-identical round trip
