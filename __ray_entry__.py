@@ -2632,6 +2632,78 @@ def _q_avro_roundtrip(sf_dir: str):
     return read_avro(out)
 
 
+def _q_fs_linkage_weights(sf_dir: str):
+    """Unsupervised Fellegi–Sunter EM over sorted-neighborhood customer
+    pairs (agreement on nation / segment / acctbal-band): one distributed
+    pattern-count pass, EM driver-side on the ≤2^3 sufficient-statistic
+    rows. No SQL oracle (iterative EM); deterministic by construction —
+    exact integer pattern counts, fixed init and iteration count."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from dedupe_ray.linkage import fellegi_sunter_em
+    from dedupe_ray.ops.dedup import sorted_neighborhood_pairs
+
+    cust = _read(
+        sf_dir, "customer", ["c_custkey", "c_name", "c_nationkey", "c_mktsegment", "c_acctbal"]
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "id": pc.cast(b.column("c_custkey"), pa.string()),
+                "name": b.column("c_name"),
+                "nat": b.column("c_nationkey"),
+                "seg": b.column("c_mktsegment"),
+                "bal": b.column("c_acctbal"),
+            }
+        )
+
+    recs = cust.map_batches(prep, batch_format="pyarrow")
+    pairs = sorted_neighborhood_pairs(recs, id_column="id", key_column="name", window=10)
+    # attach both sides' fields, then boolean agreements
+    from dedupe_ray.joins import bucketed_lookup_join
+
+    a = bucketed_lookup_join(
+        pairs, recs.map_batches(
+            lambda t: pa.table(
+                {"id": t.column("id"), "nat_a": t.column("nat"),
+                 "seg_a": t.column("seg"), "bal_a": t.column("bal")}
+            ),
+            batch_format="pyarrow",
+        ),
+        "id_a", "id", ["nat_a", "seg_a", "bal_a"],
+    )
+    ab = bucketed_lookup_join(
+        a, recs.map_batches(
+            lambda t: pa.table(
+                {"id": t.column("id"), "nat_b": t.column("nat"),
+                 "seg_b": t.column("seg"), "bal_b": t.column("bal")}
+            ),
+            batch_format="pyarrow",
+        ),
+        "id_b", "id", ["nat_b", "seg_b", "bal_b"],
+    )
+
+    def agreements(t: pa.Table) -> pa.Table:
+        bal_close = pc.less_equal(
+            pc.abs(pc.subtract(t.column("bal_a"), t.column("bal_b"))), 100.0
+        )
+        return pa.table(
+            {
+                "agree_nat": pc.equal(t.column("nat_a"), t.column("nat_b")),
+                "agree_seg": pc.equal(t.column("seg_a"), t.column("seg_b")),
+                "agree_bal": bal_close,
+            }
+        )
+
+    res = fellegi_sunter_em(
+        ab.map_batches(agreements, batch_format="pyarrow"),
+        ["agree_nat", "agree_seg", "agree_bal"],
+    )
+    return rd.from_arrow(res["patterns"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "er_clusters": _q_er_clusters,
@@ -2761,6 +2833,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample_orders": _q_weighted_sample_orders,
         "part_triangles": _q_part_triangles,
         "avro_roundtrip": _q_avro_roundtrip,
+        "fs_linkage_weights": _q_fs_linkage_weights,
     }
 
 

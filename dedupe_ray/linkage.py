@@ -346,3 +346,104 @@ def link_records(
     out["id_a"] = out["id_a"].str[2:]
     out["id_b"] = out["id_b"].str[2:]
     return ray.data.from_pandas(out)
+
+
+# ---------------------------------------------------------------------------
+# Fellegi–Sunter probabilistic linkage weights via EM (Winkler 1988, public)
+# ---------------------------------------------------------------------------
+
+
+def fellegi_sunter_em(
+    pairs_ds: "ray.data.Dataset",
+    agree_columns: list[str],
+    iters: int = 100,
+    p_init: float = 0.1,
+    m_init: float = 0.9,
+    u_init: float = 0.1,
+) -> dict:
+    """Unsupervised Fellegi–Sunter parameter estimation: given candidate
+    pairs with BOOLEAN per-field agreement columns, estimate each field's
+    m = P(agree | match) and u = P(agree | non-match) plus the match
+    prevalence p, by EM under conditional independence.
+
+    Scale shape: the 2^k agreement PATTERNS are sufficient statistics, so
+    ONE distributed pass reduces the pair stream to ≤ 2^k (pattern, count)
+    rows (per-batch bincount combiner → tiny groupby Sum) and EM then
+    iterates driver-side on that bounded table — re-scanning nothing.
+    Deterministic: fixed init, fixed iteration count, float64 driver math.
+
+    Returns {"p": float, "fields": [{field, m, u, log2_agree,
+    log2_disagree}], "patterns": pa.Table(pattern, n, match_prob)}.
+    """
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    k = len(agree_columns)
+    if not 0 < k <= 20:
+        raise ValueError("need 1..20 agreement columns")
+
+    def pattern_partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        code = np.zeros(len(batch), np.int64)
+        for i, c in enumerate(agree_columns):
+            bits = (
+                pc.fill_null(pc.cast(batch.column(c), pa.bool_()), False)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            code |= bits << i
+        up, cnt = np.unique(code, return_counts=True)
+        return pa.table({"pattern": pa.array(up), "n": pa.array(cnt.astype(np.int64))})
+
+    pat = (
+        pairs_ds.map_batches(pattern_partial, batch_format="pyarrow")
+        .groupby("pattern")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # bounded: ≤ 2^k rows
+    )
+    codes = pat["pattern"].to_numpy(np.int64)
+    counts = pat["n"].to_numpy(np.float64)
+    bits = ((codes[:, None] >> np.arange(k)[None, :]) & 1).astype(np.float64)
+
+    p = float(p_init)
+    m = np.full(k, float(m_init))
+    u = np.full(k, float(u_init))
+    eps = 1e-12
+    for _ in range(iters):
+        lm = bits @ np.log(m + eps) + (1 - bits) @ np.log(1 - m + eps)
+        lu = bits @ np.log(u + eps) + (1 - bits) @ np.log(1 - u + eps)
+        wm = p * np.exp(lm)
+        wu = (1 - p) * np.exp(lu)
+        g = wm / np.maximum(wm + wu, eps)  # E-step: P(match | pattern)
+        nm = float((g * counts).sum())
+        nu = float(((1 - g) * counts).sum())
+        p = nm / max(nm + nu, eps)
+        m = (bits * (g * counts)[:, None]).sum(0) / max(nm, eps)
+        u = (bits * ((1 - g) * counts)[:, None]).sum(0) / max(nu, eps)
+        m = np.clip(m, 1e-6, 1 - 1e-6)
+        u = np.clip(u, 1e-6, 1 - 1e-6)
+
+    lm = bits @ np.log(m + eps) + (1 - bits) @ np.log(1 - m + eps)
+    lu = bits @ np.log(u + eps) + (1 - bits) @ np.log(1 - u + eps)
+    wm = p * np.exp(lm)
+    wu = (1 - p) * np.exp(lu)
+    g = wm / np.maximum(wm + wu, eps)
+    fields = [
+        {
+            "field": c,
+            "m": float(m[i]),
+            "u": float(u[i]),
+            "log2_agree": float(np.log2(m[i] / u[i])),
+            "log2_disagree": float(np.log2((1 - m[i]) / (1 - u[i]))),
+        }
+        for i, c in enumerate(agree_columns)
+    ]
+    patterns = pa.table(
+        {
+            "pattern": pa.array(codes),
+            "n": pa.array(counts.astype(np.int64)),
+            "match_prob": pa.array(g),
+        }
+    )
+    return {"p": p, "fields": fields, "patterns": patterns}

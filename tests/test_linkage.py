@@ -164,3 +164,39 @@ def test_chunk_partition_quirk(ray_session):
     assert not (pc_ & cross)         # quirk: every cross-chunk pair missed
     assert pc_ <= pf                 # and nothing new is invented
     assert len(pc_) > 0              # in-chunk duplicates still found
+
+
+def test_fellegi_sunter_em_recovers_parameters(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from dedupe_ray.linkage import fellegi_sunter_em
+
+    rng = np.random.RandomState(77)
+    n = 60_000
+    p_true = 0.2
+    m_true = np.array([0.95, 0.90, 0.80])
+    u_true = np.array([0.10, 0.20, 0.05])
+    is_match = rng.rand(n) < p_true
+    agree = np.where(
+        is_match[:, None], rng.rand(n, 3) < m_true, rng.rand(n, 3) < u_true
+    )
+    df = pd.DataFrame(agree, columns=["a0", "a1", "a2"])
+    res = fellegi_sunter_em(
+        rd.from_pandas(df).repartition(9), ["a0", "a1", "a2"]
+    )
+    assert abs(res["p"] - p_true) < 0.05
+    for i, f in enumerate(res["fields"]):
+        assert abs(f["m"] - m_true[i]) < 0.06, f
+        assert abs(f["u"] - u_true[i]) < 0.06, f
+        assert f["log2_agree"] > 0 > f["log2_disagree"]
+
+    # the all-agree pattern must be the most match-probable
+    pat = res["patterns"].to_pandas().set_index("pattern")
+    assert pat["match_prob"].idxmax() == 0b111
+    assert pat.loc[0b000, "match_prob"] < 0.05
+
+    # determinism across layouts (sufficient statistics are exact ints)
+    res2 = fellegi_sunter_em(rd.from_pandas(df).repartition(2), ["a0", "a1", "a2"])
+    assert res2["p"] == res["p"] and res2["fields"] == res["fields"]
