@@ -2704,6 +2704,15 @@ def _q_fs_linkage_weights(sf_dir: str):
     return rd.from_arrow(res["patterns"])
 
 
+def _q_acctbal_minmax(sf_dir: str):
+    """Per-nation min-max scaling of customer balances (combiner extrema
+    groupby + bucketed join + one IEEE expression, window-fn oracle)."""
+    from dedupe_ray.ops.tabular import normalize_minmax
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"])
+    return normalize_minmax(cust, "c_nationkey", "c_acctbal")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "er_clusters": _q_er_clusters,
@@ -2834,6 +2843,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_triangles": _q_part_triangles,
         "avro_roundtrip": _q_avro_roundtrip,
         "fs_linkage_weights": _q_fs_linkage_weights,
+        "acctbal_minmax": _q_acctbal_minmax,
     }
 
 
@@ -4363,5 +4373,16 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL SELECT b AS v FROM tri
                 UNION ALL SELECT c AS v FROM tri
             ) GROUP BY 1
+        """,
+        "acctbal_minmax": """
+            SELECT c_custkey, c_nationkey, c_acctbal,
+                   CASE WHEN mx = mn THEN NULL
+                        ELSE (c_acctbal - mn) / (mx - mn) END AS c_acctbal_mm
+            FROM (
+                SELECT c_custkey, c_nationkey, c_acctbal,
+                       MIN(c_acctbal) OVER (PARTITION BY c_nationkey) AS mn,
+                       MAX(c_acctbal) OVER (PARTITION BY c_nationkey) AS mx
+                FROM customer
+            )
         """,
     }

@@ -2452,3 +2452,50 @@ def weighted_sample(
         .sort(["priority", key_column], descending=[True, False])
         .limit(k)
     )
+
+
+def normalize_minmax(
+    ds: "ray.data.Dataset",
+    group_column: str,
+    value_column: str,
+    out_column: str | None = None,
+) -> "ray.data.Dataset":
+    """Per-group min-max feature scaling: (x − min) / (max − min), NULL
+    when the group is constant (max == min). Group extrema reduce with
+    one combiner groupby; the scaling pass streams with a bucketed
+    unique-key join — exact data values in, one IEEE expression out, so
+    the result hash-compares against a window-function SQL mirror."""
+    import numpy as np
+    from ray.data.aggregate import Max, Min
+
+    from dedupe_ray.joins import bucketed_lookup_join
+
+    out = out_column or f"{value_column}_mm"
+    extrema = (
+        ds.groupby(group_column)
+        .aggregate(Min(value_column, alias_name="__mn"), Max(value_column, alias_name="__mx"))
+    )
+    joined = bucketed_lookup_join(ds, extrema, group_column, group_column, ["__mn", "__mx"])
+
+    def scale(t: pa.Table) -> pa.Table:
+        x = t.column(value_column).to_numpy(zero_copy_only=False).astype(np.float64)
+        mn = t.column("__mn").to_numpy(zero_copy_only=False).astype(np.float64)
+        mx = t.column("__mx").to_numpy(zero_copy_only=False).astype(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            v = (x - mn) / (mx - mn)
+        v = np.where(mx == mn, np.nan, v)
+        return t.drop_columns(["__mn", "__mx"]).append_column(
+            out, pa.array(v).cast(pa.float64())
+        )
+
+    res = joined.map_batches(scale, batch_format="pyarrow")
+
+    def null_constant(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        col = t.column(out)
+        return t.set_column(
+            t.schema.get_field_index(out), out, pc.if_else(pc.is_nan(col), pa.scalar(None, pa.float64()), col)
+        )
+
+    return res.map_batches(null_constant, batch_format="pyarrow")

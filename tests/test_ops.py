@@ -4473,3 +4473,28 @@ def test_avro_codec_pinned_bytes():
 
     back = encode_table(t, codec="null")
     assert back == hand  # byte-identical round trip
+
+
+def test_normalize_minmax(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from dedupe_ray.ops.tabular import normalize_minmax
+
+    df = pd.DataFrame(
+        {
+            "g": ["a", "a", "a", "b", "b", "c"],
+            "v": [10.0, 20.0, 30.0, 5.0, 5.0, 7.0],
+        }
+    )
+    out = (
+        normalize_minmax(rd.from_pandas(df).repartition(3), "g", "v")
+        .to_pandas()
+        .sort_values(["g", "v"])
+        .reset_index(drop=True)
+    )
+    a = out[out.g == "a"]["v_mm"].tolist()
+    assert a == [0.0, 0.5, 1.0]
+    # constant groups (including singletons) scale to NULL
+    assert out[out.g == "b"]["v_mm"].isna().all()
+    assert out[out.g == "c"]["v_mm"].isna().all()
