@@ -2713,6 +2713,16 @@ def _q_acctbal_minmax(sf_dir: str):
     return normalize_minmax(cust, "c_nationkey", "c_acctbal")
 
 
+def _q_events_interpolated(sf_dir: str):
+    """Linear-interpolation resampling (12h grid): lerp between the
+    bracketing observations per user — one IEEE expression, double-ASOF
+    oracle."""
+    from dedupe_ray.ops.tabular import resample_interp
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "value"])
+    return resample_interp(ev, "user_id", "ts", "value", every_seconds=43200)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "er_clusters": _q_er_clusters,
@@ -2844,6 +2854,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "avro_roundtrip": _q_avro_roundtrip,
         "fs_linkage_weights": _q_fs_linkage_weights,
         "acctbal_minmax": _q_acctbal_minmax,
+        "events_interpolated": _q_events_interpolated,
     }
 
 
@@ -4384,5 +4395,44 @@ def oracle_sql() -> dict[str, str]:
                        MAX(c_acctbal) OVER (PARTITION BY c_nationkey) AS mx
                 FROM customer
             )
+        """,
+        # lerp between ASOF-below and ASOF-above brackets, 12h grid
+        "events_interpolated": """
+            WITH d AS (
+                SELECT user_id, ts, MAX(value) AS value
+                FROM events GROUP BY 1, 2
+            ),
+            b AS (SELECT user_id, MIN(ts) mn, MAX(ts) mx FROM d GROUP BY 1),
+            grid AS (
+                SELECT user_id,
+                       unnest(generate_series(
+                           ((epoch_us(mn) + 43199999999) // 43200000000)
+                               * 43200000000,
+                           (epoch_us(mx) // 43200000000) * 43200000000,
+                           43200000000)) AS ts_us
+                FROM b
+            ),
+            lo AS (
+                SELECT grid.user_id AS user_id, grid.ts_us AS ts_us,
+                       d.ts AS t0, d.value AS v0
+                FROM grid ASOF JOIN d
+                  ON grid.user_id = d.user_id
+                 AND make_timestamp(grid.ts_us) >= d.ts
+            ),
+            hi AS (
+                SELECT grid.user_id AS user_id, grid.ts_us AS ts_us,
+                       d.ts AS t1, d.value AS v1
+                FROM grid ASOF JOIN d
+                  ON grid.user_id = d.user_id
+                 AND make_timestamp(grid.ts_us) <= d.ts
+            )
+            SELECT lo.user_id AS user_id,
+                   make_timestamp(lo.ts_us) AS ts,
+                   CASE WHEN lo.t0 = hi.t1 THEN lo.v0
+                        ELSE lo.v0 + (hi.v1 - lo.v0)
+                             * (CAST(lo.ts_us - epoch_us(lo.t0) AS DOUBLE)
+                                / CAST(epoch_us(hi.t1) - epoch_us(lo.t0)
+                                       AS DOUBLE)) END AS value
+            FROM lo JOIN hi USING (user_id, ts_us)
         """,
     }

@@ -2499,3 +2499,96 @@ def normalize_minmax(
         )
 
     return res.map_batches(null_constant, batch_format="pyarrow")
+
+
+def resample_interp(
+    ds: "ray.data.Dataset",
+    user_column: str = "user_id",
+    ts_column: str = "ts",
+    value_column: str = "value",
+    every_seconds: int = 3600,
+) -> "ray.data.Dataset":
+    """Time-series resampling with LINEAR INTERPOLATION between the
+    bracketing observations (the lerp sibling of :func:`resample_ffill`;
+    grid points exactly on an observation take its value). Same bucketed
+    composite-key layout; the interpolation weight is one IEEE expression
+    — v0 + (v1 − v0) · ((t − t0) / (t1 − t0)) with µs int64 deltas cast to
+    float64 — so the output hash-compares against a SQL mirror. Duplicate
+    timestamps collapse to MAX(value) first."""
+    import numpy as np
+
+    from dedupe_ray.blocking import N_BUCKETS
+
+    step = int(every_seconds) * 1_000_000
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        t = b.select([user_column, ts_column, value_column])
+        return t.append_column(
+            "__ibkt", _bucket_hash_col(t.column(user_column), N_BUCKETS)
+        )
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        ut = group.schema.field(user_column).type
+        tt = group.schema.field(ts_column).type
+        df = group.select([user_column, ts_column, value_column]).to_pandas()
+        empty = pa.table(
+            {
+                user_column: pa.array([], ut),
+                ts_column: pa.array([], tt),
+                value_column: pa.array([], pa.float64()),
+            }
+        )
+        if len(df) == 0:
+            return empty
+        df = (
+            df.groupby([user_column, ts_column], as_index=False)[value_column]
+            .max()
+            .sort_values([user_column, ts_column], kind="mergesort")
+        )
+        ts = df[ts_column].to_numpy().astype("datetime64[us]").astype(np.int64)
+        vals = df[value_column].to_numpy().astype(np.float64)
+        users = df[user_column].to_numpy(object)
+        new_u = np.empty(len(df), bool)
+        new_u[0] = True
+        new_u[1:] = users[1:] != users[:-1]
+        starts = np.flatnonzero(new_u)
+        ends = np.append(starts[1:], len(df)) - 1
+        mn, mx = ts[starts], ts[ends]
+        g0 = -(-mn // step) * step
+        g1 = (mx // step) * step
+        n = np.maximum((g1 - g0) // step + 1, 0)
+        total = int(n.sum())
+        if total == 0:
+            return empty
+        base = int(ts.min())
+        assert int(ts.max()) - base < (1 << 48)
+        excl = np.zeros(len(n) + 1, np.int64)
+        np.cumsum(n, out=excl[1:])
+        local = np.arange(total, dtype=np.int64) - np.repeat(excl[:-1], n)
+        grid_ts = np.repeat(g0, n) + local * step
+        grid_ord = np.repeat(np.arange(len(starts)), n)
+        ordinals = np.cumsum(new_u) - 1
+        key_ev = (ordinals.astype(np.int64) << 48) | (ts - base)
+        key_gr = (grid_ord << 48) | (grid_ts - base)
+        lo = np.searchsorted(key_ev, key_gr, side="right") - 1
+        hi = np.searchsorted(key_ev, key_gr, side="left")
+        on_point = lo >= hi  # grid exactly at an observation
+        hi = np.minimum(hi, len(ts) - 1)
+        t0, t1 = ts[lo], ts[hi]
+        v0, v1 = vals[lo], vals[hi]
+        with np.errstate(invalid="ignore", divide="ignore"):
+            frac = (grid_ts - t0).astype(np.float64) / (t1 - t0).astype(np.float64)
+        v = np.where(on_point, v0, v0 + (v1 - v0) * frac)
+        return pa.table(
+            {
+                user_column: pa.array(users[starts][grid_ord].tolist(), ut),
+                ts_column: pa.array(grid_ts.astype("datetime64[us]")).cast(tt),
+                value_column: pa.array(v, pa.float64()),
+            }
+        )
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("__ibkt")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )

@@ -4498,3 +4498,30 @@ def test_normalize_minmax(ray_session):
     # constant groups (including singletons) scale to NULL
     assert out[out.g == "b"]["v_mm"].isna().all()
     assert out[out.g == "c"]["v_mm"].isna().all()
+
+
+def test_resample_interp(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from dedupe_ray.ops.tabular import resample_interp
+
+    T = pd.Timestamp
+    df = pd.DataFrame(
+        [
+            (1, T("2024-01-01 00:00:00"), 0.0),   # exactly on the grid
+            (1, T("2024-01-01 02:30:00"), 10.0),
+            (1, T("2024-01-01 04:00:00"), 4.0),   # on grid again
+        ],
+        columns=["user_id", "ts", "value"],
+    )
+    out = (
+        resample_interp(rd.from_pandas(df).repartition(2), every_seconds=3600)
+        .to_pandas()
+        .sort_values("ts")
+        .reset_index(drop=True)
+    )
+    assert out["ts"].tolist() == [T(f"2024-01-01 0{h}:00:00") for h in range(5)]
+    # 00:00 on-point 0.0; 01:00/02:00 lerp toward 10 over 2.5h; 03:00 lerp
+    # back toward 4 over 1.5h; 04:00 on-point
+    assert out["value"].tolist() == [0.0, 4.0, 8.0, 10.0 + (4.0 - 10.0) * (0.5 / 1.5), 4.0]
