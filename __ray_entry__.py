@@ -2723,6 +2723,62 @@ def _q_events_interpolated(sf_dir: str):
     return resample_interp(ev, "user_id", "ts", "value", every_seconds=43200)
 
 
+def _q_containment_pairs(sf_dir: str):
+    """Directed sub-document containment join (|A∩B|/|A| ≥ 0.6) over the
+    same capped en-doc slice as ngram_jaccard_verify; exact — hash-checked
+    against a brute-force list_intersect oracle."""
+    from dedupe_ray.ops.dedup import containment_join
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "lang"]).filter(
+        expr="lang == 'en' and doc_id < 40"
+    )
+    return containment_join(
+        docs, threshold=0.6, token_pattern="[a-z0-9]+"
+    )
+
+
+def _q_stemmed_docs(sf_dir: str):
+    """Porter-stemmed token streams (no SQL oracle — DuckDB's stemmer
+    lives in the fts extension, unavailable offline; correctness is
+    pinned instead by the 1980 paper's step-example vectors in
+    tests/test_stemmer.py). One streaming pass, per-batch unique-word
+    memo."""
+    from dedupe_ray.stemmer import stem_tokens_batch
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return docs.map_batches(stem_tokens_batch, batch_format="pyarrow").select_columns(
+        ["doc_id", "stemmed"]
+    )
+
+
+def _q_part_kcore(sf_dir: str):
+    """4-core of the part co-purchase graph (iterative peeling until
+    fixpoint; the SQL mirror unrolls 8 peel rounds — rounds beyond the
+    fixpoint are no-ops, so the hash matches whenever convergence happens
+    within the unroll depth, and mismatches LOUDLY if it doesn't)."""
+    import pyarrow.compute as pc
+
+    from dedupe_ray.ops.graph import kcore
+    from dedupe_ray.ops.tabular import cooccurrence_pairs
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def slice_orders(b: pa.Table) -> pa.Table:
+        ok = b.column("l_orderkey").to_numpy(zero_copy_only=False) % 97 == 0
+        t = b.filter(pa.array(ok))
+        return pa.table(
+            {
+                "l_orderkey": t.column("l_orderkey"),
+                "part": pc.cast(t.column("l_partkey"), pa.string()),
+            }
+        )
+
+    pairs = cooccurrence_pairs(
+        li.map_batches(slice_orders, batch_format="pyarrow"), "l_orderkey", "part"
+    )
+    return kcore(pairs, k=4, src_column="item_a", dst_column="item_b")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "er_clusters": _q_er_clusters,
@@ -2855,6 +2911,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fs_linkage_weights": _q_fs_linkage_weights,
         "acctbal_minmax": _q_acctbal_minmax,
         "events_interpolated": _q_events_interpolated,
+        "containment_pairs": _q_containment_pairs,
+        "stemmed_docs": _q_stemmed_docs,
+        "part_kcore": _q_part_kcore,
     }
 
 
@@ -4434,5 +4493,122 @@ def oracle_sql() -> dict[str, str]:
                                 / CAST(epoch_us(hi.t1) - epoch_us(lo.t0)
                                        AS DOUBLE)) END AS value
             FROM lo JOIN hi USING (user_id, ts_us)
+        """,
+        "containment_pairs": """
+            WITH toks AS (
+                SELECT CAST(doc_id AS VARCHAR) AS id,
+                       list_distinct(regexp_extract_all(lower(text),
+                                                        '[a-z0-9]+')) AS s
+                FROM documents WHERE lang = 'en' AND doc_id < 40
+            )
+            SELECT a.id AS id_a, b.id AS id_b,
+                   len(list_intersect(a.s, b.s)) * 1.0 / len(a.s)
+                       AS containment
+            FROM toks a JOIN toks b ON a.id <> b.id
+            WHERE len(a.s) > 0
+              AND len(list_intersect(a.s, b.s)) * 1.0 / len(a.s) >= 0.6
+        """,
+        "part_kcore": """
+            WITH li AS MATERIALIZED (
+                SELECT DISTINCT l_orderkey, CAST(l_partkey AS VARCHAR) AS part
+                FROM lineitem WHERE l_orderkey % 97 = 0
+            ),
+            e0 AS MATERIALIZED (
+                SELECT DISTINCT a.part AS u, b.part AS w
+                FROM li a JOIN li b
+                  ON a.l_orderkey = b.l_orderkey AND a.part < b.part
+            ),
+            n1 AS MATERIALIZED (
+                SELECT node FROM (
+                    SELECT u AS node FROM e0
+                    UNION ALL SELECT w AS node FROM e0
+                ) GROUP BY 1 HAVING COUNT(*) >= 4
+            ),
+            e1 AS MATERIALIZED (
+                SELECT u, w FROM e0
+                WHERE u IN (SELECT node FROM n1)
+                  AND w IN (SELECT node FROM n1)
+            ),
+            n2 AS MATERIALIZED (
+                SELECT node FROM (
+                    SELECT u AS node FROM e1
+                    UNION ALL SELECT w AS node FROM e1
+                ) GROUP BY 1 HAVING COUNT(*) >= 4
+            ),
+            e2 AS MATERIALIZED (
+                SELECT u, w FROM e1
+                WHERE u IN (SELECT node FROM n2)
+                  AND w IN (SELECT node FROM n2)
+            ),
+            n3 AS MATERIALIZED (
+                SELECT node FROM (
+                    SELECT u AS node FROM e2
+                    UNION ALL SELECT w AS node FROM e2
+                ) GROUP BY 1 HAVING COUNT(*) >= 4
+            ),
+            e3 AS MATERIALIZED (
+                SELECT u, w FROM e2
+                WHERE u IN (SELECT node FROM n3)
+                  AND w IN (SELECT node FROM n3)
+            ),
+            n4 AS MATERIALIZED (
+                SELECT node FROM (
+                    SELECT u AS node FROM e3
+                    UNION ALL SELECT w AS node FROM e3
+                ) GROUP BY 1 HAVING COUNT(*) >= 4
+            ),
+            e4 AS MATERIALIZED (
+                SELECT u, w FROM e3
+                WHERE u IN (SELECT node FROM n4)
+                  AND w IN (SELECT node FROM n4)
+            ),
+            n5 AS MATERIALIZED (
+                SELECT node FROM (
+                    SELECT u AS node FROM e4
+                    UNION ALL SELECT w AS node FROM e4
+                ) GROUP BY 1 HAVING COUNT(*) >= 4
+            ),
+            e5 AS MATERIALIZED (
+                SELECT u, w FROM e4
+                WHERE u IN (SELECT node FROM n5)
+                  AND w IN (SELECT node FROM n5)
+            ),
+            n6 AS MATERIALIZED (
+                SELECT node FROM (
+                    SELECT u AS node FROM e5
+                    UNION ALL SELECT w AS node FROM e5
+                ) GROUP BY 1 HAVING COUNT(*) >= 4
+            ),
+            e6 AS MATERIALIZED (
+                SELECT u, w FROM e5
+                WHERE u IN (SELECT node FROM n6)
+                  AND w IN (SELECT node FROM n6)
+            ),
+            n7 AS MATERIALIZED (
+                SELECT node FROM (
+                    SELECT u AS node FROM e6
+                    UNION ALL SELECT w AS node FROM e6
+                ) GROUP BY 1 HAVING COUNT(*) >= 4
+            ),
+            e7 AS MATERIALIZED (
+                SELECT u, w FROM e6
+                WHERE u IN (SELECT node FROM n7)
+                  AND w IN (SELECT node FROM n7)
+            ),
+            n8 AS MATERIALIZED (
+                SELECT node FROM (
+                    SELECT u AS node FROM e7
+                    UNION ALL SELECT w AS node FROM e7
+                ) GROUP BY 1 HAVING COUNT(*) >= 4
+            ),
+            e8 AS MATERIALIZED (
+                SELECT u, w FROM e7
+                WHERE u IN (SELECT node FROM n8)
+                  AND w IN (SELECT node FROM n8)
+            )
+            SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+                SELECT u AS node FROM e8
+                UNION ALL SELECT w AS node FROM e8
+            ) GROUP BY 1 HAVING COUNT(*) >= 4
         """,
     }

@@ -263,8 +263,12 @@ def run_scaling() -> dict:
         for i in range(repeats):
             tmpdir = f"/tmp/ray_bench_{ncpu}_{i}"
             shutil.rmtree(tmpdir, ignore_errors=True)
+            # propagate the RESOLVED corpus size: the child has no
+            # --scaling in argv, so without this it would silently measure
+            # the 800k default while the parent warmed the 2M caches
             env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), RAY_TMPDIR=tmpdir,
-                       GRAFT_BENCH_SKIP_SECONDARY="1")
+                       GRAFT_BENCH_SKIP_SECONDARY="1",
+                       GRAFT_BENCH_DOCS=str(_CORPUS.get(_sf_of(SF_DIR), 800_000)))
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)],
                 env=env,

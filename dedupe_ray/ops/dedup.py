@@ -1922,3 +1922,135 @@ def string_sim_pairs(
         return out.filter(pc.greater_equal(out.column("sim"), t))
 
     return joined.map_batches(verify, batch_format="pyarrow")
+
+
+def containment_join(
+    ds: "ray.data.Dataset",
+    threshold: float,
+    id_column: str = "doc_id",
+    text_column: str = "text",
+    n: int = 1,
+    token_pattern: str | None = None,
+    max_bucket: int = 200_000,
+) -> "ray.data.Dataset":
+    """EXACT directed containment self-join over word-``n``-gram shingle
+    sets: all ordered pairs with ``|A∩B| / |A| >= threshold`` (A ≠ B) →
+    (id_a, id_b, containment) — the SUB-DOCUMENT near-dup semantics
+    (a quote, excerpt, or boilerplate block embedded in a larger page)
+    that symmetric Jaccard misses by construction.
+
+    Shape: one full gram-hash explode (containment admits no prefix
+    pruning on the containee side — the intrinsic cost of the exact
+    join), within-run undirected candidate pairs carrying both set
+    sizes, one pair groupby COUNT = the exact intersection size (gram
+    hashes are distinct within a doc's set), then both directed
+    emissions check their own denominator. The division is the same
+    IEEE expression a SQL list_intersect oracle evaluates — engine-
+    exact. 64-bit gram-hash collisions get the family's usual
+    negligible-collision stance; oversized gram runs raise (a hot gram
+    at web scale means a stopword-like shingle — lengthen ``n`` or
+    pre-filter)."""
+    import pandas as pd
+    from ray.data.aggregate import Count
+
+    word_re = re.compile(token_pattern) if token_pattern else _WORD
+    t = float(threshold)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = _one_chunk(pc.cast(batch.column(id_column), pa.string()))
+        texts = batch.column(text_column).to_pylist()
+        hs_all: list[np.ndarray] = []
+        counts = np.zeros(len(texts), np.int64)
+        for i, txt in enumerate(texts):
+            toks = word_re.findall((txt or "").lower())
+            if not toks:
+                hs_all.append(np.zeros(0, np.uint64))
+                continue
+            grams = sorted({" ".join(toks[j : j + n]) for j in range(max(1, len(toks) - n + 1))})
+            hs = pd.util.hash_array(np.asarray(grams, object))
+            hs_all.append(hs)
+            counts[i] = len(hs)
+        flat = np.concatenate(hs_all) if hs_all else np.zeros(0, np.uint64)
+        parent = pa.array(np.repeat(np.arange(len(texts), dtype=np.int64), counts))
+        return pa.table(
+            {
+                "thash": pa.array(flat, pa.uint64()),
+                "tbucket": pa.array((flat % np.uint64(N_BUCKETS)).astype(np.int32)),
+                "rid": ids.take(parent),
+                "size": pa.array(np.repeat(counts, counts)),
+            }
+        )
+
+    def run_pairs(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "id_a": pa.array([], pa.string()),
+                "id_b": pa.array([], pa.string()),
+                "size_a": pa.array([], pa.int64()),
+                "size_b": pa.array([], pa.int64()),
+            }
+        )
+        if not len(group):
+            return empty
+        g = group.take(
+            pc.sort_indices(
+                group, sort_keys=[("thash", "ascending"), ("rid", "ascending")]
+            )
+        )
+        h = g.column("thash").to_numpy(zero_copy_only=False)
+        m = len(g)
+        change = h[1:] != h[:-1] if m > 1 else np.zeros(0, bool)
+        run_starts = np.nonzero(np.concatenate(([True], change)))[0]
+        run_lengths = np.diff(np.append(run_starts, m))
+        if int(run_lengths.max()) > max_bucket:
+            raise ValueError(
+                f"gram run of {int(run_lengths.max())} rows exceeds "
+                f"max_bucket={max_bucket} — a stopword-like shingle; "
+                "lengthen n or pre-filter hot grams"
+            )
+        per = np.repeat(run_lengths, run_lengths)
+        pos = np.arange(m) - np.repeat(run_starts, run_lengths)
+        cnt = per - 1 - pos
+        total = int(cnt.sum())
+        if total == 0:
+            return empty
+        a_idx = np.repeat(np.arange(m), cnt)
+        cum = np.concatenate(([0], np.cumsum(cnt)))[:-1]
+        b_idx = a_idx + 1 + (np.arange(total, dtype=np.int64) - np.repeat(cum, cnt))
+        rid = g.column("rid").to_numpy(zero_copy_only=False)
+        sizes = g.column("size").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "id_a": pa.array(rid[a_idx], pa.string()),
+                "id_b": pa.array(rid[b_idx], pa.string()),
+                "size_a": pa.array(sizes[a_idx].astype(np.int64)),
+                "size_b": pa.array(sizes[b_idx].astype(np.int64)),
+            }
+        )
+
+    inter = (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("tbucket")
+        .map_groups(run_pairs, batch_format="pyarrow")
+        .groupby(["id_a", "id_b", "size_a", "size_b"])
+        .aggregate(Count(alias_name="inter"))
+    )
+
+    def emit_directed(b: pa.Table) -> pa.Table:
+        ia = b.column("id_a").to_numpy(zero_copy_only=False)
+        ib = b.column("id_b").to_numpy(zero_copy_only=False)
+        sa = b.column("size_a").to_numpy(zero_copy_only=False).astype(np.int64)
+        sb = b.column("size_b").to_numpy(zero_copy_only=False).astype(np.int64)
+        ov = b.column("inter").to_numpy(zero_copy_only=False).astype(np.int64)
+        ca = ov * 1.0 / sa  # A contained in B
+        cb = ov * 1.0 / sb  # B contained in A
+        ka, kb = ca >= t, cb >= t
+        return pa.table(
+            {
+                "id_a": pa.array(np.concatenate([ia[ka], ib[kb]]), pa.string()),
+                "id_b": pa.array(np.concatenate([ib[ka], ia[kb]]), pa.string()),
+                "containment": pa.array(np.concatenate([ca[ka], cb[kb]])),
+            }
+        )
+
+    return inter.map_batches(emit_directed, batch_format="pyarrow")

@@ -256,3 +256,91 @@ def triangle_counts(
             batch_format="pyarrow",
         )
     )
+
+
+def kcore(
+    edges_ds: "ray.data.Dataset",
+    k: int,
+    src_column: str = "src",
+    dst_column: str = "dst",
+    max_rounds: int = 64,
+) -> "ray.data.Dataset":
+    """k-core decomposition by iterative peeling: repeatedly drop nodes
+    with degree < k (degrees recomputed on the surviving subgraph) until a
+    fixpoint; returns the surviving (node, degree) table — the standard
+    dense-subgraph/spam-farm signal. Deterministic set semantics (no
+    floats); convergence is detected by the surviving-node COUNT, which is
+    trivially layout-invariant, and peeling is monotone so an unchanged
+    count IS the fixpoint. Rounds beyond the fixpoint are no-ops — which
+    is what lets a fixed-depth unrolled SQL mirror hash-match whenever the
+    fixpoint arrives within its unroll depth.
+
+    Per round: one degree groupby + two bucketed semi-joins (each edge end
+    must survive). Nothing collects driver-side except the scalar count."""
+    from ray.data.aggregate import Count
+
+    from dedupe_ray.joins import bucketed_lookup_join
+
+    def canon(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        a = pc.cast(t.column(src_column), pa.string())
+        b = pc.cast(t.column(dst_column), pa.string())
+        u = pc.min_element_wise(a, b)
+        w = pc.max_element_wise(a, b)
+        keep = pc.not_equal(u, w)
+        return pa.table({"u": u.combine_chunks(), "w": w.combine_chunks()}).filter(
+            keep.combine_chunks() if isinstance(keep, pa.ChunkedArray) else keep
+        )
+
+    edges = (
+        edges_ds.map_batches(canon, batch_format="pyarrow")
+        .groupby(["u", "w"])
+        .count()
+        .drop_columns(["count()"])
+        .materialize()
+    )
+
+    def degrees(e: "ray.data.Dataset") -> "ray.data.Dataset":
+        both = e.map_batches(
+            lambda t: pa.table(
+                {
+                    "node": pa.concat_arrays(
+                        [t.column("u").combine_chunks(), t.column("w").combine_chunks()]
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        return both.groupby("node").aggregate(Count(alias_name="degree"))
+
+    prev_nodes = -1
+    for _ in range(max_rounds):
+        deg = degrees(edges).materialize()
+        alive = deg.filter(expr=f"degree >= {int(k)}").materialize()
+        n_alive = alive.count()
+        if n_alive == prev_nodes:
+            return deg.filter(expr=f"degree >= {int(k)}")
+        if n_alive == 0:
+            return ray.data.from_arrow(
+                pa.table(
+                    {"node": pa.array([], pa.string()), "degree": pa.array([], pa.int64())}
+                )
+            )
+        prev_nodes = n_alive
+        marks = alive.map_batches(
+            lambda t: pa.table(
+                {"node": t.column("node"), "__alive": pa.array(np.ones(len(t), np.int8))}
+            ),
+            batch_format="pyarrow",
+        )
+        edges = (
+            bucketed_lookup_join(edges, marks, "u", "node", ["__alive"])
+            .drop_columns(["__alive"])
+        )
+        edges = (
+            bucketed_lookup_join(edges, marks, "w", "node", ["__alive"])
+            .drop_columns(["__alive"])
+            .materialize()
+        )
+    raise RuntimeError(f"k-core peeling did not converge in {max_rounds} rounds")

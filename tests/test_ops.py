@@ -4525,3 +4525,62 @@ def test_resample_interp(ray_session):
     # 00:00 on-point 0.0; 01:00/02:00 lerp toward 10 over 2.5h; 03:00 lerp
     # back toward 4 over 1.5h; 04:00 on-point
     assert out["value"].tolist() == [0.0, 4.0, 8.0, 10.0 + (4.0 - 10.0) * (0.5 / 1.5), 4.0]
+
+
+def test_containment_join_brute_force(ray_session):
+    import itertools
+
+    import pandas as pd
+    import ray.data as rd
+
+    from dedupe_ray.ops.dedup import containment_join
+
+    docs = {
+        "1": "the quick brown fox jumps over the lazy dog",
+        "2": "quick brown fox",                      # fully inside 1
+        "3": "brown fox jumps high above everything else entirely",
+        "4": "completely different words here",
+        "5": "",                                     # empty -> no pairs
+    }
+    ds = rd.from_pandas(
+        pd.DataFrame({"doc_id": list(docs), "text": list(docs.values())})
+    ).repartition(3)
+    t = 0.6
+    out = containment_join(ds, threshold=t).to_pandas()
+    got = {(r.id_a, r.id_b): r.containment for r in out.itertuples()}
+
+    sets = {k: set(v.lower().split()) for k, v in docs.items()}
+    expect = {}
+    for a, b in itertools.permutations(docs, 2):
+        if sets[a] and sets[b]:
+            c = len(sets[a] & sets[b]) * 1.0 / len(sets[a])
+            if c >= t:
+                expect[(a, b)] = c
+    assert got == expect
+    assert ("2", "1") in got and got[("2", "1")] == 1.0   # 2 fully contained
+    assert ("1", "2") not in got                          # asymmetric
+
+
+def test_kcore(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from dedupe_ray.ops.graph import kcore
+
+    # K4 core (a,b,c,d) + a chain of pendants that peels away in CASCADE:
+    # e hangs off the core with extra leaves f,g — e has degree 3 at the
+    # start but drops below 3 only AFTER f and g peel (2 rounds needed)
+    edges = [
+        ("a", "b"), ("a", "c"), ("a", "d"),
+        ("b", "c"), ("b", "d"), ("c", "d"),
+        ("d", "e"), ("e", "f"), ("e", "g"),
+        ("f", "g"),
+    ]
+    ds = rd.from_pandas(pd.DataFrame(edges, columns=["src", "dst"])).repartition(3)
+    out = kcore(ds, k=3).to_pandas().set_index("node")["degree"].sort_index()
+    assert out.to_dict() == {"a": 3, "b": 3, "c": 3, "d": 3}
+
+    # k larger than any degree -> empty, typed (schema survives emptiness)
+    empty = kcore(ds, k=10)
+    assert empty.count() == 0
+    assert empty.schema().names == ["node", "degree"]
