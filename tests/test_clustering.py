@@ -242,3 +242,38 @@ def test_labels_checksum_layout_invariant(ray_session):
     df2 = df.copy()
     df2.loc[5, "lbl"] = "n999"
     assert _labels_checksum(rd.from_pandas(df2)) not in sums
+
+
+def test_distributed_cc_sparse_bipartite_matches_driver(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from dedupe_ray.clustering import connected_components
+
+    # sparse random bipartite graph — the shape (many tiny chain
+    # components, drifting block layouts round-over-round) that exposed
+    # the layout-dependent convergence checksum
+    rng = np.random.RandomState(31)
+    e = pd.DataFrame(
+        {
+            "id_a": [f"P{v}" for v in rng.randint(0, 400, 300)],
+            "id_b": [f"S{v}" for v in rng.randint(0, 60, 300)],
+        }
+    )
+    # 4 partitions: enough to exercise cross-block propagation without
+    # paying a minute per extra pointer-doubling round in the suite
+    ds = rd.from_pandas(e).repartition(4)
+    dist = (
+        connected_components(ds, mode="distributed")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    driver = (
+        connected_components(ds, mode="driver")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert dist.equals(driver)
