@@ -2779,6 +2779,90 @@ def _q_part_kcore(sf_dir: str):
     return kcore(pairs, k=4, src_column="item_a", dst_column="item_b")
 
 
+def _q_tpch_q5(sf_dir: str):
+    """TPC-H Q5 shape (local-supplier revenue by nation): the deepest join
+    chain in the registry — lineitem ⋈ orders ⋈ customer ⋈ supplier with
+    the c_nationkey = s_nationkey locality constraint, nation/region
+    resolved by DRIVER-SIDE broadcast (25 + 5 rows — the canonical
+    broadcast-small-side case). Revenue in exact integer cents, combiner
+    pre-aggregation after the joins, deterministic ordering."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from dedupe_ray.joins import bucketed_lookup_join
+
+    lo, hi = np.datetime64("1996-01-01"), np.datetime64("1998-01-01")
+
+    # tiny dims driver-side (bounded: 25 + 5 rows), broadcast in closures
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    reg = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    asia = int(reg.loc[reg.r_name == "ASIA", "r_regionkey"].iloc[0])
+    asia_nations = set(nat.loc[nat.n_regionkey == asia, "n_nationkey"].astype(int))
+    name_of = dict(zip(nat.n_nationkey.astype(int), nat.n_name))
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def ofilt(b: pa.Table) -> pa.Table:
+        d = b.column("o_orderdate").to_numpy(zero_copy_only=False)
+        return b.filter(pa.array((d >= lo) & (d < hi))).drop_columns(["o_orderdate"])
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+
+    def cfilt(b: pa.Table) -> pa.Table:
+        nk = b.column("c_nationkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = np.isin(nk, list(asia_nations))
+        return b.filter(pa.array(keep))
+
+    o_cust = bucketed_lookup_join(
+        orders.map_batches(ofilt, batch_format="pyarrow"),
+        cust.map_batches(cfilt, batch_format="pyarrow"),
+        "o_custkey", "c_custkey", ["c_nationkey"],
+    ).drop_columns(["o_custkey"])
+
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
+
+    def rev(b: pa.Table) -> pa.Table:
+        cents = np.floor(
+            b.column("l_extendedprice").to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        disc = np.floor(
+            b.column("l_discount").to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "l_orderkey": b.column("l_orderkey"),
+                "l_suppkey": b.column("l_suppkey"),
+                "rev_c": pa.array(cents * (100 - disc)),
+            }
+        )
+
+    li_o = bucketed_lookup_join(
+        li.map_batches(rev, batch_format="pyarrow"), o_cust,
+        "l_orderkey", "o_orderkey", ["c_nationkey"],
+    )
+    li_os = bucketed_lookup_join(
+        li_o, supp, "l_suppkey", "s_suppkey", ["s_nationkey"]
+    )
+
+    def local_only(b: pa.Table) -> pa.Table:
+        cn = b.column("c_nationkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        sn = b.column("s_nationkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        t = b.filter(pa.array(cn == sn))
+        nk = t.column("c_nationkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        names = np.asarray([name_of[int(v)] for v in nk], object)
+        return pa.table(
+            {"n_name": pa.array(names, pa.string()), "rev_c": t.column("rev_c")}
+        )
+
+    return (
+        li_os.map_batches(local_only, batch_format="pyarrow")
+        .groupby("n_name")
+        .aggregate(Sum("rev_c", alias_name="revenue_c"))
+        .sort(["revenue_c", "n_name"], descending=[True, False])
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "er_clusters": _q_er_clusters,
@@ -2914,6 +2998,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "containment_pairs": _q_containment_pairs,
         "stemmed_docs": _q_stemmed_docs,
         "part_kcore": _q_part_kcore,
+        "tpch_q5": _q_tpch_q5,
     }
 
 
@@ -4507,6 +4592,23 @@ def oracle_sql() -> dict[str, str]:
             FROM toks a JOIN toks b ON a.id <> b.id
             WHERE len(a.s) > 0
               AND len(list_intersect(a.s, b.s)) * 1.0 / len(a.s) >= 0.6
+        """,
+        "tpch_q5": """
+            SELECT n.n_name AS n_name,
+                   CAST(SUM(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)
+                            * (100 - CAST(floor(l_discount * 100.0 + 0.5)
+                                          AS BIGINT))) AS BIGINT) AS revenue_c
+            FROM customer c
+            JOIN orders o ON c.c_custkey = o.o_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN nation n ON n.n_nationkey = c.c_nationkey
+            JOIN region r ON r.r_regionkey = n.n_regionkey
+            WHERE r.r_name = 'ASIA'
+              AND s.s_nationkey = c.c_nationkey
+              AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o.o_orderdate < TIMESTAMP '1998-01-01'
+            GROUP BY 1
         """,
         "part_kcore": """
             WITH li AS MATERIALIZED (
