@@ -2863,6 +2863,191 @@ def _q_tpch_q5(sf_dir: str):
     )
 
 
+def _q_line_dedup_docs(sf_dir: str):
+    """C4/RefinedWeb-style corpus-wide LINE dedup: documents are segmented
+    into 4-token lines, every repeated line keeps only its first global
+    occurrence (min (doc_id, line_no)), and survivors re-join per doc —
+    two bucketed shuffles of line-sized rows, nothing driver-side."""
+    from dedupe_ray.ops.dedup import dedup_lines
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return dedup_lines(docs, "text", "doc_id", line_tokens=4)
+
+
+def _q_tpch_q18(sf_dir: str):
+    """TPC-H Q18 shape (large-volume orders): per-order quantity sums
+    (combiner groupby — lineitem never shuffles again), HAVING > 300
+    filter, then two bucketed unique-key joins (orders, customer) and a
+    deterministic top-100 by (price cents desc, orderkey)."""
+    from ray.data.aggregate import Sum
+
+    from dedupe_ray.joins import bucketed_lookup_join
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+
+    def qint(b: pa.Table) -> pa.Table:
+        q = b.column("l_quantity").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"o_orderkey": b.column("l_orderkey"), "q": pa.array(q)})
+
+    per_order = (
+        li.map_batches(qint, batch_format="pyarrow")
+        .groupby("o_orderkey")
+        .aggregate(Sum("q", alias_name="total_qty"))
+    )
+
+    def big(b: pa.Table) -> pa.Table:
+        t = b.column("total_qty").to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(t > 300))
+
+    big_orders = per_order.map_batches(big, batch_format="pyarrow")
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def cents(b: pa.Table) -> pa.Table:
+        c = np.floor(
+            b.column("o_totalprice").to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "o_orderkey": b.column("o_orderkey"),
+                "o_custkey": b.column("o_custkey"),
+                "price_c": pa.array(c),
+            }
+        )
+
+    j1 = bucketed_lookup_join(
+        big_orders,
+        orders.map_batches(cents, batch_format="pyarrow"),
+        "o_orderkey", "o_orderkey", ["o_custkey", "price_c"],
+    )
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    j2 = bucketed_lookup_join(j1, cust, "o_custkey", "c_custkey", ["c_name"])
+    return j2.sort(["price_c", "o_orderkey"], descending=[True, False]).limit(100)
+
+
+def _q_quantity_moments(sf_dir: str):
+    """Per-returnflag skewness + excess kurtosis over integer quantities —
+    exact int64 raw-moment combiner, driver finisher evaluating the same
+    IEEE expression the oracle's DOUBLE chain does."""
+    from dedupe_ray.ops.tabular import grouped_skew_kurtosis
+
+    li = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+
+    def qi(b: pa.Table) -> pa.Table:
+        q = b.column("l_quantity").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"l_returnflag": b.column("l_returnflag"), "q": pa.array(q)})
+
+    return grouped_skew_kurtosis(
+        li.map_batches(qi, batch_format="pyarrow"), ["l_returnflag"], "q"
+    )
+
+
+def _q_lineitem_spearman(sf_dir: str):
+    """Spearman rank correlation between quantity and discount (both
+    low-cardinality ordinals): the corpus reduces to its 50×11 joint
+    histogram in one combiner shuffle; tie-averaged ranks (×2 → exact
+    ints) and Pearson-on-ranks finish driver-side in python bigints."""
+    from dedupe_ray.ops.tabular import spearman_corr
+
+    li = _read(sf_dir, "lineitem", ["l_quantity", "l_discount"])
+
+    def qi(b: pa.Table) -> pa.Table:
+        a = b.column("l_quantity").to_numpy(zero_copy_only=False).astype(np.int64)
+        d = np.floor(
+            b.column("l_discount").to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        return pa.table({"a": pa.array(a), "b": pa.array(d)})
+
+    return spearman_corr(li.map_batches(qi, batch_format="pyarrow"), "a", "b")
+
+
+def _q_customers_upserted(sf_dir: str):
+    """CDC MERGE/upsert showcase: a deterministic changes table derived
+    from 1997+ orders (per-customer revenue refresh, plus synthetic
+    inserts at key+10M for custkey%97==0) applied to the customer base —
+    one bucketed full-outer join, per-column coalesce."""
+    from ray.data.aggregate import Sum
+
+    from dedupe_ray.ops.tabular import merge_upsert
+
+    cut = np.datetime64("1997-01-01")
+
+    base = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal"])
+
+    def base_cents(b: pa.Table) -> pa.Table:
+        c = np.floor(
+            b.column("c_acctbal").to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "c_custkey": b.column("c_custkey"),
+                "c_name": b.column("c_name"),
+                "acctbal_c": pa.array(c),
+            }
+        )
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def recent_cents(b: pa.Table) -> pa.Table:
+        d = b.column("o_orderdate").to_numpy(zero_copy_only=False)
+        t = b.filter(pa.array(d >= cut))
+        c = np.floor(
+            t.column("o_totalprice").to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        return pa.table({"c_custkey": t.column("o_custkey"), "cents": pa.array(c)})
+
+    per_cust = (
+        orders.map_batches(recent_cents, batch_format="pyarrow")
+        .groupby("c_custkey")
+        .aggregate(Sum("cents", alias_name="acctbal_c"))
+    )
+
+    def as_update(b: pa.Table) -> pa.Table:
+        k = b.column("c_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        names = np.asarray([f"upd-{v}" for v in k], object)
+        return pa.table(
+            {
+                "c_custkey": pa.array(k),
+                "c_name": pa.array(names, pa.string()),
+                "acctbal_c": b.column("acctbal_c"),
+            }
+        )
+
+    def as_insert(b: pa.Table) -> pa.Table:
+        k = b.column("c_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        t = b.filter(pa.array(k % 97 == 0))
+        k = t.column("c_custkey").to_numpy(zero_copy_only=False).astype(np.int64) + 10_000_000
+        names = np.asarray([f"new-{v}" for v in k], object)
+        return pa.table(
+            {
+                "c_custkey": pa.array(k),
+                "c_name": pa.array(names, pa.string()),
+                "acctbal_c": t.column("acctbal_c"),
+            }
+        )
+
+    changes = per_cust.map_batches(as_update, batch_format="pyarrow").union(
+        per_cust.map_batches(as_insert, batch_format="pyarrow")
+    )
+    return merge_upsert(
+        base.map_batches(base_cents, batch_format="pyarrow"),
+        changes,
+        "c_custkey",
+        ["c_name", "acctbal_c"],
+    )
+
+
+def _q_kmeans_embeddings(sf_dir: str):
+    """Exact-integer Lloyd k-means assignments (k=4, 2 iterations,
+    fixed-point 1e6): centroids stay int64 through floor-div updates, so
+    the per-vector (cluster, dist) output hash-matches the unrolled SQL
+    mirror — vectors never shuffle, driver state is O(k·dim)."""
+    from dedupe_ray.ops.embedding import kmeans_exact_assign
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return kmeans_exact_assign(emb, k=4, iters=2, quantize=1_000_000)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "er_clusters": _q_er_clusters,
@@ -2999,6 +3184,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stemmed_docs": _q_stemmed_docs,
         "part_kcore": _q_part_kcore,
         "tpch_q5": _q_tpch_q5,
+        "line_dedup_docs": _q_line_dedup_docs,
+        "tpch_q18": _q_tpch_q18,
+        "quantity_moments": _q_quantity_moments,
+        "lineitem_spearman": _q_lineitem_spearman,
+        "customers_upserted": _q_customers_upserted,
+        "kmeans_embeddings": _q_kmeans_embeddings,
     }
 
 
@@ -4712,5 +4903,229 @@ def oracle_sql() -> dict[str, str]:
                 SELECT u AS node FROM e8
                 UNION ALL SELECT w AS node FROM e8
             ) GROUP BY 1 HAVING COUNT(*) >= 4
+        """,
+        # C4-style line dedup: 4-token lines, keep first global occurrence
+        # (min (doc_id, line_no) — encoded doc_id·2^20+ln; ln < 2^20 always),
+        # re-join survivors per doc. Split on EVERY single space (matches
+        # str.split(' ') including empties from space runs).
+        "line_dedup_docs": """
+            WITH t AS MATERIALIZED (
+                SELECT doc_id, regexp_split_to_array(text, ' ') AS toks
+                FROM documents
+            ),
+            ex AS MATERIALIZED (
+                SELECT doc_id,
+                       unnest(generate_series(0, (len(toks) + 3) // 4 - 1)) AS ln
+                FROM t
+            ),
+            lines AS MATERIALIZED (
+                SELECT e.doc_id, e.ln,
+                       array_to_string(
+                           t.toks[e.ln * 4 + 1 : least((e.ln + 1) * 4, len(t.toks))],
+                           ' '
+                       ) AS line
+                FROM ex e JOIN t ON t.doc_id = e.doc_id
+            ),
+            w AS MATERIALIZED (
+                SELECT line, min(doc_id * 1048576 + ln) AS win
+                FROM lines GROUP BY line
+            )
+            SELECT l.doc_id,
+                   string_agg(l.line, ' ' ORDER BY l.ln) AS clean_text
+            FROM lines l
+            JOIN w ON l.line = w.line AND l.doc_id * 1048576 + l.ln = w.win
+            GROUP BY l.doc_id
+        """,
+        "tpch_q18": """
+            WITH big AS (
+                SELECT l_orderkey,
+                       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+                FROM lineitem GROUP BY l_orderkey
+                HAVING sum(CAST(l_quantity AS BIGINT)) > 300
+            )
+            SELECT b.l_orderkey AS o_orderkey, b.total_qty, o.o_custkey,
+                   CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT) AS price_c,
+                   c.c_name
+            FROM big b
+            JOIN orders o ON o.o_orderkey = b.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            ORDER BY price_c DESC, o_orderkey
+            LIMIT 100
+        """,
+        # skew/kurtosis doubles are the SAME IEEE chain the engine's driver
+        # finisher evaluates from the exact BIGINT raw moments — operand
+        # order and literals must not be refactored on either side.
+        "quantity_moments": """
+            WITH m AS (
+                SELECT l_returnflag,
+                       count(*) AS n,
+                       CAST(sum(q) AS BIGINT) AS s1,
+                       CAST(sum(q * q) AS BIGINT) AS s2,
+                       CAST(sum(q * q * q) AS BIGINT) AS s3,
+                       CAST(sum((q * q) * (q * q)) AS BIGINT) AS s4
+                FROM (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q
+                      FROM lineitem)
+                GROUP BY l_returnflag
+            ),
+            d AS (
+                SELECT l_returnflag, n, s1, s2, s3, s4,
+                       CAST(n AS DOUBLE) AS nd,
+                       CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+                       CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS s2n,
+                       CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS s3n,
+                       CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS s4n
+                FROM m
+            ),
+            c AS (
+                SELECT *, s2n - mean * mean AS m2 FROM d
+            )
+            SELECT l_returnflag, CAST(n AS BIGINT) AS n, s1, s2, s3, s4,
+                   (s3n - 3.0 * mean * s2n + 2.0 * ((mean * mean) * mean))
+                       / (m2 * sqrt(m2)) AS skewness,
+                   (s4n - 4.0 * mean * s3n + 6.0 * (mean * mean) * s2n
+                        - 3.0 * ((mean * mean) * (mean * mean)))
+                       / (m2 * m2) - 3.0 AS kurtosis
+            FROM c
+        """,
+        # Spearman: tie-averaged ranks ×2 (exact ints) via cumulative
+        # marginal counts, Pearson-on-ranks from HUGEINT-exact moments;
+        # final rho is the identical float chain the driver finisher uses.
+        "lineitem_spearman": """
+            WITH p AS MATERIALIZED (
+                SELECT CAST(l_quantity AS BIGINT) AS a,
+                       CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT) AS b
+                FROM lineitem
+            ),
+            ca AS (SELECT a, count(*) AS c FROM p GROUP BY a),
+            ra AS (
+                SELECT a,
+                       2 * coalesce(sum(c) OVER (ORDER BY a
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       + c + 1 AS r
+                FROM ca
+            ),
+            cb AS (SELECT b, count(*) AS c FROM p GROUP BY b),
+            rb AS (
+                SELECT b,
+                       2 * coalesce(sum(c) OVER (ORDER BY b
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       + c + 1 AS r
+                FROM cb
+            ),
+            j AS (
+                SELECT ra.r AS x, rb.r AS y
+                FROM p JOIN ra ON p.a = ra.a JOIN rb ON p.b = rb.b
+            ),
+            s AS (
+                SELECT count(*) AS n, sum(x) AS sa, sum(y) AS sb,
+                       sum(x * x) AS saa, sum(y * y) AS sbb, sum(x * y) AS sab
+                FROM j
+            )
+            SELECT CAST(n AS BIGINT) AS n,
+                   CAST(n * sab - sa * sb AS DOUBLE)
+                       / (sqrt(CAST(n * saa - sa * sa AS DOUBLE))
+                          * sqrt(CAST(n * sbb - sb * sb AS DOUBLE))) AS rho
+            FROM s
+        """,
+        "customers_upserted": """
+            WITH per_cust AS (
+                SELECT o_custkey AS c_custkey,
+                       CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                            AS BIGINT) AS acctbal_c
+                FROM orders
+                WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+                GROUP BY o_custkey
+            ),
+            changes AS (
+                SELECT c_custkey, 'upd-' || c_custkey AS c_name, acctbal_c
+                FROM per_cust
+                UNION ALL
+                SELECT c_custkey + 10000000 AS c_custkey,
+                       'new-' || (c_custkey + 10000000) AS c_name, acctbal_c
+                FROM per_cust WHERE c_custkey % 97 = 0
+            ),
+            base AS (
+                SELECT c_custkey, c_name,
+                       CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) AS acctbal_c
+                FROM customer
+            )
+            SELECT coalesce(ch.c_custkey, b.c_custkey) AS c_custkey,
+                   coalesce(ch.c_name, b.c_name) AS c_name,
+                   coalesce(ch.acctbal_c, b.acctbal_c) AS acctbal_c
+            FROM base b FULL OUTER JOIN changes ch ON ch.c_custkey = b.c_custkey
+        """,
+        # Exact-integer Lloyd k-means, k=4, 2 iterations unrolled. Every
+        # layer is integer (fixed-point 1e6 quantization with floor(x+0.5),
+        # exact int distances, floor-div centroid updates via the
+        # ((s%c)+c)%c wrap — `/` would be float, `//` truncates toward
+        # zero), so assignment ties and both iterations are bit-identical
+        # to the engine. Empty clusters keep the previous centroid
+        # (coalesce). AS MATERIALIZED everywhere: DuckDB inlines chained
+        # CTEs and re-expands the unroll exponentially otherwise.
+        "kmeans_embeddings": """
+            WITH ev AS MATERIALIZED (
+                SELECT vec_id,
+                       unnest(generate_series(1, len(embedding))) AS d,
+                       CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0
+                                  + 0.5) AS BIGINT) AS q
+                FROM embeddings
+            ),
+            seeds AS MATERIALIZED (
+                SELECT vec_id,
+                       CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cl
+                FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 4)
+            ),
+            c0 AS MATERIALIZED (
+                SELECT s.cl, e.d, e.q AS cq
+                FROM seeds s JOIN ev e ON e.vec_id = s.vec_id
+            ),
+            a1 AS MATERIALIZED (
+                SELECT vec_id, cl FROM (
+                    SELECT e.vec_id, c.cl,
+                           row_number() OVER (PARTITION BY e.vec_id
+                               ORDER BY sum((e.q - c.cq) * (e.q - c.cq)), c.cl) AS rn
+                    FROM ev e JOIN c0 c ON e.d = c.d
+                    GROUP BY e.vec_id, c.cl
+                ) WHERE rn = 1
+            ),
+            u1 AS MATERIALIZED (
+                SELECT a.cl, e.d,
+                       CAST((sum(e.q) - ((sum(e.q) % count(*)) + count(*)) % count(*))
+                            // count(*) AS BIGINT) AS cq
+                FROM a1 a JOIN ev e ON e.vec_id = a.vec_id
+                GROUP BY a.cl, e.d
+            ),
+            c1 AS MATERIALIZED (
+                SELECT c0.cl, c0.d, coalesce(u1.cq, c0.cq) AS cq
+                FROM c0 LEFT JOIN u1 ON u1.cl = c0.cl AND u1.d = c0.d
+            ),
+            a2 AS MATERIALIZED (
+                SELECT vec_id, cl FROM (
+                    SELECT e.vec_id, c.cl,
+                           row_number() OVER (PARTITION BY e.vec_id
+                               ORDER BY sum((e.q - c.cq) * (e.q - c.cq)), c.cl) AS rn
+                    FROM ev e JOIN c1 c ON e.d = c.d
+                    GROUP BY e.vec_id, c.cl
+                ) WHERE rn = 1
+            ),
+            u2 AS MATERIALIZED (
+                SELECT a.cl, e.d,
+                       CAST((sum(e.q) - ((sum(e.q) % count(*)) + count(*)) % count(*))
+                            // count(*) AS BIGINT) AS cq
+                FROM a2 a JOIN ev e ON e.vec_id = a.vec_id
+                GROUP BY a.cl, e.d
+            ),
+            c2 AS MATERIALIZED (
+                SELECT c1.cl, c1.d, coalesce(u2.cq, c1.cq) AS cq
+                FROM c1 LEFT JOIN u2 ON u2.cl = c1.cl AND u2.d = c1.d
+            )
+            SELECT vec_id, cl AS cluster, CAST(dist AS BIGINT) AS dist FROM (
+                SELECT e.vec_id, c.cl,
+                       sum((e.q - c.cq) * (e.q - c.cq)) AS dist,
+                       row_number() OVER (PARTITION BY e.vec_id
+                           ORDER BY sum((e.q - c.cq) * (e.q - c.cq)), c.cl) AS rn
+                FROM ev e JOIN c2 c ON e.d = c.d
+                GROUP BY e.vec_id, c.cl
+            ) WHERE rn = 1
         """,
     }

@@ -2054,3 +2054,137 @@ def containment_join(
         )
 
     return inter.map_batches(emit_directed, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Line-level exact dedup (C4 / RefinedWeb style)
+# ---------------------------------------------------------------------------
+
+
+def dedup_lines(
+    ds: "ray.data.Dataset",
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    line_tokens: int = 4,
+    out_column: str = "clean_text",
+) -> "ray.data.Dataset":
+    """Corpus-wide exact LINE dedup (C4 / RefinedWeb style): every document
+    is segmented into fixed-width token lines (``line_tokens`` whitespace
+    tokens per line — the corpus carries no newlines, so the segmenter IS
+    the line definition, applied identically by the SQL oracle), every line
+    that appears anywhere else in the corpus keeps only its FIRST
+    occurrence (lexicographic min of ``(doc_id, line_no)``), and surviving
+    lines are re-joined per document in original order. Documents whose
+    every line loses are dropped entirely.
+
+    Shape: two bucketed shuffles, both on N_BUCKETS-sized key spaces —
+    (1) lines shuffle once by a crc-bucket of the line hash; within a
+    bucket the global keep-first is one vectorized sort + run-boundary
+    filter on (hash, line, doc_id, line_no) — hash collisions cannot merge
+    distinct lines because the line value itself is a sort key; (2)
+    surviving lines shuffle by id-bucket and each doc re-joins with a
+    single per-doc ''.join. Only line-sized rows ever move; the original
+    documents never re-shuffle. At 100 TB the line table is the same order
+    of magnitude as the corpus, which is exactly what the bucketed
+    keep-first was built for (cf. exact_dedup above).
+
+    Tokenization contract: split on every single space (``str.split(' ')``,
+    NOT ``split()``) so the oracle's ``regexp_split_to_array(text, ' ')``
+    produces the identical token stream including empties from runs of
+    spaces.
+    """
+    import pandas as pd
+
+    w = int(line_tokens)
+
+    def explode_lines(b: pa.Table) -> pa.Table:
+        texts = pc.fill_null(b.column(text_column), "").to_pylist()
+        ids = b.column(id_column).to_numpy(zero_copy_only=False)
+        out_lines: list[str] = []
+        out_ids: list[int] = []
+        out_ln: list[int] = []
+        for did, t in zip(ids, texts):
+            toks = t.split(" ")
+            n = (len(toks) + w - 1) // w
+            for ln in range(n):
+                out_lines.append(" ".join(toks[ln * w : ln * w + w]))
+                out_ids.append(int(did))
+                out_ln.append(ln)
+        lines = np.asarray(out_lines, dtype=object)
+        h = pd.util.hash_array(lines)
+        return pa.table(
+            {
+                "line": pa.array(out_lines, pa.string()),
+                id_column: pa.array(out_ids, pa.int64()),
+                "line_no": pa.array(out_ln, pa.int64()),
+                "__lhash": pa.array(h, pa.uint64()),
+                "__lbucket": pa.array((h % np.uint64(N_BUCKETS)).astype(np.int32)),
+            }
+        )
+
+    exploded = ds.map_batches(explode_lines, batch_format="pyarrow")
+
+    def keep_first(group: pa.Table) -> pa.Table:
+        if len(group) == 0:
+            return group.drop_columns(["__lhash", "__lbucket"])
+        order = pc.sort_indices(
+            group,
+            sort_keys=[
+                ("__lhash", "ascending"),
+                ("line", "ascending"),
+                (id_column, "ascending"),
+                ("line_no", "ascending"),
+            ],
+        )
+        g = group.take(order)
+        h = g.column("__lhash").to_numpy(zero_copy_only=False)
+        keep = np.empty(len(g), bool)
+        keep[0] = True
+        keep[1:] = h[1:] != h[:-1]
+        ties = np.nonzero(~keep[1:])[0] + 1
+        if len(ties):
+            vcol = g.column("line")
+            for i in ties:
+                keep[i] = vcol[int(i)].as_py() != vcol[int(i) - 1].as_py()
+        return g.filter(pa.array(keep)).drop_columns(["__lhash", "__lbucket"])
+
+    kept = exploded.groupby("__lbucket").map_groups(keep_first, batch_format="pyarrow")
+
+    def add_id_bucket(b: pa.Table) -> pa.Table:
+        ids = b.column(id_column).to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "__dbucket",
+            pa.array((ids % N_BUCKETS).astype(np.int32)),
+        )
+
+    def reassemble(group: pa.Table) -> pa.Table:
+        if len(group) == 0:
+            return pa.table(
+                {
+                    id_column: pa.array([], pa.int64()),
+                    out_column: pa.array([], pa.string()),
+                }
+            )
+        order = pc.sort_indices(
+            group, sort_keys=[(id_column, "ascending"), ("line_no", "ascending")]
+        )
+        g = group.take(order)
+        ids = g.column(id_column).to_numpy(zero_copy_only=False)
+        lines = g.column("line").to_pylist()
+        # run boundaries over the sorted ids → one join per document
+        starts = np.nonzero(np.r_[True, ids[1:] != ids[:-1]])[0]
+        ends = np.r_[starts[1:], len(ids)]
+        out_ids = ids[starts]
+        texts = [" ".join(lines[s:e]) for s, e in zip(starts, ends)]
+        return pa.table(
+            {
+                id_column: pa.array(out_ids, pa.int64()),
+                out_column: pa.array(texts, pa.string()),
+            }
+        )
+
+    return (
+        kept.map_batches(add_id_bucket, batch_format="pyarrow")
+        .groupby("__dbucket")
+        .map_groups(reassemble, batch_format="pyarrow")
+    )

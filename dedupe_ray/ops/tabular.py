@@ -2592,3 +2592,236 @@ def resample_interp(
         .groupby("__ibkt")
         .map_groups(per_bucket, batch_format="pyarrow")
     )
+
+
+def merge_upsert(
+    base_ds: "ray.data.Dataset",
+    changes_ds: "ray.data.Dataset",
+    key_column: str,
+    value_columns: list[str],
+) -> "ray.data.Dataset":
+    """CDC MERGE/upsert: apply a changes table to a base table by unique
+    key — keys present in ``changes_ds`` take the change row's values
+    (update), keys only in ``changes_ds`` are inserted, keys only in
+    ``base_ds`` pass through unchanged. One bucketed full-outer join by
+    key hash (the same shape as :func:`diff_snapshots`); the per-column
+    coalesce is vectorized. Neither side materializes on the driver, so
+    the changes table may be corpus-sized (a full re-crawl delta), not
+    just a small patch.
+    """
+    import numpy as np
+
+    from dedupe_ray.joins import bucketed_lookup_join
+
+    new_cols = [f"__new_{c}" for c in value_columns]
+
+    def tag_base(t: pa.Table) -> pa.Table:
+        return t.select([key_column, *value_columns])
+
+    def tag_changes(t: pa.Table) -> pa.Table:
+        out = {key_column: t.column(key_column)}
+        for c, nc in zip(value_columns, new_cols):
+            out[nc] = t.column(c)
+        out["__new_present"] = pa.array(np.ones(len(t), np.int8))
+        return pa.table(out)
+
+    joined = bucketed_lookup_join(
+        base_ds.map_batches(tag_base, batch_format="pyarrow"),
+        changes_ds.map_batches(tag_changes, batch_format="pyarrow"),
+        key_column,
+        key_column,
+        [*new_cols, "__new_present"],
+        how="full",
+    )
+
+    def coalesce(t: pa.Table) -> pa.Table:
+        take_new = pc.is_valid(t.column("__new_present"))
+        out = {key_column: t.column(key_column)}
+        for c, nc in zip(value_columns, new_cols):
+            out[c] = pc.if_else(take_new, t.column(nc), t.column(c))
+        return pa.table(out)
+
+    return joined.map_batches(coalesce, batch_format="pyarrow")
+
+
+def grouped_skew_kurtosis(
+    ds: "ray.data.Dataset",
+    group_columns: list[str],
+    int_column: str,
+) -> pa.Table:
+    """Per-group skewness and excess kurtosis over an INTEGER column,
+    exactly reproducible: each batch emits int64 raw-moment partials
+    (n, Σx, Σx², Σx³, Σx⁴) per group — 5 numbers per (group, block) —
+    merged by a tiny groupby-Sum; central moments and the final
+    skew/kurtosis doubles are evaluated driver-side from the EXACT
+    integer sums with the identical IEEE expression the SQL mirror uses
+    (population moments: skew = m3/(m2·sqrt(m2)), kurt = m4/(m2·m2) − 3).
+
+    Caller contract: the column must be integer-valued and small enough
+    that Σx⁴ fits int64 (the partial pass raises on overflow risk —
+    |x| ≤ ~55k at a billion rows). Returns a driver-side pa.Table, one
+    row per group, with the integer sufficient statistics alongside the
+    doubles so the oracle can hash-compare both layers.
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    def partials(b: pa.Table) -> pa.Table:
+        x = b.column(int_column).to_numpy(zero_copy_only=False).astype(np.int64)
+        mx = int(np.abs(x).max(initial=0))
+        if mx > 0 and mx**4 * max(len(x), 1) >= (1 << 62):
+            raise OverflowError(
+                f"fourth-moment partials may exceed int64 (max|x|={mx}, "
+                f"n={len(x)}); quantize to a coarser fixed point"
+            )
+        df = pd.DataFrame({g: b.column(g).to_pandas() for g in group_columns})
+        df["__x"] = x
+        df["__x2"] = x * x
+        df["__x3"] = x * x * x
+        df["__x4"] = (x * x) * (x * x)
+        g = df.groupby(group_columns, as_index=False).agg(
+            n=("__x", "size"), s1=("__x", "sum"), s2=("__x2", "sum"),
+            s3=("__x3", "sum"), s4=("__x4", "sum"),
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby(group_columns)
+        .aggregate(
+            Sum("n", alias_name="n"), Sum("s1", alias_name="s1"),
+            Sum("s2", alias_name="s2"), Sum("s3", alias_name="s3"),
+            Sum("s4", alias_name="s4"),
+        )
+        .to_pandas()  # bounded: one row per group
+    )
+    skews: list = []
+    kurts: list = []
+    for _, r in agg.iterrows():
+        n = float(int(r["n"]))
+        s1, s2 = float(int(r["s1"])), float(int(r["s2"]))
+        s3, s4 = float(int(r["s3"])), float(int(r["s4"]))
+        # written as the EXACT expression the SQL oracle evaluates — same
+        # operand order, same literals, no constant folding across engines
+        mean = s1 / n
+        m2 = s2 / n - mean * mean
+        if m2 <= 0.0:
+            skews.append(None)
+            kurts.append(None)
+            continue
+        m3 = s3 / n - 3.0 * mean * (s2 / n) + 2.0 * ((mean * mean) * mean)
+        m4 = (
+            s4 / n
+            - 4.0 * mean * (s3 / n)
+            + 6.0 * (mean * mean) * (s2 / n)
+            - 3.0 * ((mean * mean) * (mean * mean))
+        )
+        skews.append(m3 / (m2 * math.sqrt(m2)))
+        kurts.append(m4 / (m2 * m2) - 3.0)
+    cols = {g: pa.array(agg[g]) for g in group_columns}
+    cols["n"] = pa.array([int(v) for v in agg["n"]], pa.int64())
+    for c in ("s1", "s2", "s3", "s4"):
+        cols[c] = pa.array([int(v) for v in agg[c]], pa.int64())
+    cols["skewness"] = pa.array(skews, pa.float64())
+    cols["kurtosis"] = pa.array(kurts, pa.float64())
+    return pa.table(cols)
+
+
+def spearman_corr(
+    ds: "ray.data.Dataset",
+    a_column: str,
+    b_column: str,
+) -> pa.Table:
+    """Spearman rank correlation between two LOW-CARDINALITY integer
+    columns, exactly: one combiner shuffle reduces the corpus to its
+    joint value histogram (|A|×|B| cells — per-batch np groupby partials,
+    tiny groupby-Sum merge), then the driver computes tie-averaged ranks
+    scaled by 2 (avg rank of a tie run is a half-integer: 2·r =
+    2·cum_before + cnt + 1, an exact int) and Pearson-on-ranks from
+    arbitrary-precision integer moments. The final rho double is the
+    identical IEEE chain the SQL mirror evaluates from the same HUGEINT
+    moments. Returns a one-row table (n, rho); rho NULL when either
+    column is constant.
+
+    The histogram shape is the 100-TB-safe one for ordinal columns
+    (quantity buckets, star ratings, quantized scores): only |A|×|B|
+    cells ever reach the driver, never rows. For continuous columns,
+    quantize first or use :func:`grouped_corr` on raw values.
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    def partials(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "a": b.column(a_column).to_numpy(zero_copy_only=False).astype(np.int64),
+                "b": b.column(b_column).to_numpy(zero_copy_only=False).astype(np.int64),
+            }
+        )
+        g = df.groupby(["a", "b"], as_index=False).size().rename(columns={"size": "cnt"})
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    hist = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()  # bounded: |A|×|B| cells
+    )
+    if len(hist) == 0:
+        return pa.table({"n": pa.array([], pa.int64()), "rho": pa.array([], pa.float64())})
+    hist = hist.sort_values(["a", "b"])
+    a_vals = hist["a"].to_numpy()
+    b_vals = hist["b"].to_numpy()
+    cnt = hist["cnt"].to_numpy().astype(object)  # python ints → exact
+
+    def scaled_ranks(vals, cnts):
+        """value → 2·(tie-averaged rank) as exact python ints."""
+        order = np.argsort(vals, kind="stable")
+        uniq: dict = {}
+        cum = 0
+        i = 0
+        sv = vals[order]
+        sc = cnts[order]
+        while i < len(sv):
+            j = i
+            c = 0
+            while j < len(sv) and sv[j] == sv[i]:
+                c += int(sc[j])
+                j += 1
+            uniq[int(sv[i])] = 2 * cum + c + 1
+            cum += c
+            i = j
+        return uniq
+
+    # marginal counts per distinct value
+    am = {}
+    bm = {}
+    for av, bv, c in zip(a_vals, b_vals, cnt):
+        am[int(av)] = am.get(int(av), 0) + int(c)
+        bm[int(bv)] = bm.get(int(bv), 0) + int(c)
+    ra = scaled_ranks(np.array(sorted(am)), np.array([am[k] for k in sorted(am)], object))
+    rb = scaled_ranks(np.array(sorted(bm)), np.array([bm[k] for k in sorted(bm)], object))
+
+    n = sa = sb = saa = sbb = sab = 0
+    for av, bv, c in zip(a_vals, b_vals, cnt):
+        x, y, w = ra[int(av)], rb[int(bv)], int(c)
+        n += w
+        sa += w * x
+        sb += w * y
+        saa += w * x * x
+        sbb += w * y * y
+        sab += w * x * y
+    va, vb = n * saa - sa * sa, n * sbb - sb * sb
+    if va == 0 or vb == 0:
+        rho = None
+    else:
+        rho = float(n * sab - sa * sb) / (math.sqrt(float(va)) * math.sqrt(float(vb)))
+    return pa.table({"n": pa.array([n], pa.int64()), "rho": pa.array([rho], pa.float64())})

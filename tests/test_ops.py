@@ -4584,3 +4584,163 @@ def test_kcore(ray_session):
     empty = kcore(ds, k=10)
     assert empty.count() == 0
     assert empty.schema().names == ["node", "degree"]
+
+
+# ---------------------------------------------------------------------------
+# line-level dedup / merge upsert / exact stats / kmeans (round-4 session 4)
+# ---------------------------------------------------------------------------
+
+
+def test_dedup_lines_brute_force(ray_session):
+    """Engine output == a driver-side brute-force of the same contract
+    (4-token lines, keep first (doc_id, line_no) occurrence, re-join),
+    invariant under repartitioning."""
+    from dedupe_ray.ops.dedup import dedup_lines
+
+    rng = np.random.RandomState(7)
+    vocab = ["a", "b", "c", "d"]
+    docs = {}
+    for i in range(60):
+        n = rng.randint(1, 30)
+        docs[i] = " ".join(rng.choice(vocab, n))
+    # plant exact duplicate lines: doc 60 repeats doc 0's first line twice
+    docs[60] = docs[0]  # full duplicate doc → should vanish entirely
+    tbl = pa.table({"doc_id": list(docs), "text": list(docs.values())})
+
+    def brute(w=4):
+        seen = {}
+        lines = []
+        for did, t in docs.items():
+            toks = t.split(" ")
+            for ln in range((len(toks) + w - 1) // w):
+                line = " ".join(toks[ln * w : ln * w + w])
+                lines.append((did, ln, line))
+                key = line
+                if key not in seen or (did, ln) < seen[key]:
+                    seen[key] = (did, ln)
+        out = {}
+        for did, ln, line in lines:
+            if seen[line] == (did, ln):
+                out.setdefault(did, []).append((ln, line))
+        return {
+            did: " ".join(l for _, l in sorted(v)) for did, v in out.items()
+        }
+
+    expect = brute()
+    for parallelism in (1, 7):
+        ds = rd.from_arrow(tbl).repartition(parallelism)
+        got = dedup_lines(ds, "text", "doc_id", line_tokens=4).to_pandas()
+        gmap = dict(zip(got["doc_id"], got["clean_text"]))
+        assert gmap == expect
+    # the full-duplicate doc lost every line
+    assert 60 not in expect
+
+
+def test_merge_upsert(ray_session):
+    from dedupe_ray.ops.tabular import merge_upsert
+
+    base = rd.from_arrow(
+        pa.table({"k": [1, 2, 3], "name": ["a", "b", "c"], "v": [10, 20, 30]})
+    )
+    changes = rd.from_arrow(
+        pa.table({"k": [2, 9], "name": ["B2", "NEW"], "v": [99, 7]})
+    )
+    out = (
+        merge_upsert(base, changes, "k", ["name", "v"])
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert out["k"].tolist() == [1, 2, 3, 9]
+    assert out["name"].tolist() == ["a", "B2", "c", "NEW"]
+    assert out["v"].tolist() == [10, 99, 30, 7]
+
+
+def test_grouped_skew_kurtosis(ray_session):
+    """Exact-moment skew/kurt == direct numpy population formulas."""
+    from dedupe_ray.ops.tabular import grouped_skew_kurtosis
+
+    rng = np.random.RandomState(3)
+    g = rng.choice(["x", "y"], 500)
+    v = rng.randint(1, 50, 500).astype(np.int64)
+    ds = rd.from_arrow(pa.table({"g": g, "v": v})).repartition(5)
+    out = grouped_skew_kurtosis(ds, ["g"], "v").to_pandas().set_index("g")
+    for grp in ("x", "y"):
+        x = v[g == grp].astype(np.float64)
+        m = x.mean()
+        m2 = ((x - m) ** 2).mean()
+        m3 = ((x - m) ** 3).mean()
+        m4 = ((x - m) ** 4).mean()
+        assert out.loc[grp, "skewness"] == pytest.approx(m3 / m2**1.5, rel=1e-9)
+        assert out.loc[grp, "kurtosis"] == pytest.approx(m4 / m2**2 - 3.0, rel=1e-9)
+        assert out.loc[grp, "n"] == len(x)
+
+
+def test_spearman_corr(ray_session):
+    """Histogram-path Spearman == pandas average-rank Pearson."""
+    from dedupe_ray.ops.tabular import spearman_corr
+
+    rng = np.random.RandomState(11)
+    a = rng.randint(1, 8, 400).astype(np.int64)
+    b = (a * 2 + rng.randint(0, 5, 400)).astype(np.int64)  # correlated + ties
+    ds = rd.from_arrow(pa.table({"a": a, "b": b})).repartition(4)
+    out = spearman_corr(ds, "a", "b").to_pandas()
+    ra = pd.Series(a).rank(method="average")
+    rb = pd.Series(b).rank(method="average")
+    expect = np.corrcoef(ra, rb)[0, 1]
+    assert out["rho"].iloc[0] == pytest.approx(expect, rel=1e-12)
+    assert out["n"].iloc[0] == 400
+
+    # constant column → NULL rho
+    ds2 = rd.from_arrow(pa.table({"a": [1, 1, 1], "b": [1, 2, 3]}))
+    out2 = spearman_corr(ds2, "a", "b").to_pandas()
+    assert pd.isna(out2["rho"].iloc[0])
+
+
+def test_kmeans_exact_assign(ray_session):
+    """Assignments == a pure-python integer Lloyd reference, invariant
+    across parallelism; two well-separated blobs recover their split."""
+    from dedupe_ray.ops.embedding import kmeans_exact_assign
+
+    rng = np.random.RandomState(5)
+    blob_a = rng.normal(0.0, 0.05, (30, 8))
+    blob_b = rng.normal(1.0, 0.05, (30, 8))
+    vecs = np.vstack([blob_a, blob_b]).astype(np.float32)
+    ids = np.arange(len(vecs))
+    tbl = pa.table(
+        {
+            "vec_id": ids,
+            "embedding": pa.array(
+                [row.tolist() for row in vecs], pa.list_(pa.float32())
+            ),
+        }
+    )
+
+    def brute(k=2, iters=2, quantize=1_000_000):
+        q = np.floor(vecs.astype(np.float64) * quantize + 0.5).astype(np.int64)
+        cent = q[:k].copy()  # k smallest ids
+        for _ in range(iters):
+            d = ((q[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+            a = d.argmin(1)
+            for j in range(k):
+                sel = q[a == j]
+                if len(sel):
+                    cent[j] = np.floor_divide(sel.sum(0), len(sel))
+        d = ((q[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+        a = d.argmin(1)
+        return a, d[np.arange(len(q)), a]
+
+    ea, ed = brute()
+    for parallelism in (1, 6):
+        ds = rd.from_arrow(tbl).repartition(parallelism)
+        got = (
+            kmeans_exact_assign(ds, k=2, iters=2)
+            .to_pandas()
+            .sort_values("vec_id")
+            .reset_index(drop=True)
+        )
+        assert got["cluster"].to_numpy().tolist() == ea.tolist()
+        assert got["dist"].to_numpy().tolist() == ed.tolist()
+    # blob structure recovered: each blob lands in one cluster
+    assert len(set(ea[:30])) == 1 and len(set(ea[30:])) == 1
+    assert ea[0] != ea[30]
