@@ -3037,6 +3037,164 @@ def _q_customers_upserted(sf_dir: str):
     )
 
 
+def _q_events_rolling_median(sf_dir: str):
+    """Per-user rolling 5-row median of the event value (robust smoothing
+    window): integer cents make the even-count interpolation exact, so
+    the window output hash-matches DuckDB's median-over-frame."""
+    from dedupe_ray.ops.tabular import grouped_rolling_median
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def cents(b: pa.Table) -> pa.Table:
+        c = np.floor(
+            b.column("value").to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "event_id": b.column("event_id"),
+                "user_id": b.column("user_id"),
+                "ts": b.column("ts"),
+                "c": pa.array(c),
+            }
+        )
+
+    out = grouped_rolling_median(
+        ev.map_batches(cents, batch_format="pyarrow"),
+        "user_id",
+        ["ts", "event_id"],
+        "c",
+        window=5,
+        out_column="med_c",
+    )
+
+    def project(b: pa.Table) -> pa.Table:
+        return b.select(["event_id", "user_id", "med_c"])
+
+    return out.map_batches(project, batch_format="pyarrow")
+
+
+def _q_user_twap(sf_dir: str):
+    """Per-user time-weighted average event value: each observation is
+    weighted by the whole seconds until the user's next event (exact
+    int64 cents·seconds sums; epoch-µs floor-div — see grouped_twap)."""
+    from dedupe_ray.ops.tabular import grouped_twap
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def cents(b: pa.Table) -> pa.Table:
+        c = np.floor(
+            b.column("value").to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "event_id": b.column("event_id"),
+                "user_id": b.column("user_id"),
+                "ts": b.column("ts"),
+                "c": pa.array(c),
+            }
+        )
+
+    return grouped_twap(
+        ev.map_batches(cents, batch_format="pyarrow"),
+        "user_id",
+        "ts",
+        "event_id",
+        "c",
+    )
+
+
+def _q_lang_source_mi(sf_dir: str):
+    """Mutual information between document language and source in integer
+    micro-nats (feature-association signal for mixture design): joint
+    histogram combiner + exact per-cell quantized log terms."""
+    from dedupe_ray.ops.tabular import mutual_information
+
+    docs = _read(sf_dir, "documents", ["lang", "source"])
+    return mutual_information(docs, "lang", "source")
+
+
+def _q_tpch_q10(sf_dir: str):
+    """TPC-H Q10 shape (returned-item revenue ranking): per-order revenue
+    of 'R'-flag lineitems pre-aggregated before any join, a one-quarter
+    order window, bucketed joins to orders/customer, nation names
+    resolved driver-side (25 rows — broadcast-small-side), deterministic
+    top-20."""
+    from ray.data.aggregate import Sum
+
+    from dedupe_ray.joins import bucketed_lookup_join
+
+    lo = np.datetime64("1996-01-01")
+    hi = np.datetime64("1996-04-01")
+
+    li = _read(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"],
+    )
+
+    def rev(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        t = b.filter(_pc.equal(b.column("l_returnflag"), "R"))
+        cents = np.floor(
+            t.column("l_extendedprice").to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        disc = np.floor(
+            t.column("l_discount").to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "l_orderkey": t.column("l_orderkey"),
+                "rev_c": pa.array(cents * (100 - disc)),
+            }
+        )
+
+    per_order = (
+        li.map_batches(rev, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Sum("rev_c", alias_name="rev_c"))
+    )
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def owin(b: pa.Table) -> pa.Table:
+        d = b.column("o_orderdate").to_numpy(zero_copy_only=False)
+        return b.filter(pa.array((d >= lo) & (d < hi))).drop_columns(["o_orderdate"])
+
+    j1 = bucketed_lookup_join(
+        per_order,
+        orders.map_batches(owin, batch_format="pyarrow"),
+        "l_orderkey", "o_orderkey", ["o_custkey"],
+    )
+    per_cust = (
+        j1.groupby("o_custkey").aggregate(Sum("rev_c", alias_name="revenue_c"))
+    )
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_nationkey"])
+    j2 = bucketed_lookup_join(
+        per_cust, cust, "o_custkey", "c_custkey", ["c_name", "c_nationkey"]
+    )
+
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    name_of = dict(zip(nat["n_nationkey"], nat["n_name"]))
+
+    def finish(b: pa.Table) -> pa.Table:
+        nk = b.column("c_nationkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        names = np.asarray([name_of[int(v)] for v in nk], object)
+        return pa.table(
+            {
+                "c_custkey": b.column("o_custkey"),
+                "c_name": b.column("c_name"),
+                "n_name": pa.array(names, pa.string()),
+                "revenue_c": b.column("revenue_c"),
+            }
+        )
+
+    return (
+        j2.map_batches(finish, batch_format="pyarrow")
+        .sort(["revenue_c", "c_custkey"], descending=[True, False])
+        .limit(20)
+    )
+
+
 def _q_kmeans_embeddings(sf_dir: str):
     """Exact-integer Lloyd k-means assignments (k=4, 2 iterations,
     fixed-point 1e6): centroids stay int64 through floor-div updates, so
@@ -3190,6 +3348,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_spearman": _q_lineitem_spearman,
         "customers_upserted": _q_customers_upserted,
         "kmeans_embeddings": _q_kmeans_embeddings,
+        "events_rolling_median": _q_events_rolling_median,
+        "user_twap": _q_user_twap,
+        "lang_source_mi": _q_lang_source_mi,
+        "tpch_q10": _q_tpch_q10,
     }
 
 
@@ -5127,5 +5289,74 @@ def oracle_sql() -> dict[str, str]:
                 FROM ev e JOIN c2 c ON e.d = c.d
                 GROUP BY e.vec_id, c.cl
             ) WHERE rn = 1
+        """,
+        # integer cents make the even-count median interpolation exact, so
+        # DuckDB's lower+(upper−lower)·0.5 == numpy's (a+b)/2 bit-for-bit
+        "events_rolling_median": """
+            SELECT event_id, user_id,
+                   median(CAST(floor(value * 100.0 + 0.5) AS BIGINT))
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS med_c
+            FROM events
+        """,
+        # epoch_us + integer division, NOT date_diff('second',…): date_diff
+        # counts boundary crossings and disagrees on sub-second phases
+        "user_twap": """
+            WITH w AS (
+                SELECT user_id,
+                       CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c,
+                       (epoch_us(lead(ts) OVER (PARTITION BY user_id
+                                                ORDER BY ts, event_id))
+                        - epoch_us(ts)) // 1000000 AS gap
+                FROM events
+            )
+            SELECT user_id,
+                   CAST(sum(c * gap) AS BIGINT) AS num,
+                   CAST(sum(gap) AS BIGINT) AS den,
+                   CAST(sum(c * gap) AS DOUBLE) / CAST(sum(gap) AS DOUBLE) AS twap
+            FROM w WHERE gap IS NOT NULL
+            GROUP BY user_id HAVING sum(gap) > 0
+        """,
+        # per-cell quantized log terms (micro-nats) summed as exact ints —
+        # the raw-float MI would hash-mismatch on summation order
+        "lang_source_mi": """
+            WITH j AS MATERIALIZED (
+                SELECT lang, source, CAST(count(*) AS BIGINT) AS c
+                FROM documents GROUP BY lang, source
+            ),
+            ma AS (SELECT lang, CAST(sum(c) AS BIGINT) AS ca FROM j GROUP BY lang),
+            mb AS (SELECT source, CAST(sum(c) AS BIGINT) AS cb FROM j GROUP BY source),
+            tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM j)
+            SELECT tot.n AS n,
+                   CAST(sum(j.c * CAST(floor(1000000.0 *
+                        ln(CAST(j.c * tot.n AS DOUBLE)
+                           / CAST(ma.ca * mb.cb AS DOUBLE))) AS BIGINT))
+                        AS BIGINT) AS mi_micro
+            FROM j
+            JOIN ma ON ma.lang = j.lang
+            JOIN mb ON mb.source = j.source
+            CROSS JOIN tot
+            GROUP BY tot.n
+        """,
+        "tpch_q10": """
+            WITH rev AS (
+                SELECT l_orderkey,
+                       CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)
+                                * (100 - CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT)))
+                            AS BIGINT) AS rev_c
+                FROM lineitem WHERE l_returnflag = 'R'
+                GROUP BY l_orderkey
+            )
+            SELECT c.c_custkey, c.c_name, n.n_name,
+                   CAST(sum(r.rev_c) AS BIGINT) AS revenue_c
+            FROM rev r
+            JOIN orders o ON o.o_orderkey = r.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN nation n ON n.n_nationkey = c.c_nationkey
+            WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o.o_orderdate < TIMESTAMP '1996-04-01'
+            GROUP BY c.c_custkey, c.c_name, n.n_name
+            ORDER BY revenue_c DESC, c.c_custkey
+            LIMIT 20
         """,
     }

@@ -2825,3 +2825,199 @@ def spearman_corr(
     else:
         rho = float(n * sab - sa * sb) / (math.sqrt(float(va)) * math.sqrt(float(vb)))
     return pa.table({"n": pa.array([n], pa.int64()), "rho": pa.array([rho], pa.float64())})
+
+
+def grouped_rolling_median(
+    ds: "ray.data.Dataset",
+    key_column: str,
+    order_columns: list[str],
+    int_column: str,
+    window: int = 5,
+    out_column: str = "rolling_median",
+) -> "ray.data.Dataset":
+    """SQL ``median(x) OVER (PARTITION BY key ORDER BY ... ROWS BETWEEN
+    window-1 PRECEDING AND CURRENT ROW)`` over an INTEGER column — the
+    robust-smoothing window op. One bucketed shuffle (the shared
+    :func:`_grouped_window` shape); full windows are vectorized via a
+    sliding-window view + one batched np.median, only the ragged
+    ``window−1`` head rows of each key run take the scalar path.
+
+    Integer inputs make the even-count interpolation exact (a half is
+    exactly representable), so ``(a+b)/2`` here and DuckDB's
+    ``lower + (upper−lower)·0.5`` produce the identical double —
+    quantize float columns to fixed-point upstream on both engines.
+    """
+    import numpy as np
+
+    w = int(window)
+
+    def kernel(g: pa.Table, new_key: np.ndarray) -> pa.Table:
+        vals = g.column(int_column).to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(g)
+        idx = np.arange(n)
+        starts = np.nonzero(new_key)[0]
+        run_id = np.cumsum(new_key) - 1
+        run_start = starts[run_id]
+        lo = np.maximum(run_start, idx - (w - 1))
+        out = np.empty(n, np.float64)
+        full = (idx - lo) == (w - 1)
+        if n >= w and full.any():
+            sw = np.lib.stride_tricks.sliding_window_view(vals, w)
+            med_full = np.median(sw, axis=1)
+            out[full] = med_full[idx[full] - (w - 1)]
+        for i in np.nonzero(~full)[0]:
+            out[i] = np.median(vals[lo[i] : i + 1])
+        return g.append_column(out_column, pa.array(out))
+
+    return _grouped_window(ds, key_column, order_columns, kernel)
+
+
+def grouped_twap(
+    ds: "ray.data.Dataset",
+    key_column: str,
+    ts_column: str,
+    tiebreak_column: str,
+    value_cents_column: str,
+    out_column: str = "twap",
+) -> "ray.data.Dataset":
+    """Per-key time-weighted average: each observation is weighted by the
+    whole seconds until the key's NEXT observation (``(next_µs − µs) //
+    1e6`` — mirror with ``epoch_us`` + integer division in SQL, NOT
+    ``date_diff('second',…)`` which counts boundary CROSSINGS and
+    disagrees on sub-second phases). The key's last observation carries
+    no weight; keys whose total weight is zero (single observation, or
+    all ties) are omitted on both engines.
+
+    One bucketed shuffle; because keys never straddle hash buckets, the
+    kernel emits the FINAL per-key row (num = Σ cents·gap, den = Σ gap,
+    twap = num/den as the identical double chain) directly — no second
+    aggregate. Exact int64 sums: num ≤ max_cents · key_time_span_s per
+    key, order-free and parallelism-invariant.
+    """
+    import numpy as np
+
+    from dedupe_ray.blocking import N_BUCKETS
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "__tbkt", _bucket_hash_col(b.column(key_column), N_BUCKETS)
+        )
+
+    sort_keys = [
+        (key_column, "ascending"),
+        (ts_column, "ascending"),
+        (tiebreak_column, "ascending"),
+    ]
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                key_column: pa.array([], pa.int64()),
+                "num": pa.array([], pa.int64()),
+                "den": pa.array([], pa.int64()),
+                out_column: pa.array([], pa.float64()),
+            }
+        )
+        if len(group) == 0:
+            return empty
+        g = group.take(pc.sort_indices(group, sort_keys=sort_keys))
+        keys = g.column(key_column).to_numpy(zero_copy_only=False).astype(np.int64)
+        us = g.column(ts_column).to_numpy(zero_copy_only=False)
+        us = us.astype("datetime64[us]").view(np.int64)
+        cents = g.column(value_cents_column).to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(g)
+        if n < 2:
+            return empty
+        same = keys[1:] == keys[:-1]
+        gap = (us[1:] - us[:-1]) // 1_000_000
+        wnum = np.where(same, cents[:-1] * gap, 0)
+        wden = np.where(same, gap, 0)
+        # per-run sums via reduceat over run starts
+        new_key = np.empty(n, bool)
+        new_key[0] = True
+        new_key[1:] = ~same
+        starts = np.nonzero(new_key)[0]
+        # pad the weight arrays to length n so reduceat segments align
+        wnum_p = np.r_[wnum, 0]
+        wden_p = np.r_[wden, 0]
+        nums = np.add.reduceat(wnum_p, starts)
+        dens = np.add.reduceat(wden_p, starts)
+        out_keys = keys[starts]
+        keep = dens > 0
+        nums, dens, out_keys = nums[keep], dens[keep], out_keys[keep]
+        twap = nums.astype(np.float64) / dens.astype(np.float64)
+        return pa.table(
+            {
+                key_column: pa.array(out_keys),
+                "num": pa.array(nums),
+                "den": pa.array(dens),
+                out_column: pa.array(twap),
+            }
+        )
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("__tbkt")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+
+
+def mutual_information(
+    ds: "ray.data.Dataset",
+    a_column: str,
+    b_column: str,
+) -> pa.Table:
+    """Mutual information between two categorical columns in integer
+    micro-nats: the corpus reduces to its joint histogram in one combiner
+    shuffle (|A|×|B| cells); the driver computes, per cell, ``c_ab ·
+    floor(1e6 · ln((c_ab·n) / (c_a·c_b)))`` with exact integer counts and
+    sums the per-cell INTEGERS — order-free, parallelism-invariant, and
+    mirrored term-for-term by a SQL oracle (the same quantize-the-
+    transcendental trick as the bigram-LM scores; raw float MI would
+    hash-mismatch on summation order). Returns a one-row table
+    (n, mi_micro); mi_micro/1e6 underestimates true MI by < 1e-6 nats
+    per cell."""
+    import math
+
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    def partials(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "a": b.column(a_column).to_pandas(),
+                "b": b.column(b_column).to_pandas(),
+            }
+        )
+        g = df.groupby(["a", "b"], as_index=False).size().rename(columns={"size": "cnt"})
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    hist = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()  # bounded: |A|×|B| cells
+    )
+    if len(hist) == 0:
+        return pa.table(
+            {"n": pa.array([0], pa.int64()), "mi_micro": pa.array([0], pa.int64())}
+        )
+    ca: dict = {}
+    cb: dict = {}
+    for av, bv, c in zip(hist["a"], hist["b"], hist["cnt"]):
+        ca[av] = ca.get(av, 0) + int(c)
+        cb[bv] = cb.get(bv, 0) + int(c)
+    n = sum(ca.values())
+    mi = 0
+    for av, bv, c in zip(hist["a"], hist["b"], hist["cnt"]):
+        c = int(c)
+        # identical IEEE chain to the SQL mirror: exact ints → double
+        # division → libm log → floor
+        term = math.floor(
+            1000000.0 * math.log(float(c * n) / float(ca[av] * cb[bv]))
+        )
+        mi += c * term
+    return pa.table(
+        {"n": pa.array([n], pa.int64()), "mi_micro": pa.array([mi], pa.int64())}
+    )

@@ -4744,3 +4744,86 @@ def test_kmeans_exact_assign(ray_session):
     # blob structure recovered: each blob lands in one cluster
     assert len(set(ea[:30])) == 1 and len(set(ea[30:])) == 1
     assert ea[0] != ea[30]
+
+
+def test_grouped_rolling_median(ray_session):
+    """Window median == pandas rolling(min_periods=1).median per group."""
+    from dedupe_ray.ops.tabular import grouped_rolling_median
+
+    rng = np.random.RandomState(9)
+    n = 300
+    key = rng.randint(0, 7, n).astype(np.int64)
+    order = np.arange(n, dtype=np.int64)
+    val = rng.randint(-50, 50, n).astype(np.int64)
+    ds = rd.from_arrow(
+        pa.table({"k": key, "o": order, "v": val})
+    ).repartition(5)
+    out = (
+        grouped_rolling_median(ds, "k", ["o"], "v", window=4, out_column="med")
+        .to_pandas()
+        .sort_values(["k", "o"])
+        .reset_index(drop=True)
+    )
+    df = pd.DataFrame({"k": key, "o": order, "v": val}).sort_values(["k", "o"])
+    expect = (
+        df.groupby("k")["v"].rolling(4, min_periods=1).median().reset_index(drop=True)
+    )
+    assert out["med"].tolist() == expect.tolist()
+
+
+def test_grouped_twap(ray_session):
+    """Hand-computed TWAP: weights are whole seconds to the next event;
+    the last event carries no weight; single-event keys are omitted."""
+    from dedupe_ray.ops.tabular import grouped_twap
+
+    ts = pa.array(
+        np.array(
+            [0, 10_000_000, 40_000_000, 0, 2_500_000, 0],  # µs
+            np.int64,
+        ).view("datetime64[us]")
+    )
+    tbl = pa.table(
+        {
+            "k": pa.array([1, 1, 1, 2, 2, 3], pa.int64()),
+            "ts": ts,
+            "tie": pa.array([0, 1, 2, 3, 4, 5], pa.int64()),
+            "c": pa.array([100, 200, 999, 40, 7, 5], pa.int64()),
+        }
+    )
+    out = (
+        grouped_twap(rd.from_arrow(tbl).repartition(3), "k", "ts", "tie", "c")
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    # key 1: 100·10 + 200·30 = 7000 over 40 s; key 2: 40·2 over 2 s
+    # (2.5 s floor-divides to 2); key 3: single event → omitted
+    assert out["k"].tolist() == [1, 2]
+    assert out["num"].tolist() == [7000, 80]
+    assert out["den"].tolist() == [40, 2]
+    assert out["twap"].tolist() == [175.0, 40.0]
+
+
+def test_mutual_information(ray_session):
+    """Identical uniform columns → n·floor(1e6·ln k); independent uniform
+    columns → exactly 0; invariant across parallelism."""
+    import math
+
+    from dedupe_ray.ops.tabular import mutual_information
+
+    k, reps = 4, 100
+    a = np.repeat(np.arange(k), reps)
+    for parallelism in (1, 6):
+        ds = rd.from_arrow(
+            pa.table({"a": a.astype(str), "b": a.astype(str)})
+        ).repartition(parallelism)
+        out = mutual_information(ds, "a", "b").to_pandas()
+        n = k * reps
+        assert out["n"].iloc[0] == n
+        assert out["mi_micro"].iloc[0] == n * math.floor(1e6 * math.log(k))
+
+    # independent: every (a,b) cell has the same count → each term ln(1)=0
+    b2 = np.tile(np.arange(k), reps)
+    ds2 = rd.from_arrow(pa.table({"a": a.astype(str), "b": b2.astype(str)}))
+    out2 = mutual_information(ds2, "a", "b").to_pandas()
+    assert out2["mi_micro"].iloc[0] == 0
