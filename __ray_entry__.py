@@ -3195,6 +3195,53 @@ def _q_tpch_q10(sf_dir: str):
     )
 
 
+def _q_cohort_retention(sf_dir: str):
+    """User retention cohorts: users grouped by first-activity epoch day,
+    distinct active users counted per (cohort_day, day_offset) cell —
+    combiner-deduped pairs, per-key min, one bucketed join."""
+    from dedupe_ray.ops.tabular import cohort_retention
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+    return cohort_retention(ev, "user_id", "ts")
+
+
+def _q_priority_linecount(sf_dir: str):
+    """TPC-H Q12-style conditional aggregation: per returnflag, lineitem
+    counts split by the order's priority class (1-URGENT/2-HIGH vs rest)
+    — one bucketed join on the order key, vectorized CASE, combiner
+    groupby."""
+    from ray.data.aggregate import Sum
+
+    from dedupe_ray.joins import bucketed_lookup_join
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_returnflag"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+
+    j = bucketed_lookup_join(
+        li, orders, "l_orderkey", "o_orderkey", ["o_orderpriority"]
+    )
+
+    def split(b: pa.Table) -> pa.Table:
+        pri = b.column("o_orderpriority").to_numpy(zero_copy_only=False)
+        hi = np.isin(pri, ["1-URGENT", "2-HIGH"]).astype(np.int64)
+        return pa.table(
+            {
+                "l_returnflag": b.column("l_returnflag"),
+                "high_line_count": pa.array(hi),
+                "low_line_count": pa.array(1 - hi),
+            }
+        )
+
+    return (
+        j.map_batches(split, batch_format="pyarrow")
+        .groupby("l_returnflag")
+        .aggregate(
+            Sum("high_line_count", alias_name="high_line_count"),
+            Sum("low_line_count", alias_name="low_line_count"),
+        )
+    )
+
+
 def _q_kmeans_embeddings(sf_dir: str):
     """Exact-integer Lloyd k-means assignments (k=4, 2 iterations,
     fixed-point 1e6): centroids stay int64 through floor-div updates, so
@@ -3352,6 +3399,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_twap": _q_user_twap,
         "lang_source_mi": _q_lang_source_mi,
         "tpch_q10": _q_tpch_q10,
+        "cohort_retention": _q_cohort_retention,
+        "priority_linecount": _q_priority_linecount,
     }
 
 
@@ -5358,5 +5407,26 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY c.c_custkey, c.c_name, n.n_name
             ORDER BY revenue_c DESC, c.c_custkey
             LIMIT 20
+        """,
+        "cohort_retention": """
+            WITH d AS MATERIALIZED (
+                SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+            ),
+            f AS (SELECT user_id, min(day) AS first_day FROM d GROUP BY user_id),
+            u AS (SELECT DISTINCT user_id, day FROM d)
+            SELECT f.first_day AS cohort_day,
+                   u.day - f.first_day AS day_offset,
+                   CAST(count(*) AS BIGINT) AS n_users
+            FROM u JOIN f ON u.user_id = f.user_id
+            GROUP BY 1, 2
+        """,
+        "priority_linecount": """
+            SELECT l.l_returnflag,
+                   CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                   CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                                 THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+            FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+            GROUP BY l.l_returnflag
         """,
     }

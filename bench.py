@@ -234,6 +234,14 @@ def run_bench() -> dict:
     entrymod.queries()["tpch_q3"](SF_DIR).to_pandas()
     queries["tpch_q3"] = round(time.time() - t0, 3)
 
+    t0 = time.time()
+    entrymod.queries()["line_dedup_docs"](SF_DIR).count()
+    queries["line_dedup_docs"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    entrymod.queries()["kmeans_embeddings"](SF_DIR).count()
+    queries["kmeans_embeddings"] = round(time.time() - t0, 3)
+
     result = {
         "metric": "er_partition_seconds",
         "value": queries["er_partition"],

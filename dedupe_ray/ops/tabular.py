@@ -3021,3 +3021,64 @@ def mutual_information(
     return pa.table(
         {"n": pa.array([n], pa.int64()), "mi_micro": pa.array([mi], pa.int64())}
     )
+
+
+def cohort_retention(
+    ds: "ray.data.Dataset",
+    key_column: str,
+    ts_column: str,
+) -> "ray.data.Dataset":
+    """Cohort retention analysis (the product-analytics primitive): keys
+    are cohorted by their FIRST activity day (epoch days — ``epoch_µs //
+    86400e6``, exact integer on both engines), and each (cohort_day,
+    day_offset) cell counts the distinct keys active that many days after
+    their first day. Three bounded shuffles: distinct (key, day) pairs
+    (combiner-deduped per batch before the groupby), per-key min-day, one
+    bucketed join of the two — rows never fan out, every stage is keyed
+    on the key hash. Output: (cohort_day, day_offset, n_users)."""
+    import numpy as np
+    import pandas as pd
+
+    from ray.data.aggregate import Count, Min
+
+    from dedupe_ray.joins import bucketed_lookup_join
+
+    def to_days(b: pa.Table) -> pa.Table:
+        us = b.column(ts_column).to_numpy(zero_copy_only=False)
+        us = us.astype("datetime64[us]").view(np.int64)
+        df = pd.DataFrame(
+            {
+                key_column: b.column(key_column).to_numpy(zero_copy_only=False),
+                "day": us // 86_400_000_000,
+            }
+        ).drop_duplicates()  # per-batch combiner: shrink before the shuffle
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    days = ds.map_batches(to_days, batch_format="pyarrow")
+    distinct_pairs = days.groupby([key_column, "day"]).count()
+
+    def drop_count(b: pa.Table) -> pa.Table:
+        return b.select([key_column, "day"])
+
+    distinct_pairs = distinct_pairs.map_batches(drop_count, batch_format="pyarrow")
+    first_day = days.groupby(key_column).aggregate(Min("day", alias_name="first_day"))
+
+    joined = bucketed_lookup_join(
+        distinct_pairs, first_day, key_column, key_column, ["first_day"]
+    )
+
+    def offsets(b: pa.Table) -> pa.Table:
+        day = b.column("day").to_numpy(zero_copy_only=False).astype(np.int64)
+        fd = b.column("first_day").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "cohort_day": pa.array(fd),
+                "day_offset": pa.array(day - fd),
+            }
+        )
+
+    return (
+        joined.map_batches(offsets, batch_format="pyarrow")
+        .groupby(["cohort_day", "day_offset"])
+        .aggregate(Count(alias_name="n_users"))
+    )

@@ -4827,3 +4827,31 @@ def test_mutual_information(ray_session):
     ds2 = rd.from_arrow(pa.table({"a": a.astype(str), "b": b2.astype(str)}))
     out2 = mutual_information(ds2, "a", "b").to_pandas()
     assert out2["mi_micro"].iloc[0] == 0
+
+
+def test_cohort_retention(ray_session):
+    """Hand-built cohort table: two users starting on different days."""
+    from dedupe_ray.ops.tabular import cohort_retention
+
+    day = 86_400_000_000  # µs
+    ts = pa.array(
+        np.array(
+            [0, day, day * 3, day, day * 2, day, day],  # u1: d0,d1,d3; u2: d1,d2; u3: d1 twice
+            np.int64,
+        ).view("datetime64[us]")
+    )
+    tbl = pa.table(
+        {"user_id": pa.array([1, 1, 1, 2, 2, 3, 3], pa.int64()), "ts": ts}
+    )
+    out = (
+        cohort_retention(rd.from_arrow(tbl).repartition(3), "user_id", "ts")
+        .to_pandas()
+        .sort_values(["cohort_day", "day_offset"])
+        .reset_index(drop=True)
+    )
+    # cohort 0 (u1): offsets 0,1,3 → 1 user each
+    # cohort 1 (u2,u3): offset 0 → 2 users; offset 1 → 1 user (u2);
+    # u3's duplicate same-day event collapses
+    expect = [(0, 0, 1), (0, 1, 1), (0, 3, 1), (1, 0, 2), (1, 1, 1)]
+    got = list(zip(out["cohort_day"], out["day_offset"], out["n_users"]))
+    assert got == expect
