@@ -3253,6 +3253,137 @@ def _q_kmeans_embeddings(sf_dir: str):
     return kmeans_exact_assign(emb, k=4, iters=2, quantize=1_000_000)
 
 
+def _q_tpch_q6(sf_dir: str):
+    """TPC-H Q6 shape (forecast revenue change): the pure scan-and-reduce
+    showcase — column-pruned lineitem read, one vectorized predicate
+    (shipdate window, quantized discount band, quantity cap), revenue as
+    exact integer cents·discount_e2, ONE combiner Sum. No shuffle at any
+    point; at 100 TB this is read-bandwidth-bound by construction."""
+    from ray.data.aggregate import Sum
+
+    lo, hi = np.datetime64("1996-01-01"), np.datetime64("1997-01-01")
+    li = _read(
+        sf_dir, "lineitem",
+        ["l_shipdate", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def rev(b: pa.Table) -> pa.Table:
+        d = b.column("l_shipdate").to_numpy(zero_copy_only=False)
+        qty = b.column("l_quantity").to_numpy(zero_copy_only=False)
+        disc = np.floor(
+            b.column("l_discount").to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        keep = (d >= lo) & (d < hi) & (qty < 24.0) & (disc >= 5) & (disc <= 7)
+        cents = np.floor(
+            b.column("l_extendedprice").to_numpy(zero_copy_only=False)[keep]
+            * 100.0 + 0.5
+        ).astype(np.int64)
+        return pa.table({"rev": pa.array(cents * disc[keep])})
+
+    agg = li.map_batches(rev, batch_format="pyarrow").aggregate(
+        Sum("rev", alias_name="revenue_c2")
+    )
+    return pa.table({"revenue_c2": pa.array([int(agg["revenue_c2"])], pa.int64())})
+
+
+def _q_tpch_q4(sf_dir: str):
+    """TPC-H Q4 shape (order-priority checking; EXISTS adapted to this
+    schema — "has a returned lineitem" stands in for the late-delivery
+    predicate): flagged orderkeys are per-batch deduped, made globally
+    unique with one combiner groupby, and the date-windowed orders side
+    SEMI-joins against them in the bucketed join; a 5-row priority count
+    falls out. Lineitem rows themselves never reach the join."""
+    from ray.data.aggregate import Count, Sum
+
+    from dedupe_ray.joins import bucketed_lookup_join
+
+    lo, hi = np.datetime64("1996-01-01"), np.datetime64("1998-01-01")
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_returnflag"])
+
+    def flagged(b: pa.Table) -> pa.Table:
+        keys = b.column("l_orderkey").to_numpy(zero_copy_only=False)
+        flag = b.column("l_returnflag").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"l_orderkey": pa.array(np.unique(keys[flag == "R"]), pa.int64())}
+        )
+
+    distinct = (
+        li.map_batches(flagged, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Count(alias_name="n_dup"))
+    )
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority", "o_orderdate"])
+
+    def owin(b: pa.Table) -> pa.Table:
+        d = b.column("o_orderdate").to_numpy(zero_copy_only=False)
+        return b.filter(pa.array((d >= lo) & (d < hi))).drop_columns(["o_orderdate"])
+
+    j = bucketed_lookup_join(
+        orders.map_batches(owin, batch_format="pyarrow"),
+        distinct, "o_orderkey", "l_orderkey", ["n_dup"],
+    )
+
+    def ones(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderpriority": b.column("o_orderpriority"),
+                "one": pa.array(np.ones(len(b), np.int64)),
+            }
+        )
+
+    return (
+        j.map_batches(ones, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(Sum("one", alias_name="order_count"))
+        .sort("o_orderpriority")
+    )
+
+
+def _q_stratified_sample(sf_dir: str):
+    """Deterministic stratified sampling — k rows per group, the
+    train/eval-split primitive. The Knuth multiplicative hash of the key
+    is the priority; every batch pre-trims to its k smallest (hash, key)
+    rows per segment, so the per-segment resolve sees at most k·n_blocks
+    candidates and the full table never shuffles. Engine-portable: pure
+    int64 arithmetic, (hash, key) total order is unique."""
+    k = 10
+    cust = _read(sf_dir, "customer", ["c_mktsegment", "c_custkey", "c_name"])
+
+    def trim(b: pa.Table) -> pa.Table:
+        seg = b.column("c_mktsegment").to_numpy(zero_copy_only=False)
+        ck = b.column("c_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        hk = (ck * 2654435761) & 0xFFFFFFFF
+        order = np.lexsort((ck, hk, seg))
+        s = seg[order]
+        starts = np.r_[0, np.flatnonzero(s[1:] != s[:-1]) + 1]
+        runid = np.repeat(
+            np.arange(len(starts)), np.diff(np.r_[starts, len(s)])
+        )
+        pos = np.arange(len(s)) - starts[runid]
+        keep = order[pos < k]
+        return pa.table(
+            {
+                "c_mktsegment": pa.array(seg[keep], pa.string()),
+                "c_custkey": pa.array(ck[keep]),
+                "c_name": b.column("c_name").take(pa.array(keep)),
+                "hk": pa.array(hk[keep]),
+            }
+        )
+
+    def resolve(t: pa.Table) -> pa.Table:
+        hk = t.column("hk").to_numpy(zero_copy_only=False)
+        ck = t.column("c_custkey").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ck, hk))[:k]
+        return t.take(pa.array(order)).drop_columns(["hk"])
+
+    return (
+        cust.map_batches(trim, batch_format="pyarrow")
+        .groupby("c_mktsegment")
+        .map_groups(resolve, batch_format="pyarrow")
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "er_clusters": _q_er_clusters,
@@ -3401,6 +3532,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q10": _q_tpch_q10,
         "cohort_retention": _q_cohort_retention,
         "priority_linecount": _q_priority_linecount,
+        "tpch_q6": _q_tpch_q6,
+        "tpch_q4": _q_tpch_q4,
+        "stratified_sample": _q_stratified_sample,
     }
 
 
@@ -5428,5 +5562,37 @@ def oracle_sql() -> dict[str, str]:
                                  THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
             FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
             GROUP BY l.l_returnflag
+        """,
+        "tpch_q6": """
+            SELECT CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                            * CAST(floor(l_discount * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS revenue_c2
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND l_quantity < 24
+              AND CAST(floor(l_discount * 100 + 0.5) AS BIGINT) BETWEEN 5 AND 7
+        """,
+        "tpch_q4": """
+            SELECT o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS order_count
+            FROM orders o
+            WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o.o_orderdate < TIMESTAMP '1998-01-01'
+              AND EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey
+                            AND l.l_returnflag = 'R')
+            GROUP BY o_orderpriority
+            ORDER BY o_orderpriority
+        """,
+        "stratified_sample": """
+            SELECT c_mktsegment, c_custkey, c_name
+            FROM (
+                SELECT c_mktsegment, c_custkey, c_name,
+                       (CAST(c_custkey AS BIGINT) * 2654435761) % 4294967296 AS hk
+                FROM customer
+            )
+            QUALIFY row_number()
+                OVER (PARTITION BY c_mktsegment ORDER BY hk, c_custkey) <= 10
         """,
     }
