@@ -3384,6 +3384,68 @@ def _q_stratified_sample(sf_dir: str):
     )
 
 
+def _q_tpch_q14(sf_dir: str):
+    """TPC-H Q14 shape (promo revenue share): a one-month lineitem slice
+    revenue-quantized at the read, one bucketed unique-key join against
+    part for the type flag, then TWO combiner Sums (promo, total) in a
+    single pass. Output is the exact integer numerator/denominator pair —
+    the ratio is derivable and keeping it integral keeps the oracle
+    engine-exact at any scale."""
+    from ray.data.aggregate import Sum
+
+    from dedupe_ray.joins import bucketed_lookup_join
+
+    lo, hi = np.datetime64("1996-09-01"), np.datetime64("1996-10-01")
+    li = _read(
+        sf_dir, "lineitem",
+        ["l_partkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    )
+
+    def rev(b: pa.Table) -> pa.Table:
+        d = b.column("l_shipdate").to_numpy(zero_copy_only=False)
+        keep = (d >= lo) & (d < hi)
+        t = b.filter(pa.array(keep))
+        cents = np.floor(
+            t.column("l_extendedprice").to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        disc = np.floor(
+            t.column("l_discount").to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "l_partkey": t.column("l_partkey"),
+                "rev_c2": pa.array(cents * (100 - disc)),
+            }
+        )
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_type"])
+    j = bucketed_lookup_join(
+        li.map_batches(rev, batch_format="pyarrow"),
+        part, "l_partkey", "p_partkey", ["p_type"],
+    )
+
+    def split(b: pa.Table) -> pa.Table:
+        rc = b.column("rev_c2").to_numpy(zero_copy_only=False)
+        promo = b.column("p_type").to_numpy(zero_copy_only=False) == "PROMO"
+        return pa.table(
+            {
+                "promo_rev": pa.array(np.where(promo, rc, 0)),
+                "total_rev": pa.array(rc),
+            }
+        )
+
+    agg = j.map_batches(split, batch_format="pyarrow").aggregate(
+        Sum("promo_rev", alias_name="promo_revenue_c2"),
+        Sum("total_rev", alias_name="total_revenue_c2"),
+    )
+    return pa.table(
+        {
+            "promo_revenue_c2": pa.array([int(agg["promo_revenue_c2"])], pa.int64()),
+            "total_revenue_c2": pa.array([int(agg["total_revenue_c2"])], pa.int64()),
+        }
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "er_clusters": _q_er_clusters,
@@ -3535,6 +3597,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q6": _q_tpch_q6,
         "tpch_q4": _q_tpch_q4,
         "stratified_sample": _q_stratified_sample,
+        "tpch_q14": _q_tpch_q14,
     }
 
 
@@ -5594,5 +5657,19 @@ def oracle_sql() -> dict[str, str]:
             )
             QUALIFY row_number()
                 OVER (PARTITION BY c_mktsegment ORDER BY hk, c_custkey) <= 10
+        """,
+        "tpch_q14": """
+            SELECT CAST(sum(CASE WHEN p.p_type = 'PROMO' THEN rev_c2 ELSE 0 END)
+                        AS BIGINT) AS promo_revenue_c2,
+                   CAST(sum(rev_c2) AS BIGINT) AS total_revenue_c2
+            FROM (
+                SELECT l_partkey,
+                       CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                       * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))
+                       AS rev_c2
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+                  AND l_shipdate < TIMESTAMP '1996-10-01'
+            ) l JOIN part p ON p.p_partkey = l.l_partkey
         """,
     }
