@@ -1164,6 +1164,22 @@ def _q_jsonl_roundtrip(sf_dir: str):
     return read_jsonl(out)
 
 
+def _q_jsonl_gz_roundtrip(sf_dir: str):
+    """Compressed-JSONL source/sink fidelity (``*.jsonl.gz`` is how
+    training corpora ship between pipelines): the documents table written
+    as gzip JSONL shards and read back must be value-identical to the
+    parquet original — JSON string escaping, unicode, int64 width and
+    gzip framing all round-trip."""
+    import hashlib
+
+    from dedupe_ray.sources import read_jsonl_gz, write_jsonl_gz
+
+    docs = _read(sf_dir, "documents")
+    out = "/tmp/dedupe_ray_jsonlgz_" + hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    write_jsonl_gz(docs, out)
+    return read_jsonl_gz(out)
+
+
 def _q_props_k_by_type(sf_dir: str):
     """JSON metric extraction + aggregate: pull the numeric 'k' field out
     of the props JSON blob (vectorized RE2 extract_regex, no per-row json
@@ -3495,6 +3511,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "profile_documents": _q_profile_documents,
         "props_k_by_type": _q_props_k_by_type,
         "jsonl_roundtrip": _q_jsonl_roundtrip,
+        "jsonl_gz_roundtrip": _q_jsonl_gz_roundtrip,
         "compression_ratios": _q_compression_ratios,
         "er_canonical": _q_er_canonical,
         "docs_except_all": _q_docs_except_all,
@@ -3995,6 +4012,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, source FROM documents WHERE doc_id % 3 = 0
         """,
         "jsonl_roundtrip": """
+            SELECT doc_id, text, lang, source, n_chars FROM documents
+        """,
+        "jsonl_gz_roundtrip": """
             SELECT doc_id, text, lang, source, n_chars FROM documents
         """,
         "props_k_by_type": """

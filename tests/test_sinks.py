@@ -125,3 +125,23 @@ def test_validate_inputs():
         validate_inputs(["a.parquet"], ["Name", "City"])
     with pytest.raises(ValueError):
         validate_inputs(["a.csv"] * 3, ["Name", "City"])
+
+
+def test_jsonl_gz_roundtrip_fidelity(ray_session, tmp_path):
+    """Edge-case fidelity through the gzip JSONL sink/source: unicode,
+    embedded newlines/quotes, empty strings, nulls, int64 extremes."""
+    from dedupe_ray.sources import read_jsonl_gz, write_jsonl_gz
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(["a", "b", "c", "d"]),
+            "text": pa.array(['he said "hi"\nbye', "café — ☃", "", None]),
+            "n": pa.array([0, -1, 2**53 - 1, None], pa.int64()),
+        }
+    )
+    out = str(tmp_path / "docs_gz")
+    write_jsonl_gz(rd.from_arrow(t).repartition(2), out)
+    back = read_jsonl_gz(out).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    src = t.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert list(back["text"]) == list(src["text"])
+    assert back["n"].equals(src["n"].astype(back["n"].dtype))
