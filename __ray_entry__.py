@@ -3462,6 +3462,36 @@ def _q_tpch_q14(sf_dir: str):
     )
 
 
+def _q_scd2_user_state(sf_dir: str):
+    """SCD Type-2 dimension history from the events change log: per user,
+    ordered by (ts, event_id), consecutive duplicate states collapse and
+    each surviving change opens a validity interval closed by the next
+    change (open tail → valid_to NULL, is_current). The history-keeping
+    counterpart of customers_upserted's CDC merge. One bucketed window
+    shuffle (`ops/tabular.py scd2_history`)."""
+    from dedupe_ray.ops.tabular import scd2_history
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+    return scd2_history(
+        ev, "user_id", "ts", "event_type", tiebreak_columns=["event_id"]
+    )
+
+
+def _q_event_transitions(sf_dir: str):
+    """First-order Markov transition counts over the event stream (the
+    clickstream user-journey primitive): per user ordered by (ts,
+    event_id), count (prev_type, event_type) pairs corpus-wide. Pair
+    counts are combiner-reduced inside the window kernel, so the final
+    groupby shuffles at most |types|² × n_buckets rows."""
+    from dedupe_ray.ops.tabular import transition_counts
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+    return transition_counts(
+        ev, "user_id", ["ts", "event_id"], "event_type",
+        prev_column="prev_type", count_column="n",
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "er_clusters": _q_er_clusters,
@@ -3615,6 +3645,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q4": _q_tpch_q4,
         "stratified_sample": _q_stratified_sample,
         "tpch_q14": _q_tpch_q14,
+        "scd2_user_state": _q_scd2_user_state,
+        "event_transitions": _q_event_transitions,
     }
 
 
@@ -5691,5 +5723,38 @@ def oracle_sql() -> dict[str, str]:
                 WHERE l_shipdate >= TIMESTAMP '1996-09-01'
                   AND l_shipdate < TIMESTAMP '1996-10-01'
             ) l JOIN part p ON p.p_partkey = l.l_partkey
+        """,
+        "scd2_user_state": """
+            WITH ordered AS (
+                SELECT user_id, ts, event_id, event_type,
+                       lag(event_type) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS prev
+                FROM events
+            ),
+            chg AS (
+                SELECT user_id, ts, event_id, event_type FROM ordered
+                WHERE prev IS DISTINCT FROM event_type
+            )
+            SELECT user_id, event_type, ts AS valid_from,
+                   lead(ts) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS valid_to,
+                   lead(ts) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) IS NULL AS is_current
+            FROM chg
+        """,
+        "event_transitions": """
+            SELECT prev_type, event_type, CAST(count(*) AS BIGINT) AS n
+            FROM (
+                SELECT event_type,
+                       lag(event_type) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS prev_type
+                FROM events
+            )
+            WHERE prev_type IS NOT NULL
+            GROUP BY prev_type, event_type
         """,
     }

@@ -3082,3 +3082,121 @@ def cohort_retention(
         .groupby(["cohort_day", "day_offset"])
         .aggregate(Count(alias_name="n_users"))
     )
+
+
+def scd2_history(
+    ds: "ray.data.Dataset",
+    key_column: str,
+    ts_column: str,
+    state_column: str,
+    tiebreak_columns: list[str] | None = None,
+) -> "ray.data.Dataset":
+    """Slowly-Changing-Dimension Type 2: collapse a per-key change log
+    into validity intervals. Rows are ordered by (ts, tiebreaks) within a
+    key; consecutive rows with an UNCHANGED state are dropped (null-aware:
+    null==null is "no change"); each surviving row opens an interval
+    ``valid_from = ts`` closed by the NEXT change's ts (``valid_to``,
+    NULL + ``is_current=True`` on the open tail). The CDC counterpart of
+    :func:`merge_upsert` — upsert keeps latest state, this keeps history.
+    One bucketed shuffle on the shared grouped-window shape."""
+    import numpy as np
+
+    def kernel(g: pa.Table, new_key: np.ndarray) -> pa.Table:
+        n = len(g)
+        state = g.column(state_column)
+        if isinstance(state, pa.ChunkedArray):
+            state = state.combine_chunks()
+        prev_idx = pa.array(
+            np.where(new_key, -1, np.arange(n) - 1), pa.int64()
+        )
+        prev = state.take(
+            pc.if_else(pc.less(prev_idx, 0), pa.scalar(None, pa.int64()), prev_idx)
+        )
+        both_null = pc.and_(pc.is_null(state), pc.is_null(prev))
+        same = pc.if_else(
+            both_null, pa.scalar(True), pc.fill_null(pc.equal(state, prev), False)
+        )
+        change = new_key | pc.invert(same).to_numpy(zero_copy_only=False)
+        f = g.filter(pa.array(change))
+        keys = np.asarray(f.column(key_column).to_pylist(), object)
+        m = len(f)
+        tail = np.empty(m, bool)
+        if m:
+            tail[:-1] = keys[1:] != keys[:-1]
+            tail[-1] = True
+        nxt = pa.array(np.where(tail, -1, np.arange(m) + 1), pa.int64())
+        ts = f.column(ts_column)
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        valid_to = ts.take(
+            pc.if_else(pc.less(nxt, 0), pa.scalar(None, pa.int64()), nxt)
+        )
+        return pa.table(
+            {
+                key_column: f.column(key_column),
+                state_column: f.column(state_column),
+                "valid_from": ts,
+                "valid_to": valid_to,
+                "is_current": pa.array(tail),
+                "__wbkt": f.column("__wbkt"),
+            }
+        )
+
+    return _grouped_window(
+        ds, key_column, [ts_column] + (tiebreak_columns or []), kernel
+    )
+
+
+def transition_counts(
+    ds: "ray.data.Dataset",
+    key_column: str,
+    order_columns: list[str],
+    state_column: str,
+    prev_column: str = "prev_state",
+    count_column: str = "n",
+) -> "ray.data.Dataset":
+    """First-order Markov transition counts: per key, order rows, pair
+    each state with its predecessor, count (prev, state) over the whole
+    corpus (key heads have no predecessor and are skipped) — the
+    user-journey / clickstream-path primitive. One bucketed window
+    shuffle; pair counts are pre-aggregated per bucket inside the window
+    kernel (combiner), so the final groupby shuffles at most
+    |states|² × n_buckets tiny rows."""
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    def kernel(g: pa.Table, new_key: np.ndarray) -> pa.Table:
+        import pandas as pd
+
+        n = len(g)
+        state = g.column(state_column)
+        if isinstance(state, pa.ChunkedArray):
+            state = state.combine_chunks()
+        prev_idx = pa.array(
+            np.where(new_key, -1, np.arange(n) - 1), pa.int64()
+        )
+        prev = state.take(
+            pc.if_else(pc.less(prev_idx, 0), pa.scalar(None, pa.int64()), prev_idx)
+        )
+        df = pd.DataFrame(
+            {
+                prev_column: prev.to_numpy(zero_copy_only=False),
+                state_column: state.to_numpy(zero_copy_only=False),
+            }
+        )
+        df = df[~pd.isna(df[prev_column])]
+        out = (
+            df.groupby([prev_column, state_column], sort=False, dropna=False)
+            .size()
+            .reset_index(name=count_column)
+        )
+        t = pa.Table.from_pandas(out, preserve_index=False)
+        return t.append_column(
+            "__wbkt", pa.array(np.zeros(len(t), np.int64))
+        )
+
+    partials = _grouped_window(ds, key_column, order_columns, kernel)
+    return partials.groupby([prev_column, state_column]).aggregate(
+        Sum(count_column, alias_name=count_column)
+    )

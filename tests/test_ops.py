@@ -4855,3 +4855,67 @@ def test_cohort_retention(ray_session):
     expect = [(0, 0, 1), (0, 1, 1), (0, 3, 1), (1, 0, 2), (1, 1, 1)]
     got = list(zip(out["cohort_day"], out["day_offset"], out["n_users"]))
     assert got == expect
+
+
+def test_scd2_history_null_collapse(ray_session):
+    """Null-aware change detection: null→null is NO change; null→value and
+    value→null are changes; consecutive duplicates collapse; the open tail
+    carries valid_to NULL + is_current."""
+    from dedupe_ray.ops.tabular import scd2_history
+
+    ts = pa.array(np.arange(6, dtype=np.int64).view("datetime64[us]"))
+    tbl = pa.table(
+        {
+            "k": pa.array([1, 1, 1, 1, 1, 2], pa.int64()),
+            "ts": ts,
+            "eid": pa.array([0, 1, 2, 3, 4, 5], pa.int64()),
+            "state": pa.array(["a", "a", None, None, "b", "x"]),
+        }
+    )
+    out = (
+        scd2_history(
+            rd.from_arrow(tbl).repartition(3), "k", "ts", "state",
+            tiebreak_columns=["eid"],
+        )
+        .to_pandas()
+        .sort_values(["k", "valid_from"])
+        .reset_index(drop=True)
+    )
+    got = [
+        (r.k, None if pd.isna(r.state) else r.state,
+         int(r.valid_from.value // 1000),
+         None if pd.isna(r.valid_to) else int(r.valid_to.value // 1000),
+         bool(r.is_current))
+        for r in out.itertuples()
+    ]
+    assert got == [
+        (1, "a", 0, 2, False),
+        (1, None, 2, 4, False),
+        (1, "b", 4, None, True),
+        (2, "x", 5, None, True),
+    ]
+
+
+def test_transition_counts_basic(ray_session):
+    from dedupe_ray.ops.tabular import transition_counts
+
+    ts = pa.array(np.arange(7, dtype=np.int64).view("datetime64[us]"))
+    tbl = pa.table(
+        {
+            "k": pa.array([1, 1, 1, 1, 2, 2, 3], pa.int64()),
+            "ts": ts,
+            "eid": pa.array(list(range(7)), pa.int64()),
+            "state": pa.array(["a", "b", "a", "b", "a", "b", "z"]),
+        }
+    )
+    out = (
+        transition_counts(
+            rd.from_arrow(tbl).repartition(4), "k", ["ts", "eid"], "state",
+            prev_column="prev", count_column="n",
+        )
+        .to_pandas()
+        .sort_values(["prev", "state"])
+        .reset_index(drop=True)
+    )
+    got = list(zip(out["prev"], out["state"], out["n"]))
+    assert got == [("a", "b", 3), ("b", "a", 1)]
