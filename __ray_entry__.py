@@ -3492,6 +3492,32 @@ def _q_event_transitions(sf_dir: str):
     )
 
 
+def _q_lpa_parts(sf_dir: str):
+    """Label-propagation communities (sync LPA, 3 rounds, min-label ties)
+    over the sparse part–supplier bipartite graph (integer-encoded nodes:
+    part→2p, supplier→2s+1; edges = distinct lineitem pairs on the 1/997
+    order slice). The graph family's community-detection member next to
+    CC / PageRank / triangles / k-core; the unrolled-CTE oracle evaluates
+    the identical argmax (count desc, label asc) each round."""
+    import pyarrow.compute as pc
+
+    from dedupe_ray.ops.graph import label_propagation
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey", "l_suppkey"])
+
+    def edges(b: pa.Table) -> pa.Table:
+        ok = b.column("l_orderkey").to_numpy(zero_copy_only=False) % 997 == 0
+        t = b.filter(pa.array(ok))
+        p = pc.multiply(pc.cast(t.column("l_partkey"), pa.int64()), 2)
+        s = pc.add(
+            pc.multiply(pc.cast(t.column("l_suppkey"), pa.int64()), 2), 1
+        )
+        return pa.table({"src": p, "dst": s})
+
+    e = li.map_batches(edges, batch_format="pyarrow")
+    return label_propagation(e, iters=3)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "er_clusters": _q_er_clusters,
@@ -3647,6 +3673,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q14": _q_tpch_q14,
         "scd2_user_state": _q_scd2_user_state,
         "event_transitions": _q_event_transitions,
+        "lpa_communities": _q_lpa_parts,
     }
 
 
@@ -5756,5 +5783,59 @@ def oracle_sql() -> dict[str, str]:
             )
             WHERE prev_type IS NOT NULL
             GROUP BY prev_type, event_type
+        """,
+        # 3 unrolled sync-LPA rounds; each round's winner is the
+        # (count desc, label asc) argmax — identical to the engine's
+        # count·2³²−(label+1) composite-Max. AS MATERIALIZED per round
+        # (DuckDB 1.0 inlines chained CTEs exponentially otherwise).
+        "lpa_communities": """
+            WITH e0 AS MATERIALIZED (
+                SELECT DISTINCT CAST(2 * l_partkey AS BIGINT) AS src,
+                                CAST(2 * l_suppkey + 1 AS BIGINT) AS dst
+                FROM lineitem WHERE l_orderkey % 997 = 0
+            ),
+            e AS MATERIALIZED (
+                SELECT src, dst FROM e0
+                UNION
+                SELECT dst AS src, src AS dst FROM e0
+            ),
+            l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS label FROM e),
+            l1 AS MATERIALIZED (
+                SELECT node, label FROM (
+                    SELECT node, label,
+                           row_number() OVER (
+                               PARTITION BY node ORDER BY c DESC, label
+                           ) AS rn
+                    FROM (SELECT e.dst AS node, l.label AS label,
+                                 CAST(count(*) AS BIGINT) AS c
+                          FROM e JOIN l0 l ON e.src = l.node
+                          GROUP BY e.dst, l.label)
+                ) WHERE rn = 1
+            ),
+            l2 AS MATERIALIZED (
+                SELECT node, label FROM (
+                    SELECT node, label,
+                           row_number() OVER (
+                               PARTITION BY node ORDER BY c DESC, label
+                           ) AS rn
+                    FROM (SELECT e.dst AS node, l.label AS label,
+                                 CAST(count(*) AS BIGINT) AS c
+                          FROM e JOIN l1 l ON e.src = l.node
+                          GROUP BY e.dst, l.label)
+                ) WHERE rn = 1
+            ),
+            l3 AS MATERIALIZED (
+                SELECT node, label FROM (
+                    SELECT node, label,
+                           row_number() OVER (
+                               PARTITION BY node ORDER BY c DESC, label
+                           ) AS rn
+                    FROM (SELECT e.dst AS node, l.label AS label,
+                                 CAST(count(*) AS BIGINT) AS c
+                          FROM e JOIN l2 l ON e.src = l.node
+                          GROUP BY e.dst, l.label)
+                ) WHERE rn = 1
+            )
+            SELECT node, label FROM l3
         """,
     }

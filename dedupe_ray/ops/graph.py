@@ -344,3 +344,115 @@ def kcore(
             .materialize()
         )
     raise RuntimeError(f"k-core peeling did not converge in {max_rounds} rounds")
+
+
+def label_propagation(
+    edges_ds: "ray.data.Dataset",
+    src_column: str = "src",
+    dst_column: str = "dst",
+    iters: int = 3,
+) -> "ray.data.Dataset":
+    """Synchronous label propagation (Raghavan et al. 2007) over an
+    undirected simple graph with deterministic tie-breaking: every node
+    starts with its own id as label; each round, a node adopts the label
+    held by the MOST of its neighbors, ties to the smallest label. Runs a
+    FIXED ``iters`` rounds (classic sync LPA can oscillate on bipartite
+    graphs, so a fixpoint test would not terminate in general) — the
+    result is deterministic, layout-invariant, and mirrored exactly by an
+    unrolled SQL oracle.
+
+    Determinism mechanics: the per-node argmax is a single int64
+    composite ``count·2³² − (label+1)`` maximized by Ray's Max aggregate
+    — larger count wins, then SMALLER label (the +1 shift keeps label 0
+    decodable). Node ids must be integers in ``[0, 2³²−2]`` and degrees
+    < 2³¹.
+
+    Shape per round: one bucketed unique-key join (labels onto directed
+    edges) + a (dst,label) count groupby + a per-dst Max groupby — all
+    hash-partitioned, per-node state one int64; nothing driver-sized."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Max
+
+    from dedupe_ray.joins import bucketed_lookup_join
+
+    SHIFT = np.int64(1) << np.int64(32)
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        a = pc.cast(t.column(src_column), pa.int64()).combine_chunks()
+        b = pc.cast(t.column(dst_column), pa.int64()).combine_chunks()
+        keep = pc.not_equal(a, b)  # self-loops never change the argmax order
+        a, b = a.filter(keep), b.filter(keep)
+        return pa.table(
+            {
+                "src": pa.concat_arrays([a, b]),
+                "dst": pa.concat_arrays([b, a]),
+            }
+        )
+
+    edges = (
+        edges_ds.map_batches(both_dirs, batch_format="pyarrow")
+        .groupby(["src", "dst"])
+        .count()
+        .drop_columns(["count()"])
+        .materialize()
+    )
+
+    labels = (
+        edges.map_batches(
+            lambda t: pa.table(
+                {"node": t.column("src"), "label": t.column("src")}
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("node")
+        .count()
+        .map_batches(
+            lambda t: pa.table(
+                {"node": t.column("node"), "label": t.column("node")}
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+
+    for _ in range(iters):
+        votes = (
+            bucketed_lookup_join(edges, labels, "src", "node", ["label"])
+            .map_batches(
+                lambda t: pa.table(
+                    {"node": t.column("dst"), "label": t.column("label")}
+                ),
+                batch_format="pyarrow",
+            )
+            .groupby(["node", "label"])
+            .count()
+        )
+
+        def composite(t: pa.Table) -> pa.Table:
+            c = t.column("count()").to_numpy(zero_copy_only=False).astype(np.int64)
+            lab = t.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
+            if len(lab) and (lab.min() < 0 or lab.max() >= int(SHIFT) - 1):
+                raise ValueError("label_propagation needs node ids in [0, 2**32-2]")
+            return pa.table(
+                {
+                    "node": t.column("node"),
+                    "m": pa.array(c * SHIFT - (lab + 1)),
+                }
+            )
+
+        def decode(t: pa.Table) -> pa.Table:
+            m = t.column("m").to_numpy(zero_copy_only=False).astype(np.int64)
+            lab = (m // SHIFT + 1) * SHIFT - m - 1
+            return pa.table(
+                {"node": t.column("node"), "label": pa.array(lab)}
+            )
+
+        labels = (
+            votes.map_batches(composite, batch_format="pyarrow")
+            .groupby("node")
+            .aggregate(Max("m", alias_name="m"))
+            .map_batches(decode, batch_format="pyarrow")
+            .materialize()
+        )
+    return labels

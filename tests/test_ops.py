@@ -4919,3 +4919,51 @@ def test_transition_counts_basic(ray_session):
     )
     got = list(zip(out["prev"], out["state"], out["n"]))
     assert got == [("a", "b", 3), ("b", "a", 1)]
+
+
+def test_label_propagation_brute_force(ray_session):
+    """Engine LPA == a scalar reference implementing the same rules
+    (sync rounds, neighbor-label mode, ties to min label), across two
+    block layouts."""
+    from dedupe_ray.ops.graph import label_propagation
+
+    rng = np.random.RandomState(7)
+    n = 40
+    edges = set()
+    for _ in range(90):
+        a, b = rng.randint(0, n, 2)
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    edges = sorted(edges)
+
+    # scalar reference
+    adj: dict = {}
+    for a, b in edges:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    labels = {v: v for v in adj}
+    for _ in range(3):
+        nxt = {}
+        for v, nbrs in adj.items():
+            counts: dict = {}
+            for u in nbrs:
+                counts[labels[u]] = counts.get(labels[u], 0) + 1
+            nxt[v] = min(
+                counts, key=lambda lab: (-counts[lab], lab)
+            )
+        labels = nxt
+
+    tbl = pa.table(
+        {
+            "src": pa.array([a for a, _ in edges], pa.int64()),
+            "dst": pa.array([b for _, b in edges], pa.int64()),
+        }
+    )
+    for parts in (2, 7):
+        out = (
+            label_propagation(rd.from_arrow(tbl).repartition(parts), iters=3)
+            .to_pandas()
+            .sort_values("node")
+        )
+        got = dict(zip(out["node"], out["label"]))
+        assert got == labels
