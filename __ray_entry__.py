@@ -3518,6 +3518,22 @@ def _q_lpa_parts(sf_dir: str):
     return label_propagation(e, iters=3)
 
 
+def _q_k_anonymous_customers(sf_dir: str):
+    """k-anonymity suppression over (nation, market segment) quasi-
+    identifiers with k=3: rows in combinations shared by <3 customers
+    are dropped before release — the privacy gate downstream of
+    scrub_pii. Combiner-counted combinations + one bucketed semi-join
+    (`ops/tabular.py k_anonymize_suppress`)."""
+    from dedupe_ray.ops.tabular import k_anonymize_suppress
+
+    cust = _read(
+        sf_dir,
+        "customer",
+        ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"],
+    )
+    return k_anonymize_suppress(cust, ["c_nationkey", "c_mktsegment"], k=3)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "er_clusters": _q_er_clusters,
@@ -3674,6 +3690,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scd2_user_state": _q_scd2_user_state,
         "event_transitions": _q_event_transitions,
         "lpa_communities": _q_lpa_parts,
+        "k_anonymous_customers": _q_k_anonymous_customers,
     }
 
 
@@ -5837,5 +5854,12 @@ def oracle_sql() -> dict[str, str]:
                 ) WHERE rn = 1
             )
             SELECT node, label FROM l3
+        """,
+        "k_anonymous_customers": """
+            SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+            FROM customer
+            QUALIFY count(*) OVER (
+                PARTITION BY c_nationkey, c_mktsegment
+            ) >= 3
         """,
     }

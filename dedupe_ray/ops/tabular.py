@@ -3200,3 +3200,71 @@ def transition_counts(
     return partials.groupby([prev_column, state_column]).aggregate(
         Sum(count_column, alias_name=count_column)
     )
+
+
+def k_anonymize_suppress(
+    ds: "ray.data.Dataset",
+    qi_columns: list[str],
+    k: int,
+) -> "ray.data.Dataset":
+    """k-anonymity by suppression (Sweeney 2002): drop every row whose
+    quasi-identifier combination is shared by fewer than ``k`` rows, so
+    no surviving record is re-identifiable within a group smaller than
+    ``k`` — the release gate a training-data pipeline runs after PII
+    scrubbing. NULL quasi-identifier values group together (SQL PARTITION
+    BY semantics) via a sentinel that cannot appear in cast output.
+
+    Shape: per-batch combiner counts of the composite key → one small
+    groupby-Sum over distinct combinations → a bucketed semi-join of the
+    corpus against the ≥k combinations. Rows shuffle once; the
+    combination table is |distinct QI| rows, not corpus rows."""
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    from dedupe_ray.joins import bucketed_lookup_join
+
+    def composite(t: pa.Table) -> pa.Array:
+        parts = [
+            pc.fill_null(pc.cast(t.column(c), pa.string()), "\x00null")
+            for c in qi_columns
+        ]
+        if len(parts) == 1:
+            return parts[0].combine_chunks() if isinstance(
+                parts[0], pa.ChunkedArray
+            ) else parts[0]
+        joined = pc.binary_join_element_wise(*parts, "\x1f")
+        return joined.combine_chunks() if isinstance(
+            joined, pa.ChunkedArray
+        ) else joined
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        key = composite(b)
+        counts = pa.table({"__qi": key}).group_by("__qi").aggregate(
+            [("__qi", "count")]
+        )
+        return pa.table(
+            {
+                "__qi": counts.column("__qi"),
+                "c": counts.column("__qi_count"),
+            }
+        )
+
+    groups = (
+        ds.map_batches(count_partial, batch_format="pyarrow")
+        .groupby("__qi")
+        .aggregate(Sum("c", alias_name="c"))
+        .filter(expr=f"c >= {int(k)}")
+        .map_batches(
+            lambda t: t.select(["__qi"]), batch_format="pyarrow"
+        )
+    )
+
+    tagged = ds.map_batches(
+        lambda b: b.append_column("__qi", composite(b)),
+        batch_format="pyarrow",
+    )
+    kept = bucketed_lookup_join(tagged, groups, "__qi", "__qi", [])
+    return kept.map_batches(
+        lambda t: t.drop_columns(["__qi"]), batch_format="pyarrow"
+    )

@@ -4967,3 +4967,26 @@ def test_label_propagation_brute_force(ray_session):
         )
         got = dict(zip(out["node"], out["label"]))
         assert got == labels
+
+
+def test_k_anonymize_suppress(ray_session):
+    """Rows in QI groups smaller than k are dropped; NULL QI values group
+    together (SQL PARTITION BY semantics)."""
+    from dedupe_ray.ops.tabular import k_anonymize_suppress
+
+    tbl = pa.table(
+        {
+            "id": pa.array(list(range(7)), pa.int64()),
+            "nat": pa.array([1, 1, 1, 2, None, None, 2], pa.int64()),
+            "seg": pa.array(["a", "a", "a", "a", "b", "b", "b"]),
+        }
+    )
+    out = (
+        k_anonymize_suppress(
+            rd.from_arrow(tbl).repartition(3), ["nat", "seg"], k=2
+        )
+        .to_pandas()
+        .sort_values("id")
+    )
+    # (1,a)×3 survives; (2,a)×1 and (2,b)×1 drop; (NULL,b)×2 survives
+    assert list(out["id"]) == [0, 1, 2, 4, 5]
