@@ -3534,6 +3534,62 @@ def _q_k_anonymous_customers(sf_dir: str):
     return k_anonymize_suppress(cust, ["c_nationkey", "c_mktsegment"], k=3)
 
 
+def _q_url_dedup(sf_dir: str):
+    """Web-crawl URL dedup: canonicalize (fragment, scheme/host case,
+    default ports, www., utm_*/fbclid tracking params, dangling
+    separators, trailing slash) then group — raw URLs are synthesized
+    deterministically from custkey in four messy variants, so adjacent
+    custkeys collide exactly when canonicalization is right (the
+    strip_markup_docs wrap-the-input-in-the-query trick). Zero-shuffle
+    canonicalize + one combiner groupby
+    (`ops/text.py canonicalize_urls`)."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Count, Min
+
+    from dedupe_ray.ops.text import canonicalize_urls
+
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+
+    def build(b: pa.Table) -> pa.Table:
+        i = pc.cast(b.column("c_custkey"), pa.int64())
+        i8 = pc.cast(pc.divide(i, 8), pa.string())
+        g = pc.cast(pc.divide(i, 2), pa.string())
+        r = pc.cast(
+            pc.subtract(
+                pc.divide(i, 2),
+                pc.multiply(pc.divide(pc.divide(i, 2), 7), 7),
+            ),
+            pa.string(),
+        )
+        j = pc.binary_join_element_wise
+        u0 = j("HTTPS://WWW.SHOP-", i8, ".COM:443/item/", g,
+               "/?utm_source=mail&ref=", r, "#top", "")
+        u1 = j("https://shop-", i8, ".com/item/", g, "/?ref=", r, "")
+        u2 = j("HTTP://shop-", i8, ".com:80/item/", g, "?ref=", r,
+               "&utm_campaign=x", "")
+        u3 = j("http://WWW.shop-", i8, ".com/item/", g, "?ref=", r,
+               "#frag", "")
+        v = pc.subtract(i, pc.multiply(pc.divide(i, 4), 4))
+        url = pc.if_else(
+            pc.equal(v, 0), u0,
+            pc.if_else(pc.equal(v, 1), u1,
+                       pc.if_else(pc.equal(v, 2), u2, u3)),
+        )
+        return pa.table({"c_custkey": i, "url": url})
+
+    ds = canonicalize_urls(
+        cust.map_batches(build, batch_format="pyarrow"), "url"
+    )
+    return (
+        ds.groupby("canonical_url")
+        .aggregate(
+            Count(alias_name="n_dupes"),
+            Min("c_custkey", alias_name="keep_custkey"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "er_clusters": _q_er_clusters,
@@ -3691,6 +3747,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_transitions": _q_event_transitions,
         "lpa_communities": _q_lpa_parts,
         "k_anonymous_customers": _q_k_anonymous_customers,
+        "url_dedup": _q_url_dedup,
     }
 
 
@@ -5861,5 +5918,57 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY count(*) OVER (
                 PARTITION BY c_nationkey, c_mktsegment
             ) >= 3
+        """,
+        # identical canonicalization chain as ops/text.py _URL_STEPS —
+        # every regexp_replace carries 'g' because the pyarrow kernel
+        # replaces all matches; lower() on the whole string is safe here
+        # because the synthesized paths/queries are already lowercase
+        # (the engine lowercases only scheme+host).
+        "url_dedup": r"""
+            WITH raw AS (
+                SELECT c_custkey,
+                       CASE c_custkey % 4
+                           WHEN 0 THEN 'HTTPS://WWW.SHOP-' || (c_custkey // 8)
+                               || '.COM:443/item/' || (c_custkey // 2)
+                               || '/?utm_source=mail&ref=' || ((c_custkey // 2) % 7)
+                               || '#top'
+                           WHEN 1 THEN 'https://shop-' || (c_custkey // 8)
+                               || '.com/item/' || (c_custkey // 2)
+                               || '/?ref=' || ((c_custkey // 2) % 7)
+                           WHEN 2 THEN 'HTTP://shop-' || (c_custkey // 8)
+                               || '.com:80/item/' || (c_custkey // 2)
+                               || '?ref=' || ((c_custkey // 2) % 7)
+                               || '&utm_campaign=x'
+                           ELSE 'http://WWW.shop-' || (c_custkey // 8)
+                               || '.com/item/' || (c_custkey // 2)
+                               || '?ref=' || ((c_custkey // 2) % 7) || '#frag'
+                       END AS url
+                FROM customer
+            ),
+            canon AS (
+                SELECT c_custkey,
+                    regexp_replace(
+                     regexp_replace(
+                      regexp_replace(
+                       regexp_replace(
+                        regexp_replace(
+                         regexp_replace(
+                          regexp_replace(
+                           regexp_replace(
+                            regexp_replace(lower(url), '#.*', '', 'g'),
+                            '^(https://[^/:?#]*):443([/?#]|$)', '\1\2', 'g'),
+                           '^(http://[^/:?#]*):80([/?#]|$)', '\1\2', 'g'),
+                          '^(https?://)www\.', '\1', 'g'),
+                         '\?', '?&', 'g'),
+                        '&(utm_[^&#]*|fbclid=[^&#]*)', '', 'g'),
+                       '\?&', '?', 'g'),
+                      '[?&]+$', '', 'g'),
+                     '/+$', '', 'g') AS canonical_url
+                FROM raw
+            )
+            SELECT canonical_url,
+                   CAST(count(*) AS BIGINT) AS n_dupes,
+                   CAST(min(c_custkey) AS BIGINT) AS keep_custkey
+            FROM canon GROUP BY canonical_url
         """,
     }

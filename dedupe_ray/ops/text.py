@@ -1322,3 +1322,55 @@ def bpe_tokenize(
         return batch.append_column(out_column, pa.array(out))
 
     return ds.map_batches(apply, batch_format="pyarrow")
+
+
+# URL canonicalization chain: every step is one RE2 kernel over the whole
+# column (pyarrow replaces ALL matches; the SQL mirror needs the 'g' flag
+# on every regexp_replace to match). The '?'→'?&' / strip '&utm_*' /
+# '?&'→'?' trio removes tracking params without lookbehind, which RE2
+# lacks. Scheme+host are lowercased via extract_regex + utf8_lower
+# (RE2 has no case-folding replacement); non-URL rows pass through the
+# remaining steps unchanged.
+_URL_HEAD_RE = r"^(?P<head>[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)(?P<rest>.*)$"
+_URL_STEPS: list[tuple[str, str]] = [
+    (r"^(https://[^/:?#]*):443([/?#]|$)", r"\1\2"),  # default https port
+    (r"^(http://[^/:?#]*):80([/?#]|$)", r"\1\2"),  # default http port
+    (r"^(https?://)www\.", r"\1"),  # www prefix
+    (r"\?", "?&"),  # sentinel so params are uniformly '&'-prefixed
+    (r"&(utm_[^&#]*|fbclid=[^&#]*)", ""),  # tracking params
+    (r"\?&", "?"),  # undo sentinel
+    (r"[?&]+$", ""),  # dangling separator after param removal
+    (r"/+$", ""),  # trailing slashes
+]
+
+
+def canonicalize_urls(
+    ds: "ray.data.Dataset",
+    column: str = "url",
+    out_column: str = "canonical_url",
+) -> "ray.data.Dataset":
+    """URL canonicalization — the first step of every web-crawl dedup
+    pipeline: drop the fragment, lowercase scheme+host, strip default
+    ports (:80 http / :443 https) and the ``www.`` prefix, remove
+    ``utm_*``/``fbclid`` tracking parameters, and trim dangling ``?``/
+    ``&``/trailing slashes. Purely row-local (zero shuffle) and fully
+    vectorized: one fragment strip + one extract/lower/rejoin + 8 RE2
+    replace kernels per batch. Dedup downstream by grouping on
+    ``out_column`` (see the url_dedup driver query)."""
+
+    def canon(b: pa.Table) -> pa.Table:
+        col = b.column(column)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        u = pc.replace_substring_regex(col, pattern="#.*", replacement="")
+        ex = pc.extract_regex(u, pattern=_URL_HEAD_RE)
+        head = pc.utf8_lower(pc.struct_field(ex, "head"))
+        joined = pc.binary_join_element_wise(
+            head, pc.struct_field(ex, "rest"), ""
+        )
+        u = pc.if_else(pc.is_valid(joined), joined, u)
+        for pat, rep in _URL_STEPS:
+            u = pc.replace_substring_regex(u, pattern=pat, replacement=rep)
+        return b.append_column(out_column, u)
+
+    return ds.map_batches(canon, batch_format="pyarrow")

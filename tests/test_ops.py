@@ -4990,3 +4990,34 @@ def test_k_anonymize_suppress(ray_session):
     )
     # (1,a)×3 survives; (2,a)×1 and (2,b)×1 drop; (NULL,b)×2 survives
     assert list(out["id"]) == [0, 1, 2, 4, 5]
+
+
+def test_canonicalize_urls_edge_cases(ray_session):
+    from dedupe_ray.ops.text import canonicalize_urls
+
+    raw = [
+        "HTTPS://WWW.Ex.COM:443/a/?utm_source=m&ref=1#f",
+        "https://ex.com/a/?ref=1",
+        "http://Ex.com:80/",                 # default port + root slash
+        "https://ex.com/p?utm_a=1",          # query becomes empty
+        "https://ex.com/p?fbclid=xyz&id=2",  # fbclid dropped, id kept
+        "not a url",                         # passthrough
+        None,
+    ]
+    out = (
+        canonicalize_urls(
+            rd.from_arrow(pa.table({"url": pa.array(raw, pa.string())})),
+            "url",
+        )
+        .to_pandas()["canonical_url"]
+        .tolist()
+    )
+    assert out[:6] == [
+        "https://ex.com/a/?ref=1",
+        "https://ex.com/a/?ref=1",
+        "http://ex.com",
+        "https://ex.com/p",
+        "https://ex.com/p?id=2",
+        "not a url",
+    ]
+    assert out[6] is None or (isinstance(out[6], float) and np.isnan(out[6]))
