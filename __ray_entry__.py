@@ -3590,6 +3590,41 @@ def _q_url_dedup(sf_dir: str):
     )
 
 
+def _q_hybrid_search(sf_dir: str):
+    """Hybrid retrieval: BM25 lexical top-50 over documents fused with
+    dense cosine top-50 over embeddings (query = vector 0, the shared
+    doc_id≡vec_id id space) by reciprocal-rank fusion in exact int64
+    nano-units (`ops/text.py rrf_fuse`) — the standard two-tower search
+    stack. Every stage is bounded after the two top-k retrievals; the
+    fusion itself is one tiny groupby-Sum."""
+    from dedupe_ray.ops.embedding import brute_force_topk
+    from dedupe_ray.ops.text import bm25_topk, rrf_fuse
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    lex = bm25_topk(docs, list(_BM25_TERMS), "text", "doc_id", top_n=50)
+
+    import ray.data as rd
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    q0 = emb.filter(expr="vec_id < 1").take(1)
+    qm = np.asarray(q0[0]["embedding"], np.float64)[None, :]
+    dt = brute_force_topk(emb, qm, k=50)  # bounded pa.Table (≤50 rows)
+    dense = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": dt.column("vec_id"),
+                "rnk": pa.array(
+                    dt.column("rank").to_numpy(zero_copy_only=False).astype(
+                        np.int64
+                    )
+                    + 1
+                ),
+            }
+        )
+    )
+    return rrf_fuse([lex, dense], "doc_id", "rnk", k=60, top_n=20)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "er_clusters": _q_er_clusters,
@@ -3748,7 +3783,52 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lpa_communities": _q_lpa_parts,
         "k_anonymous_customers": _q_k_anonymous_customers,
         "url_dedup": _q_url_dedup,
+        "hybrid_search_rrf": _q_hybrid_search,
     }
+
+
+_BM25_RANKED_SQL = r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(lower(coalesce(text, '')),
+                              '[^\p{L}\p{N}'']+')) AS token
+                FROM documents
+            ),
+            tf AS (
+                SELECT d.doc_id,
+                       CAST(count(*) FILTER (WHERE t.token <> '') AS BIGINT) AS dl,
+                       CAST(count(*) FILTER (WHERE t.token = 'spark') AS BIGINT) AS tf0,
+                       CAST(count(*) FILTER (WHERE t.token = 'window') AS BIGINT) AS tf1,
+                       CAST(count(*) FILTER (WHERE t.token = 'merge') AS BIGINT) AS tf2
+                FROM documents d LEFT JOIN toks t USING (doc_id)
+                GROUP BY d.doc_id
+            ),
+            st AS (
+                SELECT CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(dl) AS BIGINT) AS dlsum,
+                       CAST(count(*) FILTER (WHERE tf0 > 0) AS BIGINT) AS df0,
+                       CAST(count(*) FILTER (WHERE tf1 > 0) AS BIGINT) AS df1,
+                       CAST(count(*) FILTER (WHERE tf2 > 0) AS BIGINT) AS df2
+                FROM tf
+            ),
+            scored AS (
+                SELECT tf.doc_id,
+                       ln(1.0 + (st.n - st.df0 + 0.5) / (st.df0 + 0.5))
+                         * ((1.2 + 1.0) * tf0 / (tf0 + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / (CAST(st.dlsum AS DOUBLE) / st.n))))
+                     + ln(1.0 + (st.n - st.df1 + 0.5) / (st.df1 + 0.5))
+                         * ((1.2 + 1.0) * tf1 / (tf1 + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / (CAST(st.dlsum AS DOUBLE) / st.n))))
+                     + ln(1.0 + (st.n - st.df2 + 0.5) / (st.df2 + 0.5))
+                         * ((1.2 + 1.0) * tf2 / (tf2 + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / (CAST(st.dlsum AS DOUBLE) / st.n))))
+                       AS score
+                FROM tf CROSS JOIN st
+            )
+            SELECT doc_id,
+                   CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rnk
+            FROM scored
+            WHERE score > 0.0
+            ORDER BY rnk
+            LIMIT __LIMIT__
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -4580,48 +4660,7 @@ def oracle_sql() -> dict[str, str]:
         # same tokenizer as term_counts; every float subexpression is
         # written with the same literals and association the Ray kernel
         # uses (see ops/text.py bm25_topk), so the rank order hashes exactly
-        "bm25_search": r"""
-            WITH toks AS (
-                SELECT doc_id,
-                       unnest(regexp_split_to_array(lower(coalesce(text, '')),
-                              '[^\p{L}\p{N}'']+')) AS token
-                FROM documents
-            ),
-            tf AS (
-                SELECT d.doc_id,
-                       CAST(count(*) FILTER (WHERE t.token <> '') AS BIGINT) AS dl,
-                       CAST(count(*) FILTER (WHERE t.token = 'spark') AS BIGINT) AS tf0,
-                       CAST(count(*) FILTER (WHERE t.token = 'window') AS BIGINT) AS tf1,
-                       CAST(count(*) FILTER (WHERE t.token = 'merge') AS BIGINT) AS tf2
-                FROM documents d LEFT JOIN toks t USING (doc_id)
-                GROUP BY d.doc_id
-            ),
-            st AS (
-                SELECT CAST(count(*) AS BIGINT) AS n,
-                       CAST(sum(dl) AS BIGINT) AS dlsum,
-                       CAST(count(*) FILTER (WHERE tf0 > 0) AS BIGINT) AS df0,
-                       CAST(count(*) FILTER (WHERE tf1 > 0) AS BIGINT) AS df1,
-                       CAST(count(*) FILTER (WHERE tf2 > 0) AS BIGINT) AS df2
-                FROM tf
-            ),
-            scored AS (
-                SELECT tf.doc_id,
-                       ln(1.0 + (st.n - st.df0 + 0.5) / (st.df0 + 0.5))
-                         * ((1.2 + 1.0) * tf0 / (tf0 + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / (CAST(st.dlsum AS DOUBLE) / st.n))))
-                     + ln(1.0 + (st.n - st.df1 + 0.5) / (st.df1 + 0.5))
-                         * ((1.2 + 1.0) * tf1 / (tf1 + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / (CAST(st.dlsum AS DOUBLE) / st.n))))
-                     + ln(1.0 + (st.n - st.df2 + 0.5) / (st.df2 + 0.5))
-                         * ((1.2 + 1.0) * tf2 / (tf2 + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / (CAST(st.dlsum AS DOUBLE) / st.n))))
-                       AS score
-                FROM tf CROSS JOIN st
-            )
-            SELECT doc_id,
-                   CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rnk
-            FROM scored
-            WHERE score > 0.0
-            ORDER BY rnk
-            LIMIT 20
-        """,
+        "bm25_search": _BM25_RANKED_SQL.replace("__LIMIT__", "20"),
         "dedup_keep_best": """
             SELECT event_id, props, value FROM (
                 SELECT event_id, props, value,
@@ -5971,4 +6010,36 @@ def oracle_sql() -> dict[str, str]:
                    CAST(min(c_custkey) AS BIGINT) AS keep_custkey
             FROM canon GROUP BY canonical_url
         """,
+        # RRF over the bm25 CTE chain (top-50) and the ann cosine rank
+        # (top-50, query vector 0): contributions are exact BIGINT
+        # 1000000000 // (60 + rnk), so the fused order is engine-exact;
+        # cut ties break by doc_id.
+        "hybrid_search_rrf": (
+            "WITH bm AS MATERIALIZED ("
+            + _BM25_RANKED_SQL.replace("__LIMIT__", "50")
+            + """
+            ),
+            dn AS MATERIALIZED (
+                SELECT vec_id AS doc_id,
+                       CAST(row_number() OVER (
+                           ORDER BY list_cosine_similarity(e.embedding, q.qe)
+                                    DESC, e.vec_id
+                       ) AS BIGINT) AS rnk
+                FROM embeddings e CROSS JOIN (
+                    SELECT embedding AS qe FROM embeddings WHERE vec_id = 0
+                ) q
+                QUALIFY rnk <= 50
+            ),
+            contrib AS (
+                SELECT doc_id, rnk FROM bm
+                UNION ALL
+                SELECT doc_id, rnk FROM dn
+            )
+            SELECT doc_id,
+                   CAST(sum(1000000000 // (60 + rnk)) AS BIGINT) AS rrf_nano
+            FROM contrib GROUP BY doc_id
+            ORDER BY rrf_nano DESC, doc_id
+            LIMIT 20
+        """
+        ),
     }

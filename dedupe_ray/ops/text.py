@@ -1374,3 +1374,45 @@ def canonicalize_urls(
         return b.append_column(out_column, u)
 
     return ds.map_batches(canon, batch_format="pyarrow")
+
+
+def rrf_fuse(
+    rankings: list,
+    id_column: str = "doc_id",
+    rank_column: str = "rnk",
+    k: int = 60,
+    top_n: int = 20,
+    nano: int = 10**9,
+) -> "ray.data.Dataset":
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) — the
+    standard hybrid-search combiner for lexical + dense retrieval: each
+    input ranking contributes ``1/(k+rank)`` per id (k=60 canonical) and
+    ids are ordered by the summed score. Scores are kept as EXACT int64
+    nano-units ``nano // (k + rank)`` so the fusion is order-free,
+    layout-invariant, and engine-exact against a SQL mirror (the
+    weighted_sample_orders lesson: never emit a cross-engine float when
+    an integer carries the answer).
+
+    Inputs are (id, rank) tables — top-k outputs, so everything here is
+    bounded: union → groupby-Sum over ≤ Σ|rankings| rows → one tiny
+    sort. Ties at the cut break by id ascending."""
+    import ray.data  # noqa: F401
+
+    from ray.data.aggregate import Sum
+
+    def contrib(t: pa.Table) -> pa.Table:
+        r = t.column(rank_column).to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                id_column: t.column(id_column),
+                "rrf_nano": pa.array(nano // (k + r)),
+            }
+        )
+
+    ds = rankings[0].map_batches(contrib, batch_format="pyarrow")
+    for other in rankings[1:]:
+        ds = ds.union(other.map_batches(contrib, batch_format="pyarrow"))
+    fused = ds.groupby(id_column).aggregate(Sum("rrf_nano", alias_name="rrf_nano"))
+    return fused.sort(["rrf_nano", id_column], descending=[True, False]).limit(
+        top_n
+    )

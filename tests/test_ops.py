@@ -5021,3 +5021,26 @@ def test_canonicalize_urls_edge_cases(ray_session):
         "not a url",
     ]
     assert out[6] is None or (isinstance(out[6], float) and np.isnan(out[6]))
+
+
+def test_rrf_fuse_exact(ray_session):
+    """Hand-computed RRF: ids in both rankings sum contributions; cut
+    ties break by id ascending."""
+    from dedupe_ray.ops.text import rrf_fuse
+
+    a = rd.from_arrow(
+        pa.table({"id": pa.array([7, 3, 9], pa.int64()),
+                  "rnk": pa.array([1, 2, 3], pa.int64())})
+    )
+    b = rd.from_arrow(
+        pa.table({"id": pa.array([3, 5], pa.int64()),
+                  "rnk": pa.array([1, 2], pa.int64())})
+    )
+    out = rrf_fuse([a, b], "id", "rnk", k=60, top_n=3).to_pandas()
+    got = list(zip(out["id"], out["rrf_nano"]))
+    n = 10**9
+    assert got == [
+        (3, n // 62 + n // 61),  # both rankings
+        (7, n // 61),
+        (5, n // 62),  # 9 scores n // 63 and falls off the top-3
+    ]
