@@ -3625,6 +3625,48 @@ def _q_hybrid_search(sf_dir: str):
     return rrf_fuse([lex, dense], "doc_id", "rnk", k=60, top_n=20)
 
 
+def _q_image_near_dup(sf_dir: str):
+    """Perceptual image near-dup: deterministic 24×24 PPM payloads are
+    synthesized per doc_id (adjacent ids share a base gradient, odd ids
+    carry a tiny pixel perturbation), then dHash (actor pool) + banded
+    Hamming LSH recover the planted pairs
+    (`ops/multimodal.py image_near_dup_pairs`). No SQL oracle (image
+    decode); parallelism-invariant by the simhash machinery's
+    construction — rows-only driver check + unit/brute-force tests."""
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def build(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        yy, xx = np.mgrid[0:24, 0:24]
+        payloads = []
+        for i in ids.tolist():
+            base = i // 2
+            # seeded-random content per base: dHash is difference-based,
+            # so structured gradients with additive offsets COLLIDE
+            # across bases (measured: 29k spurious pairs) — random fields
+            # keep cross-base Hamming ≥ ~19 while the +1 twin
+            # perturbation stays ≤ 6.
+            img = np.random.RandomState(base % (2**31)).randint(
+                0, 256, (24, 24, 3)
+            ).astype(np.int16)
+            if i % 2:  # odd twin: small deterministic perturbation
+                m = ((yy * 24 + xx) * 2654435761 + base) % 97 < 2
+                img[m] += 1
+            img = np.clip(img, 0, 255).astype(np.uint8)
+            payloads.append(b"P6\n24 24\n255\n" + img.tobytes())
+        return pa.table(
+            {
+                "doc_id": pa.array([f"d{i}" for i in ids.tolist()]),
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        )
+
+    from dedupe_ray.ops.multimodal import image_near_dup_pairs
+
+    imgs = docs.map_batches(build, batch_format="pyarrow")
+    return image_near_dup_pairs(imgs, max_hamming=6)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "er_clusters": _q_er_clusters,
@@ -3784,6 +3826,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "k_anonymous_customers": _q_k_anonymous_customers,
         "url_dedup": _q_url_dedup,
         "hybrid_search_rrf": _q_hybrid_search,
+        "image_near_dup": _q_image_near_dup,
     }
 
 

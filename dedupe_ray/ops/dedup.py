@@ -559,6 +559,7 @@ def simhash_pairs(
     concurrency=(1, 8),
     max_bucket: int = 2000,
     return_oversized: bool = False,
+    hash_column: str | None = None,
 ):
     """Near-dup pairs by SimHash with the pigeonhole guarantee enforced.
 
@@ -567,7 +568,12 @@ def simhash_pairs(
     candidate recall to ``max_hamming`` requires n_tables ≥ max_hamming + 1
     — computed automatically when not given, rejected when violated.
     Hamming is verified in-bucket from the carried simhash (no driver
-    signature table)."""
+    signature table).
+
+    With ``hash_column`` set, the text SimHasher is skipped and that
+    PRECOMPUTED 64-bit column (any uint64-castable type) feeds the same
+    banding/verify machinery — e.g. perceptual image hashes
+    (`ops/multimodal.py dhash64`)."""
     if n_tables is None:
         n_tables = max_hamming + 1
     if n_tables <= max_hamming:
@@ -575,7 +581,23 @@ def simhash_pairs(
             f"n_tables={n_tables} cannot guarantee recall to Hamming {max_hamming}: "
             f"need n_tables >= max_hamming + 1 (pigeonhole)"
         )
-    sigs = ds.map_batches(SimHasher, batch_format="pyarrow", concurrency=concurrency)
+    if hash_column is None:
+        sigs = ds.map_batches(
+            SimHasher, batch_format="pyarrow", concurrency=concurrency
+        )
+    else:
+        _hc = hash_column
+
+        def precomputed(b: pa.Table) -> pa.Table:
+            h = b.column(_hc).to_numpy(zero_copy_only=False).astype(np.uint64)
+            return pa.table(
+                {
+                    "doc_id": b.column("doc_id"),
+                    "simhash": pa.array(h, pa.uint64()),
+                }
+            )
+
+        sigs = ds.map_batches(precomputed, batch_format="pyarrow")
 
     # segment bit layout: as even as possible, e.g. 64/7 → [10,9,9,9,9,9,9]
     base = 64 // n_tables

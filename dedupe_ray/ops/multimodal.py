@@ -892,6 +892,140 @@ def _pixel_features(img: np.ndarray, dim: int = 8) -> np.ndarray:
     return np.concatenate([mean, hist, [aspect]]).astype(np.float32)[:dim]
 
 
+def sniff_decode_image(payload: bytes) -> "np.ndarray | None":
+    """Magic-byte sniff + decode for every supported still-image codec
+    (PPM/PGM, BMP, PNG, JPEG, GIF, TIFF); PNG alpha channels are dropped
+    (RGBA→RGB, gray+alpha→gray). Returns None for unrecognized payloads
+    so callers choose their own fallback."""
+    if payload[:2] in (b"P6", b"P5"):
+        return decode_ppm(payload)
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        img = decode_png(payload)
+        if img.ndim == 3 and img.shape[2] == 4:
+            img = img[:, :, :3]  # drop alpha
+        elif img.ndim == 3 and img.shape[2] == 2:
+            img = img[:, :, 0]  # gray+alpha → gray
+        return img
+    if payload[:2] == b"\xff\xd8":
+        return decode_jpeg(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif(payload)
+    if payload[:2] in (b"II", b"MM") and len(payload) > 3 and payload[2:4] in (
+        b"\x2a\x00", b"\x00\x2a"
+    ):
+        return decode_tiff(payload)
+    return None
+
+
+def _box_mean(gray: np.ndarray, oh: int, ow: int) -> np.ndarray:
+    """Exact box-mean downsample of a 2-D array to (oh, ow): integer-
+    boundary partitions via one integral image (float64 sums — order-free
+    and layout-invariant). Images smaller than the grid nearest-upsample
+    onto it first."""
+    h, w = gray.shape
+    if h < oh or w < ow:
+        yi = (np.arange(oh, dtype=np.int64) * h) // oh
+        xi = (np.arange(ow, dtype=np.int64) * w) // ow
+        return gray[yi][:, xi].astype(np.float64)
+    ys = (np.arange(oh + 1, dtype=np.int64) * h) // oh
+    xs = (np.arange(ow + 1, dtype=np.int64) * w) // ow
+    c = np.zeros((h + 1, w + 1), np.float64)
+    np.cumsum(np.cumsum(gray, axis=0, dtype=np.float64), axis=1, out=c[1:, 1:])
+    s = (
+        c[np.ix_(ys[1:], xs[1:])]
+        - c[np.ix_(ys[:-1], xs[1:])]
+        - c[np.ix_(ys[1:], xs[:-1])]
+        + c[np.ix_(ys[:-1], xs[:-1])]
+    )
+    area = (ys[1:] - ys[:-1])[:, None] * (xs[1:] - xs[:-1])[None, :]
+    return s / area
+
+
+def dhash64(img: np.ndarray) -> int:
+    """64-bit difference hash (dHash): BT.601 luma → exact box-mean onto a
+    8×9 grid → bit = left cell brighter than its right neighbor, packed
+    row-major. Robust to re-encoding, scaling, and mild noise; Hamming
+    distance between hashes tracks perceptual difference — feed through
+    ``simhash_pairs(hash_column=...)`` for banded near-dup search."""
+    if img.ndim == 2:
+        luma = img.astype(np.float64)
+    else:
+        luma = img[:, :, :3].astype(np.float64) @ np.array(
+            [0.299, 0.587, 0.114], np.float64
+        )
+    g = _box_mean(luma, 8, 9)
+    bits = (g[:, :-1] > g[:, 1:]).reshape(-1)
+    return int(
+        np.sum(bits.astype(np.uint64) << np.arange(64, dtype=np.uint64))
+    )
+
+
+class PerceptualHashImage:
+    """Actor-pool stage: media payload → 64-bit dHash (``phash`` column,
+    uint64). Decode state is per-actor (`__init__` once); unrecognized
+    payloads raise unless ``fake=True``, which falls back to a
+    deterministic ref-seeded hash (useless for near-dup recall, stable
+    for plumbing tests)."""
+
+    def __init__(self, fake: bool = False):
+        self.fake = fake
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        refs = batch.column("media_ref").to_pylist() if "media_ref" in batch.column_names else [""] * len(batch)
+        payloads = (
+            batch.column("payload").to_pylist()
+            if "payload" in batch.column_names
+            else [None] * len(batch)
+        )
+        out = np.zeros(len(payloads), np.uint64)
+        for i, (r, p) in enumerate(zip(refs, payloads)):
+            img = sniff_decode_image(p) if p else None
+            if img is not None:
+                out[i] = np.uint64(dhash64(img))
+            elif self.fake:
+                out[i] = np.uint64(
+                    (zlib.crc32(b"\x01" + (r or "").encode()) << 32)
+                    | zlib.crc32(b"\x02" + (r or "").encode())
+                )
+            else:
+                raise NotImplementedError(
+                    "unrecognized image payload for perceptual hashing "
+                    "(supported: PPM/PGM, BMP, PNG, JPEG, GIF, TIFF)"
+                )
+        return batch.append_column("phash", pa.array(out, pa.uint64()))
+
+
+def image_near_dup_pairs(
+    ds: "ray.data.Dataset",
+    max_hamming: int = 6,
+    fake: bool = False,
+    concurrency=(1, 8),
+    max_bucket: int = 2000,
+):
+    """Perceptual near-duplicate image pairs: dHash per image (actor
+    pool, decode state in ``__init__``) → the SAME banded-Hamming LSH /
+    in-bucket verify machinery as text SimHash (pigeonhole recall
+    guarantee to ``max_hamming``). Expects (doc_id, payload[, media_ref])
+    rows; returns (id_a, id_b, hamming)."""
+    from dedupe_ray.ops.dedup import simhash_pairs
+
+    hashed = ds.map_batches(
+        PerceptualHashImage,
+        fn_constructor_args=(fake,),
+        batch_format="pyarrow",
+        batch_size=256,  # binary payloads are wide: batch × pool must fit heap
+        concurrency=concurrency,
+    )
+    return simhash_pairs(
+        hashed,
+        max_hamming=max_hamming,
+        max_bucket=max_bucket,
+        hash_column="phash",
+    )
+
+
 class DecodeImage:
     """Actor-pool stage: media_ref/payload → width/height/features.
 
@@ -909,25 +1043,8 @@ class DecodeImage:
         self.fake = fake
 
     def _decode_payload(self, payload: bytes) -> tuple[int, int, np.ndarray] | None:
-        if payload[:2] in (b"P6", b"P5"):
-            img = decode_ppm(payload)
-        elif payload[:2] == b"BM":
-            img = decode_bmp(payload)
-        elif payload[:8] == b"\x89PNG\r\n\x1a\n":
-            img = decode_png(payload)
-            if img.ndim == 3 and img.shape[2] == 4:
-                img = img[:, :, :3]  # drop alpha
-            elif img.ndim == 3 and img.shape[2] == 2:
-                img = img[:, :, 0]  # gray+alpha → gray
-        elif payload[:2] == b"\xff\xd8":
-            img = decode_jpeg(payload)
-        elif payload[:6] in (b"GIF87a", b"GIF89a"):
-            img = decode_gif(payload)
-        elif payload[:2] in (b"II", b"MM") and len(payload) > 3 and payload[2:4] in (
-            b"\x2a\x00", b"\x00\x2a"
-        ):
-            img = decode_tiff(payload)
-        else:
+        img = sniff_decode_image(payload)
+        if img is None:
             return None
         h, w = img.shape[:2]
         return w, h, _pixel_features(img, self.FEATURE_DIM)

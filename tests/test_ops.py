@@ -5044,3 +5044,52 @@ def test_rrf_fuse_exact(ray_session):
         (7, n // 61),
         (5, n // 62),  # 9 scores n // 63 and falls off the top-3
     ]
+
+
+def _ppm_from_array(img: np.ndarray) -> bytes:
+    h, w = img.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + img.astype(np.uint8).tobytes()
+
+
+def test_dhash_and_image_near_dup(ray_session):
+    """dHash is stable under mild noise and scaling, far apart for
+    different content; image_near_dup_pairs recovers exactly the planted
+    near-identical pair through decode → hash → banded Hamming LSH."""
+    from dedupe_ray.ops.multimodal import dhash64, image_near_dup_pairs
+
+    rng = np.random.RandomState(3)
+    yy, xx = np.mgrid[0:32, 0:32]
+    base = np.stack(
+        [(yy * 8) % 256, (xx * 8) % 256, ((yy + xx) * 4) % 256], axis=2
+    ).astype(np.uint8)
+    noisy = base.astype(np.int16)
+    mask = rng.rand(32, 32) < 0.05
+    noisy[mask] += rng.randint(-2, 3, mask.sum())[:, None]
+    noisy = np.clip(noisy, 0, 255).astype(np.uint8)
+    other = np.stack(
+        [(xx * 13) % 256, (255 - yy * 5) % 256, (yy * xx) % 256], axis=2
+    ).astype(np.uint8)
+
+    h_base, h_noisy, h_other = dhash64(base), dhash64(noisy), dhash64(other)
+    ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
+    assert ham(h_base, h_noisy) <= 6
+    assert ham(h_base, h_other) > 10
+    # scale invariance: the same content at 2x size hashes nearby
+    big = np.repeat(np.repeat(base, 2, axis=0), 2, axis=1)
+    assert ham(h_base, dhash64(big)) <= 4
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(["a", "b", "c"]),
+            "payload": pa.array(
+                [_ppm_from_array(base), _ppm_from_array(noisy), _ppm_from_array(other)],
+                pa.binary(),
+            ),
+        }
+    )
+    pairs = (
+        image_near_dup_pairs(rd.from_arrow(tbl).repartition(2), max_hamming=6)
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+    )
+    assert list(zip(pairs["id_a"], pairs["id_b"])) == [("a", "b")]

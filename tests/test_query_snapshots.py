@@ -53,6 +53,9 @@ SNAPSHOTS = {
     # SemDeDup pruning over the planted-near-dup corpus: all 20 planted
     # dups drop, every original survives; identical at num_cpus 4 and 8
     "semantic_dedup": (500, 15208159019661972216),
+    # perceptual dHash near-dup over synthesized PPM twins: exactly the
+    # 250 planted pairs; identical at num_cpus 4 and 8 (frozen round 4)
+    "image_near_dup": (250, 630617113193423766),
 }
 
 
