@@ -1180,6 +1180,21 @@ def _q_jsonl_gz_roundtrip(sf_dir: str):
     return read_jsonl_gz(out)
 
 
+def _q_jsonl_zst_roundtrip(sf_dir: str):
+    """Zstd-JSONL source/sink fidelity (``*.jsonl.zst`` — Pile/RedPajama-
+    style shards): documents written as zstd JSONL and read back must be
+    value-identical to the parquet original (pyarrow's bundled zstd,
+    streaming frames, no external codec package)."""
+    import hashlib
+
+    from dedupe_ray.sources import read_jsonl_zst, write_jsonl_zst
+
+    docs = _read(sf_dir, "documents")
+    out = "/tmp/dedupe_ray_jsonlzst_" + hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    write_jsonl_zst(docs, out)
+    return read_jsonl_zst(out)
+
+
 def _q_props_k_by_type(sf_dir: str):
     """JSON metric extraction + aggregate: pull the numeric 'k' field out
     of the props JSON blob (vectorized RE2 extract_regex, no per-row json
@@ -3827,6 +3842,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_dedup": _q_url_dedup,
         "hybrid_search_rrf": _q_hybrid_search,
         "image_near_dup": _q_image_near_dup,
+        "jsonl_zst_roundtrip": _q_jsonl_zst_roundtrip,
     }
 
 
@@ -4271,6 +4287,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, text, lang, source, n_chars FROM documents
         """,
         "jsonl_gz_roundtrip": """
+            SELECT doc_id, text, lang, source, n_chars FROM documents
+        """,
+        "jsonl_zst_roundtrip": """
             SELECT doc_id, text, lang, source, n_chars FROM documents
         """,
         "props_k_by_type": """

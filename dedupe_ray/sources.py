@@ -410,6 +410,56 @@ def write_jsonl_gz(ds: "ray.data.Dataset", path: str, compresslevel: int = 6) ->
     _write_sharded(ds, path, "jsonl.gz", shard)
 
 
+def read_jsonl_zst(
+    paths: list[str] | str, columns: list[str] | None = None
+) -> "ray.data.Dataset":
+    """Zstd-compressed JSONL source (``*.jsonl.zst`` — the other format
+    large corpora ship as, e.g. The Pile / RedPajama shards): same shape
+    as :func:`read_jsonl_gz` — one decode task per file, pyarrow's
+    bundled zstd (streaming ``pa.input_stream``, no frame-size
+    requirement) + pyarrow JSON parse. ``read_binary_files`` inflates
+    ``*.zst`` itself (Arrow infers the codec from the extension); the
+    0x28B52FFD magic check keeps renamed or pre-read bytes working."""
+    from pyarrow import json as pa_json
+
+    ds = ray.data.read_binary_files(paths)
+
+    def decode(b: pa.Table) -> pa.Table:
+        tables = []
+        for buf in b.column("bytes"):
+            raw = buf.as_py()
+            if raw[:4] == b"\x28\xb5\x2f\xfd":
+                with pa.input_stream(
+                    pa.BufferReader(raw), compression="zstd"
+                ) as f:
+                    raw = f.read()
+            t = pa_json.read_json(pa.BufferReader(raw))
+            if columns is not None:
+                t = t.select(columns)
+            tables.append(t)
+        return pa.concat_tables(tables, promote_options="default")
+
+    return ds.map_batches(decode, batch_format="pyarrow")
+
+
+def write_jsonl_zst(ds: "ray.data.Dataset", path: str) -> None:
+    """Zstd JSONL sink: one ``.jsonl.zst`` shard per block (zstd frames
+    carry no timestamp, so identical content compresses to identical
+    bytes), tmp-dir + atomic rename — same resumable-output contract as
+    the gzip sink."""
+
+    def shard(t: pa.Table, p: str) -> None:
+        payload = t.to_pandas().to_json(
+            orient="records", lines=True, force_ascii=False, date_format="iso"
+        )
+        if not payload.endswith("\n"):
+            payload += "\n"
+        with pa.output_stream(p, compression="zstd") as f:
+            f.write(payload.encode())
+
+    _write_sharded(ds, path, "jsonl.zst", shard)
+
+
 def read_orc(paths: list[str] | str, columns: list[str] | None = None) -> "ray.data.Dataset":
     """Distributed ORC source: one decode task per file over
     ``ray.data.read_binary_files`` (streaming, parallel) → ``pyarrow.orc``

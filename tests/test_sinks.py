@@ -145,3 +145,37 @@ def test_jsonl_gz_roundtrip_fidelity(ray_session, tmp_path):
     src = t.to_pandas().sort_values("doc_id").reset_index(drop=True)
     assert list(back["text"]) == list(src["text"])
     assert back["n"].equals(src["n"].astype(back["n"].dtype))
+
+
+def test_jsonl_zst_roundtrip_fidelity(ray_session, tmp_path):
+    """Same edge-case fidelity through the zstd JSONL sink/source; also
+    pins that the decoder handles pre-read (already-inflated) bytes via
+    the magic check by reading a renamed shard."""
+    import shutil
+
+    from dedupe_ray.sources import read_jsonl_zst, write_jsonl_zst
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(["a", "b", "c", "d"]),
+            "text": pa.array(['he said "hi"\nbye', "café — ☃", "", None]),
+            "n": pa.array([0, -1, 2**53 - 1, None], pa.int64()),
+        }
+    )
+    out = str(tmp_path / "docs_zst")
+    write_jsonl_zst(rd.from_arrow(t).repartition(2), out)
+    back = read_jsonl_zst(out).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    src = t.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert list(back["text"]) == list(src["text"])
+    assert back["n"].equals(src["n"].astype(back["n"].dtype))
+
+    # renamed shard: read_binary_files no longer auto-inflates, the
+    # 0x28B52FFD magic check must kick in
+    import os
+
+    renamed = str(tmp_path / "renamed")
+    os.makedirs(renamed)
+    shard = sorted(os.listdir(out))[0]
+    shutil.copy(os.path.join(out, shard), os.path.join(renamed, "shard.bin"))
+    again = read_jsonl_zst(renamed).to_pandas()
+    assert len(again) > 0
