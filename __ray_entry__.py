@@ -3682,6 +3682,43 @@ def _q_image_near_dup(sf_dir: str):
     return image_near_dup_pairs(imgs, max_hamming=6)
 
 
+def _q_frequent_tokens(sf_dir: str):
+    """Exact frequent items over a high-cardinality skewed token domain
+    (long tokens are doc_id-salted into a near-unique tail, so the full
+    distinct table is corpus-scale): Misra–Gries combiner candidates +
+    broadcast exact verify (`ops/sketch.py frequent_items_exact`). Output
+    = every value over 100 bp (1%) of tokens with its exact count —
+    layout-invariant even though per-batch truncation fires (capacity
+    128 ≪ per-batch distinct)."""
+    import pyarrow.compute as pc
+
+    from dedupe_ray.ops.sketch import frequent_items_exact
+    from dedupe_ray.ops.text import _tokenize_batch
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def toks(b: pa.Table) -> pa.Table:
+        flat, _, counts = _tokenize_batch(b.column("text"))
+        ids = np.repeat(
+            b.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64),
+            counts,
+        )
+        keep = pc.not_equal(flat, "")
+        flat = flat.filter(keep)
+        ids = ids[keep.to_numpy(zero_copy_only=False)]
+        salted = pc.if_else(
+            pc.less_equal(pc.utf8_length(flat), 4),
+            flat,
+            pc.binary_join_element_wise(
+                flat, pc.cast(pa.array(ids), pa.string()), "-"
+            ),
+        )
+        return pa.table({"value": salted})
+
+    tok_ds = docs.map_batches(toks, batch_format="pyarrow")
+    return frequent_items_exact(tok_ds, "value", phi_bp=100, capacity=128)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "er_clusters": _q_er_clusters,
@@ -3843,6 +3880,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hybrid_search_rrf": _q_hybrid_search,
         "image_near_dup": _q_image_near_dup,
         "jsonl_zst_roundtrip": _q_jsonl_zst_roundtrip,
+        "frequent_tokens": _q_frequent_tokens,
     }
 
 
@@ -4291,6 +4329,23 @@ def oracle_sql() -> dict[str, str]:
         """,
         "jsonl_zst_roundtrip": """
             SELECT doc_id, text, lang, source, n_chars FROM documents
+        """,
+        "frequent_tokens": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(lower(coalesce(text, '')),
+                              '[^\p{L}\p{N}'']+')) AS token
+                FROM documents
+            ),
+            t AS (
+                SELECT CASE WHEN length(token) <= 4 THEN token
+                            ELSE token || '-' || doc_id END AS value
+                FROM toks WHERE token <> ''
+            )
+            SELECT value, CAST(count(*) AS BIGINT) AS n
+            FROM t
+            GROUP BY value
+            HAVING count(*) * 10000 > 100 * (SELECT count(*) FROM t)
         """,
         "props_k_by_type": """
             WITH e AS (

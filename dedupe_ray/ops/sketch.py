@@ -565,3 +565,137 @@ def cms_point_estimates(
         return batch.append_column(out_column, pa.array(est.astype(np.int64)))
 
     return keys_ds.map_batches(probe, batch_format="pyarrow")
+
+
+def frequent_items_exact(
+    ds: "ray.data.Dataset",
+    column: str,
+    phi_bp: int,
+    capacity: int = 4096,
+) -> pa.Table:
+    """EXACT frequent items over an unbounded value domain: every value
+    whose frequency exceeds ``phi_bp`` basis points (1/10000) of the
+    rows, with its exact count — without ever shuffling the full distinct
+    table (the thing :func:`heavy_hitters` alone can't promise: its
+    output is layout-dependent once batches truncate).
+
+    Two passes:
+
+    1. **candidates** — the Misra–Gries combiner partials (capacity-
+       truncated per-batch counts + max-dropped error), groupby-summed;
+       any true heavy hitter has summed lower bound
+       ``est > φ·N − err`` (MG guarantee: ``true − est ≤ err``), so the
+       candidate filter is lossless. Shuffle ≤ n_batches × capacity rows.
+    2. **verify** — candidates broadcast in the task closure (bounded),
+       per-batch exact counts of candidate values only, one tiny
+       groupby-Sum, then the exact integer threshold
+       ``cnt · 10000 > phi_bp · N``.
+
+    The output is layout-INVARIANT even though pass-1 intermediates are
+    not: the candidate set only ever over-approximates, and pass 2 is
+    exact. Returns a bounded pa.Table (value, n) ordered n desc, value
+    asc. ``ds`` is consumed twice (Ray re-executes the lineage; pass an
+    already-materialized dataset to pay the scan once).
+
+    Requires ``capacity + 1 ≥ 10000/phi_bp``: a global φ-heavy hitter is
+    only guaranteed to SURVIVE some batch's truncation when its in-batch
+    frequency (> φ in at least one batch) clears the top-``capacity``
+    pigeonhole cut — below that the candidate pass could drop it."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    if (capacity + 1) * phi_bp < 10000:
+        raise ValueError(
+            f"capacity={capacity} cannot guarantee recall at "
+            f"phi_bp={phi_bp}: need capacity + 1 >= 10000/phi_bp"
+        )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        col = batch.column(column)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        total = len(col)
+        vc = col.cast(pa.string()).fill_null("\x00null").value_counts()
+        vals = vc.field("values")
+        cnts = vc.field("counts").to_numpy(zero_copy_only=False)
+        if len(vals) > capacity:
+            order = pc.sort_indices(
+                pa.table({"v": vals, "c": pa.array(cnts)}),
+                sort_keys=[("c", "descending"), ("v", "ascending")],
+            ).to_numpy(zero_copy_only=False)
+            keep = order[:capacity]
+            dropped_max = int(cnts[order[capacity]])
+            vals = pc.take(vals, pa.array(keep))
+            cnts = cnts[keep]
+        else:
+            dropped_max = 0
+        head = [dropped_max] + [0] * (len(vals) - 1)
+        tot = [total] + [0] * (len(vals) - 1)
+        return pa.table(
+            {
+                "value": vals,
+                "n": pa.array(cnts, pa.int64()),
+                "err": pa.array(head if len(vals) else [], pa.int64()),
+                "total": pa.array(tot if len(vals) else [], pa.int64()),
+            }
+        )
+
+    summed = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("value")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("err", alias_name="err"),
+            Sum("total", alias_name="total"),
+        )
+    )
+    merged = pa.Table.from_pandas(summed.to_pandas(), preserve_index=False)
+    # bounded: ≤ n_batches × capacity rows reach the driver
+    if len(merged) == 0:
+        return pa.table(
+            {"value": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+        )
+    err = int(pc.sum(merged.column("err")).as_py() or 0)
+    n_total = int(pc.sum(merged.column("total")).as_py() or 0)
+    est = merged.column("n").to_numpy(zero_copy_only=False)
+    # lossless candidate filter: true > φN ⇒ est ≥ true − err > φN − err
+    cand_mask = est * 10000 > phi_bp * n_total - err * 10000
+    candidates = set(
+        merged.column("value").to_numpy(zero_copy_only=False)[cand_mask].tolist()
+    )
+    if not candidates:
+        return pa.table(
+            {"value": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+        )
+    cand_arr = pa.array(sorted(candidates), pa.string())
+
+    def exact_partial(batch: pa.Table) -> pa.Table:
+        col = batch.column(column)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        s = col.cast(pa.string()).fill_null("\x00null")
+        hit = s.filter(pc.is_in(s, value_set=cand_arr))
+        vc = hit.value_counts()
+        return pa.table(
+            {
+                "value": vc.field("values"),
+                "n": pa.array(
+                    vc.field("counts").to_numpy(zero_copy_only=False), pa.int64()
+                ),
+            }
+        )
+
+    exact = (
+        ds.map_batches(exact_partial, batch_format="pyarrow")
+        .groupby("value")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    et = pa.Table.from_pandas(exact.to_pandas(), preserve_index=False)
+    cnts = et.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+    keep = cnts * 10000 > phi_bp * n_total
+    out = et.filter(pa.array(keep)).sort_by(
+        [("n", "descending"), ("value", "ascending")]
+    )
+    return out.select(["value", "n"])

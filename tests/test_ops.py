@@ -5093,3 +5093,43 @@ def test_dhash_and_image_near_dup(ray_session):
         .sort_values(["id_a", "id_b"])
     )
     assert list(zip(pairs["id_a"], pairs["id_b"])) == [("a", "b")]
+
+
+def test_frequent_items_exact_truncating_regime(ray_session):
+    """Exact heavy hitters under forced per-batch truncation: a skewed
+    corpus (few heavy values + a long unique tail) with capacity far
+    below per-batch distinct count still yields the exact > phi set,
+    identical across layouts; the capacity/phi recall guard raises."""
+    import pytest as _pytest
+
+    from dedupe_ray.ops.sketch import frequent_items_exact
+
+    rng = np.random.RandomState(11)
+    heavy = np.repeat(["aa", "bb", "cc"], [400, 300, 200])
+    tail = np.array([f"t{i}" for i in range(1100)], object)
+    vals = np.concatenate([heavy, tail])
+    vals = vals[rng.permutation(len(vals))]
+    n = len(vals)  # 2000
+
+    import collections
+
+    cnt = collections.Counter(vals.tolist())
+    expect = sorted(
+        ((v, c) for v, c in cnt.items() if c * 10000 > 500 * n),
+        key=lambda x: (-x[1], x[0]),
+    )
+
+    for parts in (2, 5):
+        ds = rd.from_arrow(
+            pa.table({"v": pa.array(vals.tolist())})
+        ).repartition(parts)
+        out = frequent_items_exact(ds, "v", phi_bp=500, capacity=32)
+        got = list(zip(out.column("value").to_pylist(),
+                       out.column("n").to_pylist()))
+        assert got == expect
+
+    with _pytest.raises(ValueError):
+        frequent_items_exact(
+            rd.from_arrow(pa.table({"v": ["x"]})), "v", phi_bp=100,
+            capacity=16,
+        )
