@@ -3719,6 +3719,19 @@ def _q_frequent_tokens(sf_dir: str):
     return frequent_items_exact(tok_ds, "value", phi_bp=100, capacity=128)
 
 
+def _q_order_price_buckets(sf_dir: str):
+    """Global equi-depth quartile binning of order prices WITHOUT a sort:
+    3 boundary probes on the histogram-refine quantile engine, then a
+    zero-shuffle vectorized bucket assignment
+    (`ops/tabular.py equidepth_bucketize`). Ties at a boundary take the
+    lower bucket on both engines (strict >)."""
+    from dedupe_ray.ops.tabular import equidepth_bucketize
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    out = equidepth_bucketize(orders, "o_totalprice", k=4)
+    return out.select_columns(["o_orderkey", "bucket"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "er_clusters": _q_er_clusters,
@@ -3881,6 +3894,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_near_dup": _q_image_near_dup,
         "jsonl_zst_roundtrip": _q_jsonl_zst_roundtrip,
         "frequent_tokens": _q_frequent_tokens,
+        "order_price_buckets": _q_order_price_buckets,
     }
 
 
@@ -4346,6 +4360,19 @@ def oracle_sql() -> dict[str, str]:
             FROM t
             GROUP BY value
             HAVING count(*) * 10000 > 100 * (SELECT count(*) FROM t)
+        """,
+        "order_price_buckets": """
+            SELECT o_orderkey,
+                   CAST((CASE WHEN o_totalprice > q.b1 THEN 1 ELSE 0 END)
+                      + (CASE WHEN o_totalprice > q.b2 THEN 1 ELSE 0 END)
+                      + (CASE WHEN o_totalprice > q.b3 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS bucket
+            FROM orders CROSS JOIN (
+                SELECT quantile_disc(o_totalprice, 0.25) AS b1,
+                       quantile_disc(o_totalprice, 0.50) AS b2,
+                       quantile_disc(o_totalprice, 0.75) AS b3
+                FROM orders
+            ) q
         """,
         "props_k_by_type": """
             WITH e AS (

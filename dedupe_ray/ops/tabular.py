@@ -3268,3 +3268,47 @@ def k_anonymize_suppress(
     return kept.map_batches(
         lambda t: t.drop_columns(["__qi"]), batch_format="pyarrow"
     )
+
+
+def equidepth_bucketize(
+    ds: "ray.data.Dataset",
+    column: str,
+    k: int,
+    out_column: str = "bucket",
+    **quantile_kwargs,
+) -> "ray.data.Dataset":
+    """Global equi-depth binning (the scale form of ``NTILE``/quantile
+    bucketing): k−1 boundary values from the sort-free histogram-refine
+    quantile engine (:func:`global_quantile_disc` at i/k), broadcast as
+    plain scalars, then one zero-shuffle vectorized pass assigns
+    ``bucket = #{boundaries strictly below the value}`` (ties land in
+    the LOWER bucket — boundary elements are actual column members by
+    quantile_disc semantics). Total cost: (k−1) boundary probes × a few
+    streaming passes + one map — no global sort anywhere. Nulls get
+    bucket NULL."""
+    import numpy as np
+
+    bounds = [
+        global_quantile_disc(ds, column, i / k, **quantile_kwargs)
+        for i in range(1, k)
+    ]
+    if any(b is None for b in bounds):  # empty column
+        return ds.map_batches(
+            lambda t: t.append_column(
+                out_column, pa.nulls(len(t), pa.int64())
+            ),
+            batch_format="pyarrow",
+        )
+    barr = np.asarray(bounds, np.float64)
+
+    def assign(t: pa.Table) -> pa.Table:
+        col = t.column(column)
+        v = col.to_numpy(zero_copy_only=False).astype(np.float64)
+        # strict >: searchsorted(side=left) over sorted boundaries counts
+        # boundaries < v; equal-to-boundary values take the lower bucket
+        b = np.searchsorted(barr, v, side="left").astype(np.int64)
+        null_mask = pc.is_null(col).to_numpy(zero_copy_only=False)
+        arr = pa.array(b, pa.int64(), mask=null_mask)
+        return t.append_column(out_column, arr)
+
+    return ds.map_batches(assign, batch_format="pyarrow")

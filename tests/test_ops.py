@@ -5133,3 +5133,35 @@ def test_frequent_items_exact_truncating_regime(ray_session):
             rd.from_arrow(pa.table({"v": ["x"]})), "v", phi_bp=100,
             capacity=16,
         )
+
+
+def test_equidepth_bucketize(ray_session):
+    """Quartile buckets match a brute-force sort; boundary ties take the
+    lower bucket; nulls stay null; forced multi-round refinement path."""
+    from dedupe_ray.ops.tabular import equidepth_bucketize
+
+    rng = np.random.RandomState(5)
+    v = rng.randint(0, 50, 400).astype(np.float64)  # heavy ties
+    v[7] = np.nan  # numpy nan is a VALUE; use arrow null instead below
+    vals = pa.array(
+        [None if i == 7 else float(x) for i, x in enumerate(v)], pa.float64()
+    )
+    tbl = pa.table({"id": pa.array(list(range(400)), pa.int64()), "v": vals})
+    out = (
+        equidepth_bucketize(
+            rd.from_arrow(tbl).repartition(3), "v", k=4,
+            bins=16, collect_limit=20,  # force the refine rounds
+        )
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    clean = np.sort(np.asarray([x for i, x in enumerate(v) if i != 7]))
+    n = len(clean)
+    bounds = [clean[int(np.floor((n - 1) * q))] for q in (0.25, 0.5, 0.75)]
+    for i, row in out.iterrows():
+        if i == 7:
+            assert pd.isna(row["bucket"])
+            continue
+        expect = sum(v[i] > b for b in bounds)
+        assert row["bucket"] == expect, (i, v[i], row["bucket"], expect)
