@@ -3732,6 +3732,33 @@ def _q_order_price_buckets(sf_dir: str):
     return out.select_columns(["o_orderkey", "bucket"])
 
 
+def _q_orders_zorder(sf_dir: str):
+    """Morton/Z-order locality key over (custkey, order day): the 2-D
+    data-layout primitive — sort or range-partition by zkey and rows
+    close in both dimensions land in the same files
+    (`ops/tabular.py zorder_key`). Zero shuffle; the oracle evaluates the
+    identical 32-term bit-interleave."""
+    from dedupe_ray.ops.tabular import zorder_key
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def dims(b: pa.Table) -> pa.Table:
+        us = b.column("o_orderdate").to_numpy(zero_copy_only=False)
+        days = us.astype("datetime64[us]").view(np.int64) // 86_400_000_000
+        return pa.table(
+            {
+                "o_orderkey": b.column("o_orderkey"),
+                "x": b.column("o_custkey"),
+                "y": pa.array(days),
+            }
+        )
+
+    ds = orders.map_batches(dims, batch_format="pyarrow")
+    return zorder_key(ds, "x", "y", bits=16).select_columns(
+        ["o_orderkey", "zkey"]
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "er_clusters": _q_er_clusters,
@@ -3895,6 +3922,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jsonl_zst_roundtrip": _q_jsonl_zst_roundtrip,
         "frequent_tokens": _q_frequent_tokens,
         "order_price_buckets": _q_order_price_buckets,
+        "orders_zorder": _q_orders_zorder,
     }
 
 
@@ -6186,4 +6214,29 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 20
         """
         ),
+        "orders_zorder": """
+            SELECT o_orderkey,
+                   CAST((((x >> 0) & 1) << 0) + (((y >> 0) & 1) << 1)
+                     + (((x >> 1) & 1) << 2) + (((y >> 1) & 1) << 3)
+                     + (((x >> 2) & 1) << 4) + (((y >> 2) & 1) << 5)
+                     + (((x >> 3) & 1) << 6) + (((y >> 3) & 1) << 7)
+                     + (((x >> 4) & 1) << 8) + (((y >> 4) & 1) << 9)
+                     + (((x >> 5) & 1) << 10) + (((y >> 5) & 1) << 11)
+                     + (((x >> 6) & 1) << 12) + (((y >> 6) & 1) << 13)
+                     + (((x >> 7) & 1) << 14) + (((y >> 7) & 1) << 15)
+                     + (((x >> 8) & 1) << 16) + (((y >> 8) & 1) << 17)
+                     + (((x >> 9) & 1) << 18) + (((y >> 9) & 1) << 19)
+                     + (((x >> 10) & 1) << 20) + (((y >> 10) & 1) << 21)
+                     + (((x >> 11) & 1) << 22) + (((y >> 11) & 1) << 23)
+                     + (((x >> 12) & 1) << 24) + (((y >> 12) & 1) << 25)
+                     + (((x >> 13) & 1) << 26) + (((y >> 13) & 1) << 27)
+                     + (((x >> 14) & 1) << 28) + (((y >> 14) & 1) << 29)
+                     + (((x >> 15) & 1) << 30) + (((y >> 15) & 1) << 31) AS BIGINT) AS zkey
+            FROM (
+                SELECT o_orderkey,
+                       CAST(o_custkey AS BIGINT) AS x,
+                       epoch_us(o_orderdate) // 86400000000 AS y
+                FROM orders
+            )
+        """,
     }

@@ -5165,3 +5165,37 @@ def test_equidepth_bucketize(ray_session):
             continue
         expect = sum(v[i] > b for b in bounds)
         assert row["bucket"] == expect, (i, v[i], row["bucket"], expect)
+
+
+def test_zorder_key(ray_session):
+    """Bit-interleave matches a scalar reference; locality property holds
+    (nearby points share high bits); out-of-range raises."""
+    import pytest as _pytest
+
+    from dedupe_ray.ops.tabular import zorder_key
+
+    def ref(x, y, bits=16):
+        z = 0
+        for b in range(bits):
+            z |= ((x >> b) & 1) << (2 * b)
+            z |= ((y >> b) & 1) << (2 * b + 1)
+        return z
+
+    rng = np.random.RandomState(2)
+    xs = rng.randint(0, 1 << 16, 200)
+    ys = rng.randint(0, 1 << 16, 200)
+    tbl = pa.table(
+        {"x": pa.array(xs, pa.int64()), "y": pa.array(ys, pa.int64())}
+    )
+    out = zorder_key(rd.from_arrow(tbl), "x", "y", bits=16).to_pandas()
+    assert all(
+        z == ref(int(x), int(y))
+        for x, y, z in zip(out["x"], out["y"], out["zkey"])
+    )
+    # locality: the 2x2 cell (x//2, y//2) is contiguous in z
+    assert ref(4, 6) // 4 == ref(5, 7) // 4
+
+    bad = rd.from_arrow(pa.table({"x": pa.array([1 << 16], pa.int64()),
+                                  "y": pa.array([0], pa.int64())}))
+    with _pytest.raises(Exception):
+        zorder_key(bad, "x", "y", bits=16).materialize()
