@@ -3759,6 +3759,42 @@ def _q_orders_zorder(sf_dir: str):
     )
 
 
+def _q_event_overlaps(sf_dir: str):
+    """Interval-overlap self-join (ad-session / genomics shape): events on
+    the 1/37 slice become closed intervals [ts, ts + value·600s-units];
+    all overlapping id pairs, each exactly once, via grid-cell
+    replication + local ownership dedup
+    (`joins.py interval_overlap_self_join`; cell = 12 h ≈ median
+    duration, replication ≈ 1.5×). Brute-force O(n²) SQL oracle on the
+    same slice."""
+    from dedupe_ray.joins import interval_overlap_self_join
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "value"])
+
+    def iv(b: pa.Table) -> pa.Table:
+        ids = b.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = ids % 37 == 0
+        t = b.filter(pa.array(keep))
+        ids = ids[keep]
+        us = t.column("ts").to_numpy(zero_copy_only=False)
+        s = us.astype("datetime64[us]").view(np.int64)
+        dur = np.floor(
+            t.column("value").to_numpy(zero_copy_only=False) * 600000000.0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "id": pa.array(ids),
+                "s": pa.array(s),
+                "e": pa.array(s + dur),
+            }
+        )
+
+    intervals = ev.map_batches(iv, batch_format="pyarrow")
+    return interval_overlap_self_join(
+        intervals, "id", "s", "e", cell=43_200_000_000
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "er_clusters": _q_er_clusters,
@@ -3923,6 +3959,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "frequent_tokens": _q_frequent_tokens,
         "order_price_buckets": _q_order_price_buckets,
         "orders_zorder": _q_orders_zorder,
+        "event_overlaps": _q_event_overlaps,
     }
 
 
@@ -6238,5 +6275,16 @@ def oracle_sql() -> dict[str, str]:
                        epoch_us(o_orderdate) // 86400000000 AS y
                 FROM orders
             )
+        """,
+        "event_overlaps": """
+            WITH iv AS (
+                SELECT event_id AS id, epoch_us(ts) AS s,
+                       epoch_us(ts)
+                       + CAST(floor(value * 600000000) AS BIGINT) AS e
+                FROM events WHERE event_id % 37 = 0
+            )
+            SELECT a.id AS id_a, b.id AS id_b
+            FROM iv a JOIN iv b
+              ON a.id < b.id AND a.s <= b.e AND b.s <= a.e
         """,
     }

@@ -411,3 +411,96 @@ def bucketed_asof_join(
         right_ds.map_batches(tag_right, batch_format="pyarrow")
     )
     return both.groupby(_BKT).map_groups(resolve, batch_format="pyarrow")
+
+
+def interval_overlap_self_join(
+    ds: "ray.data.Dataset",
+    id_col: str,
+    start_col: str,
+    end_col: str,
+    cell: int,
+    max_cell_rows: int = 100_000,
+) -> "ray.data.Dataset":
+    """Distributed interval-overlap SELF-join: all id pairs whose CLOSED
+    integer intervals ``[start, end]`` intersect (``a.start <= b.end AND
+    b.start <= a.end``), each pair exactly once with ``id_a < id_b`` —
+    the ad-session / genomics overlap shape no equi-join expresses.
+
+    Partitioning: every interval is replicated to the grid cells
+    ``start // cell .. end // cell`` (replication factor ≈ interval
+    length / cell + 1 — pick ``cell`` near the typical interval length).
+    Any overlapping pair meets in the cell of its overlap start, and that
+    cell — ``max(a.start, b.start) // cell`` — is the pair's unique
+    OWNER, so cross-cell duplicates are dropped locally with no second
+    dedup shuffle. Per cell the candidate set is the start-sorted triu
+    (all earlier rows), filtered by the actual overlap and ownership
+    tests in one vectorized pass; a cell over ``max_cell_rows`` raises —
+    repartition with a smaller ``cell`` or pre-split hot ranges rather
+    than silently OOMing."""
+    import numpy as np
+
+    if cell <= 0:
+        raise ValueError("cell must be a positive integer grid size")
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        s = t.column(start_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        e = t.column(end_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(s) and (e < s).any():
+            raise ValueError("end < start interval")
+        c0 = s // cell
+        c1 = e // cell
+        reps = (c1 - c0 + 1).astype(np.int64)
+        idx = np.repeat(np.arange(len(s)), reps)
+        offs = np.arange(int(reps.sum()), dtype=np.int64) - np.repeat(
+            np.cumsum(reps) - reps, reps
+        )
+        return pa.table(
+            {
+                "cell": pa.array(c0[idx] + offs),
+                "iid": pa.array(ids[idx]),
+                "s": pa.array(s[idx]),
+                "e": pa.array(e[idx]),
+            }
+        )
+
+    def per_cell(g: pa.Table) -> pa.Table:
+        n = len(g)
+        empty = pa.table(
+            {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
+        )
+        if n < 2:
+            return empty
+        if n > max_cell_rows:
+            raise ValueError(
+                f"interval_overlap_self_join: cell with {n} intervals exceeds "
+                f"max_cell_rows={max_cell_rows}; use a smaller `cell`"
+            )
+        cell_id = int(g.column("cell")[0].as_py())
+        order = np.lexsort(
+            (
+                g.column("iid").to_numpy(zero_copy_only=False),
+                g.column("s").to_numpy(zero_copy_only=False),
+            )
+        )
+        s = g.column("s").to_numpy(zero_copy_only=False)[order].astype(np.int64)
+        e = g.column("e").to_numpy(zero_copy_only=False)[order].astype(np.int64)
+        ids = g.column("iid").to_numpy(zero_copy_only=False)[order].astype(np.int64)
+        iu, ju = np.triu_indices(n, k=1)
+        ov = (s[ju] <= e[iu]) & (s[iu] <= e[ju])  # iu earlier (s sorted)
+        own = np.maximum(s[iu], s[ju]) // cell == cell_id
+        keep = ov & own
+        a = ids[iu[keep]]
+        b = ids[ju[keep]]
+        lo = np.minimum(a, b)
+        hi = np.maximum(a, b)
+        self_pair = lo == hi
+        return pa.table(
+            {
+                "id_a": pa.array(lo[~self_pair]),
+                "id_b": pa.array(hi[~self_pair]),
+            }
+        )
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow")
+    return exploded.groupby("cell").map_groups(per_cell, batch_format="pyarrow")

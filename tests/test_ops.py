@@ -5199,3 +5199,34 @@ def test_zorder_key(ray_session):
                                   "y": pa.array([0], pa.int64())}))
     with _pytest.raises(Exception):
         zorder_key(bad, "x", "y", bits=16).materialize()
+
+
+def test_interval_overlap_self_join(ray_session):
+    """Random intervals vs brute force, across layouts; long intervals
+    spanning many cells dedupe to exactly one emission per pair."""
+    from dedupe_ray.joins import interval_overlap_self_join
+
+    rng = np.random.RandomState(9)
+    n = 120
+    s = rng.randint(0, 10_000, n).astype(np.int64)
+    e = s + rng.randint(0, 3_000, n)
+    e[:5] = s[:5] + 9_000  # long intervals: many-cell replication
+    ids = np.arange(n, dtype=np.int64)
+
+    expect = sorted(
+        (int(ids[i]), int(ids[j]))
+        for i in range(n)
+        for j in range(i + 1, n)
+        if s[i] <= e[j] and s[j] <= e[i]
+    )
+    tbl = pa.table({"id": pa.array(ids), "s": pa.array(s), "e": pa.array(e)})
+    for parts in (2, 6):
+        out = (
+            interval_overlap_self_join(
+                rd.from_arrow(tbl).repartition(parts), "id", "s", "e",
+                cell=1000,
+            )
+            .to_pandas()
+            .sort_values(["id_a", "id_b"])
+        )
+        assert list(zip(out["id_a"], out["id_b"])) == expect
