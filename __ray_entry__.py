@@ -3795,6 +3795,42 @@ def _q_event_overlaps(sf_dir: str):
     )
 
 
+def _q_folded_names(sf_dir: str):
+    """Accent folding over deterministically-decorated customer names
+    (the wrap-the-input-in-the-query trick): NFD + nonspacing-mark strip
+    (`ops/text.py fold_accents`) must equal DuckDB strip_accents on the
+    Latin fixture."""
+    import pyarrow.compute as pc
+
+    from dedupe_ray.ops.text import fold_accents
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    decos = ["café", "née", "über", "niño", "crème-brûlée"]
+
+    def deco(b: pa.Table) -> pa.Table:
+        i = pc.cast(b.column("c_custkey"), pa.int64())
+        v = pc.subtract(i, pc.multiply(pc.divide(i, 5), 5))
+        pre = pc.case_when(
+            pc.make_struct(
+                pc.equal(v, 0), pc.equal(v, 1), pc.equal(v, 2), pc.equal(v, 3)
+            ),
+            decos[0], decos[1], decos[2], decos[3], decos[4],
+        )
+        return pa.table(
+            {
+                "c_custkey": i,
+                "text": pc.binary_join_element_wise(
+                    pre, b.column("c_name"), " "
+                ),
+            }
+        )
+
+    ds = fold_accents(
+        cust.map_batches(deco, batch_format="pyarrow"), "text", "folded"
+    )
+    return ds.select_columns(["c_custkey", "folded"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "er_clusters": _q_er_clusters,
@@ -3960,6 +3996,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_price_buckets": _q_order_price_buckets,
         "orders_zorder": _q_orders_zorder,
         "event_overlaps": _q_event_overlaps,
+        "folded_names": _q_folded_names,
     }
 
 
@@ -6286,5 +6323,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.id AS id_a, b.id AS id_b
             FROM iv a JOIN iv b
               ON a.id < b.id AND a.s <= b.e AND b.s <= a.e
+        """,
+        "folded_names": """
+            SELECT c_custkey,
+                   strip_accents(
+                       (CASE c_custkey % 5
+                            WHEN 0 THEN 'café' WHEN 1 THEN 'née'
+                            WHEN 2 THEN 'über' WHEN 3 THEN 'niño'
+                            ELSE 'crème-brûlée' END) || ' ' || c_name
+                   ) AS folded
+            FROM customer
         """,
     }

@@ -1416,3 +1416,31 @@ def rrf_fuse(
     return fused.sort(["rrf_nano", id_column], descending=[True, False]).limit(
         top_n
     )
+
+
+def fold_accents(
+    ds: "ray.data.Dataset",
+    column: str = "text",
+    out_column: str = "folded",
+) -> "ray.data.Dataset":
+    """Accent folding (café→cafe, über→uber): NFD decomposition + strip
+    NONSPACING combining marks — two Arrow kernels per batch
+    (``utf8_normalize`` + one RE2 ``\\p{Mn}`` erase), zero Python rows,
+    zero shuffle. Matches DuckDB's ``strip_accents`` on Latin / Greek /
+    Cyrillic / Arabic / Vietnamese (verified); diverges on scripts whose
+    vowel signs are SPACING combining marks (Mc — e.g. Devanagari
+    matras), which this keeps and strip_accents removes — stripping Mc
+    would destroy those words rather than fold them. Base letters
+    without decompositions (Ł, ø, ﬁ) pass through on both engines."""
+
+    def fold(b: pa.Table) -> pa.Table:
+        col = b.column(column)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        nfd = pc.utf8_normalize(col, form="NFD")
+        out = pc.replace_substring_regex(
+            nfd, pattern=r"\p{Mn}", replacement=""
+        )
+        return b.append_column(out_column, out)
+
+    return ds.map_batches(fold, batch_format="pyarrow")

@@ -5230,3 +5230,18 @@ def test_interval_overlap_self_join(ray_session):
             .sort_values(["id_a", "id_b"])
         )
         assert list(zip(out["id_a"], out["id_b"])) == expect
+
+
+def test_fold_accents(ray_session):
+    from dedupe_ray.ops.text import fold_accents
+
+    raw = ["café NÉE", "Łódź", "ệạự", "plain", None]
+    out = (
+        fold_accents(
+            rd.from_arrow(pa.table({"text": pa.array(raw, pa.string())}))
+        )
+        .to_pandas()["folded"]
+        .tolist()
+    )
+    assert out[:4] == ["cafe NEE", "Łodz", "eau", "plain"]
+    assert out[4] is None
