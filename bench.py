@@ -242,6 +242,22 @@ def run_bench() -> dict:
     entrymod.queries()["kmeans_embeddings"](SF_DIR).count()
     queries["kmeans_embeddings"] = round(time.time() - t0, 3)
 
+    t0 = time.time()
+    entrymod.queries()["hybrid_search_rrf"](SF_DIR).to_pandas()
+    queries["hybrid_search_rrf"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    entrymod.queries()["frequent_tokens"](SF_DIR)  # bounded pa.Table
+    queries["frequent_tokens"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    entrymod.queries()["event_overlaps"](SF_DIR).count()
+    queries["event_overlaps"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    entrymod.queries()["image_near_dup"](SF_DIR).count()
+    queries["image_near_dup"] = round(time.time() - t0, 3)
+
     result = {
         "metric": "er_partition_seconds",
         "value": queries["er_partition"],
