@@ -3831,6 +3831,28 @@ def _q_folded_names(sf_dir: str):
     return ds.select_columns(["c_custkey", "folded"])
 
 
+def _q_customer_validation(sf_dir: str):
+    """Declarative data-quality gate over customer: null / range / regex
+    rules reduce as combiner Sums in one streaming pass; the uniqueness
+    rule ships per-batch value-count partials through one bounded
+    groupby (`ops/tabular.py validate_rules`). Output = violation count
+    per rule."""
+    from dedupe_ray.ops.tabular import validate_rules
+
+    cust = _read(
+        sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal"]
+    )
+    return validate_rules(
+        cust,
+        [
+            ("not_null", "c_name"),
+            ("in_range", "c_acctbal", 0, 5000),
+            ("matches", "c_name", "Customer#[0-9]+"),
+            ("unique", "c_custkey"),
+        ],
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "er_clusters": _q_er_clusters,
@@ -3997,6 +4019,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_zorder": _q_orders_zorder,
         "event_overlaps": _q_event_overlaps,
         "folded_names": _q_folded_names,
+        "customer_validation": _q_customer_validation,
     }
 
 
@@ -6333,5 +6356,26 @@ def oracle_sql() -> dict[str, str]:
                             ELSE 'crème-brûlée' END) || ' ' || c_name
                    ) AS folded
             FROM customer
+        """,
+        "customer_validation": """
+            SELECT 'not_null:c_name' AS rule,
+                   CAST(count(*) FILTER (WHERE c_name IS NULL) AS BIGINT)
+                       AS violations
+            FROM customer
+            UNION ALL
+            SELECT 'in_range:c_acctbal:0:5000',
+                   CAST(count(*) FILTER (WHERE c_acctbal < 0
+                                            OR c_acctbal > 5000) AS BIGINT)
+            FROM customer
+            UNION ALL
+            SELECT 'matches:c_name:Customer#[0-9]+',
+                   CAST(count(*) FILTER (
+                       WHERE NOT regexp_full_match(c_name, 'Customer#[0-9]+')
+                   ) AS BIGINT)
+            FROM customer
+            UNION ALL
+            SELECT 'unique:c_custkey',
+                   CAST(coalesce(sum(c - 1), 0) AS BIGINT)
+            FROM (SELECT count(*) AS c FROM customer GROUP BY c_custkey)
         """,
     }

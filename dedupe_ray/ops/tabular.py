@@ -3352,3 +3352,121 @@ def zorder_key(
         return t.append_column(out_column, pa.array(z))
 
     return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def validate_rules(
+    ds: "ray.data.Dataset",
+    rules: list[tuple],
+) -> "ray.data.Dataset":
+    """Data-quality gate (Great-Expectations-style): count violations per
+    declarative rule in ONE streaming pass (plus one bounded shuffle for
+    uniqueness rules). Rules are tuples:
+
+    - ``("not_null", col)`` — NULL values
+    - ``("in_range", col, lo, hi)`` — non-null values outside [lo, hi]
+    - ``("matches", col, pattern)`` — non-null values not fully matching
+      the RE2 pattern
+    - ``("unique", col)`` — rows beyond the first per duplicated value
+
+    Row-local rules reduce as per-batch combiner Sums; ``unique`` ships
+    per-batch (value, count) partials into a groupby (distinct-value-
+    bounded, the exact-distinct shape) and sums ``count−1`` per
+    duplicated value. Returns (rule, violations) — the release gate next
+    to scrub_pii / k_anonymize_suppress."""
+    import numpy as np
+
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    local_rules = [r for r in rules if r[0] != "unique"]
+    unique_cols = [r[1] for r in rules if r[0] == "unique"]
+
+    def rule_name(r: tuple) -> str:
+        return ":".join(str(x) for x in r)
+
+    out_tables = []
+
+    if local_rules:
+
+        def partial(b: pa.Table) -> pa.Table:
+            names, counts = [], []
+            for r in local_rules:
+                kind, col = r[0], b.column(r[1])
+                if kind == "not_null":
+                    v = col.null_count
+                elif kind == "in_range":
+                    lo, hi = r[2], r[3]
+                    bad = pc.or_(pc.less(col, lo), pc.greater(col, hi))
+                    v = int(
+                        pc.sum(pc.fill_null(bad, False)).as_py() or 0
+                    )
+                elif kind == "matches":
+                    ok = pc.match_substring_regex(
+                        col, f"^(?:{r[2]})$"
+                    )
+                    v = int(
+                        pc.sum(pc.fill_null(pc.invert(ok), False)).as_py()
+                        or 0
+                    )
+                else:
+                    raise ValueError(f"unknown rule kind {kind!r}")
+                names.append(rule_name(r))
+                counts.append(v)
+            return pa.table(
+                {
+                    "rule": pa.array(names),
+                    "violations": pa.array(counts, pa.int64()),
+                }
+            )
+
+        out_tables.append(
+            ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("rule")
+            .aggregate(Sum("violations", alias_name="violations"))
+        )
+
+    for col in unique_cols:
+        _c = col
+
+        def dup_partial(b: pa.Table, _c=_c) -> pa.Table:
+            vc = (
+                b.column(_c)
+                .cast(pa.string())
+                .fill_null("\x00null")
+                .value_counts()
+            )
+            return pa.table(
+                {
+                    "value": vc.field("values"),
+                    "c": pa.array(
+                        vc.field("counts").to_numpy(zero_copy_only=False),
+                        pa.int64(),
+                    ),
+                }
+            )
+
+        summed = (
+            ds.map_batches(dup_partial, batch_format="pyarrow")
+            .groupby("value")
+            .aggregate(Sum("c", alias_name="c"))
+        )
+
+        def excess(t: pa.Table, _c=_c) -> pa.Table:
+            c = t.column("c").to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table(
+                {
+                    "rule": pa.array([f"unique:{_c}"] * len(t)),
+                    "violations": pa.array(np.maximum(c - 1, 0)),
+                }
+            )
+
+        out_tables.append(
+            summed.map_batches(excess, batch_format="pyarrow")
+            .groupby("rule")
+            .aggregate(Sum("violations", alias_name="violations"))
+        )
+
+    result = out_tables[0]
+    for t in out_tables[1:]:
+        result = result.union(t)
+    return result

@@ -5245,3 +5245,37 @@ def test_fold_accents(ray_session):
     )
     assert out[:4] == ["cafe NEE", "Łodz", "eau", "plain"]
     assert out[4] is None
+
+
+def test_validate_rules(ray_session):
+    """Each rule kind counts its violations: nulls, out-of-range
+    (null-safe), regex non-matches, and duplicate excess — across block
+    layouts."""
+    from dedupe_ray.ops.tabular import validate_rules
+
+    tbl = pa.table(
+        {
+            "id": pa.array([1, 1, 2, 2, 2, 3, None], pa.int64()),
+            "v": pa.array([0.5, -1.0, 2.0, None, 99.0, 1.0, 1.0]),
+            "s": pa.array(["ab1", "zz", "ab22", None, "ab3", "x", "ab4"]),
+        }
+    )
+    rules = [
+        ("not_null", "s"),
+        ("in_range", "v", 0, 10),
+        ("matches", "s", "ab[0-9]+"),
+        ("unique", "id"),
+    ]
+    for parts in (1, 4):
+        out = (
+            validate_rules(rd.from_arrow(tbl).repartition(parts), rules)
+            .to_pandas()
+            .sort_values("rule")
+        )
+        got = dict(zip(out["rule"], out["violations"]))
+        assert got == {
+            "not_null:s": 1,
+            "in_range:v:0:10": 2,          # -1.0 and 99.0; null skipped
+            "matches:s:ab[0-9]+": 2,       # "zz", "x"; null skipped
+            "unique:id": 3,                # 1×2→1, 2×3→2; null group has 1
+        }
