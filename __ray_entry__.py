@@ -3853,6 +3853,99 @@ def _q_customer_validation(sf_dir: str):
     )
 
 
+def _q_tpch_q22(sf_dir: str):
+    """TPC-H Q22 shape (global-luxury anti-join): customers with
+    above-average positive balance and NO orders, grouped by country
+    code (nationkey % 10 stands in for the phone prefix). The
+    above-average test is the exact integer cross-multiply
+    ``c2 · n > Σc2`` — never compare against a float average across
+    engines (Sum-of-doubles order differs). One combiner stats pass →
+    two broadcast ints; distinct order keys via combiner groupby; one
+    bucketed LEFT join + null filter; final tiny groupby in exact
+    cents."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Count, Sum
+
+    from dedupe_ray.joins import bucketed_lookup_join
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def cents(b: pa.Table) -> pa.Table:
+        c2 = np.floor(
+            b.column("c_acctbal").to_numpy(zero_copy_only=False) * 100 + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "c_custkey": b.column("c_custkey"),
+                "cntrycode": pa.array(
+                    b.column("c_nationkey")
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64)
+                    % 10
+                ),
+                "c2": pa.array(c2),
+            }
+        )
+
+    cc = cust.map_batches(cents, batch_format="pyarrow").materialize()
+
+    def pos_partial(b: pa.Table) -> pa.Table:
+        c2 = b.column("c2").to_numpy(zero_copy_only=False)
+        pos = c2 > 0
+        return pa.table(
+            {
+                "s": pa.array([int(c2[pos].sum())], pa.int64()),
+                "n": pa.array([int(pos.sum())], pa.int64()),
+            }
+        )
+
+    st = cc.map_batches(pos_partial, batch_format="pyarrow").aggregate(
+        Sum("s", alias_name="s"), Sum("n", alias_name="n")
+    )
+    s, n = int(st["s"]), int(st["n"])
+
+    def rich_filter(b: pa.Table) -> pa.Table:
+        c2 = b.column("c2").to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(c2 * n > s))
+
+    rich = cc.map_batches(rich_filter, batch_format="pyarrow")
+
+    def okeys(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        k = pd.unique(b.column("o_custkey").to_numpy(zero_copy_only=False))
+        return pa.table({"o_custkey": pa.array(k, pa.int64()),
+                         "present": pa.array(np.ones(len(k), np.int8))})
+
+    keys = (
+        _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+        .filter(expr="o_totalprice > 300000")
+        .select_columns(["o_custkey"])
+        .map_batches(okeys, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .count()
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "o_custkey": t.column("o_custkey"),
+                    "present": pa.array(np.ones(len(t), np.int8)),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    j = bucketed_lookup_join(
+        rich, keys, "c_custkey", "o_custkey", ["present"], how="left"
+    ).map_batches(
+        lambda t: t.filter(pa.compute.is_null(t.column("present"))),
+        batch_format="pyarrow",
+    )
+    return j.groupby("cntrycode").aggregate(
+        Count(alias_name="numcust"), Sum("c2", alias_name="totacctbal_c2")
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "er_clusters": _q_er_clusters,
@@ -4020,6 +4113,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_overlaps": _q_event_overlaps,
         "folded_names": _q_folded_names,
         "customer_validation": _q_customer_validation,
+        "tpch_q22": _q_tpch_q22,
     }
 
 
@@ -6377,5 +6471,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'unique:c_custkey',
                    CAST(coalesce(sum(c - 1), 0) AS BIGINT)
             FROM (SELECT count(*) AS c FROM customer GROUP BY c_custkey)
+        """,
+        "tpch_q22": """
+            WITH p AS (
+                SELECT c_custkey,
+                       CAST(c_nationkey % 10 AS BIGINT) AS cntrycode,
+                       CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS c2
+                FROM customer
+            ),
+            st AS (
+                SELECT CAST(sum(c2) FILTER (WHERE c2 > 0) AS BIGINT) AS s,
+                       CAST(count(*) FILTER (WHERE c2 > 0) AS BIGINT) AS n
+                FROM p
+            )
+            SELECT cntrycode,
+                   CAST(count(*) AS BIGINT) AS numcust,
+                   CAST(sum(c2) AS BIGINT) AS totacctbal_c2
+            FROM p, st
+            WHERE p.c2 * st.n > st.s
+              AND NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = p.c_custkey
+                                AND o.o_totalprice > 300000)
+            GROUP BY cntrycode
         """,
     }
