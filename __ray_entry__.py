@@ -3946,6 +3946,84 @@ def _q_tpch_q22(sf_dir: str):
     )
 
 
+def _q_tpch_q16(sf_dir: str):
+    """TPC-H Q16 shape: distinct supplier count per (brand, type, size)
+    over the part–supplier pairs implied by lineitem, excluding
+    negative-balance suppliers (the complaints NOT-IN stand-in).
+    Composition: per-batch pair dedup combiner → one bucketed join onto
+    the filtered part attrs → broadcast NOT-IN filter (supplier side is
+    the canonical small table) → exact grouped COUNT DISTINCT on a
+    composite key, split back to typed columns at the end."""
+    import pyarrow.compute as pc
+
+    from dedupe_ray.joins import bucketed_lookup_join
+    from dedupe_ray.ops.tabular import grouped_count_distinct
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+
+    def dedup_pairs(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame(
+            {
+                "l_partkey": b.column("l_partkey").to_numpy(zero_copy_only=False),
+                "l_suppkey": b.column("l_suppkey").to_numpy(zero_copy_only=False),
+            }
+        ).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    pairs = (
+        li.map_batches(dedup_pairs, batch_format="pyarrow")
+        .groupby(["l_partkey", "l_suppkey"])
+        .count()
+        .drop_columns(["count()"])
+    )
+
+    part = (
+        _read(sf_dir, "part", ["p_partkey", "p_brand", "p_type", "p_size"])
+        .filter(expr="p_size == 1 or p_size == 4 or p_size == 7")
+    )
+    j = bucketed_lookup_join(
+        pairs, part, "l_partkey", "p_partkey", ["p_brand", "p_type", "p_size"]
+    )
+
+    excl = sorted(
+        r["s_suppkey"]
+        for r in _read(sf_dir, "supplier", ["s_suppkey", "s_acctbal"])
+        .filter(expr="s_acctbal < 0")
+        .take_all()  # bounded: supplier is the canonical small table
+    )
+    excl_arr = pa.array(excl, pa.int64())
+
+    def keep_and_key(b: pa.Table) -> pa.Table:
+        sk = pc.cast(b.column("l_suppkey"), pa.int64())
+        t = b.filter(pc.invert(pc.is_in(sk, value_set=excl_arr)))
+        grp = pc.binary_join_element_wise(
+            t.column("p_brand"),
+            t.column("p_type"),
+            pc.cast(t.column("p_size"), pa.string()),
+            "\x1f",
+        )
+        return pa.table({"grp": grp, "l_suppkey": t.column("l_suppkey")})
+
+    keyed = j.map_batches(keep_and_key, batch_format="pyarrow")
+    counted = grouped_count_distinct(keyed, "grp", "l_suppkey", "supplier_cnt")
+
+    def split(t: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(t.column("grp"), "\x1f")
+        lists = parts.to_pylist()
+        return pa.table(
+            {
+                "p_brand": pa.array([x[0] for x in lists]),
+                "p_type": pa.array([x[1] for x in lists]),
+                "p_size": pa.array([int(x[2]) for x in lists], pa.int64()),
+                "supplier_cnt": t.column("supplier_cnt"),
+            }
+        )
+
+    return counted.map_batches(split, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "er_clusters": _q_er_clusters,
@@ -4114,6 +4192,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "folded_names": _q_folded_names,
         "customer_validation": _q_customer_validation,
         "tpch_q22": _q_tpch_q22,
+        "tpch_q16": _q_tpch_q16,
     }
 
 
@@ -6493,5 +6572,18 @@ def oracle_sql() -> dict[str, str]:
                               WHERE o.o_custkey = p.c_custkey
                                 AND o.o_totalprice > 300000)
             GROUP BY cntrycode
+        """,
+        "tpch_q16": """
+            WITH ps AS (
+                SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+            )
+            SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+                   CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+            FROM ps JOIN part ON p_partkey = l_partkey
+            WHERE p_size IN (1, 4, 7)
+              AND l_suppkey NOT IN (
+                  SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+              )
+            GROUP BY p_brand, p_type, p_size
         """,
     }
