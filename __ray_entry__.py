@@ -4024,6 +4024,79 @@ def _q_tpch_q16(sf_dir: str):
     return counted.map_batches(split, batch_format="pyarrow")
 
 
+def _q_tpch_q15(sf_dir: str):
+    """TPC-H Q15 shape (top supplier): per-supplier revenue over a
+    quarter in exact integer cents·(100−disc), tie-INCLUSIVE argmax via
+    one broadcast scalar max — per-batch combiner partials, one bounded
+    groupby (≤ |supplier| rows), supplier names joined from the
+    canonical small side."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    li = _read(
+        sf_dir,
+        "lineitem",
+        ["l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        us = b.column("l_shipdate").to_numpy(zero_copy_only=False)
+        us = us.astype("datetime64[us]")
+        keep = (us >= np.datetime64("1996-01-01")) & (
+            us < np.datetime64("1996-04-01")
+        )
+        t = b.filter(pa.array(keep))
+        c2 = np.floor(
+            t.column("l_extendedprice").to_numpy(zero_copy_only=False) * 100
+            + 0.5
+        ).astype(np.int64)
+        disc = np.floor(
+            t.column("l_discount").to_numpy(zero_copy_only=False) * 100 + 0.5
+        ).astype(np.int64)
+        rev = c2 * (100 - disc)
+        df = (
+            pd.DataFrame(
+                {
+                    "l_suppkey": t.column("l_suppkey").to_numpy(
+                        zero_copy_only=False
+                    ),
+                    "total_rev_c2": rev,
+                }
+            )
+            .groupby("l_suppkey", sort=False)["total_rev_c2"]
+            .sum()
+            .reset_index()
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    rev = (
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby("l_suppkey")
+        .aggregate(Sum("total_rev_c2", alias_name="total_rev_c2"))
+    )
+    rt = pa.Table.from_pandas(rev.to_pandas(), preserve_index=False)
+    # bounded: one row per supplier
+    mx = int(pc.max(rt.column("total_rev_c2")).as_py())
+    top = rt.filter(
+        pc.equal(rt.column("total_rev_c2"), mx)
+    )
+    sup = {
+        r["s_suppkey"]: r["s_name"]
+        for r in _read(sf_dir, "supplier", ["s_suppkey", "s_name"]).take_all()
+    }  # bounded: canonical small table
+    keys = top.column("l_suppkey").to_pylist()
+    return pa.table(
+        {
+            "s_suppkey": pa.array(keys, pa.int64()),
+            "s_name": pa.array([sup[k] for k in keys]),
+            "total_rev_c2": top.column("total_rev_c2"),
+        }
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "er_clusters": _q_er_clusters,
@@ -4193,6 +4266,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_validation": _q_customer_validation,
         "tpch_q22": _q_tpch_q22,
         "tpch_q16": _q_tpch_q16,
+        "tpch_q15": _q_tpch_q15,
     }
 
 
@@ -6585,5 +6659,22 @@ def oracle_sql() -> dict[str, str]:
                   SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
               )
             GROUP BY p_brand, p_type, p_size
+        """,
+        "tpch_q15": """
+            WITH rev AS (
+                SELECT l_suppkey,
+                       CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5)
+                                     AS BIGINT)
+                                * (100 - CAST(floor(l_discount * 100 + 0.5)
+                                              AS BIGINT))) AS BIGINT)
+                           AS total_rev_c2
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate < TIMESTAMP '1996-04-01'
+                GROUP BY l_suppkey
+            )
+            SELECT s_suppkey, s_name, total_rev_c2
+            FROM supplier JOIN rev ON s_suppkey = l_suppkey
+            WHERE total_rev_c2 = (SELECT max(total_rev_c2) FROM rev)
         """,
     }
