@@ -4097,6 +4097,19 @@ def _q_tpch_q15(sf_dir: str):
     )
 
 
+def _q_doc_negatives(sf_dir: str):
+    """Deterministic contrastive negative sampling: 4 pinned-hash
+    negative ids per document from the dense id space, anchor-collision
+    bumped one slot up (`ops/embedding.py hash_negative_samples`).
+    Zero-shuffle, reproducible at any parallelism; the oracle evaluates
+    the identical integer hash."""
+    from dedupe_ray.ops.embedding import hash_negative_samples
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+    n_total = docs.count()
+    return hash_negative_samples(docs, "doc_id", n_total=n_total, k=4)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "er_clusters": _q_er_clusters,
@@ -4267,6 +4280,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q22": _q_tpch_q22,
         "tpch_q16": _q_tpch_q16,
         "tpch_q15": _q_tpch_q15,
+        "doc_negatives": _q_doc_negatives,
     }
 
 
@@ -6676,5 +6690,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT s_suppkey, s_name, total_rev_c2
             FROM supplier JOIN rev ON s_suppkey = l_suppkey
             WHERE total_rev_c2 = (SELECT max(total_rev_c2) FROM rev)
+        """,
+        "doc_negatives": """
+            WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+            raw AS (
+                SELECT doc_id, CAST(s.slot AS BIGINT) AS slot,
+                       ((doc_id * 2654435761 + CAST(s.slot AS BIGINT)
+                         * 2654435769) % 2147483648) % n.n AS neg
+                FROM documents
+                CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS slot) s
+                CROSS JOIN n
+            )
+            SELECT doc_id, slot,
+                   CAST(CASE WHEN neg = doc_id
+                             THEN (neg + 1) % (SELECT n FROM n)
+                             ELSE neg END AS BIGINT) AS neg_id
+            FROM raw
         """,
     }

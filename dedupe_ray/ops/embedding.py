@@ -983,3 +983,44 @@ def kmeans_exact_assign(
         )
 
     return ds.map_batches(final_assign, batch_format="pyarrow")
+
+
+def hash_negative_samples(
+    ds: "ray.data.Dataset",
+    id_column: str,
+    n_total: int,
+    k: int = 4,
+    salt: int = 2654435761,
+) -> "ray.data.Dataset":
+    """Deterministic in-batch-free negative sampling for contrastive
+    training: each anchor row gets ``k`` pseudo-random negative ids drawn
+    from the DENSE id space ``[0, n_total)`` by a Knuth multiplicative
+    hash of (anchor, slot) — reproducible at any parallelism, no shuffle,
+    no RNG state, and SQL-mirrorable (the weighted_sample_orders
+    pinned-hash-randomness doctrine). A draw that lands on the anchor
+    itself moves one slot up (mod n_total), so negatives never equal
+    their anchor. Output: one row per (anchor, slot) with ``neg_id``."""
+    import numpy as np
+
+    if n_total < 2:
+        raise ValueError("n_total must be >= 2 to draw a non-anchor id")
+
+    def draw(b: pa.Table) -> pa.Table:
+        ids = b.column(id_column).to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(ids)
+        a = np.repeat(ids, k)
+        slot = np.tile(np.arange(k, dtype=np.int64), n)
+        h = (a * np.int64(salt) + slot * np.int64(0x9E3779B9)) % np.int64(
+            2**31
+        )
+        neg = h % np.int64(n_total)
+        neg = np.where(neg == a, (neg + 1) % np.int64(n_total), neg)
+        return pa.table(
+            {
+                id_column: pa.array(a),
+                "slot": pa.array(slot),
+                "neg_id": pa.array(neg),
+            }
+        )
+
+    return ds.map_batches(draw, batch_format="pyarrow")
