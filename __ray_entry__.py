@@ -4110,6 +4110,48 @@ def _q_doc_negatives(sf_dir: str):
     return hash_negative_samples(docs, "doc_id", n_total=n_total, k=4)
 
 
+def _q_quantized_recall(sf_dir: str):
+    """Quantization-vs-recall evaluation: exact cosine top-10 (queries
+    0–2) against the same search over 1-decimal scalar-quantized vectors
+    (floor(x·10+0.5)/10 — the half-even/half-away landmine avoided), per
+    query as exact (hits, k) ints (`ops/embedding.py topk_recall`). The
+    measurement behind every compression decision."""
+    from dedupe_ray.ops.embedding import brute_force_topk, topk_recall
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qrows = emb.filter(expr="vec_id < 3").take(3)
+    qm = np.stack(
+        [
+            np.asarray(r["embedding"], np.float64)
+            for r in sorted(qrows, key=lambda r: r["vec_id"])
+        ]
+    )
+    ref = brute_force_topk(emb, qm, k=10)
+
+    def quantize(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        flat = pc.list_flatten(b.column("embedding"))
+        v = flat.to_numpy(zero_copy_only=False)
+        qv = np.floor(v * 10.0 + 0.5) / 10.0
+        col = b.column("embedding")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        offs = col.offsets
+        return pa.table(
+            {
+                "vec_id": b.column("vec_id"),
+                "embedding": pa.ListArray.from_arrays(
+                    offs, pa.array(qv.astype(np.float32))
+                ),
+            }
+        )
+
+    qemb = emb.map_batches(quantize, batch_format="pyarrow")
+    cand = brute_force_topk(qemb, np.floor(qm * 10.0 + 0.5) / 10.0, k=10)
+    return topk_recall(ref, cand)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "er_clusters": _q_er_clusters,
@@ -4281,6 +4323,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q16": _q_tpch_q16,
         "tpch_q15": _q_tpch_q15,
         "doc_negatives": _q_doc_negatives,
+        "quantized_recall": _q_quantized_recall,
     }
 
 
@@ -6706,5 +6749,50 @@ def oracle_sql() -> dict[str, str]:
                              THEN (neg + 1) % (SELECT n FROM n)
                              ELSE neg END AS BIGINT) AS neg_id
             FROM raw
+        """,
+        "quantized_recall": """
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding AS qe
+                FROM embeddings WHERE vec_id < 3
+            ),
+            ref AS (
+                SELECT q.query_id, e.vec_id,
+                       row_number() OVER (
+                           PARTITION BY q.query_id
+                           ORDER BY list_cosine_similarity(e.embedding, q.qe)
+                                    DESC, e.vec_id
+                       ) AS rnk
+                FROM embeddings e CROSS JOIN q
+                QUALIFY rnk <= 10
+            ),
+            qz AS (
+                SELECT vec_id,
+                       list_transform(embedding,
+                           x -> CAST(floor(x * 10 + 0.5) / 10.0
+                                     AS FLOAT)) AS embedding
+                FROM embeddings
+            ),
+            qq AS (
+                SELECT vec_id AS query_id, embedding AS qe
+                FROM qz WHERE vec_id < 3
+            ),
+            cand AS (
+                SELECT qq.query_id, e.vec_id,
+                       row_number() OVER (
+                           PARTITION BY qq.query_id
+                           ORDER BY list_cosine_similarity(e.embedding, qq.qe)
+                                    DESC, e.vec_id
+                       ) AS rnk
+                FROM qz e CROSS JOIN qq
+                QUALIFY rnk <= 10
+            )
+            SELECT r.query_id,
+                   CAST(count(*) AS BIGINT) AS k,
+                   CAST(coalesce(sum(CASE WHEN c.vec_id IS NOT NULL
+                                          THEN 1 ELSE 0 END), 0) AS BIGINT)
+                       AS hits
+            FROM ref r LEFT JOIN cand c
+              ON r.query_id = c.query_id AND r.vec_id = c.vec_id
+            GROUP BY r.query_id
         """,
     }

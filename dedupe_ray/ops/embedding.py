@@ -1024,3 +1024,47 @@ def hash_negative_samples(
         )
 
     return ds.map_batches(draw, batch_format="pyarrow")
+
+
+def topk_recall(
+    reference: "pa.Table | object",
+    candidate: "pa.Table | object",
+    query_column: str = "query_id",
+    item_column: str = "vec_id",
+) -> pa.Table:
+    """Retrieval evaluation: per-query overlap between a reference top-k
+    and a candidate top-k — recall@k as exact integers (hits, k), the
+    number every ANN/quantization trade-off is judged by. Inputs are the
+    bounded (query, item) tables the top-k ops return (pa.Table or
+    Dataset); the overlap is one vectorized join per query set, no
+    shuffle. Queries absent from the candidate score 0."""
+    import pandas as pd
+
+    import ray.data as rd
+
+    def to_df(x) -> pd.DataFrame:
+        if isinstance(x, pa.Table):
+            df = x.to_pandas()
+        elif isinstance(x, rd.Dataset):
+            df = x.to_pandas()  # bounded: top-k outputs
+        else:
+            df = x
+        return df[[query_column, item_column]]
+
+    ref = to_df(reference)
+    cand = to_df(candidate)
+    k_per_q = ref.groupby(query_column).size().rename("k")
+    hits = (
+        ref.merge(cand, on=[query_column, item_column], how="inner")
+        .groupby(query_column)
+        .size()
+        .rename("hits")
+    )
+    out = (
+        pd.concat([k_per_q, hits], axis=1)
+        .fillna(0)
+        .astype(np.int64)
+        .reset_index()
+        .sort_values(query_column)
+    )
+    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
