@@ -4152,6 +4152,18 @@ def _q_quantized_recall(sf_dir: str):
     return topk_recall(ref, cand)
 
 
+def _q_weekly_active_users(sf_dir: str):
+    """Trailing-7-day distinct active users per active day (WAU) with NO
+    per-day distinct pass: per-user active-day interval merge → ±1
+    boundary deltas → one bounded cumsum
+    (`ops/tabular.py rolling_active_users`). The sliding-window COUNT
+    DISTINCT shape every product-analytics stack needs at scale."""
+    from dedupe_ray.ops.tabular import rolling_active_users
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+    return rolling_active_users(ev, "user_id", "ts", window_days=7)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "er_clusters": _q_er_clusters,
@@ -4324,6 +4336,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q15": _q_tpch_q15,
         "doc_negatives": _q_doc_negatives,
         "quantized_recall": _q_quantized_recall,
+        "weekly_active_users": _q_weekly_active_users,
     }
 
 
@@ -6794,5 +6807,19 @@ def oracle_sql() -> dict[str, str]:
             FROM ref r LEFT JOIN cand c
               ON r.query_id = c.query_id AND r.vec_id = c.vec_id
             GROUP BY r.query_id
+        """,
+        "weekly_active_users": """
+            WITH days AS (
+                SELECT DISTINCT user_id,
+                       epoch_us(ts) // 86400000000 AS day
+                FROM events
+            ),
+            grid AS (SELECT DISTINCT day FROM days)
+            SELECT g.day,
+                   CAST(count(DISTINCT d.user_id) AS BIGINT)
+                       AS active_users
+            FROM grid g JOIN days d
+              ON d.day BETWEEN g.day - 6 AND g.day
+            GROUP BY g.day
         """,
     }

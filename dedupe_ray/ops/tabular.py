@@ -3470,3 +3470,125 @@ def validate_rules(
     for t in out_tables[1:]:
         result = result.union(t)
     return result
+
+
+def rolling_active_users(
+    ds: "ray.data.Dataset",
+    user_column: str,
+    ts_column: str,
+    window_days: int = 7,
+) -> pa.Table:
+    """Trailing-window distinct active users (the DAU/WAU/MAU family):
+    for every day with any activity, how many distinct users were active
+    in the closed trailing window of ``window_days`` days. A COUNT
+    DISTINCT over a sliding window — computed WITHOUT any per-day
+    distinct pass:
+
+    1. per-batch (user, day) dedup combiner,
+    2. one bucketed per-user groupby merges each user's active days into
+       contribution intervals ``[day, day+w−1]`` (runs with gaps < w
+       fuse, so a user never double-counts inside one window) and emits
+       ±1 boundary deltas,
+    3. deltas groupby-sum per day (bounded by the day range), then one
+       driver cumsum over the day grid — WAU(d) = running sum at d —
+       filtered to days that actually appear.
+
+    Shuffles (user,day) distinct pairs once and day-deltas once; nothing
+    scales with raw row count. Returns a bounded pa.Table
+    (day, active_users) sorted by day."""
+    import numpy as np
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    w = int(window_days)
+    if w < 1:
+        raise ValueError("window_days must be >= 1")
+
+    def pairs(b: pa.Table) -> pa.Table:
+        us = b.column(ts_column).to_numpy(zero_copy_only=False)
+        day = us.astype("datetime64[us]").view(np.int64) // 86_400_000_000
+        df = pd.DataFrame(
+            {
+                "user": b.column(user_column).to_numpy(zero_copy_only=False),
+                "day": day,
+            }
+        ).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    distinct = (
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .groupby(["user", "day"])
+        .count()
+        .drop_columns(["count()"])
+        .materialize()  # consumed twice: delta emission + the day grid
+    )
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        from dedupe_ray.blocking import N_BUCKETS
+
+        return b.append_column(
+            "__ubkt", _bucket_hash_col(b.column("user"), N_BUCKETS)
+        )
+
+    def deltas(group: pa.Table) -> pa.Table:
+        if len(group) == 0:
+            return pa.table(
+                {"day": pa.array([], pa.int64()), "d": pa.array([], pa.int64())}
+            )
+        g = group.take(
+            pc.sort_indices(
+                group, sort_keys=[("user", "ascending"), ("day", "ascending")]
+            )
+        )
+        users = np.asarray(g.column("user").to_pylist(), object)
+        days = g.column("day").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(days)
+        new_user = np.empty(n, bool)
+        new_user[0] = True
+        new_user[1:] = users[1:] != users[:-1]
+        # interval starts: new user OR gap >= w from the previous active day
+        gap = np.empty(n, np.int64)
+        gap[0] = w
+        gap[1:] = days[1:] - days[:-1]
+        start = new_user | (gap >= w)
+        starts_idx = np.flatnonzero(start)
+        # interval end day = last active day of the run + w - 1
+        run_end_idx = np.append(starts_idx[1:] - 1, n - 1)
+        s_days = days[starts_idx]
+        e_days = days[run_end_idx] + w
+        return pa.table(
+            {
+                "day": pa.array(np.concatenate([s_days, e_days])),
+                "d": pa.array(
+                    np.concatenate(
+                        [np.ones(len(s_days), np.int64),
+                         np.full(len(e_days), -1, np.int64)]
+                    )
+                ),
+            }
+        )
+
+    delta_sums = (
+        distinct.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("__ubkt")
+        .map_groups(deltas, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Sum("d", alias_name="d"))
+    )
+    dt = delta_sums.to_pandas().sort_values("day")  # bounded: day range
+    days_arr = dt["day"].to_numpy(np.int64)
+    run = dt["d"].to_numpy(np.int64).cumsum()
+    # output grid = every day with ANY activity (not just run starts —
+    # a mid-run active day must appear too); bounded by the day range
+    grid = distinct.groupby("day").count().to_pandas()
+    active_days = np.sort(grid["day"].to_numpy(np.int64))
+    # WAU at day x = running sum after processing all deltas at days <= x
+    idx = np.searchsorted(days_arr, active_days, side="right") - 1
+    wau = run[idx]
+    return pa.table(
+        {
+            "day": pa.array(active_days),
+            "active_users": pa.array(wau, pa.int64()),
+        }
+    )

@@ -5279,3 +5279,33 @@ def test_validate_rules(ray_session):
             "matches:s:ab[0-9]+": 2,       # "zz", "x"; null skipped
             "unique:id": 3,                # 1×2→1, 2×3→2; null group has 1
         }
+
+
+def test_rolling_active_users(ray_session):
+    """Hand-built WAU: merged runs, window re-entry, mid-run grid days,
+    across layouts; brute-force reference."""
+    from dedupe_ray.ops.tabular import rolling_active_users
+
+    day = 86_400_000_000
+    # u1 active d0,d1,d9; u2 active d1; u3 active d8,d9
+    rows = [(1, 0), (1, 1), (1, 9), (2, 1), (3, 8), (3, 9), (1, 0)]
+    ts = pa.array(
+        np.array([d * day for _, d in rows], np.int64).view("datetime64[us]")
+    )
+    tbl = pa.table(
+        {"user_id": pa.array([u for u, _ in rows], pa.int64()), "ts": ts}
+    )
+    active = {}
+    for u, d in rows:
+        active.setdefault(u, set()).add(d)
+    grid = sorted({d for _, d in rows})
+    expect = [
+        (g, sum(1 for u, ds_ in active.items()
+                if any(g - 6 <= d <= g for d in ds_)))
+        for g in grid
+    ]
+    for parts in (1, 3):
+        out = rolling_active_users(
+            rd.from_arrow(tbl).repartition(parts), "user_id", "ts", 7
+        ).to_pandas()
+        assert list(zip(out["day"], out["active_users"])) == expect
