@@ -4164,6 +4164,16 @@ def _q_weekly_active_users(sf_dir: str):
     return rolling_active_users(ev, "user_id", "ts", window_days=7)
 
 
+def _q_doc_novelty(sf_dir: str):
+    """Per-doc novelty (distinct 8-grams occurring in no other document):
+    the curation complement of dup_ngram_docs, same gram-hash-bucket
+    shape — text never shuffles (`ops/dedup.py novelty_scores`)."""
+    from dedupe_ray.ops.dedup import novelty_scores
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return novelty_scores(docs, n=8)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "er_clusters": _q_er_clusters,
@@ -4337,6 +4347,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_negatives": _q_doc_negatives,
         "quantized_recall": _q_quantized_recall,
         "weekly_active_users": _q_weekly_active_users,
+        "doc_novelty": _q_doc_novelty,
     }
 
 
@@ -6821,5 +6832,26 @@ def oracle_sql() -> dict[str, str]:
             FROM grid g JOIN days d
               ON d.day BETWEEN g.day - 6 AND g.day
             GROUP BY g.day
+        """,
+        "doc_novelty": """
+            WITH toks AS (
+                SELECT doc_id, string_split(coalesce(text, ''), ' ') AS ts
+                FROM documents
+            ),
+            gi AS (
+                SELECT doc_id, ts,
+                       unnest(generate_series(1, greatest(len(ts) - 7, 0))) AS i
+                FROM toks
+            ),
+            grams AS (
+                SELECT DISTINCT doc_id, array_to_string(ts[i:i+7], ' ') AS g
+                FROM gi
+            ),
+            uniq AS (SELECT g FROM grams GROUP BY g HAVING count(*) = 1)
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS total_grams,
+                   CAST(count(*) FILTER (WHERE g IN (SELECT g FROM uniq))
+                        AS BIGINT) AS novel_grams
+            FROM grams GROUP BY doc_id
         """,
     }

@@ -2210,3 +2210,79 @@ def dedup_lines(
         .groupby("__dbucket")
         .map_groups(reassemble, batch_format="pyarrow")
     )
+
+
+def novelty_scores(
+    ds: "ray.data.Dataset",
+    n: int = 8,
+    column: str = "text",
+    id_column: str = "doc_id",
+) -> "ray.data.Dataset":
+    """Per-document novelty: of a doc's DISTINCT space-delimited
+    ``n``-grams, how many occur in NO other document — the complement of
+    :func:`dup_ngram_docs` and the standard freshness/curation signal
+    (prefer documents that add new content to the corpus). Same
+    shuffle-light shape: per-doc distinct gram hashes → one groupby over
+    gram buckets classifies run-length-1 grams as novel and emits
+    (doc, total, novel) partials → one tiny per-doc sum. No text moves.
+    Docs with fewer than ``n`` tokens emit no grams and are absent."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    from dedupe_ray.ops.text import _space_gram_hashes
+
+    def grams_partial(batch: pa.Table) -> pa.Table:
+        rid, gh = _space_gram_hashes(batch.column(column), n)
+        ids = _one_chunk(batch.column(id_column))
+        return pa.table(
+            {
+                id_column: pc.take(ids, pa.array(rid)),
+                "ghash": pa.array(gh, pa.uint64()),
+                "gbucket": pa.array(
+                    (gh % np.uint64(N_BUCKETS)).astype(np.int32)
+                ),
+            }
+        )
+
+    exploded = ds.map_batches(grams_partial, batch_format="pyarrow")
+
+    def novelty_partial(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                id_column: pa.array([], group.column(id_column).type),
+                "total": pa.array([], pa.int64()),
+                "novel": pa.array([], pa.int64()),
+            }
+        )
+        if not len(group):
+            return empty
+        t = group.sort_by([("ghash", "ascending")])
+        gh = t.column("ghash").to_numpy(zero_copy_only=False)
+        change = gh[1:] != gh[:-1]
+        run_starts = np.nonzero(np.concatenate(([True], change)))[0]
+        run_lengths = np.diff(np.append(run_starts, len(gh)))
+        is_novel = np.repeat(run_lengths == 1, run_lengths)
+        ids = t.column(id_column).to_numpy(zero_copy_only=False)
+        codes, uniques = pd.factorize(ids)
+        total = np.bincount(codes, minlength=len(uniques)).astype(np.int64)
+        novel = np.bincount(
+            codes, weights=is_novel.astype(np.float64), minlength=len(uniques)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                id_column: pa.array(uniques, group.column(id_column).type),
+                "total": pa.array(total),
+                "novel": pa.array(novel),
+            }
+        )
+
+    return (
+        exploded.groupby("gbucket")
+        .map_groups(novelty_partial, batch_format="pyarrow")
+        .groupby(id_column)
+        .aggregate(
+            Sum("total", alias_name="total_grams"),
+            Sum("novel", alias_name="novel_grams"),
+        )
+    )
