@@ -4174,6 +4174,18 @@ def _q_doc_novelty(sf_dir: str):
     return novelty_scores(docs, n=8)
 
 
+def _q_embedding_gram(sf_dir: str):
+    """Exact-integer Gram (second-moment) matrix of the embedding table:
+    per-batch XᵀX combiner partials over fixed-point vectors, one
+    bounded groupby over the 2080 upper-triangle cells
+    (`ops/embedding.py embedding_gram_int`) — the covariance/PCA
+    building block with zero row-scaled shuffle."""
+    from dedupe_ray.ops.embedding import embedding_gram_int
+
+    emb = _read(sf_dir, "embeddings", ["embedding"])
+    return embedding_gram_int(emb, "embedding", scale=1000)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "er_clusters": _q_er_clusters,
@@ -4348,6 +4360,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantized_recall": _q_quantized_recall,
         "weekly_active_users": _q_weekly_active_users,
         "doc_novelty": _q_doc_novelty,
+        "embedding_gram": _q_embedding_gram,
     }
 
 
@@ -6853,5 +6866,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) FILTER (WHERE g IN (SELECT g FROM uniq))
                         AS BIGINT) AS novel_grams
             FROM grams GROUP BY doc_id
+        """,
+        "embedding_gram": """
+            WITH q AS (
+                SELECT vec_id, CAST(s.i AS BIGINT) - 1 AS i,
+                       CAST(floor(CAST(embedding[s.i] AS DOUBLE) * 1000
+                                  + 0.5) AS BIGINT) AS v
+                FROM embeddings
+                CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) s
+            )
+            SELECT a.i AS i, b.i AS j,
+                   CAST(sum(a.v * b.v) AS BIGINT) AS s_xy
+            FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.i <= b.i
+            GROUP BY a.i, b.i
         """,
     }

@@ -1068,3 +1068,53 @@ def topk_recall(
         .sort_values(query_column)
     )
     return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+
+
+def embedding_gram_int(
+    ds: "ray.data.Dataset",
+    column: str = "embedding",
+    scale: int = 1000,
+) -> "ray.data.Dataset":
+    """Exact-integer Gram matrix of an embedding column — the
+    second-moment table behind PCA / whitening / covariance drift
+    monitoring, as a pure combiner reduce: vectors fixed-point quantize
+    to ``floor(x·scale + 0.5)`` int64, each batch contributes its local
+    ``XᵀX`` (computed in float64 — exact below 2⁵³ for these magnitudes),
+    and one bounded groupby sums the d(d+1)/2 upper-triangle cells.
+    Nothing row-scaled shuffles; the result is order-free, layout-
+    invariant, and SQL-mirrorable (lm_doc_scores doctrine: quantize the
+    floats, ship exact ints). Returns (i, j, s_xy) with 0-based i ≤ j."""
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        col = b.column(column)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        d = len(col[0]) if len(col) else 0
+        if d == 0:
+            return pa.table(
+                {
+                    "i": pa.array([], pa.int64()),
+                    "j": pa.array([], pa.int64()),
+                    "s_xy": pa.array([], pa.int64()),
+                }
+            )
+        x = np.floor(flat * scale + 0.5).reshape(-1, d)
+        g = x.T @ x  # exact: |cells| < 2**53
+        iu, ju = np.triu_indices(d)
+        return pa.table(
+            {
+                "i": pa.array(iu.astype(np.int64)),
+                "j": pa.array(ju.astype(np.int64)),
+                "s_xy": pa.array(g[iu, ju].astype(np.int64)),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["i", "j"])
+        .aggregate(Sum("s_xy", alias_name="s_xy"))
+    )
