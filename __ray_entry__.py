@@ -4186,6 +4186,206 @@ def _q_embedding_gram(sf_dir: str):
     return embedding_gram_int(emb, "embedding", scale=1000)
 
 
+def _q_tpch_q13(sf_dir: str):
+    """TPC-H Q13 shape (customer order-count distribution): per-customer
+    non-urgent order counts via one combiner groupby (orders shuffle as
+    ≤|customer| partial rows), the LEFT-JOIN zero bucket reconstructed
+    from two bounded scalars (|customer| − |matched customers|) instead
+    of shuffling the customer table at all, then a tiny second groupby
+    over the count values. The classic "histogram of a groupby" double
+    aggregation."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pandas as _pd
+
+        pri = b.column("o_orderpriority").to_numpy(zero_copy_only=False)
+        t = b.filter(pa.array(pri != "1-URGENT"))
+        df = (
+            _pd.DataFrame(
+                {"o_custkey": t.column("o_custkey").to_numpy(zero_copy_only=False)}
+            )
+            .groupby("o_custkey", sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    per_cust = (
+        orders.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Sum("n", alias_name="c_count"))
+    )
+    # bounded: ≤ distinct order-count values (≈ max orders per customer)
+    dist = per_cust.groupby("c_count").count().to_pandas()
+    dist = dist.rename(columns={"count()": "custdist"})
+    n_cust = _read(sf_dir, "customer", ["c_custkey"]).count()
+    matched = int(dist["custdist"].sum())
+    if n_cust - matched > 0:
+        dist = pd.concat(
+            [dist, pd.DataFrame({"c_count": [0], "custdist": [n_cust - matched]})],
+            ignore_index=True,
+        )
+    dist = dist.astype({"c_count": "int64", "custdist": "int64"})
+    return dist.sort_values(
+        ["custdist", "c_count"], ascending=[False, False]
+    ).reset_index(drop=True)
+
+
+def _q_tpch_q17(sf_dir: str):
+    """TPC-H Q17 shape (small-quantity-order revenue): per-part lineitem
+    quantity stats (count, exact int sum) via a combiner groupby over the
+    brand/size-filtered part subset, joined back to the same filtered
+    lineitem rows through one bucketed unique-key join, then the
+    fractional-average test done as the EXACT integer cross-multiply
+    5·qty·n < Σqty (never compare against a float 0.2·avg — division
+    order differs across engines). Output: total cents + the single
+    IEEE division by 7.0 both engines evaluate identically."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from dedupe_ray.joins import bucketed_lookup_join
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_size"])
+
+    def pfilt(b: pa.Table) -> pa.Table:
+        brand = b.column("p_brand").to_numpy(zero_copy_only=False)
+        size = b.column("p_size").to_numpy(zero_copy_only=False)
+        keep = ((brand == "Brand#23") | (brand == "Brand#12")) & (size <= 25)
+        return b.filter(pa.array(keep)).select(["p_partkey"])
+
+    sel = part.map_batches(pfilt, batch_format="pyarrow")
+    sel_keys = pa.array(
+        sorted(r["p_partkey"] for r in sel.take_all()), pa.int64()
+    )  # bounded: part is the canonical small table; ~4% of it here
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_quantity", "l_extendedprice"])
+
+    def lfilt(b: pa.Table) -> pa.Table:
+        pk = pc.cast(b.column("l_partkey"), pa.int64())
+        t = b.filter(pc.is_in(pk, value_set=sel_keys))
+        qty = t.column("l_quantity").to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = np.floor(
+            t.column("l_extendedprice").to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "l_partkey": t.column("l_partkey"),
+                "qty": pa.array(qty),
+                "cents": pa.array(cents),
+            }
+        )
+
+    lsel = li.map_batches(lfilt, batch_format="pyarrow")
+
+    def stat_partial(b: pa.Table) -> pa.Table:
+        import pandas as _pd
+
+        df = (
+            _pd.DataFrame(
+                {
+                    "p_partkey": b.column("l_partkey").to_numpy(zero_copy_only=False),
+                    "sq": b.column("qty").to_numpy(zero_copy_only=False),
+                }
+            )
+            .groupby("p_partkey", sort=False)
+            .agg(n=("sq", "size"), sq=("sq", "sum"))
+            .reset_index()
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    stats = (
+        lsel.map_batches(stat_partial, batch_format="pyarrow")
+        .groupby("p_partkey")
+        .aggregate(Sum("n", alias_name="n"), Sum("sq", alias_name="sq"))
+    )
+    joined = bucketed_lookup_join(lsel, stats, "l_partkey", "p_partkey", ["n", "sq"])
+
+    def small_qty(b: pa.Table) -> pa.Table:
+        qty = b.column("qty").to_numpy(zero_copy_only=False)
+        n = b.column("n").to_numpy(zero_copy_only=False)
+        sq = b.column("sq").to_numpy(zero_copy_only=False)
+        keep = 5 * qty * n < sq
+        return pa.table(
+            {"c": pa.array(b.column("cents").to_numpy(zero_copy_only=False)[keep])}
+        )
+
+    agg = joined.map_batches(small_qty, batch_format="pyarrow").aggregate(
+        Sum("c", alias_name="total_c")
+    )
+    total = int(agg["total_c"])
+    return pa.table(
+        {
+            "total_c": pa.array([total], pa.int64()),
+            "avg_yearly_c": pa.array([float(total) / 7.0], pa.float64()),
+        }
+    )
+
+
+def _q_tpch_q19(sf_dir: str):
+    """TPC-H Q19 shape (disjunctive discounted revenue): lineitem joins
+    part attributes through one bucketed unique-key join, the three
+    brand/size/quantity OR-branches evaluate as a single vectorized
+    boolean expression, revenue reduces as exact integer
+    cents·(100−disc) with ONE combiner Sum — the canonical
+    filter-join-reduce with a predicate too gnarly for pushdown."""
+    from ray.data.aggregate import Sum
+
+    from dedupe_ray.joins import bucketed_lookup_join
+
+    li = _read(
+        sf_dir,
+        "lineitem",
+        ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        qty = b.column("l_quantity").to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = np.floor(
+            b.column("l_extendedprice").to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        disc = np.floor(
+            b.column("l_discount").to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "l_partkey": b.column("l_partkey"),
+                "qty": pa.array(qty),
+                "rev": pa.array(cents * (100 - disc)),
+            }
+        )
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_size"])
+    j = bucketed_lookup_join(
+        li.map_batches(prep, batch_format="pyarrow"),
+        part,
+        "l_partkey",
+        "p_partkey",
+        ["p_brand", "p_size"],
+    )
+
+    def branches(b: pa.Table) -> pa.Table:
+        brand = b.column("p_brand").to_numpy(zero_copy_only=False)
+        size = b.column("p_size").to_numpy(zero_copy_only=False).astype(np.int64)
+        qty = b.column("qty").to_numpy(zero_copy_only=False)
+        keep = (
+            ((brand == "Brand#12") & (size <= 5) & (qty >= 1) & (qty <= 11))
+            | ((brand == "Brand#23") & (size <= 10) & (qty >= 10) & (qty <= 20))
+            | ((brand == "Brand#3") & (size <= 15) & (qty >= 20) & (qty <= 30))
+        )
+        return pa.table(
+            {"rev": pa.array(b.column("rev").to_numpy(zero_copy_only=False)[keep])}
+        )
+
+    agg = j.map_batches(branches, batch_format="pyarrow").aggregate(
+        Sum("rev", alias_name="revenue_c")
+    )
+    return pa.table({"revenue_c": pa.array([int(agg["revenue_c"])], pa.int64())})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "er_clusters": _q_er_clusters,
@@ -4361,6 +4561,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weekly_active_users": _q_weekly_active_users,
         "doc_novelty": _q_doc_novelty,
         "embedding_gram": _q_embedding_gram,
+        "tpch_q13": _q_tpch_q13,
+        "tpch_q17": _q_tpch_q17,
+        "tpch_q19": _q_tpch_q19,
     }
 
 
@@ -6879,5 +7082,56 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(a.v * b.v) AS BIGINT) AS s_xy
             FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.i <= b.i
             GROUP BY a.i, b.i
+        """,
+        "tpch_q13": """
+            WITH per_cust AS (
+                SELECT c.c_custkey,
+                       CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+                FROM customer c
+                LEFT JOIN orders o
+                  ON o.o_custkey = c.c_custkey
+                 AND o.o_orderpriority <> '1-URGENT'
+                GROUP BY c.c_custkey
+            )
+            SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+            FROM per_cust
+            GROUP BY c_count
+            ORDER BY custdist DESC, c_count DESC
+        """,
+        # 0.2·avg test is the exact integer cross-multiply 5·qty·n < Σqty;
+        # avg_yearly is ONE IEEE division evaluated identically by both
+        # engines from the exact BIGINT numerator.
+        "tpch_q17": """
+            WITH sel AS (
+                SELECT p_partkey FROM part
+                WHERE p_brand IN ('Brand#23', 'Brand#12') AND p_size <= 25
+            ),
+            st AS (
+                SELECT l_partkey,
+                       CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq
+                FROM lineitem JOIN sel ON sel.p_partkey = lineitem.l_partkey
+                GROUP BY l_partkey
+            )
+            SELECT CAST(sum(c) AS BIGINT) AS total_c,
+                   CAST(sum(c) AS DOUBLE) / 7.0 AS avg_yearly_c
+            FROM (
+                SELECT CAST(floor(l.l_extendedprice * 100.0 + 0.5) AS BIGINT) AS c
+                FROM lineitem l JOIN st ON st.l_partkey = l.l_partkey
+                WHERE 5 * CAST(l.l_quantity AS BIGINT) * st.n < st.sq
+            )
+        """,
+        "tpch_q19": """
+            SELECT CAST(sum(
+                       CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)
+                       * (100 - CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT))
+                   ) AS BIGINT) AS revenue_c
+            FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+            WHERE (p.p_brand = 'Brand#12' AND p.p_size <= 5
+                   AND l.l_quantity BETWEEN 1 AND 11)
+               OR (p.p_brand = 'Brand#23' AND p.p_size <= 10
+                   AND l.l_quantity BETWEEN 10 AND 20)
+               OR (p.p_brand = 'Brand#3' AND p.p_size <= 15
+                   AND l.l_quantity BETWEEN 20 AND 30)
         """,
     }
