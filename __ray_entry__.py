@@ -4386,6 +4386,310 @@ def _q_tpch_q19(sf_dir: str):
     return pa.table({"revenue_c": pa.array([int(agg["revenue_c"])], pa.int64())})
 
 
+def _q_tpch_q7(sf_dir: str):
+    """TPC-H Q7 shape (volume shipping between two trading blocs): supplier
+    nation resolves through a DRIVER-SIDE broadcast dict (supplier is the
+    canonical tiny dim), customer nation through the orders→customer
+    bucketed join chain, the two-nation disjunction filters on int
+    nationkeys BEFORE any shuffle widens, and revenue reduces per
+    (supp_nation, cust_nation, year) in exact integer cents·(100−disc).
+    Ship-year comes from the datetime64[Y] epoch offset — no string
+    formatting in the hot path."""
+    from ray.data.aggregate import Sum
+
+    from dedupe_ray.joins import bucketed_lookup_join
+
+    nat = _read(
+        sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"]
+    ).to_pandas()
+    reg = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    name_of = dict(zip(nat.n_nationkey.astype(int), nat.n_name))
+    asia = int(reg.loc[reg.r_name == "ASIA", "r_regionkey"].iloc[0])
+    europe = int(reg.loc[reg.r_name == "EUROPE", "r_regionkey"].iloc[0])
+    # two trading blocs instead of two single nations: the symmetric
+    # disjunction survives every scale factor (single-nation pairs are
+    # empty at sf0.001)
+    bloc_a = set(nat.loc[nat.n_regionkey == asia, "n_nationkey"].astype(int))
+    bloc_b = set(nat.loc[nat.n_regionkey == europe, "n_nationkey"].astype(int))
+    in_a = np.zeros(32, bool)
+    in_b = np.zeros(32, bool)
+    for k in bloc_a:
+        in_a[k] = True
+    for k in bloc_b:
+        in_b[k] = True
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    s_nat = dict(zip(supp.s_suppkey.astype(int), supp.s_nationkey.astype(int)))
+
+    lo, hi = np.datetime64("1996-01-01"), np.datetime64("1998-01-01")
+    li = _read(
+        sf_dir,
+        "lineitem",
+        ["l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        d = b.column("l_shipdate").to_numpy(zero_copy_only=False)
+        sk = b.column("l_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        snat = np.asarray([s_nat[int(v)] for v in sk], np.int64)
+        keep = (d >= lo) & (d < hi) & (in_a[snat] | in_b[snat])
+        t = b.filter(pa.array(keep))
+        d2 = t.column("l_shipdate").to_numpy(zero_copy_only=False)
+        year = d2.astype("datetime64[Y]").astype(np.int64) + 1970
+        cents = np.floor(
+            t.column("l_extendedprice").to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        disc = np.floor(
+            t.column("l_discount").to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "l_orderkey": t.column("l_orderkey"),
+                "s_nat": pa.array(snat[keep]),
+                "l_year": pa.array(year),
+                "rev": pa.array(cents * (100 - disc)),
+            }
+        )
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    o_cust = bucketed_lookup_join(
+        orders, cust, "o_custkey", "c_custkey", ["c_nationkey"]
+    ).drop_columns(["o_custkey"])
+    j = bucketed_lookup_join(
+        li.map_batches(prep, batch_format="pyarrow"),
+        o_cust,
+        "l_orderkey",
+        "o_orderkey",
+        ["c_nationkey"],
+    )
+
+    def pairkey(b: pa.Table) -> pa.Table:
+        sn = b.column("s_nat").to_numpy(zero_copy_only=False)
+        cn = b.column("c_nationkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = (in_a[sn] & in_b[cn]) | (in_b[sn] & in_a[cn])
+        t = b.filter(pa.array(keep))
+        sn, cn = sn[keep], cn[keep]
+        sname = np.asarray([name_of[int(v)] for v in sn], object)
+        cname = np.asarray([name_of[int(v)] for v in cn], object)
+        return pa.table(
+            {
+                "supp_nation": pa.array(sname, pa.string()),
+                "cust_nation": pa.array(cname, pa.string()),
+                "l_year": t.column("l_year"),
+                "rev": t.column("rev"),
+            }
+        )
+
+    return (
+        j.map_batches(pairkey, batch_format="pyarrow")
+        .groupby(["supp_nation", "cust_nation", "l_year"])
+        .aggregate(Sum("rev", alias_name="revenue_c"))
+    )
+
+
+def _q_tpch_q8(sf_dir: str):
+    """TPC-H Q8 shape (national market share): PROMO-part revenue into
+    ASIA customers, split per order-year into the NATION_3-supplier
+    numerator and the all-supplier denominator — both EXACT integer
+    cents·(100−disc) sums off one combiner groupby; the share itself is
+    the single IEEE division num/den both engines evaluate identically.
+    Part keys and supplier nations broadcast (tiny dims); orders and
+    customer resolve through bucketed unique-key joins."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from dedupe_ray.joins import bucketed_lookup_join
+
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    reg = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    asia = int(reg.loc[reg.r_name == "ASIA", "r_regionkey"].iloc[0])
+    asia_nations = np.asarray(
+        sorted(nat.loc[nat.n_regionkey == asia, "n_nationkey"].astype(int)), np.int64
+    )
+    n3 = int(nat.loc[nat.n_name == "NATION_3", "n_nationkey"].iloc[0])
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    s_nat = dict(zip(supp.s_suppkey.astype(int), supp.s_nationkey.astype(int)))
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_type"])
+    promo_keys = pa.array(
+        sorted(
+            r["p_partkey"]
+            for r in part.filter(expr="p_type == 'PROMO'").take_all()
+        ),  # bounded: part is the canonical small dim
+        pa.int64(),
+    )
+
+    li = _read(
+        sf_dir,
+        "lineitem",
+        ["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        pk = pc.cast(b.column("l_partkey"), pa.int64())
+        t = b.filter(pc.is_in(pk, value_set=promo_keys))
+        sk = t.column("l_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        snat = np.asarray([s_nat[int(v)] for v in sk], np.int64)
+        cents = np.floor(
+            t.column("l_extendedprice").to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        disc = np.floor(
+            t.column("l_discount").to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        rev = cents * (100 - disc)
+        return pa.table(
+            {
+                "l_orderkey": t.column("l_orderkey"),
+                "num": pa.array(np.where(snat == n3, rev, 0)),
+                "den": pa.array(rev),
+            }
+        )
+
+    lo, hi = np.datetime64("1996-01-01"), np.datetime64("1998-01-01")
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def ofilt(b: pa.Table) -> pa.Table:
+        d = b.column("o_orderdate").to_numpy(zero_copy_only=False)
+        t = b.filter(pa.array((d >= lo) & (d < hi)))
+        d2 = t.column("o_orderdate").to_numpy(zero_copy_only=False)
+        year = d2.astype("datetime64[Y]").astype(np.int64) + 1970
+        return pa.table(
+            {
+                "o_orderkey": t.column("o_orderkey"),
+                "o_custkey": t.column("o_custkey"),
+                "o_year": pa.array(year),
+            }
+        )
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+
+    def cfilt(b: pa.Table) -> pa.Table:
+        nk = b.column("c_nationkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        return b.filter(pa.array(np.isin(nk, asia_nations))).select(["c_custkey"])
+
+    o_asia = bucketed_lookup_join(
+        orders.map_batches(ofilt, batch_format="pyarrow"),
+        cust.map_batches(cfilt, batch_format="pyarrow").add_column(
+            "c_ok", lambda df: np.ones(len(df), np.int64)
+        ),
+        "o_custkey",
+        "c_custkey",
+        ["c_ok"],
+    ).drop_columns(["o_custkey", "c_ok"])
+
+    j = bucketed_lookup_join(
+        li.map_batches(prep, batch_format="pyarrow"),
+        o_asia,
+        "l_orderkey",
+        "o_orderkey",
+        ["o_year"],
+    )
+
+    def keyed(b: pa.Table) -> pa.Table:
+        return b.select(["o_year", "num", "den"])
+
+    agg = (
+        j.map_batches(keyed, batch_format="pyarrow")
+        .groupby("o_year")
+        .aggregate(Sum("num", alias_name="num_c"), Sum("den", alias_name="den_c"))
+        .to_pandas()  # bounded: one row per year
+    )
+    agg["mkt_share"] = agg["num_c"].astype(np.float64) / agg["den_c"].astype(np.float64)
+    return agg.astype({"o_year": "int64", "num_c": "int64", "den_c": "int64"})
+
+
+def _q_tpch_q9(sf_dir: str):
+    """TPC-H Q9 shape (product-type profit by nation and year): for
+    '%red%' parts, profit = revenue cents·(100−disc) − retail-cost
+    cents·qty·100 (SAME ×100 scale — subtraction stays exact int64),
+    part retail-cents and supplier nations broadcast as driver dicts
+    (both canonical dims), order-year through one bucketed unique-key
+    join, then a (nation, year) combiner groupby. The deepest
+    fact-to-dim star shape in the registry after Q5."""
+    from ray.data.aggregate import Sum
+
+    from dedupe_ray.joins import bucketed_lookup_join
+
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    name_of = dict(zip(nat.n_nationkey.astype(int), nat.n_name))
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    s_nat = dict(zip(supp.s_suppkey.astype(int), supp.s_nationkey.astype(int)))
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_name", "p_retailprice"]).to_pandas()
+    red = part[part.p_name.str.contains("red", regex=False)]
+    retail_c = dict(
+        zip(
+            red.p_partkey.astype(int),
+            np.floor(red.p_retailprice.to_numpy() * 100.0 + 0.5).astype(np.int64),
+        )
+    )  # bounded: part is the canonical small dim
+
+    li = _read(
+        sf_dir,
+        "lineitem",
+        ["l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+         "l_extendedprice", "l_discount"],
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        pk = b.column("l_partkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = np.asarray([int(v) in retail_c for v in pk], bool)
+        t = b.filter(pa.array(keep))
+        pk = pk[keep]
+        sk = t.column("l_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        snat = np.asarray([s_nat[int(v)] for v in sk], np.int64)
+        qty = t.column("l_quantity").to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = np.floor(
+            t.column("l_extendedprice").to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        disc = np.floor(
+            t.column("l_discount").to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        cost = np.asarray([retail_c[int(v)] for v in pk], np.int64)
+        amount = cents * (100 - disc) - cost * qty * 100
+        return pa.table(
+            {
+                "l_orderkey": t.column("l_orderkey"),
+                "s_nat": pa.array(snat),
+                "amount": pa.array(amount),
+            }
+        )
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+
+    def oyear(b: pa.Table) -> pa.Table:
+        d = b.column("o_orderdate").to_numpy(zero_copy_only=False)
+        year = d.astype("datetime64[Y]").astype(np.int64) + 1970
+        return pa.table(
+            {"o_orderkey": b.column("o_orderkey"), "o_year": pa.array(year)}
+        )
+
+    j = bucketed_lookup_join(
+        li.map_batches(prep, batch_format="pyarrow"),
+        orders.map_batches(oyear, batch_format="pyarrow"),
+        "l_orderkey",
+        "o_orderkey",
+        ["o_year"],
+    )
+
+    def named(b: pa.Table) -> pa.Table:
+        sn = b.column("s_nat").to_numpy(zero_copy_only=False)
+        names = np.asarray([name_of[int(v)] for v in sn], object)
+        return pa.table(
+            {
+                "n_name": pa.array(names, pa.string()),
+                "o_year": b.column("o_year"),
+                "amount": b.column("amount"),
+            }
+        )
+
+    return (
+        j.map_batches(named, batch_format="pyarrow")
+        .groupby(["n_name", "o_year"])
+        .aggregate(Sum("amount", alias_name="profit_c2"))
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "er_clusters": _q_er_clusters,
@@ -4564,6 +4868,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q13": _q_tpch_q13,
         "tpch_q17": _q_tpch_q17,
         "tpch_q19": _q_tpch_q19,
+        "tpch_q7": _q_tpch_q7,
+        "tpch_q8": _q_tpch_q8,
+        "tpch_q9": _q_tpch_q9,
     }
 
 
@@ -7133,5 +7440,76 @@ def oracle_sql() -> dict[str, str]:
                    AND l.l_quantity BETWEEN 10 AND 20)
                OR (p.p_brand = 'Brand#3' AND p.p_size <= 15
                    AND l.l_quantity BETWEEN 20 AND 30)
+        """,
+        "tpch_q7": """
+            SELECT supp_nation, cust_nation, l_year,
+                   CAST(sum(rev) AS BIGINT) AS revenue_c
+            FROM (
+                SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                       CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS l_year,
+                       CAST(floor(l.l_extendedprice * 100.0 + 0.5) AS BIGINT)
+                       * (100 - CAST(floor(l.l_discount * 100.0 + 0.5) AS BIGINT))
+                           AS rev
+                FROM supplier s
+                JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+                JOIN orders o ON o.o_orderkey = l.l_orderkey
+                JOIN customer c ON c.c_custkey = o.o_custkey
+                JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+                JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+                JOIN region r1 ON r1.r_regionkey = n1.n_regionkey
+                JOIN region r2 ON r2.r_regionkey = n2.n_regionkey
+                WHERE ((r1.r_name = 'ASIA' AND r2.r_name = 'EUROPE')
+                       OR (r1.r_name = 'EUROPE' AND r2.r_name = 'ASIA'))
+                  AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l.l_shipdate < TIMESTAMP '1998-01-01'
+            )
+            GROUP BY 1, 2, 3
+        """,
+        # mkt_share is ONE IEEE division from two exact BIGINTs — both
+        # engines evaluate num/den on the same operands.
+        "tpch_q8": """
+            SELECT o_year,
+                   CAST(sum(CASE WHEN s_name = 'NATION_3' THEN rev
+                                 ELSE 0 END) AS BIGINT) AS num_c,
+                   CAST(sum(rev) AS BIGINT) AS den_c,
+                   CAST(sum(CASE WHEN s_name = 'NATION_3' THEN rev
+                                 ELSE 0 END) AS DOUBLE)
+                       / CAST(sum(rev) AS DOUBLE) AS mkt_share
+            FROM (
+                SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+                       n1.n_name AS s_name,
+                       CAST(floor(l.l_extendedprice * 100.0 + 0.5) AS BIGINT)
+                       * (100 - CAST(floor(l.l_discount * 100.0 + 0.5) AS BIGINT))
+                           AS rev
+                FROM part p
+                JOIN lineitem l ON p.p_partkey = l.l_partkey
+                JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                JOIN orders o ON o.o_orderkey = l.l_orderkey
+                JOIN customer c ON c.c_custkey = o.o_custkey
+                JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+                JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+                JOIN region r ON r.r_regionkey = n2.n_regionkey
+                WHERE p.p_type = 'PROMO' AND r.r_name = 'ASIA'
+                  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+                  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+            )
+            GROUP BY o_year
+        """,
+        "tpch_q9": """
+            SELECT n.n_name AS n_name,
+                   CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+                   CAST(sum(
+                       CAST(floor(l.l_extendedprice * 100.0 + 0.5) AS BIGINT)
+                       * (100 - CAST(floor(l.l_discount * 100.0 + 0.5) AS BIGINT))
+                       - CAST(floor(p.p_retailprice * 100.0 + 0.5) AS BIGINT)
+                         * CAST(l.l_quantity AS BIGINT) * 100
+                   ) AS BIGINT) AS profit_c2
+            FROM part p
+            JOIN lineitem l ON p.p_partkey = l.l_partkey
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            JOIN nation n ON n.n_nationkey = s.s_nationkey
+            WHERE p.p_name LIKE '%red%'
+            GROUP BY 1, 2
         """,
     }
