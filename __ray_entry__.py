@@ -4690,6 +4690,357 @@ def _q_tpch_q9(sf_dir: str):
     )
 
 
+def _q_tpch_q11(sf_dir: str):
+    """TPC-H Q11 shape (important stock): per-part value (cents of
+    ASIA-supplier lineitems) via one combiner groupby, the
+    fraction-of-total HAVING done as the EXACT integer cross-multiply
+    value·4·n_parts > total (i.e. value > avg/4 — never a float
+    fraction literal) against two bounded broadcast scalars. The
+    correlated-scalar-subquery shape."""
+    from ray.data.aggregate import Count, Sum
+
+    nat = _read(
+        sf_dir, "nation", ["n_nationkey", "n_regionkey"]
+    ).to_pandas()
+    reg = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    asia = int(reg.loc[reg.r_name == "ASIA", "r_regionkey"].iloc[0])
+    asia_nations = set(nat.loc[nat.n_regionkey == asia, "n_nationkey"].astype(int))
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    asia_supp = np.asarray(
+        sorted(
+            supp.loc[
+                supp.s_nationkey.astype(int).isin(asia_nations), "s_suppkey"
+            ].astype(int)
+        ),
+        np.int64,
+    )
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_extendedprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        import pandas as _pd
+
+        sk = b.column("l_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        t = b.filter(pa.array(np.isin(sk, asia_supp)))
+        cents = np.floor(
+            t.column("l_extendedprice").to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        df = (
+            _pd.DataFrame(
+                {
+                    "p_partkey": t.column("l_partkey").to_numpy(zero_copy_only=False),
+                    "value_c": cents,
+                }
+            )
+            .groupby("p_partkey", sort=False)["value_c"]
+            .sum()
+            .reset_index()
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    v = (
+        li.map_batches(prep, batch_format="pyarrow")
+        .groupby("p_partkey")
+        .aggregate(Sum("value_c", alias_name="value_c"))
+    )
+    tot = v.aggregate(Sum("value_c", alias_name="t"), Count(alias_name="np"))
+    total, n_parts = int(tot["t"]), int(tot["np"])
+
+    def important(b: pa.Table) -> pa.Table:
+        val = b.column("value_c").to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(val * 4 * n_parts > total))
+
+    return v.map_batches(important, batch_format="pyarrow").sort(
+        ["value_c", "p_partkey"], descending=[True, False]
+    )
+
+
+def _q_tpch_q21(sf_dir: str):
+    """TPC-H Q21 shape (suppliers who kept orders waiting; late =
+    shipped >60 days after the order date since this schema has no
+    receipt/commit dates): per-(order, supplier) late flags via one
+    combiner groupby, per-order supplier/late counts via a second, the
+    EXISTS/NOT-EXISTS pair expressed as ns ≥ 2 AND nl = 1 AND late — no
+    row ever visits a correlated subquery. Deterministic top-100 by
+    (numwait DESC, s_name)."""
+    import pandas as _pd
+    from ray.data.aggregate import Count, Max, Sum
+
+    from dedupe_ray.joins import bucketed_lookup_join
+
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_name"]).to_pandas()
+    name_of = dict(zip(supp.s_suppkey.astype(int), supp.s_name))
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_shipdate"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+    j = bucketed_lookup_join(
+        li, orders, "l_orderkey", "o_orderkey", ["o_orderdate"]
+    )
+
+    def pair_partial(b: pa.Table) -> pa.Table:
+        sd = b.column("l_shipdate").to_numpy(zero_copy_only=False)
+        od = b.column("o_orderdate").to_numpy(zero_copy_only=False)
+        late = (sd > od + np.timedelta64(60, "D")).astype(np.int64)
+        df = (
+            _pd.DataFrame(
+                {
+                    "l_orderkey": b.column("l_orderkey").to_numpy(
+                        zero_copy_only=False
+                    ),
+                    "l_suppkey": b.column("l_suppkey").to_numpy(
+                        zero_copy_only=False
+                    ),
+                    "late": late,
+                }
+            )
+            .groupby(["l_orderkey", "l_suppkey"], sort=False)["late"]
+            .max()
+            .reset_index()
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    pairs = (
+        j.map_batches(pair_partial, batch_format="pyarrow")
+        .groupby(["l_orderkey", "l_suppkey"])
+        .aggregate(Max("late", alias_name="late"))
+    )
+
+    def order_partial(b: pa.Table) -> pa.Table:
+        df = (
+            _pd.DataFrame(
+                {
+                    "l_orderkey": b.column("l_orderkey").to_numpy(
+                        zero_copy_only=False
+                    ),
+                    "nl": b.column("late").to_numpy(zero_copy_only=False),
+                }
+            )
+            .groupby("l_orderkey", sort=False)
+            .agg(ns=("nl", "size"), nl=("nl", "sum"))
+            .reset_index()
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    per_order = (
+        pairs.map_batches(order_partial, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Sum("ns", alias_name="ns"), Sum("nl", alias_name="nl"))
+    )
+    back = bucketed_lookup_join(
+        pairs, per_order, "l_orderkey", "l_orderkey", ["ns", "nl"]
+    )
+
+    def waiting(b: pa.Table) -> pa.Table:
+        late = b.column("late").to_numpy(zero_copy_only=False)
+        ns = b.column("ns").to_numpy(zero_copy_only=False)
+        nl = b.column("nl").to_numpy(zero_copy_only=False)
+        t = b.filter(pa.array((late == 1) & (ns >= 2) & (nl == 1)))
+        sk = t.column("l_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        names = np.asarray([name_of[int(v)] for v in sk], object)
+        return pa.table({"s_name": pa.array(names, pa.string())})
+
+    return (
+        back.map_batches(waiting, batch_format="pyarrow")
+        .groupby("s_name")
+        .aggregate(Count(alias_name="numwait"))
+        .sort(["numwait", "s_name"], descending=[True, False])
+        .limit(100)
+    )
+
+
+def _q_tpch_q2(sf_dir: str):
+    """TPC-H Q2 shape (minimum-cost supplier; s_acctbal cents stand in
+    for ps_supplycost): the part–supplier relation implied by lineitem
+    is pair-deduped per batch then globally (as Q16), EUROPE suppliers
+    attach via a broadcast dict, the per-part MIN resolves in one
+    combiner groupby, and the correlated '= (SELECT min…)' becomes a
+    bucketed join back + equality filter that keeps ALL tied suppliers.
+    Deterministic top-100 by (cost, n_name, s_name, p_partkey)."""
+    import pandas as _pd
+    from ray.data.aggregate import Min
+
+    from dedupe_ray.joins import bucketed_lookup_join
+
+    nat = _read(
+        sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"]
+    ).to_pandas()
+    reg = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    europe = int(reg.loc[reg.r_name == "EUROPE", "r_regionkey"].iloc[0])
+    eu_nations = set(nat.loc[nat.n_regionkey == europe, "n_nationkey"].astype(int))
+    nat_name = dict(zip(nat.n_nationkey.astype(int), nat.n_name))
+    supp = _read(
+        sf_dir, "supplier", ["s_suppkey", "s_name", "s_nationkey", "s_acctbal"]
+    ).to_pandas()
+    supp = supp[supp.s_nationkey.astype(int).isin(eu_nations)]
+    s_cost = dict(
+        zip(
+            supp.s_suppkey.astype(int),
+            np.floor(supp.s_acctbal.to_numpy() * 100.0 + 0.5).astype(np.int64),
+        )
+    )
+    s_name = dict(zip(supp.s_suppkey.astype(int), supp.s_name))
+    s_nat = dict(zip(supp.s_suppkey.astype(int), supp.s_nationkey.astype(int)))
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_name", "p_size"]).to_pandas()
+    sel = part[part.p_size <= 10]
+    p_name = dict(zip(sel.p_partkey.astype(int), sel.p_name))
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+
+    def pair_prep(b: pa.Table) -> pa.Table:
+        pk = b.column("l_partkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        sk = b.column("l_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = np.asarray(
+            [int(p) in p_name and int(s) in s_cost for p, s in zip(pk, sk)], bool
+        )
+        df = _pd.DataFrame(
+            {"p_partkey": pk[keep], "s_suppkey": sk[keep]}
+        ).drop_duplicates()
+        df["cost_c"] = df.s_suppkey.map(s_cost).astype(np.int64)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    pairs = (
+        li.map_batches(pair_prep, batch_format="pyarrow")
+        .groupby(["p_partkey", "s_suppkey"])
+        .aggregate(Min("cost_c", alias_name="cost_c"))
+    )
+    pmin = pairs.groupby("p_partkey").aggregate(Min("cost_c", alias_name="min_c"))
+    back = bucketed_lookup_join(
+        pairs, pmin, "p_partkey", "p_partkey", ["min_c"]
+    )
+
+    def cheapest(b: pa.Table) -> pa.Table:
+        cost = b.column("cost_c").to_numpy(zero_copy_only=False)
+        t = b.filter(pa.array(cost == b.column("min_c").to_numpy(zero_copy_only=False)))
+        pk = t.column("p_partkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        sk = t.column("s_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "s_acctbal_c": t.column("cost_c"),
+                "s_name": pa.array(
+                    np.asarray([s_name[int(v)] for v in sk], object), pa.string()
+                ),
+                "n_name": pa.array(
+                    np.asarray([nat_name[s_nat[int(v)]] for v in sk], object),
+                    pa.string(),
+                ),
+                "p_partkey": t.column("p_partkey"),
+                "p_name": pa.array(
+                    np.asarray([p_name[int(v)] for v in pk], object), pa.string()
+                ),
+            }
+        )
+
+    return (
+        back.map_batches(cheapest, batch_format="pyarrow")
+        .sort(
+            ["s_acctbal_c", "n_name", "s_name", "p_partkey"],
+            descending=[True, False, False, False],
+        )
+        .limit(100)
+    )
+
+
+def _q_tpch_q20(sf_dir: str):
+    """TPC-H Q20 shape (part-promotion candidates): suppliers in the
+    ASIA bloc who, for some '%red%' part, shipped MORE than 20% of that
+    part's total 1996 quantity — the nested IN(IN(…)) chain collapses
+    to one per-(part,supplier) combiner groupby, a per-part total
+    groupby, a bucketed join back, and the EXACT cross-multiply
+    5·sq > tq. Distinct qualifying suppliers come out of one bounded
+    final groupby."""
+    import pandas as _pd
+    from ray.data.aggregate import Sum
+
+    from dedupe_ray.joins import bucketed_lookup_join
+
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_regionkey"]).to_pandas()
+    reg = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    asia = int(reg.loc[reg.r_name == "ASIA", "r_regionkey"].iloc[0])
+    asia_nations = set(nat.loc[nat.n_regionkey == asia, "n_nationkey"].astype(int))
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_name", "s_nationkey"]).to_pandas()
+    supp = supp[supp.s_nationkey.astype(int).isin(asia_nations)]
+    s_name = dict(zip(supp.s_suppkey.astype(int), supp.s_name))
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_name"]).to_pandas()
+    red_keys = np.asarray(
+        sorted(
+            part.loc[part.p_name.str.contains("red", regex=False), "p_partkey"].astype(
+                int
+            )
+        ),
+        np.int64,
+    )
+
+    lo, hi = np.datetime64("1996-01-01"), np.datetime64("1997-01-01")
+    li = _read(
+        sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"]
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        d = b.column("l_shipdate").to_numpy(zero_copy_only=False)
+        pk = b.column("l_partkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = (d >= lo) & (d < hi) & np.isin(pk, red_keys)
+        t = b.filter(pa.array(keep))
+        qty = t.column("l_quantity").to_numpy(zero_copy_only=False).astype(np.int64)
+        df = (
+            _pd.DataFrame(
+                {
+                    "p_partkey": t.column("l_partkey").to_numpy(zero_copy_only=False),
+                    "s_suppkey": t.column("l_suppkey").to_numpy(zero_copy_only=False),
+                    "sq": qty,
+                }
+            )
+            .groupby(["p_partkey", "s_suppkey"], sort=False)["sq"]
+            .sum()
+            .reset_index()
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    ps = (
+        li.map_batches(prep, batch_format="pyarrow")
+        .groupby(["p_partkey", "s_suppkey"])
+        .aggregate(Sum("sq", alias_name="sq"))
+    )
+
+    def tq_partial(b: pa.Table) -> pa.Table:
+        df = (
+            _pd.DataFrame(
+                {
+                    "p_partkey": b.column("p_partkey").to_numpy(zero_copy_only=False),
+                    "tq": b.column("sq").to_numpy(zero_copy_only=False),
+                }
+            )
+            .groupby("p_partkey", sort=False)["tq"]
+            .sum()
+            .reset_index()
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    totals = (
+        ps.map_batches(tq_partial, batch_format="pyarrow")
+        .groupby("p_partkey")
+        .aggregate(Sum("tq", alias_name="tq"))
+    )
+    back = bucketed_lookup_join(ps, totals, "p_partkey", "p_partkey", ["tq"])
+
+    def qualifying(b: pa.Table) -> pa.Table:
+        sq = b.column("sq").to_numpy(zero_copy_only=False)
+        tq = b.column("tq").to_numpy(zero_copy_only=False)
+        sk = b.column("s_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = (5 * sq > tq) & np.asarray([int(v) in s_name for v in sk], bool)
+        names = np.asarray([s_name[int(v)] for v in sk[keep]], object)
+        return pa.table({"s_name": pa.array(names, pa.string())})
+
+    return (
+        back.map_batches(qualifying, batch_format="pyarrow")
+        .groupby("s_name")
+        .count()
+        .drop_columns(["count()"])
+        .sort("s_name")
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "er_clusters": _q_er_clusters,
@@ -4871,6 +5222,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q7": _q_tpch_q7,
         "tpch_q8": _q_tpch_q8,
         "tpch_q9": _q_tpch_q9,
+        "tpch_q11": _q_tpch_q11,
+        "tpch_q21": _q_tpch_q21,
+        "tpch_q2": _q_tpch_q2,
+        "tpch_q20": _q_tpch_q20,
     }
 
 
@@ -7511,5 +7866,113 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation n ON n.n_nationkey = s.s_nationkey
             WHERE p.p_name LIKE '%red%'
             GROUP BY 1, 2
+        """,
+        # HAVING fraction-of-total as EXACT integer cross-multiply
+        # value·4·n_parts > total (value > avg/4).
+        "tpch_q11": """
+            WITH v AS (
+                SELECT l.l_partkey AS p_partkey,
+                       CAST(sum(CAST(floor(l.l_extendedprice * 100.0 + 0.5)
+                                     AS BIGINT)) AS BIGINT) AS value_c
+                FROM lineitem l
+                JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                JOIN nation n ON n.n_nationkey = s.s_nationkey
+                JOIN region r ON r.r_regionkey = n.n_regionkey
+                WHERE r.r_name = 'ASIA'
+                GROUP BY 1
+            ),
+            t AS (
+                SELECT CAST(sum(value_c) AS BIGINT) AS total,
+                       CAST(count(*) AS BIGINT) AS np
+                FROM v
+            )
+            SELECT v.p_partkey, v.value_c
+            FROM v, t
+            WHERE v.value_c * 4 * t.np > t.total
+            ORDER BY v.value_c DESC, v.p_partkey
+        """,
+        "tpch_q21": """
+            WITH l1 AS (
+                SELECT l.l_orderkey, l.l_suppkey,
+                       max(CASE WHEN l.l_shipdate >
+                                     o.o_orderdate + INTERVAL 60 DAY
+                                THEN 1 ELSE 0 END) AS late
+                FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+                GROUP BY 1, 2
+            ),
+            po AS (
+                SELECT l_orderkey,
+                       CAST(count(*) AS BIGINT) AS ns,
+                       CAST(sum(late) AS BIGINT) AS nl
+                FROM l1 GROUP BY 1
+            )
+            SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+            FROM l1
+            JOIN po ON po.l_orderkey = l1.l_orderkey
+            JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+            WHERE l1.late = 1 AND po.ns >= 2 AND po.nl = 1
+            GROUP BY 1
+            ORDER BY numwait DESC, s_name
+            LIMIT 100
+        """,
+        "tpch_q2": """
+            WITH ps AS (
+                SELECT DISTINCT l.l_partkey AS p_partkey,
+                       l.l_suppkey AS s_suppkey
+                FROM lineitem l
+            ),
+            eu AS (
+                SELECT s.s_suppkey, s.s_name, n.n_name,
+                       CAST(floor(s.s_acctbal * 100.0 + 0.5) AS BIGINT)
+                           AS cost_c
+                FROM supplier s
+                JOIN nation n ON n.n_nationkey = s.s_nationkey
+                JOIN region r ON r.r_regionkey = n.n_regionkey
+                WHERE r.r_name = 'EUROPE'
+            ),
+            cand AS (
+                SELECT ps.p_partkey, eu.s_suppkey, eu.s_name, eu.n_name,
+                       eu.cost_c
+                FROM ps
+                JOIN eu ON eu.s_suppkey = ps.s_suppkey
+                JOIN part p ON p.p_partkey = ps.p_partkey
+                WHERE p.p_size <= 10
+            ),
+            pm AS (
+                SELECT p_partkey, min(cost_c) AS min_c
+                FROM cand GROUP BY 1
+            )
+            SELECT c.cost_c AS s_acctbal_c, c.s_name, c.n_name,
+                   c.p_partkey, p.p_name
+            FROM cand c
+            JOIN pm ON pm.p_partkey = c.p_partkey AND c.cost_c = pm.min_c
+            JOIN part p ON p.p_partkey = c.p_partkey
+            ORDER BY s_acctbal_c DESC, c.n_name, c.s_name, c.p_partkey
+            LIMIT 100
+        """,
+        # >20% of the part's 1996 volume as EXACT cross-multiply 5·sq > tq.
+        "tpch_q20": """
+            WITH ps AS (
+                SELECT l.l_partkey AS p_partkey, l.l_suppkey AS s_suppkey,
+                       CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sq
+                FROM lineitem l
+                JOIN part p ON p.p_partkey = l.l_partkey
+                WHERE p.p_name LIKE '%red%'
+                  AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l.l_shipdate < TIMESTAMP '1997-01-01'
+                GROUP BY 1, 2
+            ),
+            tot AS (
+                SELECT p_partkey, CAST(sum(sq) AS BIGINT) AS tq
+                FROM ps GROUP BY 1
+            )
+            SELECT DISTINCT s.s_name
+            FROM ps
+            JOIN tot ON tot.p_partkey = ps.p_partkey
+            JOIN supplier s ON s.s_suppkey = ps.s_suppkey
+            JOIN nation n ON n.n_nationkey = s.s_nationkey
+            JOIN region r ON r.r_regionkey = n.n_regionkey
+            WHERE 5 * ps.sq > tot.tq AND r.r_name = 'ASIA'
+            ORDER BY s.s_name
         """,
     }
