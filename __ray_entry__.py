@@ -5041,6 +5041,46 @@ def _q_tpch_q20(sf_dir: str):
     )
 
 
+def _q_kmv_user_sketch(sf_dir: str):
+    """Per-event-type KMV (bottom-k) distinct sketch over user ids: the
+    deterministic, mergeable alternative to HLL — k smallest distinct
+    pinned-hash values per group (`ops/sketch.py kmv_group_sketch`).
+    Partials are k-bounded per (group, block); nothing user-scaled
+    shuffles."""
+    from dedupe_ray.ops.sketch import kmv_group_sketch
+
+    ev = _read(sf_dir, "events", ["event_type", "user_id"])
+    return kmv_group_sketch(ev, "event_type", "user_id", k=64)
+
+
+def _q_kmv_user_distinct(sf_dir: str):
+    """KMV sketch → per-group distinct-user estimate: exact count when
+    the sketch is unsaturated, (k−1)·P/h₍ₖ₎ when saturated — one bounded
+    groupby over ≤ k rows per group, estimate as a single IEEE
+    expression both engines evaluate identically
+    (`ops/sketch.py kmv_group_estimate`)."""
+    from dedupe_ray.ops.sketch import kmv_group_estimate, kmv_group_sketch
+
+    ev = _read(sf_dir, "events", ["event_type", "user_id"])
+    sk = kmv_group_sketch(ev, "event_type", "user_id", k=64)
+    return kmv_group_estimate(sk, "event_type", k=64)
+
+
+def _q_mmr_diverse_topk(sf_dir: str):
+    """MMR-diversified retrieval (λ=1/2): top-5 of the pool-20
+    candidates for the vec_id-0 query vector, relevance and redundancy
+    as EXACT fixed-point int64 dot products so the greedy trajectory is
+    parallelism-invariant and SQL-mirrorable
+    (`ops/embedding.py mmr_diversify`). The re-ranking stage every RAG
+    retrieval pipeline bolts onto ANN output."""
+    from dedupe_ray.ops.embedding import mmr_diversify
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    q0 = emb.filter(expr="vec_id == 0").take_all()  # bounded: one row
+    qv = np.asarray(q0[0]["embedding"], np.float32)
+    return mmr_diversify(emb, qv, k=5, pool=20)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "er_clusters": _q_er_clusters,
@@ -5226,6 +5266,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q21": _q_tpch_q21,
         "tpch_q2": _q_tpch_q2,
         "tpch_q20": _q_tpch_q20,
+        "kmv_user_sketch": _q_kmv_user_sketch,
+        "kmv_user_distinct": _q_kmv_user_distinct,
+        "mmr_diverse_topk": _q_mmr_diverse_topk,
     }
 
 
@@ -7974,5 +8017,136 @@ def oracle_sql() -> dict[str, str]:
             JOIN region r ON r.r_regionkey = n.n_regionkey
             WHERE 5 * ps.sq > tot.tq AND r.r_name = 'ASIA'
             ORDER BY s.s_name
+        """,
+        # pinned KMV hash: (1103515245·(x mod P) + 12345) mod P, P = 2³¹−1
+        "kmv_user_sketch": """
+            WITH h AS (
+                SELECT DISTINCT event_type,
+                       (1103515245 * (user_id % 2147483647) + 12345)
+                           % 2147483647 AS hval
+                FROM events
+                WHERE user_id IS NOT NULL
+            ),
+            r AS (
+                SELECT event_type, hval,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY hval) AS rnk
+                FROM h
+            )
+            SELECT event_type, CAST(rnk AS BIGINT) AS rnk,
+                   CAST(hval AS BIGINT) AS hval
+            FROM r WHERE rnk <= 64
+        """,
+        # estimate literals mirror the engine: (64.0 − 1.0)·P / kth in
+        # exactly this order; unsaturated groups are exact counts.
+        "kmv_user_distinct": """
+            WITH h AS (
+                SELECT DISTINCT event_type,
+                       (1103515245 * (user_id % 2147483647) + 12345)
+                           % 2147483647 AS hval
+                FROM events
+                WHERE user_id IS NOT NULL
+            ),
+            r AS (
+                SELECT event_type, hval,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY hval) AS rnk
+                FROM h
+            ),
+            kept AS (
+                SELECT event_type,
+                       CAST(count(*) AS BIGINT) AS n_kept,
+                       CAST(max(hval) AS BIGINT) AS kth
+                FROM r WHERE rnk <= 64
+                GROUP BY event_type
+            )
+            SELECT event_type, n_kept, kth,
+                   CASE WHEN n_kept < 64 THEN CAST(n_kept AS DOUBLE)
+                        ELSE (64.0 - 1.0) * 2147483647.0
+                             / CAST(kth AS DOUBLE)
+                   END AS est_distinct
+            FROM kept
+        """,
+        # λ=1/2 MMR unrolled: 5 greedy argmax stages over exact int64
+        # fixed-point dots; ties break to the smaller vec_id.
+        "mmr_diverse_topk": """
+            WITH qv AS (
+                SELECT CAST(s.i AS BIGINT) AS i,
+                       CAST(floor(CAST(embedding[s.i] AS DOUBLE) * 1000
+                                  + 0.5) AS BIGINT) AS v
+                FROM embeddings
+                CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) s
+                WHERE vec_id = 0
+            ),
+            q AS (
+                SELECT vec_id, CAST(s.i AS BIGINT) AS i,
+                       CAST(floor(CAST(embedding[s.i] AS DOUBLE) * 1000
+                                  + 0.5) AS BIGINT) AS v
+                FROM embeddings
+                CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) s
+            ),
+            rel AS (
+                SELECT q.vec_id, CAST(sum(q.v * qv.v) AS BIGINT) AS rel
+                FROM q JOIN qv ON qv.i = q.i
+                GROUP BY 1
+            ),
+            cand AS (
+                SELECT vec_id, rel FROM rel
+                ORDER BY rel DESC, vec_id LIMIT 20
+            ),
+            sim AS (
+                SELECT a.vec_id AS i, b.vec_id AS j,
+                       CAST(sum(a.v * b.v) AS BIGINT) AS s
+                FROM q a JOIN q b ON a.i = b.i
+                WHERE a.vec_id IN (SELECT vec_id FROM cand)
+                  AND b.vec_id IN (SELECT vec_id FROM cand)
+                  AND a.vec_id <> b.vec_id
+                GROUP BY 1, 2
+            ),
+            p1 AS (SELECT vec_id FROM cand ORDER BY rel DESC, vec_id LIMIT 1),
+            p2 AS (
+                SELECT c.vec_id FROM cand c
+                WHERE c.vec_id NOT IN (SELECT vec_id FROM p1)
+                ORDER BY c.rel - (SELECT max(s.s) FROM sim s
+                                  WHERE s.i = c.vec_id
+                                    AND s.j IN (SELECT vec_id FROM p1)) DESC,
+                         c.vec_id
+                LIMIT 1
+            ),
+            s2 AS (SELECT vec_id FROM p1 UNION ALL SELECT vec_id FROM p2),
+            p3 AS (
+                SELECT c.vec_id FROM cand c
+                WHERE c.vec_id NOT IN (SELECT vec_id FROM s2)
+                ORDER BY c.rel - (SELECT max(s.s) FROM sim s
+                                  WHERE s.i = c.vec_id
+                                    AND s.j IN (SELECT vec_id FROM s2)) DESC,
+                         c.vec_id
+                LIMIT 1
+            ),
+            s3 AS (SELECT vec_id FROM s2 UNION ALL SELECT vec_id FROM p3),
+            p4 AS (
+                SELECT c.vec_id FROM cand c
+                WHERE c.vec_id NOT IN (SELECT vec_id FROM s3)
+                ORDER BY c.rel - (SELECT max(s.s) FROM sim s
+                                  WHERE s.i = c.vec_id
+                                    AND s.j IN (SELECT vec_id FROM s3)) DESC,
+                         c.vec_id
+                LIMIT 1
+            ),
+            s4 AS (SELECT vec_id FROM s3 UNION ALL SELECT vec_id FROM p4),
+            p5 AS (
+                SELECT c.vec_id FROM cand c
+                WHERE c.vec_id NOT IN (SELECT vec_id FROM s4)
+                ORDER BY c.rel - (SELECT max(s.s) FROM sim s
+                                  WHERE s.i = c.vec_id
+                                    AND s.j IN (SELECT vec_id FROM s4)) DESC,
+                         c.vec_id
+                LIMIT 1
+            )
+            SELECT CAST(1 AS BIGINT) AS rnk, vec_id FROM p1
+            UNION ALL SELECT CAST(2 AS BIGINT), vec_id FROM p2
+            UNION ALL SELECT CAST(3 AS BIGINT), vec_id FROM p3
+            UNION ALL SELECT CAST(4 AS BIGINT), vec_id FROM p4
+            UNION ALL SELECT CAST(5 AS BIGINT), vec_id FROM p5
         """,
     }

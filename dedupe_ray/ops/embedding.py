@@ -1118,3 +1118,67 @@ def embedding_gram_int(
         .groupby(["i", "j"])
         .aggregate(Sum("s_xy", alias_name="s_xy"))
     )
+
+
+def mmr_diversify(
+    ds: "ray.data.Dataset",
+    query_vec: np.ndarray,
+    k: int = 5,
+    pool: int = 20,
+    column: str = "embedding",
+    id_column: str = "vec_id",
+    scale: float = 1000.0,
+) -> pa.Table:
+    """Maximal Marginal Relevance diversified top-k (Carbonell &
+    Goldstein 1998) at λ = 1/2, where the MMR argmax reduces to
+    ``rel_i − max_{j∈S} sim_ij`` — PURE int64 arithmetic over
+    fixed-point vectors (embedding_gram_int doctrine), so the greedy
+    trajectory is deterministic and SQL-mirrorable. Distribution shape:
+    per-batch partial top-``pool`` by (rel DESC, id ASC) carrying the
+    quantized vectors, bounded driver reduce (n_blocks × pool rows),
+    then the O(k·pool) greedy runs on the pool alone. Ties break to the
+    smaller id. Returns (rnk 1..k, id)."""
+    qv = np.floor(np.asarray(query_vec, np.float32).astype(np.float64) * scale + 0.5)
+    qref = ray.put(qv.astype(np.int64))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        q = ray.get(qref)
+        x = np.floor(
+            _batch_matrix(batch, column).astype(np.float64) * scale + 0.5
+        ).astype(np.int64)
+        ids = batch.column(id_column).to_numpy(zero_copy_only=False).astype(np.int64)
+        rel = x @ q
+        order = np.lexsort((ids, -rel))[: min(pool, len(ids))]
+        return pa.table(
+            {
+                "id": pa.array(ids[order]),
+                "rel": pa.array(rel[order]),
+                "qvec": pa.array(list(x[order]), pa.list_(pa.int64())),
+            }
+        )
+
+    cand = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    # bounded: n_blocks × pool rows
+    cand = cand.sort_values(["rel", "id"], ascending=[False, True]).head(pool)
+    ids = cand["id"].to_numpy(np.int64)
+    rel = cand["rel"].to_numpy(np.int64)
+    vecs = np.stack(cand["qvec"].to_numpy())  # [pool, d] int64
+    sims = vecs @ vecs.T  # exact: fixed-point dots < 2**63
+
+    selected: list[int] = []
+    remaining = list(range(len(ids)))
+    for _ in range(min(k, len(ids))):
+        if not selected:
+            pick = remaining[0]  # already (rel desc, id asc)-ordered
+        else:
+            score = rel[remaining] - sims[np.ix_(remaining, selected)].max(axis=1)
+            best = np.lexsort((ids[remaining], -score))[0]
+            pick = remaining[best]
+        selected.append(pick)
+        remaining.remove(pick)
+    return pa.table(
+        {
+            "rnk": pa.array(np.arange(1, len(selected) + 1, dtype=np.int64)),
+            id_column: pa.array(ids[selected]),
+        }
+    )

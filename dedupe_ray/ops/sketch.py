@@ -699,3 +699,103 @@ def frequent_items_exact(
         [("n", "descending"), ("value", "ascending")]
     )
     return out.select(["value", "n"])
+
+
+_KMV_P = (1 << 31) - 1
+_KMV_A = 1103515245
+_KMV_B = 12345
+
+
+def kmv_hash(values: np.ndarray) -> np.ndarray:
+    """Pinned universal hash for KMV (same family as the CMS rows):
+    ``(A·(x mod P) + B) mod P`` over the Mersenne prime P = 2³¹−1 —
+    exact int64 arithmetic, so a SQL oracle lands on the same values."""
+    v = np.asarray(values, np.int64)
+    if len(v) and int(v.min()) < 0:
+        raise ValueError("kmv keys must be non-negative integers")
+    return (_KMV_A * (v % _KMV_P) + _KMV_B) % _KMV_P
+
+
+def kmv_group_sketch(
+    ds: "ray.data.Dataset",
+    group_column: str,
+    value_column: str,
+    k: int = 64,
+) -> "ray.data.Dataset":
+    """Per-group K-Minimum-Values distinct sketch: the k smallest distinct
+    hash values of ``value_column`` per group — the mergeable, persistable
+    bottom-k form (Bar-Yossef et al. 2002 / the theta-sketch ancestor).
+    Per-batch combiner partials (≤ k rows per (group, batch): local
+    distinct + bottom-k), then one groupby whose groups are already
+    k-bounded resolves the global bottom-k with ``map_groups``. Unlike
+    HLL it supports set EXPRESSIONS (intersection via the kth-value
+    union trick) and is DETERMINISTIC — merge order can't change a bit.
+    Returns (group, rnk 1..k, hval); merge two corpora by unioning
+    sketch tables and re-running the same finalize."""
+    import pandas as pd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.column(group_column).to_numpy(zero_copy_only=False)
+        col = batch.column(value_column)
+        v = col.to_numpy(zero_copy_only=False)
+        if col.null_count:
+            ok = pa.compute.is_valid(col.combine_chunks()).to_numpy(
+                zero_copy_only=False
+            )
+            g, v = g[ok], v[ok]
+        df = pd.DataFrame({group_column: g, "hval": kmv_hash(v)}).drop_duplicates()
+        df = df.sort_values("hval", kind="mergesort")
+        return pa.Table.from_pandas(
+            df.groupby(group_column, sort=False).head(k).reset_index(drop=True),
+            preserve_index=False,
+        )
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        hv = np.unique(g["hval"].to_numpy(np.int64))[:k]
+        return pd.DataFrame(
+            {
+                group_column: [g[group_column].iloc[0]] * len(hv),
+                "rnk": np.arange(1, len(hv) + 1, dtype=np.int64),
+                "hval": hv,
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(group_column)
+        .map_groups(finalize, batch_format="pandas")
+    )
+
+
+def kmv_group_estimate(
+    sketch_ds: "ray.data.Dataset",
+    group_column: str,
+    k: int = 64,
+) -> "ray.data.Dataset":
+    """KMV sketch table → per-group distinct estimate. Saturated groups
+    (n_kept == k) estimate (k−1)·P / h₍ₖ₎; unsaturated groups hold EVERY
+    distinct hash, so the count is exact. One bounded groupby over rows
+    already ≤ k per group; the estimate is a single IEEE expression a
+    SQL engine reproduces bit-for-bit from the same ints."""
+    from ray.data.aggregate import Count, Max
+
+    agg = sketch_ds.groupby(group_column).aggregate(
+        Count(alias_name="n_kept"), Max("hval", alias_name="kth")
+    )
+
+    def est(b: pa.Table) -> pa.Table:
+        n = b.column("n_kept").to_numpy(zero_copy_only=False).astype(np.int64)
+        kth = b.column("kth").to_numpy(zero_copy_only=False).astype(np.int64)
+        e = n.astype(np.float64)
+        sat = n >= k
+        e[sat] = (float(k) - 1.0) * float(_KMV_P) / kth[sat].astype(np.float64)
+        return pa.table(
+            {
+                group_column: b.column(group_column),
+                "n_kept": pa.array(n),
+                "kth": pa.array(kth),
+                "est_distinct": pa.array(e),
+            }
+        )
+
+    return agg.map_batches(est, batch_format="pyarrow")

@@ -5309,3 +5309,91 @@ def test_rolling_active_users(ray_session):
             rd.from_arrow(tbl).repartition(parts), "user_id", "ts", 7
         ).to_pandas()
         assert list(zip(out["day"], out["active_users"])) == expect
+
+
+def test_kmv_sketch_merge_equals_union(ray_session):
+    from dedupe_ray.ops.sketch import (
+        kmv_group_estimate,
+        kmv_group_sketch,
+        kmv_hash,
+    )
+
+    rng = np.random.RandomState(7)
+    a = pa.table(
+        {
+            "g": pa.array(["x"] * 300 + ["y"] * 50),
+            "v": pa.array(rng.randint(0, 200, 350).astype(np.int64)),
+        }
+    )
+    b = pa.table(
+        {
+            "g": pa.array(["x"] * 300 + ["y"] * 20),
+            "v": pa.array(rng.randint(100, 400, 320).astype(np.int64)),
+        }
+    )
+    k = 16
+    # sketch of the union == merge (bottom-k of unioned sketch rows)
+    direct = kmv_group_sketch(
+        rd.from_arrow(a).union(rd.from_arrow(b)), "g", "v", k=k
+    ).to_pandas()
+    import pandas as pd_
+
+    ha = kmv_group_sketch(rd.from_arrow(a), "g", "v", k=k).to_pandas()
+    hb = kmv_group_sketch(rd.from_arrow(b), "g", "v", k=k).to_pandas()
+    man = (
+        pd_.concat([ha, hb])
+        .drop_duplicates(["g", "hval"])
+        .sort_values(["g", "hval"])
+        .groupby("g")
+        .head(k)
+        .reset_index(drop=True)
+    )
+    man["rnk"] = man.groupby("g").cumcount() + 1
+    lhs = direct.sort_values(["g", "rnk"]).reset_index(drop=True)
+    rhs = man[["g", "rnk", "hval"]].sort_values(["g", "rnk"]).reset_index(drop=True)
+    pd_.testing.assert_frame_equal(lhs, rhs)
+
+    # unsaturated group estimate is exact
+    est = kmv_group_estimate(
+        kmv_group_sketch(rd.from_arrow(a), "g", "v", k=64), "g", k=64
+    ).to_pandas()
+    y = est[est.g == "y"].iloc[0]
+    n_true = len(set(kmv_hash(a.filter(pa.compute.equal(a["g"], "y"))["v"].to_numpy())))
+    assert y.n_kept == n_true and y.est_distinct == float(n_true)
+
+
+def test_mmr_diversify_prefers_diverse(ray_session):
+    from dedupe_ray.ops.embedding import mmr_diversify
+
+    # 3 near-identical vectors close to the query + 1 orthogonal-ish one;
+    # corpus norms exceed the query norm so the λ=1/2 raw-dot penalty
+    # rel−maxsim actually bites (with q equal to a corpus vector the
+    # scores all tie at 0). Plain top-2 picks two clones; MMR must pick
+    # the diverse vector 2nd.
+    vecs = np.array(
+        [
+            [1.8, 0.2, 0.0],
+            [1.79, 0.22, 0.0],
+            [1.78, 0.24, 0.0],
+            [0.2, 1.8, 0.0],
+        ],
+        np.float32,
+    )
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(4, dtype=np.int64)),
+                "embedding": pa.array(list(vecs), pa.list_(pa.float32())),
+            }
+        )
+    )
+    out = mmr_diversify(ds, np.array([1.0, 0.0, 0.0], np.float32), k=2, pool=4)
+    got = out.column("vec_id").to_pylist()
+    assert got[0] == 0
+    assert got[1] == 3  # rel−maxsim: clones are punished by sim to pick 0
+
+    # deterministic across block layouts
+    out2 = mmr_diversify(
+        ds.repartition(4), np.array([1.0, 0.0, 0.0], np.float32), k=2, pool=4
+    )
+    assert out2.column("vec_id").to_pylist() == got
