@@ -5081,6 +5081,45 @@ def _q_mmr_diverse_topk(sf_dir: str):
     return mmr_diversify(emb, qv, k=5, pool=20)
 
 
+def _curation_sides(sf_dir: str):
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "lang", "source"])
+
+    def _part(bench: bool):
+        def f(b: pa.Table) -> pa.Table:
+            ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+            return b.filter(pa.array((ids % 97 == 0) == bench))
+
+        return f
+
+    corpus = docs.map_batches(_part(False), batch_format="pyarrow")
+    bench = docs.map_batches(_part(True), batch_format="pyarrow")
+    return corpus, bench
+
+
+def _q_curated_docs(sf_dir: str):
+    """The COMPOSED curation pipeline (FineWeb/CCNet shape): language
+    filter → quality gate (min tokens + exact-integer duplicate-token
+    cross-multiply) → whitespace/case-normalized exact dedup (min doc_id
+    wins) → 5-gram benchmark decontamination (doc_id % 97 == 0 is the
+    stand-in eval set). One vectorized filter pass, one bucketed dedup
+    shuffle, one broadcast gram set, one bucketed anti-join
+    (`dedupe_ray/curation.py curate_documents`)."""
+    from dedupe_ray.curation import curate_documents
+
+    corpus, bench = _curation_sides(sf_dir)
+    return curate_documents(corpus, bench)
+
+
+def _q_curation_funnel(sf_dir: str):
+    """Per-stage survivor counts of the curation chain — the audit
+    artifact every curation run publishes
+    (`dedupe_ray/curation.py curation_funnel`)."""
+    from dedupe_ray.curation import curation_funnel
+
+    corpus, bench = _curation_sides(sf_dir)
+    return curation_funnel(corpus, bench)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "er_clusters": _q_er_clusters,
@@ -5269,6 +5308,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmv_user_sketch": _q_kmv_user_sketch,
         "kmv_user_distinct": _q_kmv_user_distinct,
         "mmr_diverse_topk": _q_mmr_diverse_topk,
+        "curated_docs": _q_curated_docs,
+        "curation_funnel": _q_curation_funnel,
     }
 
 
@@ -8148,5 +8189,156 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT CAST(3 AS BIGINT), vec_id FROM p3
             UNION ALL SELECT CAST(4 AS BIGINT), vec_id FROM p4
             UNION ALL SELECT CAST(5 AS BIGINT), vec_id FROM p5
+        """,
+        # the composed curation chain; \s+ means the same 5 chars in both
+        # engines (both RE2), the dup-token gate is the exact integer
+        # cross-multiply (n_tokens − n_distinct)·2 ≤ n_tokens.
+        "curated_docs": """
+            WITH corpus AS (
+                SELECT * FROM documents WHERE doc_id % 97 <> 0
+            ),
+            toks AS (
+                SELECT doc_id, unnest(string_split(coalesce(text, ''), ' ')) AS tok
+                FROM corpus
+            ),
+            stats AS (
+                SELECT c.doc_id,
+                       CAST(count(*) FILTER (WHERE t.tok <> '') AS BIGINT)
+                           AS n_tokens,
+                       CAST(count(DISTINCT t.tok)
+                            FILTER (WHERE t.tok <> '') AS BIGINT) AS n_distinct
+                FROM corpus c LEFT JOIN toks t USING (doc_id)
+                GROUP BY 1
+            ),
+            q AS (
+                SELECT c.doc_id, c.lang, c.source, s.n_tokens, c.text,
+                       lower(trim(regexp_replace(coalesce(c.text, ''),
+                                                 '\\s+', ' ', 'g'), ' '))
+                           AS norm_key
+                FROM corpus c JOIN stats s USING (doc_id)
+                WHERE c.lang IN ('en', 'de', 'fr', 'es')
+                  AND s.n_tokens >= 5
+                  AND (s.n_tokens - s.n_distinct) * 2 <= s.n_tokens
+            ),
+            d AS (
+                SELECT * FROM q
+                QUALIFY row_number() OVER (PARTITION BY norm_key
+                                           ORDER BY doc_id) = 1
+            ),
+            dts AS (
+                SELECT doc_id, string_split(coalesce(text, ''), ' ') AS ts
+                FROM d
+            ),
+            dgi AS (
+                SELECT doc_id, ts,
+                       unnest(generate_series(1, greatest(len(ts) - 4, 0))) AS i
+                FROM dts
+            ),
+            dgrams AS (
+                SELECT DISTINCT doc_id, array_to_string(ts[i:i+4], ' ') AS g
+                FROM dgi
+            ),
+            bts AS (
+                SELECT doc_id, string_split(coalesce(text, ''), ' ') AS ts
+                FROM documents WHERE doc_id % 97 = 0
+            ),
+            bgi AS (
+                SELECT doc_id, ts,
+                       unnest(generate_series(1, greatest(len(ts) - 4, 0))) AS i
+                FROM bts
+            ),
+            bgrams AS (
+                SELECT DISTINCT array_to_string(ts[i:i+4], ' ') AS g FROM bgi
+            ),
+            bad AS (
+                SELECT DISTINCT doc_id FROM dgrams
+                WHERE g IN (SELECT g FROM bgrams)
+            )
+            SELECT doc_id, lang, source, n_tokens
+            FROM d
+            WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+        """,
+        "curation_funnel": """
+            WITH corpus AS (
+                SELECT * FROM documents WHERE doc_id % 97 <> 0
+            ),
+            toks AS (
+                SELECT doc_id, unnest(string_split(coalesce(text, ''), ' ')) AS tok
+                FROM corpus
+            ),
+            stats AS (
+                SELECT c.doc_id,
+                       CAST(count(*) FILTER (WHERE t.tok <> '') AS BIGINT)
+                           AS n_tokens,
+                       CAST(count(DISTINCT t.tok)
+                            FILTER (WHERE t.tok <> '') AS BIGINT) AS n_distinct
+                FROM corpus c LEFT JOIN toks t USING (doc_id)
+                GROUP BY 1
+            ),
+            ann AS (
+                SELECT c.doc_id, c.lang, c.text, s.n_tokens, s.n_distinct,
+                       c.lang IN ('en', 'de', 'fr', 'es') AS pass_lang,
+                       c.lang IN ('en', 'de', 'fr', 'es')
+                           AND s.n_tokens >= 5
+                           AND (s.n_tokens - s.n_distinct) * 2 <= s.n_tokens
+                           AS pass_quality
+                FROM corpus c JOIN stats s USING (doc_id)
+            ),
+            q AS (
+                SELECT doc_id, text,
+                       lower(trim(regexp_replace(coalesce(text, ''),
+                                                 '\\s+', ' ', 'g'), ' '))
+                           AS norm_key
+                FROM ann WHERE pass_quality
+            ),
+            d AS (
+                SELECT * FROM q
+                QUALIFY row_number() OVER (PARTITION BY norm_key
+                                           ORDER BY doc_id) = 1
+            ),
+            dts AS (
+                SELECT doc_id, string_split(coalesce(text, ''), ' ') AS ts
+                FROM d
+            ),
+            dgi AS (
+                SELECT doc_id, ts,
+                       unnest(generate_series(1, greatest(len(ts) - 4, 0))) AS i
+                FROM dts
+            ),
+            dgrams AS (
+                SELECT DISTINCT doc_id, array_to_string(ts[i:i+4], ' ') AS g
+                FROM dgi
+            ),
+            bts AS (
+                SELECT doc_id, string_split(coalesce(text, ''), ' ') AS ts
+                FROM documents WHERE doc_id % 97 = 0
+            ),
+            bgi AS (
+                SELECT doc_id, ts,
+                       unnest(generate_series(1, greatest(len(ts) - 4, 0))) AS i
+                FROM bts
+            ),
+            bgrams AS (
+                SELECT DISTINCT array_to_string(ts[i:i+4], ' ') AS g FROM bgi
+            ),
+            bad AS (
+                SELECT DISTINCT doc_id FROM dgrams
+                WHERE g IN (SELECT g FROM bgrams)
+            )
+            SELECT stage, n FROM (
+                SELECT 'input' AS stage,
+                       CAST(count(*) AS BIGINT) AS n FROM corpus
+                UNION ALL
+                SELECT 'lang', CAST(count(*) AS BIGINT)
+                FROM ann WHERE pass_lang
+                UNION ALL
+                SELECT 'quality', CAST(count(*) AS BIGINT)
+                FROM ann WHERE pass_quality
+                UNION ALL
+                SELECT 'dedup', CAST(count(*) AS BIGINT) FROM d
+                UNION ALL
+                SELECT 'decontaminated', CAST(count(*) AS BIGINT)
+                FROM d WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+            )
         """,
     }

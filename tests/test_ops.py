@@ -5397,3 +5397,49 @@ def test_mmr_diversify_prefers_diverse(ray_session):
         ds.repartition(4), np.array([1.0, 0.0, 0.0], np.float32), k=2, pool=4
     )
     assert out2.column("vec_id").to_pylist() == got
+
+
+def test_curate_documents_layout_invariant(ray_session):
+    from dedupe_ray.curation import curate_documents, curation_funnel
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",   # survives
+        "The  quick brown fox jumps over the lazy dog ", # dedup loser (norm)
+        "a a a a a a a a",                               # dup-token gate
+        "short one",                                     # min_tokens gate
+        "benchmark shared gram one two three four five", # contaminated
+        "one two three four five shared with benchmark", # contaminated
+        "totally novel content nothing shared here ok",  # survives
+    ]
+    docs = pa.table(
+        {
+            "doc_id": pa.array(np.arange(1, 8, dtype=np.int64)),
+            "text": pa.array(texts),
+            "lang": pa.array(["en", "en", "en", "en", "en", "en", "zh"]),
+            "source": pa.array(["s"] * 7),
+        }
+    )
+    bench = pa.table(
+        {
+            "doc_id": pa.array([100], pa.int64()),
+            "text": pa.array(["zzz one two three four five zzz"]),
+            "lang": pa.array(["en"]),
+            "source": pa.array(["b"]),
+        }
+    )
+    out = curate_documents(
+        rd.from_arrow(docs), rd.from_arrow(bench)
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    # doc 7 fails lang, 3 fails dup-token, 4 fails min_tokens, 2 loses
+    # dedup to 1 after whitespace/case normalization, 5 & 6 share the
+    # 5-gram "one two three four five" with the benchmark
+    assert out.doc_id.tolist() == [1]
+    out2 = curate_documents(
+        rd.from_arrow(docs).repartition(5), rd.from_arrow(bench)
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert out2.doc_id.tolist() == out.doc_id.tolist()
+
+    fun = curation_funnel(rd.from_arrow(docs), rd.from_arrow(bench)).to_pandas()
+    assert dict(zip(fun.stage, fun.n)) == {
+        "input": 7, "lang": 6, "quality": 4, "dedup": 3, "decontaminated": 1
+    }
