@@ -5120,6 +5120,145 @@ def _q_curation_funnel(sf_dir: str):
     return curation_funnel(corpus, bench)
 
 
+def _q_part_bfs_hops(sf_dir: str):
+    """Bounded-depth BFS (3 rounds) from the partkey%10==0 seed parts
+    over the part–supplier bipartite graph (same integer node encoding
+    as lpa_communities, on the 1/97 order slice) — per-node min hop
+    distance via one bucketed join + Min groupby per round
+    (`ops/graph.py bfs_hops`)."""
+    import pyarrow.compute as pc
+
+    from dedupe_ray.ops.graph import bfs_hops
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey", "l_suppkey"])
+
+    def edges(b: pa.Table) -> pa.Table:
+        ok = b.column("l_orderkey").to_numpy(zero_copy_only=False) % 97 == 0
+        t = b.filter(pa.array(ok))
+        p = pc.multiply(pc.cast(t.column("l_partkey"), pa.int64()), 2)
+        s = pc.add(
+            pc.multiply(pc.cast(t.column("l_suppkey"), pa.int64()), 2), 1
+        )
+        return pa.table({"src": p, "dst": s})
+
+    e = li.map_batches(edges, batch_format="pyarrow")
+
+    def seed(b: pa.Table) -> pa.Table:
+        src = b.column("src").to_numpy(zero_copy_only=False)
+        keep = (src // 2) % 10 == 0
+        return pa.table({"node": pa.array(src[keep])})
+
+    seeds = e.map_batches(seed, batch_format="pyarrow")
+    return bfs_hops(e, seeds, iters=3)
+
+
+def _q_partitioned_roundtrip(sf_dir: str):
+    """Hive-partitioned parquet sink + partition-PRUNED read: events
+    written as one directory per event_type (the resumable layout the
+    100-TB deployment writes), then ONLY the click partition's directory
+    is read back — storage never sees the other four partitions. Output
+    must be value-identical to filtering the original table."""
+    import hashlib
+    import os
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "value", "event_type"])
+    out = (
+        "/tmp/dedupe_ray_hivepart_"
+        + hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    )
+    if not os.path.isdir(os.path.join(out, "event_type=click")):
+        ev.write_parquet(out, partition_cols=["event_type"])
+    import ray.data as _rd
+
+    part = _rd.read_parquet(os.path.join(out, "event_type=click"))
+    return part.select_columns(["event_id", "user_id", "value"])
+
+
+def _q_ngram_diversity(sf_dir: str):
+    """Per-source 3-gram diversity (distinct-n / total-n — the Self-BLEU
+    complement used to monitor generation/corpus variety): total grams
+    as a combiner Sum, distinct grams through the pre-dedup
+    grouped_count_distinct shuffle, ratio as one IEEE division. Gram
+    strings shuffle here for exactness; at 100 TB swap the distinct leg
+    to the KMV sketch."""
+    import pandas as _pd
+    from ray.data.aggregate import Sum
+
+    from dedupe_ray.joins import bucketed_lookup_join
+    from dedupe_ray.ops.tabular import grouped_count_distinct
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+
+    def grams(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        vals = b.column("text").combine_chunks().fill_null("")
+        pieces = pc.split_pattern(vals, " ")
+        offs = pieces.offsets.to_numpy(zero_copy_only=False)
+        flat = pieces.flatten().to_numpy(zero_copy_only=False)
+        src = b.column("source").to_numpy(zero_copy_only=False)
+        out_src, out_g = [], []
+        n = 3
+        doc_lens = np.diff(offs)
+        doc_idx = np.repeat(np.arange(len(vals)), doc_lens)
+        # vectorized windows: for each doc, positions 0..len-n
+        n_grams = np.maximum(doc_lens - (n - 1), 0)
+        total = int(n_grams.sum())
+        if total == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    "g": pa.array([], pa.string()),
+                }
+            )
+        starts = np.repeat(offs[:-1], n_grams) + (
+            np.arange(total) - np.repeat(np.cumsum(n_grams) - n_grams, n_grams)
+        )
+        parts = [flat[starts + k] for k in range(n)]
+        joined = parts[0].astype(object)
+        for k in range(1, n):
+            joined = joined + " " + parts[k].astype(object)
+        gsrc = src[np.repeat(np.arange(len(vals)), n_grams)]
+        return pa.table(
+            {
+                "source": pa.array(gsrc, pa.string()),
+                "g": pa.array(joined, pa.string()),
+            }
+        )
+
+    g = docs.map_batches(grams, batch_format="pyarrow")
+
+    def tot_partial(b: pa.Table) -> pa.Table:
+        df = (
+            _pd.DataFrame({"source": b.column("source").to_numpy(zero_copy_only=False)})
+            .groupby("source", sort=False)
+            .size()
+            .reset_index(name="total_ngrams")
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    totals = (
+        g.map_batches(tot_partial, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Sum("total_ngrams", alias_name="total_ngrams"))
+    )
+    distinct = grouped_count_distinct(g, "source", "g", "distinct_ngrams")
+    j = bucketed_lookup_join(
+        totals, distinct, "source", "source", ["distinct_ngrams"]
+    )
+
+    def ratio(b: pa.Table) -> pa.Table:
+        t = b.column("total_ngrams").to_numpy(zero_copy_only=False).astype(np.float64)
+        d = (
+            b.column("distinct_ngrams")
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+        )
+        return b.append_column("diversity", pa.array(d / t))
+
+    return j.map_batches(ratio, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "er_clusters": _q_er_clusters,
@@ -5310,6 +5449,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mmr_diverse_topk": _q_mmr_diverse_topk,
         "curated_docs": _q_curated_docs,
         "curation_funnel": _q_curation_funnel,
+        "part_bfs_hops": _q_part_bfs_hops,
+        "partitioned_roundtrip": _q_partitioned_roundtrip,
+        "ngram_diversity": _q_ngram_diversity,
     }
 
 
@@ -8340,5 +8482,76 @@ def oracle_sql() -> dict[str, str]:
                 SELECT 'decontaminated', CAST(count(*) AS BIGINT)
                 FROM d WHERE doc_id NOT IN (SELECT doc_id FROM bad)
             )
+        """,
+        # 3 unrolled BFS rounds: dist(dst) = min(dist(dst), dist(src)+1)
+        "part_bfs_hops": """
+            WITH raw AS (
+                SELECT DISTINCT CAST(l_partkey * 2 AS BIGINT) AS src,
+                       CAST(l_suppkey * 2 + 1 AS BIGINT) AS dst
+                FROM lineitem WHERE l_orderkey % 97 = 0
+            ),
+            e AS (
+                SELECT src, dst FROM raw
+                UNION
+                SELECT dst AS src, src AS dst FROM raw
+            ),
+            d0 AS (
+                SELECT DISTINCT src AS node, CAST(0 AS BIGINT) AS dist
+                FROM raw WHERE (src / 2) % 10 = 0
+            ),
+            d1 AS (
+                SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (
+                    SELECT node, dist FROM d0
+                    UNION ALL
+                    SELECT e.dst AS node, d0.dist + 1 AS dist
+                    FROM e JOIN d0 ON d0.node = e.src
+                ) GROUP BY 1
+            ),
+            d2 AS (
+                SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (
+                    SELECT node, dist FROM d1
+                    UNION ALL
+                    SELECT e.dst AS node, d1.dist + 1 AS dist
+                    FROM e JOIN d1 ON d1.node = e.src
+                ) GROUP BY 1
+            ),
+            d3 AS (
+                SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (
+                    SELECT node, dist FROM d2
+                    UNION ALL
+                    SELECT e.dst AS node, d2.dist + 1 AS dist
+                    FROM e JOIN d2 ON d2.node = e.src
+                ) GROUP BY 1
+            )
+            SELECT node, dist FROM d3
+        """,
+        "partitioned_roundtrip": """
+            SELECT event_id, user_id, value
+            FROM events WHERE event_type = 'click'
+        """,
+        "ngram_diversity": """
+            WITH toks AS (
+                SELECT doc_id, source,
+                       string_split(coalesce(text, ''), ' ') AS ts
+                FROM documents
+            ),
+            gi AS (
+                SELECT source, ts,
+                       unnest(generate_series(1, greatest(len(ts) - 2, 0))) AS i
+                FROM toks
+            ),
+            grams AS (
+                SELECT source, array_to_string(ts[i:i+2], ' ') AS g FROM gi
+            ),
+            agg AS (
+                SELECT source,
+                       CAST(count(*) AS BIGINT) AS total_ngrams,
+                       CAST(count(DISTINCT g) AS BIGINT) AS distinct_ngrams
+                FROM grams GROUP BY source
+            )
+            SELECT source, total_ngrams, distinct_ngrams,
+                   CAST(distinct_ngrams AS DOUBLE)
+                       / CAST(total_ngrams AS DOUBLE) AS diversity
+            FROM agg
         """,
     }

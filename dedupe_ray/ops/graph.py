@@ -456,3 +456,82 @@ def label_propagation(
             .materialize()
         )
     return labels
+
+
+def bfs_hops(
+    edges_ds: "ray.data.Dataset",
+    seeds_ds: "ray.data.Dataset",
+    src_column: str = "src",
+    dst_column: str = "dst",
+    seed_column: str = "node",
+    iters: int = 3,
+) -> "ray.data.Dataset":
+    """Bounded-depth BFS from a seed set over an undirected simple graph:
+    per-node minimum hop distance ≤ ``iters`` (unreached nodes are
+    absent). The frontier-expansion member of the graph family next to
+    CC / PageRank / LPA / triangles / k-core — the shape behind
+    "everything within k hops of a flagged account" fraud sweeps and
+    seed-expansion crawls.
+
+    Shape per round: one bucketed unique-key join (reached distances onto
+    directed edges), one (node) Min groupby over (reached ∪ expansions)
+    — per-node state one int64, nothing driver-sized. The reached table
+    materializes each round to keep the per-round DAG flat; rounds are
+    FIXED so the output is deterministic and an unrolled SQL oracle
+    evaluates the identical min-distance recurrence."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Min
+
+    from dedupe_ray.joins import bucketed_lookup_join
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        a = pc.cast(t.column(src_column), pa.int64()).combine_chunks()
+        b = pc.cast(t.column(dst_column), pa.int64()).combine_chunks()
+        keep = pc.not_equal(a, b)
+        a, b = a.filter(keep), b.filter(keep)
+        return pa.table(
+            {
+                "src": pa.concat_arrays([a, b]),
+                "dst": pa.concat_arrays([b, a]),
+            }
+        )
+
+    edges = (
+        edges_ds.map_batches(both_dirs, batch_format="pyarrow")
+        .groupby(["src", "dst"])
+        .count()
+        .drop_columns(["count()"])
+        .materialize()
+    )
+
+    def init(t: pa.Table) -> pa.Table:
+        n = pc.cast(t.column(seed_column), pa.int64())
+        return pa.table({"node": n, "dist": pa.array(np.zeros(len(t), np.int64))})
+
+    reached = (
+        seeds_ds.map_batches(init, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Min("dist", alias_name="dist"))
+        .materialize()
+    )
+
+    for _ in range(iters):
+        expand = bucketed_lookup_join(
+            edges, reached, "src", "node", ["dist"]
+        ).map_batches(
+            lambda t: pa.table(
+                {
+                    "node": t.column("dst"),
+                    "dist": pc.add(pc.cast(t.column("dist"), pa.int64()), 1),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        reached = (
+            reached.union(expand)
+            .groupby("node")
+            .aggregate(Min("dist", alias_name="dist"))
+            .materialize()
+        )
+    return reached
