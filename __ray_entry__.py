@@ -5259,6 +5259,66 @@ def _q_ngram_diversity(sf_dir: str):
     return j.map_batches(ratio, batch_format="pyarrow")
 
 
+def _q_blocking_quality(sf_dir: str):
+    """Blocking-scheme evaluation over the exact-model fixture (truth =
+    custkey//4 entity blocks, candidate blocking key = nation):
+    reduction ratio / pairs completeness / pairs quality from three
+    Σ C(n,2) counting combiners — never enumerating a pair
+    (`dedupe_ray/eval.py blocking_quality`). The metric every blocking
+    learner optimizes, as a first-class distributed op."""
+    from dedupe_ray.eval import blocking_quality
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+
+    def keys(b: pa.Table) -> pa.Table:
+        ck = b.column("c_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "blk": b.column("c_nationkey"),
+                "grp": pa.array(ck // 4),
+            }
+        )
+
+    return blocking_quality(
+        cust.map_batches(keys, batch_format="pyarrow"), "blk", "grp"
+    )
+
+
+def _q_npz_roundtrip(sf_dir: str):
+    """Embedding-matrix .npz source/sink fidelity: the embeddings table
+    written as one (ids, float32 matrix) npz shard per block and read
+    back; per-vector fixed-point checksum Σ floor(vᵢ·1000+0.5)·(i+1)
+    proves every value survived bit-exact
+    (`dedupe_ray/sources.py write_npz/read_npz`)."""
+    import hashlib
+
+    from dedupe_ray.sources import read_npz, write_npz
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = (
+        "/tmp/dedupe_ray_npz_" + hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    )
+    write_npz(emb, out)
+    back = read_npz(out)
+
+    def checksum(b: pa.Table) -> pa.Table:
+        col = b.column("embedding")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        d = len(col[0]) if len(col) else 0
+        x = np.floor(flat * 1000.0 + 0.5).astype(np.int64).reshape(-1, d)
+        w = np.arange(1, d + 1, dtype=np.int64)
+        return pa.table(
+            {
+                "vec_id": b.column("vec_id"),
+                "checksum": pa.array(x @ w),
+            }
+        )
+
+    return back.map_batches(checksum, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "er_clusters": _q_er_clusters,
@@ -5452,6 +5512,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_bfs_hops": _q_part_bfs_hops,
         "partitioned_roundtrip": _q_partitioned_roundtrip,
         "ngram_diversity": _q_ngram_diversity,
+        "blocking_quality": _q_blocking_quality,
+        "npz_roundtrip": _q_npz_roundtrip,
     }
 
 
@@ -8553,5 +8615,47 @@ def oracle_sql() -> dict[str, str]:
                    CAST(distinct_ngrams AS DOUBLE)
                        / CAST(total_ngrams AS DOUBLE) AS diversity
             FROM agg
+        """,
+        "blocking_quality": """
+            WITH k AS (
+                SELECT c_nationkey AS blk,
+                       CAST(c_custkey // 4 AS BIGINT) AS grp
+                FROM customer
+            ),
+            n AS (SELECT CAST(count(*) AS BIGINT) AS n_records FROM k),
+            cb AS (
+                SELECT CAST(sum(n * (n - 1) // 2) AS BIGINT) AS cand_pairs
+                FROM (SELECT count(*) AS n FROM k GROUP BY blk)
+            ),
+            tb AS (
+                SELECT CAST(sum(n * (n - 1) // 2) AS BIGINT) AS true_pairs
+                FROM (SELECT count(*) AS n FROM k GROUP BY grp)
+            ),
+            hb AS (
+                SELECT CAST(coalesce(sum(n * (n - 1) // 2), 0) AS BIGINT)
+                           AS hit_pairs
+                FROM (SELECT count(*) AS n FROM k GROUP BY blk, grp)
+            )
+            SELECT n.n_records,
+                   CAST(n.n_records * (n.n_records - 1) // 2 AS BIGINT)
+                       AS total_pairs,
+                   cb.cand_pairs, tb.true_pairs, hb.hit_pairs,
+                   1.0 - CAST(cb.cand_pairs AS DOUBLE)
+                       / CAST(n.n_records * (n.n_records - 1) // 2 AS DOUBLE)
+                       AS reduction_ratio,
+                   CAST(hb.hit_pairs AS DOUBLE)
+                       / CAST(tb.true_pairs AS DOUBLE) AS pairs_completeness,
+                   CAST(hb.hit_pairs AS DOUBLE)
+                       / CAST(cb.cand_pairs AS DOUBLE) AS pairs_quality
+            FROM n, cb, tb, hb
+        """,
+        "npz_roundtrip": """
+            SELECT vec_id,
+                   CAST(sum(CAST(floor(CAST(embedding[s.i] AS DOUBLE) * 1000.0
+                                       + 0.5) AS BIGINT)
+                            * CAST(s.i AS BIGINT)) AS BIGINT) AS checksum
+            FROM embeddings
+            CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) s
+            GROUP BY vec_id
         """,
     }

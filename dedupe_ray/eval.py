@@ -110,3 +110,74 @@ def pairwise_cluster_metrics(
             "f1": pa.array([f1], pa.float64()),
         }
     )
+
+
+def blocking_quality(
+    ds,
+    block_column: str,
+    true_column: str,
+) -> pa.Table:
+    """Blocking-scheme evaluation (Christen 2012 §7.4): REDUCTION RATIO
+    (how many of the C(N,2) comparisons blocking avoids), PAIRS
+    COMPLETENESS (recall — matched pairs co-blocked) and PAIRS QUALITY
+    (precision — co-blocked pairs that are matches), for single-key
+    blocking where every record lands in exactly one block.
+
+    Same Σ C(n,2) counting-combiner identity as
+    :func:`pairwise_cluster_metrics`: candidate pairs = Σ C(n_block, 2),
+    true pairs = Σ C(n_true, 2), hits = Σ C(n_joint, 2) over the
+    (block, true) contingency cells — three tiny groupbys plus one
+    Count; nothing pair-scaled ever materializes (the naive evaluation
+    enumerates candidate pairs and dies exactly when blocking matters).
+    Ratios are single IEEE divisions a SQL mirror reproduces."""
+    import numpy as np
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    def sum_c2(cols: list[str]) -> int:
+        def partial(b: pa.Table) -> pa.Table:
+            df = pd.DataFrame({c: b.column(c).to_pandas() for c in cols})
+            g = df.groupby(cols, as_index=False).size().rename(columns={"size": "n"})
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        counts = (
+            ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(cols)
+            .aggregate(Sum("n", alias_name="n"))
+        )
+
+        def c2(b: pa.Table) -> pa.Table:
+            n = b.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table(
+                {"p": pa.array([int((n * (n - 1) // 2).sum())], pa.int64())}
+            )
+
+        agg = counts.map_batches(c2, batch_format="pyarrow").aggregate(
+            Sum("p", alias_name="p")
+        )
+        return int(agg["p"] or 0)
+
+    n_records = int(ds.count())
+    total_pairs = n_records * (n_records - 1) // 2
+    cand = sum_c2([block_column])
+    true_pairs = sum_c2([true_column])
+    hits = sum_c2([block_column, true_column])
+    return pa.table(
+        {
+            "n_records": pa.array([n_records], pa.int64()),
+            "total_pairs": pa.array([total_pairs], pa.int64()),
+            "cand_pairs": pa.array([cand], pa.int64()),
+            "true_pairs": pa.array([true_pairs], pa.int64()),
+            "hit_pairs": pa.array([hits], pa.int64()),
+            "reduction_ratio": pa.array(
+                [1.0 - float(cand) / float(total_pairs)], pa.float64()
+            ),
+            "pairs_completeness": pa.array(
+                [float(hits) / float(true_pairs)], pa.float64()
+            ),
+            "pairs_quality": pa.array(
+                [float(hits) / float(cand)], pa.float64()
+            ),
+        }
+    )

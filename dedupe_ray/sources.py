@@ -576,3 +576,80 @@ def write_avro(ds: "ray.data.Dataset", path: str, codec: str = "deflate") -> Non
             f.write(encode_table(t, codec=codec))
 
     _write_sharded(ds, path, "avro", shard)
+
+
+def write_npz(
+    ds: "ray.data.Dataset",
+    path: str,
+    id_column: str = "vec_id",
+    vec_column: str = "embedding",
+) -> None:
+    """Embedding-matrix sink: one ``.npz`` shard per block holding the
+    int64 id vector and the float32 matrix — the format embedding dumps
+    actually ship between training jobs. Shards are named by a content
+    sha1 (re-running a finished partition rewrites the same file → the
+    sink is resumable/idempotent), written into a tmp dir and renamed
+    whole so a crashed run never leaves a half-readable directory."""
+    import hashlib
+    import io
+    import os
+    import shutil
+
+    import numpy as np
+
+    shutil.rmtree(path, ignore_errors=True)
+    tmp = path + ".__tmp__"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp)
+
+    def write_block(b: pa.Table) -> pa.Table:
+        ids = b.column(id_column).to_numpy(zero_copy_only=False).astype(np.int64)
+        col = b.column(vec_column)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        mat = (
+            col.flatten()
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float32)
+            .reshape(len(b), -1)
+        )
+        buf = io.BytesIO()
+        np.savez(buf, vec_id=ids, embedding=mat)
+        data = buf.getvalue()
+        name = hashlib.sha1(data).hexdigest()[:16] + ".npz"
+        with open(os.path.join(tmp, name), "wb") as f:
+            f.write(data)
+        return pa.table({"rows": pa.array([len(b)], pa.int64())})
+
+    ds.map_batches(write_block, batch_format="pyarrow").count()  # drive it
+    os.replace(tmp, path)
+
+
+def read_npz(paths: list[str] | str) -> "ray.data.Dataset":
+    """Embedding-matrix source: one decode task per ``.npz`` shard over
+    ``read_binary_files`` (streaming, parallel) back to
+    (vec_id int64, embedding list<float>)."""
+    import io
+
+    import numpy as np
+
+    ds = ray.data.read_binary_files(paths)
+
+    def decode(b: pa.Table) -> pa.Table:
+        tables = []
+        for buf in b.column("bytes"):
+            z = np.load(io.BytesIO(buf.as_py()))
+            ids, mat = z["vec_id"], z["embedding"]
+            tables.append(
+                pa.table(
+                    {
+                        "vec_id": pa.array(ids, pa.int64()),
+                        "embedding": pa.array(
+                            list(mat), pa.list_(pa.float32())
+                        ),
+                    }
+                )
+            )
+        return pa.concat_tables(tables)
+
+    return ds.map_batches(decode, batch_format="pyarrow")
