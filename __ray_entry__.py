@@ -5319,6 +5319,17 @@ def _q_npz_roundtrip(sf_dir: str):
     return back.map_batches(checksum, batch_format="pyarrow")
 
 
+def _q_flesch_docs(sf_dir: str):
+    """Flesch reading-ease over the documents table — the readability
+    member of the quality-scorer family; three vectorized RE2 counts and
+    one mirrored IEEE chain, zero shuffle
+    (`ops/text.py flesch_scores`)."""
+    from dedupe_ray.ops.text import flesch_scores
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return flesch_scores(docs)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "er_clusters": _q_er_clusters,
@@ -5514,6 +5525,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_diversity": _q_ngram_diversity,
         "blocking_quality": _q_blocking_quality,
         "npz_roundtrip": _q_npz_roundtrip,
+        "flesch_docs": _q_flesch_docs,
     }
 
 
@@ -8657,5 +8669,31 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings
             CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) s
             GROUP BY vec_id
+        """,
+        # the score is the literal left-associated chain
+        # 206.835 − 1.015·(W/S) − 84.6·(Y/W); every count floors at 1.
+        "flesch_docs": """
+            WITH c AS (
+                SELECT doc_id,
+                       CAST(len(list_filter(
+                           string_split(coalesce(text, ''), ' '),
+                           x -> x <> '')) AS BIGINT) AS w,
+                       CAST(len(regexp_extract_all(coalesce(text, ''),
+                                                   '[.!?]')) AS BIGINT) AS s,
+                       CAST(len(regexp_extract_all(coalesce(text, ''),
+                                                   '[aeiouyAEIOUY]+'))
+                            AS BIGINT) AS y
+                FROM documents
+            )
+            SELECT doc_id,
+                   greatest(w, 1) AS n_words,
+                   greatest(s, 1) AS n_sentences,
+                   greatest(y, 1) AS n_syllables,
+                   206.835
+                   - 1.015 * (CAST(greatest(w, 1) AS DOUBLE)
+                              / CAST(greatest(s, 1) AS DOUBLE))
+                   - 84.6 * (CAST(greatest(y, 1) AS DOUBLE)
+                             / CAST(greatest(w, 1) AS DOUBLE)) AS flesch
+            FROM c
         """,
     }

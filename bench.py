@@ -258,6 +258,22 @@ def run_bench() -> dict:
     entrymod.queries()["image_near_dup"](SF_DIR).count()
     queries["image_near_dup"] = round(time.time() - t0, 3)
 
+    t0 = time.time()
+    entrymod.queries()["curated_docs"](SF_DIR).count()
+    queries["curated_docs"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    entrymod.queries()["tpch_q9"](SF_DIR).to_pandas()
+    queries["tpch_q9"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    entrymod.queries()["kmv_user_distinct"](SF_DIR).to_pandas()
+    queries["kmv_user_distinct"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    entrymod.queries()["part_bfs_hops"](SF_DIR).count()
+    queries["part_bfs_hops"] = round(time.time() - t0, 3)
+
     result = {
         "metric": "er_partition_seconds",
         "value": queries["er_partition"],
