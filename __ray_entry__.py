@@ -5166,8 +5166,15 @@ def _q_partitioned_roundtrip(sf_dir: str):
         "/tmp/dedupe_ray_hivepart_"
         + hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
     )
-    if not os.path.isdir(os.path.join(out, "event_type=click")):
-        ev.write_parquet(out, partition_cols=["event_type"])
+    if not os.path.isdir(out):
+        # atomic dir swap: a crashed write never leaves a half-readable
+        # partition tree behind (same contract as the JSONL/npz sinks)
+        import shutil
+
+        tmp = out + ".__tmp__"
+        shutil.rmtree(tmp, ignore_errors=True)
+        ev.write_parquet(tmp, partition_cols=["event_type"])
+        os.replace(tmp, out)
     import ray.data as _rd
 
     part = _rd.read_parquet(os.path.join(out, "event_type=click"))
