@@ -4418,7 +4418,10 @@ def _q_tpch_q7(sf_dir: str):
     for k in bloc_b:
         in_b[k] = True
     supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
-    s_nat = dict(zip(supp.s_suppkey.astype(int), supp.s_nationkey.astype(int)))
+    sk_sorted = np.sort(supp.s_suppkey.to_numpy(np.int64))
+    sn_sorted = supp.set_index("s_suppkey").s_nationkey.loc[sk_sorted].to_numpy(
+        np.int64
+    )
 
     lo, hi = np.datetime64("1996-01-01"), np.datetime64("1998-01-01")
     li = _read(
@@ -4430,7 +4433,7 @@ def _q_tpch_q7(sf_dir: str):
     def prep(b: pa.Table) -> pa.Table:
         d = b.column("l_shipdate").to_numpy(zero_copy_only=False)
         sk = b.column("l_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
-        snat = np.asarray([s_nat[int(v)] for v in sk], np.int64)
+        snat = sn_sorted[np.searchsorted(sk_sorted, sk)]
         keep = (d >= lo) & (d < hi) & (in_a[snat] | in_b[snat])
         t = b.filter(pa.array(keep))
         d2 = t.column("l_shipdate").to_numpy(zero_copy_only=False)
@@ -4508,7 +4511,10 @@ def _q_tpch_q8(sf_dir: str):
     )
     n3 = int(nat.loc[nat.n_name == "NATION_3", "n_nationkey"].iloc[0])
     supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
-    s_nat = dict(zip(supp.s_suppkey.astype(int), supp.s_nationkey.astype(int)))
+    sk_sorted = np.sort(supp.s_suppkey.to_numpy(np.int64))
+    sn_sorted = supp.set_index("s_suppkey").s_nationkey.loc[sk_sorted].to_numpy(
+        np.int64
+    )
 
     part = _read(sf_dir, "part", ["p_partkey", "p_type"])
     promo_keys = pa.array(
@@ -4529,7 +4535,7 @@ def _q_tpch_q8(sf_dir: str):
         pk = pc.cast(b.column("l_partkey"), pa.int64())
         t = b.filter(pc.is_in(pk, value_set=promo_keys))
         sk = t.column("l_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
-        snat = np.asarray([s_nat[int(v)] for v in sk], np.int64)
+        snat = sn_sorted[np.searchsorted(sk_sorted, sk)]
         cents = np.floor(
             t.column("l_extendedprice").to_numpy(zero_copy_only=False) * 100.0 + 0.5
         ).astype(np.int64)
@@ -4613,15 +4619,16 @@ def _q_tpch_q9(sf_dir: str):
     nat = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
     name_of = dict(zip(nat.n_nationkey.astype(int), nat.n_name))
     supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
-    s_nat = dict(zip(supp.s_suppkey.astype(int), supp.s_nationkey.astype(int)))
+    sk_sorted = np.sort(supp.s_suppkey.to_numpy(np.int64))
+    sn_sorted = supp.set_index("s_suppkey").s_nationkey.loc[sk_sorted].to_numpy(
+        np.int64
+    )
 
     part = _read(sf_dir, "part", ["p_partkey", "p_name", "p_retailprice"]).to_pandas()
-    red = part[part.p_name.str.contains("red", regex=False)]
-    retail_c = dict(
-        zip(
-            red.p_partkey.astype(int),
-            np.floor(red.p_retailprice.to_numpy() * 100.0 + 0.5).astype(np.int64),
-        )
+    red = part[part.p_name.str.contains("red", regex=False)].sort_values("p_partkey")
+    red_keys = red.p_partkey.to_numpy(np.int64)
+    red_cents = np.floor(red.p_retailprice.to_numpy() * 100.0 + 0.5).astype(
+        np.int64
     )  # bounded: part is the canonical small dim
 
     li = _read(
@@ -4633,11 +4640,11 @@ def _q_tpch_q9(sf_dir: str):
 
     def prep(b: pa.Table) -> pa.Table:
         pk = b.column("l_partkey").to_numpy(zero_copy_only=False).astype(np.int64)
-        keep = np.asarray([int(v) in retail_c for v in pk], bool)
+        keep = np.isin(pk, red_keys)
         t = b.filter(pa.array(keep))
         pk = pk[keep]
         sk = t.column("l_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
-        snat = np.asarray([s_nat[int(v)] for v in sk], np.int64)
+        snat = sn_sorted[np.searchsorted(sk_sorted, sk)]
         qty = t.column("l_quantity").to_numpy(zero_copy_only=False).astype(np.int64)
         cents = np.floor(
             t.column("l_extendedprice").to_numpy(zero_copy_only=False) * 100.0 + 0.5
@@ -4645,7 +4652,7 @@ def _q_tpch_q9(sf_dir: str):
         disc = np.floor(
             t.column("l_discount").to_numpy(zero_copy_only=False) * 100.0 + 0.5
         ).astype(np.int64)
-        cost = np.asarray([retail_c[int(v)] for v in pk], np.int64)
+        cost = red_cents[np.searchsorted(red_keys, pk)]
         amount = cents * (100 - disc) - cost * qty * 100
         return pa.table(
             {
@@ -4884,15 +4891,15 @@ def _q_tpch_q2(sf_dir: str):
     part = _read(sf_dir, "part", ["p_partkey", "p_name", "p_size"]).to_pandas()
     sel = part[part.p_size <= 10]
     p_name = dict(zip(sel.p_partkey.astype(int), sel.p_name))
+    sel_keys = np.sort(sel.p_partkey.to_numpy(np.int64))
+    eu_keys = np.sort(np.fromiter(s_cost.keys(), np.int64, len(s_cost)))
 
     li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
 
     def pair_prep(b: pa.Table) -> pa.Table:
         pk = b.column("l_partkey").to_numpy(zero_copy_only=False).astype(np.int64)
         sk = b.column("l_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
-        keep = np.asarray(
-            [int(p) in p_name and int(s) in s_cost for p, s in zip(pk, sk)], bool
-        )
+        keep = np.isin(pk, sel_keys) & np.isin(sk, eu_keys)
         df = _pd.DataFrame(
             {"p_partkey": pk[keep], "s_suppkey": sk[keep]}
         ).drop_duplicates()
