@@ -2829,7 +2829,8 @@ def _q_tpch_q5(sf_dir: str):
     reg = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
     asia = int(reg.loc[reg.r_name == "ASIA", "r_regionkey"].iloc[0])
     asia_nations = set(nat.loc[nat.n_regionkey == asia, "n_nationkey"].astype(int))
-    name_of = dict(zip(nat.n_nationkey.astype(int), nat.n_name))
+    name_arr = np.empty(int(nat.n_nationkey.max()) + 1, object)
+    name_arr[nat.n_nationkey.to_numpy(np.int64)] = nat.n_name.to_numpy()
 
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
 
@@ -2881,9 +2882,8 @@ def _q_tpch_q5(sf_dir: str):
         sn = b.column("s_nationkey").to_numpy(zero_copy_only=False).astype(np.int64)
         t = b.filter(pa.array(cn == sn))
         nk = t.column("c_nationkey").to_numpy(zero_copy_only=False).astype(np.int64)
-        names = np.asarray([name_of[int(v)] for v in nk], object)
         return pa.table(
-            {"n_name": pa.array(names, pa.string()), "rev_c": t.column("rev_c")}
+            {"n_name": pa.array(name_arr[nk], pa.string()), "rev_c": t.column("rev_c")}
         )
 
     return (
@@ -4403,7 +4403,8 @@ def _q_tpch_q7(sf_dir: str):
         sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"]
     ).to_pandas()
     reg = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
-    name_of = dict(zip(nat.n_nationkey.astype(int), nat.n_name))
+    name_arr = np.empty(int(nat.n_nationkey.max()) + 1, object)
+    name_arr[nat.n_nationkey.to_numpy(np.int64)] = nat.n_name.to_numpy()
     asia = int(reg.loc[reg.r_name == "ASIA", "r_regionkey"].iloc[0])
     europe = int(reg.loc[reg.r_name == "EUROPE", "r_regionkey"].iloc[0])
     # two trading blocs instead of two single nations: the symmetric
@@ -4472,12 +4473,10 @@ def _q_tpch_q7(sf_dir: str):
         keep = (in_a[sn] & in_b[cn]) | (in_b[sn] & in_a[cn])
         t = b.filter(pa.array(keep))
         sn, cn = sn[keep], cn[keep]
-        sname = np.asarray([name_of[int(v)] for v in sn], object)
-        cname = np.asarray([name_of[int(v)] for v in cn], object)
         return pa.table(
             {
-                "supp_nation": pa.array(sname, pa.string()),
-                "cust_nation": pa.array(cname, pa.string()),
+                "supp_nation": pa.array(name_arr[sn], pa.string()),
+                "cust_nation": pa.array(name_arr[cn], pa.string()),
                 "l_year": t.column("l_year"),
                 "rev": t.column("rev"),
             }
@@ -4617,7 +4616,8 @@ def _q_tpch_q9(sf_dir: str):
     from dedupe_ray.joins import bucketed_lookup_join
 
     nat = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
-    name_of = dict(zip(nat.n_nationkey.astype(int), nat.n_name))
+    name_arr = np.empty(int(nat.n_nationkey.max()) + 1, object)
+    name_arr[nat.n_nationkey.to_numpy(np.int64)] = nat.n_name.to_numpy()
     supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
     sk_sorted = np.sort(supp.s_suppkey.to_numpy(np.int64))
     sn_sorted = supp.set_index("s_suppkey").s_nationkey.loc[sk_sorted].to_numpy(
@@ -4680,11 +4680,10 @@ def _q_tpch_q9(sf_dir: str):
     )
 
     def named(b: pa.Table) -> pa.Table:
-        sn = b.column("s_nat").to_numpy(zero_copy_only=False)
-        names = np.asarray([name_of[int(v)] for v in sn], object)
+        sn = b.column("s_nat").to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table(
             {
-                "n_name": pa.array(names, pa.string()),
+                "n_name": pa.array(name_arr[sn], pa.string()),
                 "o_year": b.column("o_year"),
                 "amount": b.column("amount"),
             }
