@@ -4775,7 +4775,8 @@ def _q_tpch_q21(sf_dir: str):
     from dedupe_ray.joins import bucketed_lookup_join
 
     supp = _read(sf_dir, "supplier", ["s_suppkey", "s_name"]).to_pandas()
-    name_of = dict(zip(supp.s_suppkey.astype(int), supp.s_name))
+    sk_sorted = np.sort(supp.s_suppkey.to_numpy(np.int64))
+    sname_sorted = supp.set_index("s_suppkey").s_name.loc[sk_sorted].to_numpy()
 
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_shipdate"])
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
@@ -4842,7 +4843,7 @@ def _q_tpch_q21(sf_dir: str):
         nl = b.column("nl").to_numpy(zero_copy_only=False)
         t = b.filter(pa.array((late == 1) & (ns >= 2) & (nl == 1)))
         sk = t.column("l_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
-        names = np.asarray([name_of[int(v)] for v in sk], object)
+        names = sname_sorted[np.searchsorted(sk_sorted, sk)]
         return pa.table({"s_name": pa.array(names, pa.string())})
 
     return (
@@ -4965,8 +4966,11 @@ def _q_tpch_q20(sf_dir: str):
     asia = int(reg.loc[reg.r_name == "ASIA", "r_regionkey"].iloc[0])
     asia_nations = set(nat.loc[nat.n_regionkey == asia, "n_nationkey"].astype(int))
     supp = _read(sf_dir, "supplier", ["s_suppkey", "s_name", "s_nationkey"]).to_pandas()
-    supp = supp[supp.s_nationkey.astype(int).isin(asia_nations)]
-    s_name = dict(zip(supp.s_suppkey.astype(int), supp.s_name))
+    supp = supp[supp.s_nationkey.astype(int).isin(asia_nations)].sort_values(
+        "s_suppkey"
+    )
+    asia_sk = supp.s_suppkey.to_numpy(np.int64)
+    asia_names = supp.s_name.to_numpy()
 
     part = _read(sf_dir, "part", ["p_partkey", "p_name"]).to_pandas()
     red_keys = np.asarray(
@@ -5034,8 +5038,8 @@ def _q_tpch_q20(sf_dir: str):
         sq = b.column("sq").to_numpy(zero_copy_only=False)
         tq = b.column("tq").to_numpy(zero_copy_only=False)
         sk = b.column("s_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
-        keep = (5 * sq > tq) & np.asarray([int(v) in s_name for v in sk], bool)
-        names = np.asarray([s_name[int(v)] for v in sk[keep]], object)
+        keep = (5 * sq > tq) & np.isin(sk, asia_sk)
+        names = asia_names[np.searchsorted(asia_sk, sk[keep])]
         return pa.table({"s_name": pa.array(names, pa.string())})
 
     return (
