@@ -5443,3 +5443,103 @@ def test_curate_documents_layout_invariant(ray_session):
     assert dict(zip(fun.stage, fun.n)) == {
         "input": 7, "lang": 6, "quality": 4, "dedup": 3, "decontaminated": 1
     }
+
+
+def test_bfs_hops_distances(ray_session):
+    from dedupe_ray.ops.graph import bfs_hops
+
+    # path graph 0-1-2-3-4-5 plus isolated edge 8-9; seeds {0}
+    e = pa.table(
+        {
+            "src": pa.array([0, 1, 2, 3, 4, 8], pa.int64()),
+            "dst": pa.array([1, 2, 3, 4, 5, 9], pa.int64()),
+        }
+    )
+    seeds = pa.table({"node": pa.array([0], pa.int64())})
+    out = (
+        bfs_hops(rd.from_arrow(e), rd.from_arrow(seeds), iters=3)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    # 3 rounds reach nodes 0..3; 4,5 and the 8-9 component stay absent
+    assert dict(zip(out.node, out.dist)) == {0: 0, 1: 1, 2: 2, 3: 3}
+    # layout invariance
+    out2 = (
+        bfs_hops(rd.from_arrow(e).repartition(4), rd.from_arrow(seeds), iters=3)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    assert out2.equals(out)
+
+
+def test_blocking_quality_hand_computed(ray_session):
+    from dedupe_ray.eval import blocking_quality
+
+    # 6 records: blocks {a: 1,2,3}, {b: 4,5,6}; truth {x: 1,2}, {y: 3,4}, {z: 5,6}
+    t = pa.table(
+        {
+            "blk": pa.array(["a", "a", "a", "b", "b", "b"]),
+            "grp": pa.array(["x", "x", "y", "y", "z", "z"]),
+        }
+    )
+    out = blocking_quality(rd.from_arrow(t), "blk", "grp").to_pandas().iloc[0]
+    # cand = 2*C(3,2)=6; truth = 3*C(2,2)=3; hits: (a,x)=1, (b,z)=1 -> 2
+    assert out.n_records == 6 and out.total_pairs == 15
+    assert out.cand_pairs == 6 and out.true_pairs == 3 and out.hit_pairs == 2
+    assert out.reduction_ratio == 1.0 - 6.0 / 15.0
+    assert out.pairs_completeness == 2.0 / 3.0
+    assert out.pairs_quality == 2.0 / 6.0
+
+
+def test_npz_roundtrip_bitexact(ray_session, tmp_path):
+    from dedupe_ray.sources import read_npz, write_npz
+
+    rng = np.random.RandomState(3)
+    mat = rng.randn(37, 8).astype(np.float32)
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(37, dtype=np.int64)),
+                "embedding": pa.array(list(mat), pa.list_(pa.float32())),
+            }
+        )
+    ).repartition(3)
+    out = str(tmp_path / "emb_npz")
+    write_npz(ds, out)
+    back = read_npz(out).to_pandas().sort_values("vec_id").reset_index(drop=True)
+    got = np.stack(back.embedding.to_numpy())
+    assert got.dtype == np.float32 and np.array_equal(got, mat)
+
+
+def test_flesch_scores_edges(ray_session):
+    from dedupe_ray.ops.text import flesch_scores
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array(
+                [
+                    "The cat sat. The dog ran!",  # 6 words, 2 sentences
+                    "",                            # empty -> all floors at 1
+                    "zzz zzz",                     # no vowels, no sentences
+                    None,                          # null text
+                ]
+            ),
+        }
+    )
+    out = (
+        flesch_scores(rd.from_arrow(t))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    r1 = out.iloc[0]
+    assert r1.n_words == 6 and r1.n_sentences == 2
+    # "The cat sat The dog ran" vowel groups: e,a,a,e,o,a -> 6
+    assert r1.n_syllables == 6
+    assert r1.flesch == 206.835 - 1.015 * (6.0 / 2.0) - 84.6 * (6.0 / 6.0)
+    assert (out.iloc[1][["n_words", "n_sentences", "n_syllables"]] == 1).all()
+    assert out.iloc[2].n_words == 2 and out.iloc[2].n_syllables == 1
+    assert (out.iloc[3][["n_words", "n_sentences", "n_syllables"]] == 1).all()
