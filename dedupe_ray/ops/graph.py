@@ -497,11 +497,20 @@ def bfs_hops(
             }
         )
 
+    # Compact per round: union concatenates block lists and the groupby
+    # keeps them, so without a repartition the reached table's block count
+    # EXPLODES geometrically across rounds (64 → 960 blocks measured at
+    # sf0.1) and round r+1's bucketed join schedules thousands of tiny
+    # tasks — 94 s vs 9 s for the same answer. The reached table is
+    # node-bounded; n_blocks caps its physical fan-out.
+    n_blocks = 16
+
     edges = (
         edges_ds.map_batches(both_dirs, batch_format="pyarrow")
         .groupby(["src", "dst"])
         .count()
         .drop_columns(["count()"])
+        .repartition(n_blocks)
         .materialize()
     )
 
@@ -513,6 +522,7 @@ def bfs_hops(
         seeds_ds.map_batches(init, batch_format="pyarrow")
         .groupby("node")
         .aggregate(Min("dist", alias_name="dist"))
+        .repartition(n_blocks)
         .materialize()
     )
 
@@ -532,6 +542,7 @@ def bfs_hops(
             reached.union(expand)
             .groupby("node")
             .aggregate(Min("dist", alias_name="dist"))
+            .repartition(n_blocks)
             .materialize()
         )
     return reached
