@@ -40,11 +40,17 @@ def pagerank_micro(
         raise ValueError("damping_pct must be in (0, 100)")
     base = ((100 - damping_pct) * scale) // 100
 
+    # repartition before each materialize: groupby outputs inherit high
+    # block counts and every bucketed join over them schedules thousands
+    # of tiny tasks across rounds (geometric block explosion — see
+    # bfs_hops; 8+ min → seconds at sf0.1/32 CPUs). All these tables are
+    # node/edge-bounded.
     edges = (
         edges_ds.select_columns([src_column, dst_column])
         .groupby([src_column, dst_column])
         .count()
         .drop_columns(["count()"])
+        .repartition(16)
         .materialize()
     )
 
@@ -63,6 +69,7 @@ def pagerank_micro(
         .groupby("node")
         .count()
         .drop_columns(["count()"])
+        .repartition(16)
         .materialize()
     )
 
@@ -75,9 +82,11 @@ def pagerank_micro(
         ),
         batch_format="pyarrow",
     )
-    edges_w = bucketed_lookup_join(
-        edges, outdeg, src_column, src_column, ["outdeg"]
-    ).materialize()
+    edges_w = (
+        bucketed_lookup_join(edges, outdeg, src_column, src_column, ["outdeg"])
+        .repartition(16)
+        .materialize()
+    )
 
     pr = nodes.map_batches(
         lambda t: t.append_column(
@@ -122,6 +131,7 @@ def pagerank_micro(
         pr = (
             bucketed_lookup_join(nodes, sums, "node", "dst", ["m"], how="left")
             .map_batches(fold, batch_format="pyarrow")
+            .repartition(16)
             .materialize()
         )
     return pr
@@ -293,11 +303,15 @@ def kcore(
             keep.combine_chunks() if isinstance(keep, pa.ChunkedArray) else keep
         )
 
+    # repartition before each loop materialize — peeling rounds otherwise
+    # inherit ever-growing block counts from the groupby/join outputs and
+    # the per-round bucketed joins drown in tiny tasks (see bfs_hops)
     edges = (
         edges_ds.map_batches(canon, batch_format="pyarrow")
         .groupby(["u", "w"])
         .count()
         .drop_columns(["count()"])
+        .repartition(16)
         .materialize()
     )
 
@@ -316,7 +330,7 @@ def kcore(
 
     prev_nodes = -1
     for _ in range(max_rounds):
-        deg = degrees(edges).materialize()
+        deg = degrees(edges).repartition(16).materialize()
         alive = deg.filter(expr=f"degree >= {int(k)}").materialize()
         n_alive = alive.count()
         if n_alive == prev_nodes:
@@ -341,6 +355,7 @@ def kcore(
         edges = (
             bucketed_lookup_join(edges, marks, "w", "node", ["__alive"])
             .drop_columns(["__alive"])
+            .repartition(16)
             .materialize()
         )
     raise RuntimeError(f"k-core peeling did not converge in {max_rounds} rounds")
@@ -395,8 +410,13 @@ def label_propagation(
         .groupby(["src", "dst"])
         .count()
         .drop_columns(["count()"])
+        .repartition(16)
         .materialize()
     )
+    # the per-round repartition matters: groupby outputs inherit high
+    # block counts and each bucketed join then schedules thousands of
+    # tiny tasks (same geometric explosion measured in bfs_hops —
+    # 98 s → ~10 s at sf0.1/32 CPUs); labels are node-bounded
 
     labels = (
         edges.map_batches(
@@ -413,6 +433,7 @@ def label_propagation(
             ),
             batch_format="pyarrow",
         )
+        .repartition(16)
         .materialize()
     )
 
@@ -453,6 +474,7 @@ def label_propagation(
             .groupby("node")
             .aggregate(Max("m", alias_name="m"))
             .map_batches(decode, batch_format="pyarrow")
+            .repartition(16)
             .materialize()
         )
     return labels
