@@ -5465,13 +5465,12 @@ def test_bfs_hops_distances(ray_session):
     # 3 rounds reach nodes 0..3; 4,5 and the 8-9 component stay absent
     assert dict(zip(out.node, out.dist)) == {0: 0, 1: 1, 2: 2, 3: 3}
     # layout invariance
-    out2 = (
-        bfs_hops(rd.from_arrow(e).repartition(4), rd.from_arrow(seeds), iters=3)
-        .to_pandas()
-        .sort_values("node")
-        .reset_index(drop=True)
-    )
+    ds2 = bfs_hops(rd.from_arrow(e).repartition(4), rd.from_arrow(seeds), iters=3)
+    out2 = ds2.to_pandas().sort_values("node").reset_index(drop=True)
     assert out2.equals(out)
+    # block-explosion regression guard: the per-round repartition keeps the
+    # reached table's physical fan-out bounded across rounds
+    assert ds2.num_blocks() <= 16
 
 
 def test_blocking_quality_hand_computed(ray_session):
