@@ -314,7 +314,13 @@ def _components_distributed(
             .groupby("mbucket")
             .map_groups(min_per_node, batch_format="pyarrow")
         )
-        labels = shortcut(shortcut(propagated)).materialize()  # double-hop
+        # repartition before the round materialize: groupby/map_groups
+        # outputs inherit block counts and every next-round shuffle then
+        # schedules thousands of tiny tasks (the bfs_hops/LPA geometric
+        # block-explosion — NOTES r4 §74); labels are node-bounded
+        labels = (
+            shortcut(shortcut(propagated)).repartition(16).materialize()
+        )  # double-hop
         cur = _labels_checksum(labels)
         if cur == prev:
             converged = True
