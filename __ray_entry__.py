@@ -4764,13 +4764,15 @@ def _q_tpch_q11(sf_dir: str):
 def _q_tpch_q21(sf_dir: str):
     """TPC-H Q21 shape (suppliers who kept orders waiting; late =
     shipped >60 days after the order date since this schema has no
-    receipt/commit dates): per-(order, supplier) late flags via one
-    combiner groupby, per-order supplier/late counts via a second, the
-    EXISTS/NOT-EXISTS pair expressed as ns ≥ 2 AND nl = 1 AND late — no
-    row ever visits a correlated subquery. Deterministic top-100 by
-    (numwait DESC, s_name)."""
+    receipt/commit dates). Shuffle-lean shape: ``any(ship > od+60)``
+    equals ``max(ship) > od+60``, so lineitem pre-aggregates to
+    per-(order, supplier) MAX-shipdate rows BEFORE the orders join (the
+    date never rides the wide join), and the EXISTS/NOT-EXISTS pair
+    (ns ≥ 2 AND nl = 1 AND late) resolves inside ONE bucketed
+    map_groups — no join back. Three shuffles total vs the naive four.
+    Deterministic top-100 by (numwait DESC, s_name)."""
     import pandas as _pd
-    from ray.data.aggregate import Count, Max, Sum
+    from ray.data.aggregate import Count, Max
 
     from dedupe_ray.joins import bucketed_lookup_join
 
@@ -4779,15 +4781,14 @@ def _q_tpch_q21(sf_dir: str):
     sname_sorted = supp.set_index("s_suppkey").s_name.loc[sk_sorted].to_numpy()
 
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_shipdate"])
-    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
-    j = bucketed_lookup_join(
-        li, orders, "l_orderkey", "o_orderkey", ["o_orderdate"]
-    )
 
     def pair_partial(b: pa.Table) -> pa.Table:
-        sd = b.column("l_shipdate").to_numpy(zero_copy_only=False)
-        od = b.column("o_orderdate").to_numpy(zero_copy_only=False)
-        late = (sd > od + np.timedelta64(60, "D")).astype(np.int64)
+        sd = (
+            b.column("l_shipdate")
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
         df = (
             _pd.DataFrame(
                 {
@@ -4797,57 +4798,73 @@ def _q_tpch_q21(sf_dir: str):
                     "l_suppkey": b.column("l_suppkey").to_numpy(
                         zero_copy_only=False
                     ),
-                    "late": late,
+                    "max_ship": sd,
                 }
             )
-            .groupby(["l_orderkey", "l_suppkey"], sort=False)["late"]
+            .groupby(["l_orderkey", "l_suppkey"], sort=False)["max_ship"]
             .max()
             .reset_index()
         )
         return pa.Table.from_pandas(df, preserve_index=False)
 
     pairs = (
-        j.map_batches(pair_partial, batch_format="pyarrow")
+        li.map_batches(pair_partial, batch_format="pyarrow")
         .groupby(["l_orderkey", "l_suppkey"])
-        .aggregate(Max("late", alias_name="late"))
+        .aggregate(Max("max_ship", alias_name="max_ship"))
     )
 
-    def order_partial(b: pa.Table) -> pa.Table:
-        df = (
-            _pd.DataFrame(
-                {
-                    "l_orderkey": b.column("l_orderkey").to_numpy(
-                        zero_copy_only=False
-                    ),
-                    "nl": b.column("late").to_numpy(zero_copy_only=False),
-                }
-            )
-            .groupby("l_orderkey", sort=False)
-            .agg(ns=("nl", "size"), nl=("nl", "sum"))
-            .reset_index()
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+
+    def od_int(b: pa.Table) -> pa.Table:
+        od = (
+            b.column("o_orderdate")
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
         )
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return pa.table(
+            {"o_orderkey": b.column("o_orderkey"), "od": pa.array(od)}
+        )
 
-    per_order = (
-        pairs.map_batches(order_partial, batch_format="pyarrow")
-        .groupby("l_orderkey")
-        .aggregate(Sum("ns", alias_name="ns"), Sum("nl", alias_name="nl"))
-    )
-    back = bucketed_lookup_join(
-        pairs, per_order, "l_orderkey", "l_orderkey", ["ns", "nl"]
+    j = bucketed_lookup_join(
+        pairs,
+        orders.map_batches(od_int, batch_format="pyarrow"),
+        "l_orderkey",
+        "o_orderkey",
+        ["od"],
     )
 
-    def waiting(b: pa.Table) -> pa.Table:
-        late = b.column("late").to_numpy(zero_copy_only=False)
-        ns = b.column("ns").to_numpy(zero_copy_only=False)
-        nl = b.column("nl").to_numpy(zero_copy_only=False)
-        t = b.filter(pa.array((late == 1) & (ns >= 2) & (nl == 1)))
-        sk = t.column("l_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
-        names = sname_sorted[np.searchsorted(sk_sorted, sk)]
-        return pa.table({"s_name": pa.array(names, pa.string())})
+    SIXTY_DAYS_US = 60 * 86400 * 1_000_000
+
+    def tag(b: pa.Table) -> pa.Table:
+        ms = b.column("max_ship").to_numpy(zero_copy_only=False)
+        od = b.column("od").to_numpy(zero_copy_only=False)
+        ok = b.column("l_orderkey").to_numpy(zero_copy_only=False)
+        late = (ms > od + SIXTY_DAYS_US).astype(np.int64)
+        bkt = (_pd.util.hash_array(ok.astype(np.int64)) % 256).astype(np.int32)
+        return pa.table(
+            {
+                "l_orderkey": pa.array(ok),
+                "l_suppkey": b.column("l_suppkey"),
+                "late": pa.array(late),
+                "__obkt": pa.array(bkt),
+            }
+        )
+
+    def per_bucket(g: _pd.DataFrame) -> _pd.DataFrame:
+        st = g.groupby("l_orderkey")["late"].agg(ns="size", nl="sum")
+        ns = g["l_orderkey"].map(st["ns"])
+        nl = g["l_orderkey"].map(st["nl"])
+        keep = (g["late"] == 1) & (ns >= 2) & (nl == 1)
+        sk = g.loc[keep, "l_suppkey"].to_numpy(np.int64)
+        return _pd.DataFrame(
+            {"s_name": sname_sorted[np.searchsorted(sk_sorted, sk)]}
+        )
 
     return (
-        back.map_batches(waiting, batch_format="pyarrow")
+        j.map_batches(tag, batch_format="pyarrow")
+        .groupby("__obkt")
+        .map_groups(per_bucket, batch_format="pandas")
         .groupby("s_name")
         .aggregate(Count(alias_name="numwait"))
         .sort(["numwait", "s_name"], descending=[True, False])
