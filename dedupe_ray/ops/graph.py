@@ -437,43 +437,53 @@ def label_propagation(
         .materialize()
     )
 
-    for _ in range(iters):
-        votes = (
-            bucketed_lookup_join(edges, labels, "src", "node", ["label"])
-            .map_batches(
-                lambda t: pa.table(
-                    {"node": t.column("dst"), "label": t.column("label")}
-                ),
-                batch_format="pyarrow",
-            )
-            .groupby(["node", "label"])
-            .count()
-        )
+    # fused round: the (node,label) vote count and the per-node composite
+    # argmax resolve inside ONE bucketed map_groups (per-batch combiner
+    # pre-counts votes so a bucket ships at most its distinct
+    # (node,label) pairs per block) — one all-to-all per round instead of
+    # two, identical integer argmax c·2³² − (label+1).
+    import pandas as _pd
 
-        def composite(t: pa.Table) -> pa.Table:
-            c = t.column("count()").to_numpy(zero_copy_only=False).astype(np.int64)
-            lab = t.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
-            if len(lab) and (lab.min() < 0 or lab.max() >= int(SHIFT) - 1):
-                raise ValueError("label_propagation needs node ids in [0, 2**32-2]")
-            return pa.table(
+    def vote_partial(t: pa.Table) -> pa.Table:
+        lab = t.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(lab) and (lab.min() < 0 or lab.max() >= int(SHIFT) - 1):
+            raise ValueError("label_propagation needs node ids in [0, 2**32-2]")
+        df = (
+            _pd.DataFrame(
                 {
-                    "node": t.column("node"),
-                    "m": pa.array(c * SHIFT - (lab + 1)),
+                    "node": t.column("dst").to_numpy(zero_copy_only=False),
+                    "label": lab,
                 }
             )
+            .groupby(["node", "label"], sort=False)
+            .size()
+            .reset_index(name="c")
+        )
+        df["__nbkt"] = (_pd.util.hash_array(df["node"].to_numpy(np.int64)) % 256).astype(
+            np.int32
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
 
-        def decode(t: pa.Table) -> pa.Table:
-            m = t.column("m").to_numpy(zero_copy_only=False).astype(np.int64)
-            lab = (m // SHIFT + 1) * SHIFT - m - 1
-            return pa.table(
-                {"node": t.column("node"), "label": pa.array(lab)}
-            )
+    def bucket_argmax(g: _pd.DataFrame) -> _pd.DataFrame:
+        votes = (
+            g.groupby(["node", "label"], sort=False)["c"].sum().reset_index()
+        )
+        m = votes["c"].to_numpy(np.int64) * int(SHIFT) - (
+            votes["label"].to_numpy(np.int64) + 1
+        )
+        votes["m"] = m
+        best = votes.loc[votes.groupby("node", sort=False)["m"].idxmax()]
+        lab = (best["m"].to_numpy(np.int64) // int(SHIFT) + 1) * int(SHIFT) - best[
+            "m"
+        ].to_numpy(np.int64) - 1
+        return _pd.DataFrame({"node": best["node"].to_numpy(np.int64), "label": lab})
 
+    for _ in range(iters):
         labels = (
-            votes.map_batches(composite, batch_format="pyarrow")
-            .groupby("node")
-            .aggregate(Max("m", alias_name="m"))
-            .map_batches(decode, batch_format="pyarrow")
+            bucketed_lookup_join(edges, labels, "src", "node", ["label"])
+            .map_batches(vote_partial, batch_format="pyarrow")
+            .groupby("__nbkt")
+            .map_groups(bucket_argmax, batch_format="pandas")
             .repartition(16)
             .materialize()
         )
