@@ -5193,15 +5193,17 @@ def _q_partitioned_roundtrip(sf_dir: str):
         "/tmp/dedupe_ray_hivepart_"
         + hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
     )
-    if not os.path.isdir(out):
-        # atomic dir swap: a crashed write never leaves a half-readable
-        # partition tree behind (same contract as the JSONL/npz sinks)
-        import shutil
+    # rewrite every call (the table is tiny) — a cached dir would go stale
+    # if the input parquet were ever regenerated; atomic dir swap keeps a
+    # crashed write from leaving a half-readable partition tree (same
+    # contract as the JSONL/npz sinks)
+    import shutil
 
-        tmp = out + ".__tmp__"
-        shutil.rmtree(tmp, ignore_errors=True)
-        ev.write_parquet(tmp, partition_cols=["event_type"])
-        os.replace(tmp, out)
+    tmp = out + ".__tmp__"
+    shutil.rmtree(tmp, ignore_errors=True)
+    ev.write_parquet(tmp, partition_cols=["event_type"])
+    shutil.rmtree(out, ignore_errors=True)
+    os.replace(tmp, out)
     import ray.data as _rd
 
     part = _rd.read_parquet(os.path.join(out, "event_type=click"))
