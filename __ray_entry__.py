@@ -5366,6 +5366,38 @@ def _q_flesch_docs(sf_dir: str):
     return flesch_scores(docs)
 
 
+def _q_pq_topk(sf_dir: str):
+    """Product-quantization ANN (Jégou et al. 2011): train integer PQ
+    codebooks (m=4 subspaces × 4 codewords, 1 Lloyd iteration, seeds =
+    4 smallest vec_ids), encode every vector to 4 code ids (the ~256×
+    memory-compressed index a billion-vector corpus would persist), then
+    ADC top-5 for queries vec_id ∈ {0,1,2} via broadcast lookup tables —
+    exact int64 end-to-end, so a generated SQL mirror reproduces training,
+    codes, and ranking bit-for-bit (`ops/embedding.py pq_train/pq_encode/
+    pq_search`)."""
+    from dedupe_ray.ops.embedding import pq_encode, pq_search, pq_train, _pq_quant, _batch_matrix
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    cbs = pq_train(emb, m=4, k=4, iters=1, quantize=1_000_000)
+    codes = pq_encode(emb, cbs, quantize=1_000_000)
+
+    # query vectors: vec_id 0,1,2 (bounded: 3 rows), quantized identically
+    import pyarrow.compute as pc
+
+    qtbl = (
+        emb.map_batches(
+            lambda b: b.filter(pc.is_in(b.column("vec_id"), value_set=pa.array([0, 1, 2]))),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    qmat = _pq_quant(
+        np.stack([np.asarray(v, np.float64) for v in qtbl["embedding"]]), 1_000_000
+    )
+    return pq_search(codes, cbs, qmat, k=5)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "er_clusters": _q_er_clusters,
@@ -5562,6 +5594,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "blocking_quality": _q_blocking_quality,
         "npz_roundtrip": _q_npz_roundtrip,
         "flesch_docs": _q_flesch_docs,
+        "pq_topk": _q_pq_topk,
     }
 
 
@@ -5607,6 +5640,108 @@ _BM25_RANKED_SQL = r"""
             ORDER BY rnk
             LIMIT __LIMIT__
 """
+
+
+def _gen_pq_topk_sql(m: int = 4, dim: int = 64, k: int = 4, topk: int = 5) -> str:
+    """Generate the SQL mirror of _q_pq_topk: per-subspace integer Lloyd
+    (seed = 4 smallest vec_ids, 1 iteration, exact floor-div centroid
+    update), per-vector codeword argmin, per-query ADC lookup tables, and
+    the final top-k ranking — the same mechanical-generation approach as
+    orders_zorder's 32-term mirror. All CTEs MATERIALIZED (DuckDB inlines
+    chained CTEs; see the part_kcore landmine)."""
+    dsub = dim // m
+    parts = [
+        """
+        WITH ev AS MATERIALIZED (
+            SELECT vec_id,
+                   CAST(unnest(generate_series(1, len(embedding))) AS BIGINT) AS d,
+                   CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0
+                              + 0.5) AS BIGINT) AS q
+            FROM embeddings
+        ),
+        seeds AS MATERIALIZED (
+            SELECT vec_id,
+                   CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cl
+            FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k})
+        ),
+        qv AS MATERIALIZED (
+            SELECT vec_id AS query_id, d, q FROM ev WHERE vec_id IN (0, 1, 2)
+        )""".format(k=k)
+    ]
+    for s in range(m):
+        lo, hi = s * dsub + 1, (s + 1) * dsub
+        parts.append(
+            """,
+        s{s}c0 AS MATERIALIZED (
+            SELECT se.cl, e.d, e.q AS cq
+            FROM seeds se JOIN ev e ON e.vec_id = se.vec_id
+            WHERE e.d BETWEEN {lo} AND {hi}
+        ),
+        s{s}a1 AS MATERIALIZED (
+            SELECT vec_id, cl FROM (
+                SELECT e.vec_id, c.cl,
+                       row_number() OVER (PARTITION BY e.vec_id
+                           ORDER BY sum((e.q - c.cq) * (e.q - c.cq)), c.cl) AS rn
+                FROM ev e JOIN s{s}c0 c ON e.d = c.d
+                GROUP BY e.vec_id, c.cl
+            ) WHERE rn = 1
+        ),
+        s{s}u1 AS MATERIALIZED (
+            SELECT a.cl, e.d,
+                   CAST((sum(e.q) - ((sum(e.q) % count(*)) + count(*)) % count(*))
+                        // count(*) AS BIGINT) AS cq
+            FROM s{s}a1 a JOIN ev e ON e.vec_id = a.vec_id
+            WHERE e.d BETWEEN {lo} AND {hi}
+            GROUP BY a.cl, e.d
+        ),
+        s{s}c1 AS MATERIALIZED (
+            SELECT c0.cl, c0.d, coalesce(u1.cq, c0.cq) AS cq
+            FROM s{s}c0 c0 LEFT JOIN s{s}u1 u1
+              ON u1.cl = c0.cl AND u1.d = c0.d
+        ),
+        s{s}code AS MATERIALIZED (
+            SELECT vec_id, cl FROM (
+                SELECT e.vec_id, c.cl,
+                       row_number() OVER (PARTITION BY e.vec_id
+                           ORDER BY sum((e.q - c.cq) * (e.q - c.cq)), c.cl) AS rn
+                FROM ev e JOIN s{s}c1 c ON e.d = c.d
+                GROUP BY e.vec_id, c.cl
+            ) WHERE rn = 1
+        ),
+        s{s}lut AS MATERIALIZED (
+            SELECT v.query_id, c.cl,
+                   CAST(sum((v.q - c.cq) * (v.q - c.cq)) AS BIGINT) AS dist
+            FROM qv v JOIN s{s}c1 c ON v.d = c.d
+            GROUP BY v.query_id, c.cl
+        )""".format(s=s, lo=lo, hi=hi)
+        )
+    lut_sum = " + ".join(f"l{s}.dist" for s in range(m))
+    code_joins = "\n".join(
+        f"            JOIN s{s}code x{s} ON x{s}.vec_id = x0.vec_id" for s in range(1, m)
+    )
+    lut_joins = "\n".join(
+        f"            JOIN s{s}lut l{s} ON l{s}.cl = x{s}.cl AND l{s}.query_id = l0.query_id"
+        for s in range(1, m)
+    )
+    parts.append(
+        """,
+        dist AS MATERIALIZED (
+            SELECT l0.query_id, x0.vec_id, {lut_sum} AS adc_dist
+            FROM s0code x0
+{code_joins}
+            JOIN s0lut l0 ON l0.cl = x0.cl
+{lut_joins}
+        )
+        SELECT CAST(query_id AS INTEGER) AS query_id, vec_id,
+               CAST(adc_dist AS BIGINT) AS adc_dist,
+               CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY adc_dist, vec_id) AS BIGINT) AS rnk
+        FROM dist
+        QUALIFY rnk <= {topk}
+        ORDER BY query_id, rnk
+        """.format(lut_sum=lut_sum, code_joins=code_joins, lut_joins=lut_joins, topk=topk)
+    )
+    return "".join(parts)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -8732,4 +8867,5 @@ def oracle_sql() -> dict[str, str]:
                              / CAST(greatest(w, 1) AS DOUBLE)) AS flesch
             FROM c
         """,
+        "pq_topk": _gen_pq_topk_sql(),
     }

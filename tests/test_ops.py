@@ -5542,3 +5542,62 @@ def test_flesch_scores_edges(ray_session):
     assert (out.iloc[1][["n_words", "n_sentences", "n_syllables"]] == 1).all()
     assert out.iloc[2].n_words == 2 and out.iloc[2].n_syllables == 1
     assert (out.iloc[3][["n_words", "n_sentences", "n_syllables"]] == 1).all()
+
+
+def test_pq_adc_matches_brute_force_on_separated_clusters(ray_session):
+    """PQ with well-separated per-subspace clusters: codes identify the
+    cluster in every subspace, and ADC top-k ordering matches the exact
+    integer top-k (quantization error ≪ cluster separation)."""
+    import ray.data
+
+    from dedupe_ray.ops.embedding import pq_encode, pq_search, pq_train
+
+    rng = np.random.default_rng(7)
+    m, dsub, k = 2, 4, 2
+    dim = m * dsub
+    # two centers per subspace, far apart; 40 vectors pick a center per
+    # subspace independently and jitter slightly
+    centers = np.array([[0.0] * dsub, [10.0] * dsub])
+    picks = rng.integers(0, 2, size=(40, m))
+    vecs = np.concatenate(
+        [centers[picks[:, s]] + rng.normal(0, 0.01, (40, dsub)) for s in range(m)],
+        axis=1,
+    )
+    # the 2 smallest ids must cover both codewords per subspace: pin rows 0/1
+    vecs[0] = 0.0
+    vecs[1] = 10.0
+    picks[0] = 0
+    picks[1] = 1
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"vec_id": np.arange(40), "embedding": [v.tolist() for v in vecs]})
+    ).repartition(4)
+
+    cbs = pq_train(ds, m=m, k=k, iters=2, quantize=1_000_000)
+    assert cbs.shape == (m, k, dsub)
+
+    codes = pq_encode(ds, cbs, quantize=1_000_000).to_pandas().sort_values("vec_id")
+    # each subspace's code equals the planted center pick (up to a fixed
+    # relabeling per subspace — seeds are rows 0/1, so code==pick exactly)
+    for s in range(m):
+        assert (codes[f"code_{s}"].to_numpy() == picks[:, s]).all()
+
+    q = np.floor(vecs[:3] * 1_000_000 + 0.5).astype(np.int64)
+    out = pq_search(codes_ds=pq_encode(ds, cbs), codebooks=cbs,
+                    query_vectors_quantized=q, k=5).to_pandas()
+    assert len(out) == 15
+    assert list(out.columns) == ["query_id", "vec_id", "adc_dist", "rnk"]
+    # brute-force ADC on the driver must agree exactly
+    qv = np.floor(vecs * 1_000_000 + 0.5).astype(np.int64)
+    cds = codes[[f"code_{s}" for s in range(m)]].to_numpy()
+    for j in range(3):
+        lut = np.stack(
+            [
+                ((q[j, s * dsub:(s + 1) * dsub][None, :] - cbs[s]) ** 2).sum(axis=1)
+                for s in range(m)
+            ]
+        )  # [m, k]
+        dist = lut[np.arange(m)[None, :], cds].sum(axis=1)
+        order = np.lexsort((np.arange(40), dist))[:5]
+        got = out[out["query_id"] == j].sort_values("rnk")
+        assert got["vec_id"].tolist() == order.tolist()
+        assert got["adc_dist"].tolist() == dist[order].tolist()
