@@ -5398,6 +5398,28 @@ def _q_pq_topk(sf_dir: str):
     return pq_search(codes, cbs, qmat, k=5)
 
 
+def _q_dbscan_clusters(sf_dir: str):
+    """Exact DBSCAN over the 1/7 embedding slice (ε² = 1.5e12 on the 1e6
+    fixed-point scale, min_pts = 4): integer distances → core/border roles
+    → connected components over core-core edges with numeric-min cluster
+    ids — the density-based member of the clustering family
+    (`ops/embedding.py dbscan_embeddings`). Noise points are dropped."""
+    import pyarrow.compute as pc
+
+    from dedupe_ray.ops.embedding import dbscan_embeddings
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    sl = emb.map_batches(
+        lambda b: b.filter(
+            pa.array(
+                b.column("vec_id").to_numpy(zero_copy_only=False) % 7 == 0
+            )
+        ),
+        batch_format="pyarrow",
+    )
+    return dbscan_embeddings(sl, eps2=1_500_000_000_000, min_pts=4)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "er_clusters": _q_er_clusters,
@@ -5595,6 +5617,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "npz_roundtrip": _q_npz_roundtrip,
         "flesch_docs": _q_flesch_docs,
         "pq_topk": _q_pq_topk,
+        "dbscan_clusters": _q_dbscan_clusters,
     }
 
 
@@ -8868,4 +8891,49 @@ def oracle_sql() -> dict[str, str]:
             FROM c
         """,
         "pq_topk": _gen_pq_topk_sql(),
+        # DBSCAN: ε-neighborhoods include self (classic formulation); core
+        # = |N_ε| ≥ 4; cluster id = min reachable core id; border takes the
+        # min cluster among its core neighbors; noise rows never appear
+        "dbscan_clusters": """
+            WITH RECURSIVE pts AS MATERIALIZED (
+                SELECT vec_id,
+                       CAST(unnest(generate_series(1, len(embedding))) AS BIGINT) AS d,
+                       CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0
+                                  + 0.5) AS BIGINT) AS q
+                FROM embeddings WHERE vec_id % 7 = 0
+            ),
+            nbr AS MATERIALIZED (
+                SELECT a.vec_id AS i, b.vec_id AS j
+                FROM pts a JOIN pts b ON a.d = b.d
+                GROUP BY a.vec_id, b.vec_id
+                HAVING sum((a.q - b.q) * (a.q - b.q)) <= 1500000000000
+            ),
+            core AS MATERIALIZED (
+                SELECT i AS vec_id FROM nbr GROUP BY i HAVING count(*) >= 4
+            ),
+            ce AS MATERIALIZED (
+                SELECT n.i, n.j FROM nbr n
+                JOIN core ca ON ca.vec_id = n.i
+                JOIN core cb ON cb.vec_id = n.j
+            ),
+            reach(i, j) AS (
+                SELECT i, j FROM ce
+                UNION
+                SELECT r.i, e.j FROM reach r JOIN ce e ON e.i = r.j
+            ),
+            cl AS MATERIALIZED (
+                SELECT i AS vec_id, min(j) AS cluster FROM reach GROUP BY i
+            ),
+            border AS MATERIALIZED (
+                SELECT n.i AS vec_id, min(c.cluster) AS cluster
+                FROM nbr n JOIN cl c ON c.vec_id = n.j
+                WHERE n.i NOT IN (SELECT vec_id FROM core)
+                GROUP BY n.i
+            )
+            SELECT vec_id, CAST(cluster AS BIGINT) AS cluster,
+                   'core' AS role FROM cl
+            UNION ALL
+            SELECT vec_id, CAST(cluster AS BIGINT) AS cluster,
+                   'border' AS role FROM border
+        """,
     }

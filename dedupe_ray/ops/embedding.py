@@ -1423,3 +1423,214 @@ def pq_search(
     )
     out["rnk"] = (out.groupby("query_id").cumcount() + 1).astype("int64")
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+# ---------------------------------------------------------------------------
+# DBSCAN: density-based clustering over the embedding column
+# ---------------------------------------------------------------------------
+
+
+def dbscan_embeddings(
+    ds: "ray.data.Dataset",
+    eps2: int,
+    min_pts: int,
+    quantize: int = 1_000_000,
+    id_column: str = "vec_id",
+    vec_column: str = "embedding",
+    index_limit: int = 4_000_000,
+) -> "ray.data.Dataset":
+    """Exact DBSCAN (Ester et al., KDD 1996) over an embedding column,
+    parallelism-invariant and SQL-mirrorable end-to-end.
+
+    Distances are exact integers: vectors fixed-point quantize to
+    ``floor(x·quantize + 0.5)`` int64 and ``eps2`` is the squared radius on
+    that scale, so core/border decisions carry no float ambiguity. The
+    squared distances are computed through a float64 BLAS matmul of the
+    integer values — exact because every product and partial sum stays
+    below 2⁵³ (asserted per batch).
+
+    Shape: the (id, vector) table broadcasts once (``ray.put``), like
+    :func:`knn_join`'s exact path, guarded at ``index_limit``; batches then
+    stream through three passes — (1) ε-neighbor counts → core ids
+    (includes self, the classic formulation), (2) core-core edge + border
+    adjacency emission, (3) connected components over core edges
+    (:func:`dedupe_ray.clustering.connected_components` — driver UF under
+    the edge limit, bucketed iteration above) with cluster_id = the
+    numeric-min core member; border points take the min cluster among
+    their core neighbors; noise is dropped. The scale path above
+    ``index_limit`` would swap the broadcast for IVF-bucketed candidate
+    generation (accepting approximate neighborhoods); this operator is the
+    exact-conformance variant and raises instead of silently degrading.
+
+    Returns (id_column, cluster int64, role 'core'|'border').
+    """
+    import pyarrow.compute as pc
+
+    from dedupe_ray.clustering import connected_components
+
+    n = ds.count()
+    if n > index_limit:
+        raise ValueError(
+            f"dbscan_embeddings exact path supports ≤ {index_limit} rows "
+            f"(got {n}); use IVF-bucketed approximate DBSCAN at this scale"
+        )
+    blocks = [
+        t
+        for t in ray.get(ds.select_columns([id_column, vec_column]).to_arrow_refs())
+        if t.num_columns > 0
+    ]
+    tbl = pa.concat_tables(blocks).combine_chunks()
+    ids = tbl.column(id_column).to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(ids, kind="stable")
+    ids = ids[order]
+    col = tbl.column(vec_column).combine_chunks()
+    dim = len(col[0]) if len(col) else 0
+    qm = _pq_quant(
+        col.flatten().to_numpy(zero_copy_only=False).reshape(len(tbl), dim)[order],
+        quantize,
+    )
+    assert dim * float(np.abs(qm).max() if len(qm) else 0) ** 2 < 2**53
+    qf = qm.astype(np.float64)
+    rnorm = (qf * qf).sum(axis=1)
+    ref = ray.put((ids, qf, rnorm))
+
+    def _dists(bq: np.ndarray, rq: np.ndarray, rn: np.ndarray) -> np.ndarray:
+        bf = bq.astype(np.float64)
+        bn = (bf * bf).sum(axis=1)
+        return (bn[:, None] + rn[None, :] - 2.0 * (bf @ rq.T)).astype(np.int64)
+
+    empty_cnt = pa.table(
+        {"vid": pa.array([], pa.int64()), "cnt": pa.array([], pa.int64())}
+    )
+
+    def counts(batch: pa.Table) -> pa.Table:
+        if not len(batch):
+            return empty_cnt
+        rid, rq, rn = ray.get(ref)
+        bq = _pq_quant(_batch_matrix(batch, vec_column), quantize)
+        d = _dists(bq, rq, rn)
+        return pa.table(
+            {
+                "vid": pa.array(
+                    batch.column(id_column)
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64)
+                ),
+                "cnt": pa.array((d <= eps2).sum(axis=1).astype(np.int64)),
+            }
+        )
+
+    cdf = (
+        ds.map_batches(counts, batch_format="pyarrow").to_pandas()
+    )  # bounded: ≤ index_limit (id, cnt) rows, the same budget as the index
+    core_ids = np.sort(cdf.loc[cdf["cnt"] >= min_pts, "vid"].to_numpy(np.int64))
+    coreref = ray.put(core_ids)
+
+    empty_edges = pa.table(
+        {
+            "kind": pa.array([], pa.int8()),
+            "a": pa.array([], pa.int64()),
+            "b": pa.array([], pa.int64()),
+        }
+    )
+
+    def emit(batch: pa.Table) -> pa.Table:
+        if not len(batch):
+            return empty_edges
+        rid, rq, rn = ray.get(ref)
+        core = ray.get(coreref)
+        bq = _pq_quant(_batch_matrix(batch, vec_column), quantize)
+        bid = batch.column(id_column).to_numpy(zero_copy_only=False).astype(np.int64)
+        d = _dists(bq, rq, rn)
+        nbr = d <= eps2
+        col_core = np.isin(rid, core, assume_unique=True)
+        row_core = np.isin(bid, core)
+        # core-core edges, owned by the lower id (plus a self edge so
+        # isolated core points still form singleton clusters)
+        m_edge = nbr & row_core[:, None] & col_core[None, :] & (
+            rid[None, :] >= bid[:, None]
+        )
+        ei, ej = np.nonzero(m_edge)
+        # border adjacency: non-core row → every core neighbor
+        m_bord = nbr & ~row_core[:, None] & col_core[None, :]
+        bi, bj = np.nonzero(m_bord)
+        return pa.table(
+            {
+                "kind": pa.array(
+                    np.concatenate(
+                        [np.zeros(len(ei), np.int8), np.ones(len(bi), np.int8)]
+                    )
+                ),
+                "a": pa.array(np.concatenate([bid[ei], bid[bi]])),
+                "b": pa.array(np.concatenate([rid[ej], rid[bj]])),
+            }
+        )
+
+    emitted = ds.map_batches(emit, batch_format="pyarrow").materialize()
+
+    def edge_str(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch.column("kind"), pa.scalar(0, pa.int8())))
+        # zero-pad: lexico-min component id == numeric-min core member
+        return pa.table(
+            {
+                "id_a": pc.utf8_lpad(pc.cast(t.column("a"), pa.string()), 20, "0"),
+                "id_b": pc.utf8_lpad(pc.cast(t.column("b"), pa.string()), 20, "0"),
+            }
+        )
+
+    cc = connected_components(emitted.map_batches(edge_str, batch_format="pyarrow"))
+    ccdf = cc.to_pandas()  # bounded: one row per core point
+    if len(ccdf):
+        core_nodes = ccdf["doc_id"].astype(np.int64).to_numpy()
+        core_clusters = ccdf["component_id"].astype(np.int64).to_numpy()
+        o = np.argsort(core_nodes, kind="stable")
+        core_nodes, core_clusters = core_nodes[o], core_clusters[o]
+    else:
+        core_nodes = np.array([], np.int64)
+        core_clusters = np.array([], np.int64)
+    cmapref = ray.put((core_nodes, core_clusters))
+
+    from ray.data.aggregate import Min
+
+    def border_rows(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch.column("kind"), pa.scalar(1, pa.int8())))
+        if not len(t):
+            return pa.table(
+                {"bid": pa.array([], pa.int64()), "cl": pa.array([], pa.int64())}
+            )
+        nodes, clusters = ray.get(cmapref)
+        j = np.searchsorted(nodes, t.column("b").to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "bid": t.column("a"),
+                "cl": pa.array(clusters[j]),
+            }
+        )
+
+    border = (
+        emitted.map_batches(border_rows, batch_format="pyarrow")
+        .groupby("bid")
+        .aggregate(Min("cl", alias_name="cl"))
+    )
+
+    def core_out(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                id_column: pc.cast(batch.column("doc_id"), pa.int64()),
+                "cluster": pc.cast(batch.column("component_id"), pa.int64()),
+                "role": pa.array(["core"] * len(batch), pa.string()),
+            }
+        )
+
+    def border_out(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                id_column: batch.column("bid"),
+                "cluster": batch.column("cl"),
+                "role": pa.array(["border"] * len(batch), pa.string()),
+            }
+        )
+
+    return cc.map_batches(core_out, batch_format="pyarrow").union(
+        border.map_batches(border_out, batch_format="pyarrow")
+    )

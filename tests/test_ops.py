@@ -5601,3 +5601,74 @@ def test_pq_adc_matches_brute_force_on_separated_clusters(ray_session):
         got = out[out["query_id"] == j].sort_values("rnk")
         assert got["vec_id"].tolist() == order.tolist()
         assert got["adc_dist"].tolist() == dist[order].tolist()
+
+
+def test_dbscan_planted_clusters_roles_and_noise(ray_session):
+    """Two planted dense blobs + a bridge-free sparse point: cores get the
+    numeric-min member as cluster id, border points attach to the min
+    neighboring core cluster, noise is absent — verified against a
+    brute-force driver DBSCAN."""
+    import ray.data
+
+    from dedupe_ray.ops.embedding import dbscan_embeddings
+
+    dim = 8
+    # hand-placed along dim0 (quantized units: 0.001 → 1000):
+    # ids 0..5 at 0,1,..,5 millis (blob A: pairwise ≤ 5000² = 2.5e7)
+    # ids 6..10 at 1.0 + 0..4 millis (blob B)
+    # id 11 at 0.014: within ε only of ids 4,5 (+self) → cnt 3 < 5 → border
+    # id 12 at 5.0: isolated noise
+    dim0 = np.array([0, 0.001, 0.002, 0.003, 0.004, 0.005,
+                     1.0, 1.001, 1.002, 1.003, 1.004,
+                     0.014, 5.0])
+    vecs = np.zeros((13, dim))
+    vecs[:, 0] = dim0
+    ds = ray.data.from_pandas(
+        pd.DataFrame(
+            {"vec_id": np.arange(13), "embedding": [v.tolist() for v in vecs]}
+        )
+    ).repartition(3)
+
+    quantize = 1_000_000
+    q = np.floor(vecs * quantize + 0.5).astype(np.int64)
+    d2 = ((q[:, None, :] - q[None, :, :]) ** 2).sum(axis=2)
+    eps2 = 10_000**2  # ε = 0.01 on the fixed-point scale
+    min_pts = 5
+    cnt = (d2 <= eps2).sum(axis=1)
+    core = cnt >= min_pts
+
+    out = (
+        dbscan_embeddings(ds, eps2=eps2, min_pts=min_pts, quantize=quantize)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    # reference: UF over core-core edges
+    parent = list(range(13))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i in range(13):
+        for j in range(13):
+            if core[i] and core[j] and d2[i, j] <= eps2:
+                ri, rj = find(i), find(j)
+                if ri != rj:
+                    parent[max(ri, rj)] = min(ri, rj)
+    expect = {}
+    for i in range(13):
+        if core[i]:
+            members = [j for j in range(13) if core[j] and find(j) == find(i)]
+            expect[i] = (min(members), "core")
+    for i in range(13):
+        if not core[i]:
+            nbrs = [expect[j][0] for j in range(13) if core[j] and d2[i, j] <= eps2]
+            if nbrs:
+                expect[i] = (min(nbrs), "border")
+    got = {int(r.vec_id): (int(r.cluster), r.role) for r in out.itertuples()}
+    assert got == expect
+    assert 12 not in got  # the isolated point is noise
+    assert set(r for _, r in got.values()) == {"core", "border"}
