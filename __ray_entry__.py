@@ -5420,6 +5420,45 @@ def _q_dbscan_clusters(sf_dir: str):
     return dbscan_embeddings(sl, eps2=1_500_000_000_000, min_pts=4)
 
 
+def _q_ivf_pq_topk(sf_dir: str):
+    """IVF-PQ ANN (Jégou et al. 2011 §V — the index billion-vector systems
+    actually ship): an integer Lloyd coarse quantizer (4 cells, 1
+    iteration) partitions the corpus into inverted lists, a product
+    quantizer (m=4 × 4 codewords, 1 iteration) trained on the exact
+    int64 RESIDUALS compresses every member to 4 code ids, and queries
+    vec_id ∈ {0,1,2} probe only their nprobe=2 nearest cells with
+    residual-ADC lookup tables — exact integer end-to-end, so the
+    generated SQL mirror reproduces cells, codes, probe choice, and the
+    final ranking bit-for-bit (`ops/embedding.py ivf_pq_build/
+    ivf_pq_search`)."""
+    import pyarrow.compute as pc
+
+    from dedupe_ray.ops.embedding import (
+        _batch_matrix,
+        _pq_quant,
+        ivf_pq_build,
+        ivf_pq_search,
+    )
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    coarse, cbs, codes = ivf_pq_build(
+        emb, k_coarse=4, coarse_iters=1, m=4, k_codes=4, pq_iters=1,
+        quantize=1_000_000,
+    )
+    qtbl = (
+        emb.map_batches(
+            lambda b: b.filter(pc.is_in(b.column("vec_id"), value_set=pa.array([0, 1, 2]))),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    qmat = _pq_quant(
+        np.stack([np.asarray(v, np.float64) for v in qtbl["embedding"]]), 1_000_000
+    )
+    return ivf_pq_search(codes, coarse, cbs, qmat, k=5, nprobe=2)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "er_clusters": _q_er_clusters,
@@ -5618,6 +5657,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "flesch_docs": _q_flesch_docs,
         "pq_topk": _q_pq_topk,
         "dbscan_clusters": _q_dbscan_clusters,
+        "ivf_pq_topk": _q_ivf_pq_topk,
     }
 
 
@@ -5763,6 +5803,194 @@ def _gen_pq_topk_sql(m: int = 4, dim: int = 64, k: int = 4, topk: int = 5) -> st
         QUALIFY rnk <= {topk}
         ORDER BY query_id, rnk
         """.format(lut_sum=lut_sum, code_joins=code_joins, lut_joins=lut_joins, topk=topk)
+    )
+    return "".join(parts)
+
+
+def _gen_ivf_pq_topk_sql(
+    kc: int = 4,
+    coarse_iters: int = 1,
+    m: int = 4,
+    k_codes: int = 4,
+    dim: int = 64,
+    nprobe: int = 2,
+    topk: int = 5,
+) -> str:
+    """Generate the SQL mirror of _q_ivf_pq_topk: integer Lloyd coarse
+    quantizer (cc* CTEs, same recurrence as the kmeans_embeddings
+    mirror), per-vector cell assignment, RESIDUAL table, per-subspace
+    integer PQ training on residuals (the _gen_pq_topk_sql recurrence
+    with ev → rev), per-query nprobe cell probing, per-(query, probed
+    cell) residual ADC lookup tables, and the final probed-rows-only
+    top-k. One PQ iteration (matching the query); coarse_iters is
+    generated as a loop. All CTEs MATERIALIZED (DuckDB inlines chained
+    CTEs; see the part_kcore landmine)."""
+    dsub = dim // m
+    parts = [
+        """
+        WITH ev AS MATERIALIZED (
+            SELECT vec_id,
+                   CAST(unnest(generate_series(1, len(embedding))) AS BIGINT) AS d,
+                   CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0
+                              + 0.5) AS BIGINT) AS q
+            FROM embeddings
+        ),
+        cseeds AS MATERIALIZED (
+            SELECT vec_id,
+                   CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cl
+            FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {kc})
+        ),
+        cc0 AS MATERIALIZED (
+            SELECT s.cl, e.d, e.q AS cq
+            FROM cseeds s JOIN ev e ON e.vec_id = s.vec_id
+        )""".format(kc=kc)
+    ]
+    for it in range(1, coarse_iters + 1):
+        parts.append(
+            """,
+        ca{it} AS MATERIALIZED (
+            SELECT vec_id, cl FROM (
+                SELECT e.vec_id, c.cl,
+                       row_number() OVER (PARTITION BY e.vec_id
+                           ORDER BY sum((e.q - c.cq) * (e.q - c.cq)), c.cl) AS rn
+                FROM ev e JOIN cc{prev} c ON e.d = c.d
+                GROUP BY e.vec_id, c.cl
+            ) WHERE rn = 1
+        ),
+        cu{it} AS MATERIALIZED (
+            SELECT a.cl, e.d,
+                   CAST((sum(e.q) - ((sum(e.q) % count(*)) + count(*)) % count(*))
+                        // count(*) AS BIGINT) AS cq
+            FROM ca{it} a JOIN ev e ON e.vec_id = a.vec_id
+            GROUP BY a.cl, e.d
+        ),
+        cc{it} AS MATERIALIZED (
+            SELECT p.cl, p.d, coalesce(u.cq, p.cq) AS cq
+            FROM cc{prev} p LEFT JOIN cu{it} u
+              ON u.cl = p.cl AND u.d = p.d
+        )""".format(it=it, prev=it - 1)
+        )
+    fin = f"cc{coarse_iters}"
+    parts.append(
+        """,
+        cell AS MATERIALIZED (
+            SELECT vec_id, cl FROM (
+                SELECT e.vec_id, c.cl,
+                       row_number() OVER (PARTITION BY e.vec_id
+                           ORDER BY sum((e.q - c.cq) * (e.q - c.cq)), c.cl) AS rn
+                FROM ev e JOIN {fin} c ON e.d = c.d
+                GROUP BY e.vec_id, c.cl
+            ) WHERE rn = 1
+        ),
+        rev AS MATERIALIZED (
+            SELECT e.vec_id, e.d, e.q - cc.cq AS q
+            FROM ev e
+            JOIN cell a ON a.vec_id = e.vec_id
+            JOIN {fin} cc ON cc.cl = a.cl AND cc.d = e.d
+        ),
+        qv AS MATERIALIZED (
+            SELECT vec_id AS query_id, d, q FROM ev WHERE vec_id IN (0, 1, 2)
+        ),
+        pseeds AS MATERIALIZED (
+            SELECT vec_id,
+                   CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cl
+            FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k_codes})
+        ),
+        qcell AS MATERIALIZED (
+            SELECT query_id, cl FROM (
+                SELECT v.query_id, c.cl,
+                       row_number() OVER (PARTITION BY v.query_id
+                           ORDER BY sum((v.q - c.cq) * (v.q - c.cq)), c.cl) AS rn
+                FROM qv v JOIN {fin} c ON c.d = v.d
+                GROUP BY v.query_id, c.cl
+            ) WHERE rn <= {nprobe}
+        ),
+        qres AS MATERIALIZED (
+            SELECT p.query_id, p.cl AS pcell, v.d, v.q - cc.cq AS q
+            FROM qcell p
+            JOIN qv v ON v.query_id = p.query_id
+            JOIN {fin} cc ON cc.cl = p.cl AND cc.d = v.d
+        )""".format(fin=fin, k_codes=k_codes, nprobe=nprobe)
+    )
+    for s in range(m):
+        lo, hi = s * dsub + 1, (s + 1) * dsub
+        parts.append(
+            """,
+        s{s}c0 AS MATERIALIZED (
+            SELECT se.cl, r.d, r.q AS cq
+            FROM pseeds se JOIN rev r ON r.vec_id = se.vec_id
+            WHERE r.d BETWEEN {lo} AND {hi}
+        ),
+        s{s}a1 AS MATERIALIZED (
+            SELECT vec_id, cl FROM (
+                SELECT r.vec_id, c.cl,
+                       row_number() OVER (PARTITION BY r.vec_id
+                           ORDER BY sum((r.q - c.cq) * (r.q - c.cq)), c.cl) AS rn
+                FROM rev r JOIN s{s}c0 c ON r.d = c.d
+                GROUP BY r.vec_id, c.cl
+            ) WHERE rn = 1
+        ),
+        s{s}u1 AS MATERIALIZED (
+            SELECT a.cl, r.d,
+                   CAST((sum(r.q) - ((sum(r.q) % count(*)) + count(*)) % count(*))
+                        // count(*) AS BIGINT) AS cq
+            FROM s{s}a1 a JOIN rev r ON r.vec_id = a.vec_id
+            WHERE r.d BETWEEN {lo} AND {hi}
+            GROUP BY a.cl, r.d
+        ),
+        s{s}c1 AS MATERIALIZED (
+            SELECT c0.cl, c0.d, coalesce(u1.cq, c0.cq) AS cq
+            FROM s{s}c0 c0 LEFT JOIN s{s}u1 u1
+              ON u1.cl = c0.cl AND u1.d = c0.d
+        ),
+        s{s}code AS MATERIALIZED (
+            SELECT vec_id, cl FROM (
+                SELECT r.vec_id, c.cl,
+                       row_number() OVER (PARTITION BY r.vec_id
+                           ORDER BY sum((r.q - c.cq) * (r.q - c.cq)), c.cl) AS rn
+                FROM rev r JOIN s{s}c1 c ON r.d = c.d
+                GROUP BY r.vec_id, c.cl
+            ) WHERE rn = 1
+        ),
+        s{s}lut AS MATERIALIZED (
+            SELECT r.query_id, r.pcell, c.cl,
+                   CAST(sum((r.q - c.cq) * (r.q - c.cq)) AS BIGINT) AS dist
+            FROM qres r JOIN s{s}c1 c ON c.d = r.d
+            GROUP BY r.query_id, r.pcell, c.cl
+        )""".format(s=s, lo=lo, hi=hi)
+        )
+    lut_sum = " + ".join(f"l{s}.dist" for s in range(m))
+    code_joins = "\n".join(
+        f"            JOIN s{s}code x{s} ON x{s}.vec_id = ce.vec_id"
+        for s in range(m)
+    )
+    lut_joins = ["            JOIN s0lut l0 ON l0.pcell = ce.cl AND l0.cl = x0.cl"]
+    for s in range(1, m):
+        lut_joins.append(
+            f"            JOIN s{s}lut l{s} ON l{s}.pcell = ce.cl"
+            f" AND l{s}.cl = x{s}.cl AND l{s}.query_id = l0.query_id"
+        )
+    parts.append(
+        """,
+        dist AS MATERIALIZED (
+            SELECT l0.query_id, ce.vec_id, {lut_sum} AS adc_dist
+            FROM cell ce
+{code_joins}
+{lut_joins}
+        )
+        SELECT CAST(query_id AS INTEGER) AS query_id, vec_id,
+               CAST(adc_dist AS BIGINT) AS adc_dist,
+               CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY adc_dist, vec_id) AS BIGINT) AS rnk
+        FROM dist
+        QUALIFY rnk <= {topk}
+        ORDER BY query_id, rnk
+        """.format(
+            lut_sum=lut_sum,
+            code_joins=code_joins,
+            lut_joins="\n".join(lut_joins),
+            topk=topk,
+        )
     )
     return "".join(parts)
 
@@ -8891,6 +9119,7 @@ def oracle_sql() -> dict[str, str]:
             FROM c
         """,
         "pq_topk": _gen_pq_topk_sql(),
+        "ivf_pq_topk": _gen_ivf_pq_topk_sql(),
         # DBSCAN: ε-neighborhoods include self (classic formulation); core
         # = |N_ε| ≥ 4; cluster id = min reachable core id; border takes the
         # min cluster among its core neighbors; noise rows never appear

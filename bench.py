@@ -274,6 +274,10 @@ def run_bench() -> dict:
     entrymod.queries()["part_bfs_hops"](SF_DIR).count()
     queries["part_bfs_hops"] = round(time.time() - t0, 3)
 
+    t0 = time.time()
+    entrymod.queries()["ivf_pq_topk"](SF_DIR)  # bounded pa.Table
+    queries["ivf_pq_topk"] = round(time.time() - t0, 3)
+
     result = {
         "metric": "er_partition_seconds",
         "value": queries["er_partition"],

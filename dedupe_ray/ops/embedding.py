@@ -1425,6 +1425,353 @@ def pq_search(
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def _exact_lloyd(
+    ds: "ray.data.Dataset",
+    k: int,
+    iters: int,
+    quantize: int,
+    id_column: str,
+    vec_column: str,
+) -> np.ndarray:
+    """The integer Lloyd loop shared by :func:`kmeans_exact_assign` and
+    :func:`ivf_pq_build`'s coarse quantizer: seeds = the ``k`` smallest
+    ``id_column`` rows, centroids stay int64 through exact floor-div
+    updates, argmin ties → lowest centroid id. Returns the final
+    centroids as int64 ``[k, dim]`` — per iteration ONE streaming pass
+    emits k·dim (c, dim, Σq, cnt) partials, a tiny groupby-Sum merges,
+    the driver floor-divides; vectors never shuffle."""
+    from ray.data.aggregate import Sum
+
+    ks = int(k)
+
+    def seed_partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_column).to_numpy(zero_copy_only=False).astype(np.int64)
+        if not len(ids):
+            return pa.table(
+                {"id": pa.array([], pa.int64()), "vec": pa.array([], pa.list_(pa.int64()))}
+            )
+        kk = min(ks, len(ids))
+        top = np.argpartition(ids, kk - 1)[:kk] if kk < len(ids) else np.arange(len(ids))
+        q = _pq_quant(_batch_matrix(batch, vec_column), quantize)
+        return pa.table(
+            {
+                "id": pa.array(ids[top]),
+                "vec": pa.array([q[i].tolist() for i in top], pa.list_(pa.int64())),
+            }
+        )
+
+    seeds = ds.map_batches(seed_partial, batch_format="pyarrow").to_pandas()
+    seeds = seeds.sort_values("id").head(ks)
+    cent = np.stack([np.asarray(v, np.int64) for v in seeds["vec"]])
+
+    for _ in range(int(iters)):
+        cref = ray.put(cent)
+
+        def upd_partial(batch: pa.Table) -> pa.Table:
+            c = ray.get(cref)
+            q = _pq_quant(_batch_matrix(batch, vec_column), quantize)
+            if not len(q):
+                return pa.table(
+                    {
+                        "c": pa.array([], pa.int32()),
+                        "dim": pa.array([], pa.int32()),
+                        "qsum": pa.array([], pa.int64()),
+                        "cnt": pa.array([], pa.int64()),
+                    }
+                )
+            a = _exact_argmin(q, c)
+            sums = np.zeros((len(c), q.shape[1]), np.int64)
+            np.add.at(sums, a, q)
+            counts = np.bincount(a, minlength=len(c)).astype(np.int64)
+            dim = q.shape[1]
+            return pa.table(
+                {
+                    "c": pa.array(np.repeat(np.arange(len(c), dtype=np.int32), dim)),
+                    "dim": pa.array(np.tile(np.arange(dim, dtype=np.int32), len(c))),
+                    "qsum": pa.array(sums.reshape(-1)),
+                    "cnt": pa.array(np.repeat(counts, dim)),
+                }
+            )
+
+        merged = (
+            ds.map_batches(upd_partial, batch_format="pyarrow")
+            .groupby(["c", "dim"])
+            .aggregate(Sum("qsum", alias_name="qsum"), Sum("cnt", alias_name="cnt"))
+            .to_pandas()  # bounded: k × dim rows
+        ).sort_values(["c", "dim"])
+        new = cent.copy()
+        for ci, grp in merged.groupby("c"):
+            n = int(grp["cnt"].iloc[0])
+            if n > 0:  # empty cells keep their previous centroid
+                new[int(ci)] = np.floor_divide(
+                    grp["qsum"].to_numpy(np.int64), np.int64(n)
+                )
+        cent = new
+    return cent
+
+
+def _exact_argmin(q: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Exact int64 squared-distance argmin of each row of ``q`` against
+    the centroid rows of ``c``; ties → lowest centroid id."""
+    d = np.empty((len(q), len(c)), np.int64)
+    for j in range(len(c)):
+        diff = q - c[j][None, :]
+        d[:, j] = (diff * diff).sum(axis=1)
+    return d.argmin(axis=1)
+
+
+def ivf_pq_build(
+    ds: "ray.data.Dataset",
+    k_coarse: int = 4,
+    coarse_iters: int = 1,
+    m: int = 4,
+    k_codes: int = 4,
+    pq_iters: int = 1,
+    quantize: int = 1_000_000,
+    id_column: str = "vec_id",
+    vec_column: str = "embedding",
+) -> tuple[np.ndarray, np.ndarray, "ray.data.Dataset"]:
+    """Build an IVF-PQ index (Jégou et al. 2011 §V — the index every
+    billion-vector ANN system actually ships): an integer Lloyd coarse
+    quantizer partitions the corpus into ``k_coarse`` inverted lists, and
+    a product quantizer trained on the RESIDUALS (vector − its cell
+    centroid, exactly representable in int64 after fixed-point
+    quantization) compresses each member to ``m`` codeword ids. Search
+    then probes only ``nprobe`` cells and scores by residual-ADC lookup
+    — at 100 TB the code table is the only corpus-sized artifact
+    (cell + m small ints per row), vectors never shuffle, and both
+    training passes are combiner-shaped (k·dim partials per block).
+
+    Same conformance doctrine as :func:`kmeans_exact_assign` /
+    :func:`pq_train`: seeds = smallest ids, integer centroids via exact
+    floor-div, argmin ties → lowest id — so a generated SQL mirror
+    reproduces cells, codes, and the final ranking bit-for-bit.
+
+    Returns ``(coarse int64 [k_coarse, dim], codebooks int64
+    [m, k_codes, dsub], codes_ds)`` where ``codes_ds`` has
+    ``id_column, cell int32, code_0..code_{m-1} int32``.
+    """
+    from ray.data.aggregate import Sum
+
+    coarse = _exact_lloyd(ds, k_coarse, coarse_iters, quantize, id_column, vec_column)
+    dim = coarse.shape[1]
+    ms, ks = int(m), int(k_codes)
+    if dim % ms:
+        raise ValueError(f"dim {dim} not divisible by m={ms}")
+    dsub = dim // ms
+    coarse_ref = ray.put(coarse)
+
+    def _residuals(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+        """(residual int64 [n, dim], cell int32 [n]) for a batch."""
+        c = ray.get(coarse_ref)
+        q = _pq_quant(_batch_matrix(batch, vec_column), quantize)
+        cell = _exact_argmin(q, c)
+        return q - c[cell], cell.astype(np.int32)
+
+    # ---- PQ seeds: residual subvectors of the k_codes smallest ids
+    def seed_partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_column).to_numpy(zero_copy_only=False).astype(np.int64)
+        if not len(ids):
+            return pa.table(
+                {"id": pa.array([], pa.int64()), "vec": pa.array([], pa.list_(pa.int64()))}
+            )
+        kk = min(ks, len(ids))
+        top = np.argpartition(ids, kk - 1)[:kk] if kk < len(ids) else np.arange(len(ids))
+        r, _ = _residuals(batch)
+        return pa.table(
+            {
+                "id": pa.array(ids[top]),
+                "vec": pa.array([r[i].tolist() for i in top], pa.list_(pa.int64())),
+            }
+        )
+
+    seeds = ds.map_batches(seed_partial, batch_format="pyarrow").to_pandas()
+    seeds = seeds.sort_values("id").head(ks)
+    full = np.stack([np.asarray(v, np.int64) for v in seeds["vec"]])  # [k, dim]
+    cbs = np.stack([full[:, s * dsub : (s + 1) * dsub] for s in range(ms)])
+
+    for _ in range(int(pq_iters)):
+        cref = ray.put(cbs)
+
+        def upd_partial(batch: pa.Table) -> pa.Table:
+            c = ray.get(cref)  # [m, k, dsub]
+            r, _ = _residuals(batch)
+            if not len(r):
+                return pa.table(
+                    {
+                        "sub": pa.array([], pa.int32()),
+                        "c": pa.array([], pa.int32()),
+                        "dim": pa.array([], pa.int32()),
+                        "qsum": pa.array([], pa.int64()),
+                        "cnt": pa.array([], pa.int64()),
+                    }
+                )
+            subs, cls, dims, qsums, cnts = [], [], [], [], []
+            for s in range(ms):
+                rs = r[:, s * dsub : (s + 1) * dsub]
+                a = _pq_assign_sub(rs, c[s])
+                sums = np.zeros((ks, dsub), np.int64)
+                np.add.at(sums, a, rs)
+                counts = np.bincount(a, minlength=ks).astype(np.int64)
+                subs.append(np.full(ks * dsub, s, np.int32))
+                cls.append(np.repeat(np.arange(ks, dtype=np.int32), dsub))
+                dims.append(np.tile(np.arange(dsub, dtype=np.int32), ks))
+                qsums.append(sums.reshape(-1))
+                cnts.append(np.repeat(counts, dsub))
+            return pa.table(
+                {
+                    "sub": pa.array(np.concatenate(subs)),
+                    "c": pa.array(np.concatenate(cls)),
+                    "dim": pa.array(np.concatenate(dims)),
+                    "qsum": pa.array(np.concatenate(qsums)),
+                    "cnt": pa.array(np.concatenate(cnts)),
+                }
+            )
+
+        merged = (
+            ds.map_batches(upd_partial, batch_format="pyarrow")
+            .groupby(["sub", "c", "dim"])
+            .aggregate(Sum("qsum", alias_name="qsum"), Sum("cnt", alias_name="cnt"))
+            .to_pandas()  # bounded: m × k × dsub rows
+        ).sort_values(["sub", "c", "dim"])
+        new = cbs.copy()
+        for (s, ci), grp in merged.groupby(["sub", "c"]):
+            n = int(grp["cnt"].iloc[0])
+            if n > 0:
+                new[int(s), int(ci)] = np.floor_divide(
+                    grp["qsum"].to_numpy(np.int64), np.int64(n)
+                )
+        cbs = new
+
+    cbs_ref = ray.put(cbs)
+
+    def enc(batch: pa.Table) -> pa.Table:
+        c = ray.get(cbs_ref)
+        data: dict = {id_column: batch.column(id_column)}
+        if not len(batch):
+            data["cell"] = pa.array([], pa.int32())
+            for s in range(ms):
+                data[f"code_{s}"] = pa.array([], pa.int32())
+            return pa.table(data)
+        r, cell = _residuals(batch)
+        data["cell"] = pa.array(cell)
+        for s in range(ms):
+            data[f"code_{s}"] = pa.array(
+                _pq_assign_sub(r[:, s * dsub : (s + 1) * dsub], c[s])
+            )
+        return pa.table(data)
+
+    return coarse, cbs, ds.map_batches(enc, batch_format="pyarrow")
+
+
+def ivf_pq_search(
+    codes_ds: "ray.data.Dataset",
+    coarse: np.ndarray,
+    codebooks: np.ndarray,
+    query_vectors_quantized: np.ndarray,
+    k: int = 5,
+    nprobe: int = 2,
+    id_column: str = "vec_id",
+) -> pa.Table:
+    """Residual-ADC top-k over an IVF-PQ code table: each query probes its
+    ``nprobe`` exactly-nearest coarse cells (ties → lowest cell id), a
+    per-(query, probed-cell) lookup table of exact int64 residual
+    subspace distances broadcasts once, and each code batch resolves the
+    probed rows by pure gather-sum with per-batch partial top-k (ties →
+    lowest id) and a bounded driver reduce. Rows outside the probed
+    cells are never touched — the read itself would be partition-pruned
+    at scale when the code table is hive-partitioned by ``cell``.
+
+    Returns (query_id int32, vec_id, adc_dist int64, rnk int64 1-based),
+    deterministic at any parallelism.
+    """
+    import pandas as pd
+
+    cc = np.asarray(coarse, np.int64)  # [kc, dim]
+    cbs = np.asarray(codebooks, np.int64)  # [m, kcode, dsub]
+    ms, _, dsub = cbs.shape
+    qv = np.atleast_2d(np.asarray(query_vectors_quantized, np.int64))  # [nq, dim]
+    nq = len(qv)
+    npb = min(int(nprobe), len(cc))
+
+    # probed cells per query: exact distances, stable sort keeps lowest id on ties
+    dcell = np.empty((nq, len(cc)), np.int64)
+    for j in range(len(cc)):
+        diff = qv - cc[j][None, :]
+        dcell[:, j] = (diff * diff).sum(axis=1)
+    probed = np.argsort(dcell, axis=1, kind="stable")[:, :npb].astype(np.int32)
+
+    # lut[j, p, s, c] = exact squared distance of query j's residual in
+    # probed cell p (subvector s) to codeword c
+    kcode = cbs.shape[1]
+    lut = np.empty((nq, npb, ms, kcode), np.int64)
+    for j in range(nq):
+        for p in range(npb):
+            r = qv[j] - cc[probed[j, p]]
+            for s in range(ms):
+                diff = r[s * dsub : (s + 1) * dsub][None, :] - cbs[s]
+                lut[j, p, s, :] = (diff * diff).sum(axis=1)
+    pref = ray.put((probed, lut))
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        pb, lt = ray.get(pref)
+        empty = pa.table(
+            {
+                "query_id": pa.array([], pa.int32()),
+                id_column: pa.array([], pa.int64()),
+                "adc_dist": pa.array([], pa.int64()),
+            }
+        )
+        if not len(batch):
+            return empty
+        ids = batch.column(id_column).to_numpy(zero_copy_only=False).astype(np.int64)
+        cells = batch.column("cell").to_numpy(zero_copy_only=False)
+        codes = np.stack(
+            [
+                batch.column(f"code_{s}").to_numpy(zero_copy_only=False)
+                for s in range(ms)
+            ],
+            axis=1,
+        )  # [n, m]
+        subs = np.arange(ms)[None, :]
+        out_q, out_id, out_d = [], [], []
+        for j in range(len(lt)):
+            j_ids, j_d = [], []
+            for p in range(pb.shape[1]):
+                mask = cells == pb[j, p]
+                if not mask.any():
+                    continue
+                j_ids.append(ids[mask])
+                j_d.append(lt[j, p][subs, codes[mask]].sum(axis=1))
+            if not j_ids:
+                continue
+            cand_ids = np.concatenate(j_ids)
+            cand_d = np.concatenate(j_d)
+            sel = np.lexsort((cand_ids, cand_d))[: min(k, len(cand_ids))]
+            out_q.append(np.full(len(sel), j, np.int32))
+            out_id.append(cand_ids[sel])
+            out_d.append(cand_d[sel])
+        if not out_q:
+            return empty
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q)),
+                id_column: pa.array(np.concatenate(out_id)),
+                "adc_dist": pa.array(np.concatenate(out_d)),
+            }
+        )
+
+    partials = codes_ds.map_batches(partial_topk, batch_format="pyarrow").to_pandas()
+    out = (
+        partials.sort_values(["query_id", "adc_dist", id_column], ignore_index=True)
+        .groupby("query_id", as_index=False)
+        .head(k)
+        .reset_index(drop=True)
+    )
+    out["rnk"] = (out.groupby("query_id").cumcount() + 1).astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 # ---------------------------------------------------------------------------
 # DBSCAN: density-based clustering over the embedding column
 # ---------------------------------------------------------------------------

@@ -5603,6 +5603,83 @@ def test_pq_adc_matches_brute_force_on_separated_clusters(ray_session):
         assert got["adc_dist"].tolist() == dist[order].tolist()
 
 
+def test_ivf_pq_planted_cells_probe_and_adc(ray_session):
+    """IVF-PQ on planted well-separated clusters: coarse cells recover the
+    planted groups, search touches ONLY the nprobe probed cells, and the
+    ranking matches a brute-force driver residual-ADC reference built
+    from the same artifacts. Build and search are partitioning-invariant
+    (2 vs 8 blocks byte-identical)."""
+    import ray.data
+
+    from dedupe_ray.ops.embedding import ivf_pq_build, ivf_pq_search
+
+    rng = np.random.default_rng(11)
+    m, dsub, kc = 2, 4, 3
+    dim = m * dsub
+    centers = np.array(
+        [[0.0] * dim, [10.0] * dim, [20.0] * dim]
+    )
+    groups = rng.integers(0, kc, size=60)
+    vecs = centers[groups] + rng.normal(0, 0.05, (60, dim))
+    # coarse seeds are the 3 smallest ids: pin one per planted group so
+    # cell id == planted group exactly
+    for g in range(kc):
+        vecs[g] = centers[g]
+        groups[g] = g
+    df = pd.DataFrame({"vec_id": np.arange(60), "embedding": [v.tolist() for v in vecs]})
+
+    outs = []
+    for nparts in (2, 8):
+        ds = ray.data.from_pandas(df).repartition(nparts)
+        coarse, cbs, codes_ds = ivf_pq_build(
+            ds, k_coarse=kc, coarse_iters=2, m=m, k_codes=2, pq_iters=1
+        )
+        codes = codes_ds.to_pandas().sort_values("vec_id").reset_index(drop=True)
+        assert (codes["cell"].to_numpy() == groups).all()
+        q = np.floor(vecs[:2] * 1_000_000 + 0.5).astype(np.int64)
+        out = ivf_pq_search(
+            ray.data.from_pandas(codes).repartition(nparts),
+            coarse, cbs, q, k=4, nprobe=2,
+        ).to_pandas()
+        outs.append((coarse, cbs, codes, out))
+    # partitioning invariance
+    assert (outs[0][0] == outs[1][0]).all() and (outs[0][1] == outs[1][1]).all()
+    pd.testing.assert_frame_equal(outs[0][2], outs[1][2])
+    pd.testing.assert_frame_equal(outs[0][3], outs[1][3])
+
+    coarse, cbs, codes, out = outs[0]
+    assert list(out.columns) == ["query_id", "vec_id", "adc_dist", "rnk"]
+    # brute-force driver reference: probe the 2 exactly-nearest cells,
+    # residual-ADC over members of those cells only
+    q = np.floor(vecs[:2] * 1_000_000 + 0.5).astype(np.int64)
+    cds = codes[[f"code_{s}" for s in range(m)]].to_numpy()
+    cells = codes["cell"].to_numpy()
+    for j in range(2):
+        dcell = ((q[j][None, :] - coarse) ** 2).sum(axis=1)
+        probe = np.argsort(dcell, kind="stable")[:2]
+        cand, cd = [], []
+        for cell in probe:
+            r = q[j] - coarse[cell]
+            lut = np.stack(
+                [((r[s * dsub:(s + 1) * dsub][None, :] - cbs[s]) ** 2).sum(axis=1)
+                 for s in range(m)]
+            )
+            mask = cells == cell
+            ids = codes["vec_id"].to_numpy()[mask]
+            dist = lut[np.arange(m)[None, :], cds[mask]].sum(axis=1)
+            cand.append(ids)
+            cd.append(dist)
+        ids = np.concatenate(cand)
+        dist = np.concatenate(cd)
+        order = np.lexsort((ids, dist))[:4]
+        got = out[out["query_id"] == j].sort_values("rnk")
+        assert got["vec_id"].tolist() == ids[order].tolist()
+        assert got["adc_dist"].tolist() == dist[order].tolist()
+        # nothing from the unprobed cell leaks in
+        probed_members = set(codes["vec_id"][np.isin(cells, probe)])
+        assert set(got["vec_id"]).issubset(probed_members)
+
+
 def test_dbscan_planted_clusters_roles_and_noise(ray_session):
     """Two planted dense blobs + a bridge-free sparse point: cores get the
     numeric-min member as cluster id, border points attach to the min
