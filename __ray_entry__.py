@@ -5459,6 +5459,48 @@ def _q_ivf_pq_topk(sf_dir: str):
     return ivf_pq_search(codes, coarse, cbs, qmat, k=5, nprobe=2)
 
 
+def _q_user_event_entropy(sf_dir: str):
+    """Per-user Shannon entropy of the event-type distribution in exact
+    integer micro-nats (`ops/tabular.py grouped_entropy`): the behavioral
+    diversity signal, combiner histogram + one bucketed shuffle, order-
+    free by integer summation (the raw-float entropy would hash-mismatch
+    on summation order)."""
+    from dedupe_ray.ops.tabular import grouped_entropy
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+    return grouped_entropy(ev, "user_id", "event_type")
+
+
+def _q_part_link_prediction(sf_dir: str):
+    """Common-neighbors + Adamic–Adar link prediction over the part
+    co-purchase graph (1/97 order slice — the part_triangles graph):
+    candidate merge/missing-edge pairs are non-adjacent parts sharing a
+    buyer, scored by wedge emission with exact integer nano-unit AA
+    terms (`ops/graph.py link_prediction_scores`); oracle is the
+    adjacency self-join mirror."""
+    from dedupe_ray.ops.graph import link_prediction_scores
+    from dedupe_ray.ops.tabular import cooccurrence_pairs
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def slice_orders(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ok = b.column("l_orderkey").to_numpy(zero_copy_only=False) % 97 == 0
+        t = b.filter(pa.array(ok))
+        return pa.table(
+            {
+                "l_orderkey": t.column("l_orderkey"),
+                "part": pc.cast(t.column("l_partkey"), pa.string()),
+            }
+        )
+
+    pairs = cooccurrence_pairs(
+        li.map_batches(slice_orders, batch_format="pyarrow"), "l_orderkey", "part"
+    )
+    return link_prediction_scores(pairs, "item_a", "item_b")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "er_clusters": _q_er_clusters,
@@ -5658,6 +5700,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pq_topk": _q_pq_topk,
         "dbscan_clusters": _q_dbscan_clusters,
         "ivf_pq_topk": _q_ivf_pq_topk,
+        "user_event_entropy": _q_user_event_entropy,
+        "part_link_prediction": _q_part_link_prediction,
     }
 
 
@@ -9120,6 +9164,65 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pq_topk": _gen_pq_topk_sql(),
         "ivf_pq_topk": _gen_ivf_pq_topk_sql(),
+        # entropy in integer micro-nats: per-cell ints → double division →
+        # ln → ×1e6 → floor, summed as exact BIGINTs (order-free on both
+        # engines; a raw-float entropy would hash-mismatch on sum order)
+        "user_event_entropy": """
+            WITH h AS MATERIALIZED (
+                SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+                FROM events GROUP BY user_id, event_type
+            ),
+            t AS MATERIALIZED (
+                SELECT user_id, CAST(sum(c) AS BIGINT) AS n
+                FROM h GROUP BY user_id
+            )
+            SELECT h.user_id, t.n,
+                   CAST(sum(h.c * CAST(floor(1000000.0
+                        * ln(CAST(t.n AS DOUBLE) / CAST(h.c AS DOUBLE)))
+                        AS BIGINT)) AS BIGINT) AS ent_micro_sum
+            FROM h JOIN t ON t.user_id = h.user_id
+            GROUP BY h.user_id, t.n
+        """,
+        # Adamic–Adar in exact integer nano-units: 10^15 // floor(1e6·ln d)
+        # per common neighbor (BIGINT // on positives == python floor-div);
+        # existing edges drop via the NULL-extended self-join
+        "part_link_prediction": """
+            WITH li AS MATERIALIZED (
+                SELECT DISTINCT l_orderkey, CAST(l_partkey AS VARCHAR) AS part
+                FROM lineitem WHERE l_orderkey % 97 = 0
+            ),
+            e AS MATERIALIZED (
+                SELECT DISTINCT a.part AS u, b.part AS w
+                FROM li a JOIN li b
+                  ON a.l_orderkey = b.l_orderkey AND a.part < b.part
+            ),
+            adj AS MATERIALIZED (
+                SELECT u AS node, w AS nbr FROM e
+                UNION ALL SELECT w, u FROM e
+            ),
+            deg AS MATERIALIZED (
+                SELECT node, CAST(count(*) AS BIGINT) AS d
+                FROM adj GROUP BY node
+            ),
+            wed AS MATERIALIZED (
+                SELECT a.nbr AS u, b.nbr AS w, a.node AS center
+                FROM adj a JOIN adj b
+                  ON a.node = b.node AND a.nbr < b.nbr
+            ),
+            sc AS MATERIALIZED (
+                SELECT wed.u, wed.w,
+                       CAST(count(*) AS BIGINT) AS cn,
+                       CAST(sum(1000000000000000 //
+                            CAST(floor(1000000.0
+                                 * ln(CAST(deg.d AS DOUBLE))) AS BIGINT))
+                            AS BIGINT) AS aa_nano
+                FROM wed JOIN deg ON deg.node = wed.center
+                GROUP BY wed.u, wed.w
+            )
+            SELECT sc.u, sc.w, sc.cn, sc.aa_nano
+            FROM sc LEFT JOIN e ON e.u = sc.u AND e.w = sc.w
+            WHERE e.u IS NULL
+        """,
         # DBSCAN: ε-neighborhoods include self (classic formulation); core
         # = |N_ε| ≥ 4; cluster id = min reachable core id; border takes the
         # min cluster among its core neighbors; noise rows never appear

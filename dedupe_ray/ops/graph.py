@@ -268,6 +268,160 @@ def triangle_counts(
     )
 
 
+def link_prediction_scores(
+    edges_ds: "ray.data.Dataset",
+    src_column: str = "src",
+    dst_column: str = "dst",
+) -> "ray.data.Dataset":
+    """Common-neighbors and Adamic–Adar link-prediction scores
+    (Liben-Nowell & Kleinberg, CIKM 2003) for every NON-adjacent node
+    pair with at least one common neighbor — the classic
+    missing-edge / entity-merge-candidate signal over an undirected
+    simple graph (edges in either orientation, duplicates collapse).
+
+    Method: every node emits its neighbor-pair wedges (u,w), u<w — the
+    same size-batched triu gather as :func:`triangle_counts` — and each
+    wedge at center v contributes one common neighbor and one
+    Adamic–Adar term ``1/ln(deg v)`` to the pair. The AA term is kept in
+    EXACT integer nano-units, ``10^15 // floor(1e6 · ln(deg))`` — the
+    run length of the center's adjacency rows inside its hash bucket IS
+    its degree — so the per-pair sums are order-free,
+    parallelism-invariant, and SQL-exact (the quantize-the-
+    transcendental doctrine). Wedges pre-aggregate per bucket (the
+    combiner), one groupby(u,w) finishes the sums, and pairs that are
+    already edges drop via a bucketed LEFT anti-join against the
+    canonical edge keys. Wedge volume is Σ deg²; cap hub degrees
+    upstream (``cap_per_key``) on power-law graphs.
+
+    Output: (u, w, cn int64, aa_nano int64).
+    """
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    from dedupe_ray.blocking import N_BUCKETS
+    from dedupe_ray.joins import bucketed_lookup_join
+    from dedupe_ray.ops.tabular import _bucket_hash_col
+
+    def canon(t: pa.Table) -> pa.Table:
+        a = pc.cast(t.column(src_column), pa.string())
+        b = pc.cast(t.column(dst_column), pa.string())
+        u = pc.min_element_wise(a, b)
+        w = pc.max_element_wise(a, b)
+        keep = pc.not_equal(u, w)
+        return pa.table({"u": u.combine_chunks(), "w": w.combine_chunks()}).filter(
+            keep.combine_chunks() if isinstance(keep, pa.ChunkedArray) else keep
+        )
+
+    edges = (
+        edges_ds.map_batches(canon, batch_format="pyarrow")
+        .groupby(["u", "w"])
+        .count()
+        .drop_columns(["count()"])
+        .materialize()
+    )
+
+    def adj(t: pa.Table) -> pa.Table:
+        u = t.column("u").combine_chunks()
+        w = t.column("w").combine_chunks()
+        node = pa.concat_arrays([u, w])
+        nbr = pa.concat_arrays([w, u])
+        out = pa.table({"node": node, "nbr": nbr})
+        return out.append_column("__abkt", _bucket_hash_col(node, N_BUCKETS))
+
+    def wedge_partials(group: pa.Table) -> pa.Table:
+        import math
+
+        import pandas as pd
+
+        empty = pa.table(
+            {
+                "u": pa.array([], pa.string()),
+                "w": pa.array([], pa.string()),
+                "cn": pa.array([], pa.int64()),
+                "aa_nano": pa.array([], pa.int64()),
+            }
+        )
+        df = (
+            group.select(["node", "nbr"])
+            .to_pandas()
+            .sort_values(["node", "nbr"], kind="mergesort")
+        )
+        if len(df) == 0:
+            return empty
+        nodes = df["node"].to_numpy(object)
+        nbrs = df["nbr"].to_numpy(object)
+        new_n = np.empty(len(df), bool)
+        new_n[0] = True
+        new_n[1:] = nodes[1:] != nodes[:-1]
+        starts = np.flatnonzero(new_n)
+        ks = np.diff(np.append(starts, len(df)))
+        out_a, out_b, out_t = [], [], []
+        for k in np.unique(ks):
+            if k < 2:
+                continue
+            # run length k == deg(center): the bucket holds ALL adjacency
+            # rows of its nodes. Same IEEE chain as the SQL mirror:
+            # int → double → libm log → ×1e6 → floor → integer division
+            term = 10**15 // math.floor(1000000.0 * math.log(float(k)))
+            iu, ju = np.triu_indices(int(k), 1)
+            s = starts[ks == k]
+            out_a.append((s[:, None] + iu[None, :]).ravel())
+            out_b.append((s[:, None] + ju[None, :]).ravel())
+            out_t.append(np.full(len(s) * len(iu), term, np.int64))
+        if not out_a:
+            return empty
+        ia = np.concatenate(out_a)
+        ib = np.concatenate(out_b)
+        part = pd.DataFrame(
+            {"u": nbrs[ia], "w": nbrs[ib], "aa_nano": np.concatenate(out_t)}
+        )
+        agg = part.groupby(["u", "w"], as_index=False).agg(
+            cn=("aa_nano", "size"), aa_nano=("aa_nano", "sum")
+        )
+        agg["cn"] = agg["cn"].astype(np.int64)
+        return pa.Table.from_pandas(agg[["u", "w", "cn", "aa_nano"]], preserve_index=False)
+
+    pairs = (
+        edges.map_batches(adj, batch_format="pyarrow")
+        .groupby("__abkt")
+        .map_groups(wedge_partials, batch_format="pyarrow")
+        .groupby(["u", "w"])
+        .aggregate(Sum("cn", alias_name="cn"), Sum("aa_nano", alias_name="aa_nano"))
+    )
+
+    def pair_key(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "pkey", pc.binary_join_element_wise(t.column("u"), t.column("w"), "\x1f")
+        )
+
+    ekeys = edges.map_batches(
+        lambda t: pa.table(
+            {
+                "ekey": pc.binary_join_element_wise(
+                    t.column("u"), t.column("w"), "\x1f"
+                ),
+                "present": pa.array(np.ones(len(t), np.int8)),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    joined = bucketed_lookup_join(
+        pairs.map_batches(pair_key, batch_format="pyarrow"),
+        ekeys,
+        "pkey",
+        "ekey",
+        ["present"],
+        how="left",
+    )
+    return joined.map_batches(
+        lambda t: t.filter(pc.is_null(t.column("present"))).select(
+            ["u", "w", "cn", "aa_nano"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def kcore(
     edges_ds: "ray.data.Dataset",
     k: int,

@@ -5603,6 +5603,84 @@ def test_pq_adc_matches_brute_force_on_separated_clusters(ray_session):
         assert got["adc_dist"].tolist() == dist[order].tolist()
 
 
+def test_grouped_entropy_hand_computed_and_layout_invariant(ray_session):
+    """grouped_entropy: hand-computed micro-nat sums on a tiny fixture
+    (uniform 2-value group, single-value group, skewed 3/1 group), and
+    byte-identical output at 1 vs 8 blocks."""
+    import math
+
+    import ray.data
+
+    from dedupe_ray.ops.tabular import grouped_entropy
+
+    df = pd.DataFrame(
+        {
+            "g": ["a", "a", "a", "a", "b", "b", "c", "c", "c", "c"],
+            "v": ["x", "x", "y", "y", "x", "x", "x", "x", "x", "y"],
+        }
+    )
+    outs = []
+    for nparts in (1, 8):
+        ds = ray.data.from_pandas(df).repartition(nparts)
+        out = (
+            grouped_entropy(ds, "g", "v")
+            .to_pandas()
+            .sort_values("g")
+            .reset_index(drop=True)
+        )
+        outs.append(out)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    out = outs[0]
+    assert out["g"].tolist() == ["a", "b", "c"]
+    assert out["n"].tolist() == [4, 2, 4]
+    # a: two values with c=2, n=4 → 2·floor(1e6·ln2) × 2
+    t2 = math.floor(1e6 * math.log(4.0 / 2.0))
+    assert out["ent_micro_sum"][0] == 2 * t2 + 2 * t2
+    # b: single value → ln(1) = 0
+    assert out["ent_micro_sum"][1] == 0
+    # c: 3/1 split
+    assert out["ent_micro_sum"][2] == 3 * math.floor(
+        1e6 * math.log(4.0 / 3.0)
+    ) + 1 * math.floor(1e6 * math.log(4.0 / 1.0))
+
+
+def test_link_prediction_hand_graph(ray_session):
+    """link_prediction_scores on a 4-node hand graph: only non-adjacent
+    pairs appear, common-neighbor counts and integer-nano Adamic–Adar
+    terms match the by-hand wedge enumeration; layout-invariant."""
+    import math
+
+    import ray.data
+
+    from dedupe_ray.ops.graph import link_prediction_scores
+
+    # a-b, a-c, b-c (triangle) + b-d pendant; mixed orientation + dup
+    df = pd.DataFrame(
+        {
+            "src": ["a", "c", "b", "d", "a"],
+            "dst": ["b", "a", "c", "b", "b"],
+        }
+    )
+    outs = []
+    for nparts in (1, 4):
+        ds = ray.data.from_pandas(df).repartition(nparts)
+        out = (
+            link_prediction_scores(ds, "src", "dst")
+            .to_pandas()
+            .sort_values(["u", "w"])
+            .reset_index(drop=True)
+        )
+        outs.append(out)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    out = outs[0]
+    # non-adjacent pairs with a common neighbor: (a,d) and (c,d), both
+    # through center b (deg 3)
+    aa3 = 10**15 // math.floor(1000000.0 * math.log(3.0))
+    assert out[["u", "w"]].values.tolist() == [["a", "d"], ["c", "d"]]
+    assert out["cn"].tolist() == [1, 1]
+    assert out["aa_nano"].tolist() == [aa3, aa3]
+
+
 def test_ivf_pq_planted_cells_probe_and_adc(ray_session):
     """IVF-PQ on planted well-separated clusters: coarse cells recover the
     planted groups, search touches ONLY the nprobe probed cells, and the
