@@ -5501,6 +5501,20 @@ def _q_part_link_prediction(sf_dir: str):
     return link_prediction_scores(pairs, "item_a", "item_b")
 
 
+def _q_pca_embeddings(sf_dir: str):
+    """PCA over the embedding table (`ops/embedding.py pca_fit/
+    pca_project`): covariance from EXACT integer moments (one combiner
+    pass, O(d²) driver state) so the fitted components — and therefore
+    the per-vector (pc_0, pc_1) projections — are bit-identical at any
+    parallelism; eigen-decomposition is not SQL-expressible, so this is
+    a no-oracle query backed by the layout-invariance unit test."""
+    from dedupe_ray.ops.embedding import pca_fit, pca_project
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    mean, comps = pca_fit(emb, n_components=2)
+    return pca_project(emb, mean, comps)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "er_clusters": _q_er_clusters,
@@ -5702,6 +5716,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_pq_topk": _q_ivf_pq_topk,
         "user_event_entropy": _q_user_event_entropy,
         "part_link_prediction": _q_part_link_prediction,
+        "pca_embeddings": _q_pca_embeddings,
     }
 
 

@@ -1120,6 +1120,112 @@ def embedding_gram_int(
     )
 
 
+def pca_fit(
+    ds: "ray.data.Dataset",
+    n_components: int = 2,
+    quantize: int = 1000,
+    vec_column: str = "embedding",
+) -> tuple[np.ndarray, np.ndarray]:
+    """Fit PCA over the embedding column from EXACT integer moments — the
+    dimensionality-reduction stage before indexing/visualization. One
+    combiner pass collects n, the per-dim sums Σx, and the full second-
+    moment matrix ΣxᵀX as exact int64 (the :func:`embedding_gram_int`
+    doctrine — nothing row-scaled shuffles, driver state is O(d²)); the
+    driver then forms the covariance from those integers and runs one
+    LAPACK ``eigh``. Because the integer moments are order-free, the
+    covariance matrix is BIT-IDENTICAL at any parallelism, so the
+    eigenvectors are too (eigh is deterministic for a fixed input).
+    Component signs are canonicalized: the largest-|v| coefficient of
+    each component is made positive (first index on ties).
+
+    Returns ``(mean float64 [d] in quantized units, components float64
+    [n_components, d])`` — feed both to :func:`pca_project`.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        if not len(b):
+            return pa.table(
+                {
+                    "i": pa.array([], pa.int64()),
+                    "j": pa.array([], pa.int64()),
+                    "s": pa.array([], pa.int64()),
+                }
+            )
+        x = np.floor(
+            _batch_matrix(b, vec_column).astype(np.float64) * float(quantize) + 0.5
+        )
+        d = x.shape[1]
+        g = x.T @ x  # exact in float64: |cells| < 2**53 at these scales
+        iu, ju = np.triu_indices(d)
+        # first moments ride along as j = -1 rows; the count as (-1, -1)
+        i_out = np.concatenate([iu.astype(np.int64), np.arange(d, dtype=np.int64), [-1]])
+        j_out = np.concatenate([ju.astype(np.int64), np.full(d, -1, np.int64), [-1]])
+        s_out = np.concatenate(
+            [g[iu, ju].astype(np.int64), x.sum(axis=0).astype(np.int64), [len(x)]]
+        )
+        return pa.table({"i": pa.array(i_out), "j": pa.array(j_out), "s": pa.array(s_out)})
+
+    mom = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["i", "j"])
+        .aggregate(Sum("s", alias_name="s"))
+        .to_pandas()  # bounded: d(d+1)/2 + d + 1 rows
+    )
+    n = int(mom.loc[(mom["i"] == -1) & (mom["j"] == -1), "s"].iloc[0])
+    first = mom[(mom["j"] == -1) & (mom["i"] >= 0)].sort_values("i")
+    d = len(first)
+    s1 = first["s"].to_numpy(np.int64)
+    g = np.zeros((d, d), np.float64)
+    sec = mom[mom["j"] >= 0]
+    gi = sec["i"].to_numpy(np.int64)
+    gj = sec["j"].to_numpy(np.int64)
+    gs = sec["s"].to_numpy(np.int64).astype(np.float64)
+    g[gi, gj] = gs
+    g[gj, gi] = gs
+    mean = s1.astype(np.float64) / n
+    cov = g / n - np.outer(mean, mean)
+    w, v = np.linalg.eigh(cov)
+    comps = v[:, ::-1][:, : int(n_components)].T  # largest eigenvalues first
+    for r in range(len(comps)):
+        if comps[r, np.argmax(np.abs(comps[r]))] < 0:
+            comps[r] = -comps[r]
+    return mean, comps
+
+
+def pca_project(
+    ds: "ray.data.Dataset",
+    mean: np.ndarray,
+    components: np.ndarray,
+    quantize: int = 1000,
+    id_column: str = "vec_id",
+    vec_column: str = "embedding",
+) -> "ray.data.Dataset":
+    """Project each vector onto fitted PCA components (one broadcast, one
+    matmul per batch — zero shuffle): quantizes with the SAME fixed-point
+    rule as :func:`pca_fit` so the projection is layout-invariant, then
+    emits ``pc_0..pc_{k-1}`` float64 columns alongside ``id_column``."""
+    mref = ray.put((np.asarray(mean, np.float64), np.asarray(components, np.float64)))
+    k = len(components)
+
+    def proj(b: pa.Table) -> pa.Table:
+        mu, comp = ray.get(mref)
+        data: dict = {id_column: b.column(id_column)}
+        if not len(b):
+            for r in range(k):
+                data[f"pc_{r}"] = pa.array([], pa.float64())
+            return pa.table(data)
+        x = np.floor(
+            _batch_matrix(b, vec_column).astype(np.float64) * float(quantize) + 0.5
+        )
+        y = (x - mu[None, :]) @ comp.T
+        for r in range(k):
+            data[f"pc_{r}"] = pa.array(y[:, r])
+        return pa.table(data)
+
+    return ds.map_batches(proj, batch_format="pyarrow")
+
+
 def mmr_diversify(
     ds: "ray.data.Dataset",
     query_vec: np.ndarray,

@@ -5644,6 +5644,46 @@ def test_grouped_entropy_hand_computed_and_layout_invariant(ray_session):
     ) + 1 * math.floor(1e6 * math.log(4.0 / 1.0))
 
 
+def test_pca_planted_axis_and_layout_invariance(ray_session):
+    """pca_fit/pca_project: on data varying along one planted direction,
+    the first component recovers it (sign-canonicalized, |cos| ≈ 1) and
+    projections are bit-identical at 1 vs 8 blocks; pc_0 carries almost
+    all the variance."""
+    import ray.data
+
+    from dedupe_ray.ops.embedding import pca_fit, pca_project
+
+    rng = np.random.default_rng(3)
+    d = 6
+    axis = np.zeros(d)
+    axis[2] = 1.0  # planted: all variance on dim 2
+    t = rng.normal(0, 5.0, 80)
+    vecs = 10.0 + t[:, None] * axis[None, :] + rng.normal(0, 0.01, (80, d))
+    df = pd.DataFrame(
+        {"vec_id": np.arange(80), "embedding": [v.tolist() for v in vecs]}
+    )
+    outs = []
+    for nparts in (1, 8):
+        ds = ray.data.from_pandas(df).repartition(nparts)
+        mean, comps = pca_fit(ds, n_components=2)
+        out = (
+            pca_project(ds, mean, comps)
+            .to_pandas()
+            .sort_values("vec_id")
+            .reset_index(drop=True)
+        )
+        outs.append((mean, comps, out))
+    assert (outs[0][0] == outs[1][0]).all()
+    assert (outs[0][1] == outs[1][1]).all()
+    pd.testing.assert_frame_equal(outs[0][2], outs[1][2])
+    mean, comps, out = outs[0]
+    # first component aligns with the planted axis, sign-canonical (+)
+    assert abs(comps[0] @ axis) > 0.999
+    assert comps[0, 2] > 0
+    # variance concentrates on pc_0
+    assert out["pc_0"].var() > 100 * out["pc_1"].var()
+
+
 def test_link_prediction_hand_graph(ray_session):
     """link_prediction_scores on a 4-node hand graph: only non-adjacent
     pairs appear, common-neighbor counts and integer-nano Adamic–Adar
