@@ -5515,6 +5515,18 @@ def _q_pca_embeddings(sf_dir: str):
     return pca_project(emb, mean, comps)
 
 
+def _q_tf_adjusted_lang(sf_dir: str):
+    """Splink-style term-frequency adjustment table over documents.lang
+    (`linkage.py tf_adjustment_table`): per-value u-probabilities and
+    agreement weights in exact integer micro-log2 units — agreement on a
+    rare value is stronger match evidence; the scorer joins pairs
+    against this table instead of using one field-level u."""
+    from dedupe_ray.linkage import tf_adjustment_table
+
+    docs = _read(sf_dir, "documents", ["lang"])
+    return tf_adjustment_table(docs, "lang", m_num=9, m_den=10)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "er_clusters": _q_er_clusters,
@@ -5717,6 +5729,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_event_entropy": _q_user_event_entropy,
         "part_link_prediction": _q_part_link_prediction,
         "pca_embeddings": _q_pca_embeddings,
+        "tf_adjusted_lang": _q_tf_adjusted_lang,
     }
 
 
@@ -9237,6 +9250,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT sc.u, sc.w, sc.cn, sc.aa_nano
             FROM sc LEFT JOIN e ON e.u = sc.u AND e.w = sc.w
             WHERE e.u IS NULL
+        """,
+        # TF-adjusted FS weight in integer micro-log2 units: m as the
+        # rational 9/10, exact ints → double multiply/divide with the
+        # SAME literal chain as the kernel → libm log2 → floor
+        "tf_adjusted_lang": """
+            WITH c AS MATERIALIZED (
+                SELECT lang AS value, CAST(count(*) AS BIGINT) AS cnt
+                FROM documents GROUP BY lang
+            ),
+            t AS MATERIALIZED (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM c)
+            SELECT c.value, c.cnt, t.n,
+                   CAST(floor(1000000.0 * log2((9.0 * CAST(t.n AS DOUBLE))
+                        / (10.0 * CAST(c.cnt AS DOUBLE)))) AS BIGINT) AS w_micro
+            FROM c, t
         """,
         # DBSCAN: ε-neighborhoods include self (classic formulation); core
         # = |N_ε| ≥ 4; cluster id = min reachable core id; border takes the

@@ -447,3 +447,76 @@ def fellegi_sunter_em(
         }
     )
     return {"p": p, "fields": fields, "patterns": patterns}
+
+
+def tf_adjustment_table(
+    ds: "ray.data.Dataset",
+    value_column: str,
+    m_num: int = 9,
+    m_den: int = 10,
+) -> "ray.data.Dataset":
+    """Term-frequency adjustment table for Fellegi–Sunter scoring
+    (Winkler 1988; the feature Splink ships as
+    ``term_frequency_adjustments``): agreement on a RARE value is much
+    stronger match evidence than agreement on a common one, so the
+    per-value u-probability ``u_v = cnt_v / N`` replaces the field-level
+    ``u`` and the agreement weight becomes ``log2(m / u_v)``.
+
+    This materializes the per-value lookup table the scorer joins
+    against (broadcast when small, bucketed join when not):
+    ``(value, cnt, n, w_micro)`` with the weight in integer
+    micro-log2-units, ``w_micro = floor(1e6 · log2((m_num·N) /
+    (m_den·cnt_v)))`` — m passed as a RATIONAL so the whole chain is
+    exact ints → one double division → libm log2 → floor, identical in
+    the SQL mirror and order-free at any parallelism (the
+    quantize-the-transcendental doctrine).
+
+    Shape: per-batch value pre-count (the combiner) → groupby Sum
+    finishes the counts → N folds from the bounded count table → one
+    broadcast-constant map adds the weight. Nothing corpus-sized ever
+    sits on the driver; the output stays a Dataset keyed by value.
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        vals = b.column(value_column).to_pandas()
+        g = vals.groupby(vals, dropna=False).size()
+        return pa.table(
+            {
+                "value": pa.array(g.index.to_numpy(object), pa.string()),
+                "cnt": pa.array(g.to_numpy(np.int64)),
+            }
+        )
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("value")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    ).materialize()
+    n = int(counts.sum("cnt"))
+
+    def weight(b: pa.Table) -> pa.Table:
+        cnt = b.column("cnt").to_numpy(zero_copy_only=False).astype(np.int64)
+        # identical IEEE chain to the SQL mirror: exact int products →
+        # double division → libm log2 → ×1e6 → floor
+        w = np.floor(
+            1000000.0
+            * np.log2(
+                (float(m_num) * float(n)) / (float(m_den) * cnt.astype(np.float64))
+            )
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "value": b.column("value"),
+                "cnt": pa.array(cnt),
+                "n": pa.array(np.full(len(cnt), n, np.int64)),
+                "w_micro": pa.array(w),
+            }
+        )
+
+    return counts.map_batches(weight, batch_format="pyarrow")

@@ -200,3 +200,39 @@ def test_fellegi_sunter_em_recovers_parameters(ray_session):
     # determinism across layouts (sufficient statistics are exact ints)
     res2 = fellegi_sunter_em(rd.from_pandas(df).repartition(2), ["a0", "a1", "a2"])
     assert res2["p"] == res["p"] and res2["fields"] == res["fields"]
+
+
+def test_tf_adjustment_table_hand_weights(ray_session):
+    """tf_adjustment_table: rare values get larger micro-log2 weights,
+    values match floor(1e6·log2((9·N)/(10·cnt))) by hand, and the table
+    is layout-invariant."""
+    import math
+
+    import pandas as pd
+    import ray.data as rd
+
+    from dedupe_ray.linkage import tf_adjustment_table
+
+    vals = ["smith"] * 8 + ["jones"] * 3 + ["zu"]
+    df = pd.DataFrame({"surname": vals})
+    outs = []
+    for nparts in (1, 4):
+        out = (
+            tf_adjustment_table(
+                rd.from_pandas(df).repartition(nparts), "surname",
+                m_num=9, m_den=10,
+            )
+            .to_pandas()
+            .sort_values("value")
+            .reset_index(drop=True)
+        )
+        outs.append(out)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    out = outs[0].set_index("value")
+    assert out.loc["smith", "cnt"] == 8 and out.loc["zu", "cnt"] == 1
+    assert (out["n"] == 12).all()
+    for v, c in (("smith", 8), ("jones", 3), ("zu", 1)):
+        expect = math.floor(1e6 * math.log2((9.0 * 12.0) / (10.0 * c)))
+        assert out.loc[v, "w_micro"] == expect
+    # rare value strictly outweighs common one
+    assert out.loc["zu", "w_micro"] > out.loc["jones", "w_micro"] > out.loc["smith", "w_micro"]
