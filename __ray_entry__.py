@@ -5527,6 +5527,18 @@ def _q_tf_adjusted_lang(sf_dir: str):
     return tf_adjustment_table(docs, "lang", m_num=9, m_den=10)
 
 
+def _q_bcubed_lang_source(sf_dir: str):
+    """B-cubed precision/recall of the lang partition against the source
+    partition over documents (`eval.py bcubed_metrics`): per-record
+    averaged cluster agreement in exact integer micro-units — the ER
+    evaluation family's record-weighted member next to the pairwise
+    metrics (partition_agreement)."""
+    from dedupe_ray.eval import bcubed_metrics
+
+    docs = _read(sf_dir, "documents", ["lang", "source"])
+    return bcubed_metrics(docs, "lang", "source")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "er_clusters": _q_er_clusters,
@@ -5730,6 +5742,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_link_prediction": _q_part_link_prediction,
         "pca_embeddings": _q_pca_embeddings,
         "tf_adjusted_lang": _q_tf_adjusted_lang,
+        "bcubed_lang_source": _q_bcubed_lang_source,
     }
 
 
@@ -9264,6 +9277,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(1000000.0 * log2((9.0 * CAST(t.n AS DOUBLE))
                         / (10.0 * CAST(c.cnt AS DOUBLE)))) AS BIGINT) AS w_micro
             FROM c, t
+        """,
+        # B-cubed in exact integer micro-units: per-cell ((c·1e6)//size)·c
+        # — c ≤ size bounds each term by 1e6·c, sums are order-free BIGINTs
+        "bcubed_lang_source": """
+            WITH cells AS MATERIALIZED (
+                SELECT lang AS pred, source AS true_c,
+                       CAST(count(*) AS BIGINT) AS c
+                FROM documents GROUP BY lang, source
+            ),
+            ps AS MATERIALIZED (
+                SELECT pred, CAST(sum(c) AS BIGINT) AS p FROM cells GROUP BY pred
+            ),
+            ts AS MATERIALIZED (
+                SELECT true_c, CAST(sum(c) AS BIGINT) AS t FROM cells GROUP BY true_c
+            )
+            SELECT CAST(sum(c) AS BIGINT) AS n,
+                   CAST(sum(((c * 1000000) // p) * c) AS BIGINT) AS prec_micro_sum,
+                   CAST(sum(((c * 1000000) // t) * c) AS BIGINT) AS rec_micro_sum
+            FROM cells
+            JOIN ps ON ps.pred = cells.pred
+            JOIN ts ON ts.true_c = cells.true_c
         """,
         # DBSCAN: ε-neighborhoods include self (classic formulation); core
         # = |N_ε| ≥ 4; cluster id = min reachable core id; border takes the

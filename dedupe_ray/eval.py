@@ -181,3 +181,102 @@ def blocking_quality(
             ),
         }
     )
+
+
+def bcubed_metrics(
+    ds,
+    pred_column: str,
+    true_column: str,
+) -> pa.Table:
+    """DISTRIBUTED B-cubed precision/recall (Bagga & Baldwin 1998) — the
+    other standard ER-evaluation family next to
+    :func:`pairwise_cluster_metrics`: pairwise metrics weight big
+    clusters quadratically; B³ averages PER RECORD, so singleton and
+    small-cluster quality is visible.
+
+    Identity: per record r, precision(r) = |pred(r) ∩ true(r)| /
+    |pred(r)| — constant within a contingency cell — so
+    B³prec = (1/N) Σ_cells c·(c/p). Each cell's contribution is kept as
+    the EXACT integer ``((c · 10^6) // p) · c`` (c ≤ p bounds the term
+    by 1e6·c, so sums stay in int64 up to ~9·10¹² records); the
+    micro-unit sums are order-free, parallelism-invariant, and mirrored
+    term-for-term in SQL (the quantize-the-rational doctrine —
+    B³prec ≈ prec_micro_sum / (n · 1e6), underestimating by < 1e-6 per
+    record).
+
+    Shape: one combiner pass builds the (pred, true, c) contingency
+    cells; pred sizes and true sizes reduce from the CELL table (never
+    rescanning records); two bucketed joins attach p and t to each cell;
+    per-batch partial term sums → one global Sum. Nothing driver-side
+    but five integers. Output: one row (n, prec_micro_sum,
+    rec_micro_sum) int64.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    from dedupe_ray.joins import bucketed_lookup_join
+
+    def cell_partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "pred": b.column(pred_column).to_pandas(),
+                "true": b.column(true_column).to_pandas(),
+            }
+        )
+        g = df.groupby(["pred", "true"], as_index=False).size()
+        g = g.rename(columns={"size": "c"})
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    cells = (
+        ds.map_batches(cell_partial, batch_format="pyarrow")
+        .groupby(["pred", "true"])
+        .aggregate(Sum("c", alias_name="c"))
+        .materialize()  # consumed four times below
+    )
+
+    def side_sizes(col: str, out: str):
+        def partial(b: pa.Table) -> pa.Table:
+            keys = b.column(col).to_numpy(zero_copy_only=False)
+            codes, uniq = pd.factorize(keys)
+            c = b.column("c").to_numpy(zero_copy_only=False).astype(np.int64)
+            s = np.zeros(len(uniq), np.int64)
+            np.add.at(s, codes, c)
+            return pa.table({col: pa.array(np.asarray(uniq)), out: pa.array(s)})
+
+        return (
+            cells.map_batches(partial, batch_format="pyarrow")
+            .groupby(col)
+            .aggregate(Sum(out, alias_name=out))
+        )
+
+    with_p = bucketed_lookup_join(cells, side_sizes("pred", "p"), "pred", "pred", ["p"])
+    with_pt = bucketed_lookup_join(
+        with_p, side_sizes("true", "t"), "true", "true", ["t"]
+    )
+
+    def term_partial(b: pa.Table) -> pa.Table:
+        c = b.column("c").to_numpy(zero_copy_only=False).astype(np.int64)
+        p = b.column("p").to_numpy(zero_copy_only=False).astype(np.int64)
+        t = b.column("t").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "n": pa.array([int(c.sum())], pa.int64()),
+                "prec_micro_sum": pa.array([int((((c * 1000000) // p) * c).sum())], pa.int64()),
+                "rec_micro_sum": pa.array([int((((c * 1000000) // t) * c).sum())], pa.int64()),
+            }
+        )
+
+    agg = with_pt.map_batches(term_partial, batch_format="pyarrow").aggregate(
+        Sum("n", alias_name="n"),
+        Sum("prec_micro_sum", alias_name="prec_micro_sum"),
+        Sum("rec_micro_sum", alias_name="rec_micro_sum"),
+    )
+    return pa.table(
+        {
+            "n": pa.array([int(agg["n"] or 0)], pa.int64()),
+            "prec_micro_sum": pa.array([int(agg["prec_micro_sum"] or 0)], pa.int64()),
+            "rec_micro_sum": pa.array([int(agg["rec_micro_sum"] or 0)], pa.int64()),
+        }
+    )

@@ -5644,6 +5644,44 @@ def test_grouped_entropy_hand_computed_and_layout_invariant(ray_session):
     ) + 1 * math.floor(1e6 * math.log(4.0 / 1.0))
 
 
+def test_bcubed_hand_computed_and_layout_invariant(ray_session):
+    """bcubed_metrics vs a by-hand B³ on a 5-record fixture, plus the
+    identical-partition and layout-invariance properties."""
+    import ray.data
+
+    from dedupe_ray.eval import bcubed_metrics
+
+    # pred: {a,a,a}{b,b}  true: {x,x}{y,y,y} with cells:
+    # (a,x):2 (a,y):1 (b,y):2 → p(a)=3 p(b)=2 t(x)=2 t(y)=3
+    df = pd.DataFrame(
+        {
+            "pred": ["a", "a", "a", "b", "b"],
+            "true": ["x", "x", "y", "y", "y"],
+        }
+    )
+    outs = []
+    for nparts in (1, 4):
+        out = bcubed_metrics(
+            ray.data.from_pandas(df).repartition(nparts), "pred", "true"
+        ).to_pandas()
+        outs.append(out)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    out = outs[0].iloc[0]
+    assert out["n"] == 5
+    # prec_micro_sum = Σ ((c·1e6)//p)·c = (2e6//3)·2 + (1e6//3)·1 + (2e6//2)·2
+    assert out["prec_micro_sum"] == (2_000_000 // 3) * 2 + (1_000_000 // 3) * 1 + 2_000_000
+    # rec_micro_sum = (2e6//2)·2 + (1e6//3)·1 + (2e6//3)·2
+    assert out["rec_micro_sum"] == 2_000_000 + (1_000_000 // 3) * 1 + (2_000_000 // 3) * 2
+    # identical partitions → exact 1.0 in micro-units
+    same = bcubed_metrics(
+        ray.data.from_pandas(pd.DataFrame({"pred": ["a", "a", "b"], "true": ["a", "a", "b"]})),
+        "pred",
+        "true",
+    ).to_pandas().iloc[0]
+    assert same["prec_micro_sum"] == same["n"] * 1_000_000
+    assert same["rec_micro_sum"] == same["n"] * 1_000_000
+
+
 def test_pca_planted_axis_and_layout_invariance(ray_session):
     """pca_fit/pca_project: on data varying along one planted direction,
     the first component recovers it (sign-canonicalized, |cos| ≈ 1) and
