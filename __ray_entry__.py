@@ -5539,6 +5539,34 @@ def _q_bcubed_lang_source(sf_dir: str):
     return bcubed_metrics(docs, "lang", "source")
 
 
+def _q_part_assortativity(sf_dir: str):
+    """Degree-assortativity sufficient statistics of the part co-purchase
+    graph (1/97 order slice): exact int64 moments over the 2|E| directed
+    edge instances — the caller divides, so no cross-engine float ships
+    (`ops/graph.py degree_assortativity_moments`)."""
+    from dedupe_ray.ops.graph import degree_assortativity_moments
+    from dedupe_ray.ops.tabular import cooccurrence_pairs
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def slice_orders(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ok = b.column("l_orderkey").to_numpy(zero_copy_only=False) % 97 == 0
+        t = b.filter(pa.array(ok))
+        return pa.table(
+            {
+                "l_orderkey": t.column("l_orderkey"),
+                "part": pc.cast(t.column("l_partkey"), pa.string()),
+            }
+        )
+
+    pairs = cooccurrence_pairs(
+        li.map_batches(slice_orders, batch_format="pyarrow"), "l_orderkey", "part"
+    )
+    return degree_assortativity_moments(pairs, "item_a", "item_b")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "er_clusters": _q_er_clusters,
@@ -5743,6 +5771,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pca_embeddings": _q_pca_embeddings,
         "tf_adjusted_lang": _q_tf_adjusted_lang,
         "bcubed_lang_source": _q_bcubed_lang_source,
+        "part_assortativity": _q_part_assortativity,
     }
 
 
@@ -9298,6 +9327,33 @@ def oracle_sql() -> dict[str, str]:
             FROM cells
             JOIN ps ON ps.pred = cells.pred
             JOIN ts ON ts.true_c = cells.true_c
+        """,
+        # assortativity as exact int64 moments over directed edge
+        # instances; the Pearson division happens caller-side (q14 doctrine)
+        "part_assortativity": """
+            WITH li AS MATERIALIZED (
+                SELECT DISTINCT l_orderkey, CAST(l_partkey AS VARCHAR) AS part
+                FROM lineitem WHERE l_orderkey % 97 = 0
+            ),
+            e AS MATERIALIZED (
+                SELECT DISTINCT a.part AS u, b.part AS w
+                FROM li a JOIN li b
+                  ON a.l_orderkey = b.l_orderkey AND a.part < b.part
+            ),
+            adj AS MATERIALIZED (
+                SELECT u AS node FROM e UNION ALL SELECT w FROM e
+            ),
+            deg AS MATERIALIZED (
+                SELECT node, CAST(count(*) AS BIGINT) AS d
+                FROM adj GROUP BY node
+            )
+            SELECT CAST(2 * count(*) AS BIGINT) AS n2,
+                   CAST(sum(a.d + b.d) AS BIGINT) AS sx,
+                   CAST(sum(a.d * a.d + b.d * b.d) AS BIGINT) AS sxx,
+                   CAST(2 * sum(a.d * b.d) AS BIGINT) AS sxy
+            FROM e
+            JOIN deg a ON a.node = e.u
+            JOIN deg b ON b.node = e.w
         """,
         # DBSCAN: ε-neighborhoods include self (classic formulation); core
         # = |N_ε| ≥ 4; cluster id = min reachable core id; border takes the

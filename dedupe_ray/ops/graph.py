@@ -422,6 +422,102 @@ def link_prediction_scores(
     )
 
 
+def degree_assortativity_moments(
+    edges_ds: "ray.data.Dataset",
+    src_column: str = "src",
+    dst_column: str = "dst",
+) -> pa.Table:
+    """Exact integer sufficient statistics for the degree-assortativity
+    coefficient (Newman 2002) of an undirected simple graph: over the
+    2|E| directed edge instances with endpoint-degree pairs (dᵤ, d_w),
+    returns one row ``(n2, sx, sxx, sxy)`` int64 — Pearson's r on
+    degrees is then ``(n2·sxy − sx²) / (n2·sxx − sx²)`` (x/y marginals
+    coincide by symmetry), a division the CALLER performs so no
+    cross-engine float ever ships (the tpch_q14 exact num/den doctrine).
+
+    Shape: canonical edge dedup → per-node degrees from the adjacency
+    rows (combiner groupby) → TWO bucketed unique-key joins attach dᵤ
+    and d_w to each edge → per-batch int64 moment partials → one global
+    Sum. Order-free and layout-invariant by integer arithmetic.
+    """
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    from dedupe_ray.joins import bucketed_lookup_join
+
+    def canon(t: pa.Table) -> pa.Table:
+        a = pc.cast(t.column(src_column), pa.string())
+        b = pc.cast(t.column(dst_column), pa.string())
+        u = pc.min_element_wise(a, b)
+        w = pc.max_element_wise(a, b)
+        keep = pc.not_equal(u, w)
+        return pa.table({"u": u.combine_chunks(), "w": w.combine_chunks()}).filter(
+            keep.combine_chunks() if isinstance(keep, pa.ChunkedArray) else keep
+        )
+
+    edges = (
+        edges_ds.map_batches(canon, batch_format="pyarrow")
+        .groupby(["u", "w"])
+        .count()
+        .drop_columns(["count()"])
+        .materialize()
+    )
+
+    def adj(t: pa.Table) -> pa.Table:
+        u = t.column("u").combine_chunks()
+        w = t.column("w").combine_chunks()
+        return pa.table({"node": pa.concat_arrays([u, w])})
+
+    def deg_partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        keys = b.column("node").to_numpy(zero_copy_only=False)
+        codes, uniq = pd.factorize(keys)
+        cnt = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+        return pa.table({"node": pa.array(np.asarray(uniq)), "d": pa.array(cnt)})
+
+    deg = (
+        edges.map_batches(adj, batch_format="pyarrow")
+        .map_batches(deg_partial, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Sum("d", alias_name="d"))
+    )
+    with_du = bucketed_lookup_join(edges, deg, "u", "node", ["d"]).map_batches(
+        lambda t: t.rename_columns(["u", "w", "du"]), batch_format="pyarrow"
+    )
+    with_both = bucketed_lookup_join(with_du, deg, "w", "node", ["d"]).map_batches(
+        lambda t: t.rename_columns(["u", "w", "du", "dw"]), batch_format="pyarrow"
+    )
+
+    def moments(t: pa.Table) -> pa.Table:
+        du = t.column("du").to_numpy(zero_copy_only=False).astype(np.int64)
+        dw = t.column("dw").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "n2": pa.array([2 * len(du)], pa.int64()),
+                "sx": pa.array([int((du + dw).sum())], pa.int64()),
+                "sxx": pa.array([int((du * du + dw * dw).sum())], pa.int64()),
+                "sxy": pa.array([int(2 * (du * dw).sum())], pa.int64()),
+            }
+        )
+
+    agg = with_both.map_batches(moments, batch_format="pyarrow").aggregate(
+        Sum("n2", alias_name="n2"),
+        Sum("sx", alias_name="sx"),
+        Sum("sxx", alias_name="sxx"),
+        Sum("sxy", alias_name="sxy"),
+    )
+    return pa.table(
+        {
+            "n2": pa.array([int(agg["n2"] or 0)], pa.int64()),
+            "sx": pa.array([int(agg["sx"] or 0)], pa.int64()),
+            "sxx": pa.array([int(agg["sxx"] or 0)], pa.int64()),
+            "sxy": pa.array([int(agg["sxy"] or 0)], pa.int64()),
+        }
+    )
+
+
 def kcore(
     edges_ds: "ray.data.Dataset",
     k: int,

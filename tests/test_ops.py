@@ -5644,6 +5644,35 @@ def test_grouped_entropy_hand_computed_and_layout_invariant(ray_session):
     ) + 1 * math.floor(1e6 * math.log(4.0 / 1.0))
 
 
+def test_degree_assortativity_hand_graph(ray_session):
+    """degree_assortativity_moments on a star graph (perfectly
+    disassortative, r = -1) and a path, vs by-hand moments;
+    layout-invariant."""
+    import ray.data
+
+    from dedupe_ray.ops.graph import degree_assortativity_moments
+
+    # star: center c with 3 leaves. degrees c=3, leaves=1.
+    star = pd.DataFrame({"src": ["c", "c", "c"], "dst": ["l1", "l2", "l3"]})
+    outs = []
+    for nparts in (1, 3):
+        t = degree_assortativity_moments(
+            ray.data.from_pandas(star).repartition(nparts), "src", "dst"
+        ).to_pandas()
+        outs.append(t)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    m = outs[0].iloc[0]
+    # 3 edges, directed instances: (3,1)×3 and (1,3)×3
+    assert m["n2"] == 6
+    assert m["sx"] == 3 * (3 + 1) * 2 // 2 == 12
+    assert m["sxx"] == 3 * (9 + 1)
+    assert m["sxy"] == 2 * 3 * 3
+    # Pearson r from the moments = -1 exactly for a star
+    num = m["n2"] * m["sxy"] - m["sx"] * m["sx"]
+    den = m["n2"] * m["sxx"] - m["sx"] * m["sx"]
+    assert num == -den and den > 0
+
+
 def test_bcubed_hand_computed_and_layout_invariant(ray_session):
     """bcubed_metrics vs a by-hand B³ on a 5-record fixture, plus the
     identical-partition and layout-invariance properties."""
