@@ -5567,6 +5567,35 @@ def _q_part_assortativity(sf_dir: str):
     return degree_assortativity_moments(pairs, "item_a", "item_b")
 
 
+def _q_user_paths(sf_dir: str):
+    """Top user journeys: each user's first three event types (ordered by
+    ts, event_id) concatenate into a path string and paths count
+    globally (`ops/tabular.py first_k_paths`) — one bucketed shuffle,
+    per-bucket lexsort + run slicing, combiner-sized path counts."""
+    from dedupe_ray.ops.tabular import first_k_paths
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type", "ts", "event_id"])
+    return first_k_paths(ev, "user_id", "event_type", ["ts", "event_id"], k=3)
+
+
+def _q_order_priority_fd(sf_dir: str):
+    """Functional-dependency violation profiling (the data-quality scan
+    behind schema discovery): customers whose orders carry MORE than one
+    priority violate o_custkey → o_orderpriority; pure composition of the
+    exact grouped COUNT DISTINCT combiner + a vectorized filter."""
+    from dedupe_ray.ops.tabular import grouped_count_distinct
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+    cd = grouped_count_distinct(orders, "o_custkey", "o_orderpriority")
+
+    def keep_violations(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return b.filter(pc.greater(b.column("n_distinct"), 1))
+
+    return cd.map_batches(keep_violations, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "er_clusters": _q_er_clusters,
@@ -5772,6 +5801,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tf_adjusted_lang": _q_tf_adjusted_lang,
         "bcubed_lang_source": _q_bcubed_lang_source,
         "part_assortativity": _q_part_assortativity,
+        "user_paths": _q_user_paths,
+        "order_priority_fd": _q_order_priority_fd,
     }
 
 
@@ -9354,6 +9385,26 @@ def oracle_sql() -> dict[str, str]:
             FROM e
             JOIN deg a ON a.node = e.u
             JOIN deg b ON b.node = e.w
+        """,
+        "user_paths": """
+            WITH r AS MATERIALIZED (
+                SELECT user_id, event_type,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS rn
+                FROM events
+            ),
+            p AS MATERIALIZED (
+                SELECT user_id,
+                       string_agg(event_type, '>' ORDER BY rn) AS path
+                FROM r WHERE rn <= 3 GROUP BY user_id
+            )
+            SELECT path, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY path
+        """,
+        "order_priority_fd": """
+            SELECT o_custkey,
+                   CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_distinct
+            FROM orders GROUP BY o_custkey
+            HAVING count(DISTINCT o_orderpriority) > 1
         """,
         # DBSCAN: ε-neighborhoods include self (classic formulation); core
         # = |N_ε| ≥ 4; cluster id = min reachable core id; border takes the

@@ -3023,6 +3023,70 @@ def mutual_information(
     )
 
 
+def first_k_paths(
+    ds: "ray.data.Dataset",
+    key_column: str,
+    value_column: str,
+    order_columns: list[str],
+    k: int = 3,
+    sep: str = ">",
+    n_buckets: int = 256,
+) -> "ray.data.Dataset":
+    """Per-key FIRST-k-step path mining (the product-analytics "top user
+    journeys" primitive): each key's first ``k`` values ordered by
+    ``order_columns`` concatenate into one path string, and paths count
+    globally. ONE bucketed shuffle of (key, value, order) rows; per
+    bucket a lexsort + run slicing keeps k rows per key and one
+    ``pc.binary_join`` builds the paths (no per-key loop); per-bucket
+    partial path counts make the final groupby combiner-sized (≤
+    |value-domain|^k rows per bucket). Output: (path, n) —
+    deterministic at any parallelism."""
+    import numpy as np
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        vals = b.column(key_column).to_numpy(zero_copy_only=False)
+        bkt = (pd.util.hash_array(vals) % n_buckets).astype(np.int32)
+        return b.append_column("__pbkt", pa.array(bkt))
+
+    def paths(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["__pbkt"])
+        keys = g.column(key_column).to_numpy(zero_copy_only=False)
+        codes, _ = pd.factorize(keys)
+        sort_keys = tuple(
+            g.column(c).to_numpy(zero_copy_only=False) for c in reversed(order_columns)
+        ) + (codes,)
+        order = np.lexsort(sort_keys)
+        s_codes = codes[order]
+        pos = np.arange(len(order), dtype=np.int64)
+        new_run = np.concatenate(([True], s_codes[1:] != s_codes[:-1]))
+        run_start = np.maximum.accumulate(np.where(new_run, pos, -1))
+        keep = (pos - run_start) < k
+        kept = order[keep]
+        vals = pc.cast(pc.take(g.column(value_column), pa.array(kept)), pa.string())
+        starts = np.nonzero(new_run[keep])[0]
+        offsets = np.append(starts, len(kept)).astype(np.int32)
+        lists = pa.ListArray.from_arrays(
+            pa.array(offsets),
+            vals.combine_chunks() if isinstance(vals, pa.ChunkedArray) else vals,
+        )
+        joined = pc.binary_join(lists, sep)
+        dfp = pd.DataFrame({"path": joined.to_pandas()})
+        agg = dfp.groupby("path", as_index=False).size().rename(columns={"size": "n"})
+        agg["n"] = agg["n"].astype(np.int64)
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("__pbkt")
+        .map_groups(paths, batch_format="pyarrow")
+        .groupby("path")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
 def grouped_entropy(
     ds: "ray.data.Dataset",
     group_column: str,

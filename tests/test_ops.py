@@ -5644,6 +5644,48 @@ def test_grouped_entropy_hand_computed_and_layout_invariant(ray_session):
     ) + 1 * math.floor(1e6 * math.log(4.0 / 1.0))
 
 
+def test_first_k_paths_hand_fixture(ray_session):
+    """first_k_paths: first-k ordering respects the composite order
+    columns, short histories produce short paths, counts aggregate
+    across buckets; layout-invariant."""
+    import ray.data
+
+    from dedupe_ray.ops.tabular import first_k_paths
+
+    df = pd.DataFrame(
+        {
+            "u": ["a", "a", "a", "a", "b", "b", "b", "c"],
+            "t": ["x", "y", "z", "w", "x", "y", "z", "x"],
+            "ts": [1, 2, 3, 4, 1, 2, 3, 9],
+            "eid": [0, 1, 2, 3, 4, 5, 6, 7],
+        }
+    )
+    outs = []
+    for nparts in (1, 4):
+        out = (
+            first_k_paths(
+                ray.data.from_pandas(df).repartition(nparts),
+                "u", "t", ["ts", "eid"], k=3,
+            )
+            .to_pandas()
+            .sort_values("path")
+            .reset_index(drop=True)
+        )
+        outs.append(out)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    got = dict(zip(outs[0]["path"], outs[0]["n"]))
+    # a and b share the same first-3 path; c has a 1-step path
+    assert got == {"x>y>z": 2, "x": 1}
+    # tie on ts resolves by eid: two same-ts events for one user
+    df2 = pd.DataFrame(
+        {"u": ["d", "d"], "t": ["q", "p"], "ts": [5, 5], "eid": [11, 10]}
+    )
+    out2 = first_k_paths(
+        ray.data.from_pandas(df2), "u", "t", ["ts", "eid"], k=3
+    ).to_pandas()
+    assert out2["path"].tolist() == ["p>q"]
+
+
 def test_degree_assortativity_hand_graph(ray_session):
     """degree_assortativity_moments on a star graph (perfectly
     disassortative, r = -1) and a path, vs by-hand moments;
