@@ -5596,6 +5596,26 @@ def _q_order_priority_fd(sf_dir: str):
     return cd.map_batches(keep_violations, batch_format="pyarrow")
 
 
+def _q_search_rank_metrics(sf_dir: str):
+    """IR ranking evaluation (`eval.py rank_relevance_metrics`): leave-
+    one-out cosine top-10 for queries vec_id ∈ {0,1,2} over the labeled
+    embeddings, relevance = label match, MRR and DCG in exact integer
+    micro-units so both engines agree bit-for-bit."""
+    from dedupe_ray.eval import rank_relevance_metrics
+    from dedupe_ray.ops.embedding import brute_force_topk
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+    qrows = sorted(emb.filter(expr="vec_id < 3").take(3), key=lambda r: r["vec_id"])
+    queries_m = np.stack([np.asarray(r["embedding"], np.float64) for r in qrows])
+    qlabels = {int(r["vec_id"]): int(r["label"]) for r in qrows}
+    corpus = emb.filter(expr="vec_id >= 3").select_columns(["vec_id", "embedding"])
+    top = brute_force_topk(corpus, queries_m, k=10).select(
+        ["query_id", "vec_id", "rank"]
+    )
+    labels = emb.select_columns(["vec_id", "label"])
+    return rank_relevance_metrics(top, labels, qlabels)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "er_clusters": _q_er_clusters,
@@ -5803,6 +5823,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_assortativity": _q_part_assortativity,
         "user_paths": _q_user_paths,
         "order_priority_fd": _q_order_priority_fd,
+        "search_rank_metrics": _q_search_rank_metrics,
     }
 
 
@@ -9405,6 +9426,40 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_distinct
             FROM orders GROUP BY o_custkey
             HAVING count(DISTINCT o_orderpriority) > 1
+        """,
+        # MRR/DCG in exact integer micro-units over the leave-one-out
+        # cosine top-10 (same rank chain the ann_topk oracle proved)
+        "search_rank_metrics": """
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding AS qe, label AS qlabel
+                FROM embeddings WHERE vec_id < 3
+            ),
+            scored AS (
+                SELECT q.query_id, e.vec_id, q.qlabel, e.label,
+                       row_number() OVER (
+                           PARTITION BY q.query_id
+                           ORDER BY list_cosine_similarity(e.embedding, q.qe) DESC,
+                                    e.vec_id
+                       ) - 1 AS rank
+                FROM embeddings e CROSS JOIN q
+                WHERE e.vec_id >= 3
+            ),
+            top AS (SELECT * FROM scored WHERE rank < 10)
+            SELECT CAST(query_id AS BIGINT) AS query_id,
+                   CAST(sum(CASE WHEN label = qlabel THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_rel,
+                   CAST(coalesce(min(CASE WHEN label = qlabel THEN rank END), -1)
+                        AS BIGINT) AS first_rel_rank,
+                   CAST(CASE WHEN min(CASE WHEN label = qlabel THEN rank END)
+                             IS NULL THEN 0
+                        ELSE 1000000 //
+                             (min(CASE WHEN label = qlabel THEN rank END) + 1)
+                        END AS BIGINT) AS rr_micro,
+                   CAST(coalesce(sum(CASE WHEN label = qlabel THEN
+                        1000000000000 // CAST(floor(1000000.0
+                            * log2(CAST(rank + 2 AS DOUBLE))) AS BIGINT)
+                        END), 0) AS BIGINT) AS dcg_micro
+            FROM top GROUP BY query_id
         """,
         # DBSCAN: ε-neighborhoods include self (classic formulation); core
         # = |N_ε| ≥ 4; cluster id = min reachable core id; border takes the

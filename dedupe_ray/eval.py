@@ -280,3 +280,74 @@ def bcubed_metrics(
             "rec_micro_sum": pa.array([int(agg["rec_micro_sum"] or 0)], pa.int64()),
         }
     )
+
+
+def rank_relevance_metrics(
+    topk_ds,
+    labels_ds,
+    query_labels: dict,
+    id_column: str = "vec_id",
+    label_column: str = "label",
+) -> pa.Table:
+    """IR ranking metrics over a retrieved top-k table — the evaluation
+    member of the search family next to ``ops.embedding.topk_recall``:
+    per query, the relevant-hit count, first-relevant rank, reciprocal
+    rank, and DCG, where "relevant" means the hit's label equals the
+    query's label (leave-one-out protocol: exclude the query row from
+    the corpus BEFORE ranking).
+
+    All metrics are exact integers (the quantize-the-transcendental
+    doctrine): ``rr_micro = 10^6 // (first_rel_rank + 1)`` and
+    ``dcg_micro = Σ_rel 10^12 // floor(1e6 · log2(rank + 2))`` — int64
+    chains a SQL mirror reproduces term-for-term, order-free at any
+    parallelism. Queries with no relevant hit emit first_rel_rank = -1
+    and zero rr/dcg.
+
+    ``topk_ds``: Dataset/table with (query_id, id_column, rank 0-based);
+    ``labels_ds``: Dataset with (id_column, label_column) — joined via
+    the bucketed unique-key join, so the label table never sits on the
+    driver; ``query_labels``: {query_id: label} for the (bounded) query
+    set. Output: one row per query, sorted by query_id.
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from dedupe_ray.joins import bucketed_lookup_join
+
+    if isinstance(topk_ds, pa.Table):
+        topk_ds = rd.from_arrow(topk_ds)
+    hits = bucketed_lookup_join(
+        topk_ds, labels_ds, id_column, id_column, [label_column]
+    ).to_pandas()  # bounded: n_queries × k rows
+    out_rows = []
+    for qid in sorted(query_labels):
+        g = hits[hits["query_id"] == qid]
+        rel_ranks = np.sort(
+            g.loc[g[label_column] == query_labels[qid], "rank"].to_numpy(np.int64)
+        )
+        n_rel = int(len(rel_ranks))
+        if n_rel:
+            first = int(rel_ranks[0])
+            rr = 1000000 // (first + 1)
+            dcg = int(
+                sum(
+                    10**12 // math.floor(1000000.0 * math.log2(float(r + 2)))
+                    for r in rel_ranks
+                )
+            )
+        else:
+            first, rr, dcg = -1, 0, 0
+        out_rows.append((qid, n_rel, first, rr, dcg))
+    qs, nr, fr, rrs, dcgs = zip(*out_rows) if out_rows else ((), (), (), (), ())
+    return pa.table(
+        {
+            "query_id": pa.array(list(qs), pa.int64()),
+            "n_rel": pa.array(list(nr), pa.int64()),
+            "first_rel_rank": pa.array(list(fr), pa.int64()),
+            "rr_micro": pa.array(list(rrs), pa.int64()),
+            "dcg_micro": pa.array(list(dcgs), pa.int64()),
+        }
+    )

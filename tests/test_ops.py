@@ -5976,3 +5976,36 @@ def test_dbscan_planted_clusters_roles_and_noise(ray_session):
     assert got == expect
     assert 12 not in got  # the isolated point is noise
     assert set(r for _, r in got.values()) == {"core", "border"}
+
+
+def test_rank_relevance_metrics_hand_fixture(ray_session):
+    """rank_relevance_metrics on a hand rank table: first-relevant rank,
+    integer rr/dcg chains, and the no-relevant-hit query."""
+    import math
+
+    import ray.data
+
+    from dedupe_ray.eval import rank_relevance_metrics
+
+    topk = pa.table(
+        {
+            "query_id": pa.array([0, 0, 0, 1, 1], pa.int32()),
+            "vec_id": pa.array([10, 11, 12, 10, 13], pa.int64()),
+            "rank": pa.array([0, 1, 2, 0, 1], pa.int64()),
+        }
+    )
+    labels = ray.data.from_pandas(
+        pd.DataFrame({"vec_id": [10, 11, 12, 13], "label": [5, 7, 5, 9]})
+    )
+    out = rank_relevance_metrics(topk, labels, {0: 5, 1: 4}).to_pandas()
+    q0 = out[out["query_id"] == 0].iloc[0]
+    # relevant at ranks 0 and 2
+    assert q0["n_rel"] == 2 and q0["first_rel_rank"] == 0
+    assert q0["rr_micro"] == 1_000_000
+    expect_dcg = (10**12 // math.floor(1e6 * math.log2(2.0))) + (
+        10**12 // math.floor(1e6 * math.log2(4.0))
+    )
+    assert q0["dcg_micro"] == expect_dcg
+    q1 = out[out["query_id"] == 1].iloc[0]
+    assert q1["n_rel"] == 0 and q1["first_rel_rank"] == -1
+    assert q1["rr_micro"] == 0 and q1["dcg_micro"] == 0
