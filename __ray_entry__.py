@@ -5616,6 +5616,33 @@ def _q_search_rank_metrics(sf_dir: str):
     return rank_relevance_metrics(top, labels, qlabels)
 
 
+def _q_pushdown_urgent_orders(sf_dir: str):
+    """Predicate pushdown at the READ: the filter expression reaches
+    pyarrow's dataset scanner, so row groups whose min/max statistics
+    exclude ``o_orderpriority = '1-URGENT'`` never leave storage — at
+    100 TB this is the difference between scanning a shard and skipping
+    it; the projection prunes columns in the same scan."""
+    import pyarrow.dataset as pads
+    import ray.data
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+        filter=(pads.field("o_orderpriority") == "1-URGENT"),
+    )
+
+
+def _q_events_ewma(sf_dir: str):
+    """Per-user EWMA of event values in exact integer cents (α = 1/4,
+    `ops/tabular.py grouped_ewma_int`): the integer recurrence makes the
+    smoothed series bit-identical across layouts and engines — the
+    recursive-CTE oracle replays y_i = floor((x_i + 3·y_{i-1})/4)."""
+    from dedupe_ray.ops.tabular import grouped_ewma_int
+
+    ev = _read(sf_dir, "events", ["user_id", "value", "ts", "event_id"])
+    return grouped_ewma_int(ev, "user_id", "value", ["ts", "event_id"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "er_clusters": _q_er_clusters,
@@ -5824,6 +5851,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_paths": _q_user_paths,
         "order_priority_fd": _q_order_priority_fd,
         "search_rank_metrics": _q_search_rank_metrics,
+        "pushdown_urgent_orders": _q_pushdown_urgent_orders,
+        "events_ewma": _q_events_ewma,
     }
 
 
@@ -9460,6 +9489,30 @@ def oracle_sql() -> dict[str, str]:
                             * log2(CAST(rank + 2 AS DOUBLE))) AS BIGINT)
                         END), 0) AS BIGINT) AS dcg_micro
             FROM top GROUP BY query_id
+        """,
+        "pushdown_urgent_orders": """
+            SELECT o_orderkey, o_custkey, o_totalprice
+            FROM orders WHERE o_orderpriority = '1-URGENT'
+        """,
+        # integer EWMA recurrence replayed row-by-row; the wrap-mod form
+        # makes // a true floor for any sign (DuckDB // truncates)
+        "events_ewma": """
+            WITH RECURSIVE r AS MATERIALIZED (
+                SELECT user_id, ts, event_id,
+                       CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS x,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS rn
+                FROM events
+            ),
+            s AS (
+                SELECT user_id, ts, event_id, rn, x AS y FROM r WHERE rn = 1
+                UNION ALL
+                SELECT r.user_id, r.ts, r.event_id, r.rn,
+                       ((1 * r.x + 3 * s.y)
+                        - (((1 * r.x + 3 * s.y) % 4) + 4) % 4) // 4
+                FROM r JOIN s ON r.user_id = s.user_id AND r.rn = s.rn + 1
+            )
+            SELECT user_id, ts, event_id, CAST(y AS BIGINT) AS ewma_c FROM s
         """,
         # DBSCAN: ε-neighborhoods include self (classic formulation); core
         # = |N_ε| ≥ 4; cluster id = min reachable core id; border takes the

@@ -3023,6 +3023,90 @@ def mutual_information(
     )
 
 
+def grouped_ewma_int(
+    ds: "ray.data.Dataset",
+    key_column: str,
+    value_column: str,
+    order_columns: list[str],
+    alpha_num: int = 1,
+    alpha_den: int = 4,
+    cents: int = 100,
+    out_column: str = "ewma_c",
+    n_buckets: int = 256,
+) -> "ray.data.Dataset":
+    """Per-key exponentially weighted moving average in EXACT integer
+    arithmetic (the streaming smoothing primitive): values quantize to
+    cents once, then ``y₁ = x₁`` and ``yᵢ = floor((α_num·xᵢ +
+    (α_den−α_num)·y_{i−1}) / α_den)`` — an integer recurrence, so the
+    output is order-free across layouts and a recursive-CTE SQL mirror
+    reproduces it bit-for-bit (a float EWMA would drift in the last ulp
+    between engines; see the weighted-sample ln() landmine).
+
+    ONE bucketed shuffle; per bucket the recurrence is sequential in
+    TIME STEPS but vectorized ACROSS keys: rows lexsort to contiguous
+    key runs, and step ``i`` updates every key's i-th row in one gather
+    (loop length = max events per key, a data constant — not a per-row
+    Python loop). Output: (key, *order_columns, out_column int64).
+    """
+    import numpy as np
+    import pandas as pd
+
+    a_n, a_d = int(alpha_num), int(alpha_den)
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        vals = b.column(key_column).to_numpy(zero_copy_only=False)
+        bkt = (pd.util.hash_array(vals) % n_buckets).astype(np.int32)
+        return b.append_column("__wbkt", pa.array(bkt))
+
+    def ewma(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["__wbkt"])
+        keys = g.column(key_column).to_numpy(zero_copy_only=False)
+        codes, _ = pd.factorize(keys)
+        sort_keys = tuple(
+            g.column(c).to_numpy(zero_copy_only=False) for c in reversed(order_columns)
+        ) + (codes,)
+        order = np.lexsort(sort_keys)
+        x = np.floor(
+            g.column(value_column).to_numpy(zero_copy_only=False).astype(np.float64)
+            * float(cents)
+            + 0.5
+        ).astype(np.int64)[order]
+        s_codes = codes[order]
+        n = len(order)
+        pos = np.arange(n, dtype=np.int64)
+        new_run = np.concatenate(([True], s_codes[1:] != s_codes[:-1]))
+        run_start = np.maximum.accumulate(np.where(new_run, pos, -1))
+        pos_in_run = pos - run_start
+        y = np.empty(n, np.int64)
+        y[pos_in_run == 0] = x[pos_in_run == 0]
+        # step-sliced update: by_step[k] holds the indices whose
+        # pos_in_run == step_vals[k], so each loop turn is one gather
+        by_step = np.argsort(pos_in_run, kind="stable")
+        step_sorted = pos_in_run[by_step]
+        bounds = np.searchsorted(step_sorted, np.arange(1, int(pos_in_run.max()) + 2))
+        lo = bounds[0]
+        for k in range(1, int(pos_in_run.max()) + 1):
+            hi = bounds[k]
+            sel = by_step[lo:hi]
+            lo = hi
+            if not len(sel):
+                break
+            num = a_n * x[sel] + (a_d - a_n) * y[sel - 1]
+            y[sel] = np.floor_divide(num, a_d)
+        sel_arr = pa.array(order)
+        data = {key_column: pc.take(g.column(key_column), sel_arr)}
+        for c in order_columns:
+            data[c] = pc.take(g.column(c), sel_arr)
+        data[out_column] = pa.array(y)
+        return pa.table(data)
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("__wbkt")
+        .map_groups(ewma, batch_format="pyarrow")
+    )
+
+
 def first_k_paths(
     ds: "ray.data.Dataset",
     key_column: str,

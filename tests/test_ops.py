@@ -6009,3 +6009,47 @@ def test_rank_relevance_metrics_hand_fixture(ray_session):
     q1 = out[out["query_id"] == 1].iloc[0]
     assert q1["n_rel"] == 0 and q1["first_rel_rank"] == -1
     assert q1["rr_micro"] == 0 and q1["dcg_micro"] == 0
+
+
+def test_grouped_ewma_int_hand_recurrence(ray_session):
+    """grouped_ewma_int vs a scalar python recurrence per key, including
+    a negative-value row (floor semantics) and order-column ties;
+    layout-invariant."""
+    import ray.data
+
+    from dedupe_ray.ops.tabular import grouped_ewma_int
+
+    df = pd.DataFrame(
+        {
+            "u": ["a", "a", "a", "b", "b", "a"],
+            "v": [1.00, 2.00, -3.00, 5.00, 1.00, 7.00],
+            "ts": [1, 2, 3, 1, 2, 2],
+            "eid": [0, 1, 2, 3, 4, 5],
+        }
+    )
+    outs = []
+    for nparts in (1, 4):
+        out = (
+            grouped_ewma_int(
+                ray.data.from_pandas(df).repartition(nparts),
+                "u", "v", ["ts", "eid"], alpha_num=1, alpha_den=4,
+            )
+            .to_pandas()
+            .sort_values(["u", "ts", "eid"])
+            .reset_index(drop=True)
+        )
+        outs.append(out)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    got = outs[0]
+
+    # scalar reference
+    ref = {}
+    for u in ("a", "b"):
+        rows = df[df["u"] == u].sort_values(["ts", "eid"])
+        y = None
+        for _, r in rows.iterrows():
+            x = int(np.floor(r["v"] * 100.0 + 0.5))
+            y = x if y is None else (1 * x + 3 * y) // 4
+            ref[(u, r["ts"], r["eid"])] = y
+    for _, r in got.iterrows():
+        assert r["ewma_c"] == ref[(r["u"], r["ts"], r["eid"])]
