@@ -5643,6 +5643,26 @@ def _q_events_ewma(sf_dir: str):
     return grouped_ewma_int(ev, "user_id", "value", ["ts", "event_id"])
 
 
+def _q_fixed_width_roundtrip(sf_dir: str):
+    """Fixed-width text source/sink fidelity (`sources.py
+    read_fixed_width/write_fixed_width` — the mainframe/legacy-feed
+    format): customer key columns written as space-padded records and
+    read back must be value-identical to the parquet original; the
+    reader decodes each column as one contiguous numpy slice."""
+    import hashlib
+
+    from dedupe_ray.sources import read_fixed_width, write_fixed_width
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_mktsegment"])
+    out = "/tmp/dedupe_ray_fw_" + hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    widths = [("c_custkey", 12), ("c_name", 24), ("c_mktsegment", 12)]
+    write_fixed_width(cust, out, widths)
+    schema = pa.schema(
+        [("c_custkey", pa.int64()), ("c_name", pa.string()), ("c_mktsegment", pa.string())]
+    )
+    return read_fixed_width(out, widths, schema)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "er_clusters": _q_er_clusters,
@@ -5853,6 +5873,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_rank_metrics": _q_search_rank_metrics,
         "pushdown_urgent_orders": _q_pushdown_urgent_orders,
         "events_ewma": _q_events_ewma,
+        "fixed_width_roundtrip": _q_fixed_width_roundtrip,
     }
 
 
@@ -9513,6 +9534,9 @@ def oracle_sql() -> dict[str, str]:
                 FROM r JOIN s ON r.user_id = s.user_id AND r.rn = s.rn + 1
             )
             SELECT user_id, ts, event_id, CAST(y AS BIGINT) AS ewma_c FROM s
+        """,
+        "fixed_width_roundtrip": """
+            SELECT c_custkey, c_name, c_mktsegment FROM customer
         """,
         # DBSCAN: ε-neighborhoods include self (classic formulation); core
         # = |N_ε| ≥ 4; cluster id = min reachable core id; border takes the

@@ -653,3 +653,78 @@ def read_npz(paths: list[str] | str) -> "ray.data.Dataset":
         return pa.concat_tables(tables)
 
     return ds.map_batches(decode, batch_format="pyarrow")
+
+
+def write_fixed_width(
+    ds: "ray.data.Dataset", path: str, widths: list[tuple[str, int]]
+) -> None:
+    """Fixed-width text sink (the mainframe/legacy-feed interchange format):
+    every column renders left-aligned and space-padded to its declared
+    BYTE width, one record per line, one shard per block with the
+    tmp-dir + atomic-rename resumable contract. A value longer than its
+    width raises (silent truncation would corrupt the round-trip)."""
+
+    def shard(t: pa.Table, p: str) -> None:
+        import pyarrow.compute as pc
+
+        cols = []
+        for name, w in widths:
+            s = pc.cast(t.column(name), pa.string()).to_pylist()
+            rendered = []
+            for v in s:
+                v = "" if v is None else v
+                b = v.encode()
+                if len(b) > w:
+                    raise ValueError(
+                        f"value {v!r} exceeds fixed width {w} for column {name}"
+                    )
+                rendered.append(b.ljust(w))
+            cols.append(rendered)
+        with open(p, "wb") as f:
+            for row in zip(*cols):
+                f.write(b"".join(row) + b"\n")
+
+    _write_sharded(ds, path, "fw", shard)
+
+
+def read_fixed_width(
+    paths: list[str] | str,
+    widths: list[tuple[str, int]],
+    schema: "pa.Schema | None" = None,
+) -> "ray.data.Dataset":
+    """Fixed-width text source: one decode task per file over
+    ``read_binary_files``; the byte matrix reshapes in numpy and every
+    column is ONE contiguous slice + rtrim — no per-row parsing. Numeric
+    columns (declare them via ``schema``) are stripped both sides before
+    the cast, matching the writer's left-aligned padding."""
+    import pyarrow.compute as pc
+
+    line_w = sum(w for _, w in widths) + 1  # trailing newline
+
+    ds = ray.data.read_binary_files(paths)
+
+    def decode(b: pa.Table) -> pa.Table:
+        tables = []
+        for buf in b.column("bytes"):
+            raw = buf.as_py()
+            if len(raw) % line_w:
+                raise ValueError(
+                    f"file length {len(raw)} is not a multiple of the "
+                    f"declared record width {line_w}"
+                )
+            arr = np.frombuffer(raw, dtype="S1").reshape(-1, line_w)
+            data: dict = {}
+            lo = 0
+            for name, w in widths:
+                colbytes = np.ascontiguousarray(arr[:, lo : lo + w]).view(f"S{w}").ravel()
+                col = pc.utf8_rtrim(pa.array(colbytes.astype(object), pa.string()), " ")
+                if schema is not None and schema.field(name).type != pa.string():
+                    col = pc.cast(
+                        pc.utf8_ltrim(col, " "), schema.field(name).type
+                    )
+                data[name] = col
+                lo += w
+            tables.append(pa.table(data))
+        return pa.concat_tables(tables, promote_options="default")
+
+    return ds.map_batches(decode, batch_format="pyarrow")

@@ -179,3 +179,44 @@ def test_jsonl_zst_roundtrip_fidelity(ray_session, tmp_path):
     shutil.copy(os.path.join(out, shard), os.path.join(renamed, "shard.bin"))
     again = read_jsonl_zst(renamed).to_pandas()
     assert len(again) > 0
+
+
+def test_fixed_width_roundtrip_edges(ray_session):
+    """Fixed-width source/sink: unicode multi-byte padding, nulls render
+    empty, exact-width values survive, over-width raises."""
+    import pandas as pd
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from dedupe_ray.sources import read_fixed_width, write_fixed_width
+
+    df = pd.DataFrame(
+        {
+            "k": [1, 22, 333],
+            "s": ["abc", None, "héllo"],  # é is 2 bytes utf-8
+        }
+    )
+    widths = [("k", 4), ("s", 8)]
+    out = "/tmp/dedupe_ray_fw_test"
+    write_fixed_width(rd.from_pandas(df), out, widths)
+    got = (
+        read_fixed_width(
+            out, widths, pa.schema([("k", pa.int64()), ("s", pa.string())])
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert got["k"].tolist() == [1, 22, 333]
+    assert got["s"].tolist() == ["abc", "", "héllo"]
+    # width-exact ascii value round-trips
+    write_fixed_width(
+        rd.from_pandas(pd.DataFrame({"k": [1], "s": ["12345678"]})), out, widths
+    )
+    got2 = read_fixed_width(out, widths).to_pandas()
+    assert got2["s"].tolist() == ["12345678"]
+    with pytest.raises(Exception):
+        write_fixed_width(
+            rd.from_pandas(pd.DataFrame({"k": [1], "s": ["123456789"]})), out, widths
+        )
