@@ -5663,6 +5663,26 @@ def _q_fixed_width_roundtrip(sf_dir: str):
     return read_fixed_width(out, widths, schema)
 
 
+def _q_order_skyline(sf_dir: str):
+    """2-D Pareto frontier over the 1/37 order slice (`ops/tabular.py
+    skyline_2d`): orders not dominated on (maximize totalprice, minimize
+    orderdate) — lossless per-block frontier reduction + one bounded
+    final pass; the slice keeps the O(n²) NOT-EXISTS oracle tractable."""
+    from dedupe_ray.ops.tabular import skyline_2d
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice", "o_orderdate"])
+
+    def sl(b: pa.Table) -> pa.Table:
+        ok = b.column("o_orderkey").to_numpy(zero_copy_only=False) % 37 == 0
+        return b.filter(pa.array(ok))
+
+    return skyline_2d(
+        orders.map_batches(sl, batch_format="pyarrow"),
+        "o_totalprice",
+        "o_orderdate",
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "er_clusters": _q_er_clusters,
@@ -5874,6 +5894,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pushdown_urgent_orders": _q_pushdown_urgent_orders,
         "events_ewma": _q_events_ewma,
         "fixed_width_roundtrip": _q_fixed_width_roundtrip,
+        "order_skyline": _q_order_skyline,
     }
 
 
@@ -9537,6 +9558,23 @@ def oracle_sql() -> dict[str, str]:
         """,
         "fixed_width_roundtrip": """
             SELECT c_custkey, c_name, c_mktsegment FROM customer
+        """,
+        # exact dominance semantics: ≥/≤ with at least one strict;
+        # duplicate points are mutually non-dominating and all survive
+        "order_skyline": """
+            WITH s AS MATERIALIZED (
+                SELECT o_orderkey, o_totalprice, o_orderdate
+                FROM orders WHERE o_orderkey % 37 = 0
+            )
+            SELECT a.o_orderkey, a.o_totalprice, a.o_orderdate
+            FROM s a
+            WHERE NOT EXISTS (
+                SELECT 1 FROM s b
+                WHERE b.o_totalprice >= a.o_totalprice
+                  AND b.o_orderdate <= a.o_orderdate
+                  AND (b.o_totalprice > a.o_totalprice
+                       OR b.o_orderdate < a.o_orderdate)
+            )
         """,
         # DBSCAN: ε-neighborhoods include self (classic formulation); core
         # = |N_ε| ≥ 4; cluster id = min reachable core id; border takes the

@@ -3023,6 +3023,70 @@ def mutual_information(
     )
 
 
+def skyline_2d(
+    ds: "ray.data.Dataset",
+    maximize_column: str,
+    minimize_column: str,
+) -> "ray.data.Dataset":
+    """2-D skyline / Pareto frontier (Börzsönyi et al., ICDE 2001): rows
+    not DOMINATED by any other — b dominates a iff b.max ≥ a.max ∧
+    b.min ≤ a.min with at least one strict. Duplicate (max, min) points
+    are mutually non-dominating and all survive (exact NOT-EXISTS
+    semantics, so the SQL mirror hash-matches).
+
+    Shape: the skyline operator distributes because local filtering is
+    LOSSLESS — a globally non-dominated row is non-dominated in its
+    block — so each block reduces to its local frontier (one sort +
+    run-sliced prefix-min, no row loop) and a final single-group pass
+    over the candidate union finishes. The candidate set is Σ per-block
+    frontier sizes; for d=2 frontiers are typically tiny (points on the
+    staircase), which is what makes this shape practical — a worst-case
+    all-frontier dataset degrades to a single-node sort and should use a
+    range-partitioned variant instead.
+    """
+    import numpy as np
+
+    def local_skyline(b: pa.Table) -> pa.Table:
+        if not len(b):
+            return b
+        p = b.column(maximize_column).to_numpy(zero_copy_only=False)
+        d = b.column(minimize_column).to_numpy(zero_copy_only=False)
+        # sort: p desc, d asc — earlier rows never have smaller p
+        order = np.lexsort((d, -p if p.dtype.kind != "M" else -p.astype(np.int64)))
+        ps, dsv = p[order], d[order]
+        n = len(order)
+        # p-runs: rows sharing p; dominated iff d > run-min d (within run)
+        # or d ≥ prefix-min d over strictly-greater p (before run)
+        new_run = np.concatenate(([True], ps[1:] != ps[:-1]))
+        run_id = np.cumsum(new_run) - 1
+        n_runs = int(run_id[-1]) + 1
+        run_min = np.full(n_runs, dsv.max(), dtype=dsv.dtype)
+        np.minimum.at(run_min, run_id, dsv)
+        prev_min = np.empty(n_runs, dtype=dsv.dtype)
+        if n_runs:
+            prev_min[0] = dsv.max()  # sentinel: nothing above the first run
+            if n_runs > 1:
+                np.minimum.accumulate(run_min[:-1], out=prev_min[1:])
+        keep = (dsv == run_min[run_id]) & (
+            (run_id == 0) | (dsv < prev_min[run_id])
+        )
+        return b.take(pa.array(np.sort(order[keep])))
+
+    candidates = ds.map_batches(local_skyline, batch_format="pyarrow")
+    # final frontier over the bounded candidate union (one group)
+    return (
+        candidates.map_batches(
+            lambda t: t.append_column("__sky", pa.array(np.zeros(len(t), np.int8))),
+            batch_format="pyarrow",
+        )
+        .groupby("__sky")
+        .map_groups(
+            lambda g: local_skyline(g.drop_columns(["__sky"])),
+            batch_format="pyarrow",
+        )
+    )
+
+
 def grouped_ewma_int(
     ds: "ray.data.Dataset",
     key_column: str,

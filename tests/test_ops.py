@@ -6053,3 +6053,41 @@ def test_grouped_ewma_int_hand_recurrence(ray_session):
             ref[(u, r["ts"], r["eid"])] = y
     for _, r in got.iterrows():
         assert r["ewma_c"] == ref[(r["u"], r["ts"], r["eid"])]
+
+
+def test_skyline_2d_brute_force_parity(ray_session):
+    """skyline_2d vs an O(n²) dominance scan on random points including
+    planted duplicates and tie columns; layout-invariant."""
+    import ray.data
+
+    from dedupe_ray.ops.tabular import skyline_2d
+
+    rng = np.random.default_rng(5)
+    p = rng.integers(0, 50, 200).astype(np.float64)
+    d = rng.integers(0, 50, 200).astype(np.int64)
+    # planted duplicate frontier point
+    p[10] = p[11] = 99.0
+    d[10] = d[11] = 0
+    df = pd.DataFrame({"k": np.arange(200), "p": p, "d": d})
+
+    dominated = np.zeros(200, bool)
+    for i in range(200):
+        dominated[i] = bool(
+            np.any(
+                (p >= p[i]) & (d <= d[i]) & ((p > p[i]) | (d < d[i]))
+            )
+        )
+    expect = sorted(df.loc[~dominated, "k"].tolist())
+    assert 10 in expect and 11 in expect  # duplicates both survive
+
+    outs = []
+    for nparts in (1, 8):
+        got = (
+            skyline_2d(ray.data.from_pandas(df).repartition(nparts), "p", "d")
+            .to_pandas()
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        outs.append(got)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    assert outs[0]["k"].tolist() == expect
