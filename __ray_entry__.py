@@ -5683,6 +5683,27 @@ def _q_order_skyline(sf_dir: str):
     )
 
 
+def _q_user_activity_gaps(sf_dir: str):
+    """Gaps-and-islands over per-user activity days (`ops/tabular.py
+    sequence_gaps`): distinct active epoch-days per user, every hole of
+    ≥ 2 days emitted as an inclusive missing range — the churn-detection
+    scan; corpus-sized input reduces to hole-sized output."""
+    from dedupe_ray.ops.tabular import sequence_gaps
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def days(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        us = pc.cast(b.column("ts"), pa.int64())  # epoch micros
+        day = pc.divide(us, 86_400_000_000)
+        return pa.table({"user_id": b.column("user_id"), "day": day})
+
+    return sequence_gaps(
+        ev.map_batches(days, batch_format="pyarrow"), "user_id", "day", min_gap=2
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "er_clusters": _q_er_clusters,
@@ -5895,6 +5916,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_ewma": _q_events_ewma,
         "fixed_width_roundtrip": _q_fixed_width_roundtrip,
         "order_skyline": _q_order_skyline,
+        "user_activity_gaps": _q_user_activity_gaps,
     }
 
 
@@ -9558,6 +9580,21 @@ def oracle_sql() -> dict[str, str]:
         """,
         "fixed_width_roundtrip": """
             SELECT c_custkey, c_name, c_mktsegment FROM customer
+        """,
+        "user_activity_gaps": """
+            WITH d AS MATERIALIZED (
+                SELECT DISTINCT user_id,
+                       epoch_us(ts) // 86400000000 AS day
+                FROM events
+            ),
+            l AS MATERIALIZED (
+                SELECT user_id, day,
+                       lead(day) OVER (PARTITION BY user_id ORDER BY day) AS nxt
+                FROM d
+            )
+            SELECT user_id, CAST(day + 1 AS BIGINT) AS gap_start,
+                   CAST(nxt - 1 AS BIGINT) AS gap_end
+            FROM l WHERE nxt - day >= 2
         """,
         # exact dominance semantics: ≥/≤ with at least one strict;
         # duplicate points are mutually non-dominating and all survive

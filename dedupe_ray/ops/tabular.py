@@ -3023,6 +3023,75 @@ def mutual_information(
     )
 
 
+def sequence_gaps(
+    ds: "ray.data.Dataset",
+    key_column: str,
+    seq_column: str,
+    min_gap: int = 2,
+    n_buckets: int = 256,
+) -> "ray.data.Dataset":
+    """Gaps-and-islands detection over an integer sequence per key (the
+    classic "missing days / missing ids" scan): for each key's DISTINCT
+    sorted sequence values, emit every hole of at least ``min_gap``
+    between consecutive values as (key, gap_start, gap_end) — the
+    inclusive missing range.
+
+    Shape: per-batch (key, value) dedup (the combiner) → groupby
+    finishes the distinct → ONE bucketed shuffle → per bucket one
+    lexsort + a vectorized diff over run-interior positions (no per-key
+    loop). Output gap rows only — corpus-sized input, hole-sized output.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def dedup_batch(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                key_column: b.column(key_column).to_pandas(),
+                seq_column: b.column(seq_column).to_pandas(),
+            }
+        ).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    distinct = (
+        ds.map_batches(dedup_batch, batch_format="pyarrow")
+        .groupby([key_column, seq_column])
+        .count()
+        .drop_columns(["count()"])
+    )
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        vals = b.column(key_column).to_numpy(zero_copy_only=False)
+        bkt = (pd.util.hash_array(vals) % n_buckets).astype(np.int32)
+        return b.append_column("__gbkt", pa.array(bkt))
+
+    def gaps(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["__gbkt"])
+        keys = g.column(key_column).to_numpy(zero_copy_only=False)
+        codes, _ = pd.factorize(keys)
+        vals = g.column(seq_column).to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((vals, codes))
+        s_codes, s_vals = codes[order], vals[order]
+        same_key = s_codes[1:] == s_codes[:-1]
+        delta = s_vals[1:] - s_vals[:-1]
+        hole = same_key & (delta >= min_gap)
+        idx = np.nonzero(hole)[0]
+        sel = pa.array(order[idx])
+        return pa.table(
+            {
+                key_column: pc.take(g.column(key_column), sel),
+                "gap_start": pa.array(s_vals[idx] + 1),
+                "gap_end": pa.array(s_vals[idx + 1] - 1),
+            }
+        )
+
+    return (
+        distinct.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("__gbkt")
+        .map_groups(gaps, batch_format="pyarrow")
+    )
+
+
 def skyline_2d(
     ds: "ray.data.Dataset",
     maximize_column: str,

@@ -6091,3 +6091,33 @@ def test_skyline_2d_brute_force_parity(ray_session):
         outs.append(got)
     pd.testing.assert_frame_equal(outs[0], outs[1])
     assert outs[0]["k"].tolist() == expect
+
+
+def test_sequence_gaps_hand_fixture(ray_session):
+    """sequence_gaps: holes ≥ min_gap emit inclusive ranges, duplicates
+    collapse, adjacent values emit nothing; layout-invariant."""
+    import ray.data
+
+    from dedupe_ray.ops.tabular import sequence_gaps
+
+    df = pd.DataFrame(
+        {
+            "u": ["a", "a", "a", "a", "a", "b", "b", "c"],
+            "s": [1, 2, 2, 5, 9, 10, 11, 7],
+        }
+    )
+    outs = []
+    for nparts in (1, 4):
+        out = (
+            sequence_gaps(
+                ray.data.from_pandas(df).repartition(nparts), "u", "s", min_gap=2
+            )
+            .to_pandas()
+            .sort_values(["u", "gap_start"])
+            .reset_index(drop=True)
+        )
+        outs.append(out)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    got = outs[0][["u", "gap_start", "gap_end"]].values.tolist()
+    # a: 2→5 gives [3,4]; 5→9 gives [6,8]; b adjacent → none; c single → none
+    assert got == [["a", 3, 4], ["a", 6, 8]]
