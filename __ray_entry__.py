@@ -2621,18 +2621,17 @@ def _q_weighted_sample_orders(sf_dir: str):
     )
 
 
-def _q_part_triangles(sf_dir: str):
-    """Per-node triangle counts over the part co-purchase graph (parts
-    sharing an order, 1/97 order slice): wedge emission + closing-edge
-    join, checked against a three-way self-join oracle."""
-    from dedupe_ray.ops.graph import triangle_counts
+def _part_copurchase_pairs(sf_dir: str):
+    """Shared graph-fixture front door: the part co-purchase edge list
+    (parts sharing an order, 1/97 order slice) every graph query builds
+    on — triangle counts, k-core, link prediction, assortativity."""
+    import pyarrow.compute as pc
+
     from dedupe_ray.ops.tabular import cooccurrence_pairs
 
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
 
     def slice_orders(b: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
         ok = b.column("l_orderkey").to_numpy(zero_copy_only=False) % 97 == 0
         t = b.filter(pa.array(ok))
         return pa.table(
@@ -2642,10 +2641,18 @@ def _q_part_triangles(sf_dir: str):
             }
         )
 
-    pairs = cooccurrence_pairs(
+    return cooccurrence_pairs(
         li.map_batches(slice_orders, batch_format="pyarrow"), "l_orderkey", "part"
     )
-    return triangle_counts(pairs, "item_a", "item_b")
+
+
+def _q_part_triangles(sf_dir: str):
+    """Per-node triangle counts over the part co-purchase graph (parts
+    sharing an order, 1/97 order slice): wedge emission + closing-edge
+    join, checked against a three-way self-join oracle."""
+    from dedupe_ray.ops.graph import triangle_counts
+
+    return triangle_counts(_part_copurchase_pairs(sf_dir), "item_a", "item_b")
 
 
 def _q_avro_roundtrip(sf_dir: str):
@@ -2787,27 +2794,11 @@ def _q_part_kcore(sf_dir: str):
     fixpoint; the SQL mirror unrolls 8 peel rounds — rounds beyond the
     fixpoint are no-ops, so the hash matches whenever convergence happens
     within the unroll depth, and mismatches LOUDLY if it doesn't)."""
-    import pyarrow.compute as pc
-
     from dedupe_ray.ops.graph import kcore
-    from dedupe_ray.ops.tabular import cooccurrence_pairs
 
-    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
-
-    def slice_orders(b: pa.Table) -> pa.Table:
-        ok = b.column("l_orderkey").to_numpy(zero_copy_only=False) % 97 == 0
-        t = b.filter(pa.array(ok))
-        return pa.table(
-            {
-                "l_orderkey": t.column("l_orderkey"),
-                "part": pc.cast(t.column("l_partkey"), pa.string()),
-            }
-        )
-
-    pairs = cooccurrence_pairs(
-        li.map_batches(slice_orders, batch_format="pyarrow"), "l_orderkey", "part"
+    return kcore(
+        _part_copurchase_pairs(sf_dir), k=4, src_column="item_a", dst_column="item_b"
     )
-    return kcore(pairs, k=4, src_column="item_a", dst_column="item_b")
 
 
 def _q_tpch_q5(sf_dir: str):
@@ -5479,26 +5470,8 @@ def _q_part_link_prediction(sf_dir: str):
     terms (`ops/graph.py link_prediction_scores`); oracle is the
     adjacency self-join mirror."""
     from dedupe_ray.ops.graph import link_prediction_scores
-    from dedupe_ray.ops.tabular import cooccurrence_pairs
 
-    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
-
-    def slice_orders(b: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        ok = b.column("l_orderkey").to_numpy(zero_copy_only=False) % 97 == 0
-        t = b.filter(pa.array(ok))
-        return pa.table(
-            {
-                "l_orderkey": t.column("l_orderkey"),
-                "part": pc.cast(t.column("l_partkey"), pa.string()),
-            }
-        )
-
-    pairs = cooccurrence_pairs(
-        li.map_batches(slice_orders, batch_format="pyarrow"), "l_orderkey", "part"
-    )
-    return link_prediction_scores(pairs, "item_a", "item_b")
+    return link_prediction_scores(_part_copurchase_pairs(sf_dir), "item_a", "item_b")
 
 
 def _q_pca_embeddings(sf_dir: str):
@@ -5545,26 +5518,10 @@ def _q_part_assortativity(sf_dir: str):
     edge instances — the caller divides, so no cross-engine float ships
     (`ops/graph.py degree_assortativity_moments`)."""
     from dedupe_ray.ops.graph import degree_assortativity_moments
-    from dedupe_ray.ops.tabular import cooccurrence_pairs
 
-    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
-
-    def slice_orders(b: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        ok = b.column("l_orderkey").to_numpy(zero_copy_only=False) % 97 == 0
-        t = b.filter(pa.array(ok))
-        return pa.table(
-            {
-                "l_orderkey": t.column("l_orderkey"),
-                "part": pc.cast(t.column("l_partkey"), pa.string()),
-            }
-        )
-
-    pairs = cooccurrence_pairs(
-        li.map_batches(slice_orders, batch_format="pyarrow"), "l_orderkey", "part"
+    return degree_assortativity_moments(
+        _part_copurchase_pairs(sf_dir), "item_a", "item_b"
     )
-    return degree_assortativity_moments(pairs, "item_a", "item_b")
 
 
 def _q_user_paths(sf_dir: str):
@@ -5685,9 +5642,10 @@ def _q_order_skyline(sf_dir: str):
 
 def _q_user_activity_gaps(sf_dir: str):
     """Gaps-and-islands over per-user activity days (`ops/tabular.py
-    sequence_gaps`): distinct active epoch-days per user, every hole of
-    ≥ 2 days emitted as an inclusive missing range — the churn-detection
-    scan; corpus-sized input reduces to hole-sized output."""
+    sequence_gaps`): distinct active epoch-days per user; every jump of
+    ≥ 2 days between consecutive active days (i.e. ≥ 1 missing day)
+    emits the inclusive missing range — the churn-detection scan;
+    corpus-sized input reduces to hole-sized output."""
     from dedupe_ray.ops.tabular import sequence_gaps
 
     ev = _read(sf_dir, "events", ["user_id", "ts"])
@@ -9385,7 +9343,9 @@ def oracle_sql() -> dict[str, str]:
         "user_event_entropy": """
             WITH h AS MATERIALIZED (
                 SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
-                FROM events GROUP BY user_id, event_type
+                FROM events
+                WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+                GROUP BY user_id, event_type
             ),
             t AS MATERIALIZED (
                 SELECT user_id, CAST(sum(c) AS BIGINT) AS n
@@ -9458,7 +9418,9 @@ def oracle_sql() -> dict[str, str]:
             WITH cells AS MATERIALIZED (
                 SELECT lang AS pred, source AS true_c,
                        CAST(count(*) AS BIGINT) AS c
-                FROM documents GROUP BY lang, source
+                FROM documents
+                WHERE lang IS NOT NULL AND source IS NOT NULL
+                GROUP BY lang, source
             ),
             ps AS MATERIALIZED (
                 SELECT pred, CAST(sum(c) AS BIGINT) AS p FROM cells GROUP BY pred

@@ -208,7 +208,9 @@ def bcubed_metrics(
     cells; pred sizes and true sizes reduce from the CELL table (never
     rescanning records); two bucketed joins attach p and t to each cell;
     per-batch partial term sums → one global Sum. Nothing driver-side
-    but five integers. Output: one row (n, prec_micro_sum,
+    but five integers. Records with a null pred or true label are
+    EXCLUDED (pandas-groupby dropna semantics — a SQL mirror must filter
+    ``IS NOT NULL`` to match). Output: one row (n, prec_micro_sum,
     rec_micro_sum) int64.
     """
     import numpy as np

@@ -880,91 +880,15 @@ def kmeans_exact_assign(
     vectors never shuffle; driver state is O(k·dim). Empty clusters keep
     their previous centroid.
     """
-    ks = int(k)
-
-    def quant(m: np.ndarray) -> np.ndarray:
-        return np.floor(m.astype(np.float64) * float(quantize) + 0.5).astype(np.int64)
-
-    # ---- seeds: the k smallest ids (per-batch partial min-k, tiny reduce)
-    def seed_partial(batch: pa.Table) -> pa.Table:
-        ids = batch.column(id_column).to_numpy(zero_copy_only=False).astype(np.int64)
-        if not len(ids):
-            return pa.table({"id": pa.array([], pa.int64()), "vec": pa.array([], pa.list_(pa.int64()))})
-        kk = min(ks, len(ids))
-        top = np.argpartition(ids, kk - 1)[:kk] if kk < len(ids) else np.arange(len(ids))
-        q = quant(_batch_matrix(batch, vec_column))
-        return pa.table(
-            {
-                "id": pa.array(ids[top]),
-                "vec": pa.array([q[i].tolist() for i in top], pa.list_(pa.int64())),
-            }
-        )
-
-    seeds = ds.map_batches(seed_partial, batch_format="pyarrow").to_pandas()
-    seeds = seeds.sort_values("id").head(ks)
-    cent = np.stack([np.asarray(v, np.int64) for v in seeds["vec"]])
-
-    from ray.data.aggregate import Sum
-
-    def assign(q: np.ndarray, c: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-        """Exact int64 squared distances; argmin first-lowest on ties."""
-        # (n,k) distances via explicit diff to stay in exact integer space
-        d = np.empty((len(q), len(c)), np.int64)
-        for j in range(len(c)):
-            diff = q - c[j][None, :]
-            d[:, j] = (diff * diff).sum(axis=1)
-        a = d.argmin(axis=1)
-        return a, d[np.arange(len(q)), a]
-
-    for _ in range(int(iters)):
-        cref = ray.put(cent)
-
-        def upd_partial(batch: pa.Table) -> pa.Table:
-            c = ray.get(cref)
-            q = quant(_batch_matrix(batch, vec_column))
-            if not len(q):
-                return pa.table(
-                    {
-                        "c": pa.array([], pa.int32()),
-                        "dim": pa.array([], pa.int32()),
-                        "qsum": pa.array([], pa.int64()),
-                        "cnt": pa.array([], pa.int64()),
-                    }
-                )
-            a, _ = assign(q, c)
-            sums = np.zeros((len(c), q.shape[1]), np.int64)
-            np.add.at(sums, a, q)
-            counts = np.bincount(a, minlength=len(c)).astype(np.int64)
-            dim = q.shape[1]
-            return pa.table(
-                {
-                    "c": pa.array(np.repeat(np.arange(len(c), dtype=np.int32), dim)),
-                    "dim": pa.array(np.tile(np.arange(dim, dtype=np.int32), len(c))),
-                    "qsum": pa.array(sums.reshape(-1)),
-                    "cnt": pa.array(np.repeat(counts, dim)),
-                }
-            )
-
-        merged = (
-            ds.map_batches(upd_partial, batch_format="pyarrow")
-            .groupby(["c", "dim"])
-            .aggregate(Sum("qsum", alias_name="qsum"), Sum("cnt", alias_name="cnt"))
-            .to_pandas()  # bounded: k × dim rows
-        ).sort_values(["c", "dim"])
-        new = cent.copy()
-        for ci, grp in merged.groupby("c"):
-            n = int(grp["cnt"].iloc[0])
-            if n > 0:
-                new[int(ci)] = np.floor_divide(
-                    grp["qsum"].to_numpy(np.int64), np.int64(n)
-                )
-        cent = new
-
+    # the integer Lloyd loop is the shared _exact_lloyd helper (one source
+    # of truth for the SQL-mirrored recurrence; ivf_pq_build's coarse
+    # quantizer runs the identical code)
+    cent = _exact_lloyd(ds, k, iters, quantize, id_column, vec_column)
     fref = ray.put(cent)
 
     def final_assign(batch: pa.Table) -> pa.Table:
         c = ray.get(fref)
-        q = quant(_batch_matrix(batch, vec_column))
+        q = _pq_quant(_batch_matrix(batch, vec_column), quantize)
         if not len(q):
             return pa.table(
                 {
@@ -973,7 +897,9 @@ def kmeans_exact_assign(
                     "dist": pa.array([], pa.int64()),
                 }
             )
-        a, dmin = assign(q, c)
+        a = _exact_argmin(q, c)
+        diff = q - c[a]
+        dmin = (diff * diff).sum(axis=1)
         return pa.table(
             {
                 id_column: batch.column(id_column),

@@ -137,6 +137,42 @@ def pagerank_micro(
     return pr
 
 
+
+def _canonical_edges(
+    edges_ds: "ray.data.Dataset",
+    src_column: str,
+    dst_column: str,
+    repartition: int | None = None,
+) -> "ray.data.Dataset":
+    """Canonical undirected simple-edge table — the shared front door of
+    every graph op here: endpoints string-cast, (u, w) = (min, max),
+    self-loops dropped, duplicate/reversed edges collapsed via one
+    groupby; materialized because every caller scans it at least twice.
+    ``repartition`` bounds the block count for callers that loop
+    (the bfs_hops block-explosion rule)."""
+    import pyarrow.compute as pc
+
+    def canon(t: pa.Table) -> pa.Table:
+        a = pc.cast(t.column(src_column), pa.string())
+        b = pc.cast(t.column(dst_column), pa.string())
+        u = pc.min_element_wise(a, b)
+        w = pc.max_element_wise(a, b)
+        keep = pc.not_equal(u, w)  # drop self-loops
+        return pa.table({"u": u.combine_chunks(), "w": w.combine_chunks()}).filter(
+            keep.combine_chunks() if isinstance(keep, pa.ChunkedArray) else keep
+        )
+
+    out = (
+        edges_ds.map_batches(canon, batch_format="pyarrow")
+        .groupby(["u", "w"])
+        .count()
+        .drop_columns(["count()"])
+    )
+    if repartition is not None:
+        out = out.repartition(repartition)
+    return out.materialize()
+
+
 def triangle_counts(
     edges_ds: "ray.data.Dataset",
     src_column: str = "src",
@@ -161,25 +197,7 @@ def triangle_counts(
     from dedupe_ray.joins import bucketed_lookup_join
     from dedupe_ray.ops.tabular import _bucket_hash_col
 
-    def canon(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        a = pc.cast(t.column(src_column), pa.string())
-        b = pc.cast(t.column(dst_column), pa.string())
-        u = pc.min_element_wise(a, b)
-        w = pc.max_element_wise(a, b)
-        keep = pc.not_equal(u, w)  # drop self-loops
-        return pa.table({"u": u.combine_chunks(), "w": w.combine_chunks()}).filter(
-            keep.combine_chunks() if isinstance(keep, pa.ChunkedArray) else keep
-        )
-
-    edges = (
-        edges_ds.map_batches(canon, batch_format="pyarrow")
-        .groupby(["u", "w"])
-        .count()
-        .drop_columns(["count()"])
-        .materialize()
-    )
+    edges = _canonical_edges(edges_ds, src_column, dst_column)
 
     def adj(t: pa.Table) -> pa.Table:
         u = t.column("u").combine_chunks()
@@ -303,23 +321,7 @@ def link_prediction_scores(
     from dedupe_ray.joins import bucketed_lookup_join
     from dedupe_ray.ops.tabular import _bucket_hash_col
 
-    def canon(t: pa.Table) -> pa.Table:
-        a = pc.cast(t.column(src_column), pa.string())
-        b = pc.cast(t.column(dst_column), pa.string())
-        u = pc.min_element_wise(a, b)
-        w = pc.max_element_wise(a, b)
-        keep = pc.not_equal(u, w)
-        return pa.table({"u": u.combine_chunks(), "w": w.combine_chunks()}).filter(
-            keep.combine_chunks() if isinstance(keep, pa.ChunkedArray) else keep
-        )
-
-    edges = (
-        edges_ds.map_batches(canon, batch_format="pyarrow")
-        .groupby(["u", "w"])
-        .count()
-        .drop_columns(["count()"])
-        .materialize()
-    )
+    edges = _canonical_edges(edges_ds, src_column, dst_column)
 
     def adj(t: pa.Table) -> pa.Table:
         u = t.column("u").combine_chunks()
@@ -446,23 +448,7 @@ def degree_assortativity_moments(
 
     from dedupe_ray.joins import bucketed_lookup_join
 
-    def canon(t: pa.Table) -> pa.Table:
-        a = pc.cast(t.column(src_column), pa.string())
-        b = pc.cast(t.column(dst_column), pa.string())
-        u = pc.min_element_wise(a, b)
-        w = pc.max_element_wise(a, b)
-        keep = pc.not_equal(u, w)
-        return pa.table({"u": u.combine_chunks(), "w": w.combine_chunks()}).filter(
-            keep.combine_chunks() if isinstance(keep, pa.ChunkedArray) else keep
-        )
-
-    edges = (
-        edges_ds.map_batches(canon, batch_format="pyarrow")
-        .groupby(["u", "w"])
-        .count()
-        .drop_columns(["count()"])
-        .materialize()
-    )
+    edges = _canonical_edges(edges_ds, src_column, dst_column)
 
     def adj(t: pa.Table) -> pa.Table:
         u = t.column("u").combine_chunks()
@@ -541,29 +527,10 @@ def kcore(
 
     from dedupe_ray.joins import bucketed_lookup_join
 
-    def canon(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        a = pc.cast(t.column(src_column), pa.string())
-        b = pc.cast(t.column(dst_column), pa.string())
-        u = pc.min_element_wise(a, b)
-        w = pc.max_element_wise(a, b)
-        keep = pc.not_equal(u, w)
-        return pa.table({"u": u.combine_chunks(), "w": w.combine_chunks()}).filter(
-            keep.combine_chunks() if isinstance(keep, pa.ChunkedArray) else keep
-        )
-
     # repartition before each loop materialize — peeling rounds otherwise
     # inherit ever-growing block counts from the groupby/join outputs and
     # the per-round bucketed joins drown in tiny tasks (see bfs_hops)
-    edges = (
-        edges_ds.map_batches(canon, batch_format="pyarrow")
-        .groupby(["u", "w"])
-        .count()
-        .drop_columns(["count()"])
-        .repartition(16)
-        .materialize()
-    )
+    edges = _canonical_edges(edges_ds, src_column, dst_column, repartition=16)
 
     def degrees(e: "ray.data.Dataset") -> "ray.data.Dataset":
         both = e.map_batches(

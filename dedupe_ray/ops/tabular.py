@@ -411,6 +411,8 @@ def _descending_key(vals):
     resolves ties)."""
     import numpy as np
 
+    if vals.dtype.kind == "u":
+        return np.invert(vals)  # 2^N−1−v: wrap-free unsigned descending key
     if np.issubdtype(vals.dtype, np.number):
         return -vals
     if np.issubdtype(vals.dtype, np.datetime64):
@@ -3032,9 +3034,10 @@ def sequence_gaps(
 ) -> "ray.data.Dataset":
     """Gaps-and-islands detection over an integer sequence per key (the
     classic "missing days / missing ids" scan): for each key's DISTINCT
-    sorted sequence values, emit every hole of at least ``min_gap``
-    between consecutive values as (key, gap_start, gap_end) — the
-    inclusive missing range.
+    sorted sequence values, every consecutive pair whose JUMP is at
+    least ``min_gap`` (i.e. ≥ ``min_gap − 1`` missing values) emits
+    (key, gap_start, gap_end) — the inclusive missing range. Null keys
+    and values are excluded (pandas-groupby dropna semantics).
 
     Shape: per-batch (key, value) dedup (the combiner) → groupby
     finishes the distinct → ONE bucketed shuffle → per bucket one
@@ -3120,8 +3123,9 @@ def skyline_2d(
             return b
         p = b.column(maximize_column).to_numpy(zero_copy_only=False)
         d = b.column(minimize_column).to_numpy(zero_copy_only=False)
-        # sort: p desc, d asc — earlier rows never have smaller p
-        order = np.lexsort((d, -p if p.dtype.kind != "M" else -p.astype(np.int64)))
+        # sort: p desc, d asc — _descending_key is wrap-safe for unsigned
+        # and datetime dtypes (plain -p would wrap uint64 modulo 2^64)
+        order = np.lexsort((d, _descending_key(p)))
         ps, dsv = p[order], d[order]
         n = len(order)
         # p-runs: rows sharing p; dominated iff d > run-min d (within run)
@@ -3325,7 +3329,9 @@ def grouped_entropy(
     batch with a million repeats ships one row) → groupby Sum finishes
     the histogram → ONE bucketed shuffle of histogram rows, per bucket a
     factorize + two np.add.at passes (no per-group loop, any group
-    cardinality). Output: (group, n int64, ent_micro_sum int64).
+    cardinality). Rows with a null group or value are EXCLUDED
+    (pandas-groupby dropna semantics — a SQL mirror must filter
+    ``IS NOT NULL`` to match). Output: (group, n, ent_micro_sum) int64.
     """
     import numpy as np
     import pandas as pd
