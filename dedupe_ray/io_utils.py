@@ -302,3 +302,43 @@ def write_partitioned_resumable(
                 with open(os.path.join(part_dir, "_SUCCESS"), "w") as f:
                     f.write("")
     return {"written": todo, "skipped": sorted(finished)}
+
+
+def compact_shards(
+    in_path: str,
+    out_path: str,
+    target_bytes: int = 256 * 1024 * 1024,
+) -> dict:
+    """Small-files compaction (the Delta/Iceberg ``OPTIMIZE`` shape): read
+    a parquet directory that has accumulated many under-sized shards
+    (per-block sinks, incremental appends, hive partitions) and rewrite
+    it as ~``target_bytes`` output files. At 100 TB the small-files
+    problem is an operational killer — metadata-bound planning, one
+    scheduler round-trip per tiny read task — and compaction is the
+    standing maintenance job that fixes it.
+
+    Streaming shape: ``read_parquet`` (file count only drives planning),
+    one ``repartition`` to ``ceil(input_bytes / target_bytes)`` blocks
+    (Ray's all-to-all — rows never sit on the driver), atomic dir-swap
+    write. Returns {"rows", "in_files", "out_files", "in_bytes"} so a
+    scheduler can assert no data loss and measure the win.
+    """
+    import math
+
+    import pyarrow.dataset as pads
+
+    dataset = pads.dataset(in_path, format="parquet")
+    in_files = list(dataset.files)
+    in_bytes = sum(os.path.getsize(f) for f in in_files)
+    n_out = max(1, math.ceil(in_bytes / int(target_bytes)))
+
+    ds = ray.data.read_parquet(in_path)
+    rows = ds.count()
+    write_table(ds.repartition(n_out), out_path)
+    out_files = [f for f in os.listdir(out_path) if f.endswith(".parquet")]
+    return {
+        "rows": rows,
+        "in_files": len(in_files),
+        "out_files": len(out_files),
+        "in_bytes": in_bytes,
+    }

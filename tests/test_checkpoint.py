@@ -168,3 +168,38 @@ def test_job_entrypoint(ray_session, tmp_path):
     # second submit resumes from checkpoints — same output, much less work
     s2 = jobmod.main(["--docs", docs_path, "--out", out, "--threshold", "0.25"])
     assert (s2["docs"], s2["clusters"]) == (s1["docs"], s1["clusters"])
+
+
+def test_compact_shards_preserves_rows_and_reduces_files(ray_session):
+    """compact_shards: many tiny shards rewrite to few target-size files
+    with identical row content; the report counts match reality."""
+    import os
+
+    import pandas as pd
+    import ray.data as rd
+
+    from dedupe_ray.io_utils import compact_shards
+
+    src_dir = "/tmp/dedupe_ray_compact_src"
+    out_dir = "/tmp/dedupe_ray_compact_out"
+    import shutil
+
+    shutil.rmtree(src_dir, ignore_errors=True)
+    df = pd.DataFrame({"k": range(5000), "v": [f"x{i}" for i in range(5000)]})
+    # 50 tiny shards
+    rd.from_pandas(df).repartition(50).write_parquet(src_dir)
+    n_in = len([f for f in os.listdir(src_dir) if f.endswith(".parquet")])
+    assert n_in >= 25  # ray writes one file per block
+
+    report = compact_shards(src_dir, out_dir, target_bytes=10**9)
+    assert report["rows"] == 5000
+    assert report["in_files"] == n_in
+    assert report["out_files"] == 1  # everything fits one target shard
+
+    got = (
+        rd.read_parquet(out_dir)
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, df)
