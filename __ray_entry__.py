@@ -5662,6 +5662,32 @@ def _q_user_activity_gaps(sf_dir: str):
     )
 
 
+def _q_kmv_audience_overlap(sf_dir: str):
+    """Theta-sketch audience overlap (`ops/sketch.py kmv_set_estimate`):
+    high-value vs low-value purchasers as KMV bottom-64 sketches, then
+    union/intersection estimated from the sketch tables alone — exact
+    when unsaturated (small scales), (k−1)·P/θ + bottom-k overlap
+    scaling when saturated (sf0.1), both SQL-mirrored bit-for-bit."""
+    from dedupe_ray.ops.sketch import kmv_group_sketch, kmv_set_estimate
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type", "value"])
+
+    def purchases(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = b.filter(pc.equal(b.column("event_type"), "purchase"))
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        grp = np.where(v >= 50.0, "hi", "lo")
+        return pa.table(
+            {"grp": pa.array(grp, pa.string()), "user_id": t.column("user_id")}
+        )
+
+    sk = kmv_group_sketch(
+        ev.map_batches(purchases, batch_format="pyarrow"), "grp", "user_id", k=64
+    )
+    return kmv_set_estimate(sk, "grp", "hi", "lo", k=64)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "er_clusters": _q_er_clusters,
@@ -5875,6 +5901,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fixed_width_roundtrip": _q_fixed_width_roundtrip,
         "order_skyline": _q_order_skyline,
         "user_activity_gaps": _q_user_activity_gaps,
+        "kmv_audience_overlap": _q_kmv_audience_overlap,
     }
 
 
@@ -9542,6 +9569,61 @@ def oracle_sql() -> dict[str, str]:
         """,
         "fixed_width_roundtrip": """
             SELECT c_custkey, c_name, c_mktsegment FROM customer
+        """,
+        # theta-sketch set ops: exact when both sketches unsaturated,
+        # else (64.0−1.0)·P/θ and n_both/64·union — the kmv literal chains
+        "kmv_audience_overlap": """
+            WITH pe AS MATERIALIZED (
+                SELECT DISTINCT
+                       CASE WHEN value >= 50.0 THEN 'hi' ELSE 'lo' END AS grp,
+                       (1103515245 * (user_id % 2147483647) + 12345)
+                           % 2147483647 AS hval
+                FROM events
+                WHERE event_type = 'purchase' AND user_id IS NOT NULL
+            ),
+            a AS MATERIALIZED (
+                SELECT hval FROM (
+                    SELECT hval, row_number() OVER (ORDER BY hval) AS rnk
+                    FROM pe WHERE grp = 'hi'
+                ) WHERE rnk <= 64
+            ),
+            b AS MATERIALIZED (
+                SELECT hval FROM (
+                    SELECT hval, row_number() OVER (ORDER BY hval) AS rnk
+                    FROM pe WHERE grp = 'lo'
+                ) WHERE rnk <= 64
+            ),
+            u AS MATERIALIZED (
+                SELECT hval, row_number() OVER (ORDER BY hval) AS rnk
+                FROM (SELECT hval FROM a UNION SELECT hval FROM b)
+            ),
+            st AS MATERIALIZED (
+                SELECT (SELECT count(*) FROM a) AS n_a,
+                       (SELECT count(*) FROM b) AS n_b,
+                       (SELECT count(*) FROM u) AS n_u,
+                       (SELECT count(*) FROM a JOIN b USING (hval)) AS n_both_full,
+                       (SELECT max(hval) FROM u) AS theta_full,
+                       (SELECT max(hval) FROM u WHERE rnk <= 64) AS theta_k,
+                       (SELECT count(*) FROM u
+                        JOIN a USING (hval) JOIN b USING (hval)
+                        WHERE u.rnk <= 64) AS n_both_k
+            )
+            SELECT CAST(n_a AS BIGINT) AS n_a,
+                   CAST(n_b AS BIGINT) AS n_b,
+                   CAST(CASE WHEN n_a = 64 OR n_b = 64
+                        THEN n_both_k ELSE n_both_full END AS BIGINT) AS n_both,
+                   CAST(CASE WHEN n_a = 64 OR n_b = 64
+                        THEN theta_k ELSE theta_full END AS BIGINT) AS theta,
+                   CASE WHEN n_a = 64 OR n_b = 64
+                        THEN (64.0 - 1.0) * 2147483647.0
+                             / CAST(theta_k AS DOUBLE)
+                        ELSE CAST(n_u AS DOUBLE) END AS union_est,
+                   CASE WHEN n_a = 64 OR n_b = 64
+                        THEN CAST(n_both_k AS DOUBLE) / 64.0
+                             * ((64.0 - 1.0) * 2147483647.0
+                                / CAST(theta_k AS DOUBLE))
+                        ELSE CAST(n_both_full AS DOUBLE) END AS inter_est
+            FROM st
         """,
         "user_activity_gaps": """
             WITH d AS MATERIALIZED (

@@ -799,3 +799,68 @@ def kmv_group_estimate(
         )
 
     return agg.map_batches(est, batch_format="pyarrow")
+
+
+def kmv_set_estimate(
+    sketch_ds: "ray.data.Dataset",
+    group_column: str,
+    group_a: str,
+    group_b: str,
+    k: int = 64,
+) -> pa.Table:
+    """Theta-sketch-style SET-EXPRESSION estimation from two KMV sketches
+    (Dasgupta et al., "Theta Sketch Framework" — the audience-overlap
+    workhorse): union and intersection cardinalities of two sets from
+    their bottom-k sketch tables alone, never re-touching the corpus.
+
+    If BOTH sketches are unsaturated they hold every distinct hash, so
+    union/intersection are EXACT counts. Otherwise: θ = k-th smallest of
+    the union's hashes, union_est = (k−1)·P/θ (the kmv_group_estimate
+    literal chain), and intersection scales the union estimate by the
+    fraction of the union's bottom-k present in BOTH sketches —
+    ``inter_est = n_both/k · union_est``. All counts are exact ints and
+    the two doubles are single IEEE chains, so a SQL mirror reproduces
+    the row bit-for-bit.
+
+    Output (one row): n_a, n_b, n_both, theta int64; union_est,
+    inter_est float64. The input sketch table is ≤ k rows per group by
+    construction — the driver reduce is bounded.
+    """
+    import pyarrow.compute as pc
+
+    tbl = sketch_ds.map_batches(
+        lambda t: t.filter(
+            pc.is_in(
+                t.column(group_column),
+                value_set=pa.array([group_a, group_b]),
+            )
+        ),
+        batch_format="pyarrow",
+    ).to_pandas()  # bounded: ≤ 2k rows
+    a = np.sort(tbl.loc[tbl[group_column] == group_a, "hval"].to_numpy(np.int64))
+    b = np.sort(tbl.loc[tbl[group_column] == group_b, "hval"].to_numpy(np.int64))
+    n_a, n_b = len(a), len(b)
+    u = np.union1d(a, b)
+    sat = n_a == k or n_b == k
+    if not sat:
+        theta = int(u[-1]) if len(u) else 0
+        n_both = int(len(np.intersect1d(a, b)))
+        union_est = float(len(u))
+        inter_est = float(n_both)
+    else:
+        ub = u[:k]
+        theta = int(ub[-1])
+        both = np.intersect1d(a, b)
+        n_both = int(np.isin(ub, both).sum())
+        union_est = (float(k) - 1.0) * float(_KMV_P) / float(theta)
+        inter_est = float(n_both) / float(k) * union_est
+    return pa.table(
+        {
+            "n_a": pa.array([n_a], pa.int64()),
+            "n_b": pa.array([n_b], pa.int64()),
+            "n_both": pa.array([n_both], pa.int64()),
+            "theta": pa.array([theta], pa.int64()),
+            "union_est": pa.array([union_est], pa.float64()),
+            "inter_est": pa.array([inter_est], pa.float64()),
+        }
+    )

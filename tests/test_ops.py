@@ -6121,3 +6121,33 @@ def test_sequence_gaps_hand_fixture(ray_session):
     got = outs[0][["u", "gap_start", "gap_end"]].values.tolist()
     # a: 2→5 gives [3,4]; 5→9 gives [6,8]; b adjacent → none; c single → none
     assert got == [["a", 3, 4], ["a", 6, 8]]
+
+
+def test_kmv_set_estimate_exact_and_saturated(ray_session):
+    """kmv_set_estimate: exact path equals true set algebra when both
+    sketches are unsaturated; saturated path reproduces the theta
+    estimator literals and lands near the planted truth."""
+    import ray.data
+
+    from dedupe_ray.ops.sketch import _KMV_P, kmv_group_sketch, kmv_set_estimate
+
+    # exact: |A|=20, |B|=15, overlap 5
+    rows = [("a", i) for i in range(20)] + [("b", i) for i in range(15, 30)]
+    df = pd.DataFrame(rows, columns=["g", "v"])
+    sk = kmv_group_sketch(ray.data.from_pandas(df), "g", "v", k=64)
+    out = kmv_set_estimate(sk, "g", "a", "b", k=64).to_pandas().iloc[0]
+    assert out["n_a"] == 20 and out["n_b"] == 15
+    assert out["n_both"] == 5
+    assert out["union_est"] == 30.0 and out["inter_est"] == 5.0
+
+    # saturated: |A|=2000, |B|=2000, overlap 1000 (planted)
+    rows = [("a", i) for i in range(2000)] + [("b", i) for i in range(1000, 3000)]
+    df = pd.DataFrame(rows, columns=["g", "v"])
+    sk = kmv_group_sketch(ray.data.from_pandas(df).repartition(8), "g", "v", k=64)
+    out = kmv_set_estimate(sk, "g", "a", "b", k=64).to_pandas().iloc[0]
+    assert out["n_a"] == 64 and out["n_b"] == 64
+    assert out["union_est"] == (64.0 - 1.0) * float(_KMV_P) / float(out["theta"])
+    assert out["inter_est"] == float(out["n_both"]) / 64.0 * out["union_est"]
+    # within ~4 standard errors of the planted truth (union 3000, inter 1000)
+    assert 1500 < out["union_est"] < 6000
+    assert 200 < out["inter_est"] < 2500
