@@ -5688,6 +5688,67 @@ def _q_kmv_audience_overlap(sf_dir: str):
     return kmv_set_estimate(sk, "grp", "hi", "lo", k=64)
 
 
+def _q_part_supplier_hits(sf_dir: str):
+    """HITS hubs/authorities over the directed part→supplier purchase
+    graph (1/997 lineitem slice — the pagerank_parts graph kept
+    directed): parts are hubs, suppliers authorities. Exact integer
+    max-normalized updates (`ops/graph.py hits_micro`), 2 iterations,
+    mirrored by an unrolled SQL recurrence."""
+    from dedupe_ray.ops.graph import hits_micro
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey", "l_suppkey"])
+
+    def edges(t: pa.Table) -> pa.Table:
+        ok = t.column("l_orderkey").to_numpy(zero_copy_only=False)
+        keep = (ok % 997) == 0
+        pk = t.column("l_partkey").to_numpy(zero_copy_only=False)[keep]
+        sk = t.column("l_suppkey").to_numpy(zero_copy_only=False)[keep]
+        return pa.table(
+            {
+                "src": pa.array(["P" + str(x) for x in pk], pa.string()),
+                "dst": pa.array(["S" + str(x) for x in sk], pa.string()),
+            }
+        )
+
+    return hits_micro(li.map_batches(edges, batch_format="pyarrow"), iters=2)
+
+
+def _q_nb_lang_pred(sf_dir: str):
+    """Multinomial naive Bayes trained and applied distributed
+    (`ops/text.py nb_classify_docs`): predict documents.lang from the
+    token bag — class priors and per-(class, token) add-one-smoothed
+    terms in exact integer micro-nats, so the per-doc argmax is
+    order-free and engine-exact vs the SQL mirror."""
+    from dedupe_ray.ops.text import nb_classify_docs
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    return nb_classify_docs(docs, vocab_size=256)
+
+
+def _q_mixture_sample_docs(sf_dir: str):
+    """Temperature-based corpus mixture sampling (α = 0.5, the
+    multilingual pre-training allocator): per-source quotas proportional
+    to floor(1e6·sqrt(n_source)) with integer largest-remainder
+    rounding, rows chosen per source by Knuth-hash priority
+    (`ops/tabular.py temperature_mixture_sample`). IEEE sqrt is
+    correctly rounded, so numpy and DuckDB agree bit-for-bit."""
+    from dedupe_ray.ops.tabular import temperature_mixture_sample
+
+    docs = _read(sf_dir, "documents", ["doc_id", "source"])
+    return temperature_mixture_sample(docs, "source", "doc_id")
+
+
+def _q_mutual_knn_pairs(sf_dir: str):
+    """Reciprocal-nearest-neighbor pairs over the embeddings table
+    (`ops/embedding.py mutual_knn_pairs`): (a, b) kept only when each is
+    in the other's cosine top-5 — the high-precision near-dup filter;
+    one k·n pair shuffle, count == 2 ⟺ mutual."""
+    from dedupe_ray.ops.embedding import mutual_knn_pairs
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return mutual_knn_pairs(emb, k=5)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "er_clusters": _q_er_clusters,
@@ -5902,6 +5963,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_skyline": _q_order_skyline,
         "user_activity_gaps": _q_user_activity_gaps,
         "kmv_audience_overlap": _q_kmv_audience_overlap,
+        "part_supplier_hits": _q_part_supplier_hits,
+        "nb_lang_pred": _q_nb_lang_pred,
+        "mixture_sample_docs": _q_mixture_sample_docs,
+        "mutual_knn_pairs": _q_mutual_knn_pairs,
     }
 
 
@@ -9701,5 +9766,193 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT vec_id, CAST(cluster AS BIGINT) AS cluster,
                    'border' AS role FROM border
+        """,
+        # HITS with max-normalization: every half-step is
+        # (raw·1e6) // max(raw) in BIGINT floor arithmetic — the
+        # pagerank_micro unrolled-recurrence doctrine. AS MATERIALIZED on
+        # every CTE (each is referenced twice: once in the next step's
+        # join and once in its own MAX normalizer — see the kcore
+        # chained-CTE inlining landmine).
+        "part_supplier_hits": """
+            WITH e AS MATERIALIZED (
+                SELECT DISTINCT 'P' || CAST(l_partkey AS VARCHAR) AS src,
+                                'S' || CAST(l_suppkey AS VARCHAR) AS dst
+                FROM lineitem WHERE l_orderkey % 997 = 0
+            ),
+            nodes AS MATERIALIZED (
+                SELECT src AS node FROM e UNION SELECT dst AS node FROM e
+            ),
+            h0 AS MATERIALIZED (
+                SELECT node, CAST(1000000 AS BIGINT) AS s FROM nodes
+            ),
+            a1r AS MATERIALIZED (
+                SELECT e.dst AS node, CAST(SUM(h.s) AS BIGINT) AS r
+                FROM e JOIN h0 h ON h.node = e.src GROUP BY 1
+            ),
+            a1 AS MATERIALIZED (
+                SELECT n.node,
+                       CAST(COALESCE(r.r, 0) * 1000000
+                            // (SELECT MAX(r) FROM a1r) AS BIGINT) AS s
+                FROM nodes n LEFT JOIN a1r r ON r.node = n.node
+            ),
+            h1r AS MATERIALIZED (
+                SELECT e.src AS node, CAST(SUM(a.s) AS BIGINT) AS r
+                FROM e JOIN a1 a ON a.node = e.dst GROUP BY 1
+            ),
+            h1 AS MATERIALIZED (
+                SELECT n.node,
+                       CAST(COALESCE(r.r, 0) * 1000000
+                            // (SELECT MAX(r) FROM h1r) AS BIGINT) AS s
+                FROM nodes n LEFT JOIN h1r r ON r.node = n.node
+            ),
+            a2r AS MATERIALIZED (
+                SELECT e.dst AS node, CAST(SUM(h.s) AS BIGINT) AS r
+                FROM e JOIN h1 h ON h.node = e.src GROUP BY 1
+            ),
+            a2 AS MATERIALIZED (
+                SELECT n.node,
+                       CAST(COALESCE(r.r, 0) * 1000000
+                            // (SELECT MAX(r) FROM a2r) AS BIGINT) AS s
+                FROM nodes n LEFT JOIN a2r r ON r.node = n.node
+            ),
+            h2r AS MATERIALIZED (
+                SELECT e.src AS node, CAST(SUM(a.s) AS BIGINT) AS r
+                FROM e JOIN a2 a ON a.node = e.dst GROUP BY 1
+            ),
+            h2 AS MATERIALIZED (
+                SELECT n.node,
+                       CAST(COALESCE(r.r, 0) * 1000000
+                            // (SELECT MAX(r) FROM h2r) AS BIGINT) AS s
+                FROM nodes n LEFT JOIN h2r r ON r.node = n.node
+            )
+            SELECT h2.node, h2.s AS hub, a2.s AS auth
+            FROM h2 JOIN a2 ON a2.node = h2.node
+        """,
+        # naive Bayes in integer micro-nats: priors floor(1e6·ln(n/N)),
+        # token terms floor(1e6·ln((c+1)/(tot+257))) — the lm_doc_scores
+        # quantize-the-transcendental class (count-ratio ln agrees
+        # between numpy and DuckDB); argmax ties → lang asc
+        "nb_lang_pred": """
+            WITH tok AS MATERIALIZED (
+                SELECT doc_id, unnest(l) AS tok
+                FROM (SELECT doc_id,
+                             regexp_extract_all(lower(text), '[a-z]+') AS l
+                      FROM documents)
+            ),
+            vocab AS MATERIALIZED (
+                SELECT tok, id FROM (
+                    SELECT tok,
+                           row_number() OVER (ORDER BY cnt DESC, tok) AS id
+                    FROM (SELECT tok, COUNT(*) AS cnt FROM tok GROUP BY tok)
+                ) WHERE id <= 256
+            ),
+            ids AS MATERIALIZED (
+                SELECT t.doc_id, COALESCE(v.id, 0) AS id
+                FROM tok t LEFT JOIN vocab v ON v.tok = t.tok
+            ),
+            cls AS MATERIALIZED (
+                SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1
+            ),
+            nn AS MATERIALIZED (SELECT CAST(SUM(n) AS BIGINT) AS n FROM cls),
+            cnt AS MATERIALIZED (
+                SELECT d.lang, i.id, COUNT(*) AS c
+                FROM ids i JOIN documents d USING (doc_id) GROUP BY 1, 2
+            ),
+            tot AS MATERIALIZED (
+                SELECT lang, CAST(SUM(c) AS BIGINT) AS t FROM cnt GROUP BY 1
+            ),
+            body AS MATERIALIZED (
+                SELECT i.doc_id, cl.lang,
+                       CAST(SUM(CAST(floor(1000000.0
+                            * ln((COALESCE(c.c, 0) + 1.0)
+                                 / (COALESCE(tt.t, 0) + 257.0)))
+                            AS BIGINT)) AS BIGINT) AS s
+                FROM ids i
+                CROSS JOIN cls cl
+                LEFT JOIN cnt c ON c.lang = cl.lang AND c.id = i.id
+                LEFT JOIN tot tt ON tt.lang = cl.lang
+                GROUP BY 1, 2
+            ),
+            scored AS MATERIALIZED (
+                SELECT d.doc_id, cl.lang,
+                       CAST(floor(1000000.0 * ln((cl.n + 0.0)
+                            / ((SELECT n FROM nn) + 0.0))) AS BIGINT)
+                       + COALESCE(b.s, 0) AS score
+                FROM documents d
+                CROSS JOIN cls cl
+                LEFT JOIN body b ON b.doc_id = d.doc_id AND b.lang = cl.lang
+            )
+            SELECT doc_id, lang AS pred, CAST(score AS BIGINT) AS score_micro
+            FROM (SELECT doc_id, lang, score,
+                         row_number() OVER (PARTITION BY doc_id
+                             ORDER BY score DESC, lang) AS rn
+                  FROM scored)
+            WHERE rn = 1
+        """,
+        # α=0.5 mixture: floor(1e6·sqrt(n)) weights are engine-exact
+        # (IEEE sqrt is correctly rounded — unlike pow/ln); quotas by
+        # integer largest remainder (ties → source asc); row pick by the
+        # stratified_sample Knuth-hash priority
+        "mixture_sample_docs": """
+            WITH cnt AS MATERIALIZED (
+                SELECT source, COUNT(*) AS n FROM documents GROUP BY 1
+            ),
+            w AS MATERIALIZED (
+                SELECT source, n,
+                       CAST(floor(1000000.0 * sqrt(CAST(n AS DOUBLE)))
+                            AS BIGINT) AS w
+                FROM cnt
+            ),
+            ww AS MATERIALIZED (SELECT CAST(SUM(w) AS BIGINT) AS w FROM w),
+            bb AS MATERIALIZED (
+                SELECT CAST(SUM(n) // 2 AS BIGINT) AS b FROM cnt
+            ),
+            quota0 AS MATERIALIZED (
+                SELECT source, n,
+                       ((SELECT b FROM bb) * w) // (SELECT w FROM ww) AS base,
+                       ((SELECT b FROM bb) * w) % (SELECT w FROM ww) AS rem
+                FROM w
+            ),
+            quota AS MATERIALIZED (
+                SELECT source,
+                       CAST(LEAST(base + CASE WHEN
+                            row_number() OVER (ORDER BY rem DESC, source)
+                            <= (SELECT b FROM bb)
+                               - (SELECT SUM(base) FROM quota0)
+                            THEN 1 ELSE 0 END, n) AS BIGINT) AS k
+                FROM quota0
+            )
+            SELECT s.doc_id, s.source FROM (
+                SELECT d.doc_id, d.source,
+                       row_number() OVER (PARTITION BY d.source
+                           ORDER BY (CAST(d.doc_id AS BIGINT) * 2654435761)
+                                    % 4294967296,
+                                    d.doc_id) AS rn
+                FROM documents d
+            ) s JOIN quota q ON q.source = s.source
+            WHERE s.rn <= q.k
+        """,
+        # mutual = the knn_join top-5 chain self-joined both ways;
+        # integer pair output, float cosine only ranks (the proven
+        # knn_join comparison class)
+        "mutual_knn_pairs": """
+            WITH scored AS MATERIALIZED (
+                SELECT a.vec_id, b.vec_id AS neighbor_id,
+                       row_number() OVER (
+                           PARTITION BY a.vec_id
+                           ORDER BY list_cosine_similarity(
+                                        CAST(b.embedding AS DOUBLE[]),
+                                        CAST(a.embedding AS DOUBLE[])) DESC,
+                                    b.vec_id
+                       ) - 1 AS rank
+                FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+            ),
+            knn AS MATERIALIZED (
+                SELECT vec_id, neighbor_id FROM scored WHERE rank < 5
+            )
+            SELECT s1.vec_id AS id_a, s1.neighbor_id AS id_b
+            FROM knn s1 JOIN knn s2
+              ON s2.vec_id = s1.neighbor_id AND s2.neighbor_id = s1.vec_id
+            WHERE s1.vec_id < s1.neighbor_id
         """,
     }

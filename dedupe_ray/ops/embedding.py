@@ -2013,3 +2013,39 @@ def dbscan_embeddings(
     return cc.map_batches(core_out, batch_format="pyarrow").union(
         border.map_batches(border_out, batch_format="pyarrow")
     )
+
+
+def mutual_knn_pairs(
+    ds: "ray.data.Dataset",
+    k: int = 5,
+    id_column: str = "vec_id",
+) -> "ray.data.Dataset":
+    """Reciprocal-nearest-neighbor pairs: (a, b) with a < b where b is in
+    a's cosine top-k AND a is in b's — the high-precision near-duplicate
+    / translation-mining filter (mutual kNN kills the hub-vector false
+    positives a one-sided top-k keeps). Composition: :func:`knn_join`
+    (exact below its index limit, IVF-routed above) → canonical
+    (min, max) pair emission → one pair-keyed groupby; a pair can appear
+    at most once per side, so count == 2 ⟺ mutual. Shuffle volume is
+    k·n pair rows, never vectors. Returns (id_a, id_b)."""
+    knn = knn_join(ds, k=k, id_column=id_column)
+
+    def canon(t: pa.Table) -> pa.Table:
+        a = t.column(id_column).to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t.column("neighbor_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {"id_a": pa.array(np.minimum(a, b)), "id_b": pa.array(np.maximum(a, b))}
+        )
+
+    def keep_mutual(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        mask = pc.equal(t.column("count()"), 2)
+        return t.filter(mask).drop_columns(["count()"])
+
+    return (
+        knn.map_batches(canon, batch_format="pyarrow")
+        .groupby(["id_a", "id_b"])
+        .count()
+        .map_batches(keep_mutual, batch_format="pyarrow")
+    )

@@ -3958,3 +3958,87 @@ def rolling_active_users(
             "active_users": pa.array(wau, pa.int64()),
         }
     )
+
+
+def temperature_mixture_sample(
+    ds: "ray.data.Dataset",
+    group_column: str,
+    id_column: str,
+    budget_num: int = 1,
+    budget_den: int = 2,
+    weight_scale: int = 10**6,
+) -> "ray.data.Dataset":
+    """Temperature-based corpus mixture sampling (the multilingual /
+    multi-source LLM pre-training allocator, α = 0.5): each source's
+    share of the total budget B = (N·budget_num)//budget_den is
+    proportional to sqrt(n_source) rather than n_source, up-weighting
+    small sources. Everything is engine-exact:
+
+    - weights w_i = floor(weight_scale·sqrt(n_i)) — IEEE-754 sqrt is
+      correctly rounded, so numpy and any SQL engine agree bit-for-bit
+      (unlike pow/ln, which need the micro-nat quantization trick);
+    - quotas by integer largest-remainder: base_i = (B·w_i)//W,
+      leftovers go to the largest (B·w_i)%W remainders (ties → group
+      asc) — Σ k_i == B exactly;
+    - row selection per source: the k_i smallest (Knuth-hash, id) rows —
+      the stratified_sample priority, so output is layout-invariant and
+      mirrors a QUALIFY row_number() oracle.
+
+    One bounded groupby for the counts (driver math on one row per
+    source), then a per-batch top-k_i pre-trim (lexsort + run slicing,
+    no Python rows) so the per-source resolve sees ≤ k_i·n_blocks
+    candidates — the full table never shuffles."""
+    import numpy as np
+
+    cnt_rows = ds.groupby(group_column).count().take_all()  # bounded: per source
+    groups = np.asarray(sorted(r[group_column] for r in cnt_rows), object)
+    n_i = np.asarray(
+        [next(r["count()"] for r in cnt_rows if r[group_column] == g) for g in groups],
+        np.int64,
+    )
+    total = int(n_i.sum())
+    budget = (total * int(budget_num)) // int(budget_den)
+    w = np.floor(weight_scale * np.sqrt(n_i.astype(np.float64))).astype(np.int64)
+    W = int(w.sum())
+    base = (budget * w) // W
+    rem = (budget * w) % W
+    leftover = budget - int(base.sum())
+    # bump the `leftover` largest remainders, ties → group asc (groups
+    # are already sorted asc, so a stable sort on -rem realizes the rule)
+    bump_order = np.argsort(-rem, kind="stable")
+    k = base.copy()
+    k[bump_order[:leftover]] += 1
+    k = np.minimum(k, n_i)  # a quota can't exceed the source (tiny sources)
+    quota = {g: int(kk) for g, kk in zip(groups, k)}
+    quota_ref = ray.put(quota)
+
+    def trim(b: pa.Table) -> pa.Table:
+        q = ray.get(quota_ref)
+        g = np.asarray(b.column(group_column).to_pylist(), object)
+        ids = b.column(id_column).to_numpy(zero_copy_only=False).astype(np.int64)
+        hk = (ids * 2654435761) & 0xFFFFFFFF
+        order = np.lexsort((ids, hk, g))
+        gs = g[order]
+        starts = np.r_[0, np.flatnonzero(gs[1:] != gs[:-1]) + 1]
+        runid = np.repeat(np.arange(len(starts)), np.diff(np.r_[starts, len(gs)]))
+        pos = np.arange(len(gs)) - starts[runid]
+        kcap = np.asarray([q.get(x, 0) for x in gs[starts]], np.int64)[runid]
+        keep = order[pos < kcap]
+        out = b.take(pa.array(np.sort(keep)))
+        hk_col = hk[np.sort(keep)]
+        return out.append_column("__hk", pa.array(hk_col))
+
+    def resolve(t: pa.Table) -> pa.Table:
+        q = ray.get(quota_ref)
+        g0 = t.column(group_column)[0].as_py() if len(t) else None
+        kk = q.get(g0, 0)
+        hk = t.column("__hk").to_numpy(zero_copy_only=False)
+        ids = t.column(id_column).to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, hk))[:kk]
+        return t.take(pa.array(order)).drop_columns(["__hk"])
+
+    return (
+        ds.map_batches(trim, batch_format="pyarrow")
+        .groupby(group_column)
+        .map_groups(resolve, batch_format="pyarrow")
+    )

@@ -1492,3 +1492,143 @@ def flesch_scores(
         )
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def nb_classify_docs(
+    ds: "ray.data.Dataset",
+    text_column: str = "text",
+    label_column: str = "lang",
+    id_column: str = "doc_id",
+    vocab_size: int = 256,
+) -> "ray.data.Dataset":
+    """Multinomial naive Bayes trained AND applied distributed, in exact
+    integer micro-nats (the lm_bigram_scores quantization doctrine, so
+    per-doc score sums are order-free int64 and the SQL mirror is
+    hash-exact): class priors floor(1e6·ln(n_c/N)), per-token terms
+    floor(1e6·ln((cnt[c,tok]+1)/(tot_c+(V+1)))) with add-one smoothing
+    over the capped vocabulary (top-``vocab_size`` tokens by count desc /
+    token asc; everything else is <unk>=0, which trains like any token).
+
+    Three streaming passes, none corpus-shuffling:
+
+    1. class counts (bounded groupby → driver) + vocab (distinct-token
+       table sort/limit, the lm pass);
+    2. (class, token-id) counts: per-batch combiner partials →
+       ≤ L·(V+1)-cell groupby Sum, collected bounded and turned into an
+       [L, V+1] int64 term matrix broadcast via ``ray.put``;
+    3. score: per doc, per class, gather + reduceat over token ids; pred
+       = argmax (score desc, class asc).
+
+    Self-classification over the training corpus is the intended demo
+    shape (the oracle mirrors it); split train/apply by passing a
+    different ``ds`` to a follow-up scoring call is a trivial refactor
+    the test pins down. Returns (id, pred, score_micro)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    V = int(vocab_size)
+
+    # pass 1a: class document counts (bounded by #classes)
+    cls_rows = (
+        ds.groupby(label_column)
+        .count()
+        .take_all()  # bounded: one row per class
+    )
+    classes = np.asarray(sorted(r[label_column] for r in cls_rows), object)
+    n_c = np.asarray(
+        [next(r["count()"] for r in cls_rows if r[label_column] == c) for c in classes],
+        np.int64,
+    )
+    n_docs = int(n_c.sum())
+    L = len(classes)
+
+    # pass 1b: capped vocabulary (count desc, token asc), ids 1..V; unk=0
+    def uni_partials(batch: pa.Table) -> pa.Table:
+        flat, _ = _lm_tokens(batch.column(text_column))
+        codes, uniques = pd.factorize(flat)
+        cnt = np.bincount(codes, minlength=len(uniques)).astype(np.int64)
+        return pa.table({"token": pa.array(uniques, pa.string()), "cnt": pa.array(cnt)})
+
+    vocab_rows = (
+        ds.map_batches(uni_partials, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .sort(["cnt", "token"], descending=[True, False])
+        .limit(V)
+        .take_all()  # bounded: ≤ V rows
+    )
+    vtok = np.asarray([r["token"] for r in vocab_rows], object)
+    vid = np.arange(1, len(vtok) + 1, dtype=np.int64)
+    vorder = np.argsort(vtok)
+    vocab_ref = ray.put((vtok[vorder], vid[vorder], np.sort(classes)))
+
+    def _token_ids(batch: pa.Table):
+        vt, vi, _ = ray.get(vocab_ref)
+        flat, counts = _lm_tokens(batch.column(text_column))
+        if len(flat) == 0 or len(vt) == 0:
+            return np.zeros(len(flat), np.int64), counts
+        pos = np.minimum(np.searchsorted(vt, flat), len(vt) - 1)
+        hit = vt[pos] == flat
+        return np.where(hit, vi[pos], 0).astype(np.int64), counts
+
+    # pass 2: (class, token-id) counts — combiner partials, bounded groupby
+    def cnt_partials(batch: pa.Table) -> pa.Table:
+        _, _, cls_sorted = ray.get(vocab_ref)
+        ids, counts = _token_ids(batch)
+        lab = np.asarray(batch.column(label_column).to_pylist(), object)
+        lab_tok = np.repeat(np.searchsorted(cls_sorted, lab), counts)
+        key = lab_tok * (V + 1) + ids
+        ukey, c = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "ci": pa.array((ukey // (V + 1)).astype(np.int64)),
+                "tid": pa.array((ukey % (V + 1)).astype(np.int64)),
+                "c": pa.array(c.astype(np.int64)),
+            }
+        )
+
+    cell_rows = (
+        ds.map_batches(cnt_partials, batch_format="pyarrow")
+        .groupby(["ci", "tid"])
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()  # bounded: ≤ L·(V+1) cells
+    )
+    assert len(cell_rows) <= L * (V + 1)
+    cnt = np.zeros((L, V + 1), np.int64)
+    cnt[
+        cell_rows["ci"].to_numpy(np.int64), cell_rows["tid"].to_numpy(np.int64)
+    ] = cell_rows["c"].to_numpy(np.int64)
+    tot = cnt.sum(axis=1)
+    # identical literals/association to the SQL oracle — do not refactor
+    term = np.floor(
+        1000000.0 * np.log((cnt + 1.0) / (tot[:, None] + (V + 1.0)))
+    ).astype(np.int64)
+    prior = np.floor(1000000.0 * np.log((n_c + 0.0) / (n_docs + 0.0))).astype(
+        np.int64
+    )
+    model_ref = ray.put((term, prior, classes))
+
+    # pass 3: score + argmax (score desc, class asc — classes pre-sorted)
+    def score(batch: pa.Table) -> pa.Table:
+        trm, pri, cls = ray.get(model_ref)
+        ids, counts = _token_ids(batch)
+        n_rows = len(counts)
+        scores = np.tile(pri, (n_rows, 1))
+        if len(ids):
+            per_tok = trm[:, ids]  # [L, n_tokens]
+            starts = np.zeros(n_rows + 1, np.int64)
+            np.cumsum(counts, out=starts[1:])
+            nz = counts > 0
+            if nz.any():
+                sums = np.add.reduceat(per_tok, starts[:-1][nz], axis=1)
+                scores[nz] += sums.T
+        best = np.argmax(scores, axis=1)  # first max = smallest class (sorted)
+        return pa.table(
+            {
+                id_column: batch.column(id_column),
+                "pred": pa.array(cls[best], pa.string()),
+                "score_micro": pa.array(scores[np.arange(n_rows), best]),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")

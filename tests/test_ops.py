@@ -6151,3 +6151,211 @@ def test_kmv_set_estimate_exact_and_saturated(ray_session):
     # within ~4 standard errors of the planted truth (union 3000, inter 1000)
     assert 1500 < out["union_est"] < 6000
     assert 200 < out["inter_est"] < 2500
+
+
+def test_hits_micro_brute_force_and_layout(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dedupe_ray.ops.graph import hits_micro
+
+    # bipartite with duplicate edges (must collapse) and degree variety
+    raw = [
+        ("P1", "S1"), ("P1", "S2"), ("P1", "S1"),  # dup
+        ("P2", "S2"),
+        ("P3", "S2"), ("P3", "S3"),
+    ]
+    tbl = pa.table({"src": [e[0] for e in raw], "dst": [e[1] for e in raw]})
+
+    # brute force with identical integer max-normalized arithmetic
+    edges = sorted(set(raw))
+    nodes = sorted({x for e in edges for x in e})
+    scale = 10**6
+    h = {n: scale for n in nodes}
+    a = {}
+    for _ in range(2):
+        ar = {n: 0 for n in nodes}
+        for u, v in edges:
+            ar[v] += h[u]
+        mx = max(max(ar.values()), 1)
+        a = {n: (ar[n] * scale) // mx for n in nodes}
+        hr = {n: 0 for n in nodes}
+        for u, v in edges:
+            hr[u] += a[v]
+        mx = max(max(hr.values()), 1)
+        h = {n: (hr[n] * scale) // mx for n in nodes}
+
+    frames = []
+    for parts in (1, 4):
+        out = (
+            hits_micro(rd.from_arrow(tbl).repartition(parts), iters=2)
+            .to_pandas()
+            .sort_values("node")
+            .reset_index(drop=True)
+        )
+        frames.append(out)
+        got = {r["node"]: (r["hub"], r["auth"]) for _, r in out.iterrows()}
+        assert got == {n: (h[n], a[n]) for n in nodes}
+    # layout invariance is implied by both matching the reference, but
+    # assert byte-equality anyway (dtype drift would hide there)
+    assert frames[0].equals(frames[1])
+
+
+def test_nb_classify_docs_brute_force(ray_session):
+    import math
+    import re
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dedupe_ray.ops.text import nb_classify_docs
+
+    docs = [
+        (1, "the cat sat on the mat", "en"),
+        (2, "le chat est sur le tapis", "fr"),
+        (3, "the dog ate the food", "en"),
+        (4, "le chien mange", "fr"),
+        (5, "cat dog mat food", "en"),
+        (6, "chat chien tapis", "fr"),
+        (7, "", "en"),  # empty doc scores prior-only
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+            "text": [d[1] for d in docs],
+            "lang": [d[2] for d in docs],
+        }
+    )
+    V = 8
+    toks = {d[0]: re.findall(r"[a-z]+", d[1].lower()) for d in docs}
+    cnt_all: dict = {}
+    for ts in toks.values():
+        for t in ts:
+            cnt_all[t] = cnt_all.get(t, 0) + 1
+    vocab = sorted(cnt_all, key=lambda t: (-cnt_all[t], t))[:V]
+    vmap = {t: i + 1 for i, t in enumerate(vocab)}
+    classes = sorted({d[2] for d in docs})
+    nc = {c: sum(1 for d in docs if d[2] == c) for c in classes}
+    cell: dict = {}
+    for d in docs:
+        for t in toks[d[0]]:
+            k = (d[2], vmap.get(t, 0))
+            cell[k] = cell.get(k, 0) + 1
+    tot = {c: sum(v for (cc, _), v in cell.items() if cc == c) for c in classes}
+
+    def term(c, tid):
+        return math.floor(
+            1e6 * math.log((cell.get((c, tid), 0) + 1.0) / (tot[c] + (V + 1.0)))
+        )
+
+    ref = {}
+    for d in docs:
+        sc = {
+            c: math.floor(1e6 * math.log((nc[c] + 0.0) / (len(docs) + 0.0)))
+            + sum(term(c, vmap.get(t, 0)) for t in toks[d[0]])
+            for c in classes
+        }
+        best = sorted(classes, key=lambda c: (-sc[c], c))[0]
+        ref[d[0]] = (best, sc[best])
+
+    for parts in (1, 3):
+        out = (
+            nb_classify_docs(rd.from_arrow(tbl).repartition(parts), vocab_size=V)
+            .to_pandas()
+            .sort_values("doc_id")
+        )
+        got = {r["doc_id"]: (r["pred"], r["score_micro"]) for _, r in out.iterrows()}
+        assert got == ref
+
+
+def test_temperature_mixture_sample_quota_and_pick(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dedupe_ray.ops.tabular import temperature_mixture_sample
+
+    # sqrt-weighting must over-allocate the small sources relative to
+    # proportional sampling, quotas must sum to B exactly, and a tiny
+    # source must cap at its own size
+    n_by = {"big": 100, "mid": 25, "tiny": 2}
+    ids, gs = [], []
+    i = 0
+    for g, n in n_by.items():
+        for _ in range(n):
+            ids.append(i)
+            gs.append(g)
+            i += 1
+    tbl = pa.table(
+        {"doc_id": pa.array(ids, pa.int64()), "source": pa.array(gs, pa.string())}
+    )
+
+    groups = sorted(n_by)
+    n_i = np.array([n_by[g] for g in groups], np.int64)
+    B = int(n_i.sum()) // 2
+    w = np.floor(1e6 * np.sqrt(n_i.astype(np.float64))).astype(np.int64)
+    W = int(w.sum())
+    base = (B * w) // W
+    rem = (B * w) % W
+    k = base.copy()
+    k[np.argsort(-rem, kind="stable")[: B - int(base.sum())]] += 1
+    k = np.minimum(k, n_i)
+    expect = {}
+    for gi, g in enumerate(groups):
+        rows = sorted(
+            (x for x, gg in zip(ids, gs) if gg == g),
+            key=lambda x: ((x * 2654435761) & 0xFFFFFFFF, x),
+        )
+        expect[g] = set(rows[: k[gi]])
+
+    for parts in (1, 5):
+        out = temperature_mixture_sample(
+            rd.from_arrow(tbl).repartition(parts), "source", "doc_id"
+        ).to_pandas()
+        got = {
+            g: set(out[out["source"] == g]["doc_id"].tolist()) for g in groups
+        }
+        assert got == expect
+    # sqrt weighting: tiny source keeps everything it has, big source
+    # gets less than its proportional share
+    assert len(expect["tiny"]) == 2
+    assert len(expect["big"]) < n_by["big"] * B // int(n_i.sum()) + 2
+
+
+def test_mutual_knn_pairs_brute_force(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dedupe_ray.ops.embedding import mutual_knn_pairs
+
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(40, 6)).astype(np.float32)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(40), pa.int64()),
+            "embedding": pa.array(
+                [list(map(float, v)) for v in vecs], pa.list_(pa.float32())
+            ),
+        }
+    )
+    m = vecs.astype(np.float64)
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    sims = m @ m.T
+    np.fill_diagonal(sims, -np.inf)
+    topk = {
+        a: set(sorted(range(40), key=lambda b: (-sims[a, b], b))[:4])
+        for a in range(40)
+    }
+    ref = sorted(
+        (a, b) for a in range(40) for b in topk[a] if a < b and a in topk[b]
+    )
+    out = (
+        mutual_knn_pairs(rd.from_arrow(tbl).repartition(4), k=4)
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+    )
+    assert list(map(tuple, out.to_records(index=False))) == ref
+    # mutual pairs are a strict subset of one-sided pairs on random data
+    assert 0 < len(ref) < 40 * 4
