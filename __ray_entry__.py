@@ -5749,6 +5749,129 @@ def _q_mutual_knn_pairs(sf_dir: str):
     return mutual_knn_pairs(emb, k=5)
 
 
+def _q_tpch_q12(sf_dir: str):
+    """TPC-H Q12 shape (shipping-mode priority audit; adapted to this
+    schema — l_returnflag stands in for l_shipmode, 1995 shipdate window
+    on 'F'-status lines): filtered lineitem rows carry only
+    (orderkey, flag) into the bucketed join against the orders priority
+    lookup; the CASE counts pre-aggregate per batch so the final groupby
+    moves 3 rows per block."""
+    from ray.data.aggregate import Sum
+
+    from dedupe_ray.joins import bucketed_lookup_join
+
+    lo, hi = np.datetime64("1995-01-01"), np.datetime64("1996-01-01")
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_returnflag", "l_linestatus", "l_shipdate"])
+
+    def win(b: pa.Table) -> pa.Table:
+        d = b.column("l_shipdate").to_numpy(zero_copy_only=False)
+        st = b.column("l_linestatus").to_numpy(zero_copy_only=False)
+        keep = (d >= lo) & (d < hi) & (st == "F")
+        t = b.filter(pa.array(keep))
+        return pa.table(
+            {"l_orderkey": t.column("l_orderkey"), "l_returnflag": t.column("l_returnflag")}
+        )
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    joined = bucketed_lookup_join(
+        li.map_batches(win, batch_format="pyarrow"),
+        orders,
+        "l_orderkey",
+        "o_orderkey",
+        ["o_orderpriority"],
+    )
+
+    def flag_counts(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        pri = b.column("o_orderpriority").to_numpy(zero_copy_only=False)
+        hi_mask = (pri == "1-URGENT") | (pri == "2-HIGH")
+        df = pd.DataFrame(
+            {
+                "l_returnflag": b.column("l_returnflag").to_numpy(zero_copy_only=False),
+                "high_line_count": hi_mask.astype(np.int64),
+                "low_line_count": (~hi_mask).astype(np.int64),
+            }
+        )
+        g = df.groupby("l_returnflag", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (
+        joined.map_batches(flag_counts, batch_format="pyarrow")
+        .groupby("l_returnflag")
+        .aggregate(
+            Sum("high_line_count", alias_name="high_line_count"),
+            Sum("low_line_count", alias_name="low_line_count"),
+        )
+    )
+
+
+def _q_ari_orders(sf_dir: str):
+    """Adjusted Rand Index of the order-priority partition against the
+    order-status partition (`eval.py ari_stats`): the chance-corrected
+    pair-counting agreement metric — four exact int64 Σ C(n,2) counting
+    combiners, the index itself one mirrored IEEE double chain."""
+    import ray.data as rd
+
+    from dedupe_ray.eval import ari_stats
+
+    orders = _read(sf_dir, "orders", ["o_orderpriority", "o_orderstatus"])
+    return rd.from_arrow(ari_stats(orders, "o_orderpriority", "o_orderstatus"))
+
+
+def _q_fused_customers(sf_dir: str):
+    """Golden-record construction over resolved customer clusters
+    (`ops/tabular.py fuse_records` — the survivorship step after ER,
+    on the er_clusters_exact grouping c_custkey // 4): representative
+    key by MIN, account balance by MAX (best-value-wins), nation and
+    segment by most-supported-value MODE (ties → smallest). Only
+    per-cluster partials ever shuffle."""
+    from dedupe_ray.ops.tabular import fuse_records
+
+    cust = _read(
+        sf_dir, "customer", ["c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal"]
+    )
+
+    def cluster(b: pa.Table) -> pa.Table:
+        ck = b.column("c_custkey").to_numpy(zero_copy_only=False)
+        return b.append_column("cluster_id", pa.array(ck // 4, pa.int64()))
+
+    return fuse_records(
+        cust.map_batches(cluster, batch_format="pyarrow"),
+        "cluster_id",
+        {
+            "rep_custkey": ("c_custkey", "min"),
+            "acctbal_max": ("c_acctbal", "max"),
+            "nationkey_mode": ("c_nationkey", "mode"),
+            "segment_mode": ("c_mktsegment", "mode"),
+        },
+    )
+
+
+def _q_embedding_lsh_pairs(sf_dir: str):
+    """Random-hyperplane LSH candidate pairs over the embeddings table
+    (`ops/embedding.py lsh_hyperplane_pairs`): 32-bit signed-projection
+    signatures from deterministic Knuth-hash ±1 hyperplanes, 4 bands of
+    8 bits — the banded candidate generator that replaces the O(n²)
+    cosine self-join at scale; exact integer signatures make the SQL
+    mirror hash-exact."""
+    from dedupe_ray.ops.embedding import lsh_hyperplane_pairs
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return lsh_hyperplane_pairs(emb, dim=64, nbits=32, bands=4)
+
+
+def _q_part_clustering_coeff(sf_dir: str):
+    """Local clustering coefficient per part over the co-purchase graph
+    (`ops/graph.py clustering_coefficients`): triangle counts from the
+    wedge machinery + a degree groupby, quantized to exact integer
+    micro-units by floor division — how clique-like each part's
+    neighborhood is."""
+    from dedupe_ray.ops.graph import clustering_coefficients
+
+    return clustering_coefficients(_part_copurchase_pairs(sf_dir), "item_a", "item_b")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "er_clusters": _q_er_clusters,
@@ -5967,6 +6090,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nb_lang_pred": _q_nb_lang_pred,
         "mixture_sample_docs": _q_mixture_sample_docs,
         "mutual_knn_pairs": _q_mutual_knn_pairs,
+        "tpch_q12": _q_tpch_q12,
+        "ari_orders": _q_ari_orders,
+        "fused_customers": _q_fused_customers,
+        "embedding_lsh_pairs": _q_embedding_lsh_pairs,
+        "part_clustering_coeff": _q_part_clustering_coeff,
     }
 
 
@@ -9954,5 +10082,147 @@ def oracle_sql() -> dict[str, str]:
             FROM knn s1 JOIN knn s2
               ON s2.vec_id = s1.neighbor_id AND s2.neighbor_id = s1.vec_id
             WHERE s1.vec_id < s1.neighbor_id
+        """,
+        "tpch_q12": """
+            SELECT l_returnflag,
+                   CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                   CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+            FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE l_linestatus = 'F'
+              AND l_shipdate >= TIMESTAMP '1995-01-01'
+              AND l_shipdate < TIMESTAMP '1996-01-01'
+            GROUP BY l_returnflag
+        """,
+        # ARI: four exact BIGINT pair counts, then the literal double
+        # chain (every operand CAST first — same association as numpy)
+        "ari_orders": """
+            WITH base AS MATERIALIZED (
+                SELECT o_orderpriority AS p, o_orderstatus AS t FROM orders
+                WHERE o_orderpriority IS NOT NULL AND o_orderstatus IS NOT NULL
+            ),
+            nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM base),
+            pp AS (SELECT CAST(SUM(n * (n - 1) // 2) AS BIGINT) AS v
+                   FROM (SELECT COUNT(*) AS n FROM base GROUP BY p)),
+            tt AS (SELECT CAST(SUM(n * (n - 1) // 2) AS BIGINT) AS v
+                   FROM (SELECT COUNT(*) AS n FROM base GROUP BY t)),
+            bb AS (SELECT CAST(SUM(n * (n - 1) // 2) AS BIGINT) AS v
+                   FROM (SELECT COUNT(*) AS n FROM base GROUP BY p, t))
+            SELECT n, bb.v AS tp, pp.v AS pred_pairs, tt.v AS true_pairs,
+                   CAST(n * (n - 1) // 2 AS BIGINT) AS total_pairs,
+                   (CAST(bb.v AS DOUBLE)
+                    - CAST(pp.v AS DOUBLE) * CAST(tt.v AS DOUBLE)
+                      / CAST(n * (n - 1) // 2 AS DOUBLE))
+                   / ((CAST(pp.v AS DOUBLE) + CAST(tt.v AS DOUBLE)) / 2.0
+                      - CAST(pp.v AS DOUBLE) * CAST(tt.v AS DOUBLE)
+                        / CAST(n * (n - 1) // 2 AS DOUBLE)) AS ari
+            FROM nn, pp, tt, bb
+        """,
+        # survivorship: MIN/MAX algebraic, MODE = row_number over
+        # (cnt DESC, value ASC) — grouped_mode's exact tiebreak
+        "fused_customers": """
+            WITH base AS MATERIALIZED (
+                SELECT c_custkey // 4 AS cluster_id, c_custkey, c_nationkey,
+                       c_mktsegment, c_acctbal
+                FROM customer
+            ),
+            agg AS (
+                SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members,
+                       MIN(c_custkey) AS rep_custkey,
+                       MAX(c_acctbal) AS acctbal_max
+                FROM base GROUP BY 1
+            ),
+            nm AS (
+                SELECT cluster_id, c_nationkey AS nationkey_mode FROM (
+                    SELECT cluster_id, c_nationkey,
+                           row_number() OVER (PARTITION BY cluster_id
+                               ORDER BY COUNT(*) DESC, c_nationkey) AS rn
+                    FROM base GROUP BY cluster_id, c_nationkey
+                ) WHERE rn = 1
+            ),
+            sm AS (
+                SELECT cluster_id, c_mktsegment AS segment_mode FROM (
+                    SELECT cluster_id, c_mktsegment,
+                           row_number() OVER (PARTITION BY cluster_id
+                               ORDER BY COUNT(*) DESC, c_mktsegment) AS rn
+                    FROM base GROUP BY cluster_id, c_mktsegment
+                ) WHERE rn = 1
+            )
+            SELECT a.cluster_id, a.n_members, a.rep_custkey, a.acctbal_max,
+                   nm.nationkey_mode, sm.segment_mode
+            FROM agg a
+            JOIN nm USING (cluster_id) JOIN sm USING (cluster_id)
+        """,
+        # hyperplane entries ±1 by Knuth hash of (bit·64 + dim + 1);
+        # vectors quantized floor(x·1000 + 0.5) (embedding_gram doctrine)
+        # → each dot an order-free BIGINT sum → 8-bit band keys
+        "embedding_lsh_pairs": """
+            WITH h AS MATERIALIZED (
+                SELECT b.b, d.d,
+                       CASE WHEN ((b.b * 64 + d.d + 1) * 2654435761)
+                                 % 4294967296 < 2147483648
+                            THEN 1 ELSE -1 END AS s
+                FROM (SELECT unnest(generate_series(0, 31)) AS b) b
+                CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS d) d
+            ),
+            q AS MATERIALIZED (
+                SELECT vec_id, CAST(s.i AS BIGINT) - 1 AS d,
+                       CAST(floor(CAST(embedding[s.i] AS DOUBLE) * 1000
+                                  + 0.5) AS BIGINT) AS v
+                FROM embeddings
+                CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) s
+            ),
+            dp AS MATERIALIZED (
+                SELECT q.vec_id, h.b, CAST(SUM(h.s * q.v) AS BIGINT) AS dp
+                FROM q JOIN h ON h.d = q.d GROUP BY 1, 2
+            ),
+            sig AS MATERIALIZED (
+                SELECT vec_id, b // 8 AS band,
+                       CAST(SUM(CASE WHEN dp >= 0 THEN 1 ELSE 0 END
+                                * (1 << (b % 8))) AS BIGINT) AS key
+                FROM dp GROUP BY 1, 2
+            )
+            SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM sig a JOIN sig b
+              ON b.band = a.band AND b.key = a.key AND a.vec_id < b.vec_id
+        """,
+        # coefficient = (2·tri·1e6) // (deg·(deg−1)); nonneg operands so
+        # DuckDB // == numpy floor-div; triangle CTEs = part_triangles
+        "part_clustering_coeff": """
+            WITH li AS (
+                SELECT DISTINCT l_orderkey, CAST(l_partkey AS VARCHAR) AS part
+                FROM lineitem WHERE l_orderkey % 97 = 0
+            ),
+            e AS MATERIALIZED (
+                SELECT DISTINCT a.part AS u, b.part AS w
+                FROM li a JOIN li b
+                  ON a.l_orderkey = b.l_orderkey AND a.part < b.part
+            ),
+            tri AS (
+                SELECT e1.u AS a, e1.w AS b, e2.w AS c
+                FROM e e1
+                JOIN e e2 ON e2.u = e1.w
+                JOIN e e3 ON e3.u = e1.u AND e3.w = e2.w
+            ),
+            tric AS (
+                SELECT v AS node, CAST(COUNT(*) AS BIGINT) AS n_tri FROM (
+                    SELECT a AS v FROM tri
+                    UNION ALL SELECT b AS v FROM tri
+                    UNION ALL SELECT c AS v FROM tri
+                ) GROUP BY 1
+            ),
+            deg AS (
+                SELECT v AS node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+                    SELECT u AS v FROM e UNION ALL SELECT w AS v FROM e
+                ) GROUP BY 1
+            )
+            SELECT d.node, d.deg,
+                   CAST(COALESCE(t.n_tri, 0) AS BIGINT) AS n_tri,
+                   CAST(CASE WHEN d.deg >= 2
+                        THEN (2 * COALESCE(t.n_tri, 0) * 1000000)
+                             // (d.deg * (d.deg - 1))
+                        ELSE 0 END AS BIGINT) AS coeff_micro
+            FROM deg d LEFT JOIN tric t ON t.node = d.node
         """,
     }

@@ -48,6 +48,39 @@ def clusters_assignment(clusters: pa.Table) -> dict[str, str]:
     }
 
 
+def _sum_c2(ds, cols: list[str]) -> int:
+    """Σ C(n, 2) over the ``cols`` group sizes of ``ds`` — the counting
+    combiner every pair-based partition metric reduces to: per-batch
+    partial counts → groupby Sum finishes the sizes → streamed int64
+    Σ n(n−1)/2. Null keys drop (pandas-groupby semantics; SQL mirrors
+    filter IS NOT NULL)."""
+    import numpy as np
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({c: b.column(c).to_pandas() for c in cols})
+        g = df.groupby(cols, as_index=False).size()
+        g = g.rename(columns={"size": "n"})
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(cols)
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def c2(b: pa.Table) -> pa.Table:
+        n = b.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"p": pa.array([int((n * (n - 1) // 2).sum())], pa.int64())})
+
+    agg = counts.map_batches(c2, batch_format="pyarrow").aggregate(
+        Sum("p", alias_name="p")
+    )
+    return int(agg["p"] or 0)
+
+
 def pairwise_cluster_metrics(
     ds,
     pred_column: str,
@@ -67,36 +100,9 @@ def pairwise_cluster_metrics(
     integers. Ratios are evaluated with the literal double chain a SQL
     mirror uses, so the output is oracle-hash-exact.
     """
-    import numpy as np
-    import pandas as pd
-
-    from ray.data.aggregate import Sum
-
-    def sum_c2(cols: list[str]) -> int:
-        def partial(b: pa.Table) -> pa.Table:
-            df = pd.DataFrame({c: b.column(c).to_pandas() for c in cols})
-            g = df.groupby(cols, as_index=False).size()
-            g = g.rename(columns={"size": "n"})
-            return pa.Table.from_pandas(g, preserve_index=False)
-
-        counts = (
-            ds.map_batches(partial, batch_format="pyarrow")
-            .groupby(cols)
-            .aggregate(Sum("n", alias_name="n"))
-        )
-
-        def c2(b: pa.Table) -> pa.Table:
-            n = b.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
-            return pa.table({"p": pa.array([int((n * (n - 1) // 2).sum())], pa.int64())})
-
-        agg = counts.map_batches(c2, batch_format="pyarrow").aggregate(
-            Sum("p", alias_name="p")
-        )
-        return int(agg["p"] or 0)
-
-    pred_pairs = sum_c2([pred_column])
-    true_pairs = sum_c2([true_column])
-    both_pairs = sum_c2([pred_column, true_column])
+    pred_pairs = _sum_c2(ds, [pred_column])
+    true_pairs = _sum_c2(ds, [true_column])
+    both_pairs = _sum_c2(ds, [pred_column, true_column])
     prec = float(both_pairs) / float(pred_pairs) if pred_pairs else 1.0
     rec = float(both_pairs) / float(true_pairs) if true_pairs else 1.0
     f1 = 2.0 * prec * rec / (prec + rec) if (prec + rec) > 0.0 else 0.0
@@ -351,5 +357,64 @@ def rank_relevance_metrics(
             "first_rel_rank": pa.array(list(fr), pa.int64()),
             "rr_micro": pa.array(list(rrs), pa.int64()),
             "dcg_micro": pa.array(list(dcgs), pa.int64()),
+        }
+    )
+
+
+def ari_stats(
+    ds,
+    pred_column: str,
+    true_column: str,
+) -> pa.Table:
+    """Adjusted Rand Index (Hubert & Arabie 1985) — the chance-corrected
+    member of the pair-counting partition-agreement family
+    (:func:`pairwise_cluster_metrics` is the uncorrected one): ARI = 1
+    for identical partitions, ~0 for independent ones, negative for
+    worse-than-chance.
+
+    Sufficient statistics are four exact int64 pair counts (the same
+    Σ C(n, 2) counting combiners — nothing pair-scaled materializes):
+    tp = Σ_cells C(n_ij, 2), pred_pairs = Σ C(a_i, 2), true_pairs =
+    Σ C(b_j, 2), total_pairs = C(n, 2). The index itself is the literal
+    IEEE double chain
+
+        exp = pred_pairs · true_pairs / total_pairs
+        ari = (tp − exp) / ((pred_pairs + true_pairs) / 2 − exp)
+
+    evaluated identically by a SQL mirror (each operand CAST to DOUBLE
+    first), so the output is oracle-hash-exact. Rows with a null label
+    on either side are EXCLUDED up front (a SQL mirror filters both
+    ``IS NOT NULL``). Degenerate inputs (all rows one cluster on both
+    sides → denominator 0) return ari = 1.0 by convention."""
+    import pyarrow.compute as pc
+
+    both = ds.map_batches(
+        lambda t: t.filter(
+            pc.and_(
+                pc.is_valid(t.column(pred_column)),
+                pc.is_valid(t.column(true_column)),
+            )
+        ),
+        batch_format="pyarrow",
+    )
+    n = both.count()
+    total_pairs = n * (n - 1) // 2
+    pred_pairs = _sum_c2(both, [pred_column])
+    true_pairs = _sum_c2(both, [true_column])
+    tp = _sum_c2(both, [pred_column, true_column])
+    if total_pairs > 0:
+        exp = float(pred_pairs) * float(true_pairs) / float(total_pairs)
+        denom = (float(pred_pairs) + float(true_pairs)) / 2.0 - exp
+        ari = (float(tp) - exp) / denom if denom != 0.0 else 1.0
+    else:
+        ari = 1.0
+    return pa.table(
+        {
+            "n": pa.array([n], pa.int64()),
+            "tp": pa.array([tp], pa.int64()),
+            "pred_pairs": pa.array([pred_pairs], pa.int64()),
+            "true_pairs": pa.array([true_pairs], pa.int64()),
+            "total_pairs": pa.array([total_pairs], pa.int64()),
+            "ari": pa.array([ari], pa.float64()),
         }
     )

@@ -2049,3 +2049,86 @@ def mutual_knn_pairs(
         .count()
         .map_batches(keep_mutual, batch_format="pyarrow")
     )
+
+
+def lsh_hyperplane_pairs(
+    ds: "ray.data.Dataset",
+    id_column: str = "vec_id",
+    vector_column: str = "embedding",
+    dim: int = 64,
+    nbits: int = 32,
+    bands: int = 4,
+    quant_scale: int = 1000,
+) -> "ray.data.Dataset":
+    """Random-hyperplane LSH candidate pairs over an embedding column
+    (Charikar 2002 — SimHash for cosine): the SCALE path for
+    embedding-space near-duplicate candidate generation. Each vector gets
+    an ``nbits``-bit signature (bit b = sign of ⟨v, h_b⟩ against a
+    deterministic ±1 hyperplane), the signature splits into ``bands``
+    bands, and two vectors become a candidate pair iff they agree on ALL
+    bits of at least one band — cosine-close vectors collide with high
+    probability, everything else almost never. Band width (nbits/bands)
+    is the bucket-size lever: wider bands → exponentially smaller
+    buckets → fewer candidates (raise it on bigger corpora; the
+    brute-force / IVF paths in :func:`knn_join` are the verify stage).
+
+    Everything is engine-exact so a SQL mirror hash-matches: hyperplane
+    entries are ±1 from a Knuth multiplicative hash of the (bit, dim)
+    index, vectors quantize to ``floor(x·quant_scale + 0.5)`` int64
+    (the embedding_gram doctrine), and each dot product is an order-free
+    int64 sum. Shape: one signature ``map_batches`` (a [n, nbits] int64
+    matmul per batch — vectors never leave their block), a bands·n-row
+    (band, key, id) shuffle of INTEGER rows only, per-bucket triu pair
+    emission, and one pair-keyed distinct. Returns (id_a, id_b),
+    canonical a < b."""
+    import pyarrow.compute as pc
+
+    if nbits % bands:
+        raise ValueError(f"bands ({bands}) must divide nbits ({nbits})")
+    r = nbits // bands
+    if r > 62:
+        raise ValueError("band width > 62 bits overflows the int64 band key")
+    idx = np.arange(nbits, dtype=np.int64)[:, None] * dim + np.arange(
+        dim, dtype=np.int64
+    ) + 1
+    signs = np.where((idx * 2654435761) % (2**32) < 2**31, 1, -1).astype(np.int64)
+    weights = (1 << np.arange(r, dtype=np.int64)).reshape(1, 1, r)
+
+    def signature(t: pa.Table) -> pa.Table:
+        vecs = t.column(vector_column)
+        flat = pc.list_flatten(vecs).to_numpy(zero_copy_only=False)
+        v = flat.astype(np.float64).reshape(-1, dim)
+        q = np.floor(v * quant_scale + 0.5).astype(np.int64)
+        bits = (q @ signs.T >= 0).astype(np.int64).reshape(-1, bands, r)
+        keys = (bits * weights).sum(axis=2)  # [n, bands]
+        n = len(t)
+        return pa.table(
+            {
+                "band": pa.array(np.tile(np.arange(bands, dtype=np.int64), n)),
+                "key": pa.array(keys.ravel()),
+                "id": pa.array(
+                    np.repeat(
+                        t.column(id_column).to_numpy(zero_copy_only=False), bands
+                    )
+                ),
+            }
+        )
+
+    def bucket_pairs(g: pa.Table) -> pa.Table:
+        ids = np.sort(g.column("id").to_numpy(zero_copy_only=False))
+        k = len(ids)
+        if k < 2:
+            return pa.table(
+                {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
+            )
+        iu, ju = np.triu_indices(k, 1)
+        return pa.table({"id_a": pa.array(ids[iu]), "id_b": pa.array(ids[ju])})
+
+    return (
+        ds.map_batches(signature, batch_format="pyarrow")
+        .groupby(["band", "key"])
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+        .groupby(["id_a", "id_b"])
+        .count()
+        .drop_columns(["count()"])
+    )

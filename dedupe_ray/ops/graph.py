@@ -900,3 +900,73 @@ def hits_micro(
         hub = _half(auth, "auth", dst_column, src_column, "hub")
 
     return bucketed_lookup_join(hub, auth, "node", "node", ["auth"])
+
+
+def clustering_coefficients(
+    edges_ds: "ray.data.Dataset",
+    src_column: str = "src",
+    dst_column: str = "dst",
+    scale: int = 10**6,
+) -> "ray.data.Dataset":
+    """Local clustering coefficient per node (Watts & Strogatz 1998) over
+    an undirected simple graph, in exact integer micro-units:
+
+        coeff_micro(v) = (2 · tri(v) · scale) // (deg(v) · (deg(v) − 1))
+
+    for deg(v) ≥ 2, else 0 — the floor-div quantization keeps the output
+    parallelism-invariant and engine-exact against a SQL mirror (the
+    pagerank_micro doctrine; both operands are nonnegative so floor ==
+    truncation in every engine). Composition: :func:`triangle_counts`
+    (wedge emission + closing-edge join — the Σ deg² intrinsic cost) +
+    one degree groupby over the canonical edge list + one bucketed LEFT
+    join (nodes with no triangle keep coeff 0, so every node of the
+    graph appears in the output). Returns (node, deg, n_tri,
+    coeff_micro), all int64 but the node key."""
+    from ray.data.aggregate import Count
+
+    from dedupe_ray.joins import bucketed_lookup_join
+
+    edges = _canonical_edges(edges_ds, src_column, dst_column)
+
+    deg = (
+        edges.map_batches(
+            lambda t: pa.table(
+                {
+                    "node": pa.concat_arrays(
+                        [
+                            t.column("u").combine_chunks(),
+                            t.column("w").combine_chunks(),
+                        ]
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("node")
+        .aggregate(Count(alias_name="deg"))
+    )
+    tri = triangle_counts(edges_ds, src_column, dst_column)
+
+    def coeff(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        d = pc.cast(t.column("deg"), pa.int64()).to_numpy(zero_copy_only=False)
+        n_tri = (
+            pc.fill_null(pc.cast(t.column("n_tri"), pa.int64()), 0)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        denom = d * (d - 1)
+        c = np.where(d >= 2, (2 * n_tri * scale) // np.maximum(denom, 1), 0)
+        return pa.table(
+            {
+                "node": t.column("node"),
+                "deg": pa.array(d),
+                "n_tri": pa.array(n_tri),
+                "coeff_micro": pa.array(c.astype(np.int64)),
+            }
+        )
+
+    return bucketed_lookup_join(deg, tri, "node", "node", ["n_tri"], how="left").map_batches(
+        coeff, batch_format="pyarrow"
+    )

@@ -4042,3 +4042,62 @@ def temperature_mixture_sample(
         .groupby(group_column)
         .map_groups(resolve, batch_format="pyarrow")
     )
+
+
+def fuse_records(
+    ds: "ray.data.Dataset",
+    cluster_column: str,
+    spec: dict[str, tuple[str, str]],
+) -> "ray.data.Dataset":
+    """Golden-record construction (survivorship / data fusion — the step
+    AFTER entity resolution: collapse each resolved cluster to one fused
+    record using per-field rules). ``spec`` maps output column →
+    ``(source_column, rule)`` with rules:
+
+    - ``"min"`` / ``"max"`` — algebraic, one groupby aggregate
+      (recency-proxy "best value wins" and representative-key picks);
+    - ``"mode"`` — most frequent value, ties to the SMALLEST
+      (:func:`grouped_mode`'s combiner shape: the classic
+      most-supported-source rule).
+
+    An ``n_members`` count always rides along. Shape: ONE groupby
+    carries every algebraic rule; each mode field adds one
+    combiner-sized groupby; fused columns assemble through bucketed
+    unique-key joins on the cluster id — the full record set is
+    shuffled zero times (only per-cluster partials move). Mirrors a SQL
+    GROUP BY + per-field ``row_number() OVER (ORDER BY cnt DESC, value
+    ASC)`` oracle exactly (no floats anywhere unless a source column is
+    float)."""
+    from ray.data.aggregate import Count, Max, Min
+
+    from dedupe_ray.joins import bucketed_lookup_join
+
+    aggs = [Count(alias_name="n_members")]
+    renames: dict[str, str] = {}
+    modes: list[tuple[str, str]] = []
+    for out, (col, rule) in spec.items():
+        if rule == "min":
+            aggs.append(Min(col, alias_name=f"min({col})"))
+            renames[f"min({col})"] = out
+        elif rule == "max":
+            aggs.append(Max(col, alias_name=f"max({col})"))
+            renames[f"max({col})"] = out
+        elif rule == "mode":
+            modes.append((out, col))
+        else:
+            raise ValueError(f"unknown survivorship rule {rule!r} for {out!r}")
+
+    def rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns([renames.get(n, n) for n in t.column_names])
+
+    fused = (
+        ds.groupby(cluster_column)
+        .aggregate(*aggs)
+        .map_batches(rename, batch_format="pyarrow")
+    )
+    for out, col in modes:
+        m = grouped_mode(ds, cluster_column, col, out_column=out)
+        fused = bucketed_lookup_join(
+            fused, m, cluster_column, cluster_column, [out]
+        )
+    return fused

@@ -6359,3 +6359,173 @@ def test_mutual_knn_pairs_brute_force(ray_session):
     assert list(map(tuple, out.to_records(index=False))) == ref
     # mutual pairs are a strict subset of one-sided pairs on random data
     assert 0 < len(ref) < 40 * 4
+
+
+def test_clustering_coefficients_brute_force(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dedupe_ray.ops.graph import clustering_coefficients
+
+    # triangle a-b-c, plus d attached to a and b (a,b close a second
+    # wedge), plus pendant e-a (degree-1 node must appear with coeff 0)
+    edges = [("a", "b"), ("b", "c"), ("a", "c"), ("a", "d"), ("b", "d"), ("a", "e")]
+    tbl = pa.table({"src": [e[0] for e in edges], "dst": [e[1] for e in edges]})
+
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    expect = {}
+    for v, nb in adj.items():
+        deg = len(nb)
+        tri = sum(
+            1
+            for i, x in enumerate(sorted(nb))
+            for y in sorted(nb)[i + 1 :]
+            if y in adj[x]
+        )
+        cm = (2 * tri * 10**6) // (deg * (deg - 1)) if deg >= 2 else 0
+        expect[v] = (deg, tri, cm)
+
+    for parts in (1, 3):
+        out = clustering_coefficients(rd.from_arrow(tbl).repartition(parts)).to_pandas()
+        got = {
+            r["node"]: (r["deg"], r["n_tri"], r["coeff_micro"])
+            for _, r in out.iterrows()
+        }
+        assert got == expect
+
+
+def test_ari_stats_brute_force(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dedupe_ray.eval import ari_stats
+
+    pred = ["x", "x", "x", "y", "y", "z", None, "z"]
+    true = ["p", "p", "q", "q", "q", "p", "p", None]
+    ds = rd.from_arrow(pa.table({"pred": pred, "true": true}))
+    out = ari_stats(ds, "pred", "true").to_pandas().iloc[0]
+
+    # brute force over the 6 non-null rows
+    rows = [(p, t) for p, t in zip(pred, true) if p is not None and t is not None]
+    n = len(rows)
+    tp = sum(
+        1
+        for i in range(n)
+        for j in range(i + 1, n)
+        if rows[i][0] == rows[j][0] and rows[i][1] == rows[j][1]
+    )
+    pp = sum(
+        1 for i in range(n) for j in range(i + 1, n) if rows[i][0] == rows[j][0]
+    )
+    tt = sum(
+        1 for i in range(n) for j in range(i + 1, n) if rows[i][1] == rows[j][1]
+    )
+    total = n * (n - 1) // 2
+    exp = float(pp) * float(tt) / float(total)
+    ari = (float(tp) - exp) / ((float(pp) + float(tt)) / 2.0 - exp)
+    assert out["n"] == n and out["tp"] == tp
+    assert out["pred_pairs"] == pp and out["true_pairs"] == tt
+    assert out["total_pairs"] == total
+    assert out["ari"] == ari
+
+    # identical partitions → ARI exactly 1
+    same = rd.from_arrow(pa.table({"pred": ["a", "a", "b"], "true": ["u", "u", "v"]}))
+    assert ari_stats(same, "pred", "true").to_pandas().iloc[0]["ari"] == 1.0
+
+
+def test_fuse_records_rules_and_ties(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dedupe_ray.ops.tabular import fuse_records
+
+    tbl = pa.table(
+        {
+            "cl": [1, 1, 1, 2, 2],
+            "k": [10, 11, 12, 20, 21],
+            "seg": ["B", "A", "B", "X", "Y"],  # cl1 mode B; cl2 tie -> X
+            "bal": [5.0, 9.0, 7.0, 1.0, 2.0],
+        }
+    )
+    for parts in (1, 3):
+        out = (
+            fuse_records(
+                rd.from_arrow(tbl).repartition(parts),
+                "cl",
+                {
+                    "rep": ("k", "min"),
+                    "bal_max": ("bal", "max"),
+                    "seg_mode": ("seg", "mode"),
+                },
+            )
+            .to_pandas()
+            .sort_values("cl")
+            .reset_index(drop=True)
+        )
+        assert out["cl"].tolist() == [1, 2]
+        assert out["n_members"].tolist() == [3, 2]
+        assert out["rep"].tolist() == [10, 20]
+        assert out["bal_max"].tolist() == [9.0, 2.0]
+        assert out["seg_mode"].tolist() == ["B", "X"]
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        fuse_records(rd.from_arrow(tbl), "cl", {"bad": ("k", "median")})
+
+
+def test_lsh_hyperplane_pairs_reference_and_guarantees(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dedupe_ray.ops.embedding import lsh_hyperplane_pairs
+
+    rng = np.random.RandomState(7)
+    dim, nbits, bands = 16, 16, 4
+    vecs = rng.randn(40, dim).astype(np.float32)
+    vecs[35] = vecs[3]  # exact duplicate MUST pair (all bands agree)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(40, dtype=np.int64)),
+            "embedding": pa.array(list(vecs), pa.list_(pa.float32())),
+        }
+    )
+
+    # driver reference with identical integer arithmetic
+    idx = (
+        np.arange(nbits, dtype=np.int64)[:, None] * dim
+        + np.arange(dim, dtype=np.int64)
+        + 1
+    )
+    signs = np.where((idx * 2654435761) % (2**32) < 2**31, 1, -1).astype(np.int64)
+    q = np.floor(vecs.astype(np.float64) * 1000 + 0.5).astype(np.int64)
+    bits = (q @ signs.T >= 0).astype(np.int64)
+    r = nbits // bands
+    keys = (bits.reshape(-1, bands, r) * (1 << np.arange(r, dtype=np.int64))).sum(2)
+    expect = set()
+    for b in range(bands):
+        for i in range(40):
+            for j in range(i + 1, 40):
+                if keys[i, b] == keys[j, b]:
+                    expect.add((i, j))
+
+    for parts in (1, 4):
+        out = lsh_hyperplane_pairs(
+            rd.from_arrow(tbl).repartition(parts),
+            dim=dim,
+            nbits=nbits,
+            bands=bands,
+        ).to_pandas()
+        got = set(zip(out["id_a"], out["id_b"]))
+        assert got == expect
+    assert (3, 35) in got  # the planted exact duplicate collides
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        lsh_hyperplane_pairs(rd.from_arrow(tbl), dim=dim, nbits=10, bands=4)
