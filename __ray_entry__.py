@@ -5872,6 +5872,155 @@ def _q_part_clustering_coeff(sf_dir: str):
     return clustering_coefficients(_part_copurchase_pairs(sf_dir), "item_a", "item_b")
 
 
+def _q_price_priority_auc(sf_dir: str):
+    """Tie-aware ROC AUC of order price as a predictor of urgent priority
+    (`eval.py rank_auc_stats` — the Mann–Whitney ranking metric every
+    scorer evaluation needs): exact int64 pair-half counts from one
+    per-value combiner table, one mirrored IEEE division."""
+    import ray.data as rd
+
+    from dedupe_ray.eval import rank_auc_stats
+
+    orders = _read(sf_dir, "orders", ["o_totalprice", "o_orderpriority"])
+
+    def lab(b: pa.Table) -> pa.Table:
+        pri = b.column("o_orderpriority").to_numpy(zero_copy_only=False)
+        y = ((pri == "1-URGENT") | (pri == "2-HIGH")).astype(np.int64)
+        return pa.table(
+            {"score": b.column("o_totalprice"), "label": pa.array(y)}
+        )
+
+    return rd.from_arrow(
+        rank_auc_stats(orders.map_batches(lab, batch_format="pyarrow"), "score", "label")
+    )
+
+
+def _q_customer_gini(sf_dir: str):
+    """Gini coefficient of customer order-value concentration
+    (`ops/tabular.py gini_coefficient` — the key-skew / inequality
+    diagnostic): per-customer cent totals ranked by the distributed
+    zip-with-index, two exact int64 moments, one mirrored division."""
+    import ray.data as rd
+
+    from ray.data.aggregate import Sum
+
+    from dedupe_ray.ops.tabular import gini_coefficient
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def cents(b: pa.Table) -> pa.Table:
+        p = b.column("o_totalprice").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "o_custkey": b.column("o_custkey"),
+                "cents": pa.array(np.floor(p * 100 + 0.5).astype(np.int64)),
+            }
+        )
+
+    totals = (
+        orders.map_batches(cents, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Sum("cents", alias_name="cents"))
+    )
+    return rd.from_arrow(gini_coefficient(totals, "cents", "o_custkey"))
+
+
+def _q_user_survival_km(sf_dir: str):
+    """Kaplan–Meier time-to-first-purchase (`ops/tabular.py
+    km_survival`): per-user duration in whole hours from first event to
+    first 'purchase' (death) or to the corpus's last timestamp (censored
+    — never purchased), exact microsecond integer math throughout;
+    survival an exact integer product recurrence a recursive CTE replays
+    step-for-step."""
+    import ray.data as rd
+    from ray.data.aggregate import Min
+
+    from dedupe_ray.ops.tabular import km_survival
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    sentinel = np.datetime64("2200-01-01", "us")
+    corpus_max = np.datetime64(ev.max("ts"), "us")  # bounded: one scalar
+
+    def mark(b: pa.Table) -> pa.Table:
+        ts = b.column("ts").to_numpy(zero_copy_only=False)
+        et = b.column("event_type").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "user_id": b.column("user_id"),
+                "ts": b.column("ts"),
+                # sentinel keeps Min() null-free for non-purchase rows
+                "pts": pa.array(np.where(et == "purchase", ts, sentinel)),
+            }
+        )
+
+    spans = (
+        ev.map_batches(mark, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Min("ts", alias_name="first_ts"), Min("pts", alias_name="first_p"))
+    )
+
+    def durations(b: pa.Table) -> pa.Table:
+        first = b.column("first_ts").to_numpy(zero_copy_only=False)
+        fp = b.column("first_p").to_numpy(zero_copy_only=False)
+        died = fp < sentinel
+        endt = np.where(died, fp, corpus_max)
+        hours = (endt - first).astype("timedelta64[us]").astype(np.int64) // (
+            3_600_000_000
+        )
+        return pa.table(
+            {
+                "duration": pa.array(hours),
+                "event": pa.array(died.astype(np.int64)),
+            }
+        )
+
+    return rd.from_arrow(
+        km_survival(
+            spans.map_batches(durations, batch_format="pyarrow"),
+            "duration",
+            "event",
+        )
+    )
+
+
+def _q_brand_modularity(sf_dir: str):
+    """Newman modularity of the brand partition over the part
+    co-purchase graph (`ops/graph.py modularity_stats`): per-community
+    exact int64 sufficient statistics (4m·e_c − d_c²) — is brand a real
+    community structure? The caller divides by 4m² (num/den doctrine)."""
+    import pyarrow.compute as pc
+
+    from dedupe_ray.ops.graph import modularity_stats
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand"])
+    labels = part.map_batches(
+        lambda t: pa.table(
+            {
+                "node": pc.cast(t.column("p_partkey"), pa.string()),
+                "label": t.column("p_brand"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return modularity_stats(
+        _part_copurchase_pairs(sf_dir), labels, "item_a", "item_b"
+    )
+
+
+def _q_acctbal_benford(sf_dir: str):
+    """Benford first-digit profile of customer account balances
+    (`ops/tabular.py benford_profile` — synthetic-data / fraud
+    screening): observed leading-digit counts next to the micro-quantized
+    Benford expectation (count-ratio ln agreement class); the chi-square
+    is the caller's one bounded float step."""
+    import ray.data as rd
+
+    from dedupe_ray.ops.tabular import benford_profile
+
+    cust = _read(sf_dir, "customer", ["c_acctbal"])
+    return rd.from_arrow(benford_profile(cust, "c_acctbal"))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "er_clusters": _q_er_clusters,
@@ -6095,6 +6244,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fused_customers": _q_fused_customers,
         "embedding_lsh_pairs": _q_embedding_lsh_pairs,
         "part_clustering_coeff": _q_part_clustering_coeff,
+        "price_priority_auc": _q_price_priority_auc,
+        "customer_gini": _q_customer_gini,
+        "user_survival_km": _q_user_survival_km,
+        "brand_modularity": _q_brand_modularity,
+        "acctbal_benford": _q_acctbal_benford,
     }
 
 
@@ -10224,5 +10378,171 @@ def oracle_sql() -> dict[str, str]:
                              // (d.deg * (d.deg - 1))
                         ELSE 0 END AS BIGINT) AS coeff_micro
             FROM deg d LEFT JOIN tric t ON t.node = d.node
+        """,
+        # tie-aware Mann-Whitney: cumulative negatives below each distinct
+        # score from one window; num2 doubled so 0.5-ties stay integral
+        "price_priority_auc": """
+            WITH t AS (
+                SELECT o_totalprice AS score,
+                       CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END AS p
+                FROM orders
+            ),
+            v AS (
+                SELECT score, CAST(SUM(p) AS BIGINT) AS p,
+                       CAST(SUM(1 - p) AS BIGINT) AS n
+                FROM t GROUP BY score
+            ),
+            w AS (
+                SELECT p, n,
+                       CAST(SUM(n) OVER (ORDER BY score) - n AS BIGINT) AS below
+                FROM v
+            )
+            SELECT CAST(SUM(p) AS BIGINT) AS n_pos,
+                   CAST(SUM(n) AS BIGINT) AS n_neg,
+                   CAST(SUM(p * (2 * below + n)) AS BIGINT) AS num2,
+                   CAST(SUM(p * (2 * below + n)) AS DOUBLE)
+                   / CAST(2 * SUM(p) * SUM(n) AS DOUBLE) AS auc
+            FROM w
+        """,
+        # Gini from exact moments over (cents, custkey)-ordered ranks —
+        # the assign_row_numbers order, so every rank matches
+        "customer_gini": """
+            WITH tot AS (
+                SELECT o_custkey,
+                       CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5)
+                                     AS BIGINT)) AS BIGINT) AS cents
+                FROM orders GROUP BY 1
+            ),
+            r AS (
+                SELECT cents,
+                       row_number() OVER (ORDER BY cents, o_custkey) AS rk
+                FROM tot
+            )
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(cents) AS BIGINT) AS sum_x,
+                   CAST(SUM(rk * cents) AS BIGINT) AS sum_rank_x,
+                   CAST(2 * SUM(rk * cents)
+                        - (COUNT(*) + 1) * SUM(cents) AS BIGINT) AS num,
+                   CAST(COUNT(*) * SUM(cents) AS BIGINT) AS den,
+                   CAST(2 * SUM(rk * cents)
+                        - (COUNT(*) + 1) * SUM(cents) AS DOUBLE)
+                   / CAST(COUNT(*) * SUM(cents) AS DOUBLE) AS gini
+            FROM r
+        """,
+        # KM time-to-first-purchase: whole-hour durations in exact
+        # microsecond integer math, censored = never purchased (duration
+        # to corpus max ts), reverse-cumulative at-risk, then the
+        # floor-div product recurrence replayed by a recursive CTE (the
+        # grouped_ewma_int doctrine)
+        "user_survival_km": """
+            WITH RECURSIVE f AS (
+                SELECT user_id, MIN(ts) AS f FROM events GROUP BY 1
+            ),
+            p AS (
+                SELECT user_id, MIN(ts) AS p FROM events
+                WHERE event_type = 'purchase' GROUP BY 1
+            ),
+            dur AS (
+                SELECT f.user_id,
+                       CASE WHEN p.p IS NOT NULL
+                            THEN (epoch_us(p.p) - epoch_us(f.f))
+                                 // 3600000000
+                            ELSE (epoch_us((SELECT MAX(ts) FROM events))
+                                  - epoch_us(f.f)) // 3600000000
+                       END AS t,
+                       CASE WHEN p.p IS NOT NULL THEN 1 ELSE 0 END AS ev
+                FROM f LEFT JOIN p USING (user_id)
+            ),
+            times AS (
+                SELECT t, CAST(SUM(ev) AS BIGINT) AS d,
+                       CAST(SUM(1 - ev) AS BIGINT) AS c
+                FROM dur GROUP BY 1
+            ),
+            risk AS (
+                SELECT t, d,
+                       CAST(SUM(d + c) OVER (ORDER BY t DESC) AS BIGINT)
+                           AS at_risk
+                FROM times
+            ),
+            dd AS (
+                SELECT t, d, at_risk,
+                       row_number() OVER (ORDER BY t) AS i
+                FROM risk WHERE d > 0
+            ),
+            rec AS (
+                SELECT i, t, d, at_risk,
+                       CAST(1000000 * (at_risk - d) // at_risk AS BIGINT) AS s
+                FROM dd WHERE i = 1
+                UNION ALL
+                SELECT dd.i, dd.t, dd.d, dd.at_risk,
+                       CAST(rec.s * (dd.at_risk - dd.d) // dd.at_risk
+                            AS BIGINT)
+                FROM rec JOIN dd ON dd.i = rec.i + 1
+            )
+            SELECT t AS duration, at_risk, d AS deaths, s AS surv_micro
+            FROM rec
+        """,
+        # modularity sufficient stats: contrib = 4m·e_c − d_c² per brand
+        # over the canonical co-purchase edges (num/den doctrine — the
+        # caller divides by 4m²)
+        "brand_modularity": """
+            WITH li AS (
+                SELECT DISTINCT l_orderkey, CAST(l_partkey AS VARCHAR) AS part
+                FROM lineitem WHERE l_orderkey % 97 = 0
+            ),
+            e AS MATERIALIZED (
+                SELECT DISTINCT a.part AS u, b.part AS w
+                FROM li a JOIN li b
+                  ON a.l_orderkey = b.l_orderkey AND a.part < b.part
+            ),
+            lab AS MATERIALIZED (
+                SELECT CAST(p_partkey AS VARCHAR) AS node, p_brand AS label
+                FROM part
+            ),
+            m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM e),
+            wl AS (
+                SELECT la.label, CAST(COUNT(*) AS BIGINT) AS within_edges
+                FROM e
+                JOIN lab la ON la.node = e.u
+                JOIN lab lb ON lb.node = e.w
+                WHERE la.label = lb.label
+                GROUP BY 1
+            ),
+            deg AS (
+                SELECT v AS node, COUNT(*) AS deg FROM (
+                    SELECT u AS v FROM e UNION ALL SELECT w AS v FROM e
+                ) GROUP BY 1
+            ),
+            dc AS (
+                SELECT la.label, CAST(SUM(d.deg) AS BIGINT) AS degree_sum
+                FROM deg d JOIN lab la ON la.node = d.node GROUP BY 1
+            )
+            SELECT dc.label,
+                   CAST(COALESCE(wl.within_edges, 0) AS BIGINT) AS within_edges,
+                   dc.degree_sum,
+                   (SELECT m FROM m) AS m,
+                   CAST(4 * (SELECT m FROM m) * COALESCE(wl.within_edges, 0)
+                        - dc.degree_sum * dc.degree_sum AS BIGINT) AS contrib_num
+            FROM dc LEFT JOIN wl ON wl.label = dc.label
+        """,
+        # leading digit of floor(abs(x)) for |x| ≥ 1; Benford expectation
+        # floor(1e6·ln(1+1/d)/ln(10)) — count-ratio ln agreement class
+        "acctbal_benford": """
+            WITH base AS MATERIALIZED (
+                SELECT CAST(floor(abs(c_acctbal)) AS BIGINT) AS x
+                FROM customer WHERE abs(c_acctbal) >= 1.0
+            ),
+            obs AS (
+                SELECT CAST(substr(CAST(x AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+                       CAST(COUNT(*) AS BIGINT) AS obs
+                FROM base GROUP BY 1
+            ),
+            d AS (SELECT unnest(generate_series(1, 9)) AS digit)
+            SELECT d.digit, CAST(COALESCE(o.obs, 0) AS BIGINT) AS obs,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM base) AS total,
+                   CAST(floor(1000000 * ln(1.0 + 1.0 / d.digit) / ln(10.0))
+                        AS BIGINT) AS exp_micro
+            FROM d LEFT JOIN obs o ON o.digit = d.digit
         """,
     }

@@ -418,3 +418,69 @@ def ari_stats(
             "ari": pa.array([ari], pa.float64()),
         }
     )
+
+
+def rank_auc_stats(
+    ds,
+    score_column: str,
+    label_column: str,
+) -> pa.Table:
+    """Tie-aware ROC AUC (the Mann–Whitney U statistic) of a score
+    against a binary label, from exact integer sufficient statistics:
+
+        num2 = Σ_v p_v · (2 · N_below(v) + n_v)        (doubled to keep
+        auc  = num2 / (2 · P · N)                       0.5-ties integral)
+
+    where (p_v, n_v) are positive/negative counts at each distinct score
+    value and N_below its cumulative negative count — the classic
+    probability that a random positive outranks a random negative, with
+    ties counted half. One combiner pass builds the per-value count
+    table (p_v, n_v); the cumulative walk runs over THAT table only —
+    bounded by distinct score values, so quantize/bucket a continuous
+    score upstream at corpus scale (the heavy-hitters reduction class).
+    num2 stays in int64 up to P·N < 4.6·10¹⁸ pair-halves. The single
+    division is the literal IEEE chain a SQL window mirror (SUM(n) OVER
+    (ORDER BY score) − n) reproduces. Labels outside {0, 1} raise;
+    degenerate inputs (no positives or no negatives) return auc = 1.0.
+    Output one row: (n_pos, n_neg, num2, auc)."""
+    import numpy as np
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        lab = b.column(label_column).to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(lab) and (lab.min() < 0 or lab.max() > 1):
+            raise ValueError(f"{label_column} must be binary 0/1")
+        df = pd.DataFrame(
+            {
+                "score": b.column(score_column).to_numpy(zero_copy_only=False),
+                "p": lab,
+                "n": 1 - lab,
+            }
+        )
+        g = df.groupby("score", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("score")
+        .aggregate(Sum("p", alias_name="p"), Sum("n", alias_name="n"))
+        .to_pandas()  # bounded: one row per distinct score value
+        .sort_values("score", ignore_index=True)
+    )
+    p = counts["p"].to_numpy(np.int64)
+    n = counts["n"].to_numpy(np.int64)
+    below = np.concatenate(([0], np.cumsum(n)[:-1]))
+    num2 = int((p * (2 * below + n)).sum())
+    n_pos, n_neg = int(p.sum()), int(n.sum())
+    den = 2 * n_pos * n_neg
+    auc = float(num2) / float(den) if den else 1.0
+    return pa.table(
+        {
+            "n_pos": pa.array([n_pos], pa.int64()),
+            "n_neg": pa.array([n_neg], pa.int64()),
+            "num2": pa.array([num2], pa.int64()),
+            "auc": pa.array([auc], pa.float64()),
+        }
+    )

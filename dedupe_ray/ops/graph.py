@@ -970,3 +970,111 @@ def clustering_coefficients(
     return bucketed_lookup_join(deg, tri, "node", "node", ["n_tri"], how="left").map_batches(
         coeff, batch_format="pyarrow"
     )
+
+
+def modularity_stats(
+    edges_ds: "ray.data.Dataset",
+    labels_ds: "ray.data.Dataset",
+    src_column: str = "src",
+    dst_column: str = "dst",
+    node_column: str = "node",
+    label_column: str = "label",
+) -> "ray.data.Dataset":
+    """Newman modularity of a node partition over an undirected simple
+    graph, as exact int64 per-community sufficient statistics (the
+    num/den doctrine — no cross-engine float ever ships):
+
+        Q = (1 / 4m²) · Σ_c (4m·e_c − d_c²)
+          = Σ_c contrib_num / (4m²)
+
+    with m = |E| (canonical edges), e_c = within-community edge count,
+    d_c = community degree sum. Nodes missing from ``labels_ds`` form
+    their own null-label community EXCLUDED from the output (SQL mirrors
+    filter the label join's misses). Shape: two bucketed unique-key
+    label joins onto the edge list (endpoints labelled independently),
+    one within-edge groupby, one degree-sum groupby, one bounded LEFT
+    join across the two per-community tables. Overflow: d_c² < int64 for
+    community degree sums up to 3·10⁹. Output one row per community:
+    (label, within_edges, degree_sum, m, contrib_num)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+
+    from dedupe_ray.joins import bucketed_lookup_join
+
+    edges = _canonical_edges(edges_ds, src_column, dst_column).materialize()
+    m = edges.count()
+    labels = labels_ds.select_columns([node_column, label_column])
+
+    lab_u = bucketed_lookup_join(
+        edges, labels, "u", node_column, [label_column]
+    ).map_batches(
+        lambda t: pa.table(
+            {"u": t.column("u"), "w": t.column("w"), "lab_u": t.column(label_column)}
+        ),
+        batch_format="pyarrow",
+    )
+    lab_uw = bucketed_lookup_join(lab_u, labels, "w", node_column, [label_column])
+
+    within = (
+        lab_uw.map_batches(
+            lambda t: t.filter(
+                pc.equal(t.column("lab_u"), t.column(label_column))
+            ).select(["lab_u"]),
+            batch_format="pyarrow",
+        )
+        .groupby("lab_u")
+        .aggregate(Count(alias_name="within_edges"))
+    )
+
+    deg = (
+        edges.map_batches(
+            lambda t: pa.table(
+                {
+                    node_column: pa.concat_arrays(
+                        [
+                            t.column("u").combine_chunks(),
+                            t.column("w").combine_chunks(),
+                        ]
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby(node_column)
+        .count()
+        .map_batches(
+            lambda t: t.rename_columns([node_column, "deg"]), batch_format="pyarrow"
+        )
+    )
+    deg_lab = bucketed_lookup_join(deg, labels, node_column, node_column, [label_column])
+    deg_c = (
+        deg_lab.map_batches(
+            lambda t: pa.table({"lab_u": t.column(label_column), "deg": t.column("deg")}),
+            batch_format="pyarrow",
+        )
+        .groupby("lab_u")
+        .aggregate(Sum("deg", alias_name="degree_sum"))
+    )
+
+    def contrib(t: pa.Table) -> pa.Table:
+        e_c = (
+            pc.fill_null(pc.cast(t.column("within_edges"), pa.int64()), 0)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        d_c = pc.cast(t.column("degree_sum"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        return pa.table(
+            {
+                "label": t.column("lab_u"),
+                "within_edges": pa.array(e_c),
+                "degree_sum": pa.array(d_c),
+                "m": pa.array(np.full(len(t), m, np.int64)),
+                "contrib_num": pa.array(4 * m * e_c - d_c * d_c),
+            }
+        )
+
+    return bucketed_lookup_join(
+        deg_c, within, "lab_u", "lab_u", ["within_edges"], how="left"
+    ).map_batches(contrib, batch_format="pyarrow")

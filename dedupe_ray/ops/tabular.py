@@ -4101,3 +4101,195 @@ def fuse_records(
             fused, m, cluster_column, cluster_column, [out]
         )
     return fused
+
+
+def gini_coefficient(
+    ds: "ray.data.Dataset",
+    value_column: str,
+    id_column: str,
+) -> pa.Table:
+    """Gini coefficient of a nonnegative integer value distribution
+    (inequality / key-skew diagnosis — how concentrated order value,
+    token mass, or partition size is), from exact int64 sufficient
+    statistics over the sorted values:
+
+        num = 2·Σ rank_i·x_i − (n + 1)·Σ x_i,    den = n·Σ x_i,
+        gini = num / den
+
+    with 1-based ranks in (value, id) order (the id tiebreak makes every
+    rank engine-exact). Ranks come from :func:`assign_row_numbers` — the
+    distributed zip-with-index, no global sort — and both moments reduce
+    through per-batch int64 partials, so nothing but six integers
+    reaches the driver. Overflow bound: Σ rank·x ≤ n²·max(x) — safe in
+    int64 for n·sqrt(max_x) < 3·10⁹. The single division is the literal
+    IEEE chain a SQL row_number mirror reproduces. Output one row:
+    (n, sum_x, sum_rank_x, num, den, gini)."""
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    ranked = assign_row_numbers(ds, value_column, id_column, out_column="__rank")
+
+    def moments(b: pa.Table) -> pa.Table:
+        x = b.column(value_column).to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(x) and x.min() < 0:
+            raise ValueError(f"{value_column} must be nonnegative")
+        r = b.column("__rank").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "n": pa.array([len(x)], pa.int64()),
+                "sx": pa.array([int(x.sum())], pa.int64()),
+                "srx": pa.array([int((r * x).sum())], pa.int64()),
+            }
+        )
+
+    agg = ranked.map_batches(moments, batch_format="pyarrow").aggregate(
+        Sum("n", alias_name="n"), Sum("sx", alias_name="sx"), Sum("srx", alias_name="srx")
+    )
+    n, sx, srx = int(agg["n"] or 0), int(agg["sx"] or 0), int(agg["srx"] or 0)
+    num = 2 * srx - (n + 1) * sx
+    den = n * sx
+    gini = float(num) / float(den) if den else 0.0
+    return pa.table(
+        {
+            "n": pa.array([n], pa.int64()),
+            "sum_x": pa.array([sx], pa.int64()),
+            "sum_rank_x": pa.array([srx], pa.int64()),
+            "num": pa.array([num], pa.int64()),
+            "den": pa.array([den], pa.int64()),
+            "gini": pa.array([gini], pa.float64()),
+        }
+    )
+
+
+def km_survival(
+    ds: "ray.data.Dataset",
+    duration_column: str,
+    event_column: str,
+    scale: int = 10**6,
+) -> pa.Table:
+    """Kaplan-Meier survival curve over (duration, event) observations —
+    the standard right-censored estimator (churn, time-to-conversion,
+    failure analysis): ``event_column`` is 1 when the terminal event was
+    observed at ``duration_column`` (integer time units), 0 when the
+    subject was censored there (still alive — leaves the at-risk set
+    without a death). Survival is the exact integer product recurrence,
+    in micro-units:
+
+        s_i = (s_{i-1} * (n_i - d_i)) // n_i,    s_0 = scale
+
+    over death times ascending, with n_i = subjects at risk
+    (duration >= t_i; same-time censored count as at-risk — the standard
+    KM convention) and d_i = deaths at t_i. Floor-quantizing each step
+    keeps the curve parallelism-invariant and lets a recursive-CTE SQL
+    mirror replay it row-for-row (the grouped_ewma_int doctrine).
+    Shape: one combiner groupby builds the per-time (d, c) count table
+    (bounded by distinct durations — bucket a fine-grained clock
+    upstream); the reverse-cumulative at-risk walk and the recurrence
+    run over that table on the driver. Output one row per death time:
+    (duration, at_risk, deaths, surv_micro), all int64."""
+    import numpy as np
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    def time_counts(b: pa.Table) -> pa.Table:
+        ev = b.column(event_column).to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(ev) and (ev.min() < 0 or ev.max() > 1):
+            raise ValueError(f"{event_column} must be binary 0/1")
+        df = pd.DataFrame(
+            {
+                "t": b.column(duration_column)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64),
+                "d": ev,
+                "c": 1 - ev,
+            }
+        )
+        g = df.groupby("t", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    times = (
+        ds.map_batches(time_counts, batch_format="pyarrow")
+        .groupby("t")
+        .aggregate(Sum("d", alias_name="d"), Sum("c", alias_name="c"))
+        .to_pandas()  # bounded: one row per distinct duration
+        .sort_values("t", ignore_index=True)
+    )
+    d = times["d"].to_numpy(np.int64)
+    c = times["c"].to_numpy(np.int64)
+    at_risk = (d + c)[::-1].cumsum()[::-1]  # duration >= t => still at risk
+    s = int(scale)
+    out_t, out_n, out_d, out_s = [], [], [], []
+    for i in range(len(times)):
+        if d[i] == 0:
+            continue
+        s = (s * (int(at_risk[i]) - int(d[i]))) // int(at_risk[i])
+        out_t.append(int(times["t"][i]))
+        out_n.append(int(at_risk[i]))
+        out_d.append(int(d[i]))
+        out_s.append(s)
+    return pa.table(
+        {
+            "duration": pa.array(out_t, pa.int64()),
+            "at_risk": pa.array(out_n, pa.int64()),
+            "deaths": pa.array(out_d, pa.int64()),
+            "surv_micro": pa.array(out_s, pa.int64()),
+        }
+    )
+
+
+def benford_profile(
+    ds: "ray.data.Dataset",
+    value_column: str,
+    scale: int = 10**6,
+) -> pa.Table:
+    """Benford's-law first-digit profile (fraud / synthetic-data
+    screening): observed counts of the leading significant digit of
+    ``floor(abs(value))`` over rows with ``abs(value) ≥ 1``, next to the
+    Benford expectation quantized to micro-units —
+    ``exp_micro = floor(scale · ln(1 + 1/d) / ln(10))`` (count-ratio ln,
+    the class where numpy and SQL engines agree bit-for-bit; the caller
+    does the chi-square with exact integers in hand). The digit kernel
+    is a vectorized repeated floor-div (≤ 19 passes, no strings, no
+    log10 edge cases at powers of ten). One combiner groupby; all nine
+    digits always appear. Output: (digit, obs, total, exp_micro)."""
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    def digit_counts(b: pa.Table) -> pa.Table:
+        v = np.abs(b.column(value_column).to_numpy(zero_copy_only=False))
+        x = np.floor(v[v >= 1.0]).astype(np.int64)
+        while (x >= 10).any():
+            x = np.where(x >= 10, x // 10, x)
+        cnt = np.bincount(x, minlength=10)[1:10]
+        return pa.table(
+            {
+                "digit": pa.array(np.arange(1, 10, dtype=np.int64)),
+                "obs": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    counts = (
+        ds.map_batches(digit_counts, batch_format="pyarrow")
+        .groupby("digit")
+        .aggregate(Sum("obs", alias_name="obs"))
+        .to_pandas()  # bounded: nine rows
+        .sort_values("digit", ignore_index=True)
+    )
+    obs = np.zeros(9, np.int64)
+    obs[counts["digit"].to_numpy(np.int64) - 1] = counts["obs"].to_numpy(np.int64)
+    total = int(obs.sum())
+    dd = np.arange(1, 10, dtype=np.float64)
+    exp_micro = np.floor(
+        scale * np.log(1.0 + 1.0 / dd) / np.log(10.0)
+    ).astype(np.int64)
+    return pa.table(
+        {
+            "digit": pa.array(np.arange(1, 10, dtype=np.int64)),
+            "obs": pa.array(obs),
+            "total": pa.array(np.full(9, total, np.int64)),
+            "exp_micro": pa.array(exp_micro),
+        }
+    )

@@ -6529,3 +6529,153 @@ def test_lsh_hyperplane_pairs_reference_and_guarantees(ray_session):
 
     with pytest.raises(ValueError):
         lsh_hyperplane_pairs(rd.from_arrow(tbl), dim=dim, nbits=10, bands=4)
+
+
+def test_rank_auc_stats_brute_force(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dedupe_ray.eval import rank_auc_stats
+
+    scores = [1.0, 2.0, 2.0, 3.0, 3.0, 3.0, 4.0, 0.5]
+    labels = [0, 0, 1, 0, 1, 1, 1, 0]
+    ds = rd.from_arrow(pa.table({"score": scores, "label": labels}))
+    out = rank_auc_stats(ds, "score", "label").to_pandas().iloc[0]
+
+    num2 = 0
+    for sp, lp in zip(scores, labels):
+        if lp != 1:
+            continue
+        for sn, ln in zip(scores, labels):
+            if ln != 0:
+                continue
+            num2 += 2 if sp > sn else (1 if sp == sn else 0)
+    n_pos, n_neg = sum(labels), len(labels) - sum(labels)
+    assert out["n_pos"] == n_pos and out["n_neg"] == n_neg
+    assert out["num2"] == num2
+    assert out["auc"] == float(num2) / float(2 * n_pos * n_neg)
+
+    # perfect separation -> 1.0; label validation
+    perf = rd.from_arrow(pa.table({"score": [1.0, 2.0], "label": [0, 1]}))
+    assert rank_auc_stats(perf, "score", "label").to_pandas().iloc[0]["auc"] == 1.0
+    import pytest
+
+    bad = rd.from_arrow(pa.table({"score": [1.0], "label": [2]}))
+    with pytest.raises(Exception):
+        rank_auc_stats(bad, "score", "label")
+
+
+def test_gini_coefficient_known_values(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dedupe_ray.ops.tabular import gini_coefficient
+
+    # all equal -> gini 0
+    eq = rd.from_arrow(pa.table({"x": [5, 5, 5, 5], "id": [1, 2, 3, 4]}))
+    assert gini_coefficient(eq, "x", "id").to_pandas().iloc[0]["gini"] == 0.0
+
+    # brute force against the rank formula
+    vals = [0, 0, 3, 7, 10, 40]
+    ds = rd.from_arrow(
+        pa.table({"x": vals, "id": list(range(len(vals)))})
+    ).repartition(3)
+    out = gini_coefficient(ds, "x", "id").to_pandas().iloc[0]
+    xs = sorted(vals)
+    n, sx = len(xs), sum(xs)
+    srx = sum((i + 1) * x for i, x in enumerate(xs))
+    num, den = 2 * srx - (n + 1) * sx, n * sx
+    assert out["n"] == n and out["sum_x"] == sx and out["sum_rank_x"] == srx
+    assert out["num"] == num and out["den"] == den
+    assert out["gini"] == float(num) / float(den)
+
+
+def test_km_survival_hand_curve(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dedupe_ray.ops.tabular import km_survival
+
+    # deaths at t=2 (1 of 6 at risk), t=5 (2 of 4), censored at 3 and 7
+    dur = [2, 3, 5, 5, 7, 9]
+    ev = [1, 0, 1, 1, 0, 1]
+    expect = []
+    s = 10**6
+    s = (s * (6 - 1)) // 6
+    expect.append((2, 6, 1, s))
+    s = (s * (4 - 2)) // 4
+    expect.append((5, 4, 2, s))
+    s = (s * (1 - 1)) // 1
+    expect.append((9, 1, 1, s))
+
+    for parts in (1, 3):
+        out = km_survival(
+            rd.from_arrow(pa.table({"t": dur, "e": ev})).repartition(parts),
+            "t",
+            "e",
+        ).to_pandas()
+        got = [
+            (r["duration"], r["at_risk"], r["deaths"], r["surv_micro"])
+            for _, r in out.iterrows()
+        ]
+        assert got == expect
+
+
+def test_modularity_stats_brute_force(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dedupe_ray.ops.graph import modularity_stats
+
+    # two triangles joined by one bridge; labels = the two triangles
+    edges = [("a", "b"), ("b", "c"), ("a", "c"), ("d", "e"), ("e", "f"), ("d", "f"), ("c", "d")]
+    labels = {"a": "L", "b": "L", "c": "L", "d": "R", "e": "R", "f": "R"}
+    e_t = pa.table({"src": [e[0] for e in edges], "dst": [e[1] for e in edges]})
+    l_t = pa.table({"node": list(labels), "label": list(labels.values())})
+
+    m = len(edges)
+    expect = {}
+    for lab in ("L", "R"):
+        within = sum(1 for u, v in edges if labels[u] == lab and labels[v] == lab)
+        dsum = sum(1 for u, v in edges for x in (u, v) if labels[x] == lab)
+        expect[lab] = (within, dsum, m, 4 * m * within - dsum * dsum)
+
+    for parts in (1, 3):
+        out = modularity_stats(
+            rd.from_arrow(e_t).repartition(parts), rd.from_arrow(l_t)
+        ).to_pandas()
+        got = {
+            r["label"]: (r["within_edges"], r["degree_sum"], r["m"], r["contrib_num"])
+            for _, r in out.iterrows()
+        }
+        assert got == expect
+    # modularity of this split should be clearly positive
+    q = sum(v[3] for v in expect.values()) / (4 * m * m)
+    assert q > 0.3
+
+
+def test_benford_profile_planted(ray_session):
+    import math
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dedupe_ray.ops.tabular import benford_profile
+
+    # 1x 1.., 2x 2.., sub-1 and negative values; -9000.5 -> digit 9
+    vals = [1.5, 123.0, 256.9, 0.42, -0.9, -9000.5, 2.0]
+    out = (
+        benford_profile(
+            rd.from_arrow(pa.table({"v": vals})).repartition(2), "v"
+        )
+        .to_pandas()
+        .set_index("digit")
+    )
+    assert out.loc[1, "obs"] == 2 and out.loc[2, "obs"] == 2
+    assert out.loc[9, "obs"] == 1
+    assert out["obs"].sum() == 5 and (out["total"] == 5).all()
+    for d in range(1, 10):
+        assert out.loc[d, "exp_micro"] == math.floor(
+            10**6 * math.log(1.0 + 1.0 / d) / math.log(10.0)
+        )
