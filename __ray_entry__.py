@@ -6021,6 +6021,98 @@ def _q_acctbal_benford(sf_dir: str):
     return rd.from_arrow(benford_profile(cust, "c_acctbal"))
 
 
+def _q_part_rules(sf_dir: str):
+    """Market-basket association rules over order baskets
+    (`ops/tabular.py association_rules` — the a-priori rule step on the
+    part co-purchase data, 1/29 order slice, support ≥ 2): directed
+    confidences in exact micro-units, lift as an exact num/den rational."""
+    import pyarrow.compute as pc
+
+    from dedupe_ray.ops.tabular import association_rules
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def slice_orders(b: pa.Table) -> pa.Table:
+        ok = b.column("l_orderkey").to_numpy(zero_copy_only=False) % 29 == 0
+        t = b.filter(pa.array(ok))
+        return pa.table(
+            {
+                "l_orderkey": t.column("l_orderkey"),
+                "part": pc.cast(t.column("l_partkey"), pa.string()),
+            }
+        )
+
+    return association_rules(
+        li.map_batches(slice_orders, batch_format="pyarrow"),
+        "l_orderkey",
+        "part",
+        min_pair_count=2,
+    )
+
+
+def _q_embedding_silhouette(sf_dir: str):
+    """Centroid-based silhouette diagnostics over the exact-integer Lloyd
+    clustering (`ops/embedding.py silhouette_embeddings`): per-vector
+    (d_own, d_next) as engine-exact floor-sqrt int64 and the silhouette
+    as a num/den pair — the clustering-quality audit the kmeans shards
+    need before anything trains on them."""
+    from dedupe_ray.ops.embedding import silhouette_embeddings
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return silhouette_embeddings(emb, k=4, iters=2, quantize=1_000_000)
+
+
+def _q_bpe_merges(sf_dir: str):
+    """BPE merge-table training over the documents corpus
+    (`ops/text.py bpe_train_merges`): distributed word-count sweep, then
+    the deterministic merge loop over the bounded top-10k word table —
+    20 merges with (count desc, pair asc) tiebreaks. No SQL oracle
+    (iterative merge recurrence); deterministic and layout-invariant by
+    construction — exact integer word counts, fixed tiebreaks."""
+    import ray.data as rd
+
+    from dedupe_ray.ops.text import bpe_train_merges
+
+    docs = _read(sf_dir, "documents", ["text"])
+    return rd.from_arrow(bpe_train_merges(docs, n_merges=20, vocab_cap=10_000))
+
+
+def _q_audio_spectral(sf_dir: str):
+    """FFT spectral features over deterministic synthesized WAV payloads
+    (`ops/multimodal.py AudioSpectralFeatures`, actor-pool stage — FFT
+    state per actor, one vectorized rfft per batch): each sampled doc_id
+    carries a 16-bit PCM tone at 220·(1 + doc_id % 8) Hz; dominant /
+    centroid / rolloff frequencies and spectral flatness come back. No
+    SQL oracle (FFT); deterministic for the fixed payloads, planted-tone
+    correctness pinned by unit test."""
+    from dedupe_ray.ops.multimodal import AudioSpectralFeatures, pcm16_wav_bytes
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def synth(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = ids[ids % 5 == 0]
+        rate = 8000
+        t = np.arange(4096) / rate
+        payloads = [
+            pcm16_wav_bytes(0.5 * np.sin(2 * np.pi * (220.0 * (1 + i % 8)) * t), rate)
+            for i in ids
+        ]
+        return pa.table(
+            {
+                "media_ref": pa.array([f"doc:{i}" for i in ids], pa.string()),
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        )
+
+    return docs.map_batches(synth, batch_format="pyarrow").map_batches(
+        AudioSpectralFeatures,
+        batch_format="pyarrow",
+        concurrency=2,
+        batch_size=64,
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "er_clusters": _q_er_clusters,
@@ -6249,6 +6341,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_survival_km": _q_user_survival_km,
         "brand_modularity": _q_brand_modularity,
         "acctbal_benford": _q_acctbal_benford,
+        "part_rules": _q_part_rules,
+        "embedding_silhouette": _q_embedding_silhouette,
+        "bpe_merges": _q_bpe_merges,
+        "audio_spectral": _q_audio_spectral,
     }
 
 
@@ -10525,6 +10621,132 @@ def oracle_sql() -> dict[str, str]:
                    CAST(4 * (SELECT m FROM m) * COALESCE(wl.within_edges, 0)
                         - dc.degree_sum * dc.degree_sum AS BIGINT) AS contrib_num
             FROM dc LEFT JOIN wl ON wl.label = dc.label
+        """,
+        # a-priori rules over the 1/97 co-purchase baskets: confidences
+        # in exact micro-units, lift as num/den (caller divides)
+        "part_rules": """
+            WITH li AS MATERIALIZED (
+                SELECT DISTINCT l_orderkey, CAST(l_partkey AS VARCHAR) AS part
+                FROM lineitem WHERE l_orderkey % 29 = 0
+            ),
+            cnt AS MATERIALIZED (
+                SELECT part, CAST(COUNT(*) AS BIGINT) AS cnt
+                FROM li GROUP BY 1
+            ),
+            nb AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n
+                   FROM li),
+            pairs AS (
+                SELECT a.part AS item_a, b.part AS item_b,
+                       CAST(COUNT(*) AS BIGINT) AS pair_cnt
+                FROM li a JOIN li b
+                  ON a.l_orderkey = b.l_orderkey AND a.part < b.part
+                GROUP BY 1, 2 HAVING COUNT(*) >= 2
+            )
+            SELECT p.item_a, p.item_b, p.pair_cnt,
+                   ca.cnt AS cnt_a, cb.cnt AS cnt_b,
+                   (SELECT n FROM nb) AS n_baskets,
+                   CAST(p.pair_cnt * 1000000 // ca.cnt AS BIGINT)
+                       AS conf_ab_micro,
+                   CAST(p.pair_cnt * 1000000 // cb.cnt AS BIGINT)
+                       AS conf_ba_micro,
+                   CAST(p.pair_cnt * (SELECT n FROM nb) AS BIGINT) AS lift_num,
+                   CAST(ca.cnt * cb.cnt AS BIGINT) AS lift_den
+            FROM pairs p
+            JOIN cnt ca ON ca.part = p.item_a
+            JOIN cnt cb ON cb.part = p.item_b
+        """,
+        # the kmeans_embeddings unrolled Lloyd recurrence, then per-vector
+        # d² to every final centroid; d = floor(sqrt(exact int64 < 2^53))
+        # is engine-exact; silhouette ships as num/den (sign-safe)
+        "embedding_silhouette": """
+            WITH ev AS MATERIALIZED (
+                SELECT vec_id,
+                       unnest(generate_series(1, len(embedding))) AS d,
+                       CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0
+                                  + 0.5) AS BIGINT) AS q
+                FROM embeddings
+            ),
+            seeds AS MATERIALIZED (
+                SELECT vec_id,
+                       CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cl
+                FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 4)
+            ),
+            c0 AS MATERIALIZED (
+                SELECT s.cl, e.d, e.q AS cq
+                FROM seeds s JOIN ev e ON e.vec_id = s.vec_id
+            ),
+            a1 AS MATERIALIZED (
+                SELECT vec_id, cl FROM (
+                    SELECT e.vec_id, c.cl,
+                           row_number() OVER (PARTITION BY e.vec_id
+                               ORDER BY sum((e.q - c.cq) * (e.q - c.cq)), c.cl) AS rn
+                    FROM ev e JOIN c0 c ON e.d = c.d
+                    GROUP BY e.vec_id, c.cl
+                ) WHERE rn = 1
+            ),
+            u1 AS MATERIALIZED (
+                SELECT a.cl, e.d,
+                       CAST((sum(e.q) - ((sum(e.q) % count(*)) + count(*)) % count(*))
+                            // count(*) AS BIGINT) AS cq
+                FROM a1 a JOIN ev e ON e.vec_id = a.vec_id
+                GROUP BY a.cl, e.d
+            ),
+            c1 AS MATERIALIZED (
+                SELECT c0.cl, c0.d, coalesce(u1.cq, c0.cq) AS cq
+                FROM c0 LEFT JOIN u1 ON u1.cl = c0.cl AND u1.d = c0.d
+            ),
+            a2 AS MATERIALIZED (
+                SELECT vec_id, cl FROM (
+                    SELECT e.vec_id, c.cl,
+                           row_number() OVER (PARTITION BY e.vec_id
+                               ORDER BY sum((e.q - c.cq) * (e.q - c.cq)), c.cl) AS rn
+                    FROM ev e JOIN c1 c ON e.d = c.d
+                    GROUP BY e.vec_id, c.cl
+                ) WHERE rn = 1
+            ),
+            u2 AS MATERIALIZED (
+                SELECT a.cl, e.d,
+                       CAST((sum(e.q) - ((sum(e.q) % count(*)) + count(*)) % count(*))
+                            // count(*) AS BIGINT) AS cq
+                FROM a2 a JOIN ev e ON e.vec_id = a.vec_id
+                GROUP BY a.cl, e.d
+            ),
+            c2 AS MATERIALIZED (
+                SELECT c1.cl, c1.d, coalesce(u2.cq, c1.cq) AS cq
+                FROM c1 LEFT JOIN u2 ON u2.cl = c1.cl AND u2.d = c1.d
+            ),
+            dist AS MATERIALIZED (
+                SELECT e.vec_id, c.cl,
+                       CAST(sum((e.q - c.cq) * (e.q - c.cq)) AS BIGINT) AS d2
+                FROM ev e JOIN c2 c ON e.d = c.d GROUP BY 1, 2
+            ),
+            own AS MATERIALIZED (
+                SELECT vec_id, cl, d2,
+                       row_number() OVER (PARTITION BY vec_id
+                           ORDER BY d2, cl) AS rn
+                FROM dist
+            ),
+            asg AS MATERIALIZED (
+                SELECT vec_id, cl AS cluster, d2 AS d2_own FROM own WHERE rn = 1
+            ),
+            nxt AS MATERIALIZED (
+                SELECT o.vec_id, MIN(o.d2) AS d2_next
+                FROM own o JOIN asg a
+                  ON a.vec_id = o.vec_id AND o.cl <> a.cluster
+                GROUP BY 1
+            )
+            SELECT a.vec_id, CAST(a.cluster AS BIGINT) AS cluster,
+                   CAST(floor(sqrt(CAST(a.d2_own AS DOUBLE))) AS BIGINT)
+                       AS d_own,
+                   CAST(floor(sqrt(CAST(n.d2_next AS DOUBLE))) AS BIGINT)
+                       AS d_next,
+                   CAST(floor(sqrt(CAST(n.d2_next AS DOUBLE)))
+                        - floor(sqrt(CAST(a.d2_own AS DOUBLE))) AS BIGINT)
+                       AS s_num,
+                   CAST(GREATEST(floor(sqrt(CAST(a.d2_own AS DOUBLE))),
+                                 floor(sqrt(CAST(n.d2_next AS DOUBLE))),
+                                 1) AS BIGINT) AS s_den
+            FROM asg a JOIN nxt n USING (vec_id)
         """,
         # leading digit of floor(abs(x)) for |x| ≥ 1; Benford expectation
         # floor(1e6·ln(1+1/d)/ln(10)) — count-ratio ln agreement class

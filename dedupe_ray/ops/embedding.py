@@ -2132,3 +2132,61 @@ def lsh_hyperplane_pairs(
         .count()
         .drop_columns(["count()"])
     )
+
+
+def silhouette_embeddings(
+    ds: "ray.data.Dataset",
+    k: int = 4,
+    iters: int = 2,
+    quantize: int = 1_000_000,
+    id_column: str = "vec_id",
+    vec_column: str = "embedding",
+) -> "ray.data.Dataset":
+    """Simplified (centroid-based) silhouette over the exact-integer
+    Lloyd clustering (:func:`kmeans_exact_assign`'s conformance path) —
+    the standard clustering-quality diagnostic at scale, where the true
+    silhouette's all-pairs distances are quadratic and the
+    centroid-distance form is what practitioners ship. Per vector:
+
+        d_own  = floor(sqrt(d²_assigned)),  d_next = floor(sqrt(min
+                 d² over the other centroids)),
+        s      = s_num / s_den = (d_next − d_own) / max(d_own, d_next, 1)
+
+    emitted as the exact int64 num/den pair (s can be negative and
+    floor-div signs differ across engines — the caller divides). d² is
+    exact int64 < 2⁵³, so IEEE sqrt is correctly rounded on the same
+    value in every engine and the floor is engine-exact. One streaming
+    pass against the broadcast [k, dim] int64 centroid table; vectors
+    never shuffle. Output: (id, cluster, d_own, d_next, s_num, s_den)."""
+    cents = _exact_lloyd(ds, k, iters, quantize, id_column, vec_column)
+
+    def score(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        flat = pc.list_flatten(t.column(vec_column)).to_numpy(zero_copy_only=False)
+        v = flat.astype(np.float64).reshape(len(t), -1)
+        q = np.floor(v * quantize + 0.5).astype(np.int64)
+        d2 = np.empty((len(q), len(cents)), np.int64)
+        for j in range(len(cents)):
+            diff = q - cents[j][None, :]
+            d2[:, j] = (diff * diff).sum(axis=1)
+        own = d2.argmin(axis=1)  # ties -> lowest cluster id (np argmin)
+        rows = np.arange(len(q))
+        d2_own = d2[rows, own]
+        masked = d2.copy()
+        masked[rows, own] = np.iinfo(np.int64).max
+        d2_next = masked.min(axis=1)
+        d_own = np.floor(np.sqrt(d2_own.astype(np.float64))).astype(np.int64)
+        d_next = np.floor(np.sqrt(d2_next.astype(np.float64))).astype(np.int64)
+        return pa.table(
+            {
+                id_column: t.column(id_column),
+                "cluster": pa.array(own.astype(np.int64)),
+                "d_own": pa.array(d_own),
+                "d_next": pa.array(d_next),
+                "s_num": pa.array(d_next - d_own),
+                "s_den": pa.array(np.maximum(np.maximum(d_own, d_next), 1)),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")

@@ -1501,3 +1501,75 @@ class DecodeAudio:
         ):
             out = out.append_column(name, pa.array([r[i] for r in rows], typ))
         return out
+
+
+def pcm16_wav_bytes(samples: np.ndarray, rate: int) -> bytes:
+    """Mono float [-1, 1] samples → minimal 16-bit PCM RIFF/WAVE bytes
+    (the fixture-side inverse of :func:`decode_wav`; also used to build
+    deterministic audio payloads for pipeline demos)."""
+    tone = np.clip(samples, -1.0, 1.0)
+    data = (tone * 32767.0).astype("<i2").tobytes()
+    fmt = (
+        b"fmt " + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+        + int(rate).to_bytes(4, "little") + int(rate * 2).to_bytes(4, "little")
+        + (2).to_bytes(2, "little") + (16).to_bytes(2, "little")
+    )
+    chunks = fmt + b"data" + len(data).to_bytes(4, "little") + data
+    return b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WAVE" + chunks
+
+
+class AudioSpectralFeatures:
+    """Actor-pool stage: WAV payload → spectral features over the first
+    ``n_fft`` mono samples (zero-padded if shorter) via one real FFT —
+    the audio-curation analog of the image ``_pixel_features`` stage:
+
+    - ``dominant_hz`` — the peak magnitude bin (DC excluded) in Hz;
+    - ``centroid_hz`` — magnitude-weighted mean frequency;
+    - ``rolloff_hz`` — the 85%-cumulative-energy frequency;
+    - ``flatness`` — geometric / arithmetic magnitude-mean ratio
+      (≈1 noise, ≈0 tonal).
+
+    FFT plan state lives in ``__init__`` (once per actor); each batch is
+    one vectorized [n_rows, n_fft] rfft — no per-row Python FFT calls.
+    Deterministic for fixed payloads; compressed payloads follow
+    :class:`DecodeAudio`'s contract (decode or raise)."""
+
+    def __init__(self, n_fft: int = 2048):
+        self.n_fft = int(n_fft)
+        self.freq_cache: dict[int, np.ndarray] = {}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        refs = batch.column("media_ref").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        frames = np.zeros((len(refs), self.n_fft), np.float64)
+        rates = np.zeros(len(refs), np.int64)
+        for i, p in enumerate(payloads):
+            x, rate = decode_wav(p)
+            mono = x.mean(axis=1)[: self.n_fft]
+            frames[i, : len(mono)] = mono
+            rates[i] = rate
+        mag = np.abs(np.fft.rfft(frames, axis=1))
+        bins = np.arange(mag.shape[1], dtype=np.float64)
+        hz = rates[:, None] * bins[None, :] / self.n_fft
+        mag_nodc = mag.copy()
+        mag_nodc[:, 0] = 0.0
+        dom = mag_nodc.argmax(axis=1)
+        msum = np.maximum(mag.sum(axis=1), 1e-30)
+        centroid = (mag * hz).sum(axis=1) / msum
+        cum = np.cumsum(mag, axis=1)
+        roll_idx = (cum >= 0.85 * msum[:, None]).argmax(axis=1)
+        rows = np.arange(len(refs))
+        flat = np.exp(np.log(np.maximum(mag, 1e-30)).mean(axis=1)) / np.maximum(
+            mag.mean(axis=1), 1e-30
+        )
+        return pa.table(
+            {
+                "media_ref": batch.column("media_ref"),
+                "sample_rate": pa.array(rates.astype(np.int32), pa.int32()),
+                "dominant_hz": pa.array(hz[rows, dom], pa.float64()),
+                "centroid_hz": pa.array(centroid, pa.float64()),
+                "rolloff_hz": pa.array(hz[rows, roll_idx], pa.float64()),
+                "flatness": pa.array(flat, pa.float64()),
+            }
+        )

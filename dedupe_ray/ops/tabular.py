@@ -4293,3 +4293,95 @@ def benford_profile(
             "exp_micro": pa.array(exp_micro),
         }
     )
+
+
+def association_rules(
+    ds: "ray.data.Dataset",
+    group_column: str,
+    item_column: str,
+    min_pair_count: int = 1,
+    scale: int = 10**6,
+) -> "ray.data.Dataset":
+    """Market-basket association rules over (basket, item) rows — the
+    a-priori second step on top of :func:`cooccurrence_pairs`: for every
+    unordered item pair with support ≥ ``min_pair_count``, both directed
+    confidences in exact integer micro-units and the lift as an exact
+    num/den rational (the caller divides — no cross-engine float ships):
+
+        conf(a→b) = (pair_cnt · scale) // cnt_a        (likewise b→a)
+        lift      = (pair_cnt · n_baskets) / (cnt_a · cnt_b)
+
+    with cnt_x = baskets containing x and n_baskets the distinct-basket
+    count. Shape: the pair table comes from the co-occurrence combiner,
+    per-item basket counts from one distinct-(basket, item) combiner
+    groupby, and the two count attachments are bucketed unique-key
+    joins; nothing basket-scaled shuffles twice. Overflow bound:
+    pair_cnt · n_baskets < int64 for corpora under ~3·10⁹ baskets.
+    Output: (item_a, item_b, pair_cnt, cnt_a, cnt_b, n_baskets,
+    conf_ab_micro, conf_ba_micro, lift_num, lift_den)."""
+    import numpy as np
+
+    from ray.data.aggregate import Count
+
+    from dedupe_ray.joins import bucketed_lookup_join
+
+    pairs = cooccurrence_pairs(ds, group_column, item_column)
+
+    def distinct_partial(b: pa.Table) -> pa.Table:
+        df = b.select([group_column, item_column]).to_pandas().drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    gi = (
+        ds.map_batches(distinct_partial, batch_format="pyarrow")
+        .groupby([group_column, item_column])
+        .count()
+        .drop_columns(["count()"])
+        .materialize()
+    )
+    item_counts = gi.groupby(item_column).aggregate(Count(alias_name="cnt"))
+    n_baskets = (
+        gi.groupby(group_column)
+        .count()
+        .count()  # bounded: the distinct-basket count collapses to a scalar
+    )
+
+    with_a = bucketed_lookup_join(
+        pairs, item_counts, "item_a", item_column, ["cnt"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "item_a": t.column("item_a"),
+                "item_b": t.column("item_b"),
+                "pair_cnt": t.column("n_groups"),
+                "cnt_a": t.column("cnt"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    with_b = bucketed_lookup_join(
+        with_a, item_counts, "item_b", item_column, ["cnt"]
+    )
+
+    def metrics(t: pa.Table) -> pa.Table:
+        # support filter last: an empty intermediate would erase the
+        # schema the bucketed joins need to plan against
+        t = t.filter(pc.greater_equal(t.column("pair_cnt"), min_pair_count))
+        p = pc.cast(t.column("pair_cnt"), pa.int64()).to_numpy(zero_copy_only=False)
+        ca = pc.cast(t.column("cnt_a"), pa.int64()).to_numpy(zero_copy_only=False)
+        cb = pc.cast(t.column("cnt"), pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "item_a": t.column("item_a"),
+                "item_b": t.column("item_b"),
+                "pair_cnt": pa.array(p),
+                "cnt_a": pa.array(ca),
+                "cnt_b": pa.array(cb),
+                "n_baskets": pa.array(np.full(len(t), n_baskets, np.int64)),
+                "conf_ab_micro": pa.array((p * scale) // ca),
+                "conf_ba_micro": pa.array((p * scale) // cb),
+                "lift_num": pa.array(p * n_baskets),
+                "lift_den": pa.array(ca * cb),
+            }
+        )
+
+    return with_b.map_batches(metrics, batch_format="pyarrow")

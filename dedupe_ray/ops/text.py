@@ -1632,3 +1632,89 @@ def nb_classify_docs(
         )
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def bpe_train_merges(
+    ds: "ray.data.Dataset",
+    text_column: str = "text",
+    n_merges: int = 20,
+    vocab_cap: int = 10_000,
+) -> pa.Table:
+    """Byte-pair-encoding merge training (Sennrich et al. 2016) the way
+    production tokenizer trainers actually run it: the CORPUS pass is
+    distributed (one combiner word-count sweep — the only part that
+    scales with data), and the merge loop runs over the bounded
+    word-frequency table (top ``vocab_cap`` words by count desc / word
+    asc — the nb_classify vocab-cap rule; merge candidates are weighted
+    by word frequency, so capping the tail loses only tail mass).
+
+    Loop (driver-side over ≤ vocab_cap symbol sequences): words start as
+    character sequences + ``</w>``; each round counts adjacent symbol
+    pairs weighted by word count, picks the most frequent (ties → the
+    lexicographically smallest (left, right) pair — fully deterministic),
+    merges it everywhere, repeats. Stops early when no pair repeats.
+    Returns the merge table (rank, left, right, pair_count) — the
+    artifact a downstream encoder applies in rank order."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    def word_partials(batch: pa.Table) -> pa.Table:
+        flat, _ = _lm_tokens(batch.column(text_column))
+        codes, uniques = pd.factorize(flat)
+        cnt = np.bincount(codes, minlength=len(uniques)).astype(np.int64)
+        return pa.table(
+            {"word": pa.array(uniques, pa.string()), "cnt": pa.array(cnt)}
+        )
+
+    rows = (
+        ds.map_batches(word_partials, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .sort(["cnt", "word"], descending=[True, False])
+        .limit(vocab_cap)
+        .take_all()  # bounded: <= vocab_cap rows
+    )
+    words = [tuple(r["word"]) + ("</w>",) for r in rows]
+    counts = [int(r["cnt"]) for r in rows]
+
+    out_rank, out_left, out_right, out_cnt = [], [], [], []
+    for rank in range(int(n_merges)):
+        pair_cnt: dict[tuple[str, str], int] = {}
+        for w, c in zip(words, counts):
+            for i in range(len(w) - 1):
+                pair_cnt[(w[i], w[i + 1])] = pair_cnt.get((w[i], w[i + 1]), 0) + c
+        if not pair_cnt:
+            break
+        (left, right), cnt = min(pair_cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+        if cnt < 2:
+            break
+        merged = left + right
+        words = [
+            tuple(_merge_pair(w, left, right, merged)) for w in words
+        ]
+        out_rank.append(rank)
+        out_left.append(left)
+        out_right.append(right)
+        out_cnt.append(cnt)
+    return pa.table(
+        {
+            "rank": pa.array(out_rank, pa.int64()),
+            "left": pa.array(out_left, pa.string()),
+            "right": pa.array(out_right, pa.string()),
+            "pair_count": pa.array(out_cnt, pa.int64()),
+        }
+    )
+
+
+def _merge_pair(w: tuple, left: str, right: str, merged: str) -> list:
+    out = []
+    i = 0
+    while i < len(w):
+        if i + 1 < len(w) and w[i] == left and w[i + 1] == right:
+            out.append(merged)
+            i += 2
+        else:
+            out.append(w[i])
+            i += 1
+    return out

@@ -6679,3 +6679,156 @@ def test_benford_profile_planted(ray_session):
         assert out.loc[d, "exp_micro"] == math.floor(
             10**6 * math.log(1.0 + 1.0 / d) / math.log(10.0)
         )
+
+
+def test_association_rules_brute_force(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dedupe_ray.ops.tabular import association_rules
+
+    baskets = [
+        (1, "a"), (1, "b"), (1, "c"),
+        (2, "a"), (2, "b"),
+        (3, "a"), (3, "b"), (3, "b"),  # duplicate item row must not double
+        (4, "c"), (4, "a"),
+        (5, "b"),
+    ]
+    tbl = pa.table({"g": [x[0] for x in baskets], "i": [x[1] for x in baskets]})
+    out = (
+        association_rules(
+            rd.from_arrow(tbl).repartition(3), "g", "i", min_pair_count=2
+        )
+        .to_pandas()
+        .sort_values(["item_a", "item_b"], ignore_index=True)
+    )
+    # pairs with support>=2: (a,b)=3, (a,c)=2
+    assert list(zip(out["item_a"], out["item_b"])) == [("a", "b"), ("a", "c")]
+    ab = out.iloc[0]
+    assert ab["pair_cnt"] == 3 and ab["cnt_a"] == 4 and ab["cnt_b"] == 4
+    assert ab["n_baskets"] == 5
+    assert ab["conf_ab_micro"] == (3 * 10**6) // 4
+    assert ab["lift_num"] == 3 * 5 and ab["lift_den"] == 16
+    ac = out.iloc[1]
+    assert ac["pair_cnt"] == 2 and ac["cnt_b"] == 2
+    assert ac["conf_ba_micro"] == 10**6  # c always co-occurs with a
+
+
+def test_silhouette_embeddings_planted(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dedupe_ray.ops.embedding import silhouette_embeddings
+
+    rng = np.random.RandomState(3)
+    a = rng.randn(20, 8) * 0.05 + 5.0
+    b = rng.randn(20, 8) * 0.05 - 5.0
+    vecs = np.vstack([a, b]).astype(np.float32)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(40, dtype=np.int64)),
+            "embedding": pa.array(list(vecs), pa.list_(pa.float32())),
+        }
+    )
+    frames = []
+    for parts in (1, 4):
+        out = (
+            silhouette_embeddings(
+                rd.from_arrow(tbl).repartition(parts), k=2, iters=2
+            )
+            .to_pandas()
+            .sort_values("vec_id", ignore_index=True)
+        )
+        frames.append(out)
+    assert frames[0].equals(frames[1])
+    out = frames[0]
+    # tight well-separated blobs: silhouette ratio near 1 everywhere
+    s = out["s_num"] / out["s_den"]
+    assert (s > 0.9).all()
+    # the two blobs land in different clusters
+    assert set(out.loc[out["vec_id"] < 20, "cluster"]) != set(
+        out.loc[out["vec_id"] >= 20, "cluster"]
+    )
+    # d_own/d_next are floor-sqrt of exact integer d2: spot-check one row
+    q = np.floor(vecs.astype(np.float64) * 1_000_000 + 0.5).astype(np.int64)
+    assert (out["d_own"] >= 0).all() and (out["d_next"] > out["d_own"]).all()
+    assert out["s_den"].tolist() == out["d_next"].tolist()  # d_next > d_own > 0
+
+
+def test_bpe_train_merges_reference(ray_session):
+    from collections import Counter
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dedupe_ray.ops.text import bpe_train_merges
+
+    texts = ["low low low lower lowest", "new newer newest wide wider widest"]
+
+    # independent reference: Counter-based BPE on the raw word list
+    words = []
+    for t in texts:
+        words.extend(t.split())
+    wc = Counter(words)
+    seqs = {w: tuple(w) + ("</w>",) for w in wc}
+    expect = []
+    for _ in range(6):
+        pc_ = Counter()
+        for w, c in wc.items():
+            s = seqs[w]
+            for i in range(len(s) - 1):
+                pc_[(s[i], s[i + 1])] += c
+        (l, r), c = min(pc_.items(), key=lambda kv: (-kv[1], kv[0]))
+        if c < 2:
+            break
+        expect.append((l, r, c))
+        for w in seqs:
+            s, out, i = seqs[w], [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == l and s[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            seqs[w] = tuple(out)
+
+    ds = rd.from_arrow(pa.table({"text": texts})).repartition(2)
+    got = bpe_train_merges(ds, n_merges=6).to_pandas()
+    assert [
+        (r["left"], r["right"], r["pair_count"]) for _, r in got.iterrows()
+    ] == expect
+    assert got["rank"].tolist() == list(range(len(expect)))
+
+
+def test_audio_spectral_planted_tone(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dedupe_ray.ops.multimodal import AudioSpectralFeatures, pcm16_wav_bytes
+
+    rate, n = 8000, 4096
+    t = np.arange(n) / rate
+    tone = pcm16_wav_bytes(0.5 * np.sin(2 * np.pi * 440.0 * t), rate)
+    rng = np.random.RandomState(0)
+    noise = pcm16_wav_bytes(rng.uniform(-0.5, 0.5, n), rate)
+    tbl = pa.table(
+        {
+            "media_ref": ["tone", "noise"],
+            "payload": pa.array([tone, noise], pa.binary()),
+        }
+    )
+    out = (
+        rd.from_arrow(tbl)
+        .map_batches(AudioSpectralFeatures, batch_format="pyarrow", concurrency=1)
+        .to_pandas()
+        .set_index("media_ref")
+    )
+    bin_hz = rate / 2048  # default n_fft
+    assert abs(out.loc["tone", "dominant_hz"] - 440.0) <= bin_hz
+    assert abs(out.loc["tone", "centroid_hz"] - 440.0) < 150.0
+    assert out.loc["tone", "flatness"] < 0.2
+    assert out.loc["noise", "flatness"] > out.loc["tone", "flatness"] * 2
+    assert out.loc["noise", "centroid_hz"] > 1000.0
