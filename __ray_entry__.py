@@ -6113,6 +6113,69 @@ def _q_audio_spectral(sf_dir: str):
     )
 
 
+def _q_hashed_doc_features(sf_dir: str):
+    """Hashing-trick featurization of the documents corpus
+    (`ops/text.py hashed_features`): vocabulary-free md5-bucket sparse
+    counts in long form — row-local, zero shuffle, oracle-exact because
+    md5 is the one hash every engine shares."""
+    from dedupe_ray.ops.text import hashed_features
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return hashed_features(docs, n_features=64)
+
+
+def _q_user_value_trend(sf_dir: str):
+    """Mann–Kendall monotone-trend statistic per user over event values
+    (`ops/tabular.py mann_kendall_trend`): exact int64 pairwise sign sums
+    over cent-quantized values in (ts, event_id) order — the robust
+    drift detector, mirrored by a pair self-join oracle."""
+    from dedupe_ray.ops.tabular import mann_kendall_trend
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def cents(b: pa.Table) -> pa.Table:
+        v = b.column("value").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "user_id": b.column("user_id"),
+                "ts": b.column("ts"),
+                "event_id": b.column("event_id"),
+                "c": pa.array(np.floor(v * 100.0 + 0.5).astype(np.int64)),
+            }
+        )
+
+    return mann_kendall_trend(
+        ev.map_batches(cents, batch_format="pyarrow"),
+        "user_id",
+        ["ts", "event_id"],
+        "c",
+    )
+
+
+def _q_xml_roundtrip(sf_dir: str):
+    """XML record source/sink fidelity (`sources.py write_xml/read_xml` —
+    the SOAP/legacy-feed format): events key columns serialized as
+    escaped record elements and read back typed must be value-identical
+    to the parquet original (doubles survive via Arrow's shortest
+    round-trip rendering, timestamps via the ISO string cast)."""
+    import hashlib
+
+    from dedupe_ray.sources import read_xml, write_xml
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "event_type", "value"])
+    out = "/tmp/dedupe_ray_xml_" + hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    write_xml(ev, out)
+    schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("ts", pa.timestamp("us")),
+            ("event_type", pa.string()),
+            ("value", pa.float64()),
+        ]
+    )
+    return read_xml(out, schema)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "er_clusters": _q_er_clusters,
@@ -6345,6 +6408,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_silhouette": _q_embedding_silhouette,
         "bpe_merges": _q_bpe_merges,
         "audio_spectral": _q_audio_spectral,
+        "hashed_doc_features": _q_hashed_doc_features,
+        "user_value_trend": _q_user_value_trend,
+        "xml_roundtrip": _q_xml_roundtrip,
     }
 
 
@@ -10747,6 +10813,49 @@ def oracle_sql() -> dict[str, str]:
                                  floor(sqrt(CAST(n.d2_next AS DOUBLE))),
                                  1) AS BIGINT) AS s_den
             FROM asg a JOIN nxt n USING (vec_id)
+        """,
+        # hashing trick: bucket = first 8 md5 hex digits mod 64 — md5 is
+        # the engine-portable hash (DuckDB parses the 0x-prefixed cast)
+        "hashed_doc_features": """
+            WITH tok AS MATERIALIZED (
+                SELECT doc_id, unnest(regexp_extract_all(lower(text),
+                                                         '[a-z]+')) AS tok
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 64
+                       AS bucket,
+                   CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM tok GROUP BY 1, 2
+        """,
+        # Mann-Kendall S: pair self-join in strict (ts, event_id) order
+        # over cent-quantized values; singleton users keep s = 0 via the
+        # LEFT join
+        "user_value_trend": """
+            WITH v AS MATERIALIZED (
+                SELECT user_id, ts, event_id,
+                       CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c
+                FROM events
+            ),
+            cnt AS (
+                SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
+                FROM v GROUP BY 1
+            ),
+            p AS (
+                SELECT a.user_id,
+                       CASE WHEN b.c > a.c THEN 1
+                            WHEN b.c < a.c THEN -1 ELSE 0 END AS sg
+                FROM v a JOIN v b
+                  ON b.user_id = a.user_id
+                 AND (b.ts > a.ts OR (b.ts = a.ts AND b.event_id > a.event_id))
+            )
+            SELECT c.user_id, c.n,
+                   CAST(COALESCE(SUM(p.sg), 0) AS BIGINT) AS s_stat
+            FROM cnt c LEFT JOIN p ON p.user_id = c.user_id
+            GROUP BY 1, 2
+        """,
+        "xml_roundtrip": """
+            SELECT event_id, ts, event_type, value FROM events
         """,
         # leading digit of floor(abs(x)) for |x| ≥ 1; Benford expectation
         # floor(1e6·ln(1+1/d)/ln(10)) — count-ratio ln agreement class

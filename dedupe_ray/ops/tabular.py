@@ -4385,3 +4385,86 @@ def association_rules(
         )
 
     return with_b.map_batches(metrics, batch_format="pyarrow")
+
+
+def mann_kendall_trend(
+    ds: "ray.data.Dataset",
+    key_column: str,
+    order_columns: list[str],
+    value_column: str,
+) -> "ray.data.Dataset":
+    """Mann–Kendall trend statistic per key — the rank-based monotone
+    trend detector (robust to outliers, exact under ties):
+
+        S = Σ_{i<j in time order} sign(x_j − x_i)   ∈ [−C(n,2), C(n,2)]
+
+    over an INTEGER value column (quantize upstream: cents, micro-units),
+    so S is an exact int64 a SQL pair self-join mirrors. S near ±C(n,2)
+    is a strong monotone trend; the caller normalizes or applies the
+    variance test. ``order_columns`` must end in a unique tiebreak.
+
+    Shape: one bucketed key shuffle (the _grouped_window layout), then
+    per bucket a run-sliced, SIZE-BATCHED pairwise kernel — runs of equal
+    length stack into one [m, k(k−1)/2] sign broadcast, so the quadratic
+    work is pure numpy with one gather per distinct series length.
+    Pairwise is intrinsic to the statistic: cap per-key series length
+    upstream on unbounded streams. Output one row per key:
+    (key, n, s_stat)."""
+    import numpy as np
+
+    from dedupe_ray.blocking import N_BUCKETS
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "__mkbkt", _bucket_hash_col(b.column(key_column), N_BUCKETS)
+        )
+
+    sort_keys = [(key_column, "ascending")] + [
+        (c, "ascending") for c in order_columns
+    ]
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                key_column: pa.array([], group.schema.field(key_column).type),
+                "n": pa.array([], pa.int64()),
+                "s_stat": pa.array([], pa.int64()),
+            }
+        )
+        if len(group) == 0:
+            return empty
+        g = group.take(pc.sort_indices(group, sort_keys=sort_keys))
+        keys = np.asarray(g.column(key_column).to_pylist(), object)
+        v = g.column(value_column).to_numpy(zero_copy_only=False).astype(np.int64)
+        new_key = np.empty(len(g), bool)
+        new_key[0] = True
+        new_key[1:] = keys[1:] != keys[:-1]
+        starts = np.flatnonzero(new_key)
+        ks = np.diff(np.append(starts, len(g)))
+        out_key, out_n, out_s = [], [], []
+        for k in np.unique(ks):
+            s_k = starts[ks == k]
+            if k < 2:
+                s_vals = np.zeros(len(s_k), np.int64)
+            else:
+                iu, ju = np.triu_indices(int(k), 1)
+                block = v[s_k[:, None] + np.arange(int(k))[None, :]]
+                s_vals = np.sign(block[:, ju] - block[:, iu]).sum(axis=1)
+            out_key.append(keys[s_k])
+            out_n.append(np.full(len(s_k), int(k), np.int64))
+            out_s.append(s_vals.astype(np.int64))
+        return pa.table(
+            {
+                key_column: pa.array(
+                    np.concatenate(out_key), group.schema.field(key_column).type
+                ),
+                "n": pa.array(np.concatenate(out_n)),
+                "s_stat": pa.array(np.concatenate(out_s)),
+            }
+        )
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("__mkbkt")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )

@@ -1718,3 +1718,53 @@ def _merge_pair(w: tuple, left: str, right: str, merged: str) -> list:
             out.append(w[i])
             i += 1
     return out
+
+
+def hashed_features(
+    ds: "ray.data.Dataset",
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    n_features: int = 64,
+) -> "ray.data.Dataset":
+    """The hashing-trick vectorizer (Weinberger et al. 2009 — the
+    fixed-width, vocabulary-free featurizer linear models and MinHash-free
+    dedup baselines run on): every token maps to bucket
+    ``int(md5(token)[:8], 16) % n_features`` — md5 is the one hash every
+    engine computes identically, so the bucketing is oracle-exact — and
+    each document emits its sparse (id, bucket, cnt) rows (long form; a
+    downstream stage reshapes to dense vectors when a model wants them).
+
+    Row-local and embarrassingly parallel: one ``map_batches`` pass,
+    tokens factorized per batch so each DISTINCT token is hashed once
+    (md5 is per-unique-token Python, the classic cost profile of the
+    trick — there is no corpus-wide vocabulary pass, which is the whole
+    point). Nothing shuffles."""
+    import hashlib
+
+    import pandas as pd
+
+    nf = int(n_features)
+
+    def feat(batch: pa.Table) -> pa.Table:
+        flat, counts = _lm_tokens(batch.column(text_column))
+        ids = batch.column(id_column).to_numpy(zero_copy_only=False)
+        doc_of = np.repeat(np.arange(len(counts)), counts)
+        codes, uniques = pd.factorize(flat)
+        bucket_of = np.asarray(
+            [
+                int(hashlib.md5(u.encode("utf-8")).hexdigest()[:8], 16) % nf
+                for u in uniques
+            ],
+            np.int64,
+        )
+        key = doc_of * nf + bucket_of[codes]
+        ukey, cnt = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                id_column: pa.array(ids[(ukey // nf).astype(np.int64)]),
+                "bucket": pa.array((ukey % nf).astype(np.int64)),
+                "cnt": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    return ds.map_batches(feat, batch_format="pyarrow")

@@ -728,3 +728,71 @@ def read_fixed_width(
         return pa.concat_tables(tables, promote_options="default")
 
     return ds.map_batches(decode, batch_format="pyarrow")
+
+
+def write_xml(ds: "ray.data.Dataset", path: str, root: str = "rows", record: str = "row") -> None:
+    """XML record sink (the SOAP/legacy-feed interchange format): one
+    ``<record>`` element per row with one child element per column
+    (``xml.sax.saxutils`` escaping; NULL columns are omitted so they
+    round-trip to null), one shard per block, tmp-dir + atomic-rename
+    resumable contract. Values serialize through the Arrow string cast —
+    the same rendering the fixed-width sink uses — so a typed reader
+    recovers them exactly."""
+    from xml.sax.saxutils import escape
+
+    import pyarrow.compute as pc
+
+    def shard(t: pa.Table, p: str) -> None:
+        names = t.column_names
+        cols = [pc.cast(t.column(n), pa.string()).to_pylist() for n in names]
+        with open(p, "w", encoding="utf-8") as f:
+            f.write(f'<?xml version="1.0" encoding="UTF-8"?>\n<{root}>\n')
+            for row in zip(*cols):
+                f.write(f"  <{record}>")
+                for name, v in zip(names, row):
+                    if v is None:
+                        continue
+                    f.write(f"<{name}>{escape(v)}</{name}>")
+                f.write(f"</{record}>\n")
+            f.write(f"</{root}>\n")
+
+    _write_sharded(ds, path, "xml", shard)
+
+
+def read_xml(
+    paths: list[str] | str,
+    schema: "pa.Schema",
+    record: str = "row",
+) -> "ray.data.Dataset":
+    """XML record source: one parse task per file over
+    ``read_binary_files`` (stdlib ElementTree — the files are this
+    sink's own, not hostile input), schema-driven typing: each record's
+    child elements fill the declared columns, missing children are NULL,
+    non-string columns cast through Arrow. Column order and types come
+    from ``schema`` so the round-trip is value-identical."""
+    import xml.etree.ElementTree as ET
+
+    import pyarrow.compute as pc
+
+    ds = ray.data.read_binary_files(paths)
+    names = list(schema.names)
+
+    def decode(b: pa.Table) -> pa.Table:
+        tables = []
+        for buf in b.column("bytes"):
+            root = ET.fromstring(buf.as_py().decode("utf-8"))
+            rows = root.findall(record)
+            data = {}
+            for name in names:
+                vals = []
+                for r in rows:
+                    el = r.find(name)
+                    vals.append(None if el is None else (el.text or ""))
+                col = pa.array(vals, pa.string())
+                if schema.field(name).type != pa.string():
+                    col = pc.cast(col, schema.field(name).type)
+                data[name] = col
+            tables.append(pa.table(data))
+        return pa.concat_tables(tables, promote_options="default")
+
+    return ds.map_batches(decode, batch_format="pyarrow")

@@ -6832,3 +6832,100 @@ def test_audio_spectral_planted_tone(ray_session):
     assert out.loc["tone", "flatness"] < 0.2
     assert out.loc["noise", "flatness"] > out.loc["tone", "flatness"] * 2
     assert out.loc["noise", "centroid_hz"] > 1000.0
+
+
+def test_hashed_features_brute_force(ray_session):
+    import hashlib
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dedupe_ray.ops.text import hashed_features
+
+    texts = ["the cat sat", "THE the dog!", ""]
+    tbl = pa.table({"doc_id": [1, 2, 3], "text": texts})
+    out = (
+        hashed_features(rd.from_arrow(tbl).repartition(2), n_features=8)
+        .to_pandas()
+        .sort_values(["doc_id", "bucket"], ignore_index=True)
+    )
+
+    import re
+
+    expect = {}
+    for did, t in zip([1, 2, 3], texts):
+        for tok in re.findall(r"[a-z]+", t.lower()):
+            b = int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % 8
+            expect[(did, b)] = expect.get((did, b), 0) + 1
+    got = {(r["doc_id"], r["bucket"]): r["cnt"] for _, r in out.iterrows()}
+    assert got == expect
+    assert 3 not in set(out["doc_id"])  # empty doc emits nothing
+
+
+def test_mann_kendall_trend_brute_force(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dedupe_ray.ops.tabular import mann_kendall_trend
+
+    rows = [
+        ("u1", 1, 10), ("u1", 2, 20), ("u1", 3, 15), ("u1", 4, 30),  # up trend
+        ("u2", 1, 9), ("u2", 2, 9), ("u2", 3, 5),                    # ties+down
+        ("u3", 7, 1),                                                # singleton
+    ]
+    tbl = pa.table(
+        {
+            "k": [r[0] for r in rows],
+            "t": [r[1] for r in rows],
+            "v": [r[2] for r in rows],
+        }
+    )
+
+    def brute(vals):
+        s = 0
+        for i in range(len(vals)):
+            for j in range(i + 1, len(vals)):
+                s += (vals[j] > vals[i]) - (vals[j] < vals[i])
+        return s
+
+    expect = {
+        "u1": (4, brute([10, 20, 15, 30])),
+        "u2": (3, brute([9, 9, 5])),
+        "u3": (1, 0),
+    }
+    for parts in (1, 3):
+        out = mann_kendall_trend(
+            rd.from_arrow(tbl).repartition(parts), "k", ["t"], "v"
+        ).to_pandas()
+        got = {r["k"]: (r["n"], r["s_stat"]) for _, r in out.iterrows()}
+        assert got == expect
+
+
+def test_xml_roundtrip_unit(ray_session, tmp_path):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dedupe_ray.sources import read_xml, write_xml
+
+    tbl = pa.table(
+        {
+            "id": pa.array([1, 2, 3], pa.int64()),
+            "name": ["a<b&c>", 'quo"te', None],  # escaping + null
+            "score": pa.array([1.5, None, -0.25], pa.float64()),
+        }
+    )
+    out = str(tmp_path / "xmlsink")
+    write_xml(rd.from_arrow(tbl).repartition(2), out)
+    schema = pa.schema(
+        [("id", pa.int64()), ("name", pa.string()), ("score", pa.float64())]
+    )
+    back = (
+        read_xml(out, schema)
+        .to_pandas()
+        .sort_values("id", ignore_index=True)
+    )
+    assert back["id"].tolist() == [1, 2, 3]
+    assert back["name"].tolist()[:2] == ["a<b&c>", 'quo"te']
+    assert back["name"].isna().tolist() == [False, False, True]
+    assert back["score"].tolist()[0] == 1.5 and back["score"].tolist()[2] == -0.25
