@@ -6176,6 +6176,93 @@ def _q_xml_roundtrip(sf_dir: str):
     return read_xml(out, schema)
 
 
+def _q_part_abc_class(sf_dir: str):
+    """ABC/Pareto revenue classification of parts (`ops/tabular.py
+    abc_classification`): per-part revenue cents (one combiner groupby)
+    ranked descending with the distributed zip-with-index, cumulative
+    share thresholds in exact int64 (boundary item falls to the next
+    class — pinned)."""
+    from ray.data.aggregate import Sum
+
+    from dedupe_ray.ops.tabular import abc_classification
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice"])
+
+    def cents(b: pa.Table) -> pa.Table:
+        p = b.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "l_partkey": b.column("l_partkey"),
+                "cents": pa.array(np.floor(p * 100 + 0.5).astype(np.int64)),
+            }
+        )
+
+    totals = (
+        li.map_batches(cents, batch_format="pyarrow")
+        .groupby("l_partkey")
+        .aggregate(Sum("cents", alias_name="cents"))
+    )
+    return abc_classification(totals, "cents", "l_partkey")
+
+
+def _q_lang_psi_drift(sf_dir: str):
+    """Population Stability Index terms of the lang distribution between
+    the even- and odd-doc_id halves of the corpus (`ops/tabular.py
+    psi_categories` — the categorical drift monitor): count-ratio ln in
+    micro-units times an exact rational, per category."""
+    from dedupe_ray.ops.tabular import psi_categories
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+    def half(parity: int):
+        return docs.map_batches(
+            lambda t, p=parity: t.filter(
+                pa.array(
+                    t.column("doc_id").to_numpy(zero_copy_only=False) % 2 == p
+                )
+            ),
+            batch_format="pyarrow",
+        )
+
+    return psi_categories(half(0), half(1), "lang")
+
+
+def _q_part_supply_concentration(sf_dir: str):
+    """Herfindahl supplier-concentration index per part (`ops/tabular.py
+    grouped_hhi` — which parts are effectively single-sourced): exact
+    Σc²/(Σc)² num/den rationals from one (part, supplier) count
+    combiner."""
+    from dedupe_ray.ops.tabular import grouped_hhi
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+    return grouped_hhi(li, "l_partkey", "l_suppkey")
+
+
+def _q_supplier_weighted_median_price(sf_dir: str):
+    """Quantity-weighted median line price per supplier (`ops/tabular.py
+    grouped_weighted_median`): exact integer selection — smallest price
+    whose inclusive cumulative quantity reaches half the supplier's
+    total; cents and whole-unit quantities keep both engines integral."""
+    from dedupe_ray.ops.tabular import grouped_weighted_median
+
+    li = _read(sf_dir, "lineitem", ["l_suppkey", "l_extendedprice", "l_quantity"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        p = b.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        q = b.column("l_quantity").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "l_suppkey": b.column("l_suppkey"),
+                "cents": pa.array(np.floor(p * 100 + 0.5).astype(np.int64)),
+                "qty": pa.array(np.floor(q + 0.5).astype(np.int64)),
+            }
+        )
+
+    return grouped_weighted_median(
+        li.map_batches(prep, batch_format="pyarrow"), "l_suppkey", "cents", "qty"
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "er_clusters": _q_er_clusters,
@@ -6411,6 +6498,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hashed_doc_features": _q_hashed_doc_features,
         "user_value_trend": _q_user_value_trend,
         "xml_roundtrip": _q_xml_roundtrip,
+        "part_abc_class": _q_part_abc_class,
+        "lang_psi_drift": _q_lang_psi_drift,
+        "part_supply_concentration": _q_part_supply_concentration,
+        "supplier_weighted_median_price": _q_supplier_weighted_median_price,
     }
 
 
@@ -10856,6 +10947,96 @@ def oracle_sql() -> dict[str, str]:
         """,
         "xml_roundtrip": """
             SELECT event_id, ts, event_type, value FROM events
+        """,
+        # ABC: rank by cents desc / key asc, inclusive cumulative share in
+        # exact int64 — the boundary item that crosses falls to the next
+        # class (cum·100 <= pct·total)
+        "part_abc_class": """
+            WITH tot AS MATERIALIZED (
+                SELECT l_partkey,
+                       CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5)
+                                     AS BIGINT)) AS BIGINT) AS cents
+                FROM lineitem GROUP BY 1
+            ),
+            t AS (SELECT CAST(SUM(cents) AS BIGINT) AS total FROM tot),
+            r AS (
+                SELECT l_partkey, cents,
+                       CAST(row_number() OVER
+                            (ORDER BY cents DESC, l_partkey) AS BIGINT) AS rank,
+                       CAST(SUM(cents) OVER
+                            (ORDER BY cents DESC, l_partkey) AS BIGINT) AS cum
+                FROM tot
+            )
+            SELECT l_partkey, cents, rank, cum,
+                   CASE WHEN cum * 100 <= 70 * (SELECT total FROM t) THEN 'A'
+                        WHEN cum * 100 <= 90 * (SELECT total FROM t) THEN 'B'
+                        ELSE 'C' END AS abc_class
+            FROM r
+        """,
+        # PSI: count-ratio ln (engine-agreement class) in micro-units ×
+        # an exact rational; diff and ln always share a sign so // is safe
+        "lang_psi_drift": """
+            WITH ref AS MATERIALIZED (
+                SELECT lang, CAST(COUNT(*) AS BIGINT) AS c
+                FROM documents WHERE doc_id % 2 = 0 GROUP BY 1
+            ),
+            cur AS MATERIALIZED (
+                SELECT lang, CAST(COUNT(*) AS BIGINT) AS c
+                FROM documents WHERE doc_id % 2 = 1 GROUP BY 1
+            ),
+            nr AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM ref),
+            nc AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cur),
+            terms AS (
+                SELECT r.lang AS category, r.c AS c_ref, u.c AS c_cur,
+                       CAST(floor(1000000.0 * ln(
+                           (CAST(r.c AS DOUBLE) * (SELECT n FROM nc))
+                           / (CAST(u.c AS DOUBLE) * (SELECT n FROM nr))
+                       )) AS BIGINT) AS ln_micro,
+                       r.c * (SELECT n FROM nc)
+                           - u.c * (SELECT n FROM nr) AS diff
+                FROM ref r JOIN cur u ON u.lang = r.lang
+            )
+            SELECT category, c_ref, c_cur, ln_micro,
+                   CAST((diff * ln_micro)
+                        // ((SELECT n FROM nr) * (SELECT n FROM nc))
+                        AS BIGINT) AS term_micro
+            FROM terms
+        """,
+        # HHI per part over its suppliers: num/den rationals (caller
+        # divides)
+        "part_supply_concentration": """
+            WITH cells AS MATERIALIZED (
+                SELECT l_partkey, l_suppkey, CAST(COUNT(*) AS BIGINT) AS c
+                FROM lineitem GROUP BY 1, 2
+            )
+            SELECT l_partkey,
+                   CAST(COUNT(*) AS BIGINT) AS n_members,
+                   CAST(SUM(c * c) AS BIGINT) AS hhi_num,
+                   CAST(SUM(c) * SUM(c) AS BIGINT) AS hhi_den
+            FROM cells GROUP BY 1
+        """,
+        # weighted lower median: smallest value whose inclusive cumulative
+        # weight reaches half the total (2·cum >= W), duplicates merged
+        "supplier_weighted_median_price": """
+            WITH w AS MATERIALIZED (
+                SELECT l_suppkey,
+                       CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                           AS cents,
+                       CAST(SUM(CAST(floor(l_quantity + 0.5) AS BIGINT))
+                            AS BIGINT) AS w
+                FROM lineitem GROUP BY 1, 2
+            ),
+            c AS (
+                SELECT l_suppkey, cents,
+                       CAST(SUM(w) OVER (PARTITION BY l_suppkey
+                                         ORDER BY cents) AS BIGINT) AS cum,
+                       CAST(SUM(w) OVER (PARTITION BY l_suppkey) AS BIGINT)
+                           AS tot
+                FROM w
+            )
+            SELECT l_suppkey, MIN(tot) AS w_total,
+                   CAST(MIN(cents) AS BIGINT) AS wmedian
+            FROM c WHERE 2 * cum >= tot GROUP BY 1
         """,
         # leading digit of floor(abs(x)) for |x| ≥ 1; Benford expectation
         # floor(1e6·ln(1+1/d)/ln(10)) — count-ratio ln agreement class

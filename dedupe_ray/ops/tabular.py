@@ -4468,3 +4468,281 @@ def mann_kendall_trend(
         .groupby("__mkbkt")
         .map_groups(per_bucket, batch_format="pyarrow")
     )
+
+
+def abc_classification(
+    ds: "ray.data.Dataset",
+    value_column: str,
+    id_column: str,
+    a_pct: int = 70,
+    b_pct: int = 90,
+) -> "ray.data.Dataset":
+    """ABC / Pareto classification (the 80-20 inventory and skew triage):
+    items rank by integer value descending (ties → id asc), and an item
+    is class A while its INCLUSIVE cumulative share is ≤ ``a_pct``%,
+    B while ≤ ``b_pct``%, else C — the boundary item that crosses a
+    threshold falls in the NEXT class (pinned; mirrors
+    ``cum·100 ≤ pct·total`` in exact int64, no percentage float ever).
+
+    Shape: ranks from :func:`assign_row_numbers` on the negated value
+    (descending without a global sort), the running total from
+    :func:`grouped_cumsum` under one constant key — the input here is a
+    per-item COMBINER table (revenue per part, size per partition), so
+    the single ordered walk is bounded by the dimension's cardinality.
+    Output: (id, value, rank, cum, abc_class)."""
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    def neg(b: pa.Table) -> pa.Table:
+        v = b.column(value_column).to_numpy(zero_copy_only=False).astype(np.int64)
+        return b.append_column("__negv", pa.array(-v))
+
+    ranked = assign_row_numbers(
+        ds.map_batches(neg, batch_format="pyarrow"), "__negv", id_column,
+        out_column="rank",
+    ).map_batches(
+        lambda t: t.drop_columns(["__negv"]).append_column(
+            "__g", pa.array(np.zeros(len(t), np.int64))
+        ),
+        batch_format="pyarrow",
+    )
+    total = int(ds.aggregate(Sum(value_column, alias_name="s"))["s"] or 0)
+    cum = grouped_cumsum(ranked, "__g", ["rank"], value_column, out_column="cum")
+
+    def classify(t: pa.Table) -> pa.Table:
+        c = t.column("cum").to_numpy(zero_copy_only=False).astype(np.int64)
+        cls = np.where(
+            c * 100 <= a_pct * total,
+            "A",
+            np.where(c * 100 <= b_pct * total, "B", "C"),
+        )
+        return pa.table(
+            {
+                id_column: t.column(id_column),
+                value_column: t.column(value_column),
+                "rank": t.column("rank"),
+                "cum": t.column("cum"),
+                "abc_class": pa.array(cls.astype(object), pa.string()),
+            }
+        )
+
+    return cum.map_batches(classify, batch_format="pyarrow")
+
+
+def psi_categories(
+    ds_ref: "ray.data.Dataset",
+    ds_cur: "ray.data.Dataset",
+    category_column: str,
+    scale: int = 10**6,
+) -> "ray.data.Dataset":
+    """Population Stability Index terms between two corpus slices — the
+    standard categorical drift monitor (PSI < 0.1 stable, > 0.25 major
+    shift): per category, term = (p_ref − p_cur)·ln(p_ref/p_cur),
+    emitted as the exact integer
+
+        term_micro = ((c_ref·n_cur − c_cur·n_ref) · ln_micro)
+                     // (n_ref·n_cur),
+        ln_micro   = floor(scale·ln((c_ref·n_cur)/(c_cur·n_ref)))
+
+    — a count-ratio ln (the engine-agreement class) times a rational,
+    both factors always same-signed so the floor-div is sign-safe; the
+    caller sums term_micro/scale for the index. Categories missing from
+    EITHER side are excluded (ln 0 is undefined — the standard PSI
+    practice is a smoothing floor; pin that upstream if needed). Two
+    bounded per-category count combiners and a driver-side join of the
+    two small tables. Output: (category, c_ref, c_cur, ln_micro,
+    term_micro)."""
+    import numpy as np
+    import pandas as pd
+
+    def counts(ds):
+        rows = ds.groupby(category_column).count().take_all()  # bounded: categories
+        return {r[category_column]: int(r["count()"]) for r in rows}
+
+    ref, cur = counts(ds_ref), counts(ds_cur)
+    n_ref, n_cur = sum(ref.values()), sum(cur.values())
+    cats = sorted(set(ref) & set(cur))
+    c_ref = np.asarray([ref[c] for c in cats], np.int64)
+    c_cur = np.asarray([cur[c] for c in cats], np.int64)
+    ratio = (c_ref.astype(np.float64) * n_cur) / (c_cur.astype(np.float64) * n_ref)
+    ln_micro = np.floor(scale * np.log(ratio)).astype(np.int64)
+    diff = c_ref * n_cur - c_cur * n_ref
+    term = (diff * ln_micro) // (np.int64(n_ref) * np.int64(n_cur))
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "category": pa.array(cats, pa.string()),
+                "c_ref": pa.array(c_ref),
+                "c_cur": pa.array(c_cur),
+                "ln_micro": pa.array(ln_micro),
+                "term_micro": pa.array(term.astype(np.int64)),
+            }
+        )
+    )
+
+
+def grouped_hhi(
+    ds: "ray.data.Dataset",
+    group_column: str,
+    member_column: str,
+) -> "ray.data.Dataset":
+    """Herfindahl–Hirschman concentration index per group — market /
+    key-skew concentration (HHI = Σ share², 1/k for k equal members, 1
+    for a monopoly) — as the exact num/den rational
+
+        hhi = hhi_num / hhi_den = Σ c_i² / (Σ c_i)²
+
+    over member row counts within each group (caller divides). One
+    per-(group, member) count combiner → per-group Σc and Σc² partials →
+    one tiny groupby. Overflow: Σc² < int64 for groups under ~3·10⁹
+    rows. Output: (group, n_members, hhi_num, hhi_den)."""
+    import numpy as np
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    def cell_partial(b: pa.Table) -> pa.Table:
+        df = b.select([group_column, member_column]).to_pandas()
+        g = df.groupby([group_column, member_column], sort=False).size()
+        g = g.rename("c").reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    cells = (
+        ds.map_batches(cell_partial, batch_format="pyarrow")
+        .groupby([group_column, member_column])
+        .aggregate(Sum("c", alias_name="c"))
+    )
+
+    def moments(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        c = pc.cast(b.column("c"), pa.int64()).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame(
+            {
+                group_column: b.column(group_column).to_pandas(),
+                "n_members": 1,
+                "s": c,
+                "s2": c * c,
+            }
+        )
+        g = df.groupby(group_column, as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def finish(t: pa.Table) -> pa.Table:
+        s = pc.cast(t.column("s"), pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                group_column: t.column(group_column),
+                "n_members": pc.cast(t.column("n_members"), pa.int64()),
+                "hhi_num": pc.cast(t.column("s2"), pa.int64()),
+                "hhi_den": pa.array(s * s),
+            }
+        )
+
+    return (
+        cells.map_batches(moments, batch_format="pyarrow")
+        .groupby(group_column)
+        .aggregate(
+            Sum("n_members", alias_name="n_members"),
+            Sum("s", alias_name="s"),
+            Sum("s2", alias_name="s2"),
+        )
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
+def grouped_weighted_median(
+    ds: "ray.data.Dataset",
+    key_column: str,
+    value_column: str,
+    weight_column: str,
+) -> "ray.data.Dataset":
+    """Weighted lower median per key over INTEGER values and weights: the
+    smallest value v whose inclusive cumulative weight satisfies
+    ``2·cum_w(v) ≥ W`` — exact integer selection, no interpolation, so
+    the output is engine-exact against a windowed-cumsum SQL mirror.
+
+    Shape: one (key, value) weight-sum combiner collapses duplicates,
+    then ONE bucketed key shuffle (the _grouped_window layout) walks each
+    key's sorted values with a run-sliced cumulative sum and a
+    reduceat-argmin first-crossing pick — no per-key Python. Output:
+    (key, w_total, wmedian)."""
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    from dedupe_ray.blocking import N_BUCKETS
+
+    def wpartial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame(
+            {
+                key_column: b.column(key_column).to_pandas(),
+                value_column: b.column(value_column)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64),
+                "w": b.column(weight_column)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64),
+            }
+        )
+        g = df.groupby([key_column, value_column], as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    cells = (
+        ds.map_batches(wpartial, batch_format="pyarrow")
+        .groupby([key_column, value_column])
+        .aggregate(Sum("w", alias_name="w"))
+    )
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "__wmbkt", _bucket_hash_col(b.column(key_column), N_BUCKETS)
+        )
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        if len(group) == 0:
+            return pa.table(
+                {
+                    key_column: pa.array([], group.schema.field(key_column).type),
+                    "w_total": pa.array([], pa.int64()),
+                    "wmedian": pa.array([], pa.int64()),
+                }
+            )
+        g = group.take(
+            pc.sort_indices(
+                group,
+                sort_keys=[(key_column, "ascending"), (value_column, "ascending")],
+            )
+        )
+        keys = np.asarray(g.column(key_column).to_pylist(), object)
+        v = g.column(value_column).to_numpy(zero_copy_only=False).astype(np.int64)
+        w = pc.cast(g.column("w"), pa.int64()).to_numpy(zero_copy_only=False)
+        new_key = np.empty(len(g), bool)
+        new_key[0] = True
+        new_key[1:] = keys[1:] != keys[:-1]
+        starts = np.flatnonzero(new_key)
+        runid = np.repeat(
+            np.arange(len(starts)), np.diff(np.append(starts, len(g)))
+        )
+        cs = w.cumsum()
+        base = np.repeat(cs[starts] - w[starts], np.diff(np.append(starts, len(g))))
+        cum = cs - base
+        w_tot = np.add.reduceat(w, starts)
+        flag = 2 * cum >= w_tot[runid]
+        first = np.minimum.reduceat(np.where(flag, np.arange(len(g)), len(g)), starts)
+        return pa.table(
+            {
+                key_column: pa.array(keys[starts], group.schema.field(key_column).type),
+                "w_total": pa.array(w_tot.astype(np.int64)),
+                "wmedian": pa.array(v[first]),
+            }
+        )
+
+    return (
+        cells.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("__wmbkt")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )

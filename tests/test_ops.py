@@ -6929,3 +6929,99 @@ def test_xml_roundtrip_unit(ray_session, tmp_path):
     assert back["name"].tolist()[:2] == ["a<b&c>", 'quo"te']
     assert back["name"].isna().tolist() == [False, False, True]
     assert back["score"].tolist()[0] == 1.5 and back["score"].tolist()[2] == -0.25
+
+
+def test_abc_classification_boundaries(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dedupe_ray.ops.tabular import abc_classification
+
+    # values 50,30,10,10 of total 100: cum 50(A),80(B at 70-boundary
+    # crossing),90(B),100(C)
+    tbl = pa.table({"id": [1, 2, 3, 4], "v": [50, 30, 10, 10]})
+    for parts in (1, 3):
+        out = (
+            abc_classification(rd.from_arrow(tbl).repartition(parts), "v", "id")
+            .to_pandas()
+            .sort_values("rank", ignore_index=True)
+        )
+        assert out["id"].tolist() == [1, 2, 3, 4]
+        assert out["cum"].tolist() == [50, 80, 90, 100]
+        assert out["abc_class"].tolist() == ["A", "B", "B", "C"]
+        # ties rank by id asc
+        assert out.loc[out["id"] == 3, "rank"].item() == 3
+
+
+def test_psi_categories_brute_force(ray_session):
+    import math
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dedupe_ray.ops.tabular import psi_categories
+
+    ref = rd.from_arrow(pa.table({"c": ["a"] * 6 + ["b"] * 3 + ["only_ref"]}))
+    cur = rd.from_arrow(pa.table({"c": ["a"] * 2 + ["b"] * 8}))
+    out = psi_categories(ref, cur, "c").to_pandas().set_index("category")
+    assert set(out.index) == {"a", "b"}  # one-sided categories excluded
+    n_ref, n_cur = 10, 10
+    for cat, cr, cc in [("a", 6, 2), ("b", 3, 8)]:
+        ln_micro = math.floor(
+            10**6 * math.log((float(cr) * n_cur) / (float(cc) * n_ref))
+        )
+        diff = cr * n_cur - cc * n_ref
+        assert out.loc[cat, "ln_micro"] == ln_micro
+        assert out.loc[cat, "term_micro"] == (diff * ln_micro) // (n_ref * n_cur)
+        assert out.loc[cat, "term_micro"] >= 0  # PSI terms are nonnegative
+
+
+def test_grouped_hhi_known(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dedupe_ray.ops.tabular import grouped_hhi
+
+    rows = [("g1", "s1")] * 4 + [("g2", "s1"), ("g2", "s2")] * 2
+    tbl = pa.table({"g": [r[0] for r in rows], "m": [r[1] for r in rows]})
+    out = (
+        grouped_hhi(rd.from_arrow(tbl).repartition(3), "g", "m")
+        .to_pandas()
+        .set_index("g")
+    )
+    # monopoly: 16/16 = 1; two equal: (4+4)/16 = 0.5
+    assert out.loc["g1", "hhi_num"] == 16 and out.loc["g1", "hhi_den"] == 16
+    assert out.loc["g1", "n_members"] == 1
+    assert out.loc["g2", "hhi_num"] == 8 and out.loc["g2", "hhi_den"] == 16
+    assert out.loc["g2", "n_members"] == 2
+
+
+def test_grouped_weighted_median_brute(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dedupe_ray.ops.tabular import grouped_weighted_median
+
+    rows = [
+        ("k1", 10, 1), ("k1", 20, 1), ("k1", 30, 10),  # weight-dominated -> 30
+        ("k2", 5, 2), ("k2", 7, 2),                     # 2*2 >= 4 at v=5
+        ("k3", 9, 3), ("k3", 9, 4), ("k3", 11, 1),      # dup values merge -> 9
+    ]
+    tbl = pa.table(
+        {
+            "k": [r[0] for r in rows],
+            "v": [r[1] for r in rows],
+            "w": [r[2] for r in rows],
+        }
+    )
+    for parts in (1, 3):
+        out = (
+            grouped_weighted_median(
+                rd.from_arrow(tbl).repartition(parts), "k", "v", "w"
+            )
+            .to_pandas()
+            .set_index("k")
+        )
+        assert out.loc["k1", "wmedian"] == 30 and out.loc["k1", "w_total"] == 12
+        assert out.loc["k2", "wmedian"] == 5
+        assert out.loc["k3", "wmedian"] == 9 and out.loc["k3", "w_total"] == 8
