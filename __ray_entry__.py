@@ -6263,6 +6263,74 @@ def _q_supplier_weighted_median_price(sf_dir: str):
     )
 
 
+def _q_token_pmi(sf_dir: str):
+    """PMI collocation mining over document co-occurrence (`ops/text.py
+    token_pmi_pairs`): vocab-capped distinct (doc, token) baskets through
+    the association-rule machinery, PMI as a count-ratio ln in
+    micro-units — which frequent tokens travel together."""
+    from dedupe_ray.ops.text import token_pmi_pairs
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return token_pmi_pairs(docs, vocab_size=64, min_pair_count=3)
+
+
+def _q_customer_rfm(sf_dir: str):
+    """RFM segmentation of customers from their orders (`ops/tabular.py
+    rfm_scores`): recency (days since last order, exact microsecond
+    math), frequency, monetary cents — each quintile-scored by global
+    rank (rank-based tiling pinned), composite rfm = 100r + 10f + m."""
+    from ray.data.aggregate import Count, Max, Sum
+
+    from dedupe_ray.ops.tabular import rfm_scores
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_totalprice"])
+    corpus_max = np.datetime64(orders.max("o_orderdate"), "us")  # bounded scalar
+
+    def cents(b: pa.Table) -> pa.Table:
+        p = b.column("o_totalprice").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "o_custkey": b.column("o_custkey"),
+                "o_orderdate": b.column("o_orderdate"),
+                "cents": pa.array(np.floor(p * 100 + 0.5).astype(np.int64)),
+            }
+        )
+
+    agg = (
+        orders.map_batches(cents, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(
+            Max("o_orderdate", alias_name="last_order"),
+            Count(alias_name="frequency"),
+            Sum("cents", alias_name="monetary_cents"),
+        )
+    )
+
+    def metrics(b: pa.Table) -> pa.Table:
+        last = b.column("last_order").to_numpy(zero_copy_only=False)
+        rec = (corpus_max - last).astype("timedelta64[us]").astype(np.int64) // (
+            86_400_000_000
+        )
+        return pa.table(
+            {
+                "o_custkey": b.column("o_custkey"),
+                "recency_days": pa.array(rec),
+                "frequency": pa.compute.cast(b.column("frequency"), pa.int64()),
+                "monetary_cents": pa.compute.cast(
+                    b.column("monetary_cents"), pa.int64()
+                ),
+            }
+        )
+
+    return rfm_scores(
+        agg.map_batches(metrics, batch_format="pyarrow"),
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "er_clusters": _q_er_clusters,
@@ -6502,6 +6570,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_psi_drift": _q_lang_psi_drift,
         "part_supply_concentration": _q_part_supply_concentration,
         "supplier_weighted_median_price": _q_supplier_weighted_median_price,
+        "token_pmi": _q_token_pmi,
+        "customer_rfm": _q_customer_rfm,
     }
 
 
@@ -11014,6 +11084,101 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(c * c) AS BIGINT) AS hhi_num,
                    CAST(SUM(c) * SUM(c) AS BIGINT) AS hhi_den
             FROM cells GROUP BY 1
+        """,
+        # PMI over vocab-capped doc co-occurrence: the association-rule
+        # columns plus floor(1e6·ln(count ratio)) — agreement class
+        "token_pmi": """
+            WITH tok0 AS MATERIALIZED (
+                SELECT doc_id, unnest(regexp_extract_all(lower(text),
+                                                         '[a-z]+')) AS tok
+                FROM documents
+            ),
+            vocab AS MATERIALIZED (
+                SELECT tok FROM (
+                    SELECT tok, row_number() OVER
+                        (ORDER BY COUNT(*) DESC, tok) AS rn
+                    FROM tok0 GROUP BY tok
+                ) WHERE rn <= 64
+            ),
+            dt AS MATERIALIZED (
+                SELECT DISTINCT doc_id, tok FROM tok0
+                WHERE tok IN (SELECT tok FROM vocab)
+            ),
+            nb AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n FROM dt),
+            cnt AS MATERIALIZED (
+                SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM dt GROUP BY 1
+            ),
+            pairs AS (
+                SELECT a.tok AS item_a, b.tok AS item_b,
+                       CAST(COUNT(*) AS BIGINT) AS pair_cnt
+                FROM dt a JOIN dt b
+                  ON a.doc_id = b.doc_id AND a.tok < b.tok
+                GROUP BY 1, 2 HAVING COUNT(*) >= 3
+            )
+            SELECT p.item_a, p.item_b, p.pair_cnt,
+                   ca.cnt AS cnt_a, cb.cnt AS cnt_b,
+                   (SELECT n FROM nb) AS n_baskets,
+                   CAST(p.pair_cnt * 1000000 // ca.cnt AS BIGINT)
+                       AS conf_ab_micro,
+                   CAST(p.pair_cnt * 1000000 // cb.cnt AS BIGINT)
+                       AS conf_ba_micro,
+                   CAST(p.pair_cnt * (SELECT n FROM nb) AS BIGINT) AS lift_num,
+                   CAST(ca.cnt * cb.cnt AS BIGINT) AS lift_den,
+                   CAST(floor(1000000.0 * ln(
+                       CAST(p.pair_cnt * (SELECT n FROM nb) AS DOUBLE)
+                       / CAST(ca.cnt * cb.cnt AS DOUBLE))) AS BIGINT)
+                       AS pmi_micro
+            FROM pairs p
+            JOIN cnt ca ON ca.tok = p.item_a
+            JOIN cnt cb ON cb.tok = p.item_b
+        """,
+        # RFM: rank-based quintiles (row_number tiling pinned), recency
+        # inverted; every metric exact-integer
+        "customer_rfm": """
+            WITH mx AS (SELECT MAX(o_orderdate) AS m FROM orders),
+            met AS MATERIALIZED (
+                SELECT o_custkey,
+                       CAST((epoch_us((SELECT m FROM mx))
+                             - epoch_us(MAX(o_orderdate))) // 86400000000
+                            AS BIGINT) AS recency_days,
+                       CAST(COUNT(*) AS BIGINT) AS frequency,
+                       CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5)
+                                     AS BIGINT)) AS BIGINT) AS monetary_cents
+                FROM orders GROUP BY 1
+            ),
+            n AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM met),
+            r AS (
+                SELECT o_custkey,
+                       6 - (1 + (5 * (row_number() OVER
+                            (ORDER BY recency_days, o_custkey) - 1))
+                            // (SELECT c FROM n)) AS r_score
+                FROM met
+            ),
+            f AS (
+                SELECT o_custkey,
+                       1 + (5 * (row_number() OVER
+                            (ORDER BY frequency, o_custkey) - 1))
+                           // (SELECT c FROM n) AS f_score
+                FROM met
+            ),
+            m AS (
+                SELECT o_custkey,
+                       1 + (5 * (row_number() OVER
+                            (ORDER BY monetary_cents, o_custkey) - 1))
+                           // (SELECT c FROM n) AS m_score
+                FROM met
+            )
+            SELECT met.o_custkey, met.recency_days, met.frequency,
+                   met.monetary_cents,
+                   CAST(r.r_score AS BIGINT) AS r_score,
+                   CAST(f.f_score AS BIGINT) AS f_score,
+                   CAST(m.m_score AS BIGINT) AS m_score,
+                   CAST(100 * r.r_score + 10 * f.f_score + m.m_score
+                        AS BIGINT) AS rfm
+            FROM met
+            JOIN r USING (o_custkey)
+            JOIN f USING (o_custkey)
+            JOIN m USING (o_custkey)
         """,
         # weighted lower median: smallest value whose inclusive cumulative
         # weight reaches half the total (2·cum >= W), duplicates merged

@@ -4746,3 +4746,71 @@ def grouped_weighted_median(
         .groupby("__wmbkt")
         .map_groups(per_bucket, batch_format="pyarrow")
     )
+
+
+def rfm_scores(
+    ds: "ray.data.Dataset",
+    id_column: str,
+    recency_column: str,
+    frequency_column: str,
+    monetary_column: str,
+    n_tiles: int = 5,
+) -> "ray.data.Dataset":
+    """RFM customer segmentation (the CRM staple) over a per-customer
+    metrics table: each of recency / frequency / monetary gets a 1..n
+    quintile score by GLOBAL RANK —
+
+        score = 1 + (n_tiles · (rank − 1)) // n_rows
+
+    with rank from :func:`assign_row_numbers` over (metric, id) — the
+    rank-based tiling (row_number, not value buckets) is pinned so ties
+    split deterministically and the SQL mirror is exact-integer.
+    Recency is inverted (``n_tiles + 1 − raw``: most recent → highest
+    score, the standard convention); frequency and monetary score up
+    with value. The composite ``rfm = 100·r + 10·f + m``. Three
+    zip-with-index passes over the combiner-sized metrics table plus two
+    bucketed id joins. Output: the input metric columns plus
+    (r_score, f_score, m_score, rfm)."""
+    import numpy as np
+
+    from dedupe_ray.joins import bucketed_lookup_join
+
+    n_rows = ds.count()
+
+    def tile(col: str, out: str, invert: bool) -> "ray.data.Dataset":
+        ranked = assign_row_numbers(
+            ds.select_columns([id_column, col]), col, id_column, out_column="__rk"
+        )
+
+        def score(t: pa.Table) -> pa.Table:
+            rk = t.column("__rk").to_numpy(zero_copy_only=False).astype(np.int64)
+            s = 1 + (n_tiles * (rk - 1)) // n_rows
+            if invert:
+                s = n_tiles + 1 - s
+            return pa.table(
+                {id_column: t.column(id_column), out: pa.array(s.astype(np.int64))}
+            )
+
+        return ranked.map_batches(score, batch_format="pyarrow")
+
+    r = tile(recency_column, "r_score", invert=True)
+    f = tile(frequency_column, "f_score", invert=False)
+    m = tile(monetary_column, "m_score", invert=False)
+    joined = bucketed_lookup_join(
+        bucketed_lookup_join(ds, r, id_column, id_column, ["r_score"]),
+        f,
+        id_column,
+        id_column,
+        ["f_score"],
+    )
+    joined = bucketed_lookup_join(joined, m, id_column, id_column, ["m_score"])
+
+    def composite(t: pa.Table) -> pa.Table:
+        rs = t.column("r_score").to_numpy(zero_copy_only=False)
+        fs = t.column("f_score").to_numpy(zero_copy_only=False)
+        ms = t.column("m_score").to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "rfm", pa.array((100 * rs + 10 * fs + ms).astype(np.int64))
+        )
+
+    return joined.map_batches(composite, batch_format="pyarrow")

@@ -1768,3 +1768,90 @@ def hashed_features(
         )
 
     return ds.map_batches(feat, batch_format="pyarrow")
+
+
+def token_pmi_pairs(
+    ds: "ray.data.Dataset",
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    vocab_size: int = 64,
+    min_pair_count: int = 2,
+    scale: int = 10**6,
+) -> "ray.data.Dataset":
+    """Pointwise-mutual-information collocation mining over document
+    co-occurrence (Church & Hanks 1990): for frequent-token pairs that
+    co-occur in ≥ ``min_pair_count`` documents,
+
+        pmi_micro = floor(scale · ln((pair_cnt · n_docs)
+                                     / (cnt_a · cnt_b)))
+
+    — a count-ratio ln, the quantization class where numpy and SQL
+    engines agree bit-for-bit. The pair machinery is
+    :func:`dedupe_ray.ops.tabular.association_rules` over the
+    vocab-capped distinct (doc, token) table (top ``vocab_size`` tokens
+    by count desc / token asc — the nb_classify cap; capping bounds the
+    per-doc pair fan-out at C(V, 2), which is what makes doc-level
+    co-occurrence tractable at corpus scale). Output: the rule columns
+    plus ``pmi_micro``."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    from dedupe_ray.ops.tabular import association_rules
+
+    V = int(vocab_size)
+
+    def uni_partials(batch: pa.Table) -> pa.Table:
+        flat, _ = _lm_tokens(batch.column(text_column))
+        codes, uniques = pd.factorize(flat)
+        cnt = np.bincount(codes, minlength=len(uniques)).astype(np.int64)
+        return pa.table(
+            {"token": pa.array(uniques, pa.string()), "cnt": pa.array(cnt)}
+        )
+
+    vocab_rows = (
+        ds.map_batches(uni_partials, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .sort(["cnt", "token"], descending=[True, False])
+        .limit(V)
+        .take_all()  # bounded: <= V rows
+    )
+    vocab = np.sort(np.asarray([r["token"] for r in vocab_rows], object))
+    vocab_ref = ray.put(vocab)
+
+    def doc_tokens(batch: pa.Table) -> pa.Table:
+        vt = ray.get(vocab_ref)
+        flat, counts = _lm_tokens(batch.column(text_column))
+        ids = np.repeat(
+            batch.column(id_column).to_numpy(zero_copy_only=False), counts
+        )
+        if len(flat) == 0 or len(vt) == 0:
+            return pa.table(
+                {"doc": pa.array([], pa.int64()), "tok": pa.array([], pa.string())}
+            )
+        pos = np.minimum(np.searchsorted(vt, flat), len(vt) - 1)
+        hit = vt[pos] == flat
+        return pa.table(
+            {
+                "doc": pa.array(ids[hit].astype(np.int64)),
+                "tok": pa.array(flat[hit], pa.string()),
+            }
+        )
+
+    rules = association_rules(
+        ds.map_batches(doc_tokens, batch_format="pyarrow"),
+        "doc",
+        "tok",
+        min_pair_count=min_pair_count,
+    )
+
+    def pmi(t: pa.Table) -> pa.Table:
+        num = t.column("lift_num").to_numpy(zero_copy_only=False).astype(np.int64)
+        den = t.column("lift_den").to_numpy(zero_copy_only=False).astype(np.int64)
+        p = np.floor(
+            scale * np.log(num.astype(np.float64) / den.astype(np.float64))
+        ).astype(np.int64)
+        return t.append_column("pmi_micro", pa.array(p))
+
+    return rules.map_batches(pmi, batch_format="pyarrow")

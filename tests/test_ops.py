@@ -7025,3 +7025,69 @@ def test_grouped_weighted_median_brute(ray_session):
         assert out.loc["k1", "wmedian"] == 30 and out.loc["k1", "w_total"] == 12
         assert out.loc["k2", "wmedian"] == 5
         assert out.loc["k3", "wmedian"] == 9 and out.loc["k3", "w_total"] == 8
+
+
+def test_token_pmi_pairs_brute_force(ray_session):
+    import math
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dedupe_ray.ops.text import token_pmi_pairs
+
+    texts = [
+        "alpha beta", "alpha beta", "alpha beta gamma",
+        "alpha gamma", "beta delta", "gamma delta",
+    ]
+    tbl = pa.table({"doc_id": list(range(6)), "text": texts})
+    out = (
+        token_pmi_pairs(
+            rd.from_arrow(tbl).repartition(2),
+            vocab_size=4,
+            min_pair_count=2,
+        )
+        .to_pandas()
+        .set_index(["item_a", "item_b"])
+    )
+    # (alpha, beta) co-occur 3x; cnt alpha 4, beta 4, n_docs 6
+    ab = out.loc[("alpha", "beta")]
+    assert ab["pair_cnt"] == 3 and ab["cnt_a"] == 4 and ab["cnt_b"] == 4
+    assert ab["n_baskets"] == 6
+    assert ab["pmi_micro"] == math.floor(
+        10**6 * math.log(float(3 * 6) / float(4 * 4))
+    )
+    # (alpha, gamma) co-occur 2x
+    assert out.loc[("alpha", "gamma")]["pair_cnt"] == 2
+
+
+def test_rfm_scores_rank_tiling(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dedupe_ray.ops.tabular import rfm_scores
+
+    # 10 customers with fully ordered metrics: recency 0..9 (0 most
+    # recent -> r_score 5), frequency/monetary ascending -> scores 1..5
+    tbl = pa.table(
+        {
+            "id": list(range(10)),
+            "rec": list(range(10)),
+            "freq": list(range(10, 20)),
+            "mon": list(range(100, 110)),
+        }
+    )
+    for parts in (1, 3):
+        out = (
+            rfm_scores(
+                rd.from_arrow(tbl).repartition(parts), "id", "rec", "freq", "mon"
+            )
+            .to_pandas()
+            .sort_values("id", ignore_index=True)
+        )
+        # rank-based quintiles: two customers per tile
+        assert out["f_score"].tolist() == [1, 1, 2, 2, 3, 3, 4, 4, 5, 5]
+        assert out["m_score"].tolist() == [1, 1, 2, 2, 3, 3, 4, 4, 5, 5]
+        assert out["r_score"].tolist() == [5, 5, 4, 4, 3, 3, 2, 2, 1, 1]
+        assert (
+            out["rfm"] == 100 * out["r_score"] + 10 * out["f_score"] + out["m_score"]
+        ).all()
