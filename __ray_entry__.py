@@ -6331,6 +6331,38 @@ def _q_customer_rfm(sf_dir: str):
     )
 
 
+def _q_er_incremental_exact(sf_dir: str):
+    """Incremental entity resolution under the closed-form model
+    (`pipeline.py incremental_partition` — the daily-delta production
+    shape): customers with custkey % 10 == 0 arrive as the NEW batch
+    against a partition of the rest; gazetteer top-1 assignment (ties →
+    bytewise-min existing doc_id), singleton targets found clusters under
+    the target's id, unmatched new records partition among themselves.
+    Every branch is SQL-closed-form because scores are uniform within a
+    (grp, seg) block."""
+    import pyarrow.compute as pc
+
+    records = _er_closed_form_records(sf_dir)
+
+    def split(parity_new: bool):
+        def f(t: pa.Table) -> pa.Table:
+            ck = pc.cast(t.column("doc_id"), pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+            keep = (ck % 10 == 0) if parity_new else (ck % 10 != 0)
+            return t.filter(pa.array(keep))
+
+        return records.map_batches(f, batch_format="pyarrow")
+
+    from dedupe_ray.pipeline import incremental_partition
+
+    ded = _er_closed_form_deduper()
+    existing = split(False).materialize()
+    new = split(True)
+    existing_clusters = ded.partition(existing, threshold=0.9)
+    return incremental_partition(ded, existing, existing_clusters, new, threshold=0.9)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "er_clusters": _q_er_clusters,
@@ -6572,6 +6604,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_weighted_median_price": _q_supplier_weighted_median_price,
         "token_pmi": _q_token_pmi,
         "customer_rfm": _q_customer_rfm,
+        "er_incremental_exact": _q_er_incremental_exact,
     }
 
 
@@ -11084,6 +11117,53 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(c * c) AS BIGINT) AS hhi_num,
                    CAST(SUM(c) * SUM(c) AS BIGINT) AS hhi_den
             FROM cells GROUP BY 1
+        """,
+        # incremental ER closed form: a matched new record's cluster is
+        # the bytewise-min existing doc_id of its (grp, seg) block —
+        # singleton targets included (their min is themselves); unmatched
+        # new records re-run the er_clusters_exact closed form among
+        # themselves; confidence is the uniform sigmoid(3) everywhere
+        "er_incremental_exact": """
+            WITH rec AS MATERIALIZED (
+                SELECT CAST(c_custkey AS VARCHAR) AS doc_id,
+                       CAST(c_custkey // 4 AS VARCHAR) AS grp,
+                       c_mktsegment AS seg, c_custkey
+                FROM customer
+            ),
+            ex AS MATERIALIZED (
+                SELECT * FROM rec WHERE c_custkey % 10 <> 0
+            ),
+            nw AS MATERIALIZED (
+                SELECT * FROM rec WHERE c_custkey % 10 = 0
+            ),
+            exmin AS MATERIALIZED (
+                SELECT grp, seg, MIN(doc_id) AS cl FROM ex GROUP BY 1, 2
+            ),
+            matched AS (
+                SELECT e.cl AS cluster_id, n.doc_id
+                FROM nw n JOIN exmin e ON e.grp = n.grp AND e.seg = n.seg
+            ),
+            unmatched AS (
+                SELECT n.* FROM nw n
+                LEFT JOIN exmin e ON e.grp = n.grp AND e.seg = n.seg
+                WHERE e.cl IS NULL
+            ),
+            newcl AS (
+                SELECT grp, seg, MIN(doc_id) AS cl
+                FROM unmatched GROUP BY 1, 2 HAVING COUNT(*) >= 2
+            ),
+            amongnew AS (
+                SELECT nc.cl AS cluster_id, u.doc_id
+                FROM unmatched u
+                JOIN newcl nc ON nc.grp = u.grp AND nc.seg = u.seg
+            )
+            SELECT cluster_id, doc_id,
+                   CAST(1/(1+exp(-3.0)) AS REAL) AS confidence_score
+            FROM matched
+            UNION ALL
+            SELECT cluster_id, doc_id,
+                   CAST(1/(1+exp(-3.0)) AS REAL) AS confidence_score
+            FROM amongnew
         """,
         # PMI over vocab-capped doc co-occurrence: the association-rule
         # columns plus floor(1e6·ln(count ratio)) — agreement class

@@ -634,3 +634,92 @@ def dedupe_documents(
     deduper.train()
     clusters = deduper.partition(flat, threshold)
     return clusters, deduper
+
+
+def incremental_partition(
+    deduper: "RayDeduper",
+    existing_flat_ds: "ray.data.Dataset",
+    existing_clusters_ds: "ray.data.Dataset",
+    new_flat_ds: "ray.data.Dataset",
+    threshold: float | None = None,
+) -> "ray.data.Dataset":
+    """Incremental entity resolution: fold a batch of NEW records into an
+    EXISTING partition without re-clustering the whole corpus — the
+    production shape when a daily delta lands on a resolved base. The
+    standard incremental approximation is pinned:
+
+    1. every new record searches the existing corpus through the
+       :class:`~dedupe_ray.linkage.Gazetteer` (broadcast block index, one
+       stateless ``map_batches`` pass — the existing side never
+       reshuffles) and takes its TOP-1 match at ``threshold``;
+    2. a matched new record joins the matched record's cluster; if the
+       match target was a singleton (absent from ``existing_clusters_ds``
+       because partition drops size-1 clusters), the pair founds a new
+       cluster whose id is the TARGET's doc_id (the min-doc-id
+       convention's incremental analog);
+    3. the remaining unmatched new records partition among THEMSELVES
+       with the full blocking → scoring → CC machinery.
+
+    Existing clusters are never merged by an increment (that would need
+    transitive evidence through the new batch — run a full
+    ``partition`` periodically to compact; this is the accepted
+    incremental-ER trade-off). Requires globally unique doc_ids across
+    both corpora. Scale note: the gazetteer broadcasts the existing
+    corpus's records + block index, so shard the existing side (or
+    re-partition fully) once it outgrows worker heap. Output matches
+    ``partition``: (cluster_id, doc_id, confidence_score) — rows for the
+    NEW records only."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from dedupe_ray.joins import bucketed_lookup_join
+    from dedupe_ray.linkage import Gazetteer
+
+    thr = threshold if threshold is not None else deduper.config.similarity_threshold
+    gaz = Gazetteer(deduper, existing_flat_ds)
+    matches = gaz.search(new_flat_ds, threshold=thr, n_matches=1).materialize()
+
+    assigned = bucketed_lookup_join(
+        matches,
+        existing_clusters_ds.select_columns(["doc_id", "cluster_id"]),
+        "match_id",
+        "doc_id",
+        ["cluster_id"],
+        how="left",
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        # singleton target -> found a new cluster under the target's id
+        cl = pc.coalesce(t.column("cluster_id"), t.column("match_id"))
+        return pa.table(
+            {
+                "cluster_id": cl,
+                "doc_id": t.column("doc_id"),
+                "confidence_score": pc.cast(t.column("score"), pa.float32()),
+            }
+        )
+
+    out_matched = assigned.map_batches(finish, batch_format="pyarrow")
+
+    remaining = bucketed_lookup_join(
+        new_flat_ds,
+        matches.map_batches(
+            lambda t: pa.table(
+                {
+                    "doc_id": t.column("doc_id"),
+                    "__hit": pa.array(np.ones(len(t), np.int8)),
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        "doc_id",
+        "doc_id",
+        ["__hit"],
+        how="left",
+    )
+    unmatched = remaining.map_batches(
+        lambda t: t.filter(pc.is_null(t.column("__hit"))).drop_columns(["__hit"]),
+        batch_format="pyarrow",
+    )
+    among_new = deduper.partition(unmatched, threshold=thr)
+    return out_matched.union(among_new)

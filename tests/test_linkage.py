@@ -236,3 +236,67 @@ def test_tf_adjustment_table_hand_weights(ray_session):
         assert out.loc[v, "w_micro"] == expect
     # rare value strictly outweighs common one
     assert out.loc["zu", "w_micro"] > out.loc["jones", "w_micro"] > out.loc["smith", "w_micro"]
+
+
+def test_incremental_partition_branches(ray_session):
+    """All three incremental branches: join an existing cluster, found a
+    cluster on a singleton target, and cluster among unmatched new
+    records — parallelism-invariant."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dedupe_ray.config import EngineConfig, FieldConfig
+    from dedupe_ray.pipeline import RayDeduper, incremental_partition
+
+    cfg = EngineConfig(
+        fields=[
+            FieldConfig("grp", "Exact", has_missing=False),
+            FieldConfig("seg", "Exact", has_missing=False),
+        ]
+    )
+    ded = RayDeduper(cfg)
+    ded.predicate_ids = ["whole|grp"]
+    ded.classifier.weights = np.array([4.0, 1.0])
+    ded.classifier.bias = -2.0
+
+    # existing: (g1, A) x2 -> a real cluster "e1"; (g2, B) x1 -> singleton
+    existing = pa.table(
+        {
+            "doc_id": ["e1", "e2", "e5"],
+            "grp": ["g1", "g1", "g2"],
+            "seg": ["A", "A", "B"],
+        }
+    )
+    # new: n1 joins the (g1, A) cluster; n2 matches the singleton e5;
+    # n3+n4 share (g3, C) with no existing counterpart -> among-new
+    # cluster; n9 is a true singleton (dropped)
+    new = pa.table(
+        {
+            "doc_id": ["n1", "n2", "n3", "n4", "n9"],
+            "grp": ["g1", "g2", "g3", "g3", "g4"],
+            "seg": ["A", "B", "C", "C", "D"],
+        }
+    )
+    ex_ds = rd.from_arrow(existing).materialize()
+    clusters = ded.partition(ex_ds, threshold=0.9).materialize()
+    assert sorted(
+        clusters.to_pandas()["doc_id"]
+    ) == ["e1", "e2"]  # the singleton e5 is not in the partition
+
+    for parts in (1, 3):
+        out = (
+            incremental_partition(
+                ded,
+                ex_ds,
+                clusters,
+                rd.from_arrow(new).repartition(parts),
+                threshold=0.9,
+            )
+            .to_pandas()
+            .sort_values("doc_id", ignore_index=True)
+        )
+        got = dict(zip(out["doc_id"], out["cluster_id"]))
+        assert got == {"n1": "e1", "n2": "e5", "n3": "n3", "n4": "n3"}
+        s = 1.0 / (1.0 + np.exp(-3.0))
+        assert np.allclose(out["confidence_score"], np.float32(s))
