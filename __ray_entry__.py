@@ -6363,6 +6363,51 @@ def _q_er_incremental_exact(sf_dir: str):
     return incremental_partition(ded, existing, existing_clusters, new, threshold=0.9)
 
 
+def _q_customer_pseudonyms(sf_dir: str):
+    """Salted stable pseudonymization of customer identifiers
+    (`ops/text.py pseudonymize` — the PII-safe-sharing step): name and
+    custkey become salted md5 prefixes, deterministic so joins across
+    shared tables still line up; md5 keeps the oracle engine-portable."""
+    from dedupe_ray.ops.text import pseudonymize
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_mktsegment"])
+    return pseudonymize(cust, ["c_custkey", "c_name"], salt="s4lt")
+
+
+def _q_manifest_pruned_orders(sf_dir: str):
+    """Shard-manifest min/max pruning (`sources.py
+    write_parquet_manifest/read_parquet_manifest` — the lakehouse prune
+    layer above row-group stats): date-sorted orders shards + a manifest;
+    the 1995 read consults the manifest and opens only overlapping
+    shards, then exact-filters — equal to the unpruned filter by
+    construction."""
+    import hashlib
+
+    from dedupe_ray.sources import read_parquet_manifest, write_parquet_manifest
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_totalprice"])
+    out = "/tmp/dedupe_ray_manifest_" + hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    write_parquet_manifest(
+        orders.sort("o_orderdate"), out, stats_columns=["o_orderdate"]
+    )
+    return read_parquet_manifest(
+        out,
+        "o_orderdate",
+        np.datetime64("1995-01-01", "us"),
+        np.datetime64("1995-12-31T23:59:59.999999", "us"),
+    )
+
+
+def _q_part_walks(sf_dir: str):
+    """Hash-seeded deterministic random walks over the part co-purchase
+    graph (`ops/graph.py deterministic_walks` — the DeepWalk corpus
+    step): 3 hops from every node, each hop the md5-ranked neighbor, so
+    trajectories replay in a step-unrolled SQL mirror."""
+    from dedupe_ray.ops.graph import deterministic_walks
+
+    return deterministic_walks(_part_copurchase_pairs(sf_dir), "item_a", "item_b", steps=3)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "er_clusters": _q_er_clusters,
@@ -6605,6 +6650,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_pmi": _q_token_pmi,
         "customer_rfm": _q_customer_rfm,
         "er_incremental_exact": _q_er_incremental_exact,
+        "customer_pseudonyms": _q_customer_pseudonyms,
+        "manifest_pruned_orders": _q_manifest_pruned_orders,
+        "part_walks": _q_part_walks,
     }
 
 
@@ -11117,6 +11165,78 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(c * c) AS BIGINT) AS hhi_num,
                    CAST(SUM(c) * SUM(c) AS BIGINT) AS hhi_den
             FROM cells GROUP BY 1
+        """,
+        # stable salted pseudonyms: md5(salt:value) prefix — md5 is the
+        # engine-portable hash; non-strings pseudonymize via string cast
+        "customer_pseudonyms": """
+            SELECT substr(md5('s4lt:' || CAST(c_custkey AS VARCHAR)), 1, 16)
+                       AS c_custkey,
+                   substr(md5('s4lt:' || c_name), 1, 16) AS c_name,
+                   c_mktsegment
+            FROM customer
+        """,
+        # the pruned read must EQUAL the unpruned filter — manifest
+        # granularity only affects which files open
+        "manifest_pruned_orders": """
+            SELECT o_orderkey, o_orderdate, o_totalprice FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+              AND o_orderdate <= TIMESTAMP '1995-12-31 23:59:59.999999'
+        """,
+        # walks: rank = row_number over sorted neighbors, hop r =
+        # md5(cur:step) mod degree — unrolled 3 steps
+        "part_walks": """
+            WITH li AS (
+                SELECT DISTINCT l_orderkey, CAST(l_partkey AS VARCHAR) AS part
+                FROM lineitem WHERE l_orderkey % 97 = 0
+            ),
+            e AS MATERIALIZED (
+                SELECT DISTINCT a.part AS u, b.part AS w
+                FROM li a JOIN li b
+                  ON a.l_orderkey = b.l_orderkey AND a.part < b.part
+            ),
+            adj0 AS MATERIALIZED (
+                SELECT u AS node, w AS nbr FROM e
+                UNION ALL SELECT w AS node, u AS nbr FROM e
+            ),
+            adj AS MATERIALIZED (
+                SELECT node, nbr,
+                       row_number() OVER (PARTITION BY node ORDER BY nbr) - 1
+                           AS r
+                FROM adj0
+            ),
+            deg AS MATERIALIZED (
+                SELECT node, CAST(COUNT(*) AS BIGINT) AS deg
+                FROM adj0 GROUP BY 1
+            ),
+            s0 AS (SELECT node AS start, node AS cur FROM deg),
+            s1 AS MATERIALIZED (
+                SELECT s.start, a.nbr AS cur
+                FROM s0 s
+                JOIN deg d ON d.node = s.cur
+                JOIN adj a ON a.node = s.cur
+                 AND a.r = CAST(('0x' || substr(md5(s.cur || ':1'), 1, 8))
+                                AS BIGINT) % d.deg
+            ),
+            s2 AS MATERIALIZED (
+                SELECT s.start, a.nbr AS cur
+                FROM s1 s
+                JOIN deg d ON d.node = s.cur
+                JOIN adj a ON a.node = s.cur
+                 AND a.r = CAST(('0x' || substr(md5(s.cur || ':2'), 1, 8))
+                                AS BIGINT) % d.deg
+            ),
+            s3 AS MATERIALIZED (
+                SELECT s.start, a.nbr AS cur
+                FROM s2 s
+                JOIN deg d ON d.node = s.cur
+                JOIN adj a ON a.node = s.cur
+                 AND a.r = CAST(('0x' || substr(md5(s.cur || ':3'), 1, 8))
+                                AS BIGINT) % d.deg
+            )
+            SELECT start, CAST(0 AS BIGINT) AS step, start AS node FROM s0
+            UNION ALL SELECT start, CAST(1 AS BIGINT), cur FROM s1
+            UNION ALL SELECT start, CAST(2 AS BIGINT), cur FROM s2
+            UNION ALL SELECT start, CAST(3 AS BIGINT), cur FROM s3
         """,
         # incremental ER closed form: a matched new record's cluster is
         # the bytewise-min existing doc_id of its (grp, seg) block —

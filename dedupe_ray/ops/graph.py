@@ -1078,3 +1078,166 @@ def modularity_stats(
     return bucketed_lookup_join(
         deg_c, within, "lab_u", "lab_u", ["within_edges"], how="left"
     ).map_batches(contrib, batch_format="pyarrow")
+
+
+def deterministic_walks(
+    edges_ds: "ray.data.Dataset",
+    src_column: str = "src",
+    dst_column: str = "dst",
+    steps: int = 3,
+) -> "ray.data.Dataset":
+    """Hash-seeded random walks from EVERY node of an undirected simple
+    graph — the corpus-generation step of DeepWalk/node2vec-class
+    embeddings, made reproducible: at step s from node v the walk takes
+    the neighbor with sorted-rank
+
+        r = int(md5(v || ':' || s)[:8], 16) % deg(v)
+
+    (md5 is the engine-portable hash — the hashed_features doctrine), so
+    trajectories are bit-identical at any parallelism and replayable by
+    a step-unrolled SQL mirror. One walk per start node, ``steps`` hops.
+
+    Shape: adjacency ranks come from one bucketed per-node sort (rank =
+    position among sorted neighbors); each hop is two bucketed
+    unique-key joins (state → degree, then (node, rank) → neighbor) —
+    walk state is one row per walk, never the graph. Output long form:
+    (start, step, node), step 0 = the start itself."""
+    import hashlib
+
+    import pandas as pd
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+
+    from dedupe_ray.blocking import N_BUCKETS
+    from dedupe_ray.joins import bucketed_lookup_join
+    from dedupe_ray.ops.tabular import _bucket_hash_col
+
+    edges = _canonical_edges(edges_ds, src_column, dst_column)
+
+    def adj(t: pa.Table) -> pa.Table:
+        u = t.column("u").combine_chunks()
+        w = t.column("w").combine_chunks()
+        node = pa.concat_arrays([u, w])
+        out = pa.table({"node": node, "nbr": pa.concat_arrays([w, u])})
+        return out.append_column("__abkt", _bucket_hash_col(node, N_BUCKETS))
+
+    def rank_per_node(group: pa.Table) -> pa.Table:
+        if len(group) == 0:
+            return pa.table(
+                {"akey": pa.array([], pa.string()), "nbr": pa.array([], pa.string())}
+            )
+        g = group.take(
+            pc.sort_indices(
+                group, sort_keys=[("node", "ascending"), ("nbr", "ascending")]
+            )
+        )
+        nodes = np.asarray(g.column("node").to_pylist(), object)
+        new = np.empty(len(g), bool)
+        new[0] = True
+        new[1:] = nodes[1:] != nodes[:-1]
+        starts = np.flatnonzero(new)
+        pos = np.arange(len(g)) - np.repeat(
+            starts, np.diff(np.append(starts, len(g)))
+        )
+        akey = np.char.add(
+            np.char.add(nodes.astype(str), "\x1f"), pos.astype(str)
+        )
+        return pa.table(
+            {
+                "akey": pa.array(akey.tolist(), pa.string()),
+                "nbr": g.column("nbr"),
+            }
+        )
+
+    adj_ranks = (
+        edges.map_batches(adj, batch_format="pyarrow")
+        .groupby("__abkt")
+        .map_groups(rank_per_node, batch_format="pyarrow")
+        .materialize()
+    )
+    deg = (
+        edges.map_batches(adj, batch_format="pyarrow")
+        .map_batches(
+            lambda t: t.select(["node"]), batch_format="pyarrow"
+        )
+        .groupby("node")
+        .aggregate(Count(alias_name="deg"))
+        .materialize()
+    )
+
+    state = deg.map_batches(
+        lambda t: pa.table({"start": t.column("node"), "cur": t.column("node")}),
+        batch_format="pyarrow",
+    ).materialize()
+    trail = [
+        state.map_batches(
+            lambda t: pa.table(
+                {
+                    "start": t.column("start"),
+                    "step": pa.array(np.zeros(len(t), np.int64)),
+                    "node": t.column("cur"),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    ]
+    for s in range(1, int(steps) + 1):
+        with_deg = bucketed_lookup_join(state, deg, "cur", "node", ["deg"])
+
+        def pick(t: pa.Table, step=s) -> pa.Table:
+            cur = np.asarray(t.column("cur").to_pylist(), object)
+            d = pc.cast(t.column("deg"), pa.int64()).to_numpy(zero_copy_only=False)
+            codes, uniques = pd.factorize(cur)
+            h = np.asarray(
+                [
+                    int(
+                        hashlib.md5(f"{u}:{step}".encode("utf-8")).hexdigest()[:8],
+                        16,
+                    )
+                    for u in uniques
+                ],
+                np.int64,
+            )
+            r = h[codes] % np.maximum(d, 1)
+            akey = np.char.add(
+                np.char.add(cur.astype(str), "\x1f"), r.astype(str)
+            )
+            return pa.table(
+                {
+                    "start": t.column("start"),
+                    "akey": pa.array(akey.tolist(), pa.string()),
+                }
+            )
+
+        state = (
+            bucketed_lookup_join(
+                with_deg.map_batches(pick, batch_format="pyarrow"),
+                adj_ranks,
+                "akey",
+                "akey",
+                ["nbr"],
+            )
+            .map_batches(
+                lambda t: pa.table(
+                    {"start": t.column("start"), "cur": t.column("nbr")}
+                ),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+        trail.append(
+            state.map_batches(
+                lambda t, step=s: pa.table(
+                    {
+                        "start": t.column("start"),
+                        "step": pa.array(np.full(len(t), step, np.int64)),
+                        "node": t.column("cur"),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+        )
+    out = trail[0]
+    for t in trail[1:]:
+        out = out.union(t)
+    return out

@@ -1855,3 +1855,56 @@ def token_pmi_pairs(
         return t.append_column("pmi_micro", pa.array(p))
 
     return rules.map_batches(pmi, batch_format="pyarrow")
+
+
+def pseudonymize(
+    ds: "ray.data.Dataset",
+    columns: list[str],
+    salt: str,
+    digest_chars: int = 16,
+) -> "ray.data.Dataset":
+    """Salted stable pseudonymization of identifier columns (the
+    PII-safe-sharing step after :func:`scrub_pii`): each value becomes
+    ``md5(salt || ':' || value)[:digest_chars]`` — deterministic, so
+    joins across pseudonymized tables still line up, but the original
+    value is unrecoverable without the salt (keep the salt out of the
+    shared artifact; rotate it to break linkage). md5 here is a
+    PSEUDONYM generator, not a security boundary — for adversarial
+    threat models swap in an HMAC behind the same seam.
+
+    Row-local one-pass ``map_batches``; values factorize per batch so
+    each distinct value hashes once. NULL stays NULL. Non-string columns
+    pseudonymize through their Arrow string cast (pinned — the same
+    rendering the XML/fixed-width sinks use)."""
+    import hashlib
+
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    prefix = salt + ":"
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        out = batch
+        for col in columns:
+            s = pc.cast(batch.column(col), pa.string())
+            codes, uniques = pd.factorize(np.asarray(s.to_pylist(), object))
+            hashed = np.asarray(
+                [
+                    None
+                    if u is None
+                    else hashlib.md5((prefix + u).encode("utf-8")).hexdigest()[
+                        :digest_chars
+                    ]
+                    for u in uniques
+                ],
+                object,
+            )
+            vals = np.where(codes >= 0, hashed[np.maximum(codes, 0)], None)
+            out = out.set_column(
+                out.column_names.index(col),
+                col,
+                pa.array(vals.tolist(), pa.string()),
+            )
+        return out
+
+    return ds.map_batches(scrub, batch_format="pyarrow")

@@ -796,3 +796,95 @@ def read_xml(
         return pa.concat_tables(tables, promote_options="default")
 
     return ds.map_batches(decode, batch_format="pyarrow")
+
+
+def write_parquet_manifest(
+    ds: "ray.data.Dataset", path: str, stats_columns: list[str]
+) -> None:
+    """Parquet sink with a SHARD-LEVEL statistics manifest (the
+    lakehouse min/max pruning layer ABOVE parquet's row-group stats):
+    each block writes its own ``.parquet`` shard and reports per-column
+    min/max; the driver assembles ``manifest.json`` (shard → stats,
+    bounded: one row per shard) and the tmp-dir + atomic rename
+    publishes data and manifest together — a reader never sees a
+    manifest without its shards. Stats serialize through the Arrow
+    string cast (timestamps → ISO, numerics → repr) and compare back
+    under the column's real type on read."""
+    import json
+    import shutil
+    import uuid
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    shutil.rmtree(path, ignore_errors=True)
+    tmp = path + ".__tmp__"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+
+    def sink(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({"shard": pa.array([], pa.string())})
+        name = f"shard-{uuid.uuid4().hex}.parquet"
+        pq.write_table(t, os.path.join(tmp, name))
+        row = {"shard": name}
+        for c in stats_columns:
+            col = t.column(c)
+            row[f"min_{c}"] = pc.cast(pc.min(col), pa.string()).as_py()
+            row[f"max_{c}"] = pc.cast(pc.max(col), pa.string()).as_py()
+        return pa.table({k: pa.array([v], pa.string()) for k, v in row.items()})
+
+    stats = ds.map_batches(sink, batch_format="pyarrow").take_all()  # bounded: shards
+    with open(os.path.join(tmp, "manifest.json"), "w") as f:
+        json.dump({"stats_columns": stats_columns, "shards": stats}, f, indent=1)
+    os.replace(tmp, path)
+
+
+def read_parquet_manifest(
+    path: str, column: str, lo, hi
+) -> "ray.data.Dataset":
+    """Manifest-pruned parquet source: consult ``manifest.json`` and read
+    ONLY the shards whose [min, max] range for ``column`` overlaps
+    [lo, hi] — files outside the predicate never leave storage (the
+    prune-at-the-read lever one level above row-group statistics; with
+    range-partitioned or z-ordered shards this skips most of a 100-TB
+    table). An exact in-range filter runs after the read, so the result
+    equals the unpruned filter regardless of manifest granularity."""
+    import json
+
+    import pyarrow.compute as pc
+
+    with open(os.path.join(path, "manifest.json")) as f:
+        manifest = json.load(f)
+    if column not in manifest["stats_columns"]:
+        raise ValueError(f"manifest has no stats for column {column!r}")
+
+    probe = ray.data.read_parquet(
+        os.path.join(path, manifest["shards"][0]["shard"])
+    ).schema()
+    typ = dict(zip(probe.names, probe.types))[column]
+    lo_s = pa.scalar(lo, typ)
+    hi_s = pa.scalar(hi, typ)
+
+    keep = []
+    for s in manifest["shards"]:
+        mn = pc.cast(pa.scalar(s[f"min_{column}"], pa.string()), typ)
+        mx = pc.cast(pa.scalar(s[f"max_{column}"], pa.string()), typ)
+        if pc.greater(mn, hi_s).as_py() or pc.less(mx, lo_s).as_py():
+            continue
+        keep.append(os.path.join(path, s["shard"]))
+    if not keep:
+        keep = [os.path.join(path, manifest["shards"][0]["shard"])]
+        empty = ray.data.read_parquet(keep)
+        return empty.map_batches(lambda t: t.slice(0, 0), batch_format="pyarrow")
+
+    def exact(t: pa.Table) -> pa.Table:
+        col = t.column(column)
+        return t.filter(
+            pa.compute.and_(
+                pa.compute.greater_equal(col, lo_s),
+                pa.compute.less_equal(col, hi_s),
+            )
+        )
+
+    return ray.data.read_parquet(keep).map_batches(exact, batch_format="pyarrow")

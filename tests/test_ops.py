@@ -7091,3 +7091,110 @@ def test_rfm_scores_rank_tiling(ray_session):
         assert (
             out["rfm"] == 100 * out["r_score"] + 10 * out["f_score"] + out["m_score"]
         ).all()
+
+
+def test_pseudonymize_stable_and_null(ray_session):
+    import hashlib
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dedupe_ray.ops.text import pseudonymize
+
+    tbl = pa.table(
+        {
+            "id": pa.array([7, 8, 7], pa.int64()),
+            "name": ["ann", None, "ann"],
+            "keep": ["x", "y", "z"],
+        }
+    )
+    out = (
+        pseudonymize(rd.from_arrow(tbl).repartition(2), ["id", "name"], salt="k")
+        .to_pandas()
+        .sort_values("keep", ignore_index=True)
+    )
+    h7 = hashlib.md5(b"k:7").hexdigest()[:16]
+    hann = hashlib.md5(b"k:ann").hexdigest()[:16]
+    assert out["id"].tolist() == [h7, hashlib.md5(b"k:8").hexdigest()[:16], h7]
+    assert out["name"].tolist()[0] == hann and out["name"].tolist()[2] == hann
+    assert out["name"].isna().tolist() == [False, True, False]
+    assert out["keep"].tolist() == ["x", "y", "z"]  # untouched column
+
+
+def test_manifest_parquet_prunes_files(ray_session, tmp_path):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dedupe_ray.sources import read_parquet_manifest, write_parquet_manifest
+
+    tbl = pa.table({"k": list(range(100)), "v": [f"r{i}" for i in range(100)]})
+    out = str(tmp_path / "mani")
+    # sorted + 10 blocks -> each shard covers a 10-key range
+    write_parquet_manifest(
+        rd.from_arrow(tbl).repartition(10), out, stats_columns=["k"]
+    )
+    import json
+    import os
+
+    manifest = json.load(open(os.path.join(out, "manifest.json")))
+    assert len(manifest["shards"]) == 10
+
+    got = (
+        read_parquet_manifest(out, "k", 25, 34)
+        .to_pandas()
+        .sort_values("k", ignore_index=True)
+    )
+    assert got["k"].tolist() == list(range(25, 35))
+
+    # pruning actually skips files: the kept set for a 10-wide range in
+    # 10-wide shards is at most 2 files
+    import pyarrow.compute as pc
+
+    overlapping = [
+        s
+        for s in manifest["shards"]
+        if not (int(s["min_k"]) > 34 or int(s["max_k"]) < 25)
+    ]
+    assert len(overlapping) <= 2
+
+    # out-of-range predicate -> empty but correctly typed (schema survives
+    # even though ray's to_pandas drops columns on fully-empty datasets)
+    empty = read_parquet_manifest(out, "k", 1000, 2000)
+    assert empty.count() == 0 and empty.schema().names == ["k", "v"]
+
+
+def test_deterministic_walks_reference(ray_session):
+    import hashlib
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dedupe_ray.ops.graph import deterministic_walks
+
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")]
+    tbl = pa.table({"src": [e[0] for e in edges], "dst": [e[1] for e in edges]})
+
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, []).append(v)
+        adj.setdefault(v, []).append(u)
+    adj = {k: sorted(vs) for k, vs in adj.items()}
+
+    def step(cur, s):
+        r = int(hashlib.md5(f"{cur}:{s}".encode()).hexdigest()[:8], 16) % len(adj[cur])
+        return adj[cur][r]
+
+    expect = set()
+    for start in adj:
+        cur = start
+        expect.add((start, 0, start))
+        for s in (1, 2, 3):
+            cur = step(cur, s)
+            expect.add((start, s, cur))
+
+    for parts in (1, 3):
+        out = deterministic_walks(
+            rd.from_arrow(tbl).repartition(parts), steps=3
+        ).to_pandas()
+        got = set(zip(out["start"], out["step"], out["node"]))
+        assert got == expect
