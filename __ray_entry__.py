@@ -6408,6 +6408,108 @@ def _q_part_walks(sf_dir: str):
     return deterministic_walks(_part_copurchase_pairs(sf_dir), "item_a", "item_b", steps=3)
 
 
+def _q_versioned_orders_snapshot(sf_dir: str):
+    """Delta-style versioned table with time travel (`sources.py
+    write_parquet_manifest/append_parquet_manifest`): commit v1 holds
+    pre-1996 orders, an append commits the rest as v2; reading
+    ``version=1`` returns the original snapshot byte-for-byte (appends
+    never rewrite shards), manifest min/max pruning still applies."""
+    import hashlib
+
+    import pyarrow.compute as pc
+
+    from dedupe_ray.sources import (
+        append_parquet_manifest,
+        read_parquet_manifest,
+        write_parquet_manifest,
+    )
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_totalprice"])
+    cut = np.datetime64("1996-01-01", "us")
+
+    def before(b: pa.Table) -> pa.Table:
+        d = b.column("o_orderdate").to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(d < cut))
+
+    def after(b: pa.Table) -> pa.Table:
+        d = b.column("o_orderdate").to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(d >= cut))
+
+    out = "/tmp/dedupe_ray_delta_" + hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    write_parquet_manifest(
+        orders.map_batches(before, batch_format="pyarrow").sort("o_orderdate"),
+        out,
+        stats_columns=["o_orderdate"],
+    )
+    append_parquet_manifest(
+        orders.map_batches(after, batch_format="pyarrow").sort("o_orderdate"), out
+    )
+    return read_parquet_manifest(
+        out,
+        "o_orderdate",
+        np.datetime64("1990-01-01", "us"),
+        np.datetime64("2000-01-01", "us"),
+        version=1,
+    )
+
+
+def _q_events_hampel(sf_dir: str):
+    """Hampel robust outlier flags over per-user event values
+    (`ops/tabular.py grouped_hampel_flags`): trailing-5 rolling median ±
+    3·MAD entirely in doubled-unit exact integers — the anomaly filter
+    that doesn't let a spike drag its own baseline; window-self-join SQL
+    mirror."""
+    from dedupe_ray.ops.tabular import grouped_hampel_flags
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def cents(b: pa.Table) -> pa.Table:
+        v = b.column("value").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "user_id": b.column("user_id"),
+                "ts": b.column("ts"),
+                "event_id": b.column("event_id"),
+                "c": pa.array(np.floor(v * 100.0 + 0.5).astype(np.int64)),
+            }
+        )
+
+    return grouped_hampel_flags(
+        ev.map_batches(cents, batch_format="pyarrow"),
+        "user_id",
+        ["ts", "event_id"],
+        "c",
+        window=5,
+        k=3,
+    )
+
+
+def _q_user_coverage(sf_dir: str):
+    """Interval-union coverage per user (`ops/tabular.py
+    interval_coverage` — uptime/billing accounting): each event opens a
+    5-minute half-open activity window; overlapping windows merge into
+    islands and the total covered microseconds + island count come back
+    exact — the segmented-cummax islands walk, mirrored by the classic
+    SQL cummax window."""
+    from dedupe_ray.ops.tabular import interval_coverage
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def windows(b: pa.Table) -> pa.Table:
+        ts = b.column("ts").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": b.column("user_id"),
+                "s": pa.array(ts),
+                "e": pa.array(ts + 300_000_000),
+            }
+        )
+
+    return interval_coverage(
+        ev.map_batches(windows, batch_format="pyarrow"), "user_id", "s", "e"
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "er_clusters": _q_er_clusters,
@@ -6653,6 +6755,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_pseudonyms": _q_customer_pseudonyms,
         "manifest_pruned_orders": _q_manifest_pruned_orders,
         "part_walks": _q_part_walks,
+        "versioned_orders_snapshot": _q_versioned_orders_snapshot,
+        "events_hampel": _q_events_hampel,
+        "user_coverage": _q_user_coverage,
     }
 
 
@@ -11165,6 +11270,71 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(c * c) AS BIGINT) AS hhi_num,
                    CAST(SUM(c) * SUM(c) AS BIGINT) AS hhi_den
             FROM cells GROUP BY 1
+        """,
+        # time travel: version 1 = the pre-1996 commit exactly
+        "versioned_orders_snapshot": """
+            SELECT o_orderkey, o_orderdate, o_totalprice FROM orders
+            WHERE o_orderdate < TIMESTAMP '1996-01-01'
+        """,
+        # Hampel in doubled units: med2 = 2·median (a BIGINT median's .5
+        # interpolation is exact in double, so 2× is integral), mad4 =
+        # 2·median(|2v − med2|); flag 2|2v − med2| > 3·mad4
+        "events_hampel": """
+            WITH v AS MATERIALIZED (
+                SELECT event_id, user_id, ts,
+                       CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c,
+                       row_number() OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS rn
+                FROM events
+            ),
+            m AS MATERIALIZED (
+                SELECT a.event_id, a.user_id, a.ts, a.c, a.rn,
+                       CAST(2 * median(b.c) AS BIGINT) AS med2
+                FROM v a JOIN v b
+                  ON b.user_id = a.user_id
+                 AND b.rn BETWEEN a.rn - 4 AND a.rn
+                GROUP BY a.event_id, a.user_id, a.ts, a.c, a.rn
+            ),
+            d AS MATERIALIZED (
+                SELECT a.event_id,
+                       CAST(2 * median(ABS(2 * b.c - a.med2)) AS BIGINT)
+                           AS mad4
+                FROM m a JOIN v b
+                  ON b.user_id = a.user_id
+                 AND b.rn BETWEEN a.rn - 4 AND a.rn
+                GROUP BY a.event_id, a.med2
+            )
+            SELECT m.user_id, m.ts, m.event_id, m.c, m.med2, d.mad4,
+                   (2 * ABS(2 * m.c - m.med2) > 3 * d.mad4) AS is_outlier
+            FROM m JOIN d USING (event_id)
+        """,
+        # islands by strict cummax gap; ext mirrors the segmented-cummax
+        # incremental-coverage identity term for term
+        "user_coverage": """
+            WITH iv AS MATERIALIZED (
+                SELECT user_id, epoch_us(ts) AS s,
+                       epoch_us(ts) + 300000000 AS e
+                FROM events
+            ),
+            o AS (
+                SELECT user_id, s, e,
+                       MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING) AS pm
+                FROM iv
+            ),
+            fl AS (
+                SELECT user_id,
+                       CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END AS brk,
+                       CASE WHEN pm IS NULL OR s > pm
+                            THEN GREATEST(e, COALESCE(pm, e)) - s
+                            ELSE GREATEST(GREATEST(e, pm) - pm, 0)
+                       END AS ext
+                FROM o
+            )
+            SELECT user_id, CAST(SUM(ext) AS BIGINT) AS covered,
+                   CAST(SUM(brk) AS BIGINT) AS n_islands
+            FROM fl GROUP BY 1
         """,
         # stable salted pseudonyms: md5(salt:value) prefix — md5 is the
         # engine-portable hash; non-strings pseudonymize via string cast

@@ -4814,3 +4814,183 @@ def rfm_scores(
         )
 
     return joined.map_batches(composite, batch_format="pyarrow")
+
+
+def grouped_hampel_flags(
+    ds: "ray.data.Dataset",
+    key_column: str,
+    order_columns: list[str],
+    value_column: str,
+    window: int = 5,
+    k: int = 3,
+) -> "ray.data.Dataset":
+    """Hampel outlier filter per key — the robust time-series anomaly
+    flag (rolling median ± k·MAD beats z-scores because one spike can't
+    drag its own baseline): over each trailing ``window`` (inclusive,
+    shorter at key heads), flag rows where
+
+        |v − med| > k · MAD        ⟺   2·|2v − med2| > k·mad4
+
+    with med2 = 2·median and mad4 = 4·MAD kept as EXACT integers (the
+    doubled-units trick: a median of ints is a half-integer at worst, so
+    2× it is integral — no float ever, engine-exact against a
+    window-self-join SQL mirror). INTEGER value column (quantize cents
+    upstream). One bucketed key shuffle; per bucket the trailing windows
+    gather as one [n, window] strided matrix — no per-row Python.
+    Output: input rows + (med2, mad4, is_outlier)."""
+    import numpy as np
+
+    from dedupe_ray.blocking import N_BUCKETS
+
+    W = int(window)
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "__hbkt", _bucket_hash_col(b.column(key_column), N_BUCKETS)
+        )
+
+    sort_keys = [(key_column, "ascending")] + [
+        (c, "ascending") for c in order_columns
+    ]
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        if len(group) == 0:
+            return group.drop_columns(["__hbkt"])
+        g = group.take(pc.sort_indices(group, sort_keys=sort_keys))
+        keys = np.asarray(g.column(key_column).to_pylist(), object)
+        v = g.column(value_column).to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(g)
+        new_key = np.empty(n, bool)
+        new_key[0] = True
+        new_key[1:] = keys[1:] != keys[:-1]
+        starts = np.flatnonzero(new_key)
+        runid = np.repeat(np.arange(len(starts)), np.diff(np.append(starts, n)))
+        pos = np.arange(n) - starts[runid]
+        # trailing-window gather: win[i, j] = v at offset j of row i's
+        # window; invalid slots masked to the row's own value (keeps the
+        # median over the VALID prefix once we sort with +inf padding)
+        offs = np.arange(W)
+        idx = np.arange(n)[:, None] - (W - 1 - offs)[None, :]
+        valid = (idx >= 0) & (idx >= (starts[runid])[:, None])
+        wlen = valid.sum(axis=1)
+        big = np.iinfo(np.int64).max
+        win = np.where(valid, v[np.maximum(idx, 0)], big)
+        win.sort(axis=1)
+        lo_i = (wlen - 1) // 2
+        hi_i = wlen // 2
+        rows = np.arange(n)
+        med2 = win[rows, lo_i] + win[rows, hi_i]
+        dev = np.where(valid, np.abs(2 * v[np.maximum(idx, 0)] - med2[:, None]), big)
+        dev.sort(axis=1)
+        mad4 = dev[rows, lo_i] + dev[rows, hi_i]
+        flag = 2 * np.abs(2 * v - med2) > k * mad4
+        out = g.drop_columns(["__hbkt"])
+        out = out.append_column("med2", pa.array(med2))
+        out = out.append_column("mad4", pa.array(mad4))
+        return out.append_column("is_outlier", pa.array(flag))
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("__hbkt")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+
+
+def interval_coverage(
+    ds: "ray.data.Dataset",
+    key_column: str,
+    start_column: str,
+    end_column: str,
+) -> "ray.data.Dataset":
+    """Total covered length of a union of half-open integer intervals
+    per key (uptime, billing, sensor-coverage accounting): overlapping
+    and touching intervals merge into islands, and the output is each
+    key's Σ (island_end − island_start) plus the island count — exact
+    int64, engine-exact against the classic cummax-islands SQL window.
+
+    One bucketed key shuffle; per bucket a SEGMENTED running max of the
+    sorted ends (the offset trick: ends rebased then lifted per-run so
+    one ``np.maximum.accumulate`` does every key at once) finds island
+    breaks without per-key Python. Order ties break by (start, end) —
+    include a unique tiebreak upstream if exact ROW order ever matters
+    (sums don't)."""
+    import numpy as np
+
+    from dedupe_ray.blocking import N_BUCKETS
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "__ibkt", _bucket_hash_col(b.column(key_column), N_BUCKETS)
+        )
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                key_column: pa.array([], group.schema.field(key_column).type),
+                "covered": pa.array([], pa.int64()),
+                "n_islands": pa.array([], pa.int64()),
+            }
+        )
+        if len(group) == 0:
+            return empty
+        g = group.take(
+            pc.sort_indices(
+                group,
+                sort_keys=[
+                    (key_column, "ascending"),
+                    (start_column, "ascending"),
+                    (end_column, "ascending"),
+                ],
+            )
+        )
+        keys = np.asarray(g.column(key_column).to_pylist(), object)
+        s = g.column(start_column).to_numpy(zero_copy_only=False).astype(np.int64)
+        e = g.column(end_column).to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(g)
+        new_key = np.empty(n, bool)
+        new_key[0] = True
+        new_key[1:] = keys[1:] != keys[:-1]
+        starts = np.flatnonzero(new_key)
+        runid = np.repeat(np.arange(len(starts)), np.diff(np.append(starts, n)))
+        # segmented running max of e: rebase to small nonneg ints, lift
+        # each run onto its own plateau, one global accumulate
+        base = int(min(s.min(), e.min()))
+        span = int(e.max()) - base + 1
+        lifted = (e - base) + runid * span  # < n_runs·span — guard below
+        if lifted.max() >= np.iinfo(np.int64).max // 2:
+            raise OverflowError("interval span × keys exceeds the offset trick")
+        cm = np.maximum.accumulate(lifted) - runid * span + base
+        prev_cm = np.empty(n, np.int64)
+        prev_cm[0] = np.iinfo(np.int64).min
+        prev_cm[1:] = cm[:-1]
+        prev_cm[new_key] = np.iinfo(np.int64).min
+        island_break = s > prev_cm  # strictly after the running max → gap
+        # covered = Σ max-end-per-island − island start; equivalently sum
+        # of positive extensions: ext_i = min(e_i, cm_i) − max(s_i, prev_cm)
+        ext = cm - np.maximum(s, np.minimum(prev_cm, cm))
+        ext[island_break] = (cm - s)[island_break]
+        ext = np.maximum(ext, 0)
+        import pandas as pd
+
+        df = pd.DataFrame(
+            {
+                key_column: keys,
+                "covered": ext,
+                "n_islands": island_break.astype(np.int64),
+            }
+        )
+        out = df.groupby(key_column, as_index=False, sort=False).sum()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("__ibkt")
+        .map_groups(per_bucket, batch_format="pyarrow")
+        .groupby(key_column)
+        .aggregate(
+            Sum("covered", alias_name="covered"),
+            Sum("n_islands", alias_name="n_islands"),
+        )
+    )

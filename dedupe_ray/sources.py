@@ -835,13 +835,16 @@ def write_parquet_manifest(
         return pa.table({k: pa.array([v], pa.string()) for k, v in row.items()})
 
     stats = ds.map_batches(sink, batch_format="pyarrow").take_all()  # bounded: shards
+    manifest = {"version": 1, "stats_columns": stats_columns, "shards": stats}
     with open(os.path.join(tmp, "manifest.json"), "w") as f:
-        json.dump({"stats_columns": stats_columns, "shards": stats}, f, indent=1)
+        json.dump(manifest, f, indent=1)
+    with open(os.path.join(tmp, "manifest-v1.json"), "w") as f:
+        json.dump(manifest, f, indent=1)
     os.replace(tmp, path)
 
 
 def read_parquet_manifest(
-    path: str, column: str, lo, hi
+    path: str, column: str, lo, hi, version: int | None = None
 ) -> "ray.data.Dataset":
     """Manifest-pruned parquet source: consult ``manifest.json`` and read
     ONLY the shards whose [min, max] range for ``column`` overlaps
@@ -849,12 +852,15 @@ def read_parquet_manifest(
     prune-at-the-read lever one level above row-group statistics; with
     range-partitioned or z-ordered shards this skips most of a 100-TB
     table). An exact in-range filter runs after the read, so the result
-    equals the unpruned filter regardless of manifest granularity."""
+    equals the unpruned filter regardless of manifest granularity.
+    ``version=`` time-travels to a prior commit's ``manifest-v{N}.json``
+    (appends never rewrite shards, so old snapshots stay intact)."""
     import json
 
     import pyarrow.compute as pc
 
-    with open(os.path.join(path, "manifest.json")) as f:
+    name = "manifest.json" if version is None else f"manifest-v{int(version)}.json"
+    with open(os.path.join(path, name)) as f:
         manifest = json.load(f)
     if column not in manifest["stats_columns"]:
         raise ValueError(f"manifest has no stats for column {column!r}")
@@ -888,3 +894,55 @@ def read_parquet_manifest(
         )
 
     return ray.data.read_parquet(keep).map_batches(exact, batch_format="pyarrow")
+
+
+def append_parquet_manifest(
+    ds: "ray.data.Dataset", path: str, stats_columns: list[str] | None = None
+) -> int:
+    """Append a new COMMIT to a manifest-tracked parquet table (the
+    delta-style versioned-table write): new shards land under uuid names
+    (never touching existing files), then the next ``manifest-v{N}.json``
+    lists old + new shards and an atomic ``os.replace`` swings the
+    ``manifest.json`` pointer — readers see the old snapshot until the
+    swap, and every prior version stays readable by number
+    (:func:`read_parquet_manifest`'s ``version=``). Returns the new
+    version number. ``stats_columns`` must match the table's (defaults
+    to them)."""
+    import json
+    import uuid
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    with open(os.path.join(path, "manifest.json")) as f:
+        current = json.load(f)
+    cols = stats_columns or current["stats_columns"]
+    if cols != current["stats_columns"]:
+        raise ValueError("stats_columns must match the existing manifest")
+
+    def sink(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({"shard": pa.array([], pa.string())})
+        name = f"shard-{uuid.uuid4().hex}.parquet"
+        pq.write_table(t, os.path.join(path, name))
+        row = {"shard": name}
+        for c in cols:
+            col = t.column(c)
+            row[f"min_{c}"] = pc.cast(pc.min(col), pa.string()).as_py()
+            row[f"max_{c}"] = pc.cast(pc.max(col), pa.string()).as_py()
+        return pa.table({k: pa.array([v], pa.string()) for k, v in row.items()})
+
+    new_rows = ds.map_batches(sink, batch_format="pyarrow").take_all()  # bounded
+    version = int(current.get("version", 1)) + 1
+    manifest = {
+        "version": version,
+        "stats_columns": cols,
+        "shards": current["shards"] + new_rows,
+    }
+    with open(os.path.join(path, f"manifest-v{version}.json"), "w") as f:
+        json.dump(manifest, f, indent=1)
+    tmp = os.path.join(path, ".manifest.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1)
+    os.replace(tmp, os.path.join(path, "manifest.json"))
+    return version

@@ -7198,3 +7198,120 @@ def test_deterministic_walks_reference(ray_session):
         ).to_pandas()
         got = set(zip(out["start"], out["step"], out["node"]))
         assert got == expect
+
+
+def test_versioned_manifest_time_travel(ray_session, tmp_path):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dedupe_ray.sources import (
+        append_parquet_manifest,
+        read_parquet_manifest,
+        write_parquet_manifest,
+    )
+
+    out = str(tmp_path / "delta")
+    v1 = pa.table({"k": [1, 2, 3], "v": ["a", "b", "c"]})
+    write_parquet_manifest(rd.from_arrow(v1), out, stats_columns=["k"])
+    ver = append_parquet_manifest(
+        rd.from_arrow(pa.table({"k": [10, 11], "v": ["x", "y"]})), out
+    )
+    assert ver == 2
+    old = (
+        read_parquet_manifest(out, "k", 0, 100, version=1)
+        .to_pandas()
+        .sort_values("k", ignore_index=True)
+    )
+    assert old["k"].tolist() == [1, 2, 3]
+    latest = (
+        read_parquet_manifest(out, "k", 0, 100)
+        .to_pandas()
+        .sort_values("k", ignore_index=True)
+    )
+    assert latest["k"].tolist() == [1, 2, 3, 10, 11]
+    # pruning on the latest version skips the v1 shard entirely
+    tail = read_parquet_manifest(out, "k", 10, 11).to_pandas()
+    assert sorted(tail["k"]) == [10, 11]
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        append_parquet_manifest(
+            rd.from_arrow(v1), out, stats_columns=["v"]
+        )
+
+
+def test_grouped_hampel_flags_brute(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dedupe_ray.ops.tabular import grouped_hampel_flags
+
+    # flat series with one big spike -> only the spike flags; second key
+    # exercises short head windows
+    vals = [10, 10, 11, 500, 10, 10, 11]
+    rows = [("u", i, v) for i, v in enumerate(vals)] + [("w", 0, 7), ("w", 1, 9)]
+    tbl = pa.table(
+        {
+            "k": [r[0] for r in rows],
+            "t": [r[1] for r in rows],
+            "v": [r[2] for r in rows],
+        }
+    )
+
+    def brute(series):
+        out = []
+        for i in range(len(series)):
+            win = sorted(series[max(0, i - 4) : i + 1])
+            n = len(win)
+            med2 = win[(n - 1) // 2] + win[n // 2]
+            dev = sorted(abs(2 * x - med2) for x in series[max(0, i - 4) : i + 1])
+            mad4 = dev[(n - 1) // 2] + dev[n // 2]
+            out.append((med2, mad4, 2 * abs(2 * series[i] - med2) > 3 * mad4))
+        return out
+
+    expect = {("u", i): r for i, r in enumerate(brute(vals))}
+    expect.update({("w", i): r for i, r in enumerate(brute([7, 9]))})
+
+    for parts in (1, 3):
+        out = grouped_hampel_flags(
+            rd.from_arrow(tbl).repartition(parts), "k", ["t"], "v"
+        ).to_pandas()
+        got = {
+            (r["k"], r["t"]): (r["med2"], r["mad4"], r["is_outlier"])
+            for _, r in out.iterrows()
+        }
+        assert got == expect
+    assert got[("u", 3)][2]  # the spike flags
+    # the MAD=0 degeneracy also flags t=2 (any deviation over an
+    # all-equal-median window trips) — standard Hampel behavior
+    assert {kv for kv, v in got.items() if v[2]} == {("u", 2), ("u", 3)}
+
+
+def test_interval_coverage_brute(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dedupe_ray.ops.tabular import interval_coverage
+
+    rows = [
+        ("a", 0, 10), ("a", 5, 15), ("a", 15, 20),  # touch merges -> [0,20)
+        ("a", 30, 40),                               # second island
+        ("b", 100, 101), ("b", 300, 400), ("b", 350, 360),  # contained
+    ]
+    tbl = pa.table(
+        {
+            "k": [r[0] for r in rows],
+            "s": [r[1] for r in rows],
+            "e": [r[2] for r in rows],
+        }
+    )
+    for parts in (1, 3):
+        out = (
+            interval_coverage(rd.from_arrow(tbl).repartition(parts), "k", "s", "e")
+            .to_pandas()
+            .set_index("k")
+        )
+        assert out.loc["a", "covered"] == 30 and out.loc["a", "n_islands"] == 2
+        assert out.loc["b", "covered"] == 101 and out.loc["b", "n_islands"] == 2
