@@ -6510,6 +6510,45 @@ def _q_user_coverage(sf_dir: str):
     )
 
 
+def _q_user_decayed_activity(sf_dir: str):
+    """Exponentially time-decayed activity per user (`ops/tabular.py
+    decayed_counts` — the freshness-ranking signal, one-epoch
+    half-life): exact 2^(A−age) bit-shift weights over per-day count
+    cells; the rational num/den ships, the caller divides."""
+    from dedupe_ray.ops.tabular import decayed_counts
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+    return decayed_counts(ev, "user_id", "ts")
+
+
+def _q_org_names_normalized(sf_dir: str):
+    """Organization-name normalization (`ops/text.py normalize_org_names`
+    — the company-ER preprocessor): synthesized legal-form variants of
+    customer names all collapse to the same blocking key; RE2 on both
+    engines keeps the mirror byte-exact."""
+    from dedupe_ray.ops.text import normalize_org_names
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    suffixes = np.asarray(["Inc.", "LLC", "Corp.", ", Ltd.", "GmbH"], object)
+
+    def org(b: pa.Table) -> pa.Table:
+        ck = b.column("c_custkey").to_numpy(zero_copy_only=False)
+        nm = b.column("c_name").to_numpy(zero_copy_only=False)
+        raw = np.char.add(
+            np.char.add(nm.astype(str), " "), suffixes[ck % 5].astype(str)
+        )
+        return pa.table(
+            {
+                "c_custkey": b.column("c_custkey"),
+                "org_name": pa.array(raw.tolist(), pa.string()),
+            }
+        )
+
+    return normalize_org_names(
+        cust.map_batches(org, batch_format="pyarrow"), "org_name"
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "er_clusters": _q_er_clusters,
@@ -6758,6 +6797,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "versioned_orders_snapshot": _q_versioned_orders_snapshot,
         "events_hampel": _q_events_hampel,
         "user_coverage": _q_user_coverage,
+        "user_decayed_activity": _q_user_decayed_activity,
+        "org_names_normalized": _q_org_names_normalized,
     }
 
 
@@ -11270,6 +11311,48 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(c * c) AS BIGINT) AS hhi_num,
                    CAST(SUM(c) * SUM(c) AS BIGINT) AS hhi_den
             FROM cells GROUP BY 1
+        """,
+        # one-epoch half-life: weight 2^(A−age) by bit shift, exact
+        "user_decayed_activity": """
+            WITH mx AS (
+                SELECT MAX(epoch_us(ts)) // 86400000000 AS m FROM events
+            ),
+            c AS MATERIALIZED (
+                SELECT user_id,
+                       (SELECT m FROM mx) - epoch_us(ts) // 86400000000
+                           AS age,
+                       CAST(COUNT(*) AS BIGINT) AS cnt
+                FROM events GROUP BY 1, 2
+            ),
+            a AS (SELECT CAST(MAX(age) AS BIGINT) AS am FROM c)
+            SELECT user_id, CAST(SUM(cnt) AS BIGINT) AS n_events,
+                   CAST(SUM(cnt * (CAST(1 AS BIGINT)
+                        << ((SELECT am FROM a) - age))) AS BIGINT)
+                       AS decayed_num,
+                   CAST(CAST(1 AS BIGINT) << (SELECT am FROM a) AS BIGINT)
+                       AS decayed_den
+            FROM c GROUP BY 1
+        """,
+        # the identical RE2 chain (lower → strip → legal suffixes →
+        # collapse → trim) — scrub_pii regex-parity doctrine
+        "org_names_normalized": """
+            WITH raw AS (
+                SELECT c_custkey,
+                       c_name || ' ' ||
+                       CASE c_custkey % 5
+                            WHEN 0 THEN 'Inc.' WHEN 1 THEN 'LLC'
+                            WHEN 2 THEN 'Corp.' WHEN 3 THEN ', Ltd.'
+                            ELSE 'GmbH' END AS org_name
+                FROM customer
+            )
+            SELECT c_custkey, org_name,
+                   trim(regexp_replace(regexp_replace(regexp_replace(
+                       lower(org_name),
+                       '[^a-z0-9 ]', ' ', 'g'),
+                       '\\b(incorporated|corporation|company|limited|gmbh|corp|ltd|llc|inc|co)\\b',
+                       ' ', 'g'),
+                       ' +', ' ', 'g'), ' ') AS normalized
+            FROM raw
         """,
         # time travel: version 1 = the pre-1996 commit exactly
         "versioned_orders_snapshot": """

@@ -4994,3 +4994,94 @@ def interval_coverage(
             Sum("n_islands", alias_name="n_islands"),
         )
     )
+
+
+def decayed_counts(
+    ds: "ray.data.Dataset",
+    key_column: str,
+    ts_column: str,
+    epoch_us: int = 86_400_000_000,
+) -> "ray.data.Dataset":
+    """Exponentially time-decayed activity counters per key (the
+    streaming-freshness ranking signal: yesterday counts half of today)
+    with a HALF-LIFE OF ONE EPOCH, kept exact: an event aged ``a``
+    epochs (relative to the corpus's newest epoch) weighs 2^−a, and the
+    total ships as the exact rational
+
+        decayed = decayed_num / decayed_den
+                = Σ cnt_a · 2^(A − a)  /  2^A
+
+    (A = oldest age present — bit shifts, no floats, engine-exact).
+    One per-(key, epoch) count combiner; two bounded scalars (newest
+    epoch, max age). Overflow guard: A ≤ 40 epochs (rebucket ``epoch_us``
+    coarser for longer horizons). Output: (key, n_events, decayed_num,
+    decayed_den)."""
+    import numpy as np
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    mx = int(
+        np.datetime64(ds.max(ts_column), "us").astype(np.int64) // epoch_us
+    )  # bounded: one scalar
+
+    def age_counts(b: pa.Table) -> pa.Table:
+        t = b.column(ts_column).to_numpy(zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "key": b.column(key_column).to_pandas(),
+                "age": mx - t // epoch_us,
+                "cnt": 1,
+            }
+        )
+        g = df.groupby(["key", "age"], as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    cells = (
+        ds.map_batches(age_counts, batch_format="pyarrow")
+        .groupby(["key", "age"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .materialize()
+    )
+    am = int(cells.max("age"))  # bounded: one scalar
+    if am > 40:
+        raise OverflowError(
+            f"max age {am} epochs overflows the 2^A weighting — coarsen epoch_us"
+        )
+
+    def fold(b: pa.Table) -> pa.Table:
+        age = pc.cast(b.column("age"), pa.int64()).to_numpy(zero_copy_only=False)
+        cnt = pc.cast(b.column("cnt"), pa.int64()).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame(
+            {
+                "key": b.column("key").to_pandas(),
+                "n_events": cnt,
+                "decayed_num": cnt << (am - age),
+            }
+        )
+        g = df.groupby("key", as_index=False).sum()
+        g["decayed_den"] = np.int64(1) << am
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (
+        cells.map_batches(fold, batch_format="pyarrow")
+        .groupby("key")
+        .aggregate(
+            Sum("n_events", alias_name="n_events"),
+            Sum("decayed_num", alias_name="decayed_num"),
+            Sum("decayed_den", alias_name="__den_sum"),
+        )
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    key_column: t.column("key"),
+                    "n_events": pc.cast(t.column("n_events"), pa.int64()),
+                    "decayed_num": pc.cast(t.column("decayed_num"), pa.int64()),
+                    "decayed_den": pa.array(
+                        np.full(len(t), np.int64(1) << am, np.int64)
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )

@@ -7315,3 +7315,67 @@ def test_interval_coverage_brute(ray_session):
         )
         assert out.loc["a", "covered"] == 30 and out.loc["a", "n_islands"] == 2
         assert out.loc["b", "covered"] == 101 and out.loc["b", "n_islands"] == 2
+
+
+def test_decayed_counts_exact(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dedupe_ray.ops.tabular import decayed_counts
+
+    day = 86_400_000_000
+    base = np.datetime64("2024-01-10", "us").astype(np.int64)
+    # u: 2 events today (age 0), 1 yesterday (1), 1 three days ago (3)
+    # w: 1 event three days ago only
+    rows = [
+        ("u", base), ("u", base + 100), ("u", base - day),
+        ("u", base - 3 * day), ("w", base - 3 * day),
+    ]
+    tbl = pa.table(
+        {
+            "k": [r[0] for r in rows],
+            "ts": pa.array(
+                np.asarray([r[1] for r in rows], "datetime64[us]")
+            ),
+        }
+    )
+    for parts in (1, 2):
+        out = (
+            decayed_counts(rd.from_arrow(tbl).repartition(parts), "k", "ts")
+            .to_pandas()
+            .set_index("k")
+        )
+        # A = 3: weights 8, 4, 2, 1 for ages 0..3
+        assert out.loc["u", "decayed_num"] == 2 * 8 + 1 * 4 + 1 * 1
+        assert out.loc["u", "decayed_den"] == 8
+        assert out.loc["u", "n_events"] == 4
+        assert out.loc["w", "decayed_num"] == 1 and out.loc["w", "decayed_den"] == 8
+
+
+def test_normalize_org_names_variants(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dedupe_ray.ops.text import normalize_org_names
+
+    tbl = pa.table(
+        {
+            "name": [
+                "Acme Corp.",
+                "ACME CORP",
+                "acme corp, ltd.",
+                "Widget & Sons, LLC",
+                "Plain Name",
+                None,
+            ]
+        }
+    )
+    out = normalize_org_names(rd.from_arrow(tbl).repartition(2), "name").to_pandas()
+    norm = dict(zip(out["name"], out["normalized"]))
+    assert norm["Acme Corp."] == "acme"
+    assert norm["ACME CORP"] == "acme"
+    assert norm["acme corp, ltd."] == "acme"
+    assert norm["Widget & Sons, LLC"] == "widget sons"
+    assert norm["Plain Name"] == "plain name"
+    assert out["normalized"].isna().sum() == 1  # NULL stays NULL
