@@ -6549,6 +6549,83 @@ def _q_org_names_normalized(sf_dir: str):
     )
 
 
+def _q_supplier_price_slope(sf_dir: str):
+    """Per-supplier price-vs-quantity regression (`ops/tabular.py
+    grouped_ols_stats`): exact int64 moments and the OLS slope as a
+    num/den rational — volume-discount detection with zero cross-engine
+    float."""
+    from dedupe_ray.ops.tabular import grouped_ols_stats
+
+    li = _read(sf_dir, "lineitem", ["l_suppkey", "l_quantity", "l_extendedprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        q = b.column("l_quantity").to_numpy(zero_copy_only=False)
+        p = b.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "l_suppkey": b.column("l_suppkey"),
+                "qty": pa.array(np.floor(q + 0.5).astype(np.int64)),
+                "cents": pa.array(np.floor(p * 100 + 0.5).astype(np.int64)),
+            }
+        )
+
+    return grouped_ols_stats(
+        li.map_batches(prep, batch_format="pyarrow"), "l_suppkey", "qty", "cents"
+    )
+
+
+def _q_price_ks_drift(sf_dir: str):
+    """Two-sample Kolmogorov–Smirnov drift between even- and odd-key
+    order prices (`ops/tabular.py ks_statistic` — the continuous drift
+    test next to PSI's categorical one): exact int64 max CDF gap over
+    the common n_a·n_b denominator."""
+    import ray.data as rd
+
+    from dedupe_ray.ops.tabular import ks_statistic
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def half(parity: int):
+        def f(b: pa.Table) -> pa.Table:
+            k = b.column("o_orderkey").to_numpy(zero_copy_only=False)
+            p = b.column("o_totalprice").to_numpy(zero_copy_only=False)
+            keep = k % 2 == parity
+            return pa.table(
+                {"v": pa.array(np.floor(p[keep] * 100 + 0.5).astype(np.int64))}
+            )
+
+        return orders.map_batches(f, batch_format="pyarrow")
+
+    return rd.from_arrow(ks_statistic(half(0), half(1), "v"))
+
+
+def _q_dedup_cascade_docs(sf_dir: str):
+    """The dedup cascade funnel over documents (`ops/dedup.py
+    dedup_cascade` — exact hash first, MinHash-LSH near-dup on the
+    survivors): per-stage in/removed/out counts, the headline number a
+    curation run reports. No SQL oracle (LSH banding); counts are
+    deterministic and parallelism-invariant."""
+    import ray.data as rd
+
+    from dedupe_ray.ops.dedup import dedup_cascade
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def sid(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "doc_id": pc.cast(b.column("doc_id"), pa.string()),
+                "text": b.column("text"),
+            }
+        )
+
+    return rd.from_arrow(
+        dedup_cascade(docs.map_batches(sid, batch_format="pyarrow"))
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "er_clusters": _q_er_clusters,
@@ -6799,6 +6876,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_coverage": _q_user_coverage,
         "user_decayed_activity": _q_user_decayed_activity,
         "org_names_normalized": _q_org_names_normalized,
+        "supplier_price_slope": _q_supplier_price_slope,
+        "price_ks_drift": _q_price_ks_drift,
+        "dedup_cascade_docs": _q_dedup_cascade_docs,
     }
 
 
@@ -11311,6 +11391,59 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(c * c) AS BIGINT) AS hhi_num,
                    CAST(SUM(c) * SUM(c) AS BIGINT) AS hhi_den
             FROM cells GROUP BY 1
+        """,
+        # OLS moments per supplier; slope num/den exact (caller divides)
+        "supplier_price_slope": """
+            WITH v AS MATERIALIZED (
+                SELECT l_suppkey,
+                       CAST(floor(l_quantity + 0.5) AS BIGINT) AS x,
+                       CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y
+                FROM lineitem
+            )
+            SELECT l_suppkey,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(x) AS BIGINT) AS sx,
+                   CAST(SUM(y) AS BIGINT) AS sy,
+                   CAST(SUM(x * y) AS BIGINT) AS sxy,
+                   CAST(SUM(x * x) AS BIGINT) AS sxx,
+                   CAST(COUNT(*) * SUM(x * y) - SUM(x) * SUM(y) AS BIGINT)
+                       AS slope_num,
+                   CAST(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x) AS BIGINT)
+                       AS slope_den
+            FROM v GROUP BY 1
+        """,
+        # KS: max |cum_a·n_b − cum_b·n_a| over the merged distinct values
+        "price_ks_drift": """
+            WITH a AS MATERIALIZED (
+                SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v
+                FROM orders WHERE o_orderkey % 2 = 0
+            ),
+            b AS MATERIALIZED (
+                SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v
+                FROM orders WHERE o_orderkey % 2 = 1
+            ),
+            ca AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS c FROM a GROUP BY 1),
+            cb AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS c FROM b GROUP BY 1),
+            na AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM a),
+            nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM b),
+            allv AS (SELECT v FROM ca UNION SELECT v FROM cb),
+            cum AS (
+                SELECT allv.v,
+                       CAST(SUM(COALESCE(ca.c, 0)) OVER (ORDER BY allv.v)
+                            AS BIGINT) AS cum_a,
+                       CAST(SUM(COALESCE(cb.c, 0)) OVER (ORDER BY allv.v)
+                            AS BIGINT) AS cum_b
+                FROM allv
+                LEFT JOIN ca USING (v)
+                LEFT JOIN cb USING (v)
+            )
+            SELECT (SELECT n FROM na) AS n_a, (SELECT n FROM nb) AS n_b,
+                   CAST(MAX(ABS(cum_a * (SELECT n FROM nb)
+                                - cum_b * (SELECT n FROM na))) AS BIGINT)
+                       AS ks_num,
+                   CAST((SELECT n FROM na) * (SELECT n FROM nb) AS BIGINT)
+                       AS ks_den
+            FROM cum
         """,
         # one-epoch half-life: weight 2^(A−age) by bit shift, exact
         "user_decayed_activity": """

@@ -2286,3 +2286,67 @@ def novelty_scores(
             Sum("novel", alias_name="novel_grams"),
         )
     )
+
+
+def dedup_cascade(
+    ds: "ray.data.Dataset",
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    jaccard_threshold: float = 0.7,
+) -> pa.Table:
+    """The production dedup CASCADE, cheapest filter first — exact
+    content-hash dedup, then MinHash-LSH near-dup grouping over the
+    survivors — reported as a funnel (stage, docs_in, docs_removed,
+    docs_out): the shape a 100-TB curation run uses because each stage
+    only pays for what the previous one let through. Semantics pinned:
+    exact keeps the min-id row per distinct text (:func:`exact_dedup`);
+    near-dup keeps the min-id member of each LSH component
+    (:func:`minhash_dedup`'s components, bytewise-string min). Counts
+    are exact and parallelism-invariant; the survivor ID SET is
+    deterministic (banding is hash-seeded, not random). Driver state:
+    three integers — the survivor datasets stream throughout."""
+    n0 = ds.count()
+    exact = exact_dedup(ds, column=text_column, id_column=id_column).materialize()
+    n1 = exact.count()
+
+    groups = minhash_dedup(
+        exact.select_columns([id_column, text_column]),
+        jaccard_threshold=jaccard_threshold,
+    )
+
+    def loss_partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame({"component": t.column("component_id").to_pandas()})
+        g = df.groupby("component").size().rename("n").reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    comp = (
+        groups.map_batches(loss_partial, batch_format="pyarrow")
+        .groupby("component")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    removed_rows = comp.map_batches(
+        lambda t: pa.table(
+            {
+                "r": pa.array(
+                    pa.compute.cast(t.column("n"), pa.int64())
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64)
+                    - 1
+                )
+            }
+        ),
+        batch_format="pyarrow",
+    ).aggregate(Sum("r", alias_name="r"))
+    near_removed = int(removed_rows["r"] or 0)
+    return pa.table(
+        {
+            "stage": pa.array(["exact", "near_dup"], pa.string()),
+            "docs_in": pa.array([n0, n1], pa.int64()),
+            "docs_removed": pa.array([n0 - n1, near_removed], pa.int64()),
+            "docs_out": pa.array([n1, n1 - near_removed], pa.int64()),
+        }
+    )

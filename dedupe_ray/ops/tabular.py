@@ -5085,3 +5085,136 @@ def decayed_counts(
             batch_format="pyarrow",
         )
     )
+
+
+def grouped_ols_stats(
+    ds: "ray.data.Dataset",
+    key_column: str,
+    x_column: str,
+    y_column: str,
+) -> "ray.data.Dataset":
+    """Per-key simple linear regression as exact int64 sufficient
+    statistics over INTEGER (x, y) columns (quantize upstream):
+
+        slope = slope_num / slope_den
+              = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+
+    — the num/den doctrine: no cross-engine float ships, the caller
+    divides (and gets the intercept as (Σy·slope_den − slope_num·Σx) /
+    (n·slope_den)). One per-batch moment combiner → one tiny groupby
+    Sum. Overflow: n·Σxy needs n·x·y·n < 2⁶³ — cents×units over
+    billion-row groups is safe; rescale upstream beyond that. Output:
+    (key, n, sx, sy, sxy, sxx, slope_num, slope_den)."""
+    import numpy as np
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    def moments(b: pa.Table) -> pa.Table:
+        x = b.column(x_column).to_numpy(zero_copy_only=False).astype(np.int64)
+        y = b.column(y_column).to_numpy(zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "key": b.column(key_column).to_pandas(),
+                "n": 1,
+                "sx": x,
+                "sy": y,
+                "sxy": x * y,
+                "sxx": x * x,
+            }
+        )
+        g = df.groupby("key", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = pc.cast(t.column("n"), pa.int64()).to_numpy(zero_copy_only=False)
+        sx = pc.cast(t.column("sx"), pa.int64()).to_numpy(zero_copy_only=False)
+        sy = pc.cast(t.column("sy"), pa.int64()).to_numpy(zero_copy_only=False)
+        sxy = pc.cast(t.column("sxy"), pa.int64()).to_numpy(zero_copy_only=False)
+        sxx = pc.cast(t.column("sxx"), pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                key_column: t.column("key"),
+                "n": pa.array(n),
+                "sx": pa.array(sx),
+                "sy": pa.array(sy),
+                "sxy": pa.array(sxy),
+                "sxx": pa.array(sxx),
+                "slope_num": pa.array(n * sxy - sx * sy),
+                "slope_den": pa.array(n * sxx - sx * sx),
+            }
+        )
+
+    return (
+        ds.map_batches(moments, batch_format="pyarrow")
+        .groupby("key")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sx", alias_name="sx"),
+            Sum("sy", alias_name="sy"),
+            Sum("sxy", alias_name="sxy"),
+            Sum("sxx", alias_name="sxx"),
+        )
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
+def ks_statistic(
+    ds_a: "ray.data.Dataset",
+    ds_b: "ray.data.Dataset",
+    value_column: str,
+) -> pa.Table:
+    """Two-sample Kolmogorov–Smirnov statistic — the CONTINUOUS drift
+    test next to :func:`psi_categories`' categorical one — as an exact
+    rational: D = ks_num / ks_den = max_v |F_a(v) − F_b(v)| with the
+    empirical CDFs put over the common denominator n_a·n_b, so
+
+        ks_num = max over distinct values of |cum_a(v)·n_b − cum_b(v)·n_a|
+
+    is an exact int64 max (engine-exact against a window-cumsum SQL
+    mirror; the caller divides). One per-value count combiner per side,
+    then a sorted walk over the merged distinct-value table — bounded by
+    distinct values (quantize a fine-grained measure upstream, the AUC
+    reduction class). Output one row: (n_a, n_b, ks_num, ks_den)."""
+    import numpy as np
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    def counts(ds):
+        def partial(b: pa.Table) -> pa.Table:
+            df = pd.DataFrame(
+                {"v": b.column(value_column).to_numpy(zero_copy_only=False)}
+            )
+            g = df.groupby("v", as_index=False).size().rename(columns={"size": "c"})
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        rows = (
+            ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("v")
+            .aggregate(Sum("c", alias_name="c"))
+            .to_pandas()  # bounded: distinct values
+        )
+        return rows.sort_values("v", ignore_index=True)
+
+    ca, cb = counts(ds_a), counts(ds_b)
+    va = ca["v"].to_numpy()
+    vb = cb["v"].to_numpy()
+    na = int(ca["c"].sum())
+    nb = int(cb["c"].sum())
+    allv = np.union1d(va, vb)
+    cum_a = np.zeros(len(allv), np.int64)
+    cum_b = np.zeros(len(allv), np.int64)
+    cum_a[np.searchsorted(allv, va)] = ca["c"].to_numpy(np.int64)
+    cum_b[np.searchsorted(allv, vb)] = cb["c"].to_numpy(np.int64)
+    cum_a = cum_a.cumsum()
+    cum_b = cum_b.cumsum()
+    ks_num = int(np.abs(cum_a * nb - cum_b * na).max()) if len(allv) else 0
+    return pa.table(
+        {
+            "n_a": pa.array([na], pa.int64()),
+            "n_b": pa.array([nb], pa.int64()),
+            "ks_num": pa.array([ks_num], pa.int64()),
+            "ks_den": pa.array([na * nb], pa.int64()),
+        }
+    )

@@ -7379,3 +7379,89 @@ def test_normalize_org_names_variants(ray_session):
     assert norm["Widget & Sons, LLC"] == "widget sons"
     assert norm["Plain Name"] == "plain name"
     assert out["normalized"].isna().sum() == 1  # NULL stays NULL
+
+
+def test_grouped_ols_stats_brute(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dedupe_ray.ops.tabular import grouped_ols_stats
+
+    # k1: perfect y = 3x + 1; k2: flat
+    rows = [("k1", 1, 4), ("k1", 2, 7), ("k1", 3, 10), ("k2", 5, 9), ("k2", 9, 9)]
+    tbl = pa.table(
+        {
+            "k": [r[0] for r in rows],
+            "x": [r[1] for r in rows],
+            "y": [r[2] for r in rows],
+        }
+    )
+    for parts in (1, 3):
+        out = (
+            grouped_ols_stats(rd.from_arrow(tbl).repartition(parts), "k", "x", "y")
+            .to_pandas()
+            .set_index("k")
+        )
+        r1 = out.loc["k1"]
+        assert (r1["n"], r1["sx"], r1["sy"], r1["sxy"], r1["sxx"]) == (3, 6, 21, 48, 14)
+        assert r1["slope_num"] / r1["slope_den"] == 3.0
+        r2 = out.loc["k2"]
+        assert r2["slope_num"] == 0 and r2["slope_den"] == 2 * 106 - 196
+
+
+def test_ks_statistic_brute(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dedupe_ray.ops.tabular import ks_statistic
+
+    a = [1, 2, 2, 3, 10]
+    b = [2, 3, 3, 9, 10, 10]
+    out = ks_statistic(
+        rd.from_arrow(pa.table({"v": a})).repartition(2),
+        rd.from_arrow(pa.table({"v": b})),
+        "v",
+    ).to_pandas().iloc[0]
+    na, nb = len(a), len(b)
+    ks_num = max(
+        abs(sum(1 for x in a if x <= v) * nb - sum(1 for x in b if x <= v) * na)
+        for v in sorted(set(a + b))
+    )
+    assert out["n_a"] == na and out["n_b"] == nb
+    assert out["ks_num"] == ks_num and out["ks_den"] == na * nb
+
+    # identical samples -> zero drift
+    same = ks_statistic(
+        rd.from_arrow(pa.table({"v": a})), rd.from_arrow(pa.table({"v": a})), "v"
+    ).to_pandas().iloc[0]
+    assert same["ks_num"] == 0
+
+
+def test_dedup_cascade_funnel(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dedupe_ray.ops.dedup import dedup_cascade
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs far away today "
+    ) * 3
+    near = base.replace("lazy", "sleepy")
+    docs = pa.table(
+        {
+            "doc_id": ["a", "b", "c", "d", "e"],
+            # a==b exact dup; c near-dup of a; d, e unrelated
+            "text": [base, base, near, "completely different text here", "x y z"],
+        }
+    )
+    out = (
+        rd.from_arrow(dedup_cascade(rd.from_arrow(docs).repartition(2)))
+        .to_pandas()
+        .set_index("stage")
+    )
+    assert out.loc["exact", "docs_in"] == 5
+    assert out.loc["exact", "docs_removed"] == 1  # b
+    assert out.loc["exact", "docs_out"] == 4
+    assert out.loc["near_dup", "docs_in"] == 4
+    assert out.loc["near_dup", "docs_removed"] == 1  # c near-dups a
+    assert out.loc["near_dup", "docs_out"] == 3
