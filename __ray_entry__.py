@@ -6626,6 +6626,44 @@ def _q_dedup_cascade_docs(sf_dir: str):
     )
 
 
+def _q_value_slo_by_type(sf_dir: str):
+    """The SLO report: p50/p95/p99 of event value per type from ONE
+    shuffle and one sort (`ops/tabular.py grouped_quantiles_multi` —
+    quantile_disc element semantics, bit-exact on doubles)."""
+    from dedupe_ray.ops.tabular import grouped_quantiles_multi
+
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+    return grouped_quantiles_multi(ev, "event_type", "value", qs=[0.5, 0.95, 0.99])
+
+
+def _q_source_token_jaccard(sf_dir: str):
+    """Exact vocabulary overlap between every source pair
+    (`ops/tabular.py pairwise_set_jaccard` — corpus-overlap auditing):
+    per-item set-combination combiner, never per-set item lists;
+    inter/size integers ship, the caller divides."""
+    from dedupe_ray.ops.tabular import pairwise_set_jaccard
+
+    docs = _read(sf_dir, "documents", ["source", "text"])
+
+    def toks(b: pa.Table) -> pa.Table:
+        from dedupe_ray.ops.text import _lm_tokens
+
+        flat, counts = _lm_tokens(b.column("text"))
+        src = np.repeat(
+            np.asarray(b.column("source").to_pylist(), object), counts
+        )
+        return pa.table(
+            {
+                "source": pa.array(src.tolist(), pa.string()),
+                "tok": pa.array(flat, pa.string()),
+            }
+        )
+
+    return pairwise_set_jaccard(
+        docs.map_batches(toks, batch_format="pyarrow"), "source", "tok"
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "er_clusters": _q_er_clusters,
@@ -6879,6 +6917,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_price_slope": _q_supplier_price_slope,
         "price_ks_drift": _q_price_ks_drift,
         "dedup_cascade_docs": _q_dedup_cascade_docs,
+        "value_slo_by_type": _q_value_slo_by_type,
+        "source_token_jaccard": _q_source_token_jaccard,
     }
 
 
@@ -11391,6 +11431,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(c * c) AS BIGINT) AS hhi_num,
                    CAST(SUM(c) * SUM(c) AS BIGINT) AS hhi_den
             FROM cells GROUP BY 1
+        """,
+        # multi-quantile: DuckDB quantile_disc == element at floor((n-1)q)
+        "value_slo_by_type": """
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                   quantile_disc(value, 0.5) AS q50,
+                   quantile_disc(value, 0.95) AS q95,
+                   quantile_disc(value, 0.99) AS q99
+            FROM events GROUP BY 1
+        """,
+        # exact pairwise set Jaccard over (source, token) memberships
+        "source_token_jaccard": """
+            WITH st AS MATERIALIZED (
+                SELECT DISTINCT source,
+                       unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+                FROM documents
+            ),
+            sz AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS c
+                   FROM st GROUP BY 1)
+            SELECT a.source AS set_a, b.source AS set_b,
+                   CAST(COUNT(*) AS BIGINT) AS inter,
+                   za.c AS size_a, zb.c AS size_b
+            FROM st a JOIN st b ON b.tok = a.tok AND a.source < b.source
+            JOIN sz za ON za.source = a.source
+            JOIN sz zb ON zb.source = b.source
+            GROUP BY 1, 2, za.c, zb.c
         """,
         # OLS moments per supplier; slope num/den exact (caller divides)
         "supplier_price_slope": """

@@ -5218,3 +5218,167 @@ def ks_statistic(
             "ks_den": pa.array([na * nb], pa.int64()),
         }
     )
+
+
+def grouped_quantiles_multi(
+    ds: "ray.data.Dataset",
+    key_column: str,
+    value_column: str,
+    qs: list[float] = (0.5, 0.95, 0.99),
+    n_buckets: int = 256,
+) -> "ray.data.Dataset":
+    """The SLO report: SEVERAL discrete quantiles per key from ONE
+    shuffle and one sort — p50/p95/p99 latency tables without paying the
+    :func:`grouped_quantile_disc` pipeline once per q. Element semantics
+    pinned to DuckDB's ``quantile_disc``: the element at 0-based sorted
+    index ``ceil(q·n) − 1`` (the smallest element whose CDF reaches q —
+    NOT floor((n−1)·q); the two differ for high q, measured). One output
+    column ``q{percent}`` per requested quantile plus the group size.
+    One bucketed shuffle; per bucket one lexsort, then every quantile is
+    a fancy-index into the same sorted runs."""
+    import numpy as np
+    import pandas as pd
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        vals = b.column(key_column).to_numpy(zero_copy_only=False)
+        bkt = (pd.util.hash_array(vals) % n_buckets).astype(np.int32)
+        return b.append_column("__qbkt", pa.array(bkt))
+
+    names = [f"q{int(round(q * 100))}" for q in qs]
+
+    def quantiles(g: pa.Table) -> pa.Table:
+        keys = g.column(key_column).to_numpy(zero_copy_only=False)
+        codes, _ = pd.factorize(keys)
+        vals = g.column(value_column).to_numpy(zero_copy_only=False)
+        order = np.lexsort((vals, codes))
+        s_codes = codes[order]
+        n = len(order)
+        new_run = np.concatenate(([True], s_codes[1:] != s_codes[:-1]))
+        starts = np.nonzero(new_run)[0]
+        lengths = np.diff(np.append(starts, n))
+        heads = order[starts]
+        data = {
+            key_column: pa.compute.take(g.column(key_column), pa.array(heads)),
+            "n": pa.array(lengths.astype(np.int64)),
+        }
+        for q, name in zip(qs, names):
+            idx = np.maximum(np.ceil(lengths * q).astype(np.int64) - 1, 0)
+            pick = starts + idx
+            data[name] = pa.compute.take(g.column(value_column), pa.array(order[pick]))
+        return pa.table(data)
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("__qbkt")
+        .map_groups(quantiles, batch_format="pyarrow")
+    )
+
+
+def pairwise_set_jaccard(
+    ds: "ray.data.Dataset",
+    set_column: str,
+    item_column: str,
+) -> "ray.data.Dataset":
+    """EXACT Jaccard similarity between every pair of named sets over a
+    (set, item) membership table — corpus-overlap auditing (how much do
+    two sources share a vocabulary / url space / user base) when the
+    number of SETS is small while items are unbounded (the transpose of
+    doc-pair similarity: MinHash estimates; this is exact because it
+    never materializes per-set item lists, only per-item set
+    combinations). jaccard = inter / (size_a + size_b − inter), shipped
+    as exact integers (caller divides).
+
+    Shape: distinct-(set, item) combiner → per-item set-combination rows
+    (items seen by k sets emit C(k, 2) pair partials — bounded by
+    C(n_sets, 2) per item) → one tiny pair groupby + a bounded set-size
+    table broadcast into the finish map. Output: (set_a, set_b, inter,
+    size_a, size_b)."""
+    import numpy as np
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    def distinct_partial(b: pa.Table) -> pa.Table:
+        df = b.select([set_column, item_column]).to_pandas().drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    gi = (
+        ds.map_batches(distinct_partial, batch_format="pyarrow")
+        .groupby([set_column, item_column])
+        .count()
+        .drop_columns(["count()"])
+        .materialize()
+    )
+    sizes = {
+        r[set_column]: int(r["count()"])
+        for r in gi.groupby(set_column).count().take_all()  # bounded: sets
+    }
+
+    def pair_partial(b: pa.Table) -> pa.Table:
+        # size-batched triu gather (the wedge-emission pattern): one
+        # gather per distinct per-item set count, never a per-item loop
+        items = np.asarray(b.column(item_column).to_pylist(), object)
+        ss = np.asarray(b.column(set_column).to_pylist(), object)
+        icodes, _ = pd.factorize(items)
+        order = np.lexsort((ss, icodes))
+        ic, sv = icodes[order], ss[order]
+        new = np.empty(len(ic), bool)
+        if len(ic):
+            new[0] = True
+            new[1:] = ic[1:] != ic[:-1]
+        starts = np.flatnonzero(new)
+        ks = np.diff(np.append(starts, len(ic)))
+        out_a, out_b = [], []
+        for k in np.unique(ks):
+            if k < 2:
+                continue
+            iu, ju = np.triu_indices(int(k), 1)
+            s_k = starts[ks == k]
+            out_a.append(sv[(s_k[:, None] + iu[None, :]).ravel()])
+            out_b.append(sv[(s_k[:, None] + ju[None, :]).ravel()])
+        if not out_a:
+            return pa.table(
+                {
+                    "set_a": pa.array([], pa.string()),
+                    "set_b": pa.array([], pa.string()),
+                    "c": pa.array([], pa.int64()),
+                }
+            )
+        out = pd.DataFrame(
+            {
+                "set_a": np.concatenate(out_a),
+                "set_b": np.concatenate(out_b),
+                "c": 1,
+            }
+        )
+        g = out.groupby(["set_a", "set_b"], as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def finish(t: pa.Table) -> pa.Table:
+        a = np.asarray(t.column("set_a").to_pylist(), object)
+        b = np.asarray(t.column("set_b").to_pylist(), object)
+        return pa.table(
+            {
+                "set_a": t.column("set_a"),
+                "set_b": t.column("set_b"),
+                "inter": pc.cast(t.column("c"), pa.int64()),
+                "size_a": pa.array([sizes[x] for x in a], pa.int64()),
+                "size_b": pa.array([sizes[x] for x in b], pa.int64()),
+            }
+        )
+
+    from dedupe_ray.blocking import N_BUCKETS
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "__sjbkt", _bucket_hash_col(b.column(item_column), N_BUCKETS)
+        )
+
+    return (
+        gi.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("__sjbkt")  # co-locates every membership of an item
+        .map_groups(pair_partial, batch_format="pyarrow")
+        .groupby(["set_a", "set_b"])
+        .aggregate(Sum("c", alias_name="c"))
+        .map_batches(finish, batch_format="pyarrow")
+    )

@@ -7465,3 +7465,57 @@ def test_dedup_cascade_funnel(ray_session):
     assert out.loc["near_dup", "docs_in"] == 4
     assert out.loc["near_dup", "docs_removed"] == 1  # c near-dups a
     assert out.loc["near_dup", "docs_out"] == 3
+
+
+def test_grouped_quantiles_multi_semantics(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dedupe_ray.ops.tabular import grouped_quantiles_multi
+
+    tbl = pa.table(
+        {
+            "k": ["a"] * 4 + ["b"] * 5,
+            "v": [1.0, 2.0, 3.0, 4.0, 10.0, 20.0, 30.0, 40.0, 50.0],
+        }
+    )
+    for parts in (1, 3):
+        out = (
+            grouped_quantiles_multi(
+                rd.from_arrow(tbl).repartition(parts), "k", "v",
+                qs=[0.5, 0.95, 0.99],
+            )
+            .to_pandas()
+            .set_index("k")
+        )
+        # quantile_disc = element at ceil(q*n)-1
+        assert out.loc["a", "n"] == 4
+        assert out.loc["a", "q50"] == 2.0   # ceil(2)-1 = 1
+        assert out.loc["a", "q95"] == 4.0   # ceil(3.8)-1 = 3
+        assert out.loc["b", "q50"] == 30.0  # ceil(2.5)-1 = 2
+        assert out.loc["b", "q99"] == 50.0
+
+
+def test_pairwise_set_jaccard_brute(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dedupe_ray.ops.tabular import pairwise_set_jaccard
+
+    rows = [
+        ("s1", "a"), ("s1", "b"), ("s1", "c"), ("s1", "a"),  # dup membership
+        ("s2", "b"), ("s2", "c"), ("s2", "d"),
+        ("s3", "z"),                                          # disjoint
+    ]
+    tbl = pa.table({"s": [r[0] for r in rows], "i": [r[1] for r in rows]})
+    for parts in (1, 3):
+        out = (
+            pairwise_set_jaccard(rd.from_arrow(tbl).repartition(parts), "s", "i")
+            .to_pandas()
+            .set_index(["set_a", "set_b"])
+        )
+        assert list(out.index) == [("s1", "s2")]  # disjoint pair omitted
+        r = out.loc[("s1", "s2")]
+        assert r["inter"] == 2 and r["size_a"] == 3 and r["size_b"] == 3
+        # jaccard = 2 / (3 + 3 - 2) = 0.5
+        assert r["inter"] / (r["size_a"] + r["size_b"] - r["inter"]) == 0.5
