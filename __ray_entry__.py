@@ -6664,6 +6664,45 @@ def _q_source_token_jaccard(sf_dir: str):
     )
 
 
+def _q_events_autocorr(sf_dir: str):
+    """Per-user lag-1 autocorrelation sufficient statistics in exact
+    int64 cents (`ops/tabular.py grouped_autocorr_moments`): Pearson on
+    consecutive (x_i, x_{i+1}) value pairs ordered by (ts, event_id) —
+    the integer moments ship, the caller divides (tpch_q14 num/den
+    doctrine; a cross-engine float r would hash-drift)."""
+    from dedupe_ray.ops.tabular import grouped_autocorr_moments
+
+    ev = _read(sf_dir, "events", ["user_id", "value", "ts", "event_id"])
+    return grouped_autocorr_moments(ev, "user_id", "value", ["ts", "event_id"])
+
+
+def _q_events_cusum(sf_dir: str):
+    """Per-user one-sided CUSUM changepoint scan (`ops/tabular.py
+    grouped_cusum_int`, Page 1954): exact-integer recurrence with alarm
+    reset, baselined on each user's first value — the recursive-CTE
+    oracle replays pre_i = max(0, s_{i-1} + x_i − x0 − 500) with alarms
+    at ≥ 2000 row-by-row (events_ewma doctrine)."""
+    from dedupe_ray.ops.tabular import grouped_cusum_int
+
+    ev = _read(sf_dir, "events", ["user_id", "value", "ts", "event_id"])
+    return grouped_cusum_int(ev, "user_id", "value", ["ts", "event_id"])
+
+
+def _q_f2_user_events(sf_dir: str):
+    """Self-join-size (second frequency moment) estimation over event
+    user_ids (`ops/sketch.py ams_f2_table`): five exact-integer signed
+    sums on the pinned CMS hash family plus the lower-median-of-squares
+    estimate — pricing a shuffle join's output at 100 TB without running
+    it."""
+    from dedupe_ray.ops.sketch import ams_f2_estimate, ams_f2_table
+
+    ev = _read(sf_dir, "events", ["user_id"])
+    tbl = ams_f2_table(ev, "user_id").to_pandas()  # bounded: depth rows
+    tbl = tbl.sort_values("sketch_row").reset_index(drop=True)
+    tbl["est_f2"] = np.int64(ams_f2_estimate(tbl["signed_sum"].to_numpy()))
+    return tbl
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "er_clusters": _q_er_clusters,
@@ -6919,6 +6958,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_cascade_docs": _q_dedup_cascade_docs,
         "value_slo_by_type": _q_value_slo_by_type,
         "source_token_jaccard": _q_source_token_jaccard,
+        "events_autocorr": _q_events_autocorr,
+        "events_cusum": _q_events_cusum,
+        "f2_user_events": _q_f2_user_events,
     }
 
 
@@ -11872,5 +11914,92 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(1000000 * ln(1.0 + 1.0 / d.digit) / ln(10.0))
                         AS BIGINT) AS exp_micro
             FROM d LEFT JOIN obs o ON o.digit = d.digit
+        """,
+        # lag-1 pairs via LEAD; exact BIGINT moments (caller divides)
+        "events_autocorr": """
+            WITH p AS MATERIALIZED (
+                SELECT user_id,
+                       CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS x,
+                       LEAD(CAST(floor(value * 100.0 + 0.5) AS BIGINT))
+                           OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS y
+                FROM events
+                WHERE user_id IS NOT NULL AND value IS NOT NULL
+            )
+            SELECT user_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                   CAST(SUM(x) AS BIGINT) AS sx,
+                   CAST(SUM(y) AS BIGINT) AS sy,
+                   CAST(SUM(x * x) AS BIGINT) AS sxx,
+                   CAST(SUM(y * y) AS BIGINT) AS syy,
+                   CAST(SUM(x * y) AS BIGINT) AS sxy
+            FROM p WHERE y IS NOT NULL GROUP BY 1
+        """,
+        # Page CUSUM replayed row-by-row; pre/carry expressions repeated
+        # (aliases are not referenceable within the same SELECT)
+        "events_cusum": """
+            WITH RECURSIVE r AS MATERIALIZED (
+                SELECT user_id, ts, event_id,
+                       CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS x,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS rn,
+                       first_value(CAST(floor(value * 100.0 + 0.5) AS BIGINT))
+                           OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS x0
+                FROM events
+                WHERE user_id IS NOT NULL AND value IS NOT NULL
+            ),
+            s AS (
+                SELECT user_id, ts, event_id, rn,
+                       greatest(0, x - x0 - 500) AS pre,
+                       CASE WHEN greatest(0, x - x0 - 500) >= 2000 THEN 0
+                            ELSE greatest(0, x - x0 - 500) END AS carry
+                FROM r WHERE rn = 1
+                UNION ALL
+                SELECT r.user_id, r.ts, r.event_id, r.rn,
+                       greatest(0, s.carry + r.x - r.x0 - 500),
+                       CASE WHEN greatest(0, s.carry + r.x - r.x0 - 500)
+                                 >= 2000 THEN 0
+                            ELSE greatest(0, s.carry + r.x - r.x0 - 500) END
+                FROM r JOIN s ON r.user_id = s.user_id AND r.rn = s.rn + 1
+            )
+            SELECT user_id, ts, event_id, CAST(pre AS BIGINT) AS cusum_c,
+                   CAST(CASE WHEN pre >= 2000 THEN 1 ELSE 0 END AS BIGINT)
+                       AS alarm
+            FROM s
+        """,
+        # AMS F2: the pinned CMS hash family's parity as the ±1 sign;
+        # lower-median of squares == quantile_disc(·, 0.5) at any depth
+        "f2_user_events": """
+            WITH b AS MATERIALIZED (
+                SELECT (user_id % 2147483647) AS u
+                FROM events WHERE user_id IS NOT NULL
+            ),
+            t AS MATERIALIZED (
+                SELECT 0 AS sketch_row,
+                       CAST(SUM(CASE WHEN ((1103515245 * u + 12345)
+                            % 2147483647) % 2 = 1 THEN 1 ELSE -1 END)
+                            AS BIGINT) AS signed_sum FROM b
+                UNION ALL
+                SELECT 1, CAST(SUM(CASE WHEN ((1229782938 * u + 1013904223)
+                            % 2147483647) % 2 = 1 THEN 1 ELSE -1 END)
+                            AS BIGINT) FROM b
+                UNION ALL
+                SELECT 2, CAST(SUM(CASE WHEN ((1815976680 * u + 1442695040)
+                            % 2147483647) % 2 = 1 THEN 1 ELSE -1 END)
+                            AS BIGINT) FROM b
+                UNION ALL
+                SELECT 3, CAST(SUM(CASE WHEN ((1664525 * u + 1203793)
+                            % 2147483647) % 2 = 1 THEN 1 ELSE -1 END)
+                            AS BIGINT) FROM b
+                UNION ALL
+                SELECT 4, CAST(SUM(CASE WHEN ((22695477 * u + 7919)
+                            % 2147483647) % 2 = 1 THEN 1 ELSE -1 END)
+                            AS BIGINT) FROM b
+            )
+            SELECT CAST(sketch_row AS BIGINT) AS sketch_row, signed_sum,
+                   (SELECT CAST(quantile_disc(signed_sum * signed_sum, 0.5)
+                                AS BIGINT) FROM t) AS est_f2
+            FROM t
         """,
     }

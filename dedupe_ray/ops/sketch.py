@@ -864,3 +864,57 @@ def kmv_set_estimate(
             "inter_est": pa.array([inter_est], pa.float64()),
         }
     )
+
+
+def ams_f2_table(
+    ds: "ray.data.Dataset",
+    value_column: str,
+    depth: int = 5,
+) -> "ray.data.Dataset":
+    """AMS second-frequency-moment sketch (Alon–Matias–Szegedy 1996):
+    ``depth`` signed sums S_j = Σ_v σ_j(v)·f_v with σ_j(v) ∈ {−1,+1}
+    drawn from the pinned CMS universal-hash family (parity of
+    (a_j·(v mod p) + b_j) mod p) — every step exact int64, so the sketch
+    is deterministic, merge-order-invariant (integer Sum per row), and a
+    SQL oracle evaluating the same expression lands on the same sums.
+    E[S_j²] = F₂ = Σ f_v², the self-join-size / skew estimator: at 100 TB
+    this is how you price a shuffle join WITHOUT running it. Per-batch
+    combiner partials (depth rows per batch), one depth-bounded groupby.
+    Null keys are dropped (SQL aggregate semantics)."""
+    from ray.data.aggregate import Sum
+
+    if depth > len(_CMS_A):
+        raise ValueError(f"depth > {len(_CMS_A)} not supported")
+
+    def partials(batch: pa.Table) -> pa.Table:
+        col = batch.column(value_column)
+        v = col.to_numpy(zero_copy_only=False)
+        if col.null_count:
+            v = v[pa.compute.is_valid(col.combine_chunks()).to_numpy(zero_copy_only=False)]
+        v = np.asarray(v, np.int64)
+        if len(v) and int(v.min()) < 0:
+            raise ValueError("AMS keys must be non-negative integers")
+        u = v % _CMS_P
+        sums = [
+            int((2 * (((_CMS_A[j] * u + _CMS_B[j]) % _CMS_P) % 2) - 1).sum())
+            for j in range(depth)
+        ]
+        return pa.table(
+            {
+                "sketch_row": pa.array(np.arange(depth, dtype=np.int64)),
+                "s": pa.array(np.asarray(sums, np.int64)),
+            }
+        )
+
+    return (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("sketch_row")
+        .aggregate(Sum("s", alias_name="signed_sum"))
+    )
+
+
+def ams_f2_estimate(rows: "np.ndarray") -> int:
+    """Lower-median of S_j² over the sketch rows — matches DuckDB
+    quantile_disc(·, 0.5) index floor(q·(n−1)) exactly for any depth."""
+    sq = np.sort(np.asarray(rows, np.int64) ** 2)
+    return int(sq[(len(sq) - 1) // 2])

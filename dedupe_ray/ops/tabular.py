@@ -5382,3 +5382,188 @@ def pairwise_set_jaccard(
         .aggregate(Sum("c", alias_name="c"))
         .map_batches(finish, batch_format="pyarrow")
     )
+
+
+def grouped_autocorr_moments(
+    ds: "ray.data.Dataset",
+    key_column: str,
+    value_column: str,
+    order_columns: list[str],
+    lag: int = 1,
+    cents: int = 100,
+    n_buckets: int = 256,
+) -> "ray.data.Dataset":
+    """Per-key lag-``lag`` autocorrelation SUFFICIENT STATISTICS in exact
+    int64 (the time-series drift/seasonality primitive): values quantize
+    to cents once, every ordered pair (x_i, x_{i+lag}) within a key
+    contributes to (n_pairs, sx, sy, sxx, syy, sxy), and the caller
+    divides — Pearson-on-lagged-pairs r = (n·sxy − sx·sy) /
+    sqrt((n·sxx − sx²)(n·syy − sy²)), the tpch_q14 num/den doctrine (a
+    cross-engine float division would hash-drift; the integer moments
+    cannot). Keys with fewer than lag+1 rows emit nothing; null keys and
+    null values are dropped (SQL aggregate semantics, pinned).
+
+    ONE bucketed shuffle of (key, order, value) rows; per bucket the rows
+    lexsort to contiguous key runs and the lag-pair mask plus five
+    bincount reductions are fully vectorized — no per-key Python.
+    """
+    import numpy as np
+    import pandas as pd
+
+    lag = int(lag)
+    if lag < 1:
+        raise ValueError("lag must be >= 1")
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        cols = [key_column, value_column] + list(order_columns)
+        b = b.select(cols)
+        mask = pc.and_(
+            pc.is_valid(b.column(key_column)), pc.is_valid(b.column(value_column))
+        )
+        b = b.filter(mask)
+        vals = b.column(key_column).to_numpy(zero_copy_only=False)
+        bkt = (pd.util.hash_array(vals) % n_buckets).astype(np.int32)
+        return b.append_column("__wbkt", pa.array(bkt))
+
+    def moments(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["__wbkt"])
+        keys = g.column(key_column).to_numpy(zero_copy_only=False)
+        codes, uniques = pd.factorize(keys)
+        sort_keys = tuple(
+            g.column(c).to_numpy(zero_copy_only=False) for c in reversed(order_columns)
+        ) + (codes,)
+        order = np.lexsort(sort_keys)
+        x = np.floor(
+            g.column(value_column).to_numpy(zero_copy_only=False).astype(np.float64)
+            * float(cents)
+            + 0.5
+        ).astype(np.int64)[order]
+        s_codes = codes[order]
+        if len(x) <= lag:
+            m = np.zeros(0, bool)
+        else:
+            m = s_codes[lag:] == s_codes[:-lag]
+        xv = x[:-lag][m] if len(x) > lag else x[:0]
+        yv = x[lag:][m] if len(x) > lag else x[:0]
+        kc = s_codes[:-lag][m] if len(x) > lag else s_codes[:0]
+        nk = len(uniques)
+        n_pairs = np.bincount(kc, minlength=nk).astype(np.int64)
+        sx = np.bincount(kc, weights=xv, minlength=nk).astype(np.int64)
+        sy = np.bincount(kc, weights=yv, minlength=nk).astype(np.int64)
+        sxx = np.bincount(kc, weights=(xv * xv).astype(np.float64), minlength=nk)
+        syy = np.bincount(kc, weights=(yv * yv).astype(np.float64), minlength=nk)
+        sxy = np.bincount(kc, weights=(xv * yv).astype(np.float64), minlength=nk)
+        keep = n_pairs > 0
+        return pa.table(
+            {
+                key_column: pa.array(np.asarray(uniques)[keep]),
+                "n_pairs": pa.array(n_pairs[keep]),
+                "sx": pa.array(sx[keep]),
+                "sy": pa.array(sy[keep]),
+                "sxx": pa.array(sxx[keep].astype(np.int64)),
+                "syy": pa.array(syy[keep].astype(np.int64)),
+                "sxy": pa.array(sxy[keep].astype(np.int64)),
+            }
+        )
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("__wbkt")
+        .map_groups(moments, batch_format="pyarrow")
+    )
+
+
+def grouped_cusum_int(
+    ds: "ray.data.Dataset",
+    key_column: str,
+    value_column: str,
+    order_columns: list[str],
+    slack_c: int = 500,
+    threshold_c: int = 2000,
+    cents: int = 100,
+    n_buckets: int = 256,
+) -> "ray.data.Dataset":
+    """Per-key one-sided CUSUM changepoint detector in EXACT integer
+    arithmetic (Page 1954): deviations are measured from each key's FIRST
+    value (self-calibrating baseline) minus ``slack_c``; the statistic is
+    ``pre_i = max(0, s_{i−1} + x_i − x_first − slack_c)``, an alarm fires
+    when ``pre_i ≥ threshold_c`` and resets the carry to 0. Integer
+    recurrence ⇒ bit-identical across layouts and engines; the
+    recursive-CTE SQL mirror replays it row-by-row (events_ewma doctrine).
+
+    ONE bucketed shuffle; the recurrence is sequential in TIME STEPS but
+    vectorized ACROSS keys via the step-sliced gather loop (loop length =
+    max events per key, a data constant). Output: (key, *order_columns,
+    cusum_c, alarm) with the PRE-reset statistic and a 0/1 flag.
+    """
+    import numpy as np
+    import pandas as pd
+
+    k_c, h_c = int(slack_c), int(threshold_c)
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        cols = [key_column, value_column] + list(order_columns)
+        b = b.select(cols)
+        # null keys AND null values drop (pinned — a null observation has
+        # no place in the recurrence; the SQL mirror filters identically)
+        b = b.filter(
+            pc.and_(
+                pc.is_valid(b.column(key_column)), pc.is_valid(b.column(value_column))
+            )
+        )
+        vals = b.column(key_column).to_numpy(zero_copy_only=False)
+        bkt = (pd.util.hash_array(vals) % n_buckets).astype(np.int32)
+        return b.append_column("__wbkt", pa.array(bkt))
+
+    def cusum(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["__wbkt"])
+        keys = g.column(key_column).to_numpy(zero_copy_only=False)
+        codes, _ = pd.factorize(keys)
+        sort_keys = tuple(
+            g.column(c).to_numpy(zero_copy_only=False) for c in reversed(order_columns)
+        ) + (codes,)
+        order = np.lexsort(sort_keys)
+        x = np.floor(
+            g.column(value_column).to_numpy(zero_copy_only=False).astype(np.float64)
+            * float(cents)
+            + 0.5
+        ).astype(np.int64)[order]
+        s_codes = codes[order]
+        n = len(order)
+        pos = np.arange(n, dtype=np.int64)
+        new_run = np.concatenate(([True], s_codes[1:] != s_codes[:-1]))
+        run_start = np.maximum.accumulate(np.where(new_run, pos, -1))
+        d = x - x[run_start] - k_c
+        pre = np.empty(n, np.int64)
+        carry = np.empty(n, np.int64)
+        first = pos == run_start
+        pre[first] = np.maximum(0, d[first])
+        carry[first] = np.where(pre[first] >= h_c, 0, pre[first])
+        pos_in_run = pos - run_start
+        by_step = np.argsort(pos_in_run, kind="stable")
+        step_sorted = pos_in_run[by_step]
+        max_step = int(pos_in_run.max()) if n else 0
+        bounds = np.searchsorted(step_sorted, np.arange(1, max_step + 2))
+        lo = bounds[0]
+        for k in range(1, max_step + 1):
+            hi = bounds[k]
+            sel = by_step[lo:hi]
+            lo = hi
+            if not len(sel):
+                break
+            p = np.maximum(0, carry[sel - 1] + d[sel])
+            pre[sel] = p
+            carry[sel] = np.where(p >= h_c, 0, p)
+        sel_arr = pa.array(order)
+        data = {key_column: pc.take(g.column(key_column), sel_arr)}
+        for c in order_columns:
+            data[c] = pc.take(g.column(c), sel_arr)
+        data["cusum_c"] = pa.array(pre)
+        data["alarm"] = pa.array((pre >= h_c).astype(np.int64))
+        return pa.table(data)
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("__wbkt")
+        .map_groups(cusum, batch_format="pyarrow")
+    )

@@ -7519,3 +7519,141 @@ def test_pairwise_set_jaccard_brute(ray_session):
         assert r["inter"] == 2 and r["size_a"] == 3 and r["size_b"] == 3
         # jaccard = 2 / (3 + 3 - 2) = 0.5
         assert r["inter"] / (r["size_a"] + r["size_b"] - r["inter"]) == 0.5
+
+
+def test_grouped_autocorr_moments_brute(ray_session):
+    """grouped_autocorr_moments vs a pandas shift-based reference on
+    random per-key series (ties in ts broken by eid); keys with < lag+1
+    rows emit nothing; layout-invariant."""
+    import ray.data
+
+    from dedupe_ray.ops.tabular import grouped_autocorr_moments
+
+    rng = np.random.RandomState(7)
+    n = 400
+    df = pd.DataFrame(
+        {
+            "u": rng.randint(0, 12, n),
+            "v": np.round(rng.uniform(-20, 120, n), 2),
+            "ts": rng.randint(0, 40, n),
+            "eid": np.arange(n),
+        }
+    )
+    # one singleton key (must emit nothing at lag=1)
+    df.loc[0, "u"] = 99
+    df = df[(df["u"] != 99) | (df.index == 0)]
+
+    outs = []
+    for nparts in (1, 5):
+        out = (
+            grouped_autocorr_moments(
+                ray.data.from_pandas(df).repartition(nparts),
+                "u", "v", ["ts", "eid"], lag=1,
+            )
+            .to_pandas()
+            .sort_values("u")
+            .reset_index(drop=True)
+        )
+        outs.append(out)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    got = outs[0]
+    assert 99 not in set(got["u"])
+
+    for u, rows in df.groupby("u"):
+        rows = rows.sort_values(["ts", "eid"])
+        x = np.floor(rows["v"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        if len(x) < 2:
+            continue
+        a, b = x[:-1], x[1:]
+        r = got[got["u"] == u].iloc[0]
+        assert r["n_pairs"] == len(a)
+        assert r["sx"] == a.sum() and r["sy"] == b.sum()
+        assert r["sxx"] == (a * a).sum() and r["syy"] == (b * b).sum()
+        assert r["sxy"] == (a * b).sum()
+
+
+def test_grouped_cusum_int_hand_recurrence(ray_session):
+    """grouped_cusum_int vs a scalar Page recurrence per key: covers the
+    clamp at 0, an alarm crossing, and the post-alarm carry reset;
+    layout-invariant across partitions."""
+    import ray.data
+
+    from dedupe_ray.ops.tabular import grouped_cusum_int
+
+    df = pd.DataFrame(
+        {
+            "u": ["a"] * 6 + ["b"] * 3,
+            "v": [10.0, 40.0, 5.0, 45.0, 44.0, 9.0, 3.0, 3.0, 3.0],
+            "ts": [1, 2, 3, 4, 5, 6, 1, 2, 3],
+            "eid": list(range(9)),
+        }
+    )
+    slack, h = 500, 2000
+    outs = []
+    for nparts in (1, 4):
+        out = (
+            grouped_cusum_int(
+                ray.data.from_pandas(df).repartition(nparts),
+                "u", "v", ["ts", "eid"], slack_c=slack, threshold_c=h,
+            )
+            .to_pandas()
+            .sort_values(["u", "ts", "eid"])
+            .reset_index(drop=True)
+        )
+        outs.append(out)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    got = outs[0]
+
+    ref = {}
+    for u, rows in df.groupby("u"):
+        rows = rows.sort_values(["ts", "eid"])
+        x = np.floor(rows["v"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        carry = 0
+        for i, (_, r) in enumerate(rows.iterrows()):
+            d = int(x[i]) - int(x[0]) - slack
+            pre = max(0, carry + d)
+            alarm = 1 if pre >= h else 0
+            carry = 0 if alarm else pre
+            ref[(u, r["ts"], r["eid"])] = (pre, alarm)
+    alarms = 0
+    for _, r in got.iterrows():
+        pre, alarm = ref[(r["u"], r["ts"], r["eid"])]
+        assert r["cusum_c"] == pre and r["alarm"] == alarm
+        alarms += alarm
+    assert alarms >= 1  # fixture actually crosses the threshold
+
+
+def test_ams_f2_sketch_exact_and_layout_invariant(ray_session):
+    """ams_f2_table == a direct driver computation of the five signed
+    sums for every block layout; the estimate is the lower-median of
+    squares and sits within the AMS error envelope of true F2."""
+    import ray.data
+
+    from dedupe_ray.ops.sketch import _CMS_A, _CMS_B, _CMS_P, ams_f2_estimate, ams_f2_table
+
+    rng = np.random.RandomState(11)
+    vals = rng.zipf(1.7, 3000).astype(np.int64) % 500  # skewed keys
+    df = pd.DataFrame({"k": vals})
+
+    u = vals % _CMS_P
+    want = np.array(
+        [int((2 * (((_CMS_A[j] * u + _CMS_B[j]) % _CMS_P) % 2) - 1).sum()) for j in range(5)],
+        np.int64,
+    )
+    outs = []
+    for nparts in (2, 8):
+        t = (
+            ams_f2_table(ray.data.from_pandas(df).repartition(nparts), "k")
+            .to_pandas()
+            .sort_values("sketch_row")
+            .reset_index(drop=True)
+        )
+        outs.append(t)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    assert (outs[0]["signed_sum"].to_numpy() == want).all()
+
+    est = ams_f2_estimate(outs[0]["signed_sum"].to_numpy())
+    sq = np.sort(want.astype(np.int64) ** 2)
+    assert est == int(sq[2])
+    f2 = int((np.bincount(vals) ** 2).sum())
+    assert 0 < est < 10 * f2  # sane scale (median-of-5 single estimator)
