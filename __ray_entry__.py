@@ -6703,6 +6703,60 @@ def _q_f2_user_events(sf_dir: str):
     return tbl
 
 
+def _q_user_theil_sen(sf_dir: str):
+    """Theil–Sen robust trend slope per user over event values
+    (`ops/tabular.py theil_sen_slope`): the lower median of all exact
+    floor-divided pairwise slopes (micro-cents/second over epoch-micro
+    timestamps) — the breakdown-resistant drift estimator next to
+    Mann–Kendall's sign test and OLS's moments, mirrored by a pair
+    self-join + positional-median oracle."""
+    from dedupe_ray.ops.tabular import theil_sen_slope
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        v = b.column("value").to_numpy(zero_copy_only=False)
+        ts = b.column("ts").cast(pa.int64())
+        return pa.table(
+            {
+                "user_id": b.column("user_id"),
+                "t": ts,
+                "c": pa.array(np.floor(v * 100.0 + 0.5).astype(np.int64)),
+            }
+        )
+
+    return theil_sen_slope(
+        ev.map_batches(prep, batch_format="pyarrow"), "user_id", "t", "c"
+    )
+
+
+def _q_order_calibration(sf_dir: str):
+    """Probability-calibration report (`eval.py calibration_report`):
+    reliability-diagram bins + Brier numerator as exact integer
+    sufficient statistics for a synthetic milli-prob scorer
+    (p = price-cents mod 1000) against the urgent-priority label — the
+    ECE/Brier audit every thresholded scorer needs, with zero floats
+    crossing the engine boundary."""
+    from dedupe_ray.eval import calibration_report
+
+    orders = _read(sf_dir, "orders", ["o_totalprice", "o_orderpriority"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        p = b.column("o_totalprice").to_numpy(zero_copy_only=False)
+        cents = np.floor(p * 100.0 + 0.5).astype(np.int64)
+        pri = b.column("o_orderpriority").to_pylist()
+        y = np.array(
+            [1 if s in ("1-URGENT", "2-HIGH") else 0 for s in pri], np.int64
+        )
+        return pa.table(
+            {"p_milli": pa.array(cents % 1000), "y": pa.array(y)}
+        )
+
+    return calibration_report(
+        orders.map_batches(prep, batch_format="pyarrow"), "p_milli", "y"
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "er_clusters": _q_er_clusters,
@@ -6961,6 +7015,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_autocorr": _q_events_autocorr,
         "events_cusum": _q_events_cusum,
         "f2_user_events": _q_f2_user_events,
+        "user_theil_sen": _q_user_theil_sen,
+        "order_calibration": _q_order_calibration,
     }
 
 
@@ -12001,5 +12057,61 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT CAST(quantile_disc(signed_sum * signed_sum, 0.5)
                                 AS BIGINT) FROM t) AS est_f2
             FROM t
+        """,
+        # Theil–Sen: lower median of exact floor-divided pairwise slopes;
+        # SQL floors via the wrap-mod identity (a - ((a%b)+b)%b) // b —
+        # DuckDB // truncates, numpy floors, subtracting the positive
+        # remainder first makes the division exact so both agree. Pairs
+        # at equal t are excluded; median = positional row (n+1)//2.
+        "user_theil_sen": """
+            WITH v AS MATERIALIZED (
+                SELECT user_id, epoch_us(ts) AS t,
+                       CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c
+                FROM events
+            ),
+            p AS MATERIALIZED (
+                SELECT a.user_id,
+                       (1000000000000 * (b.c - a.c)
+                        - ((((1000000000000 * (b.c - a.c)) % (b.t - a.t))
+                            + (b.t - a.t)) % (b.t - a.t))) // (b.t - a.t)
+                       AS slope
+                FROM v a JOIN v b
+                  ON b.user_id = a.user_id AND b.t > a.t
+            ),
+            cnt AS (
+                SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_pairs
+                FROM p GROUP BY 1
+            ),
+            r AS (
+                SELECT user_id, slope,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY slope) AS rn
+                FROM p
+            )
+            SELECT c.user_id, c.n_pairs,
+                   CAST(r.slope AS BIGINT) AS slope_micro
+            FROM cnt c
+            JOIN r ON r.user_id = c.user_id AND r.rn = (c.n_pairs + 1) // 2
+        """,
+        # Calibration: equal-width milli-prob bins, exact int sufficient
+        # stats (ECE = SUM(gap_abs)/(1000 N), Brier = SUM(brier_num)/(1e6 N)
+        # — the num/den doctrine, no float crosses the engine boundary)
+        "order_calibration": """
+            WITH v AS MATERIALIZED (
+                SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) % 1000
+                           AS p,
+                       CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END AS y
+                FROM orders
+            ),
+            b AS (SELECT LEAST(p * 10 // 1000, 9) AS bin, p, y FROM v)
+            SELECT CAST(bin AS BIGINT) AS bin,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(p) AS BIGINT) AS sum_p_milli,
+                   CAST(SUM(y) AS BIGINT) AS sum_y,
+                   CAST(abs(SUM(p) - 1000 * SUM(y)) AS BIGINT) AS gap_abs,
+                   CAST(SUM((p - 1000 * y) * (p - 1000 * y)) AS BIGINT)
+                       AS brier_num
+            FROM b GROUP BY 1 ORDER BY 1
         """,
     }

@@ -484,3 +484,80 @@ def rank_auc_stats(
             "auc": pa.array([auc], pa.float64()),
         }
     )
+
+
+def calibration_report(
+    ds,
+    p_milli_column: str,
+    label_column: str,
+    n_bins: int = 10,
+) -> pa.Table:
+    """Probability-calibration report (reliability diagram + Brier
+    score) from exact integer sufficient statistics — the standard
+    audit for any probabilistic scorer (the ER match scores, a quality
+    classifier) before its threshold is trusted. Predictions arrive as
+    exact thousandths ``p_milli`` ∈ [0, 1000] (quantize upstream; the
+    scorer's float → milli cast is the only rounding, applied
+    identically in a SQL mirror), labels as {0, 1}. Per equal-width bin
+    b = min(p_milli · n_bins // 1000, n_bins − 1):
+
+        n_b, sum_p_milli_b, sum_y_b,
+        gap_abs_b = |sum_p_milli_b − 1000 · sum_y_b|
+
+    so ECE = Σ_b gap_abs_b / (1000 · N) and the reliability curve
+    (p̄_b, ȳ_b) are exact rationals of the emitted int64s — no float
+    ever crosses the engine boundary (the tpch_q14 num/den doctrine).
+    The global Brier numerator Σ (p_milli − 1000·y)² rides along each
+    row (micro-units; divide by 10⁶·N for the score). One combiner
+    pass per block groups by bin (≤ n_bins rows each), one bounded
+    groupby merges. Output: (bin, n, sum_p_milli, sum_y, gap_abs,
+    brier_num) sorted by bin."""
+    import numpy as np
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        p = b.column(p_milli_column).to_numpy(zero_copy_only=False).astype(np.int64)
+        y = b.column(label_column).to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(p) and (p.min() < 0 or p.max() > 1000):
+            raise ValueError(f"{p_milli_column} must be milli-probs in [0, 1000]")
+        if len(y) and (y.min() < 0 or y.max() > 1):
+            raise ValueError(f"{label_column} must be binary 0/1")
+        bins = np.minimum(p * n_bins // 1000, n_bins - 1)
+        df = pd.DataFrame(
+            {
+                "bin": bins,
+                "n": np.ones(len(p), np.int64),
+                "sum_p_milli": p,
+                "sum_y": y,
+                "brier_num": (p - 1000 * y) ** 2,
+            }
+        )
+        return pa.Table.from_pandas(
+            df.groupby("bin", as_index=False).sum(), preserve_index=False
+        )
+
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bin")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sum_p_milli", alias_name="sum_p_milli"),
+            Sum("sum_y", alias_name="sum_y"),
+            Sum("brier_num", alias_name="brier_num"),
+        )
+        .to_pandas()  # bounded: <= n_bins rows
+        .sort_values("bin", ignore_index=True)
+    )
+    gap = (merged["sum_p_milli"] - 1000 * merged["sum_y"]).abs()
+    return pa.table(
+        {
+            "bin": pa.array(merged["bin"].astype("int64")),
+            "n": pa.array(merged["n"].astype("int64")),
+            "sum_p_milli": pa.array(merged["sum_p_milli"].astype("int64")),
+            "sum_y": pa.array(merged["sum_y"].astype("int64")),
+            "gap_abs": pa.array(gap.astype("int64")),
+            "brier_num": pa.array(merged["brier_num"].astype("int64")),
+        }
+    )

@@ -4470,6 +4470,109 @@ def mann_kendall_trend(
     )
 
 
+def theil_sen_slope(
+    ds: "ray.data.Dataset",
+    key_column: str,
+    t_column: str,
+    value_column: str,
+    scale: int = 10**12,
+) -> "ray.data.Dataset":
+    """Theil–Sen robust slope per key (Sen 1968) — the median of all
+    pairwise slopes, the breakdown-resistant complement to
+    :func:`grouped_linregress` (OLS) and :func:`mann_kendall_trend`
+    (sign-only): over INTEGER (t, value) series the statistic is
+
+        slope_micro = lower-median over pairs t_i < t_j of
+                      floor(scale · (v_j − v_i) / (t_j − t_i))
+
+    Pairs at equal t are skipped (the estimator is undefined there);
+    keys with zero valid pairs are dropped (pinned). Each pairwise
+    slope is an exact floor-division of int64s, so the multiset — and
+    its positional lower median — is engine-exact; a SQL mirror floors
+    via the wrap-mod identity ``(a − ((a % b) + b) % b) // b`` (DuckDB
+    ``//`` truncates while numpy floors; subtracting the positive
+    remainder first makes the division exact, so the two agree).
+
+    Shape: the :func:`mann_kendall_trend` layout — one bucketed key
+    shuffle, then run-sliced SIZE-BATCHED pair kernels per bucket;
+    same-length series stack into one [m, k(k−1)/2] slope matrix,
+    invalid (dt = 0) cells take an int64 sentinel, one row-sort gives
+    every series' median at its per-row valid count. Pairwise cost is
+    intrinsic — cap per-key series length upstream on unbounded
+    streams. Output: (key, n_pairs, slope_micro)."""
+    import numpy as np
+
+    from dedupe_ray.blocking import N_BUCKETS
+
+    sentinel = np.iinfo(np.int64).max
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "__tsbkt", _bucket_hash_col(b.column(key_column), N_BUCKETS)
+        )
+
+    sort_keys = [(key_column, "ascending"), (t_column, "ascending")]
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                key_column: pa.array([], group.schema.field(key_column).type),
+                "n_pairs": pa.array([], pa.int64()),
+                "slope_micro": pa.array([], pa.int64()),
+            }
+        )
+        if len(group) == 0:
+            return empty
+        g = group.take(pc.sort_indices(group, sort_keys=sort_keys))
+        keys = np.asarray(g.column(key_column).to_pylist(), object)
+        t = g.column(t_column).to_numpy(zero_copy_only=False).astype(np.int64)
+        v = g.column(value_column).to_numpy(zero_copy_only=False).astype(np.int64)
+        new_key = np.empty(len(g), bool)
+        new_key[0] = True
+        new_key[1:] = keys[1:] != keys[:-1]
+        starts = np.flatnonzero(new_key)
+        ks = np.diff(np.append(starts, len(g)))
+        out_key, out_n, out_s = [], [], []
+        for k in np.unique(ks):
+            if k < 2:
+                continue
+            s_k = starts[ks == k]
+            iu, ju = np.triu_indices(int(k), 1)
+            idx = s_k[:, None] + np.arange(int(k))[None, :]
+            dt = t[idx][:, ju] - t[idx][:, iu]
+            dy = v[idx][:, ju] - v[idx][:, iu]
+            valid = dt > 0
+            slopes = np.full(dt.shape, sentinel, np.int64)
+            np.floor_divide(scale * dy, dt, out=slopes, where=valid)
+            slopes.sort(axis=1)
+            cnt = valid.sum(axis=1).astype(np.int64)
+            keep = cnt > 0
+            if not keep.any():
+                continue
+            med_idx = (cnt[keep] + 1) // 2 - 1
+            med = slopes[keep, med_idx]
+            out_key.append(keys[s_k[keep]])
+            out_n.append(cnt[keep])
+            out_s.append(med)
+        if not out_key:
+            return empty
+        return pa.table(
+            {
+                key_column: pa.array(
+                    np.concatenate(out_key), group.schema.field(key_column).type
+                ),
+                "n_pairs": pa.array(np.concatenate(out_n)),
+                "slope_micro": pa.array(np.concatenate(out_s)),
+            }
+        )
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("__tsbkt")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+
+
 def abc_classification(
     ds: "ray.data.Dataset",
     value_column: str,

@@ -7657,3 +7657,98 @@ def test_ams_f2_sketch_exact_and_layout_invariant(ray_session):
     assert est == int(sq[2])
     f2 = int((np.bincount(vals) ** 2).sum())
     assert 0 < est < 10 * f2  # sane scale (median-of-5 single estimator)
+
+
+def test_theil_sen_slope_brute_force(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dedupe_ray.ops.tabular import theil_sen_slope
+
+    rng = np.random.default_rng(7)
+    keys, ts, vs = [], [], []
+    for k, n in [("a", 9), ("b", 4), ("c", 1), ("d", 6)]:
+        t = np.sort(rng.integers(0, 50, n))  # duplicate t values likely
+        v = rng.integers(-100, 100, n)
+        keys += [k] * n
+        ts += t.tolist()
+        vs += v.tolist()
+    keys += ["e", "e"]  # all pairs at equal t -> key dropped
+    ts += [5, 5]
+    vs += [1, 2]
+    tbl = pa.table({"k": keys, "t": pa.array(ts, pa.int64()),
+                    "v": pa.array(vs, pa.int64())})
+    scale = 10**6
+
+    def brute(t, v):
+        slopes = []
+        for i in range(len(t)):
+            for j in range(len(t)):
+                if t[j] > t[i]:
+                    slopes.append((scale * (v[j] - v[i])) // (t[j] - t[i]))
+        if not slopes:
+            return None
+        slopes.sort()
+        return len(slopes), slopes[(len(slopes) + 1) // 2 - 1]
+
+    expect = {}
+    for k in set(keys):
+        idx = [i for i, kk in enumerate(keys) if kk == k]
+        r = brute([ts[i] for i in idx], [vs[i] for i in idx])
+        if r is not None:
+            expect[k] = r
+
+    for parts in (1, 4):
+        out = theil_sen_slope(
+            rd.from_arrow(tbl).repartition(parts), "k", "t", "v", scale=scale
+        ).to_pandas()
+        got = {r["k"]: (r["n_pairs"], r["slope_micro"])
+               for _, r in out.iterrows()}
+        assert got == expect
+    assert "c" not in got and "e" not in got  # singleton and all-tied drop
+
+
+def test_calibration_report_hand_computed(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dedupe_ray.eval import calibration_report
+
+    # p_milli, y rows: bin 0 holds {50/0, 80/1}, bin 9 holds {950/1, 999/0,
+    # 1000/1 (clamped into bin 9)}
+    tbl = pa.table(
+        {
+            "p": pa.array([50, 80, 950, 999, 1000], pa.int64()),
+            "y": pa.array([0, 1, 1, 0, 1], pa.int64()),
+        }
+    )
+    for parts in (1, 3):
+        out = calibration_report(
+            rd.from_arrow(tbl).repartition(parts), "p", "y"
+        ).to_pandas()
+        assert out["bin"].tolist() == [0, 9]
+        assert out["n"].tolist() == [2, 3]
+        assert out["sum_p_milli"].tolist() == [130, 2949]
+        assert out["sum_y"].tolist() == [1, 2]
+        assert out["gap_abs"].tolist() == [abs(130 - 1000), abs(2949 - 2000)]
+        # brier: (50-0)^2+(80-1000)^2 ; (950-1000)^2+(999-0)^2+(1000-1000)^2
+        assert out["brier_num"].tolist() == [
+            50**2 + 920**2,
+            50**2 + 999**2 + 0,
+        ]
+
+
+def test_calibration_report_rejects_bad_inputs(ray_session):
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from dedupe_ray.eval import calibration_report
+
+    bad_p = rd.from_arrow(pa.table({"p": [1001], "y": [0]}))
+    with pytest.raises(Exception):
+        calibration_report(bad_p, "p", "y")
+    bad_y = rd.from_arrow(pa.table({"p": [500], "y": [2]}))
+    with pytest.raises(Exception):
+        calibration_report(bad_y, "p", "y")
