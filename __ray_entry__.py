@@ -6757,6 +6757,54 @@ def _q_order_calibration(sf_dir: str):
     )
 
 
+def _q_events_watermark(sf_dir: str):
+    """Streaming watermark / allowed-lateness replay (`ops/tabular.py
+    watermark_late_filter`): events re-arrive per user in a
+    deterministic Knuth-hash-shuffled order, the watermark is the
+    running inclusive max event-time, and rows more than one day behind
+    it are dropped — the Beam/Flink late-data rule as a deterministic
+    bounded operator, mirrored by a running-MAX window oracle."""
+    from dedupe_ray.ops.tabular import watermark_late_filter
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        eid = b.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "event_id": b.column("event_id"),
+                "user_id": b.column("user_id"),
+                "t": b.column("ts").cast(pa.int64()),
+                "value": b.column("value"),
+                "arr": pa.array((eid * 2654435761) % 2147483647),
+            }
+        )
+
+    out = watermark_late_filter(
+        ev.map_batches(prep, batch_format="pyarrow"),
+        "user_id",
+        "t",
+        ["arr", "event_id"],
+        delay=86_400_000_000,
+    )
+    return out.select_columns(["event_id", "user_id", "t", "value"])
+
+
+def _q_events_orders_join_size(sf_dir: str):
+    """Join-size estimation from two Count-Min sketches (`ops/sketch.py
+    cms_inner_product`): |events ⋈ orders on user/customer key| priced
+    from the minimum per-row inner product of two one-pass cell tables
+    — the planning primitive for join reordering at 100 TB — with every
+    hash and dot product exact int64 on the pinned universal family."""
+    from dedupe_ray.ops.sketch import cms_inner_product, cms_table
+
+    ev = _read(sf_dir, "events", ["user_id"])
+    orders = _read(sf_dir, "orders", ["o_custkey"])
+    sa = cms_table(ev, "user_id", width=256, depth=3)
+    sb = cms_table(orders, "o_custkey", width=256, depth=3)
+    return cms_inner_product(sa, sb, width=256, depth=3)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "er_clusters": _q_er_clusters,
@@ -7017,6 +7065,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "f2_user_events": _q_f2_user_events,
         "user_theil_sen": _q_user_theil_sen,
         "order_calibration": _q_order_calibration,
+        "events_watermark": _q_events_watermark,
+        "events_orders_join_size": _q_events_orders_join_size,
     }
 
 
@@ -12113,5 +12163,59 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM((p - 1000 * y) * (p - 1000 * y)) AS BIGINT)
                        AS brier_num
             FROM b GROUP BY 1 ORDER BY 1
+        """,
+        # Watermark: running INCLUSIVE max event-time per key over the
+        # hash-shuffled arrival order; a row survives iff t >= wm - delay
+        "events_watermark": """
+            WITH a AS MATERIALIZED (
+                SELECT event_id, user_id, epoch_us(ts) AS t, value,
+                       (event_id * 2654435761) % 2147483647 AS arr
+                FROM events
+            ),
+            w AS (
+                SELECT event_id, user_id, t, value,
+                       max(t) OVER (PARTITION BY user_id
+                                    ORDER BY arr, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS wm
+                FROM a
+            )
+            SELECT event_id, user_id, t, value
+            FROM w WHERE t >= wm - 86400000000
+        """,
+        # CMS inner product: per-row dot of the two cell tables on the
+        # pinned hash family; est = min over rows (join-size upper bound)
+        "events_orders_join_size": """
+            WITH hp(r, a, b) AS (VALUES
+                (0, 1103515245, 12345),
+                (1, 1229782938, 1013904223),
+                (2, 1815976680, 1442695040)),
+            ka AS (SELECT user_id AS k FROM events
+                   WHERE user_id IS NOT NULL),
+            kb AS (SELECT o_custkey AS k FROM orders
+                   WHERE o_custkey IS NOT NULL),
+            ca AS (
+                SELECT hp.r AS r,
+                       ((hp.a * (ka.k % 2147483647) + hp.b)
+                        % 2147483647) % 256 AS c,
+                       CAST(COUNT(*) AS BIGINT) AS cnt
+                FROM ka CROSS JOIN hp GROUP BY 1, 2
+            ),
+            cb AS (
+                SELECT hp.r AS r,
+                       ((hp.a * (kb.k % 2147483647) + hp.b)
+                        % 2147483647) % 256 AS c,
+                       CAST(COUNT(*) AS BIGINT) AS cnt
+                FROM kb CROSS JOIN hp GROUP BY 1, 2
+            ),
+            d AS (
+                SELECT ca.r AS r,
+                       CAST(SUM(ca.cnt * cb.cnt) AS BIGINT) AS dot
+                FROM ca JOIN cb ON cb.r = ca.r AND cb.c = ca.c
+                GROUP BY 1
+            )
+            SELECT CAST(r AS BIGINT) AS sketch_row, dot,
+                   (SELECT CAST(MIN(dot) AS BIGINT) FROM d) AS est
+            FROM d ORDER BY 1
         """,
     }

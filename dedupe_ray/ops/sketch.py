@@ -536,6 +536,45 @@ def cms_merge(*sketches: "ray.data.Dataset") -> "ray.data.Dataset":
     return ds.groupby(["row", "col"]).aggregate(Sum("c", alias_name="c"))
 
 
+def cms_inner_product(
+    sketch_a: "ray.data.Dataset",
+    sketch_b: "ray.data.Dataset",
+    width: int = 1024,
+    depth: int = 3,
+) -> pa.Table:
+    """Equi-join size estimation from two Count-Min cell tables (Alon/
+    Gibbons/Matias/Szegedy; Cormode–Muthukrishnan §4.2): the inner
+    product of two frequency vectors is Σ_k f_A(k)·f_B(k) — exactly the
+    row count of ``A ⋈ B`` on that key — and each CMS row overestimates
+    it by hash-collision noise, so
+
+        est = min over rows r of  Σ_col c_A[r,col] · c_B[r,col]
+
+    prices a shuffle join's output BEFORE running it (the planning
+    primitive behind join reordering and skew triage at 100 TB), from
+    two sketches built in one streaming pass each. Both tables must
+    share width/depth (the pinned hash family makes sketches of
+    different corpora cell-compatible by construction). All arithmetic
+    exact int64 — engine-exact vs a SQL mirror. Inputs are
+    depth×width-bounded, so the dot products run driver-side. Output:
+    (sketch_row, dot) per row plus the min as ``est`` on every row."""
+    a = sketch_a.to_pandas()  # bounded: <= depth*width rows
+    b = sketch_b.to_pandas()  # bounded: <= depth*width rows
+    m = a.merge(b, on=["row", "col"], suffixes=("_a", "_b"))
+    m["p"] = m["c_a"].astype(np.int64) * m["c_b"].astype(np.int64)
+    dots = (
+        m.groupby("row")["p"].sum().reindex(range(depth), fill_value=0)
+    )
+    est = int(dots.min())
+    return pa.table(
+        {
+            "sketch_row": pa.array(np.arange(depth, dtype=np.int64)),
+            "dot": pa.array(dots.to_numpy(np.int64)),
+            "est": pa.array(np.full(depth, est, np.int64)),
+        }
+    )
+
+
 def cms_point_estimates(
     sketch_ds: "ray.data.Dataset",
     keys_ds: "ray.data.Dataset",

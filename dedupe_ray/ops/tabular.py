@@ -1378,6 +1378,38 @@ def _grouped_window(
     )
 
 
+def watermark_late_filter(
+    ds: "ray.data.Dataset",
+    key_column: str,
+    ts_column: str,
+    arrival_columns: list[str],
+    delay: int,
+) -> "ray.data.Dataset":
+    """Streaming watermark / allowed-lateness semantics over a replayed
+    log: rows arrive per key in ``arrival_columns`` order (must end in a
+    unique tiebreak), the watermark is the running INCLUSIVE max of the
+    integer event-time column, and a row is dropped as late when
+
+        ts < watermark − delay
+
+    — the Beam/Flink allowed-lateness rule, applied deterministically to
+    a bounded replay (a row that advances the watermark always survives:
+    the comparison is against the max including itself). Output =
+    surviving rows, original columns. One bucketed key shuffle + one
+    segmented cummax per bucket (:func:`_grouped_window` shape); the
+    dropped-row count is ``ds.count() − out.count()``."""
+    import numpy as np
+    import pandas as pd
+
+    def kernel(g: pa.Table, new_key: np.ndarray) -> pa.Table:
+        ts = g.column(ts_column).to_numpy(zero_copy_only=False).astype(np.int64)
+        grp = np.cumsum(new_key) - 1
+        wm = pd.Series(ts).groupby(grp).cummax().to_numpy()
+        return g.filter(pa.array(ts >= wm - delay))
+
+    return _grouped_window(ds, key_column, arrival_columns, kernel)
+
+
 def grouped_lag(
     ds: "ray.data.Dataset",
     key_column: str,

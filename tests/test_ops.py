@@ -7752,3 +7752,67 @@ def test_calibration_report_rejects_bad_inputs(ray_session):
     bad_y = rd.from_arrow(pa.table({"p": [500], "y": [2]}))
     with pytest.raises(Exception):
         calibration_report(bad_y, "p", "y")
+
+
+def test_watermark_late_filter_brute_force(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dedupe_ray.ops.tabular import watermark_late_filter
+
+    # per-key arrival sequences with out-of-order event times
+    rows = [
+        # (key, arrival, ts) — key a: wm walks 10,50,50,70; ts 20 at
+        # arrival 3 is 30 behind wm=50: dropped at delay 25, kept at 40
+        ("a", 1, 10), ("a", 2, 50), ("a", 3, 20), ("a", 4, 70),
+        ("b", 1, 100), ("b", 2, 40),  # 60 behind: dropped at both delays
+    ]
+    tbl = pa.table(
+        {
+            "k": [r[0] for r in rows],
+            "arr": pa.array([r[1] for r in rows], pa.int64()),
+            "t": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+
+    def brute(delay):
+        keep = []
+        for k in ("a", "b"):
+            wm = None
+            for kk, arr, t in rows:
+                if kk != k:
+                    continue
+                wm = t if wm is None else max(wm, t)
+                if t >= wm - delay:
+                    keep.append((k, arr, t))
+        return sorted(keep)
+
+    for delay in (25, 40):
+        for parts in (1, 3):
+            out = watermark_late_filter(
+                rd.from_arrow(tbl).repartition(parts), "k", "t", ["arr"], delay
+            ).to_pandas()
+            got = sorted(map(tuple, out[["k", "arr", "t"]].to_numpy()))
+            assert got == brute(delay), (delay, parts)
+
+
+def test_cms_inner_product_exact_on_sparse_keys(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dedupe_ray.ops.sketch import cms_inner_product, cms_table
+
+    # few distinct keys + wide table -> no collisions -> est is EXACT
+    a = rd.from_arrow(pa.table({"k": pa.array([1, 1, 1, 2, 5], pa.int64())}))
+    b = rd.from_arrow(pa.table({"k": pa.array([1, 2, 2, 7], pa.int64())}))
+    out = cms_inner_product(
+        cms_table(a, "k", width=1024, depth=3),
+        cms_table(b, "k", width=1024, depth=3),
+        width=1024,
+        depth=3,
+    ).to_pandas()
+    # true join size: key1 3*1 + key2 1*2 = 5; keys 5,7 unmatched
+    assert out["sketch_row"].tolist() == [0, 1, 2]
+    assert (out["est"] == 5).all()
+    assert (out["dot"] >= 5).all()  # CMS rows only ever overestimate
