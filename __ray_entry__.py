@@ -6805,6 +6805,75 @@ def _q_events_orders_join_size(sf_dir: str):
     return cms_inner_product(sa, sb, width=256, depth=3)
 
 
+def _q_customer_geo_pairs(sf_dir: str):
+    """2-D grid proximity self-join (`joins.py grid_proximity_self_join`):
+    customer points on a deterministic micro-degree grid (Knuth-hash
+    coordinates, capped at custkey ≤ 2000 to keep the O(n²) oracle
+    tractable — the fuzzy_name_pairs doctrine), all pairs within
+    Euclidean radius 20000 via 4×-replicated grid cells with local
+    ownership dedup; exact int64 distance test, brute-force self-join
+    oracle."""
+    from dedupe_ray.joins import grid_proximity_self_join
+
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        ck = b.column("c_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = ck <= 2000
+        ck = ck[keep]
+        return pa.table(
+            {
+                "id": pa.array(ck),
+                "x": pa.array((ck * 2654435761) % 1000000),
+                "y": pa.array((ck * 2246822519) % 1000000),
+            }
+        )
+
+    return grid_proximity_self_join(
+        cust.map_batches(prep, batch_format="pyarrow"), "id", "x", "y", 20000
+    )
+
+
+def _q_customer_shards(sf_dir: str):
+    """Rendezvous / HRW consistent shard routing (`ops/tabular.py
+    rendezvous_assign`): customers assigned to 5 shards by
+    highest-random-weight hashing on the pinned affine family — the
+    minimal-disruption alternative to ``k % n`` (removing a shard moves
+    only its own keys; property unit-tested) — mirrored by a cross-join
+    + row_number argmax oracle."""
+    from dedupe_ray.ops.tabular import rendezvous_assign
+
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    return rendezvous_assign(cust, "c_custkey", [0, 1, 2, 3, 4])
+
+
+def _q_events_holt(sf_dir: str):
+    """Holt double exponential smoothing per user (`ops/tabular.py
+    grouped_holt_int`, α=γ=1/4): exact-integer level + trend recurrences
+    over cent-quantized event values in (ts, event_id) order — the
+    one-step forecasting state next to the EWMA, replayed row-by-row by
+    a recursive-CTE oracle (wrap-mod floor-div for sign safety; the
+    trend update reads the NEW level through a derived table)."""
+    from dedupe_ray.ops.tabular import grouped_holt_int
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+    return grouped_holt_int(ev, "user_id", "value", ["ts", "event_id"])
+
+
+def _q_cdc_chunks_docs(sf_dir: str):
+    """Content-defined chunking storage-dedup estimate (`ops/dedup.py
+    gear_cdc_chunk_table` + `cdc_dedup_summary`): documents split at
+    gear-hash content cuts (mean 64-byte chunks), chunk index keyed by
+    (md5-prefix, length), one bounded summary row with the dedup ratio
+    as exact total/uniq byte counts. No SQL oracle (the 64-term rolling
+    convolution isn't SQL); scalar-recurrence parity and layout
+    invariance are unit-tested."""
+    from dedupe_ray.ops.dedup import cdc_dedup_summary, gear_cdc_chunk_table
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return cdc_dedup_summary(gear_cdc_chunk_table(docs, "doc_id", "text"))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "er_clusters": _q_er_clusters,
@@ -7067,6 +7136,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_calibration": _q_order_calibration,
         "events_watermark": _q_events_watermark,
         "events_orders_join_size": _q_events_orders_join_size,
+        "customer_geo_pairs": _q_customer_geo_pairs,
+        "customer_shards": _q_customer_shards,
+        "events_holt": _q_events_holt,
+        "cdc_chunks_docs": _q_cdc_chunks_docs,
     }
 
 
@@ -12217,5 +12290,69 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(r AS BIGINT) AS sketch_row, dot,
                    (SELECT CAST(MIN(dot) AS BIGINT) FROM d) AS est
             FROM d ORDER BY 1
+        """,
+        # Holt: two interleaved integer recurrences; the trend row reads
+        # the NEW level through a derived table inside the recursive term
+        "events_holt": """
+            WITH RECURSIVE r AS MATERIALIZED (
+                SELECT user_id, ts, event_id,
+                       CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS x,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS rn
+                FROM events
+            ),
+            s AS (
+                SELECT user_id, ts, event_id, rn, x AS l,
+                       CAST(0 AS BIGINT) AS b
+                FROM r WHERE rn = 1
+                UNION ALL
+                SELECT user_id, ts, event_id, rn, l2,
+                       (((l2 - lp) + 3 * bp)
+                        - ((((l2 - lp) + 3 * bp) % 4) + 4) % 4) // 4
+                FROM (
+                    SELECT r.user_id, r.ts, r.event_id, r.rn,
+                           s.l AS lp, s.b AS bp,
+                           ((r.x + 3 * (s.l + s.b))
+                            - (((r.x + 3 * (s.l + s.b)) % 4) + 4) % 4) // 4
+                               AS l2
+                    FROM r JOIN s ON r.user_id = s.user_id
+                                 AND r.rn = s.rn + 1
+                )
+            )
+            SELECT user_id, ts, event_id,
+                   CAST(l AS BIGINT) AS level_c,
+                   CAST(b AS BIGINT) AS trend_c
+            FROM s
+        """,
+        # geo proximity: brute-force self-join on the capped slice with
+        # the identical exact-integer planar distance test
+        "customer_geo_pairs": """
+            WITH c AS MATERIALIZED (
+                SELECT c_custkey AS id,
+                       (c_custkey * 2654435761) % 1000000 AS x,
+                       (c_custkey * 2246822519) % 1000000 AS y
+                FROM customer WHERE c_custkey <= 2000
+            )
+            SELECT a.id AS id_a, b.id AS id_b
+            FROM c a JOIN c b ON b.id > a.id
+            WHERE (a.x - b.x) * (a.x - b.x)
+                  + (a.y - b.y) * (a.y - b.y) <= 400000000
+        """,
+        # HRW: argmax over the pinned affine hash, ties -> lowest shard
+        "customer_shards": """
+            WITH s(sh) AS (VALUES (0), (1), (2), (3), (4)),
+            h AS (
+                SELECT k.c_custkey, s.sh,
+                       (1103515245 * ((k.c_custkey * (s.sh + 2))
+                                      % 2147483647) + 12345)
+                       % 2147483647 AS hv
+                FROM customer k CROSS JOIN s
+            )
+            SELECT c_custkey, CAST(sh AS BIGINT) AS shard FROM (
+                SELECT c_custkey, sh,
+                       row_number() OVER (PARTITION BY c_custkey
+                                          ORDER BY hv DESC, sh) AS rn
+                FROM h
+            ) WHERE rn = 1
         """,
     }

@@ -504,3 +504,97 @@ def interval_overlap_self_join(
 
     exploded = ds.map_batches(explode, batch_format="pyarrow")
     return exploded.groupby("cell").map_groups(per_cell, batch_format="pyarrow")
+
+
+def grid_proximity_self_join(
+    ds: "ray.data.Dataset",
+    id_col: str,
+    x_col: str,
+    y_col: str,
+    radius: int,
+    max_cell_rows: int = 100_000,
+) -> "ray.data.Dataset":
+    """Distributed 2-D proximity SELF-join: all id pairs within Euclidean
+    distance ``radius`` on integer coordinates (micro-degrees, projected
+    meters), each pair exactly once with ``id_a < id_b`` — the
+    geo-blocking shape (nearby-store dedup, LatLong canopies) no
+    equi-join expresses. The distance test is exact int64
+    ``dx² + dy² <= radius²`` (no haversine float crosses a partition
+    boundary; at city scale the planar test IS the blocking predicate,
+    refine with :func:`dedupe_ray.distances.haversine_batch` downstream).
+
+    Partitioning (:func:`interval_overlap_self_join`'s grid doctrine in
+    2-D): with cell size = ``radius``, any qualifying pair has
+    component-wise cell gap <= 1 (``|dx| <= radius < 2·radius``), so the
+    pair's unique OWNER cell is ``(max(cx_a, cx_b), max(cy_a, cy_b))``
+    and each point reaches every possible owner through its FOUR
+    replicas ``(cx + a, cy + b), a, b ∈ {0, 1}`` — constant 4×
+    replication, one shuffle, cross-cell duplicates dropped locally by
+    the ownership test (no second dedup shuffle). Per cell the
+    candidate set is the triu over at most 4-cell-neighborhood
+    residents; a cell over ``max_cell_rows`` raises (pre-thin dense
+    hotspots upstream) rather than silently OOMing."""
+    import numpy as np
+
+    if radius <= 0:
+        raise ValueError("radius must be a positive integer")
+    r2 = radius * radius
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        x = t.column(x_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        y = t.column(y_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        cx = x // radius
+        cy = y // radius
+        n = len(ids)
+        idx = np.repeat(np.arange(n), 4)
+        a = np.tile(np.array([0, 0, 1, 1], np.int64), n)
+        b = np.tile(np.array([0, 1, 0, 1], np.int64), n)
+        # pack the 2-D cell into one shuffle key (coords bounded by
+        # int64 // radius, shifted to non-negative interleave-free halves)
+        cell = (cx[idx] + a) * np.int64(1 << 32) + (cy[idx] + b)
+        return pa.table(
+            {
+                "cell": pa.array(cell),
+                "pid": pa.array(ids[idx]),
+                "px": pa.array(x[idx]),
+                "py": pa.array(y[idx]),
+            }
+        )
+
+    def per_cell(g: pa.Table) -> pa.Table:
+        n = len(g)
+        empty = pa.table(
+            {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
+        )
+        if n < 2:
+            return empty
+        if n > max_cell_rows:
+            raise ValueError(
+                f"grid_proximity_self_join: cell with {n} points exceeds "
+                f"max_cell_rows={max_cell_rows}; pre-thin dense hotspots"
+            )
+        cell_id = int(g.column("cell")[0].as_py())
+        ids = g.column("pid").to_numpy(zero_copy_only=False).astype(np.int64)
+        x = g.column("px").to_numpy(zero_copy_only=False).astype(np.int64)
+        y = g.column("py").to_numpy(zero_copy_only=False).astype(np.int64)
+        iu, ju = np.triu_indices(n, k=1)
+        dx = x[iu] - x[ju]
+        dy = y[iu] - y[ju]
+        near = dx * dx + dy * dy <= r2
+        own_cell = (
+            np.maximum(x[iu] // radius, x[ju] // radius) * np.int64(1 << 32)
+            + np.maximum(y[iu] // radius, y[ju] // radius)
+        )
+        keep = near & (own_cell == cell_id) & (ids[iu] != ids[ju])
+        a = ids[iu[keep]]
+        b = ids[ju[keep]]
+        return pa.table(
+            {
+                "id_a": pa.array(np.minimum(a, b)),
+                "id_b": pa.array(np.maximum(a, b)),
+            }
+        )
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow")
+    return exploded.groupby("cell").map_groups(per_cell, batch_format="pyarrow")

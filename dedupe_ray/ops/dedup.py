@@ -2317,6 +2317,7 @@ def dedup_cascade(
     def loss_partial(t: pa.Table) -> pa.Table:
         import pandas as pd
 
+        # bounded: per-batch combiner partial (t is one map_batches block)
         df = pd.DataFrame({"component": t.column("component_id").to_pandas()})
         g = df.groupby("component").size().rename("n").reset_index()
         return pa.Table.from_pandas(g, preserve_index=False)
@@ -2350,3 +2351,150 @@ def dedup_cascade(
             "docs_out": pa.array([n1, n1 - near_removed], pa.int64()),
         }
     )
+
+
+# Gear table for content-defined chunking: pinned splitmix64-style mix of
+# the byte value — deterministic across processes, no RNG state.
+def _gear_table() -> np.ndarray:
+    z = (np.arange(256, dtype=np.uint64) + np.uint64(0x9E3779B97F4A7C15)) * np.uint64(
+        0xBF58476D1CE4E5B9
+    )
+    z ^= z >> np.uint64(27)
+    z *= np.uint64(0x94D049BB133111EB)
+    z ^= z >> np.uint64(31)
+    return z
+
+
+_GEAR = _gear_table()
+
+
+def gear_cdc_chunk_table(
+    ds: "ray.data.Dataset",
+    id_column: str = "doc_id",
+    text_column: str = "text",
+    mask_bits: int = 6,
+) -> "ray.data.Dataset":
+    """Content-defined chunking (the gear-hash family of LBFS/FastCDC —
+    storage-level dedup): each document's UTF-8 bytes split at positions
+    where the 64-byte rolling gear hash
+
+        h_t = Σ_{k=0..63} GEAR[b_{t−k}] << k   (mod 2⁶⁴)
+
+    has its low ``mask_bits`` bits zero and the position is ≥ 64 bytes
+    into the document (so the window never crosses a document start and
+    the cut points are a pure content function — insert a byte mid-file
+    and only the neighboring chunks change, the property fixed-size
+    blocks lack). Mean chunk ≈ 2^mask_bits bytes; no min-since-last-cut
+    suppression (pinned: boundaries are position-independent, which
+    keeps the operator embarrassingly parallel and layout-invariant).
+
+    The rolling hash is NOT a per-byte Python loop: per batch all
+    documents concatenate into one byte array and h computes as 64
+    shifted vectorized adds; window contamination across document joins
+    is impossible at any TESTED position because cuts below byte 64 are
+    suppressed. Chunks key by (md5-prefix int64, length) — the
+    persistable dedup index row — and the output table
+    (chunk_hash, length, n) is the mergeable storage-dedup state:
+    Σ length·n = corpus bytes, Σ length over rows = deduped bytes.
+    Output size is bounded by DISTINCT chunks (the index itself, same
+    scale class as inverted_index); summaries aggregate it further."""
+    import hashlib
+
+    from ray.data.aggregate import Sum
+
+    if mask_bits < 1 or mask_bits > 30:
+        raise ValueError("mask_bits must be in 1..30")
+    mask = np.uint64((1 << mask_bits) - 1)
+
+    def chunk_partial(t: pa.Table) -> pa.Table:
+        texts = [
+            (s or "").encode("utf-8") for s in t.column(text_column).to_pylist()
+        ]
+        if not texts:
+            return pa.table(
+                {
+                    "chunk_hash": pa.array([], pa.int64()),
+                    "length": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        lens = np.array([len(b) for b in texts], np.int64)
+        blob = np.frombuffer(b"".join(texts), np.uint8)
+        starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        g = _GEAR[blob]
+        h = np.zeros(len(blob), np.uint64)
+        for k in range(64):
+            if k >= len(blob):
+                break
+            h[k:] += g[: len(blob) - k] << np.uint64(k)
+        pos = np.arange(len(blob), dtype=np.int64)
+        doc_idx = np.searchsorted(starts, pos, side="right") - 1
+        pos_in_doc = pos - starts[doc_idx]
+        is_cut = ((h & mask) == 0) & (pos_in_doc >= 64)
+        # a cut at t ends the chunk AT t (exclusive); chunk boundaries per
+        # doc = [0, cuts..., len)
+        counts: dict[tuple[int, int], int] = {}
+        cut_pos = np.flatnonzero(is_cut)
+        cut_doc = doc_idx[cut_pos]
+        import numpy as _np
+
+        per_doc_cuts = {
+            int(d): pos_in_doc[cut_pos[cut_doc == d]]
+            for d in _np.unique(cut_doc)
+        }
+        for i, b in enumerate(texts):
+            bounds = [0, *map(int, per_doc_cuts.get(i, ())), len(b)]
+            for lo, hi in zip(bounds, bounds[1:]):
+                if hi <= lo:
+                    continue
+                piece = b[lo:hi]
+                h64 = int.from_bytes(
+                    hashlib.md5(piece).digest()[:8], "big", signed=True
+                )
+                key = (h64, hi - lo)
+                counts[key] = counts.get(key, 0) + 1
+        keys = list(counts)
+        return pa.table(
+            {
+                "chunk_hash": pa.array([k[0] for k in keys], pa.int64()),
+                "length": pa.array([k[1] for k in keys], pa.int64()),
+                "n": pa.array([counts[k] for k in keys], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(chunk_partial, batch_format="pyarrow")
+        .groupby(["chunk_hash", "length"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
+def cdc_dedup_summary(chunk_table: "ray.data.Dataset") -> pa.Table:
+    """Bounded reduce of :func:`gear_cdc_chunk_table`'s index: one row
+    (total_chunks, uniq_chunks, total_bytes, uniq_bytes) — the
+    storage-dedup ratio is total_bytes/uniq_bytes as an exact int pair
+    (the num/den doctrine)."""
+    from ray.data.aggregate import Sum
+
+    def stat_partial(t: pa.Table) -> pa.Table:
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        ln = t.column("length").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "total_chunks": pa.array([int(n.sum())], pa.int64()),
+                "uniq_chunks": pa.array([len(t)], pa.int64()),
+                "total_bytes": pa.array([int((n * ln).sum())], pa.int64()),
+                "uniq_bytes": pa.array([int(ln.sum())], pa.int64()),
+            }
+        )
+
+    agg = (
+        chunk_table.map_batches(stat_partial, batch_format="pyarrow")
+        .aggregate(
+            Sum("total_chunks", alias_name="total_chunks"),
+            Sum("uniq_chunks", alias_name="uniq_chunks"),
+            Sum("total_bytes", alias_name="total_bytes"),
+            Sum("uniq_bytes", alias_name="uniq_bytes"),
+        )
+    )
+    return pa.table({k: pa.array([int(v)], pa.int64()) for k, v in agg.items()})

@@ -1378,6 +1378,45 @@ def _grouped_window(
     )
 
 
+def rendezvous_assign(
+    ds: "ray.data.Dataset",
+    key_column: str,
+    shards: "list[int]",
+    out_column: str = "shard",
+) -> "ray.data.Dataset":
+    """Rendezvous / highest-random-weight (HRW) hashing (Thaler &
+    Ravishankar 1998) — the stable shard-routing rule consistent
+    systems use for cache/worker assignment:
+
+        shard(k) = argmax over s ∈ shards of
+                   h(k, s) = (1103515245 · ((k · (s + 2)) % P) + 12345) % P,
+                   P = 2³¹ − 1, ties → lowest shard id
+
+    with the MINIMAL-DISRUPTION property: removing a shard from the
+    candidate list reassigns ONLY the keys that mapped to it (every
+    other key's argmax is untouched) — unlike ``k % n``, which moves
+    (n−1)/n of all keys. The pinned affine family keeps h engine-exact,
+    so a SQL mirror (cross join keys × shards, row_number argmax)
+    hash-matches. Zero shuffle: per batch one [n, |shards|] hash matrix
+    and a numpy argmax (first-max == lowest-shard tiebreak). Keys must
+    be non-negative int64."""
+    import numpy as np
+
+    sh = np.asarray(sorted(set(shards)), np.int64)
+    if len(sh) == 0:
+        raise ValueError("shards must be non-empty")
+    P = np.int64((1 << 31) - 1)
+
+    def assign(b: pa.Table) -> pa.Table:
+        k = b.column(key_column).to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(k) and k.min() < 0:
+            raise ValueError("rendezvous keys must be non-negative integers")
+        h = (1103515245 * ((k[:, None] * (sh[None, :] + 2)) % P) + 12345) % P
+        return b.append_column(out_column, pa.array(sh[np.argmax(h, axis=1)]))
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
 def watermark_late_filter(
     ds: "ray.data.Dataset",
     key_column: str,
@@ -3273,6 +3312,97 @@ def grouped_ewma_int(
         ds.map_batches(bucketize, batch_format="pyarrow")
         .groupby("__wbkt")
         .map_groups(ewma, batch_format="pyarrow")
+    )
+
+
+def grouped_holt_int(
+    ds: "ray.data.Dataset",
+    key_column: str,
+    value_column: str,
+    order_columns: list[str],
+    alpha_num: int = 1,
+    alpha_den: int = 4,
+    gamma_num: int = 1,
+    gamma_den: int = 4,
+    cents: int = 100,
+    n_buckets: int = 256,
+) -> "ray.data.Dataset":
+    """Per-key Holt double exponential smoothing (level + trend — the
+    one-step forecasting primitive above :func:`grouped_ewma_int`) in
+    EXACT integer arithmetic: values quantize to cents once, then with
+    ``l₁ = x₁, b₁ = 0`` (pinned init) and floor-divisions throughout,
+
+        lᵢ = ⌊(α_num·xᵢ + (α_den−α_num)·(l_{i−1} + b_{i−1})) / α_den⌋
+        bᵢ = ⌊(γ_num·(lᵢ − l_{i−1}) + (γ_den−γ_num)·b_{i−1}) / γ_den⌋
+
+    so both state columns are order-free across layouts and a
+    recursive-CTE SQL mirror (wrap-mod floor-div for sign safety)
+    reproduces them bit-for-bit; the one-step-ahead forecast is
+    ``l + b`` in the same exact units. Same shape as the EWMA kernel:
+    ONE bucketed shuffle, recurrence sequential in TIME STEPS but
+    vectorized ACROSS keys (step-sliced gathers). Output: (key,
+    *order_columns, level_c, trend_c int64)."""
+    import numpy as np
+    import pandas as pd
+
+    a_n, a_d = int(alpha_num), int(alpha_den)
+    g_n, g_d = int(gamma_num), int(gamma_den)
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        vals = b.column(key_column).to_numpy(zero_copy_only=False)
+        bkt = (pd.util.hash_array(vals) % n_buckets).astype(np.int32)
+        return b.append_column("__wbkt", pa.array(bkt))
+
+    def holt(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["__wbkt"])
+        keys = g.column(key_column).to_numpy(zero_copy_only=False)
+        codes, _ = pd.factorize(keys)
+        sort_keys = tuple(
+            g.column(c).to_numpy(zero_copy_only=False) for c in reversed(order_columns)
+        ) + (codes,)
+        order = np.lexsort(sort_keys)
+        x = np.floor(
+            g.column(value_column).to_numpy(zero_copy_only=False).astype(np.float64)
+            * float(cents)
+            + 0.5
+        ).astype(np.int64)[order]
+        s_codes = codes[order]
+        n = len(order)
+        pos = np.arange(n, dtype=np.int64)
+        new_run = np.concatenate(([True], s_codes[1:] != s_codes[:-1]))
+        run_start = np.maximum.accumulate(np.where(new_run, pos, -1))
+        pos_in_run = pos - run_start
+        lvl = np.empty(n, np.int64)
+        trd = np.zeros(n, np.int64)
+        heads = pos_in_run == 0
+        lvl[heads] = x[heads]
+        by_step = np.argsort(pos_in_run, kind="stable")
+        step_sorted = pos_in_run[by_step]
+        bounds = np.searchsorted(step_sorted, np.arange(1, int(pos_in_run.max()) + 2))
+        lo = bounds[0]
+        for k in range(1, int(pos_in_run.max()) + 1):
+            hi = bounds[k]
+            sel = by_step[lo:hi]
+            lo = hi
+            if not len(sel):
+                break
+            lp = lvl[sel - 1]
+            bp = trd[sel - 1]
+            l_new = np.floor_divide(a_n * x[sel] + (a_d - a_n) * (lp + bp), a_d)
+            trd[sel] = np.floor_divide(g_n * (l_new - lp) + (g_d - g_n) * bp, g_d)
+            lvl[sel] = l_new
+        sel_arr = pa.array(order)
+        data = {key_column: pc.take(g.column(key_column), sel_arr)}
+        for c in order_columns:
+            data[c] = pc.take(g.column(c), sel_arr)
+        data["level_c"] = pa.array(lvl)
+        data["trend_c"] = pa.array(trd)
+        return pa.table(data)
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("__wbkt")
+        .map_groups(holt, batch_format="pyarrow")
     )
 
 

@@ -334,3 +334,36 @@ def test_bucketed_lookup_join_full_outer(ray_session):
     # right-only rows carry null left values except the key
     assert pd.isna(out.loc[4, "lv"]) and pd.isna(out.loc[5, "lv"])
     assert out.loc[4, "rv"] == 50 and out.loc[5, "rv"] == 60
+
+
+def test_grid_proximity_self_join_brute_force(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dedupe_ray.joins import grid_proximity_self_join
+
+    rng = np.random.default_rng(11)
+    n = 120
+    ids = np.arange(n, dtype=np.int64)
+    # mixed-sign coords + planted exact-radius pair (distance == r)
+    x = rng.integers(-500, 500, n)
+    y = rng.integers(-500, 500, n)
+    x[0], y[0], x[1], y[1] = 0, 0, 60, 80  # dist 100 == radius exactly
+    r = 100
+    tbl = pa.table({"id": ids, "x": pa.array(x, pa.int64()),
+                    "y": pa.array(y, pa.int64())})
+
+    expect = set()
+    for i in range(n):
+        for j in range(i + 1, n):
+            if (int(x[i] - x[j])) ** 2 + (int(y[i] - y[j])) ** 2 <= r * r:
+                expect.add((i, j))
+    assert (0, 1) in expect
+
+    for parts in (1, 4):
+        out = grid_proximity_self_join(
+            rd.from_arrow(tbl).repartition(parts), "id", "x", "y", r
+        ).to_pandas()
+        got = set(map(tuple, out[["id_a", "id_b"]].to_numpy()))
+        assert got == expect, parts

@@ -7816,3 +7816,152 @@ def test_cms_inner_product_exact_on_sparse_keys(ray_session):
     assert out["sketch_row"].tolist() == [0, 1, 2]
     assert (out["est"] == 5).all()
     assert (out["dot"] >= 5).all()  # CMS rows only ever overestimate
+
+
+def test_rendezvous_assign_minimal_disruption(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dedupe_ray.ops.tabular import rendezvous_assign
+
+    keys = pa.table({"k": pa.array(list(range(1, 500)), pa.int64())})
+    full = rendezvous_assign(
+        rd.from_arrow(keys), "k", [0, 1, 2, 3, 4]
+    ).to_pandas().set_index("k")["shard"]
+    # every shard gets some keys (sanity: the hash spreads)
+    assert set(full.unique()) == {0, 1, 2, 3, 4}
+    # remove shard 3: ONLY shard-3 keys move, everyone else is untouched
+    reduced = rendezvous_assign(
+        rd.from_arrow(keys), "k", [0, 1, 2, 4]
+    ).to_pandas().set_index("k")["shard"]
+    stay = full[full != 3]
+    assert (reduced.loc[stay.index] == stay).all()
+    assert (reduced.loc[full[full == 3].index] != 3).all()
+
+
+def test_grouped_holt_int_scalar_parity(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dedupe_ray.ops.tabular import grouped_holt_int
+
+    rng = np.random.default_rng(3)
+    keys, ords, vals = [], [], []
+    for k, n in [("a", 7), ("b", 1), ("c", 12)]:
+        keys += [k] * n
+        ords += list(range(n))
+        vals += (rng.uniform(-50, 50, n)).tolist()
+    tbl = pa.table({"k": keys, "o": pa.array(ords, pa.int64()),
+                    "v": pa.array(vals, pa.float64())})
+
+    def fd(a, d):
+        return (a - ((a % d) + d) % d) // d
+
+    expect = {}
+    for k in ("a", "b", "c"):
+        xs = [int(np.floor(v * 100 + 0.5))
+              for kk, v in zip(keys, vals) if kk == k]
+        l, b = xs[0], 0
+        expect[(k, 0)] = (l, b)
+        for i in range(1, len(xs)):
+            l2 = fd(1 * xs[i] + 3 * (l + b), 4)
+            b = fd(1 * (l2 - l) + 3 * b, 4)
+            l = l2
+            expect[(k, i)] = (l, b)
+
+    for parts in (1, 4):
+        out = grouped_holt_int(
+            rd.from_arrow(tbl).repartition(parts), "k", "v", ["o"]
+        ).to_pandas()
+        got = {(r["k"], r["o"]): (r["level_c"], r["trend_c"])
+               for _, r in out.iterrows()}
+        assert got == expect, parts
+
+
+def _cdc_reference_chunks(texts):
+    """Scalar gear recurrence reference: h = (h<<1) + GEAR[b] per byte,
+    cut when low mask bits zero and pos >= 64; returns chunk multiset."""
+    import hashlib
+    from collections import Counter
+
+    from dedupe_ray.ops.dedup import _GEAR
+
+    mask = (1 << 6) - 1
+    out = Counter()
+    for s in texts:
+        b = s.encode("utf-8")
+        h = 0
+        cuts = []
+        for t, byte in enumerate(b):
+            h = ((h << 1) + int(_GEAR[byte])) & ((1 << 64) - 1)
+            if (h & mask) == 0 and t >= 64:
+                cuts.append(t)
+        bounds = [0, *cuts, len(b)]
+        for lo, hi in zip(bounds, bounds[1:]):
+            if hi > lo:
+                piece = b[lo:hi]
+                h64 = int.from_bytes(hashlib.md5(piece).digest()[:8], "big",
+                                     signed=True)
+                out[(h64, hi - lo)] += 1
+    return out
+
+
+def test_gear_cdc_chunk_table_scalar_parity(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dedupe_ray.ops.dedup import cdc_dedup_summary, gear_cdc_chunk_table
+
+    rng = np.random.default_rng(5)
+    alphabet = "abcdefgh \n"
+    texts = [
+        "".join(rng.choice(list(alphabet), size=int(n)))
+        for n in rng.integers(0, 600, 40)
+    ]
+    texts.append(texts[0])  # exact duplicate: all its chunks dedup away
+    ref = _cdc_reference_chunks(texts)
+
+    tbl = pa.table({"doc_id": [f"d{i}" for i in range(len(texts))],
+                    "text": texts})
+    for parts in (1, 5):
+        out = gear_cdc_chunk_table(
+            rd.from_arrow(tbl).repartition(parts), "doc_id", "text"
+        ).to_pandas()
+        got = {(r["chunk_hash"], r["length"]): r["n"]
+               for _, r in out.iterrows()}
+        assert got == dict(ref), parts
+
+    summ = cdc_dedup_summary(
+        gear_cdc_chunk_table(rd.from_arrow(tbl), "doc_id", "text")
+    ).to_pandas()
+    assert summ["total_bytes"][0] == sum(len(t.encode()) for t in texts)
+    assert summ["uniq_chunks"][0] == len(ref)
+    assert summ["uniq_bytes"][0] == sum(ln for (_, ln) in ref)
+    assert summ["total_chunks"][0] == sum(ref.values())
+    # the duplicated doc guarantees real dedup happened
+    assert summ["uniq_bytes"][0] < summ["total_bytes"][0]
+
+
+def test_gear_cdc_edit_locality(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dedupe_ray.ops.dedup import gear_cdc_chunk_table
+
+    import numpy as np
+
+    rng = np.random.default_rng(9)
+    # aperiodic text: a periodic string can cycle without ever hitting a
+    # cut (the 44-byte-period trap) — random bytes cut every ~64 bytes
+    base = "".join(rng.choice(list("abcdefghijklmnop qrstuv"), size=4000))
+    edited = base[:2000] + "X" + base[2000:]  # one inserted byte mid-doc
+    t1 = pa.table({"doc_id": ["a"], "text": [base]})
+    t2 = pa.table({"doc_id": ["a"], "text": [edited]})
+    c1 = gear_cdc_chunk_table(rd.from_arrow(t1)).to_pandas()
+    c2 = gear_cdc_chunk_table(rd.from_arrow(t2)).to_pandas()
+    s1 = set(zip(c1["chunk_hash"], c1["length"]))
+    s2 = set(zip(c2["chunk_hash"], c2["length"]))
+    # content-defined cuts resynchronize: most chunks survive the edit
+    assert len(s1 & s2) >= len(s1) * 0.5
