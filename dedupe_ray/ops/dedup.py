@@ -2317,8 +2317,10 @@ def dedup_cascade(
     def loss_partial(t: pa.Table) -> pa.Table:
         import pandas as pd
 
-        # bounded: per-batch combiner partial (t is one map_batches block)
-        df = pd.DataFrame({"component": t.column("component_id").to_pandas()})
+        # bounded: t is one map_batches block (per-batch combiner partial)
+        df = pd.DataFrame(
+            {"component": t.column("component_id").to_pandas()}  # bounded: block
+        )
         g = df.groupby("component").size().rename("n").reset_index()
         return pa.Table.from_pandas(g, preserve_index=False)
 
