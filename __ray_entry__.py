@@ -6874,6 +6874,62 @@ def _q_cdc_chunks_docs(sf_dir: str):
     return cdc_dedup_summary(gear_cdc_chunk_table(docs, "doc_id", "text"))
 
 
+def _q_customer_name_jw(sf_dir: str):
+    """Jaro–Winkler blocked name matching (`distances.py
+    jaro_winkler_batch` — the Splink-default comparator, bit-identical
+    to DuckDB's jaro_winkler_similarity by construction): custkey//50
+    blocks (capped slice), within-block triu pairs, keep jw ≥ 0.975 —
+    raw doubles cross the engine boundary safely because both sides
+    evaluate the identical IEEE expression chain."""
+    from dedupe_ray.distances import jaro_winkler_batch
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        ck = b.column("c_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = ck <= 3000
+        return pa.table(
+            {
+                "id": pa.array(ck[keep]),
+                "nm": b.column("c_name").filter(pa.array(keep)),
+                "blk": pa.array(ck[keep] // 50),
+            }
+        )
+
+    def per_block(g: pa.Table) -> pa.Table:
+        n = len(g)
+        empty = pa.table(
+            {
+                "id_a": pa.array([], pa.int64()),
+                "id_b": pa.array([], pa.int64()),
+                "jw": pa.array([], pa.float64()),
+            }
+        )
+        if n < 2:
+            return empty
+        order = np.argsort(g.column("id").to_numpy(zero_copy_only=False))
+        ids = g.column("id").to_numpy(zero_copy_only=False)[order]
+        nms = [g.column("nm")[int(i)].as_py() for i in order]
+        iu, ju = np.triu_indices(n, k=1)
+        from dedupe_ray.distances import jaro_winkler_batch as jwb
+
+        jw = jwb([nms[i] for i in iu], [nms[j] for j in ju])
+        keep = jw >= 0.975
+        return pa.table(
+            {
+                "id_a": pa.array(ids[iu[keep]]),
+                "id_b": pa.array(ids[ju[keep]]),
+                "jw": pa.array(jw[keep]),
+            }
+        )
+
+    return (
+        cust.map_batches(prep, batch_format="pyarrow")
+        .groupby("blk")
+        .map_groups(per_block, batch_format="pyarrow")
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "er_clusters": _q_er_clusters,
@@ -7140,6 +7196,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_shards": _q_customer_shards,
         "events_holt": _q_events_holt,
         "cdc_chunks_docs": _q_cdc_chunks_docs,
+        "customer_name_jw": _q_customer_name_jw,
     }
 
 
@@ -12290,6 +12347,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(r AS BIGINT) AS sketch_row, dot,
                    (SELECT CAST(MIN(dot) AS BIGINT) FROM d) AS est
             FROM d ORDER BY 1
+        """,
+        # Jaro-Winkler: both engines evaluate the identical IEEE chain,
+        # so raw doubles hash-match (verified bit-exact on 3k fuzzed pairs)
+        "customer_name_jw": """
+            WITH c AS MATERIALIZED (
+                SELECT c_custkey AS id, c_name AS nm, c_custkey // 50 AS blk
+                FROM customer WHERE c_custkey <= 3000
+            )
+            SELECT a.id AS id_a, b.id AS id_b,
+                   jaro_winkler_similarity(a.nm, b.nm) AS jw
+            FROM c a JOIN c b ON b.blk = a.blk AND b.id > a.id
+            WHERE jaro_winkler_similarity(a.nm, b.nm) >= 0.975
         """,
         # Holt: two interleaved integer recurrences; the trend row reads
         # the NEW level through a derived table inside the recursive term

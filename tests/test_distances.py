@@ -245,3 +245,58 @@ def test_jaro_winkler_batch_goldens():
     # classic Winkler example: jaro 0.944..., prefix 3 → 0.9611...
     assert math.isclose(got[0], 0.9611111111111111)
     assert got[1] == 1.0
+
+
+def test_jaro_winkler_pinned_vectors():
+    import numpy as np
+
+    from dedupe_ray.distances import jaro_batch, jaro_winkler_batch
+
+    a = ["MARTHA", "DIXON", "DWAYNE", "CRATE", "abc", "", "a"]
+    b = ["MARHTA", "DICKSONX", "DUANE", "TRACE", "abc", "", "b"]
+    j = jaro_batch(a, b)
+    jw = jaro_winkler_batch(a, b)
+    # classic Winkler-paper vectors (also DuckDB's values, bit-exact)
+    assert np.allclose(j, [0.9444444444444445, 0.7666666666666666,
+                           0.8222222222222223, 0.7333333333333334,
+                           1.0, 0.0, 0.0], rtol=0, atol=0)
+    assert np.allclose(jw, [0.9611111111111111, 0.8133333333333332,
+                            0.8400000000000001, 0.7333333333333334,
+                            1.0, 0.0, 0.0], rtol=0, atol=0)
+    # boost only above 0.7: CRATE/TRACE has prefix 0 -> unchanged;
+    # sub-threshold jaro never boosts even with a shared prefix
+    low = jaro_winkler_batch(["abcdxxxxxx"], ["abcdyyyyyyzzzzzzzz"])
+    lowj = jaro_batch(["abcdxxxxxx"], ["abcdyyyyyyzzzzzzzz"])
+    if lowj[0] <= 0.7:
+        assert low[0] == lowj[0]
+
+
+def test_jaro_winkler_matches_duckdb_fuzz():
+    """The oracle contract: bit-identical doubles vs DuckDB on fuzzed
+    pairs (the customer_name_jw query hashes raw jw values)."""
+    import duckdb
+    import numpy as np
+
+    from dedupe_ray.distances import jaro_winkler_batch
+
+    rng = np.random.default_rng(21)
+    alpha = list("abcdef #123")
+    pairs = []
+    for _ in range(400):
+        s = "".join(rng.choice(alpha, rng.integers(0, 14)))
+        t = list(s)
+        for _ in range(rng.integers(0, 4)):
+            if not t:
+                break
+            p = int(rng.integers(0, len(t)))
+            t[p] = str(rng.choice(alpha))
+        pairs.append((s, "".join(t)))
+    con = duckdb.connect()
+    want = [
+        con.execute(
+            "select jaro_winkler_similarity(?, ?)", [s, t]
+        ).fetchone()[0]
+        for s, t in pairs
+    ]
+    got = jaro_winkler_batch([p[0] for p in pairs], [p[1] for p in pairs])
+    assert got.tolist() == want
