@@ -6930,6 +6930,36 @@ def _q_customer_name_jw(sf_dir: str):
     )
 
 
+def _q_webdataset_roundtrip(sf_dir: str):
+    """WebDataset tar-shard source/sink fidelity (`sources.py
+    write_webdataset/read_webdataset` — the multimodal training layout:
+    one member per field, samples contiguous per shard): documents
+    written as deterministic USTAR shards and read back must be
+    value-identical to the parquet original on the member columns."""
+    import hashlib
+
+    from dedupe_ray.sources import read_webdataset, write_webdataset
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    out = "/tmp/dedupe_ray_wds_" + hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    write_webdataset(docs, out, "doc_id", ["text", "lang"])
+    return read_webdataset(out + "/", ["text", "lang"])
+
+
+def _q_jsonl_bz2_roundtrip(sf_dir: str):
+    """Bzip2-JSONL source/sink fidelity (``*.jsonl.bz2`` — Pushshift-
+    style dumps): documents written as bz2 JSONL shards and read back
+    must be value-identical to the parquet original."""
+    import hashlib
+
+    from dedupe_ray.sources import read_jsonl_bz2, write_jsonl_bz2
+
+    docs = _read(sf_dir, "documents")
+    out = "/tmp/dedupe_ray_jsonlbz2_" + hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    write_jsonl_bz2(docs, out)
+    return read_jsonl_bz2(out)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "er_clusters": _q_er_clusters,
@@ -7197,6 +7227,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_holt": _q_events_holt,
         "cdc_chunks_docs": _q_cdc_chunks_docs,
         "customer_name_jw": _q_customer_name_jw,
+        "webdataset_roundtrip": _q_webdataset_roundtrip,
+        "jsonl_bz2_roundtrip": _q_jsonl_bz2_roundtrip,
     }
 
 
@@ -7935,6 +7967,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "jsonl_zst_roundtrip": """
             SELECT doc_id, text, lang, source, n_chars FROM documents
+        """,
+        "jsonl_bz2_roundtrip": """
+            SELECT doc_id, text, lang, source, n_chars FROM documents
+        """,
+        "webdataset_roundtrip": """
+            SELECT CAST(doc_id AS VARCHAR) AS "__key__", text, lang
+            FROM documents
         """,
         "frequent_tokens": r"""
             WITH toks AS (

@@ -946,3 +946,140 @@ def append_parquet_manifest(
         json.dump(manifest, f, indent=1)
     os.replace(tmp, os.path.join(path, "manifest.json"))
     return version
+
+
+def write_webdataset(
+    ds: "ray.data.Dataset",
+    path: str,
+    key_column: str,
+    columns: list[str],
+    binary_columns: set[str] | None = None,
+) -> None:
+    """WebDataset-style tar-shard sink (the multimodal training-data
+    layout: one tar per shard, one member per field named
+    ``{key}.{column}``, samples contiguous so a sequential reader
+    streams whole examples): each block writes one ``.tar`` via the
+    shared tmp-dir + atomic-rename contract. Tar bytes are
+    deterministic — USTAR format, mtime/uid/gid pinned to 0, empty
+    uname/gname — so identical content produces identical shards
+    (resumable/idempotent). String columns encode UTF-8; columns in
+    ``binary_columns`` write raw bytes. Null cells write no member and
+    read back as null."""
+    import io
+    import tarfile
+
+    bset = binary_columns or set()
+
+    def shard(t: pa.Table, p: str) -> None:
+        keys = [str(k) for k in t.column(key_column).to_pylist()]
+        cols = {c: t.column(c).to_pylist() for c in columns}
+        with tarfile.open(p, "w", format=tarfile.USTAR_FORMAT) as tf:
+            for i, k in enumerate(keys):
+                for c in columns:
+                    v = cols[c][i]
+                    if v is None:
+                        continue
+                    payload = v if c in bset else str(v).encode("utf-8")
+                    info = tarfile.TarInfo(name=f"{k}.{c}")
+                    info.size = len(payload)
+                    info.mtime = 0
+                    info.uid = info.gid = 0
+                    info.uname = info.gname = ""
+                    tf.addfile(info, io.BytesIO(payload))
+
+    _write_sharded(ds, path, "tar", shard)
+
+
+def read_webdataset(
+    paths: list[str] | str,
+    columns: list[str],
+    binary_columns: set[str] | None = None,
+) -> "ray.data.Dataset":
+    """WebDataset tar-shard source: one parse task per shard over
+    ``ray.data.read_binary_files``; members group by their ``{key}.{col}``
+    name (split on the LAST dot — keys may contain dots), one row per
+    key with ``__key__`` (the WebDataset convention) plus the requested
+    columns; missing members are null. Keys keep the order of first
+    appearance within a shard (samples are contiguous by the sink
+    contract)."""
+    import io
+    import tarfile
+
+    bset = binary_columns or set()
+    want = set(columns)
+
+    def decode(b: pa.Table) -> pa.Table:
+        rows: dict[str, dict[str, object]] = {}
+        order: list[str] = []
+        for buf in b.column("bytes"):
+            with tarfile.open(fileobj=io.BytesIO(buf.as_py())) as tf:
+                for m in tf.getmembers():
+                    if not m.isfile() or "." not in m.name:
+                        continue
+                    key, col = m.name.rsplit(".", 1)
+                    if col not in want:
+                        continue
+                    raw = tf.extractfile(m).read()
+                    if key not in rows:
+                        rows[key] = {}
+                        order.append(key)
+                    rows[key][col] = raw if col in bset else raw.decode("utf-8")
+        data: dict[str, pa.Array] = {
+            "__key__": pa.array(order, pa.string())
+        }
+        for c in columns:
+            vals = [rows[k].get(c) for k in order]
+            data[c] = pa.array(
+                vals, pa.binary() if c in bset else pa.string()
+            )
+        return pa.table(data)
+
+    return ray.data.read_binary_files(paths).map_batches(
+        decode, batch_format="pyarrow"
+    )
+
+
+def read_jsonl_bz2(
+    paths: list[str] | str, columns: list[str] | None = None
+) -> "ray.data.Dataset":
+    """Bzip2-compressed JSONL source (``*.jsonl.bz2`` — Pushshift-style
+    dumps): same shape as :func:`read_jsonl_gz` — one decode task per
+    file, stdlib bz2 + pyarrow JSON parse. The 'BZh' magic check keeps
+    renamed or transparently-inflated bytes working either way."""
+    import bz2
+
+    from pyarrow import json as pa_json
+
+    ds = ray.data.read_binary_files(paths)
+
+    def decode(b: pa.Table) -> pa.Table:
+        tables = []
+        for buf in b.column("bytes"):
+            raw = buf.as_py()
+            if raw[:3] == b"BZh":
+                raw = bz2.decompress(raw)
+            t = pa_json.read_json(pa.BufferReader(raw))
+            if columns is not None:
+                t = t.select(columns)
+            tables.append(t)
+        return pa.concat_tables(tables, promote_options="default")
+
+    return ds.map_batches(decode, batch_format="pyarrow")
+
+
+def write_jsonl_bz2(ds: "ray.data.Dataset", path: str) -> None:
+    """Bzip2 JSONL sink: one ``.jsonl.bz2`` shard per block (bz2 frames
+    carry no timestamp — identical content compresses to identical
+    bytes), tmp-dir + atomic rename."""
+    import bz2
+
+    def shard(t: pa.Table, p: str) -> None:
+        payload = t.to_pandas().to_json(
+            orient="records", lines=True, force_ascii=False, date_format="iso"
+        )
+        if not payload.endswith("\n"):
+            payload += "\n"
+        with open(p, "wb") as f:
+            f.write(bz2.compress(payload.encode()))
+
+    _write_sharded(ds, path, "jsonl.bz2", shard)

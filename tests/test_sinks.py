@@ -220,3 +220,58 @@ def test_fixed_width_roundtrip_edges(ray_session):
         write_fixed_width(
             rd.from_pandas(pd.DataFrame({"k": [1], "s": ["123456789"]})), out, widths
         )
+
+
+def test_webdataset_roundtrip_unit(ray_session, tmp_path):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dedupe_ray.sources import read_webdataset, write_webdataset
+
+    tbl = pa.table(
+        {
+            "k": ["a", "b.with.dots", "c"],  # keys may contain dots
+            "txt": ["héllo\nworld", None, "plain"],  # unicode + null
+            "img": pa.array([b"\x89PNG\x00raw", b"", None], pa.binary()),
+        }
+    )
+    out = str(tmp_path / "wds")
+    write_webdataset(
+        rd.from_arrow(tbl).repartition(2), out, "k", ["txt", "img"],
+        binary_columns={"img"},
+    )
+    got = (
+        read_webdataset(out + "/", ["txt", "img"], binary_columns={"img"})
+        .to_pandas()
+        .sort_values("__key__")
+        .reset_index(drop=True)
+    )
+    assert got["__key__"].tolist() == ["a", "b.with.dots", "c"]
+    assert got["txt"].tolist()[0] == "héllo\nworld"
+    assert got["txt"].isna().tolist() == [False, True, False]
+    assert got["img"].tolist()[0] == b"\x89PNG\x00raw"
+    assert got["img"].tolist()[1] == b""
+    assert got["img"].isna().tolist() == [False, False, True]
+
+
+def test_webdataset_shards_are_deterministic(ray_session, tmp_path):
+    import hashlib
+    import os
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dedupe_ray.sources import write_webdataset
+
+    tbl = pa.table({"k": ["x", "y"], "t": ["1", "2"]})
+
+    def digest(d):
+        h = hashlib.sha256()
+        for f in sorted(os.listdir(d)):
+            h.update(open(os.path.join(d, f), "rb").read())
+        return h.hexdigest()
+
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    write_webdataset(rd.from_arrow(tbl), a, "k", ["t"])
+    write_webdataset(rd.from_arrow(tbl), b, "k", ["t"])
+    assert digest(a) == digest(b)  # mtime/uid pinned -> identical bytes
