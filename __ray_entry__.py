@@ -6960,6 +6960,47 @@ def _q_jsonl_bz2_roundtrip(sf_dir: str):
     return read_jsonl_bz2(out)
 
 
+def _q_order_pr_curve(sf_dir: str):
+    """Full precision–recall threshold sweep in ONE pass (`eval.py
+    pr_curve_stats`): per distinct milli-prob score value, exact int64
+    tp/fp/fn/tn for the urgent-priority label (precision/recall are
+    rationals of these — the num/den doctrine), mirrored by a
+    cumulative-window oracle over per-value counts."""
+    from dedupe_ray.eval import pr_curve_stats
+
+    orders = _read(sf_dir, "orders", ["o_totalprice", "o_orderpriority"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        p = b.column("o_totalprice").to_numpy(zero_copy_only=False)
+        cents = np.floor(p * 100.0 + 0.5).astype(np.int64)
+        pri = b.column("o_orderpriority").to_pylist()
+        y = np.array(
+            [1 if s in ("1-URGENT", "2-HIGH") else 0 for s in pri], np.int64
+        )
+        return pa.table({"score": pa.array(cents % 1000), "y": pa.array(y)})
+
+    return pr_curve_stats(
+        orders.map_batches(prep, batch_format="pyarrow"), "score", "y"
+    )
+
+
+def _q_l_diverse_customers(sf_dir: str):
+    """l-diversity release gate (`ops/tabular.py l_diversity_suppress`,
+    l=4): customers in nations carrying <4 distinct market segments are
+    suppressed — the sensitive-attribute gate ABOVE k-anonymity (a
+    k-anonymous group with one shared segment still leaks). Distinct
+    (qi, sensitive) combiner + bounded groupby + one bucketed
+    semi-join; HAVING COUNT(DISTINCT) oracle."""
+    from dedupe_ray.ops.tabular import l_diversity_suppress
+
+    cust = _read(
+        sf_dir,
+        "customer",
+        ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"],
+    )
+    return l_diversity_suppress(cust, ["c_nationkey"], "c_mktsegment", l=4)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "er_clusters": _q_er_clusters,
@@ -7229,6 +7270,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_name_jw": _q_customer_name_jw,
         "webdataset_roundtrip": _q_webdataset_roundtrip,
         "jsonl_bz2_roundtrip": _q_jsonl_bz2_roundtrip,
+        "order_pr_curve": _q_order_pr_curve,
+        "l_diverse_customers": _q_l_diverse_customers,
     }
 
 
@@ -12386,6 +12429,50 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(r AS BIGINT) AS sketch_row, dot,
                    (SELECT CAST(MIN(dot) AS BIGINT) FROM d) AS est
             FROM d ORDER BY 1
+        """,
+        # PR curve: cumulative window over per-value counts, top-down
+        "order_pr_curve": """
+            WITH v AS MATERIALIZED (
+                SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) % 1000
+                           AS p,
+                       CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END AS y
+                FROM orders
+            ),
+            c AS (
+                SELECT p AS threshold, CAST(SUM(y) AS BIGINT) AS pv,
+                       CAST(COUNT(*) - SUM(y) AS BIGINT) AS nv
+                FROM v GROUP BY 1
+            ),
+            t AS (
+                SELECT threshold,
+                       CAST(SUM(pv) OVER (ORDER BY threshold DESC)
+                            AS BIGINT) AS tp,
+                       CAST(SUM(nv) OVER (ORDER BY threshold DESC)
+                            AS BIGINT) AS fp
+                FROM c
+            ),
+            tot AS (
+                SELECT CAST(SUM(y) AS BIGINT) AS tp_all,
+                       CAST(COUNT(*) - SUM(y) AS BIGINT) AS fp_all
+                FROM v
+            )
+            SELECT threshold, tp, fp,
+                   (SELECT tp_all FROM tot) - tp AS fn,
+                   (SELECT fp_all FROM tot) - fp AS tn
+            FROM t
+        """,
+        # l-diversity: HAVING COUNT(DISTINCT sensitive) >= l semi-join
+        "l_diverse_customers": """
+            WITH g AS (
+                SELECT c_nationkey FROM customer
+                GROUP BY 1
+                HAVING COUNT(DISTINCT c_mktsegment) >= 4
+            )
+            SELECT c.c_custkey, c.c_name, c.c_nationkey, c.c_acctbal,
+                   c.c_mktsegment
+            FROM customer c
+            WHERE c.c_nationkey IN (SELECT c_nationkey FROM g)
         """,
         # Jaro-Winkler: both engines evaluate the identical IEEE chain,
         # so raw doubles hash-match (verified bit-exact on 3k fuzzed pairs)

@@ -561,3 +561,66 @@ def calibration_report(
             "brier_num": pa.array(merged["brier_num"].astype("int64")),
         }
     )
+
+
+def pr_curve_stats(
+    ds,
+    score_column: str,
+    label_column: str,
+) -> pa.Table:
+    """Precision–recall / ROC operating points from exact integer
+    sufficient statistics: for every distinct score value v (predicting
+    positive iff score ≥ v),
+
+        tp(v) = Σ_{s≥v} p_s,  fp(v) = Σ_{s≥v} n_s,
+        fn(v) = P − tp(v),    tn(v) = N − fp(v)
+
+    so precision = tp/(tp+fp) and recall = tp/P are exact rationals of
+    the emitted int64s (the num/den doctrine — no float crosses the
+    engine boundary) and the full threshold sweep costs ONE pass: the
+    same per-value (p_v, n_v) combiner table as :func:`rank_auc_stats`,
+    cumulated from the top. Scores must be integers (quantize upstream);
+    output is bounded by distinct score values — bucket a continuous
+    score first at corpus scale. Output: (threshold, tp, fp, fn, tn)
+    sorted by threshold descending."""
+    import numpy as np
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        lab = b.column(label_column).to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(lab) and (lab.min() < 0 or lab.max() > 1):
+            raise ValueError(f"{label_column} must be binary 0/1")
+        df = pd.DataFrame(
+            {
+                "threshold": b.column(score_column)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64),
+                "p": lab,
+                "n": 1 - lab,
+            }
+        )
+        return pa.Table.from_pandas(
+            df.groupby("threshold", as_index=False).sum(), preserve_index=False
+        )
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("threshold")
+        .aggregate(Sum("p", alias_name="p"), Sum("n", alias_name="n"))
+        .to_pandas()  # bounded: one row per distinct score value
+        .sort_values("threshold", ascending=False, ignore_index=True)
+    )
+    tp = counts["p"].to_numpy(np.int64).cumsum()
+    fp = counts["n"].to_numpy(np.int64).cumsum()
+    P, N = int(tp[-1]) if len(tp) else 0, int(fp[-1]) if len(fp) else 0
+    return pa.table(
+        {
+            "threshold": pa.array(counts["threshold"].astype("int64")),
+            "tp": pa.array(tp),
+            "fp": pa.array(fp),
+            "fn": pa.array(P - tp),
+            "tn": pa.array(N - fp),
+        }
+    )

@@ -3730,6 +3730,73 @@ def transition_counts(
     )
 
 
+def _composite_key(t: pa.Table, cols: list[str]) -> pa.Array:
+    """Null-safe composite string key over ``cols`` (shared by the
+    k-anonymity / l-diversity release gates): NULLs group together via a
+    sentinel that cannot appear in cast output, parts join on 0x1f."""
+    parts = [
+        pc.fill_null(pc.cast(t.column(c), pa.string()), "\x00null") for c in cols
+    ]
+    joined = parts[0] if len(parts) == 1 else pc.binary_join_element_wise(
+        *parts, "\x1f"
+    )
+    return joined.combine_chunks() if isinstance(
+        joined, pa.ChunkedArray
+    ) else joined
+
+
+def l_diversity_suppress(
+    ds: "ray.data.Dataset",
+    qi_columns: list[str],
+    sensitive_column: str,
+    l: int,
+) -> "ray.data.Dataset":
+    """l-diversity by suppression (Machanavajjhala 2007) — the gate
+    ABOVE k-anonymity: drop every row whose quasi-identifier group
+    carries fewer than ``l`` DISTINCT sensitive values, so group
+    membership never narrows the sensitive attribute to <l candidates
+    (a k-anonymous group where everyone shares one diagnosis still
+    leaks; this catches it). NULL handling and composite-key semantics
+    match :func:`k_anonymize_suppress` (shared helper); the sensitive
+    column's NULL counts as one value.
+
+    Shape: per-batch DISTINCT (qi, sensitive) pairs → one groupby over
+    the pair table (bounded by |distinct qi|·|distinct sensitive|) →
+    per-qi distinct counts → ≥l filter → one bucketed semi-join of the
+    corpus. Rows shuffle once."""
+    from ray.data.aggregate import Count
+
+    from dedupe_ray.joins import bucketed_lookup_join
+
+    def pair_partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "__qi": _composite_key(b, qi_columns),
+                "__sv": _composite_key(b, [sensitive_column]),
+            }
+        )
+        return t.group_by(["__qi", "__sv"]).aggregate([])
+
+    groups = (
+        ds.map_batches(pair_partial, batch_format="pyarrow")
+        .groupby(["__qi", "__sv"])
+        .count()  # global distinct pairs
+        .groupby("__qi")
+        .aggregate(Count(alias_name="ndist"))
+        .filter(expr=f"ndist >= {int(l)}")
+        .map_batches(lambda t: t.select(["__qi"]), batch_format="pyarrow")
+    )
+
+    tagged = ds.map_batches(
+        lambda b: b.append_column("__qi", _composite_key(b, qi_columns)),
+        batch_format="pyarrow",
+    )
+    kept = bucketed_lookup_join(tagged, groups, "__qi", "__qi", [])
+    return kept.map_batches(
+        lambda t: t.drop_columns(["__qi"]), batch_format="pyarrow"
+    )
+
+
 def k_anonymize_suppress(
     ds: "ray.data.Dataset",
     qi_columns: list[str],

@@ -7965,3 +7965,49 @@ def test_gear_cdc_edit_locality(ray_session):
     s2 = set(zip(c2["chunk_hash"], c2["length"]))
     # content-defined cuts resynchronize: most chunks survive the edit
     assert len(s1 & s2) >= len(s1) * 0.5
+
+
+def test_l_diversity_suppress_hand_case(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dedupe_ray.ops.tabular import l_diversity_suppress
+
+    tbl = pa.table(
+        {
+            "qi": ["a", "a", "a", "b", "b", "c", "c"],
+            "sens": ["x", "y", "x", "x", "x", "y", None],
+            "v": pa.array(range(7), pa.int64()),
+        }
+    )
+    # distinct sens per qi: a -> {x,y}=2, b -> {x}=1, c -> {y,NULL}=2
+    out = l_diversity_suppress(
+        rd.from_arrow(tbl).repartition(3), ["qi"], "sens", l=2
+    ).to_pandas()
+    assert sorted(out["qi"].unique()) == ["a", "c"]  # b leaks: suppressed
+    assert len(out) == 5
+    # NULL sensitive counts as ONE value (c survives because of it)
+
+
+def test_pr_curve_stats_hand_case(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dedupe_ray.eval import pr_curve_stats
+
+    # scores: 3(y=1), 2(y=0), 2(y=1), 1(y=0)
+    tbl = pa.table(
+        {
+            "s": pa.array([3, 2, 2, 1], pa.int64()),
+            "y": pa.array([1, 0, 1, 0], pa.int64()),
+        }
+    )
+    for parts in (1, 2):
+        out = pr_curve_stats(
+            rd.from_arrow(tbl).repartition(parts), "s", "y"
+        ).to_pandas()
+        assert out["threshold"].tolist() == [3, 2, 1]
+        assert out["tp"].tolist() == [1, 2, 2]
+        assert out["fp"].tolist() == [0, 1, 2]
+        assert out["fn"].tolist() == [1, 0, 0]
+        assert out["tn"].tolist() == [2, 1, 0]
