@@ -7001,6 +7001,45 @@ def _q_l_diverse_customers(sf_dir: str):
     return l_diversity_suppress(cust, ["c_nationkey"], "c_mktsegment", l=4)
 
 
+def _q_priority_vocab_codes(sf_dir: str):
+    """Frequency-ordered label encoding (`ops/tabular.py
+    fit_category_vocab` + `apply_category_vocab`): order priorities get
+    contiguous codes by count DESC / value ASC, broadcast-applied to
+    every order with zero shuffle — the feature-store encode step,
+    mirrored by a row_number-over-counts + join oracle."""
+    from dedupe_ray.ops.tabular import apply_category_vocab, fit_category_vocab
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    vocab = fit_category_vocab(orders, "o_orderpriority")
+    return apply_category_vocab(orders, "o_orderpriority", vocab)
+
+
+def _q_nation_target_enc(sf_dir: str):
+    """Smoothed target encoding per nation (`ops/tabular.py
+    target_encode`, k=20): mean shifted-account-balance pulled toward
+    the global mean, computed in arbitrary-precision ints so the
+    HUGEINT SQL mirror is bit-exact (targets shifted +100000 cents to
+    stay non-negative — the encoding is affine in the shift)."""
+    from dedupe_ray.ops.tabular import target_encode
+
+    cust = _read(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        bal = b.column("c_acctbal").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "category": b.column("c_nationkey").cast(pa.int64()),
+                "x": pa.array(
+                    np.floor(bal * 100 + 0.5).astype(np.int64) + 100000
+                ),
+            }
+        )
+
+    return target_encode(
+        cust.map_batches(prep, batch_format="pyarrow"), "category", "x"
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "er_clusters": _q_er_clusters,
@@ -7272,6 +7311,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jsonl_bz2_roundtrip": _q_jsonl_bz2_roundtrip,
         "order_pr_curve": _q_order_pr_curve,
         "l_diverse_customers": _q_l_diverse_customers,
+        "priority_vocab_codes": _q_priority_vocab_codes,
+        "nation_target_enc": _q_nation_target_enc,
     }
 
 
@@ -12429,6 +12470,48 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(r AS BIGINT) AS sketch_row, dot,
                    (SELECT CAST(MIN(dot) AS BIGINT) FROM d) AS est
             FROM d ORDER BY 1
+        """,
+        # vocab: codes by count DESC, value ASC (row_number - 1)
+        "priority_vocab_codes": """
+            WITH v AS (
+                SELECT o_orderpriority AS value,
+                       CAST(COUNT(*) AS BIGINT) AS n
+                FROM orders GROUP BY 1
+            ),
+            c AS (
+                SELECT value,
+                       CAST(row_number() OVER (ORDER BY n DESC, value) - 1
+                            AS BIGINT) AS code
+                FROM v
+            )
+            SELECT o.o_orderkey, o.o_orderpriority, c.code
+            FROM orders o JOIN c ON c.value = o.o_orderpriority
+        """,
+        # target encoding: HUGEINT cross-multiply, truncation == floor
+        # because every term is non-negative (targets shifted upstream)
+        "nation_target_enc": """
+            WITH t AS MATERIALIZED (
+                SELECT CAST(c_nationkey AS BIGINT) AS category,
+                       CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) + 100000
+                           AS x
+                FROM customer
+            ),
+            g AS (
+                SELECT CAST(COUNT(*) AS BIGINT) AS gn,
+                       CAST(SUM(x) AS BIGINT) AS gs
+                FROM t
+            ),
+            p AS (
+                SELECT category, CAST(COUNT(*) AS BIGINT) AS n,
+                       CAST(SUM(x) AS BIGINT) AS sum_t
+                FROM t GROUP BY 1
+            )
+            SELECT p.category, p.n, p.sum_t,
+                   CAST((CAST(1000000 AS HUGEINT)
+                         * (CAST(p.sum_t AS HUGEINT) * g.gn + 20 * g.gs))
+                        // (CAST(g.gn AS HUGEINT) * (p.n + 20))
+                        AS BIGINT) AS enc_micro
+            FROM p, g
         """,
         # PR curve: cumulative window over per-value counts, top-down
         "order_pr_curve": """

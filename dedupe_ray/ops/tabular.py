@@ -5899,3 +5899,130 @@ def grouped_cusum_int(
         .groupby("__wbkt")
         .map_groups(cusum, batch_format="pyarrow")
     )
+
+
+def fit_category_vocab(
+    ds: "ray.data.Dataset",
+    column: str,
+) -> pa.Table:
+    """Frequency-ordered categorical vocabulary (the label-encoding fit
+    of every feature pipeline): distinct values get contiguous codes
+    0..n−1 by count DESC, value ASC (deterministic ties) — frequent
+    categories get small codes, so embedding tables and frequency caps
+    compose downstream. One per-batch count combiner + one bounded
+    groupby; the vocab itself is |distinct| rows and returns driver-side
+    (cap/hash-bucket unbounded-cardinality columns upstream — the
+    hashing-trick op is the spillover path). NULL is excluded (encode
+    it explicitly upstream if wanted). Output: (value, n, code)."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        col = b.column(column)
+        t = pa.table({"value": col}).filter(pc.is_valid(col))
+        g = t.group_by("value").aggregate([("value", "count")])
+        return pa.table(
+            {"value": g.column("value"), "n": g.column("value_count")}
+        )
+
+    vocab = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("value")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # bounded: one row per distinct category
+    )
+    vocab = vocab.sort_values(
+        ["n", "value"], ascending=[False, True], ignore_index=True
+    )
+    vocab["code"] = pd.RangeIndex(len(vocab)).astype("int64")
+    vocab["n"] = vocab["n"].astype("int64")
+    return pa.Table.from_pandas(vocab, preserve_index=False)
+
+
+def apply_category_vocab(
+    ds: "ray.data.Dataset",
+    column: str,
+    vocab: pa.Table,
+    out_column: str = "code",
+) -> "ray.data.Dataset":
+    """Broadcast-apply a :func:`fit_category_vocab` table: each row gets
+    its category's code (NULL for out-of-vocabulary / NULL values —
+    callers map OOV to a reserved code upstream if wanted). Zero
+    shuffle: the vocab rides to every task as a plain dict (ray.put via
+    closure capture), lookup is one pandas ``map`` per batch."""
+    import pandas as pd
+
+    mapping = dict(
+        zip(vocab.column("value").to_pylist(), vocab.column("code").to_pylist())
+    )
+
+    def apply(b: pa.Table) -> pa.Table:
+        codes = [mapping.get(v) for v in b.column(column).to_pylist()]
+        return b.append_column(out_column, pa.array(codes, pa.int64()))
+
+    return ds.map_batches(apply, batch_format="pyarrow")
+
+
+def target_encode(
+    ds: "ray.data.Dataset",
+    category_column: str,
+    target_column: str,
+    smoothing: int = 20,
+) -> pa.Table:
+    """Smoothed target encoding (the leakage-prone-but-standard
+    categorical feature; Micci-Barreca 2001) in EXACT integer
+    micro-units: with global target sum/count (GS, GN) and per-category
+    (sum_c, n_c),
+
+        enc_micro(c) = ⌊ 10⁶ · (sum_c·GN + k·GS) / (GN · (n_c + k)) ⌋
+
+    — the Bayesian-smoothed mean pulled toward the global mean by
+    pseudo-count ``k``, computed with arbitrary-precision ints in the
+    bounded finisher (the lineitem_corr doctrine) so a HUGEINT SQL
+    mirror is bit-exact. Targets must be NON-NEGATIVE int64 (shift
+    upstream; the encoding is affine in the shift) — pinned so the
+    floor-division agrees with SQL truncation. One count combiner, no
+    corpus shuffle. Output: (category, n, sum_t, enc_micro) — |distinct
+    categories| rows."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        import numpy as np
+        import pandas as pd
+
+        t = b.column(target_column).to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(t) and t.min() < 0:
+            raise ValueError("target_encode targets must be non-negative")
+        df = pd.DataFrame(
+            {
+                "category": b.column(category_column).to_pylist(),
+                "n": np.ones(len(t), np.int64),
+                "sum_t": t,
+            }
+        )
+        return pa.Table.from_pandas(
+            df.groupby("category", as_index=False).sum(), preserve_index=False
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("category")
+        .aggregate(Sum("n", alias_name="n"), Sum("sum_t", alias_name="sum_t"))
+        .to_pandas()  # bounded: one row per distinct category
+    )
+    gn = int(agg["n"].sum())
+    gs = int(agg["sum_t"].sum())
+    k = int(smoothing)
+    enc = [
+        (10**6 * (int(s) * gn + k * gs)) // (gn * (int(n) + k))
+        for n, s in zip(agg["n"], agg["sum_t"])
+    ]
+    return pa.table(
+        {
+            "category": pa.array(agg["category"].tolist()),
+            "n": pa.array(agg["n"].astype("int64")),
+            "sum_t": pa.array(agg["sum_t"].astype("int64")),
+            "enc_micro": pa.array(enc, pa.int64()),
+        }
+    )

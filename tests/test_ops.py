@@ -8011,3 +8011,52 @@ def test_pr_curve_stats_hand_case(ray_session):
         assert out["fp"].tolist() == [0, 1, 2]
         assert out["fn"].tolist() == [1, 0, 0]
         assert out["tn"].tolist() == [2, 1, 0]
+
+
+def test_category_vocab_fit_apply(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dedupe_ray.ops.tabular import apply_category_vocab, fit_category_vocab
+
+    tbl = pa.table({"c": ["b", "a", "b", "c", "a", "b", None]})
+    ds = rd.from_arrow(tbl).repartition(3)
+    vocab = fit_category_vocab(ds, "c")
+    # count desc, value asc: b(3)->0, a(2)->1, c(1)->2; NULL excluded
+    got = dict(zip(vocab.column("value").to_pylist(),
+                   vocab.column("code").to_pylist()))
+    assert got == {"b": 0, "a": 1, "c": 2}
+    out = apply_category_vocab(ds, "c", vocab).to_pandas()
+    assert out["code"].tolist()[:6] == [0, 1, 0, 2, 1, 0]
+    assert out["code"].isna().tolist()[-1]  # NULL -> null code
+
+
+def test_target_encode_hand_case(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dedupe_ray.ops.tabular import target_encode
+
+    tbl = pa.table(
+        {
+            "cat": ["a", "a", "b"],
+            "t": pa.array([10, 20, 100], pa.int64()),
+        }
+    )
+    out = target_encode(
+        rd.from_arrow(tbl).repartition(2), "cat", "t", smoothing=2
+    ).to_pandas().set_index("category")
+    gn, gs, k = 3, 130, 2
+    assert out.loc["a", "enc_micro"] == (10**6 * (30 * gn + k * gs)) // (
+        gn * (2 + k)
+    )
+    assert out.loc["b", "enc_micro"] == (10**6 * (100 * gn + k * gs)) // (
+        gn * (1 + k)
+    )
+    # smoothing pulls the singleton toward the global mean
+    import pytest
+
+    with pytest.raises(Exception):
+        target_encode(
+            rd.from_arrow(pa.table({"cat": ["a"], "t": [-1]})), "cat", "t"
+        )
