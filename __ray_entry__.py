@@ -7040,6 +7040,42 @@ def _q_nation_target_enc(sf_dir: str):
     )
 
 
+def _q_er_review_band(sf_dir: str):
+    """Clerical-review band export (`pipeline.py RayDeduper.review_band`
+    — the Fellegi–Sunter/Splink workflow step between auto-link and
+    auto-reject): under the closed-form Exact model the [0.5, 0.9) band
+    is EXACTLY the same-block different-segment pairs (sigmoid(2) ≈
+    0.8808 is in-band, sigmoid(3) ≈ 0.9526 is above), so the export has
+    a closed-form pair oracle; the production block → assemble → score
+    path runs unmodified."""
+    return _er_closed_form_deduper().review_band(
+        _er_closed_form_records(sf_dir), 0.5, 0.9
+    )
+
+
+def _q_event_type_woe(sf_dir: str):
+    """Weight of evidence of event_type against the high-value label
+    (`ops/tabular.py woe_table`): exact per-category counts plus
+    floor(10⁶·ln(pos·B/(neg·G))) — the count-ratio ln agreement class —
+    for feature screening / scorecard binning."""
+    from dedupe_ray.ops.tabular import woe_table
+
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        v = b.column("value").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "category": b.column("event_type"),
+                "y": pa.array((v >= 50.0).astype(np.int64)),
+            }
+        )
+
+    return woe_table(
+        ev.map_batches(prep, batch_format="pyarrow"), "category", "y"
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "er_clusters": _q_er_clusters,
@@ -7313,6 +7349,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "l_diverse_customers": _q_l_diverse_customers,
         "priority_vocab_codes": _q_priority_vocab_codes,
         "nation_target_enc": _q_nation_target_enc,
+        "er_review_band": _q_er_review_band,
+        "event_type_woe": _q_event_type_woe,
     }
 
 
@@ -12470,6 +12508,46 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(r AS BIGINT) AS sketch_row, dot,
                    (SELECT CAST(MIN(dot) AS BIGINT) FROM d) AS est
             FROM d ORDER BY 1
+        """,
+        # review band: same-grp different-seg pairs (sigmoid(2) in-band,
+        # sigmoid(3) above), id_a < id_b in string order
+        "er_review_band": """
+            WITH r AS MATERIALIZED (
+                SELECT CAST(c_custkey AS VARCHAR) AS doc_id,
+                       c_custkey // 4 AS grp, c_mktsegment AS seg
+                FROM customer
+            )
+            SELECT LEAST(a.doc_id, b.doc_id) AS id_a,
+                   GREATEST(a.doc_id, b.doc_id) AS id_b
+            FROM r a JOIN r b
+              ON b.grp = a.grp AND b.doc_id > a.doc_id
+            WHERE b.seg <> a.seg
+        """,
+        # WoE: identical chain both engines — int64 products -> double ->
+        # divide -> ln -> x1e6 -> floor; zero-count categories dropped
+        "event_type_woe": """
+            WITH t AS MATERIALIZED (
+                SELECT event_type AS category,
+                       CASE WHEN value >= 50.0 THEN 1 ELSE 0 END AS y
+                FROM events
+            ),
+            g AS (
+                SELECT CAST(SUM(y) AS BIGINT) AS gp,
+                       CAST(COUNT(*) - SUM(y) AS BIGINT) AS gb
+                FROM t
+            ),
+            p AS (
+                SELECT category, CAST(SUM(y) AS BIGINT) AS pos,
+                       CAST(COUNT(*) - SUM(y) AS BIGINT) AS neg
+                FROM t GROUP BY 1
+            )
+            SELECT p.category, p.pos, p.neg,
+                   CAST(floor(1000000 * ln(
+                        CAST(p.pos * g.gb AS DOUBLE)
+                        / CAST(p.neg * g.gp AS DOUBLE))) AS BIGINT)
+                       AS woe_micro
+            FROM p, g
+            WHERE p.pos > 0 AND p.neg > 0
         """,
         # vocab: codes by count DESC, value ASC (row_number - 1)
         "priority_vocab_codes": """

@@ -6026,3 +6026,70 @@ def target_encode(
             "enc_micro": pa.array(enc, pa.int64()),
         }
     )
+
+
+def woe_table(
+    ds: "ray.data.Dataset",
+    category_column: str,
+    label_column: str,
+) -> pa.Table:
+    """Weight of evidence per category (the credit-scoring/feature-
+    screening companion of :func:`target_encode` for BINARY targets):
+
+        woe_micro(c) = ⌊10⁶ · ln( (pos_c·B) / (neg_c·G) )⌋
+
+    with G/B the global positive/negative totals — computed as the
+    IDENTICAL chain on both engines (int64 products → double → divide →
+    ln → ×10⁶ → floor; the count-ratio ln agreement class of
+    lang_source_mi, NOT the hash-float class). Categories with zero
+    positives or zero negatives are DROPPED (WoE is undefined there;
+    pinned — smooth upstream if you need them). Information Value =
+    Σ (pos_c/G − neg_c/B)·woe follows from the emitted exact counts.
+    One count combiner, no corpus shuffle. Output: (category, pos, neg,
+    woe_micro) — |distinct categories| rows."""
+    import numpy as np
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        y = b.column(label_column).to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(y) and (y.min() < 0 or y.max() > 1):
+            raise ValueError(f"{label_column} must be binary 0/1")
+        df = pd.DataFrame(
+            {
+                "category": b.column(category_column).to_pylist(),
+                "pos": y,
+                "neg": 1 - y,
+            }
+        )
+        return pa.Table.from_pandas(
+            df.groupby("category", as_index=False).sum(), preserve_index=False
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("category")
+        .aggregate(Sum("pos", alias_name="pos"), Sum("neg", alias_name="neg"))
+        .to_pandas()  # bounded: one row per distinct category
+    )
+    gp = int(agg["pos"].sum())
+    gb = int(agg["neg"].sum())
+    pos = agg["pos"].to_numpy(np.int64)
+    neg = agg["neg"].to_numpy(np.int64)
+    keep = (pos > 0) & (neg > 0)
+    woe = np.floor(
+        1_000_000.0
+        * np.log(
+            (pos[keep] * gb).astype(np.float64)
+            / (neg[keep] * gp).astype(np.float64)
+        )
+    ).astype(np.int64)
+    return pa.table(
+        {
+            "category": pa.array(agg["category"][keep].tolist()),
+            "pos": pa.array(pos[keep]),
+            "neg": pa.array(neg[keep]),
+            "woe_micro": pa.array(woe),
+        }
+    )

@@ -416,16 +416,12 @@ class RayDeduper:
 
     # ---- the distributed DAG ---------------------------------------------
 
-    def partition(
-        self,
-        flat_ds: "ray.data.Dataset",
-        threshold: float | None = None,
-        cc_mode: str = "auto",
-    ) -> "ray.data.Dataset":
-        """Flat record Dataset → cluster membership Dataset
-        (cluster_id, doc_id, confidence_score), clusters of size ≥ 2 only."""
-        if threshold is None:
-            threshold = self.config.similarity_threshold
+    def scored_pairs(self, flat_ds: "ray.data.Dataset") -> "ray.data.Dataset":
+        """Flat record Dataset → scored candidate pairs (id_a, id_b,
+        score) — the block → assemble → score prefix of
+        :meth:`partition`, exposed so callers can consume the scores
+        BEFORE thresholding (clerical review, threshold sweeps,
+        :meth:`review_band`)."""
         if not self.predicate_ids:
             raise ValueError("not trained; call train() or load_settings()")
         cfg = self.config
@@ -443,13 +439,47 @@ class RayDeduper:
             broadcast_limit=cfg.broadcast_record_limit,
             batch_size=cfg.score_batch_size,
         )
-        scored = score_pairs(
+        return score_pairs(
             assembled,
             self.classifier.to_dict(),
             cfg,
             idf_tables=self.idf_tables or None,
             batch_size=cfg.score_batch_size,
         )
+
+    def review_band(
+        self,
+        flat_ds: "ray.data.Dataset",
+        lo: float,
+        hi: float,
+    ) -> "ray.data.Dataset":
+        """Clerical-review export (the Splink/Fellegi–Sunter workflow
+        step): candidate pairs whose match score lands in ``[lo, hi)`` —
+        too uncertain to auto-link, too plausible to auto-reject — as
+        (id_a, id_b) for human adjudication; labeled results feed
+        :meth:`mark_pairs` → retrain. The score column is dropped from
+        the export deliberately: the band TEST is the contract (scores
+        are classifier floats; cross-engine consumers compare membership,
+        not floats)."""
+        scored = self.scored_pairs(flat_ds).filter(
+            expr=f"score >= {lo} and score < {hi}"
+        )
+        return scored.map_batches(
+            lambda t: t.select(["id_a", "id_b"]), batch_format="pyarrow"
+        )
+
+    def partition(
+        self,
+        flat_ds: "ray.data.Dataset",
+        threshold: float | None = None,
+        cc_mode: str = "auto",
+    ) -> "ray.data.Dataset":
+        """Flat record Dataset → cluster membership Dataset
+        (cluster_id, doc_id, confidence_score), clusters of size ≥ 2 only."""
+        if threshold is None:
+            threshold = self.config.similarity_threshold
+        cfg = self.config
+        scored = self.scored_pairs(flat_ds)
         edges = scored.filter(expr=f"score >= {threshold}")
         return cluster_edges(
             edges,

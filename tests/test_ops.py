@@ -8060,3 +8060,29 @@ def test_target_encode_hand_case(ray_session):
         target_encode(
             rd.from_arrow(pa.table({"cat": ["a"], "t": [-1]})), "cat", "t"
         )
+
+
+def test_woe_table_hand_case(ray_session):
+    import math
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dedupe_ray.ops.tabular import woe_table
+
+    tbl = pa.table(
+        {
+            "c": ["a", "a", "a", "b", "b", "z", "z"],
+            "y": pa.array([1, 1, 0, 0, 0, 1, 1], pa.int64()),
+        }
+    )
+    out = woe_table(
+        rd.from_arrow(tbl).repartition(3), "c", "y"
+    ).to_pandas().set_index("category")
+    # G=4 pos, B=3 neg; 'z' (pure-positive) and 'b' (pure-negative) are
+    # dropped — WoE is undefined there
+    assert sorted(out.index) == ["a"]
+    assert out.loc["a", "woe_micro"] == math.floor(
+        1e6 * math.log((2 * 3) / (1 * 4))
+    )
+    assert out.loc["a", "pos"] == 2 and out.loc["a", "neg"] == 1
