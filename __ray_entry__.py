@@ -7076,6 +7076,75 @@ def _q_event_type_woe(sf_dir: str):
     )
 
 
+def _q_events_rate_limited(sf_dir: str):
+    """Token-bucket admission replay per user (`ops/tabular.py
+    token_bucket_replay`, 0.5 tokens/s refill, 3-token burst): the
+    rate-limiter semantic as an exact integer recurrence — whole-second
+    refill on epoch-micros, milli-token state — replayed row-by-row by
+    a recursive-CTE oracle with LAG-computed gaps."""
+    from dedupe_ray.ops.tabular import token_bucket_replay
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": b.column("user_id"),
+                "t": b.column("ts").cast(pa.int64()),
+                "event_id": b.column("event_id"),
+            }
+        )
+
+    return token_bucket_replay(
+        ev.map_batches(prep, batch_format="pyarrow"),
+        "user_id",
+        "t",
+        ["t", "event_id"],
+    )
+
+
+def _q_customer_ip_routes(sf_dir: str):
+    """Longest-prefix-match routing join (`joins.py lpm_join` — the
+    GeoIP/firewall lookup no equi-join expresses): Knuth-hash IPv4s per
+    customer against a nation-derived prefix table (a /5 per nation +
+    an overlapping /9 for even nations, so LPM genuinely prefers the
+    longer match); broadcast table, one vectorized searchsorted pass
+    per distinct length. Oracle: masked-equality join + row_number
+    argmax over length."""
+    from dedupe_ray.joins import lpm_join
+
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    nation = _read(sf_dir, "nation", ["n_nationkey"]).to_pandas()  # bounded: 25
+
+    pr, ln, lb = [], [], []
+    for nk in sorted(int(x) for x in nation["n_nationkey"]):
+        pr.append(nk << 27)
+        ln.append(5)
+        lb.append(f"coarse-{nk}")
+        if nk % 2 == 0:
+            pr.append((nk << 27) | ((nk % 16) << 23))
+            ln.append(9)
+            lb.append(f"fine-{nk}")
+    prefixes = pa.table(
+        {
+            "prefix": pa.array(pr, pa.int64()),
+            "length": pa.array(ln, pa.int64()),
+            "label": pa.array(lb, pa.string()),
+        }
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        ck = b.column("c_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "id": pa.array(ck),
+                "ip": pa.array((ck * 2654435761) % 4294967296),
+            }
+        )
+
+    return lpm_join(cust.map_batches(prep, batch_format="pyarrow"), "ip", prefixes)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "er_clusters": _q_er_clusters,
@@ -7351,6 +7420,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_target_enc": _q_nation_target_enc,
         "er_review_band": _q_er_review_band,
         "event_type_woe": _q_event_type_woe,
+        "events_rate_limited": _q_events_rate_limited,
+        "customer_ip_routes": _q_customer_ip_routes,
     }
 
 
@@ -12508,6 +12579,73 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(r AS BIGINT) AS sketch_row, dot,
                    (SELECT CAST(MIN(dot) AS BIGINT) FROM d) AS est
             FROM d ORDER BY 1
+        """,
+        # token bucket: exact integer recurrence; LAG gaps in the base,
+        # replay via recursive CTE (EWMA doctrine)
+        "events_rate_limited": """
+            WITH RECURSIVE r AS MATERIALIZED (
+                SELECT user_id, epoch_us(ts) AS t, event_id,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY epoch_us(ts), event_id)
+                           AS rn,
+                       COALESCE((epoch_us(ts)
+                                 - LAG(epoch_us(ts)) OVER (
+                                     PARTITION BY user_id
+                                     ORDER BY epoch_us(ts), event_id))
+                                // 1000000, 0) AS dt
+                FROM events
+            ),
+            s AS (
+                SELECT user_id, t, event_id, rn,
+                       CAST(1 AS BIGINT) AS admitted,
+                       CAST(2000 AS BIGINT) AS tokens
+                FROM r WHERE rn = 1
+                UNION ALL
+                SELECT user_id, t, event_id, rn,
+                       CAST(tnew >= 1000 AS BIGINT),
+                       tnew - 1000 * CAST(tnew >= 1000 AS BIGINT)
+                FROM (
+                    SELECT r.user_id, r.t, r.event_id, r.rn,
+                           LEAST(3000, s.tokens + 500 * r.dt) AS tnew
+                    FROM r JOIN s ON r.user_id = s.user_id
+                                 AND r.rn = s.rn + 1
+                )
+            )
+            SELECT user_id, t, event_id, admitted,
+                   CAST(tokens AS BIGINT) AS tokens_milli
+            FROM s
+        """,
+        # LPM: masked-equality join per length, argmax by length
+        "customer_ip_routes": """
+            WITH ips AS MATERIALIZED (
+                SELECT c_custkey AS id,
+                       (c_custkey * 2654435761) % 4294967296 AS ip
+                FROM customer
+            ),
+            pfx AS (
+                SELECT CAST(n_nationkey AS BIGINT) * 134217728 AS prefix,
+                       CAST(5 AS BIGINT) AS len,
+                       134217728 AS div,
+                       'coarse-' || n_nationkey AS label
+                FROM nation
+                UNION ALL
+                SELECT CAST(n_nationkey AS BIGINT) * 134217728
+                           + (n_nationkey % 16) * 8388608,
+                       9, 8388608, 'fine-' || n_nationkey
+                FROM nation WHERE n_nationkey % 2 = 0
+            ),
+            m AS (
+                SELECT i.id, i.ip, p.label, p.len,
+                       row_number() OVER (PARTITION BY i.id
+                                          ORDER BY p.len DESC, p.label)
+                           AS rnk
+                FROM ips i JOIN pfx p
+                  ON i.ip // p.div = p.prefix // p.div
+            )
+            SELECT i.id, i.ip, m.label,
+                   CAST(m.len AS BIGINT) AS matched_len
+            FROM ips i
+            LEFT JOIN m ON m.id = i.id AND m.rnk = 1
         """,
         # review band: same-grp different-seg pairs (sigmoid(2) in-band,
         # sigmoid(3) above), id_a < id_b in string order

@@ -598,3 +598,70 @@ def grid_proximity_self_join(
 
     exploded = ds.map_batches(explode, batch_format="pyarrow")
     return exploded.groupby("cell").map_groups(per_cell, batch_format="pyarrow")
+
+
+def lpm_join(
+    ds: "ray.data.Dataset",
+    ip_column: str,
+    prefix_table: pa.Table,
+    out_label: str = "label",
+    out_len: str = "matched_len",
+) -> "ray.data.Dataset":
+    """Longest-prefix-match lookup join (the routing-table / GeoIP /
+    firewall-classification shape no equi-join expresses): each integer
+    IPv4 value matches the table row whose ``(prefix, length)`` covers
+    it with the LONGEST length; non-matching rows keep NULLs. The
+    prefix table is the canonical broadcast-small-side case: grouped by
+    length into at most 33 hash sets once per task, each batch resolves
+    with one vectorized membership test per distinct length, longest
+    first with an already-matched mask — zero shuffle, O(lengths) passes.
+    Prefix rows must be exact (``prefix`` pre-masked to its length;
+    duplicate (prefix, length) rows raise)."""
+    import numpy as np
+
+    import numpy as _np
+
+    by_len: dict[int, tuple] = {}
+    groups: dict[int, list] = {}
+    seen = set()
+    for p, ln, lab in zip(
+        prefix_table.column("prefix").to_pylist(),
+        prefix_table.column("length").to_pylist(),
+        prefix_table.column(out_label).to_pylist(),
+    ):
+        if not 0 <= ln <= 32:
+            raise ValueError("prefix length must be in 0..32")
+        key = int(p) >> (32 - ln) if ln else 0
+        if (key, ln) in seen:
+            raise ValueError(f"duplicate prefix ({p}, /{ln})")
+        seen.add((key, ln))
+        groups.setdefault(int(ln), []).append((key, lab))
+    for ln, rows in groups.items():
+        rows.sort()
+        keys = _np.array([k for k, _ in rows], _np.int64)
+        labs = _np.array([l for _, l in rows], object)
+        by_len[ln] = (keys, labs)
+    lens = sorted(by_len, reverse=True)
+
+    def lookup(b: pa.Table) -> pa.Table:
+        ip = b.column(ip_column).to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(ip)
+        lab = np.full(n, None, object)
+        mlen = np.full(n, -1, np.int64)
+        done = np.zeros(n, bool)
+        for ln in lens:
+            keys, labs = by_len[ln]
+            shifted = (ip >> (32 - ln)) if ln else np.zeros(n, np.int64)
+            pos = np.searchsorted(keys, shifted)
+            pos_c = np.minimum(pos, len(keys) - 1)
+            hit = (keys[pos_c] == shifted) & ~done
+            lab[hit] = labs[pos_c[hit]]
+            mlen[hit] = ln
+            done |= hit
+        out = b.append_column(out_label, pa.array(lab, pa.string()))
+        return out.append_column(
+            out_len,
+            pa.array([None if m < 0 else int(m) for m in mlen], pa.int64()),
+        )
+
+    return ds.map_batches(lookup, batch_format="pyarrow")

@@ -3406,6 +3406,103 @@ def grouped_holt_int(
     )
 
 
+def token_bucket_replay(
+    ds: "ray.data.Dataset",
+    key_column: str,
+    ts_column: str,
+    order_columns: list[str],
+    rate_milli: int = 500,
+    cap_milli: int = 3000,
+    n_buckets: int = 256,
+) -> "ray.data.Dataset":
+    """Deterministic token-bucket admission replay (the rate-limiter /
+    traffic-shaping semantic, applied to a bounded log): per key in
+    ``order_columns`` order, with integer milli-tokens and whole-second
+    refill (``dt = (t_i − t_{i−1}) // 10⁶`` on epoch-micros — the
+    boundary-crossing date_diff landmine avoided by construction),
+
+        t_new = min(cap, tokens + rate·dt)
+        admitted_i = (t_new ≥ 1000);  tokens_i = t_new − 1000·admitted_i
+
+    starting full (``tokens₀ = cap − 1000``, first event admitted;
+    ``cap_milli ≥ 1000`` enforced). Every quantity is exact int64, so
+    the admit/deny sequence is layout-invariant and a recursive-CTE SQL
+    mirror (LAG for dt) replays it row-by-row — the
+    EWMA/CUSUM/Holt exact-recurrence doctrine applied to flow control.
+    One bucketed shuffle; sequential in TIME STEPS, vectorized ACROSS
+    keys. Output: (key, *order_columns, admitted int64, tokens_milli
+    int64)."""
+    import numpy as np
+    import pandas as pd
+
+    if cap_milli < 1000:
+        raise ValueError("cap_milli must be >= 1000 (one whole token)")
+    rate = int(rate_milli)
+    cap = int(cap_milli)
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        vals = b.column(key_column).to_numpy(zero_copy_only=False)
+        bkt = (pd.util.hash_array(vals) % n_buckets).astype(np.int32)
+        return b.append_column("__wbkt", pa.array(bkt))
+
+    def replay(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["__wbkt"])
+        keys = g.column(key_column).to_numpy(zero_copy_only=False)
+        codes, _ = pd.factorize(keys)
+        sort_keys = tuple(
+            g.column(c).to_numpy(zero_copy_only=False)
+            for c in reversed(order_columns)
+        ) + (codes,)
+        order = np.lexsort(sort_keys)
+        t = (
+            g.column(ts_column)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)[order]
+        )
+        s_codes = codes[order]
+        n = len(order)
+        pos = np.arange(n, dtype=np.int64)
+        new_run = np.concatenate(([True], s_codes[1:] != s_codes[:-1]))
+        run_start = np.maximum.accumulate(np.where(new_run, pos, -1))
+        pos_in_run = pos - run_start
+        dt = np.zeros(n, np.int64)
+        dt[1:] = np.where(~new_run[1:], (t[1:] - t[:-1]) // 1_000_000, 0)
+        tok = np.empty(n, np.int64)
+        adm = np.zeros(n, np.int64)
+        heads = pos_in_run == 0
+        adm[heads] = 1
+        tok[heads] = cap - 1000
+        by_step = np.argsort(pos_in_run, kind="stable")
+        step_sorted = pos_in_run[by_step]
+        bounds = np.searchsorted(
+            step_sorted, np.arange(1, int(pos_in_run.max()) + 2)
+        )
+        lo = bounds[0]
+        for k in range(1, int(pos_in_run.max()) + 1):
+            hi = bounds[k]
+            sel = by_step[lo:hi]
+            lo = hi
+            if not len(sel):
+                break
+            t_new = np.minimum(cap, tok[sel - 1] + rate * dt[sel])
+            a = (t_new >= 1000).astype(np.int64)
+            adm[sel] = a
+            tok[sel] = t_new - 1000 * a
+        sel_arr = pa.array(order)
+        data = {key_column: pc.take(g.column(key_column), sel_arr)}
+        for c in order_columns:
+            data[c] = pc.take(g.column(c), sel_arr)
+        data["admitted"] = pa.array(adm)
+        data["tokens_milli"] = pa.array(tok)
+        return pa.table(data)
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("__wbkt")
+        .map_groups(replay, batch_format="pyarrow")
+    )
+
+
 def first_k_paths(
     ds: "ray.data.Dataset",
     key_column: str,

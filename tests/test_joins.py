@@ -367,3 +367,49 @@ def test_grid_proximity_self_join_brute_force(ray_session):
         ).to_pandas()
         got = set(map(tuple, out[["id_a", "id_b"]].to_numpy()))
         assert got == expect, parts
+
+
+def test_lpm_join_longest_wins(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dedupe_ray.joins import lpm_join
+
+    prefixes = pa.table(
+        {
+            # 10.0.0.0/8, 10.1.0.0/16 (inside the /8), 0.0.0.0/0 default
+            "prefix": pa.array(
+                [10 << 24, (10 << 24) | (1 << 16), 0], pa.int64()
+            ),
+            "length": pa.array([8, 16, 0], pa.int64()),
+            "label": ["ten", "ten-one", "default"],
+        }
+    )
+    ips = pa.table(
+        {
+            "ip": pa.array(
+                [
+                    (10 << 24) | (1 << 16) | 5,  # matches /16 (longest)
+                    (10 << 24) | (2 << 16) | 5,  # only the /8
+                    (11 << 24) | 1,              # only the /0 default
+                ],
+                pa.int64(),
+            )
+        }
+    )
+    out = lpm_join(rd.from_arrow(ips), "ip", prefixes).to_pandas()
+    assert out["label"].tolist() == ["ten-one", "ten", "default"]
+    assert out["matched_len"].tolist() == [16, 8, 0]
+
+    # duplicate (prefix, length) raises
+    import pytest
+
+    dup = pa.table(
+        {
+            "prefix": pa.array([10 << 24, 10 << 24], pa.int64()),
+            "length": pa.array([8, 8], pa.int64()),
+            "label": ["x", "y"],
+        }
+    )
+    with pytest.raises(ValueError):
+        lpm_join(rd.from_arrow(ips), "ip", dup)

@@ -8086,3 +8086,68 @@ def test_woe_table_hand_case(ray_session):
         1e6 * math.log((2 * 3) / (1 * 4))
     )
     assert out.loc["a", "pos"] == 2 and out.loc["a", "neg"] == 1
+
+
+def test_token_bucket_replay_scalar_parity(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dedupe_ray.ops.tabular import token_bucket_replay
+
+    # per-key event times (seconds), converted to epoch micros
+    series = {
+        "a": [0, 1, 2, 3, 10, 10, 11],  # bursts then refill; equal ts tie
+        "b": [5],
+        "c": [0, 100],
+    }
+    rows = [(k, s * 1_000_000, i) for k, ss in series.items()
+            for i, s in enumerate(ss)]
+    tbl = pa.table(
+        {
+            "k": [r[0] for r in rows],
+            "t": pa.array([r[1] for r in rows], pa.int64()),
+            "e": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+    rate, cap = 500, 3000
+
+    def brute(ts):
+        tok, out = cap, []
+        prev = None
+        for t in ts:
+            dt = 0 if prev is None else (t - prev) // 1_000_000
+            prev = t
+            tnew = min(cap, tok + rate * dt) if out else cap
+            a = 1 if tnew >= 1000 else 0
+            tok = tnew - 1000 * a
+            out.append((a, tok))
+        return out
+
+    expect = {}
+    for k, ss in series.items():
+        for i, (a, tok) in enumerate(brute([s * 1_000_000 for s in ss])):
+            expect[(k, i)] = (a, tok)
+
+    for parts in (1, 3):
+        out = token_bucket_replay(
+            rd.from_arrow(tbl).repartition(parts), "k", "t", ["t", "e"],
+            rate_milli=rate, cap_milli=cap,
+        ).to_pandas()
+        got = {(r["k"], r["e"]): (r["admitted"], r["tokens_milli"])
+               for _, r in out.iterrows()}
+        assert got == expect, parts
+
+
+def test_token_bucket_rejects_small_cap(ray_session):
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from dedupe_ray.ops.tabular import token_bucket_replay
+
+    with pytest.raises(ValueError):
+        token_bucket_replay(
+            rd.from_arrow(pa.table({"k": ["a"], "t": [0], "e": [0]})),
+            "k", "t", ["t", "e"], cap_milli=500,
+        )
