@@ -7145,6 +7145,22 @@ def _q_customer_ip_routes(sf_dir: str):
     return lpm_join(cust.map_batches(prep, batch_format="pyarrow"), "ip", prefixes)
 
 
+def _q_cosine_pairs_docs(sf_dir: str):
+    """Exact n-gram-count cosine similarity join (`ops/dedup.py
+    ngram_cosine_pairs`, cos ≥ 1/2): the multiset-sensitive near-dup
+    metric next to Jaccard (sets) and containment (directed), decided
+    entirely in int64 via den²·dot² ≥ num²·‖A‖²·‖B‖² — same capped
+    en-doc slice as the other brute-force-oracled similarity joins."""
+    from dedupe_ray.ops.dedup import ngram_cosine_pairs
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "lang"]).filter(
+        expr="lang == 'en' and doc_id < 40"
+    )
+    return ngram_cosine_pairs(
+        docs, threshold_num=1, threshold_den=2, token_pattern="[a-z0-9]+"
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "er_clusters": _q_er_clusters,
@@ -7422,6 +7438,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_type_woe": _q_event_type_woe,
         "events_rate_limited": _q_events_rate_limited,
         "customer_ip_routes": _q_customer_ip_routes,
+        "cosine_pairs_docs": _q_cosine_pairs_docs,
     }
 
 
@@ -12579,6 +12596,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(r AS BIGINT) AS sketch_row, dot,
                    (SELECT CAST(MIN(dot) AS BIGINT) FROM d) AS est
             FROM d ORDER BY 1
+        """,
+        # cosine: per-gram count join, exact int dot/norms, square-and-
+        # cross-multiply threshold (dot >= 0 so squaring is monotone)
+        "cosine_pairs_docs": """
+            WITH toks AS (
+                SELECT CAST(doc_id AS VARCHAR) AS id,
+                       unnest(regexp_extract_all(lower(text),
+                                                 '[a-z0-9]+')) AS g
+                FROM documents WHERE lang = 'en' AND doc_id < 40
+            ),
+            cnts AS (
+                SELECT id, g, CAST(COUNT(*) AS BIGINT) AS c
+                FROM toks GROUP BY 1, 2
+            ),
+            norms AS (
+                SELECT id, CAST(SUM(c * c) AS BIGINT) AS n2
+                FROM cnts GROUP BY 1
+            ),
+            dots AS (
+                SELECT a.id AS id_a, b.id AS id_b,
+                       CAST(SUM(a.c * b.c) AS BIGINT) AS dot
+                FROM cnts a JOIN cnts b ON b.g = a.g AND b.id > a.id
+                GROUP BY 1, 2
+            )
+            SELECT d.id_a, d.id_b, d.dot,
+                   na.n2 AS norm_a2, nb.n2 AS norm_b2
+            FROM dots d
+            JOIN norms na ON na.id = d.id_a
+            JOIN norms nb ON nb.id = d.id_b
+            WHERE 4 * d.dot * d.dot >= 1 * na.n2 * nb.n2
         """,
         # token bucket: exact integer recurrence; LAG gaps in the base,
         # replay via recursive CTE (EWMA doctrine)

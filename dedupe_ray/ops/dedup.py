@@ -2500,3 +2500,151 @@ def cdc_dedup_summary(chunk_table: "ray.data.Dataset") -> pa.Table:
         )
     )
     return pa.table({k: pa.array([int(v)], pa.int64()) for k, v in agg.items()})
+
+
+def ngram_cosine_pairs(
+    ds: "ray.data.Dataset",
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+    id_column: str = "doc_id",
+    text_column: str = "text",
+    n: int = 1,
+    token_pattern: str | None = None,
+    max_bucket: int = 200_000,
+) -> "ray.data.Dataset":
+    """EXACT cosine-similarity self-join over word-``n``-gram COUNT
+    vectors: all pairs with ``dot(A,B)/sqrt(|A|²·|B|²) ≥ num/den``,
+    decided entirely in int64 via the square-and-cross-multiply
+    identity ``den²·dot² ≥ num²·‖A‖²·‖B‖²`` (dot ≥ 0 — counts are
+    non-negative) — the multiset-sensitive near-dup metric next to
+    :func:`ngram_jaccard_pairs` (sets) and :func:`containment_join`
+    (directed): repetition-heavy templates that Jaccard scores low
+    still land high on cosine. No float ever crosses a partition or
+    engine boundary; outputs carry the exact (dot, norm_a2, norm_b2)
+    triple (the num/den doctrine — callers divide).
+
+    Shape: one explode of per-doc DISTINCT grams carrying (count,
+    ‖doc‖²), within-run candidate pairs contributing ``c_a·c_b`` per
+    shared gram, one pair groupby Sum = the exact dot product, local
+    threshold filter. int64 bound: den²·dot² needs
+    ``den·‖A‖·‖B‖ < 3·10⁹`` — cap document token counts upstream at
+    web scale (the quadratic terms are intrinsic to exactness).
+    Output: (id_a, id_b, dot, norm_a2, norm_b2), id_a < id_b."""
+    import pandas as pd
+
+    from ray.data.aggregate import Max, Sum
+
+    word_re = re.compile(token_pattern) if token_pattern else _WORD
+    tn2 = int(threshold_num) ** 2
+    td2 = int(threshold_den) ** 2
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = _one_chunk(pc.cast(batch.column(id_column), pa.string()))
+        texts = batch.column(text_column).to_pylist()
+        hs_all: list[np.ndarray] = []
+        cs_all: list[np.ndarray] = []
+        counts = np.zeros(len(texts), np.int64)
+        norms = np.zeros(len(texts), np.int64)
+        for i, txt in enumerate(texts):
+            toks = word_re.findall((txt or "").lower())
+            if not toks:
+                hs_all.append(np.zeros(0, np.uint64))
+                cs_all.append(np.zeros(0, np.int64))
+                continue
+            grams = [
+                " ".join(toks[j : j + n])
+                for j in range(max(1, len(toks) - n + 1))
+            ]
+            uniq, cnt = np.unique(np.asarray(grams, object), return_counts=True)
+            hs = pd.util.hash_array(uniq)
+            hs_all.append(hs)
+            cs_all.append(cnt.astype(np.int64))
+            counts[i] = len(hs)
+            norms[i] = int((cnt.astype(np.int64) ** 2).sum())
+        flat = np.concatenate(hs_all) if hs_all else np.zeros(0, np.uint64)
+        flat_c = np.concatenate(cs_all) if cs_all else np.zeros(0, np.int64)
+        parent = np.repeat(np.arange(len(texts), dtype=np.int64), counts)
+        return pa.table(
+            {
+                "thash": pa.array(flat, pa.uint64()),
+                "tbucket": pa.array(
+                    (flat % np.uint64(N_BUCKETS)).astype(np.int32)
+                ),
+                "rid": ids.take(pa.array(parent)),
+                "c": pa.array(flat_c),
+                "n2": pa.array(norms[parent]),
+            }
+        )
+
+    def run_pairs(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "id_a": pa.array([], pa.string()),
+                "id_b": pa.array([], pa.string()),
+                "prod": pa.array([], pa.int64()),
+                "norm_a2": pa.array([], pa.int64()),
+                "norm_b2": pa.array([], pa.int64()),
+            }
+        )
+        if not len(group):
+            return empty
+        g = group.take(
+            pc.sort_indices(
+                group, sort_keys=[("thash", "ascending"), ("rid", "ascending")]
+            )
+        )
+        h = g.column("thash").to_numpy(zero_copy_only=False)
+        m = len(g)
+        change = h[1:] != h[:-1] if m > 1 else np.zeros(0, bool)
+        run_starts = np.nonzero(np.concatenate(([True], change)))[0]
+        run_lengths = np.diff(np.append(run_starts, m))
+        if int(run_lengths.max()) > max_bucket:
+            raise ValueError(
+                f"gram run of {int(run_lengths.max())} rows exceeds "
+                f"max_bucket={max_bucket} — a stopword-like gram; "
+                "lengthen n or pre-filter hot grams"
+            )
+        per = np.repeat(run_lengths, run_lengths)
+        pos = np.arange(m) - np.repeat(run_starts, run_lengths)
+        cnt = per - 1 - pos
+        total = int(cnt.sum())
+        if total == 0:
+            return empty
+        a_idx = np.repeat(np.arange(m), cnt)
+        cum = np.concatenate(([0], np.cumsum(cnt)))[:-1]
+        b_idx = a_idx + 1 + (
+            np.arange(total, dtype=np.int64) - np.repeat(cum, cnt)
+        )
+        rid = g.column("rid").to_numpy(zero_copy_only=False)
+        c = g.column("c").to_numpy(zero_copy_only=False).astype(np.int64)
+        n2 = g.column("n2").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "id_a": pa.array(rid[a_idx], pa.string()),
+                "id_b": pa.array(rid[b_idx], pa.string()),
+                "prod": pa.array(c[a_idx] * c[b_idx]),
+                "norm_a2": pa.array(n2[a_idx]),
+                "norm_b2": pa.array(n2[b_idx]),
+            }
+        )
+
+    dots = (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("tbucket")
+        .map_groups(run_pairs, batch_format="pyarrow")
+        .groupby(["id_a", "id_b"])
+        .aggregate(
+            Sum("prod", alias_name="dot"),
+            Max("norm_a2", alias_name="norm_a2"),
+            Max("norm_b2", alias_name="norm_b2"),
+        )
+    )
+
+    def keep(b: pa.Table) -> pa.Table:
+        dot = b.column("dot").to_numpy(zero_copy_only=False).astype(np.int64)
+        na = b.column("norm_a2").to_numpy(zero_copy_only=False).astype(np.int64)
+        nb = b.column("norm_b2").to_numpy(zero_copy_only=False).astype(np.int64)
+        mask = pa.array(td2 * dot * dot >= tn2 * na * nb)
+        return b.filter(mask)
+
+    return dots.map_batches(keep, batch_format="pyarrow")

@@ -919,6 +919,96 @@ def sniff_decode_image(payload: bytes) -> "np.ndarray | None":
     return None
 
 
+def probe_image_meta(payload: bytes) -> "tuple[str, int, int, int] | None":
+    """Header-only image metadata probe: (format, width, height,
+    channels) WITHOUT decoding pixel data — the resolution/aspect
+    pre-filter a media pipeline runs before paying for decode (drop
+    icons and banners by shape, route by codec, budget memory by
+    w·h·c). Parses just the header fields of every codec
+    :func:`sniff_decode_image` supports; ``channels`` is the on-wire
+    sample count (PNG palette = 1, gray+alpha = 2, RGBA = 4). Returns
+    None for unrecognized payloads. A probe-vs-decode shape parity test
+    pins agreement with the real decoders."""
+    import struct
+
+    try:
+        if payload[:2] in (b"P6", b"P5"):
+            toks: list[bytes] = []
+            i = 2
+            while len(toks) < 2 and i < len(payload):
+                c = payload[i : i + 1]
+                if c == b"#":
+                    while i < len(payload) and payload[i : i + 1] != b"\n":
+                        i += 1
+                elif c.isspace():
+                    i += 1
+                else:
+                    j = i
+                    while j < len(payload) and not payload[j : j + 1].isspace():
+                        j += 1
+                    toks.append(payload[i:j])
+                    i = j
+            w, h = int(toks[0]), int(toks[1])
+            return ("ppm" if payload[:2] == b"P6" else "pgm", w, h,
+                    3 if payload[:2] == b"P6" else 1)
+        if payload[:2] == b"BM":
+            w = struct.unpack_from("<i", payload, 18)[0]
+            h = abs(struct.unpack_from("<i", payload, 22)[0])
+            return ("bmp", w, h, 3)
+        if payload[:8] == b"\x89PNG\r\n\x1a\n":
+            w, h = struct.unpack_from(">II", payload, 16)
+            color = payload[25]
+            channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
+            return ("png", w, h, channels)
+        if payload[:2] == b"\xff\xd8":
+            pos = 2
+            while pos + 4 <= len(payload):
+                if payload[pos] != 0xFF:
+                    pos += 1
+                    continue
+                marker = payload[pos + 1]
+                if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                    pos += 2
+                    continue
+                seglen = struct.unpack_from(">H", payload, pos + 2)[0]
+                if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                    h, w = struct.unpack_from(">HH", payload, pos + 5)
+                    nc = payload[pos + 9]
+                    return ("jpeg", w, h, nc)
+                pos += 2 + seglen
+            return None
+        if payload[:6] in (b"GIF87a", b"GIF89a"):
+            w, h = struct.unpack_from("<HH", payload, 6)
+            return ("gif", w, h, 3)
+        if payload[:2] in (b"II", b"MM") and payload[2:4] in (
+            b"\x2a\x00", b"\x00\x2a"
+        ):
+            le = payload[:2] == b"II"
+            e = "<" if le else ">"
+            off = struct.unpack_from(e + "I", payload, 4)[0]
+            n = struct.unpack_from(e + "H", payload, off)[0]
+            w = h = spp = None
+            for i in range(n):
+                base = off + 2 + 12 * i
+                tag, typ = struct.unpack_from(e + "HH", payload, base)
+                if typ == 3:
+                    val = struct.unpack_from(e + "H", payload, base + 8)[0]
+                else:
+                    val = struct.unpack_from(e + "I", payload, base + 8)[0]
+                if tag == 256:
+                    w = val
+                elif tag == 257:
+                    h = val
+                elif tag == 277:
+                    spp = val
+            if w is None or h is None:
+                return None
+            return ("tiff", int(w), int(h), int(spp or 1))
+    except (IndexError, KeyError, ValueError, struct.error):
+        return None
+    return None
+
+
 def _box_mean(gray: np.ndarray, oh: int, ow: int) -> np.ndarray:
     """Exact box-mean downsample of a 2-D array to (oh, ow): integer-
     boundary partitions via one integral image (float64 sums — order-free

@@ -8151,3 +8151,99 @@ def test_token_bucket_rejects_small_cap(ray_session):
             rd.from_arrow(pa.table({"k": ["a"], "t": [0], "e": [0]})),
             "k", "t", ["t", "e"], cap_milli=500,
         )
+
+
+def test_ngram_cosine_pairs_brute_force(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dedupe_ray.ops.dedup import ngram_cosine_pairs
+
+    texts = [
+        "the cat sat on the mat the cat",      # repetition-heavy
+        "the cat sat on the mat",              # same set, lighter counts
+        "a dog ran through a park",            # disjoint-ish
+        "the cat the cat the cat",             # extreme repetition
+        "",                                    # empty
+    ]
+    tbl = pa.table({"doc_id": [str(i) for i in range(len(texts))],
+                    "text": texts})
+
+    from collections import Counter
+
+    def vec(s):
+        return Counter(s.lower().split())
+
+    expect = set()
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            a, b = vec(texts[i]), vec(texts[j])
+            dot = sum(a[g] * b[g] for g in a)
+            na = sum(v * v for v in a.values())
+            nb = sum(v * v for v in b.values())
+            if na and nb and 4 * dot * dot >= na * nb:
+                expect.add((str(i), str(j), dot, na, nb))
+
+    for parts in (1, 3):
+        out = ngram_cosine_pairs(
+            rd.from_arrow(tbl).repartition(parts), 1, 2
+        ).to_pandas()
+        got = set(
+            zip(out["id_a"], out["id_b"], out["dot"],
+                out["norm_a2"], out["norm_b2"])
+        )
+        assert got == expect, parts
+    # the repetition-heavy pair (0, 3) must be found by cosine
+    assert any(p[0] == "0" and p[1] == "3" for p in expect)
+
+
+def test_probe_image_meta_parity_with_decoders():
+    """Header probe (format, w, h, channels) agrees with the full
+    decoders' output shapes on every supported codec — without touching
+    pixel data."""
+    import numpy as np
+
+    from dedupe_ray.ops.multimodal import (
+        decode_bmp,
+        decode_gif,
+        decode_jpeg,
+        decode_png,
+        decode_ppm,
+        decode_tiff,
+        probe_image_meta,
+    )
+
+    rng = np.random.default_rng(2)
+    img = rng.integers(0, 256, (12, 17, 3)).astype(np.uint8)
+    gray = img[:, :, 0]
+
+    ppm, _img = _ppm_bytes(17, 12, lambda x, y: (x * 3 % 256, y * 5 % 256, 7))
+    assert probe_image_meta(ppm) == ("ppm", 17, 12, 3)
+    assert decode_ppm(ppm).shape == (12, 17, 3)
+
+    png_rgb = _png_bytes(img, 2, [0] * 12)
+    assert probe_image_meta(png_rgb) == ("png", 17, 12, 3)
+    assert decode_png(png_rgb).shape == (12, 17, 3)
+
+    png_gray = _png_bytes(gray, 0, [0] * 12)
+    assert probe_image_meta(png_gray) == ("png", 17, 12, 1)
+    assert decode_png(png_gray).shape == (12, 17)
+
+    jpg = _jpeg_bytes(img)
+    assert probe_image_meta(jpg) == ("jpeg", 17, 12, 3)
+    assert decode_jpeg(jpg).shape == (12, 17, 3)
+
+    pal = np.arange(12, dtype=np.uint8).reshape(4, 3) * 20
+    idx = rng.integers(0, 4, (9, 11)).astype(np.uint8)
+    gif = _gif_bytes(idx, pal)
+    assert probe_image_meta(gif) == ("gif", 11, 9, 3)
+    assert decode_gif(gif).shape == (9, 11, 3)
+
+    tif = _tiff_bytes(gray)
+    kind, w, h, _c = probe_image_meta(tif)
+    assert (kind, w, h) == ("tiff", 17, 12)
+    assert decode_tiff(tif).shape[:2] == (12, 17)
+
+    assert probe_image_meta(b"not an image at all") is None
+    assert probe_image_meta(b"") is None
