@@ -7161,6 +7161,65 @@ def _q_cosine_pairs_docs(sf_dir: str):
     )
 
 
+def _q_purchase_attribution(sf_dir: str):
+    """Last-touch attribution with a 7-day lookback (`joins.py
+    bucketed_asof_join` with the new tolerance + LEFT semantics): each
+    purchase attributes to the user's most recent click within the
+    window, unattributed purchases survive with a null click — the
+    marketing-analytics shape; clicks pre-deduped to unique (user, ts)
+    by max event_id. ASOF-with-bound window oracle."""
+    import pyarrow.compute as pc
+
+    from dedupe_ray.joins import bucketed_asof_join
+    from ray.data.aggregate import Max
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+
+    def prep(kind):
+        def fn(b: pa.Table) -> pa.Table:
+            keep = pc.equal(b.column("event_type"), kind)
+            t = b.filter(keep)
+            return pa.table(
+                {
+                    "user_id": t.column("user_id"),
+                    "t": t.column("ts").cast(pa.int64()),
+                    "event_id": t.column("event_id"),
+                }
+            )
+
+        return fn
+
+    purchases = ev.map_batches(prep("purchase"), batch_format="pyarrow")
+    clicks = (
+        ev.map_batches(prep("click"), batch_format="pyarrow")
+        .groupby(["user_id", "t"])
+        .aggregate(Max("event_id", alias_name="click_id"))
+    )
+    return bucketed_asof_join(
+        purchases,
+        clicks,
+        "user_id",
+        "user_id",
+        "t",
+        "t",
+        ["click_id"],
+        tolerance=604_800_000_000,
+        keep_unmatched=True,
+    )
+
+
+def _q_doc_char_entropy(sf_dir: str):
+    """Character-level Shannon entropy per document (`ops/text.py
+    char_entropy_docs`): exact integer micro-nats over code-point
+    counts — the gibberish/base64 quality gate next to
+    compression_ratio, mirrored by an unnest-characters oracle (the
+    count-ratio ln agreement class)."""
+    from dedupe_ray.ops.text import char_entropy_docs
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return char_entropy_docs(docs)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "er_clusters": _q_er_clusters,
@@ -7439,6 +7498,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rate_limited": _q_events_rate_limited,
         "customer_ip_routes": _q_customer_ip_routes,
         "cosine_pairs_docs": _q_cosine_pairs_docs,
+        "purchase_attribution": _q_purchase_attribution,
+        "doc_char_entropy": _q_doc_char_entropy,
     }
 
 
@@ -12596,6 +12657,53 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(r AS BIGINT) AS sketch_row, dot,
                    (SELECT CAST(MIN(dot) AS BIGINT) FROM d) AS est
             FROM d ORDER BY 1
+        """,
+        # attribution: asof-with-lookback, clicks pre-deduped per (user, ts)
+        "purchase_attribution": """
+            WITH cl AS MATERIALIZED (
+                SELECT user_id, epoch_us(ts) AS t,
+                       CAST(MAX(event_id) AS BIGINT) AS click_id
+                FROM events WHERE event_type = 'click' GROUP BY 1, 2
+            ),
+            pu AS MATERIALIZED (
+                SELECT user_id, event_id, epoch_us(ts) AS t
+                FROM events WHERE event_type = 'purchase'
+            ),
+            m AS (
+                SELECT p.user_id, p.event_id, c.click_id,
+                       row_number() OVER (PARTITION BY p.user_id, p.event_id
+                                          ORDER BY c.t DESC) AS rn
+                FROM pu p JOIN cl c
+                  ON c.user_id = p.user_id
+                 AND c.t <= p.t AND c.t >= p.t - 604800000000
+            )
+            SELECT p.user_id, p.t, p.event_id, m.click_id
+            FROM pu p
+            LEFT JOIN m ON m.user_id = p.user_id
+                       AND m.event_id = p.event_id AND m.rn = 1
+        """,
+        # char entropy: unnest code points, count-ratio ln micro-nats
+        "doc_char_entropy": """
+            WITH ch AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(text, '.', 0, 's')) AS c
+                FROM documents
+            ),
+            cc AS (
+                SELECT doc_id, c, CAST(COUNT(*) AS BIGINT) AS cnt
+                FROM ch GROUP BY 1, 2
+            ),
+            tot AS (
+                SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n
+                FROM cc GROUP BY 1
+            )
+            SELECT t.doc_id, t.n,
+                   CAST(SUM(cc.cnt
+                            * CAST(floor(1000000 * ln(CAST(t.n AS DOUBLE)
+                                                      / CAST(cc.cnt AS DOUBLE)))
+                                   AS BIGINT)) AS BIGINT) AS entropy_micro
+            FROM cc JOIN tot t ON t.doc_id = cc.doc_id
+            GROUP BY 1, 2
         """,
         # cosine: per-gram count join, exact int dot/norms, square-and-
         # cross-multiply threshold (dot >= 0 so squaring is monotone)

@@ -293,11 +293,17 @@ def bucketed_asof_join(
     right_ts: str,
     right_value_cols: list[str],
     n_buckets: int = 256,
+    tolerance: int | None = None,
+    keep_unmatched: bool = False,
 ) -> "ray.data.Dataset":
     """Distributed inner as-of join: each left row matches the right row
     with the same key and the GREATEST right_ts ≤ left_ts (inclusive
     backward match — DuckDB ``ASOF JOIN ... ON l.k = r.k AND l.ts >= r.ts``
-    semantics). Left rows with no candidate are dropped.
+    semantics). Left rows with no candidate are dropped unless
+    ``keep_unmatched`` (LEFT semantics: null right columns). With
+    ``tolerance`` the match must also satisfy ``left_ts − right_ts ≤
+    tolerance`` (the attribution-lookback / staleness bound); both ts
+    columns must then be INTEGER (epoch units) so the bound is exact.
 
     Same single-shuffle shape as :func:`bucketed_lookup_join` — key-hash
     buckets bound the group count at any key cardinality. Per bucket the
@@ -363,7 +369,12 @@ def bucketed_asof_join(
         rhs = t.filter(pa.array(side))
         lhs = t.filter(pa.array(~side))
         n_l, n_r = len(lhs), len(rhs)
-        if n_l == 0 or n_r == 0:
+        if n_l == 0:
+            return _empty()
+        if n_r == 0:
+            if keep_unmatched:
+                # tag_left already carries null right columns
+                return pa.table({nm: lhs.column(nm) for nm in out_names})
             return _empty()
         keys = np.concatenate(
             [
@@ -392,12 +403,27 @@ def bucketed_asof_join(
         new_run = np.concatenate(([True], s_codes[1:] != s_codes[:-1]))
         run_start = np.maximum.accumulate(np.where(new_run, pos, -1))
         valid = filled >= run_start
+        if tolerance is not None:
+            s_ts = ts[order]
+            has = filled >= 0
+            ok_tol = np.zeros(n, bool)
+            ok_tol[has] = (s_ts[has] - s_ts[filled[has]]) <= tolerance
+            valid = valid & ok_tol
         # map matched sorted positions back to original row indices
         s_orig = np.concatenate([np.arange(n_l), np.arange(n_r)])[order]
         at_left = s_left
         l_orig = s_orig[at_left]
         l_match = filled[at_left]
         l_valid = valid[at_left]
+        if keep_unmatched:
+            hit = lhs.take(pa.array(l_orig))
+            data = {nm: hit.column(nm) for nm in left_names}
+            midx = np.zeros(len(l_orig), np.int64)
+            midx[l_valid] = s_orig[l_match[l_valid]]
+            idx = pa.array(midx, mask=~l_valid)  # null index -> null value
+            for c in right_value_cols:
+                data[c] = pc.take(rhs.column(c), idx)
+            return pa.table(data)
         if not l_valid.any():
             return _empty()
         r_orig = s_orig[l_match[l_valid]]

@@ -1940,3 +1940,53 @@ def normalize_org_names(
         return batch.append_column(out_column, s)
 
     return ds.map_batches(norm, batch_format="pyarrow")
+
+
+def char_entropy_docs(
+    ds: "ray.data.Dataset",
+    id_column: str = "doc_id",
+    text_column: str = "text",
+) -> "ray.data.Dataset":
+    """Per-document character-level Shannon entropy in integer
+    micro-nats — the gibberish / binary-blob / base64-dump quality
+    signal next to compression_ratio (entropy is its model-free bound):
+
+        H_micro = Σ over distinct code points c of
+                  cnt_c · ⌊10⁶ · ln(n / cnt_c)⌋
+
+    with n the doc's total code points. The ln argument is a count
+    ratio (int64 → double division — the lang_source_mi agreement
+    class), so a SQL mirror that unnests characters lands on the same
+    integers; dividing by 10⁶·n gives nats/char. Zero shuffle: the
+    whole statistic is row-local (one np.unique per doc over its
+    UTF-32 code points). Empty documents are dropped (entropy of an
+    empty string is undefined; pinned on both engines by construction).
+    Output: (id, n, entropy_micro)."""
+    import numpy as np
+
+    def kernel(b: pa.Table) -> pa.Table:
+        ids = b.column(id_column)
+        texts = b.column(text_column).to_pylist()
+        keep_idx, ns, ents = [], [], []
+        for i, s in enumerate(texts):
+            if not s:
+                continue
+            cps = np.frombuffer(s.encode("utf-32-le"), np.uint32)
+            _u, cnt = np.unique(cps, return_counts=True)
+            n = int(len(cps))
+            cnt = cnt.astype(np.int64)
+            h = int(
+                (cnt * np.floor(1e6 * np.log(n / cnt)).astype(np.int64)).sum()
+            )
+            keep_idx.append(i)
+            ns.append(n)
+            ents.append(h)
+        return pa.table(
+            {
+                id_column: ids.take(pa.array(keep_idx, pa.int64())),
+                "n": pa.array(ns, pa.int64()),
+                "entropy_micro": pa.array(ents, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(kernel, batch_format="pyarrow")

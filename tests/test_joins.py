@@ -413,3 +413,47 @@ def test_lpm_join_longest_wins(ray_session):
     )
     with pytest.raises(ValueError):
         lpm_join(rd.from_arrow(ips), "ip", dup)
+
+
+def test_asof_join_tolerance_and_keep_unmatched(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dedupe_ray.joins import bucketed_asof_join
+
+    left = rd.from_arrow(
+        pa.table(
+            {
+                "k": ["a", "a", "a", "b"],
+                "t": pa.array([10, 50, 100, 7], pa.int64()),
+                "lid": pa.array([0, 1, 2, 3], pa.int64()),
+            }
+        )
+    )
+    right = rd.from_arrow(
+        pa.table(
+            {
+                "k": ["a", "a"],
+                "t": pa.array([8, 40], pa.int64()),
+                "v": ["x", "y"],
+            }
+        )
+    )
+    # tolerance 15: lid0 matches t=8 (gap 2); lid1 matches t=40 (gap 10);
+    # lid2's best candidate t=40 is 60 behind -> out of tolerance -> null;
+    # key b has no right rows -> null
+    out = (
+        bucketed_asof_join(
+            left, right, "k", "k", "t", "t", ["v"],
+            tolerance=15, keep_unmatched=True,
+        )
+        .to_pandas()
+        .sort_values("lid")
+        .reset_index(drop=True)
+    )
+    assert out["v"].tolist() == ["x", "y", None, None]
+    # inner semantics with the same tolerance drops the unmatched rows
+    inner = bucketed_asof_join(
+        left, right, "k", "k", "t", "t", ["v"], tolerance=15
+    ).to_pandas()
+    assert sorted(inner["lid"]) == [0, 1]
