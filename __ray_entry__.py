@@ -7220,6 +7220,29 @@ def _q_doc_char_entropy(sf_dir: str):
     return char_entropy_docs(docs)
 
 
+def _q_evolved_docs_read(sf_dir: str):
+    """Schema-evolution read (`sources.py read_parquet_union_by_name` —
+    the added-a-column lake reality): an old shard directory (doc_id,
+    text) and a new one (full five-column schema) align by name into
+    the superset, old rows carrying typed NULLs — mirrored by a
+    UNION ALL with explicit NULL casts."""
+    import hashlib
+
+    import shutil
+
+    base = "/tmp/dedupe_ray_evo_" + hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    shutil.rmtree(base, ignore_errors=True)  # write_parquet appends otherwise
+    v1, v2 = base + "/v1", base + "/v2"
+    docs = _read(sf_dir, "documents")
+    from dedupe_ray.sources import read_parquet_union_by_name
+
+    docs.filter(expr="doc_id < 250").select_columns(
+        ["doc_id", "text"]
+    ).write_parquet(v1)
+    docs.filter(expr="doc_id >= 250").write_parquet(v2)
+    return read_parquet_union_by_name([v1, v2])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "er_clusters": _q_er_clusters,
@@ -7500,6 +7523,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cosine_pairs_docs": _q_cosine_pairs_docs,
         "purchase_attribution": _q_purchase_attribution,
         "doc_char_entropy": _q_doc_char_entropy,
+        "evolved_docs_read": _q_evolved_docs_read,
     }
 
 
@@ -12657,6 +12681,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(r AS BIGINT) AS sketch_row, dot,
                    (SELECT CAST(MIN(dot) AS BIGINT) FROM d) AS est
             FROM d ORDER BY 1
+        """,
+        # schema evolution: UNION ALL with explicit typed NULLs
+        "evolved_docs_read": """
+            SELECT doc_id, text,
+                   CAST(NULL AS VARCHAR) AS lang,
+                   CAST(NULL AS VARCHAR) AS source,
+                   CAST(NULL AS BIGINT) AS n_chars
+            FROM documents WHERE doc_id < 250
+            UNION ALL
+            SELECT doc_id, text, lang, source, n_chars
+            FROM documents WHERE doc_id >= 250
         """,
         # attribution: asof-with-lookback, clicks pre-deduped per (user, ts)
         "purchase_attribution": """

@@ -278,6 +278,18 @@ def run_bench() -> dict:
     entrymod.queries()["ivf_pq_topk"](SF_DIR)  # bounded pa.Table
     queries["ivf_pq_topk"] = round(time.time() - t0, 3)
 
+    t0 = time.time()
+    entrymod.queries()["cdc_chunks_docs"](SF_DIR)  # bounded pa.Table
+    queries["cdc_chunks_docs"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    entrymod.queries()["events_holt"](SF_DIR).count()
+    queries["events_holt"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    entrymod.queries()["customer_name_jw"](SF_DIR).count()
+    queries["customer_name_jw"] = round(time.time() - t0, 3)
+
     result = {
         "metric": "er_partition_seconds",
         "value": queries["er_partition"],

@@ -1083,3 +1083,70 @@ def write_jsonl_bz2(ds: "ray.data.Dataset", path: str) -> None:
             f.write(bz2.compress(payload.encode()))
 
     _write_sharded(ds, path, "jsonl.bz2", shard)
+
+
+def read_parquet_union_by_name(
+    dirs: list[str],
+    columns: list[str] | None = None,
+) -> "ray.data.Dataset":
+    """Schema-evolution parquet read (DuckDB's ``union_by_name`` / the
+    data-lake added-a-column reality): each input directory may carry a
+    DIFFERENT schema; columns align by NAME into the first-seen-order
+    superset, files missing a column contribute typed NULLs. One
+    ``read_parquet`` per directory (so Ray still parallelizes and
+    column-prunes inside each), aligned per batch, then a zero-copy
+    union. Same-named columns must have identical types (a type CHANGE
+    is a migration, not evolution — raise early rather than coerce
+    silently)."""
+    import pyarrow.parquet as pq
+
+    schemas = []
+    for d in dirs:
+        files = sorted(
+            os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")
+        )
+        if not files:
+            raise ValueError(f"no parquet files under {d}")
+        schemas.append((d, pq.read_schema(files[0])))
+
+    merged: dict[str, pa.DataType] = {}
+    for _d, sch in schemas:
+        for f in sch:
+            if f.name in merged:
+                if merged[f.name] != f.type:
+                    raise ValueError(
+                        f"column {f.name!r} changes type across inputs: "
+                        f"{merged[f.name]} vs {f.type}"
+                    )
+            else:
+                merged[f.name] = f.type
+    names = [n for n in merged if columns is None or n in columns]
+
+    def aligner(have: set):
+        def align(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    n: (
+                        b.column(n)
+                        if n in have
+                        else pa.nulls(len(b), merged[n])
+                    )
+                    for n in names
+                }
+            )
+
+        return align
+
+    parts = []
+    for d, sch in schemas:
+        have = set(sch.names)
+        cols = [n for n in names if n in have] or None
+        parts.append(
+            ray.data.read_parquet(d, columns=cols).map_batches(
+                aligner(have), batch_format="pyarrow"
+            )
+        )
+    ds = parts[0]
+    for p in parts[1:]:
+        ds = ds.union(p)
+    return ds

@@ -275,3 +275,43 @@ def test_webdataset_shards_are_deterministic(ray_session, tmp_path):
     write_webdataset(rd.from_arrow(tbl), a, "k", ["t"])
     write_webdataset(rd.from_arrow(tbl), b, "k", ["t"])
     assert digest(a) == digest(b)  # mtime/uid pinned -> identical bytes
+
+
+def test_read_parquet_union_by_name(ray_session, tmp_path):
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from dedupe_ray.sources import read_parquet_union_by_name
+
+    old = pa.table({"id": pa.array([1, 2], pa.int64()), "a": ["x", "y"]})
+    new = pa.table(
+        {
+            "id": pa.array([3], pa.int64()),
+            "a": ["z"],
+            "b": pa.array([9.5], pa.float64()),
+        }
+    )
+    d1, d2 = str(tmp_path / "v1"), str(tmp_path / "v2")
+    rd.from_arrow(old).write_parquet(d1)
+    rd.from_arrow(new).write_parquet(d2)
+    out = (
+        read_parquet_union_by_name([d1, d2])
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    assert list(out.columns) == ["id", "a", "b"]  # first-seen superset
+    assert out["b"].isna().tolist() == [True, True, False]
+    assert out["b"].tolist()[2] == 9.5
+
+    # a type CHANGE across inputs raises instead of coercing
+    bad = pa.table({"id": ["oops"], "a": ["w"]})
+    d3 = str(tmp_path / "v3")
+    rd.from_arrow(bad).write_parquet(d3)
+    with pytest.raises(ValueError):
+        read_parquet_union_by_name([d1, d3])
+
+    # column pruning keeps only requested superset columns
+    pruned = read_parquet_union_by_name([d1, d2], columns=["id", "b"]).to_pandas()
+    assert sorted(pruned.columns) == ["b", "id"]
