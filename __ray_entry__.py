@@ -7243,6 +7243,33 @@ def _q_evolved_docs_read(sf_dir: str):
     return read_parquet_union_by_name([v1, v2])
 
 
+def _q_user_value_drawdown(sf_dir: str):
+    """Running peak + drawdown per user over cent-quantized event values
+    (`ops/tabular.py grouped_running_peak`): the high-water-mark
+    analytic in exact int64, mirrored by a MAX-OVER window oracle."""
+    from dedupe_ray.ops.tabular import grouped_running_peak
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        v = b.column("value").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "user_id": b.column("user_id"),
+                "ts": b.column("ts"),
+                "event_id": b.column("event_id"),
+                "c": pa.array(np.floor(v * 100.0 + 0.5).astype(np.int64)),
+            }
+        )
+
+    return grouped_running_peak(
+        ev.map_batches(prep, batch_format="pyarrow"),
+        "user_id",
+        ["ts", "event_id"],
+        "c",
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "er_clusters": _q_er_clusters,
@@ -7524,6 +7551,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "purchase_attribution": _q_purchase_attribution,
         "doc_char_entropy": _q_doc_char_entropy,
         "evolved_docs_read": _q_evolved_docs_read,
+        "user_value_drawdown": _q_user_value_drawdown,
     }
 
 
@@ -12681,6 +12709,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(r AS BIGINT) AS sketch_row, dot,
                    (SELECT CAST(MIN(dot) AS BIGINT) FROM d) AS est
             FROM d ORDER BY 1
+        """,
+        # running peak: MAX OVER unbounded-preceding + subtraction
+        "user_value_drawdown": """
+            WITH v AS MATERIALIZED (
+                SELECT user_id, ts, event_id,
+                       CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c
+                FROM events
+            )
+            SELECT user_id, ts, event_id, c,
+                   CAST(MAX(c) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS BIGINT) AS peak,
+                   CAST(MAX(c) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) - c AS BIGINT)
+                       AS drawdown
+            FROM v
         """,
         # schema evolution: UNION ALL with explicit typed NULLs
         "evolved_docs_read": """

@@ -1505,6 +1505,34 @@ def grouped_lead(
     return _grouped_window(ds, key_column, order_columns, kernel)
 
 
+def grouped_running_peak(
+    ds: "ray.data.Dataset",
+    key_column: str,
+    order_columns: list[str],
+    value_column: str,
+    peak_column: str = "peak",
+    drawdown_column: str = "drawdown",
+) -> "ray.data.Dataset":
+    """Per-key running maximum and drawdown (SQL ``MAX(v) OVER
+    (PARTITION BY key ORDER BY … ROWS UNBOUNDED PRECEDING)`` plus
+    ``peak − v``) — the high-water-mark analytic (drawdown curves,
+    peak-memory audits, record-to-date tracking) over an INTEGER value
+    column, so both outputs are exact int64 and a window-fn oracle
+    hash-matches. One bucketed shuffle + one segmented cummax per
+    bucket (:func:`_grouped_window` shape)."""
+    import numpy as np
+    import pandas as pd
+
+    def kernel(g: pa.Table, new_key: np.ndarray) -> pa.Table:
+        v = g.column(value_column).to_numpy(zero_copy_only=False).astype(np.int64)
+        grp = np.cumsum(new_key) - 1
+        peak = pd.Series(v).groupby(grp).cummax().to_numpy()
+        g = g.append_column(peak_column, pa.array(peak.astype(np.int64)))
+        return g.append_column(drawdown_column, pa.array(peak - v))
+
+    return _grouped_window(ds, key_column, order_columns, kernel)
+
+
 def grouped_ntile(
     ds: "ray.data.Dataset",
     key_column: str,

@@ -8247,3 +8247,29 @@ def test_probe_image_meta_parity_with_decoders():
 
     assert probe_image_meta(b"not an image at all") is None
     assert probe_image_meta(b"") is None
+
+
+def test_grouped_running_peak_hand_case(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dedupe_ray.ops.tabular import grouped_running_peak
+
+    tbl = pa.table(
+        {
+            "k": ["a", "a", "a", "a", "b"],
+            "o": pa.array([1, 2, 3, 4, 1], pa.int64()),
+            "v": pa.array([10, 30, 20, 40, -5], pa.int64()),
+        }
+    )
+    for parts in (1, 3):
+        out = (
+            grouped_running_peak(
+                rd.from_arrow(tbl).repartition(parts), "k", ["o"], "v"
+            )
+            .to_pandas()
+            .sort_values(["k", "o"])
+            .reset_index(drop=True)
+        )
+        assert out["peak"].tolist() == [10, 30, 30, 40, -5]
+        assert out["drawdown"].tolist() == [0, 0, 10, 0, 0]
