@@ -7270,6 +7270,53 @@ def _q_user_value_drawdown(sf_dir: str):
     )
 
 
+def _q_nation_balance_topn(sf_dir: str):
+    """Top-5 nations by total account balance plus one aggregated OTHER
+    row (`ops/tabular.py top_n_with_others` — the BI tail-rollup shape
+    with explicit absorbed-group accounting): exact int64 cents totals,
+    rank ties pinned to stringified-key order on both engines."""
+    from dedupe_ray.ops.tabular import top_n_with_others
+
+    cust = _read(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        bal = b.column("c_acctbal").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "k": b.column("c_nationkey"),
+                "v": pa.array(np.floor(bal * 100 + 0.5).astype(np.int64)),
+            }
+        )
+
+    return top_n_with_others(
+        cust.map_batches(prep, batch_format="pyarrow"), "k", "v", 5
+    )
+
+
+def _q_user_value_gmd(sf_dir: str):
+    """Gini mean difference of event values per user (`ops/tabular.py
+    grouped_gini_mean_difference`): the exact pairwise-dispersion
+    numerator Σ|vᵢ−vⱼ| via the sorted-weights identity — one sort
+    instead of O(n²) pairs — pinned by a brute-force pair self-join
+    oracle."""
+    from dedupe_ray.ops.tabular import grouped_gini_mean_difference
+
+    ev = _read(sf_dir, "events", ["user_id", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        v = b.column("value").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "user_id": b.column("user_id"),
+                "c": pa.array(np.floor(v * 100.0 + 0.5).astype(np.int64)),
+            }
+        )
+
+    return grouped_gini_mean_difference(
+        ev.map_batches(prep, batch_format="pyarrow"), "user_id", "c"
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "er_clusters": _q_er_clusters,
@@ -7552,6 +7599,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_char_entropy": _q_doc_char_entropy,
         "evolved_docs_read": _q_evolved_docs_read,
         "user_value_drawdown": _q_user_value_drawdown,
+        "nation_balance_topn": _q_nation_balance_topn,
+        "user_value_gmd": _q_user_value_gmd,
     }
 
 
@@ -12709,6 +12758,43 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(r AS BIGINT) AS sketch_row, dot,
                    (SELECT CAST(MIN(dot) AS BIGINT) FROM d) AS est
             FROM d ORDER BY 1
+        """,
+        # top-N + OTHER rollup: ties pinned to stringified-key order
+        "nation_balance_topn": """
+            WITH t AS (
+                SELECT CAST(c_nationkey AS VARCHAR) AS key,
+                       CAST(SUM(CAST(floor(c_acctbal * 100 + 0.5)
+                                     AS BIGINT)) AS BIGINT) AS total
+                FROM customer GROUP BY 1
+            ),
+            r AS (
+                SELECT key, total,
+                       row_number() OVER (ORDER BY total DESC, key) AS rnk
+                FROM t
+            )
+            SELECT key, total, CAST(1 AS BIGINT) AS n_keys
+            FROM r WHERE rnk <= 5
+            UNION ALL
+            SELECT 'OTHER', CAST(SUM(total) AS BIGINT),
+                   CAST(COUNT(*) AS BIGINT)
+            FROM r WHERE rnk > 5
+        """,
+        # GMD: brute-force pair self-join mirror of the sorted identity
+        "user_value_gmd": """
+            WITH v AS MATERIALIZED (
+                SELECT user_id, event_id,
+                       CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c
+                FROM events
+            ),
+            p AS (
+                SELECT a.user_id, ABS(a.c - b.c) AS d
+                FROM v a JOIN v b
+                  ON b.user_id = a.user_id AND b.event_id > a.event_id
+            )
+            SELECT v.user_id, CAST(COUNT(*) AS BIGINT) AS n,
+                   (SELECT CAST(SUM(p.d) AS BIGINT) FROM p
+                    WHERE p.user_id = v.user_id) AS sum_abs_diff
+            FROM v GROUP BY 1 HAVING COUNT(*) >= 2
         """,
         # running peak: MAX OVER unbounded-preceding + subtraction
         "user_value_drawdown": """

@@ -6218,3 +6218,139 @@ def woe_table(
             "woe_micro": pa.array(woe),
         }
     )
+
+
+def top_n_with_others(
+    ds: "ray.data.Dataset",
+    key_column: str,
+    value_column: str,
+    n: int,
+    others_label: str = "OTHER",
+) -> pa.Table:
+    """Top-N groups by total value plus one aggregated ``OTHER`` row —
+    the BI reporting shape (top nations + rest, top domains + tail):
+    per-key exact int64 totals from one combiner groupby, rank by
+    (total DESC, key ASC) driver-side over the bounded key table, tail
+    keys collapse into one row. ``n_keys`` on the OTHER row records how
+    many groups it absorbed (silent-truncation accounting — the
+    no-silent-caps doctrine). Keys are stringified in the output so the
+    OTHER label coexists with any key type. Output: (key, total,
+    n_keys), top-N rows first in rank order."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        df = pd.DataFrame(
+            {
+                "key": b.column(key_column).to_pylist(),
+                "total": b.column(value_column)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64),
+            }
+        )
+        return pa.Table.from_pandas(
+            df.groupby("key", as_index=False).sum(), preserve_index=False
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("key")
+        .aggregate(Sum("total", alias_name="total"))
+        .to_pandas()  # bounded: one row per distinct key
+    )
+    agg["key"] = agg["key"].astype(str)
+    agg = agg.sort_values(
+        ["total", "key"], ascending=[False, True], ignore_index=True
+    )
+    top = agg.iloc[:n]
+    rest = agg.iloc[n:]
+    keys = top["key"].tolist()
+    totals = [int(v) for v in top["total"]]
+    nk = [1] * len(top)
+    if len(rest):
+        keys.append(others_label)
+        totals.append(int(rest["total"].sum()))
+        nk.append(int(len(rest)))
+    return pa.table(
+        {
+            "key": pa.array(keys, pa.string()),
+            "total": pa.array(totals, pa.int64()),
+            "n_keys": pa.array(nk, pa.int64()),
+        }
+    )
+
+
+def grouped_gini_mean_difference(
+    ds: "ray.data.Dataset",
+    key_column: str,
+    value_column: str,
+) -> "ray.data.Dataset":
+    """Gini mean difference per key — the pairwise dispersion statistic
+    Σ_{i<j} |v_i − v_j| over an INTEGER value column, WITHOUT
+    enumerating pairs: on the sorted values the identity
+
+        Σ_{i<j} |v_i − v_j| = Σ_k (2k − n + 1) · v_(k)     (k 0-based)
+
+    turns the O(n²) sum into one sort + one weighted dot per key, so
+    the exact int64 numerator ships with n and the caller divides by
+    C(n,2) (num/den doctrine; GMD/2·mean is the Gini coefficient). A
+    brute-force pair self-join oracle pins it. One bucketed key
+    shuffle, run-sliced vectorized weights — no per-key loop. Keys
+    with n < 2 are dropped. Output: (key, n, sum_abs_diff)."""
+    import numpy as np
+
+    from dedupe_ray.blocking import N_BUCKETS
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "__gbkt", _bucket_hash_col(b.column(key_column), N_BUCKETS)
+        )
+
+    sort_keys = [(key_column, "ascending"), (value_column, "ascending")]
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                key_column: pa.array([], group.schema.field(key_column).type),
+                "n": pa.array([], pa.int64()),
+                "sum_abs_diff": pa.array([], pa.int64()),
+            }
+        )
+        if len(group) == 0:
+            return empty
+        g = group.take(pc.sort_indices(group, sort_keys=sort_keys))
+        keys = np.asarray(g.column(key_column).to_pylist(), object)
+        v = g.column(value_column).to_numpy(zero_copy_only=False).astype(np.int64)
+        m = len(g)
+        new_key = np.empty(m, bool)
+        new_key[0] = True
+        new_key[1:] = keys[1:] != keys[:-1]
+        pos = np.arange(m, dtype=np.int64)
+        run_start = np.maximum.accumulate(np.where(new_key, pos, -1))
+        starts = np.flatnonzero(new_key)
+        lens = np.diff(np.append(starts, m))
+        pos_in_run = pos - run_start
+        w = 2 * pos_in_run - np.repeat(lens - 1, lens)
+        contrib = w * v
+        sums = np.add.reduceat(contrib, starts)
+        keep = lens >= 2
+        if not keep.any():
+            return empty
+        return pa.table(
+            {
+                key_column: pa.array(
+                    keys[starts[keep]], group.schema.field(key_column).type
+                ),
+                "n": pa.array(lens[keep]),
+                "sum_abs_diff": pa.array(sums[keep]),
+            }
+        )
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("__gbkt")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )

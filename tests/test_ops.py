@@ -8273,3 +8273,52 @@ def test_grouped_running_peak_hand_case(ray_session):
         )
         assert out["peak"].tolist() == [10, 30, 30, 40, -5]
         assert out["drawdown"].tolist() == [0, 0, 10, 0, 0]
+
+
+def test_grouped_gmd_matches_brute_force(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dedupe_ray.ops.tabular import grouped_gini_mean_difference
+
+    rng = np.random.default_rng(13)
+    keys, vals = [], []
+    for k, n in [("a", 8), ("b", 2), ("c", 1), ("d", 30)]:
+        keys += [k] * n
+        vals += rng.integers(-100, 100, n).tolist()
+    tbl = pa.table({"k": keys, "v": pa.array(vals, pa.int64())})
+
+    expect = {}
+    for k in ("a", "b", "d"):
+        vs = [v for kk, v in zip(keys, vals) if kk == k]
+        s = sum(abs(vs[i] - vs[j]) for i in range(len(vs))
+                for j in range(i + 1, len(vs)))
+        expect[k] = (len(vs), s)
+
+    for parts in (1, 3):
+        out = grouped_gini_mean_difference(
+            rd.from_arrow(tbl).repartition(parts), "k", "v"
+        ).to_pandas()
+        got = {r["k"]: (r["n"], r["sum_abs_diff"]) for _, r in out.iterrows()}
+        assert got == expect, parts  # singleton key 'c' dropped
+
+
+def test_top_n_with_others_hand_case(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dedupe_ray.ops.tabular import top_n_with_others
+
+    tbl = pa.table(
+        {
+            "k": pa.array([1, 1, 2, 3, 4, 5], pa.int64()),
+            "v": pa.array([50, 50, 80, 60, 10, 5], pa.int64()),
+        }
+    )
+    out = top_n_with_others(
+        rd.from_arrow(tbl).repartition(2), "k", "v", n=2
+    ).to_pandas()
+    assert out["key"].tolist() == ["1", "2", "OTHER"]
+    assert out["total"].tolist() == [100, 80, 75]
+    assert out["n_keys"].tolist() == [1, 1, 3]
