@@ -7317,6 +7317,29 @@ def _q_user_value_gmd(sf_dir: str):
     )
 
 
+def _q_user_median_gap(sf_dir: str):
+    """Lower-median inter-arrival gap per user in epoch-micros
+    (`ops/tabular.py grouped_median_gap`): the burstiness/cadence
+    statistic — LAG gaps + positional median, all exact int64 —
+    mirrored by a LAG + row_number oracle."""
+    from dedupe_ray.ops.tabular import grouped_median_gap
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": b.column("user_id"),
+                "t": b.column("ts").cast(pa.int64()),
+                "event_id": b.column("event_id"),
+            }
+        )
+
+    return grouped_median_gap(
+        ev.map_batches(prep, batch_format="pyarrow"), "user_id", "t", "event_id"
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "er_clusters": _q_er_clusters,
@@ -7601,6 +7624,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_value_drawdown": _q_user_value_drawdown,
         "nation_balance_topn": _q_nation_balance_topn,
         "user_value_gmd": _q_user_value_gmd,
+        "user_median_gap": _q_user_median_gap,
     }
 
 
@@ -12758,6 +12782,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(r AS BIGINT) AS sketch_row, dot,
                    (SELECT CAST(MIN(dot) AS BIGINT) FROM d) AS est
             FROM d ORDER BY 1
+        """,
+        # median gap: LAG + positional lower median (row (n+1)//2)
+        "user_median_gap": """
+            WITH v AS MATERIALIZED (
+                SELECT user_id, epoch_us(ts) AS t, event_id FROM events
+            ),
+            g AS (
+                SELECT user_id,
+                       t - LAG(t) OVER (PARTITION BY user_id
+                                        ORDER BY t, event_id) AS gap
+                FROM v
+            ),
+            gg AS (SELECT user_id, gap FROM g WHERE gap IS NOT NULL),
+            cnt AS (
+                SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_gaps
+                FROM gg GROUP BY 1
+            ),
+            r AS (
+                SELECT user_id, gap,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY gap) AS rn
+                FROM gg
+            )
+            SELECT c.user_id, c.n_gaps,
+                   CAST(r.gap AS BIGINT) AS median_gap
+            FROM cnt c
+            JOIN r ON r.user_id = c.user_id
+                  AND r.rn = (c.n_gaps + 1) // 2
         """,
         # top-N + OTHER rollup: ties pinned to stringified-key order
         "nation_balance_topn": """

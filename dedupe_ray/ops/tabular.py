@@ -6354,3 +6354,82 @@ def grouped_gini_mean_difference(
         .groupby("__gbkt")
         .map_groups(per_bucket, batch_format="pyarrow")
     )
+
+
+def grouped_median_gap(
+    ds: "ray.data.Dataset",
+    key_column: str,
+    t_column: str,
+    tiebreak_column: str,
+) -> "ray.data.Dataset":
+    """Lower-median inter-arrival gap per key — the burstiness /
+    health-cadence statistic (heartbeat monitors, user-activity
+    rhythm): consecutive gaps in (t, tiebreak) order, then the
+    positional lower median (row (n+1)//2 of the sorted gap multiset,
+    exact on int64 timestamps — no interpolation, engine-exact). Keys
+    with fewer than two events are dropped. One bucketed key shuffle;
+    gaps and the per-run median both resolve with run-sliced numpy
+    (two lexsorts, no per-key loop). Output: (key, n_gaps,
+    median_gap)."""
+    import numpy as np
+
+    from dedupe_ray.blocking import N_BUCKETS
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "__mgbkt", _bucket_hash_col(b.column(key_column), N_BUCKETS)
+        )
+
+    sort_keys = [
+        (key_column, "ascending"),
+        (t_column, "ascending"),
+        (tiebreak_column, "ascending"),
+    ]
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                key_column: pa.array([], group.schema.field(key_column).type),
+                "n_gaps": pa.array([], pa.int64()),
+                "median_gap": pa.array([], pa.int64()),
+            }
+        )
+        if len(group) == 0:
+            return empty
+        g = group.take(pc.sort_indices(group, sort_keys=sort_keys))
+        keys = np.asarray(g.column(key_column).to_pylist(), object)
+        t = g.column(t_column).to_numpy(zero_copy_only=False).astype(np.int64)
+        m = len(g)
+        new_key = np.empty(m, bool)
+        new_key[0] = True
+        new_key[1:] = keys[1:] != keys[:-1]
+        run_id = np.cumsum(new_key) - 1
+        gaps = t[1:] - t[:-1]
+        keep = ~new_key[1:]  # gap rows stay within one key
+        gaps = gaps[keep]
+        grun = run_id[1:][keep]
+        if not len(gaps):
+            return empty
+        order = np.lexsort((gaps, grun))
+        sg = gaps[order]
+        sr = grun[order]
+        heads = np.concatenate(([True], sr[1:] != sr[:-1]))
+        starts = np.flatnonzero(heads)
+        lens = np.diff(np.append(starts, len(sg)))
+        med = sg[starts + (lens + 1) // 2 - 1]
+        head_keys = keys[np.flatnonzero(new_key)]  # per run_id
+        return pa.table(
+            {
+                key_column: pa.array(
+                    head_keys[sr[starts]], group.schema.field(key_column).type
+                ),
+                "n_gaps": pa.array(lens),
+                "median_gap": pa.array(med),
+            }
+        )
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("__mgbkt")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )

@@ -8322,3 +8322,37 @@ def test_top_n_with_others_hand_case(ray_session):
     assert out["key"].tolist() == ["1", "2", "OTHER"]
     assert out["total"].tolist() == [100, 80, 75]
     assert out["n_keys"].tolist() == [1, 1, 3]
+
+
+def test_grouped_median_gap_brute_force(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dedupe_ray.ops.tabular import grouped_median_gap
+
+    series = {"a": [0, 10, 15, 100], "b": [5, 5, 9], "c": [7]}
+    rows = [(k, t, i) for k, ts in series.items() for i, t in enumerate(ts)]
+    tbl = pa.table(
+        {
+            "k": [r[0] for r in rows],
+            "t": pa.array([r[1] for r in rows], pa.int64()),
+            "e": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+    expect = {}
+    for k, ts in series.items():
+        gaps = sorted(b - a for a, b in zip(ts, ts[1:]))
+        if gaps:
+            expect[k] = (len(gaps), gaps[(len(gaps) + 1) // 2 - 1])
+    # a: gaps [10,5,85] -> sorted [5,10,85] -> median 10
+    assert expect["a"] == (3, 10)
+    assert expect["b"] == (2, 0)  # duplicate-ts gap of 0 counts
+
+    for parts in (1, 3):
+        out = grouped_median_gap(
+            rd.from_arrow(tbl).repartition(parts), "k", "t", "e"
+        ).to_pandas()
+        got = {r["k"]: (r["n_gaps"], r["median_gap"])
+               for _, r in out.iterrows()}
+        assert got == expect, parts
