@@ -7340,6 +7340,68 @@ def _q_user_median_gap(sf_dir: str):
     )
 
 
+def _q_dedup_mapping_events(sf_dir: str):
+    """Exact-dedup provenance mapping (`ops/dedup.py
+    exact_dedup_mapping`): for every event row the props-dedup removes,
+    the (dropped_id → kept_id) redirect — the audit/redirect table a
+    compliance pipeline keeps next to the deduped corpus. Same
+    keep-min-id semantics as exact_dedup_events; min-per-group join
+    oracle."""
+    from dedupe_ray.ops.dedup import exact_dedup_mapping
+
+    ev = _read(sf_dir, "events", ["event_id", "props"])
+    return exact_dedup_mapping(ev, column="props", id_column="event_id")
+
+
+def _q_user_return_labels(sf_dir: str):
+    """Return-within-7-days label per event (`ops/tabular.py
+    grouped_lead` + a vectorized bound check): the churn-model label
+    builder — for each event, does the SAME user act again within the
+    window? Exact epoch-micro arithmetic; LEAD-window oracle."""
+    from dedupe_ray.ops.tabular import grouped_lead
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": b.column("user_id"),
+                "t": b.column("ts").cast(pa.int64()),
+                "event_id": b.column("event_id"),
+            }
+        )
+
+    led = grouped_lead(
+        ev.map_batches(prep, batch_format="pyarrow"),
+        "user_id",
+        ["t", "event_id"],
+        "t",
+        out_column="next_t",
+    )
+
+    def label(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        nt = b.column("next_t")
+        in_window = pc.less_equal(
+            pc.subtract(nt, b.column("t")), pa.scalar(604_800_000_000, pa.int64())
+        )
+        ret = pc.cast(
+            pc.fill_null(pc.and_kleene(pc.is_valid(nt), in_window), False),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "user_id": b.column("user_id"),
+                "t": b.column("t"),
+                "event_id": b.column("event_id"),
+                "returned": ret,
+            }
+        )
+
+    return led.map_batches(label, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "er_clusters": _q_er_clusters,
@@ -7625,6 +7687,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_balance_topn": _q_nation_balance_topn,
         "user_value_gmd": _q_user_value_gmd,
         "user_median_gap": _q_user_median_gap,
+        "dedup_mapping_events": _q_dedup_mapping_events,
+        "user_return_labels": _q_user_return_labels,
     }
 
 
@@ -12782,6 +12846,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(r AS BIGINT) AS sketch_row, dot,
                    (SELECT CAST(MIN(dot) AS BIGINT) FROM d) AS est
             FROM d ORDER BY 1
+        """,
+        # dedup provenance: every non-min row maps to its group's min id
+        "dedup_mapping_events": """
+            WITH k AS (
+                SELECT props, CAST(MIN(event_id) AS BIGINT) AS kept_id
+                FROM events GROUP BY 1
+            )
+            SELECT e.event_id AS dropped_id, k.kept_id
+            FROM events e JOIN k ON k.props = e.props
+            WHERE e.event_id <> k.kept_id
+        """,
+        # return labels: LEAD within (t, event_id) order, 7-day bound
+        "user_return_labels": """
+            WITH v AS MATERIALIZED (
+                SELECT user_id, epoch_us(ts) AS t, event_id FROM events
+            )
+            SELECT user_id, t, event_id,
+                   CAST(COALESCE(
+                       LEAD(t) OVER (PARTITION BY user_id
+                                     ORDER BY t, event_id) - t
+                       <= 604800000000, FALSE) AS BIGINT) AS returned
+            FROM v
         """,
         # median gap: LAG + positional lower median (row (n+1)//2)
         "user_median_gap": """

@@ -2648,3 +2648,70 @@ def ngram_cosine_pairs(
         return b.filter(mask)
 
     return dots.map_batches(keep, batch_format="pyarrow")
+
+
+def exact_dedup_mapping(
+    ds: "ray.data.Dataset", column: str = "text", id_column: str = "doc_id"
+) -> "ray.data.Dataset":
+    """Provenance side of :func:`exact_dedup`: the (dropped_id →
+    kept_id) mapping for every row the dedup removes — the audit table
+    a compliance pipeline keeps next to the deduped corpus ("this row
+    was dropped BECAUSE of that survivor"), and the redirect table
+    downstream joins consult. Same bucketed shuffle and keep-min-id
+    semantics as exact_dedup (sort per bucket, run-sliced first-of-run
+    = survivor, every other run member emits one mapping row; hash-
+    collision ties resolved on the value column identically). Output:
+    (dropped_id, kept_id) — empty when the corpus is duplicate-free."""
+    def _bucketize(b: pa.Table) -> pa.Table:
+        b = add_content_hash(b, column)
+        h = b.column("content_hash").to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "hbucket", pa.array((h % np.uint64(N_BUCKETS)).astype(np.int32))
+        )
+
+    hashed = ds.map_batches(_bucketize, batch_format="pyarrow")
+
+    def _emit_mapping(group: pa.Table) -> pa.Table:
+        id_type = group.schema.field(id_column).type
+        empty = pa.table(
+            {
+                "dropped_id": pa.array([], id_type),
+                "kept_id": pa.array([], id_type),
+            }
+        )
+        if len(group) == 0:
+            return empty
+        order = pc.sort_indices(
+            group,
+            sort_keys=[
+                ("content_hash", "ascending"),
+                (column, "ascending"),
+                (id_column, "ascending"),
+            ],
+        )
+        g = group.take(order)
+        h = g.column("content_hash").to_numpy(zero_copy_only=False)
+        head = np.empty(len(g), bool)
+        head[0] = True
+        head[1:] = h[1:] != h[:-1]
+        ties = np.nonzero(~head[1:])[0] + 1
+        if len(ties):
+            vcol = g.column(column)
+            for i in ties:
+                head[i] = vcol[int(i)].as_py() != vcol[int(i) - 1].as_py()
+        if head.all():
+            return empty
+        pos = np.arange(len(g), dtype=np.int64)
+        run_start = np.maximum.accumulate(np.where(head, pos, -1))
+        dropped = ~head
+        ids = g.column(id_column)
+        return pa.table(
+            {
+                "dropped_id": ids.filter(pa.array(dropped)),
+                "kept_id": ids.take(pa.array(run_start[dropped])),
+            }
+        )
+
+    return hashed.groupby("hbucket").map_groups(
+        _emit_mapping, batch_format="pyarrow"
+    )

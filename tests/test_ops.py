@@ -8356,3 +8356,27 @@ def test_grouped_median_gap_brute_force(ray_session):
         got = {r["k"]: (r["n_gaps"], r["median_gap"])
                for _, r in out.iterrows()}
         assert got == expect, parts
+
+
+def test_exact_dedup_mapping_consistency(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dedupe_ray.ops.dedup import exact_dedup, exact_dedup_mapping
+
+    tbl = pa.table(
+        {
+            "doc_id": ["d3", "d1", "d2", "d4", "d5"],
+            "text": ["x", "x", "y", "x", "y"],
+        }
+    )
+    for parts in (1, 3):
+        ds = rd.from_arrow(tbl).repartition(parts)
+        kept = set(exact_dedup(ds, "text", "doc_id").to_pandas()["doc_id"])
+        mp = exact_dedup_mapping(ds, "text", "doc_id").to_pandas()
+        got = dict(zip(mp["dropped_id"], mp["kept_id"]))
+        assert got == {"d3": "d1", "d4": "d1", "d5": "d2"}, parts
+        # mapping + survivors partition the corpus exactly
+        assert kept == {"d1", "d2"}
+        assert kept.isdisjoint(got.keys())
+        assert set(got.values()) <= kept
