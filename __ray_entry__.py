@@ -7402,6 +7402,29 @@ def _q_user_return_labels(sf_dir: str):
     return led.map_batches(label, batch_format="pyarrow")
 
 
+def _q_user_shuffle_skew(sf_dir: str):
+    """Pre-shuffle skew audit over events.user_id (`ops/tabular.py
+    shuffle_skew_report`): per-hash-bucket row counts under the
+    engine's own pd.util.hash_array placement — prices a groupby
+    before running it. No SQL oracle (the siphash bucketing isn't
+    SQL); deterministic across processes, snapshot-frozen."""
+    from dedupe_ray.ops.tabular import shuffle_skew_report
+
+    ev = _read(sf_dir, "events", ["user_id"])
+    return shuffle_skew_report(ev, "user_id", n_buckets=64)
+
+
+def _q_customer_col_entropy(sf_dir: str):
+    """Per-column value entropy (`ops/tabular.py
+    column_entropy_profile`): the blocking-key selection heuristic —
+    high-entropy columns split a corpus into many small blocks.
+    Count-ratio ln micro-nats, UNION-of-columns oracle."""
+    from dedupe_ray.ops.tabular import column_entropy_profile
+
+    cust = _read(sf_dir, "customer", ["c_mktsegment", "c_nationkey"])
+    return column_entropy_profile(cust, ["c_mktsegment", "c_nationkey"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "er_clusters": _q_er_clusters,
@@ -7689,6 +7712,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_median_gap": _q_user_median_gap,
         "dedup_mapping_events": _q_dedup_mapping_events,
         "user_return_labels": _q_user_return_labels,
+        "user_shuffle_skew": _q_user_shuffle_skew,
+        "customer_col_entropy": _q_customer_col_entropy,
     }
 
 
@@ -12846,6 +12871,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(r AS BIGINT) AS sketch_row, dot,
                    (SELECT CAST(MIN(dot) AS BIGINT) FROM d) AS est
             FROM d ORDER BY 1
+        """,
+        # column entropy: stringified values, count-ratio ln micro-nats
+        "customer_col_entropy": """
+            WITH u AS (
+                SELECT 'c_mktsegment' AS col,
+                       CAST(c_mktsegment AS VARCHAR) AS v FROM customer
+                UNION ALL
+                SELECT 'c_nationkey', CAST(c_nationkey AS VARCHAR)
+                FROM customer
+            ),
+            cc AS (
+                SELECT col, v, CAST(COUNT(*) AS BIGINT) AS cnt
+                FROM u GROUP BY 1, 2
+            ),
+            tot AS (
+                SELECT col, CAST(SUM(cnt) AS BIGINT) AS n,
+                       CAST(COUNT(*) AS BIGINT) AS nd
+                FROM cc GROUP BY 1
+            )
+            SELECT t.col AS "column", t.n, t.nd AS n_distinct,
+                   CAST(SUM(cc.cnt
+                            * CAST(floor(1000000 * ln(CAST(t.n AS DOUBLE)
+                                                      / CAST(cc.cnt AS DOUBLE)))
+                                   AS BIGINT)) AS BIGINT) AS entropy_micro
+            FROM cc JOIN tot t ON t.col = cc.col
+            GROUP BY 1, 2, 3
         """,
         # dedup provenance: every non-min row maps to its group's min id
         "dedup_mapping_events": """

@@ -6433,3 +6433,114 @@ def grouped_median_gap(
         .groupby("__mgbkt")
         .map_groups(per_bucket, batch_format="pyarrow")
     )
+
+
+def shuffle_skew_report(
+    ds: "ray.data.Dataset",
+    key_column: str,
+    n_buckets: int = 256,
+) -> pa.Table:
+    """Pre-shuffle skew audit: row counts per hash bucket for a
+    prospective shuffle key — the planning probe that prices a
+    `groupby(key)` BEFORE running it (a bucket holding 30% of the rows
+    means a straggler; salt or pre-aggregate first). Uses the SAME
+    pd.util.hash_array bucketing as the engine's bucketed joins/windows,
+    so the report reflects the actual placement. One combiner pass +
+    one n_buckets-bounded groupby; summary row columns carry max/mean
+    occupancy in exact integer rows. Output: (bucket, rows) for
+    non-empty buckets plus ``max_rows``/``total_rows``/``n_nonempty``
+    repeated on every row (bounded table — callers read the first)."""
+    import numpy as np
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        vals = b.column(key_column).to_numpy(zero_copy_only=False)
+        bkt = (pd.util.hash_array(vals) % n_buckets).astype(np.int64)
+        u, c = np.unique(bkt, return_counts=True)
+        return pa.table(
+            {"bucket": pa.array(u), "rows": pa.array(c.astype(np.int64))}
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Sum("rows", alias_name="rows"))
+        .to_pandas()  # bounded: <= n_buckets rows
+        .sort_values("bucket", ignore_index=True)
+    )
+    mx = int(agg["rows"].max()) if len(agg) else 0
+    tot = int(agg["rows"].sum()) if len(agg) else 0
+    return pa.table(
+        {
+            "bucket": pa.array(agg["bucket"].astype("int64")),
+            "rows": pa.array(agg["rows"].astype("int64")),
+            "max_rows": pa.array([mx] * len(agg), pa.int64()),
+            "total_rows": pa.array([tot] * len(agg), pa.int64()),
+            "n_nonempty": pa.array([len(agg)] * len(agg), pa.int64()),
+        }
+    )
+
+
+def column_entropy_profile(
+    ds: "ray.data.Dataset",
+    columns: list[str],
+) -> pa.Table:
+    """Per-column value-distribution entropy in integer micro-nats —
+    the blocking-key selection heuristic (a high-entropy column splits
+    a corpus into many small blocks; a low-entropy one creates hot
+    blocks) and the categorical-profiling complement of
+    profile_columns:
+
+        H_micro(col) = Σ over distinct values v of
+                       cnt_v · ⌊10⁶ · ln(n / cnt_v)⌋
+
+    (the count-ratio ln agreement class — engine-exact). NULLs count
+    as one value. Meant for CATEGORICAL columns: the per-column
+    distinct-value table must be bounded (hash-bucket or truncate
+    free-text upstream). One per-batch (column, value) count combiner
+    + one groupby; finisher is bounded by Σ distinct values. Output:
+    (column, n, n_distinct, entropy_micro)."""
+    import numpy as np
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        frames = []
+        for c in columns:
+            vals = [
+                "\x00null" if v is None else str(v)
+                for v in b.column(c).to_pylist()
+            ]
+            df = pd.DataFrame({"col": c, "value": vals})
+            g = df.groupby(["col", "value"], as_index=False).size()
+            frames.append(g.rename(columns={"size": "cnt"}))
+        out = pd.concat(frames, ignore_index=True)
+        out["cnt"] = out["cnt"].astype("int64")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["col", "value"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()  # bounded: distinct (column, value) pairs
+    )
+    rows = []
+    for c in columns:
+        sub = agg[agg["col"] == c]
+        cnt = sub["cnt"].to_numpy(np.int64)
+        n = int(cnt.sum())
+        h = int(
+            (cnt * np.floor(1e6 * np.log(n / cnt)).astype(np.int64)).sum()
+        ) if n else 0
+        rows.append((c, n, int(len(sub)), h))
+    return pa.table(
+        {
+            "column": pa.array([r[0] for r in rows], pa.string()),
+            "n": pa.array([r[1] for r in rows], pa.int64()),
+            "n_distinct": pa.array([r[2] for r in rows], pa.int64()),
+            "entropy_micro": pa.array([r[3] for r in rows], pa.int64()),
+        }
+    )

@@ -8380,3 +8380,47 @@ def test_exact_dedup_mapping_consistency(ray_session):
         assert kept == {"d1", "d2"}
         assert kept.isdisjoint(got.keys())
         assert set(got.values()) <= kept
+
+
+def test_column_entropy_profile_hand_case(ray_session):
+    import math
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dedupe_ray.ops.tabular import column_entropy_profile
+
+    tbl = pa.table(
+        {
+            "a": ["x", "x", "y", None],  # counts 2,1,1 (null is a value)
+            "b": ["z", "z", "z", "z"],   # constant -> entropy 0
+        }
+    )
+    out = column_entropy_profile(
+        rd.from_arrow(tbl).repartition(2), ["a", "b"]
+    ).to_pandas().set_index("column")
+    n = 4
+
+    def term(c):
+        return c * math.floor(1e6 * math.log(n / c))
+
+    assert out.loc["a", "n"] == 4 and out.loc["a", "n_distinct"] == 3
+    assert out.loc["a", "entropy_micro"] == term(2) + term(1) + term(1)
+    assert out.loc["b", "entropy_micro"] == 0
+    assert out.loc["b", "n_distinct"] == 1
+
+
+def test_shuffle_skew_report_counts(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dedupe_ray.ops.tabular import shuffle_skew_report
+
+    keys = ["hot"] * 90 + [f"k{i}" for i in range(10)]
+    out = shuffle_skew_report(
+        rd.from_arrow(pa.table({"k": keys})).repartition(3), "k", n_buckets=16
+    ).to_pandas()
+    assert out["total_rows"].iloc[0] == 100
+    assert out["rows"].sum() == 100
+    assert out["max_rows"].iloc[0] == out["rows"].max() >= 90  # hot key shows
+    assert out["n_nonempty"].iloc[0] == len(out) <= 11

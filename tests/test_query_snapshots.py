@@ -59,6 +59,9 @@ SNAPSHOTS = {
     # gear-CDC storage-dedup summary (total/uniq chunk+byte counts over
     # the documents corpus); identical at num_cpus 4 and 8 (frozen r4 s10)
     "cdc_chunks_docs": (1, 12125449610829423252),
+    # pre-shuffle skew report (pd.util.hash_array bucketing — stable
+    # fixed-key siphash); identical at num_cpus 4 and 8 (frozen r4 s10)
+    "user_shuffle_skew": (14, 18205437363918058789),
 }
 
 
