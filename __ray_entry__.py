@@ -7425,6 +7425,34 @@ def _q_customer_col_entropy(sf_dir: str):
     return column_entropy_profile(cust, ["c_mktsegment", "c_nationkey"])
 
 
+def _q_events_dow_profile(sf_dir: str):
+    """Day-of-week seasonality profile per event type: exact integer
+    ISO-dow from epoch-micros (``((days + 3) % 7) + 1`` — epoch day 0
+    was a Thursday) with count + cents sums — the weekly-rhythm
+    baseline a forecaster normalizes against; isodow() oracle."""
+    from ray.data.aggregate import Count, Sum
+
+    ev = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        t = b.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        v = b.column("value").to_numpy(zero_copy_only=False)
+        days = t // 86_400_000_000
+        return pa.table(
+            {
+                "event_type": b.column("event_type"),
+                "isodow": pa.array(((days + 3) % 7) + 1),
+                "cents": pa.array(np.floor(v * 100.0 + 0.5).astype(np.int64)),
+            }
+        )
+
+    return (
+        ev.map_batches(prep, batch_format="pyarrow")
+        .groupby(["event_type", "isodow"])
+        .aggregate(Count(alias_name="n"), Sum("cents", alias_name="sum_cents"))
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "er_clusters": _q_er_clusters,
@@ -7714,6 +7742,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_return_labels": _q_user_return_labels,
         "user_shuffle_skew": _q_user_shuffle_skew,
         "customer_col_entropy": _q_customer_col_entropy,
+        "events_dow_profile": _q_events_dow_profile,
     }
 
 
@@ -12871,6 +12900,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(r AS BIGINT) AS sketch_row, dot,
                    (SELECT CAST(MIN(dot) AS BIGINT) FROM d) AS est
             FROM d ORDER BY 1
+        """,
+        # dow profile: isodow() == ((epoch_days + 3) % 7) + 1
+        "events_dow_profile": """
+            SELECT event_type, CAST(isodow(ts) AS BIGINT) AS isodow,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT))
+                        AS BIGINT) AS sum_cents
+            FROM events GROUP BY 1, 2
         """,
         # column entropy: stringified values, count-ratio ln micro-nats
         "customer_col_entropy": """
