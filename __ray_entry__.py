@@ -7453,6 +7453,30 @@ def _q_events_dow_profile(sf_dir: str):
     )
 
 
+def _q_events_mad_outliers(sf_dir: str):
+    """Per-user robust outlier flags on event cents (`ops/tabular.py
+    grouped_mad_outliers`, k=3): positional lower medians for both the
+    center and the MAD — exact int64, breakdown-resistant — mirrored by
+    a row_number double-median oracle."""
+    from dedupe_ray.ops.tabular import grouped_mad_outliers
+
+    ev = _read(sf_dir, "events", ["user_id", "event_id", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        v = b.column("value").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "user_id": b.column("user_id"),
+                "event_id": b.column("event_id"),
+                "c": pa.array(np.floor(v * 100.0 + 0.5).astype(np.int64)),
+            }
+        )
+
+    return grouped_mad_outliers(
+        ev.map_batches(prep, batch_format="pyarrow"), "user_id", "c"
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "er_clusters": _q_er_clusters,
@@ -7743,6 +7767,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_shuffle_skew": _q_user_shuffle_skew,
         "customer_col_entropy": _q_customer_col_entropy,
         "events_dow_profile": _q_events_dow_profile,
+        "events_mad_outliers": _q_events_mad_outliers,
     }
 
 
@@ -12900,6 +12925,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(r AS BIGINT) AS sketch_row, dot,
                    (SELECT CAST(MIN(dot) AS BIGINT) FROM d) AS est
             FROM d ORDER BY 1
+        """,
+        # MAD gate: positional lower medians for center and spread
+        "events_mad_outliers": """
+            WITH v AS MATERIALIZED (
+                SELECT user_id, event_id,
+                       CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c
+                FROM events
+            ),
+            cnt AS (
+                SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
+                FROM v GROUP BY 1
+            ),
+            med AS (
+                SELECT r.user_id, r.c AS m FROM (
+                    SELECT user_id, c,
+                           row_number() OVER (PARTITION BY user_id
+                                              ORDER BY c) AS rn
+                    FROM v
+                ) r JOIN cnt ON cnt.user_id = r.user_id
+                          AND r.rn = (cnt.n + 1) // 2
+            ),
+            dev AS (
+                SELECT v.user_id, v.event_id, v.c,
+                       ABS(v.c - med.m) AS d, med.m
+                FROM v JOIN med ON med.user_id = v.user_id
+            ),
+            mad AS (
+                SELECT r.user_id, r.d AS md FROM (
+                    SELECT user_id, d,
+                           row_number() OVER (PARTITION BY user_id
+                                              ORDER BY d) AS rn
+                    FROM dev
+                ) r JOIN cnt ON cnt.user_id = r.user_id
+                          AND r.rn = (cnt.n + 1) // 2
+            )
+            SELECT dev.user_id, dev.event_id, dev.c,
+                   CAST(dev.d > 3 * mad.md AS BIGINT) AS is_outlier
+            FROM dev JOIN mad ON mad.user_id = dev.user_id
         """,
         # dow profile: isodow() == ((epoch_days + 3) % 7) + 1
         "events_dow_profile": """

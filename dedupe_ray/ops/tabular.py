@@ -6544,3 +6544,71 @@ def column_entropy_profile(
             "entropy_micro": pa.array([r[3] for r in rows], pa.int64()),
         }
     )
+
+
+def grouped_mad_outliers(
+    ds: "ray.data.Dataset",
+    key_column: str,
+    value_column: str,
+    k: int = 3,
+    flag_column: str = "is_outlier",
+) -> "ray.data.Dataset":
+    """Per-group robust outlier gate on INTEGER values: flag rows with
+
+        |v − median_g| > k · MAD_g
+
+    where both the group median and the MAD (median absolute deviation)
+    are POSITIONAL lower medians — exact int64 elements, no
+    interpolation, so a row_number SQL mirror hash-matches (the
+    breakdown-resistant complement of the mean/std z-score gate; a
+    MAD of 0 flags ANY deviation — standard and pinned, matching
+    events_hampel). One bucketed key shuffle; two run-sliced sorts per
+    bucket (values, then deviations), flags gathered back to every
+    original row. Output: original columns + (flag int64)."""
+    import numpy as np
+
+    from dedupe_ray.blocking import N_BUCKETS
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "__obkt", _bucket_hash_col(b.column(key_column), N_BUCKETS)
+        )
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        group = group.drop_columns(["__obkt"])
+        if len(group) == 0:
+            return group.append_column(flag_column, pa.array([], pa.int64()))
+        keys = np.asarray(group.column(key_column).to_pylist(), object)
+        v = group.column(value_column).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        m = len(group)
+        codes_order = np.argsort(keys, kind="stable")
+        # run layout over key-sorted rows
+        sk = keys[codes_order]
+        new_key = np.empty(m, bool)
+        new_key[0] = True
+        new_key[1:] = sk[1:] != sk[:-1]
+        run_id_sorted = np.cumsum(new_key) - 1
+        run_id = np.empty(m, np.int64)
+        run_id[codes_order] = run_id_sorted
+        starts = np.flatnonzero(new_key)
+        lens = np.diff(np.append(starts, m))
+
+        def run_median(vals: np.ndarray) -> np.ndarray:
+            order = np.lexsort((vals, run_id))
+            sv = vals[order]
+            med_idx = starts + (lens + 1) // 2 - 1
+            return sv[med_idx]  # one lower median per run
+
+        med = run_median(v)  # [n_runs]
+        dev = np.abs(v - med[run_id])
+        mad = run_median(dev)
+        flag = (dev > k * mad[run_id]).astype(np.int64)
+        return group.append_column(flag_column, pa.array(flag))
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("__obkt")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )

@@ -8424,3 +8424,31 @@ def test_shuffle_skew_report_counts(ray_session):
     assert out["rows"].sum() == 100
     assert out["max_rows"].iloc[0] == out["rows"].max() >= 90  # hot key shows
     assert out["n_nonempty"].iloc[0] == len(out) <= 11
+
+
+def test_grouped_mad_outliers_hand_case(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dedupe_ray.ops.tabular import grouped_mad_outliers
+
+    # key a: values 10,12,14,16,100 -> median 14 (lower), devs
+    # 4,2,0,2,86 -> MAD 2 -> threshold 6 -> only 100 flags
+    # key b: constant -> MAD 0 -> any deviation flags
+    tbl = pa.table(
+        {
+            "k": ["a"] * 5 + ["b"] * 3,
+            "e": pa.array(range(8), pa.int64()),
+            "v": pa.array([10, 12, 14, 16, 100, 5, 5, 7], pa.int64()),
+        }
+    )
+    for parts in (1, 3):
+        out = (
+            grouped_mad_outliers(
+                rd.from_arrow(tbl).repartition(parts), "k", "v"
+            )
+            .to_pandas()
+            .sort_values("e")
+            .reset_index(drop=True)
+        )
+        assert out["is_outlier"].tolist() == [0, 0, 0, 0, 1, 0, 0, 1], parts
