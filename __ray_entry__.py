@@ -7477,6 +7477,75 @@ def _q_events_mad_outliers(sf_dir: str):
     )
 
 
+def _q_user_type_pivot_sums(sf_dir: str):
+    """Wide pivot with SUM values: per user one exact-cents column per
+    event type (the reshape feeding feature stores and BI grids) — a
+    per-batch conditional-sum combiner then one bounded groupby Sum per
+    column; conditional-aggregation oracle."""
+    from ray.data.aggregate import Sum
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type", "value"])
+    types = ["click", "view", "purchase", "signup", "error"]
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        v = np.floor(
+            b.column("value").to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        et = np.asarray(b.column("event_type").to_pylist(), object)
+        df = pd.DataFrame({"user_id": b.column("user_id").to_pylist()})
+        for t in types:
+            df[f"c_{t}"] = np.where(et == t, v, 0)
+        return pa.Table.from_pandas(
+            df.groupby("user_id", as_index=False).sum(), preserve_index=False
+        )
+
+    return (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(*[Sum(f"c_{t}", alias_name=f"c_{t}") for t in types])
+    )
+
+
+def _q_orders_large_share(sf_dir: str):
+    """Contribution-analysis flag: orders exceeding 10% of their
+    customer's lifetime total, decided by the exact cross-multiply
+    ``10·cents > total_cents`` (no ratio float ever) — per-customer
+    combiner totals + one bucketed join back; window-SUM oracle."""
+    from dedupe_ray.joins import bucketed_lookup_join
+    from ray.data.aggregate import Sum
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        p = b.column("o_totalprice").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "o_orderkey": b.column("o_orderkey"),
+                "o_custkey": b.column("o_custkey"),
+                "cents": pa.array(np.floor(p * 100.0 + 0.5).astype(np.int64)),
+            }
+        )
+
+    o = orders.map_batches(prep, batch_format="pyarrow")
+    totals = o.groupby("o_custkey").aggregate(
+        Sum("cents", alias_name="total_cents")
+    )
+    joined = bucketed_lookup_join(
+        o, totals, "o_custkey", "o_custkey", ["total_cents"]
+    )
+
+    def flag(b: pa.Table) -> pa.Table:
+        c = b.column("cents").to_numpy(zero_copy_only=False).astype(np.int64)
+        t = b.column("total_cents").to_numpy(zero_copy_only=False).astype(np.int64)
+        return b.append_column(
+            "large_share", pa.array((10 * c > t).astype(np.int64))
+        )
+
+    return joined.map_batches(flag, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "er_clusters": _q_er_clusters,
@@ -7768,6 +7837,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_col_entropy": _q_customer_col_entropy,
         "events_dow_profile": _q_events_dow_profile,
         "events_mad_outliers": _q_events_mad_outliers,
+        "user_type_pivot_sums": _q_user_type_pivot_sums,
+        "orders_large_share": _q_orders_large_share,
     }
 
 
@@ -12925,6 +12996,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(r AS BIGINT) AS sketch_row, dot,
                    (SELECT CAST(MIN(dot) AS BIGINT) FROM d) AS est
             FROM d ORDER BY 1
+        """,
+        # wide pivot: conditional sums per fixed type column
+        "user_type_pivot_sums": """
+            SELECT user_id,
+                   CAST(SUM(CASE WHEN event_type = 'click' THEN c
+                                 ELSE 0 END) AS BIGINT) AS c_click,
+                   CAST(SUM(CASE WHEN event_type = 'view' THEN c
+                                 ELSE 0 END) AS BIGINT) AS c_view,
+                   CAST(SUM(CASE WHEN event_type = 'purchase' THEN c
+                                 ELSE 0 END) AS BIGINT) AS c_purchase,
+                   CAST(SUM(CASE WHEN event_type = 'signup' THEN c
+                                 ELSE 0 END) AS BIGINT) AS c_signup,
+                   CAST(SUM(CASE WHEN event_type = 'error' THEN c
+                                 ELSE 0 END) AS BIGINT) AS c_error
+            FROM (
+                SELECT user_id, event_type,
+                       CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c
+                FROM events
+            ) GROUP BY 1
+        """,
+        # contribution flag: 10*cents > customer total (exact ints)
+        "orders_large_share": """
+            WITH o AS MATERIALIZED (
+                SELECT o_orderkey, o_custkey,
+                       CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)
+                           AS cents
+                FROM orders
+            )
+            SELECT o_orderkey, o_custkey, cents,
+                   CAST(SUM(cents) OVER (PARTITION BY o_custkey)
+                        AS BIGINT) AS total_cents,
+                   CAST(10 * cents > SUM(cents) OVER (PARTITION BY o_custkey)
+                        AS BIGINT) AS large_share
+            FROM o
         """,
         # MAD gate: positional lower medians for center and spread
         "events_mad_outliers": """
