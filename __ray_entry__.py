@@ -7546,6 +7546,95 @@ def _q_orders_large_share(sf_dir: str):
     return joined.map_batches(flag, batch_format="pyarrow")
 
 
+def _q_signup_purchase_latency(sf_dir: str):
+    """Signup→first-purchase conversion latency per user: earliest
+    signup, earliest purchase AT OR AFTER it, latency in whole seconds
+    (epoch-micro floor-div) — the activation metric; users without the
+    ordered pair drop. Two combiner Mins + one bounded join; MIN/filter
+    oracle."""
+    import pyarrow.compute as pc
+
+    from dedupe_ray.joins import bucketed_lookup_join
+    from ray.data.aggregate import Min
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    def side(kind):
+        def fn(b: pa.Table) -> pa.Table:
+            t = b.filter(pc.equal(b.column("event_type"), kind))
+            return pa.table(
+                {
+                    "user_id": t.column("user_id"),
+                    "t": t.column("ts").cast(pa.int64()),
+                }
+            )
+
+        return fn
+
+    signups = (
+        ev.map_batches(side("signup"), batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Min("t", alias_name="signup_t"))
+    )
+    purchases = ev.map_batches(side("purchase"), batch_format="pyarrow")
+    joined = bucketed_lookup_join(
+        purchases, signups, "user_id", "user_id", ["signup_t"]
+    )
+
+    def keep_after(b: pa.Table) -> pa.Table:
+        t = b.column("t").to_numpy(zero_copy_only=False).astype(np.int64)
+        s = b.column("signup_t").to_numpy(zero_copy_only=False).astype(np.int64)
+        k = t >= s
+        return pa.table(
+            {
+                "user_id": b.column("user_id").filter(pa.array(k)),
+                "t": pa.array(t[k]),
+                "signup_t": pa.array(s[k]),
+            }
+        )
+
+    after = joined.map_batches(keep_after, batch_format="pyarrow").groupby(
+        "user_id"
+    ).aggregate(Min("t", alias_name="first_purchase_t"), Min("signup_t", alias_name="signup_t"))
+
+    def latency(b: pa.Table) -> pa.Table:
+        p = b.column("first_purchase_t").to_numpy(zero_copy_only=False).astype(np.int64)
+        s = b.column("signup_t").to_numpy(zero_copy_only=False).astype(np.int64)
+        return b.append_column(
+            "latency_sec", pa.array((p - s) // 1_000_000)
+        )
+
+    return after.map_batches(latency, batch_format="pyarrow")
+
+
+def _q_orders_monthly_revenue(sf_dir: str):
+    """Calendar-month revenue series: numpy datetime64[M] truncation ==
+    DuckDB strftime('%Y-%m') — exact cents sums per month, the
+    reporting time series above the hourly/dow profiles."""
+    from ray.data.aggregate import Count, Sum
+
+    orders = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        ts = b.column("o_orderdate").cast(pa.timestamp("us")).to_numpy(
+            zero_copy_only=False
+        )
+        months = np.datetime_as_string(ts.astype("datetime64[M]"), unit="M")
+        p = b.column("o_totalprice").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "month": pa.array(months.tolist(), pa.string()),
+                "cents": pa.array(np.floor(p * 100.0 + 0.5).astype(np.int64)),
+            }
+        )
+
+    return (
+        orders.map_batches(prep, batch_format="pyarrow")
+        .groupby("month")
+        .aggregate(Count(alias_name="n"), Sum("cents", alias_name="revenue_c"))
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "er_clusters": _q_er_clusters,
@@ -7839,6 +7928,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_mad_outliers": _q_events_mad_outliers,
         "user_type_pivot_sums": _q_user_type_pivot_sums,
         "orders_large_share": _q_orders_large_share,
+        "signup_purchase_latency": _q_signup_purchase_latency,
+        "orders_monthly_revenue": _q_orders_monthly_revenue,
     }
 
 
@@ -12996,6 +13087,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(r AS BIGINT) AS sketch_row, dot,
                    (SELECT CAST(MIN(dot) AS BIGINT) FROM d) AS est
             FROM d ORDER BY 1
+        """,
+        # activation latency: min signup, min purchase >= it, whole secs
+        "signup_purchase_latency": """
+            WITH s AS (
+                SELECT user_id, CAST(MIN(epoch_us(ts)) AS BIGINT) AS signup_t
+                FROM events WHERE event_type = 'signup' GROUP BY 1
+            ),
+            p AS (
+                SELECT e.user_id,
+                       CAST(MIN(epoch_us(e.ts)) AS BIGINT)
+                           AS first_purchase_t
+                FROM events e JOIN s ON s.user_id = e.user_id
+                WHERE e.event_type = 'purchase'
+                  AND epoch_us(e.ts) >= s.signup_t
+                GROUP BY 1
+            )
+            SELECT p.user_id, p.first_purchase_t, s.signup_t,
+                   (p.first_purchase_t - s.signup_t) // 1000000
+                       AS latency_sec
+            FROM p JOIN s ON s.user_id = p.user_id
+        """,
+        # monthly series: strftime month == numpy datetime64[M]
+        "orders_monthly_revenue": """
+            SELECT strftime(o_orderdate, '%Y-%m') AS month,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5)
+                                 AS BIGINT)) AS BIGINT) AS revenue_c
+            FROM orders GROUP BY 1
         """,
         # wide pivot: conditional sums per fixed type column
         "user_type_pivot_sums": """
