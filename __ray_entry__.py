@@ -7635,6 +7635,122 @@ def _q_orders_monthly_revenue(sf_dir: str):
     )
 
 
+def _q_dedup_rate_by_source(sf_dir: str):
+    """Per-source duplication audit: docs vs distinct texts per corpus
+    source as exact ints (the dup rate is their ratio — num/den
+    doctrine) — the triage that decides WHICH source needs the
+    expensive near-dup pass. Distinct (source, text-hash) combiner +
+    bounded counts; COUNT DISTINCT oracle."""
+    from ray.data.aggregate import Count, Sum
+
+    docs = _read(sf_dir, "documents", ["source", "text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame(
+            {
+                "source": b.column("source").to_pylist(),
+                "h": pd.util.hash_array(
+                    np.asarray(b.column("text").to_pylist(), object)
+                ),
+                "n": 1,
+            }
+        )
+        g = df.groupby(["source", "h"], as_index=False)["n"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    pairs = (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby(["source", "h"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    return pairs.groupby("source").aggregate(
+        Count(alias_name="distinct_texts"), Sum("n", alias_name="docs")
+    )
+
+
+def _q_user_longest_streak(sf_dir: str):
+    """Longest consecutive same-event-type streak per user in
+    (ts, event_id) order (the engagement-streak analytic): run-sliced
+    per bucket, ties broken to the earliest run's type via positional
+    order — mirrored by the gaps-and-islands row_number-difference
+    oracle."""
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": b.column("user_id"),
+                "t": b.column("ts").cast(pa.int64()),
+                "event_id": b.column("event_id"),
+                "et": b.column("event_type"),
+            }
+        )
+
+    from dedupe_ray.blocking import N_BUCKETS
+    from dedupe_ray.ops.tabular import _bucket_hash_col
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "__sbkt", _bucket_hash_col(b.column("user_id"), N_BUCKETS)
+        )
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        empty = pa.table(
+            {
+                "user_id": pa.array([], g.schema.field("user_id").type),
+                "streak_len": pa.array([], pa.int64()),
+                "streak_type": pa.array([], pa.string()),
+            }
+        )
+        if len(g) == 0:
+            return empty
+        g = g.take(
+            pc.sort_indices(
+                g,
+                sort_keys=[
+                    ("user_id", "ascending"),
+                    ("t", "ascending"),
+                    ("event_id", "ascending"),
+                ],
+            )
+        )
+        keys = np.asarray(g.column("user_id").to_pylist(), object)
+        et = np.asarray(g.column("et").to_pylist(), object)
+        m = len(g)
+        new_key = np.empty(m, bool)
+        new_key[0] = True
+        new_key[1:] = keys[1:] != keys[:-1]
+        new_run = new_key.copy()
+        new_run[1:] |= et[1:] != et[:-1]
+        run_starts = np.flatnonzero(new_run)
+        run_lens = np.diff(np.append(run_starts, m))
+        run_key_head = new_key[run_starts]
+        key_run_id = np.cumsum(run_key_head) - 1  # which user each run is
+        # per user: argmax run length, first (earliest) run wins ties
+        order = np.lexsort((np.arange(len(run_starts)), -run_lens, key_run_id))
+        sr = key_run_id[order]
+        first = np.concatenate(([True], sr[1:] != sr[:-1]))
+        best = order[first]
+        return pa.table(
+            {
+                "user_id": pa.array(keys[run_starts[best]], g.schema.field("user_id").type),
+                "streak_len": pa.array(run_lens[best].astype(np.int64)),
+                "streak_type": pa.array(et[run_starts[best]].tolist(), pa.string()),
+            }
+        )
+
+    return (
+        ev.map_batches(prep, batch_format="pyarrow")
+        .map_batches(bucketize, batch_format="pyarrow")
+        .groupby("__sbkt")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "er_clusters": _q_er_clusters,
@@ -7930,6 +8046,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_large_share": _q_orders_large_share,
         "signup_purchase_latency": _q_signup_purchase_latency,
         "orders_monthly_revenue": _q_orders_monthly_revenue,
+        "dedup_rate_by_source": _q_dedup_rate_by_source,
+        "user_longest_streak": _q_user_longest_streak,
     }
 
 
@@ -13087,6 +13205,42 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(r AS BIGINT) AS sketch_row, dot,
                    (SELECT CAST(MIN(dot) AS BIGINT) FROM d) AS est
             FROM d ORDER BY 1
+        """,
+        # dup audit: docs vs distinct texts per source
+        "dedup_rate_by_source": """
+            SELECT source,
+                   CAST(COUNT(DISTINCT text) AS BIGINT) AS distinct_texts,
+                   CAST(COUNT(*) AS BIGINT) AS docs
+            FROM documents GROUP BY 1
+        """,
+        # longest streak: gaps-and-islands rn difference; earliest max run
+        "user_longest_streak": """
+            WITH v AS MATERIALIZED (
+                SELECT user_id, epoch_us(ts) AS t, event_id, event_type
+                FROM events
+            ),
+            r AS (
+                SELECT user_id, event_type,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY t, event_id) AS rn_all,
+                       row_number() OVER (PARTITION BY user_id, event_type
+                                          ORDER BY t, event_id) AS rn_type
+                FROM v
+            ),
+            runs AS (
+                SELECT user_id, event_type, rn_all - rn_type AS grp,
+                       CAST(COUNT(*) AS BIGINT) AS len,
+                       MIN(rn_all) AS start_rn
+                FROM r GROUP BY 1, 2, 3
+            ),
+            best AS (
+                SELECT user_id, event_type, len,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY len DESC, start_rn) AS rk
+                FROM runs
+            )
+            SELECT user_id, len AS streak_len, event_type AS streak_type
+            FROM best WHERE rk = 1
         """,
         # activation latency: min signup, min purchase >= it, whole secs
         "signup_purchase_latency": """
