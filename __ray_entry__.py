@@ -7751,6 +7751,87 @@ def _q_user_longest_streak(sf_dir: str):
     )
 
 
+def _q_orders_monthly_growth(sf_dir: str):
+    """Month-over-month revenue deltas over the bounded monthly series
+    (the reporting layer above orders_monthly_revenue): exact cents
+    delta vs the previous calendar month present in the data — the
+    80-row series resolves driver-side (bounded), LAG oracle."""
+    import pandas as pd
+
+    monthly = _q_orders_monthly_revenue(sf_dir).to_pandas()  # bounded: months
+    monthly = monthly.sort_values("month", ignore_index=True)
+    prev = monthly["revenue_c"].shift(1)
+    out = pa.table(
+        {
+            "month": pa.array(monthly["month"], pa.string()),
+            "revenue_c": pa.array(monthly["revenue_c"].astype("int64")),
+            "prev_revenue_c": pa.array(
+                [None if pd.isna(v) else int(v) for v in prev], pa.int64()
+            ),
+            "delta_c": pa.array(
+                [
+                    None if pd.isna(v) else int(r) - int(v)
+                    for r, v in zip(monthly["revenue_c"], prev)
+                ],
+                pa.int64(),
+            ),
+        }
+    )
+    return out
+
+
+def _q_ship_latency_hist(sf_dir: str):
+    """Order→ship latency histogram in whole days (epoch-day diff over
+    the lineitem⋈orders unique-key join): the fulfillment-ops
+    distribution; exact integer day buckets, date_diff oracle."""
+    from dedupe_ray.joins import bucketed_lookup_join
+    from ray.data.aggregate import Count
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+
+    def prep_li(b: pa.Table) -> pa.Table:
+        d = b.column("l_shipdate").cast(pa.timestamp("us")).cast(pa.int64())
+        return pa.table(
+            {
+                "l_orderkey": b.column("l_orderkey"),
+                "ship_day": pa.array(
+                    d.to_numpy(zero_copy_only=False) // 86_400_000_000
+                ),
+            }
+        )
+
+    def prep_o(b: pa.Table) -> pa.Table:
+        d = b.column("o_orderdate").cast(pa.timestamp("us")).cast(pa.int64())
+        return pa.table(
+            {
+                "o_orderkey": b.column("o_orderkey"),
+                "order_day": pa.array(
+                    d.to_numpy(zero_copy_only=False) // 86_400_000_000
+                ),
+            }
+        )
+
+    joined = bucketed_lookup_join(
+        li.map_batches(prep_li, batch_format="pyarrow"),
+        orders.map_batches(prep_o, batch_format="pyarrow"),
+        "l_orderkey",
+        "o_orderkey",
+        ["order_day"],
+    )
+
+    def lat(b: pa.Table) -> pa.Table:
+        s = b.column("ship_day").to_numpy(zero_copy_only=False).astype(np.int64)
+        o = b.column("order_day").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"latency_days": pa.array(s - o)})
+
+    return (
+        joined.map_batches(lat, batch_format="pyarrow")
+        .groupby("latency_days")
+        .aggregate(Count(alias_name="n"))
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "er_clusters": _q_er_clusters,
@@ -8048,6 +8129,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_monthly_revenue": _q_orders_monthly_revenue,
         "dedup_rate_by_source": _q_dedup_rate_by_source,
         "user_longest_streak": _q_user_longest_streak,
+        "orders_monthly_growth": _q_orders_monthly_growth,
+        "ship_latency_hist": _q_ship_latency_hist,
     }
 
 
@@ -13205,6 +13288,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(r AS BIGINT) AS sketch_row, dot,
                    (SELECT CAST(MIN(dot) AS BIGINT) FROM d) AS est
             FROM d ORDER BY 1
+        """,
+        # MoM growth: LAG over the bounded monthly series
+        "orders_monthly_growth": """
+            WITH m AS (
+                SELECT strftime(o_orderdate, '%Y-%m') AS month,
+                       CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5)
+                                     AS BIGINT)) AS BIGINT) AS revenue_c
+                FROM orders GROUP BY 1
+            )
+            SELECT month, revenue_c,
+                   CAST(LAG(revenue_c) OVER (ORDER BY month) AS BIGINT)
+                       AS prev_revenue_c,
+                   CAST(revenue_c - LAG(revenue_c) OVER (ORDER BY month)
+                        AS BIGINT) AS delta_c
+            FROM m
+        """,
+        # ship latency: whole-day diff over the unique-key join
+        "ship_latency_hist": """
+            SELECT CAST(date_diff('day', o.o_orderdate, l.l_shipdate)
+                        AS BIGINT) AS latency_days,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+            GROUP BY 1
         """,
         # dup audit: docs vs distinct texts per source
         "dedup_rate_by_source": """
