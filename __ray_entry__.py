@@ -7832,6 +7832,106 @@ def _q_ship_latency_hist(sf_dir: str):
     )
 
 
+def _q_source_text_venn(sf_dir: str):
+    """Three-source corpus Venn: per distinct text, the bitmask of
+    which of three chosen sources carries it, counted per mask — the
+    overlap audit that decides dedup ORDER across corpora (bit 1 =
+    src0, 2 = src1, 4 = src2). Distinct (text, source-bit) combiner →
+    per-text OR → bounded mask counts; CASE-bitmask oracle."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Count, Sum
+
+    srcs = ["src0", "src1", "src2"]
+    docs = _read(sf_dir, "documents", ["source", "text"])
+
+    # per-text OR across batches: bits are powers of two per source, so
+    # OR over DISTINCT (text, bit) pairs == Sum — reduce to distinct pairs
+    # first, then one Sum per text.
+    def pair_partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        keep = pc.is_in(b.column("source"), value_set=pa.array(srcs))
+        t = b.filter(keep)
+        src = np.asarray(t.column("source").to_pylist(), object)
+        bits = np.select(
+            [src == srcs[0], src == srcs[1], src == srcs[2]], [1, 2, 4], 0
+        ).astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "h": pd.util.hash_array(
+                    np.asarray(t.column("text").to_pylist(), object)
+                ).astype(np.int64),
+                "bit": bits,
+            }
+        ).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    masks = (
+        docs.map_batches(pair_partial, batch_format="pyarrow")
+        .groupby(["h", "bit"])
+        .count()  # global distinct (text, bit)
+        .groupby("h")
+        .aggregate(Sum("bit", alias_name="mask"))
+    )
+    return masks.groupby("mask").aggregate(Count(alias_name="n_texts"))
+
+
+def _q_user_gap_stats(sf_dir: str):
+    """Exact integer moments of per-user inter-arrival gaps (n, Σg,
+    Σg² in whole seconds) — the regularity/burstiness sufficient
+    statistics next to the median gap (variance and CV are rationals
+    of these); LAG + SUM oracle."""
+    from dedupe_ray.ops.tabular import grouped_lag
+    from ray.data.aggregate import Count, Sum
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": b.column("user_id"),
+                "t": b.column("ts").cast(pa.int64()),
+                "event_id": b.column("event_id"),
+            }
+        )
+
+    lagged = grouped_lag(
+        ev.map_batches(prep, batch_format="pyarrow"),
+        "user_id",
+        ["t", "event_id"],
+        "t",
+        out_column="prev_t",
+    )
+
+    def gaps(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        has = pc.is_valid(b.column("prev_t"))
+        t = b.filter(has)
+        g = (
+            t.column("t").to_numpy(zero_copy_only=False).astype(np.int64)
+            - t.column("prev_t").to_numpy(zero_copy_only=False).astype(np.int64)
+        ) // 1_000_000
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "g": pa.array(g),
+                "g2": pa.array(g * g),
+            }
+        )
+
+    return (
+        lagged.map_batches(gaps, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(
+            Count(alias_name="n_gaps"),
+            Sum("g", alias_name="sum_g"),
+            Sum("g2", alias_name="sum_g2"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "er_clusters": _q_er_clusters,
@@ -8131,6 +8231,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_longest_streak": _q_user_longest_streak,
         "orders_monthly_growth": _q_orders_monthly_growth,
         "ship_latency_hist": _q_ship_latency_hist,
+        "source_text_venn": _q_source_text_venn,
+        "user_gap_stats": _q_user_gap_stats,
     }
 
 
@@ -13288,6 +13390,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(r AS BIGINT) AS sketch_row, dot,
                    (SELECT CAST(MIN(dot) AS BIGINT) FROM d) AS est
             FROM d ORDER BY 1
+        """,
+        # Venn: bitmask per distinct text over three sources
+        "source_text_venn": """
+            WITH m AS (
+                SELECT text,
+                       CAST(MAX(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)
+                            + MAX(CASE WHEN source = 'src1' THEN 2 ELSE 0 END)
+                            + MAX(CASE WHEN source = 'src2' THEN 4 ELSE 0 END)
+                            AS BIGINT) AS mask
+                FROM documents
+                WHERE source IN ('src0', 'src1', 'src2')
+                GROUP BY 1
+            )
+            SELECT mask, CAST(COUNT(*) AS BIGINT) AS n_texts
+            FROM m GROUP BY 1
+        """,
+        # gap moments: LAG + exact integer sums in whole seconds
+        "user_gap_stats": """
+            WITH v AS MATERIALIZED (
+                SELECT user_id, epoch_us(ts) AS t, event_id FROM events
+            ),
+            g AS (
+                SELECT user_id,
+                       (t - LAG(t) OVER (PARTITION BY user_id
+                                         ORDER BY t, event_id))
+                       // 1000000 AS gap
+                FROM v
+            )
+            SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+                   CAST(SUM(gap) AS BIGINT) AS sum_g,
+                   CAST(SUM(gap * gap) AS BIGINT) AS sum_g2
+            FROM g WHERE gap IS NOT NULL GROUP BY 1
         """,
         # MoM growth: LAG over the bounded monthly series
         "orders_monthly_growth": """
