@@ -7932,6 +7932,56 @@ def _q_user_gap_stats(sf_dir: str):
     )
 
 
+def _q_events_hour_heatmap(sf_dir: str):
+    """Activity heatmap cells (isodow × hour-of-day counts) from pure
+    epoch arithmetic — ``hour = (t // 3600·10⁶) % 24`` and the epoch-day
+    isodow — the weekly rhythm grid; isodow()/hour() oracle."""
+    from ray.data.aggregate import Count
+
+    ev = _read(sf_dir, "events", ["ts"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        t = b.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        days = t // 86_400_000_000
+        return pa.table(
+            {
+                "isodow": pa.array(((days + 3) % 7) + 1),
+                "hour": pa.array((t // 3_600_000_000) % 24),
+            }
+        )
+
+    return (
+        ev.map_batches(prep, batch_format="pyarrow")
+        .groupby(["isodow", "hour"])
+        .aggregate(Count(alias_name="n"))
+    )
+
+
+def _q_discount_band_quantity(sf_dir: str):
+    """Quantity by discount band (the promo-elasticity table): discount
+    cents band, exact integer n and Σqty — mean qty per band is the
+    rational of the emitted ints; banded-groupby oracle."""
+    from ray.data.aggregate import Count, Sum
+
+    li = _read(sf_dir, "lineitem", ["l_discount", "l_quantity"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        d = b.column("l_discount").to_numpy(zero_copy_only=False)
+        q = b.column("l_quantity").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "disc_c": pa.array(np.floor(d * 100.0 + 0.5).astype(np.int64)),
+                "qty": pa.array(np.floor(q + 0.5).astype(np.int64)),
+            }
+        )
+
+    return (
+        li.map_batches(prep, batch_format="pyarrow")
+        .groupby("disc_c")
+        .aggregate(Count(alias_name="n"), Sum("qty", alias_name="sum_qty"))
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "er_clusters": _q_er_clusters,
@@ -8233,6 +8283,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ship_latency_hist": _q_ship_latency_hist,
         "source_text_venn": _q_source_text_venn,
         "user_gap_stats": _q_user_gap_stats,
+        "events_hour_heatmap": _q_events_hour_heatmap,
+        "discount_band_quantity": _q_discount_band_quantity,
     }
 
 
@@ -13390,6 +13442,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(r AS BIGINT) AS sketch_row, dot,
                    (SELECT CAST(MIN(dot) AS BIGINT) FROM d) AS est
             FROM d ORDER BY 1
+        """,
+        # heatmap cells: calendar fns == epoch arithmetic on naive ts
+        "events_hour_heatmap": """
+            SELECT CAST(isodow(ts) AS BIGINT) AS isodow,
+                   CAST(hour(ts) AS BIGINT) AS hour,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2
+        """,
+        # elasticity table: exact sums per discount-cent band
+        "discount_band_quantity": """
+            SELECT CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT) AS disc_c,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(floor(l_quantity + 0.5) AS BIGINT))
+                        AS BIGINT) AS sum_qty
+            FROM lineitem GROUP BY 1
         """,
         # Venn: bitmask per distinct text over three sources
         "source_text_venn": """
