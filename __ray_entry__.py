@@ -7982,6 +7982,73 @@ def _q_discount_band_quantity(sf_dir: str):
     )
 
 
+def _q_dup_group_size_hist(sf_dir: str):
+    """Histogram of exact-duplicate group sizes over event props (the
+    dedup diagnostic that sizes the win BEFORE deduping — many size-2
+    groups vs one giant group need different strategies): per-value
+    counts → counts of counts, both bounded groupbys; COUNT-of-COUNTs
+    oracle."""
+    from ray.data.aggregate import Count, Sum
+
+    ev = _read(sf_dir, "events", ["props"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame({"props": b.column("props").to_pylist(), "n": 1})
+        return pa.Table.from_pandas(
+            df.groupby("props", as_index=False)["n"].sum(), preserve_index=False
+        )
+
+    sizes = (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("props")
+        .aggregate(Sum("n", alias_name="group_size"))
+    )
+    return sizes.groupby("group_size").aggregate(Count(alias_name="n_groups"))
+
+
+def _q_cumulative_users_by_day(sf_dir: str):
+    """Cumulative distinct users over epoch days (the growth curve):
+    first-seen day per user (one Min), new-user counts per day, running
+    total over the bounded day table driver-side; window-SUM oracle."""
+    import pandas as pd
+
+    from ray.data.aggregate import Count, Min
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        t = b.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "user_id": b.column("user_id"),
+                "day": pa.array(t // 86_400_000_000),
+            }
+        )
+
+    first = (
+        ev.map_batches(prep, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Min("day", alias_name="first_day"))
+    )
+    per_day = (
+        first.groupby("first_day")
+        .aggregate(Count(alias_name="new_users"))
+        .to_pandas()  # bounded: one row per active day
+        .sort_values("first_day", ignore_index=True)
+    )
+    return pa.table(
+        {
+            "first_day": pa.array(per_day["first_day"].astype("int64")),
+            "new_users": pa.array(per_day["new_users"].astype("int64")),
+            "cum_users": pa.array(
+                per_day["new_users"].astype("int64").cumsum()
+            ),
+        }
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "er_clusters": _q_er_clusters,
@@ -8285,6 +8352,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_gap_stats": _q_user_gap_stats,
         "events_hour_heatmap": _q_events_hour_heatmap,
         "discount_band_quantity": _q_discount_band_quantity,
+        "dup_group_size_hist": _q_dup_group_size_hist,
+        "cumulative_users_by_day": _q_cumulative_users_by_day,
     }
 
 
@@ -13442,6 +13511,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(r AS BIGINT) AS sketch_row, dot,
                    (SELECT CAST(MIN(dot) AS BIGINT) FROM d) AS est
             FROM d ORDER BY 1
+        """,
+        # dup diagnostics: counts of per-value counts
+        "dup_group_size_hist": """
+            WITH s AS (
+                SELECT props, CAST(COUNT(*) AS BIGINT) AS group_size
+                FROM events GROUP BY 1
+            )
+            SELECT group_size, CAST(COUNT(*) AS BIGINT) AS n_groups
+            FROM s GROUP BY 1
+        """,
+        # growth curve: first-seen day per user, running distinct total
+        "cumulative_users_by_day": """
+            WITH f AS (
+                SELECT user_id,
+                       CAST(MIN(epoch_us(ts) // 86400000000) AS BIGINT)
+                           AS first_day
+                FROM events GROUP BY 1
+            ),
+            d AS (
+                SELECT first_day, CAST(COUNT(*) AS BIGINT) AS new_users
+                FROM f GROUP BY 1
+            )
+            SELECT first_day, new_users,
+                   CAST(SUM(new_users) OVER (ORDER BY first_day)
+                        AS BIGINT) AS cum_users
+            FROM d
         """,
         # heatmap cells: calendar fns == epoch arithmetic on naive ts
         "events_hour_heatmap": """
