@@ -8049,6 +8049,27 @@ def _q_cumulative_users_by_day(sf_dir: str):
     )
 
 
+def _q_entropy_topk_docs(sf_dir: str):
+    """Keep the 5 highest-character-entropy documents per language (a
+    composed curation selection: `char_entropy_docs` → language join →
+    `grouped_top_k`) — the \"most information-dense examples per
+    stratum\" picker; ties break to the lower doc_id. Mirrored by the
+    entropy oracle chain + QUALIFY row_number."""
+    from dedupe_ray.joins import bucketed_lookup_join
+    from dedupe_ray.ops.tabular import grouped_top_k
+    from dedupe_ray.ops.text import char_entropy_docs
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    ent = char_entropy_docs(docs)
+    langs = docs.map_batches(
+        lambda b: b.select(["doc_id", "lang"]), batch_format="pyarrow"
+    )
+    joined = bucketed_lookup_join(ent, langs, "doc_id", "doc_id", ["lang"])
+    return grouped_top_k(
+        joined, "lang", "entropy_micro", 5, tiebreak_column="doc_id"
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "er_clusters": _q_er_clusters,
@@ -8354,6 +8375,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "discount_band_quantity": _q_discount_band_quantity,
         "dup_group_size_hist": _q_dup_group_size_hist,
         "cumulative_users_by_day": _q_cumulative_users_by_day,
+        "entropy_topk_docs": _q_entropy_topk_docs,
     }
 
 
@@ -13511,6 +13533,42 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(r AS BIGINT) AS sketch_row, dot,
                    (SELECT CAST(MIN(dot) AS BIGINT) FROM d) AS est
             FROM d ORDER BY 1
+        """,
+        # composed: entropy chain + lang join + QUALIFY top-5
+        "entropy_topk_docs": """
+            WITH ch AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(text, '.', 0, 's')) AS c
+                FROM documents
+            ),
+            cc AS (
+                SELECT doc_id, c, CAST(COUNT(*) AS BIGINT) AS cnt
+                FROM ch GROUP BY 1, 2
+            ),
+            tot AS (
+                SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n
+                FROM cc GROUP BY 1
+            ),
+            e AS (
+                SELECT t.doc_id, t.n,
+                       CAST(SUM(cc.cnt
+                                * CAST(floor(1000000 * ln(CAST(t.n AS DOUBLE)
+                                                          / CAST(cc.cnt AS DOUBLE)))
+                                       AS BIGINT)) AS BIGINT) AS entropy_micro
+                FROM cc JOIN tot t ON t.doc_id = cc.doc_id
+                GROUP BY 1, 2
+            ),
+            j AS (
+                SELECT e.doc_id, e.n, e.entropy_micro, d.lang
+                FROM e JOIN documents d ON d.doc_id = e.doc_id
+            )
+            SELECT doc_id, n, entropy_micro, lang FROM (
+                SELECT j.*,
+                       row_number() OVER (PARTITION BY lang
+                                          ORDER BY entropy_micro DESC,
+                                                   doc_id) AS rn
+                FROM j
+            ) WHERE rn <= 5
         """,
         # dup diagnostics: counts of per-value counts
         "dup_group_size_hist": """
