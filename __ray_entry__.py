@@ -8070,6 +8070,37 @@ def _q_entropy_topk_docs(sf_dir: str):
     )
 
 
+def _q_doc_ttr(sf_dir: str):
+    """Per-document type–token ratio ingredients (n_tokens, n_types as
+    exact ints — TTR is their ratio, num/den doctrine): the
+    lexical-diversity quality signal at DOCUMENT granularity next to
+    the per-source n-gram diversity; row-local numpy unique per doc,
+    zero shuffle; unnest-tokens oracle."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    import re as _re
+
+    pat = _re.compile(r"[a-z0-9]+")
+
+    def kernel(b: pa.Table) -> pa.Table:
+        ids, nt, ny = [], [], []
+        for i, s in enumerate(b.column("text").to_pylist()):
+            toks = pat.findall((s or "").lower())
+            if not toks:
+                continue
+            ids.append(i)
+            nt.append(len(toks))
+            ny.append(len(set(toks)))
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id").take(pa.array(ids, pa.int64())),
+                "n_tokens": pa.array(nt, pa.int64()),
+                "n_types": pa.array(ny, pa.int64()),
+            }
+        )
+
+    return docs.map_batches(kernel, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "er_clusters": _q_er_clusters,
@@ -8376,6 +8407,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_group_size_hist": _q_dup_group_size_hist,
         "cumulative_users_by_day": _q_cumulative_users_by_day,
         "entropy_topk_docs": _q_entropy_topk_docs,
+        "doc_ttr": _q_doc_ttr,
     }
 
 
@@ -13533,6 +13565,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(r AS BIGINT) AS sketch_row, dot,
                    (SELECT CAST(MIN(dot) AS BIGINT) FROM d) AS est
             FROM d ORDER BY 1
+        """,
+        # TTR: unnest tokens, count vs count distinct per doc
+        "doc_ttr": """
+            WITH t AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(lower(text),
+                                                 '[a-z0-9]+')) AS tok
+                FROM documents
+            )
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                   CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_types
+            FROM t GROUP BY 1
         """,
         # composed: entropy chain + lang join + QUALIFY top-5
         "entropy_topk_docs": """
