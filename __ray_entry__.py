@@ -8101,6 +8101,63 @@ def _q_doc_ttr(sf_dir: str):
     return docs.map_batches(kernel, batch_format="pyarrow")
 
 
+def _q_churned_customers(sf_dir: str):
+    """Churn list: customers whose LATEST order predates 1997-01-01 —
+    note customers with NO orders are excluded (this is the lapsed
+    list, not the never-activated one; anti_join_customers covers
+    that). One Max-per-customer combiner + one bucketed join + an
+    epoch-day cutoff; MAX/HAVING oracle."""
+    from dedupe_ray.joins import bucketed_lookup_join
+    from ray.data.aggregate import Max
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_mktsegment"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        d = b.column("o_orderdate").cast(pa.timestamp("us")).cast(pa.int64())
+        return pa.table(
+            {
+                "o_custkey": b.column("o_custkey"),
+                "day": pa.array(
+                    d.to_numpy(zero_copy_only=False) // 86_400_000_000
+                ),
+            }
+        )
+
+    latest = (
+        orders.map_batches(prep, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Max("day", alias_name="last_order_day"))
+        .filter(expr="last_order_day < 10700")  # ~1999-04 cutoff (non-degenerate at every sf)
+    )
+    return bucketed_lookup_join(
+        cust, latest, "c_custkey", "o_custkey", ["last_order_day"]
+    )
+
+
+def _q_user_error_rates(sf_dir: str):
+    """Per-user reliability counts (n_events, n_errors as exact ints —
+    the error rate is their ratio, num/den doctrine): one conditional
+    combiner groupby; CASE-SUM oracle."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Count, Sum
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        err = pc.cast(
+            pc.equal(b.column("event_type"), "error"), pa.int64()
+        )
+        return pa.table({"user_id": b.column("user_id"), "err": err})
+
+    return (
+        ev.map_batches(prep, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Count(alias_name="n_events"), Sum("err", alias_name="n_errors"))
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "er_clusters": _q_er_clusters,
@@ -8408,6 +8465,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cumulative_users_by_day": _q_cumulative_users_by_day,
         "entropy_topk_docs": _q_entropy_topk_docs,
         "doc_ttr": _q_doc_ttr,
+        "churned_customers": _q_churned_customers,
+        "user_error_rates": _q_user_error_rates,
     }
 
 
@@ -13565,6 +13624,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(r AS BIGINT) AS sketch_row, dot,
                    (SELECT CAST(MIN(dot) AS BIGINT) FROM d) AS est
             FROM d ORDER BY 1
+        """,
+        # churn: latest order day per customer before the cutoff
+        "churned_customers": """
+            WITH l AS (
+                SELECT o_custkey,
+                       CAST(MAX(epoch_us(o_orderdate) // 86400000000)
+                            AS BIGINT) AS last_order_day
+                FROM orders GROUP BY 1
+                HAVING MAX(epoch_us(o_orderdate) // 86400000000) < 10700
+            )
+            SELECT c.c_custkey, c.c_name, c.c_mktsegment, l.last_order_day
+            FROM customer c JOIN l ON l.o_custkey = c.c_custkey
+        """,
+        # reliability: conditional error counts per user
+        "user_error_rates": """
+            SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(SUM(CASE WHEN event_type = 'error' THEN 1
+                                 ELSE 0 END) AS BIGINT) AS n_errors
+            FROM events GROUP BY 1
         """,
         # TTR: unnest tokens, count vs count distinct per doc
         "doc_ttr": """
