@@ -8158,6 +8158,21 @@ def _q_user_error_rates(sf_dir: str):
     )
 
 
+def _q_csv_gz_roundtrip(sf_dir: str):
+    """Gzip-CSV source/sink fidelity (`sources.py write_csv_gz/
+    read_csv_gz` — ``*.csv.gz`` tabular dumps): events key columns
+    written as deterministic gzip CSV shards and read back must be
+    value-identical to the parquet original."""
+    import hashlib
+
+    from dedupe_ray.sources import read_csv_gz, write_csv_gz
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "event_type"])
+    out = "/tmp/dedupe_ray_csvgz_" + hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    write_csv_gz(ev, out)
+    return read_csv_gz(out)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "er_clusters": _q_er_clusters,
@@ -8467,6 +8482,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_ttr": _q_doc_ttr,
         "churned_customers": _q_churned_customers,
         "user_error_rates": _q_user_error_rates,
+        "csv_gz_roundtrip": _q_csv_gz_roundtrip,
     }
 
 
@@ -13624,6 +13640,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(r AS BIGINT) AS sketch_row, dot,
                    (SELECT CAST(MIN(dot) AS BIGINT) FROM d) AS est
             FROM d ORDER BY 1
+        """,
+        "csv_gz_roundtrip": """
+            SELECT event_id, user_id, event_type FROM events
         """,
         # churn: latest order day per customer before the cutoff
         "churned_customers": """

@@ -1150,3 +1150,51 @@ def read_parquet_union_by_name(
     for p in parts[1:]:
         ds = ds.union(p)
     return ds
+
+
+def write_csv_gz(ds: "ray.data.Dataset", path: str) -> None:
+    """Gzip CSV sink (``*.csv.gz`` — how tabular dumps actually ship):
+    one shard per block, header per shard, gzip mtime pinned to 0 so
+    identical content compresses to identical bytes; tmp-dir + atomic
+    rename."""
+    import gzip
+    import io
+
+    import pyarrow.csv as _pacsv
+
+    def shard(t: pa.Table, p: str) -> None:
+        buf = io.BytesIO()
+        _pacsv.write_csv(t, buf)
+        with open(p, "wb") as f:
+            f.write(gzip.compress(buf.getvalue(), 6, mtime=0))
+
+    _write_sharded(ds, path, "csv.gz", shard)
+
+
+def read_csv_gz(
+    paths: list[str] | str, columns: list[str] | None = None
+) -> "ray.data.Dataset":
+    """Gzip CSV source: one decode task per shard over
+    ``read_binary_files`` (which may already have inflated ``*.gz`` —
+    Arrow infers the codec from the extension; the 1f8b magic check
+    keeps renamed or pre-read bytes working), pyarrow CSV parse,
+    post-parse column pruning."""
+    import gzip
+
+    import pyarrow.csv as _pacsv
+
+    ds = ray.data.read_binary_files(paths)
+
+    def decode(b: pa.Table) -> pa.Table:
+        tables = []
+        for buf in b.column("bytes"):
+            raw = buf.as_py()
+            if raw[:2] == b"\x1f\x8b":
+                raw = gzip.decompress(raw)
+            t = _pacsv.read_csv(pa.BufferReader(raw))
+            if columns is not None:
+                t = t.select(columns)
+            tables.append(t)
+        return pa.concat_tables(tables, promote_options="default")
+
+    return ds.map_batches(decode, batch_format="pyarrow")
