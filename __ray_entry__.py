@@ -8173,6 +8173,135 @@ def _q_csv_gz_roundtrip(sf_dir: str):
     return read_csv_gz(out)
 
 
+def _q_supplier_latency_stats(sf_dir: str):
+    """Per-supplier fulfillment-latency moments (n, Σdays, Σdays² as
+    exact int64 over the lineitem⋈orders unique-key join): mean and
+    variance are rationals of these — the vendor-scorecard analytic
+    above ship_latency_hist; SUM/SUM-of-squares oracle."""
+    from dedupe_ray.joins import bucketed_lookup_join
+    from ray.data.aggregate import Count, Sum
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_shipdate"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+
+    def prep_li(b: pa.Table) -> pa.Table:
+        d = b.column("l_shipdate").cast(pa.timestamp("us")).cast(pa.int64())
+        return pa.table(
+            {
+                "l_orderkey": b.column("l_orderkey"),
+                "l_suppkey": b.column("l_suppkey"),
+                "ship_day": pa.array(
+                    d.to_numpy(zero_copy_only=False) // 86_400_000_000
+                ),
+            }
+        )
+
+    def prep_o(b: pa.Table) -> pa.Table:
+        d = b.column("o_orderdate").cast(pa.timestamp("us")).cast(pa.int64())
+        return pa.table(
+            {
+                "o_orderkey": b.column("o_orderkey"),
+                "order_day": pa.array(
+                    d.to_numpy(zero_copy_only=False) // 86_400_000_000
+                ),
+            }
+        )
+
+    joined = bucketed_lookup_join(
+        li.map_batches(prep_li, batch_format="pyarrow"),
+        orders.map_batches(prep_o, batch_format="pyarrow"),
+        "l_orderkey",
+        "o_orderkey",
+        ["order_day"],
+    )
+
+    def lat(b: pa.Table) -> pa.Table:
+        s = b.column("ship_day").to_numpy(zero_copy_only=False).astype(np.int64)
+        o = b.column("order_day").to_numpy(zero_copy_only=False).astype(np.int64)
+        d = s - o
+        return pa.table(
+            {
+                "l_suppkey": b.column("l_suppkey"),
+                "d": pa.array(d),
+                "d2": pa.array(d * d),
+            }
+        )
+
+    return (
+        joined.map_batches(lat, batch_format="pyarrow")
+        .groupby("l_suppkey")
+        .aggregate(
+            Count(alias_name="n"),
+            Sum("d", alias_name="sum_d"),
+            Sum("d2", alias_name="sum_d2"),
+        )
+    )
+
+
+def _q_region_revenue_share(sf_dir: str):
+    """Revenue per region with the exact share pair (region cents,
+    global cents — the share is their ratio, num/den doctrine): orders
+    join customers (bucketed), nation→region resolved driver-side (30
+    dimension rows — the canonical broadcast small side)."""
+    from dedupe_ray.joins import bucketed_lookup_join
+    from ray.data.aggregate import Sum
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_regionkey"]).to_pandas()
+    region = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    n2r = dict(zip(nation["n_nationkey"], nation["n_regionkey"]))
+    r2n = dict(zip(region["r_regionkey"], region["r_name"]))
+
+    def prep(b: pa.Table) -> pa.Table:
+        p = b.column("o_totalprice").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "o_custkey": b.column("o_custkey"),
+                "cents": pa.array(np.floor(p * 100.0 + 0.5).astype(np.int64)),
+            }
+        )
+
+    joined = bucketed_lookup_join(
+        orders.map_batches(prep, batch_format="pyarrow"),
+        cust,
+        "o_custkey",
+        "c_custkey",
+        ["c_nationkey"],
+    )
+
+    # dense nationkey -> region-name lookup table (vectorized gather)
+    max_nk = int(max(n2r))
+    nk_to_region = np.array(
+        [r2n.get(n2r.get(i), "") for i in range(max_nk + 1)], object
+    )
+
+    def tag_region(b: pa.Table) -> pa.Table:
+        nk = b.column("c_nationkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "region": pa.array(nk_to_region[nk].tolist(), pa.string()),
+                "cents": b.column("cents"),
+            }
+        )
+
+    per_region = (
+        joined.map_batches(tag_region, batch_format="pyarrow")
+        .groupby("region")
+        .aggregate(Sum("cents", alias_name="revenue_c"))
+        .to_pandas()  # bounded: 5 regions
+        .sort_values("region", ignore_index=True)
+    )
+    total = int(per_region["revenue_c"].sum())
+    return pa.table(
+        {
+            "region": pa.array(per_region["region"], pa.string()),
+            "revenue_c": pa.array(per_region["revenue_c"].astype("int64")),
+            "total_c": pa.array([total] * len(per_region), pa.int64()),
+        }
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "er_clusters": _q_er_clusters,
@@ -8483,6 +8612,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "churned_customers": _q_churned_customers,
         "user_error_rates": _q_user_error_rates,
         "csv_gz_roundtrip": _q_csv_gz_roundtrip,
+        "supplier_latency_stats": _q_supplier_latency_stats,
+        "region_revenue_share": _q_region_revenue_share,
     }
 
 
@@ -13643,6 +13774,36 @@ def oracle_sql() -> dict[str, str]:
         """,
         "csv_gz_roundtrip": """
             SELECT event_id, user_id, event_type FROM events
+        """,
+        # vendor scorecard: day-diff moments over the unique-key join
+        "supplier_latency_stats": """
+            WITH d AS (
+                SELECT l.l_suppkey,
+                       CAST(date_diff('day', o.o_orderdate, l.l_shipdate)
+                            AS BIGINT) AS dd
+                FROM lineitem l JOIN orders o
+                  ON o.o_orderkey = l.l_orderkey
+            )
+            SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(dd) AS BIGINT) AS sum_d,
+                   CAST(SUM(dd * dd) AS BIGINT) AS sum_d2
+            FROM d GROUP BY 1
+        """,
+        # region share: exact cents pair (region, global)
+        "region_revenue_share": """
+            WITH rr AS (
+                SELECT r.r_name AS region,
+                       CAST(SUM(CAST(floor(o.o_totalprice * 100.0 + 0.5)
+                                     AS BIGINT)) AS BIGINT) AS revenue_c
+                FROM orders o
+                JOIN customer c ON c.c_custkey = o.o_custkey
+                JOIN nation n ON n.n_nationkey = c.c_nationkey
+                JOIN region r ON r.r_regionkey = n.n_regionkey
+                GROUP BY 1
+            )
+            SELECT region, revenue_c,
+                   (SELECT CAST(SUM(revenue_c) AS BIGINT) FROM rr) AS total_c
+            FROM rr
         """,
         # churn: latest order day per customer before the cutoff
         "churned_customers": """
