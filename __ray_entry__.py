@@ -8302,6 +8302,64 @@ def _q_region_revenue_share(sf_dir: str):
     )
 
 
+def _q_orders_quarterly_revenue(sf_dir: str):
+    """Calendar-quarter revenue: quarter labels from pure
+    months-since-epoch arithmetic (datetime64[M] int cast) — mirrored
+    by strftime + quarter(); exact cents sums."""
+    from ray.data.aggregate import Count, Sum
+
+    orders = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        ts = b.column("o_orderdate").cast(pa.timestamp("us")).to_numpy(
+            zero_copy_only=False
+        )
+        m = ts.astype("datetime64[M]").astype(np.int64)  # months since epoch
+        year = 1970 + m // 12
+        q = (m % 12) // 3 + 1
+        labels = [f"{y}-Q{qq}" for y, qq in zip(year, q)]
+        p = b.column("o_totalprice").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "quarter": pa.array(labels, pa.string()),
+                "cents": pa.array(np.floor(p * 100.0 + 0.5).astype(np.int64)),
+            }
+        )
+
+    return (
+        orders.map_batches(prep, batch_format="pyarrow")
+        .groupby("quarter")
+        .aggregate(Count(alias_name="n"), Sum("cents", alias_name="revenue_c"))
+    )
+
+
+def _q_monthly_return_rate(sf_dir: str):
+    """Monthly returned-lineitem counts (n, n_returned exact ints —
+    the rate is their ratio): conditional aggregation over the shipdate
+    month; strftime + CASE oracle."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Count, Sum
+
+    li = _read(sf_dir, "lineitem", ["l_shipdate", "l_returnflag"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        ts = b.column("l_shipdate").cast(pa.timestamp("us")).to_numpy(
+            zero_copy_only=False
+        )
+        months = np.datetime_as_string(ts.astype("datetime64[M]"), unit="M")
+        r = pc.cast(pc.equal(b.column("l_returnflag"), "R"), pa.int64())
+        return pa.table(
+            {"month": pa.array(months.tolist(), pa.string()), "r": r}
+        )
+
+    return (
+        li.map_batches(prep, batch_format="pyarrow")
+        .groupby("month")
+        .aggregate(Count(alias_name="n"), Sum("r", alias_name="n_returned"))
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "er_clusters": _q_er_clusters,
@@ -8614,6 +8672,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "csv_gz_roundtrip": _q_csv_gz_roundtrip,
         "supplier_latency_stats": _q_supplier_latency_stats,
         "region_revenue_share": _q_region_revenue_share,
+        "orders_quarterly_revenue": _q_orders_quarterly_revenue,
+        "monthly_return_rate": _q_monthly_return_rate,
     }
 
 
@@ -13774,6 +13834,23 @@ def oracle_sql() -> dict[str, str]:
         """,
         "csv_gz_roundtrip": """
             SELECT event_id, user_id, event_type FROM events
+        """,
+        # quarter labels: strftime year + quarter()
+        "orders_quarterly_revenue": """
+            SELECT strftime(o_orderdate, '%Y') || '-Q'
+                       || CAST(quarter(o_orderdate) AS VARCHAR) AS quarter,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5)
+                                 AS BIGINT)) AS BIGINT) AS revenue_c
+            FROM orders GROUP BY 1
+        """,
+        # monthly return counts: conditional aggregation by ship month
+        "monthly_return_rate": """
+            SELECT strftime(l_shipdate, '%Y-%m') AS month,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_returned
+            FROM lineitem GROUP BY 1
         """,
         # vendor scorecard: day-diff moments over the unique-key join
         "supplier_latency_stats": """
