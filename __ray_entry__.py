@@ -8360,6 +8360,65 @@ def _q_monthly_return_rate(sf_dir: str):
     )
 
 
+def _q_brand_price_range(sf_dir: str):
+    """Per-brand retail-price envelope (min/max/range in exact cents) —
+    the catalog-profiling analytic; grouped Min/Max oracle."""
+    from ray.data.aggregate import Count, Max, Min
+
+    part = _read(sf_dir, "part", ["p_brand", "p_retailprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        p = b.column("p_retailprice").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "p_brand": b.column("p_brand"),
+                "cents": pa.array(np.floor(p * 100.0 + 0.5).astype(np.int64)),
+            }
+        )
+
+    agg = (
+        part.map_batches(prep, batch_format="pyarrow")
+        .groupby("p_brand")
+        .aggregate(
+            Count(alias_name="n"),
+            Min("cents", alias_name="min_c"),
+            Max("cents", alias_name="max_c"),
+        )
+    )
+
+    def rng(b: pa.Table) -> pa.Table:
+        lo = b.column("min_c").to_numpy(zero_copy_only=False).astype(np.int64)
+        hi = b.column("max_c").to_numpy(zero_copy_only=False).astype(np.int64)
+        return b.append_column("range_c", pa.array(hi - lo))
+
+    return agg.map_batches(rng, batch_format="pyarrow")
+
+
+def _q_user_weekend_share(sf_dir: str):
+    """Weekend-activity counts per user (n, n_weekend exact ints via
+    epoch-day isodow ∈ {6,7}) — the behavioral-segmentation feature;
+    conditional-SUM oracle."""
+    from ray.data.aggregate import Count, Sum
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        t = b.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        isodow = ((t // 86_400_000_000 + 3) % 7) + 1
+        return pa.table(
+            {
+                "user_id": b.column("user_id"),
+                "we": pa.array((isodow >= 6).astype(np.int64)),
+            }
+        )
+
+    return (
+        ev.map_batches(prep, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Count(alias_name="n"), Sum("we", alias_name="n_weekend"))
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "er_clusters": _q_er_clusters,
@@ -8674,6 +8733,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "region_revenue_share": _q_region_revenue_share,
         "orders_quarterly_revenue": _q_orders_quarterly_revenue,
         "monthly_return_rate": _q_monthly_return_rate,
+        "brand_price_range": _q_brand_price_range,
+        "user_weekend_share": _q_user_weekend_share,
     }
 
 
@@ -13834,6 +13895,26 @@ def oracle_sql() -> dict[str, str]:
         """,
         "csv_gz_roundtrip": """
             SELECT event_id, user_id, event_type FROM events
+        """,
+        # catalog envelope: grouped min/max cents
+        "brand_price_range": """
+            SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(MIN(CAST(floor(p_retailprice * 100.0 + 0.5)
+                                 AS BIGINT)) AS BIGINT) AS min_c,
+                   CAST(MAX(CAST(floor(p_retailprice * 100.0 + 0.5)
+                                 AS BIGINT)) AS BIGINT) AS max_c,
+                   CAST(MAX(CAST(floor(p_retailprice * 100.0 + 0.5)
+                                 AS BIGINT))
+                        - MIN(CAST(floor(p_retailprice * 100.0 + 0.5)
+                                   AS BIGINT)) AS BIGINT) AS range_c
+            FROM part GROUP BY 1
+        """,
+        # weekend share: isodow(ts) in (6, 7) conditional counts
+        "user_weekend_share": """
+            SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN isodow(ts) >= 6 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_weekend
+            FROM events GROUP BY 1
         """,
         # quarter labels: strftime year + quarter()
         "orders_quarterly_revenue": """
