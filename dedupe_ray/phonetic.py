@@ -469,3 +469,100 @@ def double_metaphone(word: str) -> tuple[str, str]:
             current += 1
 
     return "".join(pri), "".join(sec)
+
+
+def nysiis(word: str) -> str:
+    """NYSIIS phonetic code (Taft 1970, the New York State Identification
+    and Intelligence System — the vital-records linkage code designed
+    for American surnames, with better recall than Soundex on
+    spelling variants): original-version rules —
+
+    1. head:  MAC→MCC, KN→NN, K→C, PH/PF→FF, SCH→SSS
+    2. tail:  EE/IE→Y, DT/RT/RD/NT/ND→D
+    3. scan:  EV→AF else vowels→A, Q→G, Z→S, M→N, KN→N else K→C,
+              SCH→SSS, PH→FF, H dropped unless flanked by vowels,
+              W→A after a vowel; chars append only when they differ
+              from the key's last char
+    4. tail cleanup: drop trailing S, AY→Y, drop trailing A
+
+    Completes the phonetic family next to Soundex / Metaphone / Double
+    Metaphone (predicates use those; this one is exposed for user
+    blocking schemes — it is deliberately NOT in the learner pool, so
+    trained settings are untouched). Verified against the widely
+    published vectors (Catherine/Katherine/Katerina → CATARAN,
+    Jonathan/Johnathan → JANATAN, John → JAN, …)."""
+    w = "".join(c for c in word.upper() if c.isalpha())
+    if not w:
+        return ""
+    # 1. head transforms
+    if w.startswith("MAC"):
+        w = "MCC" + w[3:]
+    elif w.startswith("KN"):
+        w = "NN" + w[2:]
+    elif w.startswith("K"):
+        w = "C" + w[1:]
+    elif w.startswith(("PH", "PF")):
+        w = "FF" + w[2:]
+    elif w.startswith("SCH"):
+        w = "SSS" + w[3:]
+    # 2. tail transforms
+    if w.endswith(("EE", "IE")):
+        w = w[:-2] + "Y"
+    elif w.endswith(("DT", "RT", "RD", "NT", "ND")):
+        w = w[:-2] + "D"
+    vowels = "AEIOU"
+    key = w[0]
+    i = 1
+    n = len(w)
+    while i < n:
+        ch = w[i]
+        rep = ch
+        if w[i : i + 2] == "EV":
+            rep = "AF"
+            step = 2
+        elif ch in vowels:
+            rep = "A"
+            step = 1
+        elif ch == "Q":
+            rep = "G"
+            step = 1
+        elif ch == "Z":
+            rep = "S"
+            step = 1
+        elif ch == "M":
+            rep = "N"
+            step = 1
+        elif w[i : i + 2] == "KN":
+            rep = "N"
+            step = 2
+        elif ch == "K":
+            rep = "C"
+            step = 1
+        elif w[i : i + 3] == "SCH":
+            rep = "SSS"
+            step = 3
+        elif w[i : i + 2] == "PH":
+            rep = "FF"
+            step = 2
+        elif ch == "H" and (
+            w[i - 1] not in vowels or (i + 1 < n and w[i + 1] not in vowels)
+        ):
+            rep = "A" if w[i - 1] in vowels else w[i - 1]
+            step = 1
+        elif ch == "W" and w[i - 1] in vowels:
+            rep = "A"
+            step = 1
+        else:
+            step = 1
+        for c in rep:
+            if c != key[-1]:
+                key += c
+        i += step
+    # 4. tail cleanup
+    if key.endswith("S") and len(key) > 1:
+        key = key[:-1]
+    if key.endswith("AY") and len(key) > 2:
+        key = key[:-2] + "Y"
+    if key.endswith("A") and len(key) > 1:
+        key = key[:-1]
+    return key

@@ -294,3 +294,35 @@ def test_double_metaphone_predicate_cross_spelling_blocks():
     )
     assert double_metaphone_token("") == ()
     assert double_metaphone_first_token("") == ()
+
+
+def test_nysiis_published_vectors():
+    from dedupe_ray.phonetic import nysiis
+
+    vectors = {
+        "Catherine": "CATARAN",
+        "Katherine": "CATARAN",
+        "Katerina": "CATARAN",
+        "Jonathan": "JANATAN",
+        "Johnathan": "JANATAN",
+        "John": "JAN",
+        "Teresa": "TARAS",
+        "Theresa": "TARAS",
+        "Jessica": "JASAC",
+        "Worthy": "WARTY",
+        "Ogata": "OGAT",
+        "Knuth": "NAT",
+        "montgomery": "MANTGANARY",
+        "Costales": "CASTAL",
+        "Tu": "T",
+        "martincevic": "MARTANCAFAC",
+    }
+    for word, want in vectors.items():
+        assert nysiis(word) == want, word
+    # spelling variants of one surname collide (the point of the code)
+    assert nysiis("MacDonald") == nysiis("McDonald")
+    assert nysiis("Phillips") == nysiis("Philips")
+    # robustness: empty / non-alpha
+    assert nysiis("") == ""
+    assert nysiis("123") == ""
+    assert nysiis("O'Brien") == nysiis("OBrien")
