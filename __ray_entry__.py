@@ -9072,6 +9072,191 @@ def _gen_ivf_pq_topk_sql(
     return "".join(parts)
 
 
+# ---------------------------------------------------------------------------
+# Exact-integer SQL mirrors of the hash primitives the dedup family uses
+# (CRC-32 and the pinned multiply-shift MinHash family), so the banded
+# LSH queries get REAL value-exact DuckDB oracles instead of snapshots.
+# All arithmetic is HUGEINT (128-bit) with explicit mod-2^64 wraps, so the
+# SQL reproduces numpy's uint64 semantics bit-for-bit.
+# ---------------------------------------------------------------------------
+
+_SQL_U64 = "18446744073709551616::HUGEINT"  # 2^64
+_SQL_MERSENNE = "2305843009213693951::HUGEINT"  # 2^61 - 1 (ops/dedup._MERSENNE)
+
+# CRC-32 lookup table (zlib polynomial 0xEDB88320, reflected) as a CTE —
+# built in-SQL so the oracle string carries no 256-literal blob.
+_SQL_CRC_TABLE_CTE = """crct AS MATERIALIZED (
+            SELECT list(e ORDER BY i) AS tbl FROM (
+                SELECT i, list_reduce(
+                    list_prepend(i::BIGINT, range(8)),
+                    (acc, x) -> CASE WHEN acc % 2 = 1
+                                THEN xor(acc // 2, 3988292384)
+                                ELSE acc // 2 END) AS e
+                FROM range(256) t(i))
+        )"""
+
+
+def _sql_crc32_of_bytes(byte_list_expr: str) -> str:
+    """CRC-32 of a byte-int list expression (requires crct's ``tbl`` in
+    scope via CROSS JOIN). Empty list folds to 0 — matching zlib."""
+    return (
+        "xor(4294967295, list_reduce("
+        f"list_prepend(4294967295::BIGINT, {byte_list_expr}), "
+        "(acc, byt) -> xor(acc // 256, tbl[(xor(acc % 256, byt))::INT + 1])))"
+    )
+
+
+def _sql_ascii_bytes(s_expr: str) -> str:
+    """Byte-int list of an ASCII string expression (the documents corpus is
+    ASCII by construction — TESTDATA charset check in NOTES_r5)."""
+    return (
+        f"list_transform(range(1, length({s_expr})+1), "
+        f"i -> ascii(substr({s_expr}, i::INT, 1)))"
+    )
+
+
+def _sql_splitmix64(x_expr: str) -> str:
+    """pandas.util.hash_array's int64 scramble (the splitmix64 finalizer)
+    over a non-negative HUGEINT expression, mod-2^64 exact."""
+    s1 = f"xor({x_expr}, ({x_expr}) >> 30)"
+    s2 = f"(({s1}) * 13787848793156543929::HUGEINT) % {_SQL_U64}"
+    s3 = f"xor({s2}, ({s2}) >> 27)"
+    s4 = f"(({s3}) * 10723151780598845931::HUGEINT) % {_SQL_U64}"
+    return f"xor({s4}, ({s4}) >> 31)"
+
+
+def _sql_minhash_sig_ctes(num_perm: int = 64, shingle_k: int = 3) -> str:
+    """CTE chain ``crct, perms, mh_toks, mh_shingles, mh_shc, mh_sig`` —
+    the exact mirror of ops/dedup.MinHasher over the ``documents`` view:
+    [\\w']+ tokens of lower(text), k-shingles (padded with '' below k
+    tokens), crc32 base hash, pinned (a,b) multiply-shift family with
+    numpy's mod-2^64 wrap then mod 2^61-1, per-(doc, perm) min."""
+    from dedupe_ray.ops.dedup import _hash_family
+
+    a, b = _hash_family(num_perm, 42)
+    perm_rows = ",".join(
+        f"({i},{int(a[i])}::HUGEINT,{int(b[i])}::HUGEINT)" for i in range(num_perm)
+    )
+    crc = _sql_crc32_of_bytes(_sql_ascii_bytes("sh"))
+    shingle_parts = " || ' ' || ".join(f"t[j+{c}]" for c in range(shingle_k))
+    return f"""{_SQL_CRC_TABLE_CTE},
+        perms(perm, pa, pb) AS (VALUES {perm_rows}),
+        mh_toks AS MATERIALIZED (
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   regexp_extract_all(lower(text), '[a-z0-9_'']+') AS t0
+            FROM documents
+        ),
+        mh_padded AS (
+            SELECT doc_id,
+                   CASE WHEN len(t0) < {shingle_k}
+                        THEN list_concat(t0, list_transform(
+                                 range({shingle_k} - len(t0)), x -> ''))
+                        ELSE t0 END AS t
+            FROM mh_toks
+        ),
+        mh_shingles AS (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(t) - {shingle_k - 2}),
+                          j -> {shingle_parts})) AS sh
+            FROM mh_padded
+        ),
+        mh_shc AS MATERIALIZED (
+            SELECT DISTINCT doc_id, {crc} AS c
+            FROM mh_shingles CROSS JOIN crct
+        ),
+        mh_sig AS MATERIALIZED (
+            SELECT doc_id, perm,
+                   MIN(((pa * c::HUGEINT + pb) % {_SQL_U64})
+                       % {_SQL_MERSENNE}) AS v
+            FROM mh_shc CROSS JOIN perms
+            GROUP BY doc_id, perm
+        )"""
+
+
+def _oracle_simhash_pairs(max_hamming: int = 6) -> str:
+    """Exact mirror of ops/dedup.simhash_pairs: the 64-bit SimHash per doc
+    (token hash = crc32('\\x01'+tok)<<32 | crc32('\\x02'+tok), ±1 bit
+    votes over the token MULTISET, sign-packed) and the exact Hamming
+    filter. Banding needs no mirror: n_tables = max_hamming+1 gives
+    pigeonhole recall 1, so the Ray pair set IS the exact Hamming set
+    (verified in-suite; oversized-bucket caps never bind at oracle
+    scales)."""
+    crc1 = _sql_crc32_of_bytes("list_prepend(1::BIGINT, " + _sql_ascii_bytes("tok") + ")")
+    crc2 = _sql_crc32_of_bytes("list_prepend(2::BIGINT, " + _sql_ascii_bytes("tok") + ")")
+    return f"""
+        WITH {_SQL_CRC_TABLE_CTE},
+        sh_tok AS MATERIALIZED (
+            SELECT doc_id, tok, COUNT(*) AS cnt FROM (
+                SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                       unnest(regexp_extract_all(lower(text), '[a-z0-9_'']+')) AS tok
+                FROM documents
+            ) GROUP BY doc_id, tok
+        ),
+        sh_tokh AS MATERIALIZED (
+            SELECT doc_id, cnt,
+                   (({crc1})::HUGEINT * 4294967296::HUGEINT
+                    + ({crc2})::HUGEINT) AS h
+            FROM sh_tok CROSS JOIN crct
+        ),
+        sh_bits AS (
+            SELECT doc_id, j,
+                   CASE WHEN SUM(cnt * (2 * ((h >> j) % 2) - 1)) > 0
+                        THEN 1 ELSE 0 END AS bit
+            FROM sh_tokh CROSS JOIN range(64) r(j)
+            GROUP BY doc_id, j
+        ),
+        sh_sim AS MATERIALIZED (
+            SELECT d.doc_id,
+                   CAST(CASE WHEN coalesce(u, 0::HUGEINT)
+                                  >= 9223372036854775808::HUGEINT
+                             THEN u - {_SQL_U64}
+                             ELSE coalesce(u, 0::HUGEINT) END AS BIGINT) AS s
+            FROM (SELECT CAST(doc_id AS VARCHAR) AS doc_id FROM documents) d
+            LEFT JOIN (
+                SELECT doc_id, SUM(bit::HUGEINT * (1::HUGEINT << j)) AS u
+                FROM sh_bits GROUP BY doc_id
+            ) b ON b.doc_id = d.doc_id
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.s, b.s)) AS BIGINT) AS hamming
+        FROM sh_sim a JOIN sh_sim b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.s, b.s)) <= {max_hamming}
+    """
+
+
+def _oracle_minhash_pairs(
+    num_perm: int = 64, bands: int = 16, threshold: float = 0.5
+) -> str:
+    """Exact mirror of ops/dedup.minhash_lsh_pairs at the query's
+    parameters: banded candidate generation (a pair is a candidate iff ONE
+    band's rows all agree — band-hash equality modulo FNV collisions) then
+    the signature-agreement Jaccard filter, as one SQL statement."""
+    rpb = num_perm // bands
+    min_agree = int(round(threshold * num_perm))
+    return f"""
+        WITH {_sql_minhash_sig_ctes(num_perm)},
+        mh_bandkey AS MATERIALIZED (
+            SELECT doc_id, perm // {rpb} AS band,
+                   string_agg(v::VARCHAR, ',' ORDER BY perm) AS bkey
+            FROM mh_sig GROUP BY doc_id, perm // {rpb}
+        ),
+        mh_cand AS MATERIALIZED (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM mh_bandkey a JOIN mh_bandkey b
+              ON a.band = b.band AND a.bkey = b.bkey
+             AND a.doc_id < b.doc_id
+        )
+        SELECT c.id_a, c.id_b,
+               CAST(SUM(CASE WHEN sa.v = sb.v THEN 1 ELSE 0 END) / {num_perm}.0
+                    AS DOUBLE) AS jaccard
+        FROM mh_cand c
+        JOIN mh_sig sa ON sa.doc_id = c.id_a
+        JOIN mh_sig sb ON sb.doc_id = c.id_b AND sb.perm = sa.perm
+        GROUP BY c.id_a, c.id_b
+        HAVING SUM(CASE WHEN sa.v = sb.v THEN 1 ELSE 0 END) >= {min_agree}
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     # nan check on the RAW value (pre-collapse), matching the reference's
     # early-return semantics (dedupe_script.py:24-26)
@@ -14759,4 +14944,8 @@ def oracle_sql() -> dict[str, str]:
                 FROM h
             ) WHERE rn = 1
         """,
+        # exact-integer LSH mirrors (round-5): crc32 + pinned multiply-shift
+        # family reproduced in HUGEINT arithmetic — see _oracle_minhash_pairs
+        "minhash_pairs": _oracle_minhash_pairs(num_perm=64, bands=16, threshold=0.5),
+        "simhash_pairs": _oracle_simhash_pairs(max_hamming=6),
     }
