@@ -9115,13 +9115,23 @@ def _sql_ascii_bytes(s_expr: str) -> str:
     )
 
 
+def _sql_mulmod64(a_expr: str, b_const: int) -> str:
+    """(a * b) mod 2^64 without INT128 overflow: split a into 32-bit
+    halves (a*b can reach 2^128; each half-product stays under 2^97)."""
+    return (
+        f"((({a_expr}) % 4294967296::HUGEINT) * {b_const}::HUGEINT"
+        f" + ((((({a_expr}) >> 32) * {b_const}::HUGEINT)"
+        f" % 4294967296::HUGEINT) << 32)) % {_SQL_U64}"
+    )
+
+
 def _sql_splitmix64(x_expr: str) -> str:
     """pandas.util.hash_array's int64 scramble (the splitmix64 finalizer)
     over a non-negative HUGEINT expression, mod-2^64 exact."""
     s1 = f"xor({x_expr}, ({x_expr}) >> 30)"
-    s2 = f"(({s1}) * 13787848793156543929::HUGEINT) % {_SQL_U64}"
+    s2 = f"({_sql_mulmod64(s1, 13787848793156543929)})"
     s3 = f"xor({s2}, ({s2}) >> 27)"
-    s4 = f"(({s3}) * 10723151780598845931::HUGEINT) % {_SQL_U64}"
+    s4 = f"({_sql_mulmod64(s3, 10723151780598845931)})"
     return f"xor({s4}, ({s4}) >> 31)"
 
 
@@ -9171,6 +9181,52 @@ def _sql_minhash_sig_ctes(num_perm: int = 64, shingle_k: int = 3) -> str:
             FROM mh_shc CROSS JOIN perms
             GROUP BY doc_id, perm
         )"""
+
+
+def _oracle_hll_distinct(precision: int = 12) -> str:
+    """Exact mirror of ops/sketch.hll_approx_distinct over events: pandas'
+    int64 hash (= the splitmix64 finalizer, verified constant-for-constant)
+    drives register index / rank; the harmonic sum is the same exact
+    integer Σ 2^(53-rank) both sides, so the only float ops are a single
+    division and ln() — written verbatim."""
+    m = 1 << precision
+    h = _sql_splitmix64("user_id::HUGEINT")
+    rest = f"((h << {precision}) % {_SQL_U64})"
+    return f"""
+        WITH hh AS MATERIALIZED (
+            SELECT event_type, {h} AS h FROM events
+        ),
+        rr AS (
+            SELECT event_type, CAST(h >> {64 - precision} AS INT) AS reg,
+                   CASE WHEN {rest} = 0 THEN {65 - precision}
+                        ELSE least(64 - length(bin({rest})) + 1,
+                                   {65 - precision}) END AS rank
+            FROM hh
+        ),
+        regs AS (
+            SELECT event_type, reg, MAX(rank) AS rank FROM rr GROUP BY 1, 2
+        ),
+        agg AS (
+            SELECT event_type,
+                   SUM(1::HUGEINT << (53 - rank))
+                     + ({m} - COUNT(*))::HUGEINT
+                       * 9007199254740992::HUGEINT AS s_int,
+                   {m} - COUNT(*) AS zeros
+            FROM regs GROUP BY event_type
+        ),
+        est AS (
+            SELECT event_type,
+                   (0.7213 / (1.0 + 1.079 / {m})) * {m} * {m}
+                     / (CAST(s_int AS DOUBLE) / 9007199254740992.0) AS raw,
+                   zeros
+            FROM agg
+        )
+        SELECT event_type,
+               CAST(round(CASE WHEN raw <= 2.5 * {m} AND zeros > 0
+                               THEN {m} * ln({m}.0 / zeros)
+                               ELSE raw END) AS BIGINT) AS approx_distinct
+        FROM est
+    """
 
 
 def _oracle_simhash_pairs(max_hamming: int = 6) -> str:
@@ -14948,4 +15004,5 @@ def oracle_sql() -> dict[str, str]:
         # family reproduced in HUGEINT arithmetic — see _oracle_minhash_pairs
         "minhash_pairs": _oracle_minhash_pairs(num_perm=64, bands=16, threshold=0.5),
         "simhash_pairs": _oracle_simhash_pairs(max_hamming=6),
+        "approx_distinct_users": _oracle_hll_distinct(precision=12),
     }

@@ -53,10 +53,17 @@ def hll_ranks(values: np.ndarray, precision: int) -> tuple[np.ndarray, np.ndarra
 
 def hll_estimate(registers: np.ndarray) -> float:
     """Classic HLL estimator with the small-range (linear counting)
-    correction; no large-range correction is needed with 64-bit hashes."""
+    correction; no large-range correction is needed with 64-bit hashes.
+
+    The harmonic sum is computed in EXACT integer arithmetic
+    (Σ 2^-reg = Σ 2^(53-reg) / 2^53; ranks are ≤ 53 by construction, so
+    every term is an integer) — summation-order-invariant at any
+    parallelism AND reproducible verbatim in the DuckDB oracle, unlike a
+    float Σ exp2 whose last bits depend on accumulation order."""
     m = len(registers)
     alpha = 0.7213 / (1.0 + 1.079 / m)
-    est = alpha * m * m / np.sum(np.exp2(-registers.astype(np.float64)))
+    s_int = int(np.sum(1 << (53 - registers.astype(np.int64)), dtype=object))
+    est = alpha * m * m / (s_int / 9007199254740992.0)
     zeros = int(np.count_nonzero(registers == 0))
     if est <= 2.5 * m and zeros > 0:
         est = m * np.log(m / zeros)
