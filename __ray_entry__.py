@@ -1262,9 +1262,11 @@ def _q_profile_documents(sf_dir: str):
 def _q_train_val_split(sf_dir: str):
     """Leakage-safe train/val split: near-dup clusters (MinHash-LSH → CC)
     never straddle the boundary; unclustered docs split by their own id.
-    Deterministic fixed-key hash assignment — no SQL oracle (connected
-    components); the no-straddle property and determinism are asserted in
-    tests/test_ops.py."""
+    Deterministic crc32 assignment (the SQL-expressible hash family) —
+    ORACLE-EXACT since round 5: the DuckDB mirror rebuilds the minhash
+    pair graph, closes it with a recursive CTE and applies the identical
+    crc32-mod split. The no-straddle property and determinism are also
+    asserted in tests/test_ops.py."""
     from dedupe_ray.ops.dedup import leakage_safe_split
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
@@ -1276,7 +1278,9 @@ def _q_train_val_split(sf_dir: str):
         ),
         batch_format="pyarrow",
     )
-    return leakage_safe_split(docs, val_frac=0.1, jaccard_threshold=0.5)
+    return leakage_safe_split(
+        docs, val_frac=0.1, jaccard_threshold=0.5, assign_hash="crc32"
+    )
 
 
 def _q_lineitem_p99(sf_dir: str):
@@ -8464,7 +8468,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contaminated_docs": _q_contaminated_docs,
         "bloom_new_events": _q_bloom_new_events,
         "lineitem_p99": _q_lineitem_p99,
-        "train_val_split": _q_train_val_split,
+        # _v2: assignment hash switched to the SQL-expressible crc32 family
+        # (round 5) so the whole operator is oracle-exact; same semantics
+        "train_val_split_v2": _q_train_val_split,
         "profile_documents": _q_profile_documents,
         "props_k_by_type": _q_props_k_by_type,
         "jsonl_roundtrip": _q_jsonl_roundtrip,
@@ -9181,6 +9187,63 @@ def _sql_minhash_sig_ctes(num_perm: int = 64, shingle_k: int = 3) -> str:
             FROM mh_shc CROSS JOIN perms
             GROUP BY doc_id, perm
         )"""
+
+
+def _oracle_train_val_split(
+    num_perm: int = 64, bands: int = 16, threshold: float = 0.5, val_frac: float = 0.1
+) -> str:
+    """Exact mirror of ops/dedup.leakage_safe_split(assign_hash='crc32'):
+    minhash pair graph (same CTEs as the minhash_pairs oracle) → recursive
+    transitive closure → lexico-min component member as the split key
+    (own id when unclustered) → crc32(key) % 1e6 < val_frac·1e6."""
+    rpb = num_perm // bands
+    min_agree = int(round(threshold * num_perm))
+    thr = int(val_frac * 1_000_000)
+    key_crc = _sql_crc32_of_bytes(_sql_ascii_bytes("key"))
+    return f"""
+        WITH RECURSIVE {_sql_minhash_sig_ctes(num_perm)},
+        mh_bandkey AS MATERIALIZED (
+            SELECT doc_id, perm // {rpb} AS band,
+                   string_agg(v::VARCHAR, ',' ORDER BY perm) AS bkey
+            FROM mh_sig GROUP BY doc_id, perm // {rpb}
+        ),
+        mh_cand AS MATERIALIZED (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM mh_bandkey a JOIN mh_bandkey b
+              ON a.band = b.band AND a.bkey = b.bkey
+             AND a.doc_id < b.doc_id
+        ),
+        tv_pairs AS MATERIALIZED (
+            SELECT c.id_a, c.id_b
+            FROM mh_cand c
+            JOIN mh_sig sa ON sa.doc_id = c.id_a
+            JOIN mh_sig sb ON sb.doc_id = c.id_b AND sb.perm = sa.perm
+            GROUP BY c.id_a, c.id_b
+            HAVING SUM(CASE WHEN sa.v = sb.v THEN 1 ELSE 0 END) >= {min_agree}
+        ),
+        tv_edges AS (
+            SELECT id_a AS a, id_b AS b FROM tv_pairs
+            UNION SELECT id_b AS a, id_a AS b FROM tv_pairs
+        ),
+        reach(node, r) AS (
+            SELECT a, a FROM tv_edges
+            UNION
+            SELECT e.a, reach.r FROM tv_edges e JOIN reach ON e.b = reach.node
+        ),
+        comp AS MATERIALIZED (
+            SELECT node AS doc_id, MIN(r) AS component_id
+            FROM reach GROUP BY node
+        ),
+        keys AS (
+            SELECT d.doc_id, coalesce(c.component_id, d.doc_id) AS key
+            FROM (SELECT CAST(doc_id AS VARCHAR) AS doc_id FROM documents) d
+            LEFT JOIN comp c ON c.doc_id = d.doc_id
+        )
+        SELECT doc_id,
+               CASE WHEN ({key_crc}) % 1000000 < {thr}
+                    THEN 'val' ELSE 'train' END AS split
+        FROM keys CROSS JOIN crct
+    """
 
 
 def _oracle_hll_distinct(precision: int = 12) -> str:
@@ -15005,4 +15068,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_pairs": _oracle_minhash_pairs(num_perm=64, bands=16, threshold=0.5),
         "simhash_pairs": _oracle_simhash_pairs(max_hamming=6),
         "approx_distinct_users": _oracle_hll_distinct(precision=12),
+        "train_val_split_v2": _oracle_train_val_split(
+            num_perm=64, bands=16, threshold=0.5, val_frac=0.1
+        ),
     }

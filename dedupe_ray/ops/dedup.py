@@ -1196,6 +1196,7 @@ def leakage_safe_split(
     ds: "ray.data.Dataset",
     val_frac: float = 0.1,
     jaccard_threshold: float = 0.7,
+    assign_hash: str = "pandas",
     **lsh_kwargs,
 ) -> "ray.data.Dataset":
     """Cluster-aware train/validation split: near-duplicate documents NEVER
@@ -1211,10 +1212,19 @@ def leakage_safe_split(
     cluster). One extra bucketed shuffle over (id, id) rows on top of the
     LSH pipeline; expects the near-dup family's string ``doc_id``.
 
+    ``assign_hash`` selects the fixed-key hash family for the final
+    assignment: ``"pandas"`` (pd.util.hash_array's keyed siphash — the
+    historical default) or ``"crc32"`` (zlib crc32 of the UTF-8 key —
+    identical split quality, and expressible in ANSI SQL so the driver
+    oracle can mirror the whole operator exactly).
+
     Returns (doc_id, split) with split ∈ {'train', 'val'} for every input
     doc.
     """
     import pandas as pd
+
+    if assign_hash not in ("pandas", "crc32"):
+        raise ValueError(f"unknown assign_hash {assign_hash!r}")
 
     groups = minhash_dedup(ds, jaccard_threshold=jaccard_threshold, **lsh_kwargs)
     threshold = np.uint64(int(val_frac * 1_000_000))
@@ -1252,7 +1262,15 @@ def leakage_safe_split(
             keep[1:] = ~same.to_numpy(zero_copy_only=False)
         rows = np.nonzero(keep)[0]
         comp = _one_chunk(t.column("component_id")).take(pa.array(rows))
-        h = pd.util.hash_array(comp.to_numpy(zero_copy_only=False))
+        comp_np = comp.to_numpy(zero_copy_only=False)
+        if assign_hash == "crc32":
+            h = np.fromiter(
+                (zlib.crc32(str(c).encode()) for c in comp_np),
+                np.uint64,
+                count=len(comp_np),
+            )
+        else:
+            h = pd.util.hash_array(comp_np)
         split = np.where(h % np.uint64(1_000_000) < threshold, "val", "train")
         return pa.table(
             {

@@ -39,9 +39,8 @@ SNAPSHOTS = {
     # end-to-end (content-keyed sampling/ordering); re-frozen after the
     # equal-length affine-gap symmetry fix (one borderline pair dropped),
     # verified identical at num_cpus 4 and 8
-    # leakage-safe split: LSH groups + fixed-key hash assignment,
-    # verified identical at num_cpus 4 and 8
-    "train_val_split": (500, 4355390011842793953),
+    # train_val_split became train_val_split_v2 in round 5 (crc32
+    # assignment hash) and is now covered by a full SQL oracle instead
     # zlib level-6 ratios (this container's zlib; a zlib swap would
     # legitimately re-freeze), identical at num_cpus 4 and 8
     "compression_ratios": (500, 17283051347077179173),
