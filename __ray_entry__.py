@@ -605,11 +605,20 @@ def _q_ivf_topk_full_probe(sf_dir: str):
 
 
 def _q_quality_langid(sf_dir: str):
+    """Language-ID + quality heuristics per doc. _v2 (round 5): the
+    combined score is the exact-rational single-division form
+    (QualityScore(exact_rational=True)), so lang argmax, word counts AND
+    the float score are all mirrored verbatim by the DuckDB oracle."""
     from dedupe_ray.ops.text import LanguageId, QualityScore
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
     out = docs.map_batches(LanguageId, batch_format="pyarrow", concurrency=(1, 2))
-    out = out.map_batches(QualityScore, batch_format="pyarrow", concurrency=(1, 2))
+    out = out.map_batches(
+        QualityScore,
+        fn_constructor_args=(True,),
+        batch_format="pyarrow",
+        concurrency=(1, 2),
+    )
     return out.select_columns(["doc_id", "lang_pred", "q_n_words", "quality_score"])
 
 
@@ -8444,7 +8453,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup": _q_embedding_near_dup,
         "minhash_pairs": _q_minhash_pairs,
         "simhash_pairs": _q_simhash_pairs,
-        "quality_langid": _q_quality_langid,
+        "quality_langid_v2": _q_quality_langid,
         "media_features": _q_media_features,
         "sessionize_events": _q_sessionize,
         "asof_last_purchase": _q_asof_purchase,
@@ -9187,6 +9196,84 @@ def _sql_minhash_sig_ctes(num_perm: int = 64, shingle_k: int = 3) -> str:
             FROM mh_shc CROSS JOIN perms
             GROUP BY doc_id, perm
         )"""
+
+
+def _oracle_quality_langid() -> str:
+    """Exact mirror of ops/text.LanguageId + QualityScore(exact_rational):
+    split-tokenization on [^\\p{L}\\p{N}']+, per-language stopword hit
+    argmax (ties → profile order), CJK prefix check, and the
+    single-division rational score — the SAME integer clip algebra as the
+    Ray kernel, so the float64 hashes exact."""
+    from dedupe_ray.ops.text import _LANG_PROFILES
+
+    prof_rows = ",".join(
+        f"({prio}, '{lang}', '{w}')"
+        for prio, (lang, words) in enumerate(
+            (l, s) for l, s in _LANG_PROFILES.items() if s
+        )
+        for w in sorted(words)
+    )
+    return f"""
+        WITH profiles(prio, lang, word) AS (VALUES {prof_rows}),
+        base AS MATERIALIZED (
+            SELECT doc_id, coalesce(text, '') AS text FROM documents
+        ),
+        toks AS MATERIALIZED (
+            SELECT doc_id, unnest(string_split_regex(lower(text),
+                   '[^\\p{{L}}\\p{{N}}'']+')) AS tok
+            FROM base
+        ),
+        counts AS (
+            SELECT b.doc_id,
+                   length(b.text) AS n_chars,
+                   coalesce(t.n_words, 0) AS n_words,
+                   coalesce(t.len_sum, 0) AS len_sum,
+                   length(b.text) - length(regexp_replace(b.text,
+                       '[^\\p{{L}}\\p{{N}}\\s]', '', 'g')) AS n_punct,
+                   CASE WHEN regexp_matches(substr(b.text, 1, 200), '[一-鿿]')
+                        THEN 1 ELSE 0 END AS has_cjk
+            FROM base b
+            LEFT JOIN (
+                SELECT doc_id,
+                       SUM(CASE WHEN tok <> '' THEN 1 ELSE 0 END) AS n_words,
+                       SUM(length(tok)) AS len_sum
+                FROM toks GROUP BY doc_id
+            ) t ON t.doc_id = b.doc_id
+        ),
+        lang_hits AS (
+            SELECT t.doc_id, p.lang, p.prio, COUNT(*) AS hits
+            FROM toks t JOIN profiles p ON p.word = t.tok
+            GROUP BY t.doc_id, p.lang, p.prio
+        ),
+        best AS (
+            SELECT doc_id, lang, hits FROM (
+                SELECT doc_id, lang, hits,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY hits DESC, prio) AS rn
+                FROM lang_hits
+            ) WHERE rn = 1
+        ),
+        scored AS (
+            SELECT c.doc_id,
+                   CASE WHEN c.has_cjk = 1 THEN 'zh'
+                        WHEN coalesce(b.hits, 0) > 0 THEN b.lang
+                        ELSE 'und' END AS lang_pred,
+                   CAST(c.n_words AS BIGINT) AS q_n_words,
+                   CAST(least(greatest(c.n_words - 5, 0), 45)
+                        * (greatest(c.n_chars, 1)
+                           - least(greatest(5 * c.n_punct
+                                            - greatest(c.n_chars, 1), 0),
+                                   greatest(c.n_chars, 1)))
+                        * (10 * greatest(c.n_words, 1)
+                           - least(abs(c.len_sum - 5 * greatest(c.n_words, 1)),
+                                   5 * greatest(c.n_words, 1)))
+                        AS DOUBLE)
+                   / (450 * greatest(c.n_chars, 1) * greatest(c.n_words, 1))
+                       AS quality_score
+            FROM counts c LEFT JOIN best b ON b.doc_id = c.doc_id
+        )
+        SELECT doc_id, lang_pred, q_n_words, quality_score FROM scored
+    """
 
 
 def _oracle_train_val_split(
@@ -15071,4 +15158,5 @@ def oracle_sql() -> dict[str, str]:
         "train_val_split_v2": _oracle_train_val_split(
             num_perm=64, bands=16, threshold=0.5, val_frac=0.1
         ),
+        "quality_langid_v2": _oracle_quality_langid(),
     }

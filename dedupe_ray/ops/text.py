@@ -106,11 +106,20 @@ class QualityScore:
     """Heuristic document-quality features (length, punctuation ratio,
     stopword ratio, mean word length) + a combined score in [0,1] —
     the standard pre-training corpus filters (C4/Gopher-style rules,
-    public). Fully vectorized: Arrow tokenize + regex counts + reduceat."""
+    public). Fully vectorized: Arrow tokenize + regex counts + reduceat.
 
-    def __init__(self) -> None:
+    ``exact_rational=True`` computes the combined score as ONE float64
+    division of exact integer numerator/denominator products instead of
+    the float32 per-factor chain — value-identical math, but bit-exactly
+    reproducible in ANSI SQL (the driver oracle's requirement); the
+    factor clips become integer min/max: score =
+    (min(max(w−5,0),45) · (c−min(max(5p−c,0),c)) · (10w'−min(|L−5w'|,5w')))
+    / (450·c·w') with w'=max(w,1), c=max(chars,1), L=Σ token lengths."""
+
+    def __init__(self, exact_rational: bool = False) -> None:
         stops = _LANG_PROFILES["en"] | _LANG_PROFILES["de"] | _LANG_PROFILES["es"]
         self.stops = pa.array(sorted(stops))
+        self.exact_rational = exact_rational
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -136,16 +145,32 @@ class QualityScore:
         mean_word_len = (len_sums / denom_w).astype(np.float32)
         mean_word_len[n_words == 0] = 0.0
         stop_ratio[n_words == 0] = 0.0
-        ok_len = np.clip((n_words - 5) / 45.0, 0, 1)
-        ok_punct = 1.0 - np.clip((punct_ratio - 0.2) * 5, 0, 1)
-        ok_wordlen = 1.0 - np.clip(np.abs(mean_word_len - 5.0) / 5.0, 0, 1) * 0.5
-        score = (ok_len * ok_punct * ok_wordlen).astype(np.float32)
+        if self.exact_rational:
+            w64 = n_words.astype(np.int64)
+            wd = denom_w.astype(np.int64)
+            cd = denom_c.astype(np.int64)
+            p64 = n_punct.astype(np.int64)
+            n1 = np.minimum(np.maximum(w64 - 5, 0), 45)
+            n2 = cd - np.minimum(np.maximum(5 * p64 - cd, 0), cd)
+            n3 = 10 * wd - np.minimum(np.abs(len_sums - 5 * wd), 5 * wd)
+            score = ((n1 * n2 * n3).astype(np.float64)
+                     / (450 * cd * wd).astype(np.float64))
+        else:
+            ok_len = np.clip((n_words - 5) / 45.0, 0, 1)
+            ok_punct = 1.0 - np.clip((punct_ratio - 0.2) * 5, 0, 1)
+            ok_wordlen = 1.0 - np.clip(np.abs(mean_word_len - 5.0) / 5.0, 0, 1) * 0.5
+            score = (ok_len * ok_punct * ok_wordlen).astype(np.float32)
         for name, c in [
             ("q_n_words", pa.array(n_words, pa.int32())),
             ("q_punct_ratio", pa.array(punct_ratio, pa.float32())),
             ("q_stop_ratio", pa.array(stop_ratio, pa.float32())),
             ("q_mean_word_len", pa.array(mean_word_len, pa.float32())),
-            ("quality_score", pa.array(score, pa.float32())),
+            (
+                "quality_score",
+                pa.array(
+                    score, pa.float64() if self.exact_rational else pa.float32()
+                ),
+            ),
         ]:
             batch = batch.append_column(name, c)
         return batch

@@ -29,7 +29,8 @@ SNAPSHOTS = {
     "simhash_pairs": (434, 7456101814729597156),
     "minhash_groups": (45, 17142152284950016802),
     "fingerprints": (500, 15585968352776156831),
-    "quality_langid": (500, 16382963264162671266),
+    # quality_langid became quality_langid_v2 in round 5 (exact-rational
+    # score) and is now covered by a full SQL oracle instead
     "media_features": (696, 12115332766548111239),
     "embedding_near_dup": (20, 12731899540696061886),
     # HLL p=12 approximate distinct; at this scale the linear-counting
