@@ -472,37 +472,98 @@ def _q_ann_topk(sf_dir: str):
 
 
 def _q_embedding_near_dup(sf_dir: str):
-    """Plant deterministic near-duplicate vectors (tiny perturbations of the
-    first 20 embeddings, re-keyed +100000), then recover them by
-    centroid-bucketed cosine search."""
-    import ray.data as rd
+    """Plant deterministic near-duplicate vectors (arithmetic perturbation
+    of the first 20 embeddings, re-keyed +100000), recover CANDIDATES via
+    the centroid-bucketed cosine search at a margin-lowered threshold,
+    then decide each candidate with EXACT integer arithmetic over
+    2^15-quantized vectors (cos ≥ 0.98 ⟺ dot>0 ∧ 2500·dot² ≥ 2401·‖a‖²‖b‖²
+    — 0.98 = 49/50). _v2 (round 5): every step is mirrored verbatim by the
+    DuckDB oracle (all-pairs on the oracle side; candidate recall of the
+    bucketed path is exact at these scales — planted dups share their
+    source's centroid)."""
 
-    from dedupe_ray.ops.embedding import embedding_near_dup_pairs
+    def perturb(b: pa.Table) -> pa.Table:
+        ids = b.column("vec_id").to_numpy(zero_copy_only=False)
+        vecs = np.array(b.column("embedding").to_pylist(), np.float64)
+        j = np.arange(vecs.shape[1], dtype=np.int64)
+        factor = 1.0 + ((ids[:, None] * 64 + j[None, :]) % 7 - 3) * 0.001
+        out = vecs * factor
+        return pa.table(
+            {
+                "vec_id": pa.array(ids + 100000, pa.int64()),
+                "embedding": pa.array(list(out), pa.list_(pa.float64())),
+            }
+        )
 
-    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    base = emb.filter(expr="vec_id < 20").take(20)
-    rng = np.random.RandomState(7)
-    rows = []
-    for r in base:
-        v = np.asarray(r["embedding"], np.float32)
-        v = v + rng.normal(0, 0.01 * np.abs(v).mean(), size=v.shape).astype(np.float32)
-        rows.append({"vec_id": r["vec_id"] + 100000, "embedding": v.tolist()})
-    planted = rd.from_pandas(__import__("pandas").DataFrame(rows))
-
-    def fix_types(b: pa.Table) -> pa.Table:
+    def widen(b: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
         return pa.table(
             {
                 "vec_id": pc.cast(b.column("vec_id"), pa.int64()),
-                "embedding": pc.cast(b.column("embedding"), pa.list_(pa.float32())),
+                "embedding": pc.cast(b.column("embedding"), pa.list_(pa.float64())),
             }
         )
 
-    both = emb.map_batches(fix_types, batch_format="pyarrow").union(
-        planted.map_batches(fix_types, batch_format="pyarrow")
+    from dedupe_ray.ops.embedding import embedding_near_dup_pairs
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    planted = emb.filter(expr="vec_id < 20").map_batches(
+        perturb, batch_format="pyarrow"
     )
-    return embedding_near_dup_pairs(both, cosine_threshold=0.98, n_centroids=8)
+    both = emb.map_batches(widen, batch_format="pyarrow").union(planted)
+    # candidates at a 0.01 cosine margin below the decision threshold —
+    # quantization moves a cosine by ≲1e-3, so no exact-qualifying pair
+    # can fall outside the candidate set
+    cands = embedding_near_dup_pairs(both, cosine_threshold=0.97, n_centroids=8)
+
+    # bounded: ≤ (corpus + 20) quantized int vectors broadcast once for the
+    # exact verify of the few candidate pairs (showcase scale; production
+    # verify rides scoring.assemble_pairs instead)
+    qmap = {}
+    for row in both.map_batches(
+        lambda b: pa.table(
+            {
+                "vec_id": b.column("vec_id"),
+                "q": pa.array(
+                    [
+                        np.floor(np.asarray(v, np.float64) * 32768.0 + 0.5)
+                        .astype(np.int64)
+                        .tolist()
+                        for v in b.column("embedding").to_pylist()
+                    ],
+                    pa.list_(pa.int64()),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    ).iter_rows():
+        qmap[row["vec_id"]] = row["q"]
+
+    def exact_verify(b: pa.Table) -> pa.Table:
+        ia, ib, cs = [], [], []
+        for a_id, b_id in zip(
+            b.column("id_a").to_pylist(), b.column("id_b").to_pylist()
+        ):
+            qa, qb = qmap[a_id], qmap[b_id]
+            dot = sum(x * y for x, y in zip(qa, qb))
+            na = sum(x * x for x in qa)
+            nb = sum(x * x for x in qb)
+            if dot > 0 and 2500 * dot * dot >= 2401 * na * nb:
+                ia.append(a_id)
+                ib.append(b_id)
+                cs.append((dot * dot * 1000000) // (na * nb))
+        return pa.table(
+            {
+                "id_a": pa.array(ia, pa.int64()),
+                "id_b": pa.array(ib, pa.int64()),
+                "cos_sq_e6": pa.array(cs, pa.int64()),
+            }
+        )
+
+    return cands.select_columns(["id_a", "id_b"]).map_batches(
+        exact_verify, batch_format="pyarrow"
+    )
 
 
 def _q_minhash_pairs(sf_dir: str):
@@ -8450,7 +8511,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": _q_events_hourly,
         "doc_preview": _q_doc_preview,
         "ann_topk": _q_ann_topk,
-        "embedding_near_dup": _q_embedding_near_dup,
+        "embedding_near_dup_v2": _q_embedding_near_dup,
         "minhash_pairs": _q_minhash_pairs,
         "simhash_pairs": _q_simhash_pairs,
         "quality_langid_v2": _q_quality_langid,
@@ -15159,4 +15220,47 @@ def oracle_sql() -> dict[str, str]:
             num_perm=64, bands=16, threshold=0.5, val_frac=0.1
         ),
         "quality_langid_v2": _oracle_quality_langid(),
+        # all-pairs exact-integer mirror of the bucketed candidate search +
+        # quantized verify (0.98 = 49/50; 2^15 quantization both sides)
+        "embedding_near_dup_v2": """
+            WITH src AS MATERIALIZED (
+                SELECT vec_id,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                FROM embeddings
+            ),
+            planted AS (
+                SELECT vec_id + 100000 AS vec_id, v2 AS v FROM (
+                    SELECT vec_id,
+                           list_transform(range(1, len(v) + 1),
+                               j -> v[j] * (1.0 + ((vec_id * 64 + (j - 1)) % 7
+                                                   - 3) * 0.001)) AS v2
+                    FROM src WHERE vec_id < 20
+                )
+            ),
+            allv AS (SELECT * FROM src UNION ALL SELECT * FROM planted),
+            qv AS MATERIALIZED (
+                SELECT vec_id, d,
+                       CAST(floor(x * 32768.0 + 0.5) AS BIGINT) AS q
+                FROM (SELECT vec_id, unnest(v) AS x,
+                             generate_subscripts(v, 1) AS d
+                      FROM allv)
+            ),
+            norms AS MATERIALIZED (
+                SELECT vec_id, CAST(SUM(q * q) AS HUGEINT) AS n
+                FROM qv GROUP BY vec_id
+            ),
+            dots AS MATERIALIZED (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                       CAST(SUM(a.q * b.q) AS HUGEINT) AS dot
+                FROM qv a JOIN qv b ON a.d = b.d AND a.vec_id < b.vec_id
+                GROUP BY 1, 2
+            )
+            SELECT d.id_a, d.id_b,
+                   CAST((d.dot * d.dot * 1000000) // (na.n * nb.n)
+                        AS BIGINT) AS cos_sq_e6
+            FROM dots d
+            JOIN norms na ON na.vec_id = d.id_a
+            JOIN norms nb ON nb.vec_id = d.id_b
+            WHERE d.dot > 0 AND d.dot * d.dot * 2500 >= 2401 * na.n * nb.n
+        """,
     }

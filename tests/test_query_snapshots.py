@@ -32,7 +32,8 @@ SNAPSHOTS = {
     # quality_langid became quality_langid_v2 in round 5 (exact-rational
     # score) and is now covered by a full SQL oracle instead
     "media_features": (696, 12115332766548111239),
-    "embedding_near_dup": (20, 12731899540696061886),
+    # embedding_near_dup became embedding_near_dup_v2 in round 5
+    # (arithmetic planting + exact integer verify) — full SQL oracle now
     # HLL p=12 approximate distinct; at this scale the linear-counting
     # regime returns the exact per-type user counts (15 each)
     "approx_distinct_users": (5, 9732546478658035194),
