@@ -715,6 +715,42 @@ def decontaminate(
     return ds.map_batches(tag, batch_format="pyarrow")
 
 
+def char_ngram_redundancy_batch(
+    batch: pa.Table, column: str = "text", n: int = 8
+) -> pa.Table:
+    """Per-document distinct character-``n``-gram ratio — the
+    SQL-expressible sibling of the zlib compression-ratio signal
+    (repetitive text has few distinct n-grams; both are Gopher-family
+    redundancy filters). ratio = |distinct n-byte windows| / |windows|,
+    1.0 for docs shorter than ``n``; computed as ONE float64 division of
+    exact integer counts, so the DuckDB oracle hashes exact.
+
+    Vectorized per doc: the byte string's sliding windows are packed into
+    one uint64 view (n ≤ 8) and counted with np.unique — no per-window
+    Python work."""
+    col = pc.fill_null(batch.column(column), "")
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if n > 8:
+        raise ValueError("n must be <= 8 (windows are packed into uint64)")
+    distinct = np.ones(len(col), np.int64)
+    total = np.ones(len(col), np.int64)
+    for i, buf in enumerate(col):
+        raw = buf.as_py().encode("utf-8")
+        if len(raw) < n:
+            continue
+        arr = np.frombuffer(raw, np.uint8)
+        win = np.lib.stride_tricks.sliding_window_view(arr, n)
+        packed = np.zeros(len(win), np.uint64)
+        view = np.ascontiguousarray(win)
+        for b in range(n):
+            packed = (packed << np.uint64(8)) | view[:, b].astype(np.uint64)
+        total[i] = len(packed)
+        distinct[i] = len(np.unique(packed))
+    ratio = distinct.astype(np.float64) / total.astype(np.float64)
+    return batch.append_column("redundancy_ratio", pa.array(ratio))
+
+
 def compression_ratio_batch(
     batch: pa.Table, column: str = "text", level: int = 6
 ) -> pa.Table:

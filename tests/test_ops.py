@@ -1956,6 +1956,24 @@ def test_leakage_safe_split_deterministic(ray_session):
     assert 1 <= (a.split == "val").sum() <= 20  # ~25% of 40, loose bounds
 
 
+def test_char_ngram_redundancy_edges():
+    """Brute-force parity + the short-doc/empty/null edge cases."""
+    from dedupe_ray.ops.text import char_ngram_redundancy_batch
+
+    texts = ["abcdefgh", "aaaaaaaaaa", "short", "", None, "abcabcabcabcabc"]
+    out = char_ngram_redundancy_batch(
+        pa.table({"text": pa.array(texts, pa.string())})
+    )
+    got = out.column("redundancy_ratio").to_pylist()
+    for t, r in zip(texts, got):
+        s = (t or "").encode()
+        if len(s) < 8:
+            assert r == 1.0
+        else:
+            wins = [s[i : i + 8] for i in range(len(s) - 7)]
+            assert r == len(set(wins)) / len(wins)
+
+
 def test_profile_columns_nulls_and_types(ray_session):
     from dedupe_ray.ops.tabular import profile_columns
 
