@@ -4681,17 +4681,136 @@ def _q_tpch_q8(sf_dir: str):
     return agg.astype({"o_year": "int64", "num_c": "int64", "den_c": "int64"})
 
 
+def _tpch_q9_bucketed(sf_dir: str):
+    """Scale path for Q9 (round-5 size guard): part and supplier — the two
+    dims that GROW with SF — ride bucketed unique-key joins instead of
+    driver broadcasts; only the constant 25-row nation table stays
+    driver-side. Byte-identical output to the broadcast path (forced-
+    threshold test + shared oracle)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from dedupe_ray.joins import bucketed_lookup_join
+
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    name_arr = np.empty(int(nat.n_nationkey.max()) + 1, object)
+    name_arr[nat.n_nationkey.to_numpy(np.int64)] = nat.n_name.to_numpy()
+
+    def red_costs(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.match_substring(b.column("p_name"), "red"))
+        cost = np.floor(
+            t.column("p_retailprice").to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {"p_partkey": t.column("p_partkey"), "cost_c": pa.array(cost)}
+        )
+
+    red = _read(sf_dir, "part", ["p_partkey", "p_name", "p_retailprice"]).map_batches(
+        red_costs, batch_format="pyarrow"
+    )
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    li = _read(
+        sf_dir,
+        "lineitem",
+        ["l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+         "l_extendedprice", "l_discount"],
+    )
+
+    def integerize(b: pa.Table) -> pa.Table:
+        qty = b.column("l_quantity").to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = np.floor(
+            b.column("l_extendedprice").to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        disc = np.floor(
+            b.column("l_discount").to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "l_orderkey": b.column("l_orderkey"),
+                "l_partkey": b.column("l_partkey"),
+                "l_suppkey": b.column("l_suppkey"),
+                "qty": pa.array(qty),
+                "rev_c": pa.array(cents * (100 - disc)),
+            }
+        )
+
+    li_p = bucketed_lookup_join(
+        li.map_batches(integerize, batch_format="pyarrow"),
+        red, "l_partkey", "p_partkey", ["cost_c"],
+    )
+    li_ps = bucketed_lookup_join(
+        li_p, supp, "l_suppkey", "s_suppkey", ["s_nationkey"]
+    )
+
+    def amount(b: pa.Table) -> pa.Table:
+        rev = b.column("rev_c").to_numpy(zero_copy_only=False)
+        cost = b.column("cost_c").to_numpy(zero_copy_only=False)
+        qty = b.column("qty").to_numpy(zero_copy_only=False)
+        sn = b.column("s_nationkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "l_orderkey": b.column("l_orderkey"),
+                "s_nat": pa.array(sn),
+                "amount": pa.array(rev - cost * qty * 100),
+            }
+        )
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+
+    def oyear(b: pa.Table) -> pa.Table:
+        d = b.column("o_orderdate").to_numpy(zero_copy_only=False)
+        year = d.astype("datetime64[Y]").astype(np.int64) + 1970
+        return pa.table(
+            {"o_orderkey": b.column("o_orderkey"), "o_year": pa.array(year)}
+        )
+
+    j = bucketed_lookup_join(
+        li_ps.map_batches(amount, batch_format="pyarrow"),
+        orders.map_batches(oyear, batch_format="pyarrow"),
+        "l_orderkey", "o_orderkey", ["o_year"],
+    )
+
+    def named(b: pa.Table) -> pa.Table:
+        sn = b.column("s_nat").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "n_name": pa.array(name_arr[sn], pa.string()),
+                "o_year": b.column("o_year"),
+                "amount": b.column("amount"),
+            }
+        )
+
+    return (
+        j.map_batches(named, batch_format="pyarrow")
+        .groupby(["n_name", "o_year"])
+        .aggregate(Sum("amount", alias_name="profit_c2"))
+    )
+
+
 def _q_tpch_q9(sf_dir: str):
     """TPC-H Q9 shape (product-type profit by nation and year): for
     '%red%' parts, profit = revenue cents·(100−disc) − retail-cost
     cents·qty·100 (SAME ×100 scale — subtraction stays exact int64),
     part retail-cents and supplier nations broadcast as driver dicts
-    (both canonical dims), order-year through one bucketed unique-key
+    below DEDUPE_RAY_DIM_BROADCAST_LIMIT rows (default 2M) and routed
+    through bucketed unique-key joins above it (part/supplier GROW with
+    SF — at 100× the broadcast would be a driver materialization; see
+    _tpch_q9_bucketed), order-year through one bucketed unique-key
     join, then a (nation, year) combiner groupby. The deepest
     fact-to-dim star shape in the registry after Q5."""
+    import os
+
     from ray.data.aggregate import Sum
 
     from dedupe_ray.joins import bucketed_lookup_join
+
+    limit = int(os.environ.get("DEDUPE_RAY_DIM_BROADCAST_LIMIT", "2000000"))
+    if (
+        _read(sf_dir, "part", ["p_partkey"]).count()
+        + _read(sf_dir, "supplier", ["s_suppkey"]).count()
+        > limit
+    ):
+        return _tpch_q9_bucketed(sf_dir)
 
     nat = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
     name_arr = np.empty(int(nat.n_nationkey.max()) + 1, object)
@@ -4707,7 +4826,7 @@ def _q_tpch_q9(sf_dir: str):
     red_keys = red.p_partkey.to_numpy(np.int64)
     red_cents = np.floor(red.p_retailprice.to_numpy() * 100.0 + 0.5).astype(
         np.int64
-    )  # bounded: part is the canonical small dim
+    )  # bounded: guarded above — this path only runs under the dim limit
 
     li = _read(
         sf_dir,
