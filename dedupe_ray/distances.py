@@ -44,15 +44,24 @@ _INF = np.float32(np.inf)
 _MAX_LEN = 256  # strings truncated here; KNA-style fields are ≪ this
 
 
-def _encode(strings: list[str], max_len: int) -> tuple[np.ndarray, np.ndarray]:
+def _encode(
+    strings: list[str], max_len: int, lens: np.ndarray | None = None
+) -> tuple[np.ndarray, np.ndarray]:
     """list[str] → (codes uint32 [n, max_len] padded with 0, lengths [n]).
 
     Vectorized: numpy U-dtype fixed-width array viewed as uint32 — no
-    per-string python encode (numpy truncates to max_len on construction)."""
+    per-string python encode (numpy truncates to max_len on construction).
+    python len() is O(1) per string — np.char.str_len re-scans the
+    fixed-width buffer per row and was 9% of scorer stage CPU (round 5);
+    callers that already hold the raw lengths pass them via ``lens``."""
     n = len(strings)
     arr = np.array(strings, dtype=f"U{max_len}")
     codes = arr.view(np.uint32).reshape(n, max_len)
-    lens = np.char.str_len(arr).astype(np.int32)
+    if lens is None:
+        lens = np.fromiter((len(s) for s in strings), np.int32, n)
+    else:
+        lens = lens.astype(np.int32, copy=True)
+    np.minimum(lens, np.int32(max_len), out=lens)
     return codes, lens
 
 
@@ -90,7 +99,10 @@ def affine_gap_batch(a_strings: list[str], b_strings: list[str]) -> np.ndarray:
     Memoized over distinct canonical pairs (the kernel is symmetric — the
     core orders each pair longer-first itself, and equal-length pairs are
     symmetric because the abbreviation discount needs a strictly longer
-    side); the DP runs once per distinct (a, b) value pair."""
+    side); the DP runs once per distinct (a, b) value pair. (A round-5
+    experiment with a cross-batch pair cache measured the python probe
+    loop costing as much as the saved DP — per-batch dedup is the right
+    granularity.)"""
     n = len(a_strings)
     if n <= 8:
         return _affine_gap_core(a_strings, b_strings)
@@ -139,10 +151,12 @@ def _affine_gap_core(a_strings: list[str], b_strings: list[str]) -> np.ndarray:
 
     sa = [A[i] for i in idx]
     sb = [B[i] for i in idx]
-    la_max = min(max(len(s) for s in sa), _MAX_LEN)
-    lb_max = min(max((len(s) for s in sb), default=0), _MAX_LEN)
-    ac, la = _encode(sa, la_max)
-    bc, lb = _encode(sb, max(lb_max, 1))
+    lens_a = np.fromiter((len(s) for s in sa), np.int32, len(idx))
+    lens_b = np.fromiter((len(s) for s in sb), np.int32, len(idx))
+    la_max = min(int(lens_a.max()), _MAX_LEN)
+    lb_max = min(int(lens_b.max()) if len(idx) else 0, _MAX_LEN)
+    ac, la = _encode(sa, la_max, lens_a)
+    bc, lb = _encode(sb, max(lb_max, 1), lens_b)
     m = len(idx)
 
     if lb_max == 0:
@@ -158,12 +172,43 @@ def _affine_gap_core(a_strings: list[str], b_strings: list[str]) -> np.ndarray:
     # ~2× on skewed name fields. Row ops are independent across pairs, so
     # reordering + slicing is exact.
     order = np.argsort(la, kind="stable")
-    la_s = la[order]
-    lb_s = lb[order]
-    ac_s = ac[order]
-    bmat = bc[order][:, :lb_max]  # [m, lb_max]
+    la_all = la[order]
+    lb_all = lb[order]
+    ac_all = ac[order]
+    bc_all = bc[order]
     out_idx = idx[order]
 
+    # Process pairs in cache-sized cohorts: at m ≈ 50k the [m × width]
+    # DP state arrays total ~50 MB and every row-iteration streams them
+    # from DRAM; a ~2k cohort keeps the whole state L2-resident across
+    # ALL row iterations (measured 2× on the flagship's long name field).
+    # Pairs are independent — chunking changes nothing per pair. Bonus:
+    # cohorts are length-sorted, so early cohorts run at their own
+    # (smaller) la_max/width.
+    for c0 in range(0, m, _DP_CHUNK):
+        c1 = min(c0 + _DP_CHUNK, m)
+        _affine_gap_dp_chunk(
+            ac_all[c0:c1], la_all[c0:c1], bc_all[c0:c1], lb_all[c0:c1],
+            out, out_idx[c0:c1],
+        )
+    return out
+
+
+_DP_CHUNK = 2048
+
+
+def _affine_gap_dp_chunk(
+    ac_s: np.ndarray,
+    la_s: np.ndarray,
+    bc_s: np.ndarray,
+    lb_s: np.ndarray,
+    out: np.ndarray,
+    out_idx: np.ndarray,
+) -> None:
+    m = len(la_s)
+    la_max = int(la_s[-1])  # sorted ascending
+    lb_max = int(lb_s.max())
+    bmat = bc_s[:, :lb_max]  # [m, lb_max]
     width = lb_max
     # DP state over j = 0..width (cost of aligning a[:i] with b[:j])
     Mm = np.full((m, width + 1), _INF, np.float32)  # ends in (mis)match
@@ -233,7 +278,6 @@ def _affine_gap_core(a_strings: list[str], b_strings: list[str]) -> np.ndarray:
     dist = np.minimum(final, abbrev_best)
     norm = (la_s + lb_s).astype(np.float32)
     out[out_idx] = dist / np.maximum(norm, 1.0)
-    return out
 
 
 def affine_gap(a: str, b: str) -> float:
@@ -271,21 +315,44 @@ def levenshtein_batch(a_strings: list[str], b_strings: list[str]) -> np.ndarray:
         return out
     sa = [A[i] for i in idx]
     sb = [B[i] for i in idx]
-    la_max = min(max(len(s) for s in sa), _MAX_LEN)
-    lb_max = min(max(len(s) for s in sb), _MAX_LEN)
-    ac, la = _encode(sa, la_max)
-    bc, lb = _encode(sb, max(lb_max, 1))
+    lens_a = np.fromiter((len(s) for s in sa), np.int32, len(idx))
+    lens_b = np.fromiter((len(s) for s in sb), np.int32, len(idx))
+    la_max = min(int(lens_a.max()), _MAX_LEN)
+    lb_max = min(int(lens_b.max()), _MAX_LEN)
+    ac, la = _encode(sa, la_max, lens_a)
+    bc, lb = _encode(sb, max(lb_max, 1), lens_b)
     m = len(idx)
 
     # same suffix-slicing as the affine-gap DP: sort by la so row i only
-    # touches the still-active suffix (pairs with la >= i)
+    # touches the still-active suffix (pairs with la >= i); same
+    # cache-sized cohort chunking (pairs are independent)
     order = np.argsort(la, kind="stable")
-    la_s = la[order]
-    lb_s = lb[order]
-    ac_s = ac[order]
-    bmat = bc[order][:, :lb_max]
+    la_all = la[order]
+    lb_all = lb[order]
+    ac_all = ac[order]
+    bc_all = bc[order]
     out_idx = idx[order]
+    for c0 in range(0, m, _DP_CHUNK):
+        c1 = min(c0 + _DP_CHUNK, m)
+        _lev_dp_chunk(
+            ac_all[c0:c1], la_all[c0:c1], bc_all[c0:c1], lb_all[c0:c1],
+            out, out_idx[c0:c1],
+        )
+    return out
 
+
+def _lev_dp_chunk(
+    ac_s: np.ndarray,
+    la_s: np.ndarray,
+    bc_s: np.ndarray,
+    lb_s: np.ndarray,
+    out: np.ndarray,
+    out_idx: np.ndarray,
+) -> None:
+    m = len(la_s)
+    la_max = int(la_s[-1])
+    lb_max = int(lb_s.max())
+    bmat = bc_s[:, :lb_max]
     width = lb_max
     jidx = np.arange(width + 1, dtype=np.float32)
     prev = np.tile(jidx, (m, 1))
@@ -317,7 +384,6 @@ def levenshtein_batch(a_strings: list[str], b_strings: list[str]) -> np.ndarray:
             fseg[done] = vals[done]
         prev = cur
     out[out_idx] = final.astype(np.int32)
-    return out
 
 
 def levenshtein(a: str, b: str) -> int:
@@ -399,8 +465,14 @@ def _token_align_core(a: list[str], b: list[str]) -> np.ndarray:
         return out
     import pandas as pd
 
-    toks_a = [_align_tokens(s) for s in a]
-    toks_b = [_align_tokens(s) for s in b]
+    # tokenize each DISTINCT string once (strings repeat across pairs even
+    # after pair-level dedup — each record joins many candidate pairs)
+    codes_s, uniq_strs = pd.factorize(
+        np.array([(s or "") for s in a] + [(s or "") for s in b], object)
+    )
+    utoks = [_align_tokens(s) for s in uniq_strs]
+    toks_a = [utoks[c] for c in codes_s[:n]]
+    toks_b = [utoks[c] for c in codes_s[n:]]
 
     # Vectorized combo construction. Tokens are factorized to int ids; the
     # per-pair cross-product (combo) index arrays are pure cumsum/repeat
@@ -446,11 +518,14 @@ def _token_align_core(a: list[str], b: list[str]) -> np.ndarray:
         uu = uniq_tokens[ukey // V]
         vv = uniq_tokens[ukey % V]
         lev = levenshtein_batch(list(uu), list(vv)).astype(np.float32)
-        denom = np.maximum(
-            np.char.str_len(np.asarray(uu, dtype=f"U{_ALIGN_TOK_LEN}")),
-            np.char.str_len(np.asarray(vv, dtype=f"U{_ALIGN_TOK_LEN}")),
-        ).astype(np.float32)
-        d_combo[neq_c] = (lev / np.maximum(denom, 1.0))[uinv]
+        # token lengths come from the (small) vocabulary, indexed per
+        # unique pair — tokens are pre-truncated to _ALIGN_TOK_LEN, so
+        # python len() is the exact length
+        tok_lens = np.fromiter(
+            (len(t) for t in uniq_tokens), np.float32, len(uniq_tokens)
+        )
+        denom = np.maximum(tok_lens[ukey // V], tok_lens[ukey % V])
+        d_combo[neq_c] = (lev / np.maximum(denom, np.float32(1.0)))[uinv]
 
     # per-a-slot min over its nb contiguous combos, then per-pair max over
     # its contiguous a-slots; b side: scatter-min, then contiguous max
