@@ -471,7 +471,7 @@ def candidate_pairs_raw(
     max_block_size: int = 1024,
     map_batch_size: int = 8192,
     index_tables: dict | None = None,
-    singleton_filter: bool = False,
+    singleton_filter: bool | str = False,
     bitmap_log2_bits: int = 27,
 ) -> "ray.data.Dataset":
     """Block-key explode + per-bucket pair emission, NOT yet deduped:
@@ -493,11 +493,20 @@ def candidate_pairs_raw(
     docs / 32 CPUs the full pair path is 13.3 s without vs 27.7 s with
     (the sort's remote work is ~1 s here — in-memory shuffles are cheap,
     while the bitmap partials cost n_blocks × 32 MiB of memcpy). It is a
-    SHUFFLE-BYTE lever: turn it on when the exploded set exceeds object
-    store memory and the sort spills to disk, where cutting sort
-    write+read amplification ~5× dominates a sequential rescan. Size
-    ``bitmap_log2_bits`` to ~16× the expected distinct-key count (2^27
-    bits = 16 MiB handles ~10⁷ keys at <10% false-positive rate)."""
+    SHUFFLE-BYTE lever whose crossover the round-5 spill rehearsal went
+    looking for and did NOT find on this hardware: at 2M docs with a
+    0.8 GB object store (the sort genuinely spilling — 0.6–1.2 GB,
+    120+ spill requests) OFF ran 31 s while ``True`` ran 83–122 s (its
+    materialize() pushes the ENTIRE exploded set through the already-full
+    store: 4.5 GB spilled) and ``"recompute"`` — which streams the explode
+    twice and never materializes — ran 86 s at 2^27 bitmap bits and 55 s
+    at 2^24: the bitmap aggregate's per-block partial memcpy dominates
+    everything the ~5× sort-input cut saves while spill write throughput
+    is ≥ ~50 MiB/s. Default stays OFF; reach for ``"recompute"`` (never
+    ``True``) only when shuffle spill I/O is the measured bottleneck —
+    e.g. object-store-to-disk bandwidth an order slower than here. Size
+    ``bitmap_log2_bits`` to ~16× the expected distinct-key count
+    (2^27 bits = 16 MiB handles ~10⁷ keys at <10% false-positive rate)."""
     blocked = flat_ds.map_batches(
         make_block_explode_stage(
             predicate_ids, with_bucket=True, index_tables=index_tables, key_hash=True
@@ -506,7 +515,11 @@ def candidate_pairs_raw(
         batch_size=map_batch_size,
     )
     if singleton_filter:
-        blocked = blocked.materialize()
+        if singleton_filter != "recompute":
+            # materialize so the explode kernels run once for both the
+            # bitmap pass and the filtered sort — the right call while the
+            # exploded set fits the object store
+            blocked = blocked.materialize()
         multi = blocked.aggregate(_multikey_bitmap_agg(bitmap_log2_bits))[
             "multikey_bitmap"
         ]

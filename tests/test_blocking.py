@@ -64,14 +64,14 @@ def test_singleton_filter_output_identical(small_corpus):
 
     flat = _flat_records(small_corpus)
     outs = []
-    for sfilt in (False, True):
+    for sfilt in (False, True, "recompute"):
         raw = candidate_pairs_raw(
             flat, PREDICATES, max_block_size=4096, singleton_filter=sfilt
         )
         outs.append(
             {(r["id_a"], r["id_b"]) for r in dedup_pairs(raw).take_all()}
         )
-    assert outs[0] == outs[1] and outs[0]
+    assert outs[0] == outs[1] == outs[2] and outs[0]
 
 
 def test_compound_piece_memo_matches_brute_force(small_corpus):
