@@ -1129,8 +1129,11 @@ class DecodeImage:
 
     FEATURE_DIM = 8
 
-    def __init__(self, fake: bool = False):
+    def __init__(self, fake: bool = False, on_error: str = "raise"):
+        if on_error not in ("raise", "quarantine"):
+            raise ValueError(f"on_error must be 'raise' or 'quarantine', got {on_error!r}")
         self.fake = fake
+        self.on_error = on_error
 
     def _decode_payload(self, payload: bytes) -> tuple[int, int, np.ndarray] | None:
         img = sniff_decode_image(payload)
@@ -1170,23 +1173,42 @@ class DecodeImage:
             if "payload" in batch.column_names
             else [None] * len(refs)
         )
-        ws, hs, feats = [], [], []
+        ws: list = []
+        hs: list = []
+        feats: list = []
+        errs: list = []
         for r, p in zip(refs, payloads):
-            w, h, f = self._decode_one(r or "", p)
+            if self.on_error == "quarantine":
+                # mixed-codec corpora: an undecodable payload must not
+                # abort the stage mid-pipeline — null features + a typed
+                # (kind, reason) audit column instead (VERDICT r4 item 5)
+                try:
+                    w, h, f = self._decode_one(r or "", p)
+                    errs.append(None)
+                except (ValueError, NotImplementedError) as e:
+                    kind = (
+                        "corrupt" if isinstance(e, ValueError) else "unsupported"
+                    )
+                    ws.append(None)
+                    hs.append(None)
+                    feats.append(None)
+                    errs.append(f"{kind}: {e}")
+                    continue
+            else:
+                w, h, f = self._decode_one(r or "", p)
             ws.append(w)
             hs.append(h)
             feats.append(f)
-        feat_arr = (
-            pa.FixedSizeListArray.from_arrays(
-                pa.array(np.concatenate(feats) if feats else np.zeros(0, np.float32)),
-                self.FEATURE_DIM,
-            )
-            if feats
-            else pa.array([], pa.list_(pa.float32(), self.FEATURE_DIM))
+        feat_arr = pa.array(
+            [f.tolist() if f is not None else None for f in feats],
+            pa.list_(pa.float32(), self.FEATURE_DIM),
         )
         out = batch.append_column("width", pa.array(ws, pa.int32()))
         out = out.append_column("height", pa.array(hs, pa.int32()))
-        return out.append_column("features", feat_arr)
+        out = out.append_column("features", feat_arr)
+        if self.on_error == "quarantine":
+            out = out.append_column("decode_error", pa.array(errs, pa.string()))
+        return out
 
 
 class ResizeImage:
@@ -1542,8 +1564,11 @@ class DecodeAudio:
     fake when ``fake=True``, else raise (codec integration point, same
     contract as DecodeImage)."""
 
-    def __init__(self, fake: bool = False):
+    def __init__(self, fake: bool = False, on_error: str = "raise"):
+        if on_error not in ("raise", "quarantine"):
+            raise ValueError(f"on_error must be 'raise' or 'quarantine', got {on_error!r}")
         self.fake = fake
+        self.on_error = on_error
 
     def _one(self, ref: str, payload: bytes | None) -> tuple[float, int, int, float, float]:
         if payload and payload[:4] == b"RIFF":
@@ -1578,7 +1603,21 @@ class DecodeAudio:
             if "payload" in batch.column_names
             else [None] * len(refs)
         )
-        rows = [self._one(r or "", p) for r, p in zip(refs, payloads)]
+        rows: list = []
+        errs: list = []
+        for r, p in zip(refs, payloads):
+            if self.on_error == "quarantine":
+                try:
+                    rows.append(self._one(r or "", p))
+                    errs.append(None)
+                except (ValueError, NotImplementedError) as e:
+                    kind = (
+                        "corrupt" if isinstance(e, ValueError) else "unsupported"
+                    )
+                    rows.append((None, None, None, None, None))
+                    errs.append(f"{kind}: {e}")
+            else:
+                rows.append(self._one(r or "", p))
         out = batch
         for i, (name, typ) in enumerate(
             [
@@ -1590,6 +1629,8 @@ class DecodeAudio:
             ]
         ):
             out = out.append_column(name, pa.array([r[i] for r in rows], typ))
+        if self.on_error == "quarantine":
+            out = out.append_column("decode_error", pa.array(errs, pa.string()))
         return out
 
 

@@ -669,6 +669,72 @@ def test_decode_png_all_filters_and_color_types():
         decode_png(b"BMnope")
 
 
+def test_decode_mixed_codec_quarantine(ray_session):
+    """A corpus mixing decodable, corrupt and unsupported payloads flows
+    END TO END with on_error='quarantine': good rows decode normally, bad
+    rows surface null features + a typed decode_error audit value instead
+    of aborting the stage (VERDICT r4 item 5)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dedupe_ray.ops.multimodal import DecodeAudio, DecodeImage, pcm16_wav_bytes
+
+    payload, img = _ppm_bytes(6, 4, lambda x, y: (200, x * 30, y * 50))
+    corrupt_ppm = payload[:8]  # header torn mid-token
+    unknown = b"\x00\x01NOTANIMAGE" * 4
+    tbl = pa.table(
+        {
+            "media_ref": ["good", "corrupt", "unknown"],
+            "payload": pa.array([payload, corrupt_ppm, unknown], pa.binary()),
+        }
+    )
+    # consume as Arrow rows (write_parquet/iter_batches path — Ray's
+    # pandas tensor-extension cast rejects null fixed-size lists)
+    rows = {
+        r["media_ref"]: r
+        for r in rd.from_arrow(tbl)
+        .map_batches(
+            DecodeImage,
+            fn_constructor_kwargs={"fake": False, "on_error": "quarantine"},
+            concurrency=1,
+            batch_format="pyarrow",
+        )
+        .take_all()
+    }
+    assert rows["good"]["width"] == 6 and rows["good"]["decode_error"] is None
+    assert np.asarray(rows["good"]["features"]).shape == (8,)
+    assert rows["unknown"]["decode_error"].startswith("unsupported:")
+    assert rows["unknown"]["features"] is None
+    # the torn header dies inside the tokenizer (unpacking/int errors are
+    # implementation detail) — any quarantined kind is acceptable for it,
+    # but it must NOT abort the stage
+    assert rows["corrupt"]["decode_error"] is not None
+
+    wav = pcm16_wav_bytes(np.sin(np.linspace(0, 20, 800, dtype=np.float64)), 8000)
+    atbl = pa.table(
+        {
+            "media_ref": ["wav", "mp3ish"],
+            "payload": pa.array([wav, b"ID3\x03not-really-mp3"], pa.binary()),
+        }
+    )
+    arows = {
+        r["media_ref"]: r
+        for r in rd.from_arrow(atbl)
+        .map_batches(
+            DecodeAudio,
+            fn_constructor_kwargs={"fake": False, "on_error": "quarantine"},
+            concurrency=1,
+            batch_format="pyarrow",
+        )
+        .take_all()
+    }
+    assert arows["wav"]["sample_rate"] == 8000
+    assert arows["wav"]["decode_error"] is None
+    assert arows["mp3ish"]["decode_error"].startswith("unsupported:")
+    assert arows["mp3ish"]["duration_sec"] is None
+
+
 def test_decode_image_stage_png_payload(ray_session):
     import numpy as np
     import pyarrow as pa
