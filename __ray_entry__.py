@@ -643,11 +643,20 @@ def _q_minhash_groups(sf_dir: str):
 
 
 def _q_fingerprints(sf_dir: str):
+    """Winnowed FNV-1a rolling-hash document fingerprints. _v2 (round 5):
+    the uint64 fingerprint is emitted as its two's-complement int64 so
+    the exact-integer DuckDB mirror (mulmod64 FNV fold per byte window,
+    MIN over windows) can hash-compare it."""
     from dedupe_ray.ops.text import fingerprint_batch
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
-    return docs.map_batches(fingerprint_batch, batch_format="pyarrow").select_columns(
-        ["doc_id", "fingerprint"]
+
+    def to_i64(b: pa.Table) -> pa.Table:
+        f = b.column("fingerprint").to_numpy(zero_copy_only=False).view(np.int64)
+        return pa.table({"doc_id": b.column("doc_id"), "fingerprint": pa.array(f)})
+
+    return docs.map_batches(fingerprint_batch, batch_format="pyarrow").map_batches(
+        to_i64, batch_format="pyarrow"
     )
 
 
@@ -7612,8 +7621,8 @@ def _q_user_shuffle_skew(sf_dir: str):
     """Pre-shuffle skew audit over events.user_id (`ops/tabular.py
     shuffle_skew_report`): per-hash-bucket row counts under the
     engine's own pd.util.hash_array placement — prices a groupby
-    before running it. No SQL oracle (the siphash bucketing isn't
-    SQL); deterministic across processes, snapshot-frozen."""
+    before running it. ORACLE-EXACT since round 5: pandas' int64 hash
+    is the splitmix64 finalizer, mirrored in HUGEINT SQL."""
     from dedupe_ray.ops.tabular import shuffle_skew_report
 
     ev = _read(sf_dir, "events", ["user_id"])
@@ -8707,7 +8716,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "export_projection": _q_export_projection,
         "ngram_jaccard_verify": _q_ngram_jaccard,
         "minhash_groups": _q_minhash_groups,
-        "fingerprints": _q_fingerprints,
+        "fingerprints_v2": _q_fingerprints,
         "ivf_topk_full_probe": _q_ivf_topk_full_probe,
         "gazetteer_link": _q_gazetteer_link,
         "record_link_one_to_one": _q_record_link,
@@ -9532,6 +9541,112 @@ def _oracle_train_val_split(
                CASE WHEN ({key_crc}) % 1000000 < {thr}
                     THEN 'val' ELSE 'train' END AS split
         FROM keys CROSS JOIN crct
+    """
+
+
+def _oracle_minhash_groups(
+    num_perm: int = 64, bands: int = 16, threshold: float = 0.5
+) -> str:
+    """Exact mirror of ops/dedup.minhash_dedup: the minhash_pairs oracle's
+    pair set closed with a recursive CTE; component_id = lexico-min member
+    (clustering.connected_components semantics)."""
+    rpb = num_perm // bands
+    min_agree = int(round(threshold * num_perm))
+    return f"""
+        WITH RECURSIVE {_sql_minhash_sig_ctes(num_perm)},
+        mh_bandkey AS MATERIALIZED (
+            SELECT doc_id, perm // {rpb} AS band,
+                   string_agg(v::VARCHAR, ',' ORDER BY perm) AS bkey
+            FROM mh_sig GROUP BY doc_id, perm // {rpb}
+        ),
+        mh_cand AS MATERIALIZED (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM mh_bandkey a JOIN mh_bandkey b
+              ON a.band = b.band AND a.bkey = b.bkey
+             AND a.doc_id < b.doc_id
+        ),
+        mg_pairs AS MATERIALIZED (
+            SELECT c.id_a, c.id_b
+            FROM mh_cand c
+            JOIN mh_sig sa ON sa.doc_id = c.id_a
+            JOIN mh_sig sb ON sb.doc_id = c.id_b AND sb.perm = sa.perm
+            GROUP BY c.id_a, c.id_b
+            HAVING SUM(CASE WHEN sa.v = sb.v THEN 1 ELSE 0 END) >= {min_agree}
+        ),
+        mg_edges AS (
+            SELECT id_a AS a, id_b AS b FROM mg_pairs
+            UNION SELECT id_b AS a, id_a AS b FROM mg_pairs
+        ),
+        reach(node, r) AS (
+            SELECT a, a FROM mg_edges
+            UNION
+            SELECT e.a, reach.r FROM mg_edges e JOIN reach ON e.b = reach.node
+        )
+        SELECT node AS doc_id, MIN(r) AS component_id
+        FROM reach GROUP BY node
+    """
+
+
+def _oracle_fingerprints(window: int = 8) -> str:
+    """Exact mirror of ops/text.fingerprint_batch: FNV-1a folds (mod-2^64
+    multiply via the split trick) over every ``window``-byte window of the
+    whitespace-stripped lowercased text, MIN-winnowed; short docs hash
+    whole. Output as two's-complement int64 to match the _v2 query."""
+    prime = 1099511628211
+    offset = 14695981039346656037
+    fold = (
+        "list_reduce(list_prepend({off}::HUGEINT, {bytes}), "
+        "(acc, byt) -> ((xor(acc, byt) % 4294967296::HUGEINT) * {p}::HUGEINT"
+        " + ((((xor(acc, byt) >> 32) * {p}::HUGEINT) % 4294967296::HUGEINT)"
+        " << 32)) % " + _SQL_U64 + ")"
+    )
+    win_bytes = (
+        f"list_transform(range(i::INT, i::INT + {window}), "
+        "k -> ascii(substr(s, k::INT, 1)))"
+    )
+    whole_bytes = _sql_ascii_bytes("s")
+    win_fold = fold.format(off=offset, bytes=win_bytes, p=prime)
+    whole_fold = fold.format(off=offset, bytes=whole_bytes, p=prime)
+    return f"""
+        WITH src AS MATERIALIZED (
+            SELECT doc_id,
+                   regexp_replace(lower(coalesce(text, '')), '\\s+', '', 'g') AS s
+            FROM documents
+        ),
+        long_docs AS (
+            SELECT doc_id, MIN({win_fold}) AS f
+            FROM src, unnest(range(1, length(s) - {window - 2})) AS u(i)
+            WHERE length(s) >= {window}
+            GROUP BY doc_id
+        ),
+        short_docs AS (
+            SELECT doc_id, {whole_fold} AS f
+            FROM src WHERE length(s) < {window}
+        ),
+        allf AS (SELECT * FROM long_docs UNION ALL SELECT * FROM short_docs)
+        SELECT doc_id,
+               CAST(CASE WHEN f >= 9223372036854775808::HUGEINT
+                         THEN f - {_SQL_U64} ELSE f END AS BIGINT) AS fingerprint
+        FROM allf
+    """
+
+
+def _oracle_shuffle_skew(n_buckets: int = 64) -> str:
+    """Exact mirror of ops/tabular.shuffle_skew_report over events.user_id:
+    splitmix64 bucketing, per-bucket counts, global occupancy summary
+    repeated per row."""
+    h = _sql_splitmix64("user_id::HUGEINT")
+    return f"""
+        WITH b AS (
+            SELECT CAST(({h}) % {n_buckets} AS BIGINT) AS bucket,
+                   CAST(COUNT(*) AS BIGINT) AS "rows"
+            FROM events GROUP BY 1
+        )
+        SELECT bucket, "rows",
+               MAX("rows") OVER () AS max_rows,
+               CAST(SUM("rows") OVER () AS BIGINT) AS total_rows,
+               COUNT(*) OVER () AS n_nonempty
+        FROM b
     """
 
 
@@ -15378,6 +15493,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         # all-pairs exact-integer mirror of the bucketed candidate search +
         # quantized verify (0.98 = 49/50; 2^15 quantization both sides)
+        "minhash_groups": _oracle_minhash_groups(num_perm=64, bands=16, threshold=0.5),
+        "fingerprints_v2": _oracle_fingerprints(window=8),
+        "user_shuffle_skew": _oracle_shuffle_skew(n_buckets=64),
         "embedding_near_dup_v2": """
             WITH src AS MATERIALIZED (
                 SELECT vec_id,

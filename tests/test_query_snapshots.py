@@ -27,8 +27,9 @@ SF_DIR = "/root/testdata/sf0.001"
 SNAPSHOTS = {
     "minhash_pairs": (28, 18086921363269322730),
     "simhash_pairs": (434, 7456101814729597156),
-    "minhash_groups": (45, 17142152284950016802),
-    "fingerprints": (500, 15585968352776156831),
+    # minhash_groups / fingerprints(_v2) / user_shuffle_skew gained full
+    # SQL oracles in round 5 (recursive-CTE CC, FNV mulmod64 fold,
+    # splitmix64 bucketing) and left the snapshot list
     # quality_langid became quality_langid_v2 in round 5 (exact-rational
     # score) and is now covered by a full SQL oracle instead
     "media_features": (696, 12115332766548111239),
@@ -60,9 +61,6 @@ SNAPSHOTS = {
     # gear-CDC storage-dedup summary (total/uniq chunk+byte counts over
     # the documents corpus); identical at num_cpus 4 and 8 (frozen r4 s10)
     "cdc_chunks_docs": (1, 12125449610829423252),
-    # pre-shuffle skew report (pd.util.hash_array bucketing — stable
-    # fixed-key siphash); identical at num_cpus 4 and 8 (frozen r4 s10)
-    "user_shuffle_skew": (14, 18205437363918058789),
 }
 
 
