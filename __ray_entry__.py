@@ -471,15 +471,18 @@ def _q_ann_topk(sf_dir: str):
     return out.select(["query_id", "vec_id", "rank"])
 
 
-def _q_embedding_near_dup(sf_dir: str):
-    """Plant deterministic near-duplicate vectors (arithmetic perturbation
-    of the first 20 embeddings, re-keyed +100000), recover CANDIDATES via
-    the centroid-bucketed cosine search at a margin-lowered threshold,
-    then decide each candidate with EXACT integer arithmetic over
-    2^15-quantized vectors (cos ≥ 0.98 ⟺ dot>0 ∧ 2500·dot² ≥ 2401·‖a‖²‖b‖²
-    — 0.98 = 49/50). _v2 (round 5): every step is mirrored verbatim by the
-    DuckDB oracle (all-pairs on the oracle side; candidate recall of the
-    bucketed path is exact at these scales — planted dups share their
+def _planted_near_dup_pairs(
+    sf_dir: str, cand_threshold: float, num_frac: tuple[int, int]
+):
+    """Shared core of embedding_near_dup_v2 / semantic_dedup_v2: plant
+    arithmetic near-dups of the first 20 embeddings (re-keyed +100000),
+    recover CANDIDATES via the centroid-bucketed cosine search at a
+    margin-lowered threshold, decide each candidate with EXACT integer
+    arithmetic over 2^15-quantized vectors: for threshold p/q,
+    keep ⟺ dot>0 ∧ q²·dot² ≥ p²·‖a‖²‖b‖². Returns (both, pairs) where
+    pairs has (id_a, id_b, cos_sq_e6) — every step mirrored verbatim by
+    the DuckDB oracles (all-pairs on the oracle side; candidate recall of
+    the bucketed path is exact at these scales — planted dups share their
     source's centroid)."""
 
     def perturb(b: pa.Table) -> pa.Table:
@@ -515,7 +518,10 @@ def _q_embedding_near_dup(sf_dir: str):
     # candidates at a 0.01 cosine margin below the decision threshold —
     # quantization moves a cosine by ≲1e-3, so no exact-qualifying pair
     # can fall outside the candidate set
-    cands = embedding_near_dup_pairs(both, cosine_threshold=0.97, n_centroids=8)
+    cands = embedding_near_dup_pairs(
+        both, cosine_threshold=cand_threshold, n_centroids=8
+    )
+    p, q = num_frac
 
     # bounded: ≤ (corpus + 20) quantized int vectors broadcast once for the
     # exact verify of the few candidate pairs (showcase scale; production
@@ -549,7 +555,7 @@ def _q_embedding_near_dup(sf_dir: str):
             dot = sum(x * y for x, y in zip(qa, qb))
             na = sum(x * x for x in qa)
             nb = sum(x * x for x in qb)
-            if dot > 0 and 2500 * dot * dot >= 2401 * na * nb:
+            if dot > 0 and q * q * dot * dot >= p * p * na * nb:
                 ia.append(a_id)
                 ib.append(b_id)
                 cs.append((dot * dot * 1000000) // (na * nb))
@@ -561,9 +567,18 @@ def _q_embedding_near_dup(sf_dir: str):
             }
         )
 
-    return cands.select_columns(["id_a", "id_b"]).map_batches(
+    return both, cands.select_columns(["id_a", "id_b"]).map_batches(
         exact_verify, batch_format="pyarrow"
     )
+
+
+def _q_embedding_near_dup(sf_dir: str):
+    """Embedding near-dup pairs at cos ≥ 0.98 (= 49/50), exact-integer
+    decision — see :func:`_planted_near_dup_pairs`."""
+    _both, pairs = _planted_near_dup_pairs(
+        sf_dir, cand_threshold=0.97, num_frac=(49, 50)
+    )
+    return pairs
 
 
 def _q_minhash_pairs(sf_dir: str):
@@ -1999,39 +2014,53 @@ def _q_value_quantile_sketch(sf_dir: str):
 
 
 def _q_semantic_dedup(sf_dir: str):
-    """SemDeDup-style pruning over the same planted-near-dup corpus as
-    embedding_near_dup: cluster-bucketed cosine pairs → connected
-    components → keep the min-id representative per component, drop the
-    rest via a distributed anti-join. Returns surviving vec_ids."""
-    import ray.data as rd
+    """SemDeDup-style pruning over the same arithmetically-planted corpus
+    as embedding_near_dup_v2: bucketed candidate pairs → EXACT integer
+    cosine decision (0.95 = 19/20 ⟺ dot>0 ∧ 400·dot² ≥ 361·‖a‖²‖b‖²) →
+    connected components → keep the min-id representative per component.
+    _v2 (round 5): fully mirrored by a recursive-CTE DuckDB oracle.
+    Returns surviving vec_ids."""
+    import pyarrow.compute as pc
 
-    from dedupe_ray.ops.embedding import semantic_dedup
+    from dedupe_ray.clustering import connected_components
+    from dedupe_ray.joins import bucketed_lookup_join
 
-    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    base = emb.filter(expr="vec_id < 20").take(20)
-    rng = np.random.RandomState(7)
-    rows = []
-    for r in base:
-        v = np.asarray(r["embedding"], np.float32)
-        v = v + rng.normal(0, 0.01 * np.abs(v).mean(), size=v.shape).astype(np.float32)
-        rows.append({"vec_id": r["vec_id"] + 100000, "embedding": v.tolist()})
-    planted = rd.from_pandas(__import__("pandas").DataFrame(rows))
+    both, pairs = _planted_near_dup_pairs(
+        sf_dir, cand_threshold=0.94, num_frac=(19, 20)
+    )
 
-    def fix_types(b: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
+    def edge_ids(b: pa.Table) -> pa.Table:
         return pa.table(
             {
-                "vec_id": pc.cast(b.column("vec_id"), pa.int64()),
-                "embedding": pc.cast(b.column("embedding"), pa.list_(pa.float32())),
+                "id_a": pc.utf8_lpad(pc.cast(b.column("id_a"), pa.string()), 20, "0"),
+                "id_b": pc.utf8_lpad(pc.cast(b.column("id_b"), pa.string()), 20, "0"),
             }
         )
 
-    both = emb.map_batches(fix_types, batch_format="pyarrow").union(
-        planted.map_batches(fix_types, batch_format="pyarrow")
+    cc = connected_components(
+        pairs.select_columns(["id_a", "id_b"]).map_batches(
+            edge_ids, batch_format="pyarrow"
+        )
     )
-    pruned = semantic_dedup(both, cosine_threshold=0.98, n_centroids=8)
-    return pruned.select_columns(["vec_id"]).sort("vec_id")
+
+    def losers(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.not_equal(b.column("doc_id"), b.column("component_id")))
+        return pa.table(
+            {
+                "__drop_id": pc.cast(t.column("doc_id"), pa.int64()),
+                "__dropped": pa.array(np.ones(len(t), bool)),
+            }
+        )
+
+    drop = cc.map_batches(losers, batch_format="pyarrow")
+    joined = bucketed_lookup_join(
+        both.select_columns(["vec_id"]), drop, "vec_id", "__drop_id",
+        ["__dropped"], how="left",
+    )
+    def survivors(b: pa.Table) -> pa.Table:
+        return b.filter(pc.is_null(b.column("__dropped"))).select(["vec_id"])
+
+    return joined.map_batches(survivors, batch_format="pyarrow").sort("vec_id")
 
 
 def _q_value_p95_by_type(sf_dir: str):
@@ -2362,8 +2391,8 @@ def _q_near_dup_join(sf_dir: str):
     15-doc 'benchmark' built from the corpus itself joined back against
     the full documents table — every benchmark doc must rediscover its
     source (jaccard 1.0 agrees on every LSH band), plus whatever true
-    near-dup families it belongs to. No SQL oracle (probabilistic
-    banding); deterministic and parallelism-invariant by construction."""
+    near-dup families it belongs to. ORACLE-EXACT since round 5: the
+    banding + signature-agreement filter is mirrored in HUGEINT SQL."""
     import pyarrow.compute as pc
 
     from dedupe_ray.ops.dedup import minhash_lsh_join
@@ -8741,7 +8770,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_search": _q_bm25_search,
         "dedup_keep_best": _q_dedup_keep_best,
         "value_quantile_sketch": _q_value_quantile_sketch,
-        "semantic_dedup": _q_semantic_dedup,
+        "semantic_dedup_v2": _q_semantic_dedup,
         "value_p95_by_type": _q_value_p95_by_type,
         "lineitem_p90_cont": _q_lineitem_p90_cont,
         "fuzzy_name_pairs": _q_fuzzy_name_pairs,
@@ -9361,7 +9390,18 @@ def _sql_splitmix64(x_expr: str) -> str:
     return f"xor({s4}, ({s4}) >> 31)"
 
 
-def _sql_minhash_sig_ctes(num_perm: int = 64, shingle_k: int = 3) -> str:
+def _min_band_agree(threshold: float, num_perm: int) -> int:
+    """Smallest k with k/num_perm >= threshold — the exact integer form of
+    the float signature-agreement filter (k/num_perm is a dyadic rational,
+    exact in float32, so the comparison is exact on both sides)."""
+    return next(k for k in range(num_perm + 1) if k / num_perm >= threshold)
+
+
+def _sql_minhash_sig_ctes(
+    num_perm: int = 64,
+    shingle_k: int = 3,
+    src_sql: str = "SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents",
+) -> str:
     """CTE chain ``crct, perms, mh_toks, mh_shingles, mh_shc, mh_sig`` —
     the exact mirror of ops/dedup.MinHasher over the ``documents`` view:
     [\\w']+ tokens of lower(text), k-shingles (padded with '' below k
@@ -9378,9 +9418,9 @@ def _sql_minhash_sig_ctes(num_perm: int = 64, shingle_k: int = 3) -> str:
     return f"""{_SQL_CRC_TABLE_CTE},
         perms(perm, pa, pb) AS (VALUES {perm_rows}),
         mh_toks AS MATERIALIZED (
-            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+            SELECT doc_id,
                    regexp_extract_all(lower(text), '[a-z0-9_'']+') AS t0
-            FROM documents
+            FROM ({src_sql})
         ),
         mh_padded AS (
             SELECT doc_id,
@@ -9495,7 +9535,7 @@ def _oracle_train_val_split(
     transitive closure → lexico-min component member as the split key
     (own id when unclustered) → crc32(key) % 1e6 < val_frac·1e6."""
     rpb = num_perm // bands
-    min_agree = int(round(threshold * num_perm))
+    min_agree = _min_band_agree(threshold, num_perm)
     thr = int(val_frac * 1_000_000)
     key_crc = _sql_crc32_of_bytes(_sql_ascii_bytes("key"))
     return f"""
@@ -9551,7 +9591,7 @@ def _oracle_minhash_groups(
     pair set closed with a recursive CTE; component_id = lexico-min member
     (clustering.connected_components semantics)."""
     rpb = num_perm // bands
-    min_agree = int(round(threshold * num_perm))
+    min_agree = _min_band_agree(threshold, num_perm)
     return f"""
         WITH RECURSIVE {_sql_minhash_sig_ctes(num_perm)},
         mh_bandkey AS MATERIALIZED (
@@ -9584,6 +9624,52 @@ def _oracle_minhash_groups(
         )
         SELECT node AS doc_id, MIN(r) AS component_id
         FROM reach GROUP BY node
+    """
+
+
+def _oracle_near_dup_join(
+    num_perm: int = 64, bands: int = 16, threshold: float = 0.8
+) -> str:
+    """Exact mirror of ops/dedup.minhash_lsh_join as used by
+    near_dup_join_docs: side-prefixed union ('q:bench_<id>' benchmark
+    slice vs 'c:<id>' corpus), banded candidates, signature-agreement
+    filter, cross-side only, prefixes stripped."""
+    rpb = num_perm // bands
+    min_agree = _min_band_agree(threshold, num_perm)
+    src = (
+        "SELECT 'c:' || CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents "
+        "UNION ALL "
+        "SELECT 'q:bench_' || CAST(doc_id AS VARCHAR), text FROM documents "
+        "WHERE doc_id < 15"
+    )
+    return f"""
+        WITH {_sql_minhash_sig_ctes(num_perm, src_sql=src)},
+        mh_bandkey AS MATERIALIZED (
+            SELECT doc_id, perm // {rpb} AS band,
+                   string_agg(v::VARCHAR, ',' ORDER BY perm) AS bkey
+            FROM mh_sig GROUP BY doc_id, perm // {rpb}
+        ),
+        mh_cand AS MATERIALIZED (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM mh_bandkey a JOIN mh_bandkey b
+              ON a.band = b.band AND a.bkey = b.bkey
+             AND a.doc_id < b.doc_id
+        ),
+        nj_pairs AS MATERIALIZED (
+            SELECT c.id_a, c.id_b,
+                   CAST(SUM(CASE WHEN sa.v = sb.v THEN 1 ELSE 0 END)
+                        / {num_perm}.0 AS DOUBLE) AS jaccard
+            FROM mh_cand c
+            JOIN mh_sig sa ON sa.doc_id = c.id_a
+            JOIN mh_sig sb ON sb.doc_id = c.id_b AND sb.perm = sa.perm
+            GROUP BY c.id_a, c.id_b
+            HAVING SUM(CASE WHEN sa.v = sb.v THEN 1 ELSE 0 END) >= {min_agree}
+        )
+        SELECT substr(id_b, 3) AS query_id,
+               substr(id_a, 3) AS corpus_id,
+               jaccard
+        FROM nj_pairs
+        WHERE id_a LIKE 'c:%' AND id_b LIKE 'q:%'
     """
 
 
@@ -9755,7 +9841,7 @@ def _oracle_minhash_pairs(
     band's rows all agree — band-hash equality modulo FNV collisions) then
     the signature-agreement Jaccard filter, as one SQL statement."""
     rpb = num_perm // bands
-    min_agree = int(round(threshold * num_perm))
+    min_agree = _min_band_agree(threshold, num_perm)
     return f"""
         WITH {_sql_minhash_sig_ctes(num_perm)},
         mh_bandkey AS MATERIALIZED (
@@ -15494,6 +15580,67 @@ def oracle_sql() -> dict[str, str]:
         # all-pairs exact-integer mirror of the bucketed candidate search +
         # quantized verify (0.98 = 49/50; 2^15 quantization both sides)
         "minhash_groups": _oracle_minhash_groups(num_perm=64, bands=16, threshold=0.5),
+        "near_dup_join_docs": _oracle_near_dup_join(num_perm=64, bands=16, threshold=0.8),
+        # SemDeDup: the embedding_near_dup_v2 mirror at 0.95 (=19/20) +
+        # recursive-CTE connected components; survivors = non-losers
+        "semantic_dedup_v2": """
+            WITH RECURSIVE src AS MATERIALIZED (
+                SELECT vec_id,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                FROM embeddings
+            ),
+            planted AS (
+                SELECT vec_id + 100000 AS vec_id, v2 AS v FROM (
+                    SELECT vec_id,
+                           list_transform(range(1, len(v) + 1),
+                               j -> v[j] * (1.0 + ((vec_id * 64 + (j - 1)) % 7
+                                                   - 3) * 0.001)) AS v2
+                    FROM src WHERE vec_id < 20
+                )
+            ),
+            allv AS MATERIALIZED (SELECT * FROM src UNION ALL SELECT * FROM planted),
+            qv AS MATERIALIZED (
+                SELECT vec_id, d,
+                       CAST(floor(x * 32768.0 + 0.5) AS BIGINT) AS q
+                FROM (SELECT vec_id, unnest(v) AS x,
+                             generate_subscripts(v, 1) AS d
+                      FROM allv)
+            ),
+            norms AS MATERIALIZED (
+                SELECT vec_id, CAST(SUM(q * q) AS HUGEINT) AS n
+                FROM qv GROUP BY vec_id
+            ),
+            dots AS MATERIALIZED (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                       CAST(SUM(a.q * b.q) AS HUGEINT) AS dot
+                FROM qv a JOIN qv b ON a.d = b.d AND a.vec_id < b.vec_id
+                GROUP BY 1, 2
+            ),
+            sd_pairs AS MATERIALIZED (
+                SELECT d.id_a, d.id_b
+                FROM dots d
+                JOIN norms na ON na.vec_id = d.id_a
+                JOIN norms nb ON nb.vec_id = d.id_b
+                WHERE d.dot > 0
+                  AND d.dot * d.dot * 400 >= 361 * na.n * nb.n
+            ),
+            sd_edges AS (
+                SELECT id_a AS a, id_b AS b FROM sd_pairs
+                UNION SELECT id_b AS a, id_a AS b FROM sd_pairs
+            ),
+            reach(node, r) AS (
+                SELECT a, a FROM sd_edges
+                UNION
+                SELECT e.a, reach.r FROM sd_edges e JOIN reach ON e.b = reach.node
+            ),
+            comp AS MATERIALIZED (
+                SELECT node, MIN(r) AS component_id FROM reach GROUP BY node
+            )
+            SELECT vec_id FROM allv
+            WHERE vec_id NOT IN (
+                SELECT node FROM comp WHERE node <> component_id
+            )
+        """,
         "fingerprints_v2": _oracle_fingerprints(window=8),
         "user_shuffle_skew": _oracle_shuffle_skew(n_buckets=64),
         "embedding_near_dup_v2": """

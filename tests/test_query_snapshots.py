@@ -52,9 +52,8 @@ SNAPSHOTS = {
     # field), identical at num_cpus 4 and 8
     "er_canonical": (19, 3585206592379217455),
     "er_cluster_summary": (19, 9362016833877420128),
-    # SemDeDup pruning over the planted-near-dup corpus: all 20 planted
-    # dups drop, every original survives; identical at num_cpus 4 and 8
-    "semantic_dedup": (500, 15208159019661972216),
+    # semantic_dedup became semantic_dedup_v2 in round 5 (exact-integer
+    # decision + recursive-CTE CC oracle) and left the snapshot list
     # perceptual dHash near-dup over synthesized PPM twins: exactly the
     # 250 planted pairs; identical at num_cpus 4 and 8 (frozen round 4)
     "image_near_dup": (250, 630617113193423766),
