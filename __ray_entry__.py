@@ -9584,6 +9584,111 @@ def _oracle_train_val_split(
     """
 
 
+def _oracle_fs_linkage(iters: int = 100) -> str:
+    """Exact mirror of the fs_linkage_weights query: sorted-neighborhood
+    pairs (rank by (name, id-string), offsets 1..10), agreement-pattern
+    counts, then the full 100-iteration Fellegi–Sunter EM UNROLLED as
+    single-row CTEs over the ≤8 sufficient-statistic rows. Every float
+    reduction is an ordered list fold in pattern-code order — the same
+    sequential np.sum order the (now explicitly sorted) driver EM uses;
+    transcendental last-ulp differences damp under EM's contraction and
+    sit far inside the round-6 compare."""
+    eps = "1e-12"
+
+    def lodds(side: str) -> str:
+        # Σ_i b_i·ln(x_i+eps) + (1-b_i)·ln(1-x_i+eps), written in field order
+        return " + ".join(
+            f"b{i}[j]*ln({side}{i}+{eps}) + (1-b{i}[j])*ln(1-{side}{i}+{eps})"
+            for i in (1, 2, 3)
+        )
+
+    g_expr = (
+        f"(p*exp({lodds('m')})) / greatest(p*exp({lodds('m')})"
+        f" + (1-p)*exp({lodds('u')}), {eps})"
+    )
+    fold = "list_reduce(list_prepend(0.0, {terms}), (a, b) -> a + b)"
+    nm = fold.format(terms="list_transform(range(1, k8+1), j -> g[j]*ns[j])")
+    nu = fold.format(terms="list_transform(range(1, k8+1), j -> (1-g[j])*ns[j])")
+    clip = "least(greatest({x}, 1e-06), (1.0 - 1e-06))"
+    em_iter = []
+    for t in range(1, iters + 1):
+        m_cols = ", ".join(
+            clip.format(
+                x=fold.format(
+                    terms=f"list_transform(range(1, k8+1), j -> b{i}[j]*(g[j]*ns[j]))"
+                )
+                + f" / greatest(nm, {eps})"
+            )
+            + f" AS m{i}"
+            for i in (1, 2, 3)
+        )
+        u_cols = ", ".join(
+            clip.format(
+                x=fold.format(
+                    terms=f"list_transform(range(1, k8+1), j -> b{i}[j]*((1-g[j])*ns[j]))"
+                )
+                + f" / greatest(nu, {eps})"
+            )
+            + f" AS u{i}"
+            for i in (1, 2, 3)
+        )
+        em_iter.append(
+            f"""em{t} AS (
+            SELECT nm / greatest(nm + nu, {eps}) AS p, {m_cols}, {u_cols}
+            FROM (
+                SELECT list_transform(range(1, k8+1), j -> {g_expr}) AS g,
+                       {nm} AS nm, {nu} AS nu, ns, b1, b2, b3, k8
+                FROM em{t - 1} CROSS JOIN plist
+            )
+        )"""
+        )
+    final_bits = {i: f"CAST((pattern // {1 << (i - 1)}) % 2 AS DOUBLE)" for i in (1, 2, 3)}
+
+    def lodds_row(side: str) -> str:
+        return " + ".join(
+            f"{final_bits[i]}*ln({side}{i}+{eps})"
+            f" + (1-{final_bits[i]})*ln(1-{side}{i}+{eps})"
+            for i in (1, 2, 3)
+        )
+
+    g_row = (
+        f"(p*exp({lodds_row('m')})) / greatest(p*exp({lodds_row('m')})"
+        f" + (1-p)*exp({lodds_row('u')}), {eps})"
+    )
+    return f"""
+        WITH ranked AS MATERIALIZED (
+            SELECT CAST(c_custkey AS VARCHAR) AS id,
+                   c_nationkey AS nat, c_mktsegment AS seg, c_acctbal AS bal,
+                   row_number() OVER (ORDER BY c_name,
+                                      CAST(c_custkey AS VARCHAR)) AS rk
+            FROM customer
+        ),
+        pats AS MATERIALIZED (
+            SELECT pattern, CAST(COUNT(*) AS BIGINT) AS n FROM (
+                SELECT (CASE WHEN a.nat = b.nat THEN 1 ELSE 0 END)
+                     + (CASE WHEN a.seg = b.seg THEN 2 ELSE 0 END)
+                     + (CASE WHEN abs(a.bal - b.bal) <= 100.0 THEN 4 ELSE 0 END)
+                       AS pattern
+                FROM ranked a JOIN ranked b
+                  ON b.rk > a.rk AND b.rk <= a.rk + 10
+            ) GROUP BY pattern
+        ),
+        plist AS MATERIALIZED (
+            SELECT list(CAST(n AS DOUBLE) ORDER BY pattern) AS ns,
+                   list(CAST(pattern % 2 AS DOUBLE) ORDER BY pattern) AS b1,
+                   list(CAST((pattern // 2) % 2 AS DOUBLE) ORDER BY pattern) AS b2,
+                   list(CAST((pattern // 4) % 2 AS DOUBLE) ORDER BY pattern) AS b3,
+                   CAST(COUNT(*) AS INT) AS k8
+            FROM pats
+        ),
+        em0 AS (SELECT 0.1 AS p, 0.9 AS m1, 0.9 AS m2, 0.9 AS m3,
+                       0.1 AS u1, 0.1 AS u2, 0.1 AS u3),
+        {",".join(em_iter)}
+        SELECT pats.pattern, pats.n, {g_row} AS match_prob
+        FROM pats CROSS JOIN em{iters}
+    """
+
+
 def _oracle_minhash_groups(
     num_perm: int = 64, bands: int = 16, threshold: float = 0.5
 ) -> str:
@@ -15581,6 +15686,7 @@ def oracle_sql() -> dict[str, str]:
         # quantized verify (0.98 = 49/50; 2^15 quantization both sides)
         "minhash_groups": _oracle_minhash_groups(num_perm=64, bands=16, threshold=0.5),
         "near_dup_join_docs": _oracle_near_dup_join(num_perm=64, bands=16, threshold=0.8),
+        "fs_linkage_weights": _oracle_fs_linkage(iters=100),
         # SemDeDup: the embedding_near_dup_v2 mirror at 0.95 (=19/20) +
         # recursive-CTE connected components; survivors = non-losers
         "semantic_dedup_v2": """

@@ -401,6 +401,10 @@ def fellegi_sunter_em(
         .groupby("pattern")
         .aggregate(Sum("n", alias_name="n"))
         .to_pandas()  # bounded: ≤ 2^k rows
+        # sort by code: float sums below run in ROW order, so a groupby
+        # layout change must not reorder them (parallelism-invariance by
+        # construction, and the order the SQL oracle's folds reproduce)
+        .sort_values("pattern", ignore_index=True)
     )
     codes = pat["pattern"].to_numpy(np.int64)
     counts = pat["n"].to_numpy(np.float64)

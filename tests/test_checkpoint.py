@@ -9,6 +9,8 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
+pytestmark = pytest.mark.slow_e2e  # training-loop / multi-run pipeline e2e
+
 from dedupe_ray.eval import clusters_assignment, truth_assignment
 from dedupe_ray.fixtures import corpus_paths
 from dedupe_ray.io_utils import CheckpointManager, fingerprint, run_checkpointed_dedupe

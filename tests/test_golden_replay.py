@@ -7,6 +7,8 @@ import os
 
 import pytest
 
+pytestmark = pytest.mark.slow_e2e  # full engine runs vs the captured golden response
+
 KNA2 = "/root/reference/KNA2.xlsx"
 GOLDEN = "/root/reference/backend/test_response.py"
 

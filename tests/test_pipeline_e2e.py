@@ -8,6 +8,8 @@
 
 import pyarrow as pa
 import pytest
+
+pytestmark = pytest.mark.slow_e2e  # training-loop / multi-run pipeline e2e
 import ray.data as rd
 
 from dedupe_ray.eval import clusters_assignment, pairwise_prf, truth_assignment

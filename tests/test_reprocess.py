@@ -2,6 +2,10 @@
 derived y/n labels → retrain → re-partition. The simulated reviewer uses
 planted truth: removals = members wrongly clustered."""
 
+import pytest
+
+pytestmark = pytest.mark.slow_e2e  # training-loop / multi-run pipeline e2e
+
 import pyarrow as pa
 import ray.data as rd
 
