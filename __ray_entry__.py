@@ -6847,8 +6847,8 @@ def _q_dedup_cascade_docs(sf_dir: str):
     """The dedup cascade funnel over documents (`ops/dedup.py
     dedup_cascade` — exact hash first, MinHash-LSH near-dup on the
     survivors): per-stage in/removed/out counts, the headline number a
-    curation run reports. No SQL oracle (LSH banding); counts are
-    deterministic and parallelism-invariant."""
+    curation run reports. ORACLE-EXACT since round 5 (banding mirrored
+    in HUGEINT SQL over the survivor SELECT + recursive-CTE CC)."""
     import ray.data as rd
 
     from dedupe_ray.ops.dedup import dedup_cascade
@@ -9581,6 +9581,65 @@ def _oracle_train_val_split(
                CASE WHEN ({key_crc}) % 1000000 < {thr}
                     THEN 'val' ELSE 'train' END AS split
         FROM keys CROSS JOIN crct
+    """
+
+
+def _oracle_dedup_cascade(num_perm: int = 64, bands: int = 16, threshold: float = 0.7) -> str:
+    """Exact mirror of ops/dedup.dedup_cascade over documents: exact stage
+    = distinct-text count (keep min-VARCHAR-id — identity irrelevant for
+    the funnel counts), near-dup stage = minhash components over the
+    surviving min-id rows (sig CTEs parameterized on the survivor
+    SELECT), removed = members − components."""
+    rpb = num_perm // bands
+    min_agree = _min_band_agree(threshold, num_perm)
+    src = (
+        "SELECT MIN(CAST(doc_id AS VARCHAR)) AS doc_id, text FROM documents "
+        "GROUP BY text"
+    )
+    return f"""
+        WITH RECURSIVE {_sql_minhash_sig_ctes(num_perm, src_sql=src)},
+        mh_bandkey AS MATERIALIZED (
+            SELECT doc_id, perm // {rpb} AS band,
+                   string_agg(v::VARCHAR, ',' ORDER BY perm) AS bkey
+            FROM mh_sig GROUP BY doc_id, perm // {rpb}
+        ),
+        mh_cand AS MATERIALIZED (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM mh_bandkey a JOIN mh_bandkey b
+              ON a.band = b.band AND a.bkey = b.bkey
+             AND a.doc_id < b.doc_id
+        ),
+        dc_pairs AS MATERIALIZED (
+            SELECT c.id_a, c.id_b
+            FROM mh_cand c
+            JOIN mh_sig sa ON sa.doc_id = c.id_a
+            JOIN mh_sig sb ON sb.doc_id = c.id_b AND sb.perm = sa.perm
+            GROUP BY c.id_a, c.id_b
+            HAVING SUM(CASE WHEN sa.v = sb.v THEN 1 ELSE 0 END) >= {min_agree}
+        ),
+        dc_edges AS (
+            SELECT id_a AS a, id_b AS b FROM dc_pairs
+            UNION SELECT id_b AS a, id_a AS b FROM dc_pairs
+        ),
+        reach(node, r) AS (
+            SELECT a, a FROM dc_edges
+            UNION
+            SELECT e.a, reach.r FROM dc_edges e JOIN reach ON e.b = reach.node
+        ),
+        comp AS MATERIALIZED (
+            SELECT node, MIN(r) AS component_id FROM reach GROUP BY node
+        ),
+        counts AS (
+            SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n0,
+                   (SELECT CAST(COUNT(DISTINCT text) AS BIGINT)
+                    FROM documents) AS n1,
+                   coalesce((SELECT CAST(COUNT(*) - COUNT(DISTINCT component_id)
+                                         AS BIGINT) FROM comp), 0) AS nr
+        )
+        SELECT 'exact' AS stage, n0 AS docs_in, n0 - n1 AS docs_removed,
+               n1 AS docs_out FROM counts
+        UNION ALL
+        SELECT 'near_dup', n1, nr, n1 - nr FROM counts
     """
 
 
@@ -15687,6 +15746,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_groups": _oracle_minhash_groups(num_perm=64, bands=16, threshold=0.5),
         "near_dup_join_docs": _oracle_near_dup_join(num_perm=64, bands=16, threshold=0.8),
         "fs_linkage_weights": _oracle_fs_linkage(iters=100),
+        "dedup_cascade_docs": _oracle_dedup_cascade(num_perm=64, bands=16, threshold=0.7),
         # SemDeDup: the embedding_near_dup_v2 mirror at 0.95 (=19/20) +
         # recursive-CTE connected components; survivors = non-losers
         "semantic_dedup_v2": """
