@@ -7109,9 +7109,10 @@ def _q_cdc_chunks_docs(sf_dir: str):
     gear_cdc_chunk_table` + `cdc_dedup_summary`): documents split at
     gear-hash content cuts (mean 64-byte chunks), chunk index keyed by
     (md5-prefix, length), one bounded summary row with the dedup ratio
-    as exact total/uniq byte counts. No SQL oracle (the 64-term rolling
-    convolution isn't SQL); scalar-recurrence parity and layout
-    invariance are unit-tested."""
+    as exact total/uniq byte counts. ORACLE-EXACT since round 5: the
+    rolling hash has a closed form per position, mirrored as independent
+    64-term mod-2^64 folds; scalar-recurrence parity and layout
+    invariance are also unit-tested."""
     from dedupe_ray.ops.dedup import cdc_dedup_summary, gear_cdc_chunk_table
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
@@ -9581,6 +9582,82 @@ def _oracle_train_val_split(
                CASE WHEN ({key_crc}) % 1000000 < {thr}
                     THEN 'val' ELSE 'train' END AS split
         FROM keys CROSS JOIN crct
+    """
+
+
+def _oracle_cdc_chunks(mask_bits: int = 6) -> str:
+    """Exact mirror of gear_cdc_chunk_table + cdc_dedup_summary: the
+    64-term rolling gear hash has a CLOSED FORM per position
+    (h_t = Σ_k GEAR[b_{t-k}]<<k mod 2^64 — no recurrence needed), so each
+    candidate cut is an independent 64-term mod-2^64 fold; chunks key by
+    (signed int64 of md5's first 8 bytes, length) — DuckDB's md5() is
+    bytewise-identical on this ASCII corpus."""
+    z1 = _sql_mulmod64("(i::HUGEINT + 11400714819323198485::HUGEINT)", 13787848793156543929)
+    z2 = f"xor(({z1}), ({z1}) >> 27)"
+    z3 = _sql_mulmod64(f"({z2})", 10723151780598845931)
+    gear_expr = f"xor(({z3}), ({z3}) >> 31)"
+    mask = (1 << mask_bits) - 1
+    hex_parse = (
+        "list_reduce(list_prepend(0::HUGEINT, list_transform(range(1, 17), "
+        "c -> (strpos('0123456789abcdef', substr(hh, c::INT, 1)) - 1)::HUGEINT)), "
+        "(a, b) -> a * 16 + b)"
+    )
+    return f"""
+        WITH gear AS MATERIALIZED (
+            SELECT i AS b, {gear_expr} AS g FROM range(256) t(i)
+        ),
+        gt AS MATERIALIZED (SELECT list(g ORDER BY b) AS gtab FROM gear),
+        src AS MATERIALIZED (
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   coalesce(text, '') AS text FROM documents
+        ),
+        gl AS MATERIALIZED (
+            SELECT doc_id, text, length(text) AS L,
+                   list_transform(
+                       list_transform(range(1, length(text) + 1),
+                                      i -> ascii(substr(text, i::INT, 1))),
+                       x -> gtab[x::INT + 1]) AS gs
+            FROM src CROSS JOIN gt
+        ),
+        cuts AS MATERIALIZED (
+            SELECT doc_id, text, L,
+                   list_filter(list_transform(range(65, L + 1),
+                       i -> CASE WHEN (list_reduce(list_prepend(0::HUGEINT,
+                                list_transform(range(0, 64),
+                                    k -> (gs[(i - k)::INT] << k::INT)
+                                         % {_SQL_U64})),
+                                (a, b) -> (a + b) % {_SQL_U64})) % {mask + 1} = 0
+                            THEN i - 1 ELSE -1 END),
+                       x -> x >= 0) AS cs
+            FROM gl
+        ),
+        pieces AS MATERIALIZED (
+            SELECT doc_id,
+                   substr(text, (bounds[bi::INT] + 1)::INT,
+                          (bounds[(bi + 1)::INT] - bounds[bi::INT])::INT) AS piece
+            FROM (SELECT doc_id, text,
+                         list_concat(list_concat([0], cs), [L]) AS bounds
+                  FROM cuts),
+                 unnest(range(1, len(bounds))) AS u(bi)
+            WHERE bounds[(bi + 1)::INT] > bounds[bi::INT]
+        ),
+        hashed AS MATERIALIZED (
+            SELECT CAST(CASE WHEN h >= 9223372036854775808::HUGEINT
+                             THEN h - {_SQL_U64} ELSE h END AS BIGINT) AS h64,
+                   length(piece) AS length
+            FROM (
+                SELECT {hex_parse} AS h, piece
+                FROM (SELECT md5(piece) AS hh, piece FROM pieces) p1
+            ) p2
+        ),
+        chunk_table AS MATERIALIZED (
+            SELECT h64, length, COUNT(*) AS n FROM hashed GROUP BY 1, 2
+        )
+        SELECT CAST(SUM(n) AS BIGINT) AS total_chunks,
+               CAST(COUNT(*) AS BIGINT) AS uniq_chunks,
+               CAST(SUM(n * length) AS BIGINT) AS total_bytes,
+               CAST(SUM(length) AS BIGINT) AS uniq_bytes
+        FROM chunk_table
     """
 
 
@@ -15747,6 +15824,7 @@ def oracle_sql() -> dict[str, str]:
         "near_dup_join_docs": _oracle_near_dup_join(num_perm=64, bands=16, threshold=0.8),
         "fs_linkage_weights": _oracle_fs_linkage(iters=100),
         "dedup_cascade_docs": _oracle_dedup_cascade(num_perm=64, bands=16, threshold=0.7),
+        "cdc_chunks_docs": _oracle_cdc_chunks(mask_bits=6),
         # SemDeDup: the embedding_near_dup_v2 mirror at 0.95 (=19/20) +
         # recursive-CTE connected components; survivors = non-losers
         "semantic_dedup_v2": """

@@ -57,9 +57,7 @@ SNAPSHOTS = {
     # perceptual dHash near-dup over synthesized PPM twins: exactly the
     # 250 planted pairs; identical at num_cpus 4 and 8 (frozen round 4)
     "image_near_dup": (250, 630617113193423766),
-    # gear-CDC storage-dedup summary (total/uniq chunk+byte counts over
-    # the documents corpus); identical at num_cpus 4 and 8 (frozen r4 s10)
-    "cdc_chunks_docs": (1, 12125449610829423252),
+    # cdc_chunks_docs gained a closed-form SQL oracle in round 5
 }
 
 
