@@ -58,6 +58,7 @@ def test_distributed_cc_matches_driver():
     assert drv == dst
 
 
+@pytest.mark.slow_e2e
 def test_distributed_cc_long_chain_and_scale():
     """Pointer-doubling evidence: a 3000-link chain (graph diameter 3000,
     far beyond any per-round propagation budget) plus ~100k clustered edges
@@ -244,6 +245,7 @@ def test_labels_checksum_layout_invariant(ray_session):
     assert _labels_checksum(rd.from_pandas(df2)) not in sums
 
 
+@pytest.mark.slow_e2e
 def test_distributed_cc_sparse_bipartite_matches_driver(ray_session):
     import numpy as np
     import pandas as pd
