@@ -2901,10 +2901,11 @@ def _q_containment_pairs(sf_dir: str):
 
 
 def _q_stemmed_docs(sf_dir: str):
-    """Porter-stemmed token streams (no SQL oracle — DuckDB's stemmer
-    lives in the fts extension, unavailable offline; correctness is
-    pinned instead by the 1980 paper's step-example vectors in
-    tests/test_stemmer.py). One streaming pass, per-batch unique-word
+    """Porter-stemmed token streams. ORACLE-EXACT since round 5: the full
+    1980 algorithm is mirrored as generated SQL CASE/CTE chains over the
+    distinct-token set (validated on the paper's vectors + 3,000 random
+    strings); the step-example vectors also stay pinned in
+    tests/test_stemmer.py. One streaming pass, per-batch unique-word
     memo."""
     from dedupe_ray.stemmer import stem_tokens_batch
 
@@ -9585,6 +9586,141 @@ def _oracle_train_val_split(
     """
 
 
+def _oracle_stemmed_docs() -> str:
+    """Exact mirror of dedupe_ray/stemmer.porter_stem (Porter 1980) as a
+    generated SQL CASE/CTE pipeline over the corpus's DISTINCT tokens:
+    the c/v classification (y's context rule included) is a list fold,
+    measure m is the count of 'vc' transitions, and every step (1a-5b,
+    including step 1b's flag re-adjustment and step 4's ion-condition)
+    is a first-match CASE chain in rule order. Validated against the
+    python stemmer on the paper's vectors + 3,000 random strings
+    (0 mismatches) before being pinned here."""
+    def cv(s):
+        return ("list_reduce(list_prepend('', list_transform(range(1, length(" + s + ")+1), "
+                "i -> substr(" + s + ", i::INT, 1))), "
+                "(acc, ch) -> acc || CASE WHEN ch IN ('a','e','i','o','u') THEN 'v' "
+                "WHEN ch = 'y' THEN (CASE WHEN acc = '' THEN 'c' "
+                "WHEN substr(acc, -1, 1) = 'c' THEN 'v' ELSE 'c' END) ELSE 'c' END)")
+
+    def m(s):
+        c = cv(s)
+        return f"((length({c}) - length(replace({c}, 'vc', ''))) // 2)"
+
+    def hasv(s):
+        return f"(contains({cv(s)}, 'v'))"
+
+    def dbl(w):
+        return (f"(length({w}) >= 2 AND substr({w}, -1, 1) = substr({w}, -2, 1)"
+                f" AND substr({cv(w)}, -1, 1) = 'c')")
+
+    def cvc(w):
+        return (f"(length({w}) >= 3 AND substr({cv(w)}, -3, 3) = 'cvc'"
+                f" AND substr({w}, -1, 1) NOT IN ('w','x','y'))")
+
+    def ends(suf, w="w"):
+        return f"(length({w}) >= {len(suf)} AND right({w}, {len(suf)}) = '{suf}')"
+
+    def cut(k, w="w"):
+        return f"left({w}, length({w}) - {k})"
+
+    STEP2 = [("ational","ate"),("tional","tion"),("enci","ence"),("anci","ance"),
+             ("izer","ize"),("abli","able"),("alli","al"),("entli","ent"),
+             ("eli","e"),("ousli","ous"),("ization","ize"),("ation","ate"),
+             ("ator","ate"),("alism","al"),("iveness","ive"),("fulness","ful"),
+             ("ousness","ous"),("aliti","al"),("iviti","ive"),("biliti","ble")]
+    STEP3 = [("icate","ic"),("ative",""),("alize","al"),("iciti","ic"),
+             ("ical","ic"),("ful",""),("ness","")]
+    STEP4 = ["al","ance","ence","er","ic","able","ible","ant","ement",
+             "ment","ent","ion","ou","ism","ate","iti","ous","ive","ize"]
+
+    def rule_chain(rules, cond_m, special_ion=False):
+        parts = []
+        for entry in rules:
+            suf, rep = entry if isinstance(entry, tuple) else (entry, None)
+            stem = cut(len(suf))
+            if rep is None:  # step 4: drop suffix
+                if special_ion and suf == "ion":
+                    keep = (f"(CASE WHEN {m(stem)} > 1 AND length({stem}) >= 1 "
+                            f"AND substr({stem}, -1, 1) IN ('s','t') "
+                            f"THEN {stem} ELSE w END)")
+                else:
+                    keep = f"(CASE WHEN {m(stem)} > {cond_m} THEN {stem} ELSE w END)"
+                parts.append(f"WHEN {ends(suf)} THEN {keep}")
+            else:
+                parts.append(
+                    f"WHEN {ends(suf)} THEN (CASE WHEN {m(stem)} > {cond_m} "
+                    f"THEN {stem} || '{rep}' ELSE w END)")
+        return "CASE " + " ".join(parts) + " ELSE w END"
+
+    def porter_sql(words_cte: str) -> str:
+        s1a = ("CASE WHEN " + ends("sses") + " THEN " + cut(2) +
+               " WHEN " + ends("ies") + " THEN " + cut(2) +
+               " WHEN " + ends("ss") + " THEN w"
+               " WHEN " + ends("s") + " THEN " + cut(1) + " ELSE w END")
+        s1b1_w = ("CASE WHEN " + ends("eed") + " THEN (CASE WHEN " + m(cut(3)) +
+                  " > 0 THEN " + cut(1) + " ELSE w END)"
+                  " WHEN " + ends("ed") + " AND " + hasv(cut(2)) + " THEN " + cut(2) +
+                  " WHEN " + ends("ing") + " AND " + hasv(cut(3)) + " THEN " + cut(3) +
+                  " ELSE w END")
+        s1b1_f = ("CASE WHEN " + ends("eed") + " THEN FALSE"
+                  " WHEN " + ends("ed") + " AND " + hasv(cut(2)) + " THEN TRUE"
+                  " WHEN " + ends("ing") + " AND " + hasv(cut(3)) + " THEN TRUE"
+                  " ELSE FALSE END")
+        s1b2 = ("CASE WHEN NOT flag THEN w"
+                " WHEN " + ends("at") + " OR " + ends("bl") + " OR " + ends("iz") +
+                " THEN w || 'e'"
+                " WHEN " + dbl("w") + " AND substr(w, -1, 1) NOT IN ('l','s','z')"
+                " THEN " + cut(1) +
+                " WHEN " + m("w") + " = 1 AND " + cvc("w") + " THEN w || 'e'"
+                " ELSE w END")
+        s1c = ("CASE WHEN " + ends("y") + " AND " + hasv(cut(1)) +
+               " THEN " + cut(1) + " || 'i' ELSE w END")
+        s2 = rule_chain(STEP2, 0)
+        s3 = rule_chain(STEP3, 0)
+        s4 = rule_chain(STEP4, 1, special_ion=True)
+        s5a = ("CASE WHEN " + ends("e") + " THEN (CASE WHEN " + m(cut(1)) + " > 1 OR (" +
+               m(cut(1)) + " = 1 AND NOT " + cvc(cut(1)) + ") THEN " + cut(1) +
+               " ELSE w END) ELSE w END")
+        s5b = ("CASE WHEN " + m("w") + " > 1 AND " + dbl("w") + " AND " + ends("l") +
+               " THEN " + cut(1) + " ELSE w END")
+        return f"""
+            p0 AS (SELECT tok, tok AS w FROM ({words_cte})),
+            p1a AS (SELECT tok, {s1a} AS w FROM p0),
+            p1b1 AS (SELECT tok, {s1b1_w} AS w, {s1b1_f} AS flag FROM p1a),
+            p1b AS (SELECT tok, {s1b2} AS w FROM p1b1),
+            p1c AS (SELECT tok, {s1c} AS w FROM p1b),
+            p2 AS (SELECT tok, {s2} AS w FROM p1c),
+            p3 AS (SELECT tok, {s3} AS w FROM p2),
+            p4 AS (SELECT tok, {s4} AS w FROM p3),
+            p5a AS (SELECT tok, {s5a} AS w FROM p4),
+            p5b AS (SELECT tok, {s5b} AS w FROM p5a),
+            stems AS (SELECT tok, CASE WHEN length(tok) <= 2 THEN tok ELSE w END AS stem
+                      FROM p5b)"""
+
+    words_cte = (
+        "SELECT DISTINCT tok FROM (SELECT unnest(string_split_regex("
+        "lower(coalesce(text, '')), '[^a-z]+')) AS tok FROM documents) "
+        "WHERE tok <> ''"
+    )
+    return f"""
+        WITH {porter_sql(words_cte)},
+        toks AS MATERIALIZED (
+            SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS pos
+            FROM (SELECT doc_id, string_split_regex(lower(coalesce(text, '')),
+                                                    '[^a-z]+') AS l
+                  FROM documents)
+        ),
+        joined AS (
+            SELECT t.doc_id, string_agg(s.stem, ' ' ORDER BY t.pos) AS stemmed
+            FROM toks t JOIN stems s ON s.tok = t.tok
+            WHERE t.tok <> ''
+            GROUP BY t.doc_id
+        )
+        SELECT d.doc_id, coalesce(j.stemmed, '') AS stemmed
+        FROM documents d LEFT JOIN joined j ON j.doc_id = d.doc_id
+    """
+
+
 def _oracle_cdc_chunks(mask_bits: int = 6) -> str:
     """Exact mirror of gear_cdc_chunk_table + cdc_dedup_summary: the
     64-term rolling gear hash has a CLOSED FORM per position
@@ -15825,6 +15961,7 @@ def oracle_sql() -> dict[str, str]:
         "fs_linkage_weights": _oracle_fs_linkage(iters=100),
         "dedup_cascade_docs": _oracle_dedup_cascade(num_perm=64, bands=16, threshold=0.7),
         "cdc_chunks_docs": _oracle_cdc_chunks(mask_bits=6),
+        "stemmed_docs": _oracle_stemmed_docs(),
         # SemDeDup: the embedding_near_dup_v2 mirror at 0.95 (=19/20) +
         # recursive-CTE connected components; survivors = non-losers
         "semantic_dedup_v2": """
