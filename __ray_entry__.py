@@ -2666,10 +2666,12 @@ def _q_snapshot_diff(sf_dir: str):
 
 
 def _q_bpe_token_counts(sf_dir: str):
-    """BPE tokenizer workflow (no SQL oracle — the merge loop is
-    iterative): train 50 merges on the corpus (deterministic,
-    layout-invariant; see test_bpe_train_and_tokenize), broadcast the
-    merge table, count BPE tokens per document in one streaming pass."""
+    """BPE tokenizer workflow: train 50 merges on the corpus
+    (deterministic, layout-invariant; see test_bpe_train_and_tokenize),
+    broadcast the merge table, count BPE tokens per document in one
+    streaming pass. ORACLE-EXACT since round 5 (unrolled merge CTEs;
+    greedy-by-rank application ≡ training evolution for in-vocab
+    words)."""
     from dedupe_ray.ops.text import bpe_tokenize, bpe_train
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
@@ -6311,9 +6313,9 @@ def _q_bpe_merges(sf_dir: str):
     """BPE merge-table training over the documents corpus
     (`ops/text.py bpe_train_merges`): distributed word-count sweep, then
     the deterministic merge loop over the bounded top-10k word table —
-    20 merges with (count desc, pair asc) tiebreaks. No SQL oracle
-    (iterative merge recurrence); deterministic and layout-invariant by
-    construction — exact integer word counts, fixed tiebreaks."""
+    20 merges with (count desc, pair asc) tiebreaks. ORACLE-EXACT since
+    round 5: the merge recurrence is unrolled as SQL CTEs (the left-fold
+    textual-concat merge trick — see _sql_bpe_ctes)."""
     import ray.data as rd
 
     from dedupe_ray.ops.text import bpe_train_merges
@@ -9583,6 +9585,106 @@ def _oracle_train_val_split(
                CASE WHEN ({key_crc}) % 1000000 < {thr}
                     THEN 'val' ELSE 'train' END AS split
         FROM keys CROSS JOIN crct
+    """
+
+
+def _sql_bpe_ctes(n_merges: int, vocab_cap: int) -> str:
+    """Unrolled BPE merge training (Sennrich 2016) as SQL CTEs: v0 holds
+    each distinct word's space-joined symbol string (chars + '</w>');
+    each round counts adjacent pairs weighted by word count (sentinel row
+    keeps the chain total even when no pairs remain), picks
+    (count desc, pair asc), and applies the merge as a left-fold whose
+    textual concat IS the merged symbol (appending the right symbol
+    without a separator fuses it onto the left — exactly the scan-with-
+    skip of _merge_pair / bpe_train). A carried ``stopped`` flag freezes
+    the vocab once the best count drops below 2."""
+    fold = (
+        "list_reduce(list_prepend('', string_split(v.syms, ' ')), (acc, s) -> "
+        "CASE WHEN acc = '' THEN s "
+        "WHEN s = bs.b AND (acc = bs.a OR ends_with(acc, ' ' || bs.a)) "
+        "THEN acc || s ELSE acc || ' ' || s END)"
+    )
+    parts = [f"""wordcounts AS MATERIALIZED (
+            SELECT word, cnt FROM (
+                SELECT tok AS word, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+                    SELECT unnest(string_split_regex(lower(coalesce(text, '')),
+                                                     '[^a-z]+')) AS tok
+                    FROM documents
+                ) GROUP BY tok
+            ) ORDER BY cnt DESC, word LIMIT {vocab_cap}
+        ),
+        v0 AS MATERIALIZED (
+            SELECT word, cnt,
+                   array_to_string(list_transform(range(1, length(word) + 1),
+                       i -> substr(word, i::INT, 1)), ' ') || ' </w>' AS syms,
+                   FALSE AS stopped
+            FROM wordcounts WHERE word <> ''
+        )"""]
+    for t in range(1, n_merges + 1):
+        p = t - 1
+        parts.append(f"""pc{t} AS (
+            SELECT l[i::INT] AS a, l[(i + 1)::INT] AS b, SUM(cnt) AS c
+            FROM (SELECT string_split(syms, ' ') AS l, cnt FROM v{p}),
+                 unnest(range(1, len(l))) u(i)
+            GROUP BY 1, 2
+            UNION ALL SELECT '~', '~', 0
+        )""")
+        parts.append(f"""bs{t} AS (
+            SELECT a, b, c FROM pc{t} ORDER BY c DESC, a, b LIMIT 1
+        )""")
+        parts.append(f"""v{t} AS MATERIALIZED (
+            SELECT word, cnt,
+                   CASE WHEN v.stopped OR bs.c < 2 THEN v.syms
+                        ELSE {fold}
+                   END AS syms,
+                   (v.stopped OR bs.c < 2) AS stopped
+            FROM v{p} v CROSS JOIN bs{t} bs
+        )""")
+    return ",\n        ".join(parts)
+
+
+def _oracle_bpe_token_counts(n_merges: int = 50) -> str:
+    """Exact mirror of bpe_train(n_merges=50) + bpe_tokenize over
+    documents: greedy-by-rank application of trained merges to an
+    in-vocab word reproduces its training evolution, so per-word token
+    counts read straight off the final unrolled vocab state; empty
+    tokens count 1 (seg_len('') semantics)."""
+    return f"""
+        WITH {_sql_bpe_ctes(n_merges, 50_000)},
+        wordlen AS MATERIALIZED (
+            SELECT word, CAST(len(string_split(syms, ' ')) AS BIGINT) AS n
+            FROM v{n_merges}
+            UNION ALL SELECT '', 1
+        ),
+        toks AS (
+            SELECT doc_id, unnest(string_split_regex(lower(coalesce(text, '')),
+                                                     '[^a-z]+')) AS tok
+            FROM documents
+        )
+        SELECT d.doc_id,
+               coalesce((SELECT CAST(SUM(w.n) AS BIGINT) FROM toks t
+                         JOIN wordlen w ON w.word = t.tok
+                         WHERE t.doc_id = d.doc_id), 0) AS n_bpe_tokens
+        FROM documents d
+    """
+
+
+def _oracle_bpe_merges(n_merges: int = 20, vocab_cap: int = 10_000) -> str:
+    """Exact mirror of bpe_train_merges: the recorded merge table is one
+    row per unrolled round that ran before the stop flag tripped."""
+    rows = "\n            UNION ALL ".join(
+        f"""SELECT {t - 1} AS rank, bs.a AS "left", bs.b AS "right",
+                   CAST(bs.c AS BIGINT) AS pair_count
+            FROM bs{t} bs CROSS JOIN (SELECT stopped FROM v{t} LIMIT 1) st
+            WHERE NOT st.stopped"""
+        for t in range(1, n_merges + 1)
+    )
+    return f"""
+        WITH {_sql_bpe_ctes(n_merges, vocab_cap)},
+        merged_rows AS (
+            {rows}
+        )
+        SELECT rank, "left", "right", pair_count FROM merged_rows
     """
 
 
@@ -15962,6 +16064,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_cascade_docs": _oracle_dedup_cascade(num_perm=64, bands=16, threshold=0.7),
         "cdc_chunks_docs": _oracle_cdc_chunks(mask_bits=6),
         "stemmed_docs": _oracle_stemmed_docs(),
+        "bpe_token_counts": _oracle_bpe_token_counts(n_merges=50),
+        "bpe_merges": _oracle_bpe_merges(n_merges=20, vocab_cap=10_000),
         # SemDeDup: the embedding_near_dup_v2 mirror at 0.95 (=19/20) +
         # recursive-CTE connected components; survivors = non-losers
         "semantic_dedup_v2": """
